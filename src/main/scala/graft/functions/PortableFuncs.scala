@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Column helpers whose semantics are reproducible bit-for-bit in the
+  * DuckDB oracle (driver correctness gate). Everything here is built
+  * from codegen'd Catalyst built-ins — no Scala UDFs — so the whole
+  * expression tree stays inside WholeStageCodegen and scales linearly
+  * with input partitions.
+  */
+object PortableFuncs {
+
+  /** Deterministic 60-bit non-negative hash of a string, portable across
+    * engines: first 15 hex chars of md5, parsed base-16.
+    * DuckDB equivalent: `CAST('0x' || substr(md5(x),1,15) AS BIGINT)`.
+    */
+  def portableHash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** Normalize free text: lowercase, non-alphanumerics → space, collapse
+    * runs of spaces, trim. DuckDB:
+    * `trim(regexp_replace(regexp_replace(lower(x),'[^a-z0-9 ]',' ','g'),' +',' ','g'))`.
+    */
+  def normText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Tokenize normalized text into words, dropping empties.
+    * DuckDB: `list_filter(string_split_regex(normText, ' +'), w -> w <> '')`.
+    */
+  def words(c: Column): Column =
+    filter(split(normText(c), " +"), w => w =!= "")
+
+  /** Word n-gram shingles (space-joined) over [[words]]; empty array when
+    * fewer than n words. 0-based element_at via getItem-compatible
+    * element_at(i+1).
+    */
+  def shingles(c: Column, n: Int): Column = {
+    val ws = words(c)
+    when(
+      size(ws) >= n,
+      transform(
+        sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k + 1)): _*))
+    ).otherwise(array().cast("array<string>"))
+  }
+
+  /** Count non-overlapping occurrences of literal `pat` in `c` —
+    * `(len(x) - len(replace(x, pat, ''))) / len(pat)` — same leftmost
+    * non-overlapping semantics in Spark and DuckDB.
+    */
+  def countOccurrences(c: Column, pat: String): Column =
+    ((length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(pat), ""))) / pat.length)
+      .cast(LongType)
+
+  /** Elementwise float→double cast (exact), so downstream arithmetic is
+    * IEEE-double on both engines.
+    */
+  def toDoubleArray(c: Column): Column = transform(c, _.cast(DoubleType))
+
+  /** Sequential-fold dot product of two double arrays — same accumulation
+    * order as a scalar loop, matching DuckDB `list_dot_product` on
+    * DOUBLE[].
+    */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm of a double array. */
+  def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))
+
+  /** Cosine similarity of two float-array columns, computed in doubles. */
+  def cosine(a: Column, b: Column): Column = {
+    val da = toDoubleArray(a)
+    val db = toDoubleArray(b)
+    dotProduct(da, db) / (l2Norm(da) * l2Norm(db))
+  }
+}

@@ -1,0 +1,432 @@
+package graft.ops
+
+import graft.{QueryModule, Tables => T}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Core relational operators from SURVEY.md §2 (scans S1, filters F1–F8,
+  * joins J1–J6, aggregations A1–A8, mutations-as-queries M1–M10, scalar
+  * functions C1–C14), each re-expressed as a declarative DataFrame
+  * program over the driver test tables so Catalyst gets full pushdown /
+  * pruning / join-strategy freedom.
+  *
+  * Scale notes (100 TB):
+  *  - dimension joins ([[q05]], [[q08]]) broadcast the small side — no
+  *    shuffle of the fact table;
+  *  - aggregations are hash-aggregates with map-side partials;
+  *  - point lookups ([[q03]]) push the key predicate into the parquet
+  *    scan (row-group skipping via min/max stats);
+  *  - semi/anti joins ship only the join key column of the probe side.
+  */
+object CoreQueries extends QueryModule {
+
+  private def ts(s: String): Column = to_timestamp(lit(s))
+
+  /** A1–A4 analog / TPC-H Q1 pricing summary: wide scan with partial
+    * aggregation; reference: per-status counters `task_manager.py:348-376`
+    * and weight sums `validators.py:303-315`. */
+  def q01PricingSummary(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .filter(col("l_shipdate") <= ts("2024-06-30 00:00:00"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** F2: conjunctive filter + projection, pushed to the parquet scan;
+    * reference `data_pipeline.py:175-200`. */
+  def q02FilterProject(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .filter(col("l_quantity") > 45 && col("l_discount") >= 0.05)
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        // raw IEEE product (no round): the identical expression tree in
+        // DuckDB yields bit-identical doubles; round(x,2) does not (the
+        // two engines break half-cent ties differently).
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net_price"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
+
+  /** F1: point lookup by key; reference `patch_dp.py:50-55`. */
+  def q03PointLookup(s: SparkSession, d: String): DataFrame =
+    T.orders(s, d)
+      .filter(col("o_orderkey") === 42L)
+      .select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).as("total"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_orderpriority"))
+
+  /** F4/J3: existence + duplicate-key guard; reference `create_dp.py:42-49`,
+    * `approve_datapoint.py:104-106`. */
+  def q04DupCheck(s: SparkSession, d: String): DataFrame = {
+    val li = T.lineitem(s, d)
+    li.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("l_orderkey") * 8 + col("l_linenumber")).as("n_keys"))
+      .select(col("n_rows"), col("n_keys"), (col("n_rows") - col("n_keys")).as("n_dups"))
+  }
+
+  /** J6: fact ⋈ broadcast dimension; reference `data_pipeline.py:202-227`.
+    * `broadcast(part)` avoids shuffling lineitem at any scale. */
+  def q05BroadcastJoin(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .join(broadcast(T.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** J1: left-semi join (the verified-dataset filter);
+    * reference `scripts/create_verified_csv.py:29-64`. */
+  def q06SemiJoin(s: SparkSession, d: String): DataFrame = {
+    val bigOrders = T.orders(s, d).filter(col("o_totalprice") > 400000.0)
+    T.customer(s, d)
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  /** J2: left-anti join (init dedup / guard);
+    * reference `scripts/validate_all_prod_dps.py:98-129`. */
+  def q07AntiJoin(s: SparkSession, d: String): DataFrame =
+    T.customer(s, d)
+      .join(T.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+
+  /** J4 analog: multi-level dimension hierarchy join (both dims broadcast);
+    * reference parent-child traversal `task_manager.py:326-346`. */
+  def q08HierarchyJoin(s: SparkSession, d: String): DataFrame =
+    T.customer(s, d)
+      .join(broadcast(T.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(T.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        round(sum(col("c_acctbal")), 2).as("sum_bal"))
+
+  /** A1/A2: count by status/type; reference `task_manager.py:348-376`. */
+  def q09StatusCounts(s: SparkSession, d: String): DataFrame =
+    T.events(s, d).groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+
+  /** A3: per-type completion rate with `x/y` display string;
+    * reference `data_pipeline.py:138-156`. */
+  def q10CompletionRate(s: SparkSession, d: String): DataFrame =
+    T.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("value") > 100.0, 1L).otherwise(0L)).as("completed"),
+        count(lit(1)).as("total"))
+      .select(
+        col("event_type"), col("completed"), col("total"),
+        round(col("completed").cast("double") / col("total"), 4).as("rate"),
+        concat(col("completed").cast("string"), lit("/"), col("total").cast("string")).as("display"))
+
+  /** A5: error grouping with capped example list (sorted for determinism);
+    * reference `validate_all_prod_dps.py:234-271`. */
+  def q11ErrorGrouping(s: SparkSession, d: String): DataFrame =
+    T.events(s, d)
+      .filter(col("event_type") === "error")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_errors"),
+        array_join(
+          transform(slice(array_sort(collect_list(col("event_id"))), 1, 5), _.cast("string")),
+          ",").as("first5"))
+
+  /** F5: stale-lock timeout sweep as a projection;
+    * reference `task_manager.py:109-138`. */
+  def q12StaleSweep(s: SparkSession, d: String): DataFrame =
+    T.events(s, d).select(
+      col("event_id"),
+      col("event_type"),
+      when(col("event_type").isin("signup", "view") && col("ts") < ts("2024-01-03 00:00:00"),
+        lit("expired")).otherwise(lit("active")).as("lock_state"))
+
+  /** C1/A4: JSON map decode + aggregate over values;
+    * reference weight maps `patch_dp.py:79-103`. */
+  def q13JsonMap(s: SparkSession, d: String): DataFrame =
+    T.events(s, d)
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_null"))
+
+  /** M5: normalize-on-write + unionByName with missing columns;
+    * reference `add_dp_to_review.py:71-79,96-118`. */
+  def q14UnionNormalize(s: SparkSession, d: String): DataFrame = {
+    val o = T.orders(s, d).select(
+      col("o_orderkey").as("id"), lit("order").as("src"),
+      col("o_totalprice").as("amount"), col("o_orderpriority").as("extra"))
+    val l = T.lineitem(s, d).select(
+      col("l_orderkey").as("id"), lit("line").as("src"),
+      col("l_extendedprice").as("amount"))
+    o.unionByName(l, allowMissingColumns = true)
+      .groupBy(col("src"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("amount")), 2).as("total"),
+        sum(when(col("extra").isNull, 1L).otherwise(0L)).as("n_missing"))
+  }
+
+  /** Window top-k per group (deterministic tie-break). */
+  def q15WindowTopk(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    T.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("total"), col("rn"))
+  }
+
+  /** A1+A2 jointly: rollup counts; reference single-pass status+type
+    * counters `task_manager.py:348-376`. */
+  def q16RollupCounts(s: SparkSession, d: String): DataFrame =
+    T.orders(s, d)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"))
+
+  /** M1: column patch by key (conditional update as projection);
+    * reference `patch_dp.py:110-176`. */
+  def q17PatchUpdate(s: SparkSession, d: String): DataFrame =
+    T.orders(s, d).select(
+      col("o_orderkey"),
+      when(col("o_orderkey") % 1000 === 7, lit("PATCHED"))
+        .otherwise(col("o_orderpriority")).as("o_orderpriority"),
+      when(col("o_orderkey") % 1000 === 7, 1L).otherwise(0L).as("patched"))
+
+  /** M3: row delete as filtered rewrite; reference
+    * `add_dp_to_review.py:130-151`. */
+  def q18DeleteRows(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .filter(!(col("l_orderkey") % 100 === 0))
+      .agg(count(lit(1)).as("n_remaining"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+
+  /** M2/S3: row insert as union + aggregate check;
+    * reference `create_dp.py:149-214`. */
+  def q19InsertRow(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val extra = Seq((99999999L, 123.45)).toDF("o_orderkey", "o_totalprice")
+    T.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+      .unionByName(extra)
+      .agg(count(lit(1)).as("n"),
+        max(col("o_orderkey")).as("max_key"),
+        round(min(col("o_totalprice")), 2).as("min_price"))
+  }
+
+  /** M9/M10: deterministic id generation + prefix strip;
+    * reference `task_manager.py:158`, `create_verified_csv.py:37-41`. */
+  def q20IdGenStrip(s: SparkSession, d: String): DataFrame =
+    T.events(s, d)
+      .select(col("event_type")).distinct()
+      .select(
+        col("event_type"),
+        concat(col("event_type"), lit("_"), substring(md5(col("event_type")), 1, 8)).as("task_id"),
+        regexp_replace(concat(lit("validate_"), col("event_type")), "^validate_", "").as("stripped"))
+
+  /** F7: text-cleaning transform chain; reference canary/boilerplate
+    * stripping `init_seed_tasks.py:28-88`. */
+  def q21TextClean(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.PortableFuncs.normText
+    T.documents(s, d).select(
+      col("doc_id"),
+      md5(normText(col("text"))).as("clean_fp"),
+      length(normText(col("text"))).as("clean_len"))
+  }
+
+  /** P6 analog: gap-based sessionization via window lag + running sum
+    * (batch shape of the streaming state machine). */
+  def q22Sessionize(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    T.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1L)
+          .otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("new_sess")).as("n_sessions"))
+  }
+
+  /** Streaming-analogue tumbling-window aggregation (batch form);
+    * Structured Streaming variant in `graft.streaming`. */
+  def q23TimeWindow(s: SparkSession, d: String): DataFrame =
+    T.events(s, d)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> q01PricingSummary,
+    "q02_filter_project" -> q02FilterProject,
+    "q03_point_lookup" -> q03PointLookup,
+    "q04_dup_check" -> q04DupCheck,
+    "q05_broadcast_join" -> q05BroadcastJoin,
+    "q06_semi_join" -> q06SemiJoin,
+    "q07_anti_join" -> q07AntiJoin,
+    "q08_hierarchy_join" -> q08HierarchyJoin,
+    "q09_status_counts" -> q09StatusCounts,
+    "q10_completion_rate" -> q10CompletionRate,
+    "q11_error_grouping" -> q11ErrorGrouping,
+    "q12_stale_sweep" -> q12StaleSweep,
+    "q13_json_map" -> q13JsonMap,
+    "q14_union_normalize" -> q14UnionNormalize,
+    "q15_window_topk" -> q15WindowTopk,
+    "q16_rollup_counts" -> q16RollupCounts,
+    "q17_patch_update" -> q17PatchUpdate,
+    "q18_delete_rows" -> q18DeleteRows,
+    "q19_insert_row" -> q19InsertRow,
+    "q20_idgen_strip" -> q20IdGenStrip,
+    "q21_text_clean" -> q21TextClean,
+    "q22_sessionize" -> q22Sessionize,
+    "q23_time_window" -> q23TimeWindow
+  )
+
+  override val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  ROUND(SUM(l_quantity),2) AS sum_qty,
+        |  ROUND(SUM(l_extendedprice),2) AS sum_base_price,
+        |  ROUND(SUM(l_extendedprice*(1.0-l_discount)),2) AS sum_disc_price,
+        |  ROUND(AVG(l_quantity),4) AS avg_qty,
+        |  ROUND(AVG(l_discount),4) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2024-06-30 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  l_extendedprice*(1.0-l_discount) AS net_price,
+        |  strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+        |FROM lineitem WHERE l_quantity > 45 AND l_discount >= 0.05""".stripMargin,
+    "q03_point_lookup" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  ROUND(o_totalprice,2) AS total,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_orderpriority
+        |FROM orders WHERE o_orderkey = 42""".stripMargin,
+    "q04_dup_check" ->
+      """SELECT n_rows, n_keys, n_rows - n_keys AS n_dups FROM (
+        |  SELECT COUNT(*) AS n_rows,
+        |         COUNT(DISTINCT l_orderkey*8 + l_linenumber) AS n_keys
+        |  FROM lineitem)""".stripMargin,
+    "q05_broadcast_join" ->
+      """SELECT p_brand, ROUND(SUM(l_extendedprice),2) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
+    "q06_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)""".stripMargin,
+    "q07_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q08_hierarchy_join" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_cust,
+        |  ROUND(SUM(c_acctbal),2) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "q09_status_counts" ->
+      "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
+    "q10_completion_rate" ->
+      """SELECT event_type, completed, total,
+        |  ROUND(CAST(completed AS DOUBLE)/total, 4) AS rate,
+        |  CAST(completed AS VARCHAR) || '/' || CAST(total AS VARCHAR) AS display
+        |FROM (
+        |  SELECT event_type,
+        |    CAST(SUM(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS completed,
+        |    COUNT(*) AS total
+        |  FROM events GROUP BY event_type)""".stripMargin,
+    "q11_error_grouping" ->
+      """SELECT user_id, COUNT(*) AS n_errors,
+        |  array_to_string(list_sort(list(event_id))[1:5], ',') AS first5
+        |FROM events WHERE event_type = 'error' GROUP BY user_id""".stripMargin,
+    "q12_stale_sweep" ->
+      """SELECT event_id, event_type,
+        |  CASE WHEN event_type IN ('signup','view')
+        |         AND ts < TIMESTAMP '2024-01-03 00:00:00'
+        |       THEN 'expired' ELSE 'active' END AS lock_state
+        |FROM events""".stripMargin,
+    "q13_json_map" ->
+      """SELECT event_type,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  CAST(MIN(k) AS BIGINT) AS min_k,
+        |  CAST(MAX(k) AS BIGINT) AS max_k,
+        |  CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY event_type""".stripMargin,
+    "q14_union_normalize" ->
+      """SELECT src, COUNT(*) AS n, ROUND(SUM(amount),2) AS total,
+        |  CAST(SUM(CASE WHEN extra IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+        |FROM (
+        |  SELECT o_orderkey AS id, 'order' AS src, o_totalprice AS amount,
+        |         o_orderpriority AS extra FROM orders
+        |  UNION ALL
+        |  SELECT l_orderkey, 'line', l_extendedprice, NULL FROM lineitem)
+        |GROUP BY src""".stripMargin,
+    "q15_window_topk" ->
+      """SELECT o_custkey, o_orderkey, ROUND(o_totalprice,2) AS total, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+    "q16_rollup_counts" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority, COUNT(*) AS n
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin,
+    "q17_patch_update" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 1000 = 7 THEN 'PATCHED'
+        |       ELSE o_orderpriority END AS o_orderpriority,
+        |  CAST(CASE WHEN o_orderkey % 1000 = 7 THEN 1 ELSE 0 END AS BIGINT) AS patched
+        |FROM orders""".stripMargin,
+    "q18_delete_rows" ->
+      """SELECT COUNT(*) AS n_remaining, ROUND(SUM(l_quantity),2) AS sum_qty
+        |FROM lineitem WHERE NOT (l_orderkey % 100 = 0)""".stripMargin,
+    "q19_insert_row" ->
+      """SELECT COUNT(*) AS n, CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+        |  ROUND(MIN(o_totalprice),2) AS min_price
+        |FROM (SELECT o_orderkey, o_totalprice FROM orders
+        |      UNION ALL SELECT 99999999, 123.45)""".stripMargin,
+    "q20_idgen_strip" ->
+      """SELECT event_type,
+        |  event_type || '_' || substr(md5(event_type),1,8) AS task_id,
+        |  regexp_replace('validate_' || event_type, '^validate_', '') AS stripped
+        |FROM (SELECT DISTINCT event_type FROM events)""".stripMargin,
+    "q21_text_clean" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g'))) AS clean_fp,
+        |  CAST(length(trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g'))) AS INTEGER) AS clean_len
+        |FROM documents""".stripMargin,
+    "q22_sessionize" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(new_sess) AS BIGINT) AS n_sessions
+        |FROM (
+        |  SELECT user_id,
+        |    CASE WHEN prev_ts IS NULL
+        |           OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM (
+        |    SELECT user_id, ts, event_id,
+        |      LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+        |    FROM events))
+        |GROUP BY user_id""".stripMargin,
+    "q23_time_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+        |  event_type, COUNT(*) AS n, ROUND(SUM(value),2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin
+  )
+}

@@ -1,0 +1,218 @@
+package graft.scale
+
+import graft.{QueryModule, Tables => T}
+import graft.functions.PortableFuncs._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Deduplication operators for LLM training-data pipelines (BASELINE
+  * north star — no reference counterpart): exact, MinHash+LSH, SimHash,
+  * n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale design (100 TB of documents):
+  *  - every method reduces to shuffle-by-short-key (hash / band value /
+  *    LSH bucket), never an all-pairs cross join — candidate pairs come
+  *    from equality self-joins on tiny keys, so the shuffle volume is
+  *    O(docs × signature) not O(docs²);
+  *  - signatures are computed with codegen'd built-ins (no UDFs), so
+  *    they pipeline inside WholeStageCodegen over the scan;
+  *  - banding parameters (16 hashes, 4 bands) give the standard
+  *    S-curve: P(candidate) = 1-(1-j^4)^4 for Jaccard j.
+  */
+object Dedup extends QueryModule {
+
+  val NumMinhashes = 16
+  val NumBands = 4
+  val ShingleSize = 4
+
+  /** Exact dedup: group identical normalized content, keep lowest id.
+    * At scale: shuffle on md5 (short key), never on the text itself. */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** doc_id → exploded distinct word-n-gram shingle. */
+  def shingleTable(docs: DataFrame, n: Int = ShingleSize): DataFrame =
+    docs.select(col("doc_id"),
+        explode(array_distinct(shingles(col("text"), n))).as("sh"))
+
+  /** MinHash signature: for permutation i, min over shingles of
+    * md5(i ++ '|' ++ shingle) — lexicographic min of a keyed hash is a
+    * valid MinHash family and is reproducible in any engine with md5. */
+  def minhashSignature(docs: DataFrame): DataFrame = {
+    val mins = (0 until NumMinhashes).map(i =>
+      min(md5(concat(lit(s"$i|"), col("sh")))).as(s"m$i"))
+    shingleTable(docs).groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH banding: signature → (band_id, band_hash) rows. Equal band_hash
+    * ⇒ candidate pair. Bucket join on (b, bv) is an equality shuffle —
+    * the scalable core of MinHash dedup. */
+  def minhashBands(docs: DataFrame): DataFrame = {
+    val sig = minhashSignature(docs)
+    val perBand = NumMinhashes / NumBands
+    val bandCols = (0 until NumBands).map { b =>
+      val parts = (0 until perBand).map(k => col(s"m${b * perBand + k}"))
+      struct(lit(b).as("b"), md5(concat(parts: _*)).as("bv"))
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("band.b").as("b"), col("band.bv").as("bv"))
+  }
+
+  /** Near-duplicate candidate pairs via MinHash-LSH bucket self-join. */
+  def minhashPairs(docs: DataFrame): DataFrame = {
+    val bands = minhashBands(docs)
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b, col("a.b") === col("b.b") && col("a.bv") === col("b.bv") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** 60-bit SimHash over word occurrences (frequency-weighted): bit b is
+    * the sign of Σ±1 over token-hash bit b. Near-dups then differ in
+    * few bits (Hamming ≤ k via [[simhashPairs]]). */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(words(col("text"))).as("w"))
+      .select(col("doc_id"), portableHash60(col("w")).as("h"))
+    val bitSums = (0 until 60).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"s$b"))
+    val agg = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val value = (0 until 60).map(b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
+    agg.select(col("doc_id"), value.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within Hamming distance `maxDist`. Candidate
+    * generation blocks on 16-bit chunks (pigeonhole: dist ≤ 3 ⇒ some
+    * chunk of 4 is equal), avoiding the n² cross join at scale. */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val sh = simhash(docs)
+    val chunks = (0 until 4).map(c =>
+      struct(lit(c).as("c"),
+        shiftright(col("simhash"), c * 15).bitwiseAND(0x7fffL).as("cv")))
+    val blocked = sh.select(col("doc_id"), col("simhash"),
+      explode(array(chunks: _*)).as("ch"))
+      .select(col("doc_id"), col("simhash"), col("ch.c").as("c"), col("ch.cv").as("cv"))
+    val a = blocked.as("a"); val b = blocked.as("b")
+    a.join(b, col("a.c") === col("b.c") && col("a.cv") === col("b.cv") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+
+  /** n-gram Jaccard similarity over candidate pairs that share ≥1
+    * shingle (equality join — no cross product). */
+  def ngramJaccard(docs: DataFrame): DataFrame = {
+    val sh = shingleTable(docs)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val inter = a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
+  }
+
+  /** Embedding-cosine near-dup pairs above `minCos`, bounded to ids
+    * below `maxId` (oracle-friendly brute force; the scale path is the
+    * LSH-bucketed variant in [[Similarity]]). */
+  def embeddingNearDup(emb: DataFrame, minCos: Double, maxId: Long): DataFrame = {
+    val e = emb.filter(col("vec_id") < maxId)
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+    val withNorm = e.select(col("vec_id"), col("v"), l2Norm(col("v")).as("nrm"))
+    val a = withNorm.as("a"); val b = withNorm.as("b")
+    a.join(b, col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        (dotProduct(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .filter(col("cos") >= minCos)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
+  }
+
+  // ---- driver-gate query registry ----
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_dedup_exact" -> ((s, d) => exactDedup(T.documents(s, d))),
+    "q25_ngram_jaccard" -> ((s, d) => ngramJaccard(T.documents(s, d))),
+    "q26_minhash_bands" -> ((s, d) => minhashBands(T.documents(s, d))),
+    "q27_simhash" -> ((s, d) => simhash(T.documents(s, d))),
+    // LSH-blocked pair generation exercised in Spark; oracle is rows-only
+    // (pigeonhole blocking is clumsy to restate in one SQL statement).
+    "q28_simhash_pairs" -> ((s, d) => simhashPairs(T.documents(s, d), maxDist = 30)),
+    "q29_embed_neardup" -> ((s, d) => embeddingNearDup(T.embeddings(s, d), 0.3, 300L))
+  )
+
+  private val normSql =
+    "list_filter(string_split_regex(trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')), ' +'), w -> w <> '')"
+
+  private val shingleCte =
+    s"""ws AS (SELECT doc_id, $normSql AS ws FROM documents),
+       |idx AS (SELECT doc_id, ws, unnest(range(1, len(ws)-2)) AS i
+       |        FROM ws WHERE len(ws) >= 4),
+       |sh AS (SELECT DISTINCT doc_id,
+       |         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS sh
+       |       FROM idx)""".stripMargin
+
+  private val sigSelect = (0 until NumMinhashes)
+    .map(i => s"MIN(md5('$i|' || sh)) AS m$i").mkString(", ")
+
+  private val bandCase = (0 until NumBands).map { b =>
+    val parts = (0 until NumMinhashes / NumBands).map(k => s"m${b * (NumMinhashes / NumBands) + k}")
+    s"WHEN ${b} THEN md5(${parts.mkString(" || ")})"
+  }.mkString(" ")
+
+  override val oracle: Map[String, String] = Map(
+    "q24_dedup_exact" ->
+      """SELECT md5(text) AS fp, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+        |  COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "q25_ngram_jaccard" ->
+      s"""WITH $shingleCte,
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+         |       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+         |  ROUND(CAST(inter AS DOUBLE)/(sa.n + sb.n - inter), 4) AS jaccard
+         |FROM pr
+         |JOIN sz sa ON sa.doc_id = doc_a
+         |JOIN sz sb ON sb.doc_id = doc_b""".stripMargin,
+    "q26_minhash_bands" ->
+      s"""WITH $shingleCte,
+         |sig AS (SELECT doc_id, $sigSelect FROM sh GROUP BY doc_id)
+         |SELECT doc_id, CAST(b AS INTEGER) AS b,
+         |  CASE b $bandCase END AS bv
+         |FROM sig, range(0, $NumBands) t(b)""".stripMargin,
+    "q27_simhash" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')), ' +'), x -> x <> '')) AS w
+        |  FROM documents),
+        |h AS (SELECT doc_id, CAST('0x' || substr(md5(w),1,15) AS BIGINT) AS h FROM w),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |    SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM h, range(0, 60) t(b) GROUP BY doc_id, b)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
+        |FROM bits GROUP BY doc_id""".stripMargin,
+    "q29_embed_neardup" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        |    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+        |     * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4) AS cos
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.vec_id < b.vec_id AND a.vec_id < 300 AND b.vec_id < 300
+        |WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        |    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+        |     * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.3""".stripMargin
+  )
+}
