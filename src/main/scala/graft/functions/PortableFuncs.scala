@@ -32,19 +32,23 @@ object PortableFuncs {
   def words(c: Column): Column =
     filter(split(normText(c), " +"), w => w =!= "")
 
-  /** Word n-gram shingles (space-joined) over [[words]]; empty array when
-    * fewer than n words. 0-based element_at via getItem-compatible
-    * element_at(i+1).
+  /** Word n-gram shingles (space-joined) over an ALREADY-MATERIALIZED
+    * words-array column; empty array when fewer than n words.
+    *
+    * `ws` must be a plain column reference, not the [[words]] expression
+    * inline: higher-order-function lambdas are evaluated interpreted
+    * (outside WholeStageCodegen) with no common-subexpression
+    * elimination, so an inline `words(text)` would re-run the full
+    * regex chain for every `element_at` — O(shingles × n) regex passes
+    * over the whole document per row.
     */
-  def shingles(c: Column, n: Int): Column = {
-    val ws = words(c)
+  def shinglesFromWords(ws: Column, n: Int): Column =
     when(
       size(ws) >= n,
       transform(
         sequence(lit(0), size(ws) - n),
         i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k + 1)): _*))
     ).otherwise(array().cast("array<string>"))
-  }
 
   /** Count non-overlapping occurrences of literal `pat` in `c` —
     * `(len(x) - len(replace(x, pat, ''))) / len(pat)` — same leftmost

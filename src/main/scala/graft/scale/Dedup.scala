@@ -32,10 +32,14 @@ object Dedup extends QueryModule {
     docs.groupBy(md5(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** doc_id → exploded distinct word-n-gram shingle. */
+  /** doc_id → exploded distinct word-n-gram shingle. The words array is
+    * materialized as a column first so the shingling lambda (interpreted,
+    * no CSE) reads it instead of re-running the normalize/split regexes
+    * per element — that inline form cost ~100 regex passes per doc. */
   def shingleTable(docs: DataFrame, n: Int = ShingleSize): DataFrame =
-    docs.select(col("doc_id"),
-        explode(array_distinct(shingles(col("text"), n))).as("sh"))
+    docs.select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"),
+        explode(array_distinct(shinglesFromWords(col("ws"), n))).as("sh"))
 
   /** MinHash signature: for permutation i, min over shingles of
     * md5(i ++ '|' ++ shingle) — lexicographic min of a keyed hash is a
