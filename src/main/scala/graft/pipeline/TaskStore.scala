@@ -1,0 +1,190 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.time.format.DateTimeFormatter
+import java.time.{Duration, Instant, ZoneOffset}
+import java.util.UUID
+
+/** One task in the coordination store; field-for-field the reference's
+  * task struct (`task_manager.py:161-170` plus the dynamically-added
+  * task_started_at/updated_at at `:210`/`:413`). `data` is open-schema
+  * (string map), as in the reference's arbitrary dict.
+  */
+case class Task(
+    id: String,
+    taskType: String,
+    status: String,
+    parentId: Option[String] = None,
+    lockedBy: Option[String] = None,
+    lockedAt: Option[String] = None,
+    completedAt: Option[String] = None,
+    createdAt: String = "",
+    taskStartedAt: Option[String] = None,
+    updatedAt: Option[String] = None,
+    data: Map[String, String] = Map.empty)
+
+/** Driver-side task queue with the reference `TaskManager`'s nine APIs
+  * (`task_manager.py:140-419`) — SURVEY §4.3's one real design
+  * decision.
+  *
+  * The reference coordinates *external agent processes* through a
+  * flock-guarded JSON file; in Spark the batch work it schedules is
+  * subsumed by the DAG scheduler ( §2.8 P4), so the queue survives only
+  * as the agent-facing coordination plane. All mutations serialize
+  * through this single-writer object (no flock needed); durability is a
+  * versioned parquet snapshot committed with the same temp+rename
+  * protocol the reference uses for its JSON (`task_manager.py:97-107`).
+  *
+  * Scale: the store holds coordination metadata ("thousands, not
+  * millions" — `task_manager/README.md:209-213`), not data rows. Bulk
+  * validation over millions of datapoints never enqueues per-row tasks;
+  * it runs as a distributed Dataset job ([[Validators]]).
+  */
+class TaskStore(staleAfter: Duration = Duration.ofHours(24),
+                clock: () => Instant = () => Instant.now()) {
+
+  private val iso = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+    .withZone(ZoneOffset.UTC)
+  private def now(): String = iso.format(clock())
+
+  private var tasks = Vector.empty[Task]
+
+  def createTask(taskType: String, parentId: Option[String] = None,
+                 data: Map[String, String] = Map.empty,
+                 id: Option[String] = None): Task = synchronized {
+    // id = f"{type}_{uuid4().hex[:8]}" (`task_manager.py:158`)
+    val tid = id.getOrElse(s"${taskType}_${UUID.randomUUID().toString.replace("-", "").take(8)}")
+    require(!tasks.exists(_.id == tid), s"duplicate task id: $tid")
+    val t = Task(tid, taskType, "pending", parentId = parentId,
+      createdAt = now(), data = data)
+    tasks :+= t
+    t
+  }
+
+  /** Atomic claim (P2): timeout sweep, then first pending of the
+    * requested types → in_progress, locked by agentId. Exactly one
+    * winner per task (single-writer serialization). */
+  def getNextTask(agentId: String, types: Seq[String] = Nil): Option[Task] = synchronized {
+    sweepTimeouts()
+    val idx = tasks.indexWhere(t =>
+      t.status == "pending" && (types.isEmpty || types.contains(t.taskType)))
+    if (idx < 0) None
+    else {
+      val t = tasks(idx).copy(status = "in_progress", lockedBy = Some(agentId),
+        lockedAt = Some(now()), taskStartedAt = Some(now()))
+      tasks = tasks.updated(idx, t)
+      Some(t)
+    }
+  }
+
+  /** Ownership-checked complete (P3; `task_manager.py:225-270`): only
+    * the locking agent may complete; result data merges into `data`. */
+  def completeTask(id: String, agentId: String, status: String = "completed",
+                   resultData: Map[String, String] = Map.empty): Boolean = synchronized {
+    require(Schemas.TaskStatuses.contains(status), s"bad status: $status")
+    mutate(id) {
+      case t if t.lockedBy.contains(agentId) && t.status == "in_progress" =>
+        t.copy(status = status, completedAt = Some(now()), updatedAt = Some(now()),
+          lockedBy = None, lockedAt = None, data = t.data ++ resultData)
+    }
+  }
+
+  /** Release without completing (P3; keeps task_started_at —
+    * `task_manager.py:272-303`). */
+  def releaseTask(id: String, agentId: String): Boolean = synchronized {
+    mutate(id) {
+      case t if t.lockedBy.contains(agentId) && t.status == "in_progress" =>
+        t.copy(status = "pending", lockedBy = None, lockedAt = None,
+          updatedAt = Some(now()))
+    }
+  }
+
+  def getTask(id: String): Option[Task] = synchronized(tasks.find(_.id == id))
+
+  /** Parent-child query (J4; `task_manager.py:326-346`). */
+  def getTaskChildren(parentId: String): Seq[Task] =
+    synchronized(tasks.filter(_.parentId.contains(parentId)))
+
+  /** Status summary over the full enum, zero counts included (A1;
+    * `task_manager.py:348-376`). */
+  def getStatusSummary: Map[String, Long] = synchronized {
+    val counts = tasks.groupBy(_.status).view.mapValues(_.size.toLong).toMap
+    Schemas.TaskStatuses.map(s => s -> counts.getOrElse(s, 0L)).toMap
+  }
+
+  def typeCounts: Map[String, Long] =
+    synchronized(tasks.groupBy(_.taskType).view.mapValues(_.size.toLong).toMap)
+
+  /** Merge data into a task (M8; `task_manager.py:393-416`). */
+  def updateTaskData(id: String, data: Map[String, String]): Boolean = synchronized {
+    mutate(id) { case t => t.copy(data = t.data ++ data, updatedAt = Some(now())) }
+  }
+
+  /** Stale-lock sweep (P6; `task_manager.py:109-138`): in_progress
+    * tasks locked longer than staleAfter reset to pending. Runs inside
+    * every claim, exactly as `task_manager.py:193-196`. */
+  def sweepTimeouts(): Int = synchronized {
+    val cutoff = clock().minus(staleAfter)
+    var n = 0
+    tasks = tasks.map { t =>
+      val stale = t.status == "in_progress" &&
+        t.lockedAt.exists(l => Instant.from(iso.parse(l)).isBefore(cutoff))
+      if (stale) { n += 1; t.copy(status = "pending", lockedBy = None, lockedAt = None) }
+      else t
+    }
+    n
+  }
+
+  def all: Seq[Task] = synchronized(tasks)
+
+  /** Snapshot to a Spark DataFrame — the bridge from the coordination
+    * plane into relational queries ([[DatapointOps.verifiedFilter]],
+    * [[DatapointOps.statusCounts]]). */
+  def toDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    synchronized(tasks).toDF()
+      .withColumnRenamed("taskType", "type")
+      .withColumnRenamed("lockedBy", "locked_by")
+      .withColumnRenamed("parentId", "parent_id")
+  }
+
+  /** Versioned parquet commit of the store (S6). */
+  def save(spark: SparkSession, dir: String): Unit =
+    TableIO.atomicOverwrite(toDF(spark), dir)
+
+  private def mutate(id: String)(pf: PartialFunction[Task, Task]): Boolean = {
+    val idx = tasks.indexWhere(_.id == id)
+    if (idx < 0) false
+    else pf.lift(tasks(idx)) match {
+      case Some(t) => tasks = tasks.updated(idx, t); true
+      case None => false
+    }
+  }
+}
+
+object TaskStore {
+  /** Restore from a parquet snapshot written by [[TaskStore.save]]. */
+  def load(spark: SparkSession, dir: String,
+           staleAfter: Duration = Duration.ofHours(24)): TaskStore = {
+    val store = new TaskStore(staleAfter)
+    val rows = spark.read.parquet(dir).collect()
+    rows.foreach { r =>
+      def opt(c: String): Option[String] = Option(r.getAs[String](c))
+      store.synchronized {
+        store.tasks :+= Task(
+          id = r.getAs[String]("id"),
+          taskType = r.getAs[String]("type"),
+          status = r.getAs[String]("status"),
+          parentId = opt("parent_id"),
+          lockedBy = opt("locked_by"),
+          lockedAt = opt("lockedAt"),
+          completedAt = opt("completedAt"),
+          createdAt = r.getAs[String]("createdAt"),
+          taskStartedAt = opt("taskStartedAt"),
+          updatedAt = opt("updatedAt"),
+          data = Option(r.getAs[Map[String, String]]("data")).getOrElse(Map.empty))
+      }
+    }
+    store
+  }
+}

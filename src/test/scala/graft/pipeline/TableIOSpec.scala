@@ -1,0 +1,82 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Golden-fixture tests against the reference's own CSVs (read-only
+  * inputs; expected stats recorded in FIXTURES.md).
+  */
+class TableIOSpec extends SparkSpec {
+
+  val stagingCsv = "/root/reference/agents/dp_builder_workspace/staging/datapoints.csv"
+  val reviewCsv = "/root/reference/agents/dp_builder_workspace/review/datapoints_for_review.csv"
+
+  test("staging fixture: 46 rows, multiline cells parsed, legacy columns preserved") {
+    val df = TableIO.readCsv(spark, stagingCsv)
+    assert(df.count() === 46)
+    assert(df.columns.take(9) === Schemas.StagingColumns)
+    // header-driven drift columns carried through
+    assert(df.columns.contains("tests") && df.columns.contains("weights"))
+  }
+
+  test("staging fixture: difficulty histogram matches golden stats") {
+    val hist = TableIO.readCsv(spark, stagingCsv)
+      .groupBy("difficulty").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hist === Map("medium" -> 16L, "hard" -> 23L, "extremely_hard" -> 7L))
+  }
+
+  test("review fixture: 234 rows, all reviewed, one dirty difficulty value") {
+    val df = TableIO.readCsv(spark, reviewCsv)
+    assert(df.count() === 234)
+    assert(df.filter(col("reviewed_at").isNull || col("reviewed_at") === "").count() === 0)
+    val hist = df.groupBy("difficulty").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hist === Map("medium" -> 109L, "hard" -> 90L,
+      "extremely_hard" -> 34L, "medium\n" -> 1L))
+  }
+
+  test("atomic overwrite round-trips and leaves no tmp dirs") {
+    val dir = Files.createTempDirectory("graft-io").toString
+    val dest = s"$dir/table"
+    import spark.implicits._
+    TableIO.atomicOverwrite(Seq((1, "a"), (2, "b")).toDF("id", "v"), dest)
+    TableIO.atomicOverwrite(Seq((3, "c")).toDF("id", "v"), dest)
+    val back = spark.read.parquet(dest)
+    assert(back.count() === 1 && back.select("v").as[String].head() === "c")
+    assert(!Files.exists(java.nio.file.Paths.get(dest + ".tmp")))
+    assert(!Files.exists(java.nio.file.Paths.get(dest + ".old")))
+  }
+
+  test("csv write with quoteAll round-trips multiline cells") {
+    val dir = Files.createTempDirectory("graft-io").toString
+    import spark.implicits._
+    val df = Seq(("t1", "line1\nline2 \"quoted\""), ("t2", "plain")).toDF("task_id", "body")
+    TableIO.atomicOverwrite(df, s"$dir/t", format = "csv", quoteAll = true)
+    val back = TableIO.readCsv(spark, s"$dir/t")
+    assert(back.count() === 2)
+    assert(back.filter(col("task_id") === "t1").select("body").as[String].head()
+      === "line1\nline2 \"quoted\"")
+  }
+
+  test("readFileMap ingests a directory tree as relpath -> content") {
+    val dir = Files.createTempDirectory("graft-files")
+    Files.createDirectories(dir.resolve("sub"))
+    Files.writeString(dir.resolve("a.txt"), "alpha")
+    Files.writeString(dir.resolve("sub/b.txt"), "beta")
+    val m = TableIO.readFileMap(spark, dir.toString).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m === Map("a.txt" -> "alpha", "sub/b.txt" -> "beta"))
+  }
+
+  test("archive snapshot copies the table under a timestamped name") {
+    val dir = Files.createTempDirectory("graft-arch").toString
+    import spark.implicits._
+    TableIO.atomicOverwrite(Seq((1, "x")).toDF("id", "v"), s"$dir/t")
+    val snap = TableIO.archiveSnapshot(s"$dir/t", s"$dir/archive",
+      java.time.ZonedDateTime.of(2026, 1, 2, 3, 4, 5, 0, java.time.ZoneOffset.UTC))
+    assert(snap.endsWith("dataset_20260102_030405"))
+    assert(spark.read.parquet(snap).count() === 1)
+  }
+}
