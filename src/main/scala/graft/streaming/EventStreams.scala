@@ -1,0 +1,132 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** One event row (mirrors the `events` test table's schema). */
+case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                 event_type: String, value: Double)
+
+/** A closed user session emitted by [[EventStreams.sessionize]]. */
+case class Session(user_id: Long, start: Timestamp, end: Timestamp,
+                   n_events: Long, total_value: Double)
+
+/** Streaming analogues of the batch operators (SURVEY §2.8): the
+  * reference's polling task queue is a hand-rolled stream processor —
+  * claim = at-least-once delivery, the 24h lock sweep = state timeout
+  * (`task_manager.py:109-138`). Structured Streaming expresses the
+  * same semantics declaratively.
+  *
+  * Scale design:
+  *  - every query here is keyed by user/event-type, so state is
+  *    hash-partitioned across executors and bounded by the watermark —
+  *    no unbounded driver state;
+  *  - watermarks bound both correctness (late data) and memory: state
+  *    for windows older than the watermark is dropped;
+  *  - sinks should be idempotent (parquet by window key) so
+  *    at-least-once replay upgrades to exactly-once end-to-end.
+  */
+object EventStreams {
+
+  /** File-based streaming source over an events parquet directory —
+    * the batch table replayed as a stream (for tests/demo; production
+    * would read Kafka or a file drop zone with the same schema). */
+  def fileSource(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // the streaming file source wants a directory; select the single
+    // table file out of the sf dir with a glob filter
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling-window counts with a 1-hour watermark — the streaming
+    * form of the batch q23 time-window aggregation. Late events beyond
+    * the watermark are dropped; state is purged per window close. */
+  def windowedCounts(events: DataFrame,
+                     watermark: String = "1 hour",
+                     windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Streaming exact dedup by event_id within the watermark horizon —
+    * the streaming analogue of the batch dup guard (F4): state holds
+    * one id per event bounded by the watermark. */
+  def dedupe(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Gap-based sessionization via flatMapGroupsWithState with event-
+    * time timeout — the streaming form of batch q22 and the exact
+    * semantics of the reference's stale-lock recovery (P6): a session
+    * (lock) with no activity for `gap` closes (resets) when the
+    * watermark passes. Emits closed sessions (Append mode).
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60 * 1000L
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed the gap: close and emit the open session
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, new Timestamp(s.start),
+              new Timestamp(s.end), s.n, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(s.copy(end = math.max(s.end, t), n = s.n + 1,
+                    total = s.total + e.value))
+                case Some(s) =>
+                  closed ::= Session(userId, new Timestamp(s.start),
+                    new Timestamp(s.end), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close when no event arrives within gap of session end
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Write a streaming aggregate to parquet, partitioned by the window
+    * key — idempotent re-writes per window make the sink effectively
+    * exactly-once under replay. */
+  def toParquetSink(df: DataFrame, path: String, checkpoint: String,
+                    outputMode: String = "append") =
+    df.writeStream
+      .outputMode(outputMode)
+      .option("checkpointLocation", checkpoint)
+      .option("path", path)
+      .format("parquet")
+}
+
+/** Open-session accumulator for [[EventStreams.sessionize]]. */
+case class SessionState(start: Long, end: Long, n: Long, total: Double)

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class EventStreamsSpec extends SparkSpec {
+
+  def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  test("windowed counts advance with the watermark and drop late data") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = EventStreams.windowedCounts(src.toDF(), watermark = "10 minutes",
+        windowLen = "10 minutes")
+      .writeStream.format("memory").queryName("wc").outputMode("append").start()
+    try {
+      src.addData(
+        Event(1, ts(0), 1, "view", 1.0),
+        Event(2, ts(5), 1, "view", 2.0),
+        Event(3, ts(9), 2, "click", 3.0))
+      q.processAllAvailable()
+      // nothing emitted yet: watermark hasn't passed the first window
+      assert(spark.table("wc").count() === 0)
+      // an event 25 min later pushes the watermark past 10:10
+      src.addData(Event(4, ts(34), 1, "view", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("wc").collect()
+        .map(r => (r.getAs[Timestamp]("window_start").toString,
+          r.getAs[String]("event_type"), r.getAs[Long]("n"))).toSet
+      assert(rows === Set(
+        ("2026-01-01 10:00:00.0", "view", 2L),
+        ("2026-01-01 10:00:00.0", "click", 1L)))
+      // a late event behind the watermark is dropped, not re-aggregated
+      src.addData(Event(5, ts(1), 1, "view", 9.0))
+      q.processAllAvailable()
+      assert(spark.table("wc").count() === 2)
+    } finally q.stop()
+  }
+
+  test("streaming dedupe by event_id within watermark") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = EventStreams.dedupe(src.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dd").outputMode("append").start()
+    try {
+      src.addData(
+        Event(1, ts(0), 1, "view", 1.0),
+        Event(1, ts(0), 1, "view", 1.0), // same batch dup
+        Event(2, ts(1), 1, "view", 1.0))
+      q.processAllAvailable()
+      src.addData(Event(1, ts(2), 1, "view", 1.0)) // cross-batch dup
+      q.processAllAvailable()
+      assert(spark.table("dd").select("event_id").as[Long].collect().sorted
+        === Array(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("sessionize closes sessions on gap timeout and on intra-batch gaps") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = EventStreams.sessionize(src.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      // user 1: two events 5 min apart (one session), then a 40-min gap
+      // inside the same user's stream -> first session closes in-batch
+      src.addData(
+        Event(1, ts(0), 1, "view", 1.0),
+        Event(2, ts(5), 1, "view", 2.0),
+        Event(3, ts(45), 1, "view", 3.0))
+      q.processAllAvailable()
+      val inBatch = spark.table("sess").as[Session].collect()
+      assert(inBatch.length === 1)
+      assert(inBatch.head.n_events === 2 && inBatch.head.total_value === 3.0)
+      assert(inBatch.head.start === ts(0) && inBatch.head.end === ts(5))
+      // advancing event time far ahead times out the open session
+      src.addData(Event(9, Timestamp.valueOf("2026-01-01 13:00:00"), 2, "view", 0.0))
+      q.processAllAvailable()
+      src.addData(Event(10, Timestamp.valueOf("2026-01-01 14:00:00"), 2, "view", 0.0))
+      q.processAllAvailable()
+      val all = spark.table("sess").as[Session].collect()
+      assert(all.exists(s => s.user_id === 1L && s.n_events === 1L && s.start === ts(45)))
+    } finally q.stop()
+  }
+
+  test("file source streams the events table with converted timestamps") {
+    val stream = EventStreams.fileSource(spark, "/root/testdata/sf0.001")
+    assert(stream.isStreaming)
+    val q = EventStreams.windowedCounts(stream, "1 hour", "1 hour")
+      .writeStream.format("memory").queryName("fs").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // append-mode windows behind the final watermark are emitted
+      assert(spark.table("fs").count() > 0)
+    } finally q.stop()
+  }
+}
