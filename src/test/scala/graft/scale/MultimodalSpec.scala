@@ -1,0 +1,63 @@
+package graft.scale
+
+import graft.SparkSpec
+import graft.{Tables => T}
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+
+  lazy val assets = Multimodal.syntheticAssets(
+    T.documents(spark, "/root/testdata/sf0.001")).cache()
+
+  test("synthetic assets: binary payloads with cycling kinds") {
+    assert(assets.count() === 500)
+    val kinds = assets.groupBy("kind").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kinds.keySet === Set("image", "audio", "video"))
+    assert(kinds.values.sum === 500L)
+    assert(assets.schema("payload").dataType.typeName === "binary")
+  }
+
+  test("columnar metadata runs without decoding") {
+    val meta = Multimodal.columnarMeta(assets)
+    assert(meta.filter(col("byte_len") <= 0).count() === 0)
+    assert(meta.select("content_hash").distinct().count() > 1)
+  }
+
+  test("stub decode is deterministic and fills kind-appropriate fields") {
+    val payload = "hello".getBytes("UTF-8")
+    val a = Multimodal.stubDecode(1, "image", payload)
+    val b = Multimodal.stubDecode(1, "image", payload)
+    assert(a === b)
+    assert(a.width > 0 && a.height > 0 && a.n_frames === 1 && a.sample_rate === 0)
+    val audio = Multimodal.stubDecode(2, "audio", payload)
+    assert(audio.sample_rate === 16000 && audio.width === 0)
+  }
+
+  test("decode via mapPartitions produces typed metadata for every asset") {
+    val meta = Multimodal.decode(spark, assets)
+    assert(meta.count() === 500)
+    assert(meta.filter(m => m.byte_len <= 0).count() === 0)
+    // decode is deterministic: running twice gives identical results
+    val h1 = Multimodal.decode(spark, assets).collect().sortBy(_.asset_id).toSeq
+    val h2 = meta.collect().sortBy(_.asset_id).toSeq
+    assert(h1 === h2)
+  }
+
+  test("frame sampling explodes only video assets at the stride") {
+    val meta = Multimodal.decode(spark, assets)
+    val frames = Multimodal.sampleFrames(meta, stride = 100)
+    assert(frames.filter(col("frame_idx") % 100 =!= 0).count() === 0)
+    val one = frames.groupBy("asset_id").count()
+      .join(meta.toDF().select(col("asset_id"), col("n_frames")), "asset_id")
+      .filter(col("count") =!= ceil(col("n_frames") / 100.0)).count()
+    assert(one === 0)
+  }
+
+  test("corpus media stats aggregate without touching payloads") {
+    val stats = Multimodal.corpusMediaStats(Multimodal.decode(spark, assets))
+    val byKind = stats.collect().map(r => r.getAs[String]("kind") -> r).toMap
+    assert(byKind.keySet === Set("image", "audio", "video"))
+    assert(byKind("image").getAs[Long]("n_assets") > 0)
+  }
+}
