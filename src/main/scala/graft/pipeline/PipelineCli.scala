@@ -1,0 +1,184 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+import java.time.format.DateTimeFormatter
+import java.time.{ZoneOffset, ZonedDateTime}
+
+/** CLI façade mirroring the reference entry points (SURVEY §7.1 step 7;
+  * `data_pipeline.py`, `create_dp.py`, `add_dp_to_review.py`,
+  * `approve_datapoint.py`, `cancel_datapoint.py`, `read_datapoint.py`,
+  * `init_seed_tasks.py`, `validate_all_prod_dps.py` +
+  * `create_verified_csv.py`).
+  *
+  * State layout under --base <dir>:
+  *   staging/   review/   production/     (CSV tables, quote-all)
+  *   tasks/                               (TaskStore parquet snapshot)
+  *   archive/                             (timestamped backups)
+  *
+  * Usage examples:
+  *   pipeline --base d init-seeds <tasksDir>
+  *   pipeline --base d next --agent a [--types seed_dp,draft_dp]
+  *   pipeline --base d complete <taskId> --agent a [--status failed]
+  *   pipeline --base d status | list
+  *   pipeline --base d create-dp <taskId> <prompt> <dockerfile> <tests> <weightsJson> <difficulty>
+  *   pipeline --base d add-to-review <taskId>
+  *   pipeline --base d approve <taskId> --category c --tags "a|b"
+  *   pipeline --base d read <taskId> [--table review]
+  *   pipeline --base d verify-all [--docker]
+  */
+object PipelineCli {
+
+  private def nowIso(): String =
+    ZonedDateTime.now(ZoneOffset.UTC)
+      .format(DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSSxxx"))
+
+  def main(args: Array[String]): Unit = {
+    val base = argValue(args, "--base").getOrElse(sys.error("--base required"))
+    val cmd = args.filterNot(_.startsWith("--"))
+      .filterNot(a => argValue(args, "--base").contains(a)).headOption
+      .getOrElse(sys.error("command required"))
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
+      .appName("graft-pipeline")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, base, cmd, args)
+    finally spark.stop()
+  }
+
+  def run(spark: SparkSession, base: String, cmd: String, args: Array[String]): Unit = {
+    val positional = args.dropWhile(_ != cmd).drop(1).filterNot(_.startsWith("--"))
+      .filterNot(a => args.sliding(2).exists(p => p.length == 2 && p(0).startsWith("--") && p(1) == a))
+    def table(name: String): DataFrame =
+      TableIO.readCsv(spark, s"$base/$name", Some(
+        if (name == "production") Schemas.productionSchema
+        else if (name == "review") Schemas.reviewSchema else Schemas.stagingSchema))
+    def tableOrEmpty(name: String, cols: Seq[String]): DataFrame =
+      if (Files.exists(Paths.get(s"$base/$name"))) table(name)
+      else spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(cols.map(c =>
+          org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType))))
+    def commit(df: DataFrame, name: String): Unit =
+      TableIO.atomicOverwrite(df, s"$base/$name", format = "csv", quoteAll = true)
+    def store(): TaskStore =
+      if (Files.exists(Paths.get(s"$base/tasks"))) TaskStore.load(spark, s"$base/tasks")
+      else new TaskStore()
+    def saveStore(s: TaskStore): Unit = s.save(spark, s"$base/tasks")
+
+    cmd match {
+      case "init-seeds" =>
+        val s = store()
+        val seeds = SeedIngest.ingest(spark, positional(0))
+        val existing = s.all.map(_.id).toSet
+        val created = seeds.select("task_name").collect().map(_.getString(0))
+          .filterNot(n => existing.contains(s"seed_dp_$n")) // J2 re-init dedup
+        created.foreach(n => s.createTask("seed_dp",
+          data = Map("task_name" -> n), id = Some(s"seed_dp_$n")))
+        saveStore(s)
+        println(s"created ${created.length} seed_dp task(s)")
+
+      case "next" =>
+        val s = store()
+        val agent = argValue(args, "--agent").getOrElse("agent")
+        val types = argValue(args, "--types").map(_.split(",").toSeq).getOrElse(Nil)
+        s.getNextTask(agent, types) match {
+          case Some(t) => saveStore(s); println(s"""{"id":"${t.id}","type":"${t.taskType}"}""")
+          case None => println("no pending task")
+        }
+
+      case "complete" =>
+        val s = store()
+        val agent = argValue(args, "--agent").getOrElse("agent")
+        val status = argValue(args, "--status").getOrElse("completed")
+        val ok = s.completeTask(positional(0), agent, status)
+        if (ok) saveStore(s)
+        println(if (ok) "completed" else "not owner or not in progress")
+
+      case "status" =>
+        val s = store()
+        println(s.getStatusSummary.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"$k=$v" }.mkString(" "))
+        println(s.typeCounts.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"$k=$v" }.mkString(" "))
+
+      case "list" =>
+        store().all.foreach(t =>
+          println(s"${t.id}\t${t.taskType}\t${t.status}\t${t.parentId.getOrElse("-")}"))
+
+      case "create-dp" =>
+        val Seq(taskId, prompt, dockerfile, tests, weights, difficulty) =
+          positional.take(6).toSeq
+        require(Schemas.Difficulties.contains(difficulty),
+          s"invalid difficulty: $difficulty")
+        val staging = tableOrEmpty("staging", Schemas.StagingColumns)
+        require(!DatapointOps.exists(staging, taskId), s"duplicate: $taskId")
+        import spark.implicits._
+        val now = nowIso()
+        val row = Seq((taskId, prompt, dockerfile, tests, weights, "", difficulty, now, now))
+          .toDF(Schemas.StagingColumns: _*)
+        commit(DatapointOps.insert(staging, row), "staging")
+        println(s"created $taskId in staging")
+
+      case "add-to-review" =>
+        val taskId = positional(0)
+        val staging = table("staging")
+        val review = tableOrEmpty("review", Schemas.ReviewColumns)
+        val (newReview, newStaging) =
+          DatapointOps.moveToReview(staging, review, taskId, nowIso())
+        // commit ordering = txn safety: review first, then staging (M4)
+        commit(newReview, "review")
+        commit(newStaging, "staging")
+        println(s"moved $taskId to review")
+
+      case "approve" =>
+        val taskId = positional(0)
+        val category = argValue(args, "--category").getOrElse(sys.error("--category"))
+        val tags = argValue(args, "--tags").getOrElse(sys.error("--tags"))
+        val review = table("review")
+        val production = tableOrEmpty("production", Schemas.ProductionColumns)
+        val now = nowIso()
+        val newProd = ReviewOps.approve(review, production, taskId, category, tags, now)
+        TableIO.archiveSnapshotIfExists(s"$base/production", s"$base/archive")
+        commit(newProd, "production")
+        commit(DatapointOps.markReviewed(review, taskId, now), "review")
+        println(s"approved $taskId into production")
+
+      case "cancel" =>
+        val taskId = positional(0)
+        val category = argValue(args, "--category").getOrElse("other")
+        val reason = argValue(args, "--reason").getOrElse("")
+        val artifact = ReviewOps.cancellationArtifact(
+          taskId, category, reason, "review_agent", 1, "", nowIso())
+        import spark.implicits._
+        val json = Seq(1).toDF("i").select(artifact.as("j")).head().getString(0)
+        Files.createDirectories(Paths.get(s"$base/cancelled"))
+        Files.writeString(Paths.get(s"$base/cancelled/$taskId.json"), json)
+        commit(DatapointOps.markReviewed(table("review"), taskId, nowIso()), "review")
+        println(s"cancelled $taskId")
+
+      case "read" =>
+        val taskId = positional(0)
+        val t = argValue(args, "--table").getOrElse("review")
+        val row = DatapointOps.pointLookup(table(t), taskId)
+        ReviewOps.markdown(row).select("markdown").collect()
+          .foreach(r => println(r.getString(0)))
+
+      case "verify-all" =>
+        val production = table("production")
+        val verified = Validators.verifiedDataset(spark, production,
+          new SubprocessRunner, runDocker = args.contains("--docker"))
+        commit(verified, "latest_verified")
+        println(s"verified ${verified.count()} of ${production.count()} production row(s)")
+
+      case other => sys.error(s"unknown command: $other")
+    }
+  }
+
+  private def argValue(args: Array[String], flag: String): Option[String] =
+    args.sliding(2).collectFirst { case Array(`flag`, v) => v }
+}
