@@ -63,20 +63,19 @@ object PortableFuncs {
     */
   def toDoubleArray(c: Column): Column = transform(c, _.cast(DoubleType))
 
-  /** Sequential-fold dot product of two double arrays — same accumulation
-    * order as a scalar loop, matching DuckDB `list_dot_product` on
-    * DOUBLE[].
+  /** Dot product of two double arrays via the native codegen'd
+    * [[ArrayDot]] expression — same sequential accumulation order as a
+    * scalar fold (bit-identical to DuckDB `list_dot_product` on
+    * DOUBLE[]), but a tight primitive loop inside WholeStageCodegen
+    * instead of an interpreted zip_with/aggregate lambda chain.
     */
-  def dotProduct(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  def dotProduct(a: Column, b: Column): Column = VectorExpressions.dot(a, b)
 
   /** L2 norm of a double array. */
   def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))
 
-  /** Cosine similarity of two float-array columns, computed in doubles. */
-  def cosine(a: Column, b: Column): Column = {
-    val da = toDoubleArray(a)
-    val db = toDoubleArray(b)
-    dotProduct(da, db) / (l2Norm(da) * l2Norm(db))
-  }
+  /** Cosine similarity of two float-array columns: one fused pass
+    * (dot + both norms) via [[ArrayCosine]]. */
+  def cosine(a: Column, b: Column): Column =
+    VectorExpressions.cosineFused(toDoubleArray(a), toDoubleArray(b))
 }
