@@ -1,0 +1,66 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Physical-plan audits: the properties that make these queries scale
+  * to 100 TB are asserted here, so a regression in plan shape (lost
+  * pushdown, a broadcast turning into a shuffle join, a lambda falling
+  * out of codegen) fails CI — not just slows prod.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  val sf = "/root/testdata/sf0.001"
+
+  def planOf(df: DataFrame): String = df.queryExecution.executedPlan.toString
+  def formatted(df: DataFrame): String = {
+    df.queryExecution.executedPlan.toString // force planning
+    org.apache.spark.sql.execution.ExplainMode
+      .fromString("formatted") match { case m =>
+      df.queryExecution.explainString(m)
+    }
+  }
+
+  test("q02 filter+project: predicates pushed to the parquet scan, schema pruned") {
+    val s = formatted(CoreQueries.q02FilterProject(spark, sf))
+    assert(s.contains("PushedFilters: [IsNotNull(l_quantity), IsNotNull(l_discount)"),
+      s"expected pushed filters in:\n$s")
+    assert(s.contains("GreaterThan(l_quantity,45.0)"))
+    // column pruning: only the 5 needed columns reach the scan
+    assert(s.contains("ReadSchema") && !s.contains("l_comment") && !s.contains("l_tax"))
+  }
+
+  test("q03 point lookup: key predicate reaches the scan (row-group skipping)") {
+    val s = formatted(CoreQueries.q03PointLookup(spark, sf))
+    assert(s.contains("EqualTo(o_orderkey,42)"), s"expected key pushdown in:\n$s")
+  }
+
+  test("q05 fact⋈dim: dimension side broadcast, no fact shuffle before the join") {
+    val s = planOf(CoreQueries.q05BroadcastJoin(spark, sf))
+    assert(s.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$s")
+    assert(!s.contains("SortMergeJoin"))
+  }
+
+  test("q06/q07 semi+anti joins use broadcast at this scale") {
+    assert(planOf(CoreQueries.q06SemiJoin(spark, sf)).contains("LeftSemi"))
+    assert(planOf(CoreQueries.q07AntiJoin(spark, sf)).contains("LeftAnti"))
+  }
+
+  test("q01 aggregation runs partial (map-side) then final — two HashAggregates") {
+    val s = planOf(CoreQueries.q01PricingSummary(spark, sf))
+    assert("HashAggregate".r.findAllIn(s).length >= 2, s"expected partial+final agg in:\n$s")
+  }
+
+  test("q08 two-level dim hierarchy: both dims broadcast") {
+    val s = planOf(CoreQueries.q08HierarchyJoin(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(s).length === 2)
+  }
+
+  test("whole-stage codegen covers the scan→filter→project pipeline of q02") {
+    val s = planOf(CoreQueries.q02FilterProject(spark, sf))
+    // '*(n)' marks a WholeStageCodegen stage; tree prefixes like '+-' precede it
+    assert(s.linesIterator.exists(l => l.contains("Filter") && l.contains("*(")),
+      s"filter fell out of codegen:\n$s")
+  }
+}
