@@ -1,0 +1,74 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout and skew tooling for 100 TB operation — the pieces
+  * that decide whether a plan that works at sf0.1 still works at
+  * 1000 executors:
+  *
+  *  - **partitioned layout**: coarse, low-cardinality keys (date,
+  *    lang, category) become directory partitions so partition pruning
+  *    eliminates whole files before the scan;
+  *  - **salted joins**: a handful of hot keys (the "null key" user,
+  *    the viral document) otherwise send one reducer 1000× the median
+  *    partition; salting fans the hot side over `salts` sub-keys and
+  *    replicates the small side to match — shuffle stays balanced at
+  *    the cost of `salts`× the small side;
+  *  - **repartition-by-range** for sorted outputs: balanced output
+  *    files with global order, without a single-partition sort.
+  *
+  * AQE (on by default in Spark 4) already splits skewed *shuffle
+  * partitions* for sort-merge joins; explicit salting still matters
+  * when the skew is in the *keys themselves* (AQE cannot split one
+  * giant key group for aggregations or windows).
+  */
+object Layout {
+
+  /** Write partitioned parquet: directory-level pruning on `cols`.
+    * Keep cardinality coarse (≤ a few thousand dirs) — small files
+    * kill 100 TB scans as surely as skew does. */
+  def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(path)
+
+  /** Salted aggregation for skewed group-by keys: two-phase — partial
+    * aggregate on (key, salt), final aggregate on key. The hot key's
+    * rows spread over `salts` reducers in phase one; phase two only
+    * combines `salts` partials per key. Usable for any algebraic agg. */
+  def saltedCountSum(df: DataFrame, key: Column, value: Column,
+                     salts: Int = 16): DataFrame =
+    df.groupBy(key.as("k"), (pmod(spark_partition_id() + monotonically_increasing_id(),
+        lit(salts))).as("salt"))
+      .agg(count(lit(1)).as("pc"), sum(value).as("ps"))
+      .groupBy(col("k"))
+      .agg(sum(col("pc")).as("n"), sum(col("ps")).as("total"))
+
+  /** Skew-safe inner equi-join: salt the (big, skewed) left side,
+    * explode the (small) right side across all salt values. Result is
+    * identical to `big.join(small, keys)`; the shuffle is balanced. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 salts: Int = 16): DataFrame = {
+    val saltedBig = big.withColumn("_salt",
+      pmod(hash(col(key), monotonically_increasing_id()), lit(salts)))
+    val explodedSmall = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedBig.join(explodedSmall, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Range-partitioned sorted output: global order across balanced
+    * files (each file internally sorted, files ordered by range). */
+  def writeSorted(df: DataFrame, path: String, sortCol: String,
+                  partitions: Int = 32): Unit =
+    df.repartitionByRange(partitions, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Measure per-key skew: top keys by row count with their share of
+    * the table — the diagnostic you run before choosing salts. */
+  def skewProfile(df: DataFrame, key: Column, topK: Int = 10): DataFrame = {
+    val counts = df.groupBy(key.as("k")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum("n")).head().getLong(0).toDouble
+    counts.orderBy(col("n").desc).limit(topK)
+      .withColumn("share", round(col("n") / total, 4))
+  }
+}

@@ -1,0 +1,61 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+/** Drives the CLI facade in-process through the full datapoint
+  * lifecycle — the same flow an operator runs from the shell. */
+class PipelineCliSpec extends SparkSpec {
+
+  def cli(base: String, args: String*): Unit =
+    PipelineCli.run(spark, base, args.head, args.toArray)
+
+  test("create → review → approve → verify-all lifecycle") {
+    val base = Files.createTempDirectory("graft-cli").toString
+    cli(base, "create-dp", "dp_1", "fix it",
+      "FROM ubuntu\\nRUN apt-get install -y tmux asciinema",
+      "def test_x():\n  assert False", """{"test_x": 1.0}""", "medium")
+    assert(TableIO.readCsv(spark, s"$base/staging").count() === 1)
+
+    cli(base, "add-to-review", "dp_1")
+    assert(TableIO.readCsv(spark, s"$base/staging").count() === 0)
+    val review = TableIO.readCsv(spark, s"$base/review")
+    assert(review.count() === 1)
+    assert(review.head().getAs[String]("reviewed_at").nonEmpty)
+
+    cli(base, "approve", "dp_1", "--category", "debugging", "--tags", "python")
+    val prod = TableIO.readCsv(spark, s"$base/production")
+    assert(prod.count() === 1)
+    assert(prod.head().getAs[String]("title") === "dp_1")
+
+    cli(base, "verify-all")
+    assert(TableIO.readCsv(spark, s"$base/latest_verified").count() === 1)
+  }
+
+  test("task queue: init-seeds idempotent, claim/complete round-trip") {
+    val base = Files.createTempDirectory("graft-cli2").toString
+    val seeds = Files.createTempDirectory("graft-cli2-seeds")
+    Files.createDirectories(seeds.resolve("t1"))
+    Files.writeString(seeds.resolve("t1/Dockerfile"), "FROM alpine\n")
+    cli(base, "init-seeds", seeds.toString)
+    cli(base, "init-seeds", seeds.toString) // idempotent (J2 anti-join)
+    val store = TaskStore.load(spark, s"$base/tasks")
+    assert(store.all.size === 1)
+    cli(base, "next", "--agent", "a")
+    cli(base, "complete", "seed_dp_t1", "--agent", "a")
+    assert(TaskStore.load(spark, s"$base/tasks")
+      .getTask("seed_dp_t1").get.status === "completed")
+  }
+
+  test("cancel writes the artifact and marks the review row") {
+    val base = Files.createTempDirectory("graft-cli3").toString
+    cli(base, "create-dp", "dp_9", "p", "d", "def test_a():\n  pass",
+      """{"test_a": 1.0}""", "easy")
+    cli(base, "add-to-review", "dp_9")
+    cli(base, "cancel", "dp_9", "--category", "unfixable", "--reason", "nope")
+    val artifact = Files.readString(
+      java.nio.file.Paths.get(s"$base/cancelled/dp_9.json"))
+    assert(artifact.contains("\"category\":\"unfixable\""))
+    assert(artifact.contains("\"final_decision\":\"cancelled\""))
+  }
+}

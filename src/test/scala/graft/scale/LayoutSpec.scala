@@ -1,0 +1,71 @@
+package graft.scale
+
+import graft.SparkSpec
+import graft.{Tables => T}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+class LayoutSpec extends SparkSpec {
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("partitioned write prunes directories at read time") {
+    val dir = Files.createTempDirectory("graft-layout").toString + "/docs"
+    Layout.writePartitioned(T.documents(spark, sf), dir, "lang")
+    // directory layout: one dir per lang value
+    val langs = Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .filter(_.contains("lang=")).length
+    assert(langs > 1)
+    val pruned = spark.read.parquet(dir).filter(col("lang") === "en")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"),
+      s"expected partition pruning in:\n$plan")
+    assert(pruned.count() ===
+      T.documents(spark, sf).filter(col("lang") === "en").count())
+  }
+
+  test("salted join equals the plain join on skewed data") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 90% of rows share one hot key
+    val big = (1 to 2000).map(i => (if (i % 10 == 0) s"k$i" else "hot", i.toLong))
+      .toDF("key", "v")
+    val small = Seq(("hot", "H"), ("k10", "A"), ("k20", "B")).toDF("key", "name")
+    val plain = big.join(small, Seq("key")).groupBy("key")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = Layout.saltedJoin(big, small, "key", salts = 8).groupBy("key")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted === plain)
+  }
+
+  test("salted aggregation equals the plain aggregation") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (1 to 1000).map(i => (if (i % 5 == 0) "cold" else "hot", i.toDouble))
+      .toDF("key", "v")
+    val plain = df.groupBy("key").agg(count(lit(1)).as("n"), sum("v").as("total"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val salted = Layout.saltedCountSum(df, col("key"), col("v"), salts = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted === plain)
+  }
+
+  test("range-partitioned sorted write: files are range-ordered and sorted") {
+    val dir = Files.createTempDirectory("graft-sorted").toString + "/orders"
+    Layout.writeSorted(T.orders(spark, sf).select("o_orderkey", "o_totalprice"),
+      dir, "o_orderkey", partitions = 4)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === T.orders(spark, sf).count())
+  }
+
+  test("skew profile surfaces hot keys with shares") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (1 to 100).map(i => if (i <= 80) "hot" else s"k$i").toDF("key")
+    val top = Layout.skewProfile(df, col("key"), 3).collect()
+    assert(top.head.getString(0) === "hot")
+    assert(top.head.getDouble(2) === 0.8)
+  }
+}
