@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{QueryModule, Tables => T}
+import graft.functions.PortableFuncs.{exactSum, exactSumSql}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -32,11 +33,14 @@ object CoreQueries extends QueryModule {
       .filter(col("l_shipdate") <= ts("2024-06-30 00:00:00"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        // exactSum: decimal accumulation is associative, so the result
+        // is independent of partitioning — a raw double sum is not, and
+        // round() can't absorb a cross-engine half-tie
+        round(exactSum(col("l_quantity")), 2).as("sum_qty"),
+        round(exactSum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(exactSum(col("l_quantity")) / count(lit(1)), 4).as("avg_qty"),
+        round(exactSum(col("l_discount")) / count(lit(1)), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
   /** F2: conjunctive filter + projection, pushed to the parquet scan;
@@ -78,7 +82,7 @@ object CoreQueries extends QueryModule {
     T.lineitem(s, d)
       .join(broadcast(T.part(s, d)), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
-      .agg(round(sum(col("l_extendedprice")), 2).as("revenue"),
+      .agg(round(exactSum(col("l_extendedprice")), 2).as("revenue"),
         count(lit(1)).as("n_items"))
 
   /** J1: left-semi join (the verified-dataset filter);
@@ -105,7 +109,7 @@ object CoreQueries extends QueryModule {
       .join(broadcast(T.region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(count(lit(1)).as("n_cust"),
-        round(sum(col("c_acctbal")), 2).as("sum_bal"))
+        round(exactSum(col("c_acctbal")), 2).as("sum_bal"))
 
   /** A1/A2: count by status/type; reference `task_manager.py:348-376`. */
   def q09StatusCounts(s: SparkSession, d: String): DataFrame =
@@ -169,7 +173,7 @@ object CoreQueries extends QueryModule {
       .groupBy(col("src"))
       .agg(
         count(lit(1)).as("n"),
-        round(sum(col("amount")), 2).as("total"),
+        round(exactSum(col("amount")), 2).as("total"),
         sum(when(col("extra").isNull, 1L).otherwise(0L)).as("n_missing"))
   }
 
@@ -210,7 +214,7 @@ object CoreQueries extends QueryModule {
     T.lineitem(s, d)
       .filter(!(col("l_orderkey") % 100 === 0))
       .agg(count(lit(1)).as("n_remaining"),
-        round(sum(col("l_quantity")), 2).as("sum_qty"))
+        round(exactSum(col("l_quantity")), 2).as("sum_qty"))
 
   /** M2/S3: row insert as union + aggregate check;
     * reference `create_dp.py:149-214`. */
@@ -265,7 +269,7 @@ object CoreQueries extends QueryModule {
     T.events(s, d)
       .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00").as("hour"),
         col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"), round(exactSum(col("value")), 2).as("sum_value"))
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary,
@@ -295,15 +299,15 @@ object CoreQueries extends QueryModule {
 
   override val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  ROUND(SUM(l_quantity),2) AS sum_qty,
-        |  ROUND(SUM(l_extendedprice),2) AS sum_base_price,
-        |  ROUND(SUM(l_extendedprice*(1.0-l_discount)),2) AS sum_disc_price,
-        |  ROUND(AVG(l_quantity),4) AS avg_qty,
-        |  ROUND(AVG(l_discount),4) AS avg_disc,
-        |  COUNT(*) AS count_order
-        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2024-06-30 00:00:00'
-        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ROUND(${exactSumSql("l_quantity")},2) AS sum_qty,
+         |  ROUND(${exactSumSql("l_extendedprice")},2) AS sum_base_price,
+         |  ROUND(${exactSumSql("l_extendedprice*(1.0-l_discount)")},2) AS sum_disc_price,
+         |  ROUND(${exactSumSql("l_quantity")}/COUNT(*),4) AS avg_qty,
+         |  ROUND(${exactSumSql("l_discount")}/COUNT(*),4) AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2024-06-30 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q02_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
         |  l_extendedprice*(1.0-l_discount) AS net_price,
@@ -320,10 +324,10 @@ object CoreQueries extends QueryModule {
         |         COUNT(DISTINCT l_orderkey*8 + l_linenumber) AS n_keys
         |  FROM lineitem)""".stripMargin,
     "q05_broadcast_join" ->
-      """SELECT p_brand, ROUND(SUM(l_extendedprice),2) AS revenue,
-        |  COUNT(*) AS n_items
-        |FROM lineitem JOIN part ON l_partkey = p_partkey
-        |GROUP BY p_brand""".stripMargin,
+      s"""SELECT p_brand, ROUND(${exactSumSql("l_extendedprice")},2) AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand""".stripMargin,
     "q06_semi_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders
@@ -332,12 +336,12 @@ object CoreQueries extends QueryModule {
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
     "q08_hierarchy_join" ->
-      """SELECT r_name, n_name, COUNT(*) AS n_cust,
-        |  ROUND(SUM(c_acctbal),2) AS sum_bal
-        |FROM customer
-        |JOIN nation ON c_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY r_name, n_name""".stripMargin,
+      s"""SELECT r_name, n_name, COUNT(*) AS n_cust,
+         |  ROUND(${exactSumSql("c_acctbal")},2) AS sum_bal
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name""".stripMargin,
     "q09_status_counts" ->
       "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
     "q10_completion_rate" ->
@@ -370,14 +374,14 @@ object CoreQueries extends QueryModule {
         |      FROM events)
         |GROUP BY event_type""".stripMargin,
     "q14_union_normalize" ->
-      """SELECT src, COUNT(*) AS n, ROUND(SUM(amount),2) AS total,
-        |  CAST(SUM(CASE WHEN extra IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
-        |FROM (
-        |  SELECT o_orderkey AS id, 'order' AS src, o_totalprice AS amount,
-        |         o_orderpriority AS extra FROM orders
-        |  UNION ALL
-        |  SELECT l_orderkey, 'line', l_extendedprice, NULL FROM lineitem)
-        |GROUP BY src""".stripMargin,
+      s"""SELECT src, COUNT(*) AS n, ROUND(${exactSumSql("amount")},2) AS total,
+         |  CAST(SUM(CASE WHEN extra IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+         |FROM (
+         |  SELECT o_orderkey AS id, 'order' AS src, o_totalprice AS amount,
+         |         o_orderpriority AS extra FROM orders
+         |  UNION ALL
+         |  SELECT l_orderkey, 'line', l_extendedprice, NULL FROM lineitem)
+         |GROUP BY src""".stripMargin,
     "q15_window_topk" ->
       """SELECT o_custkey, o_orderkey, ROUND(o_totalprice,2) AS total, rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
@@ -395,8 +399,8 @@ object CoreQueries extends QueryModule {
         |  CAST(CASE WHEN o_orderkey % 1000 = 7 THEN 1 ELSE 0 END AS BIGINT) AS patched
         |FROM orders""".stripMargin,
     "q18_delete_rows" ->
-      """SELECT COUNT(*) AS n_remaining, ROUND(SUM(l_quantity),2) AS sum_qty
-        |FROM lineitem WHERE NOT (l_orderkey % 100 = 0)""".stripMargin,
+      s"""SELECT COUNT(*) AS n_remaining, ROUND(${exactSumSql("l_quantity")},2) AS sum_qty
+         |FROM lineitem WHERE NOT (l_orderkey % 100 = 0)""".stripMargin,
     "q19_insert_row" ->
       """SELECT COUNT(*) AS n, CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
         |  ROUND(MIN(o_totalprice),2) AS min_price
@@ -425,8 +429,8 @@ object CoreQueries extends QueryModule {
         |    FROM events))
         |GROUP BY user_id""".stripMargin,
     "q23_time_window" ->
-      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
-        |  event_type, COUNT(*) AS n, ROUND(SUM(value),2) AS sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin
+      s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+         |  event_type, COUNT(*) AS n, ROUND(${exactSumSql("value")},2) AS sum_value
+         |FROM events GROUP BY 1, 2""".stripMargin
   )
 }
