@@ -161,6 +161,33 @@ object PipelineCli {
         commit(DatapointOps.markReviewed(table("review"), taskId, nowIso()), "review")
         println(s"cancelled $taskId")
 
+      case "patch" =>
+        // column patch by key (M1): --set col=value pairs
+        val taskId = positional(0)
+        val table_ = argValue(args, "--table").getOrElse("staging")
+        val updates = args.sliding(2).collect {
+          case Array("--set", kv) if kv.contains("=") =>
+            val Array(k, v) = kv.split("=", 2); k -> v
+        }.toMap
+        require(updates.nonEmpty, "at least one --set col=value required")
+        commit(DatapointOps.patch(table(table_), taskId, updates, nowIso()), table_)
+        appendAudit(spark, base, taskId, "patch", updates.keys.mkString(","))
+        println(s"patched ${updates.size} column(s) of $taskId in $table_")
+
+      case "patch-files" =>
+        // nested file-map mutation (M7): --mode update|remove|replace|append
+        val taskId = positional(0)
+        val table_ = argValue(args, "--table").getOrElse("staging")
+        val mode = argValue(args, "--mode").getOrElse("update")
+        val files = args.sliding(2).collect {
+          case Array("--file", kv) if kv.contains("=") =>
+            val Array(k, v) = kv.split("=", 2); k -> v
+        }.toMap
+        commit(DatapointOps.patchFiles(table(table_), taskId, mode, files, nowIso()),
+          table_)
+        appendAudit(spark, base, taskId, s"patch-files:$mode", files.keys.mkString(","))
+        println(s"$mode ${files.size} file(s) of $taskId in $table_")
+
       case "read" =>
         val taskId = positional(0)
         val t = argValue(args, "--table").getOrElse("review")
@@ -181,4 +208,15 @@ object PipelineCli {
 
   private def argValue(args: Array[String], flag: String): Option[String] =
     args.sliding(2).collectFirst { case Array(`flag`, v) => v }
+
+  /** Audit-history sink (S11; reference `.history/` JSON log entries,
+    * `patch_additional_files.py:87-102`): one JSON line per mutation,
+    * append-only. */
+  private def appendAudit(spark: SparkSession, base: String, taskId: String,
+                          op: String, detail: String): Unit = {
+    import spark.implicits._
+    Seq((taskId, op, detail, nowIso()))
+      .toDF("task_id", "op", "detail", "at")
+      .write.mode("append").json(s"$base/history")
+  }
 }

@@ -1,0 +1,55 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Sketch-based approximate operators for corpus profiling at 100 TB —
+  * where exact answers cost a full shuffle but a bounded-error sketch
+  * merges in one pass:
+  *
+  *  - **HLL++** (`approx_count_distinct`): distinct counts with ~rsd
+  *    error in O(kB) state per group — exact countDistinct would
+  *    shuffle every value;
+  *  - **approximate quantiles** (Greenwald-Khanna): length/score
+  *    distribution percentiles in one pass, no global sort;
+  *  - **Bloom pre-filter**: membership sketch of a key set, broadcast
+  *    to pre-drop rows before an expensive join/dedup stage (false
+  *    positives only ⇒ never loses a real match).
+  */
+object Sketches {
+
+  /** Per-group cardinality profile: exact-ish count, HLL distinct of a
+    * column, and the relative error bound used. */
+  def distinctProfile(df: DataFrame, group: Column, of: Column,
+                      rsd: Double = 0.02): DataFrame =
+    df.groupBy(group)
+      .agg(count(lit(1)).as("n_rows"),
+        approx_count_distinct(of, rsd).as("approx_distinct"))
+
+  /** One-pass quantile profile of a numeric column. */
+  def quantileProfile(df: DataFrame, col0: String,
+                      probs: Array[Double] = Array(0.5, 0.9, 0.99),
+                      relErr: Double = 0.01): Map[Double, Double] =
+    probs.zip(df.stat.approxQuantile(col0, probs, relErr)).toMap
+
+  /** Build a Bloom filter over a key column (driver-held, broadcast-
+    * sized); `expectedItems`/`fpp` size the bit array. */
+  def keyBloom(df: DataFrame, key: String, expectedItems: Long,
+               fpp: Double = 0.01): BloomFilter =
+    df.stat.bloomFilter(key, expectedItems, fpp)
+
+  /** Pre-filter a big table against a Bloom of the other side's keys:
+    * rows whose key can't match are dropped before the join shuffle.
+    * False positives pass through and the real join removes them —
+    * correctness is unchanged, shuffle volume shrinks by the true
+    * selectivity. */
+  def bloomPrefilteredJoin(big: DataFrame, small: DataFrame,
+                           key: String, fpp: Double = 0.01): DataFrame = {
+    val bloom = keyBloom(small, key, math.max(small.count(), 1L), fpp)
+    val bloomBc = big.sparkSession.sparkContext.broadcast(bloom)
+    val filtered = big.filter(r =>
+      bloomBc.value.mightContainLong(r.getLong(r.fieldIndex(key))))
+    filtered.join(small, Seq(key))
+  }
+}

@@ -47,6 +47,25 @@ class PipelineCliSpec extends SparkSpec {
       .getTask("seed_dp_t1").get.status === "completed")
   }
 
+  test("patch and patch-files mutate one row and append audit history") {
+    val base = Files.createTempDirectory("graft-cli4").toString
+    cli(base, "create-dp", "dp_5", "p", "d", "def test_a():\n  pass",
+      """{"test_a": 1.0}""", "easy")
+    cli(base, "patch", "dp_5", "--set", "difficulty=hard")
+    val row = TableIO.readCsv(spark, s"$base/staging").head()
+    assert(row.getAs[String]("difficulty") === "hard")
+
+    cli(base, "patch-files", "dp_5", "--mode", "update", "--file", "a.txt=alpha")
+    val files = TableIO.readCsv(spark, s"$base/staging").head()
+      .getAs[String]("additional_files")
+    assert(files.contains("a.txt") && files.contains("alpha"))
+
+    val audit = spark.read.json(s"$base/history")
+    assert(audit.count() === 2)
+    assert(audit.filter(org.apache.spark.sql.functions.col("op") === "patch")
+      .count() === 1)
+  }
+
   test("cancel writes the artifact and marks the review row") {
     val base = Files.createTempDirectory("graft-cli3").toString
     cli(base, "create-dp", "dp_9", "p", "d", "def test_a():\n  pass",

@@ -1,0 +1,40 @@
+package graft.scale
+
+import graft.SparkSpec
+import graft.{Tables => T}
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkSpec {
+
+  val sf = "/root/testdata/sf0.01"
+
+  test("HLL distinct profile within rsd of exact") {
+    val li = T.lineitem(spark, sf)
+    val approx = Sketches.distinctProfile(li, col("l_returnflag"), col("l_orderkey"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct("l_orderkey").as("d")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, e) =>
+      assert(math.abs(approx(k) - e).toDouble / e < 0.1,
+        s"$k: approx=${approx(k)} exact=$e")
+    }
+  }
+
+  test("approximate quantiles bracket the exact median") {
+    val q = Sketches.quantileProfile(T.orders(spark, sf), "o_totalprice")
+    assert(q(0.5) > 0 && q(0.9) >= q(0.5) && q(0.99) >= q(0.9))
+  }
+
+  test("bloom-prefiltered join equals the plain join") {
+    val orders = T.orders(spark, sf)
+    val bigCust = T.customer(spark, sf).filter(col("c_acctbal") > 9000)
+      .select("c_custkey")
+    val plain = orders.join(bigCust, col("o_custkey") === col("c_custkey"))
+      .count()
+    val viaBloom = Sketches.bloomPrefilteredJoin(
+      orders.withColumnRenamed("o_custkey", "c_custkey"), bigCust, "c_custkey")
+      .count()
+    assert(viaBloom === plain)
+  }
+}
