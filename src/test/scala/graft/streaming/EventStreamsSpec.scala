@@ -90,6 +90,31 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("parquet sink with checkpoint survives restart without duplicating windows") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val src = MemoryStream[Event]
+    def start() = EventStreams.toParquetSink(
+      EventStreams.windowedCounts(src.toDF(), "10 minutes", "10 minutes"),
+      s"$dir/out", s"$dir/ckpt").start()
+    var q = start()
+    try {
+      src.addData(Event(1, ts(0), 1, "view", 1.0), Event(2, ts(34), 1, "view", 1.0))
+      q.processAllAvailable()
+      q.stop()
+      q = start() // restart from the checkpoint
+      src.addData(Event(3, Timestamp.valueOf("2026-01-01 11:30:00"), 1, "view", 1.0))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/out")
+      // each closed window appears exactly once across the restart
+      assert(out.groupBy("window_start", "event_type").count()
+        .filter(col("count") > 1).count() === 0)
+      assert(out.count() >= 2)
+    } finally q.stop()
+  }
+
   test("file source streams the events table with converted timestamps") {
     val stream = EventStreams.fileSource(spark, "/root/testdata/sf0.001")
     assert(stream.isStreaming)
