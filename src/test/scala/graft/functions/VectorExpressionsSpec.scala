@@ -37,6 +37,37 @@ class VectorExpressionsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
   }
 
+  test("SimHash60 kernel matches the md5-derived composed form") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.functions.PortableFuncs.{portableHash60, words}
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "lorem ipsum dolor sit amet"), (3L, "x")).toDF("doc_id", "text")
+    // per-word 60-bit hash parity: high 60 bits of md5 == conv(substr(md5,1,15),16,10)
+    val wordHashes = docs.select(explode(words(col("text"))).as("w"))
+      .select(col("w"), portableHash60(col("w")).as("expected")).collect()
+    wordHashes.foreach { r =>
+      assert(SimHashKernel.hash60(r.getString(0).getBytes("UTF-8")) === r.getLong(1))
+    }
+    // full signature parity vs a scala-side reference fold
+    val sigs = docs.select(col("doc_id"),
+        SimHashExpression.simhash60(words(col("text"))).as("sh")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ref = wordsOf("the quick brown fox jumps over the lazy dog")
+    assert(sigs(1L) === refSimhash(ref))
+  }
+
+  def wordsOf(s: String): Seq[String] = s.split(" ").toSeq
+  def refSimhash(ws: Seq[String]): Long = {
+    val counters = new Array[Int](60)
+    ws.foreach { w =>
+      val h = SimHashKernel.hash60(w.getBytes("UTF-8"))
+      (0 until 60).foreach(b =>
+        if (((h >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1)
+    }
+    (0 until 60).foldLeft(0L)((acc, b) => if (counters(b) > 0) acc | (1L << b) else acc)
+  }
+
   test("cosine values are correct: orthogonal=0, parallel=1") {
     val m = df.select(col("id"), VectorExpressions.cosineFused(col("a"), col("b")))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
