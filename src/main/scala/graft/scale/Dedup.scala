@@ -37,31 +37,51 @@ object Dedup extends QueryModule {
     * no CSE) reads it instead of re-running the normalize/split regexes
     * per element — that inline form cost ~100 regex passes per doc. */
   def shingleTable(docs: DataFrame, n: Int = ShingleSize): DataFrame =
-    docs.select(col("doc_id"), words(col("text")).as("ws"))
+    Layout.widen(docs).select(col("doc_id"), words(col("text")).as("ws"))
       .select(col("doc_id"),
         explode(array_distinct(shinglesFromWords(col("ws"), n))).as("sh"))
 
+  /** doc_id → words array for docs with at least one shingle. The
+    * kernels take the WORDS array and shingle internally — shingling
+    * as a Spark transform lambda re-evaluates the inlined words()
+    * regex chain per element once projections collapse (45s/5000 docs
+    * observed); here words() is referenced exactly once per operator. */
+  private def wordArrays(docs: DataFrame): DataFrame =
+    Layout.widen(docs).select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= ShingleSize)
+
   /** MinHash signature: for permutation i, min over shingles of
     * md5(i ++ '|' ++ shingle) — lexicographic min of a keyed hash is a
-    * valid MinHash family and is reproducible in any engine with md5. */
+    * valid MinHash family and is reproducible in any engine with md5.
+    *
+    * Computed rowside by the native [[graft.functions.MinHashSig]]
+    * expression (one fold per document, shingling included) — no row
+    * expansion, no shuffle; at 100 TB signatures stream out of the
+    * scan. Docs with no shingles (<n words) are excluded, matching the
+    * exploded form. */
   def minhashSignature(docs: DataFrame): DataFrame = {
-    val mins = (0 until NumMinhashes).map(i =>
-      min(md5(concat(lit(s"$i|"), col("sh")))).as(s"m$i"))
-    shingleTable(docs).groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    import graft.functions.MinHashExpression.minhashSig
+    wordArrays(docs)
+      .select(col("doc_id"),
+        minhashSig(col("ws"), ShingleSize, NumMinhashes).as("sig"))
   }
 
   /** LSH banding: signature → (band_id, band_hash) rows. Equal band_hash
     * ⇒ candidate pair. Bucket join on (b, bv) is an equality shuffle —
-    * the scalable core of MinHash dedup. */
+    * the scalable core of MinHash dedup.
+    *
+    * Band hashes come from ONE kernel call per document
+    * ([[graft.functions.MinHashBands]]) fed through `posexplode` — a
+    * generator evaluates its input once per row, whereas extracting 16
+    * signature columns lets the optimizer inline (and re-run) the
+    * signature expression per column (observed 16×: 2.7s → 43s). */
   def minhashBands(docs: DataFrame): DataFrame = {
-    val sig = minhashSignature(docs)
-    val perBand = NumMinhashes / NumBands
-    val bandCols = (0 until NumBands).map { b =>
-      val parts = (0 until perBand).map(k => col(s"m${b * perBand + k}"))
-      struct(lit(b).as("b"), md5(concat(parts: _*)).as("bv"))
-    }
-    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
-      .select(col("doc_id"), col("band.b").as("b"), col("band.bv").as("bv"))
+    import graft.functions.MinHashExpression.minhashBandHashes
+    wordArrays(docs)
+      .select(col("doc_id"),
+        posexplode(minhashBandHashes(col("ws"), ShingleSize, NumMinhashes, NumBands))
+          .as(Seq("b", "bv")))
+      .select(col("doc_id"), col("b"), col("bv"))
   }
 
   /** Near-duplicate candidate pairs via MinHash-LSH bucket self-join. */
@@ -86,7 +106,7 @@ object Dedup extends QueryModule {
     * (a doc with no words produced no rows there). */
   def simhash(docs: DataFrame): DataFrame = {
     import graft.functions.SimHashExpression.simhash60
-    docs.select(col("doc_id"), words(col("text")).as("ws"))
+    Layout.widen(docs).select(col("doc_id"), words(col("text")).as("ws"))
       .filter(size(col("ws")) > 0)
       .select(col("doc_id"), simhash60(col("ws")).as("simhash"))
   }

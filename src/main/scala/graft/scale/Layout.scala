@@ -25,6 +25,17 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
+  /** Widen parallelism for compute-heavy per-row stages when the
+    * source is under-partitioned (e.g. a single-row-group parquet file
+    * scans as ONE task, serializing all downstream rowside work). A
+    * cheap round-robin shuffle of the narrow input buys full-cluster
+    * parallelism; at real scale input partitions ≥ cores and this is a
+    * no-op. */
+  def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Write partitioned parquet: directory-level pruning on `cols`.
     * Keep cardinality coarse (≤ a few thousand dirs) — small files
     * kill 100 TB scans as surely as skew does. */

@@ -59,7 +59,7 @@ object Similarity extends QueryModule {
   /** Exact brute-force cosine top-k: queries (vec_id < nQueries) against
     * the whole corpus. The query side is broadcast; corpus scanned once. */
   def knnBrute(emb: DataFrame, nQueries: Long = 8L, k: Int = TopK): DataFrame = {
-    val corpus = emb.select(col("vec_id").as("c_id"),
+    val corpus = Layout.widen(emb).select(col("vec_id").as("c_id"),
       toDoubleArray(col("embedding")).as("cv"))
       .withColumn("cn", l2Norm(col("cv")))
     val queries = emb.filter(col("vec_id") < nQueries)
@@ -79,7 +79,7 @@ object Similarity extends QueryModule {
     * cosine re-rank, top-3 per query. The equality join on `bucket`
     * is the scale path — no cross product ever forms. */
   def annLsh(emb: DataFrame, nQueries: Long = 50L, k: Int = 3): DataFrame = {
-    val withBucket = lshBuckets(emb)
+    val withBucket = lshBuckets(Layout.widen(emb))
       .join(emb, "vec_id")
       .select(col("vec_id"), col("bucket"), toDoubleArray(col("embedding")).as("v"))
       .withColumn("nrm", l2Norm(col("v")))
