@@ -99,12 +99,77 @@ object Similarity extends QueryModule {
       .select(col("q_id"), col("c_id"), round(col("cos"), 4).as("cos"), col("rank"))
   }
 
+  val IvfCells = 16
+  val IvfProbes = 2
+
+  /** IVF (inverted-file) ANN — the other classic scale path besides
+    * LSH: partition the corpus into cells around coarse centroids,
+    * search only the closest `nProbes` cells per query.
+    *
+    * Centroids are the first `IvfCells` vectors (deterministic, so the
+    * oracle re-derives them); assignment is argmax cosine. The
+    * centroid set is tiny → broadcast everywhere; the corpus is
+    * shuffled ONCE by cell id at index-build time, and each query
+    * probes `nProbes` cells — at 100 TB the per-query work drops by
+    * ~cells/probes versus brute force while the index build stays one
+    * broadcast join + shuffle. */
+  def ivfCells(emb: DataFrame, nCells: Int = IvfCells): DataFrame = {
+    val cents = emb.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell_id"), toDoubleArray(col("embedding")).as("cv"))
+    val vecs = Layout.widen(emb)
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("cell_id").asc)
+    vecs.join(broadcast(cents))
+      .select(col("vec_id"), col("cell_id"),
+        (dotProduct(col("v"), col("cv")) /
+          (l2Norm(col("v")) * l2Norm(col("cv")))).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 1)
+      .select(col("vec_id"), col("cell_id"))
+  }
+
+  /** ANN via IVF: per query, probe the `nProbes` closest cells and
+    * exact-rank the candidates. */
+  def annIvf(emb: DataFrame, nQueries: Long = 8L, k: Int = TopK,
+             nCells: Int = IvfCells, nProbes: Int = IvfProbes): DataFrame = {
+    val cells = ivfCells(emb, nCells)
+    val vecs = emb.select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    val corpus = vecs.join(cells, "vec_id")
+      .select(col("vec_id").as("c_id"), col("cell_id"),
+        col("v").as("cv"), col("nrm").as("cn"))
+    val cents = emb.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell_id"), toDoubleArray(col("embedding")).as("centv"))
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("cell_id").asc)
+    val probes = vecs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .join(broadcast(cents))
+      .select(col("q_id"), col("qv"), col("qn"), col("cell_id"),
+        (dotProduct(col("qv"), col("centv")) /
+          (col("qn") * l2Norm(col("centv")))).as("cos"))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nProbes)
+      .select(col("q_id"), col("qv"), col("qn"), col("cell_id"))
+    val rankW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    corpus.join(broadcast(probes), Seq("cell_id"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        (dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), round(col("cos"), 4).as("cos"), col("rank"))
+  }
+
   // ---- driver-gate query registry ----
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_knn_brute" -> ((s, d) => knnBrute(T.embeddings(s, d))),
     "q31_lsh_buckets" -> ((s, d) => lshBuckets(T.embeddings(s, d))),
-    "q32_ann_lsh" -> ((s, d) => annLsh(T.embeddings(s, d)))
+    "q32_ann_lsh" -> ((s, d) => annLsh(T.embeddings(s, d))),
+    "q38_ann_ivf" -> ((s, d) => annIvf(T.embeddings(s, d)))
   )
 
   /** DuckDB literal list for plane p, identical doubles to the plan. */
@@ -131,6 +196,35 @@ object Similarity extends QueryModule {
          |FROM ranked WHERE rank <= $TopK""".stripMargin,
     "q31_lsh_buckets" ->
       s"SELECT vec_id, CAST($bucketSql AS BIGINT) AS bucket FROM embeddings",
+    "q38_ann_ivf" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
+         |cents AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM n WHERE vec_id < $IvfCells),
+         |assign AS (
+         |  SELECT vec_id, cell_id FROM (
+         |    SELECT a.vec_id, c.cell_id,
+         |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |        ORDER BY list_dot_product(a.v, c.cv)/(a.nrm*c.cn) DESC, c.cell_id ASC) AS rn
+         |    FROM n a, cents c) WHERE rn <= 1),
+         |probes AS (
+         |  SELECT q_id, cell_id FROM (
+         |    SELECT q.vec_id AS q_id, c.cell_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_dot_product(q.v, c.cv)/(q.nrm*c.cn) DESC, c.cell_id ASC) AS rn
+         |    FROM n q, cents c WHERE q.vec_id < 8) WHERE rn <= $IvfProbes),
+         |pairs AS (
+         |  SELECT p.q_id, t.vec_id AS c_id,
+         |    list_dot_product(qn.v, t.v) / (qn.nrm * t.nrm) AS cos
+         |  FROM probes p
+         |  JOIN assign a ON a.cell_id = p.cell_id
+         |  JOIN n t ON t.vec_id = a.vec_id
+         |  JOIN n qn ON qn.vec_id = p.q_id
+         |  WHERE t.vec_id <> p.q_id),
+         |ranked AS (SELECT q_id, c_id, cos,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, c_id ASC) AS INTEGER) AS rank FROM pairs)
+         |SELECT q_id, c_id, ROUND(cos, 4) AS cos, rank
+         |FROM ranked WHERE rank <= $TopK""".stripMargin,
     "q32_ann_lsh" ->
       s"""WITH b AS (
          |  SELECT vec_id, CAST($bucketSql AS BIGINT) AS bucket,
