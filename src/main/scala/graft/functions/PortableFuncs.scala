@@ -13,18 +13,21 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
 object PortableFuncs {
 
   /** Exact, order-independent sum of a double column: cast each value
-    * to DECIMAL(27,6) (deterministic nearest-rounding of the same
-    * doubles in any engine), sum exactly (decimal addition is
-    * associative — partition order can't change the result, unlike a
-    * double sum), then cast the one exact total back to double.
-    * DuckDB: `CAST(SUM(CAST(x AS DECIMAL(27,6))) AS DOUBLE)`.
+    * to DECIMAL(18,6) (deterministic nearest-rounding of the same
+    * doubles in any engine; 18 digits keeps Spark's long-backed
+    * Decimal fast path — precision >18 falls into BigDecimal and
+    * costs ~3× on the per-value cast), sum exactly (decimal addition
+    * is associative — partition order can't change the result, unlike
+    * a double sum; the sum buffer grows to (28,6) automatically), then
+    * cast the one exact total back to double.
+    * DuckDB: `CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE)`.
     */
   def exactSum(c: Column): Column =
-    sum(c.cast(org.apache.spark.sql.types.DecimalType(27, 6))).cast(DoubleType)
+    sum(c.cast(org.apache.spark.sql.types.DecimalType(18, 6))).cast(DoubleType)
 
   /** SQL form of [[exactSum]] for the DuckDB oracle. */
   def exactSumSql(x: String): String =
-    s"CAST(SUM(CAST($x AS DECIMAL(27,6))) AS DOUBLE)"
+    s"CAST(SUM(CAST($x AS DECIMAL(18,6))) AS DOUBLE)"
 
   /** Deterministic 60-bit non-negative hash of a string, portable across
     * engines: first 15 hex chars of md5, parsed base-16.

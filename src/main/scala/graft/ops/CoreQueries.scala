@@ -163,10 +163,10 @@ object CoreQueries extends QueryModule {
   /** M5: normalize-on-write + unionByName with missing columns;
     * reference `add_dp_to_review.py:71-79,96-118`. */
   def q14UnionNormalize(s: SparkSession, d: String): DataFrame = {
-    val o = T.orders(s, d).select(
+    val o = graft.scale.Layout.widen(T.orders(s, d)).select(
       col("o_orderkey").as("id"), lit("order").as("src"),
       col("o_totalprice").as("amount"), col("o_orderpriority").as("extra"))
-    val l = T.lineitem(s, d).select(
+    val l = graft.scale.Layout.widen(T.lineitem(s, d)).select(
       col("l_orderkey").as("id"), lit("line").as("src"),
       col("l_extendedprice").as("amount"))
     o.unionByName(l, allowMissingColumns = true)
@@ -242,7 +242,7 @@ object CoreQueries extends QueryModule {
     * stripping `init_seed_tasks.py:28-88`. */
   def q21TextClean(s: SparkSession, d: String): DataFrame = {
     import graft.functions.PortableFuncs.normText
-    T.documents(s, d).select(
+    graft.scale.Layout.widen(T.documents(s, d)).select(
       col("doc_id"),
       md5(normText(col("text"))).as("clean_fp"),
       length(normText(col("text"))).as("clean_len"))

@@ -1,6 +1,7 @@
 package graft.scale
 
 import graft.{QueryModule, Tables => T}
+import graft.scale.Layout.widen
 import graft.functions.PortableFuncs._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -34,7 +35,8 @@ object TextAnalysis extends QueryModule {
 
   /** Heuristic language ID: stopword hit counts per language, argmax
     * with fixed-order tie-break; compared against the labeled `lang`. */
-  def langId(docs: DataFrame): DataFrame = {
+  def langId(docs0: DataFrame): DataFrame = {
+    val docs = widen(docs0)
     val ws = words(col("text"))
     val scored = docs.select(
       (Seq(col("doc_id"), col("lang")) ++
@@ -54,7 +56,8 @@ object TextAnalysis extends QueryModule {
 
   /** Quality scoring: length / punctuation / stopword / word-shape
     * signals folded into one deterministic [0,1] score. */
-  def qualityScore(docs: DataFrame): DataFrame = {
+  def qualityScore(docs0: DataFrame): DataFrame = {
+    val docs = widen(docs0)
     val ws = words(col("text"))
     val nWords = greatest(size(ws), lit(1))
     val nChars = greatest(length(col("text")), lit(1))
@@ -78,7 +81,7 @@ object TextAnalysis extends QueryModule {
     * (letter runs / digit runs / single symbols), and the chars/4
     * heuristic LLM-token estimate. */
   def tokenCount(docs: DataFrame): DataFrame =
-    docs.select(
+    widen(docs).select(
       col("doc_id"),
       size(filter(split(trim(col("text")), "\\s+"), w => w =!= "")).as("ws_tokens"),
       regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).as("bpe_tokens"),
@@ -88,7 +91,8 @@ object TextAnalysis extends QueryModule {
     * text, a 60-bit portable hash, and a polynomial rolling hash over
     * the word sequence (mod 2^31-1) — order-sensitive, unlike md5 of
     * the bag of words. */
-  def fingerprint(docs: DataFrame): DataFrame = {
+  def fingerprint(docs0: DataFrame): DataFrame = {
+    val docs = widen(docs0)
     val M = 2147483647L
     val ws = words(col("text"))
     val rolling = aggregate(
