@@ -271,7 +271,63 @@ object CoreQueries extends QueryModule {
         col("event_type"))
       .agg(count(lit(1)).as("n"), round(exactSum(col("value")), 2).as("sum_value"))
 
+  /** C9 analog: regex field extraction + grouped tally over semi-
+    * structured text (the pytest-output-parse shape, A6). */
+  def q39RegexExtract(s: SparkSession, d: String): DataFrame =
+    T.events(s, d)
+      .select(col("event_type"),
+        regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).as("kstr"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(when(col("kstr") =!= "", 1)).as("n_matched"),
+        min(when(col("kstr") =!= "", length(col("kstr")))).as("min_digits"),
+        max(when(col("kstr") =!= "", length(col("kstr")))).as("max_digits"))
+
+  /** C6/C8: timestamp formatting variants (ISO date, compact stamp,
+    * year-month, day-of-week-independent fields). */
+  def q40DateFormats(s: SparkSession, d: String): DataFrame =
+    T.orders(s, d)
+      .filter(col("o_orderkey") % 997 === 0)
+      .select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("iso_date"),
+        date_format(col("o_orderdate"), "yyyyMMdd_HHmmss").as("stamp"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("year_month"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dom"))
+
+  /** C10/C11: substring search + cut + containment + truncation over
+    * free text (the init_seed_tasks cleanup shape). */
+  def q41StringFuncs(s: SparkSession, d: String): DataFrame = {
+    val firstThe = instr(col("text"), "the")
+    graft.scale.Layout.widen(T.documents(s, d)).select(
+      col("doc_id"),
+      firstThe.as("the_pos"),
+      when(firstThe > 0,
+        substring(substring(col("text"), firstThe, lit(2147483647)), lit(1), lit(40)))
+        .otherwise(lit("")).as("cut40"),
+      col("text").contains("data").cast("int").as("has_data"),
+      substring(col("text"), 1, 25).as("head25"),
+      (length(col("text")) > 100).cast("int").as("is_long"))
+  }
+
+  /** Beyond rollup: full cube over two dims (A1+A2 in every grouping
+    * combination). */
+  def q42CubeCounts(s: SparkSession, d: String): DataFrame =
+    T.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"))
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_regex_extract" -> q39RegexExtract,
+    "q40_date_formats" -> q40DateFormats,
+    "q41_string_funcs" -> q41StringFuncs,
+    "q42_cube_counts" -> q42CubeCounts,
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_project" -> q02FilterProject,
     "q03_point_lookup" -> q03PointLookup,
@@ -298,6 +354,38 @@ object CoreQueries extends QueryModule {
   )
 
   override val oracle: Map[String, String] = Map(
+    "q39_regex_extract" ->
+      """SELECT event_type,
+        |  COUNT(CASE WHEN kstr <> '' THEN 1 END) AS n_matched,
+        |  CAST(MIN(CASE WHEN kstr <> '' THEN length(kstr) END) AS INTEGER) AS min_digits,
+        |  CAST(MAX(CASE WHEN kstr <> '' THEN length(kstr) END) AS INTEGER) AS max_digits
+        |FROM (SELECT event_type,
+        |        COALESCE(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS kstr
+        |      FROM events)
+        |GROUP BY event_type""".stripMargin,
+    "q40_date_formats" ->
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS iso_date,
+        |  strftime(o_orderdate, '%Y%m%d_%H%M%S') AS stamp,
+        |  strftime(o_orderdate, '%Y-%m') AS year_month,
+        |  CAST(year(o_orderdate) AS INTEGER) AS y,
+        |  CAST(month(o_orderdate) AS INTEGER) AS m,
+        |  CAST(day(o_orderdate) AS INTEGER) AS dom
+        |FROM orders WHERE o_orderkey % 997 = 0""".stripMargin,
+    "q41_string_funcs" ->
+      """SELECT doc_id,
+        |  CAST(instr(text, 'the') AS INTEGER) AS the_pos,
+        |  CASE WHEN instr(text, 'the') > 0
+        |       THEN substr(substr(text, instr(text, 'the')), 1, 40)
+        |       ELSE '' END AS cut40,
+        |  CAST(CASE WHEN contains(text, 'data') THEN 1 ELSE 0 END AS INTEGER) AS has_data,
+        |  substr(text, 1, 25) AS head25,
+        |  CAST(CASE WHEN length(text) > 100 THEN 1 ELSE 0 END AS INTEGER) AS is_long
+        |FROM documents""".stripMargin,
+    "q42_cube_counts" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority, COUNT(*) AS n
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ROUND(${exactSumSql("l_quantity")},2) AS sum_qty,
