@@ -66,6 +66,19 @@ object Layout {
     saltedBig.join(explodedSmall, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** Save a table bucketed (and sorted) by the join key: both sides of
+    * a recurring join bucketed the same way join WITHOUT a shuffle —
+    * the single biggest standing cost eliminated for fact⋈fact joins
+    * run many times over a 100 TB table. Requires a metastore table
+    * (bucket metadata lives in the catalog, not the files). */
+  def saveBucketed(df: DataFrame, table: String, key: String,
+                   buckets: Int = 32): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table) // managed table under spark.sql.warehouse.dir
+
   /** Range-partitioned sorted output: global order across balanced
     * files (each file internally sorted, files ordered by range). */
   def writeSorted(df: DataFrame, path: String, sortCol: String,

@@ -126,6 +126,26 @@ object EventStreams {
       .option("checkpointLocation", checkpoint)
       .option("path", path)
       .format("parquet")
+
+  /** Streaming upsert sink: each micro-batch MERGEs into a keyed
+    * parquet table via foreachBatch + [[graft.pipeline.Merge.upsert]]
+    * + atomic overwrite — update-mode aggregates land as a
+    * continuously-correct table (latest value per key), the streaming
+    * shape of the reference's patch-by-key mutation (M1). Batch-id
+    * replay is safe: upsert is idempotent. */
+  def toUpsertSink(df: DataFrame, table: String, checkpoint: String,
+                   key: String) =
+    df.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val target =
+          if (new java.io.File(table).exists) spark.read.parquet(table)
+          else batch.limit(0)
+        graft.pipeline.TableIO.atomicOverwrite(
+          graft.pipeline.Merge.upsert(target, batch, key), table)
+      }
 }
 
 /** Open-session accumulator for [[EventStreams.sessionize]]. */

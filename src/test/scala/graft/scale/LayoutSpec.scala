@@ -60,6 +60,20 @@ class LayoutSpec extends SparkSpec {
     assert(back.count() === T.orders(spark, sf).count())
   }
 
+  test("bucketed tables join without a shuffle") {
+    Layout.saveBucketed(T.orders(spark, sf).select("o_orderkey", "o_totalprice"),
+      "b_orders", "o_orderkey", buckets = 4)
+    Layout.saveBucketed(T.lineitem(spark, sf)
+        .selectExpr("l_orderkey AS o_orderkey", "l_quantity"),
+      "b_lines", "o_orderkey", buckets = 4)
+    // force SMJ path so the bucketing (not a broadcast) carries the join
+    val joined = spark.table("b_orders").hint("merge")
+      .join(spark.table("b_lines"), "o_orderkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected shuffle-free bucketed join:\n$plan")
+    assert(joined.count() === T.lineitem(spark, sf).count())
+  }
+
   test("skew profile surfaces hot keys with shares") {
     val spark2 = spark
     import spark2.implicits._

@@ -115,6 +115,29 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("upsert sink keeps a continuously-correct latest-value table") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+    val src = MemoryStream[Event]
+    val counts = src.toDF().groupBy($"event_type")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    val q = EventStreams.toUpsertSink(counts, s"$dir/t", s"$dir/ckpt",
+      "event_type").start()
+    try {
+      src.addData(Event(1, ts(0), 1, "view", 1.0), Event(2, ts(1), 1, "view", 1.0))
+      q.processAllAvailable()
+      src.addData(Event(3, ts(2), 1, "view", 1.0), Event(4, ts(3), 1, "click", 1.0))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/t").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // latest value per key, not an append history
+      assert(out === Map("view" -> 3L, "click" -> 1L))
+    } finally q.stop()
+  }
+
   test("file source streams the events table with converted timestamps") {
     val stream = EventStreams.fileSource(spark, "/root/testdata/sf0.001")
     assert(stream.isStreaming)
