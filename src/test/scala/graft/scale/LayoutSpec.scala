@@ -61,6 +61,17 @@ class LayoutSpec extends SparkSpec {
   }
 
   test("bucketed tables join without a shuffle") {
+    // a fresh in-memory catalog + a leftover warehouse dir from a prior
+    // JVM collide on CREATE: drop both before saving
+    Seq("b_orders", "b_lines").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = java.nio.file.Paths.get("spark-warehouse", t)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq
+          .reverse.foreach(java.nio.file.Files.delete)
+      }
+    }
     Layout.saveBucketed(T.orders(spark, sf).select("o_orderkey", "o_totalprice"),
       "b_orders", "o_orderkey", buckets = 4)
     Layout.saveBucketed(T.lineitem(spark, sf)
