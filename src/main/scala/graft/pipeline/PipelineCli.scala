@@ -99,6 +99,42 @@ object PipelineCli {
         if (ok) saveStore(s)
         println(if (ok) "completed" else "not owner or not in progress")
 
+      case "info" =>
+        // task detail incl. parent-child relations (`data_pipeline.py info`)
+        val s = store()
+        s.getTask(positional(0)) match {
+          case Some(t) =>
+            println(s"id=${t.id} type=${t.taskType} status=${t.status}" +
+              s" parent=${t.parentId.getOrElse("-")} locked_by=${t.lockedBy.getOrElse("-")}")
+            t.data.toSeq.sortBy(_._1).foreach { case (k, v) => println(s"  data.$k=$v") }
+            s.getTaskChildren(t.id).foreach(c => println(s"  child=${c.id} (${c.status})"))
+          case None => println(s"no such task: ${positional(0)}")
+        }
+
+      case "create-task" =>
+        val s = store()
+        val t = s.createTask(
+          argValue(args, "--type").getOrElse(sys.error("--type required")),
+          parentId = argValue(args, "--parent"),
+          data = args.sliding(2).collect {
+            case Array("--data", kv) if kv.contains("=") =>
+              val Array(k, v) = kv.split("=", 2); k -> v
+          }.toMap)
+        saveStore(s)
+        println(t.id)
+
+      case "save-artifact" =>
+        // keyed JSON artifact store (`data_pipeline.py:202-253`)
+        Files.createDirectories(Paths.get(s"$base/artifacts"))
+        Files.writeString(Paths.get(s"$base/artifacts/${positional(0)}.json"),
+          positional(1))
+        println(s"saved artifact ${positional(0)}")
+
+      case "get-artifact" =>
+        val p = Paths.get(s"$base/artifacts/${positional(0)}.json")
+        if (Files.exists(p)) println(Files.readString(p))
+        else println(s"no artifact: ${positional(0)}")
+
       case "status" =>
         val s = store()
         println(s.getStatusSummary.toSeq.sortBy(_._1)

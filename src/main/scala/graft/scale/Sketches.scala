@@ -33,6 +33,16 @@ object Sketches {
                       relErr: Double = 0.01): Map[Double, Double] =
     probs.zip(df.stat.approxQuantile(col0, probs, relErr)).toMap
 
+  /** Approximate frequent items (heavy hitters) of a column — the
+    * one-pass sketch behind "which keys need salting": any value with
+    * frequency > `support` is guaranteed present (with false
+    * positives), no sort, no full shuffle. */
+  def frequentItems(df: DataFrame, col0: String,
+                    support: Double = 0.01): Seq[Any] = {
+    val row = df.stat.freqItems(Array(col0), support).head()
+    row.getSeq[Any](0)
+  }
+
   /** Build a Bloom filter over a key column (driver-held, broadcast-
     * sized); `expectedItems`/`fpp` size the bit array. */
   def keyBloom(df: DataFrame, key: String, expectedItems: Long,

@@ -66,6 +66,20 @@ class PipelineCliSpec extends SparkSpec {
       .count() === 1)
   }
 
+  test("info, create-task, and artifact store round-trip") {
+    val base = Files.createTempDirectory("graft-cli5").toString
+    cli(base, "create-task", "--type", "idea", "--data", "seed=s1")
+    val store = TaskStore.load(spark, s"$base/tasks")
+    val t = store.all.head
+    assert(t.taskType === "idea" && t.data === Map("seed" -> "s1"))
+    cli(base, "create-task", "--type", "draft_dp", "--parent", t.id)
+    cli(base, "info", t.id) // prints detail incl. the child — smoke
+    cli(base, "save-artifact", "a1", """{"k": 1}""")
+    cli(base, "get-artifact", "a1")
+    assert(Files.readString(java.nio.file.Paths.get(s"$base/artifacts/a1.json"))
+      === """{"k": 1}""")
+  }
+
   test("cancel writes the artifact and marks the review row") {
     val base = Files.createTempDirectory("graft-cli3").toString
     cli(base, "create-dp", "dp_9", "p", "d", "def test_a():\n  pass",

@@ -26,6 +26,13 @@ class SketchesSpec extends SparkSpec {
     assert(q(0.5) > 0 && q(0.9) >= q(0.5) && q(0.99) >= q(0.9))
   }
 
+  test("frequent items surfaces the hot key") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = ((1 to 900).map(_ => "hot") ++ (1 to 100).map(i => s"k$i")).toDF("key")
+    assert(Sketches.frequentItems(df, "key", 0.5).contains("hot"))
+  }
+
   test("bloom-prefiltered join equals the plain join") {
     val orders = T.orders(spark, sf)
     val bigCust = T.customer(spark, sf).filter(col("c_acctbal") > 9000)
