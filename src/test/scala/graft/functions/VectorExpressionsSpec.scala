@@ -68,6 +68,38 @@ class VectorExpressionsSpec extends SparkSpec {
     (0 until 60).foldLeft(0L)((acc, b) => if (counters(b) > 0) acc | (1L << b) else acc)
   }
 
+  test("MinHash kernel matches the composed explode+min(md5) form") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.functions.PortableFuncs.{shinglesFromWords, words}
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four")).toDF("doc_id", "text")
+    // composed reference: explode distinct shingles, 4 min(md5("i|"++sh))
+    val sh = docs.select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"),
+        explode(array_distinct(shinglesFromWords(col("ws"), 4))).as("sh"))
+    val composed = sh.groupBy(col("doc_id"))
+      .agg((0 until 4).map(i =>
+        min(md5(concat(lit(s"$i|"), col("sh")))).as(s"m$i")).head,
+        (1 until 4).map(i =>
+          min(md5(concat(lit(s"$i|"), col("sh")))).as(s"m$i")): _*)
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getString)).toMap
+    // kernel form
+    val kernel = docs.select(col("doc_id"),
+        MinHashExpression.minhashSig(words(col("text")), 4, 4).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(kernel(1L) === composed(1L))
+    assert(kernel(2L) === composed(2L))
+    // band hashes = md5 of concatenated per-band minima
+    val bands = docs.select(col("doc_id"),
+        MinHashExpression.minhashBandHashes(words(col("text")), 4, 4, 2).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val expected = composed(1L).grouped(2).map(g =>
+      MinHashKernel.md5Hex(g.mkString.getBytes("UTF-8"))).toSeq
+    assert(bands(1L) === expected)
+  }
+
   test("cosine values are correct: orthogonal=0, parallel=1") {
     val m = df.select(col("id"), VectorExpressions.cosineFused(col("a"), col("b")))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
