@@ -63,13 +63,51 @@ object Multimodal {
       md5(col("payload")).as("content_hash"),
       substring(hex(col("payload")), 1, 8).as("magic"))
 
+  /** REAL image-header decode for PNG and JPEG — pure byte parsing of
+    * the container headers (PNG IHDR width/height at offset 16; JPEG
+    * SOFn frame header scan), no native libraries. Returns None for
+    * payloads that aren't PNG/JPEG — those fall back to [[stubDecode]].
+    */
+  def decodeImageHeader(payload: Array[Byte]): Option[(Int, Int)] = {
+    def u16(i: Int) = ((payload(i) & 0xff) << 8) | (payload(i + 1) & 0xff)
+    def u32(i: Int) = ((payload(i) & 0xff) << 24) | ((payload(i + 1) & 0xff) << 16) |
+      ((payload(i + 2) & 0xff) << 8) | (payload(i + 3) & 0xff)
+    if (payload.length >= 24 &&
+        payload.take(8).sameElements(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))) {
+      // PNG: signature(8) + IHDR len(4) + "IHDR"(4) + width(4) + height(4)
+      Some((u32(16), u32(20)))
+    } else if (payload.length >= 4 &&
+        (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8) {
+      // JPEG: walk segments to the first SOFn (C0-CF except C4/C8/CC)
+      var i = 2
+      while (i + 9 < payload.length && (payload(i) & 0xff) == 0xff) {
+        val marker = payload(i + 1) & 0xff
+        if (marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          // SOF: FF Cn len(2) precision(1) height(2) width(2)
+          return Some((u16(i + 7), u16(i + 5)))
+        }
+        i += 2 + u16(i + 2)
+      }
+      None
+    } else None
+  }
+
   /** STUB decode kernel — deterministic fake standing in for the real
-    * native decoder (??? in spirit; returns synthetic dimensions
-    * derived from the payload hash so tests are stable). A real
-    * implementation replaces ONLY this function with e.g. an
-    * ImageIO/ffmpeg call; the Spark plumbing around it is unchanged.
+    * native decoder for formats whose decode needs codec libraries not
+    * in this container (video frames, audio resampling; returns
+    * synthetic dimensions derived from the payload hash so tests are
+    * stable). PNG/JPEG dimensions are decoded for REAL by
+    * [[decodeImageHeader]]; a full decoder replaces ONLY this function,
+    * the Spark plumbing around it is unchanged.
     */
   def stubDecode(assetId: Long, kind: String, payload: Array[Byte]): MediaMeta = {
+    if (kind == "image") {
+      decodeImageHeader(payload).foreach { case (w, h) =>
+        return MediaMeta(assetId, kind, w, h, 1, 0, 0L, payload.length.toLong,
+          f"${java.util.Arrays.hashCode(payload)}%08x")
+      }
+    }
     val h = java.util.Arrays.hashCode(payload).abs.toLong
     val (w, ht, frames, rate, dur) = kind match {
       case "image" => ((h % 1920 + 1).toInt, (h % 1080 + 1).toInt, 1, 0, 0L)

@@ -1,0 +1,53 @@
+package graft.scale
+
+import graft.SparkSpec
+import graft.{Tables => T}
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("stratified sample: per-stratum fractions, deterministic across runs") {
+    val docs = T.documents(spark, sf)
+    val fr = Map("en" -> 0.5, "de" -> 0.1)
+    val s1 = Curation.stratifiedSample(docs, "doc_id", fr, "lang")
+    val s2 = Curation.stratifiedSample(docs, "doc_id", fr, "lang")
+    assert(s1.select("doc_id").collect().map(_.getLong(0)).sorted
+      === s2.select("doc_id").collect().map(_.getLong(0)).sorted)
+    val counts = s1.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // unselected strata are dropped entirely
+    assert(counts.keySet.subsetOf(Set("en", "de")))
+    // en keeps roughly half (hash-uniform; loose bounds)
+    val enRatio = counts.getOrElse("en", 0L).toDouble / totals("en")
+    assert(enRatio > 0.3 && enRatio < 0.7, s"en ratio $enRatio")
+  }
+
+  test("per-group cap keeps at most k rows per group, deterministically") {
+    val docs = T.documents(spark, sf)
+    val capped = Curation.perGroupCap(docs, "lang", "doc_id", 5)
+    val over = capped.groupBy("lang").count().filter(col("count") > 5).count()
+    assert(over === 0)
+    assert(capped.columns === docs.columns) // helper column dropped
+  }
+
+  test("diversity sample picks exactly one representative per bucket") {
+    val reps = Curation.diversitySample(T.embeddings(spark, sf))
+    assert(reps.groupBy("bucket").count().filter(col("count") > 1).count() === 0)
+    assert(reps.count() > 1)
+  }
+
+  test("kmeans assigns every vector to one of k clusters, deterministically") {
+    val emb = T.embeddings(spark, sf).filter(col("vec_id") < 300)
+    val a1 = Curation.kmeans(emb, k = 4, iters = 2)
+    assert(a1.count() === 300)
+    val clusters = a1.select("cluster").distinct().collect().map(_.getInt(0)).sorted
+    assert(clusters.forall(c => c >= 0 && c < 4))
+    assert(clusters.length > 1) // data actually separates
+    val a2 = Curation.kmeans(emb, k = 4, iters = 2)
+    assert(a1.orderBy("vec_id").collect().toSeq === a2.orderBy("vec_id").collect().toSeq)
+  }
+}

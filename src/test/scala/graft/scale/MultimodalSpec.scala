@@ -54,6 +54,26 @@ class MultimodalSpec extends SparkSpec {
     assert(one === 0)
   }
 
+  test("real header decode: PNG IHDR and JPEG SOF dimensions") {
+    // minimal valid PNG header: signature + IHDR chunk for 640x480
+    val png = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 2, 0x80, // width 640
+      0, 0, 1, 0xe0, // height 480
+      8, 6, 0, 0, 0).map(_.toByte)
+    assert(Multimodal.decodeImageHeader(png) === Some((640, 480)))
+    // minimal JPEG: SOI + APP0 (len 4) + SOF0 (precision 8, h=100, w=200)
+    val jpg = Array[Int](0xff, 0xd8,
+      0xff, 0xe0, 0, 4, 0, 0, // APP0, length 4
+      0xff, 0xc0, 0, 11, 8, 0, 100, 0, 200, 1, 0x11, 0, 0).map(_.toByte)
+    assert(Multimodal.decodeImageHeader(jpg) === Some((200, 100)))
+    // non-image bytes -> None (stub path)
+    assert(Multimodal.decodeImageHeader("not an image".getBytes) === None)
+    // decode() routes a real PNG payload through the header parser
+    val meta = Multimodal.stubDecode(7L, "image", png)
+    assert(meta.width === 640 && meta.height === 480 && meta.n_frames === 1)
+  }
+
   test("corpus media stats aggregate without touching payloads") {
     val stats = Multimodal.corpusMediaStats(Multimodal.decode(spark, assets))
     val byKind = stats.collect().map(r => r.getAs[String]("kind") -> r).toMap
