@@ -47,7 +47,9 @@ object PipelineCli {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try run(spark, base, cmd, args)
+    // each CLI call is its own JVM (the reference's process-per-command
+    // model): serialize mutations through the flock-equivalent
+    try TableIO.withLock(s"$base/.lock") { run(spark, base, cmd, args) }
     finally spark.stop()
   }
 
@@ -230,6 +232,21 @@ object PipelineCli {
         val row = DatapointOps.pointLookup(table(t), taskId)
         ReviewOps.markdown(row).select("markdown").collect()
           .foreach(r => println(r.getString(0)))
+
+      case "reconcile" =>
+        // M4 crash recovery (SURVEY §7.4.4): the move commits review
+        // FIRST, staging second — a crash between the two leaves the
+        // row in both tables. Review is the source of truth, so drop
+        // staging rows whose id already reached review (anti-join).
+        val staging = table("staging")
+        val review = table("review")
+        val dupes = staging.join(review.select("task_id"), Seq("task_id"), "left_semi")
+        val n = dupes.count()
+        if (n > 0) {
+          commit(staging.join(review.select("task_id"), Seq("task_id"), "left_anti"),
+            "staging")
+        }
+        println(s"reconciled: removed $n staging row(s) already in review")
 
       case "verify-all" =>
         val production = table("production")

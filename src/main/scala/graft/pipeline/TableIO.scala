@@ -105,6 +105,35 @@ object TableIO {
         col("content").cast("string").as("content"))
   }
 
+  /** Exclusive cross-process lock around a mutation (P1 parity;
+    * reference `fcntl.flock` with 5s timeout / 10ms spin,
+    * `task_manager.py:64-90`): each `PipelineCli` invocation is its own
+    * JVM — exactly the reference's process-per-command model — so
+    * driver-side synchronization alone can't serialize them
+    * (SURVEY §7.4.2). `FileChannel.tryLock` is the JVM flock.
+    */
+  def withLock[T](lockFile: String, timeoutMs: Long = 5000)(body: => T): T = {
+    Files.createDirectories(Paths.get(lockFile).getParent)
+    val ch = java.nio.channels.FileChannel.open(Paths.get(lockFile),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val deadline = System.currentTimeMillis() + timeoutMs
+      var lock: java.nio.channels.FileLock = null
+      while (lock == null) {
+        lock =
+          try ch.tryLock()
+          catch { case _: java.nio.channels.OverlappingFileLockException => null }
+        if (lock == null) {
+          if (System.currentTimeMillis() > deadline)
+            throw new IllegalStateException(s"could not acquire $lockFile within ${timeoutMs}ms")
+          Thread.sleep(10)
+        }
+      }
+      try body finally lock.release()
+    } finally ch.close()
+  }
+
   // ---- local-fs helpers (driver-side; table dirs are small metadata,
   //      the data inside is written by executors) ----
 

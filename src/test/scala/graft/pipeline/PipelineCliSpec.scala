@@ -80,6 +80,45 @@ class PipelineCliSpec extends SparkSpec {
       === """{"k": 1}""")
   }
 
+  test("reconcile removes staging rows that already reached review (M4 crash recovery)") {
+    val base = Files.createTempDirectory("graft-cli6").toString
+    cli(base, "create-dp", "dp_a", "p", "d", "def test_a():\n  pass",
+      """{"test_a": 1.0}""", "easy")
+    cli(base, "create-dp", "dp_b", "p", "d", "def test_b():\n  pass",
+      """{"test_b": 1.0}""", "easy")
+    cli(base, "add-to-review", "dp_a")
+    // simulate a crash between the two commits of a second move: put
+    // dp_b into review but leave it in staging too
+    val review = TableIO.readCsv(spark, s"$base/review")
+    val staging = TableIO.readCsv(spark, s"$base/staging")
+    val (dupReview, _) = DatapointOps.moveToReview(staging, review, "dp_b", "now")
+    TableIO.atomicOverwrite(dupReview, s"$base/review", format = "csv", quoteAll = true)
+    assert(TableIO.readCsv(spark, s"$base/staging").count() === 1) // dp_b still staged
+    cli(base, "reconcile")
+    assert(TableIO.readCsv(spark, s"$base/staging").count() === 0)
+    assert(TableIO.readCsv(spark, s"$base/review").count() === 2)
+  }
+
+  test("file lock serializes mutations and times out cleanly") {
+    val dir = Files.createTempDirectory("graft-lock").toString
+    var order = Vector.empty[Int]
+    val t1 = new Thread(() => TableIO.withLock(s"$dir/.lock") {
+      order.synchronized { order :+= 1 }; Thread.sleep(300)
+      order.synchronized { order :+= 2 }
+    })
+    t1.start(); Thread.sleep(50)
+    TableIO.withLock(s"$dir/.lock") { order.synchronized { order :+= 3 } }
+    t1.join()
+    assert(order === Vector(1, 2, 3)) // second caller waited for the lock
+    // timeout path: holder keeps the lock longer than the waiter allows
+    val t2 = new Thread(() => TableIO.withLock(s"$dir/.lock") { Thread.sleep(800) })
+    t2.start(); Thread.sleep(50)
+    intercept[IllegalStateException] {
+      TableIO.withLock(s"$dir/.lock", timeoutMs = 100) { () }
+    }
+    t2.join()
+  }
+
   test("cancel writes the artifact and marks the review row") {
     val base = Files.createTempDirectory("graft-cli3").toString
     cli(base, "create-dp", "dp_9", "p", "d", "def test_a():\n  pass",
