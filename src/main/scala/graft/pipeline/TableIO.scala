@@ -47,6 +47,11 @@ object TableIO {
       .option("header", "true")
       .option("escape", "\"")
       .option("quoteAll", quoteAll.toString)
+      // the CSV WRITER trims cell whitespace by default — a silent
+      // mutation (the review fixture's dirty "medium\n" difficulty
+      // would round-trip as "medium"); csv.writer never trims
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
       .mode(SaveMode.Overwrite)
       .csv(path)
 

@@ -1,0 +1,68 @@
+package graft.scale
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  def docs = {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and keeps on running far away"
+    Seq(
+      (1L, base),
+      (2L, base),                                   // exact dup of 1
+      (3L, base.replace("lazy", "sleepy")),         // near dup of 1
+      (4L, "completely different text about spark engines and data pipelines at scale here")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical content under the lowest id") {
+    val out = Dedup.exactDedup(docs).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out(1L) === 2L) // keep_id 1 with 2 copies
+    assert(out.values.sum === 4L)
+  }
+
+  test("minhash pairs surface exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((1L, 2L)) === Dedup.NumBands.toLong) // identical: all bands agree
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near dup caught
+    assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L }) // no false pair
+  }
+
+  test("simhash: identical docs collide, near dups closer than strangers") {
+    val sig = Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(sig(a) ^ sig(b))
+    assert(dist(1L, 2L) === 0)
+    assert(dist(1L, 3L) < dist(1L, 4L))
+    // pair generation blocks on equal 15-bit chunks (pigeonhole for
+    // dist<=3): the exact-dup pair must surface at distance 0
+    val pairs = Dedup.simhashPairs(docs, maxDist = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 2L)) === 0)
+  }
+
+  test("ngram jaccard: identical docs at 1.0, near dup high, stranger absent or low") {
+    val j = Dedup.ngramJaccard(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(j((1L, 2L)) === 1.0)
+    assert(j((1L, 3L)) > 0.3 && j((1L, 3L)) < 1.0)
+    assert(!j.contains((1L, 4L)))
+  }
+
+  test("embedding near-dup finds the self-evident pair") {
+    val spark2 = spark
+    import spark2.implicits._
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.1f, 0.0f)),  // near dup of 1
+      (3L, Array(0.0f, 0.0f, 1.0f))    // orthogonal
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDup(emb, minCos = 0.9, maxId = 10L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((1L, 2L)))
+  }
+}
