@@ -56,15 +56,21 @@ object PipelineCli {
   def run(spark: SparkSession, base: String, cmd: String, args: Array[String]): Unit = {
     val positional = args.dropWhile(_ != cmd).drop(1).filterNot(_.startsWith("--"))
       .filterNot(a => args.sliding(2).exists(p => p.length == 2 && p(0).startsWith("--") && p(1) == a))
-    def table(name: String): DataFrame =
+    def table(name: String): DataFrame = {
+      // repair a crashed atomicOverwrite swap before reading (we hold
+      // the CLI lock here, same as mutations)
+      TableIO.recoverOld(s"$base/$name")
       TableIO.readCsv(spark, s"$base/$name", Some(
         if (name == "production") Schemas.productionSchema
         else if (name == "review") Schemas.reviewSchema else Schemas.stagingSchema))
-    def tableOrEmpty(name: String, cols: Seq[String]): DataFrame =
+    }
+    def tableOrEmpty(name: String, cols: Seq[String]): DataFrame = {
+      TableIO.recoverOld(s"$base/$name")
       if (Files.exists(Paths.get(s"$base/$name"))) table(name)
       else spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         org.apache.spark.sql.types.StructType(cols.map(c =>
           org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType))))
+    }
     def commit(df: DataFrame, name: String): Unit =
       TableIO.atomicOverwrite(df, s"$base/$name", format = "csv", quoteAll = true)
     def store(): TaskStore =

@@ -11,13 +11,15 @@ import org.apache.spark.sql.functions._
 object ReviewOps {
 
   /** Approve a review row into production
-    * (`approve_datapoint.py:66-214`): validate enums, guard against
-    * duplicate ids (J3 anti-join), derive title := task_id and
-    * use_case_category := category (`approve_datapoint.py:120-122`),
-    * project onto the production schema. Returns the new production
-    * table; caller archives + commits production first, then marks the
-    * review row ([[DatapointOps.markReviewed]]) — same ordering as the
-    * reference. */
+    * (`approve_datapoint.py:66-214`): validate enums, derive
+    * title := task_id and use_case_category := category
+    * (`approve_datapoint.py:120-122`), project onto the production
+    * schema. A missing review row or a task_id already in production is
+    * an ERROR, not a no-op (`approve_datapoint.py:103-106` raises) —
+    * the CLI must not report "approved" while production is unchanged.
+    * Returns the new production table; caller archives + commits
+    * production first, then marks the review row
+    * ([[DatapointOps.markReviewed]]) — same ordering as the reference. */
   def approve(review: DataFrame, production: DataFrame, taskId: String,
               category: String, tags: String, now: String): DataFrame = {
     require(Schemas.Categories.contains(category), s"invalid category: $category")
@@ -27,6 +29,11 @@ object ReviewOps {
       s"invalid tags: $tags")
 
     val row = DatapointOps.pointLookup(review, taskId)
+    if (row.limit(1).isEmpty)
+      throw new IllegalArgumentException(s"datapoint $taskId not found in review")
+    if (DatapointOps.exists(production, taskId))
+      throw new IllegalStateException(
+        s"datapoint $taskId already exists in production — duplicate approval")
     val prodRow = row.select(
       col("task_id"),
       coalesce(nullIfEmpty(col("difficulty")), lit("medium")).as("difficulty"),
@@ -41,8 +48,8 @@ object ReviewOps {
       coalesce(nullIfEmpty(col("additional_files")), lit("{}")).as("additional_files"),
       coalesce(nullIfEmpty(col("created_at")), lit(now)).as("created_at"),
       coalesce(nullIfEmpty(col("updated_at")), lit(now)).as("updated_at"))
-    // duplicate guard: inserting an existing id is an error, not a no-op
-    // (`approve_datapoint.py:103-106`)
+    // the duplicate/existence guards above already failed loudly, so the
+    // anti-join inside insert is only belt-and-braces here
     DatapointOps.insert(production, prodRow)
   }
 

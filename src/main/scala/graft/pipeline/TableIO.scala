@@ -59,12 +59,19 @@ object TableIO {
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
   /** Atomic overwrite protocol (S5): stage the full rewrite in a `.tmp`
-    * sibling, then swap via rename — readers see either the old or the
-    * new table, never a partial write. Mirrors temp+`os.replace` at
-    * `task_manager.py:97-107` at directory granularity.
+    * sibling, then swap via rename. Mirrors temp+`os.replace` at
+    * `task_manager.py:97-107` at directory granularity — but directory
+    * swap needs TWO renames (dest→`.old`, `.tmp`→dest), so there is a
+    * brief window with no destination. Correctness contract:
+    *  - mutators AND readers serialize through [[withLock]] (the CLI
+    *    does), so no live process observes the window;
+    *  - a crash inside the window strands the table at `.old`;
+    *    [[recoverOld]] repairs that on the next locked read or write —
+    *    the data is never lost, only parked.
     */
   def atomicOverwrite(df: DataFrame, dest: String, format: String = "parquet",
                       quoteAll: Boolean = false): Unit = {
+    recoverOld(dest)
     val destPath = Paths.get(dest)
     val tmp = destPath.resolveSibling(destPath.getFileName.toString + ".tmp")
     deleteRecursive(tmp)
@@ -77,6 +84,22 @@ object TableIO {
     if (Files.exists(destPath)) Files.move(destPath, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(tmp, destPath, StandardCopyOption.ATOMIC_MOVE)
     deleteRecursive(old)
+  }
+
+  /** Crash reconciliation for [[atomicOverwrite]]: if a writer died
+    * between the two renames, the destination is missing and the whole
+    * table sits at `.old` — restore it. If the destination exists, any
+    * `.old`/`.tmp` leftovers are from a crash after (or before) the
+    * commit point and are safe to clear. Idempotent; call under the
+    * same [[withLock]] as mutations. */
+  def recoverOld(dest: String): Unit = {
+    val destPath = Paths.get(dest)
+    val old = destPath.resolveSibling(destPath.getFileName.toString + ".old")
+    if (!Files.exists(destPath)) {
+      if (Files.exists(old)) Files.move(old, destPath, StandardCopyOption.ATOMIC_MOVE)
+    } else {
+      deleteRecursive(old)
+    }
   }
 
   /** Timestamped backup snapshot before mutation (S9):

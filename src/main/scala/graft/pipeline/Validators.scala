@@ -22,6 +22,104 @@ trait ProcessRunner extends Serializable {
   def run(cmd: Seq[String], timeoutSec: Int): (Int, String)
 }
 
+/** Materializes the docker build context + test harness on local disk
+  * before any docker command runs (reference `_build_dockerfile`,
+  * `validators.py:102-137`, and `_create_test_infrastructure`,
+  * `validators.py:449-570`): the Dockerfile and every `additional_files`
+  * entry become real files under a temp dir, and the pytest harness
+  * (`tests/test_outputs.py`, `tests/setup-pytest.sh`,
+  * `tests/run-pytest.sh`, `run-tests.sh`) is written alongside so
+  * `docker cp ctx/. container:/tests` gives the container everything
+  * `bash /tests/run-tests.sh` needs. Without this the build has no
+  * context at all (r1 ADVICE: `docker build … -` blocked on stdin).
+  */
+object BuildContext {
+  import java.nio.file.{Files, Path}
+
+  private val setupPytestSh =
+    """#!/bin/bash
+      |PY=python3; command -v python3 >/dev/null 2>&1 || PY=python
+      |command -v "$PY" >/dev/null 2>&1 || { echo "ERROR: no python interpreter"; exit 1; }
+      |if ! "$PY" -m pytest --version >/dev/null 2>&1; then
+      |  pip install pytest 2>/dev/null || pip3 install pytest 2>/dev/null || \
+      |    { apt-get update && apt-get install -y python3-pytest; } || \
+      |    { echo "ERROR: could not install pytest"; exit 1; }
+      |fi
+      |""".stripMargin
+
+  private val runPytestSh =
+    """#!/bin/bash
+      |PY=python3; command -v python3 >/dev/null 2>&1 || PY=python
+      |"$PY" -m pytest "$TEST_DIR"/test_outputs.py -rA
+      |""".stripMargin
+
+  private val runTestsSh =
+    """#!/bin/bash
+      |export TEST_DIR=/tests/tests
+      |source "$TEST_DIR"/setup-pytest.sh
+      |bash "$TEST_DIR"/run-pytest.sh
+      |""".stripMargin
+
+  /** Parse an `additional_files` JSON cell into path→content. Jackson is
+    * already on Spark's classpath; runs on executors inside
+    * mapPartitions. Empty/blank cells are an empty map; a non-object or
+    * unparseable cell is an error (the reference rejects the build,
+    * `validators.py:110-120`). */
+  def parseFileMap(json: String): Either[String, Map[String, String]] = {
+    if (json == null || json.trim.isEmpty) Right(Map.empty)
+    else
+      try {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val node = mapper.readTree(json)
+        if (!node.isObject) Left("additional_files is not a JSON object")
+        else {
+          val it = node.fields()
+          val b = Map.newBuilder[String, String]
+          while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
+          Right(b.result())
+        }
+      } catch {
+        case e: Exception => Left(s"Failed to parse additional_files JSON: ${e.getMessage}")
+      }
+  }
+
+  /** Write Dockerfile + additional files + test harness under `dir`.
+    * Returns an error message instead of a populated context when the
+    * file map is malformed. */
+  def materialize(dir: Path, dockerfile: String, additionalFilesJson: String,
+                  testFunctions: String): Option[String] = {
+    Files.writeString(dir.resolve("Dockerfile"),
+      Option(dockerfile).getOrElse(""))
+    parseFileMap(additionalFilesJson) match {
+      case Left(err) => Some(err)
+      case Right(files) =>
+        // keep hostile relative paths inside the context
+        val escaping = files.keys.find(rel => !dir.resolve(rel).normalize().startsWith(dir))
+        if (escaping.isDefined)
+          return Some(s"additional_files path escapes build context: ${escaping.get}")
+        files.foreach { case (rel, content) =>
+          val p = dir.resolve(rel).normalize()
+          Files.createDirectories(p.getParent)
+          Files.writeString(p, content)
+        }
+        val tests = dir.resolve("tests")
+        Files.createDirectories(tests)
+        Files.writeString(tests.resolve("test_outputs.py"),
+          Option(testFunctions).getOrElse(""))
+        Files.writeString(tests.resolve("setup-pytest.sh"), setupPytestSh)
+        Files.writeString(tests.resolve("run-pytest.sh"), runPytestSh)
+        Files.writeString(dir.resolve("run-tests.sh"), runTestsSh)
+        None
+    }
+  }
+
+  def deleteRecursive(p: Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+}
+
 /** Real subprocess runner with per-task timeout (P5;
   * `validate_all_prod_dps.py:34,57-85` — 10 min default). */
 class SubprocessRunner extends ProcessRunner {
@@ -98,8 +196,10 @@ object Validators {
     val passed = passedRe.findFirstMatchIn(out).map(_.group(1).toInt).getOrElse(0)
     var failed = failedRe.findFirstMatchIn(out).map(_.group(1).toInt).getOrElse(0)
     val errors = errorRe.findFirstMatchIn(out).map(_.group(1).toInt).getOrElse(0)
-    // "no tests collected" ⇒ failed := total (`validators.py:723-725`)
-    if (failed == 0 && passed == 0 && collected > 0) failed = collected
+    // "no results parsed at all" ⇒ failed := total (`validators.py:723-725`);
+    // an all-errors run reports its errors as errors, NOT as failures —
+    // the fallback applies only when passed+failed+errors == 0
+    if (failed == 0 && passed == 0 && errors == 0 && collected > 0) failed = collected
     (collected, passed, failed, errors)
   }
 
@@ -129,8 +229,12 @@ object Validators {
                   workers: Int = 4, execTimeoutSec: Int = 600,
                   runDocker: Boolean = true): Dataset[ValidationReport] = {
     import spark.implicits._
+    val afCol =
+      if (dps.columns.contains("additional_files")) col("additional_files")
+      else lit("").as("additional_files")
     val pure = pureChecks(dps).select(
       col("task_id"), col("dockerfile"), col("dockerfile_ok"),
+      col("test_functions"), afCol,
       col("syntax_ok"), col("n_tests"), col("test_names"),
       col("weights_valid"), col("w_sum"),
       col("missing_weights"), col("extra_weights"))
@@ -147,31 +251,90 @@ object Validators {
           else s"sum=${r.getAs[Double]("w_sum")} missing=${r.getAs[Seq[String]]("missing_weights").mkString(",")} extra=${r.getAs[Seq[String]]("extra_weights").mkString(",")}")
         val effectful: Seq[StageResult] =
           if (!runDocker) Nil
-          else {
-            val tag = s"graft-validate-$taskId".toLowerCase
-            val (buildCode, buildOut) = runner.run(
-              Seq("docker", "build", "--no-cache", "-t", tag, "-"), 300)
-            val v1 = StageResult("docker_build", buildCode == 0,
-              if (buildCode == 0) s"built $tag" else s"build failed: ${buildOut.take(500)}")
-            val v4 =
-              if (buildCode != 0)
-                StageResult("container_execution", valid = false, "skipped: build failed")
-              else {
-                val (code, out) = runner.run(
-                  Seq("docker", "run", "--rm", tag, "bash", "run-tests.sh"), execTimeoutSec)
-                if (code == 124) StageResult("container_execution", valid = false, "timeout")
-                else {
-                  val (_, passed, failed, _) = parsePytestOutput(out)
-                  failFirstCheck(r.getAs[Int]("n_tests"), passed, failed)
-                }
-              }
-            // V5: image cleanup always runs (`validators.py:735-741`)
-            runner.run(Seq("docker", "rmi", "-f", tag), 60)
-            Seq(v1, v4)
-          }
+          else runDockerStages(runner, taskId,
+            dockerfile = r.getAs[String]("dockerfile"),
+            additionalFilesJson = r.getAs[String]("additional_files"),
+            testFunctions = r.getAs[String]("test_functions"),
+            expectedTests = r.getAs[Int]("n_tests"),
+            execTimeoutSec = execTimeoutSec)
         val stages = Seq(v1lint, v2, v3) ++ effectful
         ValidationReport(taskId, stages.forall(_.valid), stages)
       }
+    }
+  }
+
+  /** V1 + V4 with real side effects, one datapoint (runs on an executor
+    * inside `mapPartitions`). Mirrors the reference end to end:
+    *  - V1: materialize Dockerfile + additional_files into a temp build
+    *    context, `docker build --no-cache --force-rm -f ctx/Dockerfile
+    *    ctx` (`validators.py:102-137`) — never stdin;
+    *  - V4: start a long-lived container (`docker run -d … sleep
+    *    infinity`), require tmux + asciinema (`validators.py:602-620`),
+    *    `docker cp ctx/. container:/tests`, `docker exec bash
+    *    /tests/run-tests.sh`, parse, fail-first check
+    *    (`validators.py:592-645`);
+    *  - V5: container stop/rm and image rmi ALWAYS run
+    *    (`validators.py:644-646,735-741`).
+    */
+  def runDockerStages(runner: ProcessRunner, taskId: String, dockerfile: String,
+                      additionalFilesJson: String, testFunctions: String,
+                      expectedTests: Int, execTimeoutSec: Int): Seq[StageResult] = {
+    val tag = s"graft-validate-$taskId".toLowerCase
+    val ctx = java.nio.file.Files.createTempDirectory("graft-validate-")
+    try {
+      BuildContext.materialize(ctx, dockerfile, additionalFilesJson, testFunctions) match {
+        case Some(err) =>
+          Seq(StageResult("docker_build", valid = false, err),
+            StageResult("container_execution", valid = false, "skipped: bad build context"))
+        case None =>
+          val (buildCode, buildOut) = runner.run(
+            Seq("docker", "build", "--no-cache", "--force-rm", "-t", tag,
+              "-f", ctx.resolve("Dockerfile").toString, ctx.toString), 300)
+          val v1 = StageResult("docker_build", buildCode == 0,
+            if (buildCode == 0) s"built $tag" else s"build failed: ${buildOut.take(500)}")
+          val v4 =
+            if (buildCode != 0)
+              StageResult("container_execution", valid = false, "skipped: build failed")
+            else runContainerTests(runner, taskId, tag, ctx, expectedTests, execTimeoutSec)
+          // V5: image cleanup always runs (`validators.py:735-741`)
+          runner.run(Seq("docker", "rmi", "-f", tag), 60)
+          Seq(v1, v4)
+      }
+    } finally BuildContext.deleteRecursive(ctx)
+  }
+
+  private def runContainerTests(runner: ProcessRunner, taskId: String, tag: String,
+                                ctx: java.nio.file.Path, expectedTests: Int,
+                                execTimeoutSec: Int): StageResult = {
+    val cname = s"graft-test-$taskId".toLowerCase
+    try {
+      val (startCode, startOut) = runner.run(
+        Seq("docker", "run", "-d", "--name", cname, tag, "sleep", "infinity"), 60)
+      if (startCode != 0)
+        return StageResult("container_execution", valid = false,
+          s"failed to start container: ${startOut.take(200)}")
+      for (dep <- Seq("tmux", "asciinema")) {
+        val (c, _) = runner.run(Seq("docker", "exec", cname, "which", dep), 30)
+        if (c != 0)
+          return StageResult("container_execution", valid = false,
+            s"$dep is not installed in the container")
+      }
+      val (cpCode, cpOut) = runner.run(
+        Seq("docker", "cp", s"$ctx/.", s"$cname:/tests"), 60)
+      if (cpCode != 0)
+        return StageResult("container_execution", valid = false,
+          s"failed to copy tests: ${cpOut.take(200)}")
+      val (code, out) = runner.run(
+        Seq("docker", "exec", cname, "bash", "/tests/run-tests.sh"), execTimeoutSec)
+      if (code == 124) StageResult("container_execution", valid = false, "timeout")
+      else {
+        val (_, passed, failed, _) = parsePytestOutput(out)
+        failFirstCheck(expectedTests, passed, failed)
+      }
+    } finally {
+      // container cleanup always runs (`validators.py:644-646`)
+      runner.run(Seq("docker", "stop", cname), 60)
+      runner.run(Seq("docker", "rm", "-f", cname), 60)
     }
   }
 

@@ -112,13 +112,27 @@ object Dedup extends QueryModule {
   }
 
   /** SimHash near-dup pairs within Hamming distance `maxDist`. Candidate
-    * generation blocks on 16-bit chunks (pigeonhole: dist ≤ 3 ⇒ some
-    * chunk of 4 is equal), avoiding the n² cross join at scale. */
+    * generation splits the 60-bit signature into `maxDist + 1` chunks —
+    * by pigeonhole, ≤ maxDist differing bits cannot touch every chunk,
+    * so every qualifying pair shares at least one equal chunk: the
+    * blocking is COMPLETE for any maxDist in [1, 59], and candidates
+    * come from an equality self-join, never the n² cross join. The
+    * default (3 ⇒ four 15-bit chunks) is the classic Manku et al.
+    * parameterization; large maxDist values shrink chunks and degrade
+    * blocking selectivity, so they are legal but increasingly costly. */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 1 && maxDist < 60,
+      s"maxDist must be in [1, 59] for 60-bit signatures: $maxDist")
+    val numChunks = maxDist + 1
+    val baseW = 60 / numChunks
+    val rem = 60 % numChunks
     val sh = simhash(docs)
-    val chunks = (0 until 4).map(c =>
+    val chunks = (0 until numChunks).map { c =>
+      val start = c * baseW + math.min(c, rem)
+      val width = baseW + (if (c < rem) 1 else 0)
       struct(lit(c).as("c"),
-        shiftright(col("simhash"), c * 15).bitwiseAND(0x7fffL).as("cv")))
+        shiftright(col("simhash"), start).bitwiseAND((1L << width) - 1L).as("cv"))
+    }
     val blocked = sh.select(col("doc_id"), col("simhash"),
       explode(array(chunks: _*)).as("ch"))
       .select(col("doc_id"), col("simhash"), col("ch.c").as("c"), col("ch.cv").as("cv"))
@@ -170,9 +184,11 @@ object Dedup extends QueryModule {
     "q25_ngram_jaccard" -> ((s, d) => ngramJaccard(T.documents(s, d))),
     "q26_minhash_bands" -> ((s, d) => minhashBands(T.documents(s, d))),
     "q27_simhash" -> ((s, d) => simhash(T.documents(s, d))),
-    // LSH-blocked pair generation exercised in Spark; oracle is rows-only
-    // (pigeonhole blocking is clumsy to restate in one SQL statement).
-    "q28_simhash_pairs" -> ((s, d) => simhashPairs(T.documents(s, d), maxDist = 30)),
+    // pigeonhole-blocked pair generation (6 chunks ⇒ complete for
+    // dist ≤ 5); the oracle states the same result as an exact O(n²)
+    // hamming join — tractable at sf0.01, which is exactly what makes
+    // it a full correctness check of the blocked plan
+    "q28_simhash_pairs" -> ((s, d) => simhashPairs(T.documents(s, d), maxDist = 5)),
     "q29_embed_neardup" -> ((s, d) => embeddingNearDup(T.embeddings(s, d), 0.3, 300L))
   )
 
@@ -229,6 +245,22 @@ object Dedup extends QueryModule {
         |SELECT doc_id,
         |  CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id""".stripMargin,
+    "q28_simhash_pairs" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ',  'g'),' +',' ','g')), ' +'), x -> x <> '')) AS w
+        |  FROM documents),
+        |h AS (SELECT doc_id, CAST('0x' || substr(md5(w),1,15) AS BIGINT) AS h FROM w),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |    SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM h, range(0, 60) t(b) GROUP BY doc_id, b),
+        |sh AS (SELECT doc_id,
+        |  CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS dist
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 5""".stripMargin,
     "q29_embed_neardup" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))

@@ -56,10 +56,22 @@ class ReviewOpsSpec extends SparkSpec {
     }
   }
 
-  test("approve into production with an existing id is a guarded no-op") {
+  test("approving an id already in production is an ERROR, not a no-op") {
+    // reference raises ValueError (`approve_datapoint.py:103-106`); a
+    // silent no-op would print "approved" while production is unchanged
     val once = ReviewOps.approve(review, emptyProd, "t1", "debugging", "python", "now")
-    val twice = ReviewOps.approve(review, once, "t1", "debugging", "python", "now")
-    assert(twice.count() === 1)
+      .localCheckpoint()
+    val e = intercept[IllegalStateException] {
+      ReviewOps.approve(review, once, "t1", "debugging", "python", "now")
+    }
+    assert(e.getMessage.contains("already exists in production"))
+  }
+
+  test("approving a task_id absent from review is an ERROR") {
+    val e = intercept[IllegalArgumentException] {
+      ReviewOps.approve(review, emptyProd, "nope", "debugging", "python", "now")
+    }
+    assert(e.getMessage.contains("not found in review"))
   }
 
   test("cancellation artifact carries the full reference record shape") {

@@ -67,6 +67,24 @@ class TableIOSpec extends SparkSpec {
     assert(!Files.exists(java.nio.file.Paths.get(dest + ".old")))
   }
 
+  test("recoverOld restores the table after a crash inside the swap window") {
+    val dir = Files.createTempDirectory("graft-crash").toString
+    val dest = s"$dir/table"
+    import spark.implicits._
+    TableIO.atomicOverwrite(Seq((1, "a")).toDF("id", "v"), dest)
+    // simulate a writer dying between dest→.old and .tmp→dest: the
+    // destination is gone, the data stranded at .old
+    Files.move(java.nio.file.Paths.get(dest), java.nio.file.Paths.get(dest + ".old"))
+    assert(!Files.exists(java.nio.file.Paths.get(dest)))
+    TableIO.recoverOld(dest)
+    assert(spark.read.parquet(dest).count() === 1)
+    assert(!Files.exists(java.nio.file.Paths.get(dest + ".old")))
+    // idempotent: a second reconcile (and one with leftovers after a
+    // successful commit) is a no-op / cleanup
+    TableIO.recoverOld(dest)
+    assert(spark.read.parquet(dest).count() === 1)
+  }
+
   test("csv write with quoteAll round-trips multiline cells") {
     val dir = Files.createTempDirectory("graft-io").toString
     import spark.implicits._

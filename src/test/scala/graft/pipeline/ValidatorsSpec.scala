@@ -21,6 +21,36 @@ object FakeRunner {
   def reset(): Unit = synchronized { log = Vector.empty }
 }
 
+/** Fake that, at `docker build` time, snapshots every file in the build
+  * context — proving the context was materialized BEFORE the build ran
+  * (the temp dir is deleted right after the chain). */
+class ContextCapturingRunner extends ProcessRunner {
+  def run(cmd: Seq[String], timeoutSec: Int): (Int, String) = {
+    FakeRunner.record(cmd)
+    if (cmd.contains("build")) {
+      import scala.jdk.CollectionConverters._
+      val ctx = java.nio.file.Paths.get(cmd.last)
+      val files = java.nio.file.Files.walk(ctx).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => ctx.relativize(p).toString -> java.nio.file.Files.readString(p))
+        .toMap
+      ContextCapture.set(files)
+      (0, "built")
+    }
+    else if (cmd.contains("which")) (0, "/usr/bin/tmux")
+    else if (cmd.contains("/tests/run-tests.sh")) (1, "collected 1 items\n1 failed")
+    else if (cmd.contains("run")) (0, "containerid")
+    else (0, "")
+  }
+}
+
+object ContextCapture {
+  private var s: Option[Map[String, String]] = None
+  def set(m: Map[String, String]): Unit = synchronized { s = Some(m) }
+  def seen: Option[Map[String, String]] = synchronized(s)
+  def reset(): Unit = synchronized { s = None }
+}
+
 class ValidatorsSpec extends SparkSpec {
   import Validators._
 
@@ -31,6 +61,10 @@ class ValidatorsSpec extends SparkSpec {
     assert(parsePytestOutput("collected 2 items\n1 failed, 1 passed") === (2, 1, 1, 0))
     assert(parsePytestOutput("collected 2 items\nsome crash") === (2, 0, 2, 0)) // fallback
     assert(parsePytestOutput("1 error") === (0, 0, 0, 1))
+    // an all-errors run keeps errors as errors — the failed:=collected
+    // fallback applies only when NOTHING was parsed (validators.py:723-725);
+    // otherwise errors==expected would wrongly pass the fail-first check
+    assert(parsePytestOutput("collected 2 items\n2 errors") === (2, 0, 0, 2))
   }
 
   test("fail-first invariant: distinct messages per violation") {
@@ -80,17 +114,71 @@ class ValidatorsSpec extends SparkSpec {
     import spark.implicits._
     val dps = Seq(
       ("allfail", "FROM x\nRUN tmux asciinema", "def test_a():\n  pass\ndef test_b():\n  pass", """{"test_a":0.5,"test_b":0.5}"""),
-      ("onepasses", "FROM x\nRUN tmux asciinema", "def test_a():\n  pass\ndef test_b():\n  pass", """{"test_a":0.5,"test_b":0.5}""")
+      ("otherone", "FROM x\nRUN tmux asciinema", "def test_a():\n  pass\ndef test_b():\n  pass", """{"test_a":0.5,"test_b":0.5}""")
     ).toDF("task_id", "dockerfile", "test_functions", "test_weights")
     FakeRunner.reset()
     val runner = new FakeRunner(Map(
       "build" -> ((0, "built")),
-      "run" -> ((1, "collected 2 items\n2 failed"))))
+      "run" -> ((0, "containerid")),
+      "which" -> ((0, "/usr/bin/tmux")),
+      "/tests/run-tests.sh" -> ((1, "collected 2 items\n2 failed"))))
     val reports = validateAll(spark, dps, runner, workers = 1)
       .collect().map(r => r.task_id -> r).toMap
     assert(reports("allfail").overall)
-    // every datapoint got an rmi cleanup call (V5)
+    // every datapoint got image rmi AND container stop/rm cleanup (V5)
     assert(FakeRunner.calls.count(_.contains("rmi")) === 2)
+    assert(FakeRunner.calls.count(_.contains("stop")) === 2)
+  }
+
+  test("docker build receives a real build context: dockerfile, additional " +
+    "files, and the pytest harness all materialized before the build") {
+    import spark.implicits._
+    val af = """{"app/config.json": "{\"k\": 1}"}"""
+    val dps = Seq(
+      ("ctxdp", "FROM x\nRUN tmux asciinema", "def test_a():\n  pass", """{"test_a":1.0}""", af)
+    ).toDF("task_id", "dockerfile", "test_functions", "test_weights", "additional_files")
+    FakeRunner.reset()
+    ContextCapture.reset()
+    val runner = new ContextCapturingRunner
+    val reports = validateAll(spark, dps, runner, workers = 1)
+      .collect().map(r => r.task_id -> r).toMap
+    assert(reports("ctxdp").stages.exists(s => s.stage == "docker_build" && s.valid))
+    val seen = ContextCapture.seen.getOrElse(fail("build never saw a context"))
+    assert(seen("Dockerfile") === "FROM x\nRUN tmux asciinema")
+    assert(seen("app/config.json") === """{"k": 1}""")
+    assert(seen("tests/test_outputs.py") === "def test_a():\n  pass")
+    assert(seen.contains("tests/setup-pytest.sh"))
+    assert(seen.contains("tests/run-pytest.sh"))
+    assert(seen.contains("run-tests.sh"))
+    // the build command is `-f <ctx>/Dockerfile <ctx>` — never stdin
+    val build = FakeRunner.calls.find(_.contains("build")).get
+    assert(!build.contains("-"))
+    assert(build.contains("-f"))
+    // and docker cp ships the same context into the container at /tests
+    assert(FakeRunner.calls.exists(c => c.contains("cp") && c.last.endsWith(":/tests")))
+  }
+
+  test("malformed additional_files JSON rejects the build before docker runs") {
+    import spark.implicits._
+    val dps = Seq(
+      ("badjson", "FROM x\nRUN tmux asciinema", "def test_a():\n  pass", """{"test_a":1.0}""", "[1,2]")
+    ).toDF("task_id", "dockerfile", "test_functions", "test_weights", "additional_files")
+    FakeRunner.reset()
+    val reports = validateAll(spark, dps, new FakeRunner(Map.empty), workers = 1)
+      .collect().map(r => r.task_id -> r).toMap
+    val buildStage = reports("badjson").stages.find(_.stage == "docker_build").get
+    assert(!buildStage.valid)
+    assert(buildStage.message.contains("not a JSON object"))
+    assert(FakeRunner.calls.isEmpty) // no docker command ever ran
+  }
+
+  test("hostile additional_files paths cannot escape the build context") {
+    val dir = java.nio.file.Files.createTempDirectory("ctx-escape-")
+    try {
+      val err = BuildContext.materialize(dir, "FROM x",
+        """{"../../etc/evil": "x"}""", "def test_a(): pass")
+      assert(err.exists(_.contains("escapes build context")))
+    } finally BuildContext.deleteRecursive(dir)
   }
 
   test("verifiedDataset = chain + semi-join, docker-free") {

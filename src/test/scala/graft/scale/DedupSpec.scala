@@ -45,6 +45,32 @@ class DedupSpec extends SparkSpec {
     assert(pairs((1L, 2L)) === 0)
   }
 
+  test("simhashPairs blocking is COMPLETE: blocked result equals the exact " +
+    "O(n²) hamming join for every maxDist, including chunk-shrinking ones") {
+    val spark2 = spark
+    import spark2.implicits._
+    // enough docs with word-level perturbations to populate many distances
+    val base = "the quick brown fox jumps over the lazy dog near the old river bank today".split(" ")
+    val corpus = (0 until 40).map { i =>
+      val ws = base.zipWithIndex.map { case (w, j) =>
+        if ((i + j) % 7 == 0) s"${w}$i" else w
+      }
+      (i.toLong, ws.mkString(" "))
+    }.toDF("doc_id", "text")
+    val sig = Dedup.simhash(corpus).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (maxDist <- Seq(3, 5, 17)) {
+      val exact = (for {
+        a <- sig.keys; b <- sig.keys if a < b
+        d = java.lang.Long.bitCount(sig(a) ^ sig(b)) if d <= maxDist
+      } yield (a, b, d)).toSet
+      val blocked = Dedup.simhashPairs(corpus, maxDist).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(blocked === exact, s"maxDist=$maxDist")
+    }
+    // pigeonhole needs maxDist+1 chunks, so 60-bit sigs cap at 59
+    intercept[IllegalArgumentException](Dedup.simhashPairs(corpus, 60))
+  }
+
   test("ngram jaccard: identical docs at 1.0, near dup high, stranger absent or low") {
     val j = Dedup.ngramJaccard(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
