@@ -13,9 +13,11 @@ object SparkEntry {
 
   val modules: Seq[QueryModule] = Seq(
     graft.ops.CoreQueries,
+    graft.ops.TemporalOps,
     graft.scale.Dedup,
     graft.scale.Similarity,
-    graft.scale.TextAnalysis
+    graft.scale.TextAnalysis,
+    graft.scale.Skew
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,147 @@
+package graft.ops
+
+import graft.{QueryModule, Tables => T}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Temporal join operators the built-in API lacks as single verbs —
+  * as-of join and bounded range join — composed from union + window and
+  * bin-bucketed equi-joins so they stay one-shuffle at 100 TB (north
+  * star; no reference counterpart — the reference has no temporal
+  * joins at all, SURVEY §2.3).
+  *
+  * Scale design:
+  *  - [[asofJoin]] is the union-tag trick: tag right rows 0 / left rows
+  *    1, shuffle ONCE by key, sort by (ts, tag) inside each partition,
+  *    and carry the latest right payload forward with
+  *    `last(ignoreNulls)` over rows-unbounded-preceding. No n² pair
+  *    blowup, no per-left-row probe: exactly the sort-merge work a
+  *    native as-of join does. Skewed keys sort within their partition —
+  *    data per KEY (not per partition) must fit the sort spill path,
+  *    which Spark handles by spilling.
+  *  - [[rangeJoin]] buckets time into window-sized bins: a right row
+  *    lands in bin ⌊t/W⌋, a left interval [t, t+W] can only intersect
+  *    bins ⌊t/W⌋ and ⌊t/W⌋+1, so the candidate join is an EQUI-join on
+  *    (key, bin) — shuffle volume O(rows), never the cross product —
+  *    followed by the exact range filter. Each (left,right) pair meets
+  *    in exactly one bin, so no dedup pass is needed.
+  */
+object TemporalOps extends QueryModule {
+
+  /** As-of join: for every left row, attach `rightPayload` from the
+    * latest right row with the same `keys` and `right.ts <= left.ts`
+    * (inclusive — a tie counts as a match, like DuckDB's
+    * `ASOF JOIN ... ON l.ts >= r.ts`). Left-outer: unmatched left rows
+    * keep nulls. Payload columns come back suffixed with `suffix`.
+    * Among right rows tied on ts the last by payload order wins —
+    * callers needing a specific tiebreak should pre-dedupe (keys, ts).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String, rightPayload: Seq[String],
+               suffix: String = "_r"): DataFrame = {
+    val leftStruct = struct(left.columns.map(col): _*)
+    val payloadType = StructType(right.select(rightPayload.map(col): _*).schema)
+    val l = left.select(
+      (keys.map(col) :+ col(leftTs).as("__t") :+ lit(1).as("__side") :+
+        leftStruct.as("__l") :+ lit(null).cast(payloadType).as("__rp")): _*)
+    val r = right.select(
+      (keys.map(col) :+ col(rightTs).as("__t") :+ lit(0).as("__side") :+
+        lit(null).cast(StructType(left.schema)).as("__l") :+
+        struct(rightPayload.map(col): _*).as("__rp")): _*)
+    // ORDER (ts, side): at equal ts the right row (0) sorts before the
+    // left row (1), so ties are visible to the carry-forward
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("__c", last(col("__rp"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(left.columns.map(c => col(s"__l.$c").as(c)) ++
+        rightPayload.map(p => col(s"__c.$p").as(s"$p$suffix")): _*)
+  }
+
+  /** Bounded range join (inner): pairs of (left, right) rows sharing
+    * `keys` with `right.ts` in `[left.ts, left.ts + windowSec]`, both
+    * ends inclusive. Right columns in `rightPayload` come back
+    * suffixed. Implementation is the 2-bin bucketing equi-join
+    * described above. */
+  def rangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                leftTs: String, rightTs: String, windowSec: Long,
+                rightPayload: Seq[String], suffix: String = "_r"): DataFrame = {
+    def bin(ts: Column): Column = floor(ts.cast("double") / windowSec.toDouble)
+    val l = left.withColumn("__bin",
+      explode(array(bin(col(leftTs)), bin(col(leftTs)) + 1)))
+    val r = right.select(
+      (keys.map(col) :+ bin(col(rightTs)).as("__bin") :+
+        col(rightTs).as("__rt") :+
+        struct(rightPayload.map(col): _*).as("__rp")): _*)
+    l.join(r, keys :+ "__bin")
+      .filter(col("__rt") >= col(leftTs) &&
+        col("__rt") <= col(leftTs) + expr(s"INTERVAL $windowSec SECONDS"))
+      .select(left.columns.map(col) ++
+        rightPayload.map(p => col(s"__rp.$p").as(s"$p$suffix")): _*)
+  }
+
+  // ---- driver-gate queries ----
+
+  /** q43: for each purchase event, the latest click (value + time) by
+    * the same user at or before the purchase. */
+  def q43AsofJoin(s: SparkSession, d: String): DataFrame = {
+    val e = T.events(s, d)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"))
+    asofJoin(purchases, clicks, Seq("user_id"), "ts", "ts", Seq("ts", "value"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("ts_r").as("click_ts"), col("value_r").as("click_value"))
+  }
+
+  /** q45: per purchase, how many error events the same user hit within
+    * the following 5 minutes (zero-count purchases included). */
+  def q45RangeJoin(s: SparkSession, d: String): DataFrame = {
+    val e = T.events(s, d)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"))
+    val pairs = rangeJoin(purchases, errors, Seq("user_id"), "ts", "ts",
+      windowSec = 300L, rightPayload = Seq("ts"))
+    val counts = pairs.groupBy(col("event_id")).agg(count(lit(1)).as("n"))
+    purchases.join(counts, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("n"), lit(0L)).as("n_errors"))
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_asof_join" -> q43AsofJoin,
+    "q45_range_join" -> q45RangeJoin
+  )
+
+  // CAST(ts AS TIMESTAMP) truncates DuckDB's TIMESTAMP_NS to micros —
+  // the same precision Tables.events hands Spark, so both engines
+  // compare identical instants (NOTES: events is TIMESTAMP(NANOS)).
+  override val oracle: Map[String, String] = Map(
+    "q43_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    event_type, value FROM events),
+        |p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, value FROM e WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts,
+        |  c.ts AS click_ts, c.value AS click_value
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+    "q45_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    event_type FROM events),
+        |p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase'),
+        |x AS (SELECT user_id, ts FROM e WHERE event_type = 'error')
+        |SELECT p.event_id, p.user_id, COUNT(x.ts) AS n_errors
+        |FROM p LEFT JOIN x
+        |  ON p.user_id = x.user_id AND x.ts >= p.ts
+        | AND x.ts <= p.ts + INTERVAL 300 SECOND
+        |GROUP BY 1, 2""".stripMargin
+  )
+}

@@ -1,0 +1,75 @@
+package graft.scale
+
+import graft.{QueryModule, Tables => T}
+import graft.functions.PortableFuncs.{exactSum, exactSumSql}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for shuffle joins (north star; no reference
+  * counterpart — the reference joins Python dicts).
+  *
+  * A shuffled equi-join sends every row of one key to one reducer; a
+  * hot key (the classic 100 TB failure mode: one user / one null-ish
+  * default id holding 1% of the table) turns that reducer into the
+  * whole job's straggler. [[saltedJoin]] splits each hot key's rows
+  * across `salts` reducers by appending a routing salt to the join key
+  * on the big side and replicating the small side once per salt —
+  * shuffle volume grows by ×salts on the SMALL side only, and the big
+  * side's hot key now parallelizes ~salts-wide. AQE's skew-join
+  * splitting (`spark.sql.adaptive.skewJoin`) does this adaptively for
+  * sort-merge joins; the explicit operator covers the cases AQE can't
+  * see (pre-aggregated exchanges, deterministic plans, non-SMJ shapes)
+  * and makes the technique a testable first-class verb.
+  */
+object Skew extends QueryModule {
+
+  /** Equi-join `left` (large, possibly skewed) to `right` (smaller) on
+    * `leftKey === rightKey`, routing each left row to one of `salts`
+    * sub-partitions per key and replicating right rows to all of them.
+    * Produces exactly the rows of the unsalted join (salt only routes;
+    * it never changes the match set). Inner or left-outer.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, leftKey: String,
+                 rightKey: String, salts: Int,
+                 joinType: String = "inner"): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1: $salts")
+    // the salt is routing-only, so any per-row value works; a hash of
+    // the row id spreads a hot key's rows evenly without needing a
+    // second column from the caller
+    val l = left.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)))
+    val r = right.withColumn("__salt",
+      explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
+    l.join(r, l(leftKey) === r(rightKey) && l("__salt") === r("__salt"), joinType)
+      .drop("__salt")
+  }
+
+  /** q44: revenue by order priority over the lineitem⋈orders join,
+    * executed through the salted path (8-way). Result is identical to
+    * the plain join — that identity IS the correctness property the
+    * oracle checks. */
+  def q44SaltedJoin(s: SparkSession, d: String): DataFrame = {
+    val li = Layout.widen(T.lineitem(s, d))
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val ord = T.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+    saltedJoin(li, ord, "l_orderkey", "o_orderkey", salts = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_salted_join" -> q44SaltedJoin
+  )
+
+  override val oracle: Map[String, String] = Map(
+    "q44_salted_join" ->
+      s"""SELECT o_orderpriority,
+         |  ROUND(${exactSumSql("l_extendedprice*(1.0-l_discount)")}, 2) AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY 1""".stripMargin
+  )
+}
