@@ -49,6 +49,11 @@ class TaskStore(staleAfter: Duration = Duration.ofHours(24),
 
   private var tasks = Vector.empty[Task]
 
+  /** Version of the snapshot this store was loaded from (0 = fresh
+    * store, no snapshot seen). [[save]] CAS-checks it against the
+    * destination before committing. */
+  private var loadedVersion: Long = 0L
+
   def createTask(taskType: String, parentId: Option[String] = None,
                  data: Map[String, String] = Map.empty,
                  id: Option[String] = None): Task = synchronized {
@@ -148,9 +153,26 @@ class TaskStore(staleAfter: Duration = Duration.ofHours(24),
       .withColumnRenamed("parentId", "parent_id")
   }
 
-  /** Versioned parquet commit of the store (S6). */
-  def save(spark: SparkSession, dir: String): Unit =
+  /** Versioned parquet commit of the store (S6) with a compare-and-swap
+    * guard: the commit only proceeds if the destination still holds the
+    * version this store loaded, so a writer that raced another writer's
+    * load→mutate→save cycle fails loudly instead of silently clobbering
+    * the other's commit (lost update). Under [[TableIO.withLock]] (the
+    * CLI path) the check is airtight; without the lock it detects —
+    * rather than prevents — the conflict, which still converts data
+    * loss into a retryable error. On conflict: reload and re-apply. */
+  def save(spark: SparkSession, dir: String): Unit = synchronized {
+    val current = TaskStore.versionOf(dir)
+    if (current != loadedVersion)
+      throw new java.util.ConcurrentModificationException(
+        s"task store at $dir is at version $current, but this store loaded " +
+          s"version $loadedVersion — another writer committed in between; " +
+          "reload and re-apply")
     TableIO.atomicOverwrite(toDF(spark), dir)
+    loadedVersion += 1
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, TaskStore.VersionFile), loadedVersion.toString)
+  }
 
   private def mutate(id: String)(pf: PartialFunction[Task, Task]): Boolean = {
     val idx = tasks.indexWhere(_.id == id)
@@ -163,10 +185,23 @@ class TaskStore(staleAfter: Duration = Duration.ofHours(24),
 }
 
 object TaskStore {
+  private[pipeline] val VersionFile = "_GRAFT_VERSION"
+
+  /** Current committed version of a snapshot dir (0 if none). A crash
+    * between the table commit and the version write resets to 0, which
+    * makes every in-flight store's CAS fail — the safe direction. */
+  def versionOf(dir: String): Long = {
+    val p = java.nio.file.Paths.get(dir, VersionFile)
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.readString(p).trim.toLong
+    else 0L
+  }
+
   /** Restore from a parquet snapshot written by [[TaskStore.save]]. */
   def load(spark: SparkSession, dir: String,
            staleAfter: Duration = Duration.ofHours(24)): TaskStore = {
     val store = new TaskStore(staleAfter)
+    store.loadedVersion = versionOf(dir)
     val rows = spark.read.parquet(dir).collect()
     rows.foreach { r =>
       def opt(c: String): Option[String] = Option(r.getAs[String](c))

@@ -93,19 +93,56 @@ object Multimodal {
     } else None
   }
 
+  /** REAL audio-header decode for WAV (RIFF) containers — pure chunk
+    * walking, no codec libraries: find the `fmt ` chunk (channels,
+    * sample rate, bits/sample) and the `data` chunk (payload length),
+    * from which duration follows exactly. Returns None for non-RIFF
+    * payloads — those fall back to [[stubDecode]]'s synthetic values.
+    */
+  def decodeWavHeader(p: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    def u32le(i: Int): Long = (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8) |
+      ((p(i + 2) & 0xffL) << 16) | ((p(i + 3) & 0xffL) << 24)
+    def u16le(i: Int): Int = (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
+    if (p.length < 44) return None
+    if (!(p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+          p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E')) return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
+    var dataLen: Option[Long] = None
+    while (i + 8 <= p.length && (fmt.isEmpty || dataLen.isEmpty)) {
+      val id = new String(p, i, 4, "US-ASCII")
+      val len = u32le(i + 4)
+      // fmt chunk: format(2) channels(2) rate(4) byterate(4) align(2) bits(2)
+      if (id == "fmt " && i + 24 <= p.length)
+        fmt = Some((u16le(i + 10), u32le(i + 12).toInt, u16le(i + 22)))
+      else if (id == "data") dataLen = Some(len)
+      i += 8 + len.toInt + (len.toInt & 1) // RIFF chunks are word-aligned
+    }
+    for { (ch, rate, bits) <- fmt; dl <- dataLen if rate > 0 && ch > 0 && bits > 0 }
+      yield (rate, ch, bits, dl)
+  }
+
   /** STUB decode kernel — deterministic fake standing in for the real
     * native decoder for formats whose decode needs codec libraries not
     * in this container (video frames, audio resampling; returns
     * synthetic dimensions derived from the payload hash so tests are
-    * stable). PNG/JPEG dimensions are decoded for REAL by
-    * [[decodeImageHeader]]; a full decoder replaces ONLY this function,
-    * the Spark plumbing around it is unchanged.
+    * stable). PNG/JPEG dimensions ([[decodeImageHeader]]) and WAV
+    * sample-rate/duration ([[decodeWavHeader]]) are decoded for REAL;
+    * a full decoder replaces ONLY this function, the Spark plumbing
+    * around it is unchanged.
     */
   def stubDecode(assetId: Long, kind: String, payload: Array[Byte]): MediaMeta = {
     if (kind == "image") {
       decodeImageHeader(payload).foreach { case (w, h) =>
         return MediaMeta(assetId, kind, w, h, 1, 0, 0L, payload.length.toLong,
           f"${java.util.Arrays.hashCode(payload)}%08x")
+      }
+    }
+    if (kind == "audio") {
+      decodeWavHeader(payload).foreach { case (rate, ch, bits, dataLen) =>
+        val durMs = dataLen * 8L * 1000L / (rate.toLong * ch * bits)
+        return MediaMeta(assetId, kind, 0, 0, 0, rate, durMs,
+          payload.length.toLong, f"${java.util.Arrays.hashCode(payload)}%08x")
       }
     }
     val h = java.util.Arrays.hashCode(payload).abs.toLong

@@ -89,4 +89,45 @@ class TaskStoreSpec extends SparkSpec {
       && t1.data === Map("k" -> "v"))
     assert(back.getTask("t2").get.parentId.contains("t1"))
   }
+
+  test("CAS versioning: a racing writer's save fails loudly, not silently") {
+    val store = new TaskStore()
+    store.createTask("draft_dp", id = Some("t1"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-cas").toString + "/tasks"
+    store.save(spark, dir) // version 1
+
+    // two drivers load the same snapshot, both mutate
+    val a = TaskStore.load(spark, dir)
+    val b = TaskStore.load(spark, dir)
+    a.createTask("draft_dp", id = Some("from_a"))
+    b.createTask("draft_dp", id = Some("from_b"))
+
+    a.save(spark, dir) // first committer wins (version 2)
+    val e = intercept[java.util.ConcurrentModificationException] {
+      b.save(spark, dir) // lost-update attempt must NOT clobber a's commit
+    }
+    assert(e.getMessage.contains("another writer committed"))
+    // a's commit survived; b's never landed
+    val back = TaskStore.load(spark, dir)
+    assert(back.getTask("from_a").isDefined)
+    assert(back.getTask("from_b").isEmpty)
+    // b recovers by reloading and re-applying
+    val b2 = TaskStore.load(spark, dir)
+    b2.createTask("draft_dp", id = Some("from_b"))
+    b2.save(spark, dir)
+    assert(TaskStore.load(spark, dir).getTask("from_b").isDefined)
+    assert(TaskStore.versionOf(dir) === 3L)
+  }
+
+  test("a fresh store cannot clobber an existing snapshot it never loaded") {
+    val store = new TaskStore()
+    store.createTask("draft_dp", id = Some("t1"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-cas2").toString + "/tasks"
+    store.save(spark, dir)
+    val fresh = new TaskStore()
+    fresh.createTask("draft_dp", id = Some("other"))
+    intercept[java.util.ConcurrentModificationException] {
+      fresh.save(spark, dir)
+    }
+  }
 }

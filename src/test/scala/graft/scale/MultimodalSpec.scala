@@ -74,6 +74,31 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.width === 640 && meta.height === 480 && meta.n_frames === 1)
   }
 
+  test("real header decode: WAV fmt/data chunks give rate and exact duration") {
+    // 16-bit stereo 8kHz WAV with 1600 data bytes = 50ms of audio,
+    // plus a LIST chunk before data to exercise the chunk walk
+    def u32le(v: Long) = Array((v & 0xff).toInt, ((v >> 8) & 0xff).toInt,
+      ((v >> 16) & 0xff).toInt, ((v >> 24) & 0xff).toInt)
+    def u16le(v: Int) = Array(v & 0xff, (v >> 8) & 0xff)
+    val dataBytes = 1600
+    val wav = (Array('R'.toInt, 'I', 'F', 'F') ++ u32le(36 + 6 + dataBytes) ++
+      Array('W'.toInt, 'A', 'V', 'E') ++
+      Array('f'.toInt, 'm', 't', ' ') ++ u32le(16) ++
+      u16le(1) ++ u16le(2) ++ u32le(8000) ++ u32le(8000 * 2 * 2) ++
+      u16le(4) ++ u16le(16) ++
+      Array('L'.toInt, 'I', 'S', 'T') ++ u32le(4) ++ Array(1, 2, 3, 4) ++
+      Array('d'.toInt, 'a', 't', 'a') ++ u32le(dataBytes) ++
+      Array.fill(dataBytes)(0)).map(_.toByte)
+    assert(Multimodal.decodeWavHeader(wav) === Some((8000, 2, 16, 1600L)))
+    val meta = Multimodal.stubDecode(9L, "audio", wav)
+    // 1600 bytes / (8000 Hz * 2 ch * 2 B) = 50 ms exactly
+    assert(meta.sample_rate === 8000 && meta.duration_ms === 50L)
+    // non-RIFF audio falls back to the stub's synthetic values
+    assert(Multimodal.decodeWavHeader("not audio at all".getBytes) === None)
+    val stub = Multimodal.stubDecode(9L, "audio", "not audio at all - long enough to be a payload".getBytes)
+    assert(stub.sample_rate === 16000)
+  }
+
   test("corpus media stats aggregate without touching payloads") {
     val stats = Multimodal.corpusMediaStats(Multimodal.decode(spark, assets))
     val byKind = stats.collect().map(r => r.getAs[String]("kind") -> r).toMap
