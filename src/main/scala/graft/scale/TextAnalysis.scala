@@ -42,16 +42,45 @@ object TextAnalysis extends QueryModule {
       (Seq(col("doc_id"), col("lang")) ++
         stopwords.map { case (l, list) => stopHits(ws, list).as(s"score_$l") }): _*)
     val langs = stopwords.map(_._1)
-    val pred = langs.init.foldRight(lit(langs.last): Column) { (l, rest) =>
-      val geAll = langs.filter(_ != l)
-        .map(o => col(s"score_$l") >= col(s"score_$o"))
-        .reduce(_ && _)
-      when(geAll, lit(l)).otherwise(rest)
-    }
+    val pred = argmaxLang(langs, l => col(s"score_$l"))
     scored.select(
       (Seq(col("doc_id"), col("lang")) ++
         langs.map(l => col(s"score_$l")) ++
         Seq(pred.as("pred_lang"))): _*)
+  }
+
+  /** Characteristic character n-grams per language — the classic
+    * Cavnar-Trenkle-style profile signal, sub-word where [[stopwords]]
+    * is word-level; counts are non-overlapping substring occurrences,
+    * identical semantics in Spark's regexp_count and DuckDB's
+    * regexp_extract_all. */
+  val charNgrams: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("th", "ing", "wh", "ow"),
+    "de" -> Seq("sch", "ich", "ung", "ei"),
+    "fr" -> Seq("eur", "que", "oux", "ai"),
+    "es" -> Seq("cion", "ado", "os", "ar")
+  )
+
+  private def argmaxLang(langs: Seq[String], score: String => Column): Column =
+    langs.init.foldRight(lit(langs.last): Column) { (l, rest) =>
+      val geAll = langs.filter(_ != l).map(o => score(l) >= score(o)).reduce(_ && _)
+      when(geAll, lit(l)).otherwise(rest)
+    }
+
+  /** Doc-level language ID from character n-gram profiles, rolled up as
+    * a label × prediction confusion matrix — the aggregate a corpus
+    * audit reads. Pure projection + one hash-aggregate. */
+  def langNgramConfusion(docs0: DataFrame): DataFrame = {
+    val docs = widen(docs0)
+    val t = lower(col("text"))
+    val scored = docs.select(
+      (Seq(col("doc_id"), col("lang")) ++
+        charNgrams.map { case (l, ngs) =>
+          ngs.map(ng => regexp_count(t, lit(ng))).reduce(_ + _).as(s"ng_$l")
+        }): _*)
+    val pred = argmaxLang(charNgrams.map(_._1), l => col(s"ng_$l"))
+    scored.groupBy(col("lang"), pred.as("pred_lang"))
+      .agg(count(lit(1)).as("n"))
   }
 
   /** Quality scoring: length / punctuation / stopword / word-shape
@@ -124,7 +153,8 @@ object TextAnalysis extends QueryModule {
     "q34_quality_score" -> ((s, d) => qualityScore(T.documents(s, d))),
     "q35_token_count" -> ((s, d) => tokenCount(T.documents(s, d))),
     "q36_fingerprint" -> ((s, d) => fingerprint(T.documents(s, d))),
-    "q37_corpus_stats" -> ((s, d) => corpusStats(T.documents(s, d)))
+    "q37_corpus_stats" -> ((s, d) => corpusStats(T.documents(s, d))),
+    "q46_lang_ngram" -> ((s, d) => langNgramConfusion(T.documents(s, d)))
   )
 
   private val normSql =
@@ -188,6 +218,23 @@ object TextAnalysis extends QueryModule {
          |      list_transform(ws, x -> CAST('0x' || substr(md5(x),1,15) AS BIGINT) % 2147483647)),
          |    (acc, h) -> (acc * 31 + h) % 2147483647) AS fp_rolling
          |FROM w""".stripMargin,
+    "q46_lang_ngram" -> {
+      val langs = charNgrams.map(_._1)
+      val scoreSql = charNgrams.map { case (l, ngs) =>
+        ngs.map(ng => s"len(regexp_extract_all(lower(text), '$ng'))")
+          .mkString("(", " + ", s") AS ng_$l")
+      }.mkString(",\n  ")
+      val cases = langs.init.map { l =>
+        val geAll = langs.filter(_ != l).map(o => s"ng_$l >= ng_$o").mkString(" AND ")
+        s"WHEN $geAll THEN '$l'"
+      }.mkString(" ")
+      s"""WITH s AS (SELECT doc_id, lang,
+         |  $scoreSql
+         |FROM documents)
+         |SELECT lang, CASE $cases ELSE '${langs.last}' END AS pred_lang,
+         |  COUNT(*) AS n
+         |FROM s GROUP BY 1, 2""".stripMargin
+    },
     "q37_corpus_stats" ->
       """SELECT lang, source, COUNT(*) AS n_docs,
         |  ROUND(AVG(n_chars), 2) AS avg_chars,
