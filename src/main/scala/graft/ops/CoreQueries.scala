@@ -29,8 +29,12 @@ object CoreQueries extends QueryModule {
     * aggregation; reference: per-status counters `task_manager.py:348-376`
     * and weight sums `validators.py:303-315`. */
   def q01PricingSummary(s: SparkSession, d: String): DataFrame =
-    T.lineitem(s, d)
-      .filter(col("l_shipdate") <= ts("2024-06-30 00:00:00"))
+    // widen AFTER the filter: the predicate still pushes into the scan,
+    // and the decimal-heavy partial aggregation runs on all cores even
+    // when the file is a single row group (no-op at real scale)
+    graft.scale.Layout.widen(
+      T.lineitem(s, d)
+        .filter(col("l_shipdate") <= ts("2024-06-30 00:00:00")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         // exactSum: decimal accumulation is associative, so the result

@@ -118,15 +118,18 @@ object Similarity extends QueryModule {
       .select(col("vec_id").as("cell_id"), toDoubleArray(col("embedding")).as("cv"))
     val vecs = Layout.widen(emb)
       .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos").desc, col("cell_id").asc)
+    // argmax as an AGGREGATE, not a window: max_by over (cos, -cell_id)
+    // picks highest cosine with lowest-cell-id tie-break — identical to
+    // the row_number() formulation but with map-side partial aggregation
+    // instead of shuffling + sorting all corpus×cells rows (at 100 TB
+    // that's the difference between moving O(corpus) pre-aggregated
+    // rows and O(corpus × cells) sort input)
     vecs.join(broadcast(cents))
       .select(col("vec_id"), col("cell_id"),
         (dotProduct(col("v"), col("cv")) /
           (l2Norm(col("v")) * l2Norm(col("cv")))).as("cos"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 1)
-      .select(col("vec_id"), col("cell_id"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cell_id"), struct(col("cos"), -col("cell_id"))).as("cell_id"))
   }
 
   /** ANN via IVF: per query, probe the `nProbes` closest cells and
