@@ -41,11 +41,17 @@ case class Task(
   * it runs as a distributed Dataset job ([[Validators]]).
   */
 class TaskStore(staleAfter: Duration = Duration.ofHours(24),
-                clock: () => Instant = () => Instant.now()) {
+                clock: () => Instant = () => Instant.now(),
+                val workflowType: String = "generic") {
 
   private val iso = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
     .withZone(ZoneOffset.UTC)
   private def now(): String = iso.format(clock())
+
+  /** Workflow-level metadata (`task_manager.py:51-62`): initialized_at /
+    * last_updated plus whatever callers merge in. */
+  private var metadata: Map[String, String] =
+    Map("initialized_at" -> now(), "last_updated" -> now())
 
   private var tasks = Vector.empty[Task]
 
@@ -120,6 +126,15 @@ class TaskStore(staleAfter: Duration = Duration.ofHours(24),
   def typeCounts: Map[String, Long] =
     synchronized(tasks.groupBy(_.taskType).view.mapValues(_.size.toLong).toMap)
 
+  /** Merge metadata into the workflow header — the ninth TaskManager
+    * API (`task_manager.py:378-391`); `last_updated` bumps on every
+    * merge, as `_save_state` does. */
+  def updateWorkflowMetadata(m: Map[String, String]): Unit = synchronized {
+    metadata = metadata ++ m + ("last_updated" -> now())
+  }
+
+  def workflowMetadata: Map[String, String] = synchronized(metadata)
+
   /** Merge data into a task (M8; `task_manager.py:393-416`). */
   def updateTaskData(id: String, data: Map[String, String]): Boolean = synchronized {
     mutate(id) { case t => t.copy(data = t.data ++ data, updatedAt = Some(now())) }
@@ -172,6 +187,13 @@ class TaskStore(staleAfter: Duration = Duration.ofHours(24),
     loadedVersion += 1
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(dir, TaskStore.VersionFile), loadedVersion.toString)
+    updateWorkflowMetadata(Map.empty) // bump last_updated, as _save_state does
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, TaskStore.MetaFile),
+      mapper.writeValueAsString(
+        (metadata + ("workflow_type" -> workflowType)).asJava))
   }
 
   private def mutate(id: String)(pf: PartialFunction[Task, Task]): Boolean = {
@@ -186,6 +208,7 @@ class TaskStore(staleAfter: Duration = Duration.ofHours(24),
 
 object TaskStore {
   private[pipeline] val VersionFile = "_GRAFT_VERSION"
+  private[pipeline] val MetaFile = "_GRAFT_META"
 
   /** Current committed version of a snapshot dir (0 if none). A crash
     * between the table commit and the version write resets to 0, which
@@ -200,8 +223,20 @@ object TaskStore {
   /** Restore from a parquet snapshot written by [[TaskStore.save]]. */
   def load(spark: SparkSession, dir: String,
            staleAfter: Duration = Duration.ofHours(24)): TaskStore = {
-    val store = new TaskStore(staleAfter)
+    val metaPath = java.nio.file.Paths.get(dir, MetaFile)
+    val meta: Map[String, String] =
+      if (java.nio.file.Files.exists(metaPath)) {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readString(metaPath))
+        val it = node.fields()
+        val b = Map.newBuilder[String, String]
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
+        b.result()
+      } else Map.empty
+    val store = new TaskStore(staleAfter,
+      workflowType = meta.getOrElse("workflow_type", "generic"))
     store.loadedVersion = versionOf(dir)
+    if (meta.nonEmpty) store.metadata = meta - "workflow_type"
     val rows = spark.read.parquet(dir).collect()
     rows.foreach { r =>
       def opt(c: String): Option[String] = Option(r.getAs[String](c))

@@ -57,6 +57,33 @@ class PlanAuditSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(s).length === 2)
   }
 
+  test("asofJoin plans ONE shuffle by key and no cartesian product") {
+    val s = planOf(TemporalOps.q43AsofJoin(spark, sf))
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"as-of join must not cross-join:\n$s")
+    // union-tag formulation: the only wide op is the window's
+    // hashpartitioning exchange on the join key
+    assert(s.contains("Window"), s"expected window carry-forward in:\n$s")
+    assert("hashpartitioning\\(user_id".r.findAllIn(s).length >= 1)
+  }
+
+  test("rangeJoin is an equi-join on (key, bin) — never a cartesian") {
+    val s = planOf(TemporalOps.q45RangeJoin(spark, sf))
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"range join must stay an equi-join:\n$s")
+  }
+
+  test("ivfCells assignment aggregates partial+final — the exchange moves " +
+    "pre-aggregated rows, and no window appears") {
+    val s = planOf(graft.scale.Similarity.ivfCells(
+      graft.Tables.embeddings(spark, sf)))
+    // max_by buffers plan as SortAggregate: map-side partial_max_by
+    // BEFORE the exchange is the scale property (shuffle volume is one
+    // row per (group, map partition), not corpus × cells rows)
+    assert(s.contains("partial_max_by"), s"expected map-side partial agg in:\n$s")
+    assert(!s.contains("Window"), s"assignment must not sort-window:\n$s")
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline of q02") {
     val s = planOf(CoreQueries.q02FilterProject(spark, sf))
     // '*(n)' marks a WholeStageCodegen stage; tree prefixes like '+-' precede it

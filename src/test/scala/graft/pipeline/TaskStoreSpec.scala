@@ -119,6 +119,20 @@ class TaskStoreSpec extends SparkSpec {
     assert(TaskStore.versionOf(dir) === 3L)
   }
 
+  test("workflow metadata merges, bumps last_updated, and round-trips") {
+    val store = new TaskStore(workflowType = "dp_generation")
+    store.createTask("seed_dp", id = Some("t1"))
+    store.updateWorkflowMetadata(Map("phase" -> "ideation"))
+    assert(store.workflowMetadata("phase") === "ideation")
+    assert(store.workflowMetadata.contains("initialized_at"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-meta").toString + "/tasks"
+    store.save(spark, dir)
+    val back = TaskStore.load(spark, dir)
+    assert(back.workflowType === "dp_generation")
+    assert(back.workflowMetadata("phase") === "ideation")
+    assert(back.workflowMetadata.contains("last_updated"))
+  }
+
   test("a fresh store cannot clobber an existing snapshot it never loaded") {
     val store = new TaskStore()
     store.createTask("draft_dp", id = Some("t1"))
