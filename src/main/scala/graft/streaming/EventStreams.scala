@@ -116,6 +116,30 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream time-interval join: attach the clicks from the
+    * `lookbackMin` minutes at-or-before each purchase by the same user
+    * — the streaming analogue of the batch
+    * [[graft.ops.TemporalOps.rangeJoin]]. Both sides carry watermarks
+    * and the join condition bounds event-time distance, so Spark can
+    * purge join state as the watermark advances — state stays
+    * O(watermark horizon), never unbounded. */
+  def intervalJoin(events: DataFrame, lookbackMin: Int = 10): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("value").as("click_value"))
+      .withWatermark("c_ts", "2 hours")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $lookbackMin MINUTES") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("p_ts"), col("c_ts"), col("click_value"))
+  }
+
   /** Write a streaming aggregate to parquet, partitioned by the window
     * key — idempotent re-writes per window make the sink effectively
     * exactly-once under replay. */

@@ -138,6 +138,28 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches clicks inside the lookback only") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = EventStreams.intervalJoin(src.toDF(), lookbackMin = 10)
+      .writeStream.format("memory").queryName("ij").outputMode("append").start()
+    try {
+      src.addData(
+        Event(1, Timestamp.valueOf("2026-01-01 09:50:00"), 1, "click", 1.0), // outside lookback
+        Event(2, ts(0), 1, "click", 2.0),       // 10:00 — inside
+        Event(3, ts(5), 1, "click", 3.0),       // 10:05 — inside
+        Event(4, ts(9), 2, "click", 4.0),       // other user
+        Event(5, ts(8), 1, "purchase", 99.0),   // 10:08
+        Event(6, ts(9), 1, "click", 5.0))       // 10:09 — after the purchase
+      q.processAllAvailable()
+      val got = spark.table("ij").collect()
+        .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Double]("click_value"))).toSet
+      assert(got === Set((5L, 2.0), (5L, 3.0)))
+    } finally q.stop()
+  }
+
   test("file source streams the events table with converted timestamps") {
     val stream = EventStreams.fileSource(spark, "/root/testdata/sf0.001")
     assert(stream.isStreaming)
