@@ -166,13 +166,46 @@ object Similarity extends QueryModule {
       .select(col("q_id"), col("c_id"), round(col("cos"), 4).as("cos"), col("rank"))
   }
 
+  /** Int8 scalar quantization audit: per vector, the symmetric scale
+    * (127/max|x|) and the exact reconstruction SSE after
+    * quantize(round-half-up)→dequantize. The compression step a 100 TB
+    * embedding store runs before ANN indexing, with its error budget
+    * measured in the same pass.
+    *
+    * Determinism notes (cross-engine hash-match):
+    *  - round-half-up is written `floor(x·s + 0.5)` — identical IEEE
+    *    semantics in Spark and DuckDB, unlike `round()` half-ties;
+    *  - the error fold is a left-to-right array fold in both engines,
+    *    so double addition order is identical;
+    *  - `mx` is materialized through a generator barrier: a plain
+    *    projected column would be re-inlined into the error lambda by
+    *    CollapseProject and re-fold the whole array per element
+    *    (interpreted HOFs have no CSE).
+    */
+  def quantizeStats(emb: DataFrame): DataFrame = {
+    val v = toDoubleArray(col("embedding"))
+    Layout.widen(emb)
+      .select(col("vec_id"),
+        explode(array(struct(v.as("v"),
+          array_max(transform(v, abs(_))).as("mx")))).as("s"))
+      .select(col("vec_id"), col("s.v").as("v"), col("s.mx").as("mx"))
+      .filter(col("mx") > 0d)
+      .withColumn("scale", lit(127.0) / col("mx"))
+      .select(col("vec_id"), col("mx"), col("scale"),
+        aggregate(col("v"), lit(0.0), (acc, x) => {
+          val recon = floor(x * col("scale") + 0.5d) / col("scale")
+          acc + (x - recon) * (x - recon)
+        }).as("sse"))
+  }
+
   // ---- driver-gate query registry ----
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_knn_brute" -> ((s, d) => knnBrute(T.embeddings(s, d))),
     "q31_lsh_buckets" -> ((s, d) => lshBuckets(T.embeddings(s, d))),
     "q32_ann_lsh" -> ((s, d) => annLsh(T.embeddings(s, d))),
-    "q38_ann_ivf" -> ((s, d) => annIvf(T.embeddings(s, d)))
+    "q38_ann_ivf" -> ((s, d) => annIvf(T.embeddings(s, d))),
+    "q47_quantize_err" -> ((s, d) => quantizeStats(T.embeddings(s, d)))
   )
 
   /** DuckDB literal list for plane p, identical doubles to the plan. */
@@ -228,6 +261,18 @@ object Similarity extends QueryModule {
          |    ORDER BY cos DESC, c_id ASC) AS INTEGER) AS rank FROM pairs)
          |SELECT q_id, c_id, ROUND(cos, 4) AS cos, rank
          |FROM ranked WHERE rank <= $TopK""".stripMargin,
+    "q47_quantize_err" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |  list_max(list_transform(v, x -> abs(x))) AS mx FROM v)
+        |SELECT vec_id, mx, 127.0/mx AS scale,
+        |  list_reduce(
+        |    list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(v, x ->
+        |        (x - floor(x*(127.0/mx) + 0.5)/(127.0/mx))
+        |        * (x - floor(x*(127.0/mx) + 0.5)/(127.0/mx)))),
+        |    (a, b) -> a + b) AS sse
+        |FROM m WHERE mx > 0""".stripMargin,
     "q32_ann_lsh" ->
       s"""WITH b AS (
          |  SELECT vec_id, CAST($bucketSql AS BIGINT) AS bucket,
