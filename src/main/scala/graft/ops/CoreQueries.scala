@@ -327,7 +327,33 @@ object CoreQueries extends QueryModule {
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
         col("n"))
 
+  /** Exact per-group percentiles via percentile_disc — discrete (an
+    * actual data value, no interpolation arithmetic), so the result is
+    * bitwise engine-independent. At scale this is a sort-based
+    * aggregation per group; the group count here is tiny so each group
+    * sorts in parallel partitions. */
+  def q48Percentiles(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("p50"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)").as("p90"),
+        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)").as("p99"),
+        count(lit(1)).as("n"))
+
+  /** Pivot: event counts per user-bucket × event-type — wide-format
+    * reshaping with an explicit value list (required at scale: an
+    * unlisted pivot needs an extra distinct pass over the data). */
+  def q49Pivot(s: SparkSession, d: String): DataFrame =
+    T.events(s, d)
+      .groupBy((col("user_id") % 10).as("bucket"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q48_percentiles" -> q48Percentiles,
+    "q49_pivot" -> q49Pivot,
     "q39_regex_extract" -> q39RegexExtract,
     "q40_date_formats" -> q40DateFormats,
     "q41_string_funcs" -> q41StringFuncs,
@@ -358,6 +384,21 @@ object CoreQueries extends QueryModule {
   )
 
   override val oracle: Map[String, String] = Map(
+    "q48_percentiles" ->
+      """SELECT l_returnflag,
+        |  percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
+        |  percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice) AS p90,
+        |  percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice) AS p99,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q49_pivot" ->
+      """SELECT CAST(user_id % 10 AS BIGINT) AS bucket,
+        |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY 1""".stripMargin,
     "q39_regex_extract" ->
       """SELECT event_type,
         |  COUNT(CASE WHEN kstr <> '' THEN 1 END) AS n_matched,
