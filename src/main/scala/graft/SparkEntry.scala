@@ -17,7 +17,8 @@ object SparkEntry {
     graft.scale.Dedup,
     graft.scale.Similarity,
     graft.scale.TextAnalysis,
-    graft.scale.Skew
+    graft.scale.Skew,
+    graft.scale.Sketches
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

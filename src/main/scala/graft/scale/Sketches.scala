@@ -1,6 +1,8 @@
 package graft.scale
 
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.{QueryModule, Tables => T}
+import graft.functions.PortableFuncs.{exactSum, exactSumSql}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.BloomFilter
 
@@ -17,7 +19,7 @@ import org.apache.spark.util.sketch.BloomFilter
   *    to pre-drop rows before an expensive join/dedup stage (false
   *    positives only ⇒ never loses a real match).
   */
-object Sketches {
+object Sketches extends QueryModule {
 
   /** Per-group cardinality profile: exact-ish count, HLL distinct of a
     * column, and the relative error bound used. */
@@ -62,4 +64,32 @@ object Sketches {
       bloomBc.value.mightContainLong(r.getLong(r.fieldIndex(key))))
     filtered.join(small, Seq(key))
   }
+
+  /** q50: urgent-order revenue through the Bloom pre-filter path. The
+    * sketch only ever passes false POSITIVES and the exact join removes
+    * them, so the result is identical to the plain join — which is
+    * exactly what the oracle asserts. At 100 TB the pre-filter drops
+    * ~(1 - selectivity) of the big side's shuffle volume. */
+  def q50BloomJoin(s: SparkSession, d: String): DataFrame = {
+    val urgent = T.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("l_orderkey"))
+    val items = Layout.widen(T.lineitem(s, d))
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    bloomPrefilteredJoin(items, urgent, "l_orderkey")
+      .agg(count(lit(1)).as("n_items"),
+        round(exactSum(col("l_extendedprice")), 2).as("revenue"))
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_bloom_join" -> q50BloomJoin
+  )
+
+  override val oracle: Map[String, String] = Map(
+    "q50_bloom_join" ->
+      s"""SELECT COUNT(*) AS n_items,
+         |  ROUND(${exactSumSql("l_extendedprice")}, 2) AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderpriority = '1-URGENT'""".stripMargin
+  )
 }
