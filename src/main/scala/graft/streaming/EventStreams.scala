@@ -140,6 +140,44 @@ object EventStreams {
         col("p_ts"), col("c_ts"), col("click_value"))
   }
 
+  /** Streaming as-of enrichment: attach the latest click at-or-before
+    * each purchase by the same user, carrying one `(ts, value)` pair of
+    * keyed state per user — the streaming counterpart of the batch
+    * [[graft.ops.TemporalOps.asofJoin]].
+    *
+    * Semantics: events are processed in event-time order WITHIN each
+    * micro-batch (sorted here); a click that arrives in a LATER batch
+    * than a purchase it precedes is missed — best-effort enrichment
+    * with O(1) state per key, versus the interval join's exact answer
+    * at O(watermark) state. Both are legitimate points on the
+    * state-vs-completeness curve; pick per workload.
+    */
+  def enrichAsof(events: Dataset[Event]): Dataset[EnrichedPurchase] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => e.event_type == "purchase" || e.event_type == "click")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofState, EnrichedPurchase](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[AsofState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var cur = state.getOption
+          val out = Seq.newBuilder[EnrichedPurchase]
+          sorted.foreach { e =>
+            if (e.event_type == "click") {
+              if (cur.forall(_.clickTs <= e.ts.getTime))
+                cur = Some(AsofState(e.ts.getTime, e.value))
+            } else {
+              val hit = cur.filter(_.clickTs <= e.ts.getTime)
+              out += EnrichedPurchase(e.event_id, userId, e.ts,
+                hit.map(s => new Timestamp(s.clickTs)), hit.map(_.clickValue))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Write a streaming aggregate to parquet, partitioned by the window
     * key — idempotent re-writes per window make the sink effectively
     * exactly-once under replay. */
@@ -174,3 +212,12 @@ object EventStreams {
 
 /** Open-session accumulator for [[EventStreams.sessionize]]. */
 case class SessionState(start: Long, end: Long, n: Long, total: Double)
+
+/** Latest-click carry for [[EventStreams.enrichAsof]]. */
+case class AsofState(clickTs: Long, clickValue: Double)
+
+/** A purchase enriched with the latest preceding click (null-free
+  * variant uses sentinel None fields). */
+case class EnrichedPurchase(event_id: Long, user_id: Long, ts: Timestamp,
+                            click_ts: Option[Timestamp],
+                            click_value: Option[Double])

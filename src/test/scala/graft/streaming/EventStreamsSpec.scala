@@ -160,6 +160,31 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of enrichment carries the latest preceding click per user") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = EventStreams.enrichAsof(src.toDS())
+      .writeStream.format("memory").queryName("asof").outputMode("append").start()
+    try {
+      // out-of-order WITHIN the batch: purchase arrives before its click
+      // in arrival order but after in event time → still enriched
+      src.addData(
+        Event(10, ts(8), 1, "purchase", 50.0),
+        Event(1, ts(2), 1, "click", 1.5),
+        Event(2, ts(5), 1, "click", 2.5),
+        Event(11, ts(3), 2, "purchase", 9.0)) // user 2 never clicked
+      q.processAllAvailable()
+      // state carries across batches
+      src.addData(Event(12, ts(20), 1, "purchase", 60.0))
+      q.processAllAvailable()
+      val got = spark.table("asof").as[EnrichedPurchase].collect()
+        .map(e => e.event_id -> e.click_value).toMap
+      assert(got === Map(10L -> Some(2.5), 11L -> None, 12L -> Some(2.5)))
+    } finally q.stop()
+  }
+
   test("file source streams the events table with converted timestamps") {
     val stream = EventStreams.fileSource(spark, "/root/testdata/sf0.001")
     assert(stream.isStreaming)
