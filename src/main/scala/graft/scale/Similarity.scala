@@ -198,6 +198,49 @@ object Similarity extends QueryModule {
         }).as("sse"))
   }
 
+  val PqSubspaces = 8
+  val PqSubDim = Dim / PqSubspaces
+  val PqCodebook = 16
+
+  /** Product quantization: split each 64-dim vector into 8 sub-vectors,
+    * code each against a 16-entry per-subspace codebook (argmin L2,
+    * lowest-code tie-break), and report the compressed code string plus
+    * exact reconstruction SSE. PQ is the standard 100 TB embedding
+    * compression (64 doubles → 8 nibbles here); the codebook is the
+    * first [[PqCodebook]] corpus vectors' sub-vectors, deterministic so
+    * the oracle re-derives it.
+    *
+    * Scale shape: sub-vectors stream out of the scan via posexplode,
+    * the codebook broadcasts everywhere, argmin is a min_by aggregate
+    * (map-side partial), and the final per-vector rollup sorts its 8
+    * entries so the double-precision SSE fold has a fixed order —
+    * cross-partition double sums are otherwise nondeterministic. */
+  def pqCodes(emb: DataFrame): DataFrame = {
+    def subvecs(v: Column): Column =
+      array((0 until PqSubspaces).map(m => slice(v, m * PqSubDim + 1, PqSubDim)): _*)
+    val sub = Layout.widen(emb)
+      .select(col("vec_id"), posexplode(subvecs(toDoubleArray(col("embedding"))))
+        .as(Seq("m", "sv")))
+    val cents = emb.filter(col("vec_id") < PqCodebook)
+      .select(col("vec_id").cast("int").as("k"),
+        posexplode(subvecs(toDoubleArray(col("embedding")))).as(Seq("m", "cv")))
+    val dist = aggregate(
+      zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val best = sub.join(broadcast(cents), "m")
+      .select(col("vec_id"), col("m"), col("k"), dist.as("d"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(struct(col("k"), col("d")), struct(col("d"), col("k"))).as("b"))
+      .select(col("vec_id"), col("m"), col("b.k").as("k"), col("b.d").as("d"))
+    best.groupBy(col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("m"), col("k"), col("d")))).as("s"))
+      .select(col("vec_id"),
+        concat_ws("-", transform(col("s"), x => x.getField("k").cast("string")))
+          .as("codes"),
+        aggregate(transform(col("s"), x => x.getField("d")), lit(0.0),
+          (a, x) => a + x).as("sse"))
+  }
+
   // ---- driver-gate query registry ----
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -205,7 +248,8 @@ object Similarity extends QueryModule {
     "q31_lsh_buckets" -> ((s, d) => lshBuckets(T.embeddings(s, d))),
     "q32_ann_lsh" -> ((s, d) => annLsh(T.embeddings(s, d))),
     "q38_ann_ivf" -> ((s, d) => annIvf(T.embeddings(s, d))),
-    "q47_quantize_err" -> ((s, d) => quantizeStats(T.embeddings(s, d)))
+    "q47_quantize_err" -> ((s, d) => quantizeStats(T.embeddings(s, d))),
+    "q51_pq_codes" -> ((s, d) => pqCodes(T.embeddings(s, d)))
   )
 
   /** DuckDB literal list for plane p, identical doubles to the plan. */
@@ -261,6 +305,28 @@ object Similarity extends QueryModule {
          |    ORDER BY cos DESC, c_id ASC) AS INTEGER) AS rank FROM pairs)
          |SELECT q_id, c_id, ROUND(cos, 4) AS cos, rank
          |FROM ranked WHERE rank <= $TopK""".stripMargin,
+    "q51_pq_codes" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |sub AS (SELECT vec_id, m, v[m*$PqSubDim+1 : m*$PqSubDim+$PqSubDim] AS sv
+         |        FROM v, range(0, $PqSubspaces) t(m)),
+         |cents AS (SELECT CAST(vec_id AS INTEGER) AS k, m,
+         |    v[m*$PqSubDim+1 : m*$PqSubDim+$PqSubDim] AS cv
+         |  FROM v, range(0, $PqSubspaces) t(m) WHERE vec_id < $PqCodebook),
+         |d AS (SELECT s.vec_id, s.m, c.k,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(1, ${PqSubDim + 1}),
+         |        i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))),
+         |      (a, b) -> a + b) AS d
+         |  FROM sub s JOIN cents c USING (m)),
+         |best AS (SELECT vec_id, m, k, d FROM (
+         |    SELECT vec_id, m, k, d,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d ASC, k ASC) AS rn
+         |    FROM d) WHERE rn = 1)
+         |SELECT vec_id,
+         |  string_agg(CAST(k AS VARCHAR), '-' ORDER BY m) AS codes,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(d ORDER BY m)),
+         |    (a, b) -> a + b) AS sse
+         |FROM best GROUP BY vec_id""".stripMargin,
     "q47_quantize_err" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |m AS (SELECT vec_id, v,

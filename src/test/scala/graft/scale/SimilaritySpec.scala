@@ -24,6 +24,31 @@ class SimilaritySpec extends SparkSpec {
     assert(sse2 > 0.0 && sse2 <= 4 * math.pow(1.0 / (2 * s2), 2) + 1e-12)
   }
 
+  test("product quantization: codebook vectors code to themselves with zero error") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(3)
+    // 16 codebook vectors + 4 others, 64 dims
+    val emb = (0 until 20).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val out = Similarity.pqCodes(emb).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[String]("codes"), r.getAs[Double]("sse"))).toMap
+    assert(out.size === 20)
+    // every codebook vector's nearest sub-centroid is itself, exactly
+    (0 until 16).foreach { k =>
+      assert(out(k.toLong)._1 === Seq.fill(8)(k).mkString("-"))
+      assert(out(k.toLong)._2 === 0.0)
+    }
+    // non-codebook vectors get positive error and 8 in-range codes
+    (16 until 20).foreach { i =>
+      val (codes, sse) = out(i.toLong)
+      assert(sse > 0.0)
+      val ks = codes.split("-").map(_.toInt)
+      assert(ks.length === 8 && ks.forall(k => k >= 0 && k < 16))
+    }
+  }
+
   test("quantization error equals the floor(x*s+0.5) reference formula") {
     val spark2 = spark
     import spark2.implicits._
