@@ -351,9 +351,68 @@ object CoreQueries extends QueryModule {
       .count()
       .na.fill(0L)
 
+  /** Window-function battery: lag/lead, running sum, rank — per-user
+    * event history navigation. The running sum is an explicit ROWS
+    * frame ordered by (ts, event_id): a unique total order makes the
+    * double-precision accumulation deterministic cross-engine. */
+  def q52WindowFuncs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    T.events(s, d)
+      .filter(col("user_id") < 20)
+      .select(
+        col("event_id"), col("user_id"), col("value"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"),
+        sum(col("value")).over(wRows).as("running_sum"),
+        row_number().over(w).as("rn"))
+  }
+
+  /** Set operations: EXCEPT finds customers with no orders, INTERSECT
+    * the ones with orders — both distinct-set semantics, tagged and
+    * unioned into one relation. */
+  def q53SetOps(s: SparkSession, d: String): DataFrame = {
+    val custKeys = T.customer(s, d).select(col("c_custkey").as("key"))
+    val orderCust = T.orders(s, d).select(col("o_custkey").as("key"))
+    custKeys.except(orderCust).withColumn("tag", lit("no_orders"))
+      .unionByName(
+        custKeys.intersect(orderCust).withColumn("tag", lit("has_orders")))
+  }
+
+  /** Unpivot/melt: wide numeric part attributes to long (key, attr,
+    * val) format — the reshaping feature-extraction pipelines use
+    * before per-feature aggregation. */
+  def q54Unpivot(s: SparkSession, d: String): DataFrame =
+    T.part(s, d)
+      .select(col("p_partkey"),
+        col("p_size").cast("double").as("p_size"),
+        col("p_retailprice"))
+      .unpivot(Array(col("p_partkey")), Array(col("p_size"), col("p_retailprice")),
+        "attr", "val")
+
+  /** Prefix-blocked fuzzy join: document text heads within edit
+    * distance 10, candidates blocked on a shared 6-char prefix — the
+    * blocked shape a 100 TB fuzzy dedup uses (never all-pairs
+    * levenshtein; the block key is the equality shuffle). */
+  def q55FuzzyPairs(s: SparkSession, d: String): DataFrame = {
+    val heads = graft.scale.Layout.widen(T.documents(s, d))
+      .select(col("doc_id"), substring(col("text"), 1, 30).as("head"),
+        substring(col("text"), 1, 6).as("blk"))
+    val a = heads.as("a"); val b = heads.as("b")
+    a.join(b, col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        levenshtein(col("a.head"), col("b.head")).as("dist"))
+      .filter(col("dist") <= 10)
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_percentiles" -> q48Percentiles,
     "q49_pivot" -> q49Pivot,
+    "q52_window_funcs" -> q52WindowFuncs,
+    "q53_set_ops" -> q53SetOps,
+    "q54_unpivot" -> q54Unpivot,
+    "q55_fuzzy_pairs" -> q55FuzzyPairs,
     "q39_regex_extract" -> q39RegexExtract,
     "q40_date_formats" -> q40DateFormats,
     "q41_string_funcs" -> q41StringFuncs,
@@ -384,6 +443,34 @@ object CoreQueries extends QueryModule {
   )
 
   override val oracle: Map[String, String] = Map(
+    "q52_window_funcs" ->
+      """SELECT event_id, user_id, value,
+        |  lag(value, 1) OVER w AS prev_value,
+        |  lead(value, 1) OVER w AS next_value,
+        |  SUM(value) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_sum,
+        |  CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn
+        |FROM events WHERE user_id < 20
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)""".stripMargin,
+    "q53_set_ops" ->
+      """SELECT key, 'no_orders' AS tag FROM
+        |  (SELECT c_custkey AS key FROM customer
+        |   EXCEPT SELECT o_custkey AS key FROM orders)
+        |UNION ALL
+        |SELECT key, 'has_orders' AS tag FROM
+        |  (SELECT c_custkey AS key FROM customer
+        |   INTERSECT SELECT o_custkey AS key FROM orders)""".stripMargin,
+    "q54_unpivot" ->
+      """SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val FROM part""".stripMargin,
+    "q55_fuzzy_pairs" ->
+      """WITH h AS (SELECT doc_id, substr(text, 1, 30) AS head,
+        |    substr(text, 1, 6) AS blk FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(a.head, b.head) AS INTEGER) AS dist
+        |FROM h a JOIN h b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.head, b.head) <= 10""".stripMargin,
     "q48_percentiles" ->
       """SELECT l_returnflag,
         |  percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
