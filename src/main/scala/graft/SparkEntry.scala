@@ -18,7 +18,8 @@ object SparkEntry {
     graft.scale.Similarity,
     graft.scale.TextAnalysis,
     graft.scale.Skew,
-    graft.scale.Sketches
+    graft.scale.Sketches,
+    graft.scale.Curation
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

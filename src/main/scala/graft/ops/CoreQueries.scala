@@ -406,9 +406,22 @@ object CoreQueries extends QueryModule {
       .filter(col("dist") <= 10)
   }
 
+  /** JSON path extraction (`get_json_object`) out of the events props
+    * cell, folded into a per-type profile — the JSON-column shape of
+    * the reference's weight-map cells (C1), via path extraction
+    * instead of full-schema parsing. */
+  def q56JsonExtract(s: SparkSession, d: String): DataFrame =
+    T.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_percentiles" -> q48Percentiles,
     "q49_pivot" -> q49Pivot,
+    "q56_json_extract" -> q56JsonExtract,
     "q52_window_funcs" -> q52WindowFuncs,
     "q53_set_ops" -> q53SetOps,
     "q54_unpivot" -> q54Unpivot,
@@ -443,6 +456,12 @@ object CoreQueries extends QueryModule {
   )
 
   override val oracle: Map[String, String] = Map(
+    "q56_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+        |  CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
     "q52_window_funcs" ->
       """SELECT event_id, user_id, value,
         |  lag(value, 1) OVER w AS prev_value,

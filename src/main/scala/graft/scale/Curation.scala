@@ -1,7 +1,8 @@
 package graft.scale
 
+import graft.{QueryModule, Tables => T}
 import graft.functions.PortableFuncs._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -14,7 +15,7 @@ import org.apache.spark.sql.functions._
   * `rand()` — reruns and retries pick the same rows, which a lazy
   * engine requires (a task retry re-executes the sample).
   */
-object Curation {
+object Curation extends QueryModule {
 
   /** Deterministic per-stratum downsample: keep ~fraction of each
     * group, selected by a uniform md5 hash of the id (stable across
@@ -100,4 +101,38 @@ object Curation {
     vecs.unpersist()
     out
   }
+
+  // ---- driver-gate queries ----
+
+  private val SampleFractions = Map(
+    "en" -> 0.1, "de" -> 0.5, "fr" -> 0.3, "es" -> 0.2, "zh" -> 0.05)
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_stratified_sample" -> ((s, d) =>
+      stratifiedSample(T.documents(s, d), "doc_id", SampleFractions, "lang")
+        .select(col("doc_id"), col("lang"))),
+    "q58_group_cap" -> ((s, d) =>
+      perGroupCap(T.documents(s, d), "lang", "doc_id", k = 15)
+        .select(col("doc_id"), col("lang")))
+  )
+
+  // hash := high 60 bits of md5(id) — identical to portableHash60
+  private val hashSql =
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)"
+
+  override val oracle: Map[String, String] = Map(
+    "q57_stratified_sample" -> {
+      val cases = SampleFractions
+        .map { case (l, f) => s"WHEN '$l' THEN $f" }.mkString(" ")
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE CAST($hashSql AS DOUBLE) / 1152921504606846976.0
+         |  < (CASE lang $cases ELSE 0.0 END)""".stripMargin
+    },
+    "q58_group_cap" ->
+      s"""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang,
+         |    ROW_NUMBER() OVER (PARTITION BY lang
+         |      ORDER BY $hashSql ASC, doc_id ASC) AS rn
+         |  FROM documents) WHERE rn <= 15""".stripMargin
+  )
 }
