@@ -145,6 +145,50 @@ object Dedup extends QueryModule {
       .filter(col("dist") <= maxDist)
   }
 
+  /** Connected components over a near-dup pair list — the step that
+    * turns PAIRS into dedup CLUSTERS (keep one representative per
+    * component). Iterative min-label propagation: every node adopts
+    * the smallest label among itself and its neighbors until a
+    * fixpoint; the component id is the smallest doc_id in the
+    * component, so the result is deterministic.
+    *
+    * Scale design: each round is one equi-join (edges ⋈ labels, shuffle
+    * by node) + a min-aggregate; lineage is truncated per round with
+    * localCheckpoint so the plan doesn't grow with iterations. Rounds
+    * needed = graph diameter; near-dup components are shallow (dozens
+    * of docs), so a handful of rounds converges — for adversarially
+    * long chains the alternating small-star/large-star variant bounds
+    * rounds at O(log n). Convergence is detected by the monotone
+    * label-sum invariant (labels only decrease), one cheap action per
+    * round.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
+                          bCol: String = "doc_b", maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.groupBy(col("src").as("node"))
+      .agg(min(col("dst")).as("nbr"))
+      .select(col("node"), least(col("node"), col("nbr")).as("label"))
+      .localCheckpoint()
+    var prevSum = Long.MaxValue
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val next = edges.join(labels, edges("src") === labels("node"))
+        .select(col("dst").as("node"), col("label"))
+        .unionByName(labels)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      val s = next.agg(sum(col("label"))).head().getLong(0)
+      converged = s == prevSum
+      prevSum = s
+      labels = next
+      iter += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** n-gram Jaccard similarity over candidate pairs that share ≥1
     * shingle (equality join — no cross product). */
   def ngramJaccard(docs: DataFrame): DataFrame = {
@@ -189,6 +233,9 @@ object Dedup extends QueryModule {
     // hamming join — tractable at sf0.01, which is exactly what makes
     // it a full correctness check of the blocked plan
     "q28_simhash_pairs" -> ((s, d) => simhashPairs(T.documents(s, d), maxDist = 5)),
+    // pairs → clusters: components of the simhash near-dup graph
+    "q59_dedup_clusters" -> ((s, d) =>
+      connectedComponents(simhashPairs(T.documents(s, d), maxDist = 5))),
     "q29_embed_neardup" -> ((s, d) => embeddingNearDup(T.embeddings(s, d), 0.3, 300L))
   )
 
@@ -261,6 +308,27 @@ object Dedup extends QueryModule {
         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS dist
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 5""".stripMargin,
+    "q59_dedup_clusters" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')), ' +'), x -> x <> '')) AS w
+        |  FROM documents),
+        |h AS (SELECT doc_id, CAST('0x' || substr(md5(w),1,15) AS BIGINT) AS h FROM w),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |    SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM h, range(0, 60) t(b) GROUP BY doc_id, b),
+        |sh AS (SELECT doc_id,
+        |  CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 5),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM p
+        |      UNION SELECT doc_b, doc_a FROM p),
+        |reach(a, b) AS (SELECT a, b FROM e
+        |  UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
+        |SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+        |FROM reach GROUP BY a""".stripMargin,
     "q29_embed_neardup" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))

@@ -71,6 +71,32 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException](Dedup.simhashPairs(corpus, 60))
   }
 
+  test("connected components: chains, triangles, and disjoint clusters " +
+    "all labeled by their smallest member") {
+    val spark2 = spark
+    import spark2.implicits._
+    // component A: chain 1-2-3-4 (diameter > 1 forces iteration);
+    // component B: triangle 10-11-12 with redundant edges;
+    // component C: isolated pair 20-21
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)
+    ).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+    // long chain: label must propagate the full diameter
+    val chain = (0 until 20).map(i => (i.toLong, i + 1L)).toDF("doc_a", "doc_b")
+    val ccChain = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ccChain.values.toSet === Set(0L))
+    assert(ccChain.size === 21)
+  }
+
   test("ngram jaccard: identical docs at 1.0, near dup high, stranger absent or low") {
     val j = Dedup.ngramJaccard(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
