@@ -333,7 +333,10 @@ object CoreQueries extends QueryModule {
     * aggregation per group; the group count here is tiny so each group
     * sorts in parallel partitions. */
   def q48Percentiles(s: SparkSession, d: String): DataFrame =
-    T.lineitem(s, d)
+    // widen: percentile buffers build during PARTIAL aggregation — a
+    // single-row-group scan would otherwise accumulate all 600k values
+    // in one task before the 3-group final merge
+    graft.scale.Layout.widen(T.lineitem(s, d))
       .groupBy(col("l_returnflag"))
       .agg(
         expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("p50"),
