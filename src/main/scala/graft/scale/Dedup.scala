@@ -180,7 +180,9 @@ object Dedup extends QueryModule {
         .unionByName(labels)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
         .localCheckpoint()
-      val s = next.agg(sum(col("label"))).head().getLong(0)
+      // coalesce: an empty pair list (nothing near-duplicate) must
+      // converge to an empty result, not NPE on a null sum
+      val s = next.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
       converged = s == prevSum
       prevSum = s
       labels = next

@@ -84,6 +84,29 @@ class TemporalOpsSpec extends SparkSpec {
     assert(got === Array("end-tie", "inside", "start-tie"))
   }
 
+  test("rangeJoin equals the brute-force range filter on random data") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(23)
+    val left = (0 until 120).map(i =>
+      (i.toLong, s"k${rnd.nextInt(4)}", ts(f"2026-01-01 10:${rnd.nextInt(40)}%02d:${rnd.nextInt(60)}%02d")))
+      .toDF("id", "k", "ts")
+    val right = (0 until 120).map(i =>
+      (s"k${rnd.nextInt(4)}", ts(f"2026-01-01 10:${rnd.nextInt(40)}%02d:${rnd.nextInt(60)}%02d"), i.toLong))
+      .toDF("k", "ts", "rid")
+    val w = 180L
+    val got = TemporalOps.rangeJoin(left, right, Seq("k"), "ts", "ts", w, Seq("rid"))
+      .select("id", "rid_r").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ls = left.collect().map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2)))
+    val rs = right.collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+    val expected = (for {
+      (id, k, lt) <- ls
+      (rk, rt, rid) <- rs
+      if rk == k && !rt.before(lt) && rt.getTime <= lt.getTime + w * 1000
+    } yield (id, rid)).toSet
+    assert(got === expected)
+  }
+
   test("rangeJoin bin-bucketing produces no duplicate pairs") {
     val spark2 = spark
     import spark2.implicits._

@@ -32,6 +32,23 @@ class PipelineCliSpec extends SparkSpec {
     assert(TableIO.readCsv(spark, s"$base/latest_verified").count() === 1)
   }
 
+  test("a crash mid table-swap is repaired by the next CLI read") {
+    val base = Files.createTempDirectory("graft-cli-crash").toString
+    cli(base, "create-dp", "dp_9", "p", "FROM x", "def test_a():\n  pass",
+      """{"test_a": 1.0}""", "easy")
+    // simulate a writer dying between the two atomicOverwrite renames:
+    // the table is gone, the data stranded at .old
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$base/staging"),
+      java.nio.file.Paths.get(s"$base/staging.old"))
+    // any table-touching command first reconciles, then proceeds
+    cli(base, "patch", "dp_9", "--table", "staging", "--set", "difficulty=hard")
+    val back = TableIO.readCsv(spark, s"$base/staging")
+    assert(back.count() === 1)
+    assert(back.head().getAs[String]("difficulty") === "hard")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/staging.old")))
+  }
+
   test("task queue: init-seeds idempotent, claim/complete round-trip") {
     val base = Files.createTempDirectory("graft-cli2").toString
     val seeds = Files.createTempDirectory("graft-cli2-seeds")

@@ -97,6 +97,40 @@ class DedupSpec extends SparkSpec {
     assert(ccChain.size === 21)
   }
 
+  test("connected components of an empty pair list is empty, not an error") {
+    val spark2 = spark
+    import spark2.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(empty).count() === 0)
+  }
+
+  test("connected components equals driver-side union-find on random graphs") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(41)
+    for (trial <- 0 until 3) {
+      val n = 60
+      val edges = (0 until 50).map { _ =>
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference union-find
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(x => x -> find(x)).toMap
+      assert(got === expected, s"trial $trial")
+    }
+  }
+
   test("ngram jaccard: identical docs at 1.0, near dup high, stranger absent or low") {
     val j = Dedup.ngramJaccard(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
