@@ -178,6 +178,26 @@ object Multimodal {
       .select(col("asset_id"), col("n_frames"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
 
+  /** Resize planning for image assets: aspect-preserving fit into a
+    * `maxW`×`maxH` box, never upscaling. The geometry (scale factor,
+    * output dims) is REAL and fully tested; the pixel resample itself
+    * is the stubbed native step — a real pipeline feeds (asset_id,
+    * payload, out_w, out_h) through the same mapPartitions decode
+    * plumbing as [[decode]]. Pure codegen'd projection: at 100 TB the
+    * plan runs at scan speed and only assets that actually shrink
+    * (`scale < 1`) reach the expensive resample stage. */
+  def resizePlan(meta: Dataset[MediaMeta], maxW: Int, maxH: Int): DataFrame = {
+    val scale = least(lit(1.0),
+      least(lit(maxW.toDouble) / col("width"), lit(maxH.toDouble) / col("height")))
+    meta.toDF()
+      .filter(col("kind") === "image" && col("width") > 0 && col("height") > 0)
+      .select(col("asset_id"), col("width"), col("height"),
+        round(scale, 6).as("scale"),
+        greatest(floor(col("width") * scale + 0.5), lit(1L)).cast(IntegerType).as("out_w"),
+        greatest(floor(col("height") * scale + 0.5), lit(1L)).cast(IntegerType).as("out_h"),
+        (scale < 1.0).as("needs_resample"))
+  }
+
   /** Feature pipeline over decoded metadata: per-kind stats — the
     * aggregation a data-quality dashboard runs over a 100 TB corpus.
     * One hash-aggregate, no payload bytes involved (column pruning

@@ -99,6 +99,24 @@ class MultimodalSpec extends SparkSpec {
     assert(stub.sample_rate === 16000)
   }
 
+  test("resize planning: aspect-preserving fit, no upscaling, floor+0.5 rounding") {
+    val spark2 = spark
+    import spark2.implicits._
+    val meta = Seq(
+      MediaMeta(1L, "image", 1920, 1080, 1, 0, 0L, 10L, "a"), // landscape, shrinks
+      MediaMeta(2L, "image", 300, 200, 1, 0, 0L, 10L, "b"),   // already fits
+      MediaMeta(3L, "image", 1080, 1920, 1, 0, 0L, 10L, "c"), // portrait
+      MediaMeta(4L, "audio", 0, 0, 0, 8000, 1L, 10L, "d")     // not an image
+    ).toDS()
+    val out = Multimodal.resizePlan(meta, 640, 480).collect()
+      .map(r => r.getAs[Long]("asset_id") ->
+        (r.getAs[Int]("out_w"), r.getAs[Int]("out_h"), r.getAs[Boolean]("needs_resample"))).toMap
+    assert(out.size === 3) // audio excluded
+    assert(out(1L) === ((640, 360, true)))  // scale 1/3, aspect kept
+    assert(out(2L) === ((300, 200, false))) // never upscale
+    assert(out(3L) === ((270, 480, true)))  // portrait: height binds
+  }
+
   test("corpus media stats aggregate without touching payloads") {
     val stats = Multimodal.corpusMediaStats(Multimodal.decode(spark, assets))
     val byKind = stats.collect().map(r => r.getAs[String]("kind") -> r).toMap
