@@ -14,6 +14,30 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getDouble(1) === 1.0)
   }
 
+  test("sketch kernels resolve in plain SQL: simhash60, minhash_sig, minhash_bands") {
+    val spark = SparkSpec.session
+    val row = spark.sql(
+      """SELECT simhash60(array('a', 'b', 'a')) AS sh,
+        |       minhash_sig(array('a','b','c','d','e'), 4, 16) AS sig,
+        |       minhash_bands(array('a','b','c','d','e'), 4, 16, 4) AS bands""".stripMargin)
+      .head()
+    // same values as the Column API — one shared kernel
+    import org.apache.spark.sql.functions.col
+    import graft.functions.{MinHashExpression, SimHashExpression}
+    val viaApi = spark.sql("SELECT array('a','b','a') AS w, array('a','b','c','d','e') AS s")
+      .select(SimHashExpression.simhash60(col("w")).as("sh"),
+        MinHashExpression.minhashSig(col("s"), 4, 16).as("sig"))
+      .head()
+    assert(row.getLong(0) === viaApi.getLong(0))
+    assert(row.getSeq[String](1) === viaApi.getSeq[String](1))
+    assert(row.getSeq[String](2).length === 4)
+    // sketch parameters must be literals — a column reference is rejected
+    val e = intercept[Exception] {
+      spark.sql("SELECT minhash_sig(array('a'), CAST(id AS INT), 16) FROM range(1)").head()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+
   test("type mismatch surfaces the expression's own check message") {
     val spark = SparkSpec.session
     val e = intercept[Exception] {
