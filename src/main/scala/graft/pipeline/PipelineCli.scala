@@ -239,6 +239,16 @@ object PipelineCli {
         ReviewOps.markdown(row).select("markdown").collect()
           .foreach(r => println(r.getString(0)))
 
+      case "categories" =>
+        // enum listing (`show_categories_tags.py:1-57`): the valid
+        // category and tag vocabularies reviewers classify against
+        println(s"categories (${Schemas.Categories.size}):")
+        Schemas.Categories.foreach(c => println(s"  $c"))
+        println(s"tags (${Schemas.Tags.size}):")
+        Schemas.Tags.foreach(t => println(s"  $t"))
+        println(s"difficulties: ${Schemas.Difficulties.mkString(", ")}")
+        println(s"cancellation categories: ${Schemas.CancellationCategories.mkString(", ")}")
+
       case "reconcile" =>
         // M4 crash recovery (SURVEY §7.4.4): the move commits review
         // FIRST, staging second — a crash between the two leaves the

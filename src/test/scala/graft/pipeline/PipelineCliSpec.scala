@@ -32,6 +32,19 @@ class PipelineCliSpec extends SparkSpec {
     assert(TableIO.readCsv(spark, s"$base/latest_verified").count() === 1)
   }
 
+  test("categories command lists the full enum vocabularies") {
+    val base = Files.createTempDirectory("graft-cli-cat").toString
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      cli(base, "categories")
+    }
+    val s = out.toString
+    assert(s.contains(s"categories (${Schemas.Categories.size}):"))
+    assert(s.contains(s"tags (${Schemas.Tags.size}):"))
+    assert(Schemas.Categories.forall(s.contains))
+    assert(s.contains("extremely_hard"))
+  }
+
   test("a crash mid table-swap is repaired by the next CLI read") {
     val base = Files.createTempDirectory("graft-cli-crash").toString
     cli(base, "create-dp", "dp_9", "p", "FROM x", "def test_a():\n  pass",

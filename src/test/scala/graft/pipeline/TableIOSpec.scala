@@ -4,6 +4,20 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
+/** Helper main for the cross-process lock test: holds the lock for
+  * `ms` after signalling via the marker file. Runs in a SEPARATE JVM —
+  * `FileChannel.tryLock` is per-process, so only a real second process
+  * exercises the flock-parity claim (`task_manager.py:64-90`). */
+object LockHolder {
+  def main(args: Array[String]): Unit = {
+    val Array(lockFile, marker, ms) = args
+    TableIO.withLock(lockFile, timeoutMs = 10000) {
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(marker), "held")
+      Thread.sleep(ms.toLong)
+    }
+  }
+}
+
 /** Golden-fixture tests against the reference's own CSVs (read-only
   * inputs; expected stats recorded in FIXTURES.md).
   */
@@ -94,6 +108,31 @@ class TableIOSpec extends SparkSpec {
     assert(back.count() === 2)
     assert(back.filter(col("task_id") === "t1").select("body").as[String].head()
       === "line1\nline2 \"quoted\"")
+  }
+
+  test("the CLI lock excludes a different PROCESS, not just a thread") {
+    val dir = Files.createTempDirectory("graft-xlock").toString
+    val lock = s"$dir/.lock"
+    val marker = s"$dir/held"
+    val cp = Seq("target/scala-2.13/classes", "target/scala-2.13/test-classes",
+      "/opt/spark/jars/*").mkString(":")
+    val proc = new ProcessBuilder(
+      "java", "-cp", cp, "graft.pipeline.LockHolder", lock, marker, "3000")
+      .redirectErrorStream(true).start()
+    try {
+      val deadline = System.currentTimeMillis() + 15000
+      while (!Files.exists(java.nio.file.Paths.get(marker)) &&
+             System.currentTimeMillis() < deadline) Thread.sleep(20)
+      assert(Files.exists(java.nio.file.Paths.get(marker)),
+        "lock-holder process never started")
+      // while the other PROCESS holds the lock, acquisition times out
+      intercept[IllegalStateException] {
+        TableIO.withLock(lock, timeoutMs = 500) { () }
+      }
+      // once it exits, acquisition succeeds
+      proc.waitFor(20, java.util.concurrent.TimeUnit.SECONDS)
+      assert(TableIO.withLock(lock, timeoutMs = 5000) { 42 } === 42)
+    } finally proc.destroyForcibly()
   }
 
   test("readFileMap ingests a directory tree as relpath -> content") {
