@@ -70,6 +70,9 @@ object TemporalOps extends QueryModule {
   def rangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                 leftTs: String, rightTs: String, windowSec: Long,
                 rightPayload: Seq[String], suffix: String = "_r"): DataFrame = {
+    // windowSec = 0 would divide the bin by zero and silently match
+    // nothing; same-instant joins are a plain equi-join on (keys, ts)
+    require(windowSec >= 1, s"windowSec must be >= 1: $windowSec")
     def bin(ts: Column): Column = floor(ts.cast("double") / windowSec.toDouble)
     val l = left.withColumn("__bin",
       explode(array(bin(col(leftTs)), bin(col(leftTs)) + 1)))

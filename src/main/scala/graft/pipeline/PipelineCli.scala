@@ -73,9 +73,14 @@ object PipelineCli {
     }
     def commit(df: DataFrame, name: String): Unit =
       TableIO.atomicOverwrite(df, s"$base/$name", format = "csv", quoteAll = true)
-    def store(): TaskStore =
+    def store(): TaskStore = {
+      // same crash-swap repair as the CSV tables: a writer that died
+      // between the two renames left the task queue at tasks.old — a
+      // fresh empty store here would silently wipe it on next save
+      TableIO.recoverOld(s"$base/tasks")
       if (Files.exists(Paths.get(s"$base/tasks"))) TaskStore.load(spark, s"$base/tasks")
       else new TaskStore()
+    }
     def saveStore(s: TaskStore): Unit = s.save(spark, s"$base/tasks")
 
     cmd match {

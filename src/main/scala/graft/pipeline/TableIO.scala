@@ -165,7 +165,7 @@ object TableIO {
   // ---- local-fs helpers (driver-side; table dirs are small metadata,
   //      the data inside is written by executors) ----
 
-  private def deleteRecursive(p: Path): Unit =
+  private[pipeline] def deleteRecursive(p: Path): Unit =
     if (Files.exists(p)) {
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
     }

@@ -185,8 +185,14 @@ class TaskStore(staleAfter: Duration = Duration.ofHours(24),
           "reload and re-apply")
     TableIO.atomicOverwrite(toDF(spark), dir)
     loadedVersion += 1
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(dir, TaskStore.VersionFile), loadedVersion.toString)
+    // temp+rename like every other commit: a torn in-place write would
+    // leave an unparseable version file
+    val vp = java.nio.file.Paths.get(dir, TaskStore.VersionFile)
+    val vtmp = java.nio.file.Paths.get(dir, TaskStore.VersionFile + ".tmp")
+    java.nio.file.Files.writeString(vtmp, loadedVersion.toString)
+    java.nio.file.Files.move(vtmp, vp,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     updateWorkflowMetadata(Map.empty) // bump last_updated, as _save_state does
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     import scala.jdk.CollectionConverters._
@@ -211,13 +217,16 @@ object TaskStore {
   private[pipeline] val MetaFile = "_GRAFT_META"
 
   /** Current committed version of a snapshot dir (0 if none). A crash
-    * between the table commit and the version write resets to 0, which
-    * makes every in-flight store's CAS fail — the safe direction. */
+    * between the table commit and the version write — or a corrupt
+    * version file — reads as 0, which makes every in-flight store's
+    * CAS fail (conflict, reload, re-apply): the safe direction, and
+    * never a permanent brick. */
   def versionOf(dir: String): Long = {
     val p = java.nio.file.Paths.get(dir, VersionFile)
-    if (java.nio.file.Files.exists(p))
-      java.nio.file.Files.readString(p).trim.toLong
-    else 0L
+    if (!java.nio.file.Files.exists(p)) 0L
+    else
+      try java.nio.file.Files.readString(p).trim.toLong
+      catch { case _: NumberFormatException => 0L }
   }
 
   /** Restore from a parquet snapshot written by [[TaskStore.save]]. */

@@ -75,8 +75,17 @@ object BuildContext {
         else {
           val it = node.fields()
           val b = Map.newBuilder[String, String]
-          while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
-          Right(b.result())
+          var bad: Option[String] = None
+          while (it.hasNext && bad.isEmpty) {
+            val e = it.next()
+            // a nested object/array value would silently materialize as
+            // an empty file (asText() == "") — reject like the reference
+            // rejects a malformed map (`validators.py:110-120`)
+            if (!e.getValue.isValueNode)
+              bad = Some(s"additional_files value for '${e.getKey}' is not a string")
+            else b += e.getKey -> e.getValue.asText()
+          }
+          bad.toLeft(b.result())
         }
       } catch {
         case e: Exception => Left(s"Failed to parse additional_files JSON: ${e.getMessage}")
@@ -113,11 +122,7 @@ object BuildContext {
     }
   }
 
-  def deleteRecursive(p: Path): Unit =
-    if (Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-    }
+  def deleteRecursive(p: Path): Unit = TableIO.deleteRecursive(p)
 }
 
 /** Real subprocess runner with per-task timeout (P5;

@@ -188,6 +188,12 @@ object Dedup extends QueryModule {
       labels = next
       iter += 1
     }
+    // silent partial propagation would report one real component as
+    // several clusters — fail loudly instead
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge within $maxIter rounds " +
+          "(graph diameter exceeds the budget) — raise maxIter")
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 

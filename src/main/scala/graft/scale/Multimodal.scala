@@ -109,15 +109,22 @@ object Multimodal {
     var i = 12
     var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
     var dataLen: Option[Long] = None
-    while (i + 8 <= p.length && (fmt.isEmpty || dataLen.isEmpty)) {
+    var corrupt = false
+    while (!corrupt && i + 8 <= p.length && (fmt.isEmpty || dataLen.isEmpty)) {
       val id = new String(p, i, 4, "US-ASCII")
       val len = u32le(i + 4)
       // fmt chunk: format(2) channels(2) rate(4) byterate(4) align(2) bits(2)
       if (id == "fmt " && i + 24 <= p.length)
         fmt = Some((u16le(i + 10), u32le(i + 12).toInt, u16le(i + 22)))
       else if (id == "data") dataLen = Some(len)
-      i += 8 + len.toInt + (len.toInt & 1) // RIFF chunks are word-aligned
+      // advance in Long math: a corrupt 32-bit length must not wrap to
+      // a negative/zero step (infinite loop) or overflow the index —
+      // treat it as a malformed container and stop walking
+      val next = i.toLong + 8L + len + (len & 1L) // RIFF chunks are word-aligned
+      if (next <= i || next > Int.MaxValue) corrupt = true
+      else i = next.toInt
     }
+    if (corrupt && (fmt.isEmpty || dataLen.isEmpty)) return None
     for { (ch, rate, bits) <- fmt; dl <- dataLen if rate > 0 && ch > 0 && bits > 0 }
       yield (rate, ch, bits, dl)
   }

@@ -151,30 +151,48 @@ object EventStreams {
     * with O(1) state per key, versus the interval join's exact answer
     * at O(watermark) state. Both are legitimate points on the
     * state-vs-completeness curve; pick per workload.
+    *
+    * State is bounded: a user idle for `ttlHours` of event time is
+    * evicted (EventTimeTimeout, same 24h default as the task-store
+    * stale sweep) — without a TTL the store would grow one entry per
+    * user forever and a high-cardinality stream eventually OOMs. An
+    * evicted user's next purchase simply sees no carried click.
     */
-  def enrichAsof(events: Dataset[Event]): Dataset[EnrichedPurchase] = {
+  def enrichAsof(events: Dataset[Event], watermark: String = "1 hour",
+                 ttlHours: Int = 24): Dataset[EnrichedPurchase] = {
     import events.sparkSession.implicits._
+    val ttlMillis = ttlHours * 3600000L
     events
       .filter(e => e.event_type == "purchase" || e.event_type == "click")
+      .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[AsofState, EnrichedPurchase](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[AsofState]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var cur = state.getOption
-          val out = Seq.newBuilder[EnrichedPurchase]
-          sorted.foreach { e =>
-            if (e.event_type == "click") {
-              if (cur.forall(_.clickTs <= e.ts.getTime))
-                cur = Some(AsofState(e.ts.getTime, e.value))
-            } else {
-              val hit = cur.filter(_.clickTs <= e.ts.getTime)
-              out += EnrichedPurchase(e.event_id, userId, e.ts,
-                hit.map(s => new Timestamp(s.clickTs)), hit.map(_.clickValue))
+          if (state.hasTimedOut) {
+            state.remove() // idle past TTL: evict the carried click
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val out = Seq.newBuilder[EnrichedPurchase]
+            sorted.foreach { e =>
+              if (e.event_type == "click") {
+                if (cur.forall(_.clickTs <= e.ts.getTime))
+                  cur = Some(AsofState(e.ts.getTime, e.value))
+              } else {
+                val hit = cur.filter(_.clickTs <= e.ts.getTime)
+                out += EnrichedPurchase(e.event_id, userId, e.ts,
+                  hit.map(s => new Timestamp(s.clickTs)), hit.map(_.clickValue))
+              }
             }
+            cur.foreach { s =>
+              state.update(s)
+              val lastSeen = sorted.lastOption.map(_.ts.getTime).getOrElse(s.clickTs)
+              state.setTimeoutTimestamp(lastSeen + ttlMillis)
+            }
+            out.result().iterator
           }
-          cur.foreach(state.update)
-          out.result().iterator
       }
   }
 

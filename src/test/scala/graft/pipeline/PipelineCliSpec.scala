@@ -45,6 +45,24 @@ class PipelineCliSpec extends SparkSpec {
     assert(s.contains("extremely_hard"))
   }
 
+  test("a crash mid TASK-QUEUE swap is repaired, not wiped by an empty store") {
+    val base = Files.createTempDirectory("graft-cli-taskcrash").toString
+    val seeds = Files.createTempDirectory("graft-taskcrash-seeds")
+    Files.createDirectories(seeds.resolve("t1"))
+    Files.writeString(seeds.resolve("t1/Dockerfile"), "FROM alpine\n")
+    cli(base, "init-seeds", seeds.toString)
+    // simulate the swap-window crash on the tasks table itself
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$base/tasks"),
+      java.nio.file.Paths.get(s"$base/tasks.old"))
+    // the next queue command must recover the old queue (a fresh empty
+    // store would pass CAS at version 0 and silently wipe every task)
+    cli(base, "next", "--agent", "a1")
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { cli(base, "list") }
+    assert(out.toString.contains("seed_dp_t1"))
+  }
+
   test("a crash mid table-swap is repaired by the next CLI read") {
     val base = Files.createTempDirectory("graft-cli-crash").toString
     cli(base, "create-dp", "dp_9", "p", "FROM x", "def test_a():\n  pass",

@@ -133,6 +133,22 @@ class TaskStoreSpec extends SparkSpec {
     assert(back.workflowMetadata.contains("last_updated"))
   }
 
+  test("a corrupt version file reads as version 0, never a permanent brick") {
+    val store = new TaskStore()
+    store.createTask("draft_dp", id = Some("t1"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-vcorrupt").toString + "/tasks"
+    store.save(spark, dir)
+    // torn write: empty version file
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_GRAFT_VERSION"), "")
+    assert(TaskStore.versionOf(dir) === 0L)
+    // recovery path: reload (sees version 0), re-apply, save succeeds
+    val re = TaskStore.load(spark, dir)
+    assert(re.getTask("t1").isDefined) // data was never lost
+    re.save(spark, dir)
+    assert(TaskStore.versionOf(dir) === 1L)
+  }
+
   test("a fresh store cannot clobber an existing snapshot it never loaded") {
     val store = new TaskStore()
     store.createTask("draft_dp", id = Some("t1"))

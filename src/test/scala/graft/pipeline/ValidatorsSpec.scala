@@ -172,6 +172,15 @@ class ValidatorsSpec extends SparkSpec {
     assert(FakeRunner.calls.isEmpty) // no docker command ever ran
   }
 
+  test("nested (non-string) additional_files values are rejected, " +
+    "not written as empty files") {
+    val r = BuildContext.parseFileMap("""{"app/config.json": {"k": 1}}""")
+    assert(r.isLeft)
+    assert(r.left.exists(_.contains("not a string")))
+    // plain string values still parse
+    assert(BuildContext.parseFileMap("""{"a.txt": "hi"}""") === Right(Map("a.txt" -> "hi")))
+  }
+
   test("hostile additional_files paths cannot escape the build context") {
     val dir = java.nio.file.Files.createTempDirectory("ctx-escape-")
     try {

@@ -95,6 +95,13 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.sample_rate === 8000 && meta.duration_ms === 50L)
     // non-RIFF audio falls back to the stub's synthetic values
     assert(Multimodal.decodeWavHeader("not audio at all".getBytes) === None)
+    // corrupt chunk length (0xFFFFFFF8 would step backwards) must
+    // return None, not hang the executor in an infinite chunk walk
+    val corrupt = (Array('R'.toInt, 'I', 'F', 'F', 0, 0, 0, 0,
+      'W', 'A', 'V', 'E',
+      'j', 'u', 'n', 'k', 0xf8, 0xff, 0xff, 0xff) ++
+      Array.fill(40)(0)).map(_.toByte)
+    assert(Multimodal.decodeWavHeader(corrupt) === None)
     val stub = Multimodal.stubDecode(9L, "audio", "not audio at all - long enough to be a payload".getBytes)
     assert(stub.sample_rate === 16000)
   }
