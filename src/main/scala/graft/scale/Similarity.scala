@@ -215,30 +215,75 @@ object Similarity extends QueryModule {
     * (map-side partial), and the final per-vector rollup sorts its 8
     * entries so the double-precision SSE fold has a fixed order —
     * cross-partition double sums are otherwise nondeterministic. */
-  def pqCodes(emb: DataFrame): DataFrame = {
-    def subvecs(v: Column): Column =
-      array((0 until PqSubspaces).map(m => slice(v, m * PqSubDim + 1, PqSubDim)): _*)
-    val sub = Layout.widen(emb)
-      .select(col("vec_id"), posexplode(subvecs(toDoubleArray(col("embedding"))))
+  private def pqSubvecs(v: Column): Column =
+    array((0 until PqSubspaces).map(m => slice(v, m * PqSubDim + 1, PqSubDim)): _*)
+
+  /** (vec_id, m, sv): every vector exploded into its subspace slices. */
+  private def pqSub(emb: DataFrame): DataFrame =
+    Layout.widen(emb)
+      .select(col("vec_id"), posexplode(pqSubvecs(toDoubleArray(col("embedding"))))
         .as(Seq("m", "sv")))
-    val cents = emb.filter(col("vec_id") < PqCodebook)
+
+  /** (k, m, cv): the deterministic per-subspace codebook. */
+  private def pqCents(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") < PqCodebook)
       .select(col("vec_id").cast("int").as("k"),
-        posexplode(subvecs(toDoubleArray(col("embedding")))).as(Seq("m", "cv")))
-    val dist = aggregate(
-      zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, x) => acc + x)
-    val best = sub.join(broadcast(cents), "m")
-      .select(col("vec_id"), col("m"), col("k"), dist.as("d"))
+        posexplode(pqSubvecs(toDoubleArray(col("embedding")))).as(Seq("m", "cv")))
+
+  /** Squared L2 between the sv and cv slice columns (fixed-order fold). */
+  private val pqDist: Column = aggregate(
+    zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
+    lit(0.0), (acc, x) => acc + x)
+
+  /** (vec_id, m, k, d): per-subspace argmin code assignment. */
+  def pqAssignments(emb: DataFrame): DataFrame =
+    pqSub(emb).join(broadcast(pqCents(emb)), "m")
+      .select(col("vec_id"), col("m"), col("k"), pqDist.as("d"))
       .groupBy(col("vec_id"), col("m"))
       .agg(min_by(struct(col("k"), col("d")), struct(col("d"), col("k"))).as("b"))
       .select(col("vec_id"), col("m"), col("b.k").as("k"), col("b.d").as("d"))
-    best.groupBy(col("vec_id"))
+
+  def pqCodes(emb: DataFrame): DataFrame = {
+    pqAssignments(emb).groupBy(col("vec_id"))
       .agg(sort_array(collect_list(struct(col("m"), col("k"), col("d")))).as("s"))
       .select(col("vec_id"),
         concat_ws("-", transform(col("s"), x => x.getField("k").cast("string")))
           .as("codes"),
         aggregate(transform(col("s"), x => x.getField("d")), lit(0.0),
           (a, x) => a + x).as("sse"))
+  }
+
+  /** PQ-ADC approximate nearest neighbors: each query builds a tiny
+    * (subspace × code) lookup table of squared distances to every
+    * codebook entry; a corpus vector's approximate distance is then
+    * just 8 table lookups summed — the corpus EMBEDDINGS are never
+    * touched at query time, only their 8-code assignments. This is the
+    * memory-bound ANN shape at 100 TB: the index is codes (nibbles),
+    * the per-query work is O(corpus × subspaces) lookups, and both the
+    * LUT and the codebook broadcast.
+    *
+    * Determinism: the 8 per-subspace terms are rolled up through
+    * sort_array before the double fold (fixed addition order), ranking
+    * ties break by c_id. */
+  def annPq(emb: DataFrame, nQueries: Long = 8L, k: Int = TopK): DataFrame = {
+    val codes = pqAssignments(emb)
+      .select(col("vec_id").as("c_id"), col("m"), col("k").as("code"))
+    val lut = pqSub(emb.filter(col("vec_id") < nQueries))
+      .withColumnRenamed("vec_id", "q_id")
+      .join(broadcast(pqCents(emb)), "m")
+      .select(col("q_id"), col("m"), col("k").as("code"), pqDist.as("qd"))
+    val approx = codes.join(broadcast(lut), Seq("m", "code"))
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(sort_array(collect_list(struct(col("m"), col("qd")))).as("s"))
+      .select(col("q_id"), col("c_id"),
+        aggregate(transform(col("s"), x => x.getField("qd")), lit(0.0),
+          (a, x) => a + x).as("adist"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adist").asc, col("c_id").asc)
+    approx.filter(col("q_id") =!= col("c_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("adist"), col("rank"))
   }
 
   // ---- driver-gate query registry ----
@@ -249,7 +294,8 @@ object Similarity extends QueryModule {
     "q32_ann_lsh" -> ((s, d) => annLsh(T.embeddings(s, d))),
     "q38_ann_ivf" -> ((s, d) => annIvf(T.embeddings(s, d))),
     "q47_quantize_err" -> ((s, d) => quantizeStats(T.embeddings(s, d))),
-    "q51_pq_codes" -> ((s, d) => pqCodes(T.embeddings(s, d)))
+    "q51_pq_codes" -> ((s, d) => pqCodes(T.embeddings(s, d))),
+    "q61_ann_pq" -> ((s, d) => annPq(T.embeddings(s, d)))
   )
 
   /** DuckDB literal list for plane p, identical doubles to the plan. */
@@ -305,6 +351,36 @@ object Similarity extends QueryModule {
          |    ORDER BY cos DESC, c_id ASC) AS INTEGER) AS rank FROM pairs)
          |SELECT q_id, c_id, ROUND(cos, 4) AS cos, rank
          |FROM ranked WHERE rank <= $TopK""".stripMargin,
+    "q61_ann_pq" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |sub AS (SELECT vec_id, m, v[m*$PqSubDim+1 : m*$PqSubDim+$PqSubDim] AS sv
+         |        FROM v, range(0, $PqSubspaces) t(m)),
+         |cents AS (SELECT CAST(vec_id AS INTEGER) AS k, m,
+         |    v[m*$PqSubDim+1 : m*$PqSubDim+$PqSubDim] AS cv
+         |  FROM v, range(0, $PqSubspaces) t(m) WHERE vec_id < $PqCodebook),
+         |d AS (SELECT s.vec_id, s.m, c.k,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(1, ${PqSubDim + 1}),
+         |        i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))),
+         |      (a, b) -> a + b) AS d
+         |  FROM sub s JOIN cents c USING (m)),
+         |assign AS (SELECT vec_id AS c_id, m, k AS code FROM (
+         |    SELECT vec_id, m, k, d,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d ASC, k ASC) AS rn
+         |    FROM d) WHERE rn = 1),
+         |lut AS (SELECT vec_id AS q_id, m, k AS code, d AS qd
+         |  FROM d WHERE vec_id < 8),
+         |approx AS (
+         |  SELECT a.c_id, l.q_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(l.qd ORDER BY l.m)),
+         |      (x, y) -> x + y) AS adist
+         |  FROM assign a JOIN lut l USING (m, code)
+         |  GROUP BY a.c_id, l.q_id),
+         |ranked AS (SELECT q_id, c_id, adist,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY adist ASC, c_id ASC) AS INTEGER) AS rank
+         |  FROM approx WHERE q_id <> c_id)
+         |SELECT q_id, c_id, adist, rank FROM ranked WHERE rank <= $TopK""".stripMargin,
     "q51_pq_codes" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |sub AS (SELECT vec_id, m, v[m*$PqSubDim+1 : m*$PqSubDim+$PqSubDim] AS sv

@@ -135,6 +135,29 @@ object TextAnalysis extends QueryModule {
       rolling.as("fp_rolling"))
   }
 
+  /** Corpus-statistics commonness score: how boilerplate-heavy a
+    * document is, measured against the corpus itself — phase 1 builds
+    * the corpus word-frequency table (one hash-aggregate), phase 2
+    * joins it back per word occurrence and rolls up per document. The
+    * classic two-phase shape (aggregate → join-back) of every
+    * corpus-relative signal (TF-IDF, LM scoring).
+    *
+    * Determinism: the per-doc rollup sums corpus COUNTS (integers —
+    * order-independent, unlike a double sum across partitions); the
+    * only float op is one final division per row (IEEE-exact both
+    * engines). Log-prob scoring would need `ln`, whose libm results
+    * differ across engines by ulps — deliberately avoided. */
+  def commonness(docs0: DataFrame): DataFrame = {
+    val docs = widen(docs0)
+    val w = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+    val freq = w.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    w.join(freq, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("cnt")).as("tot_freq"))
+      .select(col("doc_id"), col("n_words"), col("tot_freq"),
+        (col("tot_freq").cast("double") / col("n_words")).as("avg_freq"))
+  }
+
   /** Corpus stats rollup per (lang, source): doc counts + char-length
     * distribution — one hash-aggregate pass. */
   def corpusStats(docs: DataFrame): DataFrame =
@@ -154,7 +177,8 @@ object TextAnalysis extends QueryModule {
     "q35_token_count" -> ((s, d) => tokenCount(T.documents(s, d))),
     "q36_fingerprint" -> ((s, d) => fingerprint(T.documents(s, d))),
     "q37_corpus_stats" -> ((s, d) => corpusStats(T.documents(s, d))),
-    "q46_lang_ngram" -> ((s, d) => langNgramConfusion(T.documents(s, d)))
+    "q46_lang_ngram" -> ((s, d) => langNgramConfusion(T.documents(s, d))),
+    "q60_commonness" -> ((s, d) => commonness(T.documents(s, d)))
   )
 
   private val normSql =
@@ -235,6 +259,14 @@ object TextAnalysis extends QueryModule {
          |  COUNT(*) AS n
          |FROM s GROUP BY 1, 2""".stripMargin
     },
+    "q60_commonness" ->
+      s"""WITH w AS (SELECT doc_id, unnest($wsSql) AS w FROM documents),
+         |freq AS (SELECT w, COUNT(*) AS cnt FROM w GROUP BY w)
+         |SELECT doc_id, COUNT(*) AS n_words,
+         |  CAST(SUM(cnt) AS BIGINT) AS tot_freq,
+         |  CAST(SUM(cnt) AS DOUBLE) / COUNT(*) AS avg_freq
+         |FROM w JOIN freq USING (w)
+         |GROUP BY doc_id""".stripMargin,
     "q37_corpus_stats" ->
       """SELECT lang, source, COUNT(*) AS n_docs,
         |  ROUND(AVG(n_chars), 2) AS avg_chars,
