@@ -32,6 +32,11 @@ object VectorExpressions {
     ColumnBridge.column(ArrayCosine(ColumnBridge.expression(a),
       ColumnBridge.expression(b)))
 
+  /** Σ (a_i - b_i)² in one pass — the PQ/k-means inner loop. */
+  def squaredL2(a: Column, b: Column): Column =
+    ColumnBridge.column(ArraySquaredL2(ColumnBridge.expression(a),
+      ColumnBridge.expression(b)))
+
   private[functions] def checkDoubleArrays(
       name: String, left: Expression, right: Expression): TypeCheckResult = {
     // compare element types only: containsNull varies by producer
@@ -79,6 +84,46 @@ case class ArrayDot(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ArrayDot =
+    copy(left = newLeft, right = newRight)
+}
+
+case class ArraySquaredL2(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExpressions.checkDoubleArrays(prettyName, left, right)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "array_squared_l2"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    // same sequential fold as aggregate(zip_with(a,b,(p,q)=>(p-q)*(p-q)))
+    // — bit-identical doubles, no per-row intermediate array
+    while (i < n) { val d = x.getDouble(i) - y.getDouble(i); acc += d * d; i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${ev.value} = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  ${ev.value} += $d * $d;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArraySquaredL2 =
     copy(left = newLeft, right = newRight)
 }
 

@@ -230,10 +230,13 @@ object Similarity extends QueryModule {
       .select(col("vec_id").cast("int").as("k"),
         posexplode(pqSubvecs(toDoubleArray(col("embedding")))).as(Seq("m", "cv")))
 
-  /** Squared L2 between the sv and cv slice columns (fixed-order fold). */
-  private val pqDist: Column = aggregate(
-    zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
-    lit(0.0), (acc, x) => acc + x)
+  /** Squared L2 between the sv and cv slice columns — the native
+    * expression generates a tight codegen loop with the same
+    * sequential fold (bit-identical to the zip_with/aggregate form,
+    * minus the interpreted-lambda and intermediate-array cost that
+    * dominates the corpus × codebook assignment join). */
+  private val pqDist: Column =
+    graft.functions.VectorExpressions.squaredL2(col("sv"), col("cv"))
 
   /** (vec_id, m, k, d): per-subspace argmin code assignment. */
   def pqAssignments(emb: DataFrame): DataFrame =

@@ -37,6 +37,21 @@ class VectorExpressionsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
   }
 
+  test("ArraySquaredL2 matches the built-in fold bit-for-bit, incl. random arrays") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 50).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextDouble() * 4 - 2),
+        Array.fill(16)(rnd.nextDouble() * 4 - 2)))
+      .toDF("id", "a", "b")
+    val got = rows.select(
+      VectorExpressions.squaredL2(col("a"), col("b")).as("fast"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v).as("slow")).collect()
+    got.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
+
   test("SimHash60 kernel matches the md5-derived composed form") {
     val spark2 = spark
     import spark2.implicits._
