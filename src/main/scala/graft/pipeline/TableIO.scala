@@ -58,6 +58,15 @@ object TableIO {
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** ORC sink/source — the other columnar interchange format a Spark
+    * shop meets (Hive-era tables). Same pushdown/pruning behavior as
+    * parquet; parquet stays the canonical store. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Atomic overwrite protocol (S5): stage the full rewrite in a `.tmp`
     * sibling, then swap via rename. Mirrors temp+`os.replace` at
     * `task_manager.py:97-107` at directory granularity — but directory
@@ -77,6 +86,7 @@ object TableIO {
     deleteRecursive(tmp)
     format match {
       case "csv" => writeCsv(df, tmp.toString, quoteAll)
+      case "orc" => writeOrc(df, tmp.toString)
       case _     => writeParquet(df, tmp.toString)
     }
     val old = destPath.resolveSibling(destPath.getFileName.toString + ".old")

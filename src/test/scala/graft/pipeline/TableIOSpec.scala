@@ -135,6 +135,20 @@ class TableIOSpec extends SparkSpec {
     } finally proc.destroyForcibly()
   }
 
+  test("orc round-trips through the atomic overwrite protocol with pushdown") {
+    val dir = Files.createTempDirectory("graft-orc").toString
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    TableIO.atomicOverwrite(df, s"$dir/t", format = "orc")
+    val back = TableIO.readOrc(spark, s"$dir/t")
+    assert(back.count() === 100)
+    assert(back.filter(col("id") === 42L).select("v").as[String].head() === "v42")
+    // predicate pushdown reaches the ORC scan like parquet
+    val plan = back.filter(col("id") === 42L).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(id,42)"),
+      s"expected ORC pushdown in:\n$plan")
+  }
+
   test("readFileMap ingests a directory tree as relpath -> content") {
     val dir = Files.createTempDirectory("graft-files")
     Files.createDirectories(dir.resolve("sub"))
