@@ -184,7 +184,9 @@ class TaskStore(staleAfter: Duration = Duration.ofHours(24),
           s"version $loadedVersion — another writer committed in between; " +
           "reload and re-apply")
     TableIO.atomicOverwrite(toDF(spark), dir)
-    loadedVersion += 1
+    // a store that recovered a corrupt version (-1) must commit at >= 1:
+    // committing at 0 would let a later fresh store's CAS pass (0 == 0)
+    loadedVersion = math.max(loadedVersion + 1, 1L)
     // temp+rename like every other commit: a torn in-place write would
     // leave an unparseable version file
     val vp = java.nio.file.Paths.get(dir, TaskStore.VersionFile)
@@ -216,17 +218,20 @@ object TaskStore {
   private[pipeline] val VersionFile = "_GRAFT_VERSION"
   private[pipeline] val MetaFile = "_GRAFT_META"
 
-  /** Current committed version of a snapshot dir (0 if none). A crash
-    * between the table commit and the version write — or a corrupt
-    * version file — reads as 0, which makes every in-flight store's
-    * CAS fail (conflict, reload, re-apply): the safe direction, and
-    * never a permanent brick. */
+  /** Current committed version of a snapshot dir: 0 if the file is
+    * absent (fresh dir, or crash between table commit and version
+    * write), -1 if present but unreadable/unparseable. The corrupt
+    * sentinel conflicts with EVERY in-flight loadedVersion except a
+    * load that itself observed the corruption — so a fresh store can
+    * never clobber a corrupt-but-populated snapshot, while a
+    * load→re-apply→save cycle heals it (committing at version ≥ 1).
+    * Never throws: a torn or non-UTF-8 file must not brick the store. */
   def versionOf(dir: String): Long = {
     val p = java.nio.file.Paths.get(dir, VersionFile)
     if (!java.nio.file.Files.exists(p)) 0L
     else
       try java.nio.file.Files.readString(p).trim.toLong
-      catch { case _: NumberFormatException => 0L }
+      catch { case scala.util.control.NonFatal(_) => -1L }
   }
 
   /** Restore from a parquet snapshot written by [[TaskStore.save]]. */

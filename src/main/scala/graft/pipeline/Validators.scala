@@ -78,10 +78,11 @@ object BuildContext {
           var bad: Option[String] = None
           while (it.hasNext && bad.isEmpty) {
             val e = it.next()
-            // a nested object/array value would silently materialize as
-            // an empty file (asText() == "") — reject like the reference
-            // rejects a malformed map (`validators.py:110-120`)
-            if (!e.getValue.isValueNode)
+            // only STRING values are file contents: an object/array would
+            // materialize as an empty file via asText(), and null/number/
+            // boolean as the literal "null"/"123" — reject like the
+            // reference rejects a malformed map (`validators.py:110-120`)
+            if (!e.getValue.isTextual)
               bad = Some(s"additional_files value for '${e.getKey}' is not a string")
             else b += e.getKey -> e.getValue.asText()
           }

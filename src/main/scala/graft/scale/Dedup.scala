@@ -160,7 +160,9 @@ object Dedup extends QueryModule {
     * long chains the alternating small-star/large-star variant bounds
     * rounds at O(log n). Convergence is detected by the monotone
     * label-sum invariant (labels only decrease), one cheap action per
-    * round.
+    * round. Each round's checkpoint supersedes the last; dropped
+    * rounds hold no live references, so Spark's ContextCleaner
+    * reclaims their blocks as the driver GCs them.
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
                           bCol: String = "doc_b", maxIter: Int = 25): DataFrame = {

@@ -116,7 +116,10 @@ object Multimodal {
       // fmt chunk: format(2) channels(2) rate(4) byterate(4) align(2) bits(2)
       if (id == "fmt " && i + 24 <= p.length)
         fmt = Some((u16le(i + 10), u32le(i + 12).toInt, u16le(i + 22)))
-      else if (id == "data") dataLen = Some(len)
+      // only trust a data length the payload can actually hold — a
+      // corrupt 32-bit length would otherwise yield a days-long
+      // duration for a tiny file
+      else if (id == "data" && len <= p.length - (i + 8)) dataLen = Some(len)
       // advance in Long math: a corrupt 32-bit length must not wrap to
       // a negative/zero step (infinite loop) or overflow the index —
       // treat it as a malformed container and stop walking

@@ -157,6 +157,12 @@ object EventStreams {
     * stale sweep) — without a TTL the store would grow one entry per
     * user forever and a high-cardinality stream eventually OOMs. An
     * evicted user's next purchase simply sees no carried click.
+    *
+    * The TTL's prerequisite watermark also means a purchase arriving
+    * LATER than `watermark` behind the stream's max event time is
+    * dropped before this operator runs — it emits no row at all, not
+    * an unenriched one. Size `watermark` to the pipeline's real
+    * lateness bound.
     */
   def enrichAsof(events: Dataset[Event], watermark: String = "1 hour",
                  ttlHours: Int = 24): Dataset[EnrichedPurchase] = {

@@ -114,8 +114,14 @@ class TableIOSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft-xlock").toString
     val lock = s"$dir/.lock"
     val marker = s"$dir/held"
-    val cp = Seq("target/scala-2.13/classes", "target/scala-2.13/test-classes",
-      "/opt/spark/jars/*").mkString(":")
+    // derive the child JVM's classpath from where these classes really
+    // live, so a Scala-version or Spark-home change doesn't break the
+    // test with a misleading "never started" failure
+    def codeDir(c: Class[_]): String =
+      java.nio.file.Paths.get(c.getProtectionDomain.getCodeSource.getLocation.toURI).toString
+    val sparkJars = new java.io.File(
+      codeDir(classOf[org.apache.spark.sql.SparkSession])).getParent + "/*"
+    val cp = Seq(codeDir(TableIO.getClass), codeDir(getClass), sparkJars).mkString(":")
     val proc = new ProcessBuilder(
       "java", "-cp", cp, "graft.pipeline.LockHolder", lock, marker, "3000")
       .redirectErrorStream(true).start()

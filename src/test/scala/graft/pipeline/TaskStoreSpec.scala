@@ -133,20 +133,27 @@ class TaskStoreSpec extends SparkSpec {
     assert(back.workflowMetadata.contains("last_updated"))
   }
 
-  test("a corrupt version file reads as version 0, never a permanent brick") {
+  test("a corrupt version file conflicts with strangers but heals via " +
+    "reload — never a brick, never a clobber") {
     val store = new TaskStore()
     store.createTask("draft_dp", id = Some("t1"))
     val dir = java.nio.file.Files.createTempDirectory("graft-vcorrupt").toString + "/tasks"
     store.save(spark, dir)
-    // torn write: empty version file
+    // torn write: empty version file → the corrupt sentinel, not a throw
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(dir, "_GRAFT_VERSION"), "")
-    assert(TaskStore.versionOf(dir) === 0L)
-    // recovery path: reload (sees version 0), re-apply, save succeeds
+    assert(TaskStore.versionOf(dir) === -1L)
+    // a fresh store that never saw the snapshot must NOT clobber it
+    val fresh = new TaskStore()
+    fresh.createTask("draft_dp", id = Some("intruder"))
+    intercept[java.util.ConcurrentModificationException] { fresh.save(spark, dir) }
+    // recovery path: reload (observes the corruption), re-apply, save
+    // heals at version >= 1 so later fresh stores still conflict
     val re = TaskStore.load(spark, dir)
     assert(re.getTask("t1").isDefined) // data was never lost
     re.save(spark, dir)
     assert(TaskStore.versionOf(dir) === 1L)
+    assert(TaskStore.load(spark, dir).getTask("intruder").isEmpty)
   }
 
   test("a fresh store cannot clobber an existing snapshot it never loaded") {

@@ -177,6 +177,9 @@ class ValidatorsSpec extends SparkSpec {
     val r = BuildContext.parseFileMap("""{"app/config.json": {"k": 1}}""")
     assert(r.isLeft)
     assert(r.left.exists(_.contains("not a string")))
+    // null/number/boolean would materialize as literal "null"/"123"
+    assert(BuildContext.parseFileMap("""{"a.txt": null}""").isLeft)
+    assert(BuildContext.parseFileMap("""{"a.txt": 123}""").isLeft)
     // plain string values still parse
     assert(BuildContext.parseFileMap("""{"a.txt": "hi"}""") === Right(Map("a.txt" -> "hi")))
   }

@@ -102,6 +102,16 @@ class MultimodalSpec extends SparkSpec {
       'j', 'u', 'n', 'k', 0xf8, 0xff, 0xff, 0xff) ++
       Array.fill(40)(0)).map(_.toByte)
     assert(Multimodal.decodeWavHeader(corrupt) === None)
+    // a data-chunk length larger than the payload itself is corrupt:
+    // must not produce a days-long duration for a tiny file
+    val badData = (Array('R'.toInt, 'I', 'F', 'F', 0, 0, 0, 0,
+      'W', 'A', 'V', 'E',
+      'f', 'm', 't', ' ') ++ u32le(16) ++
+      u16le(1) ++ u16le(2) ++ u32le(8000) ++ u32le(8000 * 2 * 2) ++
+      u16le(4) ++ u16le(16) ++
+      Array('d'.toInt, 'a', 't', 'a') ++ u32le(0xFFFFFFF0L) ++
+      Array.fill(16)(0)).map(_.toByte)
+    assert(Multimodal.decodeWavHeader(badData) === None)
     val stub = Multimodal.stubDecode(9L, "audio", "not audio at all - long enough to be a payload".getBytes)
     assert(stub.sample_rate === 16000)
   }
