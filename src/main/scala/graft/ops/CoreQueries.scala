@@ -421,10 +421,31 @@ object CoreQueries extends QueryModule {
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
 
+  /** Time-spine densification: sparse per-hour aggregates joined onto
+    * the COMPLETE hourly spine × event-type grid, empty cells
+    * zero-filled — the gap-filling step every dashboard/training
+    * time-series needs. Scale shape: aggregate FIRST (the fact table
+    * never meets the spine), then left-join the tiny generated spine —
+    * spine size is time-range/granularity, independent of data volume. */
+  def q62TimeSpine(s: SparkSession, d: String): DataFrame = {
+    val e = T.events(s, d)
+      .select(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+    val hourly = e.groupBy(col("h"), col("event_type")).agg(count(lit(1)).as("cnt"))
+    val bounds = e.agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+    val spine = bounds.select(
+      explode(sequence(col("mn"), col("mx"), expr("interval 1 hour"))).as("h"))
+    val types = e.select(col("event_type")).distinct()
+    spine.crossJoin(types)
+      .join(hourly, Seq("h", "event_type"), "left")
+      .select(col("h").as("hour_start"), col("event_type"),
+        coalesce(col("cnt"), lit(0L)).as("n"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_percentiles" -> q48Percentiles,
     "q49_pivot" -> q49Pivot,
     "q56_json_extract" -> q56JsonExtract,
+    "q62_time_spine" -> q62TimeSpine,
     "q52_window_funcs" -> q52WindowFuncs,
     "q53_set_ops" -> q53SetOps,
     "q54_unpivot" -> q54Unpivot,
@@ -459,6 +480,17 @@ object CoreQueries extends QueryModule {
   )
 
   override val oracle: Map[String, String] = Map(
+    "q62_time_spine" ->
+      """WITH e AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+        |    event_type FROM events),
+        |hourly AS (SELECT h, event_type, COUNT(*) AS cnt FROM e GROUP BY 1, 2),
+        |b AS (SELECT MIN(h) AS mn, MAX(h) AS mx FROM e),
+        |spine AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM b),
+        |types AS (SELECT DISTINCT event_type FROM e)
+        |SELECT s.h AS hour_start, t.event_type,
+        |  CAST(COALESCE(cnt, 0) AS BIGINT) AS n
+        |FROM spine s CROSS JOIN types t
+        |LEFT JOIN hourly ON hourly.h = s.h AND hourly.event_type = t.event_type""".stripMargin,
     "q56_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
