@@ -441,7 +441,29 @@ object CoreQueries extends QueryModule {
         coalesce(col("cnt"), lit(0L)).as("n"))
   }
 
+  /** Statistical profile per group from EXACT decimal moments: mean,
+    * variance, std computed from Σx and Σx² accumulated as decimals —
+    * double sums differ across partition orders, but decimal sums are
+    * exact and associative, and the final mean/var/std arithmetic is a
+    * fixed IEEE expression tree (sqrt is correctly rounded per IEEE
+    * 754, unlike ln/exp which drift by libm). Built-in var_samp would
+    * NOT hash-match cross-engine. */
+  def q63ProfileStats(s: SparkSession, d: String): DataFrame = {
+    val x = col("l_quantity")
+    graft.scale.Layout.widen(T.lineitem(s, d))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        exactSum(x).as("sx"),
+        exactSum(x * x).as("sxx"))
+      .select(col("l_returnflag"), col("n"),
+        (col("sx") / col("n")).as("mean"),
+        ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("var"),
+        sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("std"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_profile_stats" -> q63ProfileStats,
     "q48_percentiles" -> q48Percentiles,
     "q49_pivot" -> q49Pivot,
     "q56_json_extract" -> q56JsonExtract,
@@ -480,6 +502,16 @@ object CoreQueries extends QueryModule {
   )
 
   override val oracle: Map[String, String] = Map(
+    "q63_profile_stats" ->
+      s"""WITH m AS (SELECT l_returnflag, COUNT(*) AS n,
+         |  ${exactSumSql("l_quantity")} AS sx,
+         |  ${exactSumSql("l_quantity*l_quantity")} AS sxx
+         |FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, n,
+         |  sx / n AS mean,
+         |  (sxx - sx * sx / n) / (n - 1) AS var,
+         |  sqrt((sxx - sx * sx / n) / (n - 1)) AS std
+         |FROM m""".stripMargin,
     "q62_time_spine" ->
       """WITH e AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
         |    event_type FROM events),
