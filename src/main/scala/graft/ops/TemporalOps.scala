@@ -35,8 +35,10 @@ object TemporalOps extends QueryModule {
     * (inclusive — a tie counts as a match, like DuckDB's
     * `ASOF JOIN ... ON l.ts >= r.ts`). Left-outer: unmatched left rows
     * keep nulls. Payload columns come back suffixed with `suffix`.
-    * Among right rows tied on ts the last by payload order wins —
-    * callers needing a specific tiebreak should pre-dedupe (keys, ts).
+    * Among right rows tied on (keys, ts) the MAXIMUM payload struct
+    * (lexicographic by field order) wins — a deterministic tie-break,
+    * never partition-order dependent. Payload columns must therefore be
+    * orderable types (no maps); violations fail at analysis time.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String, rightPayload: Seq[String],
@@ -50,10 +52,14 @@ object TemporalOps extends QueryModule {
       (keys.map(col) :+ col(rightTs).as("__t") :+ lit(0).as("__side") :+
         lit(null).cast(StructType(left.schema)).as("__l") :+
         struct(rightPayload.map(col): _*).as("__rp")): _*)
-    // ORDER (ts, side): at equal ts the right row (0) sorts before the
-    // left row (1), so ties are visible to the carry-forward
+    // ORDER (ts, side, payload): at equal ts the right row (0) sorts
+    // before the left row (1), so ties are visible to the carry-forward;
+    // among right rows tied on ts the payload struct orders them, so the
+    // one carried forward (the last, i.e. the max) is deterministic —
+    // the same rows always produce the same answer regardless of
+    // partition layout or scan order.
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").asc)
+      .orderBy(col("__t").asc, col("__side").asc, col("__rp").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
       .withColumn("__c", last(col("__rp"), ignoreNulls = true).over(w))

@@ -198,10 +198,16 @@ class TaskStore(staleAfter: Duration = Duration.ofHours(24),
     updateWorkflowMetadata(Map.empty) // bump last_updated, as _save_state does
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     import scala.jdk.CollectionConverters._
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(dir, TaskStore.MetaFile),
+    // temp+rename, same as the version file: a crash mid-write must not
+    // leave torn JSON that bricks every subsequent load
+    val mp = java.nio.file.Paths.get(dir, TaskStore.MetaFile)
+    val mtmp = java.nio.file.Paths.get(dir, TaskStore.MetaFile + ".tmp")
+    java.nio.file.Files.writeString(mtmp,
       mapper.writeValueAsString(
         (metadata + ("workflow_type" -> workflowType)).asJava))
+    java.nio.file.Files.move(mtmp, mp,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   private def mutate(id: String)(pf: PartialFunction[Task, Task]): Boolean = {
@@ -238,14 +244,18 @@ object TaskStore {
   def load(spark: SparkSession, dir: String,
            staleAfter: Duration = Duration.ofHours(24)): TaskStore = {
     val metaPath = java.nio.file.Paths.get(dir, MetaFile)
+    // a torn/corrupt meta file degrades to empty metadata rather than
+    // bricking the store — same never-throws stance as versionOf
     val meta: Map[String, String] =
       if (java.nio.file.Files.exists(metaPath)) {
-        val node = new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(java.nio.file.Files.readString(metaPath))
-        val it = node.fields()
-        val b = Map.newBuilder[String, String]
-        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
-        b.result()
+        try {
+          val node = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(java.nio.file.Files.readString(metaPath))
+          val it = node.fields()
+          val b = Map.newBuilder[String, String]
+          while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
+          b.result()
+        } catch { case scala.util.control.NonFatal(_) => Map.empty[String, String] }
       } else Map.empty
     val store = new TaskStore(staleAfter,
       workflowType = meta.getOrElse("workflow_type", "generic"))

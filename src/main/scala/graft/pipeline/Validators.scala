@@ -103,10 +103,17 @@ object BuildContext {
     parseFileMap(additionalFilesJson) match {
       case Left(err) => Some(err)
       case Right(files) =>
-        // keep hostile relative paths inside the context
-        val escaping = files.keys.find(rel => !dir.resolve(rel).normalize().startsWith(dir))
+        // keep hostile relative paths inside the context; a blank path
+        // (or one normalizing to the context root, e.g. "." or "a/..")
+        // resolves to the dir itself — writeString on a directory would
+        // throw on the executor and kill the job instead of producing a
+        // failed StageResult, so reject it here with the escapers
+        val escaping = files.keys.find { rel =>
+          val resolved = dir.resolve(rel).normalize()
+          rel.isBlank || !resolved.startsWith(dir) || resolved == dir.normalize()
+        }
         if (escaping.isDefined)
-          return Some(s"additional_files path escapes build context: ${escaping.get}")
+          return Some(s"additional_files path escapes build context: '${escaping.get}'")
         files.foreach { case (rel, content) =>
           val p = dir.resolve(rel).normalize()
           Files.createDirectories(p.getParent)

@@ -33,6 +33,13 @@ object Skew extends QueryModule {
                  rightKey: String, salts: Int,
                  joinType: String = "inner"): DataFrame = {
     require(salts >= 1, s"salts must be >= 1: $salts")
+    // right rows are replicated once per salt, so a right/full outer
+    // would emit `salts` copies of each unmatched right row — wrong
+    // results with no error. Fail loudly instead.
+    require(Set("inner", "left", "left_outer", "leftouter")
+              .contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left-outer only (got '$joinType'): " +
+        "the replicated right side would duplicate unmatched right rows")
     // the salt is routing-only, so any per-row value works; a hash of
     // the row id spreads a hot key's rows evenly without needing a
     // second column from the caller
