@@ -163,12 +163,28 @@ object Dedup extends QueryModule {
     * round. Each round's checkpoint supersedes the last; dropped
     * rounds hold no live references, so Spark's ContextCleaner
     * reclaims their blocks as the driver GCs them.
+    *
+    * Adaptive small-graph fast path: near-dup edge lists are usually
+    * a vanishing fraction of the corpus (56 pairs from 500 docs at
+    * sf0.01), and an iterative distributed loop pays fixed job+shuffle
+    * cost per round regardless of size. Like a broadcast-join
+    * threshold, when the symmetrized edge list is at most
+    * `driverMaxEdges` rows it is collected and solved with
+    * union-find on the driver (O(E α(E)), milliseconds at the
+    * threshold); larger graphs take the distributed loop. Both paths
+    * produce identical labels (spec-checked against each other).
+    * Node ids are cast to long so the two paths agree on schema.
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
-                          bCol: String = "doc_b", maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+                          bCol: String = "doc_b", maxIter: Int = 25,
+                          driverMaxEdges: Long = 4L << 20): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).cast(LongType).as("src"), col(bCol).cast(LongType).as("dst"))
+      .unionByName(pairs
+        .select(col(bCol).cast(LongType).as("src"), col(aCol).cast(LongType).as("dst")))
       .distinct().localCheckpoint()
+    val nEdges = edges.count()
+    if (nEdges <= driverMaxEdges) return driverUnionFind(edges)
     var labels = edges.groupBy(col("src").as("node"))
       .agg(min(col("dst")).as("nbr"))
       .select(col("node"), least(col("node"), col("nbr")).as("label"))
@@ -197,6 +213,33 @@ object Dedup extends QueryModule {
         s"connected components did not converge within $maxIter rounds " +
           "(graph diameter exceeds the budget) — raise maxIter")
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Driver-side union-find over a (src, dst) edge DataFrame small
+    * enough to collect (gated by the caller's threshold). Component id
+    * is the smallest node id — identical semantics to the distributed
+    * min-label loop. */
+  private def driverUnionFind(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    // iterative find + path compression: a chain graph at the threshold
+    // would overflow the stack with the recursive form
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
+      var c = x
+      while (c != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    edges.collect().foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val (ra, rb) = (find(a), find(b))
+      // smaller root wins, so every final root is its component's min id
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val rows = parent.keys.toSeq.map(x => (x, find(x)))
+    spark.createDataset(rows).toDF("doc_id", "cluster_id")
   }
 
   /** n-gram Jaccard similarity over candidate pairs that share ≥1

@@ -102,6 +102,27 @@ class DedupSpec extends SparkSpec {
     import spark2.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(Dedup.connectedComponents(empty).count() === 0)
+    // both paths must handle the empty graph
+    assert(Dedup.connectedComponents(empty, driverMaxEdges = -1L).count() === 0)
+  }
+
+  test("distributed label-propagation path agrees with the driver fast path") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(97)
+    for (trial <- 0 until 3) {
+      val n = 40
+      val edges = (0 until 35).map { _ =>
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct.toDF("doc_a", "doc_b")
+      val fast = Dedup.connectedComponents(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // driverMaxEdges = -1 forces every graph down the iterative path
+      val dist = Dedup.connectedComponents(edges, driverMaxEdges = -1L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fast === dist, s"trial $trial")
+    }
   }
 
   test("connected components equals driver-side union-find on random graphs") {
