@@ -109,8 +109,16 @@ object BuildContext {
         // throw on the executor and kill the job instead of producing a
         // failed StageResult, so reject it here with the escapers
         val escaping = files.keys.find { rel =>
-          val resolved = dir.resolve(rel).normalize()
-          rel.isBlank || !resolved.startsWith(dir) || resolved == dir.normalize()
+          // a path the filesystem can't even represent (NUL and friends
+          // throw InvalidPathException from resolve) is as hostile as an
+          // escaping one — treat it the same instead of letting the
+          // exception kill the executor task
+          try {
+            val resolved = dir.resolve(rel).normalize()
+            rel.isBlank || !resolved.startsWith(dir) || resolved == dir.normalize()
+          } catch {
+            case _: java.nio.file.InvalidPathException => true
+          }
         }
         if (escaping.isDefined)
           return Some(s"additional_files path escapes build context: '${escaping.get}'")

@@ -173,15 +173,34 @@ object Dedup extends QueryModule {
     * union-find on the driver (O(E α(E)), milliseconds at the
     * threshold); larger graphs take the distributed loop. Both paths
     * produce identical labels (spec-checked against each other).
-    * Node ids are cast to long so the two paths agree on schema.
+    * The default threshold (1M edges ≈ 16 MB of primitive pairs plus
+    * the union-find map) is broadcast-threshold-conservative so the
+    * fast path cannot OOM a small driver. Id columns must already be
+    * integral (byte/short/int/long) — validated up front, because a
+    * silent cast of e.g. string ids to null would corrupt every
+    * component without an error.
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
                           bCol: String = "doc_b", maxIter: Int = 25,
-                          driverMaxEdges: Long = 4L << 20): DataFrame = {
+                          driverMaxEdges: Long = 1L << 20): DataFrame = {
+    for (c <- Seq(aCol, bCol)) {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType}
+      val dt = pairs.schema(c).dataType
+      val integral = dt == LongType || dt == IntegerType ||
+        dt == ShortType || dt == ByteType
+      require(integral,
+        s"connectedComponents requires integral id columns; '$c' is " +
+          s"${dt.simpleString}. Map ids to longs first (e.g. hash or " +
+          "dense-rank them) — a silent cast would turn non-numeric ids " +
+          "into nulls and merge unrelated components.")
+    }
     val edges = pairs
       .select(col(aCol).cast(LongType).as("src"), col(bCol).cast(LongType).as("dst"))
       .unionByName(pairs
         .select(col(bCol).cast(LongType).as("src"), col(aCol).cast(LongType).as("dst")))
+      // a null endpoint is not an edge — drop it so neither path can
+      // manufacture a null node (the driver path decodes primitives)
+      .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct().localCheckpoint()
     val nEdges = edges.count()
     if (nEdges <= driverMaxEdges) return driverUnionFind(edges)
@@ -218,11 +237,15 @@ object Dedup extends QueryModule {
   /** Driver-side union-find over a (src, dst) edge DataFrame small
     * enough to collect (gated by the caller's threshold). Component id
     * is the smallest node id — identical semantics to the distributed
-    * min-label loop. */
+    * min-label loop. Edges are collected as primitive (Long, Long)
+    * pairs (specialized Tuple2 — 16 bytes each, no GenericRow
+    * overhead) and the union-find map is an open-addressed LongMap,
+    * so the footprint at the 1M-edge threshold stays in the tens of
+    * megabytes. */
   private def driverUnionFind(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    val parent = scala.collection.mutable.LongMap.empty[Long]
     // iterative find + path compression: a chain graph at the threshold
     // would overflow the stack with the recursive form
     def find(x: Long): Long = {
@@ -232,8 +255,7 @@ object Dedup extends QueryModule {
       while (c != r) { val nxt = parent(c); parent(c) = r; c = nxt }
       r
     }
-    edges.collect().foreach { r =>
-      val (a, b) = (r.getLong(0), r.getLong(1))
+    edges.as[(Long, Long)].collect().foreach { case (a, b) =>
       val (ra, rb) = (find(a), find(b))
       // smaller root wins, so every final root is its component's min id
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)

@@ -35,11 +35,18 @@ object Skew extends QueryModule {
     require(salts >= 1, s"salts must be >= 1: $salts")
     // right rows are replicated once per salt, so a right/full outer
     // would emit `salts` copies of each unmatched right row — wrong
-    // results with no error. Fail loudly instead.
-    require(Set("inner", "left", "left_outer", "leftouter")
+    // results with no error. Fail loudly instead. Semi/anti are safe:
+    // they emit each left row at most once regardless of how many
+    // replicated right rows match, so replication cannot duplicate
+    // (semi) or wrongly drop (anti — a left row with no real match has
+    // no match under any salt either) output rows.
+    require(Set("inner", "left", "left_outer", "leftouter",
+                "left_semi", "leftsemi", "semi",
+                "left_anti", "leftanti", "anti")
               .contains(joinType.toLowerCase),
-      s"saltedJoin supports inner/left-outer only (got '$joinType'): " +
-        "the replicated right side would duplicate unmatched right rows")
+      s"saltedJoin supports inner/left-outer/semi/anti only (got " +
+        s"'$joinType'): the replicated right side would duplicate " +
+        "unmatched right rows under right/full outer")
     // the salt is routing-only, so any per-row value works; a hash of
     // the row id spreads a hot key's rows evenly without needing a
     // second column from the caller

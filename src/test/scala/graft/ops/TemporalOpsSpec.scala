@@ -139,4 +139,22 @@ class TemporalOpsSpec extends SparkSpec {
     assert(lo.count() === 500 + 50)
     assert(lo.filter(col("rv").isNull).count() === 50 - 29)
   }
+
+  test("saltedJoin semi/anti match the unsalted joins; right/full outer rejected") {
+    val spark2 = spark
+    import spark2.implicits._
+    val left = ((0 until 200).map(i => (1L, s"v$i")) ++
+      (0 until 40).map(i => (i.toLong + 2, s"w$i"))).toDF("lk", "lv")
+    val right = (1L to 20L).map(k => (k, s"r$k")).toDF("rk", "rv")
+    for (jt <- Seq("left_semi", "left_anti")) {
+      val plain = left.join(right, col("lk") === col("rk"), jt)
+        .collect().map(_.toSeq).sortBy(_.toString)
+      val salted = Skew.saltedJoin(left, right, "lk", "rk", salts = 8, joinType = jt)
+        .collect().map(_.toSeq).sortBy(_.toString)
+      assert(salted === plain, jt)
+    }
+    for (jt <- Seq("right", "full", "full_outer"))
+      intercept[IllegalArgumentException](
+        Skew.saltedJoin(left, right, "lk", "rk", salts = 2, joinType = jt))
+  }
 }

@@ -190,6 +190,12 @@ class ValidatorsSpec extends SparkSpec {
       val err = BuildContext.materialize(dir, "FROM x",
         """{"../../etc/evil": "x"}""", "def test_a(): pass")
       assert(err.exists(_.contains("escapes build context")))
+      // a path the filesystem can't represent (embedded NUL) must fail
+      // the same way — as a message, not an InvalidPathException that
+      // would kill the executor task
+      val nul = BuildContext.materialize(dir, "FROM x",
+        "{\"a\\u0000b\": \"x\"}", "def test_a(): pass")
+      assert(nul.exists(_.contains("escapes build context")))
     } finally BuildContext.deleteRecursive(dir)
   }
 

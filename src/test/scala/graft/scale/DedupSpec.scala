@@ -106,6 +106,34 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.connectedComponents(empty, driverMaxEdges = -1L).count() === 0)
   }
 
+  test("connected components rejects non-integral id columns at analysis " +
+    "time instead of silently casting them to null") {
+    val spark2 = spark
+    import spark2.implicits._
+    val strPairs = Seq(("a", "b"), ("b", "c")).toDF("doc_a", "doc_b")
+    val err = intercept[IllegalArgumentException](
+      Dedup.connectedComponents(strPairs))
+    assert(err.getMessage.contains("integral"))
+    // double ids are equally unsafe (fractional ids would collide)
+    val dblPairs = Seq((1.0, 2.0)).toDF("doc_a", "doc_b")
+    intercept[IllegalArgumentException](Dedup.connectedComponents(dblPairs))
+  }
+
+  test("connected components drops null-endpoint edges on both paths") {
+    val spark2 = spark
+    import spark2.implicits._
+    val pairs = Seq(
+      (java.lang.Long.valueOf(1L), java.lang.Long.valueOf(2L)),
+      (null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(3L)),
+      (java.lang.Long.valueOf(4L), null.asInstanceOf[java.lang.Long])
+    ).toDF("doc_a", "doc_b")
+    for (threshold <- Seq(1L << 20, -1L)) {
+      val cc = Dedup.connectedComponents(pairs, driverMaxEdges = threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(cc === Map(1L -> 1L, 2L -> 1L), s"threshold $threshold")
+    }
+  }
+
   test("distributed label-propagation path agrees with the driver fast path") {
     val spark2 = spark
     import spark2.implicits._
