@@ -158,6 +158,163 @@ object TextAnalysis extends QueryModule {
         (col("tot_freq").cast("double") / col("n_words")).as("avg_freq"))
   }
 
+  /** Gopher-style quality-rule signals (Rae et al. 2021, appendix A1 —
+    * the standard web-corpus filter battery): word count, mean word
+    * length, lexical diversity (distinct/total words), fraction of
+    * words containing a letter, symbol-to-word ratio (# and ellipsis),
+    * bullet-line and ellipsis-line fractions, and an English stopword
+    * floor, folded into one deterministic pass/fail flag.
+    *
+    * Scale design: pure per-row projection of codegen'd built-ins —
+    * no shuffle, runs at scan speed; the filter flag is exactly the
+    * predicate a 100 TB curation job pushes into its first pass.
+    * Thresholds are the published Gopher values where applicable
+    * (50 ≤ words ≤ 100k, mean length in [3,10], symbol ratio < 0.1,
+    * bullet lines < 90%, ellipsis lines < 30%, ≥80% alphabetic words,
+    * ≥2 stopwords). */
+  def gopherRules(docs0: DataFrame): DataFrame = {
+    val docs = widen(docs0)
+    val ws = words(col("text"))
+    val nw = greatest(size(ws), lit(1))
+    val lines = filter(transform(split(col("text"), "\n"), l => trim(l)), l => l =!= "")
+    val nl = greatest(size(lines), lit(1))
+    val meanWlen = length(array_join(ws, "")).cast("double") / nw
+    val distinctFrac = size(array_distinct(ws)).cast("double") / nw
+    val alphaFrac = size(filter(ws, w => w.rlike("[a-z]"))).cast("double") / nw
+    val symbolRatio = (countOccurrences(col("text"), "#") +
+      countOccurrences(col("text"), "...")).cast("double") / nw
+    val bulletFrac = size(filter(lines, l =>
+      l.startsWith("-") || l.startsWith("*") || l.startsWith("•"))).cast("double") / nl
+    val ellipsisFrac = size(filter(lines, l => l.endsWith("..."))).cast("double") / nl
+    val stopHitsEn = stopHits(ws, stopwords.head._2)
+    docs.select(
+      col("doc_id"),
+      size(ws).as("n_words"),
+      round(meanWlen, 4).as("mean_wlen"),
+      round(distinctFrac, 4).as("distinct_frac"),
+      round(alphaFrac, 4).as("alpha_frac"),
+      round(symbolRatio, 4).as("symbol_ratio"),
+      round(bulletFrac, 4).as("bullet_frac"),
+      round(ellipsisFrac, 4).as("ellipsis_frac"),
+      stopHitsEn.as("stop_hits"),
+      (size(ws).between(50, 100000) &&
+        meanWlen.between(3.0, 10.0) &&
+        symbolRatio < 0.1 &&
+        bulletFrac < 0.9 &&
+        ellipsisFrac < 0.3 &&
+        alphaFrac > 0.8 &&
+        stopHitsEn >= 2).as("gopher_pass"))
+  }
+
+  /** Repetition metrics (the Gopher/C4 duplicate-content signals that
+    * word-level stats miss): per document, the fraction of word
+    * bigrams that are repeats, the share held by the single most
+    * frequent bigram, and the distinct-bigram fraction.
+    *
+    * Scale design: explode → count is the one shape that needs a
+    * shuffle here, and it shuffles on (doc_id, bigram) — perfectly
+    * spread keys, map-side partial counts, no skew by construction
+    * (a key is one document's one bigram). Docs with fewer than two
+    * words surface with zero counts via the left join rather than
+    * silently dropping. All fractions are integer-ratio divisions —
+    * deterministic across engines. */
+  def repetition(docs0: DataFrame): DataFrame = {
+    val docs = widen(docs0)
+    val bi = docs.select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(shinglesFromWords(col("ws"), 2)).as("bg"))
+    val cnt = bi.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+    val stats = cnt.groupBy(col("doc_id")).agg(
+      sum(col("c")).as("n_bigrams"),
+      count(lit(1)).as("n_distinct"),
+      max(col("c")).as("top_cnt"),
+      sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dup_cnt"))
+    docs.select(col("doc_id")).join(stats, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        round(when(col("n_bigrams").isNotNull,
+          col("dup_cnt").cast("double") / col("n_bigrams")).otherwise(lit(0.0)), 4)
+          .as("dup_bigram_frac"),
+        round(when(col("n_bigrams").isNotNull,
+          col("top_cnt").cast("double") / col("n_bigrams")).otherwise(lit(0.0)), 4)
+          .as("top_bigram_frac"))
+  }
+
+  /** TF-IDF top-k terms per document — the corpus-relative keyword
+    * signal. Two-phase shape: per-(doc, term) frequency aggregate,
+    * document-frequency aggregate over it, join back on term, rank
+    * per document.
+    *
+    * Scale design: the tf aggregate shuffles on (doc_id, term) with
+    * map-side partials; the df table is vocabulary-sized (≪ corpus)
+    * and joins back on term — at 100 TB both shuffles are on short
+    * string keys and the window ranks within doc_id partitions. The
+    * idf is the BM25-family rational form (N − df + ½)/(df + ½)
+    * rather than a logarithm: same ranking, but exact one-operation
+    * IEEE arithmetic that reproduces bit-for-bit in any engine (libm
+    * `ln` does not). Ties rank deterministically by term. */
+  def tfidfTop(docs0: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = widen(docs0)
+    val w = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
+    val tf = w.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "term").crossJoin(n)
+      .withColumn("score", col("tf").cast("double") *
+        ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+    val win = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("score"), 4).as("tfidf"), col("rk"))
+  }
+
+  /** BM25 retrieval over the corpus for a fixed term query — the
+    * ranking function a training-data search/inspection tool runs.
+    * Okapi BM25 with k1 = 1.2, b = 0.75 and the rational idf (see
+    * [[tfidfTop]] on why no logarithm).
+    *
+    * Scale design: per-term frequencies come from counting inside the
+    * already-tokenized words array (a fixed, small query term set ⇒
+    * fixed work per row, no explode); corpus stats (N, Σdl, per-term
+    * df) reduce to ONE 1-row aggregate broadcast back with a cross
+    * join — so the whole query is scan → 1-row agg → scan-side
+    * scoring, a single pass over the corpus plus a global top-k. The
+    * per-document score sums its term contributions in fixed written
+    * order — no cross-row float accumulation anywhere. */
+  def bm25(docs0: DataFrame, terms: Seq[String] = Seq("spark", "join", "query"),
+           k: Int = 10): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 8, s"1-8 query terms: $terms")
+    val docs = widen(docs0)
+    val ws = words(col("text"))
+    val m = docs.select(
+      (Seq(col("doc_id"), size(ws).as("dl")) ++
+        terms.map(t => size(filter(ws, w => w === t)).as(s"tf_$t"))): _*)
+    val aggCols = count(lit(1)).as("n_docs") +: sum(col("dl")).as("sdl") +:
+      terms.map(t => count(when(col(s"tf_$t") > 0, lit(1))).as(s"df_$t"))
+    val g = m.agg(aggCols.head, aggCols.tail: _*)
+    val avgdl = col("sdl").cast("double") / col("n_docs")
+    def termScore(t: String): Column = {
+      val tf = col(s"tf_$t"); val df = col(s"df_$t")
+      ((col("n_docs") - df + lit(0.5)) / (df + lit(0.5))) *
+        ((tf * lit(2.2)) / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / avgdl))))
+    }
+    val score = terms.map(termScore).reduceLeft(_ + _)
+    m.crossJoin(g)
+      .withColumn("bm25_raw", score)
+      .filter(col("bm25_raw") > 0)
+      .select(
+        (Seq(col("doc_id"), col("dl")) ++ terms.map(t => col(s"tf_$t")) ++
+          Seq(round(col("bm25_raw"), 6).as("bm25"), col("bm25_raw"))): _*)
+      .orderBy(col("bm25_raw").desc, col("doc_id"))
+      .limit(k)
+      .drop("bm25_raw")
+  }
+
   /** Corpus stats rollup per (lang, source): doc counts + char-length
     * distribution — one hash-aggregate pass. */
   def corpusStats(docs: DataFrame): DataFrame =
@@ -178,7 +335,11 @@ object TextAnalysis extends QueryModule {
     "q36_fingerprint" -> ((s, d) => fingerprint(T.documents(s, d))),
     "q37_corpus_stats" -> ((s, d) => corpusStats(T.documents(s, d))),
     "q46_lang_ngram" -> ((s, d) => langNgramConfusion(T.documents(s, d))),
-    "q60_commonness" -> ((s, d) => commonness(T.documents(s, d)))
+    "q60_commonness" -> ((s, d) => commonness(T.documents(s, d))),
+    "q64_gopher_rules" -> ((s, d) => gopherRules(T.documents(s, d))),
+    "q65_repetition" -> ((s, d) => repetition(T.documents(s, d))),
+    "q66_tfidf" -> ((s, d) => tfidfTop(T.documents(s, d))),
+    "q67_bm25" -> ((s, d) => bm25(T.documents(s, d)))
   )
 
   private val normSql =
@@ -273,6 +434,95 @@ object TextAnalysis extends QueryModule {
         |  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
         |  CAST(MAX(n_chars) AS BIGINT) AS max_chars,
         |  CAST(MIN(doc_id) AS BIGINT) AS first_doc
-        |FROM documents GROUP BY lang, source""".stripMargin
+        |FROM documents GROUP BY lang, source""".stripMargin,
+    "q64_gopher_rules" ->
+      s"""WITH w AS (SELECT doc_id, text, $wsSql AS ws,
+         |  list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS ls
+         |FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(ws) AS INTEGER) AS n_words,
+         |  GREATEST(len(ws), 1) AS nw,
+         |  GREATEST(len(ls), 1) AS nl,
+         |  len(array_to_string(ws, '')) AS word_chars,
+         |  len(list_distinct(ws)) AS n_distinct,
+         |  len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+         |  CAST((len(text) - len(replace(text, '#', ''))) / 1 AS BIGINT)
+         |    + CAST((len(text) - len(replace(text, '...', ''))) / 3 AS BIGINT) AS n_symbols,
+         |  len(list_filter(ls, x -> starts_with(x, '-') OR starts_with(x, '*') OR starts_with(x, '•'))) AS n_bullet,
+         |  len(list_filter(ls, x -> ends_with(x, '...'))) AS n_ellipsis,
+         |  ${stopHitsSql(stopwords.head._2)} AS stop_hits
+         |FROM w)
+         |SELECT doc_id, n_words,
+         |  ROUND(CAST(word_chars AS DOUBLE) / nw, 4) AS mean_wlen,
+         |  ROUND(CAST(n_distinct AS DOUBLE) / nw, 4) AS distinct_frac,
+         |  ROUND(CAST(n_alpha AS DOUBLE) / nw, 4) AS alpha_frac,
+         |  ROUND(CAST(n_symbols AS DOUBLE) / nw, 4) AS symbol_ratio,
+         |  ROUND(CAST(n_bullet AS DOUBLE) / nl, 4) AS bullet_frac,
+         |  ROUND(CAST(n_ellipsis AS DOUBLE) / nl, 4) AS ellipsis_frac,
+         |  stop_hits,
+         |  (n_words BETWEEN 50 AND 100000
+         |    AND CAST(word_chars AS DOUBLE) / nw BETWEEN 3.0 AND 10.0
+         |    AND CAST(n_symbols AS DOUBLE) / nw < 0.1
+         |    AND CAST(n_bullet AS DOUBLE) / nl < 0.9
+         |    AND CAST(n_ellipsis AS DOUBLE) / nl < 0.3
+         |    AND CAST(n_alpha AS DOUBLE) / nw > 0.8
+         |    AND stop_hits >= 2) AS gopher_pass
+         |FROM m""".stripMargin,
+    "q65_repetition" ->
+      s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+         |idx AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+         |        FROM w WHERE len(ws) >= 2),
+         |bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg FROM idx),
+         |cnt AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+         |st AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+         |       COUNT(*) AS n_distinct, MAX(c) AS top_cnt,
+         |       CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_cnt
+         |       FROM cnt GROUP BY 1)
+         |SELECT doc_id,
+         |  COALESCE(n_bigrams, 0) AS n_bigrams,
+         |  COALESCE(n_distinct, 0) AS n_distinct,
+         |  ROUND(CASE WHEN n_bigrams IS NOT NULL
+         |    THEN CAST(dup_cnt AS DOUBLE) / n_bigrams ELSE 0.0 END, 4) AS dup_bigram_frac,
+         |  ROUND(CASE WHEN n_bigrams IS NOT NULL
+         |    THEN CAST(top_cnt AS DOUBLE) / n_bigrams ELSE 0.0 END, 4) AS top_bigram_frac
+         |FROM documents LEFT JOIN st USING (doc_id)""".stripMargin,
+    "q66_tfidf" ->
+      s"""WITH w AS (SELECT doc_id, unnest($wsSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+         |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |s AS (SELECT doc_id, term, tf, df,
+         |      CAST(tf AS DOUBLE) * ((n_docs - df + 0.5) / (df + 0.5)) AS score
+         |      FROM tf JOIN df USING (term) CROSS JOIN n),
+         |r AS (SELECT *, ROW_NUMBER() OVER
+         |        (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+         |      FROM s)
+         |SELECT doc_id, term, tf, df, ROUND(score, 4) AS tfidf,
+         |  CAST(rk AS INTEGER) AS rk
+         |FROM r WHERE rk <= 5""".stripMargin,
+    "q67_bm25" -> {
+      val terms = Seq("spark", "join", "query")
+      val tfSel = terms.map(t =>
+        s"CAST(len(list_filter(ws, x -> x = '$t')) AS INTEGER) AS tf_$t").mkString(",\n  ")
+      val dfSel = terms.map(t =>
+        s"COUNT(CASE WHEN tf_$t > 0 THEN 1 END) AS df_$t").mkString(",\n  ")
+      val scoreSql = terms.map(t =>
+        s"((n_docs - df_$t + 0.5) / (df_$t + 0.5)) * ((tf_$t * 2.2) / " +
+          s"(tf_$t + 1.2 * (0.25 + 0.75 * (dl / (CAST(sdl AS DOUBLE) / n_docs)))))")
+        .mkString("\n    + ")
+      s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+         |m AS (SELECT doc_id, CAST(len(ws) AS INTEGER) AS dl,
+         |  $tfSel
+         |FROM w),
+         |g AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sdl,
+         |  $dfSel
+         |FROM m),
+         |s AS (SELECT doc_id, dl, ${terms.map("tf_" + _).mkString(", ")},
+         |  $scoreSql AS raw
+         |FROM m CROSS JOIN g)
+         |SELECT doc_id, dl, ${terms.map("tf_" + _).mkString(", ")},
+         |  ROUND(raw, 6) AS bm25
+         |FROM s WHERE raw > 0 ORDER BY raw DESC, doc_id LIMIT 10""".stripMargin
+    }
   )
 }

@@ -32,4 +32,98 @@ class TextAnalysisSpec extends SparkSpec {
     // this sample so word-level falls back to the tie-break
     assert(pred(2L) === "en")
   }
+
+  test("gopher rules: bullet/ellipsis/symbol signals fire on crafted docs " +
+    "and the pass flag applies the published thresholds") {
+    val spark2 = spark
+    import spark2.implicits._
+    val goodBody = (1 to 60).map(i => s"the word number$i is that it")
+      .mkString(" ")
+    val crafted = Seq(
+      // 60×7 = 420 words, stopword-rich, no symbols → passes
+      (1L, goodBody, "en"),
+      // mostly bullet lines → bullet_frac ≥ 0.9 → fails
+      (2L, "- one\n- two\n- three\n- four\n- five\n- six\n- seven\n- eight\n- nine\nten", "en"),
+      // every line trails an ellipsis → ellipsis_frac = 1 → fails
+      (3L, "to be continued...\nmore soon...", "en"),
+      // short doc → n_words < 50 → fails
+      (4L, "the and of it", "en")
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.gopherRules(crafted).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("gopher_pass"))
+    assert(out(2L).getAs[Double]("bullet_frac") === 0.9)
+    assert(!out(2L).getAs[Boolean]("gopher_pass"))
+    assert(out(3L).getAs[Double]("ellipsis_frac") === 1.0)
+    assert(!out(3L).getAs[Boolean]("gopher_pass"))
+    assert(out(4L).getAs[Int]("n_words") === 4)
+    assert(!out(4L).getAs[Boolean]("gopher_pass"))
+  }
+
+  test("repetition: bigram duplicate and top-share math, zero-filled " +
+    "for docs too short to have bigrams") {
+    val spark2 = spark
+    import spark2.implicits._
+    val crafted = Seq(
+      // ws = a b a b a b → bigrams: ab ba ab ba ab (5 total, 2 distinct,
+      // top 'a b'×3, all 5 are repeats)
+      (1L, "a b a b a b", "en"),
+      // all distinct bigrams
+      (2L, "one two three four", "en"),
+      // single word → no bigrams
+      (3L, "solo", "en")
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.repetition(crafted).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_bigrams") === 5L)
+    assert(out(1L).getAs[Long]("n_distinct") === 2L)
+    assert(out(1L).getAs[Double]("dup_bigram_frac") === 1.0)
+    assert(out(1L).getAs[Double]("top_bigram_frac") === 0.6)
+    assert(out(2L).getAs[Double]("dup_bigram_frac") === 0.0)
+    assert(out(3L).getAs[Long]("n_bigrams") === 0L)
+    assert(out(3L).getAs[Double]("top_bigram_frac") === 0.0)
+  }
+
+  test("tfidf: corpus-rare terms outrank ubiquitous ones; ranks are " +
+    "per-doc, deterministic, and capped at k") {
+    val spark2 = spark
+    import spark2.implicits._
+    val crafted = Seq(
+      (1L, "common common rare common", "en"),
+      (2L, "common common common", "en"),
+      (3L, "common unique", "en")
+    ).toDF("doc_id", "text", "lang")
+    val rows = TextAnalysis.tfidfTop(crafted, k = 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rk")) ->
+        (r.getAs[String]("term"), r.getAs[Long]("tf"), r.getAs[Long]("df")))
+      .toMap
+    // 'rare' (df=1) beats 'common' (df=3) in doc 1 despite lower tf
+    assert(rows((1L, 1))._1 === "rare")
+    assert(rows((1L, 2))._1 === "common")
+    assert(rows((3L, 1))._1 === "unique")
+    // doc 2 has only one term
+    assert(!rows.contains((2L, 2)))
+    assert(rows((2L, 1)) === (("common", 3L, 3L)))
+  }
+
+  test("bm25: more query-term hits rank higher; term-free docs excluded; " +
+    "top-k bounded") {
+    val spark2 = spark
+    import spark2.implicits._
+    val crafted = Seq(
+      (1L, "spark join query spark join query", "en"),
+      (2L, "spark filler filler filler filler filler", "en"),
+      (3L, "nothing relevant here at all truly", "en"),
+      (4L, "query filler filler filler filler filler", "en")
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.bm25(crafted, k = 3).collect()
+    val ids = out.map(_.getAs[Long]("doc_id")).toSeq
+    assert(ids.head === 1L)          // all three terms, highest score
+    assert(!ids.contains(3L))        // no query terms → excluded
+    assert(ids.size === 3)
+    // 'query' is rarer than 'spark'? equal df here (1 each beyond doc1) —
+    // scores must at least be monotone in the sort order
+    val scores = out.map(_.getAs[Double]("bm25")).toSeq
+    assert(scores === scores.sorted.reverse)
+  }
 }
