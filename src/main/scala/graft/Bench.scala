@@ -26,14 +26,23 @@ object Bench {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
+    // Median of 3 measured passes per query: a single pass is one GC
+    // pause or background-process hiccup away from reporting a 7×
+    // phantom regression (observed r4: ten unrelated queries inflated
+    // >2× with byte-identical plans). The median of three discards one
+    // outlier in either direction while keeping the run cheap.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink forces FULL materialization of every output column —
-      // count() would let Catalyst prune projection-only queries down
-      // to a row count and under-report their cost
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        // noop sink forces FULL materialization of every output column —
+        // count() would let Catalyst prune projection-only queries down
+        // to a row count and under-report their cost
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(times.size / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

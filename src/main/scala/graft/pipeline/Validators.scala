@@ -192,10 +192,22 @@ object Validators {
   def pureChecks(df: DataFrame): DataFrame = {
     val withWeights = DatapointOps.validateWeights(df)
     val problematic = Seq("requests", "urllib", "socket", "subprocess")
+    def occ(ch: String) = (length(col("test_functions")) -
+      length(regexp_replace(col("test_functions"),
+        java.util.regex.Pattern.quote(ch), ""))).cast("int")
     dockerfileLint(withWeights)
       .withColumn("test_names", DatapointOps.testNames(col("test_functions")))
       .withColumn("n_tests", size(col("test_names")))
       .withColumn("syntax_ok", size(col("test_names")) >= 1)
+      // V2 is a regex approximation of ast.parse (SURVEY §7.4.5): a file
+      // that matches `^def test_` but would not compile passes here and
+      // only fails in V4's container run. Unbalanced brackets are the
+      // cheap per-row tell for that divergence — surfaced as a caveat in
+      // the stage message so a reviewer sees it per-datapoint, not only
+      // in the survey note. Heuristic only: never flips the verdict.
+      .withColumn("syntax_suspect",
+        col("syntax_ok") && (occ("(") =!= occ(")") ||
+          occ("[") =!= occ("]") || occ("{") =!= occ("}")))
       .withColumn("problematic_imports",
         array_sort(array_intersect(
           regexp_extract_all(col("test_functions"),
@@ -256,7 +268,7 @@ object Validators {
     val pure = pureChecks(dps).select(
       col("task_id"), col("dockerfile"), col("dockerfile_ok"),
       col("test_functions"), afCol,
-      col("syntax_ok"), col("n_tests"), col("test_names"),
+      col("syntax_ok"), col("syntax_suspect"), col("n_tests"), col("test_names"),
       col("weights_valid"), col("w_sum"),
       col("missing_weights"), col("extra_weights"))
     pure.repartition(workers).mapPartitions { rows =>
@@ -266,7 +278,12 @@ object Validators {
           if (r.getAs[Boolean]("dockerfile_ok")) "dependency lint ok"
           else "missing FROM or tmux/asciinema deps")
         val v2 = StageResult("test_syntax", r.getAs[Boolean]("syntax_ok"),
-          s"${r.getAs[Int]("n_tests")} test function(s) found")
+          s"${r.getAs[Int]("n_tests")} test function(s) found" + (
+            if (r.getAs[Boolean]("syntax_suspect"))
+              " (caveat: regex approximation of ast.parse — unbalanced " +
+                "brackets suggest the file may not compile; the container " +
+                "run is authoritative, see SURVEY §7.4.5)"
+            else ""))
         val v3 = StageResult("test_weights", r.getAs[Boolean]("weights_valid"),
           if (r.getAs[Boolean]("weights_valid")) "weights valid"
           else s"sum=${r.getAs[Double]("w_sum")} missing=${r.getAs[Seq[String]]("missing_weights").mkString(",")} extra=${r.getAs[Seq[String]]("extra_weights").mkString(",")}")

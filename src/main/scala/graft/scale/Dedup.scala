@@ -281,6 +281,50 @@ object Dedup extends QueryModule {
           (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
   }
 
+  /** The end-to-end dedup verb a corpus pipeline actually runs:
+    * near-dup pairs → connected components → ONE representative kept
+    * per cluster → everything else dropped from the corpus. Composes
+    * [[simhashPairs]], [[connectedComponents]] and
+    * [[Curation.perGroupCap]] (k = 1, hash-ordered so the pick is
+    * deterministic and retry-stable), then anti-joins the losers out —
+    * the same left-anti shape as the reference's verified-filter
+    * (`scripts/create_verified_csv.py:29-64`) applied to dedup.
+    *
+    * Scale design: every stage is an equality shuffle on short keys
+    * (simhash chunks → node ids → cluster ids); the final anti-join
+    * broadcasts when the loser set is small (the common case — dups
+    * are a fraction of the corpus) and degrades to a shuffled anti
+    * join otherwise. Docs that appear in no near-dup pair never enter
+    * the component graph and survive untouched. */
+  def dedupCorpus(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val labels = connectedComponents(simhashPairs(docs, maxDist))
+    val reps = Curation.perGroupCap(labels, "cluster_id", "doc_id", k = 1)
+      .select(col("doc_id"))
+    val losers = labels.join(reps, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
+    docs.join(losers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  /** Full-range embedding near-dup gate — the SCALE path that
+    * [[embeddingNearDup]]'s bounded brute force stands in for: LSH
+    * bucket equality self-join generates candidates over the WHOLE
+    * table (no id cap, no cross product), then the exact cosine filter
+    * keeps pairs at or above `minCos`. Recall is the LSH S-curve
+    * (P(same bucket) = (1 − θ/π)^planes), traded for O(corpus) shuffle
+    * volume of 8-bit keys — the standard contract of every production
+    * near-dup gate. */
+  def embeddingNearDupLsh(emb: DataFrame, minCos: Double): DataFrame = {
+    val b = Similarity.bucketedVectors(emb)
+    val a = b.as("a"); val c = b.as("c")
+    a.join(c, col("a.bucket") === col("c.bucket") &&
+        col("a.vec_id") < col("c.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("c.vec_id").as("vec_b"),
+        (dotProduct(col("a.v"), col("c.v")) / (col("a.nrm") * col("c.nrm"))).as("cos"))
+      .filter(col("cos") >= minCos)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
+  }
+
   /** Embedding-cosine near-dup pairs above `minCos`, bounded to ids
     * below `maxId` (oracle-friendly brute force; the scale path is the
     * LSH-bucketed variant in [[Similarity]]). */
@@ -311,7 +355,11 @@ object Dedup extends QueryModule {
     // pairs → clusters: components of the simhash near-dup graph
     "q59_dedup_clusters" -> ((s, d) =>
       connectedComponents(simhashPairs(T.documents(s, d), maxDist = 5))),
-    "q29_embed_neardup" -> ((s, d) => embeddingNearDup(T.embeddings(s, d), 0.3, 300L))
+    "q29_embed_neardup" -> ((s, d) => embeddingNearDup(T.embeddings(s, d), 0.3, 300L)),
+    // the composed end-to-end verb: pairs → clusters → keep one → drop
+    "q68_dedup_corpus" -> ((s, d) => dedupCorpus(T.documents(s, d), maxDist = 5)),
+    // full-range LSH near-dup gate (no id cap): the scale path q29 demos
+    "q69_neardup_lsh" -> ((s, d) => embeddingNearDupLsh(T.embeddings(s, d), 0.2))
   )
 
   private val normSql =
@@ -404,6 +452,48 @@ object Dedup extends QueryModule {
         |  UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
         |SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
         |FROM reach GROUP BY a""".stripMargin,
+    "q68_dedup_corpus" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')), ' +'), x -> x <> '')) AS w
+        |  FROM documents),
+        |h AS (SELECT doc_id, CAST('0x' || substr(md5(w),1,15) AS BIGINT) AS h FROM w),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |    SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM h, range(0, 60) t(b) GROUP BY doc_id, b),
+        |sh AS (SELECT doc_id,
+        |  CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 5),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM p
+        |      UNION SELECT doc_b, doc_a FROM p),
+        |reach(a, b) AS (SELECT a, b FROM e
+        |  UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+        |lab AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+        |        FROM reach GROUP BY a),
+        |reps AS (SELECT doc_id FROM (
+        |    SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY cluster_id
+        |      ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15) AS BIGINT) ASC,
+        |        doc_id ASC) AS rn
+        |    FROM lab) WHERE rn = 1),
+        |losers AS (SELECT doc_id FROM lab
+        |           WHERE doc_id NOT IN (SELECT doc_id FROM reps))
+        |SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
+    "q69_neardup_lsh" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, CAST(${Similarity.bucketSql} AS BIGINT) AS bucket,
+         |    CAST(embedding AS DOUBLE[]) AS v,
+         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+         |  FROM embeddings),
+         |pr AS (
+         |  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+         |    list_dot_product(a.v, c.v) / (a.nrm * c.nrm) AS cos
+         |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+         |SELECT vec_a, vec_b, ROUND(cos, 4) AS cos
+         |FROM pr WHERE cos >= 0.2""".stripMargin,
     "q29_embed_neardup" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))

@@ -30,10 +30,53 @@ object Layout {
     * scans as ONE task, serializing all downstream rowside work). A
     * cheap round-robin shuffle of the narrow input buys full-cluster
     * parallelism; at real scale input partitions ≥ cores and this is a
-    * no-op. */
+    * no-op.
+    *
+    * The partition count is ESTIMATED from the logical plan's file
+    * relation (same arithmetic Spark's FilePartition packing uses), not
+    * read off `df.rdd` — materializing the RDD compiles a second
+    * physical plan for every widened query just to read one number
+    * (driver overhead on 10+ query paths). Non-file inputs (test
+    * LocalRelations, in-memory frames) just repartition: those are
+    * exactly the narrow inputs widen exists for, and a round-robin
+    * shuffle of an already-wide frame is layout-only. */
   def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    estimatedScanPartitions(df) match {
+      case Some(est) if est >= target => df
+      case _ => df.repartition(target)
+    }
+  }
+
+  /** Estimate how many scan partitions Spark will give `df`, from the
+    * logical plan only. Mirrors FilePartition.maxSplitBytes: files are
+    * split into byte ranges of size
+    * `min(maxPartitionBytes, max(openCostInBytes, totalBytes / cores))`,
+    * so the partition count is ≈ totalBytes / splitSize. Returns None
+    * for plans not backed purely by file relations (no estimate
+    * possible without compiling the physical plan). */
+  private def estimatedScanPartitions(df: DataFrame): Option[Long] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.network.util.JavaUtils.byteStringAsBytes
+    val spark = df.sparkSession
+    val leaves = df.queryExecution.analyzed.collectLeaves()
+    val fileRels = leaves.collect {
+      case l: LogicalRelation => l.relation
+    }.collect { case fs: HadoopFsRelation => fs }
+    if (fileRels.isEmpty || fileRels.size != leaves.size) None
+    else {
+      val maxSplit = byteStringAsBytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+      val openCost = byteStringAsBytes(
+        spark.conf.get("spark.sql.files.openCostInBytes", "4MB"))
+      val cores = math.max(1L, spark.sparkContext.defaultParallelism.toLong)
+      val totalBytes = fileRels.map { fs =>
+        fs.location.sizeInBytes + fs.location.inputFiles.length.toLong * openCost
+      }.sum
+      val splitSize =
+        math.min(maxSplit, math.max(openCost, totalBytes / cores))
+      Some(math.max(1L, (totalBytes + splitSize - 1) / math.max(1L, splitSize)))
+    }
   }
 
   /** Write partitioned parquet: directory-level pruning on `cols`.

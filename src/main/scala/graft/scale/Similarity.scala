@@ -56,6 +56,21 @@ object Similarity extends QueryModule {
     emb.select(col("vec_id"), bucket.as("bucket"))
   }
 
+  /** (vec_id, bucket, double vector, norm) in ONE scan — bucket, cast
+    * and norm are all projections of the same embedding read, so no
+    * join-back to the source is ever needed (the former
+    * `lshBuckets(emb).join(emb, "vec_id")` shape scanned the table
+    * twice and paid a self-join shuffle for the privilege). */
+  def bucketedVectors(emb: DataFrame): DataFrame = {
+    val v = toDoubleArray(col("embedding"))
+    val bucket = (0 until NumPlanes).map { p =>
+      when(dotProduct(v, planeLit(p)) > 0d, lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+    Layout.widen(emb)
+      .select(col("vec_id"), bucket.as("bucket"), v.as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+  }
+
   /** Exact brute-force cosine top-k: queries (vec_id < nQueries) against
     * the whole corpus. The query side is broadcast; corpus scanned once. */
   def knnBrute(emb: DataFrame, nQueries: Long = 8L, k: Int = TopK): DataFrame = {
@@ -79,10 +94,7 @@ object Similarity extends QueryModule {
     * cosine re-rank, top-3 per query. The equality join on `bucket`
     * is the scale path — no cross product ever forms. */
   def annLsh(emb: DataFrame, nQueries: Long = 50L, k: Int = 3): DataFrame = {
-    val withBucket = lshBuckets(Layout.widen(emb))
-      .join(emb, "vec_id")
-      .select(col("vec_id"), col("bucket"), toDoubleArray(col("embedding")).as("v"))
-      .withColumn("nrm", l2Norm(col("v")))
+    val withBucket = bucketedVectors(emb)
     val q = withBucket.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("bucket"),
         col("v").as("qv"), col("nrm").as("qn"))
@@ -305,7 +317,7 @@ object Similarity extends QueryModule {
   private def planeSql(p: Int): String =
     planes(p).map(v => f"$v%.1f").mkString("[", ", ", "]")
 
-  private val bucketSql: String = (0 until NumPlanes).map { p =>
+  private[scale] val bucketSql: String = (0 until NumPlanes).map { p =>
     s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ${planeSql(p)}) > 0 THEN ${1L << p} ELSE 0 END)"
   }.mkString(" + ")
 

@@ -242,6 +242,95 @@ object TextAnalysis extends QueryModule {
           .as("top_bigram_frac"))
   }
 
+  /** The combined curation gate the Gopher/C4 pipelines actually run:
+    * word-level quality rules ([[gopherRules]]) AND repetition
+    * thresholds ([[repetition]]) evaluated together as ONE per-row
+    * projection — no shuffle anywhere, so at 100 TB the joint pass/
+    * fail flag streams out of the scan and is exactly the predicate
+    * the first curation pass pushes down.
+    *
+    * The repetition signals are recomputed WITHOUT the (doc_id,
+    * bigram) shuffle that [[repetition]] uses: the bigram array is
+    * sorted per row, then
+    *  - duplicate-bigram count = total − singletons, where a singleton
+    *    is an element differing from both sorted neighbors;
+    *  - top-bigram count = longest equal run, via one left-to-right
+    *    fold with a (prev, run, top) struct accumulator.
+    * Same counts as the groupBy formulation, zero data movement.
+    *
+    * The words and sorted-bigram arrays pass through generator
+    * barriers (`explode(array(struct(…)))`): higher-order-function
+    * lambdas evaluate interpreted with no CSE, so a collapsed
+    * projection would re-run the tokenize/sort chain once per
+    * reference — the barrier materializes each exactly once per row
+    * (same technique as [[Similarity.quantizeStats]]).
+    *
+    * Repetition thresholds are the Gopher-family values: duplicate
+    * 2-gram fraction < 0.2, top 2-gram fraction < 0.18. */
+  def curationGate(docs0: DataFrame): DataFrame = {
+    val docs = widen(docs0)
+    val withWs = docs
+      .select(col("doc_id"), col("text"),
+        explode(array(struct(words(col("text")).as("ws")))).as("s"))
+      .select(col("doc_id"), col("text"), col("s.ws").as("ws"))
+    val withBgs = withWs
+      .select(col("doc_id"), col("text"), col("ws"),
+        explode(array(struct(
+          sort_array(shinglesFromWords(col("ws"), 2)).as("bgs")))).as("s2"))
+      .select(col("doc_id"), col("text"), col("ws"), col("s2.bgs").as("bgs"))
+
+    val ws = col("ws"); val bgs = col("bgs")
+    val nw = greatest(size(ws), lit(1))
+    val lines = filter(transform(split(col("text"), "\n"), l => trim(l)), l => l =!= "")
+    val nl = greatest(size(lines), lit(1))
+    val meanWlen = length(array_join(ws, "")).cast("double") / nw
+    val alphaFrac = size(filter(ws, w => w.rlike("[a-z]"))).cast("double") / nw
+    val symbolRatio = (countOccurrences(col("text"), "#") +
+      countOccurrences(col("text"), "...")).cast("double") / nw
+    val bulletFrac = size(filter(lines, l =>
+      l.startsWith("-") || l.startsWith("*") || l.startsWith("•"))).cast("double") / nl
+    val ellipsisFrac = size(filter(lines, l => l.endsWith("..."))).cast("double") / nl
+    val stopHitsEn = stopHits(ws, stopwords.head._2)
+    val gopherPass = size(ws).between(50, 100000) &&
+      meanWlen.between(3.0, 10.0) &&
+      symbolRatio < 0.1 &&
+      bulletFrac < 0.9 &&
+      ellipsisFrac < 0.3 &&
+      alphaFrac > 0.8 &&
+      stopHitsEn >= 2
+
+    val nBg = size(bgs)
+    // a sorted element is a singleton iff it differs from both
+    // neighbors; everything else belongs to a duplicated bigram
+    val singles = when(nBg > 0,
+      size(filter(sequence(lit(1), nBg), i =>
+        (i === 1 || element_at(bgs, i) =!= element_at(bgs, i - 1)) &&
+          (i === nBg || element_at(bgs, i) =!= element_at(bgs, i + 1)))))
+      .otherwise(lit(0))
+    val dupCnt = (nBg - singles).cast("long")
+    val topCnt = aggregate(bgs,
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"), lit(0L).as("top")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("top"), run).as("top"))
+      },
+      acc => acc.getField("top"))
+    val dupFrac = when(nBg > 0, dupCnt.cast("double") / nBg).otherwise(lit(0.0))
+    val topFrac = when(nBg > 0, topCnt.cast("double") / nBg).otherwise(lit(0.0))
+    val repPass = dupFrac < 0.2 && topFrac < 0.18
+
+    withBgs.select(
+      col("doc_id"),
+      gopherPass.as("gopher_pass"),
+      nBg.cast("long").as("n_bigrams"),
+      round(dupFrac, 4).as("dup_bigram_frac"),
+      round(topFrac, 4).as("top_bigram_frac"),
+      repPass.as("rep_pass"),
+      (gopherPass && repPass).as("keep"))
+  }
+
   /** TF-IDF top-k terms per document — the corpus-relative keyword
     * signal. Two-phase shape: per-(doc, term) frequency aggregate,
     * document-frequency aggregate over it, join back on term, rank
@@ -259,8 +348,17 @@ object TextAnalysis extends QueryModule {
     import org.apache.spark.sql.expressions.Window
     val docs = widen(docs0)
     val w = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
+    // materialize tf ONCE: it feeds both the df aggregate and the
+    // join-back, and without a barrier Spark recomputes the whole
+    // explode+tokenize chain (the dominant cost) for each consumer —
+    // tf is narrow (doc_id, term, tf), so checkpointing it is cheap
+    // relative to running the words() regex chain twice per document
     val tf = w.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // n_docs still comes from the raw table, not tf: a doc with zero
+    // words has no tf rows but must count toward N. This extra scan is
+    // column-pruned to a bare count — no tokenize work.
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(df, "term").crossJoin(n)
       .withColumn("score", col("tf").cast("double") *
@@ -291,9 +389,16 @@ object TextAnalysis extends QueryModule {
     require(terms.nonEmpty && terms.size <= 8, s"1-8 query terms: $terms")
     val docs = widen(docs0)
     val ws = words(col("text"))
+    // materialize the tokenized per-doc stats ONCE: m feeds both the
+    // 1-row corpus aggregate and the scoring join, and `g` is an
+    // aggregate OF m — without a barrier the corpus is scanned and the
+    // words() tokenize chain (the dominant cost) runs twice. m is
+    // narrow (doc_id, dl, one small int per query term), so the
+    // checkpoint is cheap against a second full tokenize pass.
     val m = docs.select(
       (Seq(col("doc_id"), size(ws).as("dl")) ++
         terms.map(t => size(filter(ws, w => w === t)).as(s"tf_$t"))): _*)
+      .localCheckpoint()
     val aggCols = count(lit(1)).as("n_docs") +: sum(col("dl")).as("sdl") +:
       terms.map(t => count(when(col(s"tf_$t") > 0, lit(1))).as(s"df_$t"))
     val g = m.agg(aggCols.head, aggCols.tail: _*)
@@ -339,7 +444,8 @@ object TextAnalysis extends QueryModule {
     "q64_gopher_rules" -> ((s, d) => gopherRules(T.documents(s, d))),
     "q65_repetition" -> ((s, d) => repetition(T.documents(s, d))),
     "q66_tfidf" -> ((s, d) => tfidfTop(T.documents(s, d))),
-    "q67_bm25" -> ((s, d) => bm25(T.documents(s, d)))
+    "q67_bm25" -> ((s, d) => bm25(T.documents(s, d))),
+    "q70_curation_gate" -> ((s, d) => curationGate(T.documents(s, d)))
   )
 
   private val normSql =
@@ -500,6 +606,52 @@ object TextAnalysis extends QueryModule {
          |SELECT doc_id, term, tf, df, ROUND(score, 4) AS tfidf,
          |  CAST(rk AS INTEGER) AS rk
          |FROM r WHERE rk <= 5""".stripMargin,
+    "q70_curation_gate" ->
+      s"""WITH w AS (SELECT doc_id, text, $wsSql AS ws,
+         |  list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS ls
+         |FROM documents),
+         |g AS (SELECT doc_id,
+         |  CAST(len(ws) AS INTEGER) AS n_words,
+         |  GREATEST(len(ws), 1) AS nw,
+         |  GREATEST(len(ls), 1) AS nl,
+         |  len(array_to_string(ws, '')) AS word_chars,
+         |  len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+         |  CAST((len(text) - len(replace(text, '#', ''))) / 1 AS BIGINT)
+         |    + CAST((len(text) - len(replace(text, '...', ''))) / 3 AS BIGINT) AS n_symbols,
+         |  len(list_filter(ls, x -> starts_with(x, '-') OR starts_with(x, '*') OR starts_with(x, '•'))) AS n_bullet,
+         |  len(list_filter(ls, x -> ends_with(x, '...'))) AS n_ellipsis,
+         |  ${stopHitsSql(stopwords.head._2)} AS stop_hits
+         |FROM w),
+         |gp AS (SELECT doc_id,
+         |  (n_words BETWEEN 50 AND 100000
+         |    AND CAST(word_chars AS DOUBLE) / nw BETWEEN 3.0 AND 10.0
+         |    AND CAST(n_symbols AS DOUBLE) / nw < 0.1
+         |    AND CAST(n_bullet AS DOUBLE) / nl < 0.9
+         |    AND CAST(n_ellipsis AS DOUBLE) / nl < 0.3
+         |    AND CAST(n_alpha AS DOUBLE) / nw > 0.8
+         |    AND stop_hits >= 2) AS gopher_pass
+         |FROM g),
+         |idx AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+         |        FROM w WHERE len(ws) >= 2),
+         |bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg FROM idx),
+         |cnt AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+         |st AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+         |       MAX(c) AS top_cnt,
+         |       CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_cnt
+         |       FROM cnt GROUP BY 1),
+         |r AS (SELECT d.doc_id,
+         |  COALESCE(st.n_bigrams, 0) AS n_bigrams,
+         |  CASE WHEN st.n_bigrams IS NOT NULL
+         |    THEN CAST(st.dup_cnt AS DOUBLE) / st.n_bigrams ELSE 0.0 END AS dup_frac,
+         |  CASE WHEN st.n_bigrams IS NOT NULL
+         |    THEN CAST(st.top_cnt AS DOUBLE) / st.n_bigrams ELSE 0.0 END AS top_frac
+         |  FROM documents d LEFT JOIN st ON st.doc_id = d.doc_id)
+         |SELECT r.doc_id, gp.gopher_pass, r.n_bigrams,
+         |  ROUND(r.dup_frac, 4) AS dup_bigram_frac,
+         |  ROUND(r.top_frac, 4) AS top_bigram_frac,
+         |  (r.dup_frac < 0.2 AND r.top_frac < 0.18) AS rep_pass,
+         |  (gp.gopher_pass AND r.dup_frac < 0.2 AND r.top_frac < 0.18) AS keep
+         |FROM r JOIN gp ON gp.doc_id = r.doc_id""".stripMargin,
     "q67_bm25" -> {
       val terms = Seq("spark", "join", "query")
       val tfSel = terms.map(t =>

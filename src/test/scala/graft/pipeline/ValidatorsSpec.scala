@@ -199,6 +199,45 @@ class ValidatorsSpec extends SparkSpec {
     } finally BuildContext.deleteRecursive(dir)
   }
 
+  test("V2 surfaces the regex-approximation caveat when brackets are " +
+    "unbalanced, without flipping the verdict") {
+    import spark.implicits._
+    val dps = Seq(
+      // matches ^def test_ but would never ast.parse: unbalanced paren
+      ("suspect", "FROM x\nRUN tmux asciinema",
+        "def test_a(:\n  assert ((1 == 1\n", """{"test_a":1.0}"""),
+      ("fine", "FROM x\nRUN tmux asciinema",
+        "def test_a():\n  assert (1 == 1)\n", """{"test_a":1.0}""")
+    ).toDF("task_id", "dockerfile", "test_functions", "test_weights")
+    val v2 = validateAll(spark, dps, new FakeRunner(Map.empty), runDocker = false)
+      .collect().map(r => r.task_id ->
+        r.stages.find(_.stage == "test_syntax").get).toMap
+    assert(v2("suspect").valid, "caveat must not flip the verdict")
+    assert(v2("suspect").message.contains("regex approximation"),
+      s"expected per-datapoint caveat, got: ${v2("suspect").message}")
+    assert(!v2("fine").message.contains("caveat"))
+  }
+
+  test("real docker integration (opt-in: set GRAFT_DOCKER=1 where a " +
+    "daemon exists; sandbox has none)") {
+    assume(sys.env.get("GRAFT_DOCKER").contains("1"),
+      "GRAFT_DOCKER != 1 — skipping live docker build/exec")
+    import spark.implicits._
+    // a real daemon run of the full V1→V4→V5 chain through
+    // SubprocessRunner: build context materialization, docker build,
+    // container exec with the fail-first invariant, cleanup in finally
+    val dps = Seq(
+      ("it1", "FROM ghcr.io/laude-institute/t-bench/python-3-13:20250620",
+        "def test_a():\n  assert False\n", """{"test_a":1.0}""")
+    ).toDF("task_id", "dockerfile", "test_functions", "test_weights")
+    val reports = validateAll(spark, dps, new SubprocessRunner, workers = 1)
+      .collect()
+    assert(reports.length === 1)
+    val byStage = reports.head.stages.map(s => s.stage -> s).toMap
+    assert(byStage.contains("docker_build") && byStage.contains("container_execution"),
+      s"expected live build+exec stages, got: ${reports.head.stages}")
+  }
+
   test("verifiedDataset = chain + semi-join, docker-free") {
     import spark.implicits._
     val dps = Seq(

@@ -200,4 +200,53 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSeq === Seq((1L, 2L)))
   }
+
+  test("dedupCorpus keeps exactly one representative per near-dup cluster " +
+    "and every untouched doc") {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and keeps on running far away"
+    val corpus = Seq(
+      (1L, base, "en", "web"),
+      (2L, base, "en", "web"),                           // exact dup of 1
+      (3L, base.replace("lazy", "sleepy"), "en", "web"), // near dup of 1
+      (4L, "completely different text about spark engines and data pipelines at scale here", "en", "web"),
+      (5L, "another unrelated document discussing gardens weather and mountain hiking trips", "en", "book")
+    ).toDF("doc_id", "text", "lang", "source")
+    // ground truth from the pair generator itself: docs in no pair
+    // survive; each pair-graph component keeps exactly one member
+    val pairs = Dedup.simhashPairs(corpus, maxDist = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L))) // the exact dup is always paired
+    val clustered = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val untouched = Set(1L, 2L, 3L, 4L, 5L) -- clustered
+    val kept = Dedup.dedupCorpus(corpus, maxDist = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(untouched.subsetOf(kept), s"untouched docs must survive: $untouched vs $kept")
+    // of the pair {1,2} (same component), exactly one survives
+    assert((kept & Set(1L, 2L)).size === 1)
+    // deterministic: same pick on rerun
+    val kept2 = Dedup.dedupCorpus(corpus, maxDist = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept2 === kept)
+  }
+
+  test("full-range LSH near-dup gate: identical vectors pair at cos 1.0, " +
+    "sub-threshold pairs are filtered") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 64-dim to match the LSH hyperplane dimensionality
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(i => math.sin(seed * 31 + i).toFloat)
+    val emb = Seq(
+      (1L, vec(1)),
+      (2L, vec(1)),          // identical → same bucket, cos 1.0
+      (3L, vec(7)),          // unrelated
+      (4L, vec(1).map(-_))   // antipode: cos −1, opposite bucket
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupLsh(emb, minCos = 0.95).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSeq === Seq((1L, 2L)))
+    assert(pairs.head._3 === 1.0)
+  }
 }

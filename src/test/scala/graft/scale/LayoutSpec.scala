@@ -85,6 +85,29 @@ class LayoutSpec extends SparkSpec {
     assert(joined.count() === T.lineitem(spark, sf).count())
   }
 
+  test("widen decides from the LOGICAL plan: small file scans get a " +
+    "repartition, already-parallel scans pass through untouched") {
+    val docs = T.documents(spark, sf)
+    // tiny file at sf0.001 → estimated partitions < cores → repartition
+    val widened = Layout.widen(docs)
+    assert(widened.queryExecution.logical.toString.contains("Repartition"),
+      "small scan must be widened")
+    // same file with a 1 KB split size estimates >= cores → no-op (this
+    // is the 100 TB case: input partitions already ≥ parallelism)
+    val prev = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1k")
+    try {
+      val untouched = Layout.widen(T.documents(spark, sf))
+      assert(!untouched.queryExecution.logical.toString.contains("Repartition"),
+        "wide scan must pass through without a repartition")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.files.maxPartitionBytes", v)
+      case None => spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    }
+    // correctness is layout-independent either way
+    assert(widened.count() === docs.count())
+  }
+
   test("skew profile surfaces hot keys with shares") {
     val spark2 = spark
     import spark2.implicits._

@@ -126,4 +126,50 @@ class TextAnalysisSpec extends SparkSpec {
     val scores = out.map(_.getAs[Double]("bm25")).toSeq
     assert(scores === scores.sorted.reverse)
   }
+
+  test("curationGate: shuffle-free repetition signals equal the groupBy " +
+    "formulation, and the joint flag is gopher ∧ repetition") {
+    val spark2 = spark
+    import spark2.implicits._
+    val loop = ("spam ham " * 40).trim                  // one bigram dominates
+    val clean = ("the quick brown fox jumps over the lazy dog and it " +
+      "was for a good reason that all of those words keep going in " +
+      "sentences full of normal varied prose about many different things " +
+      "with the usual mix of it is that was for and to in the end") // > 50 words
+    val docs = Seq(
+      (1L, clean), (2L, loop), (3L, "short"), (4L, "")
+    ).toDF("doc_id", "text")
+    val gate = TextAnalysis.curationGate(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // cross-check the sorted-run fold against the shuffle formulation
+    val rep = TextAnalysis.repetition(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3), r.getDouble(4))).toMap
+    for (id <- Seq(1L, 2L, 3L, 4L)) {
+      assert(gate(id).getLong(2) === rep(id)._1, s"n_bigrams doc $id")
+      assert(gate(id).getDouble(3) === rep(id)._2, s"dup_bigram_frac doc $id")
+      assert(gate(id).getDouble(4) === rep(id)._3, s"top_bigram_frac doc $id")
+    }
+    // and the gopher flag against gopherRules
+    val gp = TextAnalysis.gopherRules(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("gopher_pass")).toMap
+    for (id <- Seq(1L, 2L, 3L, 4L))
+      assert(gate(id).getBoolean(1) === gp(id), s"gopher_pass doc $id")
+    // the loop doc fails repetition outright, so its keep flag is false
+    assert(!gate(2L).getBoolean(5))
+    assert(!gate(2L).getAs[Boolean]("keep"))
+    // keep ≡ gopher_pass ∧ rep_pass on every row
+    for (id <- Seq(1L, 2L, 3L, 4L))
+      assert(gate(id).getAs[Boolean]("keep") ===
+        (gate(id).getBoolean(1) && gate(id).getBoolean(5)), s"keep doc $id")
+  }
+
+  test("curationGate plans zero exchanges — the joint filter runs scan-side") {
+    val df = TextAnalysis.curationGate(
+      graft.Tables.documents(spark, "/root/testdata/sf0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    // widen's round-robin repartition is layout-only; beyond it there
+    // must be NO hashpartitioning exchange (no groupBy/join anywhere)
+    assert(!plan.contains("hashpartitioning"),
+      s"expected no aggregation/join shuffle in:\n$plan")
+  }
 }
