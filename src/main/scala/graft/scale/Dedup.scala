@@ -325,6 +325,37 @@ object Dedup extends QueryModule {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Benchmark decontamination — the n-gram–overlap check every
+    * training-data pipeline runs against its eval sets (the GPT-3 /
+    * Gopher "13-gram collision" rule, here on the word-shingle
+    * granularity the rest of this module uses): flag any corpus
+    * document sharing at least one shingle with the held-out eval
+    * set, and report the overlap fraction for threshold tuning.
+    *
+    * Scale design: the eval side is DISTINCT shingles of a small
+    * benchmark set — broadcast everywhere; the corpus side streams
+    * its shingles through ONE left broadcast join + ONE aggregate, so
+    * the whole check is a single pass over the corpus shingle stream
+    * with map-side partials. The shingle table is checkpointed once
+    * (eval and corpus branches both read it; without a barrier the
+    * tokenize chain — the dominant cost — would run twice). At 100 TB
+    * the eval shingle set is still only benchmark-sized (millions of
+    * rows, megabytes hashed) — the broadcast holds. */
+  def decontaminate(docs: DataFrame, evalMaxId: Long = 25L): DataFrame = {
+    val sh = shingleTable(docs).localCheckpoint()
+    val ev = sh.filter(col("doc_id") < evalMaxId)
+      .select(col("sh")).distinct()
+      .withColumn("_hit", lit(1))
+    val corpus = sh.filter(col("doc_id") >= evalMaxId)
+    corpus.join(broadcast(ev), Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("_hit")).as("n_overlap"))
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+        round(col("n_overlap").cast("double") / col("n_shingles"), 4)
+          .as("overlap_frac"),
+        (col("n_overlap") >= 1).as("contaminated"))
+  }
+
   /** Embedding-cosine near-dup pairs above `minCos`, bounded to ids
     * below `maxId` (oracle-friendly brute force; the scale path is the
     * LSH-bucketed variant in [[Similarity]]). */
@@ -359,7 +390,9 @@ object Dedup extends QueryModule {
     // the composed end-to-end verb: pairs → clusters → keep one → drop
     "q68_dedup_corpus" -> ((s, d) => dedupCorpus(T.documents(s, d), maxDist = 5)),
     // full-range LSH near-dup gate (no id cap): the scale path q29 demos
-    "q69_neardup_lsh" -> ((s, d) => embeddingNearDupLsh(T.embeddings(s, d), 0.2))
+    "q69_neardup_lsh" -> ((s, d) => embeddingNearDupLsh(T.embeddings(s, d), 0.2)),
+    // eval-set n-gram decontamination over the documents corpus
+    "q71_decontaminate" -> ((s, d) => decontaminate(T.documents(s, d)))
   )
 
   private val normSql =
@@ -452,6 +485,18 @@ object Dedup extends QueryModule {
         |  UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
         |SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
         |FROM reach GROUP BY a""".stripMargin,
+    "q71_decontaminate" ->
+      s"""WITH $shingleCte,
+         |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 25),
+         |corpus AS (SELECT doc_id, sh FROM sh WHERE doc_id >= 25),
+         |st AS (SELECT c.doc_id, COUNT(*) AS n_shingles,
+         |         COUNT(e.sh) AS n_overlap
+         |       FROM corpus c LEFT JOIN ev e ON e.sh = c.sh
+         |       GROUP BY c.doc_id)
+         |SELECT doc_id, n_shingles, n_overlap,
+         |  ROUND(CAST(n_overlap AS DOUBLE) / n_shingles, 4) AS overlap_frac,
+         |  (n_overlap >= 1) AS contaminated
+         |FROM st""".stripMargin,
     "q68_dedup_corpus" ->
       """WITH RECURSIVE w AS (
         |  SELECT doc_id, unnest(list_filter(string_split_regex(trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')), ' +'), x -> x <> '')) AS w

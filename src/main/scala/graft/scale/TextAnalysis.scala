@@ -242,6 +242,41 @@ object TextAnalysis extends QueryModule {
           .as("top_bigram_frac"))
   }
 
+  /** PII patterns shared by [[piiScan]] and its oracle — restricted to
+    * syntax with identical semantics in Java regex (Spark) and RE2
+    * (DuckDB): plain character classes and counted repetition, no
+    * lookaround, no backrefs. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "emails" -> "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}",
+    "phones" -> "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}",
+    "ips" -> "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}",
+    "cards" -> "[0-9]{13,16}")
+
+  /** PII scan + redaction — the compliance pass a training-data
+    * pipeline runs before anything ships: per document, occurrence
+    * counts for each PII pattern (emails, phone numbers, IPv4
+    * addresses, long digit runs), an any-PII flag, and the redacted
+    * text with every match replaced by a typed placeholder.
+    *
+    * Scale design: pure per-row projection of codegen'd regexp
+    * built-ins — zero shuffles, runs at scan speed, and the redaction
+    * happens in the SAME pass as the counts (one text traversal per
+    * pattern). The any_pii flag is the pushable predicate a 100 TB
+    * redaction job filters on before rewriting only dirty rows. */
+  def piiScan(docs0: DataFrame): DataFrame = {
+    val docs = widen(docs0)
+    val counts = piiPatterns.map { case (name, pat) =>
+      name -> regexp_count(col("text"), lit(pat))
+    }
+    val redacted = piiPatterns.foldLeft(col("text")) { case (c, (name, pat)) =>
+      regexp_replace(c, pat, s"<${name.toUpperCase.dropRight(1)}>")
+    }
+    docs.select(
+      (Seq(col("doc_id")) ++ counts.map { case (n, e) => e.as(s"n_$n") } ++ Seq(
+        counts.map(_._2 > 0).reduce(_ || _).as("any_pii"),
+        redacted.as("redacted"))): _*)
+  }
+
   /** The combined curation gate the Gopher/C4 pipelines actually run:
     * word-level quality rules ([[gopherRules]]) AND repetition
     * thresholds ([[repetition]]) evaluated together as ONE per-row
@@ -445,7 +480,8 @@ object TextAnalysis extends QueryModule {
     "q65_repetition" -> ((s, d) => repetition(T.documents(s, d))),
     "q66_tfidf" -> ((s, d) => tfidfTop(T.documents(s, d))),
     "q67_bm25" -> ((s, d) => bm25(T.documents(s, d))),
-    "q70_curation_gate" -> ((s, d) => curationGate(T.documents(s, d)))
+    "q70_curation_gate" -> ((s, d) => curationGate(T.documents(s, d))),
+    "q72_pii_scan" -> ((s, d) => piiScan(T.documents(s, d)))
   )
 
   private val normSql =
@@ -606,6 +642,22 @@ object TextAnalysis extends QueryModule {
          |SELECT doc_id, term, tf, df, ROUND(score, 4) AS tfidf,
          |  CAST(rk AS INTEGER) AS rk
          |FROM r WHERE rk <= 5""".stripMargin,
+    "q72_pii_scan" -> {
+      val countSel = piiPatterns.map { case (n, p) =>
+        s"CAST(len(regexp_extract_all(text, '$p')) AS INTEGER) AS n_$n"
+      }.mkString(",\n  ")
+      val anySql = piiPatterns.map { case (n, p) =>
+        s"len(regexp_extract_all(text, '$p')) > 0"
+      }.mkString(" OR ")
+      val redactSql = piiPatterns.foldLeft("text") { case (c, (n, p)) =>
+        s"regexp_replace($c, '$p', '<${n.toUpperCase.dropRight(1)}>', 'g')"
+      }
+      s"""SELECT doc_id,
+         |  $countSel,
+         |  ($anySql) AS any_pii,
+         |  $redactSql AS redacted
+         |FROM documents""".stripMargin
+    },
     "q70_curation_gate" ->
       s"""WITH w AS (SELECT doc_id, text, $wsSql AS ws,
          |  list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS ls

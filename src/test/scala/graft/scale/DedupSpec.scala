@@ -231,6 +231,25 @@ class DedupSpec extends SparkSpec {
     assert(kept2 === kept)
   }
 
+  test("decontamination flags corpus docs overlapping the eval set and " +
+    "leaves clean docs with zero overlap") {
+    val spark2 = spark
+    import spark2.implicits._
+    val evalText = "which ocean borders the coast of chile on the western side exactly"
+    val corpus = Seq(
+      (1L, evalText),                                         // eval holdout
+      (30L, s"some training document that quotes $evalText verbatim in full"),
+      (31L, "an unrelated training document about compilers and type systems theory")
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(corpus, evalMaxId = 25L).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getAs[Boolean]("contaminated")))).toMap
+    assert(!out.contains(1L), "eval docs are not scored")
+    assert(out(30L)._3, "quoting doc must be flagged")
+    assert(out(30L)._2 > 0 && out(30L)._2 <= out(30L)._1)
+    assert(out(31L) === ((out(31L)._1, 0L, false)), "clean doc has zero overlap")
+  }
+
   test("full-range LSH near-dup gate: identical vectors pair at cos 1.0, " +
     "sub-threshold pairs are filtered") {
     val spark2 = spark

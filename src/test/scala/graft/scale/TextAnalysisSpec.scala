@@ -163,6 +163,32 @@ class TextAnalysisSpec extends SparkSpec {
         (gate(id).getBoolean(1) && gate(id).getBoolean(5)), s"keep doc $id")
   }
 
+  test("piiScan counts and redacts each pattern type; clean text untouched") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      (1L, "contact alice@example.com or bob@test.org, call 555-123-4567"),
+      (2L, "server at 10.0.0.1 leaked card 4111111111111111 yesterday"),
+      (3L, "perfectly clean prose with no identifiers at all")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.piiScan(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Int]("n_emails") === 2)
+    assert(out(1L).getAs[Int]("n_phones") === 1)
+    assert(out(1L).getAs[Boolean]("any_pii"))
+    val red1 = out(1L).getAs[String]("redacted")
+    assert(red1.contains("<EMAIL>") && red1.contains("<PHONE>") &&
+      !red1.contains("alice@") && !red1.contains("555-123"))
+    assert(out(2L).getAs[Int]("n_ips") === 1)
+    assert(out(2L).getAs[Int]("n_cards") === 1)
+    val red2 = out(2L).getAs[String]("redacted")
+    assert(red2.contains("<IP>") && red2.contains("<CARD>") &&
+      !red2.contains("4111111111111111"))
+    assert(!out(3L).getAs[Boolean]("any_pii"))
+    assert(out(3L).getAs[String]("redacted") ===
+      "perfectly clean prose with no identifiers at all")
+  }
+
   test("curationGate plans zero exchanges — the joint filter runs scan-side") {
     val df = TextAnalysis.curationGate(
       graft.Tables.documents(spark, "/root/testdata/sf0.001"))
