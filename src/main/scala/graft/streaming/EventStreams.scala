@@ -66,6 +66,69 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming near-dup filter at signature granularity — the
+    * INGESTION-side dedup gate: each arriving document's 60-bit
+    * SimHash (computed by the native [[graft.functions.SimHash60]]
+    * kernel, scan-side) keys one unit of state holding the first
+    * doc_id that claimed the signature; later documents with the same
+    * signature are emitted as duplicates of the claimant.
+    *
+    * Semantics, stated honestly: equal-signature matching catches
+    * identical and ultra-near documents (those hashing to the SAME 60
+    * bits); Hamming-neighborhood matching (the batch
+    * [[graft.scale.Dedup.simhashPairs]] pigeonhole blocking) would
+    * need `chunks` coordinated stateful stages and a per-doc verdict
+    * join — the batch path remains the authority for that. Within a
+    * micro-batch, docs process in (ts, doc_id) order, so the winner
+    * is deterministic under replay.
+    *
+    * Scale design: state is hash-partitioned by signature across
+    * executors, one (sig → doc_id, ts) entry per DISTINCT live
+    * signature, and signatures idle past `ttlHours` of event time are
+    * evicted (EventTimeTimeout) — bounded state on an unbounded
+    * corpus stream, the same TTL discipline as [[enrichAsof]]. */
+  def dedupeNear(docs: Dataset[Doc], watermark: String = "1 hour",
+                 ttlHours: Int = 24): Dataset[DedupVerdict] = {
+    import docs.sparkSession.implicits._
+    import graft.functions.SimHashExpression.simhash60
+    import graft.functions.PortableFuncs.words
+    val ttlMillis = ttlHours * 3600000L
+    docs.toDF()
+      .select(col("doc_id"), col("ts"),
+        coalesce(simhash60(words(col("text"))), lit(0L)).as("sig"))
+      .withWatermark("ts", watermark)
+      .as[(Long, Timestamp, Long)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[SigState, DedupVerdict](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (sig: Long, rows: Iterator[(Long, Timestamp, Long)],
+         state: GroupState[SigState]) =>
+          if (state.hasTimedOut) {
+            state.remove() // signature idle past TTL: forget the claimant
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(r => (r._2.getTime, r._1))
+            var cur = state.getOption
+            val out = Seq.newBuilder[DedupVerdict]
+            sorted.foreach { case (docId, t, _) =>
+              cur match {
+                case Some(s) =>
+                  out += DedupVerdict(docId, t, sig, Some(s.docId))
+                case None =>
+                  cur = Some(SigState(docId, t.getTime))
+                  out += DedupVerdict(docId, t, sig, None)
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              val lastSeen = sorted.lastOption.map(_._2.getTime).getOrElse(s.firstTs)
+              state.setTimeoutTimestamp(lastSeen + ttlMillis)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** Gap-based sessionization via flatMapGroupsWithState with event-
     * time timeout — the streaming form of batch q22 and the exact
     * semantics of the reference's stale-lock recovery (P6): a session
@@ -233,6 +296,17 @@ object EventStreams {
           graft.pipeline.Merge.upsert(target, batch, key), table)
       }
 }
+
+/** A document arriving on the ingestion stream. */
+case class Doc(doc_id: Long, ts: Timestamp, text: String)
+
+/** Per-signature claimant state for [[EventStreams.dedupeNear]]. */
+case class SigState(docId: Long, firstTs: Long)
+
+/** Dedup verdict: `dup_of` is the claimant doc for duplicates, None
+  * for the first (kept) document of a signature. */
+case class DedupVerdict(doc_id: Long, ts: Timestamp, sig: Long,
+                        dup_of: Option[Long])
 
 /** Open-session accumulator for [[EventStreams.sessionize]]. */
 case class SessionState(start: Long, end: Long, n: Long, total: Double)

@@ -185,6 +185,36 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup: same-signature docs marked dup of the first " +
+    "claimant, within and across micro-batches") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val textA = "the quick brown fox jumps over the lazy dog and keeps running"
+    val textB = "a completely different document about compilers and type theory"
+    val src = MemoryStream[Doc]
+    val q = EventStreams.dedupeNear(src.toDS(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("nd").outputMode("append").start()
+    try {
+      src.addData(
+        Doc(1, ts(0), textA),
+        Doc(2, ts(1), textA),   // same-batch dup of 1
+        Doc(3, ts(2), textB))
+      q.processAllAvailable()
+      src.addData(Doc(4, ts(3), textA)) // cross-batch dup of 1
+      q.processAllAvailable()
+      val verdicts = spark.table("nd").as[DedupVerdict].collect()
+        .map(v => v.doc_id -> v.dup_of).toMap
+      assert(verdicts === Map(1L -> None, 2L -> Some(1L),
+        3L -> None, 4L -> Some(1L)))
+      // signatures agree with the batch kernel on the same text
+      val sigs = spark.table("nd").as[DedupVerdict].collect()
+        .map(v => v.doc_id -> v.sig).toMap
+      assert(sigs(1L) === sigs(2L) && sigs(1L) === sigs(4L))
+      assert(sigs(1L) !== sigs(3L))
+    } finally q.stop()
+  }
+
   test("file source streams the events table with converted timestamps") {
     val stream = EventStreams.fileSource(spark, "/root/testdata/sf0.001")
     assert(stream.isStreaming)
