@@ -102,6 +102,52 @@ object Curation extends QueryModule {
     out
   }
 
+  /** Sequence packing (GPT-style concat-and-chunk): documents are
+    * concatenated in doc_id order and the token stream is cut every
+    * `maxTokens` — per document, its global token interval and the
+    * training chunks it lands in. The op every LLM data pipeline runs
+    * last, turning a curated corpus into fixed-length training rows.
+    *
+    * Scale design — a DISTRIBUTED PREFIX SUM, not a global window
+    * (a single `Window.orderBy` with no partition key funnels 100 TB
+    * through ONE task):
+    *   1. range-partition by doc_id (partitions ordered by key),
+    *   2. one tiny per-partition total aggregate → collect
+    *      `numPartitions` rows to the driver (bounded by cluster
+    *      size, not data size), prefix-sum them there,
+    *   3. broadcast the per-partition offsets back and window-cumsum
+    *      WITHIN each partition.
+    * Every row moves once; the only global coordination is the
+    * partition-count-sized offset table. Zero-token docs are excluded
+    * (they occupy no interval). */
+  def sequencePack(docs: DataFrame, maxTokens: Int = 2048,
+                   partitions: Int = 32): DataFrame = {
+    val spark = docs.sparkSession
+    val t = docs
+      .select(col("doc_id"),
+        ceil(length(col("text")).cast("double") / 4d).cast("long").as("toks"))
+      .filter(col("toks") > 0)
+      .repartitionByRange(partitions, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint() // pid must not be recomputed under a different plan
+    val totals = t.groupBy(col("pid")).agg(sum(col("toks")).as("total"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, tot)) =>
+      (pid, acc + tot)
+    }.tail.zip(totals).map { case ((pid, cumIncl), (_, tot)) =>
+      (pid, cumIncl - tot)
+    }
+    val offDf = spark.createDataFrame(offsets.toSeq).toDF("pid", "offset")
+    val w = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+    t.join(broadcast(offDf), "pid")
+      .withColumn("cum_end", sum(col("toks")).over(w) + col("offset"))
+      .withColumn("cum_start", col("cum_end") - col("toks"))
+      .select(col("doc_id"), col("toks"), col("cum_start"), col("cum_end"),
+        expr(s"cum_start div $maxTokens").as("chunk_first"),
+        expr(s"(cum_end - 1) div $maxTokens").as("chunk_last"))
+      .withColumn("n_chunks", col("chunk_last") - col("chunk_first") + 1)
+  }
+
   // ---- driver-gate queries ----
 
   private val SampleFractions = Map(
@@ -113,7 +159,8 @@ object Curation extends QueryModule {
         .select(col("doc_id"), col("lang"))),
     "q58_group_cap" -> ((s, d) =>
       perGroupCap(T.documents(s, d), "lang", "doc_id", k = 15)
-        .select(col("doc_id"), col("lang")))
+        .select(col("doc_id"), col("lang"))),
+    "q73_seq_pack" -> ((s, d) => sequencePack(T.documents(s, d)))
   )
 
   // hash := high 60 bits of md5(id) — identical to portableHash60
@@ -133,6 +180,18 @@ object Curation extends QueryModule {
          |  SELECT doc_id, lang,
          |    ROW_NUMBER() OVER (PARTITION BY lang
          |      ORDER BY $hashSql ASC, doc_id ASC) AS rn
-         |  FROM documents) WHERE rn <= 15""".stripMargin
+         |  FROM documents) WHERE rn <= 15""".stripMargin,
+    "q73_seq_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(CEIL(CAST(len(text) AS DOUBLE) / 4) AS BIGINT) AS toks
+        |  FROM documents),
+        |f AS (SELECT * FROM t WHERE toks > 0),
+        |c AS (SELECT doc_id, toks,
+        |  SUM(toks) OVER (ORDER BY doc_id) AS cum_end FROM f)
+        |SELECT doc_id, toks, cum_end - toks AS cum_start, cum_end,
+        |  (cum_end - toks) // 2048 AS chunk_first,
+        |  (cum_end - 1) // 2048 AS chunk_last,
+        |  (cum_end - 1) // 2048 - (cum_end - toks) // 2048 + 1 AS n_chunks
+        |FROM c""".stripMargin
   )
 }

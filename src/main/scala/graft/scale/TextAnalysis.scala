@@ -455,6 +455,78 @@ object TextAnalysis extends QueryModule {
       .drop("bm25_raw")
   }
 
+  /** Hashed linear classifier score — the fasttext/CCNet-style quality
+    * model shape: every word hashes into one of [[ClassifierBuckets]]
+    * feature buckets, each bucket carries a fixed weight, and the
+    * document score is the mean bucket weight over its words. The
+    * weights here are a deterministic stand-in (md5-derived, embedded
+    * as plan literals) — a trained model would ship its weights the
+    * same way: a broadcast-sized literal array, NO model server in the
+    * scan loop.
+    *
+    * Scale design: pure per-row projection (hash → array lookup →
+    * fold), zero shuffles, runs at scan speed; the fold is
+    * left-to-right in both engines so the double sum is bit-identical.
+    * The sigmoid is deliberately omitted (libm exp differs across
+    * engines by ulps); the raw linear score ranks identically. */
+  val ClassifierBuckets = 64
+
+  /** Deterministic per-bucket weights in [-1, 1): hash60("w_<i>")
+    * scaled — reproducible from md5 in any engine, embedded as
+    * literals in the plan and the oracle alike. */
+  val classifierWeights: Seq[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until ClassifierBuckets).map { i =>
+      val hex = md.digest(s"w_$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      (java.lang.Long.parseLong(hex, 16) % 2001 - 1000) / 1000.0
+    }
+  }
+
+  def classifierScore(docs0: DataFrame): DataFrame = {
+    val docs = widen(docs0)
+    val wArr = array(classifierWeights.map(lit): _*)
+    val withWs = docs
+      .select(col("doc_id"), explode(array(struct(words(col("text")).as("ws")))).as("s"))
+      .select(col("doc_id"), col("s.ws").as("ws"))
+      .filter(size(col("ws")) > 0)
+    val score = aggregate(
+      transform(col("ws"), w =>
+        element_at(wArr, (pmod(portableHash60(w), lit(ClassifierBuckets.toLong)) + 1L)
+          .cast(IntegerType))),
+      lit(0.0), (acc, x) => acc + x)
+    withWs.select(
+      col("doc_id"), size(col("ws")).as("n_words"),
+      round(score / size(col("ws")), 6).as("score"),
+      (score > 0d).as("pred_keep"))
+  }
+
+  /** Vocabulary coverage profile: corpus word frequencies ranked, with
+    * each rank's cumulative share of all tokens — the curve that sizes
+    * a tokenizer vocabulary ("how many types cover 95% of tokens").
+    * One hash-aggregate builds the frequency table (map-side partials
+    * over (word) keys); the ranking window runs over the VOCABULARY
+    * (≪ corpus — Heaps' law), never the token stream, so the
+    * single-partition window is bounded by distinct-word count; the
+    * integer cumulative sum divides once per row by the long total —
+    * deterministic in both engines. */
+  def vocabCoverage(docs0: DataFrame, topK: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = widen(docs0)
+    val freq = docs.select(explode(words(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(coalesce(sum(col("cnt")), lit(0L)).as("total"))
+    val w = Window.orderBy(col("cnt").desc, col("w").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    freq.withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("w").asc)))
+      .withColumn("cum_cnt", sum(col("cnt")).over(w))
+      .filter(col("rank") <= topK)
+      .crossJoin(total)
+      .select(col("rank"), col("w"), col("cnt"),
+        round(col("cum_cnt").cast("double") / col("total"), 6).as("cum_frac"))
+  }
+
   /** Corpus stats rollup per (lang, source): doc counts + char-length
     * distribution — one hash-aggregate pass. */
   def corpusStats(docs: DataFrame): DataFrame =
@@ -481,7 +553,9 @@ object TextAnalysis extends QueryModule {
     "q66_tfidf" -> ((s, d) => tfidfTop(T.documents(s, d))),
     "q67_bm25" -> ((s, d) => bm25(T.documents(s, d))),
     "q70_curation_gate" -> ((s, d) => curationGate(T.documents(s, d))),
-    "q72_pii_scan" -> ((s, d) => piiScan(T.documents(s, d)))
+    "q72_pii_scan" -> ((s, d) => piiScan(T.documents(s, d))),
+    "q74_classifier_score" -> ((s, d) => classifierScore(T.documents(s, d))),
+    "q75_vocab_coverage" -> ((s, d) => vocabCoverage(T.documents(s, d)))
   )
 
   private val normSql =
@@ -642,6 +716,33 @@ object TextAnalysis extends QueryModule {
          |SELECT doc_id, term, tf, df, ROUND(score, 4) AS tfidf,
          |  CAST(rk AS INTEGER) AS rk
          |FROM r WHERE rk <= 5""".stripMargin,
+    "q74_classifier_score" -> {
+      val warr = classifierWeights.mkString("[", ", ", "]")
+      val hashIdx =
+        s"CAST((CAST('0x' || substr(md5(x),1,15) AS BIGINT) % $ClassifierBuckets) + 1 AS INTEGER)"
+      val sumSql =
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |    list_transform(ws, x -> list_extract($warr, $hashIdx))),
+           |    (a, b) -> a + b)""".stripMargin
+      s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+         |f AS (SELECT doc_id, ws FROM w WHERE len(ws) > 0)
+         |SELECT doc_id, CAST(len(ws) AS INTEGER) AS n_words,
+         |  ROUND($sumSql / len(ws), 6) AS score,
+         |  ($sumSql > 0) AS pred_keep
+         |FROM f""".stripMargin
+    },
+    "q75_vocab_coverage" ->
+      s"""WITH w AS (SELECT unnest($wsSql) AS w FROM documents),
+         |freq AS (SELECT w, COUNT(*) AS cnt FROM w GROUP BY w),
+         |tot AS (SELECT SUM(cnt) AS total FROM freq),
+         |r AS (SELECT w, cnt,
+         |  ROW_NUMBER() OVER (ORDER BY cnt DESC, w ASC) AS rank,
+         |  SUM(cnt) OVER (ORDER BY cnt DESC, w ASC
+         |    ROWS UNBOUNDED PRECEDING) AS cum_cnt
+         |  FROM freq)
+         |SELECT CAST(rank AS INTEGER) AS rank, w, cnt,
+         |  ROUND(CAST(cum_cnt AS DOUBLE) / total, 6) AS cum_frac
+         |FROM r, tot WHERE rank <= 200""".stripMargin,
     "q72_pii_scan" -> {
       val countSel = piiPatterns.map { case (n, p) =>
         s"CAST(len(regexp_extract_all(text, '$p')) AS INTEGER) AS n_$n"

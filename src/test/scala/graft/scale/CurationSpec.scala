@@ -40,6 +40,36 @@ class CurationSpec extends SparkSpec {
     assert(reps.count() > 1)
   }
 
+  test("sequencePack: contiguous global token intervals, correct chunk " +
+    "spans, and partition-count independence") {
+    val spark2 = spark
+    import spark2.implicits._
+    // char lengths chosen so toks = ceil(len/4) are known: 10→3, 8→2, 99→25
+    val docs = Seq(
+      (1L, "x" * 10), (2L, "y" * 8), (3L, "z" * 99), (4L, ""), (5L, "w" * 4)
+    ).toDF("doc_id", "text")
+    val out = Curation.sequencePack(docs, maxTokens = 10, partitions = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // doc 4 (zero tokens) is excluded; intervals tile [0, total)
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 3L, 5L))
+    assert(out.head._3 === 0L) // first doc starts at 0
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 === b._3, s"interval gap between ${a._1} and ${b._1}")
+    }
+    // doc 1: toks 3, [0,3) → chunk 0 only; doc 3: toks 25, [5,30) →
+    // chunks 0..2 with maxTokens 10
+    assert(out(0) === ((1L, 3L, 0L, 3L, 0L, 0L, 1L)))
+    assert(out(2) === ((3L, 25L, 5L, 30L, 0L, 2L, 3L)))
+    // the distributed prefix sum is partition-count independent
+    val out7 = Curation.sequencePack(docs, maxTokens = 10, partitions = 7)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out7.toSeq === out.toSeq)
+  }
+
   test("kmeans assigns every vector to one of k clusters, deterministically") {
     val emb = T.embeddings(spark, sf).filter(col("vec_id") < 300)
     val a1 = Curation.kmeans(emb, k = 4, iters = 2)

@@ -189,6 +189,51 @@ class TextAnalysisSpec extends SparkSpec {
       "perfectly clean prose with no identifiers at all")
   }
 
+  test("classifierScore equals a driver-side recomputation with the same " +
+    "hash and weights; wordless docs are excluded") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox"), (2L, "spark join query"), (3L, "...")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.classifierScore(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(!out.contains(3L), "no-word doc excluded")
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 15), 16)
+    }
+    def expected(text: String): (Int, Double, Boolean) = {
+      val ws = text.toLowerCase.replaceAll("[^a-z0-9 ]", " ")
+        .replaceAll(" +", " ").trim.split(" ").filter(_.nonEmpty)
+      val sum = ws.foldLeft(0.0)((acc, w) => acc +
+        TextAnalysis.classifierWeights((h60(w) % TextAnalysis.ClassifierBuckets).toInt))
+      (ws.length,
+        BigDecimal(sum / ws.length).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        sum > 0)
+    }
+    assert(out(1L) === expected("the quick brown fox"))
+    assert(out(2L) === expected("spark join query"))
+  }
+
+  test("vocabCoverage ranks by frequency and its cumulative share " +
+    "reaches 1.0 over the full vocabulary") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      (1L, "alpha alpha alpha beta beta gamma"),
+      (2L, "alpha beta delta")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabCoverage(docs, topK = 10).orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // alpha 4, beta 3, delta 1, gamma 1 (ties alphabetical)
+    assert(out.map(t => (t._2, t._3)).toSeq ===
+      Seq(("alpha", 4L), ("beta", 3L), ("delta", 1L), ("gamma", 1L)))
+    assert(out.head._4 === 0.444444) // round(4/9, 6)
+    assert(out.last._4 === 1.0)
+  }
+
   test("curationGate plans zero exchanges — the joint filter runs scan-side") {
     val df = TextAnalysis.curationGate(
       graft.Tables.documents(spark, "/root/testdata/sf0.001"))
