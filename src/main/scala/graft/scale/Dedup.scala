@@ -356,6 +356,35 @@ object Dedup extends QueryModule {
         (col("n_overlap") >= 1).as("contaminated"))
   }
 
+  /** Globally-repeated n-gram exposure — the memorization-risk signal
+    * (the "dedup repeated substrings" concern of Lee et al. 2022 at
+    * shingle granularity): per document, how many of its distinct
+    * shingles occur in MORE than `threshold` documents corpus-wide,
+    * as a count, a fraction, and a flag. Catches boilerplate that
+    * pairwise near-dup misses: a license header shared by 10k
+    * otherwise-unrelated docs never forms a near-dup pair, but every
+    * copy is a memorization risk.
+    *
+    * Scale design: the shingle table streams once into a (shingle)
+    * hash-aggregate with map-side partials; the >threshold survivor
+    * set is tiny BY CONSTRUCTION (only cross-doc-repeated shingles
+    * survive — boilerplate vocabulary, not corpus volume), so the
+    * join-back broadcasts. The checkpoint stops the tokenize chain
+    * re-running for the two consumers. */
+  def repeatedNgrams(docs: DataFrame, threshold: Long = 3L): DataFrame = {
+    val sh = shingleTable(docs).localCheckpoint()
+    // shingleTable emits DISTINCT (doc, shingle): count = containing docs
+    val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > threshold)
+      .select(col("sh"), lit(1).as("_hot"))
+    sh.join(broadcast(hot), Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("_hot")).as("n_hot"))
+      .select(col("doc_id"), col("n_shingles"), col("n_hot"),
+        round(col("n_hot").cast("double") / col("n_shingles"), 4).as("hot_frac"),
+        (col("n_hot") > 0).as("flagged"))
+  }
+
   /** Embedding-cosine near-dup pairs above `minCos`, bounded to ids
     * below `maxId` (oracle-friendly brute force; the scale path is the
     * LSH-bucketed variant in [[Similarity]]). */
@@ -392,7 +421,9 @@ object Dedup extends QueryModule {
     // full-range LSH near-dup gate (no id cap): the scale path q29 demos
     "q69_neardup_lsh" -> ((s, d) => embeddingNearDupLsh(T.embeddings(s, d), 0.2)),
     // eval-set n-gram decontamination over the documents corpus
-    "q71_decontaminate" -> ((s, d) => decontaminate(T.documents(s, d)))
+    "q71_decontaminate" -> ((s, d) => decontaminate(T.documents(s, d))),
+    // memorization risk: shingles shared across >3 documents
+    "q76_repeated_ngrams" -> ((s, d) => repeatedNgrams(T.documents(s, d)))
   )
 
   private val normSql =
@@ -485,6 +516,17 @@ object Dedup extends QueryModule {
         |  UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
         |SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
         |FROM reach GROUP BY a""".stripMargin,
+    "q76_repeated_ngrams" ->
+      s"""WITH $shingleCte,
+         |cnt AS (SELECT sh AS g, COUNT(*) AS c FROM sh GROUP BY sh),
+         |hot AS (SELECT g FROM cnt WHERE c > 3),
+         |st AS (SELECT s.doc_id, COUNT(*) AS n_shingles, COUNT(h.g) AS n_hot
+         |       FROM sh s LEFT JOIN hot h ON h.g = s.sh
+         |       GROUP BY s.doc_id)
+         |SELECT doc_id, n_shingles, n_hot,
+         |  ROUND(CAST(n_hot AS DOUBLE) / n_shingles, 4) AS hot_frac,
+         |  (n_hot > 0) AS flagged
+         |FROM st""".stripMargin,
     "q71_decontaminate" ->
       s"""WITH $shingleCte,
          |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 25),

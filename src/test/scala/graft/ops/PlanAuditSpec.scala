@@ -84,6 +84,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(!s.contains("Window"), s"assignment must not sort-window:\n$s")
   }
 
+  test("decontaminate broadcasts the eval shingle set — no shuffle join, " +
+    "no cartesian") {
+    val s = planOf(graft.scale.Dedup.decontaminate(
+      graft.Tables.documents(spark, sf)))
+    assert(s.contains("BroadcastHashJoin"), s"eval side must broadcast:\n$s")
+    assert(!s.contains("CartesianProduct") && !s.contains("SortMergeJoin"))
+  }
+
+  test("sequencePack never funnels data through a single partition — " +
+    "the prefix sum is distributed") {
+    val s = planOf(graft.scale.Curation.sequencePack(
+      graft.Tables.documents(spark, sf)))
+    // a naive global-order window would plan Exchange SinglePartition;
+    // the per-partition-offset formulation must not
+    assert(!s.contains("SinglePartition"),
+      s"global window leaked into the packing plan:\n$s")
+    assert(s.contains("Window"), s"expected in-partition cumsum window:\n$s")
+  }
+
+  test("classifierScore is a pure projection: no aggregation or join " +
+    "exchange in the plan") {
+    val s = planOf(graft.scale.TextAnalysis.classifierScore(
+      graft.Tables.documents(spark, sf)))
+    assert(!s.contains("hashpartitioning"),
+      s"classifier scoring must stay scan-side:\n$s")
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline of q02") {
     val s = planOf(CoreQueries.q02FilterProject(spark, sf))
     // '*(n)' marks a WholeStageCodegen stage; tree prefixes like '+-' precede it

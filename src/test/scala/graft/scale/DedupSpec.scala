@@ -250,6 +250,27 @@ class DedupSpec extends SparkSpec {
     assert(out(31L) === ((out(31L)._1, 0L, false)), "clean doc has zero overlap")
   }
 
+  test("repeatedNgrams flags boilerplate shared across unrelated docs " +
+    "that pairwise near-dup would miss") {
+    val spark2 = spark
+    import spark2.implicits._
+    val header = "this work is licensed under the creative commons attribution license terms"
+    def body(i: Int) =
+      s"unique content number $i discussing entirely separate topic area ${i * 7} in depth"
+    // 5 docs share the header boilerplate; bodies are all distinct
+    val corpus = ((1 to 5).map(i => (i.toLong, s"$header. ${body(i)}")) :+
+      (9L, "a fully independent document with no shared boilerplate at all present here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.repeatedNgrams(corpus, threshold = 3L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getAs[Boolean]("flagged")))).toMap
+    (1 to 5).foreach(i => assert(out(i.toLong)._2, s"doc $i shares the header"))
+    assert(out(9L) === ((0L, false)), "independent doc must not be flagged")
+    // the shared region is identical for all five docs, so each sees
+    // the same hot-shingle count (header + boundary shingles)
+    assert(out(1L)._1 > 0)
+    assert((2 to 5).forall(i => out(i.toLong)._1 === out(1L)._1))
+  }
+
   test("full-range LSH near-dup gate: identical vectors pair at cos 1.0, " +
     "sub-threshold pairs are filtered") {
     val spark2 = spark
