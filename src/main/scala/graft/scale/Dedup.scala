@@ -356,6 +356,26 @@ object Dedup extends QueryModule {
         (col("n_overlap") >= 1).as("contaminated"))
   }
 
+  /** Incremental dedup — the shape a production corpus pipeline runs
+    * per ingest batch: drop ARRIVING documents that near-duplicate the
+    * EXISTING corpus, without recomputing corpus-wide pairs. The
+    * arriving batch's MinHash bands semi-join the corpus band index;
+    * any band collision marks the newcomer a duplicate and the
+    * left-anti join drops it.
+    *
+    * Scale design: both sides reduce to (band, hash) short keys; the
+    * corpus side is exactly the banded index a production deployment
+    * PERSISTS (bucketed by (b, bv) via [[Layout.saveBucketed]], the
+    * semi-join is then shuffle-free on the corpus side and only the
+    * batch moves). New docs too short to shingle have no bands and
+    * pass through — same contract as the batch pair generator. */
+  def incrementalDedup(newDocs: DataFrame, corpus: DataFrame): DataFrame = {
+    val dupIds = minhashBands(newDocs)
+      .join(minhashBands(corpus), Seq("b", "bv"), "left_semi")
+      .select(col("doc_id")).distinct()
+    newDocs.join(dupIds, Seq("doc_id"), "left_anti")
+  }
+
   /** Globally-repeated n-gram exposure — the memorization-risk signal
     * (the "dedup repeated substrings" concern of Lee et al. 2022 at
     * shingle granularity): per document, how many of its distinct
@@ -423,7 +443,14 @@ object Dedup extends QueryModule {
     // eval-set n-gram decontamination over the documents corpus
     "q71_decontaminate" -> ((s, d) => decontaminate(T.documents(s, d))),
     // memorization risk: shingles shared across >3 documents
-    "q76_repeated_ngrams" -> ((s, d) => repeatedNgrams(T.documents(s, d)))
+    "q76_repeated_ngrams" -> ((s, d) => repeatedNgrams(T.documents(s, d))),
+    // incremental ingest: batch (id >= 400) deduped against corpus (< 400)
+    "q77_incremental_dedup" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      incrementalDedup(docs.filter(col("doc_id") >= 400),
+          docs.filter(col("doc_id") < 400))
+        .select(col("doc_id"), col("lang"))
+    })
   )
 
   private val normSql =
@@ -516,6 +543,18 @@ object Dedup extends QueryModule {
         |  UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
         |SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
         |FROM reach GROUP BY a""".stripMargin,
+    "q77_incremental_dedup" ->
+      s"""WITH $shingleCte,
+         |sig AS (SELECT doc_id, $sigSelect FROM sh GROUP BY doc_id),
+         |bands AS (SELECT doc_id, CAST(b AS INTEGER) AS b,
+         |  CASE b $bandCase END AS bv
+         |  FROM sig, range(0, $NumBands) t(b)),
+         |dup AS (SELECT DISTINCT n.doc_id FROM bands n JOIN bands c
+         |        ON n.b = c.b AND n.bv = c.bv
+         |        AND n.doc_id >= 400 AND c.doc_id < 400)
+         |SELECT doc_id, lang FROM documents
+         |WHERE doc_id >= 400
+         |  AND doc_id NOT IN (SELECT doc_id FROM dup)""".stripMargin,
     "q76_repeated_ngrams" ->
       s"""WITH $shingleCte,
          |cnt AS (SELECT sh AS g, COUNT(*) AS c FROM sh GROUP BY sh),

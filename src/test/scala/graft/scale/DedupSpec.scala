@@ -271,6 +271,25 @@ class DedupSpec extends SparkSpec {
     assert((2 to 5).forall(i => out(i.toLong)._1 === out(1L)._1))
   }
 
+  test("incrementalDedup drops arrivals colliding with the corpus index " +
+    "and keeps genuinely new or unshingleable docs") {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and keeps on running far away"
+    val corpus = Seq(
+      (1L, base),
+      (2L, "existing corpus document about spark engines and data pipelines at large scale")
+    ).toDF("doc_id", "text")
+    val arrivals = Seq(
+      (10L, base),                     // exact dup of corpus doc 1 → dropped
+      (11L, "a brand new document discussing gardens weather and mountain hiking trips"),
+      (12L, "too short")               // < 4 words: no bands, passes through
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalDedup(arrivals, corpus)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(11L, 12L))
+  }
+
   test("full-range LSH near-dup gate: identical vectors pair at cos 1.0, " +
     "sub-threshold pairs are filtered") {
     val spark2 = spark
