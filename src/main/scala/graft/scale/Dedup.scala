@@ -376,6 +376,20 @@ object Dedup extends QueryModule {
     newDocs.join(dupIds, Seq("doc_id"), "left_anti")
   }
 
+  /** Same-table form of [[incrementalDedup]]: when batch and corpus
+    * live in one table split by an id boundary, the band index is
+    * computed in ONE tokenize pass (checkpointed) and sliced — the
+    * general form would run the dominant minhash/tokenize chain once
+    * per side. Results are identical (spec-checked). */
+  def incrementalDedupAt(docs: DataFrame, boundary: Long): DataFrame = {
+    val bands = minhashBands(docs).localCheckpoint()
+    val dupIds = bands.filter(col("doc_id") >= boundary)
+      .join(bands.filter(col("doc_id") < boundary), Seq("b", "bv"), "left_semi")
+      .select(col("doc_id")).distinct()
+    docs.filter(col("doc_id") >= boundary)
+      .join(dupIds, Seq("doc_id"), "left_anti")
+  }
+
   /** Globally-repeated n-gram exposure — the memorization-risk signal
     * (the "dedup repeated substrings" concern of Lee et al. 2022 at
     * shingle granularity): per document, how many of its distinct
@@ -445,12 +459,9 @@ object Dedup extends QueryModule {
     // memorization risk: shingles shared across >3 documents
     "q76_repeated_ngrams" -> ((s, d) => repeatedNgrams(T.documents(s, d))),
     // incremental ingest: batch (id >= 400) deduped against corpus (< 400)
-    "q77_incremental_dedup" -> ((s, d) => {
-      val docs = T.documents(s, d)
-      incrementalDedup(docs.filter(col("doc_id") >= 400),
-          docs.filter(col("doc_id") < 400))
-        .select(col("doc_id"), col("lang"))
-    })
+    "q77_incremental_dedup" -> ((s, d) =>
+      incrementalDedupAt(T.documents(s, d), boundary = 400L)
+        .select(col("doc_id"), col("lang")))
   )
 
   private val normSql =

@@ -288,6 +288,10 @@ class DedupSpec extends SparkSpec {
     val kept = Dedup.incrementalDedup(arrivals, corpus)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept === Set(11L, 12L))
+    // the one-pass same-table form produces identical results
+    val keptAt = Dedup.incrementalDedupAt(corpus.unionByName(arrivals), 10L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptAt === kept)
   }
 
   test("full-range LSH near-dup gate: identical vectors pair at cos 1.0, " +
