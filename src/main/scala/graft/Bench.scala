@@ -31,7 +31,8 @@ object Bench {
     // phantom regression (observed r4: ten unrelated queries inflated
     // >2× with byte-identical plans). The median of three discards one
     // outlier in either direction while keeping the run cheap.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val reps = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -42,7 +43,12 @@ object Bench {
         catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      name -> times(times.size / 2)
+      // true median: middle value for odd reps, mean of the two middle
+      // values for even reps (times(n/2) alone would be upper-median)
+      val median =
+        if (times.size % 2 == 1) times(times.size / 2)
+        else (times(times.size / 2 - 1) + times(times.size / 2)) / 2
+      name -> median
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

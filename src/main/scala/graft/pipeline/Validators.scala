@@ -192,9 +192,8 @@ object Validators {
   def pureChecks(df: DataFrame): DataFrame = {
     val withWeights = DatapointOps.validateWeights(df)
     val problematic = Seq("requests", "urllib", "socket", "subprocess")
-    def occ(ch: String) = (length(col("test_functions")) -
-      length(regexp_replace(col("test_functions"),
-        java.util.regex.Pattern.quote(ch), ""))).cast("int")
+    def occ(ch: String) =
+      graft.functions.PortableFuncs.countOccurrences(col("test_functions"), ch)
     dockerfileLint(withWeights)
       .withColumn("test_names", DatapointOps.testNames(col("test_functions")))
       .withColumn("n_tests", size(col("test_names")))

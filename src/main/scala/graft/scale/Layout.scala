@@ -43,8 +43,14 @@ object Layout {
   def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     estimatedScanPartitions(df) match {
-      case Some(est) if est >= target => df
-      case _ => df.repartition(target)
+      case Some(est) => if (est >= target) df else df.repartition(target)
+      // no logical-plan estimate (checkpointed/DSv2/in-memory input):
+      // fall back to the actual partition count — it costs the second
+      // physical-plan compile this method avoids on the hot file-scan
+      // paths, but an unconditional repartition here would re-shuffle
+      // an already-wide input, which is worse than a driver-side compile
+      case None =>
+        if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
     }
   }
 

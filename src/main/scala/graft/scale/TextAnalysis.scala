@@ -172,38 +172,54 @@ object TextAnalysis extends QueryModule {
     * (50 ≤ words ≤ 100k, mean length in [3,10], symbol ratio < 0.1,
     * bullet lines < 90%, ellipsis lines < 30%, ≥80% alphabetic words,
     * ≥2 stopwords). */
-  def gopherRules(docs0: DataFrame): DataFrame = {
-    val docs = widen(docs0)
-    val ws = words(col("text"))
-    val nw = greatest(size(ws), lit(1))
-    val lines = filter(transform(split(col("text"), "\n"), l => trim(l)), l => l =!= "")
-    val nl = greatest(size(lines), lit(1))
-    val meanWlen = length(array_join(ws, "")).cast("double") / nw
-    val distinctFrac = size(array_distinct(ws)).cast("double") / nw
-    val alphaFrac = size(filter(ws, w => w.rlike("[a-z]"))).cast("double") / nw
-    val symbolRatio = (countOccurrences(col("text"), "#") +
-      countOccurrences(col("text"), "...")).cast("double") / nw
-    val bulletFrac = size(filter(lines, l =>
-      l.startsWith("-") || l.startsWith("*") || l.startsWith("•"))).cast("double") / nl
-    val ellipsisFrac = size(filter(lines, l => l.endsWith("..."))).cast("double") / nl
-    val stopHitsEn = stopHits(ws, stopwords.head._2)
-    docs.select(
-      col("doc_id"),
-      size(ws).as("n_words"),
-      round(meanWlen, 4).as("mean_wlen"),
-      round(distinctFrac, 4).as("distinct_frac"),
-      round(alphaFrac, 4).as("alpha_frac"),
-      round(symbolRatio, 4).as("symbol_ratio"),
-      round(bulletFrac, 4).as("bullet_frac"),
-      round(ellipsisFrac, 4).as("ellipsis_frac"),
-      stopHitsEn.as("stop_hits"),
-      (size(ws).between(50, 100000) &&
+  /** The Gopher signal battery over a words column + the raw text —
+    * ONE definition shared by [[gopherRules]] and [[curationGate]], so
+    * a threshold tweak cannot silently diverge between them. */
+  private final case class GopherSignals(
+      nWords: Column, meanWlen: Column, distinctFrac: Column,
+      alphaFrac: Column, symbolRatio: Column, bulletFrac: Column,
+      ellipsisFrac: Column, stopHits: Column) {
+    def pass: Column =
+      nWords.between(50, 100000) &&
         meanWlen.between(3.0, 10.0) &&
         symbolRatio < 0.1 &&
         bulletFrac < 0.9 &&
         ellipsisFrac < 0.3 &&
         alphaFrac > 0.8 &&
-        stopHitsEn >= 2).as("gopher_pass"))
+        stopHits >= 2
+  }
+
+  private def gopherSignals(ws: Column, text: Column): GopherSignals = {
+    val nw = greatest(size(ws), lit(1))
+    val lines = filter(transform(split(text, "\n"), l => trim(l)), l => l =!= "")
+    val nl = greatest(size(lines), lit(1))
+    GopherSignals(
+      nWords = size(ws),
+      meanWlen = length(array_join(ws, "")).cast("double") / nw,
+      distinctFrac = size(array_distinct(ws)).cast("double") / nw,
+      alphaFrac = size(filter(ws, w => w.rlike("[a-z]"))).cast("double") / nw,
+      symbolRatio = (countOccurrences(text, "#") +
+        countOccurrences(text, "...")).cast("double") / nw,
+      bulletFrac = size(filter(lines, l =>
+        l.startsWith("-") || l.startsWith("*") || l.startsWith("•"))).cast("double") / nl,
+      ellipsisFrac = size(filter(lines, l => l.endsWith("..."))).cast("double") / nl,
+      stopHits = stopHits(ws, stopwords.head._2))
+  }
+
+  def gopherRules(docs0: DataFrame): DataFrame = {
+    val docs = widen(docs0)
+    val g = gopherSignals(words(col("text")), col("text"))
+    docs.select(
+      col("doc_id"),
+      g.nWords.as("n_words"),
+      round(g.meanWlen, 4).as("mean_wlen"),
+      round(g.distinctFrac, 4).as("distinct_frac"),
+      round(g.alphaFrac, 4).as("alpha_frac"),
+      round(g.symbolRatio, 4).as("symbol_ratio"),
+      round(g.bulletFrac, 4).as("bullet_frac"),
+      round(g.ellipsisFrac, 4).as("ellipsis_frac"),
+      g.stopHits.as("stop_hits"),
+      g.pass.as("gopher_pass"))
   }
 
   /** Repetition metrics (the Gopher/C4 duplicate-content signals that
@@ -315,24 +331,7 @@ object TextAnalysis extends QueryModule {
       .select(col("doc_id"), col("text"), col("ws"), col("s2.bgs").as("bgs"))
 
     val ws = col("ws"); val bgs = col("bgs")
-    val nw = greatest(size(ws), lit(1))
-    val lines = filter(transform(split(col("text"), "\n"), l => trim(l)), l => l =!= "")
-    val nl = greatest(size(lines), lit(1))
-    val meanWlen = length(array_join(ws, "")).cast("double") / nw
-    val alphaFrac = size(filter(ws, w => w.rlike("[a-z]"))).cast("double") / nw
-    val symbolRatio = (countOccurrences(col("text"), "#") +
-      countOccurrences(col("text"), "...")).cast("double") / nw
-    val bulletFrac = size(filter(lines, l =>
-      l.startsWith("-") || l.startsWith("*") || l.startsWith("•"))).cast("double") / nl
-    val ellipsisFrac = size(filter(lines, l => l.endsWith("..."))).cast("double") / nl
-    val stopHitsEn = stopHits(ws, stopwords.head._2)
-    val gopherPass = size(ws).between(50, 100000) &&
-      meanWlen.between(3.0, 10.0) &&
-      symbolRatio < 0.1 &&
-      bulletFrac < 0.9 &&
-      ellipsisFrac < 0.3 &&
-      alphaFrac > 0.8 &&
-      stopHitsEn >= 2
+    val gopherPass = gopherSignals(ws, col("text")).pass
 
     val nBg = size(bgs)
     // a sorted element is a singleton iff it differs from both
@@ -495,10 +494,15 @@ object TextAnalysis extends QueryModule {
         element_at(wArr, (pmod(portableHash60(w), lit(ClassifierBuckets.toLong)) + 1L)
           .cast(IntegerType))),
       lit(0.0), (acc, x) => acc + x)
-    withWs.select(
-      col("doc_id"), size(col("ws")).as("n_words"),
-      round(score / size(col("ws")), 6).as("score"),
-      (score > 0d).as("pred_keep"))
+    // generator barrier: the fold (an md5 per word) feeds both the
+    // mean and the flag; inlined twice it would hash every word twice
+    // (interpreted HOFs have no CSE)
+    withWs
+      .select(col("doc_id"), size(col("ws")).as("n_words"),
+        explode(array(struct(score.as("sum")))).as("s"))
+      .select(col("doc_id"), col("n_words"),
+        round(col("s.sum") / col("n_words"), 6).as("score"),
+        (col("s.sum") > 0d).as("pred_keep"))
   }
 
   /** Vocabulary coverage profile: corpus word frequencies ranked, with
@@ -513,8 +517,12 @@ object TextAnalysis extends QueryModule {
   def vocabCoverage(docs0: DataFrame, topK: Int = 200): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = widen(docs0)
+    // materialize the frequency table ONCE: it feeds both the total
+    // aggregate and the ranking window, and without a barrier the
+    // tokenize+explode chain reruns per consumer (same fix as tfidf)
     val freq = docs.select(explode(words(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val total = freq.agg(coalesce(sum(col("cnt")), lit(0L)).as("total"))
     val w = Window.orderBy(col("cnt").desc, col("w").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

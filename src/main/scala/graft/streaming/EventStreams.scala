@@ -93,10 +93,23 @@ object EventStreams {
     import graft.functions.SimHashExpression.simhash60
     import graft.functions.PortableFuncs.words
     val ttlMillis = ttlHours * 3600000L
-    docs.toDF()
+    val sigs = docs.toDF()
+      // generator barrier: ws is referenced twice below (size guard +
+      // kernel) and interpreted HOF lambdas have no CSE
       .select(col("doc_id"), col("ts"),
-        coalesce(simhash60(words(col("text"))), lit(0L)).as("sig"))
+        explode(array(struct(words(col("text")).as("ws")))).as("s"))
+      .select(col("doc_id"), col("ts"),
+        when(size(col("s.ws")) > 0, simhash60(col("s.ws"))).as("sig"))
       .withWatermark("ts", watermark)
+    // a wordless doc has NO content signature to collide on: it passes
+    // through as kept (sig 0, no claimant) — the batch contract
+    // (simhashPairs/incrementalDedup exclude unshingleable docs), NOT
+    // a shared all-empty-docs bucket that would mark unrelated empty
+    // docs duplicates of each other
+    val passThrough = sigs.filter(col("sig").isNull)
+      .select(col("doc_id"), col("ts")).as[(Long, Timestamp)]
+      .map { case (id, t) => DedupVerdict(id, t, 0L, None) }
+    val keyed = sigs.filter(col("sig").isNotNull)
       .as[(Long, Timestamp, Long)]
       .groupByKey(_._3)
       .flatMapGroupsWithState[SigState, DedupVerdict](
@@ -127,6 +140,7 @@ object EventStreams {
             out.result().iterator
           }
       }
+    keyed.union(passThrough)
   }
 
   /** Gap-based sessionization via flatMapGroupsWithState with event-

@@ -201,12 +201,15 @@ class EventStreamsSpec extends SparkSpec {
         Doc(2, ts(1), textA),   // same-batch dup of 1
         Doc(3, ts(2), textB))
       q.processAllAvailable()
-      src.addData(Doc(4, ts(3), textA)) // cross-batch dup of 1
+      src.addData(
+        Doc(4, ts(3), textA),  // cross-batch dup of 1
+        Doc(5, ts(4), "???"),  // wordless: no signature, passes through
+        Doc(6, ts(5), "!!!"))  // also wordless: NOT a dup of 5
       q.processAllAvailable()
       val verdicts = spark.table("nd").as[DedupVerdict].collect()
         .map(v => v.doc_id -> v.dup_of).toMap
       assert(verdicts === Map(1L -> None, 2L -> Some(1L),
-        3L -> None, 4L -> Some(1L)))
+        3L -> None, 4L -> Some(1L), 5L -> None, 6L -> None))
       // signatures agree with the batch kernel on the same text
       val sigs = spark.table("nd").as[DedupVerdict].collect()
         .map(v => v.doc_id -> v.sig).toMap
