@@ -535,6 +535,40 @@ object TextAnalysis extends QueryModule {
         round(col("cum_cnt").cast("double") / col("total"), 6).as("cum_frac"))
   }
 
+  /** Corpus health report — the one-row dashboard a pipeline operator
+    * reads daily, composing the gate battery: corpus size and language
+    * spread, Gopher/repetition/joint-keep pass counts, PII incidence,
+    * and exact-duplicate pressure (groups + excess copies), with the
+    * two headline rates.
+    *
+    * Scale design: four independent one-pass aggregates (gate flags,
+    * base counts, PII flags, md5-group dedup), each reduced to ONE row
+    * with map-side partials, then 1-row cross joins — the documented
+    * safe cross-join shape. Catalyst prunes what each branch doesn't
+    * need (e.g. [[piiScan]]'s redaction column never evaluates here —
+    * only the any_pii flag is referenced). */
+  def corpusReport(docs: DataFrame): DataFrame = {
+    val gate = curationGate(docs).agg(
+      count(when(col("gopher_pass"), 1)).as("n_gopher_pass"),
+      count(when(col("rep_pass"), 1)).as("n_rep_pass"),
+      count(when(col("keep"), 1)).as("n_keep"))
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("lang")).as("n_langs"))
+    val pii = piiScan(docs).agg(
+      count(when(col("any_pii"), 1)).as("n_pii"))
+    val dups = Dedup.exactDedup(docs).agg(
+      count(when(col("n_copies") > 1, 1)).as("n_dup_groups"),
+      coalesce(sum(when(col("n_copies") > 1, col("n_copies") - 1)), lit(0L))
+        .as("n_excess_copies"))
+    base.crossJoin(gate).crossJoin(pii).crossJoin(dups)
+      .select(col("n_docs"), col("n_langs"),
+        col("n_gopher_pass"), col("n_rep_pass"), col("n_keep"), col("n_pii"),
+        col("n_dup_groups"), col("n_excess_copies"),
+        round(col("n_keep").cast("double") / col("n_docs"), 4).as("keep_rate"),
+        round(col("n_pii").cast("double") / col("n_docs"), 4).as("pii_rate"))
+  }
+
   /** Corpus stats rollup per (lang, source): doc counts + char-length
     * distribution — one hash-aggregate pass. */
   def corpusStats(docs: DataFrame): DataFrame =
@@ -563,13 +597,73 @@ object TextAnalysis extends QueryModule {
     "q70_curation_gate" -> ((s, d) => curationGate(T.documents(s, d))),
     "q72_pii_scan" -> ((s, d) => piiScan(T.documents(s, d))),
     "q74_classifier_score" -> ((s, d) => classifierScore(T.documents(s, d))),
-    "q75_vocab_coverage" -> ((s, d) => vocabCoverage(T.documents(s, d)))
+    "q75_vocab_coverage" -> ((s, d) => vocabCoverage(T.documents(s, d))),
+    "q78_corpus_report" -> ((s, d) => corpusReport(T.documents(s, d)))
   )
 
   private val normSql =
     "trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g'))"
   private val wsSql =
     s"list_filter(string_split_regex($normSql, ' +'), w -> w <> '')"
+
+  /** CTE chain shared by the q70 gate oracle and the q78 report oracle:
+    * defines `r` (per-doc repetition fractions) and `gp` (per-doc
+    * gopher pass flag) over `documents`. */
+  private lazy val curationCtes: String =
+    s"""w AS (SELECT doc_id, text, $wsSql AS ws,
+       |  list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS ls
+       |FROM documents),
+       |g AS (SELECT doc_id,
+       |  CAST(len(ws) AS INTEGER) AS n_words,
+       |  GREATEST(len(ws), 1) AS nw,
+       |  GREATEST(len(ls), 1) AS nl,
+       |  len(array_to_string(ws, '')) AS word_chars,
+       |  len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+       |  CAST((len(text) - len(replace(text, '#', ''))) / 1 AS BIGINT)
+       |    + CAST((len(text) - len(replace(text, '...', ''))) / 3 AS BIGINT) AS n_symbols,
+       |  len(list_filter(ls, x -> starts_with(x, '-') OR starts_with(x, '*') OR starts_with(x, '•'))) AS n_bullet,
+       |  len(list_filter(ls, x -> ends_with(x, '...'))) AS n_ellipsis,
+       |  ${stopHitsSql(stopwords.head._2)} AS stop_hits
+       |FROM w),
+       |gp AS (SELECT doc_id,
+       |  (n_words BETWEEN 50 AND 100000
+       |    AND CAST(word_chars AS DOUBLE) / nw BETWEEN 3.0 AND 10.0
+       |    AND CAST(n_symbols AS DOUBLE) / nw < 0.1
+       |    AND CAST(n_bullet AS DOUBLE) / nl < 0.9
+       |    AND CAST(n_ellipsis AS DOUBLE) / nl < 0.3
+       |    AND CAST(n_alpha AS DOUBLE) / nw > 0.8
+       |    AND stop_hits >= 2) AS gopher_pass
+       |FROM g),
+       |idx AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+       |        FROM w WHERE len(ws) >= 2),
+       |bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg FROM idx),
+       |cnt AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+       |st AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       |       MAX(c) AS top_cnt,
+       |       CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_cnt
+       |       FROM cnt GROUP BY 1),
+       |r AS (SELECT d.doc_id,
+       |  COALESCE(st.n_bigrams, 0) AS n_bigrams,
+       |  CASE WHEN st.n_bigrams IS NOT NULL
+       |    THEN CAST(st.dup_cnt AS DOUBLE) / st.n_bigrams ELSE 0.0 END AS dup_frac,
+       |  CASE WHEN st.n_bigrams IS NOT NULL
+       |    THEN CAST(st.top_cnt AS DOUBLE) / st.n_bigrams ELSE 0.0 END AS top_frac
+       |  FROM documents d LEFT JOIN st ON st.doc_id = d.doc_id)""".stripMargin
+
+  /** Final select of the q70 gate over [[curationCtes]] — also reused
+    * as the `gate` CTE body in the q78 report oracle. */
+  private lazy val curationSelect: String =
+    """SELECT r.doc_id, gp.gopher_pass, r.n_bigrams,
+      |  ROUND(r.dup_frac, 4) AS dup_bigram_frac,
+      |  ROUND(r.top_frac, 4) AS top_bigram_frac,
+      |  (r.dup_frac < 0.2 AND r.top_frac < 0.18) AS rep_pass,
+      |  (gp.gopher_pass AND r.dup_frac < 0.2 AND r.top_frac < 0.18) AS keep
+      |FROM r JOIN gp ON gp.doc_id = r.doc_id""".stripMargin
+
+  /** Any-PII predicate shared by the q72 and q78 oracles. */
+  private lazy val piiAnySql: String = piiPatterns.map { case (_, p) =>
+    s"len(regexp_extract_all(text, '$p')) > 0"
+  }.mkString(" OR ")
 
   private def stopHitsSql(list: Seq[String]): String =
     s"CAST(len(list_filter(ws, w -> list_contains(${list.mkString("['", "', '", "']")}, w))) AS INTEGER)"
@@ -755,9 +849,7 @@ object TextAnalysis extends QueryModule {
       val countSel = piiPatterns.map { case (n, p) =>
         s"CAST(len(regexp_extract_all(text, '$p')) AS INTEGER) AS n_$n"
       }.mkString(",\n  ")
-      val anySql = piiPatterns.map { case (n, p) =>
-        s"len(regexp_extract_all(text, '$p')) > 0"
-      }.mkString(" OR ")
+      val anySql = piiAnySql
       val redactSql = piiPatterns.foldLeft("text") { case (c, (n, p)) =>
         s"regexp_replace($c, '$p', '<${n.toUpperCase.dropRight(1)}>', 'g')"
       }
@@ -768,51 +860,30 @@ object TextAnalysis extends QueryModule {
          |FROM documents""".stripMargin
     },
     "q70_curation_gate" ->
-      s"""WITH w AS (SELECT doc_id, text, $wsSql AS ws,
-         |  list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS ls
-         |FROM documents),
-         |g AS (SELECT doc_id,
-         |  CAST(len(ws) AS INTEGER) AS n_words,
-         |  GREATEST(len(ws), 1) AS nw,
-         |  GREATEST(len(ls), 1) AS nl,
-         |  len(array_to_string(ws, '')) AS word_chars,
-         |  len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
-         |  CAST((len(text) - len(replace(text, '#', ''))) / 1 AS BIGINT)
-         |    + CAST((len(text) - len(replace(text, '...', ''))) / 3 AS BIGINT) AS n_symbols,
-         |  len(list_filter(ls, x -> starts_with(x, '-') OR starts_with(x, '*') OR starts_with(x, '•'))) AS n_bullet,
-         |  len(list_filter(ls, x -> ends_with(x, '...'))) AS n_ellipsis,
-         |  ${stopHitsSql(stopwords.head._2)} AS stop_hits
-         |FROM w),
-         |gp AS (SELECT doc_id,
-         |  (n_words BETWEEN 50 AND 100000
-         |    AND CAST(word_chars AS DOUBLE) / nw BETWEEN 3.0 AND 10.0
-         |    AND CAST(n_symbols AS DOUBLE) / nw < 0.1
-         |    AND CAST(n_bullet AS DOUBLE) / nl < 0.9
-         |    AND CAST(n_ellipsis AS DOUBLE) / nl < 0.3
-         |    AND CAST(n_alpha AS DOUBLE) / nw > 0.8
-         |    AND stop_hits >= 2) AS gopher_pass
-         |FROM g),
-         |idx AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
-         |        FROM w WHERE len(ws) >= 2),
-         |bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg FROM idx),
-         |cnt AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2),
-         |st AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
-         |       MAX(c) AS top_cnt,
-         |       CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_cnt
-         |       FROM cnt GROUP BY 1),
-         |r AS (SELECT d.doc_id,
-         |  COALESCE(st.n_bigrams, 0) AS n_bigrams,
-         |  CASE WHEN st.n_bigrams IS NOT NULL
-         |    THEN CAST(st.dup_cnt AS DOUBLE) / st.n_bigrams ELSE 0.0 END AS dup_frac,
-         |  CASE WHEN st.n_bigrams IS NOT NULL
-         |    THEN CAST(st.top_cnt AS DOUBLE) / st.n_bigrams ELSE 0.0 END AS top_frac
-         |  FROM documents d LEFT JOIN st ON st.doc_id = d.doc_id)
-         |SELECT r.doc_id, gp.gopher_pass, r.n_bigrams,
-         |  ROUND(r.dup_frac, 4) AS dup_bigram_frac,
-         |  ROUND(r.top_frac, 4) AS top_bigram_frac,
-         |  (r.dup_frac < 0.2 AND r.top_frac < 0.18) AS rep_pass,
-         |  (gp.gopher_pass AND r.dup_frac < 0.2 AND r.top_frac < 0.18) AS keep
-         |FROM r JOIN gp ON gp.doc_id = r.doc_id""".stripMargin,
+      s"""WITH $curationCtes
+         |$curationSelect""".stripMargin,
+    "q78_corpus_report" ->
+      s"""WITH $curationCtes,
+         |gate AS ($curationSelect),
+         |gateagg AS (SELECT
+         |  COUNT(CASE WHEN gopher_pass THEN 1 END) AS n_gopher_pass,
+         |  COUNT(CASE WHEN rep_pass THEN 1 END) AS n_rep_pass,
+         |  COUNT(CASE WHEN keep THEN 1 END) AS n_keep FROM gate),
+         |base AS (SELECT COUNT(*) AS n_docs,
+         |  COUNT(DISTINCT lang) AS n_langs FROM documents),
+         |piiagg AS (SELECT
+         |  COUNT(CASE WHEN $piiAnySql THEN 1 END) AS n_pii FROM documents),
+         |dup AS (SELECT md5(text) AS fp, COUNT(*) AS c
+         |        FROM documents GROUP BY md5(text)),
+         |dupagg AS (SELECT
+         |  COUNT(CASE WHEN c > 1 THEN 1 END) AS n_dup_groups,
+         |  CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c - 1 END), 0) AS BIGINT)
+         |    AS n_excess_copies FROM dup)
+         |SELECT n_docs, n_langs, n_gopher_pass, n_rep_pass, n_keep, n_pii,
+         |  n_dup_groups, n_excess_copies,
+         |  ROUND(CAST(n_keep AS DOUBLE) / n_docs, 4) AS keep_rate,
+         |  ROUND(CAST(n_pii AS DOUBLE) / n_docs, 4) AS pii_rate
+         |FROM base, gateagg, piiagg, dupagg""".stripMargin,
     "q67_bm25" -> {
       val terms = Seq("spark", "join", "query")
       val tfSel = terms.map(t =>

@@ -234,6 +234,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.last._4 === 1.0)
   }
 
+  test("corpusReport aggregates agree with its constituent operators") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val r = TextAnalysis.corpusReport(docs).collect().head
+    assert(r.getAs[Long]("n_docs") === docs.count())
+    assert(r.getAs[Long]("n_keep") ===
+      TextAnalysis.curationGate(docs).filter(col("keep")).count())
+    assert(r.getAs[Long]("n_pii") ===
+      TextAnalysis.piiScan(docs).filter(col("any_pii")).count())
+    assert(r.getAs[Long]("n_dup_groups") ===
+      Dedup.exactDedup(docs).filter(col("n_copies") > 1).count())
+    assert(r.getAs[Double]("keep_rate") >= 0.0 && r.getAs[Double]("keep_rate") <= 1.0)
+  }
+
   test("curationGate plans zero exchanges — the joint filter runs scan-side") {
     val df = TextAnalysis.curationGate(
       graft.Tables.documents(spark, "/root/testdata/sf0.001"))
