@@ -111,6 +111,15 @@ class PlanAuditSpec extends SparkSpec {
       s"classifier scoring must stay scan-side:\n$s")
   }
 
+  test("incremental dedup is semi+anti equality joins on band keys — " +
+    "never a cartesian") {
+    val s = planOf(graft.scale.Dedup.incrementalDedupAt(
+      graft.Tables.documents(spark, sf), 25L))
+    assert(s.contains("LeftSemi") && s.contains("LeftAnti"),
+      s"expected semi (collision probe) + anti (drop) joins:\n$s")
+    assert(!s.contains("CartesianProduct"))
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline of q02") {
     val s = planOf(CoreQueries.q02FilterProject(spark, sf))
     // '*(n)' marks a WholeStageCodegen stage; tree prefixes like '+-' precede it
