@@ -32,6 +32,36 @@ object Curation extends QueryModule {
       / lit((1L << 60).toDouble) < frac)
   }
 
+  /** Target-mixture sampling — the data-mixing op: given a TARGET
+    * share per stratum (e.g. the language distribution the training
+    * run wants), derive each stratum's sampling rate from its actual
+    * availability — `rate_s = min(1, target_s · N / n_s)` — and apply
+    * the same deterministic hash filter as [[stratifiedSample]].
+    * Where [[stratifiedSample]] takes rates as given, this SOLVES for
+    * them; over-represented strata are downsampled toward the target,
+    * under-represented ones keep everything (rate capped at 1).
+    *
+    * Scale design: the rate table is one tiny aggregate (stratum
+    * cardinality) cross-joined with a 1-row total and broadcast back —
+    * no driver collect, so a million-stratum corpus works unchanged;
+    * the filter itself is scan-side. The rate arithmetic is one IEEE
+    * multiply + divide of exact integers per stratum — bit-identical
+    * in any engine, so the oracle reproduces the sampled set exactly. */
+  def mixtureSample(df: DataFrame, target: Map[String, Double],
+                    strataCol: String, idCol: String): DataFrame = {
+    val targetExpr = target.foldLeft(lit(0.0)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n_s"))
+    val totals = df.agg(count(lit(1)).as("n_total"))
+    val rates = counts.crossJoin(totals)
+      .select(col(strataCol),
+        least(lit(1.0), targetExpr * col("n_total") / col("n_s")).as("rate"))
+    df.join(broadcast(rates), strataCol)
+      .filter(portableHash60(col(idCol).cast("string")).cast("double")
+        / lit((1L << 60).toDouble) < col("rate"))
+  }
+
   /** Cap every group at `k` rows, keeping the hash-smallest ids — a
     * deterministic distributed reservoir (per-source caps, dedup-
     * cluster representatives). One shuffle by group. */
@@ -153,6 +183,11 @@ object Curation extends QueryModule {
   private val SampleFractions = Map(
     "en" -> 0.1, "de" -> 0.5, "fr" -> 0.3, "es" -> 0.2, "zh" -> 0.05)
 
+  /** The mixture q79 targets: a flatter language distribution than the
+    * corpus ships with. */
+  private val TargetMixture = Map(
+    "en" -> 0.3, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.2, "zh" -> 0.1)
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_stratified_sample" -> ((s, d) =>
       stratifiedSample(T.documents(s, d), "doc_id", SampleFractions, "lang")
@@ -160,7 +195,10 @@ object Curation extends QueryModule {
     "q58_group_cap" -> ((s, d) =>
       perGroupCap(T.documents(s, d), "lang", "doc_id", k = 15)
         .select(col("doc_id"), col("lang"))),
-    "q73_seq_pack" -> ((s, d) => sequencePack(T.documents(s, d)))
+    "q73_seq_pack" -> ((s, d) => sequencePack(T.documents(s, d))),
+    "q79_mixture_sample" -> ((s, d) =>
+      mixtureSample(T.documents(s, d), TargetMixture, "lang", "doc_id")
+        .select(col("doc_id"), col("lang"), round(col("rate"), 6).as("rate")))
   )
 
   // hash := high 60 bits of md5(id) — identical to portableHash60
@@ -181,6 +219,18 @@ object Curation extends QueryModule {
          |    ROW_NUMBER() OVER (PARTITION BY lang
          |      ORDER BY $hashSql ASC, doc_id ASC) AS rn
          |  FROM documents) WHERE rn <= 15""".stripMargin,
+    "q79_mixture_sample" -> {
+      val cases = TargetMixture
+        .map { case (l, t) => s"WHEN '$l' THEN $t" }.mkString(" ")
+      s"""WITH c AS (SELECT lang, COUNT(*) AS n_s FROM documents GROUP BY lang),
+         |t AS (SELECT COUNT(*) AS n_total FROM documents),
+         |r AS (SELECT lang,
+         |  LEAST(1.0, (CASE lang $cases ELSE 0.0 END) * n_total / n_s) AS rate
+         |FROM c, t)
+         |SELECT d.doc_id, d.lang, ROUND(r.rate, 6) AS rate
+         |FROM documents d JOIN r USING (lang)
+         |WHERE CAST($hashSql AS DOUBLE) / 1152921504606846976.0 < r.rate""".stripMargin
+    },
     "q73_seq_pack" ->
       """WITH t AS (SELECT doc_id,
         |  CAST(CEIL(CAST(len(text) AS DOUBLE) / 4) AS BIGINT) AS toks

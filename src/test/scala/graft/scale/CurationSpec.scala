@@ -70,6 +70,30 @@ class CurationSpec extends SparkSpec {
     assert(out7.toSeq === out.toSeq)
   }
 
+  test("mixtureSample solves per-stratum rates from the target mix: " +
+    "over-represented strata downsample, scarce strata keep everything") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 80 en / 20 de, target 50/50 → rate_en = 0.5·100/80 = 0.625,
+    // rate_de = min(1, 0.5·100/20) = 1.0
+    val docs = ((1 to 80).map(i => (i.toLong, "en")) ++
+      (81 to 100).map(i => (i.toLong, "de"))).toDF("doc_id", "lang")
+    val out = Curation.mixtureSample(docs,
+      Map("en" -> 0.5, "de" -> 0.5), "lang", "doc_id")
+    val rates = out.select("lang", "rate").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rates("de") === 1.0)
+    assert(rates("en") === 0.625)
+    assert(out.filter(col("lang") === "de").count() === 20) // rate 1: all kept
+    val en = out.filter(col("lang") === "en").count()
+    assert(en > 0 && en < 80) // genuinely downsampled
+    // hash-deterministic: identical set on rerun
+    val rerun = Curation.mixtureSample(docs,
+      Map("en" -> 0.5, "de" -> 0.5), "lang", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rerun === out.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("kmeans assigns every vector to one of k clusters, deterministically") {
     val emb = T.embeddings(spark, sf).filter(col("vec_id") < 300)
     val a1 = Curation.kmeans(emb, k = 4, iters = 2)
