@@ -43,10 +43,19 @@ object PortableFuncs {
   def normText(c: Column): Column =
     trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
 
-  /** Tokenize normalized text into words, dropping empties.
+  /** Tokenize normalized text into words, dropping empties — ONE
+    * native byte-scan pass via [[NormWordsExpression]] (the composed
+    * regex/split/filter chain cost two regex passes plus an
+    * interpreted lambda per token; semantics are identical, see the
+    * expression's equivalence note).
     * DuckDB: `list_filter(string_split_regex(normText, ' +'), w -> w <> '')`.
     */
-  def words(c: Column): Column =
+  def words(c: Column): Column = NormWordsExpression.normWords(c)
+
+  /** The composed regex formulation of [[words]] — kept as the
+    * executable specification the native kernel is property-tested
+    * against. */
+  def wordsComposed(c: Column): Column =
     filter(split(normText(c), " +"), w => w =!= "")
 
   /** Word n-gram shingles (space-joined) over an ALREADY-MATERIALIZED
