@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ArrayCosine, ArrayDot, MinHashBands, MinHashSig, SimHash60}
+import graft.functions.{ArrayCosine, ArrayDot, MinHashBands, MinHashSig, NormWords, SimHash60}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -45,6 +45,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 3,
           "minhash_sig(words, shingleSize, numHashes) takes exactly 3 arguments")
         MinHashSig(args(0), intLit(args(1), "shingleSize"), intLit(args(2), "numHashes"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("norm_words"),
+      new ExpressionInfo(classOf[NormWords].getName, "norm_words"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "norm_words takes exactly 1 argument")
+        NormWords(args(0))
       }))
     ext.injectFunction((
       new FunctionIdentifier("minhash_bands"),

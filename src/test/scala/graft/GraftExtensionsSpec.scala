@@ -38,6 +38,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("integer literal"))
   }
 
+  test("norm_words resolves in plain SQL and matches the Column API") {
+    val spark = SparkSpec.session
+    val viaSql = spark.sql("SELECT norm_words('The Quick... brown FOX!!') AS ws")
+      .head().getSeq[String](0)
+    assert(viaSql === Seq("the", "quick", "brown", "fox"))
+    import org.apache.spark.sql.functions.lit
+    val viaApi = spark.range(1)
+      .select(graft.functions.PortableFuncs.words(lit("The Quick... brown FOX!!")))
+      .head().getSeq[String](0)
+    assert(viaSql === viaApi)
+  }
+
   test("type mismatch surfaces the expression's own check message") {
     val spark = SparkSpec.session
     val e = intercept[Exception] {
