@@ -58,17 +58,23 @@ object PortableFuncs {
   def wordsComposed(c: Column): Column =
     filter(split(normText(c), " +"), w => w =!= "")
 
-  /** Word n-gram shingles (space-joined) over an ALREADY-MATERIALIZED
-    * words-array column; empty array when fewer than n words.
-    *
-    * `ws` must be a plain column reference, not the [[words]] expression
-    * inline: higher-order-function lambdas are evaluated interpreted
-    * (outside WholeStageCodegen) with no common-subexpression
-    * elimination, so an inline `words(text)` would re-run the full
-    * regex chain for every `element_at` — O(shingles × n) regex passes
-    * over the whole document per row.
-    */
+  /** Word n-gram shingles (space-joined) over a words-array column;
+    * empty array when fewer than n words. ONE native pass via
+    * [[WordShinglesExpression]] — the composed transform-lambda form
+    * evaluated interpreted (n `element_at` + a `concat_ws` per
+    * shingle) and re-ran any inlined input expression per element. */
   def shinglesFromWords(ws: Column, n: Int): Column =
+    WordShinglesExpression.wordShingles(ws, n)
+
+  /** First-occurrence-distinct shingles in one kernel pass — equals
+    * `array_distinct(shinglesFromWords(ws, n))`. */
+  def distinctShingles(ws: Column, n: Int): Column =
+    WordShinglesExpression.wordShingles(ws, n, distinct = true)
+
+  /** The composed formulation of [[shinglesFromWords]] — kept as the
+    * executable specification the native kernel is property-tested
+    * against. */
+  def shinglesComposed(ws: Column, n: Int): Column =
     when(
       size(ws) >= n,
       transform(

@@ -39,7 +39,7 @@ object Dedup extends QueryModule {
   def shingleTable(docs: DataFrame, n: Int = ShingleSize): DataFrame =
     Layout.widen(docs).select(col("doc_id"), words(col("text")).as("ws"))
       .select(col("doc_id"),
-        explode(array_distinct(shinglesFromWords(col("ws"), n))).as("sh"))
+        explode(distinctShingles(col("ws"), n)).as("sh"))
 
   /** doc_id → words array for docs with at least one shingle. The
     * kernels take the WORDS array and shingle internally — shingling
