@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ArrayCosine, ArrayDot, MinHashBands, MinHashSig, NormWords, SimHash60}
+import graft.functions.{ArrayCosine, ArrayDot, MinHashBands, MinHashSig, NormWords, SimHash60, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -54,6 +54,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         NormWords(args(0))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2 || args.length == 3,
+          "word_shingles(words, n[, distinct]) takes 2 or 3 arguments")
+        val distinct = if (args.length == 3) boolLit(args(2), "distinct") else false
+        WordShingles(args(0), intLit(args(1), "n"), distinct)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("minhash_bands"),
       new ExpressionInfo(classOf[MinHashBands].getName, "minhash_bands"),
       (args: Seq[Expression]) => {
@@ -69,5 +78,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case Literal(v: Int, _) => v
     case other =>
       throw new IllegalArgumentException(s"$name must be an integer literal, got $other")
+  }
+
+  private def boolLit(e: Expression, name: String): Boolean = e match {
+    case Literal(v: Boolean, _) => v
+    case other =>
+      throw new IllegalArgumentException(s"$name must be a boolean literal, got $other")
   }
 }

@@ -50,6 +50,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(viaSql === viaApi)
   }
 
+  test("word_shingles resolves in plain SQL, including distinct mode") {
+    val spark = SparkSpec.session
+    val r = spark.sql(
+      """SELECT word_shingles(array('a','b','a','b'), 2) AS all,
+        |       word_shingles(array('a','b','a','b'), 2, true) AS dst""".stripMargin)
+      .head()
+    assert(r.getSeq[String](0) === Seq("a b", "b a", "a b"))
+    assert(r.getSeq[String](1) === Seq("a b", "b a"))
+  }
+
   test("type mismatch surfaces the expression's own check message") {
     val spark = SparkSpec.session
     val e = intercept[Exception] {
