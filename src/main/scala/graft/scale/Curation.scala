@@ -225,7 +225,7 @@ object Curation extends QueryModule {
       s"""WITH c AS (SELECT lang, COUNT(*) AS n_s FROM documents GROUP BY lang),
          |t AS (SELECT COUNT(*) AS n_total FROM documents),
          |r AS (SELECT lang,
-         |  LEAST(1.0, (CASE lang $cases ELSE 0.0 END) * n_total / n_s) AS rate
+         |  LEAST(1.0, CAST(CASE lang $cases ELSE 0.0 END AS DOUBLE) * n_total / n_s) AS rate
          |FROM c, t)
          |SELECT d.doc_id, d.lang, ROUND(r.rate, 6) AS rate
          |FROM documents d JOIN r USING (lang)
@@ -237,7 +237,7 @@ object Curation extends QueryModule {
         |  FROM documents),
         |f AS (SELECT * FROM t WHERE toks > 0),
         |c AS (SELECT doc_id, toks,
-        |  SUM(toks) OVER (ORDER BY doc_id) AS cum_end FROM f)
+        |  CAST(SUM(toks) OVER (ORDER BY doc_id) AS BIGINT) AS cum_end FROM f)
         |SELECT doc_id, toks, cum_end - toks AS cum_start, cum_end,
         |  (cum_end - toks) // 2048 AS chunk_first,
         |  (cum_end - 1) // 2048 AS chunk_last,

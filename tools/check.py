@@ -47,6 +47,16 @@ for name in sorted(oracle):
     bad = None
     for c in spark_df.columns:
         a, b = spark_df[c], duck_df[c]
+        # Mirror the driver gate, which hashes TYPES as well as values:
+        # DuckDB HUGEINT (e.g. un-cast SUM() OVER) reaches pandas as
+        # float64, so a float-vs-integer dtype pair means the oracle's
+        # type differs from Spark's even when every value is equal.
+        # The float-tolerant compare below would silently pass it.
+        if pd.api.types.is_float_dtype(a) != pd.api.types.is_float_dtype(b) and \
+           (pd.api.types.is_integer_dtype(a) or pd.api.types.is_integer_dtype(b)):
+            bad = (c, f"dtype mismatch: spark={a.dtype} duck={b.dtype} "
+                      "(driver hash gate rejects on type; CAST the oracle)")
+            break
         try:
             if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
                 af = a.astype(float); bf = b.astype(float)
