@@ -25,6 +25,8 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // Median of 3 measured passes per query: a single pass is one GC
     // pause or background-process hiccup away from reporting a 7×
@@ -41,6 +43,11 @@ object Bench {
         // to a row count and under-report their cost
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
+        // drop localCheckpoint() storage blocks rep-by-rep: each rep
+        // re-materializes its own checkpoint, so without this the
+        // bench accumulates blocks until ContextCleaner happens to GC
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         (System.nanoTime() - t0) / 1e9
       }.sorted
       // true median: middle value for odd reps, mean of the two middle

@@ -23,6 +23,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // several builders localCheckpoint() a tokenized intermediate;
+      // those storage blocks are otherwise reclaimed only when the
+      // ContextCleaner GCs the RDD — drop them as each query finishes
+      // so 79 dumps don't accumulate block-manager memory
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -264,10 +264,30 @@ object Dedup extends QueryModule {
     spark.createDataset(rows).toDF("doc_id", "cluster_id")
   }
 
+  /** Shingles shared by more than this many documents are dropped
+    * before the q25 pair join: a shingle in `df` docs contributes
+    * df·(df−1)/2 candidate pairs, so one boilerplate header shared by
+    * 100k docs would alone emit 5×10⁹ pairs. Capping df bounds the
+    * join output to O(corpus · cap) — the standard candidate-pruning
+    * move (CCNet/Gopher-style dedup drops hot shingles the same way). */
+  val MaxShingleDf = 64L
+
   /** n-gram Jaccard similarity over candidate pairs that share ≥1
-    * shingle (equality join — no cross product). */
-  def ngramJaccard(docs: DataFrame): DataFrame = {
-    val sh = shingleTable(docs)
+    * NON-HOT shingle (equality join — no cross product; shingles with
+    * document frequency > [[MaxShingleDf]] are excluded from BOTH the
+    * intersection and the per-doc sizes, i.e. jaccard is computed over
+    * the rare-shingle feature space). Recall tradeoff: a pair similar
+    * ONLY through ultra-common shingles is missed — by construction
+    * that pair is boilerplate, which is what near-dup detection exists
+    * to ignore. The hot set is a tiny aggregate (same shape as the q76
+    * hot-survivor set) anti-joined back, so Spark broadcasts it. */
+  def ngramJaccard(docs: DataFrame, maxDf: Long = MaxShingleDf): DataFrame = {
+    // one tokenize pass: df aggregate + anti-join + pair join all read
+    // this materialized table (ContextCleaner reclaims the blocks)
+    val sh0 = shingleTable(docs).localCheckpoint()
+    val hot = sh0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("sh"))
+    val sh = sh0.join(broadcast(hot), Seq("sh"), "left_anti")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.as("a"); val b = sh.as("b")
     val inter = a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -490,9 +510,11 @@ object Dedup extends QueryModule {
         |FROM documents GROUP BY md5(text)""".stripMargin,
     "q25_ngram_jaccard" ->
       s"""WITH $shingleCte,
-         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |shf AS (SELECT * FROM sh WHERE sh NOT IN (
+         |  SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) > $MaxShingleDf)),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
          |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-         |       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |       FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
          |       GROUP BY 1, 2)
          |SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
          |  ROUND(CAST(inter AS DOUBLE)/(sa.n + sb.n - inter), 4) AS jaccard

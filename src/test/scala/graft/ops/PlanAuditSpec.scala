@@ -120,6 +120,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct"))
   }
 
+  test("q25 ngram jaccard: hot-shingle cap is a broadcast anti-join " +
+    "ahead of the pair self-join") {
+    val s = planOf(graft.scale.Dedup.ngramJaccard(
+      graft.Tables.documents(spark, sf)))
+    // the df>cap hot set must be broadcast (tiny aggregate), and the
+    // candidate join must stay an equality join — pair explosion is
+    // bounded to O(corpus · cap) instead of O(hottest-df²)
+    assert(s.contains("BroadcastHashJoin") && s.contains("LeftAnti"),
+      s"expected broadcast hot-set anti-join in:\n$s")
+    assert(!s.contains("CartesianProduct"))
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline of q02") {
     val s = planOf(CoreQueries.q02FilterProject(spark, sf))
     // '*(n)' marks a WholeStageCodegen stage; tree prefixes like '+-' precede it

@@ -188,6 +188,23 @@ class DedupSpec extends SparkSpec {
     assert(!j.contains((1L, 4L)))
   }
 
+  test("ngram jaccard: shingles over the df cap generate no candidate pairs") {
+    val spark2 = spark
+    import spark2.implicits._
+    // every doc shares the same boilerplate shingle (df = 4); each has
+    // unique filler so no other shingle is shared
+    val boiler = "all rights reserved worldwide"
+    val hotDocs = (1L to 4L).map { i =>
+      (i, s"$boiler unique$i filler$i words$i here$i")
+    }.toDF("doc_id", "text")
+    // cap below the boilerplate df: the only shared shingle is dropped,
+    // so NO pair survives — this is the 100-TB pair-explosion guard
+    assert(Dedup.ngramJaccard(hotDocs, maxDf = 3L).count() === 0)
+    // cap above it: all 6 pairs appear, and the hot shingle counts in
+    // both intersection and sizes (consistent feature space)
+    assert(Dedup.ngramJaccard(hotDocs, maxDf = 64L).count() === 6)
+  }
+
   test("embedding near-dup finds the self-evident pair") {
     val spark2 = spark
     import spark2.implicits._
