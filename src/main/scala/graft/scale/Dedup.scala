@@ -3,6 +3,7 @@ package graft.scale
 import graft.{QueryModule, Tables => T}
 import graft.functions.PortableFuncs._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -232,6 +233,65 @@ object Dedup extends QueryModule {
         s"connected components did not converge within $maxIter rounds " +
           "(graph diameter exceeds the budget) — raise maxIter")
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Synchronous label-propagation communities over a near-dup pair
+    * graph — the graph op one step past connected components: where CC
+    * merges everything reachable, LPA splits a sprawling component
+    * into densely-linked communities (a CC cluster chained through one
+    * borderline pair stays two communities here).
+    *
+    * Determinism (cross-engine, oracle-checkable — unusual for LPA):
+    *  - SYNCHRONOUS rounds with a FIXED iteration count (no "until
+    *    stable", which depends on visit order and may oscillate);
+    *  - integer label counts only — no doubles anywhere;
+    *  - tie-break is total: adopt the label with the highest neighbor
+    *    count, smallest label on ties (count DESC, label ASC);
+    *  - a self-loop per node puts the node's own label in its ballot,
+    *    so an isolated or evenly-split node keeps a stable label
+    *    instead of flapping.
+    *
+    * Scale design: each round is one equi-join (edges ⋈ labels,
+    * shuffle by node) + count aggregate + per-node top-1 window —
+    * the same shuffle-by-node shape as [[connectedComponents]]'s
+    * min-label round, with a bounded round count (`iters`, default 4 —
+    * community detection wants locality, not diameter-length reach).
+    * Lineage is truncated per round with localCheckpoint so the plan
+    * doesn't grow with iterations. */
+  def labelPropagation(pairs: DataFrame, aCol: String = "doc_a",
+                       bCol: String = "doc_b", iters: Int = 4): DataFrame = {
+    for (c <- Seq(aCol, bCol)) {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType}
+      val dt = pairs.schema(c).dataType
+      val integral = dt == LongType || dt == IntegerType ||
+        dt == ShortType || dt == ByteType
+      require(integral,
+        s"labelPropagation requires integral id columns; '$c' is " +
+          s"${dt.simpleString} — map ids to longs first")
+    }
+    val sym = pairs
+      .select(col(aCol).cast(LongType).as("a"), col(bCol).cast(LongType).as("b"))
+      .unionByName(pairs
+        .select(col(bCol).cast(LongType).as("a"), col(aCol).cast(LongType).as("b")))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+    val nodes = sym.select(col("a").as("node")).distinct()
+    val edges = sym
+      .unionByName(nodes.select(col("node").as("a"), col("node").as("b")))
+      .distinct().localCheckpoint()
+    val top1 = Window.partitionBy(col("node"))
+      .orderBy(col("c").desc, col("label").asc)
+    var labels = nodes.select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      labels = edges
+        .join(labels.withColumnRenamed("node", "src"), col("a") === col("src"))
+        .groupBy(col("b").as("node"), col("label")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(top1))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("label"))
+        .localCheckpoint()
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("community_id"))
   }
 
   /** Driver-side union-find over a (src, dst) edge DataFrame small
@@ -469,6 +529,9 @@ object Dedup extends QueryModule {
     // pairs → clusters: components of the simhash near-dup graph
     "q59_dedup_clusters" -> ((s, d) =>
       connectedComponents(simhashPairs(T.documents(s, d), maxDist = 5))),
+    // pairs → communities: synchronous LPA over the same pair graph
+    "q80_label_prop" -> ((s, d) =>
+      labelPropagation(simhashPairs(T.documents(s, d), maxDist = 5))),
     "q29_embed_neardup" -> ((s, d) => embeddingNearDup(T.embeddings(s, d), 0.3, 300L)),
     // the composed end-to-end verb: pairs → clusters → keep one → drop
     "q68_dedup_corpus" -> ((s, d) => dedupCorpus(T.documents(s, d), maxDist = 5)),
@@ -576,6 +639,43 @@ object Dedup extends QueryModule {
         |  UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
         |SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
         |FROM reach GROUP BY a""".stripMargin,
+    "q80_label_prop" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')), ' +'), x -> x <> '')) AS w
+        |  FROM documents),
+        |h AS (SELECT doc_id, CAST('0x' || substr(md5(w),1,15) AS BIGINT) AS h FROM w),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |    SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM h, range(0, 60) t(b) GROUP BY doc_id, b),
+        |sh AS (SELECT doc_id,
+        |  CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 5),
+        |nodes AS (SELECT DISTINCT node FROM (
+        |  SELECT doc_a AS node FROM p UNION ALL SELECT doc_b FROM p)),
+        |e AS (SELECT DISTINCT a, b FROM (
+        |  SELECT doc_a AS a, doc_b AS b FROM p
+        |  UNION ALL SELECT doc_b, doc_a FROM p
+        |  UNION ALL SELECT node, node FROM nodes)),
+        |lp(it, node, label) AS (
+        |  SELECT 0, node, node FROM nodes
+        |  UNION ALL
+        |  SELECT it + 1, node, label FROM (
+        |    SELECT it, node, label,
+        |      ROW_NUMBER() OVER (PARTITION BY it, node
+        |                         ORDER BY c DESC, label ASC) AS rn
+        |    FROM (SELECT l.it AS it, e.b AS node, l.label AS label,
+        |            COUNT(*) AS c
+        |          FROM lp l JOIN e ON l.node = e.a
+        |          WHERE l.it < 4
+        |          GROUP BY l.it, e.b, l.label))
+        |  WHERE rn = 1)
+        |SELECT CAST(node AS BIGINT) AS doc_id,
+        |  CAST(label AS BIGINT) AS community_id
+        |FROM lp WHERE it = 4""".stripMargin,
     "q77_incremental_dedup" ->
       s"""WITH $shingleCte,
          |sig AS (SELECT doc_id, $sigSelect FROM sh GROUP BY doc_id),

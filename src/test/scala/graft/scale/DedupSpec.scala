@@ -153,6 +153,57 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("label propagation splits bridge-linked dense communities that " +
+    "connected components merges") {
+    val spark2 = spark
+    import spark2.implicits._
+    // two triangles joined by ONE bridge edge: a single CC, but two
+    // LPA communities — the bridge ballot never outvotes the triangle
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (3L, 10L)
+    ).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.values.toSet === Set(1L), "CC merges across the bridge")
+    val lp = Dedup.labelPropagation(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lp === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("label propagation: self-loop ballots stop the 2-cycle label swap " +
+    "and ties break to the smallest label") {
+    val spark2 = spark
+    import spark2.implicits._
+    // single edge: without self-loops synchronous LPA swaps labels
+    // forever (1↔2); the self ballot makes round 1 a (count 1, count 1)
+    // tie broken to min — both nodes settle on 1 and stay there
+    val pair = Seq((2L, 1L)).toDF("doc_a", "doc_b")
+    val lp = Dedup.labelPropagation(pair).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lp === Map(1L -> 1L, 2L -> 1L))
+    // star: leaves adopt the hub's label via the same tie-break
+    val star = Seq((5L, 6L), (5L, 7L), (5L, 8L)).toDF("doc_a", "doc_b")
+    val lpStar = Dedup.labelPropagation(star).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lpStar === Map(5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 5L))
+  }
+
+  test("label propagation: empty pair list is empty; non-integral ids " +
+    "rejected like connectedComponents") {
+    val spark2 = spark
+    import spark2.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.labelPropagation(empty).count() === 0)
+    val strPairs = Seq(("a", "b")).toDF("doc_a", "doc_b")
+    val err = intercept[IllegalArgumentException](
+      Dedup.labelPropagation(strPairs))
+    assert(err.getMessage.contains("integral"))
+  }
+
   test("connected components equals driver-side union-find on random graphs") {
     val spark2 = spark
     import spark2.implicits._
