@@ -29,6 +29,31 @@ object Sketches extends QueryModule {
       .agg(count(lit(1)).as("n_rows"),
         approx_count_distinct(of, rsd).as("approx_distinct"))
 
+  /** Sketch-accuracy audit: per-group EXACT distinct count next to the
+    * HLL++ estimate, gated by a relative-error tolerance. This is the
+    * query you run on a sampled slice to certify the sketch before
+    * trusting `approx_count_distinct` alone on the full 100 TB corpus
+    * (where the exact path's shuffle-every-value cost is the thing
+    * HLL exists to avoid). Distinctness is over md5(text) so the
+    * exact path shuffles 16-byte fingerprints, never document bodies.
+    *
+    * The raw estimate is deliberately NOT in the output: it is
+    * implementation-defined (HLL register layout), so no other engine
+    * reproduces it bit-for-bit — but |approx − exact| ≤ tol·exact is
+    * portable, and an oracle asserting `within_tol = TRUE` turns the
+    * sketch's error bound into a hash-checkable gate. At the default
+    * rsd (2%) and tolerance (5%) HLL++'s sparse-mode exactness at
+    * small cardinalities makes the gate deterministic. */
+  def hllAudit(docs: DataFrame, rsd: Double = 0.02,
+               tol: Double = 0.05): DataFrame =
+    docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_distinct"),
+        approx_count_distinct(md5(col("text")), rsd).as("approx"))
+      .select(col("lang"), col("n_docs"), col("n_distinct"),
+        (abs(col("approx") - col("n_distinct")) <=
+          col("n_distinct").cast("double") * tol).as("within_tol"))
+
   /** One-pass quantile profile of a numeric column. */
   def quantileProfile(df: DataFrame, col0: String,
                       probs: Array[Double] = Array(0.5, 0.9, 0.99),
@@ -82,7 +107,8 @@ object Sketches extends QueryModule {
   }
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q50_bloom_join" -> q50BloomJoin
+    "q50_bloom_join" -> q50BloomJoin,
+    "q81_hll_audit" -> ((s, d) => hllAudit(T.documents(s, d)))
   )
 
   override val oracle: Map[String, String] = Map(
@@ -90,6 +116,13 @@ object Sketches extends QueryModule {
       s"""SELECT COUNT(*) AS n_items,
          |  ROUND(${exactSumSql("l_extendedprice")}, 2) AS revenue
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         |WHERE o_orderpriority = '1-URGENT'""".stripMargin
+         |WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+    // the oracle ASSERTS the sketch meets its error bound: the exact
+    // columns are recomputed, within_tol is the certified claim
+    "q81_hll_audit" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+        |  TRUE AS within_tol
+        |FROM documents GROUP BY lang""".stripMargin
   )
 }

@@ -21,6 +21,23 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("hllAudit certifies the sketch against exact per-lang distincts") {
+    val out = Sketches.hllAudit(T.documents(spark, sf)).collect()
+    assert(out.length === 5, "one row per lang")
+    out.foreach { r =>
+      assert(r.getBoolean(3), s"lang ${r.getString(0)} outside tolerance")
+      assert(r.getLong(2) <= r.getLong(1), "distinct ≤ rows")
+    }
+    // duplicate-heavy input: exact distinct must not count copies, and
+    // the sketch must still land inside the gate
+    val spark2 = spark
+    import spark2.implicits._
+    val dup = (1 to 300).map(i => (i.toLong, s"t${i % 7}", "en"))
+      .toDF("doc_id", "text", "lang")
+    val row = Sketches.hllAudit(dup).collect().head
+    assert(row.getLong(2) === 7L && row.getBoolean(3))
+  }
+
   test("approximate quantiles bracket the exact median") {
     val q = Sketches.quantileProfile(T.orders(spark, sf), "o_totalprice")
     assert(q(0.5) > 0 && q(0.9) >= q(0.5) && q(0.99) >= q(0.9))

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+class IndexMaintenanceSpec extends SparkSpec {
+
+  def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  // two orthogonal unit centroids: cell 0 points along x, cell 1 along y
+  val cents: Array[(Long, Array[Double])] = Array(
+    0L -> Array(1.0, 0.0),
+    1L -> Array(0.0, 1.0))
+
+  test("assignCell picks the highest-cosine centroid, min id on ties") {
+    assert(IndexMaintenance.assignCell(Array(0.9, 0.1), cents)._1 === 0L)
+    assert(IndexMaintenance.assignCell(Array(0.1, 0.9), cents)._1 === 1L)
+    // exact diagonal: equal cosine to both — smallest cell id wins
+    assert(IndexMaintenance.assignCell(Array(1.0, 1.0), cents)._1 === 0L)
+    // zero vector matches nothing well; still assigned deterministically
+    assert(IndexMaintenance.assignCell(Array(0.0, 0.0), cents)._1 === 0L)
+  }
+
+  test("cell totals accumulate across micro-batches and drift flags a " +
+    "rebuild when member cosine degrades") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[VecArrival]
+    val q = IndexMaintenance.maintainIvf(src.toDS(), cents, driftThreshold = 0.9)
+      .writeStream.format("memory").queryName("ivfm").outputMode("update").start()
+    try {
+      // batch 1: two well-aligned vectors for cell 0, one for cell 1
+      src.addData(
+        VecArrival(1, ts(0), Array(2.0, 0.0)),
+        VecArrival(2, ts(1), Array(3.0, 0.0)),
+        VecArrival(3, ts(2), Array(0.0, 5.0)))
+      q.processAllAvailable()
+      val b1 = spark.table("ivfm").as[CellUpdate].collect()
+        .map(u => u.cell_id -> u).toMap
+      assert(b1(0L).n_total === 2 && b1(0L).n_batch === 2)
+      assert(b1(1L).n_total === 1)
+      assert(!b1(0L).rebuild && !b1(1L).rebuild, "aligned members: no rebuild")
+      // batch 2: drifted vectors still nearest to cell 0 but far off-axis
+      // (cos ≈ 0.707 < 0.9) — lifetime mean sinks below the threshold
+      src.addData(
+        VecArrival(4, ts(3), Array(1.0, 0.9)),
+        VecArrival(5, ts(4), Array(1.0, 0.8)))
+      q.processAllAvailable()
+      val b2 = spark.table("ivfm").as[CellUpdate].collect()
+        .filter(_.n_total === 4).head
+      assert(b2.cell_id === 0L && b2.n_batch === 2)
+      assert(b2.mean_cos < 0.9 && b2.rebuild,
+        s"drifted cell should flag rebuild, mean=${b2.mean_cos}")
+    } finally q.stop()
+  }
+
+  test("streamed assignment agrees with the batch ivfCells argmax on " +
+    "the embeddings table sample") {
+    val spark2 = spark
+    import spark2.implicits._
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    import org.apache.spark.sql.functions._
+    val rows = emb.select(col("vec_id"),
+      graft.functions.PortableFuncs.toDoubleArray(col("embedding")).as("v"))
+      .as[(Long, Array[Double])].collect()
+    val centArr = rows.filter(_._1 < graft.scale.Similarity.IvfCells)
+      .map { case (id, v) => id -> v }
+    val batch = graft.scale.Similarity.ivfCells(emb)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, v) =>
+      val streamed = IndexMaintenance.assignCell(v, centArr)._1
+      assert(streamed === batch(id), s"vec $id: stream/batch argmax differ")
+    }
+  }
+}
