@@ -294,6 +294,62 @@ object Dedup extends QueryModule {
     labels.select(col("node").as("doc_id"), col("label").as("community_id"))
   }
 
+  /** Per-node triangle count and local clustering coefficient over a
+    * pair graph — the density diagnostic for near-dup clusters: a
+    * component whose nodes have high clustering is a genuine dup
+    * cluster; one held together by low-clustering bridge nodes is
+    * [[labelPropagation]] fodder (and the bridge nodes are exactly the
+    * rows with `clustering` near 0 here).
+    *
+    * Scale design — DEGREE-ORDERED orientation: each undirected edge
+    * is directed from its (degree, id)-smaller endpoint to the larger,
+    * and wedges are enumerated only at the out-endpoint. Per-node
+    * out-degree is then bounded by O(√m) on any graph, so the wedge
+    * join's fan-out is O(m^1.5) total with no high-degree hot key —
+    * enumerating wedges on raw ids instead would let one low-id
+    * high-degree hub generate deg² candidates in a single task. The
+    * triangle SET is orientation-invariant, so the oracle states the
+    * same result from the simple id-ordered 3-way self-join. */
+  def triangleStats(pairs: DataFrame, aCol: String = "doc_a",
+                    bCol: String = "doc_b"): DataFrame = {
+    val sym = pairs
+      .select(col(aCol).cast(LongType).as("a"), col(bCol).cast(LongType).as("b"))
+      .unionByName(pairs
+        .select(col(bCol).cast(LongType).as("a"), col(aCol).cast(LongType).as("b")))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .distinct().localCheckpoint()
+    val deg = sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+    // oriented edge u→v iff (deg u, u) < (deg v, v); carry the target's
+    // rank pair so the wedge-close side can re-derive the orientation
+    val withDeg = sym
+      .join(deg.select(col("node").as("a"), col("deg").as("adeg")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("bdeg")), "b")
+    val oriented = withDeg
+      .filter(struct(col("adeg"), col("a")) < struct(col("bdeg"), col("b")))
+      .select(col("a").as("src"), col("b").as("dst"),
+        col("bdeg").as("ddeg"))
+      .localCheckpoint()
+    // wedge at src: two out-edges; close it with the oriented edge
+    // between the targets (lo→hi in the same (deg, id) total order)
+    val e1 = oriented.select(col("src"), col("dst").as("d1"), col("ddeg").as("g1"))
+    val e2 = oriented.select(col("src"), col("dst").as("d2"), col("ddeg").as("g2"))
+    val ordered = e1.join(e2, Seq("src"))
+      .filter(struct(col("g1"), col("d1")) < struct(col("g2"), col("d2")))
+      .select(col("src").as("x"), col("d1").as("lo"), col("d2").as("hi"))
+    val tris = ordered.join(
+      oriented.select(col("src").as("lo"), col("dst").as("hi")),
+      Seq("lo", "hi"))
+    val perNode = tris.select(explode(array(col("x"), col("lo"), col("hi"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node").as("doc_id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("deg") >= 2,
+          round(lit(2.0) * coalesce(col("n_tri"), lit(0L)) /
+            (col("deg") * (col("deg") - 1)), 4))
+          .otherwise(lit(0.0)).as("clustering"))
+  }
+
   /** Driver-side union-find over a (src, dst) edge DataFrame small
     * enough to collect (gated by the caller's threshold). Component id
     * is the smallest node id — identical semantics to the distributed
@@ -532,6 +588,9 @@ object Dedup extends QueryModule {
     // pairs → communities: synchronous LPA over the same pair graph
     "q80_label_prop" -> ((s, d) =>
       labelPropagation(simhashPairs(T.documents(s, d), maxDist = 5))),
+    // pairs → per-node triangle count + local clustering coefficient
+    "q82_triangle_stats" -> ((s, d) =>
+      triangleStats(simhashPairs(T.documents(s, d), maxDist = 5))),
     "q29_embed_neardup" -> ((s, d) => embeddingNearDup(T.embeddings(s, d), 0.3, 300L)),
     // the composed end-to-end verb: pairs → clusters → keep one → drop
     "q68_dedup_corpus" -> ((s, d) => dedupCorpus(T.documents(s, d), maxDist = 5)),
@@ -676,6 +735,42 @@ object Dedup extends QueryModule {
         |SELECT CAST(node AS BIGINT) AS doc_id,
         |  CAST(label AS BIGINT) AS community_id
         |FROM lp WHERE it = 4""".stripMargin,
+    // id-ordered 3-way self-join enumerates each triangle once; the
+    // Spark side's degree-ordered orientation yields the same set
+    "q82_triangle_stats" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')), ' +'), x -> x <> '')) AS w
+        |  FROM documents),
+        |h AS (SELECT doc_id, CAST('0x' || substr(md5(w),1,15) AS BIGINT) AS h FROM w),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |    SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM h, range(0, 60) t(b) GROUP BY doc_id, b),
+        |sh AS (SELECT doc_id,
+        |  CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 5),
+        |sym AS (SELECT DISTINCT a, b FROM (
+        |  SELECT doc_a AS a, doc_b AS b FROM p
+        |  UNION ALL SELECT doc_b, doc_a FROM p)),
+        |deg AS (SELECT a AS node, COUNT(*) AS deg FROM sym GROUP BY a),
+        |tri AS (SELECT e1.doc_a AS x, e1.doc_b AS y, e2.doc_b AS z
+        |        FROM p e1 JOIN p e2 ON e2.doc_a = e1.doc_b
+        |        JOIN p e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+        |tn AS (SELECT node, COUNT(*) AS n_tri FROM (
+        |    SELECT x AS node FROM tri
+        |    UNION ALL SELECT y FROM tri
+        |    UNION ALL SELECT z FROM tri)
+        |  GROUP BY node)
+        |SELECT d.node AS doc_id, d.deg AS deg,
+        |  CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_tri,
+        |  CASE WHEN d.deg >= 2
+        |    THEN ROUND(CAST(2 AS DOUBLE) * COALESCE(t.n_tri, 0)
+        |               / (d.deg * (d.deg - 1)), 4)
+        |    ELSE CAST(0 AS DOUBLE) END AS clustering
+        |FROM deg d LEFT JOIN tn t ON t.node = d.node""".stripMargin,
     "q77_incremental_dedup" ->
       s"""WITH $shingleCte,
          |sig AS (SELECT doc_id, $sigSelect FROM sh GROUP BY doc_id),

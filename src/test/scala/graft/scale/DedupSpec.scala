@@ -204,6 +204,35 @@ class DedupSpec extends SparkSpec {
     assert(err.getMessage.contains("integral"))
   }
 
+  test("triangle stats: counts, degrees, and clustering coefficients on " +
+    "known shapes") {
+    val spark2 = spark
+    import spark2.implicits._
+    // triangle {1,2,3} with a pendant 4 hanging off node 3
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.triangleStats(pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got === Map(
+      1L -> ((2L, 1L, 1.0)), 2L -> ((2L, 1L, 1.0)),
+      3L -> ((3L, 1L, 0.3333)), 4L -> ((1L, 0L, 0.0))))
+    // K4: every node in 3 triangles, fully clustered
+    val k4 = (for { a <- 1 to 4; b <- (a + 1) to 4 } yield (a.toLong, b.toLong))
+      .toDF("doc_a", "doc_b")
+    val gotK4 = Dedup.triangleStats(k4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(gotK4.values.toSet === Set((3L, 3L, 1.0)))
+    // star: a hub with 5 leaves has wedges but zero triangles — and the
+    // degree-ordered orientation points every edge AT the hub, so no
+    // task ever enumerates the hub's deg² wedge pairs
+    val star = (2 to 6).map(i => (1L, i.toLong)).toDF("doc_a", "doc_b")
+    val gotStar = Dedup.triangleStats(star).collect()
+    assert(gotStar.forall(_.getLong(2) === 0L))
+    assert(gotStar.map(_.getDouble(3)).sum === 0.0)
+  }
+
   test("connected components equals driver-side union-find on random graphs") {
     val spark2 = spark
     import spark2.implicits._
