@@ -89,7 +89,10 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val sfName = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","load":$load,"queries":$qs,"sf":"$sfName"}""")
+    // scalar fields LAST: the harness keeps the final 2000 chars, and at
+    // 80+ queries the line brushes that limit — if anything is cut it
+    // must be a few per-query entries at the head, never the total
+    println(s"""{"queries":$qs,"sf":"$sfName","unit":"sec","load":$load,"metric":"total","value":${fmt(total)}}""")
     spark.stop()
   }
 }

@@ -3,7 +3,6 @@ package graft.scale
 import graft.{QueryModule, Tables => T}
 import graft.functions.PortableFuncs._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -278,17 +277,18 @@ object Dedup extends QueryModule {
     val edges = sym
       .unionByName(nodes.select(col("node").as("a"), col("node").as("b")))
       .distinct().localCheckpoint()
-    val top1 = Window.partitionBy(col("node"))
-      .orderBy(col("c").desc, col("label").asc)
     var labels = nodes.select(col("node"), col("node").as("label"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
+      // top-1 as an AGGREGATE, not a window: max_by over (c, -label) is
+      // (count DESC, label ASC) with map-side partial aggregation — a
+      // row_number() window would sort-shuffle every ballot row per
+      // round (see ivfCells for the same argmax move)
       labels = edges
         .join(labels.withColumnRenamed("node", "src"), col("a") === col("src"))
         .groupBy(col("b").as("node"), col("label")).agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(top1))
-        .filter(col("rn") === 1)
-        .select(col("node"), col("label"))
+        .groupBy(col("node"))
+        .agg(max_by(col("label"), struct(col("c"), -col("label"))).as("label"))
         .localCheckpoint()
     }
     labels.select(col("node").as("doc_id"), col("label").as("community_id"))
