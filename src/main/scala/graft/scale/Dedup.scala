@@ -294,6 +294,65 @@ object Dedup extends QueryModule {
     labels.select(col("node").as("doc_id"), col("label").as("community_id"))
   }
 
+  /** Deterministic PageRank over a pair graph — centrality in the
+    * near-dup graph surfaces boilerplate hubs: documents near-dup to
+    * MANY others score high, and at curation time "drop the top-rank
+    * nodes first" removes the most-duplicated content with the fewest
+    * deletions.
+    *
+    * PageRank is normally impossible to oracle-check across engines:
+    * cross-partition DOUBLE sums are order-nondeterministic, so two
+    * runs of the same engine can disagree in the last ulp, let alone
+    * Spark vs DuckDB. This implementation is exact instead: ranks are
+    * BIGINT micro-units (1e6 = rank 1.0), contributions use `div`
+    * (truncating integer division — floor for these all-positive
+    * values), and the damping step is `150000 + (85·Σcontrib) div 100`
+    * in integers. Integer sums are associative, so partition order
+    * cannot change the result, and a fixed iteration count replaces
+    * convergence detection. Overflow headroom: Σcontrib ≤ n·1e6, so
+    * 85·Σcontrib stays under 2⁶³ until ~10¹⁶ nodes.
+    *
+    * Scale shape: one edges⋈ranks shuffle-by-node and one integer-sum
+    * aggregate (map-side partials) per round, lineage truncated per
+    * round — the same bounded-round discipline as [[labelPropagation]].
+    */
+  def pageRank(pairs: DataFrame, aCol: String = "doc_a",
+               bCol: String = "doc_b", iters: Int = 4): DataFrame = {
+    for (c <- Seq(aCol, bCol)) {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType}
+      val dt = pairs.schema(c).dataType
+      val integral = dt == LongType || dt == IntegerType ||
+        dt == ShortType || dt == ByteType
+      require(integral,
+        s"pageRank requires integral id columns; '$c' is " +
+          s"${dt.simpleString} — map ids to longs first")
+    }
+    val sym = pairs
+      .select(col(aCol).cast(LongType).as("a"), col(bCol).cast(LongType).as("b"))
+      .unionByName(pairs
+        .select(col(bCol).cast(LongType).as("a"), col(aCol).cast(LongType).as("b")))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+    val deg = sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+    // out-degree rides along with each edge so the contribution step
+    // is a projection, not another join per round
+    val symDeg = sym.join(deg, col("a") === col("node"))
+      .select(col("a"), col("b"), col("deg")).localCheckpoint()
+    var ranks = deg.select(col("node"), lit(1000000L).as("rank"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      ranks = symDeg
+        .join(ranks.withColumnRenamed("node", "src"), col("a") === col("src"))
+        .select(col("b"), expr("rank div deg").as("contrib"))
+        .groupBy(col("b").as("node"))
+        .agg(sum(col("contrib")).as("contrib"))
+        .select(col("node"),
+          (lit(150000L) + expr("(85 * contrib) div 100")).as("rank"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node").as("doc_id"), col("rank"))
+  }
+
   /** Per-node triangle count and local clustering coefficient over a
     * pair graph — the density diagnostic for near-dup clusters: a
     * component whose nodes have high clustering is a genuine dup
@@ -591,6 +650,9 @@ object Dedup extends QueryModule {
     // pairs → per-node triangle count + local clustering coefficient
     "q82_triangle_stats" -> ((s, d) =>
       triangleStats(simhashPairs(T.documents(s, d), maxDist = 5))),
+    // pairs → integer-exact PageRank centrality (boilerplate hubs)
+    "q83_pagerank" -> ((s, d) =>
+      pageRank(simhashPairs(T.documents(s, d), maxDist = 5))),
     "q29_embed_neardup" -> ((s, d) => embeddingNearDup(T.embeddings(s, d), 0.3, 300L)),
     // the composed end-to-end verb: pairs → clusters → keep one → drop
     "q68_dedup_corpus" -> ((s, d) => dedupCorpus(T.documents(s, d), maxDist = 5)),
@@ -735,6 +797,39 @@ object Dedup extends QueryModule {
         |SELECT CAST(node AS BIGINT) AS doc_id,
         |  CAST(label AS BIGINT) AS community_id
         |FROM lp WHERE it = 4""".stripMargin,
+    // integer micro-unit arithmetic makes PageRank cross-engine exact:
+    // BIGINT ranks, truncating div, associative integer sums — the
+    // outer CAST collapses DuckDB's HUGEINT SUM back to BIGINT
+    "q83_pagerank" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')), ' +'), x -> x <> '')) AS w
+        |  FROM documents),
+        |h AS (SELECT doc_id, CAST('0x' || substr(md5(w),1,15) AS BIGINT) AS h FROM w),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |    SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM h, range(0, 60) t(b) GROUP BY doc_id, b),
+        |sh AS (SELECT doc_id,
+        |  CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 5),
+        |sym AS (SELECT DISTINCT a, b FROM (
+        |  SELECT doc_a AS a, doc_b AS b FROM p
+        |  UNION ALL SELECT doc_b, doc_a FROM p)),
+        |deg AS (SELECT a AS node, COUNT(*) AS deg FROM sym GROUP BY a),
+        |pr(it, node, rank) AS (
+        |  SELECT 0, node, CAST(1000000 AS BIGINT) FROM deg
+        |  UNION ALL
+        |  SELECT it + 1, node,
+        |    CAST(150000 + (85 * contrib) // 100 AS BIGINT) FROM (
+        |    SELECT r.it AS it, s.b AS node, SUM(r.rank // d.deg) AS contrib
+        |    FROM pr r JOIN sym s ON r.node = s.a JOIN deg d ON d.node = r.node
+        |    WHERE r.it < 4
+        |    GROUP BY r.it, s.b))
+        |SELECT CAST(node AS BIGINT) AS doc_id, rank
+        |FROM pr WHERE it = 4""".stripMargin,
     // id-ordered 3-way self-join enumerates each triangle once; the
     // Spark side's degree-ordered orientation yields the same set
     "q82_triangle_stats" ->

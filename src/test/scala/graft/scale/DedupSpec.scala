@@ -233,6 +233,26 @@ class DedupSpec extends SparkSpec {
     assert(gotStar.map(_.getDouble(3)).sum === 0.0)
   }
 
+  test("integer PageRank matches the hand-simulated fixed-point values " +
+    "and ranks the hub above the pendant") {
+    val spark2 = spark
+    import spark2.implicits._
+    // triangle {1,2,3} + pendant 4 on node 3; expected values verified
+    // by an independent adjacency-list simulation of the same integer
+    // recurrence (1e6 micro-units, div truncation, 0.85 damping)
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.pageRank(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      1L -> 1006756L, 2L -> 1006756L, 3L -> 1381399L, 4L -> 605076L))
+    // the bridge-degree hub outranks symmetric peers; pendant lowest
+    assert(got(3L) > got(1L) && got(4L) < got(1L))
+    // non-integral ids rejected like the other graph ops
+    val strPairs = Seq(("a", "b")).toDF("doc_a", "doc_b")
+    intercept[IllegalArgumentException](Dedup.pageRank(strPairs))
+  }
+
   test("connected components equals driver-side union-find on random graphs") {
     val spark2 = spark
     import spark2.implicits._
