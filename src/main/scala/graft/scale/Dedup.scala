@@ -614,6 +614,32 @@ object Dedup extends QueryModule {
         (col("n_hot") > 0).as("flagged"))
   }
 
+  /** Cross-source contamination matrix: for every unordered pair of
+    * sources, how many near-dup document pairs span them. The
+    * acquisition-time dashboard: two crawls with a hot cell here
+    * overlap heavily, and knowing that BEFORE paying for a full
+    * corpus dedup (or before double-counting a source in a mixture)
+    * is the point. The diagonal (src, src) counts within-source
+    * duplication.
+    *
+    * Scale shape: the pair list is the small side (near-dup pairs are
+    * a vanishing fraction of docs²); the two doc_id→source lookups
+    * shuffle the PAIRS by doc_id, never documents by pair, and the
+    * matrix aggregate is at most |sources|² rows — map-side partials
+    * collapse it early. */
+  def sourceContamination(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val pairs = simhashPairs(docs, maxDist)
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      // unordered source pair: (min, max) so A↔B and B↔A land together
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Embedding-cosine near-dup pairs above `minCos`, bounded to ids
     * below `maxId` (oracle-friendly brute force; the scale path is the
     * LSH-bucketed variant in [[Similarity]]). */
@@ -653,6 +679,9 @@ object Dedup extends QueryModule {
     // pairs → integer-exact PageRank centrality (boilerplate hubs)
     "q83_pagerank" -> ((s, d) =>
       pageRank(simhashPairs(T.documents(s, d), maxDist = 5))),
+    // pairs × sources → which sources near-duplicate each other
+    "q84_source_contamination" -> ((s, d) =>
+      sourceContamination(T.documents(s, d), maxDist = 5)),
     "q29_embed_neardup" -> ((s, d) => embeddingNearDup(T.embeddings(s, d), 0.3, 300L)),
     // the composed end-to-end verb: pairs → clusters → keep one → drop
     "q68_dedup_corpus" -> ((s, d) => dedupCorpus(T.documents(s, d), maxDist = 5)),
@@ -797,6 +826,28 @@ object Dedup extends QueryModule {
         |SELECT CAST(node AS BIGINT) AS doc_id,
         |  CAST(label AS BIGINT) AS community_id
         |FROM lp WHERE it = 4""".stripMargin,
+    "q84_source_contamination" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')), ' +'), x -> x <> '')) AS w
+        |  FROM documents),
+        |h AS (SELECT doc_id, CAST('0x' || substr(md5(w),1,15) AS BIGINT) AS h FROM w),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |    SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM h, range(0, 60) t(b) GROUP BY doc_id, b),
+        |sh AS (SELECT doc_id,
+        |  CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 5)
+        |SELECT LEAST(da.source, db.source) AS src_a,
+        |  GREATEST(da.source, db.source) AS src_b,
+        |  COUNT(*) AS n_pairs
+        |FROM p
+        |JOIN documents da ON da.doc_id = p.doc_a
+        |JOIN documents db ON db.doc_id = p.doc_b
+        |GROUP BY 1, 2""".stripMargin,
     // integer micro-unit arithmetic makes PageRank cross-engine exact:
     // BIGINT ranks, truncating div, associative integer sums — the
     // outer CAST collapses DuckDB's HUGEINT SUM back to BIGINT

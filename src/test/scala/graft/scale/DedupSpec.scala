@@ -253,6 +253,28 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException](Dedup.pageRank(strPairs))
   }
 
+  test("source contamination matrix folds both pair orientations into " +
+    "one unordered cell and counts the diagonal") {
+    val spark2 = spark
+    import spark2.implicits._
+    // near-identical texts land within simhash distance; srcX↔srcY in
+    // both id orders plus one within-source dup
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, base, "srcY"), (2L, base, "srcX"),        // Y↔X (a<b gives Y,X)
+      (3L, base, "srcX"), (4L, base, "srcY"),        // X↔Y (other order)
+      (5L, base + " extra", "srcX"),
+      (6L, "completely unrelated text about spark catalyst internals", "srcZ")
+    ).toDF("doc_id", "text", "source")
+    val m = Dedup.sourceContamination(docs, maxDist = 5).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // pairs among {1..5}: all C(5,2)=10 (near-identical); sources:
+    // X={2,3,5}, Y={1,4} → XX C(3,2)=3, YY C(2,2)=1, XY 3·2=6
+    assert(m === Map(
+      ("srcX", "srcX") -> 3L, ("srcX", "srcY") -> 6L,
+      ("srcY", "srcY") -> 1L))
+  }
+
   test("connected components equals driver-side union-find on random graphs") {
     val spark2 = spark
     import spark2.implicits._
