@@ -86,12 +86,14 @@ object Bench {
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse
         .stripSuffix(".") else s
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    // fastest-first inside the map and scalar fields LAST: the harness
+    // keeps the final 2000 chars, and at 84 queries the line slightly
+    // exceeds that — whatever is cut at the head is the least
+    // informative sub-0.1s entries, never a slow query or the total
+    val qs = results.toSeq.sortBy(_._2)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val sfName = new java.io.File(sfDir).getName
-    // scalar fields LAST: the harness keeps the final 2000 chars, and at
-    // 80+ queries the line brushes that limit — if anything is cut it
-    // must be a few per-query entries at the head, never the total
     println(s"""{"queries":$qs,"sf":"$sfName","unit":"sec","load":$load,"metric":"total","value":${fmt(total)}}""")
     spark.stop()
   }

@@ -275,6 +275,68 @@ class DedupSpec extends SparkSpec {
       ("srcY", "srcY") -> 1L))
   }
 
+  test("label propagation and PageRank match driver-side simulations of " +
+    "the same recurrences on random graphs") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(131)
+    for (trial <- 0 until 3) {
+      val n = 30
+      val edges = (0 until 40).map { _ =>
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+      // synchronous LPA: ballots = self + neighbors, (count DESC, label
+      // ASC) — the exact contract of the distributed rounds
+      var lab = adj.keys.map(k => k -> k).toMap
+      for (_ <- 1 to 4) {
+        lab = adj.map { case (node, nbrs) =>
+          val ballots = (nbrs.toSeq.map(lab) :+ lab(node))
+            .groupBy(identity).map { case (l, xs) => (l, xs.size) }
+          node -> ballots.toSeq.map { case (l, c) => (-c, l) }.min._2
+        }
+      }
+      val gotLp = Dedup.labelPropagation(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotLp === lab, s"LPA trial $trial")
+      // integer PageRank recurrence
+      var rank = adj.keys.map(k => k -> 1000000L).toMap
+      for (_ <- 1 to 4) {
+        val contrib = scala.collection.mutable.Map.empty[Long, Long]
+          .withDefaultValue(0L)
+        adj.foreach { case (node, nbrs) =>
+          val c = rank(node) / nbrs.size
+          nbrs.foreach(m => contrib(m) += c)
+        }
+        rank = adj.keys.map(k => k -> (150000L + 85L * contrib(k) / 100L)).toMap
+      }
+      val gotPr = Dedup.pageRank(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotPr === rank, s"PageRank trial $trial")
+    }
+  }
+
+  test("graph ops are partition-layout invariant: same results from a " +
+    "1-partition and a many-partition edge list") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(17)
+    val edges = (0 until 50).map { _ =>
+      val a = rnd.nextInt(25).toLong; val b = rnd.nextInt(25).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct.toDF("doc_a", "doc_b")
+    for (op <- Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
+      Dedup.labelPropagation(_), Dedup.pageRank(_), Dedup.triangleStats(_))) {
+      val one = op(edges.repartition(1)).collect()
+        .map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+      val many = op(edges.repartition(13)).collect()
+        .map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+      assert(one === many)
+    }
+  }
+
   test("connected components equals driver-side union-find on random graphs") {
     val spark2 = spark
     import spark2.implicits._
