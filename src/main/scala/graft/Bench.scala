@@ -43,12 +43,14 @@ object Bench {
         // to a row count and under-report their cost
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
-        // drop localCheckpoint() storage blocks rep-by-rep: each rep
-        // re-materializes its own checkpoint, so without this the
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        // drop localCheckpoint() storage blocks rep-by-rep (AFTER the
+        // clock stops — cleanup RPCs are not the query's cost): each
+        // rep re-materializes its own checkpoint, so without this the
         // bench accumulates blocks until ContextCleaner happens to GC
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
-        (System.nanoTime() - t0) / 1e9
+        elapsed
       }.sorted
       // true median: middle value for odd reps, mean of the two middle
       // values for even reps (times(n/2) alone would be upper-median)
@@ -82,7 +84,9 @@ object Bench {
     // Compact final line: 2-decimal (centisecond) per-query values with
     // trailing zeros trimmed — full precision lives one line up
     def fmt(v: Double): String = {
-      val s = f"$v%.2f"
+      // Locale.ROOT: the default-locale f-interpolator would render a
+      // comma decimal separator on e.g. a de_DE JVM — invalid JSON
+      val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse
         .stripSuffix(".") else s
     }

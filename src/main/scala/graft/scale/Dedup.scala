@@ -180,28 +180,38 @@ object Dedup extends QueryModule {
     * silent cast of e.g. string ids to null would corrupt every
     * component without an error.
     */
-  def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
-                          bCol: String = "doc_b", maxIter: Int = 25,
-                          driverMaxEdges: Long = 1L << 20): DataFrame = {
+  /** Validate + cast + symmetrize a pair list into a distinct (a, b)
+    * edge DataFrame with both orientations — the shared front door of
+    * every graph op here. The integral-id require exists because a
+    * silent cast would turn non-numeric ids into nulls and corrupt
+    * every component/ballot/rank without an error; the null filter
+    * drops genuinely-null endpoints (a null is not an edge). */
+  private def symEdges(pairs: DataFrame, aCol: String, bCol: String,
+                       op: String): DataFrame = {
     for (c <- Seq(aCol, bCol)) {
       import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType}
       val dt = pairs.schema(c).dataType
       val integral = dt == LongType || dt == IntegerType ||
         dt == ShortType || dt == ByteType
       require(integral,
-        s"connectedComponents requires integral id columns; '$c' is " +
-          s"${dt.simpleString}. Map ids to longs first (e.g. hash or " +
-          "dense-rank them) — a silent cast would turn non-numeric ids " +
-          "into nulls and merge unrelated components.")
+        s"$op requires integral id columns; '$c' is ${dt.simpleString}. " +
+          "Map ids to longs first (e.g. hash or dense-rank them) — a " +
+          "silent cast would turn non-numeric ids into nulls.")
     }
-    val edges = pairs
-      .select(col(aCol).cast(LongType).as("src"), col(bCol).cast(LongType).as("dst"))
+    pairs
+      .select(col(aCol).cast(LongType).as("a"), col(bCol).cast(LongType).as("b"))
       .unionByName(pairs
-        .select(col(bCol).cast(LongType).as("src"), col(aCol).cast(LongType).as("dst")))
-      // a null endpoint is not an edge — drop it so neither path can
-      // manufacture a null node (the driver path decodes primitives)
-      .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct().localCheckpoint()
+        .select(col(bCol).cast(LongType).as("a"), col(aCol).cast(LongType).as("b")))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+  }
+
+  def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
+                          bCol: String = "doc_b", maxIter: Int = 25,
+                          driverMaxEdges: Long = 1L << 20): DataFrame = {
+    val edges = symEdges(pairs, aCol, bCol, "connectedComponents")
+      .select(col("a").as("src"), col("b").as("dst"))
+      .localCheckpoint()
     val nEdges = edges.count()
     if (nEdges <= driverMaxEdges) return driverUnionFind(edges)
     var labels = edges.groupBy(col("src").as("node"))
@@ -259,20 +269,7 @@ object Dedup extends QueryModule {
     * doesn't grow with iterations. */
   def labelPropagation(pairs: DataFrame, aCol: String = "doc_a",
                        bCol: String = "doc_b", iters: Int = 4): DataFrame = {
-    for (c <- Seq(aCol, bCol)) {
-      import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType}
-      val dt = pairs.schema(c).dataType
-      val integral = dt == LongType || dt == IntegerType ||
-        dt == ShortType || dt == ByteType
-      require(integral,
-        s"labelPropagation requires integral id columns; '$c' is " +
-          s"${dt.simpleString} — map ids to longs first")
-    }
-    val sym = pairs
-      .select(col(aCol).cast(LongType).as("a"), col(bCol).cast(LongType).as("b"))
-      .unionByName(pairs
-        .select(col(bCol).cast(LongType).as("a"), col(aCol).cast(LongType).as("b")))
-      .filter(col("a").isNotNull && col("b").isNotNull)
+    val sym = symEdges(pairs, aCol, bCol, "labelPropagation")
     val nodes = sym.select(col("a").as("node")).distinct()
     val edges = sym
       .unionByName(nodes.select(col("node").as("a"), col("node").as("b")))
@@ -310,7 +307,8 @@ object Dedup extends QueryModule {
     * in integers. Integer sums are associative, so partition order
     * cannot change the result, and a fixed iteration count replaces
     * convergence detection. Overflow headroom: Σcontrib ≤ n·1e6, so
-    * 85·Σcontrib stays under 2⁶³ until ~10¹⁶ nodes.
+    * 85·Σcontrib stays under 2⁶³ until n ≈ 2⁶³/(85·10⁶) ≈ 10¹¹
+    * nodes — two orders beyond a 100 TB corpus's document count.
     *
     * Scale shape: one edges⋈ranks shuffle-by-node and one integer-sum
     * aggregate (map-side partials) per round, lineage truncated per
@@ -318,21 +316,7 @@ object Dedup extends QueryModule {
     */
   def pageRank(pairs: DataFrame, aCol: String = "doc_a",
                bCol: String = "doc_b", iters: Int = 4): DataFrame = {
-    for (c <- Seq(aCol, bCol)) {
-      import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType}
-      val dt = pairs.schema(c).dataType
-      val integral = dt == LongType || dt == IntegerType ||
-        dt == ShortType || dt == ByteType
-      require(integral,
-        s"pageRank requires integral id columns; '$c' is " +
-          s"${dt.simpleString} — map ids to longs first")
-    }
-    val sym = pairs
-      .select(col(aCol).cast(LongType).as("a"), col(bCol).cast(LongType).as("b"))
-      .unionByName(pairs
-        .select(col(bCol).cast(LongType).as("a"), col(aCol).cast(LongType).as("b")))
-      .filter(col("a").isNotNull && col("b").isNotNull)
-      .distinct()
+    val sym = symEdges(pairs, aCol, bCol, "pageRank")
     val deg = sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
     // out-degree rides along with each edge so the contribution step
     // is a projection, not another join per round
@@ -371,12 +355,7 @@ object Dedup extends QueryModule {
     * same result from the simple id-ordered 3-way self-join. */
   def triangleStats(pairs: DataFrame, aCol: String = "doc_a",
                     bCol: String = "doc_b"): DataFrame = {
-    val sym = pairs
-      .select(col(aCol).cast(LongType).as("a"), col(bCol).cast(LongType).as("b"))
-      .unionByName(pairs
-        .select(col(bCol).cast(LongType).as("a"), col(aCol).cast(LongType).as("b")))
-      .filter(col("a").isNotNull && col("b").isNotNull)
-      .distinct().localCheckpoint()
+    val sym = symEdges(pairs, aCol, bCol, "triangleStats").localCheckpoint()
     val deg = sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
     // oriented edge u→v iff (deg u, u) < (deg v, v); carry the target's
     // rank pair so the wedge-close side can re-derive the orientation
@@ -708,6 +687,26 @@ object Dedup extends QueryModule {
        |         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS sh
        |       FROM idx)""".stripMargin
 
+  /** Shared tokenize→simhash→blocked-pair CTE chain (Hamming ≤ 5) for
+    * every oracle that starts from the near-dup pair graph — one
+    * definition keeps the six graph oracles in lockstep with each
+    * other and with the Spark-side [[simhashPairs]]. */
+  private val simhashPairCte =
+    """w AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')), ' +'), x -> x <> '')) AS w
+      |  FROM documents),
+      |h AS (SELECT doc_id, CAST('0x' || substr(md5(w),1,15) AS BIGINT) AS h FROM w),
+      |bits AS (
+      |  SELECT doc_id, b,
+      |    SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      |  FROM h, range(0, 60) t(b) GROUP BY doc_id, b),
+      |sh AS (SELECT doc_id,
+      |  CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM bits GROUP BY doc_id),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 5)""".stripMargin
+
   private val sigSelect = (0 until NumMinhashes)
     .map(i => s"MIN(md5('$i|' || sh)) AS m$i").mkString(", ")
 
@@ -769,41 +768,15 @@ object Dedup extends QueryModule {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 5""".stripMargin,
     "q59_dedup_clusters" ->
-      """WITH RECURSIVE w AS (
-        |  SELECT doc_id, unnest(list_filter(string_split_regex(trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')), ' +'), x -> x <> '')) AS w
-        |  FROM documents),
-        |h AS (SELECT doc_id, CAST('0x' || substr(md5(w),1,15) AS BIGINT) AS h FROM w),
-        |bits AS (
-        |  SELECT doc_id, b,
-        |    SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-        |  FROM h, range(0, 60) t(b) GROUP BY doc_id, b),
-        |sh AS (SELECT doc_id,
-        |  CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
-        |  FROM bits GROUP BY doc_id),
-        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 5),
-        |e AS (SELECT doc_a AS a, doc_b AS b FROM p
-        |      UNION SELECT doc_b, doc_a FROM p),
-        |reach(a, b) AS (SELECT a, b FROM e
-        |  UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
-        |SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
-        |FROM reach GROUP BY a""".stripMargin,
+      s"""WITH RECURSIVE $simhashPairCte,
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM p
+         |      UNION SELECT doc_b, doc_a FROM p),
+         |reach(a, b) AS (SELECT a, b FROM e
+         |  UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
+         |SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+         |FROM reach GROUP BY a""".stripMargin,
     "q80_label_prop" ->
-      """WITH RECURSIVE w AS (
-        |  SELECT doc_id, unnest(list_filter(string_split_regex(trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')), ' +'), x -> x <> '')) AS w
-        |  FROM documents),
-        |h AS (SELECT doc_id, CAST('0x' || substr(md5(w),1,15) AS BIGINT) AS h FROM w),
-        |bits AS (
-        |  SELECT doc_id, b,
-        |    SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-        |  FROM h, range(0, 60) t(b) GROUP BY doc_id, b),
-        |sh AS (SELECT doc_id,
-        |  CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
-        |  FROM bits GROUP BY doc_id),
-        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 5),
+      s"""WITH RECURSIVE $simhashPairCte,
         |nodes AS (SELECT DISTINCT node FROM (
         |  SELECT doc_a AS node FROM p UNION ALL SELECT doc_b FROM p)),
         |e AS (SELECT DISTINCT a, b FROM (
@@ -827,20 +800,7 @@ object Dedup extends QueryModule {
         |  CAST(label AS BIGINT) AS community_id
         |FROM lp WHERE it = 4""".stripMargin,
     "q84_source_contamination" ->
-      """WITH w AS (
-        |  SELECT doc_id, unnest(list_filter(string_split_regex(trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')), ' +'), x -> x <> '')) AS w
-        |  FROM documents),
-        |h AS (SELECT doc_id, CAST('0x' || substr(md5(w),1,15) AS BIGINT) AS h FROM w),
-        |bits AS (
-        |  SELECT doc_id, b,
-        |    SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-        |  FROM h, range(0, 60) t(b) GROUP BY doc_id, b),
-        |sh AS (SELECT doc_id,
-        |  CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
-        |  FROM bits GROUP BY doc_id),
-        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 5)
+      s"""WITH $simhashPairCte
         |SELECT LEAST(da.source, db.source) AS src_a,
         |  GREATEST(da.source, db.source) AS src_b,
         |  COUNT(*) AS n_pairs
@@ -852,20 +812,7 @@ object Dedup extends QueryModule {
     // BIGINT ranks, truncating div, associative integer sums — the
     // outer CAST collapses DuckDB's HUGEINT SUM back to BIGINT
     "q83_pagerank" ->
-      """WITH RECURSIVE w AS (
-        |  SELECT doc_id, unnest(list_filter(string_split_regex(trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')), ' +'), x -> x <> '')) AS w
-        |  FROM documents),
-        |h AS (SELECT doc_id, CAST('0x' || substr(md5(w),1,15) AS BIGINT) AS h FROM w),
-        |bits AS (
-        |  SELECT doc_id, b,
-        |    SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-        |  FROM h, range(0, 60) t(b) GROUP BY doc_id, b),
-        |sh AS (SELECT doc_id,
-        |  CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
-        |  FROM bits GROUP BY doc_id),
-        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 5),
+      s"""WITH RECURSIVE $simhashPairCte,
         |sym AS (SELECT DISTINCT a, b FROM (
         |  SELECT doc_a AS a, doc_b AS b FROM p
         |  UNION ALL SELECT doc_b, doc_a FROM p)),
@@ -884,20 +831,7 @@ object Dedup extends QueryModule {
     // id-ordered 3-way self-join enumerates each triangle once; the
     // Spark side's degree-ordered orientation yields the same set
     "q82_triangle_stats" ->
-      """WITH w AS (
-        |  SELECT doc_id, unnest(list_filter(string_split_regex(trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')), ' +'), x -> x <> '')) AS w
-        |  FROM documents),
-        |h AS (SELECT doc_id, CAST('0x' || substr(md5(w),1,15) AS BIGINT) AS h FROM w),
-        |bits AS (
-        |  SELECT doc_id, b,
-        |    SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-        |  FROM h, range(0, 60) t(b) GROUP BY doc_id, b),
-        |sh AS (SELECT doc_id,
-        |  CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
-        |  FROM bits GROUP BY doc_id),
-        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 5),
+      s"""WITH $simhashPairCte,
         |sym AS (SELECT DISTINCT a, b FROM (
         |  SELECT doc_a AS a, doc_b AS b FROM p
         |  UNION ALL SELECT doc_b, doc_a FROM p)),
@@ -953,20 +887,7 @@ object Dedup extends QueryModule {
          |  (n_overlap >= 1) AS contaminated
          |FROM st""".stripMargin,
     "q68_dedup_corpus" ->
-      """WITH RECURSIVE w AS (
-        |  SELECT doc_id, unnest(list_filter(string_split_regex(trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')), ' +'), x -> x <> '')) AS w
-        |  FROM documents),
-        |h AS (SELECT doc_id, CAST('0x' || substr(md5(w),1,15) AS BIGINT) AS h FROM w),
-        |bits AS (
-        |  SELECT doc_id, b,
-        |    SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-        |  FROM h, range(0, 60) t(b) GROUP BY doc_id, b),
-        |sh AS (SELECT doc_id,
-        |  CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
-        |  FROM bits GROUP BY doc_id),
-        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 5),
+      s"""WITH RECURSIVE $simhashPairCte,
         |e AS (SELECT doc_a AS a, doc_b AS b FROM p
         |      UNION SELECT doc_b, doc_a FROM p),
         |reach(a, b) AS (SELECT a, b FROM e

@@ -231,6 +231,9 @@ class DedupSpec extends SparkSpec {
     val gotStar = Dedup.triangleStats(star).collect()
     assert(gotStar.forall(_.getLong(2) === 0L))
     assert(gotStar.map(_.getDouble(3)).sum === 0.0)
+    // same integral-id guard as every other graph op (shared symEdges)
+    val strPairs = Seq(("a", "b")).toDF("doc_a", "doc_b")
+    intercept[IllegalArgumentException](Dedup.triangleStats(strPairs))
   }
 
   test("integer PageRank matches the hand-simulated fixed-point values " +

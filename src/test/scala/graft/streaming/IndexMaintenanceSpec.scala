@@ -42,8 +42,11 @@ class IndexMaintenanceSpec extends SparkSpec {
       assert(b1(0L).n_total === 2 && b1(0L).n_batch === 2)
       assert(b1(1L).n_total === 1)
       assert(!b1(0L).rebuild && !b1(1L).rebuild, "aligned members: no rebuild")
-      // batch 2: drifted vectors still nearest to cell 0 but far off-axis
-      // (cos ≈ 0.707 < 0.9) — lifetime mean sinks below the threshold
+      // batch 2: drifted vectors still nearest to cell 0 but far
+      // off-axis (cos ≈ 0.74-0.78 < 0.9) — the BATCH mean crosses the
+      // threshold immediately even though only 2 of 4 lifetime members
+      // drifted (a lifetime-mean detector would dilute the signal as
+      // the index grows; the batch mean is history-independent)
       src.addData(
         VecArrival(4, ts(3), Array(1.0, 0.9)),
         VecArrival(5, ts(4), Array(1.0, 0.8)))
@@ -51,8 +54,11 @@ class IndexMaintenanceSpec extends SparkSpec {
       val b2 = spark.table("ivfm").as[CellUpdate].collect()
         .filter(_.n_total === 4).head
       assert(b2.cell_id === 0L && b2.n_batch === 2)
-      assert(b2.mean_cos < 0.9 && b2.rebuild,
-        s"drifted cell should flag rebuild, mean=${b2.mean_cos}")
+      assert(b2.batch_mean_cos < 0.8 && b2.rebuild,
+        s"drifted batch should flag rebuild, batch_mean=${b2.batch_mean_cos}")
+      // lifetime mean lags the batch mean — it still counts the two
+      // perfectly-aligned founders
+      assert(b2.mean_cos > b2.batch_mean_cos)
     } finally q.stop()
   }
 
