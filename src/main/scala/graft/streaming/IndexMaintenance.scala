@@ -1,20 +1,27 @@
 package graft.streaming
 
 import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 import java.sql.Timestamp
 
 /** One embedding arriving on the ingestion stream. */
 case class VecArrival(vec_id: Long, ts: Timestamp, embedding: Array[Double])
 
-/** Running per-cell index state: population and cosine-to-centroid sum. */
-case class CellStats(n: Long, sumCos: Double)
+/** Running (count, sum) state shared by both maintenance ops: the sum
+  * holds cosines for IVF cells and reconstruction errors for PQ
+  * subspaces. */
+case class RunningSum(n: Long, sum: Double)
 
 /** Per-batch maintenance report for one IVF cell: lifetime stats plus
   * the batch-local mean that drives the rebuild signal. */
 case class CellUpdate(cell_id: Long, n_batch: Long, n_total: Long,
                       mean_cos: Double, batch_mean_cos: Double,
                       rebuild: Boolean)
+
+/** Per-batch maintenance report for one PQ subspace codebook. */
+case class SubspaceUpdate(m: Int, n_batch: Long, n_total: Long,
+                          mean_err: Double, batch_mean_err: Double,
+                          retrain: Boolean)
 
 /** Streaming maintenance of a batch-built IVF ANN index
   * ([[graft.scale.Similarity.ivfCells]] builds the static form): new
@@ -81,6 +88,81 @@ object IndexMaintenance {
       math.sqrt(c.map(x => x * x).sum)
     })
 
+  /** Min squared-L2 from the `m`-th sub-vector of `v` to the codes of
+    * that subspace's codebook — the per-row kernel of [[maintainPq]],
+    * and the quantity whose sum over subspaces is the PQ
+    * reconstruction SSE ([[graft.scale.Similarity.pqCodes]] computes
+    * the same thing batch-side; a spec holds the two equal). */
+  private[streaming] def subspaceErr(v: Array[Double], m: Int,
+                                     codebook: Array[Array[Double]],
+                                     subDim: Int): Double = {
+    val off = m * subDim
+    var best = Double.PositiveInfinity
+    var k = 0
+    while (k < codebook.length) {
+      val c = codebook(k)
+      var d = 0.0
+      var i = 0
+      while (i < subDim) {
+        val diff = v(off + i) - c(i); d += diff * diff; i += 1
+      }
+      if (d < best) best = d
+      k += 1
+    }
+    best
+  }
+
+  /** Maintain the PQ codebooks against a stream of arrivals — the
+    * product-quantization twin of [[maintainIvf]]: each arriving
+    * vector is quantized against the frozen per-subspace codebooks
+    * (`codebooks(m)(k)` = code k of subspace m) and the per-subspace
+    * reconstruction error feeds per-SUBSPACE state. Subspace
+    * granularity is the actionable unit: PQ codebooks are independent
+    * per subspace, so `retrain = true` on subspace 3 means re-k-means
+    * THAT codebook, not the whole index. Drift direction is inverted
+    * vs IVF: reconstruction error GROWS as the distribution leaves
+    * the codebook, so the flag fires on `batch_mean_err >
+    * errThreshold` (batch-local for the same reason as maintainIvf —
+    * a lifetime mean dilutes drift as the index grows). State is 8
+    * entries of (n, sum) — bounded by the subspace count, never the
+    * stream. */
+  def maintainPq(arrivals: Dataset[VecArrival],
+                 codebooks: Array[Array[Array[Double]]],
+                 errThreshold: Double = 0.5): Dataset[SubspaceUpdate] = {
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+      "maintainPq needs a non-empty codebook per subspace")
+    val subDim = codebooks.head.head.length
+    require(codebooks.flatten.forall(_.length == subDim),
+      "all PQ codes must share the sub-vector dimension")
+    import arrivals.sparkSession.implicits._
+    val nSub = codebooks.length
+    val bc = arrivals.sparkSession.sparkContext.broadcast(codebooks)
+    arrivals
+      .flatMap { a =>
+        require(a.embedding.length >= nSub * subDim,
+          s"embedding dim ${a.embedding.length} < $nSub×$subDim")
+        (0 until nSub).map { m =>
+          (m, a.vec_id, a.ts.getTime,
+            subspaceErr(a.embedding, m, bc.value(m), subDim))
+        }
+      }
+      .groupByKey(_._1)
+      .mapGroupsWithState[RunningSum, SubspaceUpdate](
+        GroupStateTimeout.NoTimeout) {
+        (m: Int, rows: Iterator[(Int, Long, Long, Double)],
+         state: GroupState[RunningSum]) =>
+          val batch = rows.toSeq.sortBy(r => (r._3, r._2))
+          val prev = state.getOption.getOrElse(RunningSum(0L, 0.0))
+          val batchSum = batch.foldLeft(0.0)((s, r) => s + r._4)
+          val next = RunningSum(prev.n + batch.size, prev.sum + batchSum)
+          state.update(next)
+          val batchMean = batchSum / batch.size
+          SubspaceUpdate(m, batch.size.toLong, next.n,
+            next.sum / next.n, batchMean,
+            retrain = batchMean > errThreshold)
+      }
+  }
+
   /** Maintain the IVF index against a stream of arrivals: per
     * micro-batch, emit each touched cell's batch count, lifetime
     * count, lifetime and batch-local mean member-to-centroid cosine,
@@ -104,19 +186,19 @@ object IndexMaintenance {
         (cell, a.vec_id, a.ts.getTime, cos)
       }
       .groupByKey(_._1)
-      .mapGroupsWithState[CellStats, CellUpdate](
+      .mapGroupsWithState[RunningSum, CellUpdate](
         GroupStateTimeout.NoTimeout) {
         (cell: Long, rows: Iterator[(Long, Long, Long, Double)],
-         state: GroupState[CellStats]) =>
+         state: GroupState[RunningSum]) =>
           // deterministic fold order under replay: (ts, vec_id)
           val batch = rows.toSeq.sortBy(r => (r._3, r._2))
-          val prev = state.getOption.getOrElse(CellStats(0L, 0.0))
+          val prev = state.getOption.getOrElse(RunningSum(0L, 0.0))
           val batchSum = batch.foldLeft(0.0)((s, r) => s + r._4)
-          val next = CellStats(prev.n + batch.size, prev.sumCos + batchSum)
+          val next = RunningSum(prev.n + batch.size, prev.sum + batchSum)
           state.update(next)
           val batchMean = batchSum / batch.size
           CellUpdate(cell, batch.size.toLong, next.n,
-            next.sumCos / next.n, batchMean,
+            next.sum / next.n, batchMean,
             rebuild = batchMean < driftThreshold)
       }
   }

@@ -62,6 +62,64 @@ class IndexMaintenanceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("PQ maintenance flags retrain on exactly the drifted subspace") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 2 subspaces × 2-dim codes; codes span the axes in both subspaces
+    val books: Array[Array[Array[Double]]] = Array(
+      Array(Array(1.0, 0.0), Array(0.0, 1.0)),
+      Array(Array(1.0, 0.0), Array(0.0, 1.0)))
+    val src = MemoryStream[VecArrival]
+    val q = IndexMaintenance.maintainPq(src.toDS(), books, errThreshold = 0.3)
+      .writeStream.format("memory").queryName("pqm").outputMode("update").start()
+    try {
+      // batch 1: on-codebook vectors — zero error everywhere
+      src.addData(
+        VecArrival(1, ts(0), Array(1.0, 0.0, 0.0, 1.0)),
+        VecArrival(2, ts(1), Array(0.0, 1.0, 1.0, 0.0)))
+      q.processAllAvailable()
+      val b1 = spark.table("pqm").as[SubspaceUpdate].collect()
+        .map(u => u.m -> u).toMap
+      assert(b1(0).n_total === 2 && b1(1).n_total === 2)
+      assert(!b1(0).retrain && !b1(1).retrain)
+      assert(b1(0).batch_mean_err === 0.0 && b1(1).batch_mean_err === 0.0)
+      // batch 2: subspace 0 drifts off-codebook (err 0.5), subspace 1
+      // stays on it — only codebook 0 needs re-k-means
+      src.addData(VecArrival(3, ts(2), Array(0.5, 0.5, 0.0, 1.0)))
+      q.processAllAvailable()
+      val b2 = spark.table("pqm").as[SubspaceUpdate].collect()
+        .filter(_.n_total === 3).map(u => u.m -> u).toMap
+      assert(b2(0).retrain && b2(0).batch_mean_err === 0.5,
+        s"subspace 0 should retrain: ${b2(0)}")
+      assert(!b2(1).retrain && b2(1).batch_mean_err === 0.0)
+    } finally q.stop()
+  }
+
+  test("streamed per-subspace error sums to the batch pqCodes SSE " +
+    "bit-for-bit on the embeddings table") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.scale.Similarity.{PqSubspaces, PqSubDim, PqCodebook}
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val rows = emb.select(col("vec_id"),
+      graft.functions.PortableFuncs.toDoubleArray(col("embedding")).as("v"))
+      .as[(Long, Array[Double])].collect()
+    // mirror pqCents: codebook m = the first PqCodebook vectors' m-th slices
+    val books = Array.tabulate(PqSubspaces) { m =>
+      rows.filter(_._1 < PqCodebook).sortBy(_._1)
+        .map { case (_, v) => v.slice(m * PqSubDim, (m + 1) * PqSubDim) }
+    }
+    val batchSse = graft.scale.Similarity.pqCodes(emb).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    rows.foreach { case (id, v) =>
+      val streamed = (0 until PqSubspaces)
+        .map(m => IndexMaintenance.subspaceErr(v, m, books(m), PqSubDim)).sum
+      assert(streamed === batchSse(id), s"vec $id SSE stream/batch differ")
+    }
+  }
+
   test("streamed assignment agrees with the batch ivfCells argmax on " +
     "the embeddings table sample") {
     val spark2 = spark
