@@ -268,22 +268,61 @@ object Dedup extends QueryModule {
     * Lineage is truncated per round with localCheckpoint so the plan
     * doesn't grow with iterations. */
   def labelPropagation(pairs: DataFrame, aCol: String = "doc_a",
-                       bCol: String = "doc_b", iters: Int = 4): DataFrame = {
-    val sym = symEdges(pairs, aCol, bCol, "labelPropagation")
-    val nodes = sym.select(col("a").as("node")).distinct()
+                       bCol: String = "doc_b", iters: Int = 4): DataFrame =
+    labelPropagationWeighted(
+      pairs.select(col(aCol), col(bCol), lit(1L).as("__w")),
+      "__w", aCol, bCol, iters)
+
+  /** Weighted synchronous LPA: each neighbor's ballot counts `wCol`
+    * votes instead of one, so community boundaries follow near-dup
+    * STRENGTH (e.g. weight = maxDist + 1 − hamming) rather than mere
+    * adjacency — a strong triangle outvotes two weak bridges even when
+    * the degree count alone would not. Weights must be integral: the
+    * ballot tally stays an associative integer sum, preserving the
+    * partition-order exactness (a double weight would reintroduce the
+    * nondeterministic float sum this design exists to avoid). The
+    * self-ballot weighs 1, the minimal anchor. All other contracts
+    * ([[labelPropagation]]'s fixed rounds, (tally DESC, label ASC)
+    * tie-break, per-round checkpoint) are identical — the unweighted
+    * form IS this function with every weight 1. */
+  def labelPropagationWeighted(pairs: DataFrame, wCol: String,
+                               aCol: String = "doc_a", bCol: String = "doc_b",
+                               iters: Int = 4): DataFrame = {
+    {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType}
+      val dt = pairs.schema(wCol).dataType
+      require(dt == LongType || dt == IntegerType ||
+        dt == ShortType || dt == ByteType,
+        s"labelPropagationWeighted needs an integral weight column; " +
+          s"'$wCol' is ${dt.simpleString} — integer votes keep the " +
+          "tally partition-order exact")
+    }
+    val ids = symEdges(pairs, aCol, bCol, "labelPropagationWeighted")
+    // re-attach weights to the validated symmetric edges: same pair
+    // order-normalized key on both orientations
+    val sym = pairs
+      .select(col(aCol).cast(LongType).as("a"), col(bCol).cast(LongType).as("b"),
+        col(wCol).cast(LongType).as("w"))
+      .unionByName(pairs
+        .select(col(bCol).cast(LongType).as("a"), col(aCol).cast(LongType).as("b"),
+          col(wCol).cast(LongType).as("w")))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("w").isNotNull)
+      .distinct()
+    val nodes = ids.select(col("a").as("node")).distinct()
     val edges = sym
-      .unionByName(nodes.select(col("node").as("a"), col("node").as("b")))
+      .unionByName(nodes.select(col("node").as("a"), col("node").as("b"),
+        lit(1L).as("w")))
       .distinct().localCheckpoint()
     var labels = nodes.select(col("node"), col("node").as("label"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
       // top-1 as an AGGREGATE, not a window: max_by over (c, -label) is
-      // (count DESC, label ASC) with map-side partial aggregation — a
+      // (tally DESC, label ASC) with map-side partial aggregation — a
       // row_number() window would sort-shuffle every ballot row per
       // round (see ivfCells for the same argmax move)
       labels = edges
         .join(labels.withColumnRenamed("node", "src"), col("a") === col("src"))
-        .groupBy(col("b").as("node"), col("label")).agg(count(lit(1)).as("c"))
+        .groupBy(col("b").as("node"), col("label")).agg(sum(col("w")).as("c"))
         .groupBy(col("node"))
         .agg(max_by(col("label"), struct(col("c"), -col("label"))).as("label"))
         .localCheckpoint()
@@ -661,6 +700,11 @@ object Dedup extends QueryModule {
     // pairs × sources → which sources near-duplicate each other
     "q84_source_contamination" -> ((s, d) =>
       sourceContamination(T.documents(s, d), maxDist = 5)),
+    // strength-weighted communities: closer pairs vote harder
+    "q85_weighted_lp" -> ((s, d) =>
+      labelPropagationWeighted(
+        simhashPairs(T.documents(s, d), maxDist = 5)
+          .withColumn("w", lit(6) - col("dist")), "w")),
     "q29_embed_neardup" -> ((s, d) => embeddingNearDup(T.embeddings(s, d), 0.3, 300L)),
     // the composed end-to-end verb: pairs → clusters → keep one → drop
     "q68_dedup_corpus" -> ((s, d) => dedupCorpus(T.documents(s, d), maxDist = 5)),
@@ -703,7 +747,8 @@ object Dedup extends QueryModule {
       |sh AS (SELECT doc_id,
       |  CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
       |  FROM bits GROUP BY doc_id),
-      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS dist
       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 5)""".stripMargin
 
@@ -792,6 +837,32 @@ object Dedup extends QueryModule {
         |                         ORDER BY c DESC, label ASC) AS rn
         |    FROM (SELECT l.it AS it, e.b AS node, l.label AS label,
         |            COUNT(*) AS c
+        |          FROM lp l JOIN e ON l.node = e.a
+        |          WHERE l.it < 4
+        |          GROUP BY l.it, e.b, l.label))
+        |  WHERE rn = 1)
+        |SELECT CAST(node AS BIGINT) AS doc_id,
+        |  CAST(label AS BIGINT) AS community_id
+        |FROM lp WHERE it = 4""".stripMargin,
+    // same recurrence as q80 with SUM(weight) ballots, weight = 6−dist
+    "q85_weighted_lp" ->
+      s"""WITH RECURSIVE $simhashPairCte,
+        |pw AS (SELECT doc_a, doc_b, 6 - dist AS w FROM p),
+        |nodes AS (SELECT DISTINCT node FROM (
+        |  SELECT doc_a AS node FROM pw UNION ALL SELECT doc_b FROM pw)),
+        |e AS (SELECT DISTINCT a, b, w FROM (
+        |  SELECT doc_a AS a, doc_b AS b, w FROM pw
+        |  UNION ALL SELECT doc_b, doc_a, w FROM pw
+        |  UNION ALL SELECT node, node, CAST(1 AS BIGINT) FROM nodes)),
+        |lp(it, node, label) AS (
+        |  SELECT 0, node, node FROM nodes
+        |  UNION ALL
+        |  SELECT it + 1, node, label FROM (
+        |    SELECT it, node, label,
+        |      ROW_NUMBER() OVER (PARTITION BY it, node
+        |                         ORDER BY c DESC, label ASC) AS rn
+        |    FROM (SELECT l.it AS it, e.b AS node, l.label AS label,
+        |            SUM(e.w) AS c
         |          FROM lp l JOIN e ON l.node = e.a
         |          WHERE l.it < 4
         |          GROUP BY l.it, e.b, l.label))

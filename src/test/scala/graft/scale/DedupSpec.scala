@@ -321,6 +321,46 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("weighted LPA: all-1 weights equal the unweighted form; random " +
+    "weighted graphs match the driver simulation; double weights rejected") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(211)
+    for (trial <- 0 until 3) {
+      val n = 25
+      val wpairs = (0 until 35).map { _ =>
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b), 1L + rnd.nextInt(7))
+      }.filter(p => p._1 != p._2)
+        .groupBy(p => (p._1, p._2)).values.map(_.head).toSeq // unique pairs
+      val df = wpairs.toDF("doc_a", "doc_b", "w")
+      // all-1 weights reduce to the unweighted form exactly
+      val ones = df.withColumn("w", lit(1L))
+      assert(Dedup.labelPropagationWeighted(ones, "w").collect().toSet ===
+        Dedup.labelPropagation(df).collect().toSet, s"trial $trial ones")
+      // weighted ballots: self weighs 1, each neighbor weighs its edge
+      val adj = wpairs.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(v => (v._2, v._3)) }
+      var lab = adj.keys.map(k => k -> k).toMap
+      for (_ <- 1 to 4) {
+        lab = adj.map { case (node, nbrs) =>
+          val tally = scala.collection.mutable.Map.empty[Long, Long]
+            .withDefaultValue(0L)
+          nbrs.foreach { case (m, w) => tally(lab(m)) += w }
+          tally(lab(node)) += 1L
+          node -> tally.toSeq.map { case (l, c) => (-c, l) }.min._2
+        }
+      }
+      val got = Dedup.labelPropagationWeighted(df, "w").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === lab, s"trial $trial weighted")
+    }
+    val dbl = Seq((1L, 2L, 0.5)).toDF("doc_a", "doc_b", "w")
+    val err = intercept[IllegalArgumentException](
+      Dedup.labelPropagationWeighted(dbl, "w"))
+    assert(err.getMessage.contains("integral weight"))
+  }
+
   test("graph ops are partition-layout invariant: same results from a " +
     "1-partition and a many-partition edge list") {
     val spark2 = spark
