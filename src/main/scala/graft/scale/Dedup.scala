@@ -309,12 +309,23 @@ object Dedup extends QueryModule {
       .filter(col("a").isNotNull && col("b").isNotNull && col("w").isNotNull)
       .distinct()
     val nodes = ids.select(col("a").as("node")).distinct()
+    // ONE materialization: edges feed every round's join, and without
+    // the checkpoint Spark would re-derive the whole pair-generation
+    // subtree once per round (no plan-level CSE across join inputs)
     val edges = sym
       .unionByName(nodes.select(col("node").as("a"), col("node").as("b"),
         lit(1L).as("w")))
       .distinct().localCheckpoint()
-    var labels = nodes.select(col("node"), col("node").as("label"))
-      .localCheckpoint()
+    // seed labels from the checkpointed edges' self-loops (every node
+    // has one) rather than the nodes subtree — avoids re-running pair
+    // generation for the seed
+    var labels = edges.filter(col("a") === col("b"))
+      .select(col("a").as("node"), col("a").as("label"))
+    // NO per-round checkpoint, unlike connectedComponents: there are
+    // no mid-loop actions here (fixed iterations, one final action),
+    // so per-round materialization would be 4 blocking passes of pure
+    // overhead — the 4-deep nested plan executes in one pass and every
+    // round's edge input is the same checkpointed scan
     for (_ <- 1 to iters) {
       // top-1 as an AGGREGATE, not a window: max_by over (c, -label) is
       // (tally DESC, label ASC) with map-side partial aggregation — a
@@ -325,7 +336,6 @@ object Dedup extends QueryModule {
         .groupBy(col("b").as("node"), col("label")).agg(sum(col("w")).as("c"))
         .groupBy(col("node"))
         .agg(max_by(col("label"), struct(col("c"), -col("label"))).as("label"))
-        .localCheckpoint()
     }
     labels.select(col("node").as("doc_id"), col("label").as("community_id"))
   }
@@ -358,11 +368,13 @@ object Dedup extends QueryModule {
     val sym = symEdges(pairs, aCol, bCol, "pageRank")
     val deg = sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
     // out-degree rides along with each edge so the contribution step
-    // is a projection, not another join per round
+    // is a projection, not another join per round; ONE materialization
+    // feeds all rounds (see labelPropagationWeighted for why the loop
+    // itself is checkpoint-free: fixed rounds, single final action)
     val symDeg = sym.join(deg, col("a") === col("node"))
       .select(col("a"), col("b"), col("deg")).localCheckpoint()
-    var ranks = deg.select(col("node"), lit(1000000L).as("rank"))
-      .localCheckpoint()
+    var ranks = symDeg.select(col("a").as("node")).distinct()
+      .select(col("node"), lit(1000000L).as("rank"))
     for (_ <- 1 to iters) {
       ranks = symDeg
         .join(ranks.withColumnRenamed("node", "src"), col("a") === col("src"))
@@ -371,7 +383,6 @@ object Dedup extends QueryModule {
         .agg(sum(col("contrib")).as("contrib"))
         .select(col("node"),
           (lit(150000L) + expr("(85 * contrib) div 100")).as("rank"))
-        .localCheckpoint()
     }
     ranks.select(col("node").as("doc_id"), col("rank"))
   }
