@@ -261,12 +261,11 @@ object Dedup extends QueryModule {
     *    instead of flapping.
     *
     * Scale design: each round is one equi-join (edges ⋈ labels,
-    * shuffle by node) + count aggregate + per-node top-1 window —
-    * the same shuffle-by-node shape as [[connectedComponents]]'s
-    * min-label round, with a bounded round count (`iters`, default 4 —
-    * community detection wants locality, not diameter-length reach).
-    * Lineage is truncated per round with localCheckpoint so the plan
-    * doesn't grow with iterations. */
+    * shuffle by node) + tally aggregate + per-node top-1 argmax
+    * aggregate — the same shuffle-by-node shape as
+    * [[connectedComponents]]'s min-label round, with a bounded round
+    * count (`iters`, default 4 — community detection wants locality,
+    * not diameter-length reach). */
   def labelPropagation(pairs: DataFrame, aCol: String = "doc_a",
                        bCol: String = "doc_b", iters: Int = 4): DataFrame =
     labelPropagationWeighted(
@@ -669,6 +668,31 @@ object Dedup extends QueryModule {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** One-row duplication-graph health report — the graph companion to
+    * q78's corpus report: how many documents participate in near-dup
+    * pairs, how dense the pair graph is, how clustered (total
+    * triangles, mean local clustering), and how concentrated (max
+    * degree). Reading it: n_nodes/corpus = the duplication footprint;
+    * high mean_clustering = tight dup clusters (safe to keep-one);
+    * high max_deg with low clustering = a boilerplate hub spraying
+    * weak edges (PageRank's target). All counts are integer
+    * aggregates of [[triangleStats]]'s output, so the one row is
+    * hash-exact; the clustering mean crosses partitions through
+    * [[exactSum]]'s decimal accumulator (a plain double avg() would
+    * be partition-order nondeterministic). */
+  def graphSummary(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val stats = triangleStats(simhashPairs(docs, maxDist))
+    stats.agg(
+      count(lit(1)).as("n_nodes"),
+      // every edge contributes 2 degree units, every triangle 3
+      // participations — integer div keeps the counts exact past 2^53
+      expr("sum(deg) div 2").as("n_edges"),
+      expr("sum(n_tri) div 3").as("n_triangles"),
+      max(col("deg")).as("max_deg"),
+      round(exactSum(col("clustering")) / count(lit(1)), 4)
+        .as("mean_clustering"))
+  }
+
   /** Embedding-cosine near-dup pairs above `minCos`, bounded to ids
     * below `maxId` (oracle-friendly brute force; the scale path is the
     * LSH-bucketed variant in [[Similarity]]). */
@@ -716,6 +740,9 @@ object Dedup extends QueryModule {
       labelPropagationWeighted(
         simhashPairs(T.documents(s, d), maxDist = 5)
           .withColumn("w", lit(6) - col("dist")), "w")),
+    // one-row dup-graph health dashboard (graph twin of q78)
+    "q86_graph_summary" -> ((s, d) =>
+      graphSummary(T.documents(s, d), maxDist = 5)),
     "q29_embed_neardup" -> ((s, d) => embeddingNearDup(T.embeddings(s, d), 0.3, 300L)),
     // the composed end-to-end verb: pairs → clusters → keep one → drop
     "q68_dedup_corpus" -> ((s, d) => dedupCorpus(T.documents(s, d), maxDist = 5)),
@@ -855,6 +882,33 @@ object Dedup extends QueryModule {
         |SELECT CAST(node AS BIGINT) AS doc_id,
         |  CAST(label AS BIGINT) AS community_id
         |FROM lp WHERE it = 4""".stripMargin,
+    "q86_graph_summary" ->
+      s"""WITH $simhashPairCte,
+        |sym AS (SELECT DISTINCT a, b FROM (
+        |  SELECT doc_a AS a, doc_b AS b FROM p
+        |  UNION ALL SELECT doc_b, doc_a FROM p)),
+        |deg AS (SELECT a AS node, COUNT(*) AS deg FROM sym GROUP BY a),
+        |tri AS (SELECT e1.doc_a AS x, e1.doc_b AS y, e2.doc_b AS z
+        |        FROM p e1 JOIN p e2 ON e2.doc_a = e1.doc_b
+        |        JOIN p e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+        |tn AS (SELECT node, COUNT(*) AS n_tri FROM (
+        |    SELECT x AS node FROM tri
+        |    UNION ALL SELECT y FROM tri
+        |    UNION ALL SELECT z FROM tri)
+        |  GROUP BY node),
+        |st AS (SELECT d.node, d.deg, COALESCE(t.n_tri, 0) AS n_tri,
+        |    CASE WHEN d.deg >= 2
+        |      THEN ROUND(CAST(2 AS DOUBLE) * COALESCE(t.n_tri, 0)
+        |                 / (d.deg * (d.deg - 1)), 4)
+        |      ELSE CAST(0 AS DOUBLE) END AS clustering
+        |  FROM deg d LEFT JOIN tn t ON t.node = d.node)
+        |SELECT COUNT(*) AS n_nodes,
+        |  CAST(SUM(deg) // 2 AS BIGINT) AS n_edges,
+        |  CAST(SUM(n_tri) // 3 AS BIGINT) AS n_triangles,
+        |  MAX(deg) AS max_deg,
+        |  ROUND(CAST(SUM(CAST(clustering AS DECIMAL(18,6))) AS DOUBLE)
+        |        / COUNT(*), 4) AS mean_clustering
+        |FROM st""".stripMargin,
     // same recurrence as q80 with SUM(weight) ballots, weight = 6−dist
     "q85_weighted_lp" ->
       s"""WITH RECURSIVE $simhashPairCte,

@@ -380,6 +380,23 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("graph summary aggregates triangle stats into exact one-row counts") {
+    val spark2 = spark
+    import spark2.implicits._
+    // can't run graphSummary directly on toy pairs (it tokenizes docs),
+    // so assert the aggregation identities on triangleStats output for
+    // the triangle+pendant shape: 4 edges, 1 triangle, max deg 3
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .toDF("doc_a", "doc_b")
+    val stats = Dedup.triangleStats(pairs)
+    import org.apache.spark.sql.functions._
+    val row = stats.agg(
+      count(lit(1)), expr("sum(deg) div 2"), expr("sum(n_tri) div 3"),
+      max(col("deg"))).head()
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+      === ((4L, 4L, 1L, 3L)))
+  }
+
   test("connected components equals driver-side union-find on random graphs") {
     val spark2 = spark
     import spark2.implicits._
