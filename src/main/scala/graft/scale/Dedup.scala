@@ -186,11 +186,11 @@ object Dedup extends QueryModule {
     * silent cast would turn non-numeric ids into nulls and corrupt
     * every component/ballot/rank without an error; the null filter
     * drops genuinely-null endpoints (a null is not an edge). */
-  private def symEdges(pairs: DataFrame, aCol: String, bCol: String,
-                       op: String): DataFrame = {
-    for (c <- Seq(aCol, bCol)) {
+  private def requireIntegralIds(df: DataFrame, cols: Seq[String],
+                                 op: String): Unit =
+    for (c <- cols) {
       import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType}
-      val dt = pairs.schema(c).dataType
+      val dt = df.schema(c).dataType
       val integral = dt == LongType || dt == IntegerType ||
         dt == ShortType || dt == ByteType
       require(integral,
@@ -198,6 +198,10 @@ object Dedup extends QueryModule {
           "Map ids to longs first (e.g. hash or dense-rank them) — a " +
           "silent cast would turn non-numeric ids into nulls.")
     }
+
+  private def symEdges(pairs: DataFrame, aCol: String, bCol: String,
+                       op: String): DataFrame = {
+    requireIntegralIds(pairs, Seq(aCol, bCol), op)
     pairs
       .select(col(aCol).cast(LongType).as("a"), col(bCol).cast(LongType).as("b"))
       .unionByName(pairs
@@ -276,18 +280,32 @@ object Dedup extends QueryModule {
     * votes instead of one, so community boundaries follow near-dup
     * STRENGTH (e.g. weight = maxDist + 1 − hamming) rather than mere
     * adjacency — a strong triangle outvotes two weak bridges even when
-    * the degree count alone would not. Weights must be integral: the
-    * ballot tally stays an associative integer sum, preserving the
-    * partition-order exactness (a double weight would reintroduce the
-    * nondeterministic float sum this design exists to avoid). The
-    * self-ballot weighs 1, the minimal anchor. All other contracts
-    * ([[labelPropagation]]'s fixed rounds, (tally DESC, label ASC)
-    * tie-break, per-round checkpoint) are identical — the unweighted
-    * form IS this function with every weight 1. */
+    * the degree count alone would not.
+    *
+    * Contracts (beyond [[labelPropagation]]'s fixed synchronous
+    * rounds and (tally DESC, label ASC) tie-break):
+    *  - weights must be integral AND ≥ 1 — the tally stays an
+    *    associative integer sum (partition-order exact), and a zero
+    *    or negative vote would silently unlink or invert an edge, so
+    *    it raises at execution instead;
+    *  - a pair listed multiple times (either orientation) collapses
+    *    to its MAXIMUM weight — one edge, strongest evidence, never
+    *    an accidental double vote; self-pairs in the input are
+    *    dropped;
+    *  - the self-ballot weighs the node's max incident weight: for a
+    *    2-node component with edge weight w, round 1 is a (w vs w)
+    *    tie broken to the smaller label — the same anti-oscillation
+    *    anchor the unweighted form gets from its weight-1 self-loop
+    *    (a FIXED self-weight of 1 would be outvoted by any heavy
+    *    edge and the pair would swap labels forever, landing back on
+    *    singletons after any even round count). With every weight 1
+    *    this reduces exactly to [[labelPropagation]], which delegates
+    *    here. */
   def labelPropagationWeighted(pairs: DataFrame, wCol: String,
                                aCol: String = "doc_a", bCol: String = "doc_b",
                                iters: Int = 4): DataFrame = {
-    {
+    requireIntegralIds(pairs, Seq(aCol, bCol), "labelPropagationWeighted")
+    locally {
       import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType}
       val dt = pairs.schema(wCol).dataType
       require(dt == LongType || dt == IntegerType ||
@@ -296,25 +314,37 @@ object Dedup extends QueryModule {
           s"'$wCol' is ${dt.simpleString} — integer votes keep the " +
           "tally partition-order exact")
     }
-    val ids = symEdges(pairs, aCol, bCol, "labelPropagationWeighted")
-    // re-attach weights to the validated symmetric edges: same pair
-    // order-normalized key on both orientations
+    // a zero, negative, or null vote silently unlinks or inverts the
+    // edge — fail loudly at execution (codegen'd, no extra pass).
+    // CaseWhen evaluates its else-branch lazily, so the error only
+    // fires on rows that genuinely carry a bad weight. Deliberately NO
+    // `isNotNull(w)` filter on this column: Catalyst would push that
+    // predicate into upstream join conditions as isnotnull(CASE...),
+    // where conjunct evaluation order is unspecified and the
+    // raise_error could fire on candidate rows another conjunct was
+    // about to reject (observed with the simhash blocked join).
+    val wChecked = when(col(wCol) >= 1, col(wCol).cast(LongType))
+      .otherwise(raise_error(concat(
+        lit("labelPropagationWeighted: weights must be >= 1, got "),
+        coalesce(col(wCol).cast("string"), lit("null")))))
     val sym = pairs
+      .filter(col(aCol) =!= col(bCol))
       .select(col(aCol).cast(LongType).as("a"), col(bCol).cast(LongType).as("b"),
-        col(wCol).cast(LongType).as("w"))
+        wChecked.as("w"))
       .unionByName(pairs
+        .filter(col(aCol) =!= col(bCol))
         .select(col(bCol).cast(LongType).as("a"), col(aCol).cast(LongType).as("b"),
-          col(wCol).cast(LongType).as("w")))
-      .filter(col("a").isNotNull && col("b").isNotNull && col("w").isNotNull)
-      .distinct()
-    val nodes = ids.select(col("a").as("node")).distinct()
+          wChecked.as("w")))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .groupBy(col("a"), col("b")).agg(max(col("w")).as("w"))
+    // self-loop weight = max incident weight (see contract above)
+    val selfLoops = sym.groupBy(col("a"))
+      .agg(max(col("w")).as("w"))
+      .select(col("a"), col("a").as("b"), col("w"))
     // ONE materialization: edges feed every round's join, and without
     // the checkpoint Spark would re-derive the whole pair-generation
     // subtree once per round (no plan-level CSE across join inputs)
-    val edges = sym
-      .unionByName(nodes.select(col("node").as("a"), col("node").as("b"),
-        lit(1L).as("w")))
-      .distinct().localCheckpoint()
+    val edges = sym.unionByName(selfLoops).localCheckpoint()
     // seed labels from the checkpointed edges' self-loops (every node
     // has one) rather than the nodes subtree — avoids re-running pair
     // generation for the seed
@@ -913,12 +943,12 @@ object Dedup extends QueryModule {
     "q85_weighted_lp" ->
       s"""WITH RECURSIVE $simhashPairCte,
         |pw AS (SELECT doc_a, doc_b, 6 - dist AS w FROM p),
-        |nodes AS (SELECT DISTINCT node FROM (
-        |  SELECT doc_a AS node FROM pw UNION ALL SELECT doc_b FROM pw)),
-        |e AS (SELECT DISTINCT a, b, w FROM (
+        |symw AS (SELECT a, b, MAX(w) AS w FROM (
         |  SELECT doc_a AS a, doc_b AS b, w FROM pw
-        |  UNION ALL SELECT doc_b, doc_a, w FROM pw
-        |  UNION ALL SELECT node, node, CAST(1 AS BIGINT) FROM nodes)),
+        |  UNION ALL SELECT doc_b, doc_a, w FROM pw) GROUP BY a, b),
+        |nodes AS (SELECT a AS node, MAX(w) AS mw FROM symw GROUP BY a),
+        |e AS (SELECT a, b, w FROM symw
+        |      UNION ALL SELECT node, node, mw FROM nodes),
         |lp(it, node, label) AS (
         |  SELECT 0, node, node FROM nodes
         |  UNION ALL

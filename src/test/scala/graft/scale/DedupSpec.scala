@@ -338,7 +338,8 @@ class DedupSpec extends SparkSpec {
       val ones = df.withColumn("w", lit(1L))
       assert(Dedup.labelPropagationWeighted(ones, "w").collect().toSet ===
         Dedup.labelPropagation(df).collect().toSet, s"trial $trial ones")
-      // weighted ballots: self weighs 1, each neighbor weighs its edge
+      // weighted ballots: each neighbor weighs its edge, self weighs
+      // the node's MAX incident weight (the anti-oscillation anchor)
       val adj = wpairs.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
         .groupBy(_._1).map { case (k, vs) => k -> vs.map(v => (v._2, v._3)) }
       var lab = adj.keys.map(k => k -> k).toMap
@@ -347,7 +348,7 @@ class DedupSpec extends SparkSpec {
           val tally = scala.collection.mutable.Map.empty[Long, Long]
             .withDefaultValue(0L)
           nbrs.foreach { case (m, w) => tally(lab(m)) += w }
-          tally(lab(node)) += 1L
+          tally(lab(node)) += nbrs.map(_._2).max
           node -> tally.toSeq.map { case (l, c) => (-c, l) }.min._2
         }
       }
@@ -359,6 +360,35 @@ class DedupSpec extends SparkSpec {
     val err = intercept[IllegalArgumentException](
       Dedup.labelPropagationWeighted(dbl, "w"))
     assert(err.getMessage.contains("integral weight"))
+  }
+
+  test("weighted LPA contract edges: heavy pairs don't oscillate, " +
+    "duplicate listings take the max weight, self-pairs dropped, " +
+    "non-positive weights raise") {
+    val spark2 = spark
+    import spark2.implicits._
+    // an isolated heavy pair must MERGE (max-incident self-ballot ties
+    // round 1 at w vs w → min label), not swap labels for 4 rounds
+    val heavy = Seq((1L, 2L, 5L)).toDF("doc_a", "doc_b", "w")
+    assert(Dedup.labelPropagationWeighted(heavy, "w").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      === Map(1L -> 1L, 2L -> 1L))
+    // same pair in both orientations with different weights: one edge,
+    // max weight — plus an input self-pair, which is ignored
+    val dup = Seq((1L, 2L, 3L), (2L, 1L, 5L), (7L, 7L, 9L), (2L, 7L, 1L))
+      .toDF("doc_a", "doc_b", "w")
+    val lab = Dedup.labelPropagationWeighted(dup, "w").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // node 2: self-ballot 5 (the deduped 1↔2 edge), label1 5, label7 1
+    // → tie (5,5) breaks to label 1; node 7 follows its only neighbor
+    assert(lab === Map(1L -> 1L, 2L -> 1L, 7L -> 1L))
+    // zero and negative weights fail at execution, not silently
+    for (badW <- Seq(0L, -2L)) {
+      val bad = Seq((1L, 2L, badW)).toDF("doc_a", "doc_b", "w")
+      val e = intercept[Exception](
+        Dedup.labelPropagationWeighted(bad, "w").collect())
+      assert(e.getMessage.contains("weights must be >= 1"), s"w=$badW")
+    }
   }
 
   test("graph ops are partition-layout invariant: same results from a " +
