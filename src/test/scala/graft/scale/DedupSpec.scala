@@ -401,7 +401,9 @@ class DedupSpec extends SparkSpec {
       (math.min(a, b), math.max(a, b))
     }.filter(p => p._1 != p._2).distinct.toDF("doc_a", "doc_b")
     for (op <- Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
-      Dedup.labelPropagation(_), Dedup.pageRank(_), Dedup.triangleStats(_))) {
+      Dedup.labelPropagation(_), Dedup.pageRank(_), Dedup.triangleStats(_),
+      df => Dedup.labelPropagationWeighted(
+        df.withColumn("w", (col("doc_a") % 5 + 1).cast("long")), "w"))) {
       val one = op(edges.repartition(1)).collect()
         .map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
       val many = op(edges.repartition(13)).collect()
