@@ -723,6 +723,78 @@ object Dedup extends QueryModule {
         .as("mean_clustering"))
   }
 
+  /** Substring-level duplicated-SPAN detection — the span-granular
+    * dedup modality of Lee et al. 2022 ("Deduplicating Training Data
+    * Makes Language Models Better"): instead of flagging whole
+    * documents ([[repeatedNgrams]]) or pairing them ([[ngramJaccard]]),
+    * emit the actual duplicated word INTERVALS per document, as
+    * (doc_id, span_start, span_len) with the number of duplicated
+    * windows each span merged. A span is a maximal run of n-word
+    * windows whose fingerprint occurs in at least `minDocs` DISTINCT
+    * documents; overlapping and word-adjacent duplicated windows merge
+    * into one interval (gaps-and-islands with break at
+    * pos > prev + n). Within-doc-only repetition is deliberately not
+    * flagged — cross-document duplication is the memorization risk;
+    * the within-doc signal is [[repeatedNgrams]]' territory.
+    *
+    * Fingerprints are md5 per window (portable to the oracle engine);
+    * a Rabin-Karp rolling hash would shave the O(n) per-window rehash
+    * but is not expressible as a shared cross-engine semantic, and the
+    * md5 stays inside one codegen'd projection over the scan.
+    *
+    * Scale design — NO PAIR JOIN ANYWHERE: unlike every pairwise
+    * dedup op here, span detection never enumerates (doc, doc)
+    * candidates, so there is no quadratic blow-up to df-cap — a
+    * boilerplate window shared by 100k documents costs exactly its
+    * 100k window rows, not 5·10⁹ pairs. The shape is: one tokenize
+    * pass (checkpointed), a df-aggregate shuffled by the 16-byte
+    * fingerprint with map-side partials, a semi-join back on the same
+    * key, and a per-document sort for the interval merge whose
+    * partition data is bounded by document length. Every shuffle key
+    * is short and every stage is linear in corpus windows. */
+  def dupSpans(docs: DataFrame, n: Int = ShingleSize,
+               minDocs: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1, s"window size must be >= 1: $n")
+    require(minDocs >= 2, s"minDocs must be >= 2 (a span duplicated in " +
+      s"fewer than 2 documents is not a duplicate): $minDocs")
+    // positional window fingerprints (doc_id, pos, h): ws materialized
+    // first so the shingle kernel reads it once (see shingleTable);
+    // checkpointed because both the df aggregate and the semi-join
+    // read it — without the barrier the tokenize chain runs twice
+    val win = Layout.widen(docs)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"),
+        posexplode(shinglesFromWords(col("ws"), n)).as(Seq("pos", "sh")))
+      .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+        md5(col("sh")).as("h"))
+      .localCheckpoint()
+    val dup = win.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("h"))
+    val hits = win.join(dup, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    // gaps-and-islands: windows at pos and prev overlap or touch iff
+    // pos <= prev + n (a window covers words [pos, pos+n-1]); both
+    // window functions share one (doc_id, pos) sort
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val grouped = hits
+      .withColumn("prev", lag(col("pos"), 1).over(byDoc))
+      .withColumn("brk",
+        when(col("prev").isNull || col("pos") > col("prev") + n, 1L)
+          .otherwise(0L))
+      .withColumn("grp", sum(col("brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    grouped.groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) - min(col("pos")) + n).as("span_len"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_len"),
+        col("n_windows"))
+  }
+
   /** Embedding-cosine near-dup pairs above `minCos`, bounded to ids
     * below `maxId` (oracle-friendly brute force; the scale path is the
     * LSH-bucketed variant in [[Similarity]]). */
@@ -785,7 +857,9 @@ object Dedup extends QueryModule {
     // incremental ingest: batch (id >= 400) deduped against corpus (< 400)
     "q77_incremental_dedup" -> ((s, d) =>
       incrementalDedupAt(T.documents(s, d), boundary = 400L)
-        .select(col("doc_id"), col("lang")))
+        .select(col("doc_id"), col("lang"))),
+    // substring-level dedup: maximal duplicated word-spans per document
+    "q87_dup_spans" -> ((s, d) => dupSpans(T.documents(s, d)))
   )
 
   private val normSql =
@@ -1081,6 +1155,31 @@ object Dedup extends QueryModule {
          |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
          |SELECT vec_a, vec_b, ROUND(cos, 4) AS cos
          |FROM pr WHERE cos >= 0.2""".stripMargin,
+    // same window/merge recurrence: positional 4-word window md5s,
+    // HAVING >= 2 distinct docs, LAG/SUM gaps-and-islands merge
+    "q87_dup_spans" ->
+      s"""WITH ws AS (SELECT doc_id, $normSql AS ws FROM documents),
+         |idx AS (SELECT doc_id, ws, unnest(range(1, len(ws)-2)) AS i
+         |        FROM ws WHERE len(ws) >= 4),
+         |win AS (SELECT doc_id, i - 1 AS pos,
+         |    md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) AS h
+         |  FROM idx),
+         |dup AS (SELECT h FROM win GROUP BY h
+         |        HAVING COUNT(DISTINCT doc_id) >= 2),
+         |hits AS (SELECT doc_id, pos FROM win
+         |         WHERE h IN (SELECT h FROM dup)),
+         |brk AS (SELECT doc_id, pos,
+         |    CASE WHEN LAG(pos) OVER w IS NULL
+         |           OR pos > LAG(pos) OVER w + 4 THEN 1 ELSE 0 END AS b
+         |  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |grp AS (SELECT doc_id, pos,
+         |    SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+         |                 ROWS UNBOUNDED PRECEDING) AS g
+         |  FROM brk)
+         |SELECT doc_id, MIN(pos) AS span_start,
+         |  MAX(pos) - MIN(pos) + 4 AS span_len,
+         |  COUNT(*) AS n_windows
+         |FROM grp GROUP BY doc_id, g""".stripMargin,
     "q29_embed_neardup" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))

@@ -605,4 +605,59 @@ class DedupSpec extends SparkSpec {
     assert(pairs.map(p => (p._1, p._2)).toSeq === Seq((1L, 2L)))
     assert(pairs.head._3 === 1.0)
   }
+
+  test("dupSpans merges cross-doc duplicated windows into maximal spans " +
+    "and ignores within-doc-only repetition") {
+    val spark2 = spark
+    import spark2.implicits._
+    // docs 1/2 share a 10-word prefix (w0..w9), then diverge; windows at
+    // word positions 0..6 are duplicated, merging into one span of 10
+    val shared = (0 until 10).map(i => s"alpha$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$shared tail one unique ending here now"),
+      (2L, s"$shared other closing words go there instead"),
+      // doc 3 repeats ITS OWN phrase twice but shares nothing: the
+      // window fingerprints occur in only one distinct doc → no span
+      (3L, "echo1 echo2 echo3 echo4 filler echo1 echo2 echo3 echo4 done"),
+      (4L, "entirely separate words about mountains rivers valleys clouds")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.dupSpans(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(s => (s._1, s._2))
+    assert(spans === Seq((1L, 0L, 10L, 7L), (2L, 0L, 10L, 7L)))
+  }
+
+  test("dupSpans: separated duplicated regions stay two spans, " +
+    "word-adjacent ones merge") {
+    val spark2 = spark
+    import spark2.implicits._
+    // two shared 5-word phrases separated by ≥2 non-shared words in
+    // both docs → two spans each; phrase positions differ per doc
+    val p1 = (0 until 5).map(i => s"head$i").mkString(" ")
+    val p2 = (0 until 5).map(i => s"tail$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$p1 gapword1 gapword2 $p2"),
+      (2L, s"front filler words here $p1 other gapx gapy $p2 yet more unique")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.dupSpans(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(s => (s._1, s._2))
+    // doc 1: words 0-4 (head) and 7-11 (tail); doc 2: words 4-8, 12-16
+    assert(spans === Seq((1L, 0L, 5L), (1L, 7L, 5L),
+      (2L, 4L, 5L), (2L, 12L, 5L)))
+    // a doc whose two duplicated windows touch (pos delta == n) merges
+    // them: doc 10/11 share w0..w3 and w4..w7 but not the bridging
+    // windows (middle words differ... they don't here — both phrases
+    // are contiguous in both docs, so the whole 8 words is ONE span)
+    val both = Seq(
+      (10L, s"$p1 $p2 closing distinct remainder words"),
+      (11L, s"prefix unshared $p1 $p2 another finish")
+    ).toDF("doc_id", "text")
+    val merged = Dedup.dupSpans(both).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(s => (s._1, s._2))
+    assert(merged === Seq((10L, 0L, 10L), (11L, 2L, 10L)))
+    // guards: a 1-doc "duplicate" threshold is rejected loudly
+    intercept[IllegalArgumentException](Dedup.dupSpans(corpus, minDocs = 1))
+  }
 }
