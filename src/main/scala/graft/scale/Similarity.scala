@@ -90,19 +90,48 @@ object Similarity extends QueryModule {
       .select(col("q_id"), col("c_id"), round(col("cos"), 4).as("cos"), col("rank"))
   }
 
-  /** ANN via LSH: candidates = same-bucket corpus vectors; then exact
-    * cosine re-rank, top-3 per query. The equality join on `bucket`
-    * is the scale path — no cross product ever forms. */
-  def annLsh(emb: DataFrame, nQueries: Long = 50L, k: Int = 3): DataFrame = {
+  /** ANN via LSH: candidates = corpus vectors in any bucket within
+    * Hamming distance `maxFlips` of the query's bucket (multi-probe
+    * LSH, Lv et al. 2007); then exact cosine re-rank, top-k per query.
+    *
+    * `maxFlips = 0` is classic single-table LSH — one bucket per
+    * query. On near-uniform data that configuration has near-zero
+    * recall BY MATH, not by bug: measured on this corpus the true
+    * top-5 neighbors sit at cos ≈ 0.33 (θ ≈ 71°), so
+    * P(8 planes all agree) ≈ (1 − θ/π)⁸ ≈ 2% per neighbor — which is
+    * exactly what the q88 recall audit shows. Multi-probe is the
+    * standard fix: probing all buckets within `maxFlips` sign-bit
+    * flips multiplies P(candidate) by the binomial tail without
+    * touching the index layout.
+    *
+    * Scale shape: the probe set is built QUERY-SIDE — each query
+    * explodes into Σ C(planes, ≤maxFlips) probe buckets (93 of 256
+    * at maxFlips = 3) and the corpus joins by bucket EQUALITY, so the
+    * corpus is never replicated and no cross product forms; a corpus
+    * vector's bucket matches at most one probe value per query, so
+    * candidates never duplicate. The probe fraction
+    * Σ C(p, ≤r) / 2^p is the recall/cost dial: at 100 TB raise
+    * NumPlanes so the probed fraction stays small while per-bucket
+    * occupancy stays bounded — the dial is independent of this plan
+    * shape. */
+  def annLsh(emb: DataFrame, nQueries: Long = 50L, k: Int = 3,
+             maxFlips: Int = 0): DataFrame = {
+    require(maxFlips >= 0 && maxFlips <= NumPlanes,
+      s"maxFlips must be in [0, $NumPlanes]: $maxFlips")
+    val masks: Seq[Long] = (0L until (1L << NumPlanes))
+      .filter(m => java.lang.Long.bitCount(m) <= maxFlips)
     val withBucket = bucketedVectors(emb)
     val q = withBucket.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("bucket"),
         col("v").as("qv"), col("nrm").as("qn"))
+      .withColumn("probe",
+        explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)))
+      .drop("bucket")
     val c = withBucket.select(col("vec_id").as("c_id"), col("bucket"),
       col("v").as("cv"), col("nrm").as("cn"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("c_id").asc)
-    c.join(broadcast(q), Seq("bucket"))
+    c.join(broadcast(q), col("bucket") === col("probe"))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
         (dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
@@ -301,6 +330,61 @@ object Similarity extends QueryModule {
       .select(col("q_id"), col("c_id"), col("adist"), col("rank"))
   }
 
+  /** Multi-probe radius the recall audit certifies LSH at — see
+    * [[annLsh]]: single-probe (maxFlips 0) measures recall 0.0 on
+    * this corpus, so auditing it would certify nothing. */
+  val LshProbeFlips = 3
+
+  /** Minimum certified recall@5 per ANN method — set with margin
+    * under the values measured at sf0.001 AND sf0.01 (corpus 500,
+    * near-uniform embeddings): multi-probe LSH (r=3) ~0.5, IVF (2/16
+    * probes) ~0.9, PQ-ADC (8×16 codes) 0.15–0.25 — PQ's 16-entry
+    * first-vectors codebook quantizes near-uniform data coarsely, and
+    * the threshold certifies "not collapsed", not "good". The audit
+    * certifies the index DOESN'T DEGRADE: a code change that halves a
+    * method's recall flips `recall_ok` and the driver gate goes red,
+    * same contract as q81's HLL tolerance. */
+  val LshMinRecall = 0.3
+  val IvfMinRecall = 0.55
+  val PqMinRecall = 0.1
+
+  /** Recall-audit gate for the three ANN paths — certifies index
+    * QUALITY the way [[Sketches.hllAudit]] certifies sketch accuracy:
+    * each method's top-k against the exact [[knnBrute]] ground truth
+    * on the same queries, one row per method with the measured
+    * recall@k and a `recall_ok` boolean against the thresholds above.
+    * A hash mismatch on this query means "index quality moved", not
+    * "wrong answer" — the recall VALUES are deterministic (every
+    * ranking here tie-breaks on c_id, and hit counts are integers),
+    * so reruns are stable and the gate is hash-checkable.
+    *
+    * Scale note: ground truth is the expensive arm (brute force over
+    * the corpus for `nQueries` probes) — like the HLL audit's exact
+    * arm, run it on a sampled query set to certify the index, never
+    * corpus-wide. The three ANN arms are the production paths at
+    * their production shapes; truth is checkpointed so the corpus
+    * scan behind it runs once, and each hit count is a broadcast-size
+    * semi-join (nQueries × k rows) against an ANN result. */
+  def annRecall(emb: DataFrame, nQueries: Long = 8L, k: Int = TopK): DataFrame = {
+    val truth = knnBrute(emb, nQueries, k)
+      .select(col("q_id"), col("c_id")).localCheckpoint()
+    def audit(method: String, ann: DataFrame, minRecall: Double): DataFrame = {
+      val hits = ann.select(col("q_id"), col("c_id"))
+        .join(truth, Seq("q_id", "c_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      val tot = truth.agg(count(lit(1)).as("n_truth"))
+      // 1-row × 1-row cross join; recall_ok compares the ROUNDED value
+      // so both engines test the same 4-decimal number
+      hits.crossJoin(tot)
+        .select(lit(method).as("method"), col("n_truth"), col("n_hits"),
+          round(col("n_hits").cast("double") / col("n_truth"), 4).as("recall"))
+        .withColumn("recall_ok", col("recall") >= minRecall)
+    }
+    audit("lsh_mp", annLsh(emb, nQueries, k, LshProbeFlips), LshMinRecall)
+      .unionByName(audit("ivf", annIvf(emb, nQueries, k), IvfMinRecall))
+      .unionByName(audit("pq", annPq(emb, nQueries, k), PqMinRecall))
+  }
+
   // ---- driver-gate query registry ----
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -310,7 +394,9 @@ object Similarity extends QueryModule {
     "q38_ann_ivf" -> ((s, d) => annIvf(T.embeddings(s, d))),
     "q47_quantize_err" -> ((s, d) => quantizeStats(T.embeddings(s, d))),
     "q51_pq_codes" -> ((s, d) => pqCodes(T.embeddings(s, d))),
-    "q61_ann_pq" -> ((s, d) => annPq(T.embeddings(s, d)))
+    "q61_ann_pq" -> ((s, d) => annPq(T.embeddings(s, d))),
+    // recall@k certification of all three ANN paths vs brute truth
+    "q88_ann_recall" -> ((s, d) => annRecall(T.embeddings(s, d)))
   )
 
   /** DuckDB literal list for plane p, identical doubles to the plan. */
@@ -430,6 +516,103 @@ object Similarity extends QueryModule {
         |        * (x - floor(x*(127.0/mx) + 0.5)/(127.0/mx)))),
         |    (a, b) -> a + b) AS sse
         |FROM m WHERE mx > 0""".stripMargin,
+    // the four ANN chains above composed into one audit: brute truth,
+    // each method's top-k at the same (nQueries=8, k=5) shape, recall
+    // per method with its certification threshold. A hash mismatch
+    // here means "index quality moved", not "wrong answer".
+    "q88_ann_recall" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
+         |tpairs AS (
+         |  SELECT q.vec_id AS q_id, t.vec_id AS c_id,
+         |    list_dot_product(q.v, t.v) / (q.nrm * t.nrm) AS cos
+         |  FROM n q JOIN n t ON q.vec_id < 8 AND t.vec_id <> q.vec_id),
+         |truth AS (SELECT q_id, c_id FROM (
+         |    SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, c_id ASC) AS rn FROM tpairs)
+         |  WHERE rn <= $TopK),
+         |tcount AS (SELECT COUNT(*) AS n FROM truth),
+         |bk AS (SELECT vec_id, CAST($bucketSql AS BIGINT) AS bucket FROM embeddings),
+         |lpairs AS (
+         |  SELECT q.vec_id AS q_id, t.vec_id AS c_id,
+         |    list_dot_product(qn.v, cn.v) / (qn.nrm * cn.nrm) AS cos
+         |  FROM bk q JOIN bk t
+         |    ON bit_count(xor(q.bucket, t.bucket)) <= $LshProbeFlips
+         |  JOIN n qn ON qn.vec_id = q.vec_id
+         |  JOIN n cn ON cn.vec_id = t.vec_id
+         |  WHERE q.vec_id < 8 AND t.vec_id <> q.vec_id),
+         |lsh AS (SELECT q_id, c_id FROM (
+         |    SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, c_id ASC) AS rn FROM lpairs)
+         |  WHERE rn <= $TopK),
+         |cents AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM n WHERE vec_id < $IvfCells),
+         |assign AS (SELECT vec_id, cell_id FROM (
+         |    SELECT a.vec_id, c.cell_id,
+         |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |        ORDER BY list_dot_product(a.v, c.cv)/(a.nrm*c.cn) DESC, c.cell_id ASC) AS rn
+         |    FROM n a, cents c) WHERE rn <= 1),
+         |probes AS (SELECT q_id, cell_id FROM (
+         |    SELECT q.vec_id AS q_id, c.cell_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_dot_product(q.v, c.cv)/(q.nrm*c.cn) DESC, c.cell_id ASC) AS rn
+         |    FROM n q, cents c WHERE q.vec_id < 8) WHERE rn <= $IvfProbes),
+         |ipairs AS (
+         |  SELECT p.q_id, t.vec_id AS c_id,
+         |    list_dot_product(qn.v, t.v) / (qn.nrm * t.nrm) AS cos
+         |  FROM probes p
+         |  JOIN assign a ON a.cell_id = p.cell_id
+         |  JOIN n t ON t.vec_id = a.vec_id
+         |  JOIN n qn ON qn.vec_id = p.q_id
+         |  WHERE t.vec_id <> p.q_id),
+         |ivf AS (SELECT q_id, c_id FROM (
+         |    SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, c_id ASC) AS rn FROM ipairs)
+         |  WHERE rn <= $TopK),
+         |sub AS (SELECT vec_id, m, v[m*$PqSubDim+1 : m*$PqSubDim+$PqSubDim] AS sv
+         |        FROM v, range(0, $PqSubspaces) t(m)),
+         |pcents AS (SELECT CAST(vec_id AS INTEGER) AS k, m,
+         |    v[m*$PqSubDim+1 : m*$PqSubDim+$PqSubDim] AS cv
+         |  FROM v, range(0, $PqSubspaces) t(m) WHERE vec_id < $PqCodebook),
+         |d AS (SELECT s.vec_id, s.m, c.k,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(1, ${PqSubDim + 1}),
+         |        i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))),
+         |      (a, b) -> a + b) AS d
+         |  FROM sub s JOIN pcents c USING (m)),
+         |passign AS (SELECT vec_id AS c_id, m, k AS code FROM (
+         |    SELECT vec_id, m, k, d,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d ASC, k ASC) AS rn
+         |    FROM d) WHERE rn = 1),
+         |lut AS (SELECT vec_id AS q_id, m, k AS code, d AS qd
+         |  FROM d WHERE vec_id < 8),
+         |approx AS (
+         |  SELECT a.c_id, l.q_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(l.qd ORDER BY l.m)),
+         |      (x, y) -> x + y) AS adist
+         |  FROM passign a JOIN lut l USING (m, code)
+         |  GROUP BY a.c_id, l.q_id),
+         |pq AS (SELECT q_id, c_id FROM (
+         |    SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY adist ASC, c_id ASC) AS rn
+         |    FROM approx WHERE q_id <> c_id)
+         |  WHERE rn <= $TopK)
+         |SELECT 'lsh_mp' AS method, t.n AS n_truth, h.c AS n_hits,
+         |  ROUND(CAST(h.c AS DOUBLE)/t.n, 4) AS recall,
+         |  ROUND(CAST(h.c AS DOUBLE)/t.n, 4) >= $LshMinRecall AS recall_ok
+         |FROM tcount t, (SELECT COUNT(*) AS c FROM lsh s
+         |  JOIN truth u ON s.q_id = u.q_id AND s.c_id = u.c_id) h
+         |UNION ALL
+         |SELECT 'ivf' AS method, t.n AS n_truth, h.c AS n_hits,
+         |  ROUND(CAST(h.c AS DOUBLE)/t.n, 4) AS recall,
+         |  ROUND(CAST(h.c AS DOUBLE)/t.n, 4) >= $IvfMinRecall AS recall_ok
+         |FROM tcount t, (SELECT COUNT(*) AS c FROM ivf s
+         |  JOIN truth u ON s.q_id = u.q_id AND s.c_id = u.c_id) h
+         |UNION ALL
+         |SELECT 'pq' AS method, t.n AS n_truth, h.c AS n_hits,
+         |  ROUND(CAST(h.c AS DOUBLE)/t.n, 4) AS recall,
+         |  ROUND(CAST(h.c AS DOUBLE)/t.n, 4) >= $PqMinRecall AS recall_ok
+         |FROM tcount t, (SELECT COUNT(*) AS c FROM pq s
+         |  JOIN truth u ON s.q_id = u.q_id AND s.c_id = u.c_id) h""".stripMargin,
     "q32_ann_lsh" ->
       s"""WITH b AS (
          |  SELECT vec_id, CAST($bucketSql AS BIGINT) AS bucket,

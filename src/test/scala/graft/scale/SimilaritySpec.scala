@@ -65,4 +65,59 @@ class SimilaritySpec extends SparkSpec {
     assert(row.getAs[Double]("mx") === mx)
     assert(math.abs(row.getAs[Double]("sse") - expected) < 1e-12)
   }
+
+  test("multi-probe LSH: maxFlips=NumPlanes candidates everything and " +
+    "equals brute force; maxFlips widens monotonically; flips guard") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(11)
+    val emb = (0 until 40).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    // probing all 2^8 buckets makes every corpus vector a candidate:
+    // the "ANN" result must equal exact brute force
+    val full = rows(Similarity.annLsh(emb, nQueries = 4, k = 5,
+      maxFlips = Similarity.NumPlanes))
+    val brute = rows(Similarity.knnBrute(emb, nQueries = 4, k = 5))
+    assert(full === brute)
+    // candidate sets only grow with radius → hit count vs truth is
+    // monotone non-decreasing in maxFlips
+    val perFlip = Seq(0, 2, 4, 8).map(f =>
+      rows(Similarity.annLsh(emb, 4, 5, f)).map { case (q, c, _) => (q, c) }
+        .intersect(brute.map { case (q, c, _) => (q, c) }).size)
+    assert(perFlip.sliding(2).forall { case Seq(a, b) => a <= b })
+    intercept[IllegalArgumentException](Similarity.annLsh(emb, 4, 5, 9))
+  }
+
+  test("annRecall: one row per method, ivf certified on clustered data, " +
+    "recall deterministic across reruns") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(7)
+    // clustered corpus: 10 anchor directions, 5 jittered copies each —
+    // real neighbor structure so the ANN paths have something to find
+    val anchors = Array.fill(10)(Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    val emb = (0 until 50).map { i =>
+      val a = anchors(i % 10)
+      (i.toLong, a.map(x => x + rnd.nextFloat() * 0.1f))
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.annRecall(emb).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toMap
+    assert(out.keySet === Set("lsh_mp", "ivf", "pq"))
+    out.values.foreach { case (nTruth, nHits, recall, _) =>
+      assert(nTruth === 40L) // 8 queries × top-5
+      assert(nHits >= 0L && nHits <= nTruth)
+      assert(recall >= 0.0 && recall <= 1.0)
+    }
+    // multi-probe LSH and IVF find jitter-cluster neighbors easily
+    assert(out("lsh_mp")._3 >= 0.5)
+    assert(out("ivf")._3 >= 0.5)
+    // rerun → identical values (deterministic tie-breaks everywhere)
+    val again = Similarity.annRecall(emb).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toMap
+    assert(again === out)
+  }
 }
