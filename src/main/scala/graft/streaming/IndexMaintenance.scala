@@ -9,8 +9,12 @@ case class VecArrival(vec_id: Long, ts: Timestamp, embedding: Array[Double])
 
 /** Running (count, sum) state shared by both maintenance ops: the sum
   * holds cosines for IVF cells and reconstruction errors for PQ
-  * subspaces. */
-case class RunningSum(n: Long, sum: Double)
+  * subspaces, accumulated EXACTLY in decimal space (scale 18) so that
+  * addition is associative — replay order, partition order, and batch
+  * iteration order cannot change the state by even an ulp. Encoded as
+  * Spark's default Decimal(38, 18): 20 integer digits of headroom ≈
+  * 10²⁰ unit-magnitude arrivals before overflow. */
+case class RunningSum(n: Long, sum: BigDecimal)
 
 /** Per-batch maintenance report for one IVF cell: lifetime stats plus
   * the batch-local mean that drives the rebuild signal. */
@@ -44,19 +48,58 @@ case class SubspaceUpdate(m: Int, n_batch: Long, n_total: Long,
   *    broadcast array (k centroids) — scan-side compute, no shuffle,
   *    no lookup join;
   *  - the only shuffle is groupByKey(cell_id), and state is bounded by
-  *    the CELL COUNT (k entries of (n, sumCos) — a few hundred bytes),
+  *    the CELL COUNT (k entries of (n, sum) — a few hundred bytes),
   *    not by stream length: no watermark eviction needed, ever;
-  *  - within a batch each cell's rows are folded in (ts, vec_id) order,
-  *    so the double sum is deterministic under replay.
+  *  - the per-batch fold STREAMS the group iterator — O(1) memory per
+  *    group, never materializing a batch (an earlier form sorted each
+  *    group's rows for a deterministic double fold, which buffered a
+  *    whole batch's arrivals for one hot cell in a single task).
+  *    Determinism now comes from arithmetic, not ordering: each value
+  *    is rounded once to decimal scale 18 (HALF_EVEN — deterministic)
+  *    and summed EXACTLY; decimal addition is associative, so any
+  *    iteration order yields the bit-identical state and means.
   */
 object IndexMaintenance {
+
+  /** One double → exact scale-18 decimal, the unit of the associative
+    * state sum. Non-finite inputs fail loudly with context instead of
+    * surfacing as BigDecimal's bare NumberFormatException. */
+  private def toDec(x: Double, what: String): java.math.BigDecimal = {
+    require(java.lang.Double.isFinite(x),
+      s"$what must be finite, got $x — a NaN/Inf embedding upstream?")
+    new java.math.BigDecimal(x)
+      .setScale(18, java.math.RoundingMode.HALF_EVEN)
+  }
+
+  /** Stream a group's values into the running (n, sum) state and emit
+    * (n_batch, n_total, lifetime mean, batch mean): the shared state
+    * fold of both maintenance ops. Exact decimal accumulation — see
+    * the class note; the iterator is consumed one element at a time. */
+  private def foldBatch(values: Iterator[Double], what: String,
+                        state: GroupState[RunningSum]): (Long, Long, Double, Double) = {
+    var nBatch = 0L
+    var batchSum = java.math.BigDecimal.ZERO
+    values.foreach { x => nBatch += 1; batchSum = batchSum.add(toDec(x, what)) }
+    val prev = state.getOption.getOrElse(RunningSum(0L, BigDecimal(0L).setScale(18)))
+    // java-space add: exact, keeps scale 18 (scala BigDecimal ops run
+    // under MathContext.DECIMAL128 — 34 significant digits — which
+    // would silently round, and rounded addition is not associative)
+    val nextSum = prev.sum.bigDecimal.add(batchSum)
+    val next = RunningSum(prev.n + nBatch, BigDecimal(nextSum))
+    state.update(next)
+    (nBatch, next.n,
+      nextSum.doubleValue / next.n, batchSum.doubleValue / nBatch)
+  }
 
   /** Nearest-centroid id by cosine, smallest cell id on ties — the same
     * argmax contract as the batch `ivfCells` max_by aggregate.
     * `norms` carries the centroids' precomputed L2 norms so the per-row
     * hot loop does only the dot product (centroids are frozen for the
     * query's lifetime; re-deriving k norms per row would double the
-    * flop count forever). */
+    * flop count forever). A zero vector (or zero centroid) scores
+    * cos −1 and still assigns; an embedding with NaN/Inf components
+    * would fail every comparison and is rejected loudly below instead
+    * of silently accumulating state under a phantom cell −1. */
   private[streaming] def assignCell(v: Array[Double],
                                     cents: Array[(Long, Array[Double])],
                                     norms: Array[Double]): (Long, Double) = {
@@ -77,6 +120,10 @@ object IndexMaintenance {
       }
       k += 1
     }
+    if (bestId == -1L)
+      throw new IllegalArgumentException(
+        "assignCell: no centroid produced a comparable cosine — the " +
+          "embedding (or every centroid) contains NaN/Inf components")
     (bestId, bestCos)
   }
 
@@ -125,7 +172,8 @@ object IndexMaintenance {
     * errThreshold` (batch-local for the same reason as maintainIvf —
     * a lifetime mean dilutes drift as the index grows). State is 8
     * entries of (n, sum) — bounded by the subspace count, never the
-    * stream. */
+    * stream — and each batch streams through the group iterator in
+    * O(1) memory (exact decimal sum; see [[RunningSum]]). */
   def maintainPq(arrivals: Dataset[VecArrival],
                  codebooks: Array[Array[Array[Double]]],
                  errThreshold: Double = 0.5): Dataset[SubspaceUpdate] = {
@@ -142,23 +190,17 @@ object IndexMaintenance {
         require(a.embedding.length >= nSub * subDim,
           s"embedding dim ${a.embedding.length} < $nSub×$subDim")
         (0 until nSub).map { m =>
-          (m, a.vec_id, a.ts.getTime,
-            subspaceErr(a.embedding, m, bc.value(m), subDim))
+          (m, subspaceErr(a.embedding, m, bc.value(m), subDim))
         }
       }
       .groupByKey(_._1)
       .mapGroupsWithState[RunningSum, SubspaceUpdate](
         GroupStateTimeout.NoTimeout) {
-        (m: Int, rows: Iterator[(Int, Long, Long, Double)],
+        (m: Int, rows: Iterator[(Int, Double)],
          state: GroupState[RunningSum]) =>
-          val batch = rows.toSeq.sortBy(r => (r._3, r._2))
-          val prev = state.getOption.getOrElse(RunningSum(0L, 0.0))
-          val batchSum = batch.foldLeft(0.0)((s, r) => s + r._4)
-          val next = RunningSum(prev.n + batch.size, prev.sum + batchSum)
-          state.update(next)
-          val batchMean = batchSum / batch.size
-          SubspaceUpdate(m, batch.size.toLong, next.n,
-            next.sum / next.n, batchMean,
+          val (nBatch, nTotal, mean, batchMean) =
+            foldBatch(rows.map(_._2), "subspace reconstruction error", state)
+          SubspaceUpdate(m, nBatch, nTotal, mean, batchMean,
             retrain = batchMean > errThreshold)
       }
   }
@@ -169,7 +211,9 @@ object IndexMaintenance {
     * and the rebuild flag (`batch_mean_cos < driftThreshold` — the
     * batch mean is the drift detector, the lifetime mean the
     * baseline). Emits in Update mode — one row per touched cell per
-    * batch. */
+    * batch; a batch that lands millions of arrivals in ONE cell
+    * streams through that group's iterator without buffering (exact
+    * decimal sum; see [[RunningSum]]). */
   def maintainIvf(arrivals: Dataset[VecArrival],
                   centroids: Array[(Long, Array[Double])],
                   driftThreshold: Double = 0.7): Dataset[CellUpdate] = {
@@ -183,22 +227,16 @@ object IndexMaintenance {
       .map { a =>
         val (cents, ns) = bc.value
         val (cell, cos) = assignCell(a.embedding, cents, ns)
-        (cell, a.vec_id, a.ts.getTime, cos)
+        (cell, cos)
       }
       .groupByKey(_._1)
       .mapGroupsWithState[RunningSum, CellUpdate](
         GroupStateTimeout.NoTimeout) {
-        (cell: Long, rows: Iterator[(Long, Long, Long, Double)],
+        (cell: Long, rows: Iterator[(Long, Double)],
          state: GroupState[RunningSum]) =>
-          // deterministic fold order under replay: (ts, vec_id)
-          val batch = rows.toSeq.sortBy(r => (r._3, r._2))
-          val prev = state.getOption.getOrElse(RunningSum(0L, 0.0))
-          val batchSum = batch.foldLeft(0.0)((s, r) => s + r._4)
-          val next = RunningSum(prev.n + batch.size, prev.sum + batchSum)
-          state.update(next)
-          val batchMean = batchSum / batch.size
-          CellUpdate(cell, batch.size.toLong, next.n,
-            next.sum / next.n, batchMean,
+          val (nBatch, nTotal, mean, batchMean) =
+            foldBatch(rows.map(_._2), "member-to-centroid cosine", state)
+          CellUpdate(cell, nBatch, nTotal, mean, batchMean,
             rebuild = batchMean < driftThreshold)
       }
   }

@@ -20,6 +20,44 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(IndexMaintenance.assignCell(Array(1.0, 1.0), cents)._1 === 0L)
     // zero vector matches nothing well; still assigned deterministically
     assert(IndexMaintenance.assignCell(Array(0.0, 0.0), cents)._1 === 0L)
+    // NaN embedding: every cosine comparison fails — rejected loudly
+    // instead of silently accumulating state under phantom cell -1
+    intercept[IllegalArgumentException](
+      IndexMaintenance.assignCell(Array(Double.NaN, 1.0), cents))
+  }
+
+  test("a large single-cell batch streams through the state fold, and " +
+    "the decimal sum makes means independent of arrival order") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 50k arrivals, ALL nearest cell 0, one micro-batch — the shape
+    // that would have buffered the whole batch in one task under the
+    // old sort-for-determinism fold; values vary so the sum is not
+    // trivially order-invariant for doubles
+    val arrivals = (0 until 50000).map { i =>
+      VecArrival(i.toLong, ts(i % 60), Array(1.0, 1e-7 * (i % 997)))
+    }
+    def run(data: Seq[VecArrival], name: String): CellUpdate = {
+      val src = MemoryStream[VecArrival]
+      val q = IndexMaintenance.maintainIvf(src.toDS(), cents)
+        .writeStream.format("memory").queryName(name).outputMode("update").start()
+      try {
+        src.addData(data: _*)
+        q.processAllAvailable()
+        spark.table(name).as[CellUpdate].collect().head
+      } finally q.stop()
+    }
+    val fwd = run(arrivals, "ivf_fwd")
+    val rev = run(arrivals.reverse, "ivf_rev")
+    assert(fwd.cell_id === 0L && fwd.n_batch === 50000L)
+    // bit-identical means either way round: decimal addition is
+    // associative, so iteration order cannot move the sum by an ulp
+    assert(java.lang.Double.doubleToLongBits(fwd.mean_cos) ===
+      java.lang.Double.doubleToLongBits(rev.mean_cos))
+    assert(java.lang.Double.doubleToLongBits(fwd.batch_mean_cos) ===
+      java.lang.Double.doubleToLongBits(rev.batch_mean_cos))
+    assert(fwd.mean_cos > 0.999999 && fwd.mean_cos <= 1.0)
   }
 
   test("cell totals accumulate across micro-batches and drift flags a " +
