@@ -16,13 +16,23 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Optional comma-separated query-key filter (substring match) for
+    // timing a single query during optimization work — the driver sets
+    // nothing and benches everything
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val benched = only match {
+      case Some(keys) => SparkEntry.queries.filter { case (n, _) =>
+        keys.exists(n.contains) }
+      case None => SparkEntry.queries
+    }
     // Warm-up: run EVERY query once at the TARGET SF so one-time costs
     // are paid before the measured pass — whole-stage codegen compiles
     // (~1-2s per distinct plan) and, because AQE re-plans per runtime
     // data size, the codegen shapes are only identical when the warm-up
     // runs at the same SF. Standard steady-state methodology: measured
     // numbers are per-query execution, not JIT/codegen compile time.
-    SparkEntry.queries.foreach { case (_, fn) =>
+    benched.foreach { case (_, fn) =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
       spark.sparkContext.getPersistentRDDs.values
@@ -35,7 +45,7 @@ object Bench {
     // outlier in either direction while keeping the run cheap.
     val reps = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = benched.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         // noop sink forces FULL materialization of every output column —

@@ -327,22 +327,116 @@ object CoreQueries extends QueryModule {
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
         col("n"))
 
-  /** Exact per-group percentiles via percentile_disc — discrete (an
-    * actual data value, no interpolation arithmetic), so the result is
-    * bitwise engine-independent. At scale this is a sort-based
-    * aggregation per group; the group count here is tiny so each group
-    * sorts in parallel partitions. */
+  /** Exact per-group discrete percentiles (p50/p90/p99) via the
+    * cumulative-distribution reformulation: count DISTINCT values,
+    * running-sum the counts in value order, and pick per quantile the
+    * smallest value whose cumulative count reaches the integer
+    * threshold `ceil(p·n/100) = (p·n + 99) div 100`.
+    *
+    * Boundary equivalence with `percentile_disc` (the spec proves it
+    * value-for-value across boundary-straddling group sizes): the SQL
+    * standard defines percentile_disc(q) as the smallest value with
+    * cum_dist ≥ q; for q = p/100 that is `100·cum ≥ p·n` — pure
+    * integers, no floating-point products anywhere. (The IEEE
+    * `cum/n ≥ q` comparison engines evaluate internally agrees with
+    * the rational comparison for every n < 10¹³ when q is a 2-decimal
+    * fraction: the two sides only get within 1/(100n) of each other
+    * at genuine boundaries, far above double rounding error.)
+    *
+    * Scale shape vs the percentile_disc aggregate: the shuffle moves
+    * one (group, value, partial count) row per DISTINCT value (map-
+    * side combine), not raw rows, and the per-group cumulative sum is
+    * a spillable window sort — percentile_disc instead buffers every
+    * group value in one final aggregation hash map. One group's
+    * distinct values DO sort in a single task here; when that becomes
+    * the bottleneck (billions of distinct values per group), switch
+    * to [[cumDistPercentilesDistributed]] — identical results, fully
+    * parallel sort, two extra scheduler round-trips (which is why it
+    * is not the default: at bench scale those round-trips cost more
+    * than the 3-partition sort they parallelize; measured 2.15 s vs
+    * 1.74 s at sf0.1). The sketch sibling (`Sketches.quantileProfile`)
+    * stays the no-sort 100 TB path when approximation is acceptable.
+    * Assumes a non-null value column (percentile_disc skips nulls; a
+    * null here would sort first and shift every threshold). */
+  def cumDistPercentiles(df: DataFrame, grp: String, v: String): DataFrame = {
+    val counts = df.filter(col(v).isNotNull)
+      .groupBy(col(grp), col(v)).agg(count(lit(1)).as("c"))
+    val byVal = Window.partitionBy(col(grp)).orderBy(col(v))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(col(grp))
+    def pick(p: Int) =
+      min(when(col("cum") >= expr(s"(n * $p + 99) div 100"), col(v))).as(s"p$p")
+    counts
+      .withColumn("cum", sum(col("c")).over(byVal))
+      .withColumn("n", sum(col("c")).over(whole))
+      .groupBy(col(grp))
+      .agg(pick(50), pick(90), pick(99), max(col("n")).as("n"))
+  }
+
+  /** The fully-distributed form of [[cumDistPercentiles]]: the same
+    * DISTRIBUTED two-phase prefix sum as `Curation.sequencePack` —
+    * range-partition the distinct (group, value) counts, collect the
+    * tiny per-(partition, group) totals (at most partitions × groups
+    * rows), broadcast them back as offsets, window WITHIN partitions.
+    * No group ever sorts in a single task, so exact per-group
+    * percentiles survive groups with billions of distinct values; the
+    * price is two extra scheduler round-trips (checkpoint + collect),
+    * which is why the single-sort sibling is the default at bench
+    * scale. Spec-proven value-identical to percentile_disc alongside
+    * the default form. */
+  def cumDistPercentilesDistributed(df: DataFrame, grp: String, v: String,
+                                    partitions: Int = 32): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    val spark = df.sparkSession
+    val counts = df.filter(col(v).isNotNull)
+      .groupBy(col(grp), col(v)).agg(count(lit(1)).as("c"))
+      .repartitionByRange(partitions, col(grp), col(v))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint() // pid must not be recomputed under another plan
+    // phase 1: per-(partition, group) totals — at most partitions ×
+    // groups rows, driver-safe by construction
+    val totals = counts.groupBy(col("pid"), col(grp))
+      .agg(sum(col("c")).as("t"))
+      .collect().map(r => (r.getInt(0), r.get(1), r.getLong(2)))
+    // per group: running offset across partitions in pid order (range
+    // partitioning makes pid order = value order), plus the group n
+    val offsetRows = totals.groupBy(_._2).toSeq.flatMap { case (g, rows) =>
+      val sorted = rows.sortBy(_._1)
+      val n = sorted.map(_._3).sum
+      var acc = 0L
+      sorted.map { case (pid, _, t) =>
+        val off = acc; acc += t; Row(pid, g, off, n)
+      }
+    }
+    val offSchema = StructType(Seq(
+      StructField("pid", IntegerType, nullable = false),
+      counts.schema(grp).copy(name = grp),
+      StructField("offset", LongType, nullable = false),
+      StructField("n", LongType, nullable = false)))
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsetRows, 1), offSchema)
+    // phase 2: local window cumsum + broadcast offset = global cumsum
+    val byVal = Window.partitionBy(col("pid"), col(grp)).orderBy(col(v))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def pick(p: Int) =
+      min(when(col("cum") >= expr(s"(n * $p + 99) div 100"), col(v))).as(s"p$p")
+    counts.join(broadcast(offDf), Seq("pid", grp))
+      .withColumn("cum", sum(col("c")).over(byVal) + col("offset"))
+      .groupBy(col(grp))
+      .agg(pick(50), pick(90), pick(99), max(col("n")).as("n"))
+  }
+
+  /** Exact per-group percentiles — discrete (an actual data value, no
+    * interpolation arithmetic), so the result is bitwise
+    * engine-independent; computed by [[cumDistPercentiles]], stated by
+    * the oracle as ANSI `percentile_disc WITHIN GROUP`. */
   def q48Percentiles(s: SparkSession, d: String): DataFrame =
-    // widen: percentile buffers build during PARTIAL aggregation — a
-    // single-row-group scan would otherwise accumulate all 600k values
-    // in one task before the 3-group final merge
-    graft.scale.Layout.widen(T.lineitem(s, d))
-      .groupBy(col("l_returnflag"))
-      .agg(
-        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("p50"),
-        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)").as("p90"),
-        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)").as("p99"),
-        count(lit(1)).as("n"))
+    // widen: the distinct-value counting runs during PARTIAL
+    // aggregation — a single-row-group scan would serialize it
+    graft.scale.Layout.widen(
+      T.lineitem(s, d).select("l_returnflag", "l_extendedprice"))
+      .transform(cumDistPercentiles(_, "l_returnflag", "l_extendedprice"))
 
   /** Pivot: event counts per user-bucket × event-type — wide-format
     * reshaping with an explicit value list (required at scale: an
