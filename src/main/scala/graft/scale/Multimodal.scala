@@ -132,14 +132,94 @@ object Multimodal {
       yield (rate, ch, bits, dl)
   }
 
+  /** REAL video-header decode for MP4 / ISO-BMFF containers — pure
+    * box walking (public format knowledge: ISO/IEC 14496-12), no codec
+    * libraries: `moov/mvhd` gives timescale + duration, each
+    * `moov/trak/tkhd` gives 16.16-fixed track dimensions, and the
+    * video track's `stbl/stsz` gives the frame (sample) count. Only a
+    * trak whose tkhd has nonzero width × height commits its sample
+    * count — an audio trak's AAC frame count must not masquerade as
+    * video frames. Returns (width, height, n_frames, duration_ms);
+    * None for non-BMFF payloads — those fall back to [[stubDecode]]'s
+    * synthetic values.
+    *
+    * Malformed-container discipline matches [[decodeWavHeader]]: box
+    * sizes are advanced in Long math, a size that would step
+    * backwards or past the parent ends the walk instead of looping or
+    * over-reading (64-bit `largesize` and size-0 "to end of file"
+    * boxes are both handled).
+    */
+  def decodeMp4Header(p: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    def u32(i: Int): Long = ((p(i) & 0xffL) << 24) | ((p(i + 1) & 0xffL) << 16) |
+      ((p(i + 2) & 0xffL) << 8) | (p(i + 3) & 0xffL)
+    def u64(i: Int): Long = (0 until 8).foldLeft(0L)((a, k) => (a << 8) | (p(i + k) & 0xffL))
+    def typ(i: Int): String = new String(p, i + 4, 4, "US-ASCII")
+    if (p.length < 16 || typ(0) != "ftyp") return None
+    val containers = Set("moov", "mdia", "minf", "stbl")
+    var timescale = 0L; var duration = 0L
+    var width = 0; var height = 0; var nFrames = 0L
+    // per-trak scratch: committed only if the trak turns out to be video
+    var tW = 0; var tH = 0; var tFrames = 0L
+    def boxes(start: Int, end: Int): Unit = {
+      var i = start
+      var ok = true
+      while (ok && i + 8 <= end) {
+        val size0 = u32(i)
+        var hdr = 8L
+        val size: Long =
+          if (size0 == 1L && i + 16 <= end) { hdr = 16L; u64(i + 8) }
+          else if (size0 == 0L) (end - i).toLong // box runs to container end
+          else size0
+        if (size < hdr || i + size > end) ok = false // malformed: stop walking
+        else {
+          val body = (i + hdr).toInt
+          val bodyEnd = (i + size).toInt
+          typ(i) match {
+            case c if containers.contains(c) => boxes(body, bodyEnd)
+            case "trak" =>
+              tW = 0; tH = 0; tFrames = 0L
+              boxes(body, bodyEnd)
+              if (tW > 0 && tH > 0) { width = tW; height = tH; nFrames = tFrames }
+            case "mvhd" if body + 4 <= bodyEnd =>
+              val v = p(body) & 0xff
+              if (v == 1 && body + 32 <= bodyEnd) {
+                timescale = u32(body + 20); duration = u64(body + 24)
+              } else if (v == 0 && body + 24 <= bodyEnd) {
+                timescale = u32(body + 12); duration = u32(body + 16)
+              }
+            case "tkhd" if body + 4 <= bodyEnd =>
+              // v0: ver/flags(4) times(8) id(4) res(4) dur(4) res(8)
+              //     layer/alt/vol/res(8) matrix(36) → width at +76;
+              // v1 widens times+duration by 4 each → width at +88
+              val wOff = if ((p(body) & 0xff) == 1) body + 88 else body + 76
+              if (wOff + 8 <= bodyEnd) {
+                val w = (u32(wOff) >> 16).toInt // 16.16 fixed point
+                val h = (u32(wOff + 4) >> 16).toInt
+                if (w > 0 && h > 0) { tW = w; tH = h }
+              }
+            case "stsz" if body + 12 <= bodyEnd =>
+              tFrames = u32(body + 8) // sample_count (even for fixed-size)
+            case _ => ()
+          }
+          i = (i + size).toInt
+        }
+      }
+    }
+    boxes(0, p.length)
+    if (timescale > 0 && width > 0 && height > 0)
+      Some((width, height, nFrames.toInt, duration * 1000L / timescale))
+    else None
+  }
+
   /** STUB decode kernel — deterministic fake standing in for the real
-    * native decoder for formats whose decode needs codec libraries not
-    * in this container (video frames, audio resampling; returns
+    * native decoder where decode genuinely needs codec libraries not
+    * in this container (pixel data, audio resampling; returns
     * synthetic dimensions derived from the payload hash so tests are
-    * stable). PNG/JPEG dimensions ([[decodeImageHeader]]) and WAV
-    * sample-rate/duration ([[decodeWavHeader]]) are decoded for REAL;
-    * a full decoder replaces ONLY this function, the Spark plumbing
-    * around it is unchanged.
+    * stable). All three CONTAINER headers are decoded for REAL from
+    * bytes: PNG/JPEG dimensions ([[decodeImageHeader]]), WAV
+    * sample-rate/duration ([[decodeWavHeader]]), MP4 dimensions/
+    * frames/duration ([[decodeMp4Header]]); a full decoder replaces
+    * ONLY this function, the Spark plumbing around it is unchanged.
     */
   def stubDecode(assetId: Long, kind: String, payload: Array[Byte]): MediaMeta = {
     if (kind == "image") {
@@ -152,6 +232,12 @@ object Multimodal {
       decodeWavHeader(payload).foreach { case (rate, ch, bits, dataLen) =>
         val durMs = dataLen * 8L * 1000L / (rate.toLong * ch * bits)
         return MediaMeta(assetId, kind, 0, 0, 0, rate, durMs,
+          payload.length.toLong, f"${java.util.Arrays.hashCode(payload)}%08x")
+      }
+    }
+    if (kind == "video") {
+      decodeMp4Header(payload).foreach { case (w, h, frames, durMs) =>
+        return MediaMeta(assetId, kind, w, h, frames, 0, durMs,
           payload.length.toLong, f"${java.util.Arrays.hashCode(payload)}%08x")
       }
     }

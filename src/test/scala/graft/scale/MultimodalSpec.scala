@@ -116,6 +116,46 @@ class MultimodalSpec extends SparkSpec {
     assert(stub.sample_rate === 16000)
   }
 
+  test("real header decode: MP4 box walk yields video dims, frame count " +
+    "and exact duration; audio trak sample counts are not video frames") {
+    def u32be(v: Long) = Array(((v >> 24) & 0xff).toInt, ((v >> 16) & 0xff).toInt,
+      ((v >> 8) & 0xff).toInt, (v & 0xff).toInt)
+    def box(t: String, body: Array[Int]): Array[Int] =
+      u32be(8L + body.length) ++ t.map(_.toInt) ++ body
+    val ftyp = box("ftyp", "isom".map(_.toInt).toArray ++ u32be(0))
+    // mvhd v0: timescale 1000, duration 5000 → 5000 ms exactly
+    val mvhd = box("mvhd", u32be(0) ++ u32be(0) ++ u32be(0) ++
+      u32be(1000) ++ u32be(5000) ++ u32be(0))
+    // tkhd v0 body is 84 bytes: ver/flags + 72 bytes to the 16.16 dims
+    def tkhd(w: Int, h: Int) = box("tkhd",
+      Array.fill(76)(0) ++ u32be(w.toLong << 16) ++ u32be(h.toLong << 16))
+    def stsz(samples: Int) = box("stsz", u32be(0) ++ u32be(0) ++ u32be(samples))
+    def trak(w: Int, h: Int, samples: Int) = box("trak",
+      tkhd(w, h) ++ box("mdia", box("minf", box("stbl", stsz(samples)))))
+    // audio trak FIRST (dims 0×0, 999 AAC samples — must be ignored),
+    // then the video trak (320×240, 150 frames)
+    val moov = box("moov", mvhd ++ trak(0, 0, 999) ++ trak(320, 240, 150))
+    val mp4 = (ftyp ++ moov).map(_.toByte)
+    assert(Multimodal.decodeMp4Header(mp4) === Some((320, 240, 150, 5000L)))
+    // decode() routes a real MP4 payload through the box walk
+    val meta = Multimodal.stubDecode(11L, "video", mp4)
+    assert(meta.width === 320 && meta.height === 240 &&
+      meta.n_frames === 150 && meta.duration_ms === 5000L)
+    // non-BMFF video payloads fall back to the synthetic stub
+    assert(Multimodal.decodeMp4Header("definitely not an mp4 file".getBytes) === None)
+    // a box whose size would step backwards ends the walk instead of
+    // hanging; with no complete moov parsed the result is None
+    val corrupt = (ftyp ++ u32be(4) ++ "moov".map(_.toInt).toArray ++
+      Array.fill(32)(0)).map(_.toByte)
+    assert(Multimodal.decodeMp4Header(corrupt) === None)
+    // 64-bit largesize header is honored
+    val bigMoov = u32be(1) ++ "moov".map(_.toInt).toArray ++
+      Array(0, 0, 0, 0) ++ u32be(16L + mvhd.length + trak(320, 240, 150).length) ++
+      mvhd ++ trak(320, 240, 150)
+    assert(Multimodal.decodeMp4Header((ftyp ++ bigMoov).map(_.toByte)) ===
+      Some((320, 240, 150, 5000L)))
+  }
+
   test("resize planning: aspect-preserving fit, no upscaling, floor+0.5 rounding") {
     val spark2 = spark
     import spark2.implicits._
