@@ -290,8 +290,11 @@ object Dedup extends QueryModule {
     *    it raises at execution instead;
     *  - a pair listed multiple times (either orientation) collapses
     *    to its MAXIMUM weight — one edge, strongest evidence, never
-    *    an accidental double vote; self-pairs in the input are
-    *    dropped;
+    *    an accidental double vote; self-pairs in the input carry no
+    *    edge, but their NODES stay in the result as singleton
+    *    communities — the same node set [[connectedComponents]]
+    *    reports for the same pair list (a divergent node set between
+    *    the two graph ops would make their outputs un-joinable);
     *  - the self-ballot weighs the node's max incident weight: for a
     *    2-node component with edge weight w, round 1 is a (w vs w)
     *    tie broken to the smaller label — the same anti-oscillation
@@ -337,10 +340,16 @@ object Dedup extends QueryModule {
           wChecked.as("w")))
       .filter(col("a").isNotNull && col("b").isNotNull)
       .groupBy(col("a"), col("b")).agg(max(col("w")).as("w"))
-    // self-loop weight = max incident weight (see contract above)
-    val selfLoops = sym.groupBy(col("a"))
-      .agg(max(col("w")).as("w"))
-      .select(col("a"), col("a").as("b"), col("w"))
+    // self-loop weight = max incident weight (see contract above);
+    // the node set comes from ALL input endpoints — a node appearing
+    // only in self-pairs has no sym edge but must still emerge as a
+    // singleton community (CC parity), with a nominal self-weight
+    val allNodes = pairs.select(col(aCol).cast(LongType).as("a"))
+      .unionByName(pairs.select(col(bCol).cast(LongType).as("a")))
+      .filter(col("a").isNotNull).distinct()
+    val selfLoops = allNodes
+      .join(sym.groupBy(col("a")).agg(max(col("w")).as("w")), Seq("a"), "left")
+      .select(col("a"), col("a").as("b"), coalesce(col("w"), lit(1L)).as("w"))
     // ONE materialization: edges feed every round's join, and without
     // the checkpoint Spark would re-derive the whole pair-generation
     // subtree once per round (no plan-level CSE across join inputs)

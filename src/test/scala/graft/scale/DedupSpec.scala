@@ -363,8 +363,9 @@ class DedupSpec extends SparkSpec {
   }
 
   test("weighted LPA contract edges: heavy pairs don't oscillate, " +
-    "duplicate listings take the max weight, self-pairs dropped, " +
-    "non-positive weights raise") {
+    "duplicate listings take the max weight, self-pair-only nodes stay " +
+    "as singleton communities (CC node-set parity), non-positive " +
+    "weights raise") {
     val spark2 = spark
     import spark2.implicits._
     // an isolated heavy pair must MERGE (max-incident self-ballot ties
@@ -374,14 +375,19 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
       === Map(1L -> 1L, 2L -> 1L))
     // same pair in both orientations with different weights: one edge,
-    // max weight — plus an input self-pair, which is ignored
-    val dup = Seq((1L, 2L, 3L), (2L, 1L, 5L), (7L, 7L, 9L), (2L, 7L, 1L))
-      .toDF("doc_a", "doc_b", "w")
+    // max weight — plus self-pairs: (7,7) on a connected node carries
+    // no vote, (9,9) on an otherwise-absent node keeps 9 in the result
+    // as its own community — the same node set connectedComponents
+    // reports, so the two ops' outputs stay joinable
+    val dup = Seq((1L, 2L, 3L), (2L, 1L, 5L), (7L, 7L, 9L), (2L, 7L, 1L),
+      (9L, 9L, 4L)).toDF("doc_a", "doc_b", "w")
     val lab = Dedup.labelPropagationWeighted(dup, "w").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     // node 2: self-ballot 5 (the deduped 1↔2 edge), label1 5, label7 1
     // → tie (5,5) breaks to label 1; node 7 follows its only neighbor
-    assert(lab === Map(1L -> 1L, 2L -> 1L, 7L -> 1L))
+    assert(lab === Map(1L -> 1L, 2L -> 1L, 7L -> 1L, 9L -> 9L))
+    assert(lab.keySet === Dedup.connectedComponents(dup).collect()
+      .map(_.getLong(0)).toSet, "LPA and CC must agree on the node set")
     // zero and negative weights fail at execution, not silently
     for (badW <- Seq(0L, -2L)) {
       val bad = Seq((1L, 2L, badW)).toDF("doc_a", "doc_b", "w")
