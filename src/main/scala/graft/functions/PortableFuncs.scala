@@ -82,6 +82,12 @@ object PortableFuncs {
         i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k + 1)): _*))
     ).otherwise(array().cast("array<string>"))
 
+  /** Longest repeated word-run length within a words array (ONE native
+    * suffix-automaton pass, scan-side) — see [[LongestDupRunExpression]].
+    * DuckDB states the same number via sorted-suffix adjacent-LCP. */
+  def longestDupRun(ws: Column): Column =
+    LongestDupRunExpression.longestDupRun(ws)
+
   /** Count non-overlapping occurrences of literal `pat` in `c` —
     * `(len(x) - len(replace(x, pat, ''))) / len(pat)` — same leftmost
     * non-overlapping semantics in Spark and DuckDB.

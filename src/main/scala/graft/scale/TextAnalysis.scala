@@ -258,6 +258,26 @@ object TextAnalysis extends QueryModule {
           .as("top_bigram_frac"))
   }
 
+  /** Longest repeated word-run per document — the MAXIMAL-k repetition
+    * signal that [[repetition]]'s fixed-bigram fractions approximate:
+    * a doc whose longest repeat covers most of its length is a
+    * degenerate loop (lorem filler, keyword stuffing, decode glitch)
+    * even when its bigram dup fraction looks tame. One native
+    * suffix-automaton pass per row
+    * ([[graft.functions.LongestDupRunExpression]]) — a pure scan-side
+    * projection: no shuffle, no row expansion, O(words) per document.
+    * `rep_frac` = max_rep / n_words is the curation-ready ratio. */
+  def longestRepetition(docs0: DataFrame): DataFrame = {
+    val docs = widen(docs0)
+    docs.select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), size(col("ws")).as("n_words"),
+        longestDupRun(col("ws")).as("max_rep"))
+      .select(col("doc_id"), col("n_words"), col("max_rep"),
+        round(when(col("n_words") > 0,
+          col("max_rep").cast("double") / col("n_words")).otherwise(lit(0.0)), 4)
+          .as("rep_frac"))
+  }
+
   /** PII patterns shared by [[piiScan]] and its oracle — restricted to
     * syntax with identical semantics in Java regex (Spark) and RE2
     * (DuckDB): plain character classes and counted repetition, no
@@ -598,7 +618,9 @@ object TextAnalysis extends QueryModule {
     "q72_pii_scan" -> ((s, d) => piiScan(T.documents(s, d))),
     "q74_classifier_score" -> ((s, d) => classifierScore(T.documents(s, d))),
     "q75_vocab_coverage" -> ((s, d) => vocabCoverage(T.documents(s, d))),
-    "q78_corpus_report" -> ((s, d) => corpusReport(T.documents(s, d)))
+    "q78_corpus_report" -> ((s, d) => corpusReport(T.documents(s, d))),
+    // maximal repeated word-run per doc (suffix automaton, scan-side)
+    "q89_longest_dup" -> ((s, d) => longestRepetition(T.documents(s, d)))
   )
 
   private val normSql =
@@ -804,6 +826,30 @@ object TextAnalysis extends QueryModule {
          |  ROUND(CASE WHEN n_bigrams IS NOT NULL
          |    THEN CAST(top_cnt AS DOUBLE) / n_bigrams ELSE 0.0 END, 4) AS top_bigram_frac
          |FROM documents LEFT JOIN st USING (doc_id)""".stripMargin,
+    // independent algorithm as the oracle: longest repeated substring
+    // length == max LCP of lexicographically ADJACENT suffixes (the
+    // suffix-array identity), vs the Spark side's suffix automaton.
+    // NULLIF: this DuckDB's list_position returns 0, not NULL, on miss
+    "q89_longest_dup" ->
+      s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+         |suf AS (SELECT doc_id, ws, unnest(range(1, len(ws)+1)) AS i FROM w),
+         |sufl AS (SELECT doc_id, ws[i:] AS s FROM suf),
+         |ord AS (SELECT doc_id, s,
+         |        LAG(s) OVER (PARTITION BY doc_id ORDER BY s) AS prev FROM sufl),
+         |lcp AS (SELECT doc_id,
+         |  CASE WHEN prev IS NULL THEN 0
+         |    ELSE COALESCE(NULLIF(list_position(
+         |        list_transform(range(1, least(len(s), len(prev)) + 1),
+         |          k -> s[k] = prev[k]), false), 0),
+         |      least(len(s), len(prev)) + 1) - 1 END AS l
+         |  FROM ord),
+         |mx AS (SELECT doc_id, MAX(l) AS max_rep FROM lcp GROUP BY doc_id)
+         |SELECT w.doc_id, CAST(len(w.ws) AS INTEGER) AS n_words,
+         |  CAST(COALESCE(m.max_rep, 0) AS INTEGER) AS max_rep,
+         |  ROUND(CASE WHEN len(w.ws) > 0
+         |    THEN CAST(COALESCE(m.max_rep, 0) AS DOUBLE) / len(w.ws)
+         |    ELSE 0.0 END, 4) AS rep_frac
+         |FROM w LEFT JOIN mx m ON m.doc_id = w.doc_id""".stripMargin,
     "q66_tfidf" ->
       s"""WITH w AS (SELECT doc_id, unnest($wsSql) AS term FROM documents),
          |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2),
