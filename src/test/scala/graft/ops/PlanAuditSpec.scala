@@ -132,6 +132,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct"))
   }
 
+  test("q87 dup spans: no pair join anywhere — fingerprint semi-join + " +
+    "per-doc window, never a cartesian or doc×doc equi-join") {
+    val s = planOf(graft.scale.Dedup.dupSpans(
+      graft.Tables.documents(spark, sf)))
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"span detection must never form doc pairs:\n$s")
+    // exactly one join in the plan: the duplicated-hash semi-join back
+    // onto the positional window table
+    assert(s.contains("LeftSemi"), s"expected df>=2 semi-join in:\n$s")
+    assert("Join".r.findAllIn(s).length === 1,
+      s"expected ONE join (the semi-join), got:\n$s")
+    // the interval merge sorts per document, not globally
+    assert(s.contains("Window") && !s.contains("SinglePartition"),
+      s"gaps-and-islands must stay per-doc:\n$s")
+  }
+
+  test("q89 longest dup run is a pure scan-side projection: no join, " +
+    "no aggregation exchange, kernel inside codegen") {
+    // AQE off: the adaptive wrapper prints its INITIAL plan without
+    // WholeStageCodegen stage markers, hiding what this test asserts
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.scale.TextAnalysis.longestRepetition(
+        graft.Tables.documents(spark, sf))
+      val s = planOf(df)
+      assert(!s.contains("hashpartitioning") && !s.contains("Join"),
+        s"longest-dup-run must stay scan-side:\n$s")
+      assert(s.linesIterator.exists(l =>
+        l.contains("longest_dup_run") && l.contains("*(")),
+        s"suffix-automaton kernel fell out of codegen:\n$s")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("incremental dedup vs a PERSISTED bucketed band index: the index " +
     "side joins shuffle-free — only the arriving batch moves") {
     import org.apache.spark.sql.execution.FileSourceScanExec
