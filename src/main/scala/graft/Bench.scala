@@ -21,6 +21,8 @@ object Bench {
     // nothing and benches everything
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty) // empty/whitespace value = unset: bench all,
+                          // never a silent zero-query run
     val benched = only match {
       case Some(keys) => SparkEntry.queries.filter { case (n, _) =>
         keys.exists(n.contains) }

@@ -358,19 +358,25 @@ object CoreQueries extends QueryModule {
     * stays the no-sort 100 TB path when approximation is acceptable.
     * Assumes a non-null value column (percentile_disc skips nulls; a
     * null here would sort first and shift every threshold). */
+  /** The quantile pick shared by BOTH cumdist forms: smallest value
+    * whose cumulative count (`cum`) reaches the exact integer
+    * threshold ceil(p·n/100). One definition — a threshold tweak
+    * cannot silently break the forms' spec-proven equivalence. */
+  private def pickPercentile(v: String, p: Int): Column =
+    min(when(col("cum") >= expr(s"(n * $p + 99) div 100"), col(v))).as(s"p$p")
+
   def cumDistPercentiles(df: DataFrame, grp: String, v: String): DataFrame = {
     val counts = df.filter(col(v).isNotNull)
       .groupBy(col(grp), col(v)).agg(count(lit(1)).as("c"))
     val byVal = Window.partitionBy(col(grp)).orderBy(col(v))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val whole = Window.partitionBy(col(grp))
-    def pick(p: Int) =
-      min(when(col("cum") >= expr(s"(n * $p + 99) div 100"), col(v))).as(s"p$p")
     counts
       .withColumn("cum", sum(col("c")).over(byVal))
       .withColumn("n", sum(col("c")).over(whole))
       .groupBy(col(grp))
-      .agg(pick(50), pick(90), pick(99), max(col("n")).as("n"))
+      .agg(pickPercentile(v, 50), pickPercentile(v, 90),
+        pickPercentile(v, 99), max(col("n")).as("n"))
   }
 
   /** The fully-distributed form of [[cumDistPercentiles]]: the same
@@ -419,12 +425,11 @@ object CoreQueries extends QueryModule {
     // phase 2: local window cumsum + broadcast offset = global cumsum
     val byVal = Window.partitionBy(col("pid"), col(grp)).orderBy(col(v))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    def pick(p: Int) =
-      min(when(col("cum") >= expr(s"(n * $p + 99) div 100"), col(v))).as(s"p$p")
     counts.join(broadcast(offDf), Seq("pid", grp))
       .withColumn("cum", sum(col("c")).over(byVal) + col("offset"))
       .groupBy(col(grp))
-      .agg(pick(50), pick(90), pick(99), max(col("n")).as("n"))
+      .agg(pickPercentile(v, 50), pickPercentile(v, 90),
+        pickPercentile(v, 99), max(col("n")).as("n"))
   }
 
   /** Exact per-group percentiles — discrete (an actual data value, no

@@ -294,7 +294,10 @@ object Dedup extends QueryModule {
     *    edge, but their NODES stay in the result as singleton
     *    communities — the same node set [[connectedComponents]]
     *    reports for the same pair list (a divergent node set between
-    *    the two graph ops would make their outputs un-joinable);
+    *    the two graph ops would make their outputs un-joinable).
+    *    Because a self-pair contributes no edge, its weight column is
+    *    never inspected — the >= 1 guard protects the ballot tally,
+    *    and self-pairs cast no ballots;
     *  - the self-ballot weighs the node's max incident weight: for a
     *    2-node component with edge weight w, round 1 is a (w vs w)
     *    tie broken to the smaller label — the same anti-oscillation
@@ -343,10 +346,15 @@ object Dedup extends QueryModule {
     // self-loop weight = max incident weight (see contract above);
     // the node set comes from ALL input endpoints — a node appearing
     // only in self-pairs has no sym edge but must still emerge as a
-    // singleton community (CC parity), with a nominal self-weight
-    val allNodes = pairs.select(col(aCol).cast(LongType).as("a"))
-      .unionByName(pairs.select(col(bCol).cast(LongType).as("a")))
-      .filter(col("a").isNotNull).distinct()
+    // singleton community (CC parity), with a nominal self-weight.
+    // CC parity requires BOTH-endpoint null filtering: symEdges drops
+    // a pair with one null endpoint entirely, so a per-column filter
+    // here would keep its non-null node and diverge the node sets
+    val bothNonNull = pairs
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+    val allNodes = bothNonNull.select(col(aCol).cast(LongType).as("a"))
+      .unionByName(bothNonNull.select(col(bCol).cast(LongType).as("a")))
+      .distinct()
     val selfLoops = allNodes
       .join(sym.groupBy(col("a")).agg(max(col("w")).as("w")), Seq("a"), "left")
       .select(col("a"), col("a").as("b"), coalesce(col("w"), lit(1L)).as("w"))

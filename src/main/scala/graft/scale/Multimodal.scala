@@ -206,7 +206,12 @@ object Multimodal {
       }
     }
     boxes(0, p.length)
-    if (timescale > 0 && width > 0 && height > 0)
+    // numeric sanity, same malformed-container discipline as the walk:
+    // a corrupt 0xFFFFFFFF sample_count must not wrap to -1 frames,
+    // and a corrupt 64-bit mvhd duration must not overflow the ms math
+    if (timescale > 0 && width > 0 && height > 0 &&
+        nFrames <= Int.MaxValue && duration >= 0 &&
+        duration <= Long.MaxValue / 1000L)
       Some((width, height, nFrames.toInt, duration * 1000L / timescale))
     else None
   }

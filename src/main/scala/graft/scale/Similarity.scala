@@ -118,8 +118,14 @@ object Similarity extends QueryModule {
              maxFlips: Int = 0): DataFrame = {
     require(maxFlips >= 0 && maxFlips <= NumPlanes,
       s"maxFlips must be in [0, $NumPlanes]: $maxFlips")
-    val masks: Seq[Long] = (0L until (1L << NumPlanes))
-      .filter(m => java.lang.Long.bitCount(m) <= maxFlips)
+    // masks built as Σ C(planes, ≤maxFlips) combinations directly —
+    // enumerating and filtering all 2^planes longs would cost the
+    // driver 2^p work (and 1L << 64 wraps to 1, silently degrading to
+    // single-probe) at exactly the plane counts the scale note above
+    // says to raise
+    val masks: Seq[Long] = (0 to maxFlips).flatMap(k =>
+      (0 until NumPlanes).combinations(k)
+        .map(_.foldLeft(0L)((m, b) => m | (1L << b))))
     val withBucket = bucketedVectors(emb)
     val q = withBucket.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("bucket"),

@@ -13,7 +13,14 @@ case class VecArrival(vec_id: Long, ts: Timestamp, embedding: Array[Double])
   * addition is associative — replay order, partition order, and batch
   * iteration order cannot change the state by even an ulp. Encoded as
   * Spark's default Decimal(38, 18): 20 integer digits of headroom ≈
-  * 10²⁰ unit-magnitude arrivals before overflow. */
+  * 10²⁰ unit-magnitude arrivals before overflow.
+  *
+  * MIGRATION: the sum field was Double before the decimal rework, so
+  * a streaming checkpoint written by the old encoder (Long, Double)
+  * does not restore into this schema — restart such a query with a
+  * fresh checkpoint directory (lifetime counts restart from the new
+  * stream position; the drift detector is batch-local and loses
+  * nothing). */
 case class RunningSum(n: Long, sum: BigDecimal)
 
 /** Per-batch maintenance report for one IVF cell: lifetime stats plus

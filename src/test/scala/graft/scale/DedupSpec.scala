@@ -388,6 +388,15 @@ class DedupSpec extends SparkSpec {
     assert(lab === Map(1L -> 1L, 2L -> 1L, 7L -> 1L, 9L -> 9L))
     assert(lab.keySet === Dedup.connectedComponents(dup).collect()
       .map(_.getLong(0)).toSet, "LPA and CC must agree on the node set")
+    // node-set parity extends to half-null pairs: CC drops a pair with
+    // one null endpoint entirely, so LPA must not keep its other node
+    val halfNull = Seq((Some(1L), Some(2L), 3L), (Some(5L), None, 7L))
+      .toDF("doc_a", "doc_b", "w")
+    val labN = Dedup.labelPropagationWeighted(halfNull, "w").collect()
+      .map(_.getLong(0)).toSet
+    assert(labN === Set(1L, 2L), "half-null pair must contribute no node")
+    assert(labN === Dedup.connectedComponents(halfNull).collect()
+      .map(_.getLong(0)).toSet)
     // zero and negative weights fail at execution, not silently
     for (badW <- Seq(0L, -2L)) {
       val bad = Seq((1L, 2L, badW)).toDF("doc_a", "doc_b", "w")

@@ -154,6 +154,10 @@ class MultimodalSpec extends SparkSpec {
       mvhd ++ trak(320, 240, 150)
     assert(Multimodal.decodeMp4Header((ftyp ++ bigMoov).map(_.toByte)) ===
       Some((320, 240, 150, 5000L)))
+    // a corrupt stsz sample_count of 0xFFFFFFFF must not wrap to -1
+    // frames through toInt — the container is rejected as malformed
+    val hugeFrames = box("moov", mvhd ++ trak(320, 240, -1)) // u32be(-1) = FFFFFFFF
+    assert(Multimodal.decodeMp4Header((ftyp ++ hugeFrames).map(_.toByte)) === None)
   }
 
   test("resize planning: aspect-preserving fit, no upscaling, floor+0.5 rounding") {
