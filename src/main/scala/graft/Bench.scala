@@ -16,6 +16,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    def loadavg(): Double = try {
+      scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split("\\s+")(0).toDouble
+    } catch { case _: Throwable => -1.0 }
+    // Ambient load BEFORE any Spark work: the end-of-run reading below
+    // includes the bench's own 32 task threads, so only this start
+    // reading says whether the HOST was quiet (r7's "load 8.52" was
+    // unattributable for exactly this reason)
+    val loadAmbient = loadavg()
     // Optional comma-separated query-key filter (substring match) for
     // timing a single query during optimization work — the driver sets
     // nothing and benches everything
@@ -75,10 +84,7 @@ object Bench {
     // 1-minute load average: sub-second bench numbers on a shared host
     // are only comparable when the host was quiet — record it so a
     // noisy-looking round is diagnosable instead of re-litigated
-    val load = try {
-      scala.io.Source.fromFile("/proc/loadavg").mkString
-        .split("\\s+")(0).toDouble
-    } catch { case _: Throwable => -1.0 }
+    val load = loadavg()
     // Full-precision record: to target/bench.json AND printed first —
     // the grading harness keeps only the LAST 2000 chars of output, so
     // the final line below is kept compact enough to fit that window
@@ -86,7 +92,7 @@ object Bench {
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","load":$load,"queries":$qsFull,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","load":$load,"load_ambient":$loadAmbient,"queries":$qsFull,"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("target", "bench.json")
       java.nio.file.Files.createDirectories(p.getParent)
@@ -110,7 +116,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val sfName = new java.io.File(sfDir).getName
-    println(s"""{"queries":$qs,"sf":"$sfName","unit":"sec","load":$load,"metric":"total","value":${fmt(total)}}""")
+    println(s"""{"queries":$qs,"sf":"$sfName","unit":"sec","load":$load,"load_ambient":$loadAmbient,"metric":"total","value":${fmt(total)}}""")
     spark.stop()
   }
 }
