@@ -37,6 +37,10 @@ object Bench {
         keys.exists(n.contains) }
       case None => SparkEntry.queries
     }
+    // a filter that matches nothing (typo'd query key) must fail
+    // loudly, not print {"queries":{},"value":0} with exit 0
+    require(only.isEmpty || benched.nonEmpty,
+      s"SPARK_GRAFT_BENCH_ONLY matched no query: ${only.get.mkString(",")}")
     // Warm-up: run EVERY query once at the TARGET SF so one-time costs
     // are paid before the measured pass — whole-stage codegen compiles
     // (~1-2s per distinct plan) and, because AQE re-plans per runtime

@@ -170,7 +170,10 @@ object Multimodal {
           if (size0 == 1L && i + 16 <= end) { hdr = 16L; u64(i + 8) }
           else if (size0 == 0L) (end - i).toLong // box runs to container end
           else size0
-        if (size < hdr || i + size > end) ok = false // malformed: stop walking
+        // overflow-free form of "i + size > end": a crafted 64-bit
+        // largesize near 2^63 would wrap i + size negative and let the
+        // walk step backwards into an infinite loop
+        if (size < hdr || size > (end - i).toLong) ok = false // malformed: stop
         else {
           val body = (i + hdr).toInt
           val bodyEnd = (i + size).toInt

@@ -158,6 +158,12 @@ class MultimodalSpec extends SparkSpec {
     // frames through toInt — the container is rejected as malformed
     val hugeFrames = box("moov", mvhd ++ trak(320, 240, -1)) // u32be(-1) = FFFFFFFF
     assert(Multimodal.decodeMp4Header((ftyp ++ hugeFrames).map(_.toByte)) === None)
+    // a 64-bit largesize near 2^63 must not overflow the i+size bound
+    // into a backwards step (infinite walk): size = 2^63-16 has a clear
+    // sign bit, so only an overflow-free bounds check rejects it
+    val overflow = (ftyp ++ u32be(1) ++ "free".map(_.toInt).toArray ++
+      Array(0x7f, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xf0)).map(_.toByte)
+    assert(Multimodal.decodeMp4Header(overflow) === None) // and terminates
   }
 
   test("resize planning: aspect-preserving fit, no upscaling, floor+0.5 rounding") {
