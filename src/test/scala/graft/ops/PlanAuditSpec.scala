@@ -146,6 +146,18 @@ class PlanAuditSpec extends SparkSpec {
     // the interval merge sorts per document, not globally
     assert(s.contains("Window") && !s.contains("SinglePartition"),
       s"gaps-and-islands must stay per-doc:\n$s")
+    // the tokenize subtree feeds both the df aggregate and the
+    // semi-join through ONE reused by-h exchange — this reuse is why
+    // dupSpans needs no checkpoint (AQE off: ReusedExchange only
+    // appears in a concrete plan)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val s2 = planOf(graft.scale.Dedup.dupSpans(
+        graft.Tables.documents(spark, sf)))
+      assert(s2.contains("ReusedExchange"),
+        s"expected the window table's by-h exchange to be reused:\n$s2")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
   test("q89 longest dup run is a pure scan-side projection: no join, " +
