@@ -642,6 +642,47 @@ class DedupSpec extends SparkSpec {
     assert(spans === Seq((1L, 0L, 10L, 7L), (2L, 0L, 10L, 7L)))
   }
 
+  test("dupSpans equals a brute-force span reference on random corpora") {
+    val spark2 = spark
+    import spark2.implicits._
+    val n = Dedup.ShingleSize
+    // brute reference: per doc, positions whose window occurs in >= 2
+    // distinct docs, merged by the pos > prev + n break rule
+    def bruteSpans(corpus: Seq[(Long, String)]): Set[(Long, Long, Long, Long)] = {
+      def wordsOf(t: String): Seq[String] =
+        t.toLowerCase.replaceAll("[^a-z0-9 ]", " ").trim
+          .split(" +").filter(_.nonEmpty).toSeq
+      val wins = corpus.flatMap { case (id, t) =>
+        val ws = wordsOf(t)
+        if (ws.length < n) Seq.empty
+        else (0 to ws.length - n).map(p => (id, p, ws.slice(p, p + n).mkString(" ")))
+      }
+      val dupH = wins.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2).keySet
+      wins.filter(w => dupH(w._3)).groupBy(_._1).flatMap { case (id, ps) =>
+        val pos = ps.map(_._2).sorted
+        val spans = scala.collection.mutable.ListBuffer.empty[(Int, Int, Int)]
+        for (p <- pos) spans.lastOption match {
+          case Some((s, e, c)) if p <= e + n => spans(spans.length - 1) = (s, p, c + 1)
+          case _ => spans += ((p, p, 1))
+        }
+        spans.map { case (s, e, c) =>
+          (id, s.toLong, (e - s + n).toLong, c.toLong) }
+      }.toSet
+    }
+    val rnd = new scala.util.Random(29)
+    // small vocab + doc lengths around the window size → plenty of
+    // genuine cross-doc window collisions and edge-length docs
+    for (trial <- 0 until 5) {
+      val corpus = (0 until 12).map { i =>
+        val len = 2 + rnd.nextInt(14)
+        (i.toLong, Seq.fill(len)(s"t${rnd.nextInt(6)}").mkString(" "))
+      }
+      val got = Dedup.dupSpans(corpus.toDF("doc_id", "text")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got === bruteSpans(corpus), s"trial $trial: $corpus")
+    }
+  }
+
   test("dupSpans: separated duplicated regions stay two spans, " +
     "word-adjacent ones merge") {
     val spark2 = spark
