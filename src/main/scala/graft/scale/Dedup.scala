@@ -746,13 +746,18 @@ object Dedup extends QueryModule {
     * documents ([[repeatedNgrams]]) or pairing them ([[ngramJaccard]]),
     * emit the actual duplicated word INTERVALS per document, as
     * (doc_id, span_start, span_len) with the number of duplicated
-    * windows each span merged. A span is a maximal run of n-word
-    * windows whose fingerprint occurs in at least `minDocs` DISTINCT
-    * documents; overlapping and word-adjacent duplicated windows merge
-    * into one interval (gaps-and-islands with break at
-    * pos > prev + n). Within-doc-only repetition is deliberately not
-    * flagged — cross-document duplication is the memorization risk;
-    * the within-doc signal is [[repeatedNgrams]]' territory.
+    * windows each span merged and `max_df` — the widest sharing of
+    * any window in the span (how many DISTINCT documents carry it).
+    * `max_df` is the attribution signal curation acts on: a span at
+    * df 10 000 is corpus boilerplate to cut everywhere, a span at
+    * df 2 is a single duplication to keep-one. A span is a maximal
+    * run of n-word windows whose fingerprint occurs in at least
+    * `minDocs` DISTINCT documents; overlapping and word-adjacent
+    * duplicated windows merge into one interval (gaps-and-islands
+    * with break at pos > prev + n). Within-doc-only repetition is
+    * deliberately not flagged — cross-document duplication is the
+    * memorization risk; the within-doc signal is [[repeatedNgrams]]'
+    * territory.
     *
     * Fingerprints are md5 per window (portable to the oracle engine);
     * a Rabin-Karp rolling hash would shave the O(n) per-window rehash
@@ -791,12 +796,14 @@ object Dedup extends QueryModule {
         posexplode(shinglesFromWords(col("ws"), n)).as(Seq("pos", "sh")))
       .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
         md5(col("sh")).as("h"))
+    // inner join (not semi) so each position carries its window's df —
+    // dup has exactly ONE row per h, so this cannot fan out, and the
+    // per-span MAX(df) below is the attribution signal
     val dup = win.groupBy(col("h"))
       .agg(count_distinct(col("doc_id")).as("df"))
       .filter(col("df") >= minDocs)
-      .select(col("h"))
-    val hits = win.join(dup, Seq("h"), "left_semi")
-      .select(col("doc_id"), col("pos"))
+    val hits = win.join(dup, Seq("h"))
+      .select(col("doc_id"), col("pos"), col("df"))
     // gaps-and-islands: windows at pos and prev overlap or touch iff
     // pos <= prev + n (a window covers words [pos, pos+n-1]); both
     // window functions share one (doc_id, pos) sort
@@ -811,9 +818,10 @@ object Dedup extends QueryModule {
     grouped.groupBy(col("doc_id"), col("grp"))
       .agg(min(col("pos")).as("span_start"),
         (max(col("pos")) - min(col("pos")) + n).as("span_len"),
-        count(lit(1)).as("n_windows"))
+        count(lit(1)).as("n_windows"),
+        max(col("df")).as("max_df"))
       .select(col("doc_id"), col("span_start"), col("span_len"),
-        col("n_windows"))
+        col("n_windows"), col("max_df"))
   }
 
   /** Embedding-cosine near-dup pairs above `minCos`, bounded to ids
@@ -1185,21 +1193,22 @@ object Dedup extends QueryModule {
          |win AS (SELECT doc_id, i - 1 AS pos,
          |    md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) AS h
          |  FROM idx),
-         |dup AS (SELECT h FROM win GROUP BY h
-         |        HAVING COUNT(DISTINCT doc_id) >= 2),
-         |hits AS (SELECT doc_id, pos FROM win
-         |         WHERE h IN (SELECT h FROM dup)),
-         |brk AS (SELECT doc_id, pos,
+         |dup AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM win
+         |        GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+         |hits AS (SELECT w.doc_id, w.pos, d.df FROM win w
+         |         JOIN dup d ON d.h = w.h),
+         |brk AS (SELECT doc_id, pos, df,
          |    CASE WHEN LAG(pos) OVER w IS NULL
          |           OR pos > LAG(pos) OVER w + 4 THEN 1 ELSE 0 END AS b
          |  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-         |grp AS (SELECT doc_id, pos,
+         |grp AS (SELECT doc_id, pos, df,
          |    SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
          |                 ROWS UNBOUNDED PRECEDING) AS g
          |  FROM brk)
          |SELECT doc_id, MIN(pos) AS span_start,
          |  MAX(pos) - MIN(pos) + 4 AS span_len,
-         |  COUNT(*) AS n_windows
+         |  COUNT(*) AS n_windows,
+         |  MAX(df) AS max_df
          |FROM grp GROUP BY doc_id, g""".stripMargin,
     "q29_embed_neardup" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

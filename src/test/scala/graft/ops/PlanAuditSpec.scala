@@ -138,11 +138,11 @@ class PlanAuditSpec extends SparkSpec {
       graft.Tables.documents(spark, sf)))
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
       s"span detection must never form doc pairs:\n$s")
-    // exactly one join in the plan: the duplicated-hash semi-join back
-    // onto the positional window table
-    assert(s.contains("LeftSemi"), s"expected df>=2 semi-join in:\n$s")
+    // exactly one join in the plan: the per-hash df table (one row per
+    // fingerprint — cannot fan out) joined back onto the positional
+    // window table
     assert("Join".r.findAllIn(s).length === 1,
-      s"expected ONE join (the semi-join), got:\n$s")
+      s"expected ONE join (the df join-back), got:\n$s")
     // the interval merge sorts per document, not globally
     assert(s.contains("Window") && !s.contains("SinglePartition"),
       s"gaps-and-islands must stay per-doc:\n$s")

@@ -637,9 +637,11 @@ class DedupSpec extends SparkSpec {
       (4L, "entirely separate words about mountains rivers valleys clouds")
     ).toDF("doc_id", "text")
     val spans = Dedup.dupSpans(corpus).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
       .sortBy(s => (s._1, s._2))
-    assert(spans === Seq((1L, 0L, 10L, 7L), (2L, 0L, 10L, 7L)))
+    // max_df 2: every shared window lives in exactly docs 1 and 2
+    assert(spans === Seq((1L, 0L, 10L, 7L, 2L), (2L, 0L, 10L, 7L, 2L)))
   }
 
   test("dupSpans equals a brute-force span reference on random corpora") {
@@ -648,7 +650,7 @@ class DedupSpec extends SparkSpec {
     val n = Dedup.ShingleSize
     // brute reference: per doc, positions whose window occurs in >= 2
     // distinct docs, merged by the pos > prev + n break rule
-    def bruteSpans(corpus: Seq[(Long, String)]): Set[(Long, Long, Long, Long)] = {
+    def bruteSpans(corpus: Seq[(Long, String)]): Set[(Long, Long, Long, Long, Long)] = {
       def wordsOf(t: String): Seq[String] =
         t.toLowerCase.replaceAll("[^a-z0-9 ]", " ").trim
           .split(" +").filter(_.nonEmpty).toSeq
@@ -657,16 +659,19 @@ class DedupSpec extends SparkSpec {
         if (ws.length < n) Seq.empty
         else (0 to ws.length - n).map(p => (id, p, ws.slice(p, p + n).mkString(" ")))
       }
-      val dupH = wins.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2).keySet
+      val dfByH = wins.groupBy(_._3).view
+        .mapValues(_.map(_._1).distinct.size.toLong).toMap
+      val dupH = dfByH.filter(_._2 >= 2).keySet
       wins.filter(w => dupH(w._3)).groupBy(_._1).flatMap { case (id, ps) =>
-        val pos = ps.map(_._2).sorted
-        val spans = scala.collection.mutable.ListBuffer.empty[(Int, Int, Int)]
-        for (p <- pos) spans.lastOption match {
-          case Some((s, e, c)) if p <= e + n => spans(spans.length - 1) = (s, p, c + 1)
-          case _ => spans += ((p, p, 1))
+        val pos = ps.map(p => (p._2, dfByH(p._3))).sortBy(_._1)
+        val spans = scala.collection.mutable.ListBuffer.empty[(Int, Int, Int, Long)]
+        for ((p, df) <- pos) spans.lastOption match {
+          case Some((s, e, c, m)) if p <= e + n =>
+            spans(spans.length - 1) = (s, p, c + 1, math.max(m, df))
+          case _ => spans += ((p, p, 1, df))
         }
-        spans.map { case (s, e, c) =>
-          (id, s.toLong, (e - s + n).toLong, c.toLong) }
+        spans.map { case (s, e, c, m) =>
+          (id, s.toLong, (e - s + n).toLong, c.toLong, m) }
       }.toSet
     }
     val rnd = new scala.util.Random(29)
@@ -678,7 +683,8 @@ class DedupSpec extends SparkSpec {
         (i.toLong, Seq.fill(len)(s"t${rnd.nextInt(6)}").mkString(" "))
       }
       val got = Dedup.dupSpans(corpus.toDF("doc_id", "text")).collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
       assert(got === bruteSpans(corpus), s"trial $trial: $corpus")
     }
   }
