@@ -769,11 +769,13 @@ object Dedup extends QueryModule {
     * candidates, so there is no quadratic blow-up to df-cap — a
     * boilerplate window shared by 100k documents costs exactly its
     * 100k window rows, not 5·10⁹ pairs. The shape is: one tokenize
-    * pass (checkpointed), a df-aggregate shuffled by the 16-byte
-    * fingerprint with map-side partials, a semi-join back on the same
-    * key, and a per-document sort for the interval merge whose
-    * partition data is bounded by document length. Every shuffle key
-    * is short and every stage is linear in corpus windows. */
+    * pass, a df-aggregate shuffled by the 16-byte fingerprint with
+    * map-side partials, a join back on the same key (one df row per
+    * fingerprint — no fan-out; the shared by-h exchange is reused,
+    * see the inline note), and a per-document sort for the interval
+    * merge whose partition data is bounded by document length. Every
+    * shuffle key is short and every stage is linear in corpus
+    * windows. */
   def dupSpans(docs: DataFrame, n: Int = ShingleSize,
                minDocs: Long = 2L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
