@@ -356,8 +356,12 @@ object CoreQueries extends QueryModule {
     * than the 3-partition sort they parallelize; measured 2.15 s vs
     * 1.74 s at sf0.1). The sketch sibling (`Sketches.quantileProfile`)
     * stays the no-sort 100 TB path when approximation is acceptable.
-    * Assumes a non-null value column (percentile_disc skips nulls; a
-    * null here would sort first and shift every threshold). */
+    * Requires a non-null value column and ENFORCES it with a lazy
+    * raise_error guard (same discipline as labelPropagationWeighted's
+    * weight check): the q48 oracle's COUNT(*) counts every row while
+    * a silent isNotNull filter here would count only non-null ones —
+    * a single null would flip the certified hash without any error.
+    * Failing loudly turns that silent divergence into a diagnosis. */
   /** The quantile pick shared by BOTH cumdist forms: smallest value
     * whose cumulative count (`cum`) reaches the exact integer
     * threshold ceil(p·n/100). One definition — a threshold tweak
@@ -365,8 +369,19 @@ object CoreQueries extends QueryModule {
   private def pickPercentile(v: String, p: Int): Column =
     min(when(col("cum") >= expr(s"(n * $p + 99) div 100"), col(v))).as(s"p$p")
 
+  /** Null guard shared by both cumdist forms: a null value would sort
+    * first and shift every threshold AND diverge from the oracle's
+    * COUNT(*), so fail loudly instead of silently filtering. CaseWhen
+    * evaluates lazily (the error fires only on a genuinely-null row)
+    * and no Filter references the column, so Catalyst cannot push the
+    * side effect into an upstream join (NOTES gotcha 0). */
+  private def checkedValue(v: String): Column =
+    when(col(v).isNotNull, col(v)).otherwise(raise_error(lit(
+      s"cumDistPercentiles: null value in '$v' — percentile thresholds over " +
+        "nulls are undefined; filter or coalesce upstream")))
+
   def cumDistPercentiles(df: DataFrame, grp: String, v: String): DataFrame = {
-    val counts = df.filter(col(v).isNotNull)
+    val counts = df.select(col(grp), checkedValue(v).as(v))
       .groupBy(col(grp), col(v)).agg(count(lit(1)).as("c"))
     val byVal = Window.partitionBy(col(grp)).orderBy(col(v))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -395,7 +410,7 @@ object CoreQueries extends QueryModule {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
     val spark = df.sparkSession
-    val counts = df.filter(col(v).isNotNull)
+    val counts = df.select(col(grp), checkedValue(v).as(v))
       .groupBy(col(grp), col(v)).agg(count(lit(1)).as("c"))
       .repartitionByRange(partitions, col(grp), col(v))
       .withColumn("pid", spark_partition_id())

@@ -147,8 +147,13 @@ object Multimodal {
     * sizes are advanced in Long math, a size that would step
     * backwards or past the parent ends the walk instead of looping or
     * over-reading (64-bit `largesize` and size-0 "to end of file"
-    * boxes are both handled).
+    * boxes are both handled), and container nesting is capped at
+    * [[MaxBoxDepth]] — a crafted payload of minimal 8-byte container
+    * boxes would otherwise recurse ~payload_len/8 deep and throw
+    * StackOverflowError, an Error the catch discipline can't contain.
+    * Real BMFF never nests past ~6 (moov/trak/mdia/minf/stbl/stsd).
     */
+  val MaxBoxDepth = 32
   def decodeMp4Header(p: Array[Byte]): Option[(Int, Int, Int, Long)] = {
     def u32(i: Int): Long = ((p(i) & 0xffL) << 24) | ((p(i + 1) & 0xffL) << 16) |
       ((p(i + 2) & 0xffL) << 8) | (p(i + 3) & 0xffL)
@@ -160,7 +165,8 @@ object Multimodal {
     var width = 0; var height = 0; var nFrames = 0L
     // per-trak scratch: committed only if the trak turns out to be video
     var tW = 0; var tH = 0; var tFrames = 0L
-    def boxes(start: Int, end: Int): Unit = {
+    def boxes(start: Int, end: Int, depth: Int): Unit = {
+      if (depth > MaxBoxDepth) return // malformed: stop descending
       var i = start
       var ok = true
       while (ok && i + 8 <= end) {
@@ -178,10 +184,10 @@ object Multimodal {
           val body = (i + hdr).toInt
           val bodyEnd = (i + size).toInt
           typ(i) match {
-            case c if containers.contains(c) => boxes(body, bodyEnd)
+            case c if containers.contains(c) => boxes(body, bodyEnd, depth + 1)
             case "trak" =>
               tW = 0; tH = 0; tFrames = 0L
-              boxes(body, bodyEnd)
+              boxes(body, bodyEnd, depth + 1)
               if (tW > 0 && tH > 0) { width = tW; height = tH; nFrames = tFrames }
             case "mvhd" if body + 4 <= bodyEnd =>
               val v = p(body) & 0xff
@@ -208,7 +214,7 @@ object Multimodal {
         }
       }
     }
-    boxes(0, p.length)
+    boxes(0, p.length, 0)
     // numeric sanity, same malformed-container discipline as the walk:
     // a corrupt 0xFFFFFFFF sample_count must not wrap to -1 frames,
     // and a corrupt 64-bit mvhd duration must not overflow the ms math

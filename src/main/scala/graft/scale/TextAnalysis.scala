@@ -5,7 +5,7 @@ import graft.scale.Layout.widen
 import graft.functions.PortableFuncs._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType}
 
 /** Text-analysis operators for LLM training-data pipelines (BASELINE
   * north star): language ID (stopword/n-gram heuristic), quality
@@ -269,7 +269,12 @@ object TextAnalysis extends QueryModule {
     * `rep_frac` = max_rep / n_words is the curation-ready ratio. */
   def longestRepetition(docs0: DataFrame): DataFrame = {
     val docs = widen(docs0)
-    docs.select(col("doc_id"), words(col("text")).as("ws"))
+    // coalesce null text to an empty word array: size(NULL) is -1
+    // under Spark's legacy sizeOfNull while the oracle's len(NULL) is
+    // NULL — both engines must state n_words = 0 for a null document
+    docs.select(col("doc_id"),
+      coalesce(words(col("text")),
+        array().cast(ArrayType(StringType))).as("ws"))
       .select(col("doc_id"), size(col("ws")).as("n_words"),
         longestDupRun(col("ws")).as("max_rep"))
       .select(col("doc_id"), col("n_words"), col("max_rep"),
@@ -830,8 +835,10 @@ object TextAnalysis extends QueryModule {
     // length == max LCP of lexicographically ADJACENT suffixes (the
     // suffix-array identity), vs the Spark side's suffix automaton.
     // NULLIF: this DuckDB's list_position returns 0, not NULL, on miss
+    // COALESCE(..., []): null text must be 0 words on both engines
+    // (matches the Spark side's coalesce-to-empty-array)
     "q89_longest_dup" ->
-      s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+      s"""WITH w AS (SELECT doc_id, COALESCE($wsSql, []) AS ws FROM documents),
          |suf AS (SELECT doc_id, ws, unnest(range(1, len(ws)+1)) AS i FROM w),
          |sufl AS (SELECT doc_id, ws[i:] AS s FROM suf),
          |ord AS (SELECT doc_id, s,

@@ -17,10 +17,15 @@ case class VecArrival(vec_id: Long, ts: Timestamp, embedding: Array[Double])
   *
   * MIGRATION: the sum field was Double before the decimal rework, so
   * a streaming checkpoint written by the old encoder (Long, Double)
-  * does not restore into this schema — restart such a query with a
-  * fresh checkpoint directory (lifetime counts restart from the new
-  * stream position; the drift detector is batch-local and loses
-  * nothing). */
+  * does not restore into this schema. WHAT THE OPERATOR SEES: Spark's
+  * state-schema compatibility check fails the query AT START with
+  * `StateSchemaNotCompatible` ("Provided schema doesn't match to the
+  * existing state schema" — the stored value schema shows
+  * `sum: double`, the new one `sum: decimal(38,18)`); the query never
+  * reads a state row under the wrong layout, so there is no silent
+  * corruption window. ACTION: restart the query with a fresh
+  * checkpoint directory (lifetime counts restart from the new stream
+  * position; the drift detector is batch-local and loses nothing). */
 case class RunningSum(n: Long, sum: BigDecimal)
 
 /** Per-batch maintenance report for one IVF cell: lifetime stats plus

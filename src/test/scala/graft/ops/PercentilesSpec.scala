@@ -63,6 +63,26 @@ class PercentilesSpec extends SparkSpec {
     }
   }
 
+  test("a null value fails loudly instead of silently shifting thresholds") {
+    val spark2 = spark
+    import spark2.implicits._
+    // percentile_disc would skip the null while the oracle's COUNT(*)
+    // counts it — the reformulation refuses to guess and raises
+    val df = Seq(("g1", Some(1.0)), ("g1", None), ("g1", Some(3.0)))
+      .toDF("g", "v")
+    val e = intercept[Exception] {
+      CoreQueries.cumDistPercentiles(df, "g", "v").collect()
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .flatMap(x => Option(x.getMessage)).mkString(" | "))
+    assert(rootMsg(e).contains("cumDistPercentiles: null value"))
+    val e2 = intercept[Exception] {
+      CoreQueries.cumDistPercentilesDistributed(df, "g", "v").collect()
+    }
+    assert(rootMsg(e2).contains("cumDistPercentiles: null value"))
+  }
+
   test("q48 over lineitem matches the percentile_disc formulation") {
     val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
       .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))

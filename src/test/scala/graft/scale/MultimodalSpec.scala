@@ -164,6 +164,23 @@ class MultimodalSpec extends SparkSpec {
     val overflow = (ftyp ++ u32be(1) ++ "free".map(_.toInt).toArray ++
       Array(0x7f, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xf0)).map(_.toByte)
     assert(Multimodal.decodeMp4Header(overflow) === None) // and terminates
+    // a depth bomb of ~200k nested 8-byte moov containers must hit the
+    // MaxBoxDepth cap and return None, not recurse payload_len/8 deep
+    // into a StackOverflowError (an Error no catch discipline contains)
+    val d = 200000
+    val ftypBytes = ftyp.map(_.toByte)
+    val bomb = new Array[Byte](ftypBytes.length + 8 * d)
+    System.arraycopy(ftypBytes, 0, bomb, 0, ftypBytes.length)
+    for (i <- 0 until d) {
+      val off = ftypBytes.length + 8 * i
+      val size = 8L * (d - i) // each box exactly wraps the rest
+      bomb(off) = ((size >> 24) & 0xff).toByte
+      bomb(off + 1) = ((size >> 16) & 0xff).toByte
+      bomb(off + 2) = ((size >> 8) & 0xff).toByte
+      bomb(off + 3) = (size & 0xff).toByte
+      bomb(off + 4) = 'm'; bomb(off + 5) = 'o'; bomb(off + 6) = 'o'; bomb(off + 7) = 'v'
+    }
+    assert(Multimodal.decodeMp4Header(bomb) === None)
   }
 
   test("resize planning: aspect-preserving fit, no upscaling, floor+0.5 rounding") {

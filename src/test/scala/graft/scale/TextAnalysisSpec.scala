@@ -84,6 +84,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L).getAs[Double]("top_bigram_frac") === 0.0)
   }
 
+  test("longestRepetition: null text is 0 words, not size(null) = -1") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((1L, "a b a b a b"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.longestRepetition(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_words"), r.getAs[Int]("max_rep"),
+          r.getAs[Double]("rep_frac"))).toMap
+    // the oracle states n_words = 0 for a null document (COALESCE to
+    // the empty list on both engines); -1 here would flip its hash
+    assert(out(2L) === ((0, 0, 0.0)))
+    assert(out(1L)._1 === 6 && out(1L)._2 === 4)
+  }
+
   test("tfidf: corpus-rare terms outrank ubiquitous ones; ranks are " +
     "per-doc, deterministic, and capped at k") {
     val spark2 = spark
