@@ -182,8 +182,8 @@ object IndexMaintenance {
     * vs IVF: reconstruction error GROWS as the distribution leaves
     * the codebook, so the flag fires on `batch_mean_err >
     * errThreshold` (batch-local for the same reason as maintainIvf —
-    * a lifetime mean dilutes drift as the index grows). State is 8
-    * entries of (n, sum) — bounded by the subspace count, never the
+    * a lifetime mean dilutes drift as the index grows). State is one
+    * (n, sum) entry per subspace — bounded by the subspace count, never the
     * stream — and each batch streams through the group iterator in
     * O(1) memory (exact decimal sum; see [[RunningSum]]). */
   def maintainPq(arrivals: Dataset[VecArrival],

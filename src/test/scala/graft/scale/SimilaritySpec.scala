@@ -24,28 +24,60 @@ class SimilaritySpec extends SparkSpec {
     assert(sse2 > 0.0 && sse2 <= 4 * math.pow(1.0 / (2 * s2), 2) + 1e-12)
   }
 
-  test("product quantization: codebook vectors code to themselves with zero error") {
+  test("product quantization: trained codebook reconstructs no worse than " +
+    "its seed (Lloyd non-increase), SSE matches a driver recomputation") {
     val spark2 = spark
     import spark2.implicits._
+    import Similarity.{PqCodebook, PqSubDim, PqSubspaces}
     val rnd = new scala.util.Random(3)
-    // 16 codebook vectors + 4 others, 64 dims
-    val emb = (0 until 20).map(i =>
+    // PqCodebook seed vectors + 8 others, 64 dims — all inside the
+    // training sample (vec_id < PqTrainSample), so the k-means
+    // monotonicity argument below covers every row
+    val nVecs = PqCodebook + 8
+    val emb = (0 until nVecs).map(i =>
       (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val vecs = emb.select(org.apache.spark.sql.functions.col("vec_id"),
+      graft.functions.PortableFuncs.toDoubleArray(
+        org.apache.spark.sql.functions.col("embedding")).as("v"))
+      .as[(Long, Array[Double])].collect().toMap
+    def sseAgainst(v: Array[Double], books: Array[Array[Array[Double]]]): Double =
+      (0 until PqSubspaces).map { m =>
+        books(m).map { c =>
+          var d = 0.0
+          (0 until PqSubDim).foreach { i =>
+            val x = v(m * PqSubDim + i) - c(i); d += x * x
+          }
+          d
+        }.min
+      }.sum
+    def toBooks(rows: Array[(Int, Int, Array[Double])]) =
+      Array.tabulate(PqSubspaces)(m =>
+        rows.filter(_._2 == m).sortBy(_._1).map(_._3))
+    val seed = toBooks((0 until PqCodebook).flatMap { k =>
+      (0 until PqSubspaces).map(m =>
+        (k, m, vecs(k.toLong).slice(m * PqSubDim, (m + 1) * PqSubDim)))
+    }.toArray)
+    val trained = toBooks(Similarity.pqTrainedCents(emb).collect().map(r =>
+      (r.getAs[Int]("k"), r.getAs[Int]("m"),
+        r.getAs[Seq[Double]]("cv").toArray)))
     val out = Similarity.pqCodes(emb).collect()
       .map(r => r.getAs[Long]("vec_id") ->
         (r.getAs[String]("codes"), r.getAs[Double]("sse"))).toMap
-    assert(out.size === 20)
-    // every codebook vector's nearest sub-centroid is itself, exactly
-    (0 until 16).foreach { k =>
-      assert(out(k.toLong)._1 === Seq.fill(8)(k).mkString("-"))
-      assert(out(k.toLong)._2 === 0.0)
-    }
-    // non-codebook vectors get positive error and 8 in-range codes
-    (16 until 20).foreach { i =>
+    assert(out.size === nVecs)
+    // k-means never worsens the training objective: total SSE under
+    // the trained codebook <= total SSE under the first-16 seed
+    val seedTotal = vecs.values.map(sseAgainst(_, seed)).sum
+    val trainedTotal = vecs.values.map(sseAgainst(_, trained)).sum
+    assert(trainedTotal <= seedTotal,
+      s"training worsened reconstruction: $trainedTotal > $seedTotal")
+    // the plan's SSE equals the driver recomputation against the
+    // collected trained codebook (same fold order -> exact equality),
+    // and every code is in range
+    (0 until nVecs).foreach { i =>
       val (codes, sse) = out(i.toLong)
-      assert(sse > 0.0)
+      assert(sse === sseAgainst(vecs(i.toLong), trained), s"vec $i SSE")
       val ks = codes.split("-").map(_.toInt)
-      assert(ks.length === 8 && ks.forall(k => k >= 0 && k < 16))
+      assert(ks.length === PqSubspaces && ks.forall(k => k >= 0 && k < PqCodebook))
     }
   }
 

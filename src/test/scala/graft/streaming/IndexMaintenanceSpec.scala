@@ -139,15 +139,19 @@ class IndexMaintenanceSpec extends SparkSpec {
     val spark2 = spark
     import spark2.implicits._
     import org.apache.spark.sql.functions._
-    import graft.scale.Similarity.{PqSubspaces, PqSubDim, PqCodebook}
+    import graft.scale.Similarity.{PqSubspaces, PqSubDim}
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val rows = emb.select(col("vec_id"),
       graft.functions.PortableFuncs.toDoubleArray(col("embedding")).as("v"))
       .as[(Long, Array[Double])].collect()
-    // mirror pqCents: codebook m = the first PqCodebook vectors' m-th slices
-    val books = Array.tabulate(PqSubspaces) { m =>
-      rows.filter(_._1 < PqCodebook).sortBy(_._1)
-        .map { case (_, v) => v.slice(m * PqSubDim, (m + 1) * PqSubDim) }
+    // the codebook the batch side actually codes against: the TRAINED
+    // one (collected once — exactly how a streaming job receives it)
+    val books = {
+      val cb = graft.scale.Similarity.pqTrainedCents(emb).collect().map(r =>
+        (r.getAs[Int]("k"), r.getAs[Int]("m"), r.getAs[Seq[Double]]("cv").toArray))
+      Array.tabulate(PqSubspaces) { m =>
+        cb.filter(_._2 == m).sortBy(_._1).map(_._3)
+      }
     }
     val batchSse = graft.scale.Similarity.pqCodes(emb).collect()
       .map(r => r.getLong(0) -> r.getDouble(2)).toMap
