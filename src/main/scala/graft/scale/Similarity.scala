@@ -285,15 +285,6 @@ object Similarity extends QueryModule {
       .select(col("vec_id"), posexplode(pqSubvecs(toDoubleArray(col("embedding"))))
         .as(Seq("m", "sv")))
 
-  /** (k, m, cv): the deterministic per-subspace SEED codebook (the
-    * first [[PqCodebook]] vectors' sub-vectors) — the k-means
-    * initialization of [[pqTrainedCents]], not the production
-    * codebook. */
-  private def pqCents(emb: DataFrame): DataFrame =
-    emb.filter(col("vec_id") < PqCodebook)
-      .select(col("vec_id").cast("int").as("k"),
-        posexplode(pqSubvecs(toDoubleArray(col("embedding")))).as(Seq("m", "cv")))
-
   /** Squared L2 between the sv and cv slice columns — the native
     * expression generates a tight codegen loop with the same
     * sequential fold (bit-identical to the zip_with/aggregate form,
@@ -313,52 +304,91 @@ object Similarity extends QueryModule {
   val PqKmeansIters = 3
   private val PqMicro = 1000000.0
 
-  /** One deterministic Lloyd iteration over the training sample:
-    * assign each sample sub-vector to its nearest code (argmin L2,
-    * lowest-code tie-break — the exact [[pqAssignments]] contract),
-    * then move each code to its members' mean. The mean is computed
-    * the q83 fixed-point way so it is hash-portable: each component is
-    * rounded half-up to integer MICRO-units (`floor(x·10⁶ + 0.5)` —
-    * identical IEEE semantics both engines), summed as BIGINT (integer
-    * addition is associative — partition order cannot move a bit,
-    * where a double sum would differ run to run), and divided back
-    * once in an expression tree the oracle states verbatim. A code
-    * with no members keeps its previous centroid. */
-  private def pqKmeansIter(sample: DataFrame, cb: DataFrame): DataFrame = {
-    val assigned = sample.join(broadcast(cb), "m")
-      .select(col("vec_id"), col("m"), col("sv"), col("k"), pqDist.as("d"))
-      .groupBy(col("vec_id"), col("m"))
-      .agg(min_by(struct(col("k"), col("sv")), struct(col("d"), col("k"))).as("b"))
-      .select(col("m"), col("b.k").as("k"), col("b.sv").as("sv"))
-    val comps = assigned
-      .select(col("m"), col("k"), posexplode(col("sv")).as(Seq("i", "x")))
-      .groupBy(col("m"), col("k"), col("i"))
-      .agg((sum(floor(col("x") * lit(PqMicro) + lit(0.5)).cast("long")).cast("double")
-        / (count(lit(1)).cast("double") * lit(PqMicro))).as("x"))
-    val moved = comps.groupBy(col("m"), col("k"))
-      .agg(sort_array(collect_list(struct(col("i"), col("x")))).as("s"))
-      .select(col("m"), col("k"),
-        transform(col("s"), e => e.getField("x")).as("ncv"))
-    cb.join(moved, Seq("m", "k"), "left")
-      .select(col("k"), col("m"), coalesce(col("ncv"), col("cv")).as("cv"))
-  }
-
   /** The TRAINED per-subspace codebook: [[PqKmeansIters]] Lloyd
     * iterations seeded by the first-[[PqCodebook]] sub-vectors (the
     * former codebook — the seed is what makes the oracle able to
     * restate the whole computation). Fixed iteration count, fixed
     * seed, fixed-point means → bit-identical codebooks on every run
     * and both engines. Training the codebook roughly doubled measured
-    * PQ-ADC recall@5 vs the raw first-16 seed (see [[PqMinRecall]]). */
+    * PQ-ADC recall@5 vs the raw first-16 seed (see [[PqMinRecall]]).
+    *
+    * Training runs ON THE DRIVER over the collected sample — the
+    * FAISS-standard production shape (codebooks train on a small
+    * sample, never the corpus; the corpus only ever sees the finished
+    * book as a broadcast) and the same bounded-driver-work discipline
+    * as [[Dedup]]'s driverUnionFind: the sample is a FIXED
+    * [[PqTrainSample]] × [[Dim]] doubles (~256 KB) regardless of
+    * corpus size. A distributed Lloyd chain was A/B'd first: 3
+    * iterations × 4 shuffles of 512 rows = ~12 sequential stage waves
+    * of pure scheduler floor per consumer, measuring q61 at ~6 s and
+    * q88 at ~12 s at sf0.001 vs ~0.5/2 s with driver-side training —
+    * the data never justified a cluster job.
+    *
+    * Determinism, engine-portably: the argmin assignment folds squared
+    * L2 left-to-right in index order (bit-identical to the oracle's
+    * `list_reduce(list_transform(...))` and to [[pqDist]]'s codegen
+    * loop) with strict lowest-code tie-break; the centroid mean is the
+    * q83 fixed-point recipe — each component rounds half-up to integer
+    * MICRO-units (`floor(x·10⁶ + 0.5)`, identical IEEE semantics both
+    * engines), sums as a long (associative — iteration order cannot
+    * move a bit), and divides back once as `sum.toDouble /
+    * (count.toDouble · 10⁶)`, the exact expression tree the oracle
+    * states. A code with no members keeps its previous centroid. */
   def pqTrainedCents(emb: DataFrame): DataFrame = {
-    val sample = pqSub(emb.filter(col("vec_id") < PqTrainSample))
-    (1 to PqKmeansIters).foldLeft(pqCents(emb))((cb, _) => pqKmeansIter(sample, cb))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // bounded collect: PqTrainSample vectors, fixed size at any SF
+    val sample: Array[(Long, Array[Double])] =
+      emb.filter(col("vec_id") < PqTrainSample)
+        .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+    def slice(v: Array[Double], m: Int): Array[Double] =
+      java.util.Arrays.copyOfRange(v, m * PqSubDim, (m + 1) * PqSubDim)
+    def sqL2(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    val rows = (0 until PqSubspaces).flatMap { m =>
+      val svs = sample.map { case (_, v) => slice(v, m) }
+      val seed = sample.takeWhile(_._1 < PqCodebook).map { case (_, v) => slice(v, m) }
+      val trained = (1 to PqKmeansIters).foldLeft(seed) { (cb, _) =>
+        // assign: strict `<` while scanning codes in ascending order
+        // = argmin with lowest-code tie-break
+        val members = Array.fill(cb.length)(List.empty[Array[Double]])
+        svs.foreach { sv =>
+          var bestK = 0; var bestD = sqL2(sv, cb(0)); var k = 1
+          while (k < cb.length) {
+            val d = sqL2(sv, cb(k))
+            if (d < bestD) { bestD = d; bestK = k }
+            k += 1
+          }
+          members(bestK) ::= sv
+        }
+        Array.tabulate(cb.length) { k =>
+          val ms = members(k)
+          if (ms.isEmpty) cb(k)
+          else Array.tabulate(PqSubDim) { i =>
+            var s = 0L
+            ms.foreach(sv => s += math.floor(sv(i) * PqMicro + 0.5).toLong)
+            s.toDouble / (ms.size.toDouble * PqMicro)
+          }
+        }
+      }
+      trained.zipWithIndex.map { case (cv, k) => (k, m, cv) }
+    }
+    rows.toDF("k", "m", "cv")
   }
 
   /** (vec_id, m, k, d): per-subspace argmin code assignment against
     * the trained codebook. */
   def pqAssignments(emb: DataFrame): DataFrame =
-    pqSub(emb).join(broadcast(pqTrainedCents(emb)), "m")
+    pqAssignmentsWith(emb, pqTrainedCents(emb))
+
+  private def pqAssignmentsWith(emb: DataFrame, cents: DataFrame): DataFrame =
+    pqSub(emb).join(broadcast(cents), "m")
       .select(col("vec_id"), col("m"), col("k"), pqDist.as("d"))
       .groupBy(col("vec_id"), col("m"))
       .agg(min_by(struct(col("k"), col("d")), struct(col("d"), col("k"))).as("b"))
@@ -401,11 +431,14 @@ object Similarity extends QueryModule {
     * rankings tie-break by c_id. */
   def annPq(emb: DataFrame, nQueries: Long = 8L, k: Int = TopK,
             refine: Int = PqRefine): DataFrame = {
-    val codes = pqAssignments(emb)
+    // ONE trained book shared by the code assignment and the LUT —
+    // two pqTrainedCents calls would train (and checkpoint) twice
+    val cents = pqTrainedCents(emb)
+    val codes = pqAssignmentsWith(emb, cents)
       .select(col("vec_id").as("c_id"), col("m"), col("k").as("code"))
     val lut = pqSub(emb.filter(col("vec_id") < nQueries))
       .withColumnRenamed("vec_id", "q_id")
-      .join(broadcast(pqTrainedCents(emb)), "m")
+      .join(broadcast(cents), "m")
       .select(col("q_id"), col("m"), col("k").as("code"), pqDist.as("qd"))
     val approx = codes.join(broadcast(lut), Seq("m", "code"))
       .groupBy(col("q_id"), col("c_id"))
