@@ -776,28 +776,34 @@ object Dedup extends QueryModule {
     * merge whose partition data is bounded by document length. Every
     * shuffle key is short and every stage is linear in corpus
     * windows. */
-  def dupSpans(docs: DataFrame, n: Int = ShingleSize,
-               minDocs: Long = 2L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(n >= 1, s"window size must be >= 1: $n")
-    require(minDocs >= 2, s"minDocs must be >= 2 (a span duplicated in " +
-      s"fewer than 2 documents is not a duplicate): $minDocs")
-    // positional window fingerprints (doc_id, pos, h): ws materialized
-    // first so the shingle kernel reads it once (see shingleTable).
-    // NO checkpoint, unlike the shingleTable consumers: both readers
-    // below (the df aggregate and the semi-join's streamed side)
-    // exchange this table by the SAME key h, so ReuseExchange dedupes
-    // the tokenize subtree at the shuffle — a checkpoint would only
-    // add a blocking materialization pass (A/B'd: ~1.34 s with the
-    // checkpoint vs ~1.19 s without, at sf0.1; the audit spec pins
-    // the ReusedExchange)
-    val win = Layout.widen(docs)
+  /** Positional window fingerprints (doc_id, pos, h) — the shared base
+    * table of the span-granular ops ([[dupSpans]], [[spanPairs]]): one
+    * n-word window per position, fingerprinted md5 (portable to the
+    * oracle engine). ws materialized first so the shingle kernel reads
+    * it once (see shingleTable). */
+  private def windowTable(docs: DataFrame, n: Int): DataFrame =
+    Layout.widen(docs)
       .select(col("doc_id"), words(col("text")).as("ws"))
       .filter(size(col("ws")) >= n)
       .select(col("doc_id"),
         posexplode(shinglesFromWords(col("ws"), n)).as(Seq("pos", "sh")))
       .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
         md5(col("sh")).as("h"))
+
+  def dupSpans(docs: DataFrame, n: Int = ShingleSize,
+               minDocs: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1, s"window size must be >= 1: $n")
+    require(minDocs >= 2, s"minDocs must be >= 2 (a span duplicated in " +
+      s"fewer than 2 documents is not a duplicate): $minDocs")
+    // NO checkpoint on the window table, unlike the shingleTable
+    // consumers: both readers below (the df aggregate and the
+    // semi-join's streamed side) exchange this table by the SAME key
+    // h, so ReuseExchange dedupes the tokenize subtree at the shuffle
+    // — a checkpoint would only add a blocking materialization pass
+    // (A/B'd: ~1.34 s with the checkpoint vs ~1.19 s without, at
+    // sf0.1; the audit spec pins the ReusedExchange)
+    val win = windowTable(docs, n)
     // inner join (not semi) so each position carries its window's df —
     // dup has exactly ONE row per h, so this cannot fan out, and the
     // per-span MAX(df) below is the attribution signal
@@ -824,6 +830,81 @@ object Dedup extends QueryModule {
         max(col("df")).as("max_df"))
       .select(col("doc_id"), col("span_start"), col("span_len"),
         col("n_windows"), col("max_df"))
+  }
+
+  /** Hot-window cap for [[spanPairs]]: windows shared by more than
+    * this many distinct documents are corpus boilerplate — their
+    * document set is not a provenance signal (it is "everyone"), and
+    * pairing them is the quadratic blow-up every pair-generating op
+    * here refuses. [[dupSpans]]' `max_df` already attributes them
+    * per-document with no pairing at all. */
+  val SpanPairDfCap = 16L
+
+  /** Cross-document span ATTRIBUTION pairs — the provenance companion
+    * to [[dupSpans]]: not "where is this document duplicated" but
+    * "which documents share this span". One row per (doc_a, doc_b,
+    * shared maximal span), with the span interval in doc_a's word
+    * coordinates, the number of shared window fingerprints it merged,
+    * and `max_df` (how widely the widest window in the span is shared
+    * corpus-wide). Curation reads it as a provenance edge list: a
+    * contiguous 200-word span shared by exactly 2 documents is a
+    * copy-paste event (keep one side); many small spans at df near the
+    * cap are template fragments.
+    *
+    * Semantics, precisely: a window participates iff its fingerprint
+    * occurs in [minDocs, dfCap] DISTINCT documents; per (document,
+    * fingerprint) the FIRST occurrence position represents it
+    * (within-doc repetition is [[repeatedNgrams]]/q89 territory, same
+    * discipline as [[dupSpans]]); a pair's shared windows merge into
+    * maximal spans by the q87 gaps-and-islands recurrence over doc_a's
+    * positions (doc_b may carry the same content at different — even
+    * non-contiguous — offsets; doc_a, the lower id, is the canonical
+    * coordinate system).
+    *
+    * Scale design: the ONLY pair-generating step is the self-join of
+    * the first-occurrence table on fingerprints that already passed
+    * the `df <= dfCap` filter, so a fingerprint fans out to at most
+    * C(dfCap, 2) = 120 pairs — bounded O(windows · dfCap) total,
+    * never O(df²) on a hot key (the [[ngramJaccard]] df-cap
+    * discipline, enforced at span granularity). Everything upstream
+    * of that join is [[dupSpans]]' linear shape: one tokenize pass,
+    * a df aggregate by fingerprint with map-side partials, a
+    * first-occurrence aggregate on the same key. */
+  def spanPairs(docs: DataFrame, n: Int = ShingleSize,
+                minDocs: Long = 2L, dfCap: Long = SpanPairDfCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1, s"window size must be >= 1: $n")
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    require(dfCap >= minDocs, s"dfCap $dfCap < minDocs $minDocs")
+    val win = windowTable(docs, n)
+    val dup = win.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDocs && col("df") <= dfCap)
+    // first occurrence per (doc, fingerprint); df rides along (one df
+    // row per h, so max() is just a carrier, not a choice)
+    val occ = win.join(dup, Seq("h"))
+      .groupBy(col("doc_id"), col("h"))
+      .agg(min(col("pos")).as("pos"), max(col("df")).as("df"))
+    val pairs = occ.as("a").join(occ.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pos_a"), col("a.df").as("df"))
+    val byPair = Window.partitionBy(col("doc_a"), col("doc_b"))
+      .orderBy(col("pos_a"))
+    pairs
+      .withColumn("prev", lag(col("pos_a"), 1).over(byPair))
+      .withColumn("brk",
+        when(col("prev").isNull || col("pos_a") > col("prev") + n, 1L)
+          .otherwise(0L))
+      .withColumn("grp", sum(col("brk")).over(
+        byPair.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_a"), col("doc_b"), col("grp"))
+      .agg(min(col("pos_a")).as("span_start"),
+        (max(col("pos_a")) - min(col("pos_a")) + n).as("span_len"),
+        count(lit(1)).as("n_windows"),
+        max(col("df")).as("max_df"))
+      .select(col("doc_a"), col("doc_b"), col("span_start"),
+        col("span_len"), col("n_windows"), col("max_df"))
   }
 
   /** Embedding-cosine near-dup pairs above `minCos`, bounded to ids
@@ -890,7 +971,9 @@ object Dedup extends QueryModule {
       incrementalDedupAt(T.documents(s, d), boundary = 400L)
         .select(col("doc_id"), col("lang"))),
     // substring-level dedup: maximal duplicated word-spans per document
-    "q87_dup_spans" -> ((s, d) => dupSpans(T.documents(s, d)))
+    "q87_dup_spans" -> ((s, d) => dupSpans(T.documents(s, d))),
+    // span provenance: which document PAIRS share each maximal span
+    "q90_span_pairs" -> ((s, d) => spanPairs(T.documents(s, d)))
   )
 
   private val normSql =
@@ -1212,6 +1295,36 @@ object Dedup extends QueryModule {
          |  COUNT(*) AS n_windows,
          |  MAX(df) AS max_df
          |FROM grp GROUP BY doc_id, g""".stripMargin,
+    // same window recurrence as q87, restricted to df <= 16 windows,
+    // paired via first-occurrence-per-(doc,h) self-join, then the
+    // LAG/SUM islands merge per (doc_a, doc_b) in doc_a coordinates
+    "q90_span_pairs" ->
+      s"""WITH ws AS (SELECT doc_id, $normSql AS ws FROM documents),
+         |idx AS (SELECT doc_id, ws, unnest(range(1, len(ws)-2)) AS i
+         |        FROM ws WHERE len(ws) >= 4),
+         |win AS (SELECT doc_id, i - 1 AS pos,
+         |    md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) AS h
+         |  FROM idx),
+         |dup AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM win
+         |        GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+         |                      AND COUNT(DISTINCT doc_id) <= $SpanPairDfCap),
+         |occ AS (SELECT w.doc_id, w.h, MIN(w.pos) AS pos, MAX(d.df) AS df
+         |        FROM win w JOIN dup d ON d.h = w.h GROUP BY w.doc_id, w.h),
+         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.pos AS pos_a, a.df
+         |  FROM occ a JOIN occ b ON a.h = b.h AND a.doc_id < b.doc_id),
+         |brk AS (SELECT doc_a, doc_b, pos_a, df,
+         |    CASE WHEN LAG(pos_a) OVER w IS NULL
+         |           OR pos_a > LAG(pos_a) OVER w + 4 THEN 1 ELSE 0 END AS b
+         |  FROM pr WINDOW w AS (PARTITION BY doc_a, doc_b ORDER BY pos_a)),
+         |grp AS (SELECT doc_a, doc_b, pos_a, df,
+         |    SUM(b) OVER (PARTITION BY doc_a, doc_b ORDER BY pos_a
+         |                 ROWS UNBOUNDED PRECEDING) AS g
+         |  FROM brk)
+         |SELECT doc_a, doc_b, MIN(pos_a) AS span_start,
+         |  MAX(pos_a) - MIN(pos_a) + 4 AS span_len,
+         |  COUNT(*) AS n_windows, MAX(df) AS max_df
+         |FROM grp GROUP BY doc_a, doc_b, g""".stripMargin,
     "q29_embed_neardup" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))

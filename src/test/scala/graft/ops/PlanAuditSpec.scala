@@ -160,6 +160,23 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("q90 span pairs: the only pair-generating join runs on the " +
+    "df-capped fingerprint set — no cartesian, no uncapped key") {
+    val s = planOf(graft.scale.Dedup.spanPairs(
+      graft.Tables.documents(spark, sf)))
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"span pairing must stay an equality join:\n$s")
+    // the df filter (>= minDocs AND <= dfCap) must sit upstream of the
+    // self-join: every h reaching the pair join fans out to at most
+    // C(dfCap, 2) pairs. The filter lives on the aggregated df column,
+    // so its presence in the plan (both bounds) pins the capped shape.
+    assert(s.contains("df#") && s.contains("<= 16"),
+      s"expected the df-cap filter ahead of the pair join:\n$s")
+    // the interval merge sorts per (doc_a, doc_b), never globally
+    assert(s.contains("Window") && !s.contains("SinglePartition"),
+      s"islands merge must stay per-pair:\n$s")
+  }
+
   test("q89 longest dup run is a pure scan-side projection: no join, " +
     "no aggregation exchange, kernel inside codegen") {
     // AQE off: the adaptive wrapper prints its INITIAL plan without

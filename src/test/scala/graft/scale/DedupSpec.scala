@@ -722,4 +722,93 @@ class DedupSpec extends SparkSpec {
     // guards: a 1-doc "duplicate" threshold is rejected loudly
     intercept[IllegalArgumentException](Dedup.dupSpans(corpus, minDocs = 1))
   }
+
+  test("spanPairs attributes shared spans to document pairs and drops " +
+    "hot boilerplate past the df cap") {
+    val spark2 = spark
+    import spark2.implicits._
+    val shared = (0 until 10).map(i => s"alpha$i").mkString(" ")
+    val boiler = (0 until 6).map(i => s"tmpl$i").mkString(" ")
+    // docs 1/2 share a 10-word prefix; docs 5-8 all carry a 6-word
+    // template phrase (df 4 > cap 3) that must generate NO pairs
+    val corpus = Seq(
+      (1L, s"$shared tail one unique ending here now"),
+      (2L, s"$shared other closing words go there instead"),
+      (5L, s"$boiler unique5 after the template text"),
+      (6L, s"$boiler unique6 more other unrelated words"),
+      (7L, s"$boiler unique7 yet different trailing talk"),
+      (8L, s"$boiler unique8 closing remarks completely new")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.spanPairs(corpus, dfCap = 3L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .sortBy(p => (p._1, p._2, p._3))
+    // only the (1,2) prefix span survives: 7 windows, 10 words, df 2
+    assert(pairs === Seq((1L, 2L, 0L, 10L, 7L, 2L)))
+    // with the cap lifted the template phrase pairs all C(4,2)=6 ways
+    val uncapped = Dedup.spanPairs(corpus, dfCap = 16L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(uncapped.count(p => p._1 >= 5L) === 6)
+    // guards
+    intercept[IllegalArgumentException](Dedup.spanPairs(corpus, minDocs = 1))
+    intercept[IllegalArgumentException](
+      Dedup.spanPairs(corpus, minDocs = 4, dfCap = 3))
+  }
+
+  test("spanPairs equals a brute-force pair-span reference on random corpora") {
+    val spark2 = spark
+    import spark2.implicits._
+    val n = Dedup.ShingleSize
+    def brutePairs(corpus: Seq[(Long, String)], cap: Long):
+        Set[(Long, Long, Long, Long, Long, Long)] = {
+      def wordsOf(t: String): Seq[String] =
+        t.toLowerCase.replaceAll("[^a-z0-9 ]", " ").trim
+          .split(" +").filter(_.nonEmpty).toSeq
+      val wins = corpus.flatMap { case (id, t) =>
+        val ws = wordsOf(t)
+        if (ws.length < n) Seq.empty
+        else (0 to ws.length - n).map(p => (id, p, ws.slice(p, p + n).mkString(" ")))
+      }
+      val dfByH = wins.groupBy(_._3).view
+        .mapValues(_.map(_._1).distinct.size.toLong).toMap
+      val keptH = dfByH.filter(d => d._2 >= 2 && d._2 <= cap).keySet
+      // first occurrence per (doc, window)
+      val occ = wins.filter(w => keptH(w._3)).groupBy(w => (w._1, w._3)).map {
+        case ((id, h), ws2) => (id, h, ws2.map(_._2).min)
+      }
+      val byH = occ.groupBy(_._2)
+      val pairRows = byH.toSeq.flatMap { case (h, os) =>
+        val docs = os.toSeq.sortBy(_._1)
+        for (a <- docs; b <- docs if a._1 < b._1)
+          yield (a._1, b._1, a._3, dfByH(h))
+      }
+      pairRows.groupBy(p => (p._1, p._2)).flatMap { case ((da, db), ps) =>
+        val pos = ps.map(p => (p._3, p._4)).sortBy(_._1)
+        val spans = scala.collection.mutable.ListBuffer.empty[(Int, Int, Int, Long)]
+        for ((p, df) <- pos) spans.lastOption match {
+          case Some((s, e, c, m)) if p <= e + n =>
+            spans(spans.length - 1) = (s, p, c + 1, math.max(m, df))
+          case _ => spans += ((p, p, 1, df))
+        }
+        spans.map { case (s, e, c, m) =>
+          (da, db, s.toLong, (e - s + n).toLong, c.toLong, m) }
+      }.toSet
+    }
+    val rnd = new scala.util.Random(41)
+    for (trial <- 0 until 5) {
+      val corpus = (0 until 12).map { i =>
+        val len = 2 + rnd.nextInt(14)
+        (i.toLong, Seq.fill(len)(s"t${rnd.nextInt(6)}").mkString(" "))
+      }
+      // tight cap exercises the boilerplate-exclusion path too: with a
+      // 6-token vocab many windows exceed df 4
+      for (cap <- Seq(4L, 16L)) {
+        val got = Dedup.spanPairs(corpus.toDF("doc_id", "text"), dfCap = cap)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4), r.getLong(5))).toSet
+        assert(got === brutePairs(corpus, cap), s"trial $trial cap $cap: $corpus")
+      }
+    }
+  }
 }
