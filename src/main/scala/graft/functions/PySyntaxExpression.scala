@@ -1,0 +1,175 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Tokenizer-level Python source scan — the V2 syntax gate's teeth.
+  *
+  * The reference validates test sources with a full `ast.parse`
+  * (`/root/reference/shared_tools/validators.py:194-219`); V2 here is
+  * a regex extraction, so before this kernel a file matching
+  * `^def test_` passed V2 even when it could never compile, failing
+  * only later inside V4's container run (documented divergence,
+  * SURVEY §7.4.5). This scan closes the most common cases at the
+  * LEXICAL level — the part of `ast.parse` that is public-knowledge
+  * string walking, no parser required:
+  *
+  *  - bracket balance: `()[]{}` matched via a stack, counted only in
+  *    code (a `)` inside a string literal or comment is content, which
+  *    is exactly what the old count-occurrences heuristic got wrong);
+  *  - string termination: single-quoted strings must close before an
+  *    unescaped newline, triple-quoted strings before EOF;
+  *  - indentation consistency: a tab AFTER a space in a line's leading
+  *    whitespace is the unambiguous core of CPython's TabError —
+  *    checked only at statement level (inside an open bracket, Python
+  *    implicitly joins lines and ignores indentation, so there it is
+  *    legal).
+  *
+  * What stays out of scope — and still only fails in the container
+  * run — is genuinely SYNTACTIC invalidity (a stray `def def`, a
+  * malformed expression): that requires the grammar, and
+  * approximating it would guess. The scan never false-positives on
+  * valid Python: every rule above is a necessary condition for
+  * `ast.parse` to succeed.
+  *
+  * Returns null when the source scans clean, else one of three
+  * DISTINCT messages (each with the offending line) so a reviewer can
+  * tell the failure modes apart. Escape handling: a backslash always
+  * consumes the next character inside strings; raw strings differ
+  * only in how the escaped char is INTERPRETED, not in where the
+  * string ends for `\"`/`\'` — the termination scan matches CPython's
+  * tokenizer. */
+object PySyntaxKernel {
+
+  def scan(srcU: UTF8String): UTF8String = {
+    if (srcU == null) return null
+    val s = srcU.toString
+    val n = s.length
+    var i = 0
+    var line = 1
+    // open-bracket stack: chars + the line each opened on
+    var stack = List.empty[(Char, Int)]
+    var atIndent = true       // scanning a line's leading whitespace
+    var indentHasSpace = false
+    def err(m: String): UTF8String = UTF8String.fromString(m)
+    while (i < n) {
+      val c = s.charAt(i)
+      if (atIndent && stack.isEmpty) {
+        if (c == ' ') { indentHasSpace = true; i += 1 }
+        else if (c == '\t') {
+          if (indentHasSpace) {
+            // blank and comment-only lines generate no indentation
+            // token in CPython — only raise if real code follows
+            var j = i
+            while (j < n && (s.charAt(j) == ' ' || s.charAt(j) == '\t')) j += 1
+            if (j < n && s.charAt(j) != '#' && s.charAt(j) != '\n')
+              return err(s"inconsistent indentation (tab after spaces) at line $line")
+          }
+          i += 1
+        } else { atIndent = false }
+      } else if (c == '\\' && i + 1 < n && s.charAt(i + 1) == '\n') {
+        // explicit line join: the continuation line is NOT a statement
+        // start, so its leading whitespace is not indentation
+        line += 1; i += 2
+      } else if (c == '\n') {
+        line += 1; atIndent = true; indentHasSpace = false; i += 1
+      } else if (c == '#') {
+        while (i < n && s.charAt(i) != '\n') i += 1
+      } else if (c == '"' || c == '\'') {
+        val delim = c
+        if (i + 2 < n && s.charAt(i + 1) == delim && s.charAt(i + 2) == delim) {
+          val startLine = line
+          i += 3
+          var closed = false
+          while (i < n && !closed) {
+            val c2 = s.charAt(i)
+            if (c2 == '\\') {
+              if (i + 1 < n && s.charAt(i + 1) == '\n') line += 1
+              i += 2
+            } else if (c2 == delim && i + 2 < n &&
+              s.charAt(i + 1) == delim && s.charAt(i + 2) == delim) {
+              closed = true; i += 3
+            } else {
+              if (c2 == '\n') line += 1
+              i += 1
+            }
+          }
+          if (!closed)
+            return err(s"unterminated triple-quoted string starting at line $startLine")
+        } else {
+          val startLine = line
+          i += 1
+          var closed = false
+          var broken = false
+          while (i < n && !closed && !broken) {
+            val c2 = s.charAt(i)
+            if (c2 == '\\') {
+              // escaped newline is a legal continuation inside a
+              // single-quoted string; any other escape consumes one char
+              if (i + 1 < n && s.charAt(i + 1) == '\n') line += 1
+              i += 2
+            } else if (c2 == delim) { closed = true; i += 1 }
+            else if (c2 == '\n') { broken = true }
+            else i += 1
+          }
+          if (!closed)
+            return err(s"unterminated string literal at line $startLine")
+        }
+      } else if (c == '(' || c == '[' || c == '{') {
+        stack = (c, line) :: stack
+        i += 1
+      } else if (c == ')' || c == ']' || c == '}') {
+        val want = c match { case ')' => '('; case ']' => '['; case _ => '{' }
+        stack match {
+          case (open, _) :: rest if open == want => stack = rest; i += 1
+          case _ =>
+            return err(s"unbalanced brackets: unexpected '$c' at line $line")
+        }
+      } else i += 1
+    }
+    stack match {
+      case (open, openLine) :: _ =>
+        err(s"unbalanced brackets: '$open' opened at line $openLine never closed")
+      case Nil => null
+    }
+  }
+}
+
+object PySyntaxExpression {
+  def pySyntaxError(src: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      PySyntaxError(org.apache.spark.sql.graftbridge.ColumnBridge.expression(src)))
+}
+
+/** `py_syntax_error(src)`: null when [[PySyntaxKernel]] finds nothing,
+  * else the scan's message — a plain codegen'd projection like the
+  * other graft kernels. */
+case class PySyntaxError(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"py_syntax_error requires string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "py_syntax_error"
+
+  override def nullSafeEval(input: Any): Any =
+    PySyntaxKernel.scan(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val code = nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.functions.PySyntaxKernel.scan($c);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin)
+    code
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PySyntaxError =
+    copy(child = newChild)
+}

@@ -192,21 +192,20 @@ object Validators {
   def pureChecks(df: DataFrame): DataFrame = {
     val withWeights = DatapointOps.validateWeights(df)
     val problematic = Seq("requests", "urllib", "socket", "subprocess")
-    def occ(ch: String) =
-      graft.functions.PortableFuncs.countOccurrences(col("test_functions"), ch)
     dockerfileLint(withWeights)
       .withColumn("test_names", DatapointOps.testNames(col("test_functions")))
       .withColumn("n_tests", size(col("test_names")))
-      .withColumn("syntax_ok", size(col("test_names")) >= 1)
-      // V2 is a regex approximation of ast.parse (SURVEY §7.4.5): a file
-      // that matches `^def test_` but would not compile passes here and
-      // only fails in V4's container run. Unbalanced brackets are the
-      // cheap per-row tell for that divergence — surfaced as a caveat in
-      // the stage message so a reviewer sees it per-datapoint, not only
-      // in the survey note. Heuristic only: never flips the verdict.
-      .withColumn("syntax_suspect",
-        col("syntax_ok") && (occ("(") =!= occ(")") ||
-          occ("[") =!= occ("]") || occ("{") =!= occ("}")))
+      // tokenizer-level lexical scan ([[graft.functions.PySyntaxKernel]]):
+      // unbalanced brackets (string/comment-aware — a ')' in a literal
+      // is content), unterminated single/triple-quoted strings, and
+      // tab-after-space indentation all REJECT at V2 with distinct
+      // messages, narrowing the documented regex-vs-ast.parse
+      // divergence (SURVEY §7.4.5) to genuinely grammatical errors,
+      // which still surface only in V4's container run
+      .withColumn("syntax_err",
+        graft.functions.PySyntaxExpression.pySyntaxError(col("test_functions")))
+      .withColumn("syntax_ok",
+        size(col("test_names")) >= 1 && col("syntax_err").isNull)
       .withColumn("problematic_imports",
         array_sort(array_intersect(
           regexp_extract_all(col("test_functions"),
@@ -267,7 +266,7 @@ object Validators {
     val pure = pureChecks(dps).select(
       col("task_id"), col("dockerfile"), col("dockerfile_ok"),
       col("test_functions"), afCol,
-      col("syntax_ok"), col("syntax_suspect"), col("n_tests"), col("test_names"),
+      col("syntax_ok"), col("syntax_err"), col("n_tests"), col("test_names"),
       col("weights_valid"), col("w_sum"),
       col("missing_weights"), col("extra_weights"))
     pure.repartition(workers).mapPartitions { rows =>
@@ -276,13 +275,14 @@ object Validators {
         val v1lint = StageResult("dockerfile_lint", r.getAs[Boolean]("dockerfile_ok"),
           if (r.getAs[Boolean]("dockerfile_ok")) "dependency lint ok"
           else "missing FROM or tmux/asciinema deps")
-        val v2 = StageResult("test_syntax", r.getAs[Boolean]("syntax_ok"),
-          s"${r.getAs[Int]("n_tests")} test function(s) found" + (
-            if (r.getAs[Boolean]("syntax_suspect"))
-              " (caveat: regex approximation of ast.parse — unbalanced " +
-                "brackets suggest the file may not compile; the container " +
-                "run is authoritative, see SURVEY §7.4.5)"
-            else ""))
+        val v2 = {
+          val lexErr = r.getAs[String]("syntax_err")
+          StageResult("test_syntax", r.getAs[Boolean]("syntax_ok"),
+            if (lexErr != null) lexErr
+            else s"${r.getAs[Int]("n_tests")} test function(s) found " +
+              "(lexically clean; grammar-level validity is confirmed by " +
+              "the container run, SURVEY §7.4.5)")
+        }
         val v3 = StageResult("test_weights", r.getAs[Boolean]("weights_valid"),
           if (r.getAs[Boolean]("weights_valid")) "weights valid"
           else s"sum=${r.getAs[Double]("w_sum")} missing=${r.getAs[Seq[String]]("missing_weights").mkString(",")} extra=${r.getAs[Seq[String]]("extra_weights").mkString(",")}")

@@ -199,23 +199,63 @@ class ValidatorsSpec extends SparkSpec {
     } finally BuildContext.deleteRecursive(dir)
   }
 
-  test("V2 surfaces the regex-approximation caveat when brackets are " +
-    "unbalanced, without flipping the verdict") {
+  test("V2 lexical scan rejects unbalanced parens, unterminated " +
+    "triple-quotes, and mixed-tab files with distinct messages") {
     import spark.implicits._
     val dps = Seq(
-      // matches ^def test_ but would never ast.parse: unbalanced paren
-      ("suspect", "FROM x\nRUN tmux asciinema",
+      // matches ^def test_ but would never ast.parse: unbalanced parens
+      ("parens", "FROM x\nRUN tmux asciinema",
         "def test_a(:\n  assert ((1 == 1\n", """{"test_a":1.0}"""),
+      // docstring never closes
+      ("triple", "FROM x\nRUN tmux asciinema",
+        "def test_b():\n  \"\"\"doc never ends\n  assert True\n", """{"test_b":1.0}"""),
+      // space-then-tab indentation on a code line: CPython TabError
+      ("mixedtab", "FROM x\nRUN tmux asciinema",
+        "def test_c():\n \tassert True\n", """{"test_c":1.0}"""),
+      // single-quoted string broken by a newline
+      ("strlit", "FROM x\nRUN tmux asciinema",
+        "def test_d():\n  s = 'broken\n  assert True\n", """{"test_d":1.0}"""),
       ("fine", "FROM x\nRUN tmux asciinema",
-        "def test_a():\n  assert (1 == 1)\n", """{"test_a":1.0}""")
+        "def test_e():\n  assert (1 == 1)\n", """{"test_e":1.0}""")
     ).toDF("task_id", "dockerfile", "test_functions", "test_weights")
     val v2 = validateAll(spark, dps, new FakeRunner(Map.empty), runDocker = false)
       .collect().map(r => r.task_id ->
         r.stages.find(_.stage == "test_syntax").get).toMap
-    assert(v2("suspect").valid, "caveat must not flip the verdict")
-    assert(v2("suspect").message.contains("regex approximation"),
-      s"expected per-datapoint caveat, got: ${v2("suspect").message}")
-    assert(!v2("fine").message.contains("caveat"))
+    assert(!v2("parens").valid && v2("parens").message.contains("unbalanced brackets"))
+    assert(!v2("triple").valid &&
+      v2("triple").message.contains("unterminated triple-quoted"))
+    assert(!v2("mixedtab").valid &&
+      v2("mixedtab").message.contains("inconsistent indentation"))
+    assert(!v2("strlit").valid &&
+      v2("strlit").message.contains("unterminated string literal"))
+    // the four failure messages are pairwise distinct
+    val msgs = Seq("parens", "triple", "mixedtab", "strlit").map(v2(_).message)
+    assert(msgs.distinct.size === 4)
+    assert(v2("fine").valid)
+  }
+
+  test("V2 lexical scan never false-positives on tricky VALID Python") {
+    import spark.implicits._
+    val valid = Seq(
+      // brackets and quotes inside string literals are content
+      "def test_a():\n  s = \")]}\"\n  t = '([{'\n  assert s + t\n",
+      // closed docstring with internal quotes and brackets
+      "def test_b():\n  \"\"\"doc with ' and \" and ( inside\"\"\"\n  assert True\n",
+      // escaped quote inside a string; comment with unbalanced paren
+      "def test_c():\n  s = 'don\\'t'\n  # comment with ( unbalanced\n  assert s\n",
+      // explicit line join: continuation line's whitespace is not indent
+      "def test_d():\n  x = 1 + \\\n \t2\n  assert x == 3\n",
+      // tab-after-space inside an open bracket (implicit join) is legal
+      "def test_e():\n  xs = [1,\n \t2]\n  assert xs\n",
+      // tab-after-space on a comment-only line generates no indent token
+      "def test_f():\n \t# just a comment\n  assert True\n"
+    ).zipWithIndex.map { case (src, i) =>
+      (s"ok$i", "FROM x\nRUN tmux asciinema", src, "{}")
+    }.toDF("task_id", "dockerfile", "test_functions", "test_weights")
+    val errs = pureChecks(valid).select("task_id", "syntax_err")
+      .collect().filter(!_.isNullAt(1))
+      .map(r => r.getString(0) -> r.getString(1))
+    assert(errs.isEmpty, s"false positives: ${errs.mkString("; ")}")
   }
 
   test("real docker integration (opt-in: set GRAFT_DOCKER=1 where a " +
