@@ -160,9 +160,75 @@ object Similarity extends QueryModule {
     * probes `nProbes` cells — at 100 TB the per-query work drops by
     * ~cells/probes versus brute force while the index build stays one
     * broadcast join + shuffle. */
-  def ivfCells(emb: DataFrame, nCells: Int = IvfCells): DataFrame = {
-    val cents = emb.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cell_id"), toDoubleArray(col("embedding")).as("cv"))
+  /** Trained IVF coarse centroids: [[PqKmeansIters]] spherical-k-means
+    * iterations (assign by argmax cosine — the exact [[ivfCells]]
+    * contract — lowest-cell tie-break; centroid = fixed-point
+    * micro-unit mean, cosine being scale-invariant the un-normalized
+    * mean is the spherical update) over the same bounded driver-side
+    * sample as [[pqTrainedCents]], seeded by the first `nCells`
+    * vectors. Kept EXPERIMENTAL — deliberately NOT wired into the
+    * production [[ivfCells]]/[[annIvf]]: the round-9 A/B measured
+    * recall@5 vs the first-16 seed at sf0.001/0.01/0.1 as
+    * 0.925→0.875, 0.925→0.75, 1.0→0.8 — training LOWERS recall at
+    * the fixed 2-probe budget on this corpus, even though the
+    * spherical objective itself improves (spec-pinned). On
+    * near-uniform data the cells are near-balanced either way; what
+    * training does is re-shard the corpus around better centroids,
+    * and the re-sharded 2-probe slice simply covers a different — not
+    * richer — candidate set, so index-quality gains don't convert to
+    * fixed-budget recall. A production tuning would raise nProbes
+    * alongside training; here the seed's higher recall at the same
+    * probe cost wins, and the oracle stays free of a ~30-line
+    * spherical-k-means CTE chain in q38/q88. Revisit if a future
+    * corpus shows IVF recall sagging. */
+  def ivfTrainedCents(emb: DataFrame, nCells: Int = IvfCells): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val sample: Array[Array[Double]] =
+      emb.filter(col("vec_id") < PqTrainSample)
+        .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1).map(_._2)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val seed = sample.take(nCells)
+    val trained = (1 to PqKmeansIters).foldLeft(seed) { (cb, _) =>
+      val members = Array.fill(cb.length)(List.empty[Array[Double]])
+      sample.foreach { v =>
+        var bestK = 0; var bestC = cos(v, cb(0)); var k = 1
+        while (k < cb.length) {
+          val c = cos(v, cb(k))
+          if (c > bestC) { bestC = c; bestK = k }
+          k += 1
+        }
+        members(bestK) ::= v
+      }
+      Array.tabulate(cb.length) { k =>
+        val ms = members(k)
+        if (ms.isEmpty) cb(k)
+        else Array.tabulate(cb(k).length) { i =>
+          var s = 0L
+          ms.foreach(v => s += math.floor(v(i) * PqMicro + 0.5).toLong)
+          s.toDouble / (ms.size.toDouble * PqMicro)
+        }
+      }
+    }
+    trained.zipWithIndex.map { case (cv, id) => (id.toLong, cv) }
+      .toSeq.toDF("cell_id", "cv")
+  }
+
+  def ivfCells(emb: DataFrame, nCells: Int = IvfCells): DataFrame =
+    ivfCellsWith(emb,
+      emb.filter(col("vec_id") < nCells)
+        .select(col("vec_id").as("cell_id"), toDoubleArray(col("embedding")).as("cv")))
+
+  private[graft] def ivfCellsWith(emb: DataFrame, cents: DataFrame): DataFrame = {
     val vecs = Layout.widen(emb)
       .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
     // argmax as an AGGREGATE, not a window: max_by over (cos, -cell_id)
@@ -182,15 +248,22 @@ object Similarity extends QueryModule {
   /** ANN via IVF: per query, probe the `nProbes` closest cells and
     * exact-rank the candidates. */
   def annIvf(emb: DataFrame, nQueries: Long = 8L, k: Int = TopK,
-             nCells: Int = IvfCells, nProbes: Int = IvfProbes): DataFrame = {
-    val cells = ivfCells(emb, nCells)
+             nCells: Int = IvfCells, nProbes: Int = IvfProbes): DataFrame =
+    annIvfWith(emb,
+      emb.filter(col("vec_id") < nCells)
+        .select(col("vec_id").as("cell_id"), toDoubleArray(col("embedding")).as("cv")),
+      nQueries, k, nProbes)
+
+  private[graft] def annIvfWith(emb: DataFrame, centsDf: DataFrame,
+                                nQueries: Long = 8L, k: Int = TopK,
+                                nProbes: Int = IvfProbes): DataFrame = {
+    val cells = ivfCellsWith(emb, centsDf)
     val vecs = emb.select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
       .withColumn("nrm", l2Norm(col("v")))
     val corpus = vecs.join(cells, "vec_id")
       .select(col("vec_id").as("c_id"), col("cell_id"),
         col("v").as("cv"), col("nrm").as("cn"))
-    val cents = emb.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cell_id"), toDoubleArray(col("embedding")).as("centv"))
+    val cents = centsDf.select(col("cell_id"), col("cv").as("centv"))
     val probeW = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("cell_id").asc)
     val probes = vecs.filter(col("vec_id") < nQueries)

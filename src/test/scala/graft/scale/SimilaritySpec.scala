@@ -81,6 +81,43 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfTrainedCents: deterministic spherical k-means that balances " +
+    "cells vs the seed (the documented reason it stays experimental)") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    import org.apache.spark.sql.functions.col
+    val t1 = Similarity.ivfTrainedCents(emb).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).sortBy(_._1)
+    val t2 = Similarity.ivfTrainedCents(emb).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).sortBy(_._1)
+    assert(t1.toSeq === t2.toSeq, "training must be bit-deterministic")
+    assert(t1.length === Similarity.IvfCells)
+    // spherical-k-means objective (mean best-cosine over the training
+    // sample) must not decrease vs the seed: centroid quality improved
+    // even though recall@5 at the fixed 2-probe budget DROPS with
+    // training (measured 0.925->0.875 / 0.925->0.75 / 1.0->0.8 across
+    // sf0.001/0.01/0.1) — better centroids re-shard the corpus so the
+    // fixed-probe search covers different (not strictly richer) cells.
+    // That divergence between index-quality and fixed-budget recall is
+    // the documented reason production annIvf keeps the seed.
+    val sample = emb.select(col("vec_id"),
+      graft.functions.PortableFuncs.toDoubleArray(col("embedding")).as("v"))
+      .collect().map(r => r.getSeq[Double](1).toArray)
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def objective(cents: Seq[Seq[Double]]): Double =
+      sample.map { v =>
+        cents.map { c =>
+          val ca = c.toArray
+          dot(v, ca) / (math.sqrt(dot(v, v)) * math.sqrt(dot(ca, ca)))
+        }.max
+      }.sum / sample.length
+    val seedCents = sample.take(Similarity.IvfCells).map(_.toSeq).toSeq
+    val trainedObj = objective(t1.map(_._2).toSeq)
+    val seedObj = objective(seedCents)
+    assert(trainedObj >= seedObj - 1e-9,
+      s"training worsened the spherical objective: $trainedObj < $seedObj")
+  }
+
   test("quantization error equals the floor(x*s+0.5) reference formula") {
     val spark2 = spark
     import spark2.implicits._
