@@ -812,24 +812,88 @@ object Dedup extends QueryModule {
       .filter(col("df") >= minDocs)
     val hits = win.join(dup, Seq("h"))
       .select(col("doc_id"), col("pos"), col("df"))
-    // gaps-and-islands: windows at pos and prev overlap or touch iff
-    // pos <= prev + n (a window covers words [pos, pos+n-1]); both
-    // window functions share one (doc_id, pos) sort
+    mergeSpans(hits, n)
+  }
+
+  /** Shared gaps-and-islands tail of the span ops: merge duplicated
+    * window hits (doc_id, pos, df) into maximal (doc_id, span_start,
+    * span_len, n_windows, max_df) intervals. Windows at pos and prev
+    * overlap or touch iff pos <= prev + n (a window covers words
+    * [pos, pos+n-1]); both window functions share one (doc_id, pos)
+    * sort. */
+  private def mergeSpans(hits: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val grouped = hits
+    hits
       .withColumn("prev", lag(col("pos"), 1).over(byDoc))
       .withColumn("brk",
         when(col("prev").isNull || col("pos") > col("prev") + n, 1L)
           .otherwise(0L))
       .withColumn("grp", sum(col("brk")).over(
         byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    grouped.groupBy(col("doc_id"), col("grp"))
+      .groupBy(col("doc_id"), col("grp"))
       .agg(min(col("pos")).as("span_start"),
         (max(col("pos")) - min(col("pos")) + n).as("span_len"),
         count(lit(1)).as("n_windows"),
         max(col("df")).as("max_df"))
       .select(col("doc_id"), col("span_start"), col("span_len"),
         col("n_windows"), col("max_df"))
+  }
+
+  /** Persistable span index of a corpus: one (h, df) row per window
+    * fingerprint — the aggregate [[incrementalDupSpans]] consults so
+    * arriving batches never re-tokenize the corpus. Disjoint doc-id
+    * sets make df additive, so the index folds batch-over-batch with
+    * [[spanIndexMerge]] (the [[incrementalDedup]] band-index
+    * discipline at span granularity). Bounded by DISTINCT window
+    * fingerprints, not corpus size. */
+  def spanIndex(corpus: DataFrame, n: Int = ShingleSize): DataFrame =
+    windowTable(corpus, n).groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+
+  /** Fold a processed batch's windows into the span index: same-key
+    * df counts ADD because batch doc-ids are disjoint from everything
+    * already indexed (the caller's contract, as in
+    * [[incrementalDedup]]). */
+  def spanIndexMerge(index: DataFrame, batch: DataFrame,
+                     n: Int = ShingleSize): DataFrame =
+    index.unionByName(spanIndex(batch, n))
+      .groupBy(col("h")).agg(sum(col("df")).as("df"))
+
+  /** Incremental [[dupSpans]]: duplicated-span detection for an
+    * ARRIVING batch against a persisted [[spanIndex]], without
+    * re-tokenizing the indexed corpus. A batch window's document
+    * frequency is its batch-local distinct count plus the index's df
+    * for the same fingerprint (additive by the disjointness
+    * contract); batch docs whose windows reach `minDocs` get the
+    * same islands merge as the batch path — so for identical data,
+    * incremental output EQUALS `dupSpans(corpus ∪ batch)` restricted
+    * to the batch's doc_ids (spec-pinned both for one batch and for
+    * a folded two-batch stream). Corpus docs whose spans newly
+    * became duplicated by this batch are deliberately not re-emitted
+    * — the reporting direction is new-data-vs-index, exactly
+    * [[incrementalDedup]]'s.
+    *
+    * Scale shape: only the batch tokenizes (O(batch windows)); the
+    * index join is by the 16-byte fingerprint with one row per h on
+    * the index side (no fan-out), and the islands merge sorts only
+    * batch documents. */
+  def incrementalDupSpans(batch: DataFrame, index: DataFrame,
+                          n: Int = ShingleSize,
+                          minDocs: Long = 2L): DataFrame = {
+    require(n >= 1, s"window size must be >= 1: $n")
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    val win = windowTable(batch, n)
+    val dfB = win.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("df_b"))
+    val tot = dfB
+      .join(index.select(col("h"), col("df").as("df_c")), Seq("h"), "left")
+      .select(col("h"),
+        (col("df_b") + coalesce(col("df_c"), lit(0L))).as("df"))
+      .filter(col("df") >= minDocs)
+    val hits = win.join(tot, Seq("h"))
+      .select(col("doc_id"), col("pos"), col("df"))
+    mergeSpans(hits, n)
   }
 
   /** Hot-window cap for [[spanPairs]]: windows shared by more than

@@ -755,6 +755,49 @@ class DedupSpec extends SparkSpec {
       Dedup.spanPairs(corpus, minDocs = 4, dfCap = 3))
   }
 
+  test("incrementalDupSpans: batch-vs-index spans equal batch dupSpans " +
+    "on the same data, across a folded two-batch stream") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(57)
+    // small vocab → plenty of genuine cross-doc (and cross-batch)
+    // window collisions, including corpus windows that only become
+    // duplicated when a batch arrives
+    def mkDocs(ids: Range): Seq[(Long, String)] = ids.map { i =>
+      val len = 2 + rnd.nextInt(14)
+      (i.toLong, Seq.fill(len)(s"t${rnd.nextInt(6)}").mkString(" "))
+    }
+    for (trial <- 0 until 3) {
+      val corpus = mkDocs(0 until 8)
+      val batch1 = mkDocs(8 until 12)
+      val batch2 = mkDocs(12 until 16)
+      def spans(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      // batch 1 against the corpus index == the batch rows of a full
+      // batch-mode dupSpans over corpus ∪ batch1
+      val idx0 = Dedup.spanIndex(corpus.toDF("doc_id", "text"))
+      val inc1 = spans(Dedup.incrementalDupSpans(
+        batch1.toDF("doc_id", "text"), idx0))
+      val full1 = spans(Dedup.dupSpans((corpus ++ batch1).toDF("doc_id", "text"))
+        .filter(col("doc_id") >= 8L))
+      assert(inc1 === full1, s"trial $trial batch1")
+      // fold batch 1 into the index; batch 2 sees corpus + batch1 dfs
+      val idx1 = Dedup.spanIndexMerge(idx0, batch1.toDF("doc_id", "text"))
+      val inc2 = spans(Dedup.incrementalDupSpans(
+        batch2.toDF("doc_id", "text"), idx1))
+      val full2 = spans(
+        Dedup.dupSpans((corpus ++ batch1 ++ batch2).toDF("doc_id", "text"))
+          .filter(col("doc_id") >= 12L))
+      assert(inc2 === full2, s"trial $trial batch2")
+      // the folded index equals an index built from scratch
+      val rebuilt = Dedup.spanIndex((corpus ++ batch1).toDF("doc_id", "text"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val folded = idx1.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(folded === rebuilt, s"trial $trial index fold")
+    }
+  }
+
   test("spanPairs equals a brute-force pair-span reference on random corpora") {
     val spark2 = spark
     import spark2.implicits._
