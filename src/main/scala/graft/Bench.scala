@@ -99,9 +99,21 @@ object Bench {
       }
       val perQuery = Await.result(Future.sequence(futs), Duration.Inf).toMap
       val wall = (System.nanoTime() - t0) / 1e9
+      // stderr diagnostic (never in the metric line): per-batch walls
+      // make a slow SELECTED batch attributable — JIT-cold first batch
+      // vs genuine drift vs one noise hit
+      System.err.println(f"[bench] concurrent batch wall=$wall%.2f s")
       pool.shutdown()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      // ContextCleaner reclaims dead broadcasts/shuffles only after the
+      // driver GC collects their weak references — 90 concurrent
+      // queries per batch create enough of them that, on the shared
+      // local-mode heap, batches 4-5 of a 5-rep run degraded ~2×
+      // (measured 16.9/16.8/16.1/34.5/29.2 s walls) from block-manager
+      // eviction churn. One explicit GC per batch boundary (clock
+      // stopped) keeps every batch starting from the same clean heap.
+      System.gc()
       (wall, perQuery)
     }
     // Warm-up: run EVERY query once at the TARGET SF so one-time costs
