@@ -116,35 +116,6 @@ object Bench {
       System.gc()
       (wall, perQuery)
     }
-    // Warm-up: run EVERY query once at the TARGET SF so one-time costs
-    // are paid before the measured pass — whole-stage codegen compiles
-    // (~1-2s per distinct plan) and, because AQE re-plans per runtime
-    // data size, the codegen shapes are only identical when the warm-up
-    // runs at the same SF. Standard steady-state methodology: measured
-    // numbers are per-query execution, not JIT/codegen compile time.
-    // In sequential mode the warm-up is also timed per query: it is the
-    // sanity yardstick the noisy-host re-measure pass compares against
-    // (it includes codegen compile, so it UPPER-bounds a clean
-    // steady-state pass — exceeding 3× of it flags genuine ambient
-    // interference). Concurrent mode warms with one unrecorded batch.
-    val warmTimes: Map[String, Double] =
-      if (concurrent) { concurrentBatch(); Map.empty }
-      else benched.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-        val elapsed = (System.nanoTime() - t0) / 1e9
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
-        name -> elapsed
-      }.toMap
-    // Median of 3 measured passes per query: a single pass is one GC
-    // pause or background-process hiccup away from reporting a 7×
-    // phantom regression (observed r4: ten unrelated queries inflated
-    // >2× with byte-identical plans). The median of three discards one
-    // outlier in either direction while keeping the run cheap.
-    val reps = math.max(1,
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     // one timed noop-sink pass: the noop sink forces FULL
     // materialization of every output column — count() would let
     // Catalyst prune projection-only queries down to a row count and
@@ -162,8 +133,37 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
       elapsed
     }
+    // Warm-up: run EVERY query once at the TARGET SF so one-time costs
+    // are paid before the measured pass — whole-stage codegen compiles
+    // (~1-2s per distinct plan) and, because AQE re-plans per runtime
+    // data size, the codegen shapes are only identical when the warm-up
+    // runs at the same SF. Standard steady-state methodology: measured
+    // numbers are per-query execution, not JIT/codegen compile time.
+    // In sequential mode the warm-up is one timedPass per query (the
+    // SAME protocol as the measured passes): it is the sanity
+    // yardstick the noisy-host re-measure pass compares against (it
+    // includes codegen compile, so it UPPER-bounds a clean
+    // steady-state pass — exceeding 3× of it flags genuine ambient
+    // interference). Concurrent mode warms with one unrecorded batch.
+    val warmTimes: Map[String, Double] =
+      if (concurrent) { concurrentBatch(); Map.empty }
+      else benched.map { case (name, fn) => name -> timedPass(fn) }.toMap
+    // Median of 3 measured passes per query: a single pass is one GC
+    // pause or background-process hiccup away from reporting a 7×
+    // phantom regression (observed r4: ten unrelated queries inflated
+    // >2× with byte-identical plans). The median of three discards one
+    // outlier in either direction while keeping the run cheap.
+    val reps = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val (results: Map[String, Double], total: Double) = if (concurrent) {
       val batches = (1 to reps).map(_ => concurrentBatch()).sortBy(_._1)
+      // a whole BATCH (wall + its per-query map) must be selected as a
+      // unit — per-query values from different batches can't be mixed
+      // into a synthetic median record. Odd reps (the default 3) pick
+      // the true median batch; even reps pick the UPPER median, the
+      // conservative (slower) of the two middle batches — deliberately
+      // asymmetric with the sequential path's two-value mean, which
+      // averages scalars and has no record-consistency constraint.
       val (wall, perQuery) =
         if (!noisyHost) batches(batches.size / 2)
         else batches.head // min-of-reps under ambient load, as below

@@ -22,26 +22,39 @@ import org.apache.spark.unsafe.types.UTF8String
   *    is exactly what the old count-occurrences heuristic got wrong);
   *  - string termination: single-quoted strings must close before an
   *    unescaped newline, triple-quoted strings before EOF;
-  *  - indentation consistency: a tab AFTER a space in a line's leading
-  *    whitespace is the unambiguous core of CPython's TabError —
-  *    checked only at statement level (inside an open bracket, Python
-  *    implicitly joins lines and ignores indentation, so there it is
-  *    legal).
+  *  - indentation consistency: CPython's ACTUAL tokenizer rule
+  *    (Parser/tokenizer, the `indstack`/`altindstack` pair) — each
+  *    logical line's indentation is measured twice, at tab size 8
+  *    (`col`) and tab size 1 (`alt`), against a stack of enclosing
+  *    indent levels; a TabError is raised exactly when the two
+  *    measures DISAGREE about the comparison (equal under one, not
+  *    under the other), and an IndentationError when a dedent lands
+  *    between stack levels. A space-then-tab line like
+  *    `" \tassert True"` is VALID (both measures agree with every
+  *    stack level) and is accepted here too — a naive
+  *    tab-after-space rejection would flip verdicts the reference's
+  *    `ast.parse` passes. Checked only at statement level: inside an
+  *    open bracket or after a backslash join Python ignores
+  *    indentation, and blank/comment-only lines generate no
+  *    INDENT/DEDENT tokens.
   *
   * What stays out of scope — and still only fails in the container
   * run — is genuinely SYNTACTIC invalidity (a stray `def def`, a
   * malformed expression): that requires the grammar, and
   * approximating it would guess. The scan never false-positives on
-  * valid Python: every rule above is a necessary condition for
-  * `ast.parse` to succeed.
+  * valid Python ≤ 3.11 (the reference validator's runtime): every
+  * rule above is a necessary condition for `ast.parse` to succeed
+  * there. Known scope note: PEP 701 (Python 3.12) legalizes
+  * same-quote nesting inside f-string braces (`f"{"x"}"`); this scan
+  * lexes strings the ≤ 3.11 way, matching the reference.
   *
-  * Returns null when the source scans clean, else one of three
-  * DISTINCT messages (each with the offending line) so a reviewer can
-  * tell the failure modes apart. Escape handling: a backslash always
-  * consumes the next character inside strings; raw strings differ
-  * only in how the escaped char is INTERPRETED, not in where the
-  * string ends for `\"`/`\'` — the termination scan matches CPython's
-  * tokenizer. */
+  * Returns null when the source scans clean, else one of the
+  * DISTINCT messages below (each with the offending line) so a
+  * reviewer can tell the failure modes apart. Escape handling: a
+  * backslash always consumes the next character inside strings; raw
+  * strings differ only in how the escaped char is INTERPRETED, not
+  * in where the string ends for `\"`/`\'` — the termination scan
+  * matches CPython's tokenizer. */
 object PySyntaxKernel {
 
   def scan(srcU: UTF8String): UTF8String = {
@@ -53,29 +66,50 @@ object PySyntaxKernel {
     // open-bracket stack: chars + the line each opened on
     var stack = List.empty[(Char, Int)]
     var atIndent = true       // scanning a line's leading whitespace
-    var indentHasSpace = false
+    var lineStart = 0         // index of the current line's first char
+    // CPython's indent stacks: (col at tab size 8, col at tab size 1)
+    // per enclosing level; root level is (0, 0)
+    var indStack = List((0, 0))
     def err(m: String): UTF8String = UTF8String.fromString(m)
     while (i < n) {
       val c = s.charAt(i)
       if (atIndent && stack.isEmpty) {
-        if (c == ' ') { indentHasSpace = true; i += 1 }
-        else if (c == '\t') {
-          if (indentHasSpace) {
-            // blank and comment-only lines generate no indentation
-            // token in CPython — only raise if real code follows
-            var j = i
-            while (j < n && (s.charAt(j) == ' ' || s.charAt(j) == '\t')) j += 1
-            if (j < n && s.charAt(j) != '#' && s.charAt(j) != '\n')
-              return err(s"inconsistent indentation (tab after spaces) at line $line")
+        if (c == ' ' || c == '\t') i += 1
+        else {
+          atIndent = false
+          // blank and comment-only lines generate no INDENT/DEDENT
+          // tokens in CPython — only real code triggers the check
+          if (c != '#' && c != '\n') {
+            var col = 0; var alt = 0; var j = lineStart
+            while (j < i) {
+              if (s.charAt(j) == '\t') { col = (col / 8 + 1) * 8; alt += 1 }
+              else { col += 1; alt += 1 }
+              j += 1
+            }
+            val (t8, t1) = indStack.head
+            if (col == t8) {
+              if (alt != t1)
+                return err(s"inconsistent use of tabs and spaces in indentation at line $line")
+            } else if (col > t8) {
+              if (alt <= t1)
+                return err(s"inconsistent use of tabs and spaces in indentation at line $line")
+              indStack = (col, alt) :: indStack
+            } else {
+              while (indStack.head._1 > col) indStack = indStack.tail
+              if (indStack.head._1 != col)
+                return err(s"unindent does not match any outer indentation level at line $line")
+              if (indStack.head._2 != alt)
+                return err(s"inconsistent use of tabs and spaces in indentation at line $line")
+            }
           }
-          i += 1
-        } else { atIndent = false }
+          // c itself is re-examined by the normal branches next pass
+        }
       } else if (c == '\\' && i + 1 < n && s.charAt(i + 1) == '\n') {
         // explicit line join: the continuation line is NOT a statement
         // start, so its leading whitespace is not indentation
         line += 1; i += 2
       } else if (c == '\n') {
-        line += 1; atIndent = true; indentHasSpace = false; i += 1
+        line += 1; atIndent = true; i += 1; lineStart = i
       } else if (c == '#') {
         while (i < n && s.charAt(i) != '\n') i += 1
       } else if (c == '"' || c == '\'') {

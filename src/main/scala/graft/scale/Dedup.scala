@@ -816,28 +816,32 @@ object Dedup extends QueryModule {
   }
 
   /** Shared gaps-and-islands tail of the span ops: merge duplicated
-    * window hits (doc_id, pos, df) into maximal (doc_id, span_start,
-    * span_len, n_windows, max_df) intervals. Windows at pos and prev
+    * window hits (keys..., pos, df) into maximal (keys..., span_start,
+    * span_len, n_windows, max_df) intervals, one partition per key
+    * tuple — per document for [[dupSpans]]/[[incrementalDupSpans]],
+    * per (doc_a, doc_b) for [[spanPairs]]. Windows at pos and prev
     * overlap or touch iff pos <= prev + n (a window covers words
-    * [pos, pos+n-1]); both window functions share one (doc_id, pos)
+    * [pos, pos+n-1]); both window functions share one (keys, pos)
     * sort. */
-  private def mergeSpans(hits: DataFrame, n: Int): DataFrame = {
+  private def mergeSpans(hits: DataFrame, n: Int,
+                         keys: Seq[String] = Seq("doc_id")): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val keyCols = keys.map(col)
+    val byKey = Window.partitionBy(keyCols: _*).orderBy(col("pos"))
     hits
-      .withColumn("prev", lag(col("pos"), 1).over(byDoc))
+      .withColumn("prev", lag(col("pos"), 1).over(byKey))
       .withColumn("brk",
         when(col("prev").isNull || col("pos") > col("prev") + n, 1L)
           .otherwise(0L))
       .withColumn("grp", sum(col("brk")).over(
-        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("doc_id"), col("grp"))
+        byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(keyCols :+ col("grp"): _*)
       .agg(min(col("pos")).as("span_start"),
         (max(col("pos")) - min(col("pos")) + n).as("span_len"),
         count(lit(1)).as("n_windows"),
         max(col("df")).as("max_df"))
-      .select(col("doc_id"), col("span_start"), col("span_len"),
-        col("n_windows"), col("max_df"))
+      .select(keyCols ++ Seq(col("span_start"), col("span_len"),
+        col("n_windows"), col("max_df")): _*)
   }
 
   /** Persistable span index of a corpus: one (h, df) row per window
@@ -936,7 +940,6 @@ object Dedup extends QueryModule {
     * first-occurrence aggregate on the same key. */
   def spanPairs(docs: DataFrame, n: Int = ShingleSize,
                 minDocs: Long = 2L, dfCap: Long = SpanPairDfCap): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(n >= 1, s"window size must be >= 1: $n")
     require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
     require(dfCap >= minDocs, s"dfCap $dfCap < minDocs $minDocs")
@@ -952,23 +955,8 @@ object Dedup extends QueryModule {
     val pairs = occ.as("a").join(occ.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.pos").as("pos_a"), col("a.df").as("df"))
-    val byPair = Window.partitionBy(col("doc_a"), col("doc_b"))
-      .orderBy(col("pos_a"))
-    pairs
-      .withColumn("prev", lag(col("pos_a"), 1).over(byPair))
-      .withColumn("brk",
-        when(col("prev").isNull || col("pos_a") > col("prev") + n, 1L)
-          .otherwise(0L))
-      .withColumn("grp", sum(col("brk")).over(
-        byPair.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("doc_a"), col("doc_b"), col("grp"))
-      .agg(min(col("pos_a")).as("span_start"),
-        (max(col("pos_a")) - min(col("pos_a")) + n).as("span_len"),
-        count(lit(1)).as("n_windows"),
-        max(col("df")).as("max_df"))
-      .select(col("doc_a"), col("doc_b"), col("span_start"),
-        col("span_len"), col("n_windows"), col("max_df"))
+        col("a.pos").as("pos"), col("a.df").as("df"))
+    mergeSpans(pairs, n, keys = Seq("doc_a", "doc_b"))
   }
 
   /** Embedding-cosine near-dup pairs above `minCos`, bounded to ids

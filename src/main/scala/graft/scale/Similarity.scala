@@ -184,12 +184,7 @@ object Similarity extends QueryModule {
   def ivfTrainedCents(emb: DataFrame, nCells: Int = IvfCells): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val sample: Array[Array[Double]] =
-      emb.filter(col("vec_id") < PqTrainSample)
-        .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-        .sortBy(_._1).map(_._2)
+    val sample: Array[Array[Double]] = sampleVectors(emb).map(_._2)
     def dot(a: Array[Double], b: Array[Double]): Double = {
       var acc = 0.0; var i = 0
       while (i < a.length) { acc += a(i) * b(i); i += 1 }
@@ -211,12 +206,7 @@ object Similarity extends QueryModule {
       }
       Array.tabulate(cb.length) { k =>
         val ms = members(k)
-        if (ms.isEmpty) cb(k)
-        else Array.tabulate(cb(k).length) { i =>
-          var s = 0L
-          ms.foreach(v => s += math.floor(v(i) * PqMicro + 0.5).toLong)
-          s.toDouble / (ms.size.toDouble * PqMicro)
-        }
+        if (ms.isEmpty) cb(k) else fixedPointMean(ms, cb(k).length)
       }
     }
     trained.zipWithIndex.map { case (cv, id) => (id.toLong, cv) }
@@ -224,9 +214,7 @@ object Similarity extends QueryModule {
   }
 
   def ivfCells(emb: DataFrame, nCells: Int = IvfCells): DataFrame =
-    ivfCellsWith(emb,
-      emb.filter(col("vec_id") < nCells)
-        .select(col("vec_id").as("cell_id"), toDoubleArray(col("embedding")).as("cv")))
+    ivfCellsWith(emb, seedCents(emb, nCells))
 
   private[graft] def ivfCellsWith(emb: DataFrame, cents: DataFrame): DataFrame = {
     val vecs = Layout.widen(emb)
@@ -249,10 +237,7 @@ object Similarity extends QueryModule {
     * exact-rank the candidates. */
   def annIvf(emb: DataFrame, nQueries: Long = 8L, k: Int = TopK,
              nCells: Int = IvfCells, nProbes: Int = IvfProbes): DataFrame =
-    annIvfWith(emb,
-      emb.filter(col("vec_id") < nCells)
-        .select(col("vec_id").as("cell_id"), toDoubleArray(col("embedding")).as("cv")),
-      nQueries, k, nProbes)
+    annIvfWith(emb, seedCents(emb, nCells), nQueries, k, nProbes)
 
   private[graft] def annIvfWith(emb: DataFrame, centsDf: DataFrame,
                                 nQueries: Long = 8L, k: Int = TopK,
@@ -377,6 +362,40 @@ object Similarity extends QueryModule {
   val PqKmeansIters = 3
   private val PqMicro = 1000000.0
 
+  /** The bounded driver-side training sample, shared by BOTH trainers
+    * ([[pqTrainedCents]], [[ivfTrainedCents]]): the first
+    * [[PqTrainSample]] vectors, collected and id-sorted — a fixed
+    * [[PqTrainSample]] × [[Dim]] doubles (~256 KB) at any corpus
+    * size. */
+  private def sampleVectors(emb: DataFrame): Array[(Long, Array[Double])] =
+    emb.filter(col("vec_id") < PqTrainSample)
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+
+  /** The q83 fixed-point mean both trainers' Lloyd updates use — THE
+    * oracle-parity contract: each component rounds half-up to integer
+    * MICRO-units (`floor(x·10⁶ + 0.5)`, identical IEEE semantics both
+    * engines), sums as a long (associative — iteration order cannot
+    * move a bit), and divides back once as `sum.toDouble /
+    * (count.toDouble · 10⁶)`, the exact expression tree the oracle
+    * states. A change here must change [[pqTrainSql]] in lockstep. */
+  private def fixedPointMean(ms: List[Array[Double]], dim: Int): Array[Double] =
+    Array.tabulate(dim) { i =>
+      var s = 0L
+      ms.foreach(v => s += math.floor(v(i) * PqMicro + 0.5).toLong)
+      s.toDouble / (ms.size.toDouble * PqMicro)
+    }
+
+  /** (cell_id, cv): the first-`nCells` seed centroids the production
+    * IVF path runs on (see [[ivfTrainedCents]] for why the seed beats
+    * the trained book at the fixed probe budget). */
+  private def seedCents(emb: DataFrame, nCells: Int): DataFrame =
+    emb.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell_id"),
+        toDoubleArray(col("embedding")).as("cv"))
+
   /** The TRAINED per-subspace codebook: [[PqKmeansIters]] Lloyd
     * iterations seeded by the first-[[PqCodebook]] sub-vectors (the
     * former codebook — the seed is what makes the oracle able to
@@ -410,13 +429,7 @@ object Similarity extends QueryModule {
   def pqTrainedCents(emb: DataFrame): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    // bounded collect: PqTrainSample vectors, fixed size at any SF
-    val sample: Array[(Long, Array[Double])] =
-      emb.filter(col("vec_id") < PqTrainSample)
-        .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-        .sortBy(_._1)
+    val sample = sampleVectors(emb)
     def slice(v: Array[Double], m: Int): Array[Double] =
       java.util.Arrays.copyOfRange(v, m * PqSubDim, (m + 1) * PqSubDim)
     def sqL2(a: Array[Double], b: Array[Double]): Double = {
@@ -442,12 +455,7 @@ object Similarity extends QueryModule {
         }
         Array.tabulate(cb.length) { k =>
           val ms = members(k)
-          if (ms.isEmpty) cb(k)
-          else Array.tabulate(PqSubDim) { i =>
-            var s = 0L
-            ms.foreach(sv => s += math.floor(sv(i) * PqMicro + 0.5).toLong)
-            s.toDouble / (ms.size.toDouble * PqMicro)
-          }
+          if (ms.isEmpty) cb(k) else fixedPointMean(ms, PqSubDim)
         }
       }
       trained.zipWithIndex.map { case (cv, k) => (k, m, cv) }

@@ -209,9 +209,14 @@ class ValidatorsSpec extends SparkSpec {
       // docstring never closes
       ("triple", "FROM x\nRUN tmux asciinema",
         "def test_b():\n  \"\"\"doc never ends\n  assert True\n", """{"test_b":1.0}"""),
-      // space-then-tab indentation on a code line: CPython TabError
+      // a tab line then a spaces line at the SAME block level: ambiguous
+      // under tab size 8 vs 1 — CPython TabError (verified on 3.11)
       ("mixedtab", "FROM x\nRUN tmux asciinema",
-        "def test_c():\n \tassert True\n", """{"test_c":1.0}"""),
+        "def test_c():\n\tx = 1\n        y = 2\n", """{"test_c":1.0}"""),
+      // dedent to a level that was never on the indent stack
+      ("unindent", "FROM x\nRUN tmux asciinema",
+        "def test_f():\n    if True:\n        x = 1\n      y = 2\n",
+        """{"test_f":1.0}"""),
       // single-quoted string broken by a newline
       ("strlit", "FROM x\nRUN tmux asciinema",
         "def test_d():\n  s = 'broken\n  assert True\n", """{"test_d":1.0}"""),
@@ -225,12 +230,15 @@ class ValidatorsSpec extends SparkSpec {
     assert(!v2("triple").valid &&
       v2("triple").message.contains("unterminated triple-quoted"))
     assert(!v2("mixedtab").valid &&
-      v2("mixedtab").message.contains("inconsistent indentation"))
+      v2("mixedtab").message.contains("inconsistent use of tabs"))
+    assert(!v2("unindent").valid &&
+      v2("unindent").message.contains("unindent does not match"))
     assert(!v2("strlit").valid &&
       v2("strlit").message.contains("unterminated string literal"))
-    // the four failure messages are pairwise distinct
-    val msgs = Seq("parens", "triple", "mixedtab", "strlit").map(v2(_).message)
-    assert(msgs.distinct.size === 4)
+    // the five failure messages are pairwise distinct
+    val msgs = Seq("parens", "triple", "mixedtab", "unindent", "strlit")
+      .map(v2(_).message)
+    assert(msgs.distinct.size === 5)
     assert(v2("fine").valid)
   }
 
@@ -248,7 +256,16 @@ class ValidatorsSpec extends SparkSpec {
       // tab-after-space inside an open bracket (implicit join) is legal
       "def test_e():\n  xs = [1,\n \t2]\n  assert xs\n",
       // tab-after-space on a comment-only line generates no indent token
-      "def test_f():\n \t# just a comment\n  assert True\n"
+      "def test_f():\n \t# just a comment\n  assert True\n",
+      // space-then-tab body indent: both tab-size measures agree with
+      // the enclosing level -> VALID (ast.parse accepts; the naive
+      // tab-after-space rule this scanner deliberately does NOT use
+      // would reject it)
+      "def test_g():\n \tassert True\n",
+      // consistent tabs through nested blocks
+      "def test_h():\n\tif True:\n\t\tassert True\n",
+      // deeper-and-unambiguous mixed indent (col 9 > 8, alt 6 > 1)
+      "def test_i():\n\tif True:\n    \t assert True\n"
     ).zipWithIndex.map { case (src, i) =>
       (s"ok$i", "FROM x\nRUN tmux asciinema", src, "{}")
     }.toDF("task_id", "dockerfile", "test_functions", "test_weights")
