@@ -59,7 +59,16 @@ object PySyntaxKernel {
 
   def scan(srcU: UTF8String): UTF8String = {
     if (srcU == null) return null
-    val s = srcU.toString
+    val raw = srcU.toString
+    // CPython normalizes the whole buffer BEFORE tokenizing
+    // (translate_newlines: "\r\n" and lone "\r" both become "\n"), so a
+    // CRLF source — including "\r\n" inside string literals and after a
+    // backslash join — lexes exactly like its LF twin. Scanning the raw
+    // '\r' as a code character instead would fire the indentation check
+    // on whitespace-only CRLF lines CPython treats as blank.
+    val s = if (raw.indexOf('\r') >= 0) {
+      raw.replace("\r\n", "\n").replace('\r', '\n')
+    } else raw
     val n = s.length
     var i = 0
     var line = 1
@@ -109,7 +118,14 @@ object PySyntaxKernel {
         // start, so its leading whitespace is not indentation
         line += 1; i += 2
       } else if (c == '\n') {
-        line += 1; atIndent = true; i += 1; lineStart = i
+        // a physical line that starts at bracket depth > 0 is an
+        // implicit continuation: CPython generates no INDENT/DEDENT
+        // for it, and — crucially — none for the REST of that line
+        // after the last bracket closes mid-line. atIndent must
+        // therefore only arm when the stack is empty here; arming it
+        // unconditionally made the post-close tail of a hanging-indent
+        // signature (e.g. "        a):") get measured as indentation.
+        line += 1; atIndent = stack.isEmpty; i += 1; lineStart = i
       } else if (c == '#') {
         while (i < n && s.charAt(i) != '\n') i += 1
       } else if (c == '"' || c == '\'') {

@@ -184,7 +184,9 @@ object Similarity extends QueryModule {
   def ivfTrainedCents(emb: DataFrame, nCells: Int = IvfCells): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val sample: Array[Array[Double]] = sampleVectors(emb).map(_._2)
+    val idSample = sampleVectors(emb)
+    requireSeedContiguous(idSample, nCells, "IVF centroid")
+    val sample: Array[Array[Double]] = idSample.map(_._2)
     def dot(a: Array[Double], b: Array[Double]): Double = {
       var acc = 0.0; var i = 0
       while (i < a.length) { acc += a(i) * b(i); i += 1 }
@@ -374,6 +376,23 @@ object Similarity extends QueryModule {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
 
+  /** The seed-numbering contract both trainers share with the oracle:
+    * the Scala side numbers codes/cells by ARRAY POSITION in the
+    * sorted sample, while the oracle's restatement (`pqTrainSql`)
+    * numbers them by `CAST(vec_id AS INTEGER)` — the two agree only
+    * when the first `k` sampled vec_ids are exactly 0..k-1. A corpus
+    * with a hole in that range would train a silently divergent book
+    * (every downstream code assignment shifts); fail loudly instead. */
+  private def requireSeedContiguous(sample: Array[(Long, Array[Double])],
+                                    k: Int, what: String): Unit = {
+    val ids = sample.take(k).map(_._1)
+    require(ids.length == k &&
+      ids.zipWithIndex.forall { case (id, i) => id == i.toLong },
+      s"$what seed requires contiguous vec_ids 0..${k - 1} in the training " +
+        s"sample, got [${ids.mkString(",")}]: the oracle numbers seeds by " +
+        "vec_id, so a non-contiguous corpus would train a divergent codebook")
+  }
+
   /** The q83 fixed-point mean both trainers' Lloyd updates use — THE
     * oracle-parity contract: each component rounds half-up to integer
     * MICRO-units (`floor(x·10⁶ + 0.5)`, identical IEEE semantics both
@@ -430,6 +449,7 @@ object Similarity extends QueryModule {
     val spark = emb.sparkSession
     import spark.implicits._
     val sample = sampleVectors(emb)
+    requireSeedContiguous(sample, PqCodebook, "PQ codebook")
     def slice(v: Array[Double], m: Int): Array[Double] =
       java.util.Arrays.copyOfRange(v, m * PqSubDim, (m + 1) * PqSubDim)
     def sqL2(a: Array[Double], b: Array[Double]): Double = {

@@ -265,7 +265,19 @@ class ValidatorsSpec extends SparkSpec {
       // consistent tabs through nested blocks
       "def test_h():\n\tif True:\n\t\tassert True\n",
       // deeper-and-unambiguous mixed indent (col 9 > 8, alt 6 > 1)
-      "def test_i():\n\tif True:\n    \t assert True\n"
+      "def test_i():\n\tif True:\n    \t assert True\n",
+      // hanging-indent signature: the continuation line closes its
+      // bracket mid-line — the tail ("a):") is NOT indentation
+      "def test_foo(\n        a):\n    assert a\n",
+      // same, nested one block down with code after the close
+      "def test_t():\n    if f(\n            1) == 2:\n        assert True\n",
+      // CRLF source with a whitespace-only line inside a block:
+      // universal newlines make it blank, not an indent token
+      "def test_crlf():\r\n    if True:\r\n  \r\n        assert True\r\n",
+      // backslash join immediately before CRLF is still a line join
+      "def test_j():\r\n    x = 1 + \\\r\n        2\r\n    assert x\r\n",
+      // lone CR is a newline after translate_newlines
+      "def test_k():\r    assert True\r"
     ).zipWithIndex.map { case (src, i) =>
       (s"ok$i", "FROM x\nRUN tmux asciinema", src, "{}")
     }.toDF("task_id", "dockerfile", "test_functions", "test_weights")

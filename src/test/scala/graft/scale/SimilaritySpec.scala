@@ -81,6 +81,27 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("trainers fail loudly on non-contiguous seed vec_ids (the oracle " +
+    "numbers seeds by vec_id, so a hole would silently diverge)") {
+    val spark2 = spark
+    import spark2.implicits._
+    import Similarity.PqCodebook
+    val rnd = new scala.util.Random(7)
+    // drop vec_id 3 from the seed range: array-position numbering and
+    // vec_id numbering no longer agree, so training must refuse
+    val holed = ((0 until PqCodebook + 8).map(_.toLong).filter(_ != 3L))
+      .map(i => (i, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.pqTrainedCents(holed).collect()
+    }
+    assert(e1.getMessage.contains("contiguous vec_ids"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.ivfTrainedCents(holed).collect()
+    }
+    assert(e2.getMessage.contains("contiguous vec_ids"))
+  }
+
   test("ivfTrainedCents: deterministic spherical k-means that balances " +
     "cells vs the seed (the documented reason it stays experimental)") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
