@@ -76,6 +76,19 @@ object Bench {
     // the threshold.
     val noisyHost = loadAmbient >
       sys.env.getOrElse("SPARK_GRAFT_BENCH_NOISY_LOAD", "2.0").toDouble
+    // A query that THROWS must never publish a fast hollow total: the
+    // old bare `catch { _ => () }` timed the exception and reported
+    // success, so a regression that breaks a query would make the
+    // bench look FASTER. Every failure is recorded once per query
+    // (warm-up included — a plan that can't even warm is just as
+    // broken), surfaces as "errors":N in BOTH metric lines (a nonzero
+    // count marks the record never-comparable, like noisy_host), and
+    // fails the run with a nonzero exit. Quiet path byte-identical:
+    // no field when N = 0.
+    val failed = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    def recordFailure(name: String, e: Throwable): Unit =
+      if (failed.putIfAbsent(name, String.valueOf(e)) == null)
+        System.err.println(s"[bench] QUERY FAILED $name: $e")
     // Concurrent measured batches: one thread per query (its own FAIR
     // pool), timed inside the action; the batch wall-clock is the
     // headline. Cleanup (localCheckpoint block drops) happens only at
@@ -93,7 +106,7 @@ object Bench {
           spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
           val q0 = System.nanoTime()
           try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          catch { case _: Throwable => () }
+          catch { case e: Throwable => recordFailure(name, e) }
           name -> (System.nanoTime() - q0) / 1e9
         }
       }
@@ -120,10 +133,11 @@ object Bench {
     // materialization of every output column — count() would let
     // Catalyst prune projection-only queries down to a row count and
     // under-report their cost
-    def timedPass(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def timedPass(name: String,
+                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable => recordFailure(name, e) }
       val elapsed = (System.nanoTime() - t0) / 1e9
       // drop localCheckpoint() storage blocks rep-by-rep (AFTER the
       // clock stops — cleanup RPCs are not the query's cost): each
@@ -147,7 +161,7 @@ object Bench {
     // interference). Concurrent mode warms with one unrecorded batch.
     val warmTimes: Map[String, Double] =
       if (concurrent) { concurrentBatch(); Map.empty }
-      else benched.map { case (name, fn) => name -> timedPass(fn) }.toMap
+      else benched.map { case (name, fn) => name -> timedPass(name, fn) }.toMap
     // Median of 3 measured passes per query: a single pass is one GC
     // pause or background-process hiccup away from reporting a 7×
     // phantom regression (observed r4: ten unrelated queries inflated
@@ -155,8 +169,27 @@ object Bench {
     // outlier in either direction while keeping the run cheap.
     val reps = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    // Per-query [min, median, max] across the rep batches/passes, and
+    // (concurrent mode) the chronological batch walls. Full-precision
+    // record ONLY (target/bench.json + the first printed line): the
+    // selected batch keeps record-consistency for the headline, but a
+    // future "qNN got slower" claim is checkable against the spread
+    // without a rerun — one batch's map alone can't distinguish a real
+    // regression from one contention hit. Compact final line unchanged.
+    def minMedMax(vs0: Seq[Double]): (Double, Double, Double) = {
+      val vs = vs0.sorted
+      val med = if (vs.size % 2 == 1) vs(vs.size / 2)
+        else (vs(vs.size / 2 - 1) + vs(vs.size / 2)) / 2
+      (vs.head, med, vs.last)
+    }
+    var spread: Map[String, (Double, Double, Double)] = Map.empty
+    var batchWalls: Seq[Double] = Nil
     val (results: Map[String, Double], total: Double) = if (concurrent) {
-      val batches = (1 to reps).map(_ => concurrentBatch()).sortBy(_._1)
+      val chrono = (1 to reps).map(_ => concurrentBatch())
+      batchWalls = chrono.map(_._1)
+      spread = chrono.flatMap(_._2).groupBy(_._1)
+        .map { case (k, kvs) => k -> minMedMax(kvs.map(_._2)) }
+      val batches = chrono.sortBy(_._1)
       // a whole BATCH (wall + its per-query map) must be selected as a
       // unit — per-query values from different batches can't be mixed
       // into a synthetic median record. Odd reps (the default 3) pick
@@ -170,7 +203,8 @@ object Bench {
       (perQuery, wall)
     } else {
       val seq = benched.map { case (name, fn) =>
-        val times = (1 to reps).map(_ => timedPass(fn)).sorted
+        val times = (1 to reps).map(_ => timedPass(name, fn)).sorted
+        spread += name -> minMedMax(times)
         // true median: middle value for odd reps, mean of the two middle
         // values for even reps (times(n/2) alone would be upper-median)
         val median =
@@ -186,7 +220,7 @@ object Bench {
             var best = times.head
             var extra = 0
             while (best > 3.0 * warmTimes(name) && extra < reps) {
-              best = math.min(best, timedPass(fn))
+              best = math.min(best, timedPass(name, fn))
               extra += 1
             }
             best
@@ -207,14 +241,21 @@ object Bench {
     // output stays byte-identical to the pre-hardening format, and a
     // flagged record can never again be mistaken for a regression
     val noisyField = if (noisyHost) "\"noisy_host\":true," else ""
+    val errorsField =
+      if (failed.isEmpty) "" else s""""errors":${failed.size},"""
     // mode is explicit in the record so a concurrent-mode total can
     // never be read against a sequential-era one without noticing
     val modeField =
       if (concurrent) "\"mode\":\"concurrent\"," else "\"mode\":\"sequential\","
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val spreadFull = spread.map { case (k, (mn, md, mx)) =>
+      "\"" + k + "\":[" + mn + "," + md + "," + mx + "]"
+    }.mkString("{", ",", "}")
+    val wallsField = if (batchWalls.isEmpty) ""
+      else batchWalls.mkString("\"batch_walls\":[", ",", "],")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec",$modeField$noisyField"load":$load,"load_ambient":$loadAmbient,"queries":$qsFull,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$modeField$noisyField$errorsField"load":$load,"load_ambient":$loadAmbient,$wallsField"spread":$spreadFull,"queries":$qsFull,"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("target", "bench.json")
       java.nio.file.Files.createDirectories(p.getParent)
@@ -238,7 +279,12 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val sfName = new java.io.File(sfDir).getName
-    println(s"""{"queries":$qs,"sf":"$sfName","unit":"sec",$modeField$noisyField"load":$load,"load_ambient":$loadAmbient,"metric":"total","value":${fmt(total)}}""")
+    println(s"""{"queries":$qs,"sf":"$sfName","unit":"sec",$modeField$noisyField$errorsField"load":$load,"load_ambient":$loadAmbient,"metric":"total","value":${fmt(total)}}""")
     spark.stop()
+    if (!failed.isEmpty) {
+      System.err.println(s"[bench] ${failed.size} quer${
+        if (failed.size == 1) "y" else "ies"} FAILED — record not comparable")
+      sys.exit(1)
+    }
   }
 }
