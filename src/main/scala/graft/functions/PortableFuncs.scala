@@ -58,6 +58,16 @@ object PortableFuncs {
   def wordsComposed(c: Column): Column =
     filter(split(normText(c), " +"), w => w =!= "")
 
+  /** 0-based codepoint offset of each [[words]] token in lower(text),
+    * aligned index-for-index with the words array — the coordinate
+    * column span-granular dedup carries so spans can report
+    * (char_start, char_len) real curation cuts by. One native pass
+    * via [[NormWordStartsExpression]] (same byte scan as the
+    * tokenize). DuckDB restates it as cumulative separator/word
+    * lengths over `lower(text)` — see the q91 oracle. */
+  def wordStarts(c: Column): Column =
+    NormWordStartsExpression.normWordStarts(c)
+
   /** Word n-gram shingles (space-joined) over a words-array column;
     * empty array when fewer than n words. ONE native pass via
     * [[WordShinglesExpression]] — the composed transform-lambda form

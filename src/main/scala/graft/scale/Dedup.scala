@@ -790,8 +790,32 @@ object Dedup extends QueryModule {
       .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
         md5(col("sh")).as("h"))
 
+  /** [[windowTable]] plus each window's CHARACTER interval — `cs` =
+    * char start of the window's first word, `ce` = char end (exclusive)
+    * of its last word, both 0-based codepoint offsets into
+    * `lower(text)` (see [[graft.functions.NormWordStartsExpression]]).
+    * The offsets array is a projection of the SAME tokenize pass (one
+    * extra kernel scan, no new shuffle): both coordinate columns are
+    * computed before the explode's output is projected, so the
+    * per-window rows carry two extra longs and nothing else. Both
+    * `cs` and `ce` are strictly increasing in `pos`, which is what
+    * lets the islands merge aggregate them with plain min/max. */
+  private def windowTableChar(docs: DataFrame, n: Int): DataFrame =
+    Layout.widen(docs)
+      .select(col("doc_id"), words(col("text")).as("ws"),
+        wordStarts(col("text")).as("st"))
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"), col("ws"), col("st"),
+        posexplode(shinglesFromWords(col("ws"), n)).as(Seq("pos", "sh")))
+      .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+        md5(col("sh")).as("h"),
+        element_at(col("st"), col("pos") + 1).as("cs"),
+        (element_at(col("st"), col("pos") + lit(n)) +
+          length(element_at(col("ws"), col("pos") + lit(n)))
+            .cast(LongType)).as("ce"))
+
   def dupSpans(docs: DataFrame, n: Int = ShingleSize,
-               minDocs: Long = 2L): DataFrame = {
+               minDocs: Long = 2L, charCoords: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(n >= 1, s"window size must be >= 1: $n")
     require(minDocs >= 2, s"minDocs must be >= 2 (a span duplicated in " +
@@ -803,16 +827,17 @@ object Dedup extends QueryModule {
     // — a checkpoint would only add a blocking materialization pass
     // (A/B'd: ~1.34 s with the checkpoint vs ~1.19 s without, at
     // sf0.1; the audit spec pins the ReusedExchange)
-    val win = windowTable(docs, n)
+    val win = if (charCoords) windowTableChar(docs, n) else windowTable(docs, n)
     // inner join (not semi) so each position carries its window's df —
     // dup has exactly ONE row per h, so this cannot fan out, and the
     // per-span MAX(df) below is the attribution signal
     val dup = win.groupBy(col("h"))
       .agg(count_distinct(col("doc_id")).as("df"))
       .filter(col("df") >= minDocs)
-    val hits = win.join(dup, Seq("h"))
-      .select(col("doc_id"), col("pos"), col("df"))
-    mergeSpans(hits, n)
+    val hitCols = Seq(col("doc_id"), col("pos"), col("df")) ++
+      (if (charCoords) Seq(col("cs"), col("ce")) else Nil)
+    val hits = win.join(dup, Seq("h")).select(hitCols: _*)
+    mergeSpans(hits, n, charCoords = charCoords)
   }
 
   /** Shared gaps-and-islands tail of the span ops: merge duplicated
@@ -824,10 +849,25 @@ object Dedup extends QueryModule {
     * [pos, pos+n-1]); both window functions share one (keys, pos)
     * sort. */
   private def mergeSpans(hits: DataFrame, n: Int,
-                         keys: Seq[String] = Seq("doc_id")): DataFrame = {
+                         keys: Seq[String] = Seq("doc_id"),
+                         charCoords: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val keyCols = keys.map(col)
     val byKey = Window.partitionBy(keyCols: _*).orderBy(col("pos"))
+    // char interval of a merged span: cs and ce are strictly
+    // increasing in pos (word starts/ends only move right), so the
+    // span's char extent is exactly [min(cs), max(ce)) — the same
+    // min/max aggregation the word coordinates use, no extra pass
+    val aggs = Seq(min(col("pos")).as("span_start"),
+      (max(col("pos")) - min(col("pos")) + n).as("span_len"),
+      count(lit(1)).as("n_windows"),
+      max(col("df")).as("max_df")) ++
+      (if (charCoords) Seq(min(col("cs")).as("char_start"),
+        (max(col("ce")) - min(col("cs"))).as("char_len"))
+      else Nil)
+    val outCols = Seq(col("span_start"), col("span_len"),
+      col("n_windows"), col("max_df")) ++
+      (if (charCoords) Seq(col("char_start"), col("char_len")) else Nil)
     hits
       .withColumn("prev", lag(col("pos"), 1).over(byKey))
       .withColumn("brk",
@@ -836,12 +876,8 @@ object Dedup extends QueryModule {
       .withColumn("grp", sum(col("brk")).over(
         byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(keyCols :+ col("grp"): _*)
-      .agg(min(col("pos")).as("span_start"),
-        (max(col("pos")) - min(col("pos")) + n).as("span_len"),
-        count(lit(1)).as("n_windows"),
-        max(col("df")).as("max_df"))
-      .select(keyCols ++ Seq(col("span_start"), col("span_len"),
-        col("n_windows"), col("max_df")): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(keyCols ++ outCols: _*)
   }
 
   /** Persistable span index of a corpus: one (h, df) row per window
@@ -939,24 +975,35 @@ object Dedup extends QueryModule {
     * a df aggregate by fingerprint with map-side partials, a
     * first-occurrence aggregate on the same key. */
   def spanPairs(docs: DataFrame, n: Int = ShingleSize,
-                minDocs: Long = 2L, dfCap: Long = SpanPairDfCap): DataFrame = {
+                minDocs: Long = 2L, dfCap: Long = SpanPairDfCap,
+                charCoords: Boolean = false): DataFrame = {
     require(n >= 1, s"window size must be >= 1: $n")
     require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
     require(dfCap >= minDocs, s"dfCap $dfCap < minDocs $minDocs")
-    val win = windowTable(docs, n)
+    val win = if (charCoords) windowTableChar(docs, n) else windowTable(docs, n)
     val dup = win.groupBy(col("h"))
       .agg(count_distinct(col("doc_id")).as("df"))
       .filter(col("df") >= minDocs && col("df") <= dfCap)
     // first occurrence per (doc, fingerprint); df rides along (one df
-    // row per h, so max() is just a carrier, not a choice)
+    // row per h, so max() is just a carrier, not a choice). cs/ce are
+    // strictly increasing in pos, so min() selects the SAME window the
+    // min(pos) does — the char interval of the first occurrence.
+    val occAggs = Seq(min(col("pos")).as("pos"), max(col("df")).as("df")) ++
+      (if (charCoords) Seq(min(col("cs")).as("cs"), min(col("ce")).as("ce"))
+      else Nil)
     val occ = win.join(dup, Seq("h"))
       .groupBy(col("doc_id"), col("h"))
-      .agg(min(col("pos")).as("pos"), max(col("df")).as("df"))
+      .agg(occAggs.head, occAggs.tail: _*)
+    // char coordinates report doc_a's text — the canonical (lower-id)
+    // coordinate system, same as pos; doc_b may carry the shared
+    // content at arbitrary, even non-contiguous, offsets
+    val pairCols = Seq(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+      col("a.pos").as("pos"), col("a.df").as("df")) ++
+      (if (charCoords) Seq(col("a.cs").as("cs"), col("a.ce").as("ce")) else Nil)
     val pairs = occ.as("a").join(occ.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.pos").as("pos"), col("a.df").as("df"))
-    mergeSpans(pairs, n, keys = Seq("doc_a", "doc_b"))
+      .select(pairCols: _*)
+    mergeSpans(pairs, n, keys = Seq("doc_a", "doc_b"), charCoords = charCoords)
   }
 
   /** Embedding-cosine near-dup pairs above `minCos`, bounded to ids
@@ -1025,7 +1072,14 @@ object Dedup extends QueryModule {
     // substring-level dedup: maximal duplicated word-spans per document
     "q87_dup_spans" -> ((s, d) => dupSpans(T.documents(s, d))),
     // span provenance: which document PAIRS share each maximal span
-    "q90_span_pairs" -> ((s, d) => spanPairs(T.documents(s, d)))
+    "q90_span_pairs" -> ((s, d) => spanPairs(T.documents(s, d))),
+    // q87/q90 with CHARACTER coordinates: spans additionally report
+    // (char_start, char_len) — 0-based codepoint offsets into
+    // lower(text) — from the same tokenize pass (no new shuffle)
+    "q91_char_spans" -> ((s, d) =>
+      dupSpans(T.documents(s, d), charCoords = true)),
+    "q92_char_span_pairs" -> ((s, d) =>
+      spanPairs(T.documents(s, d), charCoords = true))
   )
 
   private val normSql =
@@ -1376,6 +1430,111 @@ object Dedup extends QueryModule {
          |SELECT doc_a, doc_b, MIN(pos_a) AS span_start,
          |  MAX(pos_a) - MIN(pos_a) + 4 AS span_len,
          |  COUNT(*) AS n_windows, MAX(df) AS max_df
+         |FROM grp GROUP BY doc_a, doc_b, g""".stripMargin,
+    // q87 plus character coordinates. The offsets CTE restates the
+    // norm_word_starts kernel as SQL over the SAME lower(text): word
+    // list = maximal [a-z0-9] runs (regexp_extract_all), separator
+    // list = the complementary split (string_split_regex) — sl[i] is
+    // the separator BEFORE word i, so word i's char start is
+    // cum(len(sep) ≤ i) + cum(len(word) < i). All lengths are
+    // codepoint counts in both engines (DuckDB length(), Spark
+    // UTF8String.numChars). SUMs cast to BIGINT (HUGEINT otherwise).
+    "q91_char_spans" ->
+      s"""WITH ws AS (SELECT doc_id, $normSql AS ws FROM documents),
+         |lows AS (SELECT doc_id, lower(text) AS lt FROM documents),
+         |lists AS (SELECT doc_id,
+         |    regexp_extract_all(lt, '[a-z0-9]+') AS wl,
+         |    string_split_regex(lt, '[a-z0-9]+') AS sl FROM lows),
+         |wpos AS (SELECT doc_id, wl, sl, unnest(range(1, len(wl)+1)) AS i
+         |         FROM lists),
+         |lens AS (SELECT doc_id, i, length(wl[i]) AS wlen,
+         |         length(sl[i]) AS slen FROM wpos),
+         |offs AS (SELECT doc_id, i - 1 AS widx, wlen,
+         |    CAST(SUM(slen) OVER (PARTITION BY doc_id ORDER BY i
+         |           ROWS UNBOUNDED PRECEDING)
+         |       + COALESCE(SUM(wlen) OVER (PARTITION BY doc_id ORDER BY i
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cs
+         |  FROM lens),
+         |idx AS (SELECT doc_id, ws, unnest(range(1, len(ws)-2)) AS i
+         |        FROM ws WHERE len(ws) >= 4),
+         |win AS (SELECT doc_id, i - 1 AS pos,
+         |    md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) AS h
+         |  FROM idx),
+         |winc AS (SELECT w.doc_id, w.pos, w.h, o1.cs AS cs,
+         |    o2.cs + o2.wlen AS ce
+         |  FROM win w
+         |  JOIN offs o1 ON o1.doc_id = w.doc_id AND o1.widx = w.pos
+         |  JOIN offs o2 ON o2.doc_id = w.doc_id AND o2.widx = w.pos + 3),
+         |dup AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM win
+         |        GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+         |hits AS (SELECT w.doc_id, w.pos, w.cs, w.ce, d.df FROM winc w
+         |         JOIN dup d ON d.h = w.h),
+         |brk AS (SELECT doc_id, pos, cs, ce, df,
+         |    CASE WHEN LAG(pos) OVER w IS NULL
+         |           OR pos > LAG(pos) OVER w + 4 THEN 1 ELSE 0 END AS b
+         |  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |grp AS (SELECT doc_id, pos, cs, ce, df,
+         |    SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+         |                 ROWS UNBOUNDED PRECEDING) AS g
+         |  FROM brk)
+         |SELECT doc_id, MIN(pos) AS span_start,
+         |  MAX(pos) - MIN(pos) + 4 AS span_len,
+         |  COUNT(*) AS n_windows, MAX(df) AS max_df,
+         |  MIN(cs) AS char_start, MAX(ce) - MIN(cs) AS char_len
+         |FROM grp GROUP BY doc_id, g""".stripMargin,
+    // q90 plus character coordinates in doc_a's text (the canonical
+    // pair coordinate system), same offsets CTE as q91; cs/ce are
+    // strictly increasing in pos so MIN() picks the first-occurrence
+    // window's char interval, exactly like MIN(pos)
+    "q92_char_span_pairs" ->
+      s"""WITH ws AS (SELECT doc_id, $normSql AS ws FROM documents),
+         |lows AS (SELECT doc_id, lower(text) AS lt FROM documents),
+         |lists AS (SELECT doc_id,
+         |    regexp_extract_all(lt, '[a-z0-9]+') AS wl,
+         |    string_split_regex(lt, '[a-z0-9]+') AS sl FROM lows),
+         |wpos AS (SELECT doc_id, wl, sl, unnest(range(1, len(wl)+1)) AS i
+         |         FROM lists),
+         |lens AS (SELECT doc_id, i, length(wl[i]) AS wlen,
+         |         length(sl[i]) AS slen FROM wpos),
+         |offs AS (SELECT doc_id, i - 1 AS widx, wlen,
+         |    CAST(SUM(slen) OVER (PARTITION BY doc_id ORDER BY i
+         |           ROWS UNBOUNDED PRECEDING)
+         |       + COALESCE(SUM(wlen) OVER (PARTITION BY doc_id ORDER BY i
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cs
+         |  FROM lens),
+         |idx AS (SELECT doc_id, ws, unnest(range(1, len(ws)-2)) AS i
+         |        FROM ws WHERE len(ws) >= 4),
+         |win AS (SELECT doc_id, i - 1 AS pos,
+         |    md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) AS h
+         |  FROM idx),
+         |winc AS (SELECT w.doc_id, w.pos, w.h, o1.cs AS cs,
+         |    o2.cs + o2.wlen AS ce
+         |  FROM win w
+         |  JOIN offs o1 ON o1.doc_id = w.doc_id AND o1.widx = w.pos
+         |  JOIN offs o2 ON o2.doc_id = w.doc_id AND o2.widx = w.pos + 3),
+         |dup AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM win
+         |        GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+         |                      AND COUNT(DISTINCT doc_id) <= $SpanPairDfCap),
+         |occ AS (SELECT w.doc_id, w.h, MIN(w.pos) AS pos, MAX(d.df) AS df,
+         |          MIN(w.cs) AS cs, MIN(w.ce) AS ce
+         |        FROM winc w JOIN dup d ON d.h = w.h GROUP BY w.doc_id, w.h),
+         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.pos AS pos_a, a.df, a.cs, a.ce
+         |  FROM occ a JOIN occ b ON a.h = b.h AND a.doc_id < b.doc_id),
+         |brk AS (SELECT doc_a, doc_b, pos_a, df, cs, ce,
+         |    CASE WHEN LAG(pos_a) OVER w IS NULL
+         |           OR pos_a > LAG(pos_a) OVER w + 4 THEN 1 ELSE 0 END AS b
+         |  FROM pr WINDOW w AS (PARTITION BY doc_a, doc_b ORDER BY pos_a)),
+         |grp AS (SELECT doc_a, doc_b, pos_a, df, cs, ce,
+         |    SUM(b) OVER (PARTITION BY doc_a, doc_b ORDER BY pos_a
+         |                 ROWS UNBOUNDED PRECEDING) AS g
+         |  FROM brk)
+         |SELECT doc_a, doc_b, MIN(pos_a) AS span_start,
+         |  MAX(pos_a) - MIN(pos_a) + 4 AS span_len,
+         |  COUNT(*) AS n_windows, MAX(df) AS max_df,
+         |  MIN(cs) AS char_start, MAX(ce) - MIN(cs) AS char_len
          |FROM grp GROUP BY doc_a, doc_b, g""".stripMargin,
     "q29_embed_neardup" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -309,6 +309,76 @@ object EventStreams {
         graft.pipeline.TableIO.atomicOverwrite(
           graft.pipeline.Merge.upsert(target, batch, key), table)
       }
+
+  /** Streaming span-index maintenance: each micro-batch of arriving
+    * documents folds its window fingerprints into a persisted
+    * [[graft.scale.Dedup.spanIndex]] table via
+    * [[graft.scale.Dedup.spanIndexMerge]] + atomic overwrite — the
+    * span twin of [[dedupeNear]]'s streaming dedup and the r7
+    * IndexMaintenance pattern, so an ingestion stream keeps the
+    * substring-dedup index continuously current without ever
+    * re-tokenizing the corpus (only each batch tokenizes).
+    *
+    * The table carries two constant bookkeeping columns next to
+    * (h, df):
+    *  - `batch_id` — the micro-batch that produced this version.
+    *    Because it travels INSIDE the same atomic overwrite as the
+    *    data, a foreachBatch REPLAY after a crash is detected exactly
+    *    (replayed id == committed id → skip), which is what makes the
+    *    ADDITIVE fold safe under at-least-once delivery — an upsert
+    *    sink is naturally idempotent, an additive one must refuse the
+    *    double-count itself. Every non-empty batch commits a version —
+    *    even one whose docs produce zero windows — so the detection
+    *    has no gaps.
+    *  - `max_doc` — high-watermark of indexed doc_ids. The
+    *    disjoint-batch contract df-additivity rests on is asserted
+    *    per batch in its enforceable streaming form: ingestion
+    *    assigns monotone ids, so `min(batch) > max_doc` proves the
+    *    batch shares no document with anything already folded.
+    *
+    * Readers ([[graft.scale.Dedup.incrementalDupSpans]]) select
+    * (h, df) and never see the bookkeeping; parquet RLE stores the
+    * two constant columns in a handful of bytes. */
+  def toSpanIndexSink(docs: DataFrame, table: String, checkpoint: String,
+                      n: Int = graft.scale.Dedup.ShingleSize) =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldSpanBatch(batch, batchId, table, n)
+      }
+
+  /** One micro-batch of [[toSpanIndexSink]]'s fold, exposed for
+    * deterministic replay tests. */
+  private[streaming] def foldSpanBatch(batch: DataFrame, batchId: Long,
+                                       table: String, n: Int): Unit = {
+    val spark = batch.sparkSession
+    val stats = batch.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    if (stats.isNullAt(0)) return // empty micro-batch
+    val (batchMin, batchMax) = (stats.getLong(0), stats.getLong(1))
+    val exists = new java.io.File(table).exists
+    val prev = if (exists) Some(spark.read.parquet(table)) else None
+    val meta = prev.flatMap(_.select(max(col("batch_id")), max(col("max_doc")))
+      .head() match {
+        case r if r.isNullAt(0) => None // zero-row committed index
+        case r => Some((r.getLong(0), r.getLong(1)))
+      })
+    if (meta.exists(_._1 == batchId)) return // crash replay: committed
+    meta.foreach { case (_, maxDoc) =>
+      require(batchMin > maxDoc,
+        s"disjoint-batch contract violated: batch doc_ids start at " +
+          s"$batchMin but the index already covers up to $maxDoc — " +
+          "df counts only add when no document is folded twice")
+    }
+    val index = prev.map(_.select(col("h"), col("df")))
+      .getOrElse(graft.scale.Dedup.spanIndex(batch.limit(0), n))
+    val merged = graft.scale.Dedup
+      .spanIndexMerge(index, batch.select(col("doc_id"), col("text")), n)
+      .withColumn("batch_id", lit(batchId))
+      .withColumn("max_doc", lit(math.max(batchMax,
+        meta.map(_._2).getOrElse(Long.MinValue))))
+    graft.pipeline.TableIO.atomicOverwrite(merged, table)
+  }
 }
 
 /** A document arriving on the ingestion stream. */

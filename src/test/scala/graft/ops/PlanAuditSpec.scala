@@ -160,6 +160,45 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("q91 char spans: the char-coordinate columns change NOTHING about " +
+    "the plan shape — still one df join-back, per-doc window, reused " +
+    "scan exchange; offsets kernel stays inside codegen") {
+    val s = planOf(graft.scale.Dedup.dupSpans(
+      graft.Tables.documents(spark, sf), charCoords = true))
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"span detection must never form doc pairs:\n$s")
+    assert("Join".r.findAllIn(s).length === 1,
+      s"expected ONE join (the df join-back), got:\n$s")
+    assert(s.contains("Window") && !s.contains("SinglePartition"),
+      s"gaps-and-islands must stay per-doc:\n$s")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val s2 = planOf(graft.scale.Dedup.dupSpans(
+        graft.Tables.documents(spark, sf), charCoords = true))
+      assert(s2.contains("ReusedExchange"),
+        s"expected the scan exchange to be reused across both readers:\n$s2")
+      // the offsets column is a projection of the same tokenize pass:
+      // the kernel must sit inside a WholeStageCodegen span, not fall
+      // out to an interpreted projection
+      assert(s2.linesIterator.exists(l =>
+        l.contains("norm_word_starts") && l.contains("*(")),
+        s"norm_word_starts fell out of codegen:\n$s2")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("q92 char span pairs: df-cap filter still ahead of the only " +
+    "pair join; islands merge per-pair") {
+    val s = planOf(graft.scale.Dedup.spanPairs(
+      graft.Tables.documents(spark, sf), charCoords = true))
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"span pairing must stay an equality join:\n$s")
+    assert(s.contains("df#") && s.contains("<= 16"),
+      s"expected the df-cap filter ahead of the pair join:\n$s")
+    assert(s.contains("Window") && !s.contains("SinglePartition"),
+      s"islands merge must stay per-pair:\n$s")
+  }
+
   test("q90 span pairs: the only pair-generating join runs on the " +
     "df-capped fingerprint set — no cartesian, no uncapped key") {
     val s = planOf(graft.scale.Dedup.spanPairs(

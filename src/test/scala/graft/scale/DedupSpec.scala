@@ -854,4 +854,92 @@ class DedupSpec extends SparkSpec {
       }
     }
   }
+
+  test("char coordinates: dupSpans/spanPairs char variants keep the word " +
+    "columns identical and report offsets a brute reference confirms " +
+    "slice the actual text") {
+    val spark2 = spark
+    import spark2.implicits._
+    val n = Dedup.ShingleSize
+    // independent word-start reference: codepoint offsets into
+    // lower(text), words = maximal [a-z0-9] runs (same contract as the
+    // kernel, restated over a codepoint stream instead of UTF-8 bytes)
+    def startsRef(t: String): Vector[(Long, Int)] = {
+      import scala.jdk.CollectionConverters._
+      val cps = t.toLowerCase.codePoints.iterator.asScala.map(_.intValue).toVector
+      val buf = Vector.newBuilder[(Long, Int)]
+      var i = 0
+      while (i < cps.length) {
+        def keep(c: Int) = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+        if (keep(cps(i)) && (i == 0 || !keep(cps(i - 1)))) {
+          var j = i
+          while (j < cps.length && keep(cps(j))) j += 1
+          buf += ((i.toLong, j - i))
+        }
+        i += 1
+      }
+      buf.result()
+    }
+    // codepoint-aware slice of lower(text) — exercises the multi-byte
+    // and astral separators below
+    def sliceCp(t: String, start: Long, len: Long): String = {
+      val lt = t.toLowerCase
+      val a = lt.offsetByCodePoints(0, start.toInt)
+      val b = lt.offsetByCodePoints(a, len.toInt)
+      lt.substring(a, b)
+    }
+    val rnd = new scala.util.Random(53)
+    // separators include multi-char, multi-byte (é, —) and astral (🎉)
+    // sequences: codepoint counting must survive all of them
+    val seps = Vector(" ", ", ", "!!  ", " — ", "\n", "...é ", " 🎉 ")
+    def render(ws: Seq[String]): String =
+      ws.map(w => w + seps(rnd.nextInt(seps.length))).mkString
+    for (trial <- 0 until 5) {
+      val corpus = (0 until 12).map { i =>
+        val len = 2 + rnd.nextInt(14)
+        (i.toLong, render(Seq.fill(len)(s"t${rnd.nextInt(6)}")))
+      }
+      val docs = corpus.toDF("doc_id", "text")
+      val textOf = corpus.toMap
+      // 1) word columns are IDENTICAL to the plain variants
+      val plain = Dedup.dupSpans(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      val char = Dedup.dupSpans(docs, charCoords = true).collect()
+      assert(char.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet === plain, s"trial $trial word cols")
+      // 2) char_start/char_len match the reference offsets, and the
+      // slice they denote starts/ends exactly on the span's words
+      char.foreach { r =>
+        val (id, s, l) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        val (cs, cl) = (r.getAs[Long]("char_start"), r.getAs[Long]("char_len"))
+        val st = startsRef(textOf(id))
+        val (expS, _) = st(s.toInt)
+        val (lastS, lastL) = st((s + l - 1).toInt)
+        assert(cs === expS, s"trial $trial doc $id span $s char_start")
+        assert(cl === lastS + lastL - expS, s"trial $trial doc $id char_len")
+        val slice = sliceCp(textOf(id), cs, cl)
+        assert(slice.head.isLetterOrDigit && slice.last.isLetterOrDigit,
+          s"trial $trial slice '$slice' not word-aligned")
+      }
+      // 3) pair variant: word columns equal plain spanPairs, char
+      // coords are doc_a's reference offsets
+      val pPlain = Dedup.spanPairs(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSet
+      val pChar = Dedup.spanPairs(docs, charCoords = true).collect()
+      assert(pChar.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet === pPlain,
+        s"trial $trial pair word cols")
+      pChar.foreach { r =>
+        val (da, s, l) = (r.getLong(0), r.getLong(2), r.getLong(3))
+        val (cs, cl) = (r.getAs[Long]("char_start"), r.getAs[Long]("char_len"))
+        val st = startsRef(textOf(da))
+        val (expS, _) = st(s.toInt)
+        val (lastS, lastL) = st((s + l - 1).toInt)
+        assert(cs === expS && cl === lastS + lastL - expS,
+          s"trial $trial pair ($da) span $s char coords")
+      }
+    }
+  }
 }

@@ -218,6 +218,57 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("span-index sink: streamed folds equal the batch spanIndex, " +
+    "replay is refused, and the disjoint-batch contract is asserted") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-spanidx").toString
+    val table = s"$dir/idx"
+    val phrase = "alpha beta gamma delta epsilon"
+    val d1 = Doc(1, ts(0), s"$phrase one two three four")
+    val d2 = Doc(2, ts(1), s"zero $phrase five six seven")
+    val d3 = Doc(3, ts(2), s"$phrase nine ten eleven twelve")
+    val d4 = Doc(4, ts(3), "???") // wordless: zero windows, still commits
+    val src = MemoryStream[Doc]
+    val q = EventStreams.toSpanIndexSink(src.toDF(), table, s"$dir/ckpt").start()
+    try {
+      src.addData(d1, d2)
+      q.processAllAvailable()
+      src.addData(d3, d4)
+      q.processAllAvailable()
+      // streamed index == batch spanIndex over the SAME documents
+      def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getAs[String]("h") -> r.getAs[Long]("df")).toMap
+      val streamed = asMap(spark.read.parquet(table).select("h", "df"))
+      val batch = asMap(graft.scale.Dedup.spanIndex(
+        Seq(d1, d2, d3, d4).map(d => (d.doc_id, d.text))
+          .toDF("doc_id", "text")))
+      assert(streamed === batch)
+      // the shared phrase's windows reached df 3 via two separate folds
+      assert(streamed.values.max === 3L)
+      // bookkeeping: one committed version, high-watermark at doc 4
+      val meta = spark.read.parquet(table)
+        .select("batch_id", "max_doc").distinct().collect()
+      assert(meta.length === 1 && meta.head.getLong(1) === 4L)
+      val committedId = meta.head.getLong(0)
+      // crash REPLAY of the committed batch: same batchId folds again
+      // → detected and skipped, df counts unchanged
+      EventStreams.foldSpanBatch(
+        Seq((3L, d3.text), (4L, d4.text)).toDF("doc_id", "text"),
+        committedId, table, graft.scale.Dedup.ShingleSize)
+      assert(asMap(spark.read.parquet(table).select("h", "df")) === streamed)
+      // disjoint-batch contract: re-folding an ALREADY-INDEXED doc id
+      // under a new batch id must fail loudly, not double-count
+      val e = intercept[IllegalArgumentException] {
+        EventStreams.foldSpanBatch(
+          Seq((2L, d2.text)).toDF("doc_id", "text"),
+          committedId + 1, table, graft.scale.Dedup.ShingleSize)
+      }
+      assert(e.getMessage.contains("disjoint-batch contract"))
+    } finally q.stop()
+  }
+
   test("file source streams the events table with converted timestamps") {
     val stream = EventStreams.fileSource(spark, "/root/testdata/sf0.001")
     assert(stream.isStreaming)
