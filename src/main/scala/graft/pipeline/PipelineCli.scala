@@ -27,6 +27,8 @@ import java.time.{ZoneOffset, ZonedDateTime}
   *   pipeline --base d approve <taskId> --category c --tags "a|b"
   *   pipeline --base d read <taskId> [--table review]
   *   pipeline --base d verify-all [--docker]
+  *   pipeline --base d dedup-batch --agent a    (claim → incremental
+  *     span dedup vs $base/span_index → fold index → complete)
   */
 object PipelineCli {
 
@@ -275,6 +277,61 @@ object PipelineCli {
           new SubprocessRunner, runDocker = args.contains("--docker"))
         commit(verified, "latest_verified")
         println(s"verified ${verified.count()} of ${production.count()} production row(s)")
+
+      case "dedup-batch" =>
+        // Coordination + data plane in one lifecycle (the shape of the
+        // reference's validate-all driver,
+        // `scripts/validate_all_prod_dps.py:136-216`: claim → work →
+        // record → complete), with the work being the span-index data
+        // plane: flag the claimed batch's duplicated spans against the
+        // persisted index (only the batch tokenizes), then fold the
+        // batch in additively. Task data.batch names a (doc_id, text)
+        // parquet; batches must carry fresh doc_ids (the
+        // incrementalDedup disjointness contract).
+        val s = store()
+        val agent = argValue(args, "--agent").getOrElse("agent")
+        s.getNextTask(agent, Seq("dedup_batch")) match {
+          case None => println("no pending task")
+          case Some(t) =>
+            saveStore(s) // persist the claim BEFORE working (P2): a
+                         // crash mid-work leaves an in-progress task
+                         // the timeout sweep can recover
+            val batch = spark.read.parquet(t.data.getOrElse("batch",
+              sys.error(s"task ${t.id} has no data.batch")))
+              .select("doc_id", "text")
+            val idxPath = s"$base/span_index"
+            val prev = if (new java.io.File(idxPath).exists)
+              Some(spark.read.parquet(idxPath)) else None
+            val index = prev.map(_.select("h", "df"))
+              .getOrElse(graft.scale.Dedup.spanIndex(batch.limit(0)))
+            val outDir = s"$base/batch_spans/${t.id}"
+            // folded_task rides INSIDE the same atomic write as the
+            // index rows (the EventStreams.toSpanIndexSink batch_id
+            // discipline): a re-claimed crashed task finds its own id
+            // committed and skips BOTH the span recompute and the
+            // additive fold — re-deriving spans against an index the
+            // batch is already inside would count every batch window
+            // against itself (phantom within-batch dups), and
+            // re-folding would double-count dfs. The spans output is
+            // written before the fold, so "fold committed" implies
+            // "spans committed"; only the task completion was lost.
+            val already = prev
+              .flatMap(_.select("folded_task").limit(1).collect().headOption)
+              .exists(_.getString(0) == t.id)
+            if (!already) {
+              TableIO.atomicOverwrite(
+                graft.scale.Dedup.incrementalDupSpans(batch, index), outDir)
+              TableIO.atomicOverwrite(
+                graft.scale.Dedup.spanIndexMerge(index, batch)
+                  .withColumn("folded_task", lit(t.id)), idxPath)
+            }
+            val nSpans = spark.read.parquet(outDir).count()
+            s.updateTaskData(t.id, Map("n_spans" -> nSpans.toString))
+            s.completeTask(t.id, agent)
+            saveStore(s)
+            appendAudit(spark, base, t.id, "dedup-batch", s"n_spans=$nSpans")
+            println(s"""{"task":"${t.id}","n_spans":$nSpans,"folded":${!already}}""")
+        }
 
       case other => sys.error(s"unknown command: $other")
     }

@@ -261,7 +261,15 @@ object TaskStore {
       workflowType = meta.getOrElse("workflow_type", "generic"))
     store.loadedVersion = versionOf(dir)
     if (meta.nonEmpty) store.metadata = meta - "workflow_type"
+    // Parquet read order follows part-file listing, not write order —
+    // restore CREATION order explicitly, because F3's "first pending"
+    // claim is defined over it (the reference's JSON store is a list,
+    // `task_manager.py:158`; a permuted reload would make getNextTask
+    // claim an arbitrary pending task after a round-trip). createdAt
+    // is microsecond-ISO so it sorts lexicographically; id breaks
+    // same-instant ties deterministically.
     val rows = spark.read.parquet(dir).collect()
+      .sortBy(r => (r.getAs[String]("createdAt"), r.getAs[String]("id")))
     rows.foreach { r =>
       def opt(c: String): Option[String] = Option(r.getAs[String](c))
       store.synchronized {

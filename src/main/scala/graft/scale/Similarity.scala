@@ -313,7 +313,7 @@ object Similarity extends QueryModule {
     * resolution, not centroid placement, was binding. Subspace count
     * and codebook size scale the rate at identical assignment-flop
     * cost (corpus × codes × dim); with the trained codebook and exact
-    * re-ranking ([[PqRefine]]) measured recall@5 is 0.575–0.875
+    * re-ranking ([[PqRefine]]) measured recall@5 is 0.75–0.90
     * across SFs (see [[PqMinRecall]]). */
   val PqSubspaces = 16
   val PqSubDim = Dim / PqSubspaces
@@ -510,9 +510,18 @@ object Similarity extends QueryModule {
     * the quantized scan nominates `refine × k` candidates, the exact
     * re-rank orders them. Recall@k of the final result equals the
     * ADC's recall@(refine·k), which is far higher than its recall@k —
-    * the quantizer only has to get the neighbor into the top-20, not
-    * the top-5. */
-  val PqRefine = 4
+    * the quantizer only has to get the neighbor into the top-40, not
+    * the top-5.
+    *
+    * 8 (up from 4 in round 10): the round-9 config measured recall@5
+    * 0.575 at sf0.1 — one benign corpus re-cut from the 0.5 gate.
+    * Refine sweep (recall@5 at sf0.001/0.01/0.1): 4 → .875/.825/.575,
+    * 6 → .875/.875/.700, 8 → .900/.900/.750, 12 → 1.0/.925/.850.
+    * 8 clears the bar by ≥0.25 at every SF; the cost is the shortlist
+    * width (40 vs 20 rows per query through the broadcast re-rank) —
+    * unmeasurable against run noise at every SF, because re-rank cost
+    * is refine×k×nQueries vector fetches, not a corpus term. */
+  val PqRefine = 8
 
   /** PQ-ADC approximate nearest neighbors with exact re-ranking, the
     * production two-stage shape: (1) each query builds a tiny
@@ -578,7 +587,9 @@ object Similarity extends QueryModule {
   /** Minimum certified recall@5 per ANN method — set with margin
     * under the values measured at sf0.001, sf0.01 AND sf0.1
     * (near-uniform embeddings): multi-probe LSH (r=3) 0.4–0.6, IVF
-    * (2/16 probes) 0.925–1.0, PQ 0.575–0.875. PQ's bar rose 0.1 →
+    * (2/16 probes) 0.925–1.0, PQ 0.75–0.90 (refine 8 — the round-10
+    * sweep recorded at [[PqRefine]] lifted the sf0.1 margin over this
+    * bar from 0.075 to 0.25). PQ's bar rose 0.1 →
     * 0.5 in round 9 when the path became production-shaped: a TRAINED
     * codebook ([[pqTrainedCents]] — deterministic Lloyd over a fixed
     * sample), 16×4-dim subspaces (1 bit/dim; the old 8×8-dim geometry

@@ -167,6 +167,82 @@ class PipelineCliSpec extends SparkSpec {
     t2.join()
   }
 
+  test("dedup-batch lifecycle: claim → incremental span dedup vs the " +
+    "persisted index → additive fold → complete; a crash-redo folds " +
+    "nothing twice") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.scale.Dedup
+    val base = Files.createTempDirectory("graft-cli-dedup").toString
+    val phrase = "alpha beta gamma delta epsilon"
+    val b1 = Seq((1L, s"$phrase one two three four"),
+      (2L, s"zero $phrase five six seven"))
+    val b2 = Seq((3L, s"$phrase nine ten eleven twelve"),
+      (4L, "unrelated words only here today"))
+    val d1 = s"$base/in_b1"; val d2 = s"$base/in_b2"
+    b1.toDF("doc_id", "text").write.parquet(d1)
+    b2.toDF("doc_id", "text").write.parquet(d2)
+    cli(base, "create-task", "--type", "dedup_batch", "--data", s"batch=$d1")
+    cli(base, "create-task", "--type", "dedup_batch", "--data", s"batch=$d2")
+    cli(base, "dedup-batch", "--agent", "a")
+    // snapshot the store BETWEEN the two lifecycles: restoring it after
+    // the second run reproduces the crash state "index folded, task
+    // completion lost"
+    val savedTasks = Files.createTempDirectory("graft-cli-dedup-saved")
+    def copyDir(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(from).iterator().asScala.toSeq.foreach { p =>
+        val dst = to.resolve(from.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(dst)
+        else Files.copy(p, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    copyDir(java.nio.file.Paths.get(s"$base/tasks"), savedTasks)
+    cli(base, "dedup-batch", "--agent", "a")
+    val store = TaskStore.load(spark, s"$base/tasks")
+    val done = store.all.filter(_.taskType == "dedup_batch")
+    assert(done.size === 2 && done.forall(_.status === "completed"))
+    assert(done.forall(_.data.contains("n_spans")))
+    // the folded index equals a from-scratch rebuild over every doc
+    def idxMap() = spark.read.parquet(s"$base/span_index")
+      .select("h", "df").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rebuilt = Dedup.spanIndex((b1 ++ b2).toDF("doc_id", "text"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(idxMap() === rebuilt)
+    // batch-2's flagged spans == the batch path over the full corpus,
+    // restricted to batch-2 docs (the incremental contract)
+    val t2 = done.find(_.data("batch") == d2).get
+    def spanSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val got = spanSet(spark.read.parquet(s"$base/batch_spans/${t2.id}"))
+    val expect = spanSet(Dedup.dupSpans((b1 ++ b2).toDF("doc_id", "text"))
+      .filter(col("doc_id") >= 3L))
+    assert(got === expect && got.nonEmpty)
+    // drained queue: a further claim is a clean no-op
+    cli(base, "dedup-batch", "--agent", "a")
+    assert(TaskStore.load(spark, s"$base/tasks").all.size === 2)
+    // CRASH REDO: restore the pre-batch-2 store (claim lost, index
+    // committed) and re-run — the verb re-claims t2, rewrites its
+    // spans idempotently, finds folded_task == t2.id and SKIPS the
+    // additive fold; df counts must not move
+    val before = idxMap()
+    def deleteDir(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+    deleteDir(java.nio.file.Paths.get(s"$base/tasks"))
+    copyDir(savedTasks, java.nio.file.Paths.get(s"$base/tasks"))
+    cli(base, "dedup-batch", "--agent", "a")
+    assert(idxMap() === before, "crash redo double-counted the fold")
+    assert(TaskStore.load(spark, s"$base/tasks")
+      .getTask(t2.id).get.status === "completed")
+    assert(spanSet(spark.read.parquet(s"$base/batch_spans/${t2.id}")) === got)
+  }
+
   test("cancel writes the artifact and marks the review row") {
     val base = Files.createTempDirectory("graft-cli3").toString
     cli(base, "create-dp", "dp_9", "p", "d", "def test_a():\n  pass",
