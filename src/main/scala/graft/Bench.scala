@@ -204,12 +204,12 @@ object Bench {
     } else {
       val seq = benched.map { case (name, fn) =>
         val times = (1 to reps).map(_ => timedPass(name, fn)).sorted
-        spread += name -> minMedMax(times)
-        // true median: middle value for odd reps, mean of the two middle
-        // values for even reps (times(n/2) alone would be upper-median)
-        val median =
-          if (times.size % 2 == 1) times(times.size / 2)
-          else (times(times.size / 2 - 1) + times(times.size / 2)) / 2
+        // true median via minMedMax: middle value for odd reps, mean of
+        // the two middle values for even reps (times(n/2) alone would
+        // be upper-median)
+        val mmm = minMedMax(times)
+        spread += name -> mmm
+        val median = mmm._2
         val accepted =
           if (!noisyHost) median
           else {

@@ -299,30 +299,62 @@ object PipelineCli {
             val batch = spark.read.parquet(t.data.getOrElse("batch",
               sys.error(s"task ${t.id} has no data.batch")))
               .select("doc_id", "text")
+            val stats = batch.agg(min(col("doc_id")), max(col("doc_id"))).head()
+            require(!stats.isNullAt(0), s"batch for ${t.id} is empty")
+            val (batchMin, batchMax) = (stats.getLong(0), stats.getLong(1))
             val idxPath = s"$base/span_index"
             val prev = if (new java.io.File(idxPath).exists)
               Some(spark.read.parquet(idxPath)) else None
             val index = prev.map(_.select("h", "df"))
               .getOrElse(graft.scale.Dedup.spanIndex(batch.limit(0)))
+            // max_doc high-watermark, riding INSIDE the same atomic
+            // write as the index rows (the EventStreams.toSpanIndexSink
+            // discipline; a seeded plain (h, df) index is tolerated —
+            // the first fold starts stamping it). Under the monotone
+            // doc-id contract it answers BOTH lifecycle questions an
+            // additive fold must get right:
+            //  - batchMax <= max_doc → every batch doc is already
+            //    folded. If this task's span output exists, this is a
+            //    crashed task re-claimed after its fold committed (any
+            //    number of OTHER folds may have intervened — a
+            //    single-slot "last folded task" marker would miss
+            //    that): complete without recomputing, because
+            //    re-deriving spans against an index the batch is
+            //    already inside would count every batch window against
+            //    itself. If the output does NOT exist, someone
+            //    resubmitted already-indexed documents under a new
+            //    task id: refuse, folding again would double-count.
+            //  - otherwise require batchMin > max_doc: a partial
+            //    overlap violates the disjointness df-additivity
+            //    rests on, so fail loudly (the streaming twin's
+            //    require, same message shape).
+            val maxDoc = prev.filter(_.columns.contains("max_doc"))
+              .flatMap(_.agg(max(col("max_doc"))).head() match {
+                case r if r.isNullAt(0) => None
+                case r => Some(r.getLong(0))
+              })
             val outDir = s"$base/batch_spans/${t.id}"
-            // folded_task rides INSIDE the same atomic write as the
-            // index rows (the EventStreams.toSpanIndexSink batch_id
-            // discipline): a re-claimed crashed task finds its own id
-            // committed and skips BOTH the span recompute and the
-            // additive fold — re-deriving spans against an index the
-            // batch is already inside would count every batch window
-            // against itself (phantom within-batch dups), and
-            // re-folding would double-count dfs. The spans output is
-            // written before the fold, so "fold committed" implies
-            // "spans committed"; only the task completion was lost.
-            val already = prev
-              .flatMap(_.select("folded_task").limit(1).collect().headOption)
-              .exists(_.getString(0) == t.id)
-            if (!already) {
+            val alreadyFolded = maxDoc.exists(batchMax <= _)
+            if (alreadyFolded) {
+              require(new java.io.File(outDir).exists,
+                s"disjoint-batch contract violated: batch doc_ids " +
+                  s"[$batchMin..$batchMax] are already folded (index " +
+                  s"covers up to ${maxDoc.get}) and no span output " +
+                  s"exists for ${t.id} — re-submitted batch? folding " +
+                  "again would double-count dfs")
+            } else {
+              maxDoc.foreach { m =>
+                require(batchMin > m,
+                  s"disjoint-batch contract violated: batch doc_ids " +
+                    s"start at $batchMin but the index already covers " +
+                    s"up to $m — df counts only add when no document " +
+                    "is folded twice")
+              }
               TableIO.atomicOverwrite(
                 graft.scale.Dedup.incrementalDupSpans(batch, index), outDir)
               TableIO.atomicOverwrite(
                 graft.scale.Dedup.spanIndexMerge(index, batch)
+                  .withColumn("max_doc", lit(batchMax))
                   .withColumn("folded_task", lit(t.id)), idxPath)
             }
             val nSpans = spark.read.parquet(outDir).count()
@@ -330,7 +362,7 @@ object PipelineCli {
             s.completeTask(t.id, agent)
             saveStore(s)
             appendAudit(spark, base, t.id, "dedup-batch", s"n_spans=$nSpans")
-            println(s"""{"task":"${t.id}","n_spans":$nSpans,"folded":${!already}}""")
+            println(s"""{"task":"${t.id}","n_spans":$nSpans,"folded":${!alreadyFolded}}""")
         }
 
       case other => sys.error(s"unknown command: $other")

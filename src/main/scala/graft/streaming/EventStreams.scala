@@ -358,7 +358,13 @@ object EventStreams {
     val (batchMin, batchMax) = (stats.getLong(0), stats.getLong(1))
     val exists = new java.io.File(table).exists
     val prev = if (exists) Some(spark.read.parquet(table)) else None
-    val meta = prev.flatMap(_.select(max(col("batch_id")), max(col("max_doc")))
+    // a pre-existing index seeded from plain Dedup.spanIndex output
+    // (h, df only) is tolerated: no replay/contract history exists for
+    // it, so the first streamed fold starts stamping the bookkeeping
+    val meta = prev
+      .filter(p => p.columns.contains("batch_id") &&
+        p.columns.contains("max_doc"))
+      .flatMap(_.select(max(col("batch_id")), max(col("max_doc")))
       .head() match {
         case r if r.isNullAt(0) => None // zero-row committed index
         case r => Some((r.getLong(0), r.getLong(1)))

@@ -185,11 +185,10 @@ class PipelineCliSpec extends SparkSpec {
     b2.toDF("doc_id", "text").write.parquet(d2)
     cli(base, "create-task", "--type", "dedup_batch", "--data", s"batch=$d1")
     cli(base, "create-task", "--type", "dedup_batch", "--data", s"batch=$d2")
-    cli(base, "dedup-batch", "--agent", "a")
-    // snapshot the store BETWEEN the two lifecycles: restoring it after
-    // the second run reproduces the crash state "index folded, task
-    // completion lost"
-    val savedTasks = Files.createTempDirectory("graft-cli-dedup-saved")
+    // snapshot the store at two points: BOTH pending (for the
+    // interleaved-crash case) and between the two lifecycles (for the
+    // simple crash case) — restoring either after the folds reproduces
+    // "index folded, task completion lost"
     def copyDir(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
       import scala.jdk.CollectionConverters._
       Files.walk(from).iterator().asScala.toSeq.foreach { p =>
@@ -199,6 +198,10 @@ class PipelineCliSpec extends SparkSpec {
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
     }
+    val savedBoth = Files.createTempDirectory("graft-cli-dedup-saved0")
+    copyDir(java.nio.file.Paths.get(s"$base/tasks"), savedBoth)
+    cli(base, "dedup-batch", "--agent", "a")
+    val savedTasks = Files.createTempDirectory("graft-cli-dedup-saved")
     copyDir(java.nio.file.Paths.get(s"$base/tasks"), savedTasks)
     cli(base, "dedup-batch", "--agent", "a")
     val store = TaskStore.load(spark, s"$base/tasks")
@@ -241,6 +244,43 @@ class PipelineCliSpec extends SparkSpec {
     assert(TaskStore.load(spark, s"$base/tasks")
       .getTask(t2.id).get.status === "completed")
     assert(spanSet(spark.read.parquet(s"$base/batch_spans/${t2.id}")) === got)
+    // INTERLEAVED CRASH REDO: restore the both-pending store while the
+    // index holds BOTH folds — the scenario a single-slot "last folded
+    // task" marker gets wrong (t2's fold intervened after t1's). The
+    // max_doc watermark recognizes each re-claimed batch as already
+    // folded (batchMax <= max_doc + its span output exists) and
+    // completes both without touching the index
+    deleteDir(java.nio.file.Paths.get(s"$base/tasks"))
+    copyDir(savedBoth, java.nio.file.Paths.get(s"$base/tasks"))
+    cli(base, "dedup-batch", "--agent", "a")
+    cli(base, "dedup-batch", "--agent", "a")
+    assert(idxMap() === before, "interleaved crash redo re-folded a batch")
+    val restored = TaskStore.load(spark, s"$base/tasks")
+      .all.filter(_.taskType == "dedup_batch")
+    assert(restored.size === 2 && restored.forall(_.status === "completed"))
+    assert(spanSet(spark.read.parquet(s"$base/batch_spans/${t2.id}")) === got)
+    // CONTRACT REJECTION 1: a batch partially overlapping the indexed
+    // doc-id range (4 indexed, 5 fresh) must fail loudly — folding it
+    // would double-count doc 4's windows
+    val dOverlap = s"$base/in_overlap"
+    Seq((4L, "unrelated words only here today"), (5L, s"$phrase fresh tail"))
+      .toDF("doc_id", "text").write.parquet(dOverlap)
+    cli(base, "create-task", "--type", "dedup_batch", "--data", s"batch=$dOverlap")
+    val e1 = intercept[IllegalArgumentException] {
+      cli(base, "dedup-batch", "--agent", "a")
+    }
+    assert(e1.getMessage.contains("disjoint-batch contract"))
+    assert(idxMap() === before)
+    // CONTRACT REJECTION 2: already-indexed docs resubmitted under a
+    // NEW task id (no span output of their own) must also fail loudly
+    val dResub = s"$base/in_resub"
+    Seq((1L, b1.head._2)).toDF("doc_id", "text").write.parquet(dResub)
+    cli(base, "create-task", "--type", "dedup_batch", "--data", s"batch=$dResub")
+    val e2 = intercept[IllegalArgumentException] {
+      cli(base, "dedup-batch", "--agent", "a")
+    }
+    assert(e2.getMessage.contains("re-submitted batch"))
+    assert(idxMap() === before)
   }
 
   test("cancel writes the artifact and marks the review row") {

@@ -269,6 +269,37 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("span-index sink tolerates a plain (h, df) seed index and starts " +
+    "stamping bookkeeping on the first fold") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-spanseed").toString
+    val table = s"$dir/idx"
+    val phrase = "alpha beta gamma delta epsilon"
+    val corpus = Seq((1L, s"$phrase one two three four"),
+      (2L, s"zero $phrase five six seven"))
+    // bootstrap: a batch-built index with NO bookkeeping columns
+    graft.scale.Dedup.spanIndex(corpus.toDF("doc_id", "text"))
+      .write.parquet(table)
+    val d3 = Doc(3, ts(0), s"$phrase nine ten eleven twelve")
+    val src = MemoryStream[Doc]
+    val q = EventStreams.toSpanIndexSink(src.toDF(), table, s"$dir/ckpt").start()
+    try {
+      src.addData(d3)
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(table)
+      assert(streamed.columns.contains("batch_id") &&
+        streamed.columns.contains("max_doc"))
+      val got = streamed.select("h", "df").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val expect = graft.scale.Dedup.spanIndex(
+        (corpus :+ (3L, d3.text)).toDF("doc_id", "text")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === expect)
+    } finally q.stop()
+  }
+
   test("file source streams the events table with converted timestamps") {
     val stream = EventStreams.fileSource(spark, "/root/testdata/sf0.001")
     assert(stream.isStreaming)
