@@ -920,10 +920,15 @@ object Dedup extends QueryModule {
     * batch documents. */
   def incrementalDupSpans(batch: DataFrame, index: DataFrame,
                           n: Int = ShingleSize,
-                          minDocs: Long = 2L): DataFrame = {
+                          minDocs: Long = 2L,
+                          charCoords: Boolean = false): DataFrame = {
     require(n >= 1, s"window size must be >= 1: $n")
     require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
-    val win = windowTable(batch, n)
+    // char coordinates compose exactly as in [[dupSpans]]: the index
+    // is char-agnostic (h, df), so only the batch's windows — the only
+    // ones tokenized here — need to carry their (cs, ce) intervals
+    val win = if (charCoords) windowTableChar(batch, n)
+      else windowTable(batch, n)
     val dfB = win.groupBy(col("h"))
       .agg(count_distinct(col("doc_id")).as("df_b"))
     val tot = dfB
@@ -931,9 +936,10 @@ object Dedup extends QueryModule {
       .select(col("h"),
         (col("df_b") + coalesce(col("df_c"), lit(0L))).as("df"))
       .filter(col("df") >= minDocs)
-    val hits = win.join(tot, Seq("h"))
-      .select(col("doc_id"), col("pos"), col("df"))
-    mergeSpans(hits, n)
+    val hitCols = Seq(col("doc_id"), col("pos"), col("df")) ++
+      (if (charCoords) Seq(col("cs"), col("ce")) else Nil)
+    val hits = win.join(tot, Seq("h")).select(hitCols: _*)
+    mergeSpans(hits, n, charCoords = charCoords)
   }
 
   /** Hot-window cap for [[spanPairs]]: windows shared by more than

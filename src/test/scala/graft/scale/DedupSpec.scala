@@ -855,6 +855,36 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental char spans equal the batch char path restricted to " +
+    "the batch (the index stays char-agnostic)") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(59)
+    val seps = Vector(" ", ", ", "!!  ", " — ", "\n")
+    def render(ws: Seq[String]): String =
+      ws.map(w => w + seps(rnd.nextInt(seps.length))).mkString
+    def spanSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getAs[Long]("char_start"), r.getAs[Long]("char_len")))
+      .toSet
+    for (trial <- 0 until 3) {
+      val corpus = (0 until 8).map { i =>
+        (i.toLong, render(Seq.fill(2 + rnd.nextInt(14))(s"t${rnd.nextInt(6)}")))
+      }
+      val batch = (8 until 12).map { i =>
+        (i.toLong, render(Seq.fill(2 + rnd.nextInt(14))(s"t${rnd.nextInt(6)}")))
+      }
+      val idx = Dedup.spanIndex(corpus.toDF("doc_id", "text"))
+      val inc = spanSet(Dedup.incrementalDupSpans(
+        batch.toDF("doc_id", "text"), idx, charCoords = true))
+      val full = spanSet(Dedup.dupSpans(
+        (corpus ++ batch).toDF("doc_id", "text"), charCoords = true)
+        .filter(col("doc_id") >= 8L))
+      assert(inc === full, s"trial $trial")
+    }
+  }
+
   test("char coordinates: dupSpans/spanPairs char variants keep the word " +
     "columns identical and report offsets a brute reference confirms " +
     "slice the actual text") {
