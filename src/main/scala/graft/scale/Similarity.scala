@@ -2,6 +2,7 @@ package graft.scale
 
 import graft.{QueryModule, Tables => T}
 import graft.functions.PortableFuncs._
+import graft.functions.TopKAgg
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -13,8 +14,9 @@ import org.apache.spark.sql.functions._
   * Scale design:
   *  - brute-force kNN broadcasts the (small) query set and makes ONE
   *    pass over the corpus — a BroadcastNestedLoopJoin followed by a
-  *    per-query top-k window; the corpus is never shuffled by vector,
-  *    only the (query × k) result rows move;
+  *    bounded per-query top-k aggregate (map-side partial heaps); the
+  *    corpus is never shuffled by vector, only O(k · tasks · queries)
+  *    candidate rows move;
   *  - LSH bucketing reduces candidate generation to an equality
   *    shuffle on a 16-bit bucket id — O(corpus) shuffle volume of
   *    short keys instead of O(corpus²) pairs;
@@ -72,7 +74,15 @@ object Similarity extends QueryModule {
   }
 
   /** Exact brute-force cosine top-k: queries (vec_id < nQueries) against
-    * the whole corpus. The query side is broadcast; corpus scanned once. */
+    * the whole corpus. The query side is broadcast; corpus scanned once.
+    *
+    * Scale shape: top-k selection is a bounded [[graft.functions.TopKAgg]]
+    * aggregate, not a `row_number` window — the window form shuffles
+    * every scored row (corpus × queries) into Q partitions and sorts
+    * each; the aggregate's map-side partials cap the exchange at k rows
+    * per task per query, so shuffle volume is independent of corpus
+    * size. Ordering (cos DESC, c_id ASC tiebreak, ranked before the
+    * display rounding) is pinned equal to the window form by spec. */
   def knnBrute(emb: DataFrame, nQueries: Long = 8L, k: Int = TopK): DataFrame = {
     val corpus = Layout.widen(emb).select(col("vec_id").as("c_id"),
       toDoubleArray(col("embedding")).as("cv"))
@@ -80,14 +90,15 @@ object Similarity extends QueryModule {
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), toDoubleArray(col("embedding")).as("qv"))
       .withColumn("qn", l2Norm(col("qv")))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("c_id").asc)
     corpus.join(broadcast(queries), col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
         (dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("c_id"), round(col("cos"), 4).as("cos"), col("rank"))
+      .groupBy(col("q_id"))
+      .agg(TopKAgg.topK(col("cos"), col("c_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col.id").as("c_id"),
+        round(col("col.score"), 4).as("cos"),
+        (col("pos") + 1).as("rank"))
   }
 
   /** ANN via LSH: candidates = corpus vectors in any bucket within

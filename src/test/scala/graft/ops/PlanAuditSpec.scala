@@ -291,4 +291,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.linesIterator.exists(l => l.contains("Filter") && l.contains("*(")),
       s"filter fell out of codegen:\n$s")
   }
+
+  test("q30 brute kNN: top-k is a bounded partial+final object aggregate — " +
+    "no Window sort of the full scored stream, queries broadcast") {
+    val df = graft.scale.Similarity.knnBrute(graft.Tables.embeddings(spark, sf))
+    val s = planOf(df)
+    // the row_number formulation would show Window + a corpus-sized Sort
+    assert(!s.contains("Window"), s"top-k regressed to a window sort:\n$s")
+    // TypedImperativeAggregate plans as ObjectHashAggregate, and the
+    // partial (map-side) instance caps what the exchange carries at
+    // k rows per task per query
+    assert("ObjectHashAggregate".r.findAllIn(s).length >= 2,
+      s"expected partial+final top_k aggregate in:\n$s")
+    assert(s.contains("partial_top_k"), s"map-side partial missing:\n$s")
+    // query side stays broadcast: one corpus pass, no corpus shuffle
+    // before scoring
+    assert(s.contains("BroadcastNestedLoopJoin"), s"expected broadcast:\n$s")
+  }
 }

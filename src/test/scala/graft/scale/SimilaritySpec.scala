@@ -210,4 +210,60 @@ class SimilaritySpec extends SparkSpec {
         r.getDouble(3), r.getBoolean(4))).toMap
     assert(again === out)
   }
+
+  test("knnBrute's bounded top-k aggregate equals the row_number window " +
+    "formulation, including exact cosine ties broken by c_id asc") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // the executable window specification the aggregate replaced
+    def windowRef(emb: org.apache.spark.sql.DataFrame, nQueries: Long,
+                  k: Int): Set[(Long, Long, Double, Int)] = {
+      val corpus = emb.select(col("vec_id").as("c_id"),
+          transform(col("embedding"), _.cast("double")).as("cv"))
+        .withColumn("cn", sqrt(aggregate(zip_with(col("cv"), col("cv"), _ * _),
+          lit(0.0), _ + _)))
+      val queries = emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"),
+          transform(col("embedding"), _.cast("double")).as("qv"))
+        .withColumn("qn", sqrt(aggregate(zip_with(col("qv"), col("qv"), _ * _),
+          lit(0.0), _ + _)))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("c_id").asc)
+      corpus.join(broadcast(queries), col("q_id") =!= col("c_id"))
+        .select(col("q_id"), col("c_id"),
+          (aggregate(zip_with(col("qv"), col("cv"), _ * _), lit(0.0), _ + _)
+            / (col("qn") * col("cn"))).as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("q_id"), col("c_id"), round(col("cos"), 4).as("cos"),
+          col("rank"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSet
+    }
+    def agg32(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    val rnd = new scala.util.Random(31)
+    // random corpus, spread over many partitions so the aggregate's
+    // partial/serialize/merge path (not just a single in-memory heap)
+    // produces the result
+    val emb = (0 until 60).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding").repartition(16)
+    assert(agg32(Similarity.knnBrute(emb, nQueries = 5, k = 7)) ===
+      windowRef(emb, 5, 7))
+    // exact-tie battery: duplicated vectors make cosines identical
+    // bit-for-bit, so rank order inside a tie is purely the c_id asc
+    // tiebreak; k cuts through the middle of a tie group
+    val base = Array.fill(5)(Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    val dup = (0 until 30).map(i => (i.toLong, base(i % 5).clone()))
+      .toDF("vec_id", "embedding").repartition(8)
+    assert(agg32(Similarity.knnBrute(dup, nQueries = 3, k = 4)) ===
+      windowRef(dup, 3, 4))
+    // k larger than the corpus: every candidate ranked, none invented
+    assert(agg32(Similarity.knnBrute(emb, nQueries = 2, k = 100)) ===
+      windowRef(emb, 2, 100))
+  }
 }
