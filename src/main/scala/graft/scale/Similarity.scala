@@ -146,15 +146,18 @@ object Similarity extends QueryModule {
       .drop("bucket")
     val c = withBucket.select(col("vec_id").as("c_id"), col("bucket"),
       col("v").as("cv"), col("nrm").as("cn"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("c_id").asc)
+    // candidate volume is probed-fraction × corpus per query — a corpus
+    // term, so top-k is the bounded aggregate (map-side partials), not
+    // a window sort of the whole candidate stream (see [[knnBrute]])
     c.join(broadcast(q), col("bucket") === col("probe"))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
         (dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("c_id"), round(col("cos"), 4).as("cos"), col("rank"))
+      .groupBy(col("q_id"))
+      .agg(TopKAgg.topK(col("cos"), col("c_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col.id").as("c_id"),
+        round(col("col.score"), 4).as("cos"), (col("pos") + 1).as("rank"))
   }
 
   val IvfCells = 16
@@ -273,15 +276,19 @@ object Similarity extends QueryModule {
       .withColumn("rn", row_number().over(probeW))
       .filter(col("rn") <= nProbes)
       .select(col("q_id"), col("qv"), col("qn"), col("cell_id"))
-    val rankW = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("c_id").asc)
+    // probed-cell occupancy is ~corpus × probes/cells per query — a
+    // corpus term, so the final rank is the bounded top-k aggregate
+    // (the probe-selection window above is fine: its input is the
+    // constant nCells rows per query)
     corpus.join(broadcast(probes), Seq("cell_id"))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
         (dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
-      .withColumn("rank", row_number().over(rankW))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("c_id"), round(col("cos"), 4).as("cos"), col("rank"))
+      .groupBy(col("q_id"))
+      .agg(TopKAgg.topK(col("cos"), col("c_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col.id").as("c_id"),
+        round(col("col.score"), 4).as("cos"), (col("pos") + 1).as("rank"))
   }
 
   /** Int8 scalar quantization audit: per vector, the symmetric scale
@@ -567,12 +574,15 @@ object Similarity extends QueryModule {
       .select(col("q_id"), col("c_id"),
         aggregate(transform(col("s"), x => x.getField("qd")), lit(0.0),
           (a, x) => a + x).as("adist"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("adist").asc, col("c_id").asc)
+    // the ADC scan emits one adist row per corpus code per query — the
+    // corpus term of the PQ path — so shortlist selection is the
+    // bounded aggregate on NEGATED distance ((-adist DESC, c_id ASC)
+    // ≡ (adist ASC, c_id ASC), ties included: equal distances negate
+    // to equal doubles and fall through to the id tiebreak)
     val shortlist = approx.filter(col("q_id") =!= col("c_id"))
-      .withColumn("srank", row_number().over(w))
-      .filter(col("srank") <= k * refine)
-      .select(col("q_id"), col("c_id"))
+      .groupBy(col("q_id"))
+      .agg(TopKAgg.topK(-col("adist"), col("c_id"), k * refine).as("top"))
+      .select(col("q_id"), explode(col("top.id")).as("c_id"))
     // exact re-rank: only shortlist vectors are read at full fidelity
     val vecs = emb.select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
       .withColumn("nrm", l2Norm(col("v")))
