@@ -80,10 +80,11 @@ object Curation extends QueryModule {
     * per bucket spreads the sample). */
   def diversitySample(emb: DataFrame): DataFrame = {
     val buckets = Similarity.lshBuckets(emb)
-    val w = Window.partitionBy(col("bucket")).orderBy(col("vec_id").asc)
-    buckets.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .select(col("bucket"), col("vec_id").as("rep_id"))
+    // "first vec_id per bucket" IS min() — the aggregate gets map-side
+    // partials, where the row_number window shuffled and sorted every
+    // (bucket, vec_id) row just to keep one
+    buckets.groupBy(col("bucket"))
+      .agg(min(col("vec_id")).as("rep_id"))
   }
 
   /** Lloyd's k-means over the embedding column: deterministic init
@@ -106,15 +107,19 @@ object Curation extends QueryModule {
       }
       val exploded = vecs.select(col("vec_id"), col("v"),
         explode(array(centArr: _*)).as("c"))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cos").desc, col("cluster").asc)
+      // argmax as an AGGREGATE (the ivfCellsWith pattern): max_by over
+      // (cos, -cluster) ≡ (cos DESC, cluster ASC) first row. The
+      // explode emits its k rows per vector IN PLACE, so the map-side
+      // partial collapses them back to one row before the exchange —
+      // the window form shuffled and sorted all corpus × k rows
       exploded
         .select(col("vec_id"), col("v"), col("c.cid").as("cluster"),
           (dotProduct(col("v"), col("c.cv")) /
             (l2Norm(col("v")) * l2Norm(col("c.cv")))).as("cos"))
-        .withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1)
-        .select(col("vec_id"), col("v"), col("cluster"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("v"), col("cluster")),
+          struct(col("cos"), -col("cluster"))).as("s"))
+        .select(col("vec_id"), col("s.v").as("v"), col("s.cluster").as("cluster"))
     }
 
     (1 to iters).foreach { _ =>

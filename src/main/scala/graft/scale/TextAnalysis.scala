@@ -534,27 +534,40 @@ object TextAnalysis extends QueryModule {
     * each rank's cumulative share of all tokens — the curve that sizes
     * a tokenizer vocabulary ("how many types cover 95% of tokens").
     * One hash-aggregate builds the frequency table (map-side partials
-    * over (word) keys); the ranking window runs over the VOCABULARY
-    * (≪ corpus — Heaps' law), never the token stream, so the
-    * single-partition window is bounded by distinct-word count; the
-    * integer cumulative sum divides once per row by the long total —
-    * deterministic in both engines. */
+    * over (word) keys); top-`topK` selection is a bounded
+    * [[graft.functions.TopKAgg]] aggregate, so no task ever sorts the
+    * full vocabulary (the former global `Window.orderBy` funneled
+    * every distinct word through ONE partition — vocabulary ≪ corpus
+    * by Heaps' law, but at 100 TB of web text "vocabulary" is still
+    * 10⁸ tokens); the exchange carries ≤ topK rows per map task and
+    * the cumulative sum runs over the topK survivors only (row_number
+    * cum at rank r reads ranks 1..r, all of which survive the
+    * rank ≤ topK filter — the prefix is self-contained). Count ties
+    * break by word ASC in UTF8 binary order = DuckDB's default
+    * varchar collation; counts are exact in the double score up to
+    * 2⁵³ tokens. */
   def vocabCoverage(docs0: DataFrame, topK: Int = 200): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = widen(docs0)
     // materialize the frequency table ONCE: it feeds both the total
-    // aggregate and the ranking window, and without a barrier the
+    // aggregate and the ranking, and without a barrier the
     // tokenize+explode chain reruns per consumer (same fix as tfidf)
     val freq = docs.select(explode(words(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
     val total = freq.agg(coalesce(sum(col("cnt")), lit(0L)).as("total"))
-    val w = Window.orderBy(col("cnt").desc, col("w").asc)
+    val top = freq
+      .groupBy()
+      .agg(graft.functions.TopKAgg.topKStr(
+        col("cnt").cast("double"), col("w"), topK).as("top"))
+      .select(posexplode(col("top")))
+      .select((col("pos") + 1).as("rank"), col("col.id").as("w"),
+        col("col.score").cast("long").as("cnt"))
+    // the running sum's window input is the topK survivors — a
+    // constant-bounded relation, not the vocabulary
+    val w = Window.orderBy(col("rank"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    freq.withColumn("rank", row_number().over(
-        Window.orderBy(col("cnt").desc, col("w").asc)))
-      .withColumn("cum_cnt", sum(col("cnt")).over(w))
-      .filter(col("rank") <= topK)
+    top.withColumn("cum_cnt", sum(col("cnt")).over(w))
       .crossJoin(total)
       .select(col("rank"), col("w"), col("cnt"),
         round(col("cum_cnt").cast("double") / col("total"), 6).as("cum_frac"))

@@ -292,6 +292,21 @@ class PlanAuditSpec extends SparkSpec {
       s"filter fell out of codegen:\n$s")
   }
 
+  test("q75 vocab coverage: no global window over the vocabulary — " +
+    "top-K is a bounded aggregate, the only window input is topK rows") {
+    val df = graft.scale.TextAnalysis.vocabCoverage(
+      graft.Tables.documents(spark, sf))
+    val s = planOf(df)
+    assert(s.contains("partial_top_k_str"),
+      s"expected map-side partial top_k_str in:\n$s")
+    // the one remaining Window (running sum) must sit ABOVE the top-k
+    // aggregate — its input is the topK survivors, never the vocabulary
+    val winIdx = s.indexOf("Window")
+    val aggIdx = s.indexOf("ObjectHashAggregate")
+    assert(winIdx >= 0 && aggIdx >= 0 && winIdx < aggIdx,
+      s"running-sum window should consume the top-k aggregate output:\n$s")
+  }
+
   test("q30 brute kNN: top-k is a bounded partial+final object aggregate — " +
     "no Window sort of the full scored stream, queries broadcast") {
     val df = graft.scale.Similarity.knnBrute(graft.Tables.embeddings(spark, sf))

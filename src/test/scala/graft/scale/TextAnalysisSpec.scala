@@ -247,6 +247,14 @@ class TextAnalysisSpec extends SparkSpec {
       Seq(("alpha", 4L), ("beta", 3L), ("delta", 1L), ("gamma", 1L)))
     assert(out.head._4 === 0.444444) // round(4/9, 6)
     assert(out.last._4 === 1.0)
+    // topK cutting THROUGH the cnt=1 tie group: the UTF8-asc tiebreak
+    // decides who survives (delta in, gamma out) — and the cumulative
+    // share still reads ranks 1..3 only
+    val cut = TextAnalysis.vocabCoverage(docs, topK = 3).orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(cut.map(t => (t._2, t._3)).toSeq ===
+      Seq(("alpha", 4L), ("beta", 3L), ("delta", 1L)))
+    assert(cut.last._4 === 0.888889) // round(8/9, 6)
   }
 
   test("corpusReport aggregates agree with its constituent operators") {
