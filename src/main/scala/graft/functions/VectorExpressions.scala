@@ -3,8 +3,8 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
 
@@ -36,6 +36,11 @@ object VectorExpressions {
   def squaredL2(a: Column, b: Column): Column =
     ColumnBridge.column(ArraySquaredL2(ColumnBridge.expression(a),
       ColumnBridge.expression(b)))
+
+  /** Whole-vector PQ code assignment in one scan-side pass — see
+    * [[PqAssignExpression]]. `book(m)(k)` = centroid k of subspace m. */
+  def pqAssign(v: Column, book: Seq[Seq[Seq[Double]]]): Column =
+    ColumnBridge.column(PqAssignExpression(ColumnBridge.expression(v), book))
 
   private[functions] def checkDoubleArrays(
       name: String, left: Expression, right: Expression): TypeCheckResult = {
@@ -173,4 +178,106 @@ case class ArrayCosine(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ArrayCosine =
     copy(left = newLeft, right = newRight)
+}
+
+/** PQ code assignment for a whole vector in one pass: for each of the
+  * book's M subspaces, the argmin squared-L2 centroid over its K
+  * entries (strict `<` scanning codes in ascending order = lowest-code
+  * tie-break), reading subspace m as elements [m·subDim, (m+1)·subDim)
+  * of the input. Output: `array<struct<d: double, k: int>>`, one entry
+  * per subspace in subspace order.
+  *
+  * The codebook rides along as a PLAN CONSTANT (`addReferenceObj`),
+  * not a join side: after driver-side training the book is ~16 KB of
+  * driver data, and each vector's codes depend on that row alone — the
+  * former broadcast-join + per-(vec, m) argmin aggregate re-shuffled
+  * corpus × M rows through an exchange to compute a value a scan
+  * projection can produce. Per-element semantics are pinned to the
+  * join form by spec: the distance is [[ArraySquaredL2]]'s ascending-
+  * index fold (bit-identical doubles) and the (d, k) pair equals
+  * `min_by(struct(k, d), struct(d, k))` over the exploded form.
+  *
+  * `book` is a Seq (not Array) so case-class equality stays structural
+  * — plan canonicalization must see two identical assignments as the
+  * same expression. */
+case class PqAssignExpression(child: Expression, book: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression {
+
+  @transient private lazy val flat: Array[Array[Array[Double]]] =
+    book.map(_.map(_.toArray).toArray).toArray
+  private def subDim: Int = book.head.head.length
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<double> argument, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("d", DoubleType, nullable = false),
+      StructField("k", IntegerType, nullable = false))), containsNull = false)
+  override def prettyName: String = "pq_assign"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val sd = subDim
+    val out = new Array[Any](flat.length)
+    var m = 0
+    while (m < flat.length) {
+      val cb = flat(m)
+      val off = m * sd
+      var bestK = 0
+      var bestD = 0.0
+      var k = 0
+      while (k < cb.length) {
+        val c = cb(k)
+        var acc = 0.0
+        var i = 0
+        while (i < sd) { val d = v.getDouble(off + i) - c(i); acc += d * d; i += 1 }
+        if (k == 0 || acc < bestD) { bestD = acc; bestK = k }
+        k += 1
+      }
+      out(m) = new GenericInternalRow(Array[Any](bestD, bestK))
+      m += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val bookRef = ctx.addReferenceObj("pqBook", flat, "double[][][]")
+      val out = ctx.freshName("out")
+      val m = ctx.freshName("m")
+      val cb = ctx.freshName("cb")
+      val off = ctx.freshName("off")
+      val bestK = ctx.freshName("bestK")
+      val bestD = ctx.freshName("bestD")
+      val kk = ctx.freshName("k")
+      val c = ctx.freshName("c")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      s"""
+         |Object[] $out = new Object[${flat.length}];
+         |for (int $m = 0; $m < ${flat.length}; $m++) {
+         |  double[][] $cb = $bookRef[$m];
+         |  int $off = $m * $subDim;
+         |  int $bestK = 0; double $bestD = 0.0;
+         |  for (int $kk = 0; $kk < $cb.length; $kk++) {
+         |    double[] $c = $cb[$kk];
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $subDim; $i++) {
+         |      double $d = $a.getDouble($off + $i) - $c[$i];
+         |      $acc += $d * $d;
+         |    }
+         |    if ($kk == 0 || $acc < $bestD) { $bestD = $acc; $bestK = $kk; }
+         |  }
+         |  $out[$m] = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |    new Object[]{ java.lang.Double.valueOf($bestD), java.lang.Integer.valueOf($bestK) });
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PqAssignExpression =
+    copy(child = newChild)
 }

@@ -349,27 +349,16 @@ object Similarity extends QueryModule {
     * — and the oracle re-derives the whole training from the same
     * seed.
     *
-    * Scale shape: sub-vectors stream out of the scan via posexplode,
-    * the codebook broadcasts everywhere, argmin is a min_by aggregate
-    * (map-side partial), and the final per-vector rollup sorts its 8
-    * entries so the double-precision SSE fold has a fixed order —
-    * cross-partition double sums are otherwise nondeterministic. */
+    * Scale shape: after driver-side training the book is ~16 KB of
+    * DRIVER data, so code assignment is a pure scan-side projection —
+    * the native [[graft.functions.PqAssignExpression]] carries the
+    * book as a plan constant and emits all [[PqSubspaces]] (d, k)
+    * pairs per vector in one codegen loop. The former shape (explode
+    * into sub-vectors, broadcast-join the book, per-(vec, m) min_by
+    * aggregate) paid a corpus × [[PqSubspaces]] row EXCHANGE to
+    * recombine values that never left the row. */
   private def pqSubvecs(v: Column): Column =
     array((0 until PqSubspaces).map(m => slice(v, m * PqSubDim + 1, PqSubDim)): _*)
-
-  /** (vec_id, m, sv): every vector exploded into its subspace slices. */
-  private def pqSub(emb: DataFrame): DataFrame =
-    Layout.widen(emb)
-      .select(col("vec_id"), posexplode(pqSubvecs(toDoubleArray(col("embedding"))))
-        .as(Seq("m", "sv")))
-
-  /** Squared L2 between the sv and cv slice columns — the native
-    * expression generates a tight codegen loop with the same
-    * sequential fold (bit-identical to the zip_with/aggregate form,
-    * minus the interpreted-lambda and intermediate-array cost that
-    * dominates the corpus × codebook assignment join). */
-  private val pqDist: Column =
-    graft.functions.VectorExpressions.squaredL2(col("sv"), col("cv"))
 
   /** K-means training sample bound and fixed Lloyd iteration count for
     * the PQ codebook. The sample is `vec_id < PqTrainSample` — bounded
@@ -466,6 +455,17 @@ object Similarity extends QueryModule {
   def pqTrainedCents(emb: DataFrame): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    val book = pqTrainBook(emb)
+    val rows = for { m <- 0 until PqSubspaces; k <- 0 until PqCodebook }
+      yield (k, m, book(m)(k).toArray)
+    rows.toDF("k", "m", "cv")
+  }
+
+  /** The trained book as the driver-side nested structure the scan
+    * expressions embed: `book(m)(k)` = centroid k of subspace m. Same
+    * training as [[pqTrainedCents]] (that DF is this book re-shaped);
+    * Seq-of-Seq so the embedding expressions compare structurally. */
+  private def pqTrainBook(emb: DataFrame): Seq[Seq[Seq[Double]]] = {
     val sample = sampleVectors(emb)
     requireSeedContiguous(sample, PqCodebook, "PQ codebook")
     def slice(v: Array[Double], m: Int): Array[Double] =
@@ -475,7 +475,7 @@ object Similarity extends QueryModule {
       while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
       acc
     }
-    val rows = (0 until PqSubspaces).flatMap { m =>
+    (0 until PqSubspaces).map { m =>
       val svs = sample.map { case (_, v) => slice(v, m) }
       val seed = sample.takeWhile(_._1 < PqCodebook).map { case (_, v) => slice(v, m) }
       val trained = (1 to PqKmeansIters).foldLeft(seed) { (cb, _) =>
@@ -496,30 +496,38 @@ object Similarity extends QueryModule {
           if (ms.isEmpty) cb(k) else fixedPointMean(ms, PqSubDim)
         }
       }
-      trained.zipWithIndex.map { case (cv, k) => (k, m, cv) }
+      trained.map(_.toSeq).toSeq
     }
-    rows.toDF("k", "m", "cv")
   }
 
-  /** (vec_id, m, k, d): per-subspace argmin code assignment against
-    * the trained codebook. */
-  def pqAssignments(emb: DataFrame): DataFrame =
-    pqAssignmentsWith(emb, pqTrainedCents(emb))
+  /** The whole-vector assignment column: array over subspaces of
+    * struct(d, k) — one native-expression evaluation per row, zero
+    * exchanges (see [[graft.functions.PqAssignExpression]]). */
+  private def pqAssignCol(book: Seq[Seq[Seq[Double]]]): Column =
+    graft.functions.VectorExpressions.pqAssign(
+      toDoubleArray(col("embedding")), book)
 
-  private def pqAssignmentsWith(emb: DataFrame, cents: DataFrame): DataFrame =
-    pqSub(emb).join(broadcast(cents), "m")
-      .select(col("vec_id"), col("m"), col("k"), pqDist.as("d"))
-      .groupBy(col("vec_id"), col("m"))
-      .agg(min_by(struct(col("k"), col("d")), struct(col("d"), col("k"))).as("b"))
+  /** (vec_id, m, k, d): per-subspace argmin code assignment against
+    * the trained codebook — a scan-side posexplode of the assignment
+    * array, no join or aggregate anywhere. */
+  def pqAssignments(emb: DataFrame): DataFrame =
+    Layout.widen(emb)
+      .select(col("vec_id"), posexplode(pqAssignCol(pqTrainBook(emb))).as(Seq("m", "b")))
       .select(col("vec_id"), col("m"), col("b.k").as("k"), col("b.d").as("d"))
 
   def pqCodes(emb: DataFrame): DataFrame = {
-    pqAssignments(emb).groupBy(col("vec_id"))
-      .agg(sort_array(collect_list(struct(col("m"), col("k"), col("d")))).as("s"))
+    val book = pqTrainBook(emb)
+    // generator barrier (see quantizeStats): codes and sse both read
+    // the assignment array; a plain projection would be re-inlined by
+    // CollapseProject and run the argmin twice per row
+    Layout.widen(emb)
+      .select(col("vec_id"), explode(array(pqAssignCol(book))).as("a"))
       .select(col("vec_id"),
-        concat_ws("-", transform(col("s"), x => x.getField("k").cast("string")))
+        concat_ws("-", transform(col("a"), x => x.getField("k").cast("string")))
           .as("codes"),
-        aggregate(transform(col("s"), x => x.getField("d")), lit(0.0),
+        // ascending-m fold — same addition order as the former sorted
+        // per-vector rollup, so the SSE doubles are bit-identical
+        aggregate(transform(col("a"), x => x.getField("d")), lit(0.0),
           (a, x) => a + x).as("sse"))
   }
 
@@ -554,26 +562,37 @@ object Similarity extends QueryModule {
     * codebook broadcast; stage 2's vector fetches are a broadcast-size
     * semi-join against the full-fidelity store.
     *
-    * Determinism: the per-subspace ADC terms are rolled up through
-    * sort_array before the double fold (fixed addition order); both
-    * rankings tie-break by c_id. */
+    * Determinism: the per-subspace ADC terms are summed by an
+    * ascending-m lookup fold (fixed addition order); both rankings
+    * tie-break by c_id. */
   def annPq(emb: DataFrame, nQueries: Long = 8L, k: Int = TopK,
             refine: Int = PqRefine): DataFrame = {
-    // ONE trained book shared by the code assignment and the LUT —
-    // two pqTrainedCents calls would train (and checkpoint) twice
-    val cents = pqTrainedCents(emb)
-    val codes = pqAssignmentsWith(emb, cents)
-      .select(col("vec_id").as("c_id"), col("m"), col("k").as("code"))
-    val lut = pqSub(emb.filter(col("vec_id") < nQueries))
-      .withColumnRenamed("vec_id", "q_id")
-      .join(broadcast(cents), "m")
-      .select(col("q_id"), col("m"), col("k").as("code"), pqDist.as("qd"))
-    val approx = codes.join(broadcast(lut), Seq("m", "code"))
-      .groupBy(col("q_id"), col("c_id"))
-      .agg(sort_array(collect_list(struct(col("m"), col("qd")))).as("s"))
+    // ONE driver-trained book feeds both sides as plan constants —
+    // the corpus code assignment and the per-query distance LUTs
+    val book = pqTrainBook(emb)
+    val codes = Layout.widen(emb)
+      .select(col("vec_id").as("c_id"),
+        transform(pqAssignCol(book), x => x.getField("k")).as("cks"))
+    // lut[m][code] = squared L2 from query sub-vector m to centroid
+    // `code` — one row per query, built in the same scan that reads
+    // the query vectors (the book is a literal, so no join, and the
+    // per-term doubles are the same ArraySquaredL2 folds as before)
+    val bookLit = typedLit(book)
+    val lut = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"),
+        transform(pqSubvecs(toDoubleArray(col("embedding"))), (sv, m) =>
+          transform(element_at(bookLit, m + lit(1)), cv =>
+            graft.functions.VectorExpressions.squaredL2(sv, cv))).as("lut"))
+    // ADC scan: corpus codes × broadcast query LUTs; adist is an
+    // ascending-m lookup fold — the identical operand sequence to the
+    // former join-then-regroup shape, which shuffled corpus × queries
+    // rows through a groupBy(q_id, c_id) exchange just to re-collect
+    // terms that were born on the same row
+    val approx = codes.crossJoin(broadcast(lut))
       .select(col("q_id"), col("c_id"),
-        aggregate(transform(col("s"), x => x.getField("qd")), lit(0.0),
-          (a, x) => a + x).as("adist"))
+        aggregate(zip_with(col("cks"), col("lut"),
+          (ck, lm) => element_at(lm, ck + lit(1))),
+          lit(0.0), (a, x) => a + x).as("adist"))
     // the ADC scan emits one adist row per corpus code per query — the
     // corpus term of the PQ path — so shortlist selection is the
     // bounded aggregate on NEGATED distance ((-adist DESC, c_id ASC)

@@ -122,6 +122,56 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(m(3L) === 1.0)
   }
 
+  test("PqAssign matches the composed slice+argmin form bit-for-bit, " +
+    "with lowest-code tie-break, and participates in codegen") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(23)
+    val M = 4; val K = 5; val sd = 3
+    val book: Seq[Seq[Seq[Double]]] =
+      Seq.tabulate(M, K, sd)((_, _, _) => rnd.nextDouble() * 2 - 1)
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array.fill(M * sd)(rnd.nextDouble() * 2 - 1)))
+      .toDF("id", "v")
+    // composed reference: slice each subspace, argmin squared-L2 over
+    // the literal book via array_min of (d, k) structs
+    val bookLit = typedLit(book)
+    val composed = transform(
+      array((0 until M).map(m => slice(col("v"), m * sd + 1, sd)): _*),
+      (sv, m) => array_min(transform(element_at(bookLit, m + lit(1)),
+        (cv, kk) => struct(
+          aggregate(zip_with(sv, cv, (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, d) => acc + d).as("d"),
+          kk.as("k")))))
+    val rows = vecs.select(
+      VectorExpressions.pqAssign(col("v"), book).as("fast"),
+      composed.as("slow")).collect()
+    rows.foreach(r => assert(r.getSeq[org.apache.spark.sql.Row](0) ===
+      r.getSeq[org.apache.spark.sql.Row](1)))
+    // tie-break: two identical centroids -> equal distances -> lowest k
+    val tied: Seq[Seq[Seq[Double]]] = Seq(Seq(Seq(1.0, 1.0), Seq(1.0, 1.0)))
+    val t = Seq((0L, Array(1.0, 1.0))).toDF("id", "v")
+      .select(VectorExpressions.pqAssign(col("v"), tied).as("a"))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(t.head.getInt(1) === 0 && t.head.getDouble(0) === 0.0)
+    // stays inside WholeStageCodegen on a file-backed scan — the
+    // repartition keeps the interpreted-HOF double cast (a
+    // CodegenFallback) in its own Project below the exchange, as in
+    // the production paths where the cast rides the scan projection
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(transform(col("embedding"), _.cast("double")).as("v"))
+      .repartition(2)
+    val fullBook: Seq[Seq[Seq[Double]]] =
+      Seq.tabulate(16, 32, 4)((_, _, _) => rnd.nextDouble())
+    val q = emb.select(VectorExpressions.pqAssign(col("v"), fullBook))
+    q.collect() // AQE finalizes codegen stages only on execution
+    val plan = q.queryExecution.executedPlan.toString
+    // '*(n)' marks a WholeStageCodegen stage; under AQE the tree is
+    // indented ('+- *(2) Project [pq_assign...'), so match within-line
+    assert(plan.linesIterator.exists(l =>
+      l.contains("pq_assign") && l.trim.stripPrefix("+- ").startsWith("*(")))
+  }
+
   test("null inputs yield null, and the expression participates in codegen") {
     val spark2 = spark
     import spark2.implicits._

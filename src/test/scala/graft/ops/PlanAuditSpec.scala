@@ -307,6 +307,34 @@ class PlanAuditSpec extends SparkSpec {
       s"running-sum window should consume the top-k aggregate output:\n$s")
   }
 
+  test("q51 pq codes: assignment is a scan-side projection — the trained " +
+    "book rides as a plan constant, NO join and NO shuffle anywhere") {
+    val s = planOf(graft.scale.Similarity.pqCodes(
+      graft.Tables.embeddings(spark, sf)))
+    assert(s.contains("pq_assign"),
+      s"expected the native assignment expression:\n$s")
+    // the former shape exploded sub-vectors, broadcast-joined the book
+    // and re-grouped corpus × subspaces rows through an exchange
+    assert(!s.contains("Join"), s"assignment must not join the book:\n$s")
+    assert(!s.contains("hashpartitioning"),
+      s"assignment must not shuffle the corpus:\n$s")
+  }
+
+  test("q61 ann pq: ADC is corpus scan × broadcast query LUTs — the only " +
+    "aggregates are the bounded top-k; no corpus regroup exchange") {
+    val s = planOf(graft.scale.Similarity.annPq(
+      graft.Tables.embeddings(spark, sf)))
+    assert(s.contains("pq_assign"), s"expected scan-side assignment:\n$s")
+    // the former shape re-collected per-(query, corpus) ADC terms via
+    // min_by/collect_list aggregates behind a corpus-wide exchange
+    assert(!s.contains("min_by") && !s.contains("collect_list"),
+      s"ADC regressed to the join+regroup shape:\n$s")
+    assert(s.contains("partial_top_k"),
+      s"shortlist must be the bounded top-k aggregate:\n$s")
+    assert(!s.contains("SortMergeJoin") && !s.contains("CartesianProduct"),
+      s"PQ path must stay broadcast-shaped:\n$s")
+  }
+
   test("q30 brute kNN: top-k is a bounded partial+final object aggregate — " +
     "no Window sort of the full scored stream, queries broadcast") {
     val df = graft.scale.Similarity.knnBrute(graft.Tables.embeddings(spark, sf))
