@@ -42,6 +42,11 @@ object VectorExpressions {
   def pqAssign(v: Column, book: Seq[Seq[Seq[Double]]]): Column =
     ColumnBridge.column(PqAssignExpression(ColumnBridge.expression(v), book))
 
+  /** Scan-side cell assignment: id of the cosine-argmax centroid — see
+    * [[ArgMaxCosineExpression]]. `cells` = (cell_id, centroid) pairs. */
+  def argMaxCosine(v: Column, cells: Seq[(Long, Seq[Double])]): Column =
+    ColumnBridge.column(ArgMaxCosineExpression(ColumnBridge.expression(v), cells))
+
   private[functions] def checkDoubleArrays(
       name: String, left: Expression, right: Expression): TypeCheckResult = {
     // compare element types only: containsNull varies by producer
@@ -279,5 +284,110 @@ case class PqAssignExpression(child: Expression, book: Seq[Seq[Seq[Double]]])
     })
 
   override protected def withNewChildInternal(newChild: Expression): PqAssignExpression =
+    copy(child = newChild)
+}
+
+/** Cosine-argmax cell assignment against a bounded centroid list that
+  * rides as a PLAN CONSTANT — the IVF sibling of [[PqAssignExpression]].
+  * For each input vector the winning `cell_id` is that of the centroid
+  * with the highest `dot(v, c) / (|v| · |c|)`; strict `>` scanning
+  * cells in ascending cell_id order = lowest-id tie-break, identical
+  * to `max_by(cell_id, struct(cos, -cell_id))` over the exploded
+  * broadcast-join form (spec-pinned). Centroid norms are precomputed
+  * once on the driver with the same ascending dot fold + sqrt as
+  * [[ArrayDot]]/l2Norm, so every cosine is the bit-identical double
+  * the join form produced.
+  *
+  * The former shape broadcast-joined the centroids and re-grouped
+  * corpus × cells rows through a groupBy(vec_id) exchange — a full
+  * corpus shuffle (vec_id is unique, so map-side partials reduce
+  * nothing) to compute a value that depends on one row alone.
+  *
+  * `cells` is the structural-equality constructor param; sorted
+  * internally so callers need not pre-sort. NaN cosines (zero-norm
+  * vectors) never win under strict `>` unless every candidate is NaN —
+  * the corpus contract (nonzero vectors) makes this unreachable. */
+case class ArgMaxCosineExpression(child: Expression, cells: Seq[(Long, Seq[Double])])
+    extends UnaryExpression {
+
+  @transient private lazy val sorted = cells.sortBy(_._1)
+  @transient private lazy val ids: Array[Long] = sorted.map(_._1).toArray
+  @transient private lazy val vecs: Array[Array[Double]] =
+    sorted.map(_._2.toArray).toArray
+  @transient private lazy val norms: Array[Double] = vecs.map { c =>
+    var acc = 0.0; var i = 0
+    while (i < c.length) { acc += c(i) * c(i); i += 1 }
+    math.sqrt(acc)
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<double> argument, got ${t.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "argmax_cosine"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val vn = v.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < vn) { val x = v.getDouble(i); acc += x * x; i += 1 }
+    val nv = math.sqrt(acc)
+    var bestK = 0
+    var bestC = 0.0
+    var k = 0
+    while (k < vecs.length) {
+      val c = vecs(k)
+      val n = math.min(vn, c.length)
+      var dot = 0.0
+      i = 0
+      while (i < n) { dot += v.getDouble(i) * c(i); i += 1 }
+      val cos = dot / (nv * norms(k))
+      if (k == 0 || cos > bestC) { bestC = cos; bestK = k }
+      k += 1
+    }
+    ids(bestK)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val idsRef = ctx.addReferenceObj("cellIds", ids, "long[]")
+      val vecsRef = ctx.addReferenceObj("cellVecs", vecs, "double[][]")
+      val normsRef = ctx.addReferenceObj("cellNorms", norms, "double[]")
+      val vn = ctx.freshName("vn")
+      val nv = ctx.freshName("nv")
+      val acc = ctx.freshName("acc")
+      val bestK = ctx.freshName("bestK")
+      val bestC = ctx.freshName("bestC")
+      val kk = ctx.freshName("k")
+      val c = ctx.freshName("c")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val cos = ctx.freshName("cos")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      s"""
+         |int $vn = $a.numElements();
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $vn; $i++) {
+         |  double $x = $a.getDouble($i); $acc += $x * $x;
+         |}
+         |double $nv = java.lang.Math.sqrt($acc);
+         |int $bestK = 0; double $bestC = 0.0;
+         |for (int $kk = 0; $kk < $vecsRef.length; $kk++) {
+         |  double[] $c = $vecsRef[$kk];
+         |  int $n = java.lang.Math.min($vn, $c.length);
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) { $dot += $a.getDouble($i) * $c[$i]; }
+         |  double $cos = $dot / ($nv * $normsRef[$kk]);
+         |  if ($kk == 0 || $cos > $bestC) { $bestC = $cos; $bestK = $kk; }
+         |}
+         |${ev.value} = $idsRef[$bestK];
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ArgMaxCosineExpression =
     copy(child = newChild)
 }

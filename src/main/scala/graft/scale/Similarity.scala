@@ -232,22 +232,29 @@ object Similarity extends QueryModule {
   def ivfCells(emb: DataFrame, nCells: Int = IvfCells): DataFrame =
     ivfCellsWith(emb, seedCents(emb, nCells))
 
-  private[graft] def ivfCellsWith(emb: DataFrame, cents: DataFrame): DataFrame = {
-    val vecs = Layout.widen(emb)
-      .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
-    // argmax as an AGGREGATE, not a window: max_by over (cos, -cell_id)
-    // picks highest cosine with lowest-cell-id tie-break — identical to
-    // the row_number() formulation but with map-side partial aggregation
-    // instead of shuffling + sorting all corpus×cells rows (at 100 TB
-    // that's the difference between moving O(corpus) pre-aggregated
-    // rows and O(corpus × cells) sort input)
-    vecs.join(broadcast(cents))
-      .select(col("vec_id"), col("cell_id"),
-        (dotProduct(col("v"), col("cv")) /
-          (l2Norm(col("v")) * l2Norm(col("cv")))).as("cos"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cell_id"), struct(col("cos"), -col("cell_id"))).as("cell_id"))
-  }
+  /** The bounded (cell_id, centroid) list collected to the driver —
+    * nCells × [[Dim]] doubles (~8 KB at the default 16) at ANY corpus
+    * size, the same bounded-driver-data discipline as
+    * [[sampleVectors]]. Cell numbering carries the rows' own ids, so
+    * a centroid set with holes stays hole-for-hole identical to the
+    * oracle's. */
+  private def collectCents(cents: DataFrame): Seq[(Long, Seq[Double])] =
+    cents.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1).toSeq
+
+  private[graft] def ivfCellsWith(emb: DataFrame, cents: DataFrame): DataFrame =
+    // argmax as a SCAN-SIDE PROJECTION: the centroid list is bounded
+    // driver data, so it rides as a plan constant inside the native
+    // argmax_cosine kernel (strict-> ascending scan = the same
+    // lowest-cell tie-break as max_by over (cos, -cell_id)). The
+    // former broadcast-join + groupBy(vec_id) aggregate re-shuffled
+    // the WHOLE corpus (vec_id is unique — map-side partials reduce
+    // nothing) to compute a value each row determines alone.
+    Layout.widen(emb)
+      .select(col("vec_id"),
+        graft.functions.VectorExpressions.argMaxCosine(
+          toDoubleArray(col("embedding")), collectCents(cents)).as("cell_id"))
 
   /** ANN via IVF: per query, probe the `nProbes` closest cells and
     * exact-rank the candidates. */
@@ -258,12 +265,22 @@ object Similarity extends QueryModule {
   private[graft] def annIvfWith(emb: DataFrame, centsDf: DataFrame,
                                 nQueries: Long = 8L, k: Int = TopK,
                                 nProbes: Int = IvfProbes): DataFrame = {
-    val cells = ivfCellsWith(emb, centsDf)
+    val local = collectCents(centsDf)
     val vecs = emb.select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
       .withColumn("nrm", l2Norm(col("v")))
-    val corpus = vecs.join(cells, "vec_id")
-      .select(col("vec_id").as("c_id"), col("cell_id"),
-        col("v").as("cv"), col("nrm").as("cn"))
+    // ONE scan produces id, cell assignment, vector and norm — the
+    // former shape joined the corpus BACK onto its own cell assignment
+    // by vec_id: two full-corpus exchanges (the assignment aggregate +
+    // the self-join) to attach a column the row itself determines. The
+    // explode(array(...)) generator barrier keeps the double cast from
+    // being re-inlined into each consumer (see quantizeStats).
+    val corpus = Layout.widen(emb)
+      .select(col("vec_id").as("c_id"),
+        explode(array(toDoubleArray(col("embedding")))).as("cv"))
+      .select(col("c_id"),
+        graft.functions.VectorExpressions.argMaxCosine(col("cv"), local)
+          .as("cell_id"),
+        col("cv"), l2Norm(col("cv")).as("cn"))
     val cents = centsDf.select(col("cell_id"), col("cv").as("centv"))
     val probeW = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("cell_id").asc)

@@ -104,7 +104,7 @@ object IndexMaintenance {
   }
 
   /** Nearest-centroid id by cosine, smallest cell id on ties — the same
-    * argmax contract as the batch `ivfCells` max_by aggregate.
+    * argmax contract as the batch `ivfCells` argmax_cosine kernel.
     * `norms` carries the centroids' precomputed L2 norms so the per-row
     * hot loop does only the dot product (centroids are frozen for the
     * query's lifetime; re-deriving k norms per row would double the

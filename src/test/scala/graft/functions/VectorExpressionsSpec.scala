@@ -172,6 +172,38 @@ class VectorExpressionsSpec extends SparkSpec {
       l.contains("pq_assign") && l.trim.stripPrefix("+- ").startsWith("*(")))
   }
 
+  test("ArgMaxCosine matches the broadcast-join max_by form bit-for-bit, " +
+    "with lowest-cell tie-break, preserving non-contiguous cell ids") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(31)
+    // non-contiguous ids on purpose: numbering must carry the pairs
+    val cells: Seq[(Long, Seq[Double])] = Seq(0L, 1L, 3L, 7L).map(id =>
+      id -> Seq.fill(8)(rnd.nextDouble() * 2 - 1))
+    val vecs = (0 until 60).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextDouble() * 2 - 1))).toDF("vec_id", "v")
+    val centsDf = cells.map { case (id, cv) => (id, cv.toArray) }.toDF("cell_id", "cv")
+    // composed reference: the former broadcast-join + max_by aggregate
+    val composed = vecs.join(broadcast(centsDf))
+      .select(col("vec_id"), col("cell_id"),
+        (VectorExpressions.dot(col("v"), col("cv")) /
+          (sqrt(VectorExpressions.dot(col("v"), col("v"))) *
+            sqrt(VectorExpressions.dot(col("cv"), col("cv"))))).as("cos"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cell_id"), struct(col("cos"), -col("cell_id"))).as("cell_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kernel = vecs.select(col("vec_id"),
+        VectorExpressions.argMaxCosine(col("v"), cells).as("cell_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kernel === composed)
+    // tie-break: duplicated centroid -> exactly equal cosines -> lowest id
+    val tied: Seq[(Long, Seq[Double])] =
+      Seq(5L -> Seq(1.0, 2.0), 9L -> Seq(1.0, 2.0))
+    val t = Seq((0L, Array(0.5, -0.25))).toDF("vec_id", "v")
+      .select(VectorExpressions.argMaxCosine(col("v"), tied)).head().getLong(0)
+    assert(t === 5L)
+  }
+
   test("null inputs yield null, and the expression participates in codegen") {
     val spark2 = spark
     import spark2.implicits._

@@ -73,15 +73,31 @@ class PlanAuditSpec extends SparkSpec {
       s"range join must stay an equi-join:\n$s")
   }
 
-  test("ivfCells assignment aggregates partial+final — the exchange moves " +
-    "pre-aggregated rows, and no window appears") {
+  test("ivfCells assignment is a scan-side projection — centroids ride " +
+    "as a plan constant; no join, no aggregate, no corpus shuffle") {
     val s = planOf(graft.scale.Similarity.ivfCells(
       graft.Tables.embeddings(spark, sf)))
-    // max_by buffers plan as SortAggregate: map-side partial_max_by
-    // BEFORE the exchange is the scale property (shuffle volume is one
-    // row per (group, map partition), not corpus × cells rows)
-    assert(s.contains("partial_max_by"), s"expected map-side partial agg in:\n$s")
+    assert(s.contains("argmax_cosine"),
+      s"expected the native assignment kernel:\n$s")
+    // the former broadcast-join + groupBy(vec_id) max_by re-shuffled
+    // the whole corpus (vec_id unique -> partials reduce nothing)
+    assert(!s.contains("Join") && !s.contains("hashpartitioning"),
+      s"assignment must not join or shuffle:\n$s")
     assert(!s.contains("Window"), s"assignment must not sort-window:\n$s")
+  }
+
+  test("q38 ann ivf: the corpus is never self-joined or re-grouped — " +
+    "assignment rides the scan, candidates join by broadcast, the only " +
+    "corpus aggregate is the bounded top-k") {
+    val s = planOf(graft.scale.Similarity.annIvf(
+      graft.Tables.embeddings(spark, sf)))
+    assert(s.contains("argmax_cosine"), s"expected scan-side assignment:\n$s")
+    assert(!s.contains("SortMergeJoin") && !s.contains("max_by"),
+      s"corpus self-join / assignment aggregate regressed:\n$s")
+    assert(s.contains("BroadcastHashJoin"),
+      s"probe candidates must join by broadcast:\n$s")
+    assert(s.contains("partial_top_k"),
+      s"final rank must be the bounded top-k aggregate:\n$s")
   }
 
   test("decontaminate broadcasts the eval shingle set — no shuffle join, " +
