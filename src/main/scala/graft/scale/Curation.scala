@@ -101,26 +101,19 @@ object Curation extends QueryModule {
       .filter(col("vec_id") < k).orderBy("vec_id").collect()
       .zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](1) }
 
-    def assignTo(cents: Array[(Int, Seq[Double])]): DataFrame = {
-      val centArr = cents.map { case (cid, cv) =>
-        struct(lit(cid).as("cid"), array(cv.map(lit): _*).as("cv"))
-      }
-      val exploded = vecs.select(col("vec_id"), col("v"),
-        explode(array(centArr: _*)).as("c"))
-      // argmax as an AGGREGATE (the ivfCellsWith pattern): max_by over
-      // (cos, -cluster) ≡ (cos DESC, cluster ASC) first row. The
-      // explode emits its k rows per vector IN PLACE, so the map-side
-      // partial collapses them back to one row before the exchange —
-      // the window form shuffled and sorted all corpus × k rows
-      exploded
-        .select(col("vec_id"), col("v"), col("c.cid").as("cluster"),
-          (dotProduct(col("v"), col("c.cv")) /
-            (l2Norm(col("v")) * l2Norm(col("c.cv")))).as("cos"))
-        .groupBy(col("vec_id"))
-        .agg(max_by(struct(col("v"), col("cluster")),
-          struct(col("cos"), -col("cluster"))).as("s"))
-        .select(col("vec_id"), col("s.v").as("v"), col("s.cluster").as("cluster"))
-    }
+    def assignTo(cents: Array[(Int, Seq[Double])]): DataFrame =
+      // argmax as a SCAN-SIDE PROJECTION (the ivfCellsWith kernel):
+      // the k centroids are bounded driver data, so they ride as a
+      // plan constant inside argmax_cosine (strict > over ascending
+      // ids ≡ the former max_by over (cos, -cluster) tie-break). The
+      // former explode + groupBy(vec_id) aggregate re-shuffled the
+      // whole corpus each Lloyd round to compute a value every row
+      // determines alone; now the only per-round exchange is the
+      // k-group centroid recompute (map-side partials collapse it)
+      vecs.select(col("vec_id"), col("v"),
+        graft.functions.VectorExpressions.argMaxCosine(col("v"),
+          cents.toSeq.map { case (cid, cv) => (cid.toLong, cv) })
+          .cast("int").as("cluster"))
 
     (1 to iters).foreach { _ =>
       val assigned = assignTo(centroids)
