@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loaders for the driver test data (TESTDATA.md).
   *
@@ -16,16 +17,34 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read nanos as long and truncate to microseconds —
-    * the same precision DuckDB computes in (`epoch_us`), so both engines
-    * see identical values. `div` is integral (long) division; a double
-    * division would lose precision above 2^53 ns.
+  /** Normalize the events `ts` column to session-zone TIMESTAMP (micros),
+    * adapting to whatever physical type the file actually stores — the
+    * header-driven tolerance the reference gets from `csv.DictReader`
+    * (SURVEY §1.1): trust the file, not an assumption.
+    *
+    *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it, so the
+    *    loader sets `nanosAsLong` and the column arrives as LONG nanos →
+    *    integral-divide to micros (`div` is long division; a double
+    *    division loses precision above 2^53 ns) and re-type.
+    *  - TIMESTAMP_NTZ (micros): cast to session-zone TIMESTAMP. Under the
+    *    project-wide UTC session this is value-identical to DuckDB's
+    *    naive TIMESTAMP read, and matches the `to_timestamp` literals the
+    *    queries compare against (`CoreQueries.scala:26`).
+    *  - TIMESTAMP: already what the queries expect — pass through.
     */
+  private[graft] def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case Some(TimestampNTZType) => df.withColumn("ts", col("ts").cast(TimestampType))
+      // includes a missing ts column: pass through so SchemaCanary can
+      // report exactly which column vanished rather than a loader throw
+      case _ => df
+    }
+
   def events(s: SparkSession, d: String): DataFrame = {
+    // harmless when ts is already timestamp-typed; required for nanos files
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    normalizeEventTs(table(s, d, "events"))
   }
 
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")

@@ -16,6 +16,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // schema-drift preflight: name the table + actual type loudly BEFORE
+    // the gate turns a silent testdata regeneration into 15 red queries
+    SchemaCanary.drift(spark, sfDir)
+      .foreach(m => System.err.println(s"[verify] $m"))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

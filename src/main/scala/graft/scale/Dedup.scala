@@ -1013,8 +1013,18 @@ object Dedup extends QueryModule {
   }
 
   /** Embedding-cosine near-dup pairs above `minCos`, bounded to ids
-    * below `maxId` (oracle-friendly brute force; the scale path is the
-    * LSH-bucketed variant in [[Similarity]]). */
+    * below `maxId` — the EXACT baseline, deliberately O(maxId²).
+    *
+    * Role at 100 TB: ground truth over a bounded audit sample, never a
+    * corpus pass. The production path is [[embeddingNearDupLsh]] (q69):
+    * identical output contract, but candidates come only from shared
+    * LSH buckets, so pair volume is Σ bucket² instead of corpus² and
+    * the join is a bucket-equality shuffle, not a nested loop. Use THIS
+    * form to measure that form's recall (the q88 pattern: run both on
+    * the same `maxId`-bounded sample, diff the pair sets); `maxId` is
+    * the audit-cost dial and must stay O(10⁴) — the plan contains a
+    * genuine pair join on purpose, which is exactly what makes it a
+    * trustworthy referee and a non-starter as a corpus operator. */
   def embeddingNearDup(emb: DataFrame, minCos: Double, maxId: Long): DataFrame = {
     val e = emb.filter(col("vec_id") < maxId)
       .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))

@@ -76,6 +76,15 @@ object Similarity extends QueryModule {
   /** Exact brute-force cosine top-k: queries (vec_id < nQueries) against
     * the whole corpus. The query side is broadcast; corpus scanned once.
     *
+    * Role at 100 TB: the recall referee, not the serving path. Serving
+    * is [[annIvf]]/[[annPq]]/[[annLsh]]; THIS form exists to measure
+    * their recall ([[annRecall]], q88) over a bounded, stratified query
+    * sample. `nQueries` is the audit-cost dial: cost is one full corpus
+    * scan with O(k · nQueries) exchange volume regardless of corpus
+    * size (bounded top-k partials), so a few hundred sampled queries
+    * are affordable even at 100 TB — but it is linear-per-query by
+    * construction and must never be the per-request path.
+    *
     * Scale shape: top-k selection is a bounded [[graft.functions.TopKAgg]]
     * aggregate, not a `row_number` window — the window form shuffles
     * every scored row (corpus × queries) into Q partitions and sorts

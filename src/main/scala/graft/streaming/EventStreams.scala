@@ -37,13 +37,15 @@ object EventStreams {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // the streaming file source wants a directory; select the single
-    // table file out of the sf dir with a glob filter
-    spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // table file out of the sf dir with a glob filter. ts normalization
+    // branches on the file's actual type (nanos-as-long vs NTZ micros) —
+    // same adaptation as the batch loader (graft.Tables.normalizeEventTs).
+    graft.Tables.normalizeEventTs(
+      spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   /** Tumbling-window counts with a 1-hour watermark — the streaming
