@@ -626,6 +626,44 @@ object Dedup extends QueryModule {
         (col("n_overlap") >= 1).as("contaminated"))
   }
 
+  /** [[decontaminate]] at benchmark-SUITE scale. The exact form
+    * broadcasts the whole eval shingle set to every task, which stops
+    * fitting once "the eval set" is dozens of benchmarks × millions of
+    * shingles; the standard fix is the q50 pattern
+    * ([[Sketches.bloomPrefilteredJoin]]): a driver-built Bloom filter
+    * over the eval shingles (bits ~ 1.2 MB per million shingles at 1%
+    * fpp — broadcast-sized long after the shingle SET isn't) rides to
+    * every task, and only corpus shingles the filter admits (true
+    * overlaps + fpp of the rest) enter the exact-confirm join, which
+    * runs as a SHUFFLE semi-join precisely because this variant exists
+    * for the regime where the eval side can't broadcast.
+    *
+    * The sketch passes only false POSITIVES and the exact semi-join
+    * removes them; per-doc shingle totals come from the unfiltered
+    * corpus side — so the result is IDENTICAL to [[decontaminate]],
+    * which is exactly what the oracle asserts (same SQL as q71). */
+  def decontaminateBloom(docs: DataFrame, evalMaxId: Long = 25L,
+                         fpp: Double = 0.01): DataFrame = {
+    val sh = shingleTable(docs).localCheckpoint()
+    val ev = sh.filter(col("doc_id") < evalMaxId)
+      .select(col("sh")).distinct()
+    val bloom = Sketches.keyBloom(ev, "sh", math.max(ev.count(), 1L), fpp)
+    val bloomBc = sh.sparkSession.sparkContext.broadcast(bloom)
+    val corpus = sh.filter(col("doc_id") >= evalMaxId)
+    val cand = corpus.filter(r =>
+      bloomBc.value.mightContainString(r.getString(r.fieldIndex("sh"))))
+    val hits = cand.join(ev.hint("shuffle_hash"), Seq("sh"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap0"))
+    corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_overlap0"), lit(0L)).as("n_overlap"))
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+        round(col("n_overlap").cast("double") / col("n_shingles"), 4)
+          .as("overlap_frac"),
+        (col("n_overlap") >= 1).as("contaminated"))
+  }
+
   /** Incremental dedup — the shape a production corpus pipeline runs
     * per ingest batch: drop ARRIVING documents that near-duplicate the
     * EXISTING corpus, without recomputing corpus-wide pairs. The
@@ -1079,6 +1117,9 @@ object Dedup extends QueryModule {
     "q69_neardup_lsh" -> ((s, d) => embeddingNearDupLsh(T.embeddings(s, d), 0.2)),
     // eval-set n-gram decontamination over the documents corpus
     "q71_decontaminate" -> ((s, d) => decontaminate(T.documents(s, d))),
+    // benchmark-suite decontamination: Bloom prefilter + exact shuffle
+    // confirm; result asserted identical to the exact q71 form
+    "q93_decontaminate_bloom" -> ((s, d) => decontaminateBloom(T.documents(s, d))),
     // memorization risk: shingles shared across >3 documents
     "q76_repeated_ngrams" -> ((s, d) => repeatedNgrams(T.documents(s, d))),
     // incremental ingest: batch (id >= 400) deduped against corpus (< 400)
@@ -1351,6 +1392,21 @@ object Dedup extends QueryModule {
          |  (n_hot > 0) AS flagged
          |FROM st""".stripMargin,
     "q71_decontaminate" ->
+      s"""WITH $shingleCte,
+         |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 25),
+         |corpus AS (SELECT doc_id, sh FROM sh WHERE doc_id >= 25),
+         |st AS (SELECT c.doc_id, COUNT(*) AS n_shingles,
+         |         COUNT(e.sh) AS n_overlap
+         |       FROM corpus c LEFT JOIN ev e ON e.sh = c.sh
+         |       GROUP BY c.doc_id)
+         |SELECT doc_id, n_shingles, n_overlap,
+         |  ROUND(CAST(n_overlap AS DOUBLE) / n_shingles, 4) AS overlap_frac,
+         |  (n_overlap >= 1) AS contaminated
+         |FROM st""".stripMargin,
+    // the Bloom path's contract IS equality with the exact form: the
+    // sketch only passes false positives and the exact confirm removes
+    // them, so the oracle restates q71 verbatim
+    "q93_decontaminate_bloom" ->
       s"""WITH $shingleCte,
          |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 25),
          |corpus AS (SELECT doc_id, sh FROM sh WHERE doc_id >= 25),

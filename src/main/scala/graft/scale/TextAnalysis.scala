@@ -573,6 +573,61 @@ object TextAnalysis extends QueryModule {
         round(col("cum_cnt").cast("double") / col("total"), 6).as("cum_frac"))
   }
 
+  /** Per-source token-distribution drift: for each source, the tokens
+    * most over-represented relative to the whole corpus — the mixture
+    * QA signal that catches a source drifting (boilerplate flooding
+    * one crawl, a domain dominating a slice) before it skews training.
+    * Score is the relative-frequency ratio
+    * `(tf_src / total_src) / (tf_corpus / total_corpus)`, the
+    * log-free core of PMI — like [[commonness]], `ln` is deliberately
+    * avoided (libm ulp drift across engines); the ratio is one IEEE
+    * division of exact integer-derived doubles, bit-identical in both
+    * engines for the identical expression tree.
+    *
+    * Determinism: all counts are integers; a token exclusive to one
+    * source scores exactly `total_corpus / total_src` (the max), so
+    * exclusive tokens tie — broken by token ASC in UTF8 binary order
+    * (= DuckDB varchar collation, same as [[vocabCoverage]]). The
+    * `minCount` floor keeps one-off noise out of the board.
+    *
+    * Scale design: ONE tokenize pass builds the (source, token) table
+    * (checkpointed — it feeds the per-source totals, the corpus
+    * totals, and the scoring join); corpus-level counts derive from
+    * re-aggregating that table, never a second scan. Per-source top-k
+    * is the bounded [[graft.functions.TopKAgg]] aggregate — the
+    * exchange carries ≤ k rows per task per source, not the
+    * vocabulary. Source totals and the corpus total are tiny
+    * (n_sources rows / 1 row): broadcast join + the documented 1-row
+    * cross-join shape. */
+  def tokenDrift(docs0: DataFrame, k: Int = 10, minCount: Long = 3L): DataFrame = {
+    val docs = widen(docs0)
+    val tf = docs.select(col("source"), explode(words(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val srcTot = tf.groupBy(col("source")).agg(sum(col("cnt")).as("src_tot"))
+    val corpTf = tf.groupBy(col("w")).agg(sum(col("cnt")).as("corp_cnt"))
+    val total = tf.agg(coalesce(sum(col("cnt")), lit(0L)).as("total"))
+    val scored = tf.filter(col("cnt") >= minCount)
+      .join(corpTf, "w")
+      .join(broadcast(srcTot), "source")
+      .crossJoin(total)
+      .withColumn("ratio",
+        (col("cnt").cast("double") * col("total")) /
+          (col("corp_cnt").cast("double") * col("src_tot")))
+    val top = scored.groupBy(col("source"))
+      .agg(graft.functions.TopKAgg.topKStr(col("ratio"), col("w"), k).as("top"))
+      .select(col("source"), posexplode(col("top")))
+      .select(col("source"), (col("pos") + 1).as("rank"),
+        col("col.id").as("w"), col("col.score").as("ratio"))
+    // re-attach the counts for operational value: `top` is k×sources
+    // rows, broadcast back against the scored table (whose base is the
+    // checkpointed tf — no second tokenize pass anywhere)
+    scored.join(broadcast(top.select(col("source"), col("w"), col("rank"))),
+        Seq("source", "w"))
+      .select(col("source"), col("rank"), col("w"), col("cnt"),
+        col("corp_cnt"), col("ratio"))
+  }
+
   /** Corpus health report — the one-row dashboard a pipeline operator
     * reads daily, composing the gate battery: corpus size and language
     * spread, Gopher/repetition/joint-keep pass counts, PII incidence,
@@ -638,7 +693,9 @@ object TextAnalysis extends QueryModule {
     "q75_vocab_coverage" -> ((s, d) => vocabCoverage(T.documents(s, d))),
     "q78_corpus_report" -> ((s, d) => corpusReport(T.documents(s, d))),
     // maximal repeated word-run per doc (suffix automaton, scan-side)
-    "q89_longest_dup" -> ((s, d) => longestRepetition(T.documents(s, d)))
+    "q89_longest_dup" -> ((s, d) => longestRepetition(T.documents(s, d))),
+    // per-source over-represented tokens (mixture drift QA)
+    "q94_token_drift" -> ((s, d) => tokenDrift(T.documents(s, d)))
   )
 
   private val normSql =
@@ -870,6 +927,30 @@ object TextAnalysis extends QueryModule {
          |    THEN CAST(COALESCE(m.max_rep, 0) AS DOUBLE) / len(w.ws)
          |    ELSE 0.0 END, 4) AS rep_frac
          |FROM w LEFT JOIN mx m ON m.doc_id = w.doc_id""".stripMargin,
+    // ratio = (tf_src/total_src)/(tf_corp/total_corp) cross-multiplied
+    // into ONE division of integer-derived doubles — identical tree to
+    // the Spark side, so the raw double hashes bit-identical. SUMs are
+    // CAST to BIGINT (DuckDB SUM is HUGEINT). Ties (source-exclusive
+    // tokens all score total/src_tot) break by w ASC = UTF8 binary.
+    "q94_token_drift" ->
+      s"""WITH w AS (SELECT source, unnest($wsSql) AS w FROM documents),
+         |tf AS (SELECT source, w, COUNT(*) AS cnt FROM w GROUP BY 1, 2),
+         |st AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS src_tot
+         |       FROM tf GROUP BY source),
+         |ct AS (SELECT w, CAST(SUM(cnt) AS BIGINT) AS corp_cnt
+         |       FROM tf GROUP BY w),
+         |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM tf),
+         |s AS (SELECT tf.source, tf.w, tf.cnt, ct.corp_cnt,
+         |        (CAST(tf.cnt AS DOUBLE) * total) /
+         |        (CAST(ct.corp_cnt AS DOUBLE) * src_tot) AS ratio
+         |      FROM tf JOIN ct USING (w) JOIN st USING (source)
+         |      CROSS JOIN tot WHERE tf.cnt >= 3),
+         |r AS (SELECT source, w, cnt, corp_cnt, ratio,
+         |        ROW_NUMBER() OVER (PARTITION BY source
+         |          ORDER BY ratio DESC, w ASC) AS rk
+         |      FROM s)
+         |SELECT source, CAST(rk AS INTEGER) AS rank, w, cnt, corp_cnt, ratio
+         |FROM r WHERE rk <= 10""".stripMargin,
     "q66_tfidf" ->
       s"""WITH w AS (SELECT doc_id, unnest($wsSql) AS term FROM documents),
          |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2),

@@ -558,6 +558,29 @@ class DedupSpec extends SparkSpec {
     assert(out(31L) === ((out(31L)._1, 0L, false)), "clean doc has zero overlap")
   }
 
+  test("decontaminateBloom is row-identical to the exact decontaminate " +
+    "(the Bloom path passes only false positives; the exact join removes them)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val evalText = "which ocean borders the coast of chile on the western side exactly"
+    val corpus = (Seq(
+      (1L, evalText),
+      (30L, s"some training document that quotes $evalText verbatim in full"),
+      (31L, "an unrelated training document about compilers and type systems theory")
+    ) ++ (32 to 60).map(i =>
+      (i.toLong, s"filler corpus document number $i about topic ${i * 3} with enough words to shingle")))
+      .toDF("doc_id", "text")
+    val exact = Dedup.decontaminate(corpus, evalMaxId = 25L)
+      .orderBy("doc_id").collect().toSeq
+    // fpp = 0.5: a deliberately lossy sketch floods the confirm join
+    // with false positives — equality still must hold
+    val bloom = Dedup.decontaminateBloom(corpus, evalMaxId = 25L, fpp = 0.5)
+      .orderBy("doc_id").collect().toSeq
+    assert(bloom === exact)
+    assert(exact.exists(_.getAs[Boolean]("contaminated")),
+      "fixture must exercise the contaminated path")
+  }
+
   test("repeatedNgrams flags boilerplate shared across unrelated docs " +
     "that pairwise near-dup would miss") {
     val spark2 = spark

@@ -270,6 +270,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Double]("keep_rate") >= 0.0 && r.getAs[Double]("keep_rate") <= 1.0)
   }
 
+  test("tokenDrift surfaces source-exclusive tokens first, applies the " +
+    "minCount floor, and breaks ratio ties by token ASC") {
+    val spark2 = spark
+    import spark2.implicits._
+    // two sources, 50/50 token mass; "zebra" and "yak" are exclusive to
+    // src_a (ratio = total/src_tot = 2.0, the max), "rare" appears only
+    // twice (< minCount=3) and must not chart; shared filler is ratio 1
+    val shared = (1 to 10).map(i => s"common$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"zebra zebra zebra yak yak yak rare rare $shared", "src_a"),
+      (2L, s"$shared $shared", "src_a"),
+      (3L, s"$shared $shared $shared", "src_b"),
+      (4L, shared, "src_b")
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.tokenDrift(corpus, k = 3, minCount = 3L).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // src_a rank 1/2: the exclusive tokens, tie broken yak < zebra
+    assert(out(("src_a", 1))._1 === "yak")
+    assert(out(("src_a", 2))._1 === "zebra")
+    // exclusive ⇒ cnt == corp_cnt and ratio == total/src_tot exactly
+    val (_, yakCnt, yakCorp, yakRatio) = out(("src_a", 1))
+    assert(yakCnt === 3L && yakCorp === 3L)
+    assert(yakRatio > 1.0)
+    // "rare" (cnt=2 < minCount) never appears at any rank
+    assert(!out.values.exists(_._1 == "rare"))
+    // every charted ratio is >= its source's later ranks (ordering holds)
+    Seq("src_a", "src_b").foreach { s =>
+      val rs = out.collect { case ((`s`, rk), v) => (rk, v._4) }.toSeq.sortBy(_._1)
+      assert(rs === rs.sortBy(-_._2) ||
+        rs.map(_._2).sliding(2).forall(p => p.head >= p.last))
+    }
+  }
+
   test("curationGate plans zero exchanges — the joint filter runs scan-side") {
     val df = TextAnalysis.curationGate(
       graft.Tables.documents(spark, "/root/testdata/sf0.001"))
