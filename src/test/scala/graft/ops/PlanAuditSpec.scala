@@ -108,6 +108,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct") && !s.contains("SortMergeJoin"))
   }
 
+  test("decontaminateBloom's exact confirm is a SHUFFLE hash join — the " +
+    "variant exists for the regime where the eval side can't broadcast") {
+    val s = planOf(graft.scale.Dedup.decontaminateBloom(
+      graft.Tables.documents(spark, sf)))
+    assert(s.contains("ShuffledHashJoin"),
+      s"confirm join must be the shuffle-hash shape:\n$s")
+    assert(!s.contains("CartesianProduct"))
+  }
+
+  test("tokenDrift: per-source top-k is a bounded aggregate — no window " +
+    "sort of the scored vocabulary, no cartesian") {
+    val s = planOf(graft.scale.TextAnalysis.tokenDrift(
+      graft.Tables.documents(spark, sf)))
+    // a row_number() formulation would plan Window over the full scored
+    // (source, token) stream; the TopKStrAgg form must not
+    assert(!s.contains("Window"),
+      s"vocabulary-sized window sort leaked into the drift plan:\n$s")
+    assert(s.contains("TopKStrAggregate") || s.contains("ObjectHashAggregate"),
+      s"expected the bounded top-k aggregate:\n$s")
+    assert(!s.contains("CartesianProduct"))
+  }
+
   test("sequencePack never funnels data through a single partition — " +
     "the prefix sum is distributed") {
     val s = planOf(graft.scale.Curation.sequencePack(
