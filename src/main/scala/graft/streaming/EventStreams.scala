@@ -145,6 +145,53 @@ object EventStreams {
     keyed.union(passThrough)
   }
 
+  /** Streaming ingestion-side decontamination gate — batch q71/q93's
+    * contract applied per ARRIVING document, before it ever enters the
+    * corpus (the cheapest place to stop eval leakage). The eval set is
+    * a FIXED artifact at stream start (benchmarks don't change
+    * mid-run), so the gate is STATELESS: no keyed state, no watermark
+    * coupling — each doc is scored independently at scan speed and the
+    * verdict carries the same (n_shingles, n_overlap, contaminated)
+    * fields as the batch form.
+    *
+    * Scale design, mirroring [[graft.scale.Dedup.decontaminateBloom]]:
+    * every task holds a Bloom over the eval shingles (bits-sized even
+    * at suite scale) plus the exact set for confirm — the Bloom
+    * rejects the overwhelming majority of shingles in O(1) without
+    * touching the set, the exact membership check removes the fpp, so
+    * verdicts are EXACT (spec-pinned equal to batch
+    * [[graft.scale.Dedup.decontaminate]] on the same corpus). At a
+    * suite scale where even the exact set outgrows an executor, the
+    * streaming answer is bloom-flag here + the batch exact confirm
+    * downstream — the same two-tier split q93 runs in one job. */
+  def decontaminateGate(docs: Dataset[Doc], evalDocs: DataFrame,
+                        fpp: Double = 0.01): Dataset[ContamVerdict] = {
+    import docs.sparkSession.implicits._
+    import graft.functions.PortableFuncs.{distinctShingles, words}
+    val n = graft.scale.Dedup.ShingleSize
+    // eval side is batch + bounded (a benchmark suite, not a corpus):
+    // one collect at stream start, same driver-bounded discipline as
+    // the PQ codebook / IVF centroid plan constants
+    val evalSh: Set[String] = evalDocs
+      .select(explode(distinctShingles(words(col("text")), n)).as("sh"))
+      .distinct().as[String].collect().toSet
+    val bloom = org.apache.spark.util.sketch.BloomFilter
+      .create(math.max(evalSh.size.toLong, 1L), fpp)
+    evalSh.foreach(bloom.putString)
+    val evalBc = docs.sparkSession.sparkContext.broadcast(evalSh)
+    val bloomBc = docs.sparkSession.sparkContext.broadcast(bloom)
+    docs.toDF()
+      .select(col("doc_id"), col("ts"),
+        distinctShingles(words(col("text")), n).as("shs"))
+      .as[(Long, Timestamp, Seq[String])]
+      .map { case (id, t, shs) =>
+        val overlap =
+          shs.count(s => bloomBc.value.mightContainString(s) &&
+            evalBc.value.contains(s))
+        ContamVerdict(id, t, shs.size.toLong, overlap.toLong, overlap >= 1)
+      }
+  }
+
   /** Gap-based sessionization via flatMapGroupsWithState with event-
     * time timeout — the streaming form of batch q22 and the exact
     * semantics of the reference's stale-lock recovery (P6): a session
@@ -391,6 +438,13 @@ object EventStreams {
 
 /** A document arriving on the ingestion stream. */
 case class Doc(doc_id: Long, ts: Timestamp, text: String)
+
+/** Per-document verdict from [[EventStreams.decontaminateGate]] —
+  * the batch q71 row shape with the stream's event time attached. A
+  * wordless/unshingleable doc emits (0, 0, false): nothing to leak,
+  * passes clean (the batch form simply has no row for it). */
+case class ContamVerdict(doc_id: Long, ts: Timestamp, n_shingles: Long,
+                         n_overlap: Long, contaminated: Boolean)
 
 /** Per-signature claimant state for [[EventStreams.dedupeNear]]. */
 case class SigState(docId: Long, firstTs: Long)

@@ -218,6 +218,40 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("decontaminateGate verdicts equal the batch decontaminate on the " +
+    "same corpus; wordless docs pass clean") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evalText = "which ocean borders the coast of chile on the western side exactly"
+    val evalDocs = Seq((1L, evalText)).toDF("doc_id", "text")
+    val quoting = s"some training document that quotes $evalText verbatim in full"
+    val clean = "an unrelated training document about compilers and type systems theory"
+    val src = MemoryStream[Doc]
+    // fpp = 0.5 stresses the exact-confirm tier, same as the q93 spec
+    val q = EventStreams.decontaminateGate(src.toDS(), evalDocs, fpp = 0.5)
+      .writeStream.format("memory").queryName("cg").outputMode("append").start()
+    try {
+      src.addData(Doc(30, ts(0), quoting), Doc(31, ts(1), clean),
+        Doc(32, ts(2), "???"))
+      q.processAllAvailable()
+      val out = spark.table("cg").as[ContamVerdict].collect()
+        .map(v => v.doc_id -> v).toMap
+      // batch reference on the identical corpus split
+      val batch = graft.scale.Dedup.decontaminate(
+        (Seq((1L, evalText), (30L, quoting), (31L, clean)))
+          .toDF("doc_id", "text"), evalMaxId = 25L)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getAs[Boolean]("contaminated")))).toMap
+      Seq(30L, 31L).foreach { id =>
+        assert((out(id).n_shingles, out(id).n_overlap, out(id).contaminated)
+          === batch(id), s"doc $id diverges from the batch verdict")
+      }
+      assert(out(30L).contaminated && !out(31L).contaminated)
+      assert(out(32L) === ContamVerdict(32L, ts(2), 0L, 0L, contaminated = false))
+    } finally q.stop()
+  }
+
   test("span-index sink: streamed folds equal the batch spanIndex, " +
     "replay is refused, and the disjoint-batch contract is asserted") {
     val spark2 = spark
