@@ -373,15 +373,19 @@ object Dedup extends QueryModule {
     // overhead — the 4-deep nested plan executes in one pass and every
     // round's edge input is the same checkpointed scan
     for (_ <- 1 to iters) {
-      // top-1 as an AGGREGATE, not a window: max_by over (c, -label) is
-      // (tally DESC, label ASC) with map-side partial aggregation — a
-      // row_number() window would sort-shuffle every ballot row per
-      // round (see ivfCells for the same argmax move)
+      // ballot tally + argmax fused into ONE aggregate, ONE exchange
+      // per round: weighted_mode keeps a per-node (label → Σw) map as
+      // its map-side partial, so the exchange carries the same
+      // information the old groupBy(node,label).sum tally carried and
+      // the second groupBy(node).max_by exchange disappears — over
+      // `iters` rounds that removes `iters` shuffle barriers from the
+      // critical path. Semantics (weight DESC, label ASC tie) are
+      // spec-pinned equal to the two-step form, ties included.
       labels = edges
         .join(labels.withColumnRenamed("node", "src"), col("a") === col("src"))
-        .groupBy(col("b").as("node"), col("label")).agg(sum(col("w")).as("c"))
-        .groupBy(col("node"))
-        .agg(max_by(col("label"), struct(col("c"), -col("label"))).as("label"))
+        .groupBy(col("b").as("node"))
+        .agg(graft.functions.WeightedMode.weightedMode(col("label"), col("w"))
+          .as("label"))
     }
     labels.select(col("node").as("doc_id"), col("label").as("community_id"))
   }

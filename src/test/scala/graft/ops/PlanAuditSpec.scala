@@ -130,6 +130,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct"))
   }
 
+  test("LPA rounds run ONE aggregate each: weighted_mode fuses the " +
+    "ballot tally and argmax, so the per-round second exchange is gone") {
+    val s = planOf(graft.scale.Dedup.labelPropagation(
+      graft.scale.Dedup.simhashPairs(
+        graft.Tables.documents(spark, sf), maxDist = 5)))
+    // one weighted_mode aggregation per round, and no residue of the
+    // old two-step (tally sum → max_by) formulation anywhere
+    assert("weighted_mode".r.findAllIn(s).length >= 4,
+      s"expected a weighted_mode aggregate per LPA round in:\n$s")
+    assert(!s.contains("max_by"),
+      s"two-step ballot argmax resurfaced (second exchange per round):\n$s")
+  }
+
   test("sequencePack never funnels data through a single partition — " +
     "the prefix sum is distributed") {
     val s = planOf(graft.scale.Curation.sequencePack(

@@ -558,6 +558,34 @@ class DedupSpec extends SparkSpec {
     assert(out(31L) === ((out(31L)._1, 0L, false)), "clean doc has zero overlap")
   }
 
+  test("weighted_mode equals the two-step tally+argmax ballot on random " +
+    "ballots, ties included") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions.{max_by, struct, sum}
+    // 40 nodes × 8 labels × small weights: plenty of exact weight ties
+    val rnd = new scala.util.Random(42)
+    val ballots = Seq.tabulate(500)(_ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(8).toLong, (rnd.nextInt(5) + 1).toLong))
+      .toDF("node", "label", "w")
+      .repartition(7) // force multi-partition partial merges
+    val fused = ballots.groupBy($"node")
+      .agg(graft.functions.WeightedMode.weightedMode($"label", $"w").as("label"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val twoStep = ballots.groupBy($"node", $"label").agg(sum($"w").as("c"))
+      .groupBy($"node")
+      .agg(max_by($"label", struct($"c", -$"label")).as("label"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused === twoStep)
+    // sanity: the fixture really exercises ties — at least one node has
+    // two labels at the same winning weight
+    val tallies = ballots.groupBy($"node", $"label").agg(sum($"w").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val tied = tallies.groupBy(_._1).exists { case (_, ts) =>
+      val mx = ts.map(_._3).max; ts.count(_._3 == mx) > 1 }
+    assert(tied, "fixture should contain at least one winning-weight tie")
+  }
+
   test("decontaminateBloom is row-identical to the exact decontaminate " +
     "(the Bloom path passes only false positives; the exact join removes them)") {
     val spark2 = spark
