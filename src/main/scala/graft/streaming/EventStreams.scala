@@ -192,6 +192,64 @@ object EventStreams {
       }
   }
 
+  /** Streaming mixture-drift monitor — the ingestion-time counterpart
+    * of batch q94 `tokenDrift`: per (event-time window, source), how
+    * far arriving text is drifting from a REFERENCE corpus (the one
+    * the training mixture was designed on). Reference token
+    * frequencies are fixed at stream start and ride broadcast; each
+    * arriving doc is scored scan-side into two INTEGERS — its token
+    * count and the sum of its tokens' reference frequencies — and ONE
+    * windowed aggregation (the only one append mode allows) sums both
+    * per (window, source). The emitted `avg_ref_freq` is the window's
+    * mean token commonness under the reference: it FALLS when a source
+    * starts shipping novel vocabulary and SPIKES when boilerplate
+    * floods in — both the drifts q94 localizes token-by-token in
+    * batch, caught here at ingestion time.
+    *
+    * Determinism: per-doc scores are integers, window sums are integer
+    * sums (associative, partition-order exact), the single final
+    * division is per-row IEEE — the same discipline as
+    * [[graft.scale.TextAnalysis.commonness]]. State is bounded by the
+    * watermark; out-of-vocabulary tokens score 0 by definition (they
+    * ARE the novelty being measured).
+    *
+    * `docs` must carry (ts: timestamp, source: string, text: string). */
+  def driftMonitor(docs: DataFrame, refDocs: DataFrame,
+                   watermark: String = "1 hour",
+                   windowLen: String = "1 hour"): DataFrame = {
+    import graft.functions.PortableFuncs.words
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // reference vocabulary: bounded like every other plan constant here
+    // (a top-V vocabulary, not a corpus — Heaps' law keeps it small
+    // relative to the text it describes)
+    val refFreq: Map[String, Long] = refDocs
+      .select(explode(words(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)].collect().toMap
+    val refBc = spark.sparkContext.broadcast(refFreq)
+    val scored = docs
+      .select(col("ts"), col("source"), words(col("text")).as("ws"))
+      .as[(Timestamp, String, Seq[String])]
+      .map { case (t, src, ws) =>
+        val ref = refBc.value
+        var sumRef = 0L
+        ws.foreach(w => sumRef += ref.getOrElse(w, 0L))
+        (t, src, ws.size.toLong, sumRef)
+      }
+      .toDF("ts", "source", "n_tokens", "sum_ref")
+    scored
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("sum_ref")).as("sum_ref"))
+      .select(col("window.start").as("window_start"), col("source"),
+        col("n_docs"), col("n_tokens"), col("sum_ref"),
+        (col("sum_ref").cast("double") / greatest(col("n_tokens"), lit(1L)))
+          .as("avg_ref_freq"))
+  }
+
   /** Gap-based sessionization via flatMapGroupsWithState with event-
     * time timeout — the streaming form of batch q22 and the exact
     * semantics of the reference's stale-lock recovery (P6): a session

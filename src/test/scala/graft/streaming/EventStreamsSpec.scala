@@ -252,6 +252,39 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("driftMonitor: window means are integer-exact against the " +
+    "reference vocabulary; OOV tokens score zero; windows close on the " +
+    "watermark") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // reference corpus: "alpha" appears 3×, "beta" 2×, "gamma" 1×
+    val refDocs = Seq((1L, "alpha beta alpha"), (2L, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val src = MemoryStream[(Timestamp, String, String)]
+    val q = EventStreams.driftMonitor(
+        src.toDF().toDF("ts", "source", "text"), refDocs,
+        watermark = "10 minutes", windowLen = "10 minutes")
+      .writeStream.format("memory").queryName("dm").outputMode("append").start()
+    try {
+      src.addData(
+        (ts(0), "web", "alpha beta"),        // 3 + 2 = 5 over 2 tokens
+        (ts(5), "web", "gamma novel"),       // 1 + 0 = 1 over 2 (OOV novel)
+        (ts(6), "books", "alpha alpha"))     // 3 + 3 = 6 over 2
+      q.processAllAvailable()
+      assert(spark.table("dm").count() === 0) // window still open
+      src.addData((ts(34), "web", "alpha"))  // watermark passes 10:10
+      q.processAllAvailable()
+      val rows = spark.table("dm").collect()
+        .map(r => r.getAs[String]("source") ->
+          ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+            r.getAs[Long]("sum_ref"), r.getAs[Double]("avg_ref_freq")))).toMap
+      // integer-exact: web = (5+1)/(2+2), books = 6/2
+      assert(rows("web") === ((2L, 4L, 6L, 1.5)))
+      assert(rows("books") === ((1L, 2L, 6L, 3.0)))
+    } finally q.stop()
+  }
+
   test("span-index sink: streamed folds equal the batch spanIndex, " +
     "replay is refused, and the disjoint-batch contract is asserted") {
     val spark2 = spark
