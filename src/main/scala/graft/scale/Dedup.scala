@@ -599,6 +599,62 @@ object Dedup extends QueryModule {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space coarsely, find
+    * near-duplicate pairs ONLY within each cluster, connected-component
+    * the within-cluster near-dup graph, and keep one representative per
+    * component. Per vector: its cluster id and a `keep` verdict (the
+    * component's lowest `vec_id` survives — deterministic, where the
+    * paper keeps a random member; singletons always survive).
+    *
+    * Scale design — the clustering is exactly what makes SemDeDup a
+    * corpus operator where [[embeddingNearDup]]'s all-pairs form is
+    * not:
+    *  - cluster assignment is a SCAN-SIDE projection — the seed
+    *    centroid list ([[Similarity.seedCentroidList]], bounded driver
+    *    data) rides as a plan constant inside the native
+    *    `argmax_cosine` kernel; zero joins, zero shuffles to assign;
+    *  - candidate pairs come from a cell-EQUALITY self-join, so pair
+    *    volume is Σ cell² (the q69 bucket contract), never corpus²;
+    *    at 100 TB raise `nCells` so per-cell occupancy stays bounded —
+    *    the paper runs 50k clusters for exactly this reason;
+    *  - components come from [[connectedComponents]] (bounded driver
+    *    union-find under the edge threshold, distributed min-label
+    *    propagation above it);
+    *  - the verdict join is a left join against component labels —
+    *    only near-dup members carry a label row, so the join's right
+    *    side is duplicate-sized, not corpus-sized.
+    *
+    * The within-cluster restriction is the documented recall trade of
+    * the method: a cross-cluster near-dup pair is invisible (the paper
+    * accepts this; their fig. 2 measures the loss as negligible at
+    * their cluster counts). The referee for that trade on a bounded
+    * sample is [[embeddingNearDup]] (q29), same as the ANN family. */
+  def semDedup(emb: DataFrame, minCos: Double = 0.3,
+               nCells: Int = Similarity.IvfCells): DataFrame = {
+    val cents = Similarity.seedCentroidList(emb, nCells)
+    // one scan yields id, cell, double vector and norm; the
+    // explode(array(...)) generator barrier keeps the double cast from
+    // being re-inlined into each consumer (the annIvf pattern)
+    val assigned = Layout.widen(emb)
+      .select(col("vec_id"), explode(array(toDoubleArray(col("embedding")))).as("v"))
+      .select(col("vec_id"),
+        graft.functions.VectorExpressions.argMaxCosine(col("v"), cents)
+          .as("cell_id"),
+        col("v"), l2Norm(col("v")).as("nrm"))
+    val a = assigned.as("a"); val b = assigned.as("b")
+    val pairs = a.join(b, col("a.cell_id") === col("b.cell_id") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        (dotProduct(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+          .as("cos"))
+      .filter(col("cos") >= minCos)
+    val labels = connectedComponents(pairs, "vec_a", "vec_b")
+    assigned.join(labels, assigned("vec_id") === labels("doc_id"), "left")
+      .select(col("vec_id"), col("cell_id"),
+        coalesce(col("cluster_id") === col("vec_id"), lit(true)).as("keep"))
+  }
+
   /** Benchmark decontamination — the n-gram–overlap check every
     * training-data pipeline runs against its eval sets (the GPT-3 /
     * Gopher "13-gram collision" rule, here on the word-shingle
@@ -1119,6 +1175,9 @@ object Dedup extends QueryModule {
     "q68_dedup_corpus" -> ((s, d) => dedupCorpus(T.documents(s, d), maxDist = 5)),
     // full-range LSH near-dup gate (no id cap): the scale path q29 demos
     "q69_neardup_lsh" -> ((s, d) => embeddingNearDupLsh(T.embeddings(s, d), 0.2)),
+    // SemDeDup: cluster-bounded semantic near-dup pruning, one
+    // representative (lowest vec_id) per within-cluster component
+    "q95_semdedup" -> ((s, d) => semDedup(T.embeddings(s, d))),
     // eval-set n-gram decontamination over the documents corpus
     "q71_decontaminate" -> ((s, d) => decontaminate(T.documents(s, d))),
     // benchmark-suite decontamination: Bloom prefilter + exact shuffle
@@ -1451,6 +1510,34 @@ object Dedup extends QueryModule {
          |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
          |SELECT vec_a, vec_b, ROUND(cos, 4) AS cos
          |FROM pr WHERE cos >= 0.2""".stripMargin,
+    // SemDeDup restated: q38's argmax-cosine cell assignment, q69's
+    // within-key pair join, q59's recursive min-label closure, then
+    // keep = (component min == own id), TRUE off the pair graph
+    "q95_semdedup" ->
+      s"""WITH RECURSIVE v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
+         |cents AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn
+         |          FROM n WHERE vec_id < ${Similarity.IvfCells}),
+         |assign AS (
+         |  SELECT vec_id, cell_id FROM (
+         |    SELECT a.vec_id, c.cell_id,
+         |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |        ORDER BY list_dot_product(a.v, c.cv)/(a.nrm*c.cn) DESC, c.cell_id ASC) AS rn
+         |    FROM n a, cents c) WHERE rn <= 1),
+         |p AS (
+         |  SELECT ax.vec_id AS a, ay.vec_id AS b
+         |  FROM assign ax JOIN assign ay
+         |    ON ax.cell_id = ay.cell_id AND ax.vec_id < ay.vec_id
+         |  JOIN n x ON x.vec_id = ax.vec_id
+         |  JOIN n y ON y.vec_id = ay.vec_id
+         |  WHERE list_dot_product(x.v, y.v)/(x.nrm*y.nrm) >= 0.3),
+         |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+         |reach(a, b) AS (SELECT a, b FROM e
+         |  UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+         |lab AS (SELECT a AS vec_id, LEAST(a, MIN(b)) AS cl
+         |        FROM reach GROUP BY a)
+         |SELECT s.vec_id, s.cell_id, COALESCE(l.cl = s.vec_id, TRUE) AS keep
+         |FROM assign s LEFT JOIN lab l ON l.vec_id = s.vec_id""".stripMargin,
     // same window/merge recurrence: positional 4-word window md5s,
     // HAVING >= 2 distinct docs, LAG/SUM gaps-and-islands merge
     "q87_dup_spans" ->

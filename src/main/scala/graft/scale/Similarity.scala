@@ -252,6 +252,14 @@ object Similarity extends QueryModule {
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1).toSeq
 
+  /** The bounded seed-centroid list as driver data (nCells × [[Dim]]
+    * doubles at ANY corpus size) — for sibling modules that assign
+    * cluster ids with the scan-side `argmax_cosine` kernel without
+    * re-deriving the centroid contract ([[Dedup.semDedup]]). */
+  private[graft] def seedCentroidList(emb: DataFrame,
+                                      nCells: Int): Seq[(Long, Seq[Double])] =
+    collectCents(seedCents(emb, nCells))
+
   private[graft] def ivfCellsWith(emb: DataFrame, cents: DataFrame): DataFrame =
     // argmax as a SCAN-SIDE PROJECTION: the centroid list is bounded
     // driver data, so it rides as a plan constant inside the native

@@ -130,6 +130,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct"))
   }
 
+  test("semDedup: cluster assignment rides the scan (argmax_cosine plan " +
+    "constant), candidates come from a cell-equality join — no cartesian, " +
+    "no window, no assignment aggregate") {
+    val s = planOf(graft.scale.Dedup.semDedup(
+      graft.Tables.embeddings(spark, sf)))
+    assert(s.contains("argmax_cosine"),
+      s"expected the scan-side assignment kernel:\n$s")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must stay a cell-equality join:\n$s")
+    assert(!s.contains("Window") && !s.contains("max_by"),
+      s"assignment must not sort-window or aggregate:\n$s")
+  }
+
   test("LPA rounds run ONE aggregate each: weighted_mode fuses the " +
     "ballot tally and argmax, so the per-round second exchange is gone") {
     val s = planOf(graft.scale.Dedup.labelPropagation(

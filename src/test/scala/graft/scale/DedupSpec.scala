@@ -1023,4 +1023,92 @@ class DedupSpec extends SparkSpec {
       }
     }
   }
+
+  test("semDedup equals a brute-force assign/pair/union-find reference " +
+    "on clustered random vectors") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(67)
+    // 4 well-separated base directions + noisy members around each: the
+    // first 4 vec_ids are the bases, so cells align with planted groups
+    val dim = 64
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val bases = Array.tabulate(4)(g =>
+      unit(Array.tabulate(dim)(i => math.sin(g * 97 + i * 13 + 1.0))))
+    val vecs: Seq[(Long, Array[Float])] =
+      bases.zipWithIndex.map { case (b, g) => (g.toLong, b.map(_.toFloat)) }.toSeq ++
+        (4 until 40).map { id =>
+          val b = bases(rnd.nextInt(4))
+          // σ 0.02/dim over 64 dims: ‖noise‖ ≈ 0.16, so intra-group
+          // cosines sit ≈ 0.97 (above the 0.9 gate) while cross-group
+          // stays far below — pairs form inside groups only
+          val noisy = b.map(x => x + rnd.nextGaussian() * 0.02)
+          (id.toLong, noisy.map(_.toFloat))
+        }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val minCos = 0.9
+    val got = Dedup.semDedup(emb, minCos = minCos, nCells = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    // reference: same float->double cast, argmax-cosine assignment with
+    // the kernel's lowest-cell tie-break, within-cell pairs, union-find
+    val dv: Map[Long, Array[Double]] =
+      vecs.map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < dim) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cents = (0 until 4).map(c => (c.toLong, dv(c.toLong)))
+    val cellOf: Map[Long, Long] = dv.map { case (id, v) =>
+      id -> cents.foldLeft((-1L, Double.NegativeInfinity)) {
+        case ((bc, bs), (c, cv)) =>
+          val s = cos(v, cv); if (s > bs) (c, s) else (bc, bs)
+      }._1
+    }
+    val ids = vecs.map(_._1).sorted
+    val pairs = for {
+      a <- ids; b <- ids
+      if a < b && cellOf(a) == cellOf(b) && cos(dv(a), dv(b)) >= minCos
+    } yield (a, b)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val expect = ids.map { id =>
+      (id, cellOf(id), !members.contains(id) || find(id) == id)
+    }.toSet
+    assert(got === expect)
+    // the planted structure is non-trivial: something pruned, much kept
+    val pruned = expect.count(!_._3)
+    assert(pruned > 0 && pruned < ids.size)
+  }
+
+  test("semDedup components are transitive within a cell: a chain " +
+    "a~b~c with cos(a,c) below threshold keeps only the chain minimum") {
+    val spark2 = spark
+    import spark2.implicits._
+    // v(θ) in the e0/e1 plane: cos(v(x), v(y)) = cos(x - y); angles
+    // 0°, 25°, 50° with threshold cos(30°): adjacent pairs qualify,
+    // the endpoints alone do not — CC must still fuse all three
+    def v(deg: Double): Array[Float] = {
+      val r = math.toRadians(deg)
+      Array.tabulate(64)(i =>
+        if (i == 0) math.cos(r).toFloat
+        else if (i == 1) math.sin(r).toFloat else 0f)
+    }
+    val emb = Seq((0L, v(0)), (1L, v(25)), (2L, v(50)), (3L, Array.tabulate(64)(i => if (i == 2) 1f else 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Dedup.semDedup(emb, minCos = math.cos(math.toRadians(30)), nCells = 1)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    assert(got === Map(0L -> true, 1L -> false, 2L -> false, 3L -> true))
+  }
 }
