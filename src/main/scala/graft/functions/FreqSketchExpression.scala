@@ -1,0 +1,188 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Misra–Gries frequent-items sketch as a bounded aggregate:
+  * `misraGries(item, capacity)` evaluates to an `array<string>` of at
+  * most `capacity` candidate items containing EVERY item whose true
+  * frequency exceeds N / (capacity + 1) (Misra & Gries 1982; merge
+  * rule per Agarwal et al. 2013, "Mergeable Summaries").
+  *
+  * The candidate SET is what matters: estimated counts (and therefore
+  * which sub-threshold items survive) depend on partitioning and merge
+  * order, so the eval deliberately exposes items only — an exact
+  * confirm pass downstream restores run-invariant counts
+  * ([[graft.scale.TextAnalysis.heavyHitters]], the q93 Bloom-confirm
+  * pattern on the frequency axis).
+  *
+  * Scale shape: the partial (map-side) buffer never exceeds `capacity`
+  * entries, so the exchange carries O(capacity · tasks) rows
+  * regardless of corpus size OR vocabulary size — the property a plain
+  * `groupBy(token).count()` lacks (its exchange is vocabulary-sized,
+  * 10⁸+ keys at 100 TB of web text by Heaps' law).
+  */
+object FreqSketch {
+  def misraGries(item: Column, capacity: Int): Column =
+    ColumnBridge.column(MisraGriesAggregate(ColumnBridge.expression(item),
+      capacity).toAggregateExpression())
+}
+
+/** Mutable Misra–Gries state: at most `cap` (item, count) entries.
+  * `add` runs the classic update (hit → increment; room → insert;
+  * full → decrement-all, dropping zeros); `spill` runs the mergeable
+  * reduction (subtract the (cap+1)-th largest count, drop ≤ 0) used
+  * after summary merges. Both preserve the ≤ N/(cap+1) undercount
+  * invariant; decrement-all amortizes to O(1) per update (each sweep
+  * retires cap+1 units of inserted weight). */
+final class MgBuffer(val cap: Int) {
+  val counts = new java.util.HashMap[UTF8String, Long](cap * 2)
+
+  def add(item: UTF8String, w: Long): Unit = {
+    val cur = counts.get(item)
+    if (cur != 0L) counts.put(item, cur + w)
+    else if (counts.size < cap) counts.put(item, w)
+    else {
+      // no slot: decrement all by min(w, smallest count); repeating
+      // until either w is exhausted or a slot opens keeps the
+      // weighted update exact (w > 1 arrives only via merge())
+      var rem = w
+      while (rem > 0 && counts.size == cap) {
+        var minC = Long.MaxValue
+        val it0 = counts.values().iterator()
+        while (it0.hasNext) { val c = it0.next(); if (c < minC) minC = c }
+        val dec = math.min(rem, minC)
+        val it = counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val nc = e.getValue - dec
+          if (nc <= 0L) it.remove() else e.setValue(nc)
+        }
+        rem -= dec
+      }
+      if (rem > 0) counts.put(item, rem)
+    }
+  }
+
+  /** Reduce to ≤ cap entries after a merge: subtract the (cap+1)-th
+    * largest count from every entry and drop the non-positive. */
+  def spill(): Unit = {
+    if (counts.size <= cap) return
+    val vals = new Array[Long](counts.size)
+    var i = 0
+    val it0 = counts.values().iterator()
+    while (it0.hasNext) { vals(i) = it0.next(); i += 1 }
+    java.util.Arrays.sort(vals)
+    // (cap+1)-th largest = index size-cap-1 of the ascending sort
+    val sub = vals(vals.length - cap - 1)
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val nc = e.getValue - sub
+      if (nc <= 0L) it.remove() else e.setValue(nc)
+    }
+  }
+}
+
+case class MisraGriesAggregate(
+    item: Expression,
+    capacity: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[MgBuffer] with UnaryLike[Expression] {
+
+  override def child: Expression = item
+  override def prettyName: String = "misra_gries"
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (item.dataType == StringType && capacity >= 1)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input and capacity >= 1, got " +
+        s"${item.dataType.simpleString}, capacity=$capacity")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def createAggregationBuffer(): MgBuffer = new MgBuffer(capacity)
+
+  override def update(buf: MgBuffer, input: InternalRow): MgBuffer = {
+    val v = item.eval(input)
+    if (v != null) {
+      // clone: the UTF8String may alias a buffer the scan reuses
+      buf.add(v.asInstanceOf[UTF8String].clone(), 1L)
+    }
+    buf
+  }
+
+  override def merge(buf: MgBuffer, other: MgBuffer): MgBuffer = {
+    val it = other.counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val cur = buf.counts.get(e.getKey)
+      buf.counts.put(e.getKey, cur + e.getValue)
+    }
+    buf.spill()
+    buf
+  }
+
+  override def eval(buf: MgBuffer): Any = {
+    val items = new Array[AnyRef](buf.counts.size)
+    buf.counts.keySet().toArray(items)
+    // UTF8 binary ascending — a deterministic order for the emitted
+    // candidate list (the set, not the order, is the contract)
+    java.util.Arrays.sort(items,
+      (a: AnyRef, b: AnyRef) =>
+        a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String]))
+    new GenericArrayData(items.asInstanceOf[Array[Any]])
+  }
+
+  override def serialize(buf: MgBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.counts.size)
+    val it = buf.counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val b = e.getKey.getBytes
+      out.writeInt(b.length)
+      out.write(b)
+      out.writeLong(e.getValue)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): MgBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new MgBuffer(capacity)
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf.counts.put(UTF8String.fromBytes(b), in.readLong())
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MisraGriesAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MisraGriesAggregate =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(
+      newChild: Expression): MisraGriesAggregate =
+    copy(item = newChild)
+}

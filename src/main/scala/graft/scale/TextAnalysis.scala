@@ -628,6 +628,79 @@ object TextAnalysis extends QueryModule {
         col("corp_cnt"), col("ratio"))
   }
 
+  /** Exact top-k frequent tokens with a CAPACITY-BOUNDED exchange —
+    * the heavy-hitters problem solved the way 100 TB requires:
+    * a Misra–Gries sketch aggregate
+    * ([[graft.functions.FreqSketch.misraGries]]) nominates ≤ `capacity`
+    * candidates with its map-side partials never exceeding `capacity`
+    * entries per task, then ONE exact count pass over candidate tokens
+    * only (broadcast semi-join — candidates are driver-bounded)
+    * restores exact counts, and the bounded top-k aggregate ranks the
+    * ≤ `capacity` survivors. Compare [[vocabCoverage]]'s plain
+    * `groupBy(token)`: its exchange is vocabulary-sized (10⁸+ keys on
+    * web text by Heaps' law); this one is capacity-sized regardless of
+    * corpus OR vocabulary.
+    *
+    * Exactness is GUARANTEED, not probabilistic, and guarded: MG
+    * retains every item with true count > N/(capacity+1), so if each
+    * reported count clears N/capacity, any token outside the candidate
+    * set must rank strictly below all k reported — the result is
+    * identical to the exact form (the q93 confirm pattern on the
+    * frequency axis). The guard is an integer-exact per-row check
+    * (`cnt · capacity > N`) that RAISES on violation rather than
+    * silently publishing a possibly-incomplete board — undersized
+    * capacity is a configuration error, not a result.
+    *
+    * Determinism: MG's surviving sub-threshold candidates vary with
+    * partitioning/merge order, but the guarded top-k does not — exact
+    * counts come from the confirm pass, ordering is (cnt DESC, token
+    * ASC UTF8) = DuckDB's varchar collation. */
+  def heavyHitters(docs0: DataFrame, k: Int = 20,
+                   capacity: Int = 256): DataFrame = {
+    require(k <= capacity, s"top-k ($k) cannot exceed capacity ($capacity)")
+    val docs = widen(docs0)
+    // the token stream feeds the sketch AND the confirm pass — one
+    // tokenize, barriered (same fix as tfidf/vocabCoverage)
+    val toks = docs.select(explode(words(col("text"))).as("w"))
+      .localCheckpoint()
+    // one aggregation yields the candidate list and N together
+    val sk = toks.agg(
+        graft.functions.FreqSketch.misraGries(col("w"), capacity).as("cand"),
+        count(lit(1)).as("total"))
+      .localCheckpoint()
+    val cands = sk.select(explode(col("cand")).as("w"))
+    val exact = toks.join(broadcast(cands), Seq("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    // the board must fill all k slots BEFORE the per-row threshold
+    // check: on adversarial (near-uniform) data the sketch can shed
+    // candidates wholesale — a merge's (cap+1)-th-largest subtraction
+    // zeroes every tied entry — and an empty candidate set would
+    // otherwise publish an empty board with no row to trip the guard
+    val top = exact.groupBy()
+      .agg(graft.functions.TopKAgg.topKStr(
+        col("cnt").cast("double"), col("w"), k).as("top"))
+      .select(when(size(col("top")) === k, col("top"))
+        .otherwise(raise_error(concat(
+          lit(s"heavy_hitters: capacity $capacity too small — only "),
+          size(col("top")).cast("string"),
+          lit(s" of $k candidates survived the exact confirm; " +
+            "exactness not certifiable, raise capacity (or lower k " +
+            "below the corpus vocabulary size)")))).as("top"))
+      .select(posexplode(col("top")))
+      .select((col("pos") + 1).as("rank"), col("col.id").as("w"),
+        col("col.score").cast("long").as("cnt"))
+    top.crossJoin(sk.select(col("total")))
+      .select(col("rank"), col("w"),
+        when(col("cnt") * capacity > col("total"), col("cnt"))
+          .otherwise(raise_error(concat(
+            lit(s"heavy_hitters: capacity $capacity too small — token '"),
+            col("w"), lit("' count "), col("cnt").cast("string"),
+            lit(" does not clear N/capacity = "),
+            (col("total") / capacity).cast("string"),
+            lit("; exactness not certifiable, raise capacity"))))
+          .as("cnt"))
+  }
+
   /** Corpus health report — the one-row dashboard a pipeline operator
     * reads daily, composing the gate battery: corpus size and language
     * spread, Gopher/repetition/joint-keep pass counts, PII incidence,
@@ -695,7 +768,10 @@ object TextAnalysis extends QueryModule {
     // maximal repeated word-run per doc (suffix automaton, scan-side)
     "q89_longest_dup" -> ((s, d) => longestRepetition(T.documents(s, d))),
     // per-source over-represented tokens (mixture drift QA)
-    "q94_token_drift" -> ((s, d) => tokenDrift(T.documents(s, d)))
+    "q94_token_drift" -> ((s, d) => tokenDrift(T.documents(s, d))),
+    // exact top-k tokens via the capacity-bounded Misra–Gries sketch +
+    // exact confirm; guarded identical to the plain exact form
+    "q96_heavy_hitters" -> ((s, d) => heavyHitters(T.documents(s, d)))
   )
 
   private val normSql =
@@ -980,6 +1056,15 @@ object TextAnalysis extends QueryModule {
          |  ($sumSql > 0) AS pred_keep
          |FROM f""".stripMargin
     },
+    // the guarded MG+confirm result is identical to plain exact top-k
+    // by construction — the oracle states the exact form directly
+    "q96_heavy_hitters" ->
+      s"""WITH w AS (SELECT unnest($wsSql) AS w FROM documents),
+         |freq AS (SELECT w, COUNT(*) AS cnt FROM w GROUP BY w),
+         |r AS (SELECT w, cnt,
+         |  ROW_NUMBER() OVER (ORDER BY cnt DESC, w ASC) AS rank FROM freq)
+         |SELECT CAST(rank AS INTEGER) AS rank, w, cnt
+         |FROM r WHERE rank <= 20""".stripMargin,
     "q75_vocab_coverage" ->
       s"""WITH w AS (SELECT unnest($wsSql) AS w FROM documents),
          |freq AS (SELECT w, COUNT(*) AS cnt FROM w GROUP BY w),

@@ -143,6 +143,31 @@ class PlanAuditSpec extends SparkSpec {
       s"assignment must not sort-window or aggregate:\n$s")
   }
 
+  test("heavyHitters: the sketch pass is the capacity-bounded " +
+    "misra_gries aggregate, the confirm join broadcasts the candidate " +
+    "set, and ranking is the bounded top-k — no vocabulary window") {
+    // the sketch stage runs eagerly behind the barrier (its result is
+    // checkpointed driver-bounded data), so audit its plan directly:
+    // the partial aggregate is what bounds the exchange at capacity
+    // entries per task
+    val sk = planOf(graft.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.explode(
+        graft.functions.PortableFuncs.words(
+          org.apache.spark.sql.functions.col("text"))).as("w"))
+      .agg(graft.functions.FreqSketch.misraGries(
+        org.apache.spark.sql.functions.col("w"), 256)))
+    assert(sk.contains("partial_misra_gries"),
+      s"expected the map-side MG partial:\n$sk")
+    val s = planOf(graft.scale.TextAnalysis.heavyHitters(
+      graft.Tables.documents(spark, sf)))
+    assert(s.contains("BroadcastHashJoin"),
+      s"candidate confirm must join by broadcast:\n$s")
+    assert(!s.contains("Window"),
+      s"vocabulary-sized window sort leaked into the plan:\n$s")
+    assert(s.contains("top_k_str"),
+      s"ranking must be the bounded top-k aggregate:\n$s")
+  }
+
   test("LPA rounds run ONE aggregate each: weighted_mode fuses the " +
     "ballot tally and argmax, so the per-round second exchange is gone") {
     val s = planOf(graft.scale.Dedup.labelPropagation(
