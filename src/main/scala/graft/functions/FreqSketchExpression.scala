@@ -5,7 +5,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -36,6 +36,18 @@ object FreqSketch {
   def misraGries(item: Column, capacity: Int): Column =
     ColumnBridge.column(MisraGriesAggregate(ColumnBridge.expression(item),
       capacity).toAggregateExpression())
+
+  /** Estimate-emitting variant: `array<struct<item, est>>` ordered
+    * (est DESC, item ASC). For surfaces where no exact confirm pass is
+    * possible (a streaming window that has already closed): every
+    * estimate undercounts by at most N/(capacity+1), and every item
+    * above that bound is present — the caller publishes the bound
+    * alongside ([[graft.streaming.EventStreams.topTokenMonitor]]).
+    * Batch paths that CAN re-scan should confirm instead
+    * ([[graft.scale.TextAnalysis.heavyHitters]]). */
+  def misraGriesCounts(item: Column, capacity: Int): Column =
+    ColumnBridge.column(MisraGriesAggregate(ColumnBridge.expression(item),
+      capacity, withCounts = true).toAggregateExpression())
 }
 
 /** Mutable Misra–Gries state: at most `cap` (item, count) entries.
@@ -97,6 +109,7 @@ final class MgBuffer(val cap: Int) {
 case class MisraGriesAggregate(
     item: Expression,
     capacity: Int,
+    withCounts: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[MgBuffer] with UnaryLike[Expression] {
@@ -112,7 +125,13 @@ case class MisraGriesAggregate(
       s"$prettyName requires a string input and capacity >= 1, got " +
         s"${item.dataType.simpleString}, capacity=$capacity")
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def dataType: DataType =
+    if (withCounts) ArrayType(
+      StructType(Seq(
+        StructField("item", StringType, nullable = false),
+        StructField("est", LongType, nullable = false))),
+      containsNull = false)
+    else ArrayType(StringType, containsNull = false)
 
   override def createAggregationBuffer(): MgBuffer = new MgBuffer(capacity)
 
@@ -137,14 +156,29 @@ case class MisraGriesAggregate(
   }
 
   override def eval(buf: MgBuffer): Any = {
-    val items = new Array[AnyRef](buf.counts.size)
-    buf.counts.keySet().toArray(items)
-    // UTF8 binary ascending — a deterministic order for the emitted
-    // candidate list (the set, not the order, is the contract)
-    java.util.Arrays.sort(items,
-      (a: AnyRef, b: AnyRef) =>
-        a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String]))
-    new GenericArrayData(items.asInstanceOf[Array[Any]])
+    if (withCounts) {
+      val entries = new Array[(UTF8String, Long)](buf.counts.size)
+      var i = 0
+      val it = buf.counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next(); entries(i) = (e.getKey, e.getValue); i += 1
+      }
+      // est DESC, item ASC — the board order a monitor reads top-down
+      val sorted = entries.sortWith { (a, b) =>
+        if (a._2 != b._2) a._2 > b._2 else a._1.compareTo(b._1) < 0
+      }
+      new GenericArrayData(sorted.map(e =>
+        new GenericInternalRow(Array[Any](e._1, e._2))).asInstanceOf[Array[Any]])
+    } else {
+      val items = new Array[AnyRef](buf.counts.size)
+      buf.counts.keySet().toArray(items)
+      // UTF8 binary ascending — a deterministic order for the emitted
+      // candidate list (the set, not the order, is the contract)
+      java.util.Arrays.sort(items,
+        (a: AnyRef, b: AnyRef) =>
+          a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String]))
+      new GenericArrayData(items.asInstanceOf[Array[Any]])
+    }
   }
 
   override def serialize(buf: MgBuffer): Array[Byte] = {

@@ -250,6 +250,48 @@ object EventStreams {
           .as("avg_ref_freq"))
   }
 
+  /** Streaming per-source top-token report — the token-level sibling
+    * of [[driftMonitor]] (which emits one scalar per window): for each
+    * closed (event-time window, source) group, the most frequent
+    * arriving tokens. ONE windowed aggregation (append-mode-legal, the
+    * same single-aggregation discipline as driftMonitor) runs the
+    * Misra–Gries sketch ([[graft.functions.FreqSketch.misraGriesCounts]])
+    * per group; its partial buffers — and therefore the per-group state
+    * in the state store — never exceed `capacity` entries no matter how
+    * wide the window's vocabulary gets.
+    *
+    * Precision contract, published per row rather than assumed: a
+    * closed streaming window cannot be re-scanned, so the exact-confirm
+    * pass batch q96 runs is impossible here BY CONSTRUCTION — instead
+    * every row carries `max_undercount` = floor(n_tokens / (capacity+1)),
+    * the MG bound: each reported estimate undercounts its token's true
+    * window count by at most that much, every token whose true count
+    * exceeds it is guaranteed present, and `est` never exceeds the true
+    * count. A reader who needs exact boards runs batch
+    * [[graft.scale.TextAnalysis.heavyHitters]] over the archived
+    * window. The top-`k` slice is by (est DESC, token ASC).
+    *
+    * `docs` must carry (ts: timestamp, source: string, text: string). */
+  def topTokenMonitor(docs: DataFrame, watermark: String = "1 hour",
+                      windowLen: String = "1 hour",
+                      capacity: Int = 64, k: Int = 5): DataFrame = {
+    import graft.functions.PortableFuncs.words
+    require(k <= capacity, s"top-k ($k) cannot exceed capacity ($capacity)")
+    docs
+      .select(col("ts"), col("source"), explode(words(col("text"))).as("w"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("source"))
+      .agg(
+        graft.functions.FreqSketch.misraGriesCounts(col("w"), capacity)
+          .as("cand"),
+        count(lit(1)).as("n_tokens"))
+      .select(col("window.start").as("window_start"), col("source"),
+        col("n_tokens"),
+        floor(col("n_tokens") / (capacity + 1)).cast("long")
+          .as("max_undercount"),
+        slice(col("cand"), 1, k).as("top_tokens"))
+  }
+
   /** Gap-based sessionization via flatMapGroupsWithState with event-
     * time timeout — the streaming form of batch q22 and the exact
     * semantics of the reference's stale-lock recovery (P6): a session

@@ -285,6 +285,64 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("topTokenMonitor: estimates obey the published MG bound against " +
+    "exact window counts, heavies are never missed, and windows close " +
+    "on the watermark") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(83)
+    // one window's worth of skewed text per source: "hot" dominates web,
+    // "warm" dominates books, plus a thin uniform tail
+    def body(hot: String): String =
+      (Seq.fill(12)(hot) ++ Seq.fill(6)(s"tail${rnd.nextInt(20)}"))
+        .mkString(" ")
+    val webDocs = (0 until 6).map(i => (ts(i), "web", body("hot")))
+    val bookDocs = (0 until 6).map(i => (ts(i), "books", body("warm")))
+    val cap = 8
+    val src = MemoryStream[(Timestamp, String, String)]
+    val q = EventStreams.topTokenMonitor(
+        src.toDF().toDF("ts", "source", "text"),
+        watermark = "10 minutes", windowLen = "10 minutes",
+        capacity = cap, k = 3)
+      .writeStream.format("memory").queryName("ttm").outputMode("append").start()
+    try {
+      src.addData(webDocs ++ bookDocs: _*)
+      q.processAllAvailable()
+      assert(spark.table("ttm").count() === 0) // window still open
+      src.addData((ts(34), "web", "closer"))   // watermark passes 10:10
+      q.processAllAvailable()
+      val rows = spark.table("ttm").collect()
+        .map { r =>
+          r.getAs[String]("source") -> ((r.getAs[Long]("n_tokens"),
+            r.getAs[Long]("max_undercount"),
+            r.getSeq[org.apache.spark.sql.Row](4)
+              .map(t => t.getString(0) -> t.getLong(1))))
+        }.toMap
+      // exact per-source window counts from the same corpus
+      def exact(docs: Seq[(Timestamp, String, String)]): Map[String, Long] =
+        docs.flatMap(_._3.split(" ")).groupBy(identity)
+          .view.mapValues(_.size.toLong).toMap
+      for ((srcName, docs) <- Seq("web" -> webDocs, "books" -> bookDocs)) {
+        val ex = exact(docs)
+        val n = ex.values.sum
+        val (nTokens, bound, top) = rows(srcName)
+        assert(nTokens === n, s"$srcName n_tokens")
+        assert(bound === n / (cap + 1), s"$srcName bound")
+        // every token with true count > bound must be reported if it
+        // ranks; the dominant token certainly must lead the board
+        val hot = ex.maxBy { case (w, c) => (c, w) }._1
+        assert(top.head._1 === hot, s"$srcName board head: $top")
+        // estimates never exceed truth and undercount by at most bound
+        top.foreach { case (w, est) =>
+          assert(est <= ex(w), s"$srcName '$w' overcounts: $est > ${ex(w)}")
+          assert(est >= ex(w) - bound,
+            s"$srcName '$w' undercounts past the bound: $est < ${ex(w)} - $bound")
+        }
+      }
+    } finally q.stop()
+  }
+
   test("span-index sink: streamed folds equal the batch spanIndex, " +
     "replay is refused, and the disjoint-batch contract is asserted") {
     val spark2 = spark
