@@ -701,6 +701,64 @@ object TextAnalysis extends QueryModule {
           .as("cnt"))
   }
 
+  /** Corpus-level collocation mining: the bigrams most over-represented
+    * relative to their parts — lift
+    * `P(ab) / (P(a)·P(b)) = (c_ab/B) / ((c_a/N)·(c_b/N))`, the
+    * log-free core of PMI and the word2vec phrase-detection rule
+    * (Mikolov et al. 2013 §4). Where [[repetition]] measures bigram
+    * repetition WITHIN a doc and [[tokenDrift]] ranks unigrams by
+    * source, this ranks CROSS-CORPUS phrases — the signal that finds
+    * boilerplate stock phrases and true multi-word terms before
+    * tokenizer/vocab decisions bake them in.
+    *
+    * Determinism (the [[commonness]]/[[tokenDrift]] libm discipline):
+    * all counts are integers; lift is computed in ONE fixed
+    * parenthesization of integer-derived doubles —
+    * `((c_ab·N)·N) / ((B·c_a)·c_b)` — identical IEEE ops in both
+    * engines, no `ln`. A bigram of two corpus-exclusive words ties with
+    * its peers by construction; ties break bigram ASC in UTF8 binary
+    * order (= DuckDB varchar collation). The `minCount` floor keeps
+    * one-off juxtapositions off the board.
+    *
+    * Scale design: ONE tokenize pass (checkpointed) feeds unigram
+    * counts, bigram counts, and both totals; bigram→unigram count
+    * attachment is two equi-joins on single-word keys (vocabulary-sized
+    * right sides, shuffle equi-joins — never a cross product); ranking
+    * is the bounded top-k aggregate (≤ k rows per task cross the
+    * exchange, not the bigram vocabulary); count re-attachment is the
+    * tokenDrift broadcast-back of the k winners. */
+  def collocations(docs0: DataFrame, k: Int = 25,
+                   minCount: Long = 5L): DataFrame = {
+    val docs = widen(docs0)
+    val ws = docs.select(words(col("text")).as("ws")).localCheckpoint()
+    val uni = ws.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val nTokens = uni.agg(coalesce(sum(col("c")), lit(0L)).as("n_tokens"))
+    val bc = ws.filter(size(col("ws")) >= 2)
+      .select(explode(shinglesFromWords(col("ws"), 2)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c_ab"))
+      .localCheckpoint()
+    val nBigrams = bc.agg(coalesce(sum(col("c_ab")), lit(0L)).as("n_bigrams"))
+    val scored = bc.filter(col("c_ab") >= minCount)
+      .select(col("bg"), col("c_ab"),
+        split(col("bg"), " ").getItem(0).as("wa"),
+        split(col("bg"), " ").getItem(1).as("wb"))
+      .join(uni.select(col("w").as("wa"), col("c").as("c_a")), Seq("wa"))
+      .join(uni.select(col("w").as("wb"), col("c").as("c_b")), Seq("wb"))
+      .crossJoin(nTokens).crossJoin(nBigrams)
+      .withColumn("lift",
+        (col("c_ab").cast("double") * col("n_tokens") * col("n_tokens")) /
+          (col("n_bigrams").cast("double") * col("c_a") * col("c_b")))
+    val top = scored.groupBy()
+      .agg(graft.functions.TopKAgg.topKStr(col("lift"), col("bg"), k).as("top"))
+      .select(posexplode(col("top")))
+      .select((col("pos") + 1).as("rank"), col("col.id").as("bg"))
+    scored.join(broadcast(top), Seq("bg"))
+      .select(col("rank"), col("bg"), col("c_ab"), col("c_a"), col("c_b"),
+        col("lift"))
+  }
+
   /** Corpus health report — the one-row dashboard a pipeline operator
     * reads daily, composing the gate battery: corpus size and language
     * spread, Gopher/repetition/joint-keep pass counts, PII incidence,
@@ -771,7 +829,9 @@ object TextAnalysis extends QueryModule {
     "q94_token_drift" -> ((s, d) => tokenDrift(T.documents(s, d))),
     // exact top-k tokens via the capacity-bounded Misra–Gries sketch +
     // exact confirm; guarded identical to the plain exact form
-    "q96_heavy_hitters" -> ((s, d) => heavyHitters(T.documents(s, d)))
+    "q96_heavy_hitters" -> ((s, d) => heavyHitters(T.documents(s, d))),
+    // cross-corpus phrase mining: top bigrams by lift (log-free PMI)
+    "q97_collocations" -> ((s, d) => collocations(T.documents(s, d)))
   )
 
   private val normSql =
@@ -1056,6 +1116,28 @@ object TextAnalysis extends QueryModule {
          |  ($sumSql > 0) AS pred_keep
          |FROM f""".stripMargin
     },
+    // same tokenize, same bigram join keys, IDENTICAL lift
+    // parenthesization: ((c_ab·N)·N) / ((B·c_a)·c_b)
+    "q97_collocations" ->
+      s"""WITH w AS (SELECT $wsSql AS ws FROM documents),
+         |uni AS (SELECT w, COUNT(*) AS c
+         |        FROM (SELECT unnest(ws) AS w FROM w) GROUP BY w),
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens FROM uni),
+         |idx AS (SELECT ws, unnest(range(1, len(ws))) AS i
+         |        FROM w WHERE len(ws) >= 2),
+         |bgs AS (SELECT ws[i] || ' ' || ws[i+1] AS bg FROM idx),
+         |bc AS (SELECT bg, COUNT(*) AS c_ab FROM bgs GROUP BY bg),
+         |btot AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n_bigrams FROM bc),
+         |sc AS (SELECT f.bg, f.c_ab, a.c AS c_a, b.c AS c_b,
+         |    (CAST(f.c_ab AS DOUBLE) * t.n_tokens * t.n_tokens) /
+         |    (CAST(bt.n_bigrams AS DOUBLE) * a.c * b.c) AS lift
+         |  FROM (SELECT bg, c_ab FROM bc WHERE c_ab >= 5) f
+         |  JOIN uni a ON a.w = string_split(f.bg, ' ')[1]
+         |  JOIN uni b ON b.w = string_split(f.bg, ' ')[2], tot t, btot bt),
+         |r AS (SELECT bg, c_ab, c_a, c_b, lift,
+         |  ROW_NUMBER() OVER (ORDER BY lift DESC, bg ASC) AS rank FROM sc)
+         |SELECT CAST(rank AS INTEGER) AS rank, bg, c_ab, c_a, c_b, lift
+         |FROM r WHERE rank <= 25""".stripMargin,
     // the guarded MG+confirm result is identical to plain exact top-k
     // by construction — the oracle states the exact form directly
     "q96_heavy_hitters" ->

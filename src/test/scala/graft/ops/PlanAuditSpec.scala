@@ -168,6 +168,18 @@ class PlanAuditSpec extends SparkSpec {
       s"ranking must be the bounded top-k aggregate:\n$s")
   }
 
+  test("collocations: ranking is the bounded top-k aggregate — no " +
+    "bigram-vocabulary window sort, no cartesian on data-sized sides") {
+    val s = planOf(graft.scale.TextAnalysis.collocations(
+      graft.Tables.documents(spark, sf)))
+    assert(!s.contains("Window"),
+      s"bigram-vocabulary window sort leaked into the plan:\n$s")
+    assert(s.contains("top_k_str"),
+      s"ranking must be the bounded top-k aggregate:\n$s")
+    assert(!s.contains("CartesianProduct"),
+      s"only 1-row total broadcasts may cross-join:\n$s")
+  }
+
   test("LPA rounds run ONE aggregate each: weighted_mode fuses the " +
     "ballot tally and argmax, so the per-round second exchange is gone") {
     val s = planOf(graft.scale.Dedup.labelPropagation(

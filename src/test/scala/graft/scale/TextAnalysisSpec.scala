@@ -304,6 +304,47 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("collocations surfaces the planted phrase first and matches a " +
+    "brute-force lift reference exactly") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(89)
+    val filler = Vector("the", "of", "and", "data", "model", "train")
+    // "santa monica" ALWAYS adjacent (the planted phrase); filler words
+    // pair arbitrarily, so their lifts hover near 1
+    val corpus = (0 until 30).map { i =>
+      val body = (0 until 12).flatMap { _ =>
+        if (rnd.nextInt(4) == 0) Seq("santa", "monica")
+        else Seq(filler(rnd.nextInt(filler.size)))
+      }
+      (i.toLong, body.mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = TextAnalysis.collocations(corpus, k = 10, minCount = 5L)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).sortBy(_._1)
+    // brute reference over the same tokenization (texts are already
+    // normalized lowercase words)
+    val docsW = corpus.collect().map(_.getString(1).split(" ").toSeq)
+    val uni = docsW.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = uni.values.sum
+    val bgAll = docsW.flatMap(ws => ws.zip(ws.tail).map(p => s"${p._1} ${p._2}"))
+    val bc = bgAll.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val b = bgAll.size.toLong
+    val ref = bc.filter(_._2 >= 5L).map { case (bg, cab) =>
+      val Array(wa, wb) = bg.split(" ")
+      (bg, cab, uni(wa), uni(wb),
+        (cab.toDouble * n * n) / (b.toDouble * uni(wa) * uni(wb)))
+    }.toSeq.sortBy { case (bg, _, _, _, lift) => (-lift, bg) }.take(10)
+      .zipWithIndex
+      .map { case ((bg, cab, ca, cb, lift), i) => (i + 1, bg, cab, ca, cb, lift) }
+    assert(got.toSeq === ref)
+    // the planted phrase leads: always-adjacent ⇒ lift well above the
+    // independence baseline every filler pair sits near
+    assert(got.head._2 === "santa monica", s"board: ${got.toSeq}")
+    assert(got.head._6 > 2.0)
+  }
+
   test("curationGate plans zero exchanges — the joint filter runs scan-side") {
     val df = TextAnalysis.curationGate(
       graft.Tables.documents(spark, "/root/testdata/sf0.001"))
