@@ -186,6 +186,70 @@ object Curation extends QueryModule {
   private val TargetMixture = Map(
     "en" -> 0.3, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.2, "zh" -> 0.1)
 
+  /** Importance weights for target-distribution data selection (DSIR,
+    * Xie et al. 2023, arXiv:2302.03169): score every document by how
+    * much its hashed-bigram feature distribution looks like a TARGET
+    * slice of the corpus (here: `targetLang` documents, standing in
+    * for the paper's Wikipedia-quality target) versus the raw corpus.
+    * Per bucket `b`: the Laplace-smoothed frequency ratio
+    * `((tgt_b+1)·(rawTot+nB)) / ((raw_b+1)·(tgtTot+nB))`; per doc: the
+    * left-to-right fold of its features' ratios, plus the mean ratio
+    * and a `keep` verdict (mean > 1 — more target-like than raw-like).
+    * The paper sums LOG ratios; the ratio mean is the libm-free
+    * surrogate this codebase's determinism rule requires (`ln` ULP
+    * drift across engines — see [[TextAnalysis.commonness]]), with the
+    * same neutral point (ratio 1 ↔ llr 0) — documented deviation, not
+    * an accident.
+    *
+    * Scale design — hashed features exist precisely to BOUND the
+    * estimator, and the plan leans on it twice:
+    *  - the bucket table is `nBuckets` rows at any corpus size: ONE
+    *    corpus aggregation keyed by bucket (map-side partials collapse
+    *    to ≤ nBuckets rows per task) collects raw and target counts
+    *    together, then the ratio table rides as a PLAN CONSTANT;
+    *  - scoring is a pure scan-side fold (`aggregate` over the doc's
+    *    bigram array, `element_at` into the literal ratio table) —
+    *    zero joins, zero shuffles, the argmax_cosine discipline.
+    *
+    * Determinism: counts are integers; each ratio is one fixed
+    * parenthesization of integer-derived doubles (driver Scala and
+    * DuckDB run the identical IEEE ops); the per-doc sum folds in
+    * array order on both engines (the q47 fold contract). Zero-feature
+    * docs score sum 0, mean 0, keep false — no evidence, not kept. */
+  def dsirWeights(docs0: DataFrame, targetLang: String = "en",
+                  nBuckets: Int = 1024): DataFrame = {
+    val docs = Layout.widen(docs0)
+    val bucketOf: Column => Column = g =>
+      (portableHash60(g) % nBuckets).cast("int")
+    // one tokenize pass feeds the bucket counts AND the scoring scan
+    val bgs = docs.select(col("doc_id"), col("lang"),
+        coalesce(shinglesFromWords(words(col("text")), 2),
+          typedLit(Seq.empty[String])).as("bgs"))
+      .localCheckpoint()
+    val cnts = bgs.select(col("lang"), explode(col("bgs")).as("g"))
+      .select(col("lang"), bucketOf(col("g")).as("b"))
+      .groupBy(col("b")).agg(
+        count(lit(1)).as("rc"),
+        count(when(col("lang") === targetLang, 1)).as("tc"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val rawTot = cnts.values.map(_._1).sum
+    val tgtTot = cnts.values.map(_._2).sum
+    val ratios: Seq[Double] = (0 until nBuckets).map { b =>
+      val (rc, tc) = cnts.getOrElse(b, (0L, 0L))
+      ((tc + 1).toDouble * (rawTot + nBuckets)) /
+        ((rc + 1).toDouble * (tgtTot + nBuckets))
+    }
+    val rtab = typedLit(ratios)
+    val scored = bgs.select(col("doc_id"), col("lang"),
+      size(col("bgs")).as("n_features"),
+      aggregate(col("bgs"), lit(0.0),
+        (acc, g) => acc + element_at(rtab, bucketOf(g) + 1)).as("sum_ratio"))
+    scored.select(col("doc_id"), col("lang"), col("n_features"),
+      col("sum_ratio"),
+      (col("sum_ratio") / greatest(col("n_features"), lit(1))).as("avg_ratio"),
+      (col("sum_ratio") / greatest(col("n_features"), lit(1)) > 1.0).as("keep"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_stratified_sample" -> ((s, d) =>
       stratifiedSample(T.documents(s, d), "doc_id", SampleFractions, "lang")
@@ -196,12 +260,19 @@ object Curation extends QueryModule {
     "q73_seq_pack" -> ((s, d) => sequencePack(T.documents(s, d))),
     "q79_mixture_sample" -> ((s, d) =>
       mixtureSample(T.documents(s, d), TargetMixture, "lang", "doc_id")
-        .select(col("doc_id"), col("lang"), round(col("rate"), 6).as("rate")))
+        .select(col("doc_id"), col("lang"), round(col("rate"), 6).as("rate"))),
+    // DSIR-style importance weights toward the target-language slice
+    "q98_dsir_weights" -> ((s, d) => dsirWeights(T.documents(s, d)))
   )
 
   // hash := high 60 bits of md5(id) — identical to portableHash60
   private val hashSql =
     "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)"
+
+  // the project-wide tokenizer contract (see TextAnalysis.wsSql)
+  private val wsSql =
+    "list_filter(string_split_regex(trim(regexp_replace(regexp_replace(" +
+      "lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')), ' +'), w -> w <> '')"
 
   override val oracle: Map[String, String] = Map(
     "q57_stratified_sample" -> {
@@ -240,6 +311,43 @@ object Curation extends QueryModule {
         |  (cum_end - toks) // 2048 AS chunk_first,
         |  (cum_end - 1) // 2048 AS chunk_last,
         |  (cum_end - 1) // 2048 - (cum_end - toks) // 2048 + 1 AS n_chunks
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+    // bucket counts restated as CTEs (the Spark side collects the same
+    // bounded table to the driver); ratio parenthesization and the
+    // per-doc in-order fold are IDENTICAL expression trees
+    "q98_dsir_weights" ->
+      s"""WITH w AS (SELECT doc_id, lang, $wsSql AS ws FROM documents),
+         |bg AS (SELECT doc_id, lang,
+         |  CASE WHEN len(ws) >= 2
+         |    THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+         |    ELSE [] END AS bgs FROM w),
+         |fb AS (SELECT lang,
+         |    CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 1024 AS b
+         |  FROM (SELECT lang, unnest(bgs) AS g FROM bg)),
+         |cnt AS (SELECT b, COUNT(*) AS rc,
+         |    COUNT(CASE WHEN lang = 'en' THEN 1 END) AS tc
+         |  FROM fb GROUP BY b),
+         |tot AS (SELECT CAST(SUM(rc) AS BIGINT) AS rt,
+         |    CAST(SUM(tc) AS BIGINT) AS tt FROM cnt),
+         |ratio AS (SELECT b,
+         |    (CAST(tc + 1 AS DOUBLE) * (rt + 1024)) /
+         |    (CAST(rc + 1 AS DOUBLE) * (tt + 1024)) AS r
+         |  FROM cnt, tot),
+         |idx AS (SELECT doc_id, bgs, unnest(range(1, len(bgs) + 1)) AS i
+         |        FROM bg WHERE len(bgs) >= 1),
+         |fr AS (SELECT x.doc_id, x.i, r.r FROM (
+         |    SELECT doc_id, i,
+         |      CAST('0x' || substr(md5(bgs[i]), 1, 15) AS BIGINT) % 1024 AS b
+         |    FROM idx) x
+         |  JOIN ratio r ON r.b = x.b),
+         |ds AS (SELECT doc_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(r ORDER BY i)),
+         |      (a, b) -> a + b) AS sum_ratio
+         |  FROM fr GROUP BY doc_id)
+         |SELECT b.doc_id, b.lang, CAST(len(b.bgs) AS INTEGER) AS n_features,
+         |  COALESCE(d.sum_ratio, CAST(0.0 AS DOUBLE)) AS sum_ratio,
+         |  COALESCE(d.sum_ratio, CAST(0.0 AS DOUBLE)) / GREATEST(len(b.bgs), 1) AS avg_ratio,
+         |  (COALESCE(d.sum_ratio, CAST(0.0 AS DOUBLE)) / GREATEST(len(b.bgs), 1)) > 1.0 AS keep
+         |FROM bg b LEFT JOIN ds d USING (doc_id)""".stripMargin
   )
 }

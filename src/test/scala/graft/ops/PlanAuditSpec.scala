@@ -180,6 +180,17 @@ class PlanAuditSpec extends SparkSpec {
       s"only 1-row total broadcasts may cross-join:\n$s")
   }
 
+  test("dsirWeights scoring is a pure scan-side fold: the ratio table " +
+    "rides as a plan constant — no join, no shuffle, no window") {
+    val s = planOf(graft.scale.Curation.dsirWeights(
+      graft.Tables.documents(spark, sf)))
+    assert(!s.contains("Join"),
+      s"scoring must not join (the ratio table is a literal):\n$s")
+    assert(!s.contains("hashpartitioning"),
+      s"scoring must not shuffle:\n$s")
+    assert(!s.contains("Window"), s"scoring must not sort-window:\n$s")
+  }
+
   test("LPA rounds run ONE aggregate each: weighted_mode fuses the " +
     "ballot tally and argmax, so the per-round second exchange is gone") {
     val s = planOf(graft.scale.Dedup.labelPropagation(

@@ -104,4 +104,61 @@ class CurationSpec extends SparkSpec {
     val a2 = Curation.kmeans(emb, k = 4, iters = 2)
     assert(a1.orderBy("vec_id").collect().toSeq === a2.orderBy("vec_id").collect().toSeq)
   }
+
+  test("dsirWeights equals a brute-force bucket-ratio reference, keeps " +
+    "target-like docs, drops raw-exclusive docs, and scores zero-feature " +
+    "docs neutrally") {
+    val spark2 = spark
+    import spark2.implicits._
+    // target (en) docs speak one phrase-world, de docs another, with a
+    // bridge doc mixing both and a one-word doc with zero bigrams
+    val enBody = "alpha beta gamma alpha beta"
+    val deBody = "zulu yankee xray zulu yankee"
+    val corpus = (
+      (0 until 6).map(i => (i.toLong, "en", enBody)) ++
+      (6 until 12).map(i => (i.toLong, "de", deBody)) ++
+      Seq((12L, "de", s"$enBody $deBody"), (13L, "en", "solo"))
+    ).toDF("doc_id", "lang", "text")
+    // 64 buckets: the +nB Laplace mass stays proportionate to this toy
+    // corpus (at the gate SFs, corpus totals dwarf the production 1024)
+    val nB = 64
+    val got = Curation.dsirWeights(corpus, targetLang = "en", nBuckets = nB)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(2), r.getDouble(3),
+        r.getDouble(4), r.getBoolean(5)))).toMap
+    // brute reference: same tokenizer (texts pre-normalized), same md5
+    // bucket hash, same ratio parenthesization, same in-order fold
+    def bucket(g: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(g.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      (java.lang.Long.parseLong(hex, 16) % nB).toInt
+    }
+    val rows = corpus.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2).split(" ").toSeq))
+    def bigrams(ws: Seq[String]): Seq[String] =
+      if (ws.size < 2) Nil else ws.zip(ws.tail).map(p => s"${p._1} ${p._2}")
+    val feats = rows.flatMap { case (_, l, ws) => bigrams(ws).map(g => (l, bucket(g))) }
+    val rawTot = feats.size.toLong
+    val tgtTot = feats.count(_._1 == "en").toLong
+    val rc = feats.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val tc = feats.filter(_._1 == "en").groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    def ratio(b: Int): Double =
+      ((tc.getOrElse(b, 0L) + 1).toDouble * (rawTot + nB)) /
+        ((rc.getOrElse(b, 0L) + 1).toDouble * (tgtTot + nB))
+    rows.foreach { case (id, _, ws) =>
+      val bgSeq = bigrams(ws)
+      val sum = bgSeq.foldLeft(0.0)((acc, g) => acc + ratio(bucket(g)))
+      val avg = sum / math.max(bgSeq.size, 1)
+      val (n, s, a, k) = got(id)
+      assert(n === bgSeq.size, s"doc $id n_features")
+      assert(s === sum, s"doc $id sum_ratio")
+      assert(a === avg, s"doc $id avg_ratio")
+      assert(k === (avg > 1.0), s"doc $id keep")
+    }
+    // direction: en-exclusive phrases keep, de-exclusive drop, the
+    // zero-feature doc is neutral-false
+    assert(got(0L)._4 && !got(6L)._4)
+    assert(got(13L) === ((0, 0.0, 0.0, false)))
+  }
 }
