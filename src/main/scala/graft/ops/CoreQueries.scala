@@ -366,7 +366,7 @@ object CoreQueries extends QueryModule {
     * whose cumulative count (`cum`) reaches the exact integer
     * threshold ceil(p·n/100). One definition — a threshold tweak
     * cannot silently break the forms' spec-proven equivalence. */
-  private def pickPercentile(v: String, p: Int): Column =
+  private[graft] def pickPercentile(v: String, p: Int): Column =
     min(when(col("cum") >= expr(s"(n * $p + 99) div 100"), col(v))).as(s"p$p")
 
   /** Null guard shared by both cumdist forms: a null value would sort

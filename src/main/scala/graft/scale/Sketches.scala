@@ -60,6 +60,67 @@ object Sketches extends QueryModule {
                       relErr: Double = 0.01): Map[Double, Double] =
     probs.zip(df.stat.approxQuantile(col0, probs, relErr)).toMap
 
+  /** Quantile-sketch accuracy audit — [[hllAudit]]'s contract on the
+    * quantile axis: per group, exact disc percentiles (p50/p90/p99 of
+    * `n_chars`, the q48 integer-threshold definition) PLUS a certified
+    * `within_tol` verdict that the one-pass Greenwald–Khanna sketch
+    * (`percentile_approx`, `accuracy` ⇒ ≤ 1/accuracy relative RANK
+    * error) met its bound on this data. The check is on RANKS, not
+    * values — GK's guarantee is positional, and value distance is
+    * meaningless on skewed length distributions: the sketch's emitted
+    * value (always an observed element) is looked up in the cum-dist
+    * table and its rank interval [cum−c, cum] must come within
+    * ceil(n/accuracy) of the exact integer target rank. All integer
+    * arithmetic — no float tolerance to drift cross-engine.
+    *
+    * Like q81, the approx values themselves are DROPPED from the
+    * output and the oracle recomputes the exact columns with
+    * `within_tol = TRUE`: a hash mismatch on this query means "sketch
+    * out of tolerance", not a wrong answer.
+    *
+    * Scale design: ONE distinct-(group, value) aggregation feeds the
+    * exact thresholds, the sketch audit lookup, and n (checkpointed —
+    * three consumers); the sketch side is one pass with O(accuracy)
+    * state per group; the audit join's left side is 3 rows per group. */
+  def quantileAudit(docs: DataFrame, accuracy: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.groupBy(col("lang"), col("n_chars"))
+      .agg(count(lit(1)).as("c"))
+    val byVal = Window.partitionBy(col("lang")).orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(col("lang"))
+    val base = counts
+      .withColumn("cum", sum(col("c")).over(byVal))
+      .withColumn("n", sum(col("c")).over(whole))
+      .localCheckpoint()
+    val exact = base.groupBy(col("lang")).agg(
+      graft.ops.CoreQueries.pickPercentile("n_chars", 50),
+      graft.ops.CoreQueries.pickPercentile("n_chars", 90),
+      graft.ops.CoreQueries.pickPercentile("n_chars", 99),
+      max(col("n")).as("n"))
+    val approx = docs.groupBy(col("lang"))
+      .agg(percentile_approx(col("n_chars"),
+        array(lit(0.5), lit(0.9), lit(0.99)), lit(accuracy)).as("ap"))
+      .select(col("lang"), posexplode(col("ap")))
+      .select(col("lang"),
+        element_at(array(lit(50), lit(90), lit(99)), col("pos") + 1).as("p"),
+        col("col").as("v"))
+    // the sketch emits observed elements, so every v hits one row of
+    // the distinct-value table; its rank interval is [cum−c, cum]
+    val audit = approx
+      .join(base.select(col("lang"), col("n_chars").as("v"),
+        col("c"), col("cum"), col("n")), Seq("lang", "v"))
+      .withColumn("t", expr("(n * p + 99) div 100"))
+      .withColumn("slack", expr(s"(n + $accuracy - 1) div $accuracy"))
+      .withColumn("ok",
+        col("cum") + col("slack") >= col("t") &&
+          col("cum") - col("c") <= col("t") + col("slack"))
+      .groupBy(col("lang")).agg(min(col("ok")).as("within_tol"))
+    exact.join(audit, Seq("lang"))
+      .select(col("lang"), col("n"), col("p50"), col("p90"), col("p99"),
+        col("within_tol"))
+  }
+
   /** Approximate frequent items (heavy hitters) of a column — the
     * one-pass sketch behind "which keys need salting": any value with
     * frequency > `support` is guaranteed present (with false
@@ -108,7 +169,10 @@ object Sketches extends QueryModule {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_bloom_join" -> q50BloomJoin,
-    "q81_hll_audit" -> ((s, d) => hllAudit(T.documents(s, d)))
+    "q81_hll_audit" -> ((s, d) => hllAudit(T.documents(s, d))),
+    // GK quantile-sketch audit: exact disc percentiles + certified
+    // rank-error verdict (q81's contract on the quantile axis)
+    "q99_quantile_audit" -> ((s, d) => quantileAudit(T.documents(s, d)))
   )
 
   override val oracle: Map[String, String] = Map(
@@ -127,6 +191,16 @@ object Sketches extends QueryModule {
     "q81_hll_audit" ->
       """SELECT lang, COUNT(*) AS n_docs,
         |  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+        |  TRUE AS within_tol
+        |FROM documents GROUP BY lang""".stripMargin,
+    // exact columns recomputed, within_tol asserted: a q99 hash
+    // mismatch means "GK sketch out of rank tolerance" (q81's note
+    // applies verbatim — loosen accuracy before debugging correctness)
+    "q99_quantile_audit" ->
+      """SELECT lang, COUNT(*) AS n,
+        |  CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p50,
+        |  CAST(percentile_disc(0.90) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p90,
+        |  CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p99,
         |  TRUE AS within_tol
         |FROM documents GROUP BY lang""".stripMargin
   )

@@ -61,4 +61,38 @@ class SketchesSpec extends SparkSpec {
       .count()
     assert(viaBloom === plain)
   }
+
+  test("quantileAudit: exact percentiles equal a sort reference on " +
+    "random skewed groups, the GK verdict certifies, and a constant " +
+    "column degenerates cleanly") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(97)
+    // skewed lengths: mostly small, a heavy tail, plus a constant group
+    val rows =
+      (0 until 400).map { i =>
+        val lang = if (i % 3 == 0) "en" else "de"
+        val len = if (rnd.nextInt(10) == 0) 5000L + rnd.nextInt(5000)
+                  else 10L + rnd.nextInt(200)
+        (i.toLong, lang, len)
+      } ++ (400 until 430).map(i => (i.toLong, "zz", 77L))
+    val docs = rows.toDF("doc_id", "lang", "n_chars").repartition(7)
+    val got = Sketches.quantileAudit(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))).toMap
+    // disc percentile reference: smallest value at rank ceil(p·n/100)
+    def ref(vals: Seq[Long], p: Int): Long = {
+      val s = vals.sorted
+      s(((vals.size * p + 99) / 100) - 1)
+    }
+    for ((lang, vals0) <- rows.groupBy(_._2)) {
+      val vals = vals0.map(_._3)
+      val (n, p50, p90, p99, ok) = got(lang)
+      assert(n === vals.size, s"$lang n")
+      assert((p50, p90, p99) ===
+        ((ref(vals, 50), ref(vals, 90), ref(vals, 99))), s"$lang percentiles")
+      assert(ok, s"$lang GK sketch violated its rank bound")
+    }
+    assert(got("zz")._2 === 77L && got("zz")._4 === 77L)
+  }
 }
