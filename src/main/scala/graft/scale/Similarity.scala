@@ -499,8 +499,40 @@ object Similarity extends QueryModule {
     * expressions embed: `book(m)(k)` = centroid k of subspace m. Same
     * training as [[pqTrainedCents]] (that DF is this book re-shaped);
     * Seq-of-Seq so the embedding expressions compare structurally. */
-  private def pqTrainBook(emb: DataFrame): Seq[Seq[Seq[Double]]] = {
+  private def pqTrainBook(emb: DataFrame): Seq[Seq[Seq[Double]]] =
+    pqTrainBookFrom(sampleVectors(emb))
+
+  /** Residual training sample for [[annIvfPq]]: the same bounded
+    * sample with each vector replaced by `v − cent(cell(v))` — cell
+    * assignment by the exact [[ivfCellsWith]] contract (argmax cosine
+    * over the first-`nCells` seed, lowest-cell tie-break), subtraction
+    * exact IEEE. Ids are preserved, so the seed-contiguity contract
+    * carries over to the residual book unchanged. */
+  private def residualSample(emb: DataFrame,
+                             nCells: Int): Array[(Long, Array[Double])] = {
     val sample = sampleVectors(emb)
+    requireSeedContiguous(sample, nCells, "IVF-PQ coarse centroid")
+    val cents: Array[Array[Double]] = sample.take(nCells).map(_._2)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    sample.map { case (id, v) =>
+      var bestK = 0
+      var bestC = dot(v, cents(0)) / (math.sqrt(dot(v, v)) * math.sqrt(dot(cents(0), cents(0))))
+      var k = 1
+      while (k < cents.length) {
+        val c = dot(v, cents(k)) / (math.sqrt(dot(v, v)) * math.sqrt(dot(cents(k), cents(k))))
+        if (c > bestC) { bestC = c; bestK = k }
+        k += 1
+      }
+      (id, Array.tabulate(v.length)(i => v(i) - cents(bestK)(i)))
+    }
+  }
+
+  private def pqTrainBookFrom(
+      sample: Array[(Long, Array[Double])]): Seq[Seq[Seq[Double]]] = {
     requireSeedContiguous(sample, PqCodebook, "PQ codebook")
     def slice(v: Array[Double], m: Int): Array[Double] =
       java.util.Arrays.copyOfRange(v, m * PqSubDim, (m + 1) * PqSubDim)
@@ -653,6 +685,115 @@ object Similarity extends QueryModule {
       .select(col("q_id"), col("c_id"), round(col("cos"), 4).as("cos"), col("rank"))
   }
 
+  /** IVF-PQ: the composed production index (FAISS IVFADC, Jégou et
+    * al. 2011) — coarse IVF cells partition the corpus, and product
+    * quantization encodes each vector's RESIDUAL from its cell
+    * centroid (residuals are tighter-clustered than raw vectors, so
+    * the same code rate quantizes finer). Search probes `nProbes`
+    * cells; within each probed cell the query builds a LUT from ITS
+    * residual against that cell (q − centroid_c), ADC-scores the
+    * cell's members by code lookups alone, and the global shortlist is
+    * exact-re-ranked. This is [[annIvf]]'s candidate bound times
+    * [[annPq]]'s memory bound in one plan — at 100 TB the scan touches
+    * probes/cells of the CODE index (bytes per vector) and raw vectors
+    * only for the `refine·k` shortlist.
+    *
+    * Scale shape: cell assignment + residual + code assignment are ONE
+    * corpus scan (centroids and the trained residual book both ride as
+    * plan constants — zero joins, zero shuffles to index); probes are
+    * query-side (nQueries × nProbes rows, broadcast); ADC candidates
+    * are corpus × probes/cells rows, so the shortlist is the bounded
+    * top-k aggregate on negated distance; the re-rank is the q61
+    * broadcast semi-join.
+    *
+    * Determinism: the residual book trains on the bounded sample's
+    * residuals with the same fixed-point Lloyd as [[pqTrainedCents]];
+    * residual subtraction is exact IEEE; every fold (assignment
+    * argmin, LUT terms, ADC sum) keeps the q61-proven operand order;
+    * both rankings tie-break by c_id.
+    *
+    * Measured recall@5 vs brute truth at sf0.001/0.01/0.1:
+    * 0.925/0.925/0.5 — the sf0.1 floor is the compounding of IVF's
+    * 2-of-16-probe candidate restriction with residual-quantization
+    * error on this deliberately NEAR-UNIFORM corpus (ANN's worst
+    * case — see [[annLsh]]'s recall-by-math note). The dials are the
+    * standard ones (`nProbes` for the candidate bound, `refine` for
+    * the ADC shortlist); the spec floors recall at ≥ 0.5 on a
+    * clustered corpus with real neighbor structure. */
+  def annIvfPq(emb: DataFrame, nQueries: Long = 8L, k: Int = TopK,
+               nCells: Int = IvfCells, nProbes: Int = IvfProbes,
+               refine: Int = PqRefine): DataFrame = {
+    val cents = seedCentroidList(emb, nCells)
+    require(cents.map(_._1) == (0L until nCells.toLong),
+      s"IVF-PQ needs contiguous seed cells 0..${nCells - 1}, got " +
+        cents.map(_._1).mkString(","))
+    val book = pqTrainBookFrom(residualSample(emb, nCells))
+    val bookLit = typedLit(book)
+    val centArr = typedLit(cents.map(_._2))
+    // corpus: ONE scan → cell (plan-constant argmax), residual
+    // (plan-constant centroid lookup), residual codes (plan-constant
+    // book). The struct barrier keeps cell from re-evaluating in the
+    // residual lookup (the annIvf generator-barrier discipline).
+    val corpus = Layout.widen(emb)
+      .select(col("vec_id").as("c_id"),
+        explode(array(struct(
+          toDoubleArray(col("embedding")).as("v"),
+          graft.functions.VectorExpressions.argMaxCosine(
+            toDoubleArray(col("embedding")), cents).as("cell_id")))).as("s"))
+      .select(col("c_id"), col("s.cell_id").as("cell_id"),
+        transform(graft.functions.VectorExpressions.pqAssign(
+          zip_with(col("s.v"),
+            element_at(centArr, col("s.cell_id").cast("int") + 1),
+            (a, b) => a - b),
+          book), x => x.getField("k")).as("cks"))
+    // query side: probe the nProbes closest cells (the q38 window over
+    // constant nCells rows), then the per-(query, cell) residual LUT
+    val centsDf = emb.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell_id"),
+        toDoubleArray(col("embedding")).as("centv"))
+    val vecs = emb.select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("cell_id").asc)
+    val probes = vecs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .join(broadcast(centsDf))
+      .select(col("q_id"), col("qv"), col("cell_id"), col("centv"),
+        (dotProduct(col("qv"), col("centv")) /
+          (col("qn") * l2Norm(col("centv")))).as("cos"))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nProbes)
+      .select(col("q_id"), col("cell_id"),
+        zip_with(col("qv"), col("centv"), (a, b) => a - b).as("qres"))
+      .select(col("q_id"), col("cell_id"),
+        transform(pqSubvecs(col("qres")), (sv, m) =>
+          transform(element_at(bookLit, m + lit(1)), cv =>
+            graft.functions.VectorExpressions.squaredL2(sv, cv))).as("lut"))
+    // ADC within probed cells only: adist = ascending-m lookup fold
+    val approx = corpus.join(broadcast(probes), Seq("cell_id"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        aggregate(zip_with(col("cks"), col("lut"),
+          (ck, lm) => element_at(lm, ck + lit(1))),
+          lit(0.0), (a, x) => a + x).as("adist"))
+    val shortlist = approx
+      .groupBy(col("q_id"))
+      .agg(TopKAgg.topK(-col("adist"), col("c_id"), k * refine).as("top"))
+      .select(col("q_id"), explode(col("top.id")).as("c_id"))
+    val qv = vecs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val rw = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    vecs.select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+      .join(broadcast(shortlist), "c_id")
+      .join(broadcast(qv), "q_id")
+      .select(col("q_id"), col("c_id"),
+        (dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), round(col("cos"), 4).as("cos"), col("rank"))
+  }
+
   /** Multi-probe radius the recall audit certifies LSH at — see
     * [[annLsh]]: single-probe (maxFlips 0) measures recall 0.0 on
     * this corpus, so auditing it would certify nothing. */
@@ -725,7 +866,9 @@ object Similarity extends QueryModule {
     "q51_pq_codes" -> ((s, d) => pqCodes(T.embeddings(s, d))),
     "q61_ann_pq" -> ((s, d) => annPq(T.embeddings(s, d))),
     // recall@k certification of all three ANN paths vs brute truth
-    "q88_ann_recall" -> ((s, d) => annRecall(T.embeddings(s, d)))
+    "q88_ann_recall" -> ((s, d) => annRecall(T.embeddings(s, d))),
+    // the composed production index: IVF cells × residual PQ (IVFADC)
+    "q100_ann_ivfpq" -> ((s, d) => annIvfPq(T.embeddings(s, d)))
   )
 
   /** DuckDB literal list for plane p, identical doubles to the plan. */
@@ -752,12 +895,17 @@ object Similarity extends QueryModule {
        |      list_transform(range(1, ${PqSubDim + 1}),
        |        i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))),
        |      (a, b) -> a + b)""".stripMargin
-  private def pqTrainSql: String = {
+  private def pqTrainSql: String = pqTrainSqlFrom("v")
+
+  /** [[pqTrainSql]] with a parameterized source CTE (same shape: a
+    * `(vec_id, v)` double-list relation) — `annIvfPq`'s oracle trains
+    * the book on the RESIDUAL vector table instead of the raw one. */
+  private def pqTrainSqlFrom(src: String): String = {
     val head =
       s"""ts AS (SELECT vec_id, m, ${pqSliceSql("v")} AS sv
-         |  FROM v, range(0, $PqSubspaces) t(m) WHERE vec_id < $PqTrainSample),
+         |  FROM $src, range(0, $PqSubspaces) t(m) WHERE vec_id < $PqTrainSample),
          |cb0 AS (SELECT CAST(vec_id AS INTEGER) AS k, m, ${pqSliceSql("v")} AS cv
-         |  FROM v, range(0, $PqSubspaces) t(m) WHERE vec_id < $PqCodebook),
+         |  FROM $src, range(0, $PqSubspaces) t(m) WHERE vec_id < $PqCodebook),
          |""".stripMargin
     val iters = (1 to PqKmeansIters).map { it =>
       s"""asg$it AS (SELECT m, sv, k FROM (
@@ -896,6 +1044,72 @@ object Similarity extends QueryModule {
         |        * (x - floor(x*(127.0/mx) + 0.5)/(127.0/mx)))),
         |    (a, b) -> a + b) AS sse
         |FROM m WHERE mx > 0""".stripMargin,
+    // IVF-PQ restated: q38's cells/assign, residuals as a vector
+    // table, the SAME train chain sourced from residuals
+    // (pqTrainSqlFrom), q61's code/LUT/ADC machinery with the LUT
+    // keyed by (query, probed cell), q61's shortlist + exact re-rank
+    "q100_ann_ivfpq" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
+         |cents AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn
+         |          FROM n WHERE vec_id < $IvfCells),
+         |assign AS (
+         |  SELECT vec_id, cell_id FROM (
+         |    SELECT a.vec_id, c.cell_id,
+         |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |        ORDER BY list_dot_product(a.v, c.cv)/(a.nrm*c.cn) DESC, c.cell_id ASC) AS rn
+         |    FROM n a, cents c) WHERE rn <= 1),
+         |rv AS (SELECT a.vec_id,
+         |    list_transform(range(1, ${Dim + 1}), i -> x.v[i] - c.cv[i]) AS v
+         |  FROM assign a JOIN n x ON x.vec_id = a.vec_id
+         |  JOIN cents c ON c.cell_id = a.cell_id),
+         |${pqTrainSqlFrom("rv")}
+         |bk AS (SELECT k, m, cv FROM cb$PqKmeansIters),
+         |rsub AS (SELECT vec_id, m, ${pqSliceSql("v")} AS sv
+         |         FROM rv, range(0, $PqSubspaces) t(m)),
+         |d AS (SELECT s.vec_id, s.m, c.k, $pqDistSql AS d
+         |  FROM rsub s JOIN bk c USING (m)),
+         |casg AS (SELECT vec_id AS c_id, m, k AS code FROM (
+         |    SELECT vec_id, m, k,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d ASC, k ASC) AS rn
+         |    FROM d) WHERE rn = 1),
+         |probes AS (SELECT q_id, cell_id FROM (
+         |    SELECT q.vec_id AS q_id, c.cell_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_dot_product(q.v, c.cv)/(q.nrm*c.cn) DESC, c.cell_id ASC) AS rn
+         |    FROM n q, cents c WHERE q.vec_id < 8) WHERE rn <= $IvfProbes),
+         |qres AS (SELECT p.q_id, p.cell_id,
+         |    list_transform(range(1, ${Dim + 1}), i -> q.v[i] - c.cv[i]) AS v
+         |  FROM probes p JOIN n q ON q.vec_id = p.q_id
+         |  JOIN cents c ON c.cell_id = p.cell_id),
+         |qsub AS (SELECT q_id, cell_id, m, ${pqSliceSql("v")} AS sv
+         |         FROM qres, range(0, $PqSubspaces) t(m)),
+         |lut AS (SELECT s.q_id, s.cell_id, s.m, c.k AS code, $pqDistSql AS qd
+         |  FROM qsub s JOIN bk c USING (m)),
+         |approx AS (SELECT a.c_id, l.q_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(l.qd ORDER BY l.m)),
+         |      (x, y) -> x + y) AS adist
+         |  FROM casg a
+         |  JOIN assign av ON av.vec_id = a.c_id
+         |  JOIN lut l ON l.cell_id = av.cell_id AND l.m = a.m AND l.code = a.code
+         |  WHERE l.q_id <> a.c_id
+         |  GROUP BY a.c_id, l.q_id),
+         |short AS (SELECT q_id, c_id FROM (
+         |    SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY adist ASC, c_id ASC) AS rn
+         |    FROM approx)
+         |  WHERE rn <= ${TopK * PqRefine}),
+         |rer AS (SELECT s.q_id, s.c_id,
+         |    list_dot_product(q.v, t.v) / (q.nrm * t.nrm) AS cos
+         |  FROM short s
+         |  JOIN n q ON q.vec_id = s.q_id
+         |  JOIN n t ON t.vec_id = s.c_id),
+         |ranked AS (SELECT q_id, c_id, cos,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, c_id ASC) AS INTEGER) AS rank
+         |  FROM rer)
+         |SELECT q_id, c_id, ROUND(cos, 4) AS cos, rank
+         |FROM ranked WHERE rank <= $TopK""".stripMargin,
     // the four ANN chains above composed into one audit: brute truth,
     // each method's top-k at the same (nQueries=8, k=5) shape, recall
     // per method with its certification threshold. A hash mismatch

@@ -191,6 +191,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!s.contains("Window"), s"scoring must not sort-window:\n$s")
   }
 
+  test("annIvfPq: cell + residual-code assignment ride ONE corpus scan " +
+    "(both kernels plan-constant), probes and shortlist broadcast, " +
+    "shortlist is the bounded top-k — no corpus self-join") {
+    val s = planOf(graft.scale.Similarity.annIvfPq(
+      graft.Tables.embeddings(spark, sf)))
+    assert(s.contains("argmax_cosine") && s.contains("pq_assign"),
+      s"expected both scan-side assignment kernels:\n$s")
+    assert(!s.contains("SortMergeJoin") && !s.contains("CartesianProduct"),
+      s"corpus self-join / cartesian leaked into the plan:\n$s")
+    assert(s.contains("BroadcastHashJoin"),
+      s"probes/shortlist must join by broadcast:\n$s")
+    assert(s.contains("partial_top_k"),
+      s"ADC shortlist must be the bounded top-k aggregate:\n$s")
+  }
+
   test("LPA rounds run ONE aggregate each: weighted_mode fuses the " +
     "ballot tally and argmax, so the per-round second exchange is gone") {
     val s = planOf(graft.scale.Dedup.labelPropagation(

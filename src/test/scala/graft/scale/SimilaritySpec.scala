@@ -211,6 +211,56 @@ class SimilaritySpec extends SparkSpec {
     assert(again === out)
   }
 
+  test("annIvfPq: well-formed per-query boards, candidates only from " +
+    "probed cells, strong recall on clustered data, deterministic rerun") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(11)
+    // clustered corpus (the annRecall fixture shape): real neighbor
+    // structure inside cells, so residual-PQ has something to encode
+    val anchors = Array.fill(10)(Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    val emb = (0 until 60).map { i =>
+      val a = anchors(i % 10)
+      (i.toLong, a.map(x => x + rnd.nextFloat() * 0.1f))
+    }.toDF("vec_id", "embedding").repartition(8)
+    val out = Similarity.annIvfPq(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // boards: ≤ k rows per query, ranks 1..n contiguous, no self-hit
+    val byQ = out.groupBy(_._1)
+    assert(byQ.keySet === (0L until 8L).toSet)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length <= Similarity.TopK)
+      assert(rows.map(_._4).sorted.toSeq === (1 to rows.length))
+      assert(!rows.exists(_._2 == q))
+    }
+    // candidate provenance: every returned neighbor's cell is among
+    // its query's probed cells (the IVF restriction is real)
+    val cells = Similarity.ivfCells(emb).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probes = Similarity.annIvf(emb).collect()
+      .map(r => (r.getLong(0), cells(r.getLong(1)))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    // annIvf's results visit exactly the probed cells, so its result
+    // cells form a valid probe-set reference for the same queries
+    out.foreach { case (q, c, _, _) =>
+      assert(probes(q).contains(cells(c)),
+        s"query $q neighbor $c from unprobed cell ${cells(c)}")
+    }
+    // recall vs brute truth on the clustered corpus: the composed
+    // index must not lose the cluster neighbors residual-PQ encodes
+    val truth = Similarity.knnBrute(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val hits = out.map { case (q, c, _, _) =>
+      if (truth(q).contains(c)) 1 else 0 }.sum
+    val recall = hits.toDouble / truth.values.map(_.size).sum
+    assert(recall >= 0.5, s"IVF-PQ recall@5 $recall below floor")
+    // deterministic rerun (fixed-point training, total tie-breaks)
+    val again = Similarity.annIvfPq(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(again.toSet === out.toSet)
+  }
+
   test("knnBrute's bounded top-k aggregate equals the row_number window " +
     "formulation, including exact cosine ties broken by c_id asc") {
     val spark2 = spark
