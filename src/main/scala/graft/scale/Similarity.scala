@@ -818,6 +818,13 @@ object Similarity extends QueryModule {
   val IvfMinRecall = 0.55
   val PqMinRecall = 0.5
 
+  /** IVF-PQ's certification floor: measured recall@5 is
+    * 0.925/0.925/0.5 at sf0.001/0.01/0.1 (see [[annIvfPq]] — the
+    * sf0.1 value is the compounded IVF probe restriction × residual
+    * quantization error on the near-uniform corpus), so the bar sits
+    * 0.2 under the worst measurement, the LSH-arm margin discipline. */
+  val IvfPqMinRecall = 0.3
+
   /** Recall-audit gate for the three ANN paths — certifies index
     * QUALITY the way [[Sketches.hllAudit]] certifies sketch accuracy:
     * each method's top-k against the exact [[knnBrute]] ground truth
@@ -853,6 +860,7 @@ object Similarity extends QueryModule {
     audit("lsh_mp", annLsh(emb, nQueries, k, LshProbeFlips), LshMinRecall)
       .unionByName(audit("ivf", annIvf(emb, nQueries, k), IvfMinRecall))
       .unionByName(audit("pq", annPq(emb, nQueries, k), PqMinRecall))
+      .unionByName(audit("ivfpq", annIvfPq(emb, nQueries, k), IvfPqMinRecall))
   }
 
   // ---- driver-gate query registry ----
@@ -899,27 +907,29 @@ object Similarity extends QueryModule {
 
   /** [[pqTrainSql]] with a parameterized source CTE (same shape: a
     * `(vec_id, v)` double-list relation) — `annIvfPq`'s oracle trains
-    * the book on the RESIDUAL vector table instead of the raw one. */
-  private def pqTrainSqlFrom(src: String): String = {
+    * the book on the RESIDUAL vector table instead of the raw one.
+    * `sfx` suffixes every emitted CTE name so two train chains (raw +
+    * residual) can coexist in one WITH (the q88 four-arm audit). */
+  private def pqTrainSqlFrom(src: String, sfx: String = ""): String = {
     val head =
-      s"""ts AS (SELECT vec_id, m, ${pqSliceSql("v")} AS sv
+      s"""ts$sfx AS (SELECT vec_id, m, ${pqSliceSql("v")} AS sv
          |  FROM $src, range(0, $PqSubspaces) t(m) WHERE vec_id < $PqTrainSample),
-         |cb0 AS (SELECT CAST(vec_id AS INTEGER) AS k, m, ${pqSliceSql("v")} AS cv
+         |cb0$sfx AS (SELECT CAST(vec_id AS INTEGER) AS k, m, ${pqSliceSql("v")} AS cv
          |  FROM $src, range(0, $PqSubspaces) t(m) WHERE vec_id < $PqCodebook),
          |""".stripMargin
     val iters = (1 to PqKmeansIters).map { it =>
-      s"""asg$it AS (SELECT m, sv, k FROM (
+      s"""asg$it$sfx AS (SELECT m, sv, k FROM (
          |    SELECT s.m, s.sv, c.k,
          |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
          |        ORDER BY $pqDistSql ASC, c.k ASC) AS rn
-         |    FROM ts s JOIN cb${it - 1} c USING (m)) WHERE rn = 1),
-         |comp$it AS (SELECT m, k, i,
+         |    FROM ts$sfx s JOIN cb${it - 1}$sfx c USING (m)) WHERE rn = 1),
+         |comp$it$sfx AS (SELECT m, k, i,
          |    CAST(SUM(CAST(floor(sv[i]*1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
          |      / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS x
-         |  FROM asg$it, range(1, ${PqSubDim + 1}) t(i) GROUP BY m, k, i),
-         |mv$it AS (SELECT m, k, list(x ORDER BY i) AS cv FROM comp$it GROUP BY m, k),
-         |cb$it AS (SELECT g.k, g.m, COALESCE(n.cv, g.cv) AS cv
-         |  FROM cb${it - 1} g LEFT JOIN mv$it n ON n.m = g.m AND n.k = g.k),
+         |  FROM asg$it$sfx, range(1, ${PqSubDim + 1}) t(i) GROUP BY m, k, i),
+         |mv$it$sfx AS (SELECT m, k, list(x ORDER BY i) AS cv FROM comp$it$sfx GROUP BY m, k),
+         |cb$it$sfx AS (SELECT g.k, g.m, COALESCE(n.cv, g.cv) AS cv
+         |  FROM cb${it - 1}$sfx g LEFT JOIN mv$it$sfx n ON n.m = g.m AND n.k = g.k),
          |""".stripMargin
     }.mkString
     head + iters
@@ -1197,6 +1207,50 @@ object Similarity extends QueryModule {
          |pq AS (SELECT q_id, c_id FROM (
          |    SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id
          |      ORDER BY cos DESC, c_id ASC) AS rn FROM prer)
+         |  WHERE rn <= $TopK),
+         |rv AS (SELECT a.vec_id,
+         |    list_transform(range(1, ${Dim + 1}), i -> x.v[i] - c.cv[i]) AS v
+         |  FROM assign a JOIN n x ON x.vec_id = a.vec_id
+         |  JOIN cents c ON c.cell_id = a.cell_id),
+         |${pqTrainSqlFrom("rv", "r")}
+         |rbk AS (SELECT k, m, cv FROM cb${PqKmeansIters}r),
+         |rsub AS (SELECT vec_id, m, ${pqSliceSql("v")} AS sv
+         |         FROM rv, range(0, $PqSubspaces) t(m)),
+         |rd AS (SELECT s.vec_id, s.m, c.k, $pqDistSql AS d
+         |  FROM rsub s JOIN rbk c USING (m)),
+         |rcasg AS (SELECT vec_id AS c_id, m, k AS code FROM (
+         |    SELECT vec_id, m, k,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d ASC, k ASC) AS rn
+         |    FROM rd) WHERE rn = 1),
+         |rqres AS (SELECT p.q_id, p.cell_id,
+         |    list_transform(range(1, ${Dim + 1}), i -> q.v[i] - c.cv[i]) AS v
+         |  FROM probes p JOIN n q ON q.vec_id = p.q_id
+         |  JOIN cents c ON c.cell_id = p.cell_id),
+         |rqsub AS (SELECT q_id, cell_id, m, ${pqSliceSql("v")} AS sv
+         |          FROM rqres, range(0, $PqSubspaces) t(m)),
+         |rlut AS (SELECT s.q_id, s.cell_id, s.m, c.k AS code, $pqDistSql AS qd
+         |  FROM rqsub s JOIN rbk c USING (m)),
+         |rapprox AS (SELECT a.c_id, l.q_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(l.qd ORDER BY l.m)),
+         |      (x, y) -> x + y) AS adist
+         |  FROM rcasg a
+         |  JOIN assign av ON av.vec_id = a.c_id
+         |  JOIN rlut l ON l.cell_id = av.cell_id AND l.m = a.m AND l.code = a.code
+         |  WHERE l.q_id <> a.c_id
+         |  GROUP BY a.c_id, l.q_id),
+         |rshort AS (SELECT q_id, c_id FROM (
+         |    SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY adist ASC, c_id ASC) AS rn
+         |    FROM rapprox)
+         |  WHERE rn <= ${TopK * PqRefine}),
+         |rrer AS (SELECT s.q_id, s.c_id,
+         |    list_dot_product(q.v, t.v) / (q.nrm * t.nrm) AS cos
+         |  FROM rshort s
+         |  JOIN n q ON q.vec_id = s.q_id
+         |  JOIN n t ON t.vec_id = s.c_id),
+         |ivfpq AS (SELECT q_id, c_id FROM (
+         |    SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, c_id ASC) AS rn FROM rrer)
          |  WHERE rn <= $TopK)
          |SELECT 'lsh_mp' AS method, t.n AS n_truth, h.c AS n_hits,
          |  ROUND(CAST(h.c AS DOUBLE)/t.n, 4) AS recall,
@@ -1214,6 +1268,12 @@ object Similarity extends QueryModule {
          |  ROUND(CAST(h.c AS DOUBLE)/t.n, 4) AS recall,
          |  ROUND(CAST(h.c AS DOUBLE)/t.n, 4) >= $PqMinRecall AS recall_ok
          |FROM tcount t, (SELECT COUNT(*) AS c FROM pq s
+         |  JOIN truth u ON s.q_id = u.q_id AND s.c_id = u.c_id) h
+         |UNION ALL
+         |SELECT 'ivfpq' AS method, t.n AS n_truth, h.c AS n_hits,
+         |  ROUND(CAST(h.c AS DOUBLE)/t.n, 4) AS recall,
+         |  ROUND(CAST(h.c AS DOUBLE)/t.n, 4) >= $IvfPqMinRecall AS recall_ok
+         |FROM tcount t, (SELECT COUNT(*) AS c FROM ivfpq s
          |  JOIN truth u ON s.q_id = u.q_id AND s.c_id = u.c_id) h""".stripMargin,
     "q32_ann_lsh" ->
       s"""WITH b AS (
