@@ -261,6 +261,40 @@ class SimilaritySpec extends SparkSpec {
     assert(again.toSet === out.toSet)
   }
 
+  test("persisted IVF-PQ index: search-from-index equals the from-scratch " +
+    "search exactly, and the codes scan prunes to the probed cells' " +
+    "partitions") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(13)
+    val anchors = Array.fill(10)(Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    val emb = (0 until 60).map { i =>
+      val a = anchors(i % 10)
+      (i.toLong, a.map(x => x + rnd.nextFloat() * 0.1f))
+    }.toDF("vec_id", "embedding").repartition(8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    Similarity.buildIvfPqIndex(emb, dir)
+    val fromIndex = Similarity.annIvfPqFromIndex(spark, dir, emb)
+    val fresh = Similarity.annIvfPq(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(fromIndex.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet === fresh)
+    // the serving contract: the codes scan must carry a static
+    // partition filter on cell_id — unprobed cells are never read
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell_id"),
+      s"expected a static cell_id partition filter in:\n$plan")
+    // index reads tolerate the seed rows leaving the vector table:
+    // the search metadata comes from dir/cents, not emb — dropping a
+    // NON-seed, non-query vector from emb only shrinks the re-rank
+    val embLess = emb.filter(
+      org.apache.spark.sql.functions.col("vec_id") =!= 59L)
+    val still = Similarity.annIvfPqFromIndex(spark, dir, embLess)
+      .collect()
+    assert(still.nonEmpty)
+  }
+
   test("knnBrute's bounded top-k aggregate equals the row_number window " +
     "formulation, including exact cosine ties broken by c_id asc") {
     val spark2 = spark
