@@ -192,6 +192,91 @@ object EventStreams {
       }
   }
 
+  /** Streaming semantic-dedup gate — batch q95 `semDedup`'s verdict
+    * applied per ARRIVING vector against a fixed REFERENCE corpus (the
+    * kept set a curation run already settled on): assign the arrival
+    * to its cluster, compare it against the reference members of THAT
+    * cluster only, and flag it a semantic near-dup if any clears
+    * `minCos`. For an arrival whose id outranks every reference id
+    * this is EXACTLY the batch contract — `semDedup(ref ∪ {arrival})`
+    * prunes the arrival iff it has at least one same-cell near-dup
+    * edge into the reference (it can never be its component's minimum)
+    * — and the spec pins that equality. Arrival-vs-arrival duplication
+    * is deliberately out of scope (the batch path's job on the next
+    * compaction), the same split [[dedupeNear]] documents.
+    *
+    * Scale design, mirroring [[decontaminateGate]]: the gate is
+    * STATELESS — centroids AND the cell-partitioned reference vectors
+    * ride broadcast (a BOUNDED kept-set, the eval-set discipline; an
+    * unbounded corpus reference belongs to the batch path), so each
+    * arrival costs one argmax over nCells plus one scan of its OWN
+    * cell's members — corpus/nCells work per event, no keyed state,
+    * no watermark coupling. */
+  def semDedupGate(vecs: DataFrame, refEmb: DataFrame,
+                   minCos: Double = 0.3,
+                   nCells: Int = graft.scale.Similarity.IvfCells):
+      Dataset[SemDupVerdict] = {
+    import vecs.sparkSession.implicits._
+    import graft.functions.PortableFuncs.toDoubleArray
+    val cents: Seq[(Long, Seq[Double])] =
+      graft.scale.Similarity.seedCentroidList(refEmb, nCells)
+    require(cents.map(_._1) == (0L until nCells.toLong),
+      s"semDedupGate needs contiguous seed cells 0..${nCells - 1}")
+    val centArr: Array[Array[Double]] = cents.map(_._2.toArray).toArray
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    def cellOf(v: Array[Double]): Int = {
+      var bestK = 0; var bestC = cos(v, centArr(0)); var k = 1
+      while (k < centArr.length) {
+        val c = cos(v, centArr(k))
+        if (c > bestC) { bestC = c; bestK = k }
+        k += 1
+      }
+      bestK
+    }
+    // the reference, cell-partitioned — one bounded collect at stream
+    // start, the decontaminateGate eval-set discipline
+    val refByCell: Map[Int, Array[(Long, Array[Double])]] = refEmb
+      .select(col("vec_id"), toDoubleArray(col("embedding"))).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .groupBy { case (_, v) => cellOf(v) }
+      .map { case (c, ms) => c -> ms.sortBy(_._1) }
+    val refBc = vecs.sparkSession.sparkContext.broadcast(refByCell)
+    val centBc = vecs.sparkSession.sparkContext.broadcast(centArr)
+    vecs
+      .select(col("vec_id"), col("ts"), toDoubleArray(col("embedding")).as("v"))
+      .as[(Long, Timestamp, Seq[Double])]
+      .map { case (id, t, vs) =>
+        val v = vs.toArray
+        val ca = centBc.value
+        var bestK = 0; var bestC = dot(v, ca(0)) /
+          (math.sqrt(dot(v, v)) * math.sqrt(dot(ca(0), ca(0))))
+        var k = 1
+        while (k < ca.length) {
+          val c = dot(v, ca(k)) /
+            (math.sqrt(dot(v, v)) * math.sqrt(dot(ca(k), ca(k))))
+          if (c > bestC) { bestC = c; bestK = k }
+          k += 1
+        }
+        // best same-cell reference match: cos DESC, ref id ASC tiebreak
+        var maxCos = Double.NegativeInfinity
+        var bestRef = -1L
+        refBc.value.getOrElse(bestK, Array.empty).foreach { case (rid, rv) =>
+          val c = dot(v, rv) / (math.sqrt(dot(v, v)) * math.sqrt(dot(rv, rv)))
+          if (c > maxCos) { maxCos = c; bestRef = rid }
+        }
+        val dup = maxCos >= minCos
+        SemDupVerdict(id, t, bestK.toLong,
+          if (bestRef >= 0) maxCos else 0.0,
+          if (dup) Some(bestRef) else None, dup)
+      }
+  }
+
   /** Streaming mixture-drift monitor — the ingestion-time counterpart
     * of batch q94 `tokenDrift`: per (event-time window, source), how
     * far arriving text is drifting from a REFERENCE corpus (the one
@@ -545,6 +630,14 @@ case class Doc(doc_id: Long, ts: Timestamp, text: String)
   * passes clean (the batch form simply has no row for it). */
 case class ContamVerdict(doc_id: Long, ts: Timestamp, n_shingles: Long,
                          n_overlap: Long, contaminated: Boolean)
+
+/** Per-arrival verdict of [[EventStreams.semDedupGate]]: the arrival's
+  * cluster, its best same-cell reference cosine (0 when the cell is
+  * empty), the reference id it duplicates (None when kept), and the
+  * gate decision. */
+case class SemDupVerdict(vec_id: Long, ts: Timestamp, cell_id: Long,
+                         max_cos: Double, near_dup_of: Option[Long],
+                         is_dup: Boolean)
 
 /** Per-signature claimant state for [[EventStreams.dedupeNear]]. */
 case class SigState(docId: Long, firstTs: Long)

@@ -343,6 +343,62 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("semDedupGate: per-arrival verdicts equal the batch semDedup " +
+    "keep-flag on ref ∪ {arrival}; novel directions pass; " +
+    "arrival-vs-arrival dups are out of scope by contract") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(17)
+    val dim = 64
+    def unit(v: Array[Double]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(x => (x / n).toFloat)
+    }
+    val anchors = Array.tabulate(4)(g =>
+      Array.tabulate(dim)(i => math.sin(g * 89 + i * 17 + 1.0)))
+    // reference corpus: ids 0..19, clustered around the anchors (the
+    // first 4 are the anchors themselves = the seed centroids)
+    val ref = (0 until 20).map { i =>
+      val a = anchors(i % 4)
+      (i.toLong, unit(a.map(x => x + rnd.nextGaussian() * 0.02)))
+    }
+    val refDf = ref.toDF("vec_id", "embedding")
+    val minCos = 0.9
+    // arrivals: a jittered copy of a ref member (dup), a novel
+    // orthogonal-ish direction (kept), and a near-copy of the novel
+    // arrival (ALSO kept — arrival-vs-arrival is out of scope)
+    val novel = Array.tabulate(dim)(i => if (i % 2 == 0) 1.0 else -1.0)
+    val arrivals = Seq(
+      (100L, ts(0), unit(anchors(1).map(x => x + rnd.nextGaussian() * 0.02))),
+      (101L, ts(1), unit(novel)),
+      (102L, ts(2), unit(novel.map(x => x + rnd.nextGaussian() * 0.02))))
+    val src = MemoryStream[(Long, Timestamp, Array[Float])]
+    val q = EventStreams.semDedupGate(
+        src.toDF().toDF("vec_id", "ts", "embedding"), refDf,
+        minCos = minCos, nCells = 4)
+      .writeStream.format("memory").queryName("sdg").outputMode("append").start()
+    try {
+      src.addData(arrivals: _*)
+      q.processAllAvailable()
+      val got = spark.table("sdg").collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          ((r.getAs[Boolean]("is_dup"), r.getAs[Long]("cell_id")))).toMap
+      // batch contract per arrival: semDedup(ref ∪ {a}) prunes a iff
+      // the gate flags it (a's id outranks every reference id)
+      arrivals.foreach { case (id, _, v) =>
+        val batch = graft.scale.Dedup.semDedup(
+            (ref :+ (id, v)).toDF("vec_id", "embedding"),
+            minCos = minCos, nCells = 4)
+          .filter(org.apache.spark.sql.functions.col("vec_id") === id)
+          .head()
+        assert(got(id)._1 === !batch.getBoolean(2),
+          s"arrival $id gate vs batch keep")
+        assert(got(id)._2 === batch.getLong(1), s"arrival $id cell")
+      }
+      assert(got(100L)._1 && !got(101L)._1 && !got(102L)._1)
+    } finally q.stop()
+  }
+
   test("span-index sink: streamed folds equal the batch spanIndex, " +
     "replay is refused, and the disjoint-batch contract is asserted") {
     val spark2 = spark
