@@ -655,6 +655,35 @@ object Dedup extends QueryModule {
         coalesce(col("cluster_id") === col("vec_id"), lit(true)).as("keep"))
   }
 
+  /** Eval-contamination rolled up BY INGEST SOURCE — the operational
+    * report behind [[decontaminate]]'s per-doc verdicts: when a
+    * benchmark leaks into training data it usually leaks through ONE
+    * pipeline (a crawl that indexed the benchmark site, a dataset that
+    * embedded it), and this is the query that names it. Per corpus
+    * source: docs checked, docs contaminated, total overlapping
+    * shingles, and the contamination rate.
+    *
+    * Universe note: inherits q71's contract — docs too short to form a
+    * shingle carry no verdict and are excluded from their source's
+    * denominator (they cannot leak what they cannot contain).
+    *
+    * Scale design: the per-doc verdicts are the q71 plan unchanged
+    * (broadcast eval shingles, one corpus pass); the source attach is
+    * a doc_id equi-join and the rollup is a tiny group-by-source with
+    * map-side partials. */
+  def contaminationBySource(docs: DataFrame,
+                            evalMaxId: Long = 25L): DataFrame = {
+    val per = decontaminate(docs, evalMaxId)
+    docs.select(col("doc_id"), col("source"))
+      .join(per, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("contaminated"), 1)).as("n_contaminated"),
+        coalesce(sum(col("n_overlap")), lit(0L)).as("n_overlap"),
+        round(count(when(col("contaminated"), 1)).cast("double") /
+          count(lit(1)), 4).as("contamination_rate"))
+  }
+
   /** Benchmark decontamination — the n-gram–overlap check every
     * training-data pipeline runs against its eval sets (the GPT-3 /
     * Gopher "13-gram collision" rule, here on the word-shingle
@@ -1183,6 +1212,9 @@ object Dedup extends QueryModule {
     // benchmark-suite decontamination: Bloom prefilter + exact shuffle
     // confirm; result asserted identical to the exact q71 form
     "q93_decontaminate_bloom" -> ((s, d) => decontaminateBloom(T.documents(s, d))),
+    // which ingest source leaks eval data: q71 rolled up by source
+    "q101_contamination_by_source" -> ((s, d) =>
+      contaminationBySource(T.documents(s, d))),
     // memorization risk: shingles shared across >3 documents
     "q76_repeated_ngrams" -> ((s, d) => repeatedNgrams(T.documents(s, d))),
     // incremental ingest: batch (id >= 400) deduped against corpus (< 400)
@@ -1454,6 +1486,22 @@ object Dedup extends QueryModule {
          |  ROUND(CAST(n_hot AS DOUBLE) / n_shingles, 4) AS hot_frac,
          |  (n_hot > 0) AS flagged
          |FROM st""".stripMargin,
+    // q71's CTEs verbatim, rolled up by the corpus doc's source
+    "q101_contamination_by_source" ->
+      s"""WITH $shingleCte,
+         |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 25),
+         |corpus AS (SELECT doc_id, sh FROM sh WHERE doc_id >= 25),
+         |st AS (SELECT c.doc_id, COUNT(*) AS n_shingles,
+         |         COUNT(e.sh) AS n_overlap
+         |       FROM corpus c LEFT JOIN ev e ON e.sh = c.sh
+         |       GROUP BY c.doc_id)
+         |SELECT d.source, COUNT(*) AS n_docs,
+         |  COUNT(CASE WHEN st.n_overlap >= 1 THEN 1 END) AS n_contaminated,
+         |  CAST(SUM(st.n_overlap) AS BIGINT) AS n_overlap,
+         |  ROUND(CAST(COUNT(CASE WHEN st.n_overlap >= 1 THEN 1 END) AS DOUBLE)
+         |        / COUNT(*), 4) AS contamination_rate
+         |FROM st JOIN documents d USING (doc_id)
+         |GROUP BY d.source""".stripMargin,
     "q71_decontaminate" ->
       s"""WITH $shingleCte,
          |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 25),

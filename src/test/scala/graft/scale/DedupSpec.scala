@@ -1024,6 +1024,30 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("contaminationBySource names the leaking source: per-source " +
+    "rates from q71 verdicts, shingle-less docs excluded from the " +
+    "denominator") {
+    val spark2 = spark
+    import spark2.implicits._
+    val evalPhrase = "the held out benchmark question about rivers"
+    val docs = Seq(
+      (1L, "na", evalPhrase + " and its official answer text here"),
+      // crawlA leaked the benchmark; crawlB is clean; the two-word doc
+      // in crawlB forms no 4-shingle and must not count at all
+      (30L, "crawlA", s"scraped page containing $evalPhrase verbatim body"),
+      (31L, "crawlA", "another crawlA page with entirely original words"),
+      (32L, "crawlB", "clean corpus text about mountains and weather"),
+      (33L, "crawlB", "two words")
+    ).toDF("doc_id", "source", "text")
+    val out = Dedup.contaminationBySource(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))).toMap
+    assert(out.keySet === Set("crawlA", "crawlB"))
+    val (aDocs, aCont, aOver, aRate) = out("crawlA")
+    assert(aDocs === 2L && aCont === 1L && aOver >= 1L && aRate === 0.5)
+    assert(out("crawlB") === ((1L, 0L, 0L, 0.0)))
+  }
+
   test("semDedup equals a brute-force assign/pair/union-find reference " +
     "on clustered random vectors") {
     val spark2 = spark
