@@ -684,6 +684,54 @@ object Dedup extends QueryModule {
           count(lit(1)), 4).as("contamination_rate"))
   }
 
+  /** Eval-contamination broken down BY EVAL SUITE — the other axis of
+    * [[contaminationBySource]]: q101 names the pipeline a benchmark
+    * leaked THROUGH, this names the benchmark that leaked. Suite = the
+    * eval document's `source` (a held-out set is a union of benchmark
+    * suites; here each eval source plays one suite). Per suite: eval
+    * docs and distinct eval shingles (the suite's own size), corpus
+    * docs hit, total overlapping shingle instances, and the hit rate
+    * over q71's corpus universe (docs with ≥ 1 shingle). A corpus
+    * shingle matching two suites counts in both — per-suite verdicts
+    * are independent contamination checks, not a partition.
+    *
+    * Scale design: suite-tagged eval shingles are still only
+    * benchmark-sized — broadcast, exactly like q71; the corpus side is
+    * ONE pass over the same checkpointed shingle stream (inner
+    * broadcast join this time — non-hits carry no suite and are only
+    * needed for the universe denominator, a one-row stat crossJoined
+    * back). Rollups group by (suite, doc) then suite with map-side
+    * partials; zero-hit suites re-enter via the left join from the
+    * suite-catalog side, so a clean suite reports 0 instead of
+    * vanishing. */
+  def decontaminateBySuite(docs: DataFrame, evalMaxId: Long = 25L): DataFrame = {
+    val sh = shingleTable(docs).localCheckpoint()
+    val suites = docs.filter(col("doc_id") < evalMaxId)
+      .select(col("doc_id"), col("source").as("suite"))
+    val ev = sh.filter(col("doc_id") < evalMaxId)
+      .join(broadcast(suites), Seq("doc_id"))
+      .select(col("suite"), col("sh")).distinct()
+    val suiteStats = suites.groupBy(col("suite"))
+      .agg(count(lit(1)).as("n_eval_docs"))
+      .join(ev.groupBy(col("suite")).agg(count(lit(1)).as("n_eval_shingles")),
+        Seq("suite"), "left")
+    val corpus = sh.filter(col("doc_id") >= evalMaxId)
+    val hits = corpus.join(broadcast(ev), Seq("sh"))
+      .groupBy(col("suite"), col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .groupBy(col("suite"))
+      .agg(count(lit(1)).as("n_docs_hit"), sum(col("n_overlap")).as("n_overlap"))
+    val universe = corpus.agg(
+      countDistinct(col("doc_id")).as("n_corpus_docs"))
+    suiteStats.join(hits, Seq("suite"), "left").crossJoin(universe)
+      .select(col("suite"), col("n_eval_docs"),
+        coalesce(col("n_eval_shingles"), lit(0L)).as("n_eval_shingles"),
+        coalesce(col("n_docs_hit"), lit(0L)).as("n_docs_hit"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        round(coalesce(col("n_docs_hit"), lit(0L)).cast("double") /
+          col("n_corpus_docs"), 4).as("hit_rate"))
+  }
+
   /** Benchmark decontamination — the n-gram–overlap check every
     * training-data pipeline runs against its eval sets (the GPT-3 /
     * Gopher "13-gram collision" rule, here on the word-shingle
@@ -1215,6 +1263,9 @@ object Dedup extends QueryModule {
     // which ingest source leaks eval data: q71 rolled up by source
     "q101_contamination_by_source" -> ((s, d) =>
       contaminationBySource(T.documents(s, d))),
+    // which eval suite leaked: per-suite contamination breakdown
+    "q102_decontaminate_by_suite" -> ((s, d) =>
+      decontaminateBySuite(T.documents(s, d))),
     // memorization risk: shingles shared across >3 documents
     "q76_repeated_ngrams" -> ((s, d) => repeatedNgrams(T.documents(s, d))),
     // incremental ingest: batch (id >= 400) deduped against corpus (< 400)
@@ -1502,6 +1553,34 @@ object Dedup extends QueryModule {
          |        / COUNT(*), 4) AS contamination_rate
          |FROM st JOIN documents d USING (doc_id)
          |GROUP BY d.source""".stripMargin,
+    // q71's shingle CTEs with the eval side tagged by its doc's source
+    // (= suite); zero-hit suites re-enter via the catalog left join
+    "q102_decontaminate_by_suite" ->
+      s"""WITH $shingleCte,
+         |suites AS (SELECT doc_id, source AS suite FROM documents
+         |           WHERE doc_id < 25),
+         |ev AS (SELECT DISTINCT u.suite, s.sh
+         |       FROM sh s JOIN suites u USING (doc_id)),
+         |sst AS (SELECT u.suite, COUNT(*) AS n_eval_docs FROM suites u
+         |        GROUP BY u.suite),
+         |est AS (SELECT suite, COUNT(*) AS n_eval_shingles FROM ev
+         |        GROUP BY suite),
+         |corpus AS (SELECT doc_id, sh FROM sh WHERE doc_id >= 25),
+         |uni AS (SELECT COUNT(DISTINCT doc_id) AS n_corpus_docs FROM corpus),
+         |hits AS (SELECT suite, doc_id, COUNT(*) AS n_overlap
+         |         FROM corpus c JOIN ev e ON e.sh = c.sh
+         |         GROUP BY suite, doc_id),
+         |per AS (SELECT suite, COUNT(*) AS n_docs_hit,
+         |          CAST(SUM(n_overlap) AS BIGINT) AS n_overlap
+         |        FROM hits GROUP BY suite)
+         |SELECT sst.suite, sst.n_eval_docs,
+         |  COALESCE(est.n_eval_shingles, 0) AS n_eval_shingles,
+         |  COALESCE(per.n_docs_hit, 0) AS n_docs_hit,
+         |  COALESCE(per.n_overlap, 0) AS n_overlap,
+         |  ROUND(CAST(COALESCE(per.n_docs_hit, 0) AS DOUBLE)
+         |        / uni.n_corpus_docs, 4) AS hit_rate
+         |FROM sst LEFT JOIN est USING (suite)
+         |LEFT JOIN per USING (suite), uni""".stripMargin,
     "q71_decontaminate" ->
       s"""WITH $shingleCte,
          |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 25),

@@ -1048,6 +1048,37 @@ class DedupSpec extends SparkSpec {
     assert(out("crawlB") === ((1L, 0L, 0L, 0.0)))
   }
 
+  test("decontaminateBySuite names the leaking suite: per-suite hit " +
+    "counts over the q71 corpus universe, zero-hit and shingle-less " +
+    "suites report zeros") {
+    val spark2 = spark
+    import spark2.implicits._
+    val leak = "the held out benchmark question about rivers"
+    val docs = Seq(
+      // suiteX leaks into doc 30; suiteY is clean; suiteZ's only eval
+      // doc is too short to form a shingle (n_eval_shingles = 0)
+      (1L, "suiteX", leak + " and its official answer text here"),
+      (2L, "suiteY", "a different benchmark prompt about ancient coins"),
+      (3L, "suiteZ", "tiny eval"),
+      (30L, "crawlA", s"scraped page containing $leak verbatim body"),
+      (31L, "crawlA", "another crawlA page with entirely original words"),
+      // two words → no shingle → outside the universe denominator
+      (32L, "crawlB", "two words")
+    ).toDF("doc_id", "source", "text")
+    val out = Dedup.decontaminateBySuite(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out.keySet === Set("suiteX", "suiteY", "suiteZ"))
+    val (xDocs, xShingles, xHit, xOver, xRate) = out("suiteX")
+    assert(xDocs === 1L && xShingles >= 5L && xHit === 1L && xOver >= 1L)
+    // universe = docs 30 and 31 (doc 32 forms no shingle) → rate 1/2
+    assert(xRate === 0.5)
+    val (yDocs, yShingles, yHit, yOver, yRate) = out("suiteY")
+    assert(yDocs === 1L && yShingles >= 1L &&
+      yHit === 0L && yOver === 0L && yRate === 0.0)
+    assert(out("suiteZ") === ((1L, 0L, 0L, 0L, 0.0)))
+  }
+
   test("semDedup equals a brute-force assign/pair/union-find reference " +
     "on clustered random vectors") {
     val spark2 = spark
