@@ -95,6 +95,73 @@ object Dedup extends QueryModule {
       .agg(count(lit(1)).as("n_bands"))
   }
 
+  /** Certify-the-sketch for MinHash — the q81/q99 audit contract
+    * applied to the dedup sketch itself: for every LSH candidate pair
+    * (band-sharing, the pairs the pipeline would actually act on),
+    * the signature-agreement estimate of Jaccard (matching components
+    * / numHashes — the estimator MinHash exists to provide) is put
+    * next to the EXACT Jaccard of the uncapped distinct-shingle sets,
+    * and the absolute error is gated. A drifting hash kernel, a
+    * silently reordered signature, or a banding bug all surface here
+    * as `within_tol = false` rows before they corrupt a dedup run.
+    *
+    * tol: k = 16 components ⇒ se(est) = sqrt(j(1-j)/16) ≤ 0.125;
+    * band-sharing conditions the sample toward agreement, so the
+    * error is one-sided-ish and bounded well inside 3·se. Measured
+    * max |err| at sf0.001/0.01/0.1: 0.1106 / 0.1389 / 0.2222
+    * (28 / 25 / 256 candidate pairs); tol = 0.45 keeps a ≥ 0.22
+    * margin under the worst measurement (the q88 margin discipline).
+    *
+    * Scale design: ONE tokenize pass (the words table is checkpointed;
+    * signatures and band hashes are scan-side kernel projections of
+    * it); candidates come from the band-equality self-join (the q26
+    * shape, short keys); the exact-Jaccard side never self-joins the
+    * shingle table — each candidate pair routes doc_a's shingles
+    * through an equality join on (doc_b, sh), so the audit's shuffle
+    * is O(candidates × shingles/doc), bounded by the LSH output, not
+    * O(shingle-df²). At 100 TB this audit runs on the same plan at
+    * whatever candidate rate the banding yields. */
+  def minhashAudit(docs: DataFrame, tol: Double = 0.45): DataFrame = {
+    import graft.functions.MinHashExpression.{minhashBandHashes, minhashSig}
+    val wa = wordArrays(docs).localCheckpoint()
+    val sigs = wa.select(col("doc_id"),
+      minhashSig(col("ws"), ShingleSize, NumMinhashes).as("sig"))
+    val bands = wa.select(col("doc_id"),
+      posexplode(minhashBandHashes(col("ws"), ShingleSize, NumMinhashes,
+        NumBands)).as(Seq("b", "bv")))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.b") === col("b.b") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sh = wa.select(col("doc_id"),
+      explode(distinctShingles(col("ws"), ShingleSize)).as("sh"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    val est = col("matches").cast("double") / lit(16)
+    val exact = col("inter").cast("double") /
+      (col("na") + col("nb") - col("inter"))
+    // band-sharing ⇒ ≥ 1 shared min-shingle ⇒ inter ≥ 1: the inner
+    // inter join keeps exactly one row per candidate pair (md5
+    // collisions aside), so inter IS the candidate list with counts
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .withColumn("matches",
+        size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, lit(1))), c => c.isNotNull)))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        est.as("est"),
+        round(exact, 4).as("jaccard"),
+        round(abs(est - exact), 4).as("err"),
+        (abs(est - exact) <= lit(tol)).as("within_tol"))
+  }
+
   /** 60-bit SimHash over word occurrences (frequency-weighted): bit b is
     * the sign of Σ±1 over token-hash bit b. Near-dups then differ in
     * few bits (Hamming ≤ k via [[simhashPairs]]).
@@ -1266,6 +1333,9 @@ object Dedup extends QueryModule {
     // which eval suite leaked: per-suite contamination breakdown
     "q102_decontaminate_by_suite" -> ((s, d) =>
       decontaminateBySuite(T.documents(s, d))),
+    // certify-the-sketch for MinHash: signature-agreement estimate vs
+    // exact Jaccard on every LSH candidate pair, error gated
+    "q103_minhash_audit" -> ((s, d) => minhashAudit(T.documents(s, d))),
     // memorization risk: shingles shared across >3 documents
     "q76_repeated_ngrams" -> ((s, d) => repeatedNgrams(T.documents(s, d))),
     // incremental ingest: batch (id >= 400) deduped against corpus (< 400)
@@ -1324,6 +1394,10 @@ object Dedup extends QueryModule {
     val parts = (0 until NumMinhashes / NumBands).map(k => s"m${b * (NumMinhashes / NumBands) + k}")
     s"WHEN ${b} THEN md5(${parts.mkString(" || ")})"
   }.mkString(" ")
+
+  private val matchSum = (0 until NumMinhashes)
+    .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END")
+    .mkString(" + ")
 
   override val oracle: Map[String, String] = Map(
     "q24_dedup_exact" ->
@@ -1553,6 +1627,37 @@ object Dedup extends QueryModule {
          |        / COUNT(*), 4) AS contamination_rate
          |FROM st JOIN documents d USING (doc_id)
          |GROUP BY d.source""".stripMargin,
+    // MinHash audit: q26's sig/band CTEs + candidate pair join; est is
+    // matches/16 (exact in binary), exact Jaccard over uncapped
+    // shingle sets; identical IEEE trees both engines
+    "q103_minhash_audit" ->
+      s"""WITH $shingleCte,
+         |sig AS (SELECT doc_id, $sigSelect FROM sh GROUP BY doc_id),
+         |bands AS (SELECT doc_id, b, CASE b $bandCase END AS bv
+         |          FROM sig, range(0, $NumBands) t(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |         ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |i AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+         |      FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+         |      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+         |      GROUP BY c.doc_a, c.doc_b),
+         |m AS (SELECT i.doc_a, i.doc_b, i.inter, sa.n AS na, sb.n AS nb,
+         |        ($matchSum) AS matches
+         |      FROM i JOIN sz sa ON sa.doc_id = i.doc_a
+         |      JOIN sz sb ON sb.doc_id = i.doc_b
+         |      JOIN sig a ON a.doc_id = i.doc_a
+         |      JOIN sig b ON b.doc_id = i.doc_b)
+         |SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+         |  CAST(matches AS DOUBLE) / 16 AS est,
+         |  ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard,
+         |  ROUND(ABS(CAST(matches AS DOUBLE) / 16
+         |        - CAST(inter AS DOUBLE) / (na + nb - inter)), 4) AS err,
+         |  (ABS(CAST(matches AS DOUBLE) / 16
+         |       - CAST(inter AS DOUBLE) / (na + nb - inter)) <= 0.45)
+         |    AS within_tol
+         |FROM m""".stripMargin,
     // q71's shingle CTEs with the eval side tagged by its doc's source
     // (= suite); zero-hit suites re-enter via the catalog left join
     "q102_decontaminate_by_suite" ->

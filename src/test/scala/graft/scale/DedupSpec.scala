@@ -1048,6 +1048,39 @@ class DedupSpec extends SparkSpec {
     assert(out("crawlB") === ((1L, 0L, 0L, 0.0)))
   }
 
+  test("minhashAudit: audits exactly the LSH candidate pairs, exact " +
+    "duplicates score err 0, and a zero tol flips within_tol") {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel " +
+      "india juliet kilo lima mike november oscar papa"
+    val docs = Seq(
+      (1L, base),                                  // identical pair ↓
+      (2L, base),
+      (3L, base + " quebec romeo sierra tango"),   // high-overlap variant
+      (4L, "completely unrelated words about mountains weather rivers " +
+        "valleys forests deserts islands oceans glaciers meadows")
+    ).toDF("doc_id", "text")
+    val out = Dedup.minhashAudit(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    // audit universe == the band-sharing candidate universe
+    val cands = Dedup.minhashPairs(docs).select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.keySet === cands)
+    // the identical pair: est = 1, jaccard = 1, err = 0, within_tol
+    val dup = out((1L, 2L))
+    assert(dup.getDouble(3) === 1.0 && dup.getDouble(4) === 1.0 &&
+      dup.getDouble(5) === 0.0 && dup.getBoolean(6))
+    // doc 4 shares nothing — it is in no candidate pair
+    assert(!out.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+    // every audited pair within the production tol on this corpus...
+    assert(out.values.forall(_.getBoolean(6)))
+    // ...and a zero tolerance flips any pair whose est ≠ exact (the
+    // (1,3)/(2,3) variants estimate in 1/16 steps, exact is 12/16+4)
+    val strict = Dedup.minhashAudit(docs, tol = 0.0).collect()
+    assert(strict.exists(r => !r.getBoolean(6)))
+  }
+
   test("decontaminateBySuite names the leaking suite: per-suite hit " +
     "counts over the q71 corpus universe, zero-hit and shingle-less " +
     "suites report zeros") {
