@@ -601,31 +601,71 @@ object TextAnalysis extends QueryModule {
     * cross-join shape. */
   def tokenDrift(docs0: DataFrame, k: Int = 10, minCount: Long = 3L): DataFrame = {
     val docs = widen(docs0)
-    val tf = docs.select(col("source"), explode(words(col("text"))).as("w"))
-      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cnt"))
+    overRepTokens(
+      docs.select(col("source"), explode(words(col("text"))).as("w")),
+      "source", k, minCount)
+  }
+
+  /** The drift/topic scoring core shared by [[tokenDrift]] (label =
+    * ingest source) and [[clusterTopics]] (label = embedding cell):
+    * per label, the k tokens most over-represented vs the corpus by
+    * relative-frequency ratio, counts re-attached. `tagged` is one
+    * (label, token-occurrence) row per token instance. */
+  private def overRepTokens(tagged: DataFrame, label: String, k: Int,
+                            minCount: Long): DataFrame = {
+    val tf = tagged
+      .groupBy(col(label), col("w")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
-    val srcTot = tf.groupBy(col("source")).agg(sum(col("cnt")).as("src_tot"))
+    val labTot = tf.groupBy(col(label)).agg(sum(col("cnt")).as("lab_tot"))
     val corpTf = tf.groupBy(col("w")).agg(sum(col("cnt")).as("corp_cnt"))
     val total = tf.agg(coalesce(sum(col("cnt")), lit(0L)).as("total"))
     val scored = tf.filter(col("cnt") >= minCount)
       .join(corpTf, "w")
-      .join(broadcast(srcTot), "source")
+      .join(broadcast(labTot), label)
       .crossJoin(total)
       .withColumn("ratio",
         (col("cnt").cast("double") * col("total")) /
-          (col("corp_cnt").cast("double") * col("src_tot")))
-    val top = scored.groupBy(col("source"))
+          (col("corp_cnt").cast("double") * col("lab_tot")))
+    val top = scored.groupBy(col(label))
       .agg(graft.functions.TopKAgg.topKStr(col("ratio"), col("w"), k).as("top"))
-      .select(col("source"), posexplode(col("top")))
-      .select(col("source"), (col("pos") + 1).as("rank"),
+      .select(col(label), posexplode(col("top")))
+      .select(col(label), (col("pos") + 1).as("rank"),
         col("col.id").as("w"), col("col.score").as("ratio"))
-    // re-attach the counts for operational value: `top` is k×sources
+    // re-attach the counts for operational value: `top` is k×labels
     // rows, broadcast back against the scored table (whose base is the
     // checkpointed tf — no second tokenize pass anywhere)
-    scored.join(broadcast(top.select(col("source"), col("w"), col("rank"))),
-        Seq("source", "w"))
-      .select(col("source"), col("rank"), col("w"), col("cnt"),
+    scored.join(broadcast(top.select(col(label), col("w"), col("rank"))),
+        Seq(label, "w"))
+      .select(col(label), col("rank"), col("w"), col("cnt"),
         col("corp_cnt"), col("ratio"))
+  }
+
+  /** Topic labels for embedding-space clusters — the "what is actually
+    * IN each cluster" report a curation pipeline runs after clustering
+    * its corpus (mixture design, cluster-level filtering, SemDeDup
+    * triage all start from it): assign every document to its nearest
+    * seed centroid in embedding space, then name each cluster by the
+    * tokens most over-represented in its documents relative to the
+    * whole corpus. Bridges the two modalities the engine indexes —
+    * vectors pick the cluster, text explains it.
+    *
+    * Scale design: cell assignment is the scan-side `argmax_cosine`
+    * kernel over the bounded seed-centroid plan constant (zero joins,
+    * the q38/q95 contract); the text side joins docs to cells by id
+    * BEFORE tokenizing, so the equi-join moves corpus-sized rows, not
+    * token-sized; scoring is [[overRepTokens]] — one tokenize pass,
+    * bounded top-k per cell. */
+  def clusterTopics(docs0: DataFrame, emb: DataFrame,
+                    nCells: Int = Similarity.IvfCells, k: Int = 10,
+                    minCount: Long = 3L): DataFrame = {
+    val cents = Similarity.seedCentroidList(emb, nCells)
+    val cells = widen(emb).select(col("vec_id").as("doc_id"),
+      graft.functions.VectorExpressions.argMaxCosine(
+        toDoubleArray(col("embedding")), cents).as("cell_id"))
+    val tagged = widen(docs0).select(col("doc_id"), col("text"))
+      .join(cells, Seq("doc_id"))
+      .select(col("cell_id"), explode(words(col("text"))).as("w"))
+    overRepTokens(tagged, "cell_id", k, minCount)
   }
 
   /** Exact top-k frequent tokens with a CAPACITY-BOUNDED exchange —
@@ -827,6 +867,10 @@ object TextAnalysis extends QueryModule {
     "q89_longest_dup" -> ((s, d) => longestRepetition(T.documents(s, d))),
     // per-source over-represented tokens (mixture drift QA)
     "q94_token_drift" -> ((s, d) => tokenDrift(T.documents(s, d))),
+    // topic labels for embedding clusters: scan-side cell assignment
+    // × per-cell over-represented tokens
+    "q104_cluster_topics" -> ((s, d) =>
+      clusterTopics(T.documents(s, d), T.embeddings(s, d))),
     // exact top-k tokens via the capacity-bounded Misra–Gries sketch +
     // exact confirm; guarded identical to the plain exact form
     "q96_heavy_hitters" -> ((s, d) => heavyHitters(T.documents(s, d))),
@@ -1086,6 +1130,39 @@ object TextAnalysis extends QueryModule {
          |          ORDER BY ratio DESC, w ASC) AS rk
          |      FROM s)
          |SELECT source, CAST(rk AS INTEGER) AS rank, w, cnt, corp_cnt, ratio
+         |FROM r WHERE rk <= 10""".stripMargin,
+    // q38's seed-centroid assign CTE keyed into q94's drift scoring:
+    // cluster id from vectors, topic tokens from text
+    "q104_cluster_topics" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
+         |cents AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM n
+         |          WHERE vec_id < ${Similarity.IvfCells}),
+         |assign AS (
+         |  SELECT vec_id, cell_id FROM (
+         |    SELECT a.vec_id, c.cell_id,
+         |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |        ORDER BY list_dot_product(a.v, c.cv)/(a.nrm*c.cn) DESC,
+         |          c.cell_id ASC) AS rn
+         |    FROM n a, cents c) WHERE rn <= 1),
+         |w AS (SELECT a.cell_id, unnest($wsSql) AS w
+         |      FROM documents d JOIN assign a ON a.vec_id = d.doc_id),
+         |tf AS (SELECT cell_id, w, COUNT(*) AS cnt FROM w GROUP BY 1, 2),
+         |lt AS (SELECT cell_id, CAST(SUM(cnt) AS BIGINT) AS lab_tot
+         |       FROM tf GROUP BY cell_id),
+         |ct AS (SELECT w, CAST(SUM(cnt) AS BIGINT) AS corp_cnt
+         |       FROM tf GROUP BY w),
+         |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM tf),
+         |s AS (SELECT tf.cell_id, tf.w, tf.cnt, ct.corp_cnt,
+         |        (CAST(tf.cnt AS DOUBLE) * total) /
+         |        (CAST(ct.corp_cnt AS DOUBLE) * lab_tot) AS ratio
+         |      FROM tf JOIN ct USING (w) JOIN lt USING (cell_id)
+         |      CROSS JOIN tot WHERE tf.cnt >= 3),
+         |r AS (SELECT cell_id, w, cnt, corp_cnt, ratio,
+         |        ROW_NUMBER() OVER (PARTITION BY cell_id
+         |          ORDER BY ratio DESC, w ASC) AS rk
+         |      FROM s)
+         |SELECT cell_id, CAST(rk AS INTEGER) AS rank, w, cnt, corp_cnt, ratio
          |FROM r WHERE rk <= 10""".stripMargin,
     "q66_tfidf" ->
       s"""WITH w AS (SELECT doc_id, unnest($wsSql) AS term FROM documents),

@@ -304,6 +304,36 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("clusterTopics names planted embedding clusters by their " +
+    "exclusive vocabulary, shared filler stays off the board") {
+    val spark2 = spark
+    import spark2.implicits._
+    // two well-separated directions; vec 0/1 are the seed centroids
+    // (the seed contract: first nCells vec_ids), members lean to one
+    def v(x: Float, y: Float) = Array(x, y, 0.1f, 0.1f)
+    val emb = Seq(
+      (0L, v(1f, 0f)), (1L, v(0f, 1f)),
+      (2L, v(0.9f, 0.1f)), (3L, v(0.95f, 0.05f)),
+      (4L, v(0.1f, 0.9f)), (5L, v(0.05f, 0.95f))
+    ).toDF("vec_id", "embedding")
+    val shared = (1 to 8).map(i => s"common$i").mkString(" ")
+    val aText = s"apple apple apple banana banana banana $shared"
+    val bText = s"zebra zebra zebra yak yak yak $shared"
+    val docs = Seq(
+      (0L, aText), (2L, aText), (3L, aText),
+      (1L, bText), (4L, bText), (5L, bText)
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.clusterTopics(docs, emb, nCells = 2, k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    // cluster 0 (the x-direction) is named by its exclusive tokens,
+    // ratio ties broken token ASC: apple before banana
+    assert(out((0L, 1)) === "apple" && out((0L, 2)) === "banana")
+    assert(out((1L, 1)) === "yak" && out((1L, 2)) === "zebra")
+    // the shared filler (ratio 1) never out-ranks exclusive vocabulary
+    assert(!out.values.exists(_.startsWith("common")))
+  }
+
   test("collocations surfaces the planted phrase first and matches a " +
     "brute-force lift reference exactly") {
     val spark2 = spark
