@@ -778,9 +778,12 @@ object Dedup extends QueryModule {
     val ev = sh.filter(col("doc_id") < evalMaxId)
       .join(broadcast(suites), Seq("doc_id"))
       .select(col("suite"), col("sh")).distinct()
+    // every rollup side here is suite-cardinality (dozens of rows at
+    // any corpus size) — broadcast, or the planner SMJs tiny tables
     val suiteStats = suites.groupBy(col("suite"))
       .agg(count(lit(1)).as("n_eval_docs"))
-      .join(ev.groupBy(col("suite")).agg(count(lit(1)).as("n_eval_shingles")),
+      .join(broadcast(
+        ev.groupBy(col("suite")).agg(count(lit(1)).as("n_eval_shingles"))),
         Seq("suite"), "left")
     val corpus = sh.filter(col("doc_id") >= evalMaxId)
     val hits = corpus.join(broadcast(ev), Seq("sh"))
@@ -790,7 +793,7 @@ object Dedup extends QueryModule {
       .agg(count(lit(1)).as("n_docs_hit"), sum(col("n_overlap")).as("n_overlap"))
     val universe = corpus.agg(
       countDistinct(col("doc_id")).as("n_corpus_docs"))
-    suiteStats.join(hits, Seq("suite"), "left").crossJoin(universe)
+    suiteStats.join(broadcast(hits), Seq("suite"), "left").crossJoin(universe)
       .select(col("suite"), col("n_eval_docs"),
         coalesce(col("n_eval_shingles"), lit(0L)).as("n_eval_shingles"),
         coalesce(col("n_docs_hit"), lit(0L)).as("n_docs_hit"),

@@ -130,6 +130,46 @@ class PlanAuditSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct"))
   }
 
+  test("q102 decontaminate by suite: the corpus-side hit join and every " +
+    "suite rollup are broadcast — the corpus never shuffles for a join") {
+    val s = planOf(graft.scale.Dedup.decontaminateBySuite(
+      graft.Tables.documents(spark, sf)))
+    // eval shingles + all suite-cardinality rollups ride broadcasts;
+    // a SortMergeJoin would mean a tiny side got shuffle-planned
+    assert(!s.contains("SortMergeJoin"),
+      s"a suite-sized side fell out of broadcast:\n$s")
+    assert("BroadcastHashJoin".r.findAllIn(s).length >= 3,
+      s"expected eval + rollup sides broadcast:\n$s")
+    assert(!s.contains("CartesianProduct"))
+  }
+
+  test("q103 minhash audit: signatures and band hashes are the native " +
+    "kernels over the checkpointed words table — no re-tokenize, " +
+    "no cartesian") {
+    val s = planOf(graft.scale.Dedup.minhashAudit(
+      graft.Tables.documents(spark, sf)))
+    assert(s.contains("minhash_sig") && s.contains("minhash_bands"),
+      s"expected one-pass kernel signatures:\n$s")
+    // the words() regex chain lives BEFORE the checkpoint; seeing it
+    // here would mean a branch re-tokenizes per consumer
+    assert(!s.contains("regexp_replace"),
+      s"a consumer re-tokenizes past the checkpoint:\n$s")
+    assert(!s.contains("CartesianProduct"))
+  }
+
+  test("q104 cluster topics: per-cell top-k is the bounded aggregate and " +
+    "count re-attach rides broadcasts — no window, no cartesian") {
+    val s = planOf(graft.scale.TextAnalysis.clusterTopics(
+      graft.Tables.documents(spark, sf), graft.Tables.embeddings(spark, sf)))
+    assert(!s.contains("Window"),
+      s"vocabulary-sized window sort leaked into the topics plan:\n$s")
+    assert(s.contains("TopKStrAggregate") || s.contains("ObjectHashAggregate"),
+      s"expected the bounded top-k aggregate:\n$s")
+    assert("BroadcastHashJoin".r.findAllIn(s).length >= 2,
+      s"lab totals / top re-attach must broadcast:\n$s")
+    assert(!s.contains("CartesianProduct"))
+  }
+
   test("semDedup: cluster assignment rides the scan (argmax_cosine plan " +
     "constant), candidates come from a cell-equality join — no cartesian, " +
     "no window, no assignment aggregate") {
