@@ -63,10 +63,12 @@ object Multimodal {
       md5(col("payload")).as("content_hash"),
       substring(hex(col("payload")), 1, 8).as("magic"))
 
-  /** REAL image-header decode for PNG and JPEG — pure byte parsing of
-    * the container headers (PNG IHDR width/height at offset 16; JPEG
-    * SOFn frame header scan), no native libraries. Returns None for
-    * payloads that aren't PNG/JPEG — those fall back to [[stubDecode]].
+  /** REAL image-header decode for PNG, JPEG, GIF and BMP — pure byte
+    * parsing of the container headers (PNG IHDR width/height at offset
+    * 16; JPEG SOFn frame header scan; GIF87a/89a logical-screen
+    * descriptor; BMP BITMAPINFOHEADER/-COREHEADER, top-down negative
+    * heights normalized), no native libraries. Returns None for other
+    * payloads — those fall back to [[stubDecode]].
     */
   def decodeImageHeader(payload: Array[Byte]): Option[(Int, Int)] = {
     def u16(i: Int) = ((payload(i) & 0xff) << 8) | (payload(i + 1) & 0xff)
@@ -90,6 +92,26 @@ object Multimodal {
         i += 2 + u16(i + 2)
       }
       None
+    } else if (payload.length >= 10 && payload(0) == 'G' &&
+        payload(1) == 'I' && payload(2) == 'F' && payload(3) == '8' &&
+        (payload(4) == '7' || payload(4) == '9') && payload(5) == 'a') {
+      // GIF: 6-byte version tag, then the logical screen descriptor
+      // (width u16le at 6, height u16le at 8)
+      def u16le(i: Int) = (payload(i) & 0xff) | ((payload(i + 1) & 0xff) << 8)
+      Some((u16le(6), u16le(8)))
+    } else if (payload.length >= 26 && payload(0) == 'B' && payload(1) == 'M') {
+      // BMP: 14-byte file header, then a DIB header whose first u32le
+      // is its own size — 12 = COREHEADER (u16 dims), ≥ 40 = INFOHEADER
+      // (i32 dims; negative height = top-down row order, dimension is
+      // the magnitude)
+      def u16le(i: Int) = (payload(i) & 0xff) | ((payload(i + 1) & 0xff) << 8)
+      def i32le(i: Int) = (payload(i) & 0xff) | ((payload(i + 1) & 0xff) << 8) |
+        ((payload(i + 2) & 0xff) << 16) | ((payload(i + 3) & 0xff) << 24)
+      val dib = i32le(14)
+      if (dib == 12) Some((u16le(18), u16le(20)))
+      else if (dib >= 40 && payload.length >= 14 + 12)
+        Some((i32le(18), math.abs(i32le(22))))
+      else None
     } else None
   }
 
