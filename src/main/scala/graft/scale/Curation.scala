@@ -176,6 +176,49 @@ object Curation extends QueryModule {
       .withColumn("n_chunks", col("chunk_last") - col("chunk_first") + 1)
   }
 
+  /** Token-budget selection — "give me the best B tokens": rank the
+    * corpus by quality (the q34 composite, ties broken doc_id ASC) and
+    * keep documents while the cumulative token count stays within the
+    * budget. The op every fixed-compute training run ends curation
+    * with: the budget is the token budget of the run, the order is
+    * whatever quality model the pipeline trusts.
+    *
+    * Scale design: the same distributed prefix-sum as [[sequencePack]]
+    * — a single global `Window.orderBy` would funnel 100 TB through
+    * one task, so instead: range-partition by (quality DESC, doc_id),
+    * per-partition totals → driver prefix-sum (numPartitions rows),
+    * broadcast offsets, window WITHIN partitions only. Quality and
+    * token estimate are scan-side projections (one corpus pass); the
+    * selection filter runs post-window, so every row moves exactly
+    * once. Zero-token docs are excluded (they ship no training
+    * signal and would tie at the cut). */
+  def budgetSelect(docs0: DataFrame, budget: Long = 20000L,
+                   partitions: Int = 32): DataFrame = {
+    val spark = docs0.sparkSession
+    val docs = Layout.widen(docs0)
+    val t = docs.select(col("doc_id"),
+        round(TextAnalysis.qualityExpr(col("text")), 4).as("quality"),
+        ceil(length(col("text")).cast("double") / 4d).cast("long").as("toks"))
+      .filter(col("toks") > 0)
+      .repartitionByRange(partitions, col("quality").desc, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint() // pid must not be recomputed under a different plan
+    val totals = t.groupBy(col("pid")).agg(sum(col("toks")).as("total"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, tot)) =>
+      (pid, acc + tot)
+    }.tail.zip(totals).map { case ((pid, cumIncl), (_, tot)) =>
+      (pid, cumIncl - tot)
+    }
+    val offDf = spark.createDataFrame(offsets.toSeq).toDF("pid", "offset")
+    val w = Window.partitionBy(col("pid"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    t.join(broadcast(offDf), "pid")
+      .withColumn("cum_toks", sum(col("toks")).over(w) + col("offset"))
+      .filter(col("cum_toks") <= budget)
+      .select(col("doc_id"), col("quality"), col("toks"), col("cum_toks"))
+  }
+
   // ---- driver-gate queries ----
 
   private val SampleFractions = Map(
@@ -262,7 +305,9 @@ object Curation extends QueryModule {
       mixtureSample(T.documents(s, d), TargetMixture, "lang", "doc_id")
         .select(col("doc_id"), col("lang"), round(col("rate"), 6).as("rate"))),
     // DSIR-style importance weights toward the target-language slice
-    "q98_dsir_weights" -> ((s, d) => dsirWeights(T.documents(s, d)))
+    "q98_dsir_weights" -> ((s, d) => dsirWeights(T.documents(s, d))),
+    // best-B-tokens selection: quality-ordered distributed prefix sum
+    "q105_budget_select" -> ((s, d) => budgetSelect(T.documents(s, d)))
   )
 
   // hash := high 60 bits of md5(id) — identical to portableHash60
@@ -275,6 +320,32 @@ object Curation extends QueryModule {
       "lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')), ' +'), w -> w <> '')"
 
   override val oracle: Map[String, String] = Map(
+    // q34's quality expression + q35's chars/4 token estimate, ranked
+    // by (quality DESC, doc_id) with a running-total budget cut; the
+    // distributed offsets reproduce the single global window exactly
+    "q105_budget_select" -> {
+      val stopList = TextAnalysis.stopwords.head._2.mkString("['", "', '", "']")
+      s"""WITH w AS (SELECT doc_id, text, $wsSql AS ws FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(ws) AS INTEGER) AS n_words,
+         |  GREATEST(len(ws), 1) AS nw,
+         |  GREATEST(len(text), 1) AS nc,
+         |  len(list_filter(ws, x -> list_contains($stopList, x))) AS stop_hits,
+         |  len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+         |  CAST(CEIL(CAST(len(text) AS DOUBLE)/4) AS BIGINT) AS toks
+         |FROM w),
+         |q AS (SELECT doc_id, toks,
+         |  ROUND(LEAST(CAST(n_words AS DOUBLE)/100, 1.0)*0.5
+         |    + (CAST(stop_hits AS DOUBLE)/nw)*0.3
+         |    + (1.0 - CAST(n_punct AS DOUBLE)/nc)*0.2, 4) AS quality
+         |FROM m WHERE toks > 0),
+         |c AS (SELECT doc_id, quality, toks,
+         |  CAST(SUM(toks) OVER (ORDER BY quality DESC, doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_toks
+         |FROM q)
+         |SELECT doc_id, quality, toks, cum_toks
+         |FROM c WHERE cum_toks <= 20000""".stripMargin
+    },
     "q57_stratified_sample" -> {
       val cases = SampleFractions
         .map { case (l, f) => s"WHEN '$l' THEN $f" }.mkString(" ")

@@ -85,6 +85,20 @@ object TextAnalysis extends QueryModule {
 
   /** Quality scoring: length / punctuation / stopword / word-shape
     * signals folded into one deterministic [0,1] score. */
+  /** The q34 composite-quality column (length cap + stopword ratio +
+    * punctuation penalty) as a reusable scan-side expression — shared
+    * with [[Curation.budgetSelect]] so "quality" means one thing
+    * everywhere it ranks documents. */
+  private[scale] def qualityExpr(text: Column): Column = {
+    val ws = words(text)
+    val nWords = greatest(size(ws), lit(1))
+    val nChars = greatest(length(text), lit(1))
+    val stopRatio = stopHits(ws, stopwords.head._2).cast("double") / nWords
+    val punctRatio = regexp_count(text, lit("[.,;:!?]")).cast("double") / nChars
+    least(size(ws).cast("double") / 100d, lit(1.0)) * 0.5 +
+      stopRatio * 0.3 + (lit(1.0) - punctRatio) * 0.2
+  }
+
   def qualityScore(docs0: DataFrame): DataFrame = {
     val docs = widen(docs0)
     val ws = words(col("text"))
@@ -94,8 +108,7 @@ object TextAnalysis extends QueryModule {
     val punctRatio = regexp_count(col("text"), lit("[.,;:!?]")).cast("double") / nChars
     val digitRatio = regexp_count(col("text"), lit("[0-9]")).cast("double") / nChars
     val avgWlen = length(array_join(ws, "")).cast("double") / nWords
-    val quality = least(size(ws).cast("double") / 100d, lit(1.0)) * 0.5 +
-      stopRatio * 0.3 + (lit(1.0) - punctRatio) * 0.2
+    val quality = qualityExpr(col("text"))
     docs.select(
       col("doc_id"),
       size(ws).as("n_words"),

@@ -161,4 +161,35 @@ class CurationSpec extends SparkSpec {
     assert(got(0L)._4 && !got(6L)._4)
     assert(got(13L) === ((0, 0.0, 0.0, false)))
   }
+
+  test("budgetSelect keeps the best docs within the token budget: " +
+    "partition count never changes the cut, the crossing doc is out") {
+    val spark2 = spark
+    import spark2.implicits._
+    // quality is dominated by the length term at these sizes: more
+    // words => higher quality, and toks = ceil(chars/4)
+    val docs = (1L to 40L).map { i =>
+      val n = 5 + (i % 7).toInt * 12
+      (i, (1 to n).map(k => s"w${i}x$k").mkString(" "))
+    }.toDF("doc_id", "text")
+    val budget = 600L
+    val wide = Curation.budgetSelect(docs, budget, partitions = 8).collect()
+    val narrow = Curation.budgetSelect(docs, budget, partitions = 1).collect()
+    // the distributed offsets reproduce the single-partition window
+    assert(wide.map(_.toSeq).toSet === narrow.map(_.toSeq).toSet)
+    assert(wide.nonEmpty && wide.length < 40)
+    assert(wide.map(_.getLong(3)).max <= budget)
+    // the selection is the exact prefix of the unbounded quality order,
+    // and the first doc beyond the cut would cross the budget
+    val all = Curation.budgetSelect(docs, Long.MaxValue, partitions = 8)
+      .collect().sortBy(_.getLong(3))
+    assert(all.take(wide.length).map(_.getLong(0)).toSet ===
+      wide.map(_.getLong(0)).toSet)
+    all.drop(wide.length).headOption
+      .foreach(r => assert(r.getLong(3) > budget))
+    // a zero-token doc never appears even with an unbounded budget
+    val withEmpty = docs.union(Seq((99L, "")).toDF("doc_id", "text"))
+    val sel = Curation.budgetSelect(withEmpty, Long.MaxValue).collect()
+    assert(!sel.exists(_.getLong(0) == 99L) && sel.length === 40)
+  }
 }
