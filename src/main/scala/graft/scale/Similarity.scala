@@ -962,6 +962,42 @@ object Similarity extends QueryModule {
       .unionByName(audit("ivfpq", annIvfPq(emb, nQueries, k), IvfPqMinRecall))
   }
 
+  /** IVF index health — the BATCH staleness report whose streaming
+    * twin is [[graft.streaming.IndexMaintenance.maintainIvf]]: per
+    * cell, the member count and the mean member→centroid cosine, with
+    * a `rebuild` flag when the mean drops below `minMeanCos`. A cell
+    * whose members no longer resemble its centroid stops pruning the
+    * search space — this is the query an index operator schedules
+    * nightly to decide when to retrain.
+    *
+    * Scale design: assignment is the scan-side `argmax_cosine` plan
+    * constant (q38 contract, zero joins); the member cosine is a pure
+    * projection against the SAME bounded centroid list riding as an
+    * array literal (`element_at` by cell id — no join to a centroid
+    * table); the rollup is one aggregate keyed by nCells values.
+    * Determinism: the mean rides [[exactSum]]'s decimal accumulator —
+    * a plain double sum would drift with partition order; the rebuild
+    * flag is computed from the same exact expression both engines. */
+  def ivfHealth(emb: DataFrame, nCells: Int = IvfCells,
+                minMeanCos: Double = 0.25): DataFrame = {
+    val cents = seedCentroidList(emb, nCells)
+    val cvs = typedLit(cents.map(_._2))
+    val cns = typedLit(cents.map { case (_, c) =>
+      math.sqrt(c.map(x => x * x).sum) })
+    val idx = (col("cell_id") + 1).cast("int")
+    val assigned = Layout.widen(emb)
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+      .withColumn("cell_id",
+        graft.functions.VectorExpressions.argMaxCosine(col("v"), cents))
+      .withColumn("cos", dotProduct(col("v"), element_at(cvs, idx)) /
+        (l2Norm(col("v")) * element_at(cns, idx)))
+    val mean = exactSum(col("cos")) / count(lit(1))
+    assigned.groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("n_members"),
+        round(mean, 4).as("mean_cos"),
+        (mean < lit(minMeanCos)).as("rebuild"))
+  }
+
   // ---- driver-gate query registry ----
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -975,7 +1011,9 @@ object Similarity extends QueryModule {
     // recall@k certification of all three ANN paths vs brute truth
     "q88_ann_recall" -> ((s, d) => annRecall(T.embeddings(s, d))),
     // the composed production index: IVF cells × residual PQ (IVFADC)
-    "q100_ann_ivfpq" -> ((s, d) => annIvfPq(T.embeddings(s, d)))
+    "q100_ann_ivfpq" -> ((s, d) => annIvfPq(T.embeddings(s, d))),
+    // per-cell index staleness report (batch twin of maintainIvf)
+    "q106_ivf_health" -> ((s, d) => ivfHealth(T.embeddings(s, d)))
   )
 
   /** DuckDB literal list for plane p, identical doubles to the plan. */
@@ -1035,6 +1073,23 @@ object Similarity extends QueryModule {
   }
 
   override val oracle: Map[String, String] = Map(
+    // q38's assign CTE keeping the winning cosine; mean rides the
+    // exact decimal accumulator, flag repeats the same expression
+    "q106_ivf_health" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
+         |cents AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM n WHERE vec_id < $IvfCells),
+         |a AS (SELECT vec_id, cell_id, cos FROM (
+         |    SELECT a.vec_id, c.cell_id,
+         |      list_dot_product(a.v, c.cv)/(a.nrm*c.cn) AS cos,
+         |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |        ORDER BY list_dot_product(a.v, c.cv)/(a.nrm*c.cn) DESC,
+         |          c.cell_id ASC) AS rn
+         |    FROM n a, cents c) WHERE rn <= 1)
+         |SELECT cell_id, COUNT(*) AS n_members,
+         |  ROUND(${exactSumSql("cos")} / COUNT(*), 4) AS mean_cos,
+         |  (${exactSumSql("cos")} / COUNT(*) < 0.25) AS rebuild
+         |FROM a GROUP BY cell_id""".stripMargin,
     "q30_knn_brute" ->
       s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM c),

@@ -211,6 +211,40 @@ class SimilaritySpec extends SparkSpec {
     assert(again === out)
   }
 
+  test("ivfHealth: a tight cluster reads healthy, a drifted cluster " +
+    "flags rebuild, and the mean matches a direct per-member average") {
+    val spark2 = spark
+    import spark2.implicits._
+    def unit(x: Float, y: Float, z: Float) = Array(x, y, z, 0f)
+    // seeds: cell 0 = x-axis, cell 1 = y-axis. Cell 0's members hug it;
+    // cell 1's members still assign to y but sit far off-axis (drift)
+    val emb = Seq(
+      (0L, unit(1f, 0f, 0f)), (1L, unit(0f, 1f, 0f)),
+      (2L, unit(0.99f, 0.05f, 0f)), (3L, unit(0.98f, 0f, 0.08f)),
+      (4L, unit(0.2f, 0.6f, 0.75f)), (5L, unit(0f, 0.5f, 0.85f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.ivfHealth(emb, nCells = 2, minMeanCos = 0.8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(out.keySet === Set(0L, 1L))
+    val (n0, m0, r0) = out(0L)
+    val (n1, m1, r1) = out(1L)
+    assert(n0 === 3L && n1 === 3L) // seeds are their own members
+    assert(m0 > 0.95 && !r0, s"tight cluster must read healthy: $m0")
+    assert(m1 < 0.8 && r1, s"drifted cluster must flag rebuild: $m1")
+    // the reported mean is the plain average of member cosines to the
+    // winning centroid (cross-checked by hand for cell 0)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val d = ad.zip(bd).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
+    }
+    val c0 = unit(1f, 0f, 0f)
+    val expected0 = Seq(unit(1f, 0f, 0f), unit(0.99f, 0.05f, 0f),
+      unit(0.98f, 0f, 0.08f)).map(cos(_, c0)).sum / 3
+    assert(math.abs(m0 - expected0) < 1e-3)
+  }
+
   test("annIvfPq: well-formed per-query boards, candidates only from " +
     "probed cells, strong recall on clustered data, deterministic rerun") {
     val spark2 = spark
