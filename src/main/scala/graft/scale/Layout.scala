@@ -149,6 +149,39 @@ object Layout {
       .sortWithinPartitions(sortCol)
       .write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Morton (Z-order) key over two dimensions: interleave the low 32
+    * bits of `x` and `y` (x on even bit positions, y on odd). Rows
+    * close in BOTH dimensions land close on the curve, so sorting by
+    * z clusters them into the same files/row-groups — a filter on
+    * either dimension (or both) then prunes by min/max statistics,
+    * which a single-column sort only provides for its one column.
+    * The layout move behind Delta/Iceberg `ZORDER BY` for
+    * two-predicate scans (point lookups on user × time windows).
+    *
+    * Pure codegen'd bit arithmetic (64 shift-mask-or terms, no UDF,
+    * no lambda): at 100 TB the key computes at scan speed. Inputs are
+    * masked to their low 32 bits — callers with wider domains bucket
+    * first (a timestamp → epoch seconds fits until 2106). */
+  def zValue(x: Column, y: Column): Column = {
+    val xm = x.bitwiseAND(lit(0xffffffffL))
+    val ym = y.bitwiseAND(lit(0xffffffffL))
+    (0 until 32).map { b =>
+      shiftleft(shiftrightunsigned(xm, b).bitwiseAND(lit(1L)), 2 * b) +
+        shiftleft(shiftrightunsigned(ym, b).bitwiseAND(lit(1L)), 2 * b + 1)
+    }.reduce(_ + _)
+  }
+
+  /** Z-ordered layout: range-partition and sort by the Morton key so
+    * each output file covers one compact rectangle-ish region of the
+    * (x, y) space — the write side of [[zValue]]'s pruning story. */
+  def writeZOrdered(df: DataFrame, path: String, x: Column, y: Column,
+                    partitions: Int = 32): Unit =
+    df.withColumn("_z", zValue(x, y))
+      .repartitionByRange(partitions, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
   /** Measure per-key skew: top keys by row count with their share of
     * the table — the diagnostic you run before choosing salts. */
   def skewProfile(df: DataFrame, key: Column, topK: Int = 10): DataFrame = {

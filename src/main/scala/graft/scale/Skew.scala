@@ -74,11 +74,37 @@ object Skew extends QueryModule {
         count(lit(1)).as("n_items"))
   }
 
+  /** q107: the Morton keys [[Layout.zValue]] assigns to events on the
+    * (user_id, time) plane, plus the coarse curve bucket — the key
+    * column a `ZORDER BY (user_id, ts)` layout sorts and prunes on.
+    * Scan-side bit arithmetic only; the write side is
+    * [[Layout.writeZOrdered]] (spec-audited file pruning). */
+  def q107ZorderKeys(s: SparkSession, d: String): DataFrame = {
+    Layout.widen(T.events(s, d))
+      .select(col("event_id"),
+        Layout.zValue(col("user_id"),
+          expr("unix_micros(ts) div 1000000")).as("z"))
+      .withColumn("bucket", shiftrightunsigned(col("z"), 48))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q44_salted_join" -> q44SaltedJoin
+    "q44_salted_join" -> q44SaltedJoin,
+    // Morton layout keys for two-predicate pruning (user × time)
+    "q107_zorder_keys" -> q107ZorderKeys
   )
 
   override val oracle: Map[String, String] = Map(
+    // bit-interleave restated as a Σ over bit positions; SUM is exact
+    // integer arithmetic, distinct positions never collide
+    "q107_zorder_keys" ->
+      """WITH e AS (SELECT event_id, user_id & 4294967295 AS x,
+        |  (epoch_us(ts) // 1000000) & 4294967295 AS y FROM events),
+        |bits AS (SELECT event_id, x, y, unnest(range(0, 32)) AS b FROM e),
+        |zt AS (SELECT event_id,
+        |  CAST(SUM((((x >> b) & 1) << (2*b)) + (((y >> b) & 1) << (2*b+1)))
+        |    AS BIGINT) AS z
+        |  FROM bits GROUP BY event_id)
+        |SELECT event_id, z, z >> 48 AS bucket FROM zt""".stripMargin,
     "q44_salted_join" ->
       s"""SELECT o_orderpriority,
          |  ROUND(${exactSumSql("l_extendedprice*(1.0-l_discount)")}, 2) AS revenue,

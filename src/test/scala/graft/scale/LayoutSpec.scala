@@ -60,6 +60,48 @@ class LayoutSpec extends SparkSpec {
     assert(back.count() === T.orders(spark, sf).count())
   }
 
+  test("zValue interleaves bits (reference check) and z-ordered files " +
+    "prune on BOTH dimensions where a one-column sort prunes on one") {
+    val spark2 = spark
+    import spark2.implicits._
+    // reference Morton implementation to pin the kernel against
+    def zRef(x: Long, y: Long): Long = {
+      var z = 0L
+      (0 until 32).foreach { b =>
+        z |= ((x >> b) & 1L) << (2 * b)
+        z |= ((y >> b) & 1L) << (2 * b + 1)
+      }
+      z
+    }
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (12345L, 67890L),
+      (0xffffffffL, 0L), (0L, 0x7fffffffL), (0x12345678L, 0x0fedcba9L))
+    val got = pts.toDF("x", "y")
+      .select(Layout.zValue(col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === pts.map { case (x, y) => zRef(x, y) })
+
+    // a 32×32 grid written z-ordered in 8 files: a filter on a narrow
+    // x-range (any y) AND a narrow y-range (any x) must each skip
+    // files by per-file min/max — the two-predicate pruning a plain
+    // sort-by-x cannot give for y
+    val grid = (for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y))
+      .toDF("x", "y")
+    val dir = Files.createTempDirectory("graft-zorder").toString + "/grid"
+    Layout.writeZOrdered(grid, dir, col("x"), col("y"), partitions = 8)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    assert(files.size >= 4, s"expected several files, got ${files.size}")
+    def filesHit(pred: org.apache.spark.sql.Column): Int =
+      files.count(f => spark.read.parquet(f).filter(pred).limit(1)
+        .collect().nonEmpty)
+    assert(filesHit(col("x") < 4) < files.size,
+      "x-range filter should skip some z-ordered files")
+    assert(filesHit(col("y") < 4) < files.size,
+      "y-range filter should skip some z-ordered files")
+    // and nothing was lost
+    assert(spark.read.parquet(dir).count() === 32L * 32L)
+  }
+
   test("bucketed tables join without a shuffle") {
     // a fresh in-memory catalog + a leftover warehouse dir from a prior
     // JVM collide on CREATE: drop both before saving
