@@ -998,6 +998,31 @@ object Similarity extends QueryModule {
         (mean < lit(minMeanCos)).as("rebuild"))
   }
 
+  /** PQ codebook health — the BATCH retrain signal whose streaming
+    * twin is [[graft.streaming.IndexMaintenance.maintainPq]]: per
+    * subspace, the corpus-mean squared reconstruction error of the
+    * assigned code, flagged when it exceeds `errThreshold`. A subspace
+    * whose codes no longer fit the data inflates every ADC distance
+    * that rides it ([[annPq]]/[[annIvfPq]]) — this is the query that
+    * says WHICH sixteenth of the codebook to retrain.
+    *
+    * Scale design: assignment + per-subspace distance come from the
+    * same one-pass `pq_assign` kernel as q51 (book = plan constant,
+    * zero joins); the explode is corpus × [[PqSubspaces]] rows that
+    * map-side partials collapse straight back to [[PqSubspaces]]
+    * groups. The mean rides [[exactSum]]'s decimal accumulator and
+    * the flag repeats the exact expression, same as [[ivfHealth]]. */
+  def pqHealth(emb: DataFrame, errThreshold: Double = 0.015): DataFrame = {
+    val book = pqTrainBook(emb)
+    val mean = exactSum(col("a").getField("d")) / count(lit(1))
+    Layout.widen(emb)
+      .select(col("vec_id"), posexplode(pqAssignCol(book)).as(Seq("m", "a")))
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(mean, 4).as("mean_err"),
+        (mean > lit(errThreshold)).as("retrain"))
+  }
+
   // ---- driver-gate query registry ----
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1013,7 +1038,9 @@ object Similarity extends QueryModule {
     // the composed production index: IVF cells × residual PQ (IVFADC)
     "q100_ann_ivfpq" -> ((s, d) => annIvfPq(T.embeddings(s, d))),
     // per-cell index staleness report (batch twin of maintainIvf)
-    "q106_ivf_health" -> ((s, d) => ivfHealth(T.embeddings(s, d)))
+    "q106_ivf_health" -> ((s, d) => ivfHealth(T.embeddings(s, d))),
+    // per-subspace codebook retrain signal (batch twin of maintainPq)
+    "q108_pq_health" -> ((s, d) => pqHealth(T.embeddings(s, d)))
   )
 
   /** DuckDB literal list for plane p, identical doubles to the plan. */
@@ -1175,6 +1202,28 @@ object Similarity extends QueryModule {
          |  FROM rer)
          |SELECT q_id, c_id, ROUND(cos, 4) AS cos, rank
          |FROM ranked WHERE rank <= $TopK""".stripMargin,
+    // q51's train + assign CTEs rolled up by subspace; mean rides the
+    // exact decimal accumulator, flag repeats the expression
+    "q108_pq_health" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |sub AS (SELECT vec_id, m, v[m*$PqSubDim+1 : m*$PqSubDim+$PqSubDim] AS sv
+         |        FROM v, range(0, $PqSubspaces) t(m)),
+         |$pqTrainSql
+         |cents AS (SELECT k, m, cv FROM cb$PqKmeansIters),
+         |d AS (SELECT s.vec_id, s.m, c.k,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(1, ${PqSubDim + 1}),
+         |        i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))),
+         |      (a, b) -> a + b) AS d
+         |  FROM sub s JOIN cents c USING (m)),
+         |best AS (SELECT vec_id, m, k, d FROM (
+         |    SELECT vec_id, m, k, d,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d ASC, k ASC) AS rn
+         |    FROM d) WHERE rn = 1)
+         |SELECT CAST(m AS INTEGER) AS m, COUNT(*) AS n_vecs,
+         |  ROUND(${exactSumSql("d")} / COUNT(*), 4) AS mean_err,
+         |  (${exactSumSql("d")} / COUNT(*) > 0.015) AS retrain
+         |FROM best GROUP BY m""".stripMargin,
     "q51_pq_codes" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |sub AS (SELECT vec_id, m, v[m*$PqSubDim+1 : m*$PqSubDim+$PqSubDim] AS sv

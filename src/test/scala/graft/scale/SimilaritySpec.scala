@@ -245,6 +245,34 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(m0 - expected0) < 1e-3)
   }
 
+  test("pqHealth: one row per subspace, means reconcile with pqCodes' " +
+    "per-vector SSE, and the threshold flips the retrain flag") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(29)
+    val emb = (0 until 64).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val rows = Similarity.pqHealth(emb).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    assert(rows.keySet === (0 until Similarity.PqSubspaces).toSet)
+    assert(rows.values.forall(_._1 === 64L))
+    // Σ_m mean_m · n == Σ_vec sse (same distances, two rollups) — the
+    // only slack is the 4-dp rounding of each mean
+    val bySubspace = rows.values.map { case (n, m, _) => m * n }.sum
+    val byVector = Similarity.pqCodes(emb)
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("sse")))
+      .head().getDouble(0)
+    assert(math.abs(bySubspace - byVector) < 16 * 64 * 1e-4,
+      s"subspace rollup $bySubspace vs per-vector SSE $byVector")
+    // the flag is the threshold comparison, both directions
+    assert(Similarity.pqHealth(emb, errThreshold = 0.0).collect()
+      .forall(_.getBoolean(3)))
+    assert(Similarity.pqHealth(emb, errThreshold = 1e9).collect()
+      .forall(!_.getBoolean(3)))
+  }
+
   test("annIvfPq: well-formed per-query boards, candidates only from " +
     "probed cells, strong recall on clustered data, deterministic rerun") {
     val spark2 = spark
