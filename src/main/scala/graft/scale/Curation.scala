@@ -219,6 +219,36 @@ object Curation extends QueryModule {
       .select(col("doc_id"), col("quality"), col("toks"), col("cum_toks"))
   }
 
+  /** Per-source mixture diversity — the "is this source a monoculture"
+    * QA view mixture design reads next to [[mixtureSample]]'s rates:
+    * per source, the language count, Gini impurity `1 − Σp²` and the
+    * effective number of languages `1/Σp²` (the inverse-Simpson
+    * "effective species" count — 3.0 means "as diverse as 3 equal
+    * languages", robust to trace languages that inflate n_langs).
+    * Shannon entropy is the textbook choice but needs `ln` — banned by
+    * this codebase's cross-engine determinism rule (libm ULP drift);
+    * Σp² = Σc²/n² is integer-derived and bit-identical.
+    *
+    * Scale design: two chained aggregations on narrowing keys
+    * ((source, lang) → source), both with map-side partials; Σc² rides
+    * a DECIMAL(38,0) accumulator (a long Σc² overflows once any cell
+    * passes ~3×10⁹ rows — real at 100 TB; DuckDB's HUGEINT sum is the
+    * same exact integer, and both cast to double once at the end). */
+  def sourceDiversity(docs: DataFrame): DataFrame = {
+    val cnt = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+    val nd = col("n_docs").cast("double")
+    val sq = col("sum_sq").cast("double")
+    cnt.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        sum((col("c") * col("c"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("sum_sq"))
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        round(lit(1.0) - sq / (nd * nd), 4).as("gini"),
+        round((nd * nd) / sq, 4).as("eff_langs"))
+  }
+
   // ---- driver-gate queries ----
 
   private val SampleFractions = Map(
@@ -307,7 +337,9 @@ object Curation extends QueryModule {
     // DSIR-style importance weights toward the target-language slice
     "q98_dsir_weights" -> ((s, d) => dsirWeights(T.documents(s, d))),
     // best-B-tokens selection: quality-ordered distributed prefix sum
-    "q105_budget_select" -> ((s, d) => budgetSelect(T.documents(s, d)))
+    "q105_budget_select" -> ((s, d) => budgetSelect(T.documents(s, d))),
+    // per-source language-mix diversity (Gini / effective languages)
+    "q109_source_diversity" -> ((s, d) => sourceDiversity(T.documents(s, d)))
   )
 
   // hash := high 60 bits of md5(id) — identical to portableHash60
@@ -346,6 +378,20 @@ object Curation extends QueryModule {
          |SELECT doc_id, quality, toks, cum_toks
          |FROM c WHERE cum_toks <= 20000""".stripMargin
     },
+    // Σc² exact in HUGEINT (= the Spark decimal accumulator), one cast
+    // to double, identical division trees
+    "q109_source_diversity" ->
+      """WITH c AS (SELECT source, lang, COUNT(*) AS c
+        |           FROM documents GROUP BY 1, 2),
+        |s AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
+        |        COUNT(*) AS n_langs, CAST(SUM(c*c) AS DOUBLE) AS sq
+        |      FROM c GROUP BY source)
+        |SELECT source, n_docs, n_langs,
+        |  ROUND(1.0 - sq / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)), 4)
+        |    AS gini,
+        |  ROUND((CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)) / sq, 4)
+        |    AS eff_langs
+        |FROM s""".stripMargin,
     "q57_stratified_sample" -> {
       val cases = SampleFractions
         .map { case (l, f) => s"WHEN '$l' THEN $f" }.mkString(" ")

@@ -170,6 +170,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct"))
   }
 
+  test("q106/q108 health reports: assignment kernels ride the scan as " +
+    "plan constants — no joins, no shuffle beyond the tiny rollup") {
+    val s106 = planOf(graft.scale.Similarity.ivfHealth(
+      graft.Tables.embeddings(spark, sf)))
+    assert(s106.contains("argmax_cosine"),
+      s"expected scan-side cell assignment:\n$s106")
+    assert(!s106.contains("Join"),
+      s"member cosine must come from the centroid literal, not a join:\n$s106")
+    val s108 = planOf(graft.scale.Similarity.pqHealth(
+      graft.Tables.embeddings(spark, sf)))
+    assert(s108.contains("pq_assign"),
+      s"expected the one-pass assignment kernel:\n$s108")
+    assert(!s108.contains("Join"),
+      s"per-subspace errors must not join the book:\n$s108")
+    // both rollups are partial+final hash aggregates over ≤16 keys
+    Seq(s106, s108).foreach(p =>
+      assert("HashAggregate".r.findAllIn(p).length >= 2,
+        s"expected map-side partials:\n$p"))
+  }
+
   test("semDedup: cluster assignment rides the scan (argmax_cosine plan " +
     "constant), candidates come from a cell-equality join — no cartesian, " +
     "no window, no assignment aggregate") {

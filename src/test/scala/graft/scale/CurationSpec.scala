@@ -192,4 +192,24 @@ class CurationSpec extends SparkSpec {
     val sel = Curation.budgetSelect(withEmpty, Long.MaxValue).collect()
     assert(!sel.exists(_.getLong(0) == 99L) && sel.length === 40)
   }
+
+  test("sourceDiversity: a monoculture scores gini 0 / eff 1, a uniform " +
+    "k-language source scores (k-1)/k and eff k") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = (
+      (1 to 8).map(i => (i.toLong, "mono", "en")) ++        // 1 language
+      (9 to 16).map(i => (i.toLong, "quad",                 // 4 × 2 docs
+        Seq("en", "de", "fr", "es")((i - 9) % 4))) ++
+      Seq((17L, "skew", "en"), (18L, "skew", "en"),
+        (19L, "skew", "en"), (20L, "skew", "de"))           // 3:1 split
+    ).toDF("doc_id", "source", "lang")
+    val out = Curation.sourceDiversity(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out("mono") === ((8L, 1L, 0.0, 1.0)))
+    assert(out("quad") === ((8L, 4L, 0.75, 4.0)))
+    // skew: p = (3/4, 1/4) → Σp² = 10/16 → gini .375, eff 1.6
+    assert(out("skew") === ((4L, 2L, 0.375, 1.6)))
+  }
 }
