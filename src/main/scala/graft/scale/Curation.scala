@@ -249,6 +249,38 @@ object Curation extends QueryModule {
         round((nd * nd) / sq, 4).as("eff_langs"))
   }
 
+  /** Cross-modality referential integrity — the J5 weights↔tests
+    * audit applied to the corpus' two modalities: every document
+    * should own exactly one embedding and every embedding exactly one
+    * document. One row: distinct-id pairing counts, dangling ids on
+    * either side, duplicate ids on either side, and the single
+    * `consistent` verdict a pipeline gates ingestion on. Run after
+    * every embedding job — a partial embedding run or a re-ingested
+    * shard shows up here before an id join silently drops or fans out
+    * rows downstream.
+    *
+    * Scale design: per-side id aggregates (map-side partials), ONE
+    * full-outer equality join on the id, one final aggregate — no
+    * row ever moves twice. */
+  def modalityIntegrity(docs: DataFrame, emb: DataFrame): DataFrame = {
+    val d = docs.groupBy(col("doc_id")).agg(count(lit(1)).as("dn"))
+    val v = emb.select(col("vec_id").as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("vn"))
+    d.join(v, Seq("doc_id"), "full_outer")
+      .agg(
+        coalesce(sum(col("dn")), lit(0L)).as("n_docs"),
+        coalesce(sum(col("vn")), lit(0L)).as("n_vecs"),
+        count(when(col("dn").isNotNull && col("vn").isNotNull, 1))
+          .as("n_paired"),
+        count(when(col("vn").isNull, 1)).as("n_text_only"),
+        count(when(col("dn").isNull, 1)).as("n_vec_only"),
+        count(when(col("dn") > 1, 1)).as("n_dup_doc_ids"),
+        count(when(col("vn") > 1, 1)).as("n_dup_vec_ids"))
+      .withColumn("consistent",
+        col("n_text_only") === 0 && col("n_vec_only") === 0 &&
+          col("n_dup_doc_ids") === 0 && col("n_dup_vec_ids") === 0)
+  }
+
   // ---- driver-gate queries ----
 
   private val SampleFractions = Map(
@@ -339,7 +371,10 @@ object Curation extends QueryModule {
     // best-B-tokens selection: quality-ordered distributed prefix sum
     "q105_budget_select" -> ((s, d) => budgetSelect(T.documents(s, d))),
     // per-source language-mix diversity (Gini / effective languages)
-    "q109_source_diversity" -> ((s, d) => sourceDiversity(T.documents(s, d)))
+    "q109_source_diversity" -> ((s, d) => sourceDiversity(T.documents(s, d))),
+    // text↔embedding referential integrity (the J5 audit, cross-modal)
+    "q110_modality_integrity" -> ((s, d) =>
+      modalityIntegrity(T.documents(s, d), T.embeddings(s, d)))
   )
 
   // hash := high 60 bits of md5(id) — identical to portableHash60
@@ -378,6 +413,23 @@ object Curation extends QueryModule {
          |SELECT doc_id, quality, toks, cum_toks
          |FROM c WHERE cum_toks <= 20000""".stripMargin
     },
+    "q110_modality_integrity" ->
+      """WITH d AS (SELECT doc_id, COUNT(*) AS dn FROM documents GROUP BY 1),
+        |v AS (SELECT vec_id AS doc_id, COUNT(*) AS vn
+        |      FROM embeddings GROUP BY 1),
+        |j AS (SELECT d.dn, v.vn FROM d FULL OUTER JOIN v USING (doc_id)),
+        |s AS (SELECT CAST(COALESCE(SUM(dn), 0) AS BIGINT) AS n_docs,
+        |  CAST(COALESCE(SUM(vn), 0) AS BIGINT) AS n_vecs,
+        |  COUNT(CASE WHEN dn IS NOT NULL AND vn IS NOT NULL THEN 1 END)
+        |    AS n_paired,
+        |  COUNT(CASE WHEN vn IS NULL THEN 1 END) AS n_text_only,
+        |  COUNT(CASE WHEN dn IS NULL THEN 1 END) AS n_vec_only,
+        |  COUNT(CASE WHEN dn > 1 THEN 1 END) AS n_dup_doc_ids,
+        |  COUNT(CASE WHEN vn > 1 THEN 1 END) AS n_dup_vec_ids
+        |FROM j)
+        |SELECT *, (n_text_only = 0 AND n_vec_only = 0
+        |  AND n_dup_doc_ids = 0 AND n_dup_vec_ids = 0) AS consistent
+        |FROM s""".stripMargin,
     // Σc² exact in HUGEINT (= the Spark decimal accumulator), one cast
     // to double, identical division trees
     "q109_source_diversity" ->

@@ -212,4 +212,27 @@ class CurationSpec extends SparkSpec {
     // skew: p = (3/4, 1/4) → Σp² = 10/16 → gini .375, eff 1.6
     assert(out("skew") === ((4L, 2L, 0.375, 1.6)))
   }
+
+  test("modalityIntegrity counts dangling and duplicate ids on both " +
+    "sides; a clean aligned corpus reads consistent") {
+    val spark2 = spark
+    import spark2.implicits._
+    def vec(i: Int) = Array.fill(4)(i.toFloat)
+    // doc 3 has no vector; vec 9 has no doc; doc 2 is duplicated;
+    // vec 1 is duplicated
+    val docs = Seq((1L, "a"), (2L, "b"), (2L, "b2"), (3L, "c"))
+      .toDF("doc_id", "text")
+    val emb = Seq((1L, vec(1)), (1L, vec(1)), (2L, vec(2)), (9L, vec(9)))
+      .toDF("vec_id", "embedding")
+    val r = Curation.modalityIntegrity(docs, emb).head()
+    assert(r.getLong(0) === 4L && r.getLong(1) === 4L)   // raw rows
+    assert(r.getLong(2) === 2L)                          // ids 1 and 2 paired
+    assert(r.getLong(3) === 1L && r.getLong(4) === 1L)   // doc 3 / vec 9
+    assert(r.getLong(5) === 1L && r.getLong(6) === 1L)   // dup doc 2 / vec 1
+    assert(!r.getBoolean(7))
+    val clean = Curation.modalityIntegrity(
+      Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text"),
+      Seq((1L, vec(1)), (2L, vec(2))).toDF("vec_id", "embedding")).head()
+    assert(clean.getBoolean(7) && clean.getLong(2) === 2L)
+  }
 }
