@@ -802,6 +802,36 @@ object Dedup extends QueryModule {
           col("n_corpus_docs"), 4).as("hit_rate"))
   }
 
+  /** The full contamination MATRIX — (eval suite × ingest source)
+    * cells completing [[contaminationBySource]] (q101: which pipeline)
+    * and [[decontaminateBySuite]] (q102: which benchmark): the
+    * actionable unit is the PAIR — "suite X leaked through source Y"
+    * is what a curation run actually deletes. Sparse: only cells with
+    * at least one hit appear (at 100 TB the dense matrix is almost
+    * entirely zeros). Per cell: corpus docs hit and total overlapping
+    * shingle instances.
+    *
+    * Scale design: identical to q102 up to the per-(suite, doc)
+    * rollup; the corpus source attaches by doc_id equi-join and the
+    * final aggregate is keyed by (suite, source) — both map-side
+    * partial. */
+  def contaminationMatrix(docs: DataFrame, evalMaxId: Long = 25L): DataFrame = {
+    val sh = shingleTable(docs).localCheckpoint()
+    val suites = docs.filter(col("doc_id") < evalMaxId)
+      .select(col("doc_id"), col("source").as("suite"))
+    val ev = sh.filter(col("doc_id") < evalMaxId)
+      .join(broadcast(suites), Seq("doc_id"))
+      .select(col("suite"), col("sh")).distinct()
+    sh.filter(col("doc_id") >= evalMaxId)
+      .join(broadcast(ev), Seq("sh"))
+      .groupBy(col("suite"), col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("suite"), col("source"))
+      .agg(count(lit(1)).as("n_docs_hit"),
+        sum(col("n_overlap")).as("n_overlap"))
+  }
+
   /** Benchmark decontamination — the n-gram–overlap check every
     * training-data pipeline runs against its eval sets (the GPT-3 /
     * Gopher "13-gram collision" rule, here on the word-shingle
@@ -1336,6 +1366,9 @@ object Dedup extends QueryModule {
     // which eval suite leaked: per-suite contamination breakdown
     "q102_decontaminate_by_suite" -> ((s, d) =>
       decontaminateBySuite(T.documents(s, d))),
+    // the sparse (suite × source) leak matrix — the actionable pair
+    "q111_contamination_matrix" -> ((s, d) =>
+      contaminationMatrix(T.documents(s, d))),
     // certify-the-sketch for MinHash: signature-agreement estimate vs
     // exact Jaccard on every LSH candidate pair, error gated
     "q103_minhash_audit" -> ((s, d) => minhashAudit(T.documents(s, d))),
@@ -1661,6 +1694,22 @@ object Dedup extends QueryModule {
          |       - CAST(inter AS DOUBLE) / (na + nb - inter)) <= 0.45)
          |    AS within_tol
          |FROM m""".stripMargin,
+    // q102's CTEs up to the per-(suite, doc) rollup, then the corpus
+    // source attach and the (suite, source) cell aggregate
+    "q111_contamination_matrix" ->
+      s"""WITH $shingleCte,
+         |suites AS (SELECT doc_id, source AS suite FROM documents
+         |           WHERE doc_id < 25),
+         |ev AS (SELECT DISTINCT u.suite, s.sh
+         |       FROM sh s JOIN suites u USING (doc_id)),
+         |corpus AS (SELECT doc_id, sh FROM sh WHERE doc_id >= 25),
+         |hits AS (SELECT suite, doc_id, COUNT(*) AS n_overlap
+         |         FROM corpus c JOIN ev e ON e.sh = c.sh
+         |         GROUP BY suite, doc_id)
+         |SELECT h.suite, d.source, COUNT(*) AS n_docs_hit,
+         |  CAST(SUM(h.n_overlap) AS BIGINT) AS n_overlap
+         |FROM hits h JOIN documents d USING (doc_id)
+         |GROUP BY h.suite, d.source""".stripMargin,
     // q71's shingle CTEs with the eval side tagged by its doc's source
     // (= suite); zero-hit suites re-enter via the catalog left join
     "q102_decontaminate_by_suite" ->

@@ -1081,6 +1081,39 @@ class DedupSpec extends SparkSpec {
     assert(strict.exists(r => !r.getBoolean(6)))
   }
 
+  test("contaminationMatrix emits only the hit (suite, source) cells " +
+    "and its marginals reconcile with q102's per-suite rollup") {
+    val spark2 = spark
+    import spark2.implicits._
+    val leakX = "the held out benchmark question about rivers"
+    val leakY = "a different benchmark prompt about ancient coins"
+    val docs = Seq(
+      (1L, "suiteX", leakX + " and its official answer text here"),
+      (2L, "suiteY", leakY + " with its gold label continuation"),
+      // suiteX leaks into crawlA only; suiteY into crawlB only
+      (30L, "crawlA", s"scraped page containing $leakX verbatim body"),
+      (31L, "crawlA", "another crawlA page with entirely original words"),
+      (32L, "crawlB", s"mirror hosting $leakY in full detail"),
+      (33L, "crawlB", "clean corpus text about mountains and weather")
+    ).toDF("doc_id", "source", "text")
+    val cells = Dedup.contaminationMatrix(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // exactly the two planted pairs — no zero cells
+    assert(cells.keySet === Set(("suiteX", "crawlA"), ("suiteY", "crawlB")))
+    assert(cells(("suiteX", "crawlA"))._1 === 1L)
+    assert(cells(("suiteY", "crawlB"))._1 === 1L)
+    // marginals == q102's per-suite totals
+    val bySuite = Dedup.decontaminateBySuite(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    cells.groupBy(_._1._1).foreach { case (suite, cs) =>
+      val (hitSum, overSum) =
+        (cs.values.map(_._1).sum, cs.values.map(_._2).sum)
+      assert(bySuite(suite) === ((hitSum, overSum)),
+        s"suite $suite marginal mismatch")
+    }
+  }
+
   test("decontaminateBySuite names the leaking suite: per-suite hit " +
     "counts over the q71 corpus universe, zero-hit and shingle-less " +
     "suites report zeros") {
