@@ -451,6 +451,40 @@ object EventStreams {
         col("p_ts"), col("c_ts"), col("click_value"))
   }
 
+  /** Streaming cross-modality integrity gate — the arrival-time twin
+    * of [[graft.scale.Curation.modalityIntegrity]] (q110): full-outer
+    * stream-stream join of document arrivals against embedding
+    * arrivals on id, within an event-time tolerance. A matched pair
+    * emits as soon as both sides arrive; a DANGLING side emits only
+    * once the watermark proves its partner cannot still come — the
+    * outer-join watermark contract doing exactly what an ingestion
+    * monitor needs (no false "missing embedding" page for a vector
+    * that is merely seconds behind its document).
+    *
+    * State is bounded by watermark + tolerance on both sides (rows
+    * age out once they can no longer match); at 100 TB/day this is
+    * minutes of arrivals, not the corpus. */
+  def modalityGate(docs: DataFrame, vecs: DataFrame,
+                   watermark: String = "1 hour",
+                   toleranceMin: Int = 10): DataFrame = {
+    val d = docs.select(col("doc_id"), col("ts").as("d_ts"))
+      .withWatermark("d_ts", watermark)
+    val v = vecs.select(col("vec_id"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", watermark)
+    d.join(v,
+        col("doc_id") === col("vec_id") &&
+          col("v_ts") >= col("d_ts") - expr(s"INTERVAL $toleranceMin MINUTES") &&
+          col("v_ts") <= col("d_ts") + expr(s"INTERVAL $toleranceMin MINUTES"),
+        "full_outer")
+      .select(
+        coalesce(col("doc_id"), col("vec_id")).as("id"),
+        col("d_ts"), col("v_ts"),
+        when(col("doc_id").isNotNull && col("vec_id").isNotNull,
+          lit("paired"))
+          .when(col("vec_id").isNull, lit("text_only"))
+          .otherwise(lit("vec_only")).as("status"))
+  }
+
   /** Streaming as-of enrichment: attach the latest click at-or-before
     * each purchase by the same user, carrying one `(ts, value)` pair of
     * keyed state per user — the streaming counterpart of the batch

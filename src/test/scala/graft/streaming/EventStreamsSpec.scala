@@ -160,6 +160,42 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("modality gate: pairs emit when both sides arrive, dangling " +
+    "sides emit only after the watermark closes their window") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docsSrc = MemoryStream[Doc]
+    val vecsSrc = MemoryStream[graft.streaming.VecArrival]
+    val q = EventStreams.modalityGate(
+        docsSrc.toDF(), vecsSrc.toDF(),
+        watermark = "10 minutes", toleranceMin = 5)
+      .writeStream.format("memory").queryName("mg").outputMode("append").start()
+    try {
+      def vec(i: Int) = Array.fill(4)(i.toDouble)
+      // doc 1 gets its vector 2 min later (paired); doc 2 never gets
+      // one (text_only); vec 9 has no doc (vec_only)
+      docsSrc.addData(
+        Doc(1L, ts(0), "paired doc"),
+        Doc(2L, ts(1), "orphan doc"))
+      vecsSrc.addData(
+        graft.streaming.VecArrival(1L, ts(2), vec(1)),
+        graft.streaming.VecArrival(9L, ts(3), vec(9)))
+      q.processAllAvailable()
+      // advance BOTH watermarks far past every window, then flush
+      docsSrc.addData(Doc(100L, ts(120), "late watermark driver"))
+      vecsSrc.addData(graft.streaming.VecArrival(100L, ts(121), vec(0)))
+      q.processAllAvailable()
+      val got = spark.table("mg").collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[String]("status")).toSet
+      assert(got.contains(1L -> "paired"))
+      assert(got.contains(2L -> "text_only"))
+      assert(got.contains(9L -> "vec_only"))
+      // the paired row never ALSO emits as dangling
+      assert(!got.contains(1L -> "text_only") && !got.contains(1L -> "vec_only"))
+    } finally q.stop()
+  }
+
   test("streaming as-of enrichment carries the latest preceding click per user") {
     val spark2 = spark
     import spark2.implicits._
