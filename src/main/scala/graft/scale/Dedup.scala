@@ -647,6 +647,34 @@ object Dedup extends QueryModule {
       .select(col("doc_id"), col("lang"), col("source"))
   }
 
+  /** Dedup impact report — what [[dedupCorpus]] actually removed, per
+    * ingest source: docs and (estimated) tokens dropped, and the
+    * removal rate. The number a pipeline owner reads after every
+    * dedup run — a source suddenly losing 40% of its tokens is either
+    * a mirror-heavy crawl (expected) or a collision bug (not), and
+    * either way it is this report that raises the flag. Token
+    * estimate is q35's chars/4.
+    *
+    * Scale design: one extra left join of the corpus against the kept
+    * ids (broadcast when dups are few — the common case) and one
+    * group-by-source with map-side partials on top of [[dedupCorpus]]'s
+    * existing pair→component→representative chain. */
+  def dedupImpact(docs: DataFrame, maxDist: Int = 5): DataFrame = {
+    val kept = dedupCorpus(docs, maxDist)
+      .select(col("doc_id")).withColumn("_k", lit(1))
+    docs.select(col("doc_id"), col("source"),
+        ceil(length(col("text")).cast("double") / 4d).cast("long").as("toks"))
+      .join(kept, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("_k").isNull, 1)).as("n_removed"),
+        sum(col("toks")).as("toks_total"),
+        coalesce(sum(when(col("_k").isNull, col("toks"))), lit(0L))
+          .as("toks_removed"),
+        round(count(when(col("_k").isNull, 1)).cast("double") /
+          count(lit(1)), 4).as("removal_rate"))
+  }
+
   /** Full-range embedding near-dup gate — the SCALE path that
     * [[embeddingNearDup]]'s bounded brute force stands in for: LSH
     * bucket equality self-join generates candidates over the WHOLE
@@ -1350,6 +1378,8 @@ object Dedup extends QueryModule {
     "q29_embed_neardup" -> ((s, d) => embeddingNearDup(T.embeddings(s, d), 0.3, 300L)),
     // the composed end-to-end verb: pairs → clusters → keep one → drop
     "q68_dedup_corpus" -> ((s, d) => dedupCorpus(T.documents(s, d), maxDist = 5)),
+    // what dedup removed, per source (docs + estimated tokens + rate)
+    "q112_dedup_impact" -> ((s, d) => dedupImpact(T.documents(s, d))),
     // full-range LSH near-dup gate (no id cap): the scale path q29 demos
     "q69_neardup_lsh" -> ((s, d) => embeddingNearDupLsh(T.embeddings(s, d), 0.2)),
     // SemDeDup: cluster-bounded semantic near-dup pruning, one
@@ -1782,6 +1812,34 @@ object Dedup extends QueryModule {
         |           WHERE doc_id NOT IN (SELECT doc_id FROM reps))
         |SELECT doc_id, lang, source FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
+    // q68's loser set rolled up by source with q35's token estimate
+    "q112_dedup_impact" ->
+      s"""WITH RECURSIVE $simhashPairCte,
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM p
+        |      UNION SELECT doc_b, doc_a FROM p),
+        |reach(a, b) AS (SELECT a, b FROM e
+        |  UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+        |lab AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+        |        FROM reach GROUP BY a),
+        |reps AS (SELECT doc_id FROM (
+        |    SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY cluster_id
+        |      ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15) AS BIGINT) ASC,
+        |        doc_id ASC) AS rn
+        |    FROM lab) WHERE rn = 1),
+        |losers AS (SELECT doc_id FROM lab
+        |           WHERE doc_id NOT IN (SELECT doc_id FROM reps)),
+        |t AS (SELECT doc_id, source,
+        |        CAST(CEIL(CAST(len(text) AS DOUBLE)/4) AS BIGINT) AS toks,
+        |        (doc_id IN (SELECT doc_id FROM losers)) AS removed
+        |      FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  COUNT(CASE WHEN removed THEN 1 END) AS n_removed,
+        |  CAST(SUM(toks) AS BIGINT) AS toks_total,
+        |  CAST(COALESCE(SUM(CASE WHEN removed THEN toks END), 0) AS BIGINT)
+        |    AS toks_removed,
+        |  ROUND(CAST(COUNT(CASE WHEN removed THEN 1 END) AS DOUBLE)
+        |    / COUNT(*), 4) AS removal_rate
+        |FROM t GROUP BY source""".stripMargin,
     "q69_neardup_lsh" ->
       s"""WITH b AS (
          |  SELECT vec_id, CAST(${Similarity.bucketSql} AS BIGINT) AS bucket,

@@ -1081,6 +1081,36 @@ class DedupSpec extends SparkSpec {
     assert(strict.exists(r => !r.getBoolean(6)))
   }
 
+  test("dedupImpact reconciles with dedupCorpus per source and charges " +
+    "removed tokens to the right source") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dupText = "the exact same mirrored page body repeated " +
+      "across a mirror heavy crawl with identical words"
+    val docs = Seq(
+      (1L, "mirrorful", "en", dupText),
+      (2L, "mirrorful", "en", dupText),
+      (3L, "mirrorful", "en", dupText),
+      (4L, "cleanish", "en", "a unique article about glaciers and fjords"),
+      (5L, "cleanish", "en", "another unique article about desert climates")
+    ).toDF("doc_id", "source", "lang", "text")
+    val out = Dedup.dedupImpact(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    val keptPerSource = Dedup.dedupCorpus(docs, maxDist = 5).collect()
+      .groupBy(_.getString(2)).view.mapValues(_.length.toLong).toMap
+    out.foreach { case (src, (n, removed, toksTot, toksRem, rate)) =>
+      assert(n - removed === keptPerSource.getOrElse(src, 0L),
+        s"$src kept mismatch")
+      assert(toksRem <= toksTot && rate ===
+        math.rint(removed.toDouble / n * 10000) / 10000)
+    }
+    // the three mirrored docs collapse to one survivor, tokens charged
+    val (n, removed, _, toksRem, _) = out("mirrorful")
+    assert(n === 3L && removed === 2L && toksRem > 0L)
+    assert(out("cleanish")._2 === 0L && out("cleanish")._4 === 0L)
+  }
+
   test("contaminationMatrix emits only the hit (suite, source) cells " +
     "and its marginals reconcile with q102's per-suite rollup") {
     val spark2 = spark
