@@ -93,6 +93,86 @@ object TemporalOps extends QueryModule {
         rightPayload.map(p => col(s"__rp.$p").as(s"$p$suffix")): _*)
   }
 
+  /** Ordered conversion funnel: per user, how far through `stages` the
+    * event stream gets when each stage must happen STRICTLY after the
+    * previous stage's completion; per stage, how many users reach it
+    * plus the conversion rate from the stage before.
+    *
+    * Semantics (greedy-earliest, the standard funnel definition): a
+    * user completes stage 1 at their earliest stage-1 event, stage i at
+    * their earliest stage-i event after the stage-(i-1) completion.
+    * Greedy-earliest is optimal for reachability — if ANY ordered
+    * subsequence of stage events exists, the greedy one does — so
+    * "users reaching stage i" is well-defined.
+    *
+    * Scale design: exactly ONE shuffle (groupBy user). Each user's
+    * tracked events are sorted and folded through the stage cascade in
+    * one `aggregate` pass — per-user memory, the same bound every
+    * sessionization carries. Stage counts are conditional sums in one
+    * final single-row aggregate; no self-joins, no per-stage passes
+    * over the corpus (the naive min-cascade is `stages.size` corpus
+    * scans + joins — that shape is the ORACLE, not the plan).
+    */
+  def funnel(events: DataFrame,
+             stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(stages.nonEmpty && stages.distinct.size == stages.size,
+      s"stages must be non-empty and distinct: $stages")
+    val stageLit = typedLit(stages)
+    val perUser = events
+      .filter(col("event_type").isin(stages: _*))
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_type"))))
+        .as("evs"))
+    val reached = perUser.select(
+      aggregate(
+        col("evs"),
+        struct(lit(0).as("n"), lit(null).cast("timestamp").as("t")),
+        (acc, e) => {
+          val n = acc.getField("n")
+          val advance = n < stages.size &&
+            e.getField("event_type") === element_at(stageLit, n + 1) &&
+            (n === 0 || e.getField("ts") > acc.getField("t"))
+          when(advance,
+            struct((n + 1).as("n"), e.getField("ts").as("t"))).otherwise(acc)
+        }).getField("n").as("reached"))
+    val countCols = count(lit(1)).as("c0") +:
+      stages.indices.map(i =>
+        sum(when(col("reached") >= i + 1, 1L).otherwise(0L)).as(s"c${i + 1}"))
+    val counts = reached.agg(countCols.head, countCols.tail: _*)
+    val stageRows = stages.indices.map { i =>
+      val prev = col(s"c$i")
+      struct(
+        lit(i + 1).as("stage_idx"),
+        lit(stages(i)).as("stage"),
+        col(s"c${i + 1}").as("users"),
+        when(prev > 0, col(s"c${i + 1}").cast("double") / prev.cast("double"))
+          .as("conv_rate"))
+    }
+    counts.select(explode(array(stageRows: _*)).as("s")).select(col("s.*"))
+  }
+
+  /** Cohort retention: users are cohorted by first-seen day; for each
+    * (cohort day, week offset) the number of distinct users active in
+    * that week. The two-aggregate shape is the canonical one — cohort
+    * assignment groups by user, the join back rides the SAME user_id
+    * partitioning (exchange reuse), and the distinct collapses
+    * per-user duplicate (day, week) activity before the final count,
+    * so the last exchange carries at most one row per (user, week).
+    */
+  def retention(events: DataFrame): DataFrame = {
+    val days = events.select(col("user_id"), to_date(col("ts")).as("day"))
+    val firsts = days.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    days.join(firsts, Seq("user_id"))
+      .select(col("user_id"), col("cohort_day"),
+        floor(datediff(col("day"), col("cohort_day")) / 7).cast("long")
+          .as("week_off"))
+      .distinct()
+      .groupBy(col("cohort_day"), col("week_off"))
+      .agg(count(lit(1)).as("users"))
+  }
+
   // ---- driver-gate queries ----
 
   /** q43: for each purchase event, the latest click (value + time) by
@@ -126,7 +206,9 @@ object TemporalOps extends QueryModule {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q43_asof_join" -> q43AsofJoin,
-    "q45_range_join" -> q45RangeJoin
+    "q45_range_join" -> q45RangeJoin,
+    "q113_funnel" -> ((s, d) => funnel(T.events(s, d))),
+    "q114_retention" -> ((s, d) => retention(T.events(s, d)))
   )
 
   // CAST(ts AS TIMESTAMP) truncates DuckDB's TIMESTAMP_NS to micros —
@@ -151,6 +233,39 @@ object TemporalOps extends QueryModule {
         |FROM p LEFT JOIN x
         |  ON p.user_id = x.user_id AND x.ts >= p.ts
         | AND x.ts <= p.ts + INTERVAL 300 SECOND
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+    // the naive min-cascade restatement of the greedy-earliest fold:
+    // stage 1 completes at min(ts), stage i at the min stage-i ts
+    // strictly after stage i-1's completion — the two definitions
+    // coincide (greedy-earliest maximizes every later stage's chances)
+    "q113_funnel" ->
+      """WITH base AS (SELECT DISTINCT user_id FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')),
+        |s1 AS (SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1),
+        |c AS (SELECT (SELECT COUNT(*) FROM base) AS c0,
+        |  (SELECT COUNT(*) FROM s1) AS c1,
+        |  (SELECT COUNT(*) FROM s2) AS c2,
+        |  (SELECT COUNT(*) FROM s3) AS c3)
+        |SELECT 1 AS stage_idx, 'view' AS stage, c1 AS users,
+        |  CASE WHEN c0 > 0 THEN CAST(c1 AS DOUBLE) / c0 END AS conv_rate FROM c
+        |UNION ALL SELECT 2, 'click', c2,
+        |  CASE WHEN c1 > 0 THEN CAST(c2 AS DOUBLE) / c1 END FROM c
+        |UNION ALL SELECT 3, 'purchase', c3,
+        |  CASE WHEN c2 > 0 THEN CAST(c3 AS DOUBLE) / c2 END FROM c""".stripMargin,
+    "q114_retention" ->
+      """WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1),
+        |w AS (SELECT DISTINCT d.user_id, f.cohort_day,
+        |    CAST(date_diff('day', f.cohort_day, d.day) // 7 AS BIGINT) AS week_off
+        |  FROM d JOIN f ON d.user_id = f.user_id)
+        |SELECT cohort_day, week_off, COUNT(*) AS users
+        |FROM w GROUP BY 1, 2""".stripMargin
   )
 }

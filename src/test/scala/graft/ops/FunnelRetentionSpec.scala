@@ -1,0 +1,139 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Semantics battery for the funnel fold and the cohort retention
+  * shape (q113/q114). The funnel's greedy-earliest cascade is pinned
+  * against hand-worked orderings — including the cases a naive
+  * "has all three event types" count gets wrong.
+  */
+class FunnelRetentionSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def ev(rows: (Long, String, String)*) = {
+    val spark2 = spark
+    import spark2.implicits._
+    rows.map { case (u, t, ty) => (u, ts(t), ty) }
+      .toDF("user_id", "ts", "event_type")
+  }
+
+  test("funnel: ordering matters — a click BEFORE the first view does not convert") {
+    val e = ev(
+      // u1: view → click → purchase, in order: reaches stage 3
+      (1L, "2026-01-01 10:00:00", "view"),
+      (1L, "2026-01-01 10:01:00", "click"),
+      (1L, "2026-01-01 10:02:00", "purchase"),
+      // u2: click precedes the only view; purchase follows the view but
+      // no click does → reaches stage 1 only (naive set-membership
+      // counting would claim stage 3)
+      (2L, "2026-01-01 09:00:00", "click"),
+      (2L, "2026-01-01 10:00:00", "view"),
+      (2L, "2026-01-01 11:00:00", "purchase"),
+      // u3: view then click, purchase never → stage 2
+      (3L, "2026-01-01 10:00:00", "view"),
+      (3L, "2026-01-01 10:05:00", "click"),
+      // u4: untracked event type only → in the base, no stages
+      (4L, "2026-01-01 10:00:00", "view"))
+    val out = TemporalOps.funnel(e).collect()
+      .map(r => r.getAs[String]("stage") ->
+        (r.getAs[Long]("users"), r.getAs[Any]("conv_rate"))).toMap
+    assert(out("view")._1 === 4L)     // every user has a view
+    assert(out("click")._1 === 2L)    // u1, u3 (u2's click was too early)
+    assert(out("purchase")._1 === 1L) // u1 only
+    assert(out("view")._2 === 1.0)    // 4 of 4 users reach stage 1
+    assert(out("click")._2 === 0.5)   // 2 of 4
+    assert(out("purchase")._2 === 0.5) // 1 of 2
+  }
+
+  test("funnel: a stage tie on ts does NOT advance (strictly-after contract)") {
+    val e = ev(
+      (1L, "2026-01-01 10:00:00", "view"),
+      (1L, "2026-01-01 10:00:00", "click"),   // same instant as the view
+      (1L, "2026-01-01 10:01:00", "purchase"),
+      (2L, "2026-01-01 10:00:00", "view"),
+      (2L, "2026-01-01 10:00:01", "click"),   // strictly after
+      (2L, "2026-01-01 10:00:02", "purchase"))
+    val out = TemporalOps.funnel(e).collect()
+      .map(r => r.getAs[String]("stage") -> r.getAs[Long]("users")).toMap
+    assert(out("view") === 2L)
+    assert(out("click") === 1L)    // u1's tied click is not after the view
+    assert(out("purchase") === 1L) // u2 completes; u1 is stuck at stage 1
+  }
+
+  test("funnel: greedy-earliest uses the FIRST qualifying event per stage") {
+    // u1 has two views; the later one is followed by no click, but the
+    // EARLIER one is — greedy must anchor at the earliest view
+    val e = ev(
+      (1L, "2026-01-01 09:00:00", "view"),
+      (1L, "2026-01-01 09:30:00", "click"),
+      (1L, "2026-01-01 10:00:00", "view"))
+    val out = TemporalOps.funnel(e).collect()
+      .map(r => r.getAs[String]("stage") -> r.getAs[Long]("users")).toMap
+    assert(out("click") === 1L)
+  }
+
+  test("funnel: empty stage downstream yields zero users and null conv_rate") {
+    val e = ev((1L, "2026-01-01 10:00:00", "click")) // no view anywhere
+    val rows = TemporalOps.funnel(e).collect()
+      .map(r => r.getAs[String]("stage") ->
+        (r.getAs[Long]("users"), Option(r.getAs[Any]("conv_rate")))).toMap
+    assert(rows("view") === ((0L, Some(0.0))))   // 0 of 1 base user
+    assert(rows("click")._1 === 0L)
+    assert(rows("click")._2 === None)            // 0-user denominator → null
+    assert(rows("purchase")._2 === None)
+  }
+
+  test("funnel plans exactly ONE data-sized shuffle (the per-user groupBy)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = TemporalOps.funnel(graft.Tables.events(spark, "/root/testdata/sf0.001"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = df.queryExecution.executedPlan
+      val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+      // one hash exchange on user_id moves event data; the only other
+      // exchange is the SinglePartition gather of per-task count
+      // partials (constant-size rows) into the one-row stage summary
+      val hashed = exchanges.filter(_.outputPartitioning.toString.contains("hashpartitioning"))
+      assert(hashed.size === 1, s"expected 1 data shuffle:\n$plan")
+      assert(hashed.head.outputPartitioning.toString.contains("user_id"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("retention: cohorts by first-seen day, distinct users per week offset") {
+    val e = ev(
+      // u1 first seen Jan 1; active Jan 1 (w0), Jan 5 (w0, dup-collapsed),
+      // Jan 9 (w1), Jan 29 (w4)
+      (1L, "2026-01-01 10:00:00", "view"),
+      (1L, "2026-01-05 10:00:00", "click"),
+      (1L, "2026-01-05 18:00:00", "view"),
+      (1L, "2026-01-09 10:00:00", "view"),
+      (1L, "2026-01-29 10:00:00", "purchase"),
+      // u2 same cohort day, only week 0
+      (2L, "2026-01-01 23:00:00", "view"),
+      // u3 a different cohort, weeks 0 and 1
+      (3L, "2026-01-02 10:00:00", "view"),
+      (3L, "2026-01-10 10:00:00", "view"))
+    val out = TemporalOps.retention(e).collect()
+      .map(r => (r.getAs[java.sql.Date]("cohort_day").toString,
+        r.getAs[Long]("week_off")) -> r.getAs[Long]("users")).toMap
+    assert(out === Map(
+      ("2026-01-01", 0L) -> 2L,
+      ("2026-01-01", 1L) -> 1L,
+      ("2026-01-01", 4L) -> 1L,
+      ("2026-01-02", 0L) -> 1L,
+      ("2026-01-02", 1L) -> 1L))
+  }
+
+  test("retention: day boundaries — day 6 is week 0, day 7 is week 1") {
+    val e = ev(
+      (1L, "2026-01-01 00:00:00", "view"),
+      (1L, "2026-01-07 23:59:59", "view"),  // day diff 6 → week 0
+      (1L, "2026-01-08 00:00:00", "view"))  // day diff 7 → week 1
+    val out = TemporalOps.retention(e).collect()
+      .map(r => r.getAs[Long]("week_off") -> r.getAs[Long]("users")).toMap
+    assert(out === Map(0L -> 1L, 1L -> 1L))
+  }
+}
