@@ -1023,6 +1023,88 @@ object Similarity extends QueryModule {
         (mean > lit(errThreshold)).as("retrain"))
   }
 
+  // ---- Johnson–Lindenstrauss sign projection (q115/q116) ----
+
+  /** Output dimensionality of the JL projection. */
+  val JlDims = 8
+
+  /** Deterministic ±1 sign matrix for the JL projection: sign (k, d) =
+    * +1 iff hash60("jl_k_d") is even — the same md5 derivation family
+    * as [[planes]], embedded as literals in both the Spark plan and
+    * the oracle SQL (Achlioptas 2003: ±1 entries satisfy the JL lemma
+    * with the same guarantees as Gaussian projections).
+    */
+  val jlSigns: Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until JlDims).map { k =>
+      (0 until Dim).map { d =>
+        val hex = md.digest(s"jl_${k}_${d}".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 15)
+        if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+      }
+    }
+  }
+
+  private def jlSignLit(k: Int): Column = array(jlSigns(k).map(lit): _*)
+
+  /** q115: project each embedding to [[JlDims]] dimensions — one row
+    * per (vec_id, output dim k) with y = v · sign_k (the 1/√m JL
+    * scaling is deferred to consumers; with it, pairwise distances are
+    * preserved within (1±ε)).
+    *
+    * Scale design: the projection is the shuffle-bytes reducer that
+    * runs BEFORE any vector shuffle — 8 doubles leave the scan instead
+    * of 64 floats. The sign matrix rides the plan as literal arrays
+    * (512 doubles — [[planes]] discipline) and each output dim is one
+    * codegen'd [[graft.functions.VectorExpressions.dot]] kernel, so
+    * the whole query is a parquet scan + projection + generate: zero
+    * joins, zero hash shuffles at ANY corpus size.
+    */
+  def jlProject(emb: DataFrame, dims: Int = JlDims): DataFrame = {
+    require(dims >= 1 && dims <= JlDims, s"dims must be in [1, $JlDims]: $dims")
+    val v = toDoubleArray(col("embedding"))
+    val ys = array((0 until dims).map(k => dotProduct(v, jlSignLit(k))): _*)
+    Layout.widen(emb)
+      .select(col("vec_id"), posexplode(ys).as(Seq("k", "y")))
+  }
+
+  /** q116: certify-the-sketch for the JL projection (the q81/q99/q103
+    * contract): per vector, distortion = (|y|²/m) / |v|² — the
+    * projected estimate of the squared norm over the true squared norm
+    * (E[distortion] = 1 for ±1 signs) — and one corpus row gating the
+    * exactSum mean inside [lo, hi]. min/max ride along so a failing
+    * gate names the damage. Same zero-join scan shape as [[jlProject]];
+    * |y|² is the dot kernel over the 8 projections, the division is
+    * single (m·|v|² scales by a power of two — exact), so every double
+    * is bit-identical to the oracle's restatement.
+    */
+  /** q116 gate bounds — chosen INSIDE the measured sf0.001/0.01/0.1
+    * mean range so the flag discriminates (q106/q108 discipline). */
+  val JlAuditLo = 0.85
+  val JlAuditHi = 1.15
+
+  def jlAudit(emb: DataFrame, dims: Int = JlDims,
+              lo: Double = JlAuditLo, hi: Double = JlAuditHi): DataFrame = {
+    val v = toDoubleArray(col("embedding"))
+    val perVec = Layout.widen(emb)
+      .select(col("vec_id"), v.as("v"))
+      .withColumn("dv", dotProduct(col("v"), col("v")))
+      .filter(col("dv") > 0d)
+      .withColumn("ys",
+        array((0 until dims).map(k => dotProduct(col("v"), jlSignLit(k))): _*))
+      .withColumn("distortion",
+        dotProduct(col("ys"), col("ys")) / (lit(dims.toDouble) * col("dv")))
+    perVec
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(exactSum(col("distortion")) / count(lit(1)), 4)
+          .as("mean_distortion"),
+        round(min(col("distortion")), 4).as("min_distortion"),
+        round(max(col("distortion")), 4).as("max_distortion"))
+      .withColumn("ok",
+        col("mean_distortion") >= lo && col("mean_distortion") <= hi)
+  }
+
   // ---- driver-gate query registry ----
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1040,12 +1122,20 @@ object Similarity extends QueryModule {
     // per-cell index staleness report (batch twin of maintainIvf)
     "q106_ivf_health" -> ((s, d) => ivfHealth(T.embeddings(s, d))),
     // per-subspace codebook retrain signal (batch twin of maintainPq)
-    "q108_pq_health" -> ((s, d) => pqHealth(T.embeddings(s, d)))
+    "q108_pq_health" -> ((s, d) => pqHealth(T.embeddings(s, d))),
+    // JL sign projection: the pre-shuffle dimensionality reducer
+    "q115_jl_project" -> ((s, d) => jlProject(T.embeddings(s, d))),
+    // distortion gate certifying the projection preserves norms
+    "q116_jl_audit" -> ((s, d) => jlAudit(T.embeddings(s, d)))
   )
 
   /** DuckDB literal list for plane p, identical doubles to the plan. */
   private def planeSql(p: Int): String =
     planes(p).map(v => f"$v%.1f").mkString("[", ", ", "]")
+
+  /** DuckDB literal list for JL sign row k (±1.0 doubles). */
+  private def jlSignSql(k: Int): String =
+    jlSigns(k).map(v => f"$v%.1f").mkString("[", ", ", "]")
 
   private[scale] val bucketSql: String = (0 until NumPlanes).map { p =>
     s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ${planeSql(p)}) > 0 THEN ${1L << p} ELSE 0 END)"
@@ -1204,6 +1294,28 @@ object Similarity extends QueryModule {
          |FROM ranked WHERE rank <= $TopK""".stripMargin,
     // q51's train + assign CTEs rolled up by subspace; mean rides the
     // exact decimal accumulator, flag repeats the expression
+    "q115_jl_project" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |s(k, s) AS (VALUES ${(0 until JlDims).map(k => s"($k, ${jlSignSql(k)})").mkString(",\n|  ")})
+         |SELECT v.vec_id, s.k, list_dot_product(v.v, s.s) AS y
+         |FROM v, s""".stripMargin,
+    "q116_jl_audit" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |p AS (SELECT vec_id, v, list_dot_product(v, v) AS dv FROM v),
+         |y AS (SELECT vec_id, dv,
+         |    [${(0 until JlDims).map(k => s"list_dot_product(v, ${jlSignSql(k)})").mkString(",\n|     ")}] AS ys
+         |  FROM p WHERE dv > 0),
+         |d AS (SELECT vec_id,
+         |    list_dot_product(ys, ys) / (${JlDims.toDouble} * dv) AS distortion
+         |  FROM y),
+         |m AS (SELECT COUNT(*) AS n_vecs,
+         |    ROUND(${exactSumSql("distortion")} / COUNT(*), 4) AS mean_distortion,
+         |    ROUND(MIN(distortion), 4) AS min_distortion,
+         |    ROUND(MAX(distortion), 4) AS max_distortion
+         |  FROM d)
+         |SELECT n_vecs, mean_distortion, min_distortion, max_distortion,
+         |  (mean_distortion >= $JlAuditLo AND mean_distortion <= $JlAuditHi) AS ok
+         |FROM m""".stripMargin,
     "q108_pq_health" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |sub AS (SELECT vec_id, m, v[m*$PqSubDim+1 : m*$PqSubDim+$PqSubDim] AS sv
