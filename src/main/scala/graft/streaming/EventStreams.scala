@@ -427,6 +427,59 @@ object EventStreams {
       }
   }
 
+  /** Per-user funnel progression — the streaming form of batch q113
+    * ([[graft.ops.TemporalOps.funnel]]): a user advances to stage i at
+    * the first stage-i event strictly after their stage-(i-1)
+    * completion, and each advance is emitted EXACTLY ONCE (Append
+    * mode), at the micro-batch where it happens — the ingestion-time
+    * funnel dashboard a batch recount can only approximate after the
+    * fact.
+    *
+    * State is one (stage, completion-ts) pair per user — the minimal
+    * funnel memory, O(1) per user and hash-partitioned across
+    * executors. Completed users keep their terminal marker (a removed
+    * state would let a replayed or duplicate event re-run the cascade
+    * and double-emit advances); the marker is 12 bytes, bounded by
+    * distinct users, the same bound any per-user personalization state
+    * carries.
+    *
+    * Order contract: within a micro-batch events fold in event-time
+    * order (ts, then event_type — the batch fold's sort key); across
+    * batches the fold is arrival-order. When batches arrive in
+    * event-time order the result equals batch q113 exactly
+    * (spec-pinned); an out-of-order stage event landing in a LATER
+    * batch than a higher-ts sibling can advance the funnel later than
+    * the batch recount would — the inherent streaming-greedy caveat,
+    * same family as the topTokenMonitor's published undercount.
+    */
+  def funnelGate(events: Dataset[Event],
+                 stages: Seq[String] = Seq("view", "click", "purchase")):
+      Dataset[FunnelAdvance] = {
+    require(stages.nonEmpty && stages.distinct.size == stages.size,
+      s"stages must be non-empty and distinct: $stages")
+    import events.sparkSession.implicits._
+    val stageArr = stages.toIndexedSeq
+    events
+      .filter(e => stageArr.contains(e.event_type))
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelAdvance](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          val out = List.newBuilder[FunnelAdvance]
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_type)).foreach { e =>
+            if (st.n < stageArr.size && e.event_type == stageArr(st.n) &&
+                (st.n == 0 || e.ts.getTime > st.t)) {
+              st = FunnelState(st.n + 1, e.ts.getTime)
+              out += FunnelAdvance(userId, st.n, stageArr(st.n - 1), e.ts)
+            }
+          }
+          if (st.n > 0) state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Stream-stream time-interval join: attach the clicks from the
     * `lookbackMin` minutes at-or-before each purchase by the same user
     * — the streaming analogue of the batch
@@ -683,6 +736,15 @@ case class DedupVerdict(doc_id: Long, ts: Timestamp, sig: Long,
 
 /** Open-session accumulator for [[EventStreams.sessionize]]. */
 case class SessionState(start: Long, end: Long, n: Long, total: Double)
+
+/** Funnel progression state for [[EventStreams.funnelGate]]: highest
+  * stage reached (1-based; 0 = none) and its completion epoch-millis. */
+case class FunnelState(n: Int, t: Long)
+
+/** One funnel advance: `user_id` completed `stage` (1-based
+  * `stage_idx` into the configured stage list) at event time `ts`. */
+case class FunnelAdvance(user_id: Long, stage_idx: Int, stage: String,
+                         ts: Timestamp)
 
 /** Latest-click carry for [[EventStreams.enrichAsof]]. */
 case class AsofState(clickTs: Long, clickValue: Double)

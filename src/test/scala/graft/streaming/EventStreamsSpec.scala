@@ -61,6 +61,76 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelGate advances match batch q113 and emit exactly once") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = EventStreams.funnelGate(src.toDS())
+      .writeStream.format("memory").queryName("funnel").outputMode("append").start()
+    try {
+      // u1 completes in order across two batches; u2's click precedes
+      // the view (no conversion); u3 ties the click on the view's ts
+      src.addData(
+        Event(1, ts(0), 1, "view", 1.0),
+        Event(2, ts(1), 1, "click", 1.0),
+        Event(3, ts(0), 2, "click", 1.0),
+        Event(4, ts(1), 2, "view", 1.0),
+        Event(5, ts(0), 3, "view", 1.0),
+        Event(6, ts(0), 3, "click", 1.0))
+      q.processAllAvailable()
+      val b1 = spark.table("funnel").as[FunnelAdvance].collect()
+      assert(b1.map(a => (a.user_id, a.stage_idx, a.stage)).toSet ===
+        Set((1L, 1, "view"), (1L, 2, "click"), (2L, 1, "view"), (3L, 1, "view")))
+      // later batch: u1 purchases (advance), u2 purchases after its
+      // view but never clicked (stuck at stage 1 — no emission), u3's
+      // DUPLICATE view must not re-emit stage 1
+      src.addData(
+        Event(7, ts(2), 1, "purchase", 1.0),
+        Event(8, ts(2), 2, "purchase", 1.0),
+        Event(9, ts(2), 3, "view", 1.0))
+      q.processAllAvailable()
+      val all = spark.table("funnel").as[FunnelAdvance].collect()
+      assert(all.length === 5)
+      assert(all.count(a => a.user_id == 1L && a.stage == "purchase") === 1)
+      // exactly-once per (user, stage)
+      assert(all.map(a => (a.user_id, a.stage_idx)).distinct.length === all.length)
+      // streamed-in-order result == batch q113 per-stage user counts
+      val streamed = all.groupBy(_.stage_idx).view.mapValues(_.length).toMap
+      val batch = graft.ops.TemporalOps.funnel(
+        Seq((1L, ts(0), "view"), (1L, ts(1), "click"), (2L, ts(0), "click"),
+          (2L, ts(1), "view"), (3L, ts(0), "view"), (3L, ts(0), "click"),
+          (1L, ts(2), "purchase"), (2L, ts(2), "purchase"), (3L, ts(2), "view"))
+          .toDF("user_id", "ts", "event_type")).collect()
+        .map(r => r.getAs[Int]("stage_idx") -> r.getAs[Long]("users")).toMap
+      assert(batch.forall { case (i, n) => streamed.getOrElse(i, 0) === n.toInt })
+    } finally q.stop()
+  }
+
+  test("funnelGate keeps the terminal marker: post-completion events never re-emit") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = EventStreams.funnelGate(src.toDS())
+      .writeStream.format("memory").queryName("funnel2").outputMode("append").start()
+    try {
+      src.addData(
+        Event(1, ts(0), 1, "view", 1.0),
+        Event(2, ts(1), 1, "click", 1.0),
+        Event(3, ts(2), 1, "purchase", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("funnel2").count() === 3)
+      // a full second pass through the funnel events after completion
+      src.addData(
+        Event(4, ts(3), 1, "view", 1.0),
+        Event(5, ts(4), 1, "click", 1.0),
+        Event(6, ts(5), 1, "purchase", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("funnel2").count() === 3)
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions on gap timeout and on intra-batch gaps") {
     val spark2 = spark
     import spark2.implicits._
