@@ -129,6 +129,31 @@ object TextAnalysis extends QueryModule {
       regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).as("bpe_tokens"),
       ceil(length(col("text")).cast("double") / 4d).cast("long").as("est_llm_tokens"))
 
+  /** q117: token-length histogram per language on power-of-two
+    * buckets — the corpus shape report read before choosing packing
+    * lengths and length filters (a mass of sub-32-token docs is
+    * boilerplate; a fat 4096+ tail wants chunking). `bucket_lo` is the
+    * bucket's inclusive lower bound (2^k ≤ ws_tokens < 2^(k+1)),
+    * derived by an exact integer comparison cascade — no log2 call, so
+    * boundary docs land identically in any engine. One scan + one
+    * aggregate; the share division runs over the ≤ langs×21-row
+    * aggregated table, never the corpus.
+    */
+  def lengthHistogram(docs: DataFrame): DataFrame = {
+    val toks = size(filter(split(trim(col("text")), "\\s+"), w => w =!= ""))
+    val bucketLo = (0 until 21).foldRight(lit(1L << 21): Column)((k, acc) =>
+      when(toks < lit(1L << (k + 1)), lit(1L << k)).otherwise(acc))
+    widen(docs)
+      .filter(toks > 0)
+      .select(col("lang"), bucketLo.as("bucket_lo"))
+      .groupBy(col("lang"), col("bucket_lo"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share",
+        col("n").cast("double") /
+          sum(col("n")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("lang"))).cast("double"))
+  }
+
   /** Document fingerprinting: md5 content fingerprint over normalized
     * text, a 60-bit portable hash, and a polynomial rolling hash over
     * the word sequence (mod 2^31-1) — order-sensitive, unlike md5 of
@@ -863,6 +888,7 @@ object TextAnalysis extends QueryModule {
     "q33_lang_id" -> ((s, d) => langId(T.documents(s, d))),
     "q34_quality_score" -> ((s, d) => qualityScore(T.documents(s, d))),
     "q35_token_count" -> ((s, d) => tokenCount(T.documents(s, d))),
+    "q117_length_histogram" -> ((s, d) => lengthHistogram(T.documents(s, d))),
     "q36_fingerprint" -> ((s, d) => fingerprint(T.documents(s, d))),
     "q37_corpus_stats" -> ((s, d) => corpusStats(T.documents(s, d))),
     "q46_lang_ngram" -> ((s, d) => langNgramConfusion(T.documents(s, d))),
@@ -1002,6 +1028,20 @@ object TextAnalysis extends QueryModule {
         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS bpe_tokens,
         |  CAST(CEIL(CAST(len(text) AS DOUBLE)/4) AS BIGINT) AS est_llm_tokens
         |FROM documents""".stripMargin,
+    "q117_length_histogram" -> {
+      val cases = (0 until 21).map(k =>
+        s"WHEN toks < ${1L << (k + 1)} THEN ${1L << k}").mkString(" ")
+      s"""WITH t AS (SELECT lang,
+         |    len(list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '')) AS toks
+         |  FROM documents),
+         |b AS (SELECT lang,
+         |    CAST(CASE $cases ELSE ${1L << 21} END AS BIGINT) AS bucket_lo
+         |  FROM t WHERE toks > 0),
+         |g AS (SELECT lang, bucket_lo, COUNT(*) AS n FROM b GROUP BY 1, 2)
+         |SELECT lang, bucket_lo, n,
+         |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY lang) AS DOUBLE) AS share
+         |FROM g""".stripMargin
+    },
     "q36_fingerprint" ->
       s"""WITH w AS (SELECT doc_id, $normSql AS norm, $wsSql AS ws FROM documents)
          |SELECT doc_id, md5(norm) AS fp_md5,

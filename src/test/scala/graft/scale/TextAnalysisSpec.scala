@@ -384,4 +384,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!plan.contains("hashpartitioning"),
       s"expected no aggregation/join shuffle in:\n$plan")
   }
+
+  test("lengthHistogram: exact power-of-two boundaries, per-lang shares") {
+    val spark2 = spark
+    import spark2.implicits._
+    def text(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val df = Seq(
+      (1L, text(1), "en"),   // bucket_lo 1 (1 ≤ t < 2)
+      (2L, text(2), "en"),   // bucket_lo 2 — lower boundary inclusive
+      (3L, text(3), "en"),   // bucket_lo 2 — upper boundary exclusive
+      (4L, text(4), "en"),   // bucket_lo 4
+      (5L, text(64), "en"),  // bucket_lo 64
+      (6L, text(63), "fr"),  // bucket_lo 32
+      (7L, "   ", "fr")      // zero tokens → excluded
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.lengthHistogram(df).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("bucket_lo")) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("share"))).toMap
+    assert(out === Map(
+      ("en", 1L) -> ((1L, 0.2)),
+      ("en", 2L) -> ((2L, 0.4)),
+      ("en", 4L) -> ((1L, 0.2)),
+      ("en", 64L) -> ((1L, 0.2)),
+      ("fr", 32L) -> ((1L, 1.0))))
+    // shares sum to 1 within every language
+    val sums = TextAnalysis.lengthHistogram(df).collect()
+      .groupBy(_.getAs[String]("lang"))
+      .view.mapValues(_.map(_.getAs[Double]("share")).sum).toMap
+    assert(sums.values.forall(s => math.abs(s - 1.0) < 1e-12))
+  }
 }
