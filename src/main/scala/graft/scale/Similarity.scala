@@ -960,6 +960,7 @@ object Similarity extends QueryModule {
       .unionByName(audit("ivf", annIvf(emb, nQueries, k), IvfMinRecall))
       .unionByName(audit("pq", annPq(emb, nQueries, k), PqMinRecall))
       .unionByName(audit("ivfpq", annIvfPq(emb, nQueries, k), IvfPqMinRecall))
+      .unionByName(audit("jl", annJl(emb, nQueries, k), JlMinRecall))
   }
 
   /** IVF index health — the BATCH staleness report whose streaming
@@ -1105,6 +1106,71 @@ object Similarity extends QueryModule {
         col("mean_distortion") >= lo && col("mean_distortion") <= hi)
   }
 
+  /** Shortlist width multiplier for [[annJl]] (shortlist = refine·k).
+    * Swept at 8/16/24/32/48 across the three SFs: recall@5 rises
+    * 0.25→0.75 (sf0.001), 0.225→0.825 (sf0.01), 0.15→0.425 (sf0.1).
+    * An m=8 projection of a NEAR-UNIFORM corpus separates cos ≈ 0.33
+    * neighbors from the bulk only weakly (the same math that zeroes
+    * single-probe LSH here), so the shortlist must be wide; refine is
+    * the recall/cost dial exactly as probe count is for LSH, and only
+    * moves the (tiny) shortlist joins — the candidate scan cost is
+    * refine-independent. */
+  val JlRefine = 48
+
+  /** q88 gate floor for the jl arm — margin discipline: ≥ 0.2 under
+    * the worst measured recall (0.425 at sf0.1; 0.75/0.825 below). */
+  val JlMinRecall = 0.2
+
+  /** q118: ANN via the JL projection — the fourth index family on the
+    * board (hash buckets / cells / codes / RANDOM PROJECTIONS): the
+    * candidate scan ranks by cosine in the 8-dim projected space
+    * (8 multiply-adds per candidate instead of 64, and an 8-double
+    * vector in flight instead of 64 floats), keeps a bounded
+    * refine·k shortlist per query, and re-ranks only the shortlist at
+    * full fidelity. JL preserves angles in expectation, so the true
+    * neighbors sit near the top of the projected ranking and survive
+    * the shortlist cut — certified by the q88 `jl` arm.
+    *
+    * Scale shape: projections are scan-side sign-literal dots (q115
+    * kernel — zero joins to build the "index"); the candidate pass is
+    * the same broadcast-queries × corpus-scan + bounded top-k
+    * aggregate as [[knnBrute]], at 1/8 the arithmetic and exchange
+    * width; the exact pass touches refine·k·nQueries raw vectors.
+    */
+  def annJl(emb: DataFrame, nQueries: Long = 8L, k: Int = TopK,
+            refine: Int = JlRefine): DataFrame = {
+    def proj(c: Column): Column =
+      array((0 until JlDims).map(kk => dotProduct(c, jlSignLit(kk))): _*)
+    val corpus = Layout.widen(emb)
+      .select(col("vec_id").as("c_id"),
+        proj(toDoubleArray(col("embedding"))).as("cy"))
+      .withColumn("cn", l2Norm(col("cy")))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"),
+        proj(toDoubleArray(col("embedding"))).as("qy"))
+      .withColumn("qn", l2Norm(col("qy")))
+    val shortlist = corpus.join(broadcast(queries), col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        (dotProduct(col("qy"), col("cy")) / (col("qn") * col("cn"))).as("pcos"))
+      .groupBy(col("q_id"))
+      .agg(TopKAgg.topK(col("pcos"), col("c_id"), k * refine).as("top"))
+      .select(col("q_id"), explode(col("top.id")).as("c_id"))
+    val vecs = emb.select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    val qv = vecs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val rw = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    vecs.select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+      .join(broadcast(shortlist), "c_id")
+      .join(broadcast(qv), "q_id")
+      .select(col("q_id"), col("c_id"),
+        (dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), round(col("cos"), 4).as("cos"), col("rank"))
+  }
+
   // ---- driver-gate query registry ----
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1126,7 +1192,9 @@ object Similarity extends QueryModule {
     // JL sign projection: the pre-shuffle dimensionality reducer
     "q115_jl_project" -> ((s, d) => jlProject(T.embeddings(s, d))),
     // distortion gate certifying the projection preserves norms
-    "q116_jl_audit" -> ((s, d) => jlAudit(T.embeddings(s, d)))
+    "q116_jl_audit" -> ((s, d) => jlAudit(T.embeddings(s, d))),
+    // ANN via projected-space shortlist + exact re-rank
+    "q118_ann_jl" -> ((s, d) => annJl(T.embeddings(s, d)))
   )
 
   /** DuckDB literal list for plane p, identical doubles to the plan. */
@@ -1136,6 +1204,12 @@ object Similarity extends QueryModule {
   /** DuckDB literal list for JL sign row k (±1.0 doubles). */
   private def jlSignSql(k: Int): String =
     jlSigns(k).map(v => f"$v%.1f").mkString("[", ", ", "]")
+
+  /** DuckDB restatement of the JL projection of double-list column
+    * `vcol`: the [[JlDims]]-element list of sign-literal dots. */
+  private def jlProjListSql(vcol: String): String =
+    (0 until JlDims).map(k => s"list_dot_product($vcol, ${jlSignSql(k)})")
+      .mkString("[", ",\n|     ", "]")
 
   private[scale] val bucketSql: String = (0 until NumPlanes).map { p =>
     s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ${planeSql(p)}) > 0 THEN ${1L << p} ELSE 0 END)"
@@ -1294,6 +1368,25 @@ object Similarity extends QueryModule {
          |FROM ranked WHERE rank <= $TopK""".stripMargin,
     // q51's train + assign CTEs rolled up by subspace; mean rides the
     // exact decimal accumulator, flag repeats the expression
+    "q118_ann_jl" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |p AS (SELECT vec_id, ${jlProjListSql("v")} AS y FROM v),
+         |pn AS (SELECT vec_id, y, sqrt(list_dot_product(y, y)) AS yn FROM p),
+         |ap AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |    list_dot_product(q.y, c.y) / (q.yn * c.yn) AS pcos
+         |  FROM pn q JOIN pn c ON q.vec_id < 8 AND c.vec_id <> q.vec_id),
+         |sl AS (SELECT q_id, c_id FROM (
+         |    SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY pcos DESC, c_id ASC) AS rn FROM ap)
+         |  WHERE rn <= ${TopK * JlRefine}),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
+         |ex AS (SELECT s.q_id, s.c_id,
+         |    list_dot_product(q.v, t.v) / (q.nrm * t.nrm) AS cos
+         |  FROM sl s JOIN n q ON q.vec_id = s.q_id JOIN n t ON t.vec_id = s.c_id)
+         |SELECT q_id, c_id, ROUND(cos, 4) AS cos, rank FROM (
+         |  SELECT q_id, c_id, cos,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS INTEGER) AS rank
+         |  FROM ex) WHERE rank <= $TopK""".stripMargin,
     "q115_jl_project" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |s(k, s) AS (VALUES ${(0 until JlDims).map(k => s"($k, ${jlSignSql(k)})").mkString(",\n|  ")})
@@ -1303,7 +1396,7 @@ object Similarity extends QueryModule {
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |p AS (SELECT vec_id, v, list_dot_product(v, v) AS dv FROM v),
          |y AS (SELECT vec_id, dv,
-         |    [${(0 until JlDims).map(k => s"list_dot_product(v, ${jlSignSql(k)})").mkString(",\n|     ")}] AS ys
+         |    ${jlProjListSql("v")} AS ys
          |  FROM p WHERE dv > 0),
          |d AS (SELECT vec_id,
          |    list_dot_product(ys, ys) / (${JlDims.toDouble} * dv) AS distortion
@@ -1566,6 +1659,22 @@ object Similarity extends QueryModule {
          |ivfpq AS (SELECT q_id, c_id FROM (
          |    SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id
          |      ORDER BY cos DESC, c_id ASC) AS rn FROM rrer)
+         |  WHERE rn <= $TopK),
+         |jp AS (SELECT vec_id, ${jlProjListSql("v")} AS y FROM v),
+         |jpn AS (SELECT vec_id, y, sqrt(list_dot_product(y, y)) AS yn FROM jp),
+         |jap AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |    list_dot_product(q.y, c.y) / (q.yn * c.yn) AS pcos
+         |  FROM jpn q JOIN jpn c ON q.vec_id < 8 AND c.vec_id <> q.vec_id),
+         |jsl AS (SELECT q_id, c_id FROM (
+         |    SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY pcos DESC, c_id ASC) AS rn FROM jap)
+         |  WHERE rn <= ${TopK * JlRefine}),
+         |jrer AS (SELECT s.q_id, s.c_id,
+         |    list_dot_product(q.v, t.v) / (q.nrm * t.nrm) AS cos
+         |  FROM jsl s JOIN n q ON q.vec_id = s.q_id JOIN n t ON t.vec_id = s.c_id),
+         |jl AS (SELECT q_id, c_id FROM (
+         |    SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, c_id ASC) AS rn FROM jrer)
          |  WHERE rn <= $TopK)
          |SELECT 'lsh_mp' AS method, t.n AS n_truth, h.c AS n_hits,
          |  ROUND(CAST(h.c AS DOUBLE)/t.n, 4) AS recall,
@@ -1589,6 +1698,12 @@ object Similarity extends QueryModule {
          |  ROUND(CAST(h.c AS DOUBLE)/t.n, 4) AS recall,
          |  ROUND(CAST(h.c AS DOUBLE)/t.n, 4) >= $IvfPqMinRecall AS recall_ok
          |FROM tcount t, (SELECT COUNT(*) AS c FROM ivfpq s
+         |  JOIN truth u ON s.q_id = u.q_id AND s.c_id = u.c_id) h
+         |UNION ALL
+         |SELECT 'jl' AS method, t.n AS n_truth, h.c AS n_hits,
+         |  ROUND(CAST(h.c AS DOUBLE)/t.n, 4) AS recall,
+         |  ROUND(CAST(h.c AS DOUBLE)/t.n, 4) >= $JlMinRecall AS recall_ok
+         |FROM tcount t, (SELECT COUNT(*) AS c FROM jl s
          |  JOIN truth u ON s.q_id = u.q_id AND s.c_id = u.c_id) h""".stripMargin,
     "q32_ann_lsh" ->
       s"""WITH b AS (

@@ -94,6 +94,38 @@ class JlProjectionSpec extends SparkSpec {
     assert(Similarity.jlAudit(df).collect().head.getAs[Long]("n_vecs") === 9)
   }
 
+  test("annJl with a full-width shortlist equals knnBrute exactly") {
+    val rnd = new scala.util.Random(59)
+    val df = toDf((0 until 40).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1)))).repartition(8)
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"),
+        r.getAs[Double]("cos"), r.getAs[Int]("rank"))).toSet
+    // refine·k ≥ corpus → the shortlist is the whole corpus and the
+    // exact re-rank IS the brute-force ranking, ties and all
+    assert(rows(Similarity.annJl(df, refine = 40)) === rows(Similarity.knnBrute(df)))
+  }
+
+  test("annJl finds clustered neighbors at the production refine") {
+    // 4 tight clusters: each query's true top-k is its own cluster,
+    // which the projected ranking preserves easily (JL separates far
+    // angles; only near-uniform data needs the wide shortlist)
+    val rnd = new scala.util.Random(61)
+    val centers = Array.fill(4)(Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    val df = toDf((0 until 48).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => x + rnd.nextFloat() * 0.05f))
+    }).repartition(8)
+    val truth = Similarity.knnBrute(df)
+      .select(col("q_id"), col("c_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.annJl(df, refine = 4)
+      .select(col("q_id"), col("c_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got & truth).size.toDouble / truth.size
+    assert(recall >= 0.9, s"clustered recall $recall")
+  }
+
   test("q115 plans as scan + projection: zero joins, zero hash shuffles") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     spark.conf.set("spark.sql.adaptive.enabled", "false")

@@ -195,7 +195,7 @@ class SimilaritySpec extends SparkSpec {
     val out = Similarity.annRecall(emb).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
         r.getDouble(3), r.getBoolean(4))).toMap
-    assert(out.keySet === Set("lsh_mp", "ivf", "pq", "ivfpq"))
+    assert(out.keySet === Set("lsh_mp", "ivf", "pq", "ivfpq", "jl"))
     out.values.foreach { case (nTruth, nHits, recall, _) =>
       assert(nTruth === 40L) // 8 queries × top-5
       assert(nHits >= 0L && nHits <= nTruth)
