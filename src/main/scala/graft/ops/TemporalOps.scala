@@ -173,6 +173,34 @@ object TemporalOps extends QueryModule {
       .agg(count(lit(1)).as("users"))
   }
 
+  /** Event-rate anomaly report: per (day, event type), the daily count
+    * against the type's exact median daily count, flagged when the day
+    * runs more than 25% above median. The flag is the integer
+    * cross-multiplication `4·n > 5·med` — no division, no doubles, so
+    * the report is bit-stable in any engine. Median is the exact lower
+    * median (the value at rank ⌊(cnt+1)/2⌋ of the ascending daily
+    * counts — q48's integer-threshold discipline).
+    *
+    * Scale shape: one corpus aggregate to the (day × type) table; the
+    * median window and the join back run over that aggregated table
+    * (days × types rows), never the corpus.
+    */
+  def rateAnomaly(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val byType = Window.partitionBy(col("event_type"))
+    val med = daily
+      .withColumn("rn",
+        row_number().over(byType.orderBy(col("n").asc, col("day").asc)))
+      .withColumn("cnt", count(lit(1)).over(byType))
+      .filter(col("rn") === ((col("cnt") + 1) / 2).cast("long"))
+      .select(col("event_type"), col("n").as("med"))
+    daily.join(med, Seq("event_type"))
+      .select(col("day"), col("event_type"), col("n"), col("med"),
+        (col("n") * 4 > col("med") * 5).as("anomaly"))
+  }
+
   // ---- driver-gate queries ----
 
   /** q43: for each purchase event, the latest click (value + time) by
@@ -208,7 +236,8 @@ object TemporalOps extends QueryModule {
     "q43_asof_join" -> q43AsofJoin,
     "q45_range_join" -> q45RangeJoin,
     "q113_funnel" -> ((s, d) => funnel(T.events(s, d))),
-    "q114_retention" -> ((s, d) => retention(T.events(s, d)))
+    "q114_retention" -> ((s, d) => retention(T.events(s, d))),
+    "q119_rate_anomaly" -> ((s, d) => rateAnomaly(T.events(s, d)))
   )
 
   // CAST(ts AS TIMESTAMP) truncates DuckDB's TIMESTAMP_NS to micros —
@@ -266,6 +295,19 @@ object TemporalOps extends QueryModule {
         |    CAST(date_diff('day', f.cohort_day, d.day) // 7 AS BIGINT) AS week_off
         |  FROM d JOIN f ON d.user_id = f.user_id)
         |SELECT cohort_day, week_off, COUNT(*) AS users
-        |FROM w GROUP BY 1, 2""".stripMargin
+        |FROM w GROUP BY 1, 2""".stripMargin,
+    "q119_rate_anomaly" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, event_type,
+        |    COUNT(*) AS n FROM events GROUP BY 1, 2),
+        |med AS (SELECT event_type, n AS med FROM (
+        |    SELECT event_type, n, day,
+        |      ROW_NUMBER() OVER (PARTITION BY event_type
+        |        ORDER BY n ASC, day ASC) AS rn,
+        |      COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        |    FROM daily)
+        |  WHERE rn = (cnt + 1) // 2)
+        |SELECT d.day, d.event_type, d.n, m.med,
+        |  (d.n * 4 > m.med * 5) AS anomaly
+        |FROM daily d JOIN med m ON d.event_type = m.event_type""".stripMargin
   )
 }

@@ -1340,9 +1340,26 @@ object Dedup extends QueryModule {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
   }
 
+  /** q120: duplicate-cluster size histogram — how big the mirrors are.
+    * The number a dedup planner reads next to q112's removal rates:
+    * a corpus of pairs (size-2 clusters) dedups cheaply; a handful of
+    * thousand-document boilerplate clusters calls for the span path
+    * (q87) instead. Universe = documents in at least one near-dup
+    * pair (q59's node set); sizes come from the SAME connected
+    * components q59 publishes, so the two boards reconcile by
+    * construction. Both rollups run over the cluster table (≤ nodes
+    * rows), never the corpus.
+    */
+  def clusterSizes(docs: DataFrame, maxDist: Int = 5): DataFrame =
+    connectedComponents(simhashPairs(docs, maxDist = maxDist))
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+
   // ---- driver-gate query registry ----
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q120_cluster_sizes" -> ((s, d) => clusterSizes(T.documents(s, d))),
     "q24_dedup_exact" -> ((s, d) => exactDedup(T.documents(s, d))),
     "q25_ngram_jaccard" -> ((s, d) => ngramJaccard(T.documents(s, d))),
     "q26_minhash_bands" -> ((s, d) => minhashBands(T.documents(s, d))),
@@ -1525,6 +1542,17 @@ object Dedup extends QueryModule {
          |  UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
          |SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
          |FROM reach GROUP BY a""".stripMargin,
+    "q120_cluster_sizes" ->
+      s"""WITH RECURSIVE $simhashPairCte,
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM p
+         |      UNION SELECT doc_b, doc_a FROM p),
+         |reach(a, b) AS (SELECT a, b FROM e
+         |  UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+         |cl AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+         |       FROM reach GROUP BY a),
+         |s AS (SELECT cluster_id, COUNT(*) AS sz FROM cl GROUP BY 1)
+         |SELECT sz AS cluster_size, COUNT(*) AS n_clusters
+         |FROM s GROUP BY 1""".stripMargin,
     "q80_label_prop" ->
       s"""WITH RECURSIVE $simhashPairCte,
         |nodes AS (SELECT DISTINCT node FROM (

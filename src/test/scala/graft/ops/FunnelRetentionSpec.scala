@@ -127,6 +127,31 @@ class FunnelRetentionSpec extends SparkSpec {
       ("2026-01-02", 1L) -> 1L))
   }
 
+  test("rateAnomaly: exact lower median per type, 25%-above flag boundary") {
+    val spark2 = spark
+    import spark2.implicits._
+    // type A over 5 days: counts 4,4,4,4,8 → median 4; 8 > 5 → anomaly.
+    // type B over 4 days: counts 3,4,4,5 → lower median (rank 2) = 4;
+    // 5·4 = 5·med·... flag needs n·4 > med·5 = 20 → n=5 exactly 20 → NOT
+    // flagged (strict), pinning the 25% boundary as exclusive.
+    def day(d: Int, n: Int, ty: String) = (0 until n).map(i =>
+      (ty, Timestamp.valueOf(f"2026-02-$d%02d 10:${i % 60}%02d:00")))
+    val e = (day(1, 4, "A") ++ day(2, 4, "A") ++ day(3, 4, "A") ++
+      day(4, 4, "A") ++ day(5, 8, "A") ++
+      day(1, 3, "B") ++ day(2, 4, "B") ++ day(3, 4, "B") ++ day(4, 5, "B"))
+      .toDF("event_type", "ts")
+    val out = TemporalOps.rateAnomaly(e).collect()
+      .map(r => (r.getAs[java.sql.Date]("day").toString,
+        r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("med"), r.getAs[Boolean]("anomaly")))
+      .toMap
+    assert(out(("2026-02-05", "A")) === ((8L, 4L, true)))
+    assert(out(("2026-02-01", "A")) === ((4L, 4L, false)))
+    assert(out(("2026-02-04", "B")) === ((5L, 4L, false))) // exactly +25%
+    assert(out(("2026-02-01", "B")) === ((3L, 4L, false)))
+    assert(out.size === 9)
+  }
+
   test("retention: day boundaries — day 6 is week 0, day 7 is week 1") {
     val e = ev(
       (1L, "2026-01-01 00:00:00", "view"),

@@ -1262,4 +1262,18 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
     assert(got === Map(0L -> true, 1L -> false, 2L -> false, 3L -> true))
   }
+
+  test("clusterSizes reconciles with the q59 component board") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val comps = Dedup.connectedComponents(Dedup.simhashPairs(docs, maxDist = 5))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+    val expected = comps.groupBy(_._2).values.map(_.size)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Dedup.clusterSizes(docs).collect()
+      .map(r => r.getAs[Long]("cluster_size").toInt ->
+        r.getAs[Long]("n_clusters")).toMap
+    assert(got === expected)
+    // every paired doc is accounted for exactly once
+    assert(got.map { case (sz, n) => sz * n }.sum === comps.length)
+  }
 }
