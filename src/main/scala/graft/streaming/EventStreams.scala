@@ -480,6 +480,53 @@ object EventStreams {
       }
   }
 
+  /** Streaming cohort-retention monitor — the streaming form of batch
+    * q114 ([[graft.ops.TemporalOps.retention]]): emits one row the
+    * FIRST time each user is active in each week offset from their
+    * first-seen day, so a downstream count by (cohort_day, week_off)
+    * equals q114's `users` column for the processed prefix
+    * (spec-pinned on in-order streams). The live retention dashboard —
+    * a batch recount only says it after the fact.
+    *
+    * State per user: the first-seen epoch day plus the list of week
+    * offsets already emitted — bounded by the stream lifetime in weeks
+    * (≤ 52/year), the same order as any per-user personalization
+    * state. Cohort day is the first SEEN day: an out-of-order first
+    * event arriving after a later sibling would cohort the user later
+    * than the batch recount — the same arrival-order caveat as
+    * [[funnelGate]], and exactly-once emission per (user, week) holds
+    * regardless.
+    */
+  def retentionMonitor(events: Dataset[Event]): Dataset[RetentionAdvance] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RetentionState, RetentionAdvance](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event],
+         state: GroupState[RetentionState]) =>
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          var st = state.getOption.getOrElse {
+            RetentionState(sorted.head.ts.getTime / DayMs, Nil)
+          }
+          val out = List.newBuilder[RetentionAdvance]
+          var emitted = st.weeks.toSet
+          sorted.foreach { e =>
+            val week = (e.ts.getTime / DayMs - st.firstDay) / 7
+            if (week >= 0 && !emitted(week)) {
+              emitted += week
+              out += RetentionAdvance(userId,
+                new java.sql.Date(st.firstDay * DayMs), week, e.ts)
+            }
+          }
+          state.update(RetentionState(st.firstDay, emitted.toList.sorted))
+          out.result().iterator
+      }
+  }
+
+  private val DayMs = 86400000L
+
   /** Stream-stream time-interval join: attach the clicks from the
     * `lookbackMin` minutes at-or-before each purchase by the same user
     * — the streaming analogue of the batch
@@ -740,6 +787,14 @@ case class SessionState(start: Long, end: Long, n: Long, total: Double)
 /** Funnel progression state for [[EventStreams.funnelGate]]: highest
   * stage reached (1-based; 0 = none) and its completion epoch-millis. */
 case class FunnelState(n: Int, t: Long)
+
+/** Retention state for [[EventStreams.retentionMonitor]]: first-seen
+  * epoch day (UTC) + week offsets already emitted (sorted). */
+case class RetentionState(firstDay: Long, weeks: List[Long])
+
+/** First activity of `user_id` in week `week_off` of their cohort. */
+case class RetentionAdvance(user_id: Long, cohort_day: java.sql.Date,
+                            week_off: Long, ts: Timestamp)
 
 /** One funnel advance: `user_id` completed `stage` (1-based
   * `stage_idx` into the configured stage list) at event time `ts`. */

@@ -131,6 +131,49 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("retentionMonitor matches batch q114 and emits once per (user, week)") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def at(day: String, hm: String) = Timestamp.valueOf(s"2026-01-$day $hm:00")
+    val src = MemoryStream[Event]
+    val q = EventStreams.retentionMonitor(src.toDS())
+      .writeStream.format("memory").queryName("ret").outputMode("append").start()
+    try {
+      // u1 first seen Jan 1: active Jan 1 (w0), Jan 5 (w0 dup), Jan 9 (w1)
+      // u2 first seen Jan 2: active Jan 2 (w0)
+      src.addData(
+        Event(1, at("01", "10:00"), 1, "view", 1.0),
+        Event(2, at("05", "10:00"), 1, "click", 1.0),
+        Event(3, at("09", "10:00"), 1, "view", 1.0),
+        Event(4, at("02", "10:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+      // second batch: u1 again in w1 (dup across batches) and in w4;
+      // u2 in w1 (Jan 10 is day diff 8 → week 1)
+      src.addData(
+        Event(5, at("10", "10:00"), 1, "view", 1.0),
+        Event(6, at("29", "10:00"), 1, "purchase", 1.0),
+        Event(7, at("10", "10:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("ret").as[RetentionAdvance].collect()
+      assert(rows.map(r => (r.user_id, r.cohort_day.toString, r.week_off)).toSet ===
+        Set((1L, "2026-01-01", 0L), (1L, "2026-01-01", 1L), (1L, "2026-01-01", 4L),
+          (2L, "2026-01-02", 0L), (2L, "2026-01-02", 1L)))
+      assert(rows.length === 5) // exactly once per (user, week)
+      // streamed counts == batch q114 on the same events
+      val batch = graft.ops.TemporalOps.retention(
+        Seq((1L, at("01", "10:00")), (1L, at("05", "10:00")),
+          (1L, at("09", "10:00")), (2L, at("02", "10:00")),
+          (1L, at("10", "10:00")), (1L, at("29", "10:00")),
+          (2L, at("10", "10:00"))).toDF("user_id", "ts")).collect()
+        .map(r => (r.getAs[java.sql.Date]("cohort_day").toString,
+          r.getAs[Long]("week_off")) -> r.getAs[Long]("users")).toMap
+      val streamed = rows.groupBy(r => (r.cohort_day.toString, r.week_off))
+        .view.mapValues(_.length.toLong).toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions on gap timeout and on intra-batch gaps") {
     val spark2 = spark
     import spark2.implicits._
