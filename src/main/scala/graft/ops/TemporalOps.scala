@@ -173,6 +173,79 @@ object TemporalOps extends QueryModule {
       .agg(count(lit(1)).as("users"))
   }
 
+  /** Windowed funnel (the ClickHouse-windowFunnel shape): stage i
+    * counts a user when SOME strictly-ordered chain of stage events
+    * exists whose every event lies within `windowSec` of the chain's
+    * stage-1 anchor. Unlike [[funnel]]'s greedy-earliest cascade, the
+    * anchor is existential — a user whose first view expired can still
+    * convert off a later view.
+    *
+    * The per-user fold is an exact DP over the sorted stream: for each
+    * stage keep the MAXIMUM anchor among chains completed so far
+    * (later anchors have the slackest window for every future
+    * extension, and every recorded chain's last event is already ≤ the
+    * current ts because the stream is sorted — so one anchor per stage
+    * is a complete state). Strictness rides a prev/cur state pair:
+    * events at the same ts extend only chains recorded at strictly
+    * earlier timestamps. One data shuffle, O(stages) state per user —
+    * same scale shape as [[funnel]]; the exists-chain restatement is
+    * the ORACLE (per-user chains are bounded, the corpus never
+    * self-joins in the plan).
+    */
+  def funnelWindow(events: DataFrame,
+                   stages: Seq[String] = Seq("view", "click", "purchase"),
+                   windowSec: Long = 172800L): DataFrame = {
+    require(stages.nonEmpty && stages.distinct.size == stages.size,
+      s"stages must be non-empty and distinct: $stages")
+    require(windowSec >= 1, s"windowSec must be >= 1: $windowSec")
+    val stageLit = typedLit(stages)
+    val nS = stages.size
+    val wUs = windowSec * 1000000L
+    val noneAnchors = typedLit(Seq.fill(nS)(null: java.lang.Long))
+    val perUser = events
+      .filter(col("event_type").isin(stages: _*))
+      .select(col("user_id"), unix_micros(col("ts")).as("t"),
+        col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("t"), col("event_type"))))
+        .as("evs"))
+    val reached = perUser.select(
+      aggregate(
+        col("evs"),
+        struct(lit(Long.MinValue).as("ts"), noneAnchors.as("cur"),
+          noneAnchors.as("prev")),
+        (acc, e) => {
+          val t = e.getField("t")
+          // snapshot: chains usable at ts t are those recorded < t
+          val prev = when(t > acc.getField("ts"), acc.getField("cur"))
+            .otherwise(acc.getField("prev"))
+          val idx = array_position(stageLit, e.getField("event_type"))
+          val cand = when(idx === 1, t).otherwise({
+            val pa = element_at(prev, (idx - 1).cast("int"))
+            when(pa.isNotNull && t - pa <= wUs, pa)
+          })
+          val cur = transform(acc.getField("cur"), (a, i) =>
+            when(i + 1 === idx && cand.isNotNull,
+              greatest(coalesce(a, lit(Long.MinValue)), cand)).otherwise(a))
+          struct(t.as("ts"), cur.as("cur"), prev.as("prev"))
+        }).getField("cur").as("anchors"))
+    val countCols = count(lit(1)).as("c0") +:
+      stages.indices.map(i =>
+        sum(when(element_at(col("anchors"), i + 1).isNotNull, 1L)
+          .otherwise(0L)).as(s"c${i + 1}"))
+    val counts = reached.agg(countCols.head, countCols.tail: _*)
+    val stageRows = stages.indices.map { i =>
+      val prev = col(s"c$i")
+      struct(
+        lit(i + 1).as("stage_idx"),
+        lit(stages(i)).as("stage"),
+        col(s"c${i + 1}").as("users"),
+        when(prev > 0, col(s"c${i + 1}").cast("double") / prev.cast("double"))
+          .as("conv_rate"))
+    }
+    counts.select(explode(array(stageRows: _*)).as("s")).select(col("s.*"))
+  }
+
   /** Event-rate anomaly report: per (day, event type), the daily count
     * against the type's exact median daily count, flagged when the day
     * runs more than 25% above median. The flag is the integer
@@ -237,7 +310,8 @@ object TemporalOps extends QueryModule {
     "q45_range_join" -> q45RangeJoin,
     "q113_funnel" -> ((s, d) => funnel(T.events(s, d))),
     "q114_retention" -> ((s, d) => retention(T.events(s, d))),
-    "q119_rate_anomaly" -> ((s, d) => rateAnomaly(T.events(s, d)))
+    "q119_rate_anomaly" -> ((s, d) => rateAnomaly(T.events(s, d))),
+    "q121_funnel_window" -> ((s, d) => funnelWindow(T.events(s, d)))
   )
 
   // CAST(ts AS TIMESTAMP) truncates DuckDB's TIMESTAMP_NS to micros —
@@ -308,6 +382,37 @@ object TemporalOps extends QueryModule {
         |  WHERE rn = (cnt + 1) // 2)
         |SELECT d.day, d.event_type, d.n, m.med,
         |  (d.n * 4 > m.med * 5) AS anomaly
-        |FROM daily d JOIN med m ON d.event_type = m.event_type""".stripMargin
+        |FROM daily d JOIN med m ON d.event_type = m.event_type""".stripMargin,
+    // exists-chain restatement of the windowed-funnel DP: stage i
+    // counts users with SOME strictly-ordered chain inside the window
+    // of ITS OWN stage-1 anchor (per-user chains are bounded — the
+    // plan-side fold never self-joins the corpus)
+    "q121_funnel_window" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        |base AS (SELECT DISTINCT user_id FROM e),
+        |s1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'view'),
+        |s2 AS (SELECT DISTINCT v.user_id FROM e v
+        |  JOIN e c ON c.user_id = v.user_id
+        |  WHERE v.event_type = 'view' AND c.event_type = 'click'
+        |    AND c.t > v.t AND c.t - v.t <= 172800000000),
+        |s3 AS (SELECT DISTINCT v.user_id FROM e v
+        |  JOIN e c ON c.user_id = v.user_id
+        |  JOIN e p ON p.user_id = v.user_id
+        |  WHERE v.event_type = 'view' AND c.event_type = 'click'
+        |    AND p.event_type = 'purchase'
+        |    AND c.t > v.t AND p.t > c.t
+        |    AND c.t - v.t <= 172800000000
+        |    AND p.t - v.t <= 172800000000),
+        |c AS (SELECT (SELECT COUNT(*) FROM base) AS c0,
+        |  (SELECT COUNT(*) FROM s1) AS c1,
+        |  (SELECT COUNT(*) FROM s2) AS c2,
+        |  (SELECT COUNT(*) FROM s3) AS c3)
+        |SELECT 1 AS stage_idx, 'view' AS stage, c1 AS users,
+        |  CASE WHEN c0 > 0 THEN CAST(c1 AS DOUBLE) / c0 END AS conv_rate FROM c
+        |UNION ALL SELECT 2, 'click', c2,
+        |  CASE WHEN c1 > 0 THEN CAST(c2 AS DOUBLE) / c1 END FROM c
+        |UNION ALL SELECT 3, 'purchase', c3,
+        |  CASE WHEN c2 > 0 THEN CAST(c3 AS DOUBLE) / c2 END FROM c""".stripMargin
   )
 }

@@ -127,6 +127,71 @@ class FunnelRetentionSpec extends SparkSpec {
       ("2026-01-02", 1L) -> 1L))
   }
 
+  test("funnelWindow: an expired first anchor does not block a later chain") {
+    // u1: view@10:00 (clicks are > 1h away), view@11:30, click@11:45,
+    // purchase@12:00 — with a 1-hour window the 10:00 anchor expires
+    // but the 11:30 one converts; greedy-earliest anchoring would say
+    // stage 1 only
+    val e = ev(
+      (1L, "2026-01-01 10:00:00", "view"),
+      (1L, "2026-01-01 11:30:00", "view"),
+      (1L, "2026-01-01 11:45:00", "click"),
+      (1L, "2026-01-01 12:00:00", "purchase"),
+      // u2: chain spread wider than the window at the last hop
+      (2L, "2026-01-01 10:00:00", "view"),
+      (2L, "2026-01-01 10:30:00", "click"),
+      (2L, "2026-01-01 11:30:00", "purchase"))
+    val out = TemporalOps.funnelWindow(e, windowSec = 3600L).collect()
+      .map(r => r.getAs[String]("stage") -> r.getAs[Long]("users")).toMap
+    assert(out === Map("view" -> 2L, "click" -> 2L, "purchase" -> 1L))
+    // the plain funnel (no window) converts both
+    val plain = TemporalOps.funnel(e).collect()
+      .map(r => r.getAs[String]("stage") -> r.getAs[Long]("users")).toMap
+    assert(plain("purchase") === 2L)
+  }
+
+  test("funnelWindow: max-anchor state still finds the small-anchor chain " +
+    "recorded earlier (the Pareto case)") {
+    // views@10:03 and @10:05; click@10:04 (only valid for the 10:03
+    // anchor); purchase@10:04:30 with a 2-minute window: the chain
+    // (10:03 → 10:04 → 10:04:30) converts — a DP that kept only the
+    // later 10:05 anchor for stage 1 but forgot 10:03's recorded
+    // stage-2 completion would miss it
+    val e = ev(
+      (1L, "2026-01-01 10:03:00", "view"),
+      (1L, "2026-01-01 10:04:00", "click"),
+      (1L, "2026-01-01 10:05:00", "view"),
+      (1L, "2026-01-01 10:04:30", "purchase"))
+    val out = TemporalOps.funnelWindow(e, windowSec = 120L).collect()
+      .map(r => r.getAs[String]("stage") -> r.getAs[Long]("users")).toMap
+    assert(out === Map("view" -> 1L, "click" -> 1L, "purchase" -> 1L))
+  }
+
+  test("funnelWindow: same-ts events never chain (strict ordering)") {
+    val e = ev(
+      (1L, "2026-01-01 10:00:00", "view"),
+      (1L, "2026-01-01 10:00:00", "click"),
+      (1L, "2026-01-01 10:00:30", "purchase"),
+      (2L, "2026-01-01 10:00:00", "view"),
+      (2L, "2026-01-01 10:00:10", "click"),
+      (2L, "2026-01-01 10:00:20", "purchase"))
+    val out = TemporalOps.funnelWindow(e, windowSec = 3600L).collect()
+      .map(r => r.getAs[String]("stage") -> r.getAs[Long]("users")).toMap
+    assert(out === Map("view" -> 2L, "click" -> 1L, "purchase" -> 1L))
+  }
+
+  test("funnelWindow: window binds every stage to ITS chain's anchor") {
+    // view@10:00, click@10:50, purchase@11:20: click is inside the
+    // 1-hour window of the anchor but the purchase is not → stage 2
+    val e = ev(
+      (1L, "2026-01-01 10:00:00", "view"),
+      (1L, "2026-01-01 10:50:00", "click"),
+      (1L, "2026-01-01 11:20:00", "purchase"))
+    val out = TemporalOps.funnelWindow(e, windowSec = 3600L).collect()
+      .map(r => r.getAs[String]("stage") -> r.getAs[Long]("users")).toMap
+    assert(out === Map("view" -> 1L, "click" -> 1L, "purchase" -> 0L))
+  }
+
   test("rateAnomaly: exact lower median per type, 25%-above flag boundary") {
     val spark2 = spark
     import spark2.implicits._
