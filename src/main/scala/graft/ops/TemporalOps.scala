@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{QueryModule, Tables => T}
+import graft.functions.PortableFuncs.{exactSum, exactSumSql}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -274,6 +275,62 @@ object TemporalOps extends QueryModule {
         (col("n") * 4 > col("med") * 5).as("anomaly"))
   }
 
+  /** Event-type transition matrix (the product-analytics "flow"
+    * diagram): per (from, to) pair of consecutive events in a user's
+    * stream, the count and the row-normalized share — an empirical
+    * Markov chain over event types. One window pass for the `lead`
+    * plus one aggregate; the share division runs over the ≤ types²
+    * aggregated table.
+    */
+  def transitions(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share",
+        col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("from_type")))
+            .cast("double"))
+  }
+
+  /** RFM segmentation: per user, recency (days since their last event,
+    * against the corpus max day), frequency (event count) and monetary
+    * (exact-decimal value sum), each scored into quartiles 1–4 (4 =
+    * best) by the rank-split `1 + (rn−1)·4 div n` — integer-exact, no
+    * percentile boundary arithmetic (q48 discipline; ties split
+    * deterministically on user_id). The segment label concatenates the
+    * three digits. All windows run over the per-user aggregate, never
+    * the event stream.
+    */
+  def rfm(events: DataFrame): DataFrame = {
+    val perUser = events.groupBy(col("user_id"))
+      .agg(max(to_date(col("ts"))).as("last_day"),
+        count(lit(1)).as("n_events"),
+        round(exactSum(col("value")), 2).as("monetary"))
+    val maxDay = perUser.agg(max(col("last_day")).as("corpus_day"))
+    val base = perUser.crossJoin(broadcast(maxDay))
+      .withColumn("r_days",
+        datediff(col("corpus_day"), col("last_day")).cast("long"))
+    val n = Window.partitionBy(lit(1))
+    def score(order: Column*): Column =
+      (lit(1) + (row_number().over(Window.partitionBy(lit(1))
+        .orderBy(order: _*)) - 1) * 4 / count(lit(1)).over(n))
+        .cast("int")
+    base.select(col("user_id"), col("r_days"), col("n_events"),
+        col("monetary"),
+        score(col("r_days").desc, col("user_id").asc).as("r_score"),
+        score(col("n_events").asc, col("user_id").asc).as("f_score"),
+        score(col("monetary").asc, col("user_id").asc).as("m_score"))
+      .withColumn("segment",
+        concat(lit("R"), col("r_score"), lit("F"), col("f_score"),
+          lit("M"), col("m_score")))
+  }
+
   // ---- driver-gate queries ----
 
   /** q43: for each purchase event, the latest click (value + time) by
@@ -311,7 +368,9 @@ object TemporalOps extends QueryModule {
     "q113_funnel" -> ((s, d) => funnel(T.events(s, d))),
     "q114_retention" -> ((s, d) => retention(T.events(s, d))),
     "q119_rate_anomaly" -> ((s, d) => rateAnomaly(T.events(s, d))),
-    "q121_funnel_window" -> ((s, d) => funnelWindow(T.events(s, d)))
+    "q121_funnel_window" -> ((s, d) => funnelWindow(T.events(s, d))),
+    "q122_transitions" -> ((s, d) => transitions(T.events(s, d))),
+    "q123_rfm" -> ((s, d) => rfm(T.events(s, d)))
   )
 
   // CAST(ts AS TIMESTAMP) truncates DuckDB's TIMESTAMP_NS to micros —
@@ -413,6 +472,41 @@ object TemporalOps extends QueryModule {
         |UNION ALL SELECT 2, 'click', c2,
         |  CASE WHEN c1 > 0 THEN CAST(c2 AS DOUBLE) / c1 END FROM c
         |UNION ALL SELECT 3, 'purchase', c3,
-        |  CASE WHEN c2 > 0 THEN CAST(c3 AS DOUBLE) / c2 END FROM c""".stripMargin
+        |  CASE WHEN c2 > 0 THEN CAST(c3 AS DOUBLE) / c2 END FROM c""".stripMargin,
+    "q122_transitions" ->
+      """WITH t AS (SELECT event_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC) AS next_type
+        |  FROM events),
+        |g AS (SELECT event_type AS from_type, next_type AS to_type,
+        |    COUNT(*) AS n
+        |  FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  CAST(n AS DOUBLE) /
+        |    CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS share
+        |FROM g""".stripMargin,
+    "q123_rfm" -> {
+      val scoreSql = (order: String) =>
+        s"CAST(1 + (ROW_NUMBER() OVER (ORDER BY $order) - 1) * 4 // " +
+          "COUNT(*) OVER () AS INTEGER)"
+      s"""WITH u AS (SELECT user_id, max(CAST(ts AS DATE)) AS last_day,
+         |    COUNT(*) AS n_events,
+         |    ROUND(${exactSumSql("value")}, 2) AS monetary
+         |  FROM events GROUP BY 1),
+         |m AS (SELECT max(last_day) AS corpus_day FROM u),
+         |b AS (SELECT u.user_id,
+         |    CAST(date_diff('day', u.last_day, m.corpus_day) AS BIGINT) AS r_days,
+         |    u.n_events, u.monetary
+         |  FROM u, m),
+         |s AS (SELECT user_id, r_days, n_events, monetary,
+         |    ${scoreSql("r_days DESC, user_id ASC")} AS r_score,
+         |    ${scoreSql("n_events ASC, user_id ASC")} AS f_score,
+         |    ${scoreSql("monetary ASC, user_id ASC")} AS m_score
+         |  FROM b)
+         |SELECT user_id, r_days, n_events, monetary,
+         |  r_score, f_score, m_score,
+         |  'R' || r_score || 'F' || f_score || 'M' || m_score AS segment
+         |FROM s""".stripMargin
+    }
   )
 }

@@ -217,6 +217,59 @@ class FunnelRetentionSpec extends SparkSpec {
     assert(out.size === 9)
   }
 
+  test("transitions: consecutive pairs per user, row-normalized shares") {
+    val spark2 = spark
+    import spark2.implicits._
+    // u1: A→B→A; u2: A→A — streams never chain across users
+    val e = Seq(
+      (1L, 1L, ts("2026-01-01 10:00:00"), "A"),
+      (2L, 1L, ts("2026-01-01 10:01:00"), "B"),
+      (3L, 1L, ts("2026-01-01 10:02:00"), "A"),
+      (4L, 2L, ts("2026-01-01 10:00:00"), "A"),
+      (5L, 2L, ts("2026-01-01 10:05:00"), "A")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val out = TemporalOps.transitions(e).collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("share"))).toMap
+    assert(out === Map(
+      ("A", "B") -> ((1L, 0.5)),
+      ("A", "A") -> ((1L, 0.5)),
+      ("B", "A") -> ((1L, 1.0))))
+  }
+
+  test("transitions: same-ts ordering falls back to event_id") {
+    val spark2 = spark
+    import spark2.implicits._
+    val e = Seq(
+      (10L, 1L, ts("2026-01-01 10:00:00"), "A"),
+      (11L, 1L, ts("2026-01-01 10:00:00"), "B")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val out = TemporalOps.transitions(e).collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")))
+    assert(out.toSeq === Seq(("A", "B")))
+  }
+
+  test("rfm: quartile scores split by rank, best = 4, segment label") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 4 users with strictly increasing activity: user i has i+1 events
+    // of value 10·(i+1) each, last active day 2026-01-0(i+1) → user 4
+    // is most recent, most frequent, highest value → R4F4M4
+    val e = (0 until 4).flatMap { i =>
+      (0 to i).map(j =>
+        ((i * 10 + j).toLong, (i + 1).toLong,
+          ts(f"2026-01-0${i + 1} 10:0$j%01d:00"), "view", 10.0 * (i + 1)))
+    }.toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = TemporalOps.rfm(e).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("r_days"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("monetary"), r.getAs[String]("segment"))).toMap
+    assert(out(4L) === ((0L, 4L, 160.0, "R4F4M4")))
+    assert(out(1L) === ((3L, 1L, 10.0, "R1F1M1")))
+    assert(out(2L) === ((2L, 2L, 40.0, "R2F2M2")))
+    assert(out(3L) === ((1L, 3L, 90.0, "R3F3M3")))
+  }
+
   test("retention: day boundaries — day 6 is week 0, day 7 is week 1") {
     val e = ev(
       (1L, "2026-01-01 00:00:00", "view"),
