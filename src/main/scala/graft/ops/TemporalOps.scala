@@ -331,6 +331,40 @@ object TemporalOps extends QueryModule {
           lit("M"), col("m_score")))
   }
 
+  /** Per-user session-duration report on top of the q22 gap
+    * recurrence: sessions are maximal runs with inter-event gaps ≤
+    * `gapMin` minutes; per user the report carries session count,
+    * event count, mean session duration (seconds, one division of the
+    * integer microsecond total — no per-session double math) and the
+    * longest session (floor seconds, pure integer). Two window passes
+    * over the per-user stream + two aggregates — the same shuffle
+    * budget as q22 itself.
+    */
+  def sessionStats(events: DataFrame, gapMin: Int = 30): DataFrame = {
+    val gapUs = gapMin * 60000000L
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val sessions = events
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg((unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+        .as("dur_us"), count(lit(1)).as("n"))
+    sessions.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n")).as("n_events"),
+        round(sum(col("dur_us")).cast("double") /
+          (count(lit(1)) * 1000000L).cast("double"), 2)
+          .as("mean_session_sec"),
+        (max(col("dur_us")) / 1000000L).cast("long").as("max_session_sec"))
+  }
+
   // ---- driver-gate queries ----
 
   /** q43: for each purchase event, the latest click (value + time) by
@@ -370,7 +404,8 @@ object TemporalOps extends QueryModule {
     "q119_rate_anomaly" -> ((s, d) => rateAnomaly(T.events(s, d))),
     "q121_funnel_window" -> ((s, d) => funnelWindow(T.events(s, d))),
     "q122_transitions" -> ((s, d) => transitions(T.events(s, d))),
-    "q123_rfm" -> ((s, d) => rfm(T.events(s, d)))
+    "q123_rfm" -> ((s, d) => rfm(T.events(s, d))),
+    "q124_session_stats" -> ((s, d) => sessionStats(T.events(s, d)))
   )
 
   // CAST(ts AS TIMESTAMP) truncates DuckDB's TIMESTAMP_NS to micros —
@@ -507,6 +542,30 @@ object TemporalOps extends QueryModule {
          |  r_score, f_score, m_score,
          |  'R' || r_score || 'F' || f_score || 'M' || m_score AS segment
          |FROM s""".stripMargin
-    }
+    },
+    "q124_session_stats" ->
+      """WITH t AS (SELECT user_id, ts, event_id,
+        |    LAG(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC) AS prev_ts
+        |  FROM events),
+        |m AS (SELECT user_id, ts,
+        |    CASE WHEN prev_ts IS NULL
+        |           OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+        |      THEN 1 ELSE 0 END AS new_sess,
+        |    event_id FROM t),
+        |s AS (SELECT user_id, ts,
+        |    SUM(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS sess_id FROM m),
+        |g AS (SELECT user_id, sess_id,
+        |    epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us,
+        |    COUNT(*) AS n
+        |  FROM s GROUP BY 1, 2)
+        |SELECT user_id, COUNT(*) AS n_sessions,
+        |  CAST(SUM(n) AS BIGINT) AS n_events,
+        |  ROUND(CAST(SUM(dur_us) AS DOUBLE) /
+        |    CAST(COUNT(*) * 1000000 AS DOUBLE), 2) AS mean_session_sec,
+        |  CAST(max(dur_us) // 1000000 AS BIGINT) AS max_session_sec
+        |FROM g GROUP BY 1""".stripMargin
   )
 }

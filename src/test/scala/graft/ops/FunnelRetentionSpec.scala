@@ -270,6 +270,28 @@ class FunnelRetentionSpec extends SparkSpec {
     assert(out(3L) === ((1L, 3L, 90.0, "R3F3M3")))
   }
 
+  test("sessionStats: gap split, integer-exact durations, q22 reconciliation") {
+    val spark2 = spark
+    import spark2.implicits._
+    // u1: session A = 10:00–10:20 (3 events), 40-min gap, session B =
+    // 11:00 alone → 2 sessions, mean (1200 + 0)/2 = 600 s, max 1200
+    val e = Seq(
+      (1L, 1L, ts("2026-01-01 10:00:00")),
+      (2L, 1L, ts("2026-01-01 10:10:00")),
+      (3L, 1L, ts("2026-01-01 10:20:00")),
+      (4L, 1L, ts("2026-01-01 11:00:00")),
+      (5L, 2L, ts("2026-01-01 09:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val out = TemporalOps.sessionStats(e).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("mean_session_sec"),
+          r.getAs[Long]("max_session_sec"))).toMap
+    assert(out(1L) === ((2L, 4L, 600.0, 1200L)))
+    assert(out(2L) === ((1L, 1L, 0.0, 0L)))
+    assert(out.values.map(_._1).sum === 3L) // total sessions
+  }
+
   test("retention: day boundaries — day 6 is week 0, day 7 is week 1") {
     val e = ev(
       (1L, "2026-01-01 00:00:00", "view"),
