@@ -538,4 +538,57 @@ class PlanAuditSpec extends SparkSpec {
     // before scoring
     assert(s.contains("BroadcastNestedLoopJoin"), s"expected broadcast:\n$s")
   }
+
+  test("q124 session stats: ONE exchange carries the whole query — both " +
+    "windows and both aggregates ride the same user_id partitioning") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = TemporalOps.sessionStats(graft.Tables.events(spark, sf))
+      val plan = df.queryExecution.executedPlan
+      val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+      // hashpartitioning(user_id) satisfies the (user_id, sess_id)
+      // grouping's clustered distribution (subset property), so the
+      // per-session aggregate, the per-user rollup and both window
+      // passes all reuse the lag window's shuffle
+      assert(exchanges.size === 1, s"expected exactly 1 exchange:\n$plan")
+      assert(exchanges.head.outputPartitioning.toString.contains("user_id"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q121 windowed funnel: one data shuffle, like q113") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = TemporalOps.funnelWindow(graft.Tables.events(spark, sf))
+      val plan = df.queryExecution.executedPlan
+      val hashed = plan.collect { case e: ShuffleExchangeExec => e }
+        .filter(_.outputPartitioning.toString.contains("hashpartitioning"))
+      assert(hashed.size === 1, s"expected 1 data shuffle:\n$plan")
+      assert(hashed.head.outputPartitioning.toString.contains("user_id"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q114 retention: the cohort side broadcasts — the event stream " +
+    "never shuffles before the join") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val s = planOf(TemporalOps.retention(graft.Tables.events(spark, sf)))
+      assert(s.contains("BroadcastHashJoin"), s"expected broadcast join:\n$s")
+      assert(!s.contains("SortMergeJoin"), s"unexpected SMJ:\n$s")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q122 transitions: no joins anywhere; the share window runs on " +
+    "aggregated rows only") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val s = planOf(TemporalOps.transitions(graft.Tables.events(spark, sf)))
+      assert(!s.contains("Join"), s"unexpected join:\n$s")
+      // two Window ops: the per-user lead and the tiny share window
+      assert("Window".r.findAllIn(s).length >= 2, s"expected 2 windows:\n$s")
+      // partial+final aggregation between them
+      assert("HashAggregate".r.findAllIn(s).length >= 2, s)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
