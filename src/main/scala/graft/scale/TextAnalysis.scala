@@ -119,6 +119,27 @@ object TextAnalysis extends QueryModule {
       round(quality, 4).as("quality"))
   }
 
+  /** q125: per-source quality rollup — the which-crawl-is-garbage
+    * dashboard a curation owner reads before touching mixture weights:
+    * per ingest source, the mean q34 composite quality (exactSum
+    * decimal accumulator — partition-order proof), and the share of
+    * docs at or above the 0.5 gate (integer count, one division).
+    * Per-doc quality is the ROUNDED q34 value so both engines
+    * aggregate the same 4-decimal numbers. One scan + one aggregate
+    * keyed by source.
+    */
+  def sourceQuality(docs0: DataFrame, minQuality: Double = 0.5): DataFrame = {
+    val q = round(qualityExpr(col("text")), 4)
+    widen(docs0)
+      .select(col("source"), q.as("q"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(exactSum(col("q")) / count(lit(1)), 4).as("mean_quality"),
+        sum(when(col("q") >= minQuality, 1L).otherwise(0L)).as("n_good"))
+      .withColumn("good_share",
+        col("n_good").cast("double") / col("n_docs").cast("double"))
+  }
+
   /** Token counting: whitespace tokens, a BPE-ish regex segmentation
     * (letter runs / digit runs / single symbols), and the chars/4
     * heuristic LLM-token estimate. */
@@ -889,6 +910,7 @@ object TextAnalysis extends QueryModule {
     "q34_quality_score" -> ((s, d) => qualityScore(T.documents(s, d))),
     "q35_token_count" -> ((s, d) => tokenCount(T.documents(s, d))),
     "q117_length_histogram" -> ((s, d) => lengthHistogram(T.documents(s, d))),
+    "q125_source_quality" -> ((s, d) => sourceQuality(T.documents(s, d))),
     "q36_fingerprint" -> ((s, d) => fingerprint(T.documents(s, d))),
     "q37_corpus_stats" -> ((s, d) => corpusStats(T.documents(s, d))),
     "q46_lang_ngram" -> ((s, d) => langNgramConfusion(T.documents(s, d))),
@@ -1028,6 +1050,24 @@ object TextAnalysis extends QueryModule {
         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS bpe_tokens,
         |  CAST(CEIL(CAST(len(text) AS DOUBLE)/4) AS BIGINT) AS est_llm_tokens
         |FROM documents""".stripMargin,
+    "q125_source_quality" -> {
+      val stopList = stopwords.head._2.mkString("['", "', '", "']")
+      s"""WITH w AS (SELECT source, text, $wsSql AS ws FROM documents),
+         |q AS (SELECT source,
+         |  ROUND(LEAST(CAST(len(ws) AS DOUBLE)/100, 1.0)*0.5
+         |    + (CAST(len(list_filter(ws, x -> list_contains($stopList, x))) AS DOUBLE)
+         |       / GREATEST(len(ws), 1))*0.3
+         |    + (1.0 - CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+         |       / GREATEST(len(text), 1))*0.2, 4) AS q
+         |FROM w),
+         |g AS (SELECT source, COUNT(*) AS n_docs,
+         |  ROUND(${exactSumSql("q")} / COUNT(*), 4) AS mean_quality,
+         |  CAST(SUM(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_good
+         |FROM q GROUP BY 1)
+         |SELECT source, n_docs, mean_quality, n_good,
+         |  CAST(n_good AS DOUBLE) / n_docs AS good_share
+         |FROM g""".stripMargin
+    },
     "q117_length_histogram" -> {
       val cases = (0 until 21).map(k =>
         s"WHEN toks < ${1L << (k + 1)} THEN ${1L << k}").mkString(" ")

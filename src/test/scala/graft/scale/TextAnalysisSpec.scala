@@ -413,4 +413,27 @@ class TextAnalysisSpec extends SparkSpec {
       .view.mapValues(_.map(_.getAs[Double]("share")).sum).toMap
     assert(sums.values.forall(s => math.abs(s - 1.0) < 1e-12))
   }
+
+  test("sourceQuality reconciles with per-doc q34 quality") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs on", "en", "a"),
+      (2L, "x. y. z. w.", "en", "a"),  // punct-heavy, short → low quality
+      (3L, "the data of the table in the row of it that was a", "en", "b")
+    ).toDF("doc_id", "text", "lang", "source")
+    // reference: mean/gate from qualityScore's own per-doc column
+    val perDoc = TextAnalysis.qualityScore(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality")).toMap
+    val out = TextAnalysis.sourceQuality(df).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("mean_quality"),
+          r.getAs[Long]("n_good"), r.getAs[Double]("good_share"))).toMap
+    val aMean = (perDoc(1L) + perDoc(2L)) / 2
+    assert(math.abs(out("a")._2 - aMean) < 5e-5)
+    assert(out("a")._1 === 2L)
+    assert(out("a")._3 === Seq(perDoc(1L), perDoc(2L)).count(_ >= 0.5))
+    assert(out("b") === ((1L, perDoc(3L), if (perDoc(3L) >= 0.5) 1L else 0L,
+      if (perDoc(3L) >= 0.5) 1.0 else 0.0)))
+  }
 }
