@@ -137,10 +137,20 @@ object TemporalOps extends QueryModule {
           when(advance,
             struct((n + 1).as("n"), e.getField("ts").as("t"))).otherwise(acc)
         }).getField("n").as("reached"))
+    stageSummary(reached, stages, i => col("reached") >= i + 1)
+  }
+
+  /** Shared funnel epilogue ([[funnel]]/[[funnelWindow]]): one
+    * single-row aggregate of stage counts (c0 = base users, cI =
+    * users whose stage-i predicate holds) exploded into
+    * (stage_idx, stage, users, conv_rate) rows — conv_rate is
+    * null-guarded against an empty previous stage. */
+  private def stageSummary(perUser: DataFrame, stages: Seq[String],
+                           reachedStage: Int => Column): DataFrame = {
     val countCols = count(lit(1)).as("c0") +:
       stages.indices.map(i =>
-        sum(when(col("reached") >= i + 1, 1L).otherwise(0L)).as(s"c${i + 1}"))
-    val counts = reached.agg(countCols.head, countCols.tail: _*)
+        sum(when(reachedStage(i), 1L).otherwise(0L)).as(s"c${i + 1}"))
+    val counts = perUser.agg(countCols.head, countCols.tail: _*)
     val stageRows = stages.indices.map { i =>
       val prev = col(s"c$i")
       struct(
@@ -230,21 +240,8 @@ object TemporalOps extends QueryModule {
               greatest(coalesce(a, lit(Long.MinValue)), cand)).otherwise(a))
           struct(t.as("ts"), cur.as("cur"), prev.as("prev"))
         }).getField("cur").as("anchors"))
-    val countCols = count(lit(1)).as("c0") +:
-      stages.indices.map(i =>
-        sum(when(element_at(col("anchors"), i + 1).isNotNull, 1L)
-          .otherwise(0L)).as(s"c${i + 1}"))
-    val counts = reached.agg(countCols.head, countCols.tail: _*)
-    val stageRows = stages.indices.map { i =>
-      val prev = col(s"c$i")
-      struct(
-        lit(i + 1).as("stage_idx"),
-        lit(stages(i)).as("stage"),
-        col(s"c${i + 1}").as("users"),
-        when(prev > 0, col(s"c${i + 1}").cast("double") / prev.cast("double"))
-          .as("conv_rate"))
-    }
-    counts.select(explode(array(stageRows: _*)).as("s")).select(col("s.*"))
+    stageSummary(reached, stages,
+      i => element_at(col("anchors"), i + 1).isNotNull)
   }
 
   /** Event-rate anomaly report: per (day, event type), the daily count

@@ -391,20 +391,17 @@ object Curation extends QueryModule {
     // by (quality DESC, doc_id) with a running-total budget cut; the
     // distributed offsets reproduce the single global window exactly
     "q105_budget_select" -> {
-      val stopList = TextAnalysis.stopwords.head._2.mkString("['", "', '", "']")
       s"""WITH w AS (SELECT doc_id, text, $wsSql AS ws FROM documents),
          |m AS (SELECT doc_id,
          |  CAST(len(ws) AS INTEGER) AS n_words,
          |  GREATEST(len(ws), 1) AS nw,
          |  GREATEST(len(text), 1) AS nc,
-         |  len(list_filter(ws, x -> list_contains($stopList, x))) AS stop_hits,
+         |  len(list_filter(ws, x -> list_contains(${TextAnalysis.stopListSql}, x))) AS stop_hits,
          |  len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
          |  CAST(CEIL(CAST(len(text) AS DOUBLE)/4) AS BIGINT) AS toks
          |FROM w),
          |q AS (SELECT doc_id, toks,
-         |  ROUND(LEAST(CAST(n_words AS DOUBLE)/100, 1.0)*0.5
-         |    + (CAST(stop_hits AS DOUBLE)/nw)*0.3
-         |    + (1.0 - CAST(n_punct AS DOUBLE)/nc)*0.2, 4) AS quality
+         |  ${TextAnalysis.qualitySql} AS quality
          |FROM m WHERE toks > 0),
          |c AS (SELECT doc_id, quality, toks,
          |  CAST(SUM(toks) OVER (ORDER BY quality DESC, doc_id

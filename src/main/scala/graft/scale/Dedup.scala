@@ -1453,6 +1453,18 @@ object Dedup extends QueryModule {
     * every oracle that starts from the near-dup pair graph — one
     * definition keeps the six graph oracles in lockstep with each
     * other and with the Spark-side [[simhashPairs]]. */
+  /** Shared closure CTEs over `p` (the [[simhashPairCte]] pair list):
+    * undirected edges, transitive reach, and the LEAST-labeled
+    * component per node (`cl(doc_id, cluster_id)`) — q59's clustering,
+    * reused verbatim by q120 so the two boards cannot drift. */
+  private val ccClosureCte =
+    """e AS (SELECT doc_a AS a, doc_b AS b FROM p
+      |      UNION SELECT doc_b, doc_a FROM p),
+      |reach(a, b) AS (SELECT a, b FROM e
+      |  UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+      |cl AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+      |       FROM reach GROUP BY a)""".stripMargin
+
   private val simhashPairCte =
     """w AS (
       |  SELECT doc_id, unnest(list_filter(string_split_regex(trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')), ' +'), x -> x <> '')) AS w
@@ -1536,20 +1548,11 @@ object Dedup extends QueryModule {
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 5""".stripMargin,
     "q59_dedup_clusters" ->
       s"""WITH RECURSIVE $simhashPairCte,
-         |e AS (SELECT doc_a AS a, doc_b AS b FROM p
-         |      UNION SELECT doc_b, doc_a FROM p),
-         |reach(a, b) AS (SELECT a, b FROM e
-         |  UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
-         |SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
-         |FROM reach GROUP BY a""".stripMargin,
+         |$ccClosureCte
+         |SELECT doc_id, cluster_id FROM cl""".stripMargin,
     "q120_cluster_sizes" ->
       s"""WITH RECURSIVE $simhashPairCte,
-         |e AS (SELECT doc_a AS a, doc_b AS b FROM p
-         |      UNION SELECT doc_b, doc_a FROM p),
-         |reach(a, b) AS (SELECT a, b FROM e
-         |  UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
-         |cl AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
-         |       FROM reach GROUP BY a),
+         |$ccClosureCte,
          |s AS (SELECT cluster_id, COUNT(*) AS sz FROM cl GROUP BY 1)
          |SELECT sz AS cluster_size, COUNT(*) AS n_clusters
          |FROM s GROUP BY 1""".stripMargin,

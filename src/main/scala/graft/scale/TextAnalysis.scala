@@ -154,9 +154,11 @@ object TextAnalysis extends QueryModule {
     * buckets — the corpus shape report read before choosing packing
     * lengths and length filters (a mass of sub-32-token docs is
     * boilerplate; a fat 4096+ tail wants chunking). `bucket_lo` is the
-    * bucket's inclusive lower bound (2^k ≤ ws_tokens < 2^(k+1)),
-    * derived by an exact integer comparison cascade — no log2 call, so
-    * boundary docs land identically in any engine. One scan + one
+    * bucket's inclusive lower bound (2^k ≤ ws_tokens < 2^(k+1) for
+    * k < 21; the LAST bucket, bucket_lo = 2^21, is OPEN-ENDED and
+    * catches everything ≥ 2^21), derived by an exact integer
+    * comparison cascade — no log2 call, so boundary docs land
+    * identically in any engine. One scan + one
     * aggregate; the share division runs over the ≤ langs×21-row
     * aggregated table, never the corpus.
     */
@@ -944,6 +946,21 @@ object TextAnalysis extends QueryModule {
   private val wsSql =
     s"list_filter(string_split_regex($normSql, ' +'), w -> w <> '')"
 
+  /** DuckDB literal list of the en stopwords — shared by every oracle
+    * that computes the q34 stopword ratio. */
+  private[scale] val stopListSql: String =
+    stopwords.head._2.mkString("['", "', '", "']")
+
+  /** The q34 composite-quality formula in SQL — the ONE rendition
+    * shared by every oracle that scores quality (q34/q105/q125),
+    * mirroring [[qualityExpr]] being the one Scala rendition. Expects
+    * the conventional CTE aliases: n_words (word count), nw / nc
+    * (clamped word/char denominators), stop_hits, n_punct. */
+  private[scale] val qualitySql: String =
+    "ROUND(LEAST(CAST(n_words AS DOUBLE)/100, 1.0)*0.5" +
+      " + (CAST(stop_hits AS DOUBLE)/nw)*0.3" +
+      " + (1.0 - CAST(n_punct AS DOUBLE)/nc)*0.2, 4)"
+
   /** CTE chain shared by the q70 gate oracle and the q78 report oracle:
     * defines `r` (per-doc repetition fractions) and `gp` (per-doc
     * gopher pass flag) over `documents`. */
@@ -1030,7 +1047,7 @@ object TextAnalysis extends QueryModule {
          |  CAST(len(ws) AS INTEGER) AS n_words,
          |  GREATEST(len(ws), 1) AS nw,
          |  GREATEST(len(text), 1) AS nc,
-         |  len(list_filter(ws, x -> list_contains(${stopwords.head._2.mkString("['", "', '", "']")}, x))) AS stop_hits,
+         |  len(list_filter(ws, x -> list_contains($stopListSql, x))) AS stop_hits,
          |  len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
          |  len(regexp_extract_all(text, '[0-9]')) AS n_digit,
          |  len(array_to_string(ws, '')) AS word_chars
@@ -1040,9 +1057,7 @@ object TextAnalysis extends QueryModule {
          |  ROUND(CAST(stop_hits AS DOUBLE)/nw, 4) AS stop_ratio,
          |  ROUND(CAST(n_punct AS DOUBLE)/nc, 4) AS punct_ratio,
          |  ROUND(CAST(n_digit AS DOUBLE)/nc, 4) AS digit_ratio,
-         |  ROUND(LEAST(CAST(n_words AS DOUBLE)/100, 1.0)*0.5
-         |    + (CAST(stop_hits AS DOUBLE)/nw)*0.3
-         |    + (1.0 - CAST(n_punct AS DOUBLE)/nc)*0.2, 4) AS quality
+         |  $qualitySql AS quality
          |FROM m""".stripMargin,
     "q35_token_count" ->
       """SELECT doc_id,
@@ -1050,24 +1065,23 @@ object TextAnalysis extends QueryModule {
         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS bpe_tokens,
         |  CAST(CEIL(CAST(len(text) AS DOUBLE)/4) AS BIGINT) AS est_llm_tokens
         |FROM documents""".stripMargin,
-    "q125_source_quality" -> {
-      val stopList = stopwords.head._2.mkString("['", "', '", "']")
+    "q125_source_quality" ->
       s"""WITH w AS (SELECT source, text, $wsSql AS ws FROM documents),
-         |q AS (SELECT source,
-         |  ROUND(LEAST(CAST(len(ws) AS DOUBLE)/100, 1.0)*0.5
-         |    + (CAST(len(list_filter(ws, x -> list_contains($stopList, x))) AS DOUBLE)
-         |       / GREATEST(len(ws), 1))*0.3
-         |    + (1.0 - CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
-         |       / GREATEST(len(text), 1))*0.2, 4) AS q
+         |m AS (SELECT source,
+         |  CAST(len(ws) AS INTEGER) AS n_words,
+         |  GREATEST(len(ws), 1) AS nw,
+         |  GREATEST(len(text), 1) AS nc,
+         |  len(list_filter(ws, x -> list_contains($stopListSql, x))) AS stop_hits,
+         |  len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct
          |FROM w),
+         |q AS (SELECT source, $qualitySql AS q FROM m),
          |g AS (SELECT source, COUNT(*) AS n_docs,
          |  ROUND(${exactSumSql("q")} / COUNT(*), 4) AS mean_quality,
          |  CAST(SUM(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_good
          |FROM q GROUP BY 1)
          |SELECT source, n_docs, mean_quality, n_good,
          |  CAST(n_good AS DOUBLE) / n_docs AS good_share
-         |FROM g""".stripMargin
-    },
+         |FROM g""".stripMargin,
     "q117_length_histogram" -> {
       val cases = (0 until 21).map(k =>
         s"WHEN toks < ${1L << (k + 1)} THEN ${1L << k}").mkString(" ")

@@ -516,8 +516,12 @@ object EventStreams {
             val week = (e.ts.getTime / DayMs - st.firstDay) / 7
             if (week >= 0 && !emitted(week)) {
               emitted += week
+              // LocalDate encodes zone-independently (firstDay is a UTC
+              // epoch day; a java.sql.Date here would re-interpret the
+              // instant in the JVM default zone and shift the cohort a
+              // day on non-UTC machines)
               out += RetentionAdvance(userId,
-                new java.sql.Date(st.firstDay * DayMs), week, e.ts)
+                java.time.LocalDate.ofEpochDay(st.firstDay), week, e.ts)
             }
           }
           state.update(RetentionState(st.firstDay, emitted.toList.sorted))
@@ -793,7 +797,7 @@ case class FunnelState(n: Int, t: Long)
 case class RetentionState(firstDay: Long, weeks: List[Long])
 
 /** First activity of `user_id` in week `week_off` of their cohort. */
-case class RetentionAdvance(user_id: Long, cohort_day: java.sql.Date,
+case class RetentionAdvance(user_id: Long, cohort_day: java.time.LocalDate,
                             week_off: Long, ts: Timestamp)
 
 /** One funnel advance: `user_id` completed `stage` (1-based
