@@ -242,8 +242,8 @@ object Curation extends QueryModule {
     cnt.groupBy(col("source"))
       .agg(sum(col("c")).as("n_docs"),
         count(lit(1)).as("n_langs"),
-        sum((col("c") * col("c"))
-          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("sum_sq"))
+        sum(col("c").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          * col("c")).as("sum_sq"))
       .select(col("source"), col("n_docs"), col("n_langs"),
         round(lit(1.0) - sq / (nd * nd), 4).as("gini"),
         round((nd * nd) / sq, 4).as("eff_langs"))
@@ -433,7 +433,8 @@ object Curation extends QueryModule {
       """WITH c AS (SELECT source, lang, COUNT(*) AS c
         |           FROM documents GROUP BY 1, 2),
         |s AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
-        |        COUNT(*) AS n_langs, CAST(SUM(c*c) AS DOUBLE) AS sq
+        |        COUNT(*) AS n_langs,
+        |        CAST(SUM(CAST(c AS HUGEINT) * c) AS DOUBLE) AS sq
         |      FROM c GROUP BY source)
         |SELECT source, n_docs, n_langs,
         |  ROUND(1.0 - sq / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)), 4)

@@ -141,7 +141,7 @@ object Dedup extends QueryModule {
       .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-    val est = col("matches").cast("double") / lit(16)
+    val est = col("matches").cast("double") / lit(NumMinhashes)
     val exact = col("inter").cast("double") /
       (col("na") + col("nb") - col("inter"))
     // band-sharing ⇒ ≥ 1 shared min-shingle ⇒ inter ≥ 1: the inner

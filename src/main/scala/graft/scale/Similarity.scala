@@ -1366,8 +1366,6 @@ object Similarity extends QueryModule {
          |  FROM rer)
          |SELECT q_id, c_id, ROUND(cos, 4) AS cos, rank
          |FROM ranked WHERE rank <= $TopK""".stripMargin,
-    // q51's train + assign CTEs rolled up by subspace; mean rides the
-    // exact decimal accumulator, flag repeats the expression
     "q118_ann_jl" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |p AS (SELECT vec_id, ${jlProjListSql("v")} AS y FROM v),
@@ -1409,6 +1407,8 @@ object Similarity extends QueryModule {
          |SELECT n_vecs, mean_distortion, min_distortion, max_distortion,
          |  (mean_distortion >= $JlAuditLo AND mean_distortion <= $JlAuditHi) AS ok
          |FROM m""".stripMargin,
+    // q51's train + assign CTEs rolled up by subspace; mean rides the
+    // exact decimal accumulator, flag repeats the expression
     "q108_pq_health" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |sub AS (SELECT vec_id, m, v[m*$PqSubDim+1 : m*$PqSubDim+$PqSubDim] AS sv

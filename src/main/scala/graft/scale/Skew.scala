@@ -95,16 +95,29 @@ object Skew extends QueryModule {
 
   override val oracle: Map[String, String] = Map(
     // bit-interleave restated as a Σ over bit positions; SUM is exact
-    // integer arithmetic, distinct positions never collide
+    // integer arithmetic, distinct positions never collide. Whole-Long
+    // domain discipline (matches Spark for ANY timestamp, not just the
+    // fixture range): (a) epoch_us // 1000000 is FLOOR division in
+    // DuckDB but `div` is TRUNC in Spark — restate trunc explicitly so
+    // pre-1970 micros agree; (b) the y-bit-31 term is 1<<63, which
+    // overflows DuckDB BIGINT but wraps to Long.MinValue in Spark —
+    // add top_bit * Long.MinValue outside the Σ (bounded to 2^63-1)
+    // instead of shifting; (c) z >> 48 is ARITHMETIC in DuckDB
+    // (sign-extends negative z) but shiftrightunsigned in Spark —
+    // mask to the low 16 bits to restate the logical shift.
     "q107_zorder_keys" ->
       """WITH e AS (SELECT event_id, user_id & 4294967295 AS x,
-        |  (epoch_us(ts) // 1000000) & 4294967295 AS y FROM events),
+        |  (CASE WHEN epoch_us(ts) >= 0 THEN epoch_us(ts) // 1000000
+        |        ELSE -((-epoch_us(ts)) // 1000000) END)
+        |    & 4294967295 AS y FROM events),
         |bits AS (SELECT event_id, x, y, unnest(range(0, 32)) AS b FROM e),
         |zt AS (SELECT event_id,
-        |  CAST(SUM((((x >> b) & 1) << (2*b)) + (((y >> b) & 1) << (2*b+1)))
-        |    AS BIGINT) AS z
+        |  CAST(SUM((((x >> b) & 1) << (2*b))
+        |    + (CASE WHEN b < 31 THEN ((y >> b) & 1) << (2*b+1)
+        |            ELSE 0 END)) AS BIGINT)
+        |  + MAX((y >> 31) & 1) * (-9223372036854775807 - 1) AS z
         |  FROM bits GROUP BY event_id)
-        |SELECT event_id, z, z >> 48 AS bucket FROM zt""".stripMargin,
+        |SELECT event_id, z, (z >> 48) & 65535 AS bucket FROM zt""".stripMargin,
     "q44_salted_join" ->
       s"""SELECT o_orderpriority,
          |  ROUND(${exactSumSql("l_extendedprice*(1.0-l_discount)")}, 2) AS revenue,

@@ -495,7 +495,9 @@ object EventStreams {
     * event arriving after a later sibling would cohort the user later
     * than the batch recount — the same arrival-order caveat as
     * [[funnelGate]], and exactly-once emission per (user, week) holds
-    * regardless.
+    * regardless. Events arriving BEFORE the recorded cohort day are
+    * uniformly dropped (floorDiv ⇒ negative week), never aliased into
+    * week 0 of the wrong cohort.
     */
   def retentionMonitor(events: Dataset[Event]): Dataset[RetentionAdvance] = {
     import events.sparkSession.implicits._
@@ -513,7 +515,13 @@ object EventStreams {
           val out = List.newBuilder[RetentionAdvance]
           var emitted = st.weeks.toSet
           sorted.foreach { e =>
-            val week = (e.ts.getTime / DayMs - st.firstDay) / 7
+            // floorDiv: a pre-cohort straggler (1-6 days BEFORE the
+            // recorded firstDay) must land at week -1, not truncate
+            // toward zero and alias into week 0 against the wrong
+            // cohort — with floorDiv every pre-cohort event is a
+            // negative week and the `week >= 0` guard drops them all
+            // uniformly
+            val week = Math.floorDiv(e.ts.getTime / DayMs - st.firstDay, 7L)
             if (week >= 0 && !emitted(week)) {
               emitted += week
               // LocalDate encodes zone-independently (firstDay is a UTC

@@ -65,7 +65,8 @@ class LayoutSpec extends SparkSpec {
     val spark2 = spark
     import spark2.implicits._
     // reference Morton implementation to pin the kernel against
-    def zRef(x: Long, y: Long): Long = {
+    def zRef(x0: Long, y0: Long): Long = {
+      val x = x0 & 0xffffffffL; val y = y0 & 0xffffffffL
       var z = 0L
       (0 until 32).foreach { b =>
         z |= ((x >> b) & 1L) << (2 * b)
@@ -73,8 +74,14 @@ class LayoutSpec extends SparkSpec {
       }
       z
     }
+    // last three pin the whole-Long domain: a negative input (pre-1970
+    // epoch second: masked to its low 32 bits, bit 31 set ⇒ z < 0 via
+    // the wrapping 1L << 63 term) and a > 32-bit input (post-2106
+    // second: wraps) — the q107 oracle restates exactly these
+    // semantics in DuckDB (Skew.scala)
     val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (12345L, 67890L),
-      (0xffffffffL, 0L), (0L, 0x7fffffffL), (0x12345678L, 0x0fedcba9L))
+      (0xffffffffL, 0L), (0L, 0x7fffffffL), (0x12345678L, 0x0fedcba9L),
+      (5L, -1L), (9L, 0xaaaaaaaaL), (11L, 0x100000005L))
     val got = pts.toDF("x", "y")
       .select(Layout.zValue(col("x"), col("y")).as("z"))
       .collect().map(_.getLong(0)).toSeq
