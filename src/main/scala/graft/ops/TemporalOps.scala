@@ -301,10 +301,20 @@ object TemporalOps extends QueryModule {
     * best) by the rank-split `1 + (rn−1)·4 div n` — integer-exact, no
     * percentile boundary arithmetic (q48 discipline; ties split
     * deterministically on user_id). The segment label concatenates the
-    * three digits. All windows run over the per-user aggregate, never
-    * the event stream.
+    * three digits.
+    *
+    * Scale design: each metric's global rank is the DISTRIBUTED
+    * two-phase prefix sum ([[graft.scale.Curation.sequencePack]] /
+    * `CoreQueries.cumDistPercentilesDistributed` discipline) — a
+    * single-partition global-order window would funnel the whole
+    * users-sized aggregate (10⁸–10⁹ rows at 100 TB) through ONE task
+    * per metric. Instead: range-partition by the metric order, collect
+    * the numPartitions-row per-partition counts, broadcast them back
+    * as rank offsets, and row_number WITHIN partitions only. The only
+    * global coordination left is the 1-row corpus-day max and the
+    * partition-count-sized offset tables.
     */
-  def rfm(events: DataFrame): DataFrame = {
+  def rfm(events: DataFrame, partitions: Int = 32): DataFrame = {
     val perUser = events.groupBy(col("user_id"))
       .agg(max(to_date(col("ts"))).as("last_day"),
         count(lit(1)).as("n_events"),
@@ -313,19 +323,49 @@ object TemporalOps extends QueryModule {
     val base = perUser.crossJoin(broadcast(maxDay))
       .withColumn("r_days",
         datediff(col("corpus_day"), col("last_day")).cast("long"))
-    val n = Window.partitionBy(lit(1))
-    def score(order: Column*): Column =
-      (lit(1) + (row_number().over(Window.partitionBy(lit(1))
-        .orderBy(order: _*)) - 1) * 4 / count(lit(1)).over(n))
-        .cast("int")
-    base.select(col("user_id"), col("r_days"), col("n_events"),
-        col("monetary"),
-        score(col("r_days").desc, col("user_id").asc).as("r_score"),
-        score(col("n_events").asc, col("user_id").asc).as("f_score"),
-        score(col("monetary").asc, col("user_id").asc).as("m_score"))
+      .select(col("user_id"), col("r_days"), col("n_events"),
+        col("monetary"))
+    base
+      .transform(addQuartileScore("r_score", partitions,
+        col("r_days").desc, col("user_id").asc))
+      .transform(addQuartileScore("f_score", partitions,
+        col("n_events").asc, col("user_id").asc))
+      .transform(addQuartileScore("m_score", partitions,
+        col("monetary").asc, col("user_id").asc))
       .withColumn("segment",
         concat(lit("R"), col("r_score"), lit("F"), col("f_score"),
           lit("M"), col("m_score")))
+  }
+
+  /** One distributed quartile scoring pass for [[rfm]]: global
+    * row_number under `order` = in-partition row_number + the
+    * broadcast per-partition rank offset (range partitioning makes
+    * partition order = key order, the tiebreak column makes the order
+    * total), folded into the `1 + (rn−1)·4 div n` quartile split. The
+    * division is the same long→double `/` + int cast as the previous
+    * global-window form and the DuckDB oracle's `//` — identical
+    * boundaries. localCheckpoint pins `spark_partition_id` so phase 1
+    * (counts collect) and phase 2 (window) see the same layout. */
+  private def addQuartileScore(name: String, partitions: Int,
+                               order: Column*)(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val t = df.repartitionByRange(partitions, order: _*)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = t.groupBy(col("_pid")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val n = counts.map(_._2).sum
+    var acc = 0L
+    val offsets = counts.map { case (pid, c) =>
+      val off = acc; acc += c; (pid, off)
+    }
+    val offDf = spark.createDataFrame(offsets.toSeq).toDF("_pid", "_offset")
+    val w = Window.partitionBy(col("_pid")).orderBy(order: _*)
+    t.join(broadcast(offDf), "_pid")
+      .withColumn(name,
+        (lit(1) + (row_number().over(w) + col("_offset") - 1) * 4 / lit(n))
+          .cast("int"))
+      .drop("_pid", "_offset")
   }
 
   /** Per-user session-duration report on top of the q22 gap
