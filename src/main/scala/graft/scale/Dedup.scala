@@ -694,6 +694,41 @@ object Dedup extends QueryModule {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Recall certification of the [[embeddingNearDupLsh]] gate against
+    * the exact [[embeddingNearDup]] referee on the same bounded
+    * sample — the audit those two docstrings promise, landed as a gate
+    * query (q88 discipline: certify every approximate path you serve).
+    * Per 0.2-wide cosine band of the TRUE pair set: true pairs, LSH
+    * candidates recovered, recall. The banding is the point — LSH
+    * bucket-collision probability is the S-curve
+    * `(1 − θ/π)^planes`, so EXPECTED recall rises with cosine (on a
+    * small band the binomial noise can still hand back a zero); a
+    * profile far off the curve means the planes or the bucketing
+    * broke, which a single aggregate recall number can hide. At the
+    * fixture's 8 planes and θ ≈ 66° the curve sits near 2% — the
+    * measured bands agree, which is the certification: the gate is
+    * behaving exactly as its math says, and raising recall is a
+    * NumPlanes/multi-probe dial (see [[Similarity.annLsh]]), not a
+    * bug hunt.
+    *
+    * Scale shape: both sides run on the `maxId`-bounded audit sample
+    * (the cost dial, O(10⁴)); the LSH side restricts INPUT, not
+    * output, so its join stays bucket-equality even here. Every LSH
+    * candidate passes the same exact-cosine filter as truth, so
+    * candidates ⊆ truth and precision is 1 by construction — recall
+    * is the only free number, which is why it's the one reported. */
+  def nearDupRecall(emb: DataFrame, minCos: Double = 0.3,
+                    maxId: Long = 300L): DataFrame = {
+    val truth = embeddingNearDup(emb, minCos, maxId)
+    val cand = embeddingNearDupLsh(emb.filter(col("vec_id") < maxId), minCos)
+      .select(col("vec_a"), col("vec_b"), lit(1).as("_hit"))
+    truth.join(cand, Seq("vec_a", "vec_b"), "left")
+      .groupBy(floor(col("cos") * 5).cast("int").as("cos_band"))
+      .agg(count(lit(1)).as("n_true"), count(col("_hit")).as("n_cand"))
+      .withColumn("recall",
+        round(col("n_cand").cast("double") / col("n_true"), 4))
+  }
+
   /** Semantic deduplication (SemDeDup, Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space coarsely, find
     * near-duplicate pairs ONLY within each cluster, connected-component
@@ -1316,18 +1351,19 @@ object Dedup extends QueryModule {
   }
 
   /** Embedding-cosine near-dup pairs above `minCos`, bounded to ids
-    * below `maxId` — the EXACT baseline, deliberately O(maxId²).
+    * below `maxId` — the EXACT referee of the near-dup family.
     *
     * Role at 100 TB: ground truth over a bounded audit sample, never a
     * corpus pass. The production path is [[embeddingNearDupLsh]] (q69):
     * identical output contract, but candidates come only from shared
     * LSH buckets, so pair volume is Σ bucket² instead of corpus² and
-    * the join is a bucket-equality shuffle, not a nested loop. Use THIS
-    * form to measure that form's recall (the q88 pattern: run both on
-    * the same `maxId`-bounded sample, diff the pair sets); `maxId` is
-    * the audit-cost dial and must stay O(10⁴) — the plan contains a
-    * genuine pair join on purpose, which is exactly what makes it a
-    * trustworthy referee and a non-starter as a corpus operator. */
+    * the join is a bucket-equality shuffle, not a nested loop. THIS
+    * form measures that form's recall — [[nearDupRecall]] (q127) runs
+    * both on the same `maxId`-bounded sample and reports recall per
+    * cosine band (the q88 pattern). `maxId` is the audit-cost dial
+    * and must stay O(10⁴): the plan contains a genuine pair join on
+    * purpose, which is exactly what makes it a trustworthy referee —
+    * and the reason the gate role, not the corpus pass, is its job. */
   def embeddingNearDup(emb: DataFrame, minCos: Double, maxId: Long): DataFrame = {
     val e = emb.filter(col("vec_id") < maxId)
       .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
@@ -1399,6 +1435,8 @@ object Dedup extends QueryModule {
     "q112_dedup_impact" -> ((s, d) => dedupImpact(T.documents(s, d))),
     // full-range LSH near-dup gate (no id cap): the scale path q29 demos
     "q69_neardup_lsh" -> ((s, d) => embeddingNearDupLsh(T.embeddings(s, d), 0.2)),
+    // recall-by-cos-band certification of the q69 gate vs the q29 referee
+    "q127_neardup_recall" -> ((s, d) => nearDupRecall(T.embeddings(s, d))),
     // SemDeDup: cluster-bounded semantic near-dup pruning, one
     // representative (lowest vec_id) per within-cluster component
     "q95_semdedup" -> ((s, d) => semDedup(T.embeddings(s, d))),
@@ -1871,6 +1909,31 @@ object Dedup extends QueryModule {
         |  ROUND(CAST(COUNT(CASE WHEN removed THEN 1 END) AS DOUBLE)
         |    / COUNT(*), 4) AS removal_rate
         |FROM t GROUP BY source""".stripMargin,
+    // q29's exact truth and q69's bucket-candidate join, both cut to
+    // the same id-bounded sample, banded by floor(cos·5) — identical
+    // double trees both sides, so band edges agree bit-for-bit
+    "q127_neardup_recall" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |    CAST(${Similarity.bucketSql} AS BIGINT) AS bucket
+         |  FROM embeddings WHERE vec_id < 300),
+         |n AS (SELECT vec_id, v, bucket,
+         |    sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |truth AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos
+         |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.3),
+         |cand AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.3),
+         |j AS (SELECT t.cos, (c.vec_a IS NOT NULL) AS hit
+         |  FROM truth t LEFT JOIN cand c
+         |    ON t.vec_a = c.vec_a AND t.vec_b = c.vec_b)
+         |SELECT CAST(FLOOR(cos * 5) AS INTEGER) AS cos_band,
+         |  COUNT(*) AS n_true,
+         |  COUNT(CASE WHEN hit THEN 1 END) AS n_cand,
+         |  ROUND(CAST(COUNT(CASE WHEN hit THEN 1 END) AS DOUBLE)
+         |    / COUNT(*), 4) AS recall
+         |FROM j GROUP BY 1""".stripMargin,
     "q69_neardup_lsh" ->
       s"""WITH b AS (
          |  SELECT vec_id, CAST(${Similarity.bucketSql} AS BIGINT) AS bucket,

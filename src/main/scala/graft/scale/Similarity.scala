@@ -78,8 +78,10 @@ object Similarity extends QueryModule {
     *
     * Role at 100 TB: the recall referee, not the serving path. Serving
     * is [[annIvf]]/[[annPq]]/[[annLsh]]; THIS form exists to measure
-    * their recall ([[annRecall]], q88) over a bounded, stratified query
-    * sample. `nQueries` is the audit-cost dial: cost is one full corpus
+    * their recall ([[annRecall]], q88) over a bounded query sample —
+    * [[knnBruteSampled]] (q126) is the same scoring pass with the
+    * sample STRATIFIED across LSH buckets instead of an id prefix.
+    * `nQueries` is the audit-cost dial: cost is one full corpus
     * scan with O(k · nQueries) exchange volume regardless of corpus
     * size (bounded top-k partials), so a few hundred sampled queries
     * are affordable even at 100 TB — but it is linear-per-query by
@@ -100,6 +102,44 @@ object Similarity extends QueryModule {
       .select(col("vec_id").as("q_id"), toDoubleArray(col("embedding")).as("qv"))
       .withColumn("qn", l2Norm(col("qv")))
     corpus.join(broadcast(queries), col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        (dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+      .groupBy(col("q_id"))
+      .agg(TopKAgg.topK(col("cos"), col("c_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col.id").as("c_id"),
+        round(col("col.score"), 4).as("cos"),
+        (col("pos") + 1).as("rank"))
+  }
+
+  /** Exact brute-force top-k over a STRATIFIED query sample — the
+    * productionized form of [[knnBrute]]'s audit: instead of an id
+    * prefix, queries are the `perBucket` lowest vec_ids of every
+    * occupied LSH bucket, so the sample covers every populated region
+    * of the space (a prefix sample can land entirely inside one dense
+    * region and certify nothing about the rest). This is the recall
+    * referee you actually run at 100 TB: query count is bounded by
+    * `perBucket · 2^NumPlanes` — a property of the index geometry, not
+    * the corpus size.
+    *
+    * Scale shape: the sample selection is a bounded
+    * [[graft.functions.TopKAgg]] aggregate per bucket (map-side
+    * partials cap the exchange at perBucket rows per task per bucket —
+    * never a corpus shuffle by bucket), the chosen ids broadcast back
+    * as a semi-filter, and the scoring pass is [[knnBrute]]'s: corpus
+    * scanned once, queries broadcast, bounded top-k aggregate. */
+  def knnBruteSampled(emb: DataFrame, perBucket: Int = 1,
+                      k: Int = TopK): DataFrame = {
+    val bv = bucketedVectors(emb)
+    val qIds = bv.groupBy(col("bucket"))
+      .agg(TopKAgg.topK(negate(col("vec_id").cast("double")),
+        col("vec_id"), perBucket).as("qs"))
+      .select(explode(col("qs")).as("q"))
+      .select(col("q.id").as("q_id"))
+    val queries = bv.join(broadcast(qIds), col("vec_id") === col("q_id"))
+      .select(col("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    bv.select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+      .join(broadcast(queries), col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
         (dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
       .groupBy(col("q_id"))
@@ -1175,6 +1215,9 @@ object Similarity extends QueryModule {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_knn_brute" -> ((s, d) => knnBrute(T.embeddings(s, d))),
+    // the stratified-sample form of the q30 audit: one query per
+    // occupied LSH bucket, exact top-k for each
+    "q126_knn_sampled" -> ((s, d) => knnBruteSampled(T.embeddings(s, d))),
     "q31_lsh_buckets" -> ((s, d) => lshBuckets(T.embeddings(s, d))),
     "q32_ann_lsh" -> ((s, d) => annLsh(T.embeddings(s, d))),
     "q38_ann_ivf" -> ((s, d) => annIvf(T.embeddings(s, d))),
@@ -1288,6 +1331,27 @@ object Similarity extends QueryModule {
          |  SELECT q.vec_id AS q_id, t.vec_id AS c_id,
          |    list_dot_product(q.v, t.v) / (q.nrm * t.nrm) AS cos
          |  FROM n q JOIN n t ON q.vec_id < 8 AND t.vec_id <> q.vec_id),
+         |ranked AS (
+         |  SELECT q_id, c_id, cos,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS INTEGER) AS rank
+         |  FROM pairs)
+         |SELECT q_id, c_id, ROUND(cos, 4) AS cos, rank
+         |FROM ranked WHERE rank <= $TopK""".stripMargin,
+    // q30's brute scoring, with the query set restated as the
+    // per-bucket min-id pick (ROW_NUMBER rn=1 ↔ the bounded top-k
+    // aggregate on the Spark side)
+    "q126_knn_sampled" ->
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |    CAST($bucketSql AS BIGINT) AS bucket FROM embeddings),
+         |n AS (SELECT vec_id, v, bucket,
+         |    sqrt(list_dot_product(v, v)) AS nrm FROM c),
+         |q AS (SELECT vec_id, v, nrm FROM (
+         |    SELECT vec_id, v, nrm, ROW_NUMBER() OVER (PARTITION BY bucket
+         |      ORDER BY vec_id ASC) AS rn FROM n) WHERE rn <= 1),
+         |pairs AS (
+         |  SELECT q.vec_id AS q_id, t.vec_id AS c_id,
+         |    list_dot_product(q.v, t.v) / (q.nrm * t.nrm) AS cos
+         |  FROM q JOIN n t ON t.vec_id <> q.vec_id),
          |ranked AS (
          |  SELECT q_id, c_id, cos,
          |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS INTEGER) AS rank

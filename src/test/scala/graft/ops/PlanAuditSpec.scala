@@ -309,6 +309,21 @@ class PlanAuditSpec extends SparkSpec {
       "TemporalOps must not rank via a global single-partition window")
   }
 
+  test("q126 stratified knn sample: bucket pick and top-k are both " +
+    "bounded aggregates, queries ride broadcasts — no corpus shuffle") {
+    val s = planOf(graft.scale.Similarity.knnBruteSampled(
+      graft.Tables.embeddings(spark, sf)))
+    // two partial_top_k aggregates: the per-bucket query pick and the
+    // per-query candidate top-k — both cap their exchange at k rows
+    // per task per key, independent of corpus size
+    assert("partial_top_k".r.findAllIn(s).length >= 2,
+      s"expected bounded top-k aggregates for pick + rank:\n$s")
+    assert(!s.contains("SortMergeJoin"),
+      s"query sample must reach the corpus by broadcast:\n$s")
+    assert(s.contains("BroadcastHashJoin"),
+      s"the id semi-filter must broadcast:\n$s")
+  }
+
   test("classifierScore is a pure projection: no aggregation or join " +
     "exchange in the plan") {
     val s = planOf(graft.scale.TextAnalysis.classifierScore(
