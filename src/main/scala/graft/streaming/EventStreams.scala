@@ -296,23 +296,19 @@ object EventStreams {
     * division is per-row IEEE — the same discipline as
     * [[graft.scale.TextAnalysis.commonness]]. State is bounded by the
     * watermark; out-of-vocabulary tokens score 0 by definition (they
-    * ARE the novelty being measured).
+    * ARE the novelty being measured). The broadcast reference is
+    * capped at the `maxVocab` most frequent tokens by [[refVocab]] —
+    * an enforced bound, not an assumption about vocabulary growth.
     *
     * `docs` must carry (ts: timestamp, source: string, text: string). */
   def driftMonitor(docs: DataFrame, refDocs: DataFrame,
                    watermark: String = "1 hour",
-                   windowLen: String = "1 hour"): DataFrame = {
-    import graft.functions.PortableFuncs.words
+                   windowLen: String = "1 hour",
+                   maxVocab: Int = 65536): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // reference vocabulary: bounded like every other plan constant here
-    // (a top-V vocabulary, not a corpus — Heaps' law keeps it small
-    // relative to the text it describes)
-    val refFreq: Map[String, Long] = refDocs
-      .select(explode(words(col("text"))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .as[(String, Long)].collect().toMap
-    val refBc = spark.sparkContext.broadcast(refFreq)
+    import graft.functions.PortableFuncs.words
+    val refBc = spark.sparkContext.broadcast(refVocab(refDocs, maxVocab))
     val scored = docs
       .select(col("ts"), col("source"), words(col("text")).as("ws"))
       .as[(Timestamp, String, Seq[String])]
@@ -333,6 +329,30 @@ object EventStreams {
         col("n_docs"), col("n_tokens"), col("sum_ref"),
         (col("sum_ref").cast("double") / greatest(col("n_tokens"), lit(1L)))
           .as("avg_ref_freq"))
+  }
+
+  /** The reference vocabulary [[driftMonitor]] broadcasts: the
+    * `maxVocab` most frequent tokens (count DESC, token ASC tiebreak)
+    * of the reference corpus with their counts. The bound is CODE, not
+    * a Heaps'-law comment: the sort+limit plans as
+    * TakeOrderedAndProject — per-partition top-V partials, never a
+    * full vocabulary collect — so the driver and the broadcast hold at
+    * most `maxVocab` entries however large the reference corpus is.
+    * Tokens cut here score 0 downstream, the same as genuinely
+    * out-of-vocabulary tokens: for a drift monitor that is the right
+    * degradation, because the cut tail is precisely the low-signal end
+    * of the commonness scale. */
+  private[streaming] def refVocab(refDocs: DataFrame,
+                                  maxVocab: Int): Map[String, Long] = {
+    import graft.functions.PortableFuncs.words
+    val spark = refDocs.sparkSession
+    import spark.implicits._
+    refDocs
+      .select(explode(words(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w").asc)
+      .limit(maxVocab)
+      .as[(String, Long)].collect().toMap
   }
 
   /** Streaming per-source top-token report — the token-level sibling

@@ -174,6 +174,86 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelGate late event: a stage-1 event arriving AFTER its " +
+    "higher-stage sibling's batch pins the documented stream/batch divergence") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = EventStreams.funnelGate(src.toDS())
+      .writeStream.format("memory").queryName("funnel3").outputMode("append").start()
+    try {
+      // batch 1: the click (stage 2 by event time) arrives first — the
+      // user has no stage-1 state yet, so it folds away unprocessed
+      src.addData(Event(1, ts(2), 1, "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("funnel3").count() === 0)
+      // batch 2: the view arrives LATE (lower ts, later batch) — it
+      // still opens stage 1 (first stage has no strictly-after guard),
+      // but the click is gone: streaming stays at stage 1 forever
+      src.addData(Event(2, ts(0), 1, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("funnel3").as[FunnelAdvance].collect()
+      assert(rows.map(a => (a.user_id, a.stage_idx)).toSet === Set((1L, 1)))
+      // the batch recount over the SAME events (event-time order) sees
+      // view@0 then click@2 and reaches stage 2 — this asymmetry is
+      // funnelGate's documented arrival-order caveat, pinned here
+      val batch = graft.ops.TemporalOps.funnel(
+        Seq((1L, ts(2), "click"), (1L, ts(0), "view"))
+          .toDF("user_id", "ts", "event_type")).collect()
+        .map(r => r.getAs[Int]("stage_idx") -> r.getAs[Long]("users")).toMap
+      assert(batch(2) === 1L, "batch recount must reach stage 2")
+    } finally q.stop()
+  }
+
+  test("retentionMonitor late event: pre-cohort stragglers drop " +
+    "uniformly (negative week via floorDiv), never alias into week 0") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def at(day: String) = Timestamp.valueOf(s"2026-01-$day 10:00:00")
+    val src = MemoryStream[Event]
+    val q = EventStreams.retentionMonitor(src.toDS())
+      .writeStream.format("memory").queryName("ret2").outputMode("append").start()
+    try {
+      src.addData(Event(1, at("10"), 1, "view", 1.0))
+      q.processAllAvailable()
+      // two pre-cohort stragglers: 3 days early (would alias to week 0
+      // under trunc-toward-zero division) and 8 days early (week -2
+      // either way). Both must drop; the cohort day must not move.
+      src.addData(Event(2, at("07"), 1, "view", 1.0),
+        Event(3, at("02"), 1, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("ret2").as[RetentionAdvance].collect()
+      assert(rows.map(r => (r.user_id, r.cohort_day.toString, r.week_off)).toSet
+        === Set((1L, "2026-01-10", 0L)))
+      // documented divergence, pinned: the batch recount over all three
+      // events cohorts the user at the TRUE first day (Jan 2) and sees
+      // weeks 0 and 1
+      val batch = graft.ops.TemporalOps.retention(
+        Seq((1L, at("10")), (1L, at("07")), (1L, at("02")))
+          .toDF("user_id", "ts")).collect()
+        .map(r => (r.getAs[java.sql.Date]("cohort_day").toString,
+          r.getAs[Long]("week_off"))).toSet
+      assert(batch === Set(("2026-01-02", 0L), ("2026-01-02", 1L)))
+    } finally q.stop()
+  }
+
+  test("driftMonitor reference vocabulary is bounded in code: top-V " +
+    "by frequency, never the full vocabulary") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 100 distinct tokens, token i repeated (100 - i) times — far more
+    // distinct tokens than the cap
+    val text = (0 until 100).flatMap(i =>
+      Seq.fill(100 - i)(f"t$i%02d")).mkString(" ")
+    val ref = Seq(text).toDF("text")
+    val vocab = EventStreams.refVocab(ref, maxVocab = 16)
+    assert(vocab.size === 16, s"cap must bind: ${vocab.size}")
+    // and it kept the MOST FREQUENT 16, with their true counts
+    assert(vocab === (0 until 16).map(i => f"t$i%02d" -> (100L - i)).toMap)
+  }
+
   test("sessionize closes sessions on gap timeout and on intra-batch gaps") {
     val spark2 = spark
     import spark2.implicits._
