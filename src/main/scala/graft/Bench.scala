@@ -117,6 +117,11 @@ object Bench {
       // vs genuine drift vs one noise hit
       System.err.println(f"[bench] concurrent batch wall=$wall%.2f s")
       pool.shutdown()
+      // batch boundary: drop the Shared core registry FIRST so the
+      // full sweep below reclaims core blocks too — every measured
+      // batch rebuilds each core exactly once (the honest cost of a
+      // fresh suite run), and no batch reads a previous batch's cache
+      Shared.clear()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       // ContextCleaner reclaims dead broadcasts/shuffles only after the
@@ -142,9 +147,12 @@ object Bench {
       // drop localCheckpoint() storage blocks rep-by-rep (AFTER the
       // clock stops — cleanup RPCs are not the query's cost): each
       // rep re-materializes its own checkpoint, so without this the
-      // bench accumulates blocks until ContextCleaner happens to GC
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      // bench accumulates blocks until ContextCleaner happens to GC.
+      // Shared cores survive the sweep (later queries read them);
+      // sequential timings therefore charge a core's build to its
+      // FIRST consumer — one more reason per-query numbers from the
+      // two modes never compare
+      Shared.sweepTransient(spark)
       elapsed
     }
     // Warm-up: run EVERY query once at the TARGET SF so one-time costs

@@ -35,9 +35,11 @@ object Verify {
       // several builders localCheckpoint() a tokenized intermediate;
       // those storage blocks are otherwise reclaimed only when the
       // ContextCleaner GCs the RDD — drop them as each query finishes
-      // so 79 dumps don't accumulate block-manager memory
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      // so the dumps don't accumulate block-manager memory. The sweep
+      // skips Shared cores (the pair graph / components / quality
+      // scan later queries still read — a blanket unpersist would
+      // break them: localCheckpoint lineage can't recompute)
+      Shared.sweepTransient(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

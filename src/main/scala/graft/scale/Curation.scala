@@ -194,11 +194,22 @@ object Curation extends QueryModule {
     * signal and would tie at the cut). */
   def budgetSelect(docs0: DataFrame, budget: Long = 20000L,
                    partitions: Int = 32): DataFrame = {
-    val spark = docs0.sparkSession
     val docs = Layout.widen(docs0)
-    val t = docs.select(col("doc_id"),
-        round(TextAnalysis.qualityExpr(col("text")), 4).as("quality"),
-        ceil(length(col("text")).cast("double") / 4d).cast("long").as("toks"))
+    budgetSelectFrom(docs.select(col("doc_id"),
+      round(TextAnalysis.qualityExpr(col("text")), 4).as("quality"),
+      ceil(length(col("text")).cast("double") / 4d).cast("long").as("toks")),
+      budget, partitions)
+  }
+
+  /** [[budgetSelect]] from a pre-scored (doc_id, quality, toks) table
+    * — shared-core form for the gate registry: the quality scan comes
+    * from [[TextAnalysis.scoredDocs]]'s memoized core instead of a
+    * private corpus pass. */
+  private[scale] def budgetSelectFrom(scored: DataFrame,
+                                      budget: Long = 20000L,
+                                      partitions: Int = 32): DataFrame = {
+    val spark = scored.sparkSession
+    val t = scored.select(col("doc_id"), col("quality"), col("toks"))
       .filter(col("toks") > 0)
       .repartitionByRange(partitions, col("quality").desc, col("doc_id"))
       .withColumn("pid", spark_partition_id())
@@ -369,7 +380,8 @@ object Curation extends QueryModule {
     // DSIR-style importance weights toward the target-language slice
     "q98_dsir_weights" -> ((s, d) => dsirWeights(T.documents(s, d))),
     // best-B-tokens selection: quality-ordered distributed prefix sum
-    "q105_budget_select" -> ((s, d) => budgetSelect(T.documents(s, d))),
+    "q105_budget_select" -> ((s, d) =>
+      budgetSelectFrom(TextAnalysis.gateScored(s, d))),
     // per-source language-mix diversity (Gini / effective languages)
     "q109_source_diversity" -> ((s, d) => sourceDiversity(T.documents(s, d))),
     // text↔embedding referential integrity (the J5 audit, cross-modal)

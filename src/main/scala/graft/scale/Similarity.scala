@@ -981,8 +981,23 @@ object Similarity extends QueryModule {
     * their production shapes; truth is checkpointed so the corpus
     * scan behind it runs once, and each hit count is a broadcast-size
     * semi-join (nQueries × k rows) against an ANN result. */
-  def annRecall(emb: DataFrame, nQueries: Long = 8L, k: Int = TopK): DataFrame = {
-    val truth = knnBrute(emb, nQueries, k)
+  def annRecall(emb: DataFrame, nQueries: Long = 8L, k: Int = TopK): DataFrame =
+    annRecallFrom(knnBrute(emb, nQueries, k), Seq(
+      ("lsh_mp", annLsh(emb, nQueries, k, LshProbeFlips), LshMinRecall),
+      ("ivf", annIvf(emb, nQueries, k), IvfMinRecall),
+      ("pq", annPq(emb, nQueries, k), PqMinRecall),
+      ("ivfpq", annIvfPq(emb, nQueries, k), IvfPqMinRecall),
+      ("jl", annJl(emb, nQueries, k), JlMinRecall)))
+
+  /** [[annRecall]] from precomputed truth and arm result tables — the
+    * shared-core form the gate registry feeds: q88's truth IS q30's
+    * output and four of its five arms ARE q38/q61/q100/q118's outputs,
+    * so a batch run builds each chain once and the recall audit is
+    * reduced to its semi-join hit counts over k·nQueries-row tables.
+    * Each `arms` entry is (method, top-k table, min-recall gate). */
+  def annRecallFrom(truthFull: DataFrame,
+                    arms: Seq[(String, DataFrame, Double)]): DataFrame = {
+    val truth = truthFull
       .select(col("q_id"), col("c_id")).localCheckpoint()
     def audit(method: String, ann: DataFrame, minRecall: Double): DataFrame = {
       val hits = ann.select(col("q_id"), col("c_id"))
@@ -996,11 +1011,7 @@ object Similarity extends QueryModule {
           round(col("n_hits").cast("double") / col("n_truth"), 4).as("recall"))
         .withColumn("recall_ok", col("recall") >= minRecall)
     }
-    audit("lsh_mp", annLsh(emb, nQueries, k, LshProbeFlips), LshMinRecall)
-      .unionByName(audit("ivf", annIvf(emb, nQueries, k), IvfMinRecall))
-      .unionByName(audit("pq", annPq(emb, nQueries, k), PqMinRecall))
-      .unionByName(audit("ivfpq", annIvfPq(emb, nQueries, k), IvfPqMinRecall))
-      .unionByName(audit("jl", annJl(emb, nQueries, k), JlMinRecall))
+    arms.map { case (m, ann, r) => audit(m, ann, r) }.reduce(_ unionByName _)
   }
 
   /** IVF index health — the BATCH staleness report whose streaming
@@ -1213,21 +1224,46 @@ object Similarity extends QueryModule {
 
   // ---- driver-gate query registry ----
 
+  /** Shared ANN gate cores ([[graft.Shared]]): q88's truth table IS
+    * q30's output and four of its five arms ARE q38/q61/q100/q118's
+    * outputs (same (nQueries=8, k=5) shape) — a batch run builds each
+    * chain once; the recall audit and the arm boards read the same
+    * checkpointed k·nQueries-row tables. The lsh_mp arm has no gate
+    * twin (q32 runs a different (50, 3, 0-flip) shape) and builds
+    * inside q88 as before. */
+  private def gateBrute(s: SparkSession, d: String): DataFrame =
+    graft.Shared.memo(s, s"sim:brute-8x5:$d")(knnBrute(T.embeddings(s, d)))
+  private def gateIvf(s: SparkSession, d: String): DataFrame =
+    graft.Shared.memo(s, s"sim:ivf-8x5:$d")(annIvf(T.embeddings(s, d)))
+  private def gatePq(s: SparkSession, d: String): DataFrame =
+    graft.Shared.memo(s, s"sim:pq-8x5:$d")(annPq(T.embeddings(s, d)))
+  private def gateIvfPq(s: SparkSession, d: String): DataFrame =
+    graft.Shared.memo(s, s"sim:ivfpq-8x5:$d")(annIvfPq(T.embeddings(s, d)))
+  private def gateJl(s: SparkSession, d: String): DataFrame =
+    graft.Shared.memo(s, s"sim:jl-8x5:$d")(annJl(T.embeddings(s, d)))
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q30_knn_brute" -> ((s, d) => knnBrute(T.embeddings(s, d))),
+    "q30_knn_brute" -> ((s, d) => gateBrute(s, d)),
     // the stratified-sample form of the q30 audit: one query per
     // occupied LSH bucket, exact top-k for each
     "q126_knn_sampled" -> ((s, d) => knnBruteSampled(T.embeddings(s, d))),
     "q31_lsh_buckets" -> ((s, d) => lshBuckets(T.embeddings(s, d))),
     "q32_ann_lsh" -> ((s, d) => annLsh(T.embeddings(s, d))),
-    "q38_ann_ivf" -> ((s, d) => annIvf(T.embeddings(s, d))),
+    "q38_ann_ivf" -> ((s, d) => gateIvf(s, d)),
     "q47_quantize_err" -> ((s, d) => quantizeStats(T.embeddings(s, d))),
     "q51_pq_codes" -> ((s, d) => pqCodes(T.embeddings(s, d))),
-    "q61_ann_pq" -> ((s, d) => annPq(T.embeddings(s, d))),
-    // recall@k certification of all three ANN paths vs brute truth
-    "q88_ann_recall" -> ((s, d) => annRecall(T.embeddings(s, d))),
+    "q61_ann_pq" -> ((s, d) => gatePq(s, d)),
+    // recall@k certification of all five ANN paths vs brute truth —
+    // truth and four arms come from the shared cores above
+    "q88_ann_recall" -> ((s, d) => annRecallFrom(gateBrute(s, d), Seq(
+      ("lsh_mp", annLsh(T.embeddings(s, d), 8L, TopK, LshProbeFlips),
+        LshMinRecall),
+      ("ivf", gateIvf(s, d), IvfMinRecall),
+      ("pq", gatePq(s, d), PqMinRecall),
+      ("ivfpq", gateIvfPq(s, d), IvfPqMinRecall),
+      ("jl", gateJl(s, d), JlMinRecall)))),
     // the composed production index: IVF cells × residual PQ (IVFADC)
-    "q100_ann_ivfpq" -> ((s, d) => annIvfPq(T.embeddings(s, d))),
+    "q100_ann_ivfpq" -> ((s, d) => gateIvfPq(s, d)),
     // per-cell index staleness report (batch twin of maintainIvf)
     "q106_ivf_health" -> ((s, d) => ivfHealth(T.embeddings(s, d))),
     // per-subspace codebook retrain signal (batch twin of maintainPq)
@@ -1237,7 +1273,7 @@ object Similarity extends QueryModule {
     // distortion gate certifying the projection preserves norms
     "q116_jl_audit" -> ((s, d) => jlAudit(T.embeddings(s, d))),
     // ANN via projected-space shortlist + exact re-rank
-    "q118_ann_jl" -> ((s, d) => annJl(T.embeddings(s, d)))
+    "q118_ann_jl" -> ((s, d) => gateJl(s, d))
   )
 
   /** DuckDB literal list for plane p, identical doubles to the plan. */

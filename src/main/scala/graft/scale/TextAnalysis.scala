@@ -99,7 +99,19 @@ object TextAnalysis extends QueryModule {
       stopRatio * 0.3 + (lit(1.0) - punctRatio) * 0.2
   }
 
-  def qualityScore(docs0: DataFrame): DataFrame = {
+  def qualityScore(docs0: DataFrame): DataFrame =
+    scoredDocs(docs0).select(
+      col("doc_id"), col("n_words"), col("avg_wlen"), col("stop_ratio"),
+      col("punct_ratio"), col("digit_ratio"), col("quality"))
+
+  /** ONE corpus pass carrying every column the quality family reads —
+    * q34's per-doc signals plus `source` (q125's rollup key) and
+    * `toks` (q105's budget unit). The shared quality-scan core: the
+    * gate registry memoizes it per (JVM, sfDir) via [[graft.Shared]]
+    * so a batch run tokenizes and regex-scans the corpus once for the
+    * three boards instead of three times; a consumer that needs fewer
+    * columns prunes them at its projection. */
+  private[scale] def scoredDocs(docs0: DataFrame): DataFrame = {
     val docs = widen(docs0)
     val ws = words(col("text"))
     val nWords = greatest(size(ws), lit(1))
@@ -111,13 +123,19 @@ object TextAnalysis extends QueryModule {
     val quality = qualityExpr(col("text"))
     docs.select(
       col("doc_id"),
+      col("source"),
       size(ws).as("n_words"),
       round(avgWlen, 4).as("avg_wlen"),
       round(stopRatio, 4).as("stop_ratio"),
       round(punctRatio, 4).as("punct_ratio"),
       round(digitRatio, 4).as("digit_ratio"),
-      round(quality, 4).as("quality"))
+      round(quality, 4).as("quality"),
+      ceil(length(col("text")).cast("double") / 4d).cast("long").as("toks"))
   }
+
+  /** The memoized quality-scan core for the gate registry. */
+  private[scale] def gateScored(s: SparkSession, d: String): DataFrame =
+    graft.Shared.memo(s, s"text:quality-scan:$d")(scoredDocs(T.documents(s, d)))
 
   /** q125: per-source quality rollup — the which-crawl-is-garbage
     * dashboard a curation owner reads before touching mixture weights:
@@ -128,17 +146,22 @@ object TextAnalysis extends QueryModule {
     * aggregate the same 4-decimal numbers. One scan + one aggregate
     * keyed by source.
     */
-  def sourceQuality(docs0: DataFrame, minQuality: Double = 0.5): DataFrame = {
-    val q = round(qualityExpr(col("text")), 4)
-    widen(docs0)
-      .select(col("source"), q.as("q"))
+  def sourceQuality(docs0: DataFrame, minQuality: Double = 0.5): DataFrame =
+    sourceQualityFrom(scoredDocs(docs0), minQuality)
+
+  /** [[sourceQuality]] from the pre-scored quality table —
+    * shared-core form for the gate registry (unused score columns
+    * prune at the projection). */
+  private[scale] def sourceQualityFrom(scored: DataFrame,
+                                       minQuality: Double = 0.5): DataFrame =
+    scored
+      .select(col("source"), col("quality").as("q"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         round(exactSum(col("q")) / count(lit(1)), 4).as("mean_quality"),
         sum(when(col("q") >= minQuality, 1L).otherwise(0L)).as("n_good"))
       .withColumn("good_share",
         col("n_good").cast("double") / col("n_docs").cast("double"))
-  }
 
   /** Token counting: whitespace tokens, a BPE-ish regex segmentation
     * (letter runs / digit runs / single symbols), and the chars/4
@@ -909,10 +932,12 @@ object TextAnalysis extends QueryModule {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_lang_id" -> ((s, d) => langId(T.documents(s, d))),
-    "q34_quality_score" -> ((s, d) => qualityScore(T.documents(s, d))),
+    "q34_quality_score" -> ((s, d) => gateScored(s, d).select(
+      col("doc_id"), col("n_words"), col("avg_wlen"), col("stop_ratio"),
+      col("punct_ratio"), col("digit_ratio"), col("quality"))),
     "q35_token_count" -> ((s, d) => tokenCount(T.documents(s, d))),
     "q117_length_histogram" -> ((s, d) => lengthHistogram(T.documents(s, d))),
-    "q125_source_quality" -> ((s, d) => sourceQuality(T.documents(s, d))),
+    "q125_source_quality" -> ((s, d) => sourceQualityFrom(gateScored(s, d))),
     "q36_fingerprint" -> ((s, d) => fingerprint(T.documents(s, d))),
     "q37_corpus_stats" -> ((s, d) => corpusStats(T.documents(s, d))),
     "q46_lang_ngram" -> ((s, d) => langNgramConfusion(T.documents(s, d))),
