@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: the host ships 125 GiB and the concurrent bench runs
+  // the whole query board in one JVM — at 8g the shared heap spent
+  // whole batches in GC/block-eviction churn (walls swinging 2-3× with
+  // identical plans); at 24g the block manager holds every
+  // checkpointed core + transient comfortably
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

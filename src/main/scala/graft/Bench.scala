@@ -27,13 +27,38 @@ object Bench {
     // map for cross-era comparison; round-over-round totals compare
     // concurrent to concurrent from here on).
     val concurrent = !sys.env.get("SPARK_GRAFT_BENCH_CONCURRENT").contains("0")
-    val spark = SparkSession.builder()
+    // FAIR pool weights: Shared core builds run in one pool that N
+    // blocked consumer queries wait on — at the default equal weight it
+    // would crawl at 1/(N+1) of the slots exactly when it is the
+    // batch's critical path. Give it a heavy weight + full minShare so
+    // a core build runs at cluster width; per-query pools stay at the
+    // default weight 1 and share the rest.
+    val allocFile = java.nio.file.Files.createTempFile("graft-fair", ".xml")
+    val corePools = (0 until Shared.CorePoolCount).map(i =>
+      s"""  <pool name="graft-core-$i">
+         |    <schedulingMode>FIFO</schedulingMode>
+         |    <weight>16</weight>
+         |    <minShare>8</minShare>
+         |  </pool>""".stripMargin).mkString("\n")
+    java.nio.file.Files.write(allocFile,
+      s"""<?xml version="1.0"?>
+         |<allocations>
+         |$corePools
+         |</allocations>
+         |""".stripMargin.getBytes("UTF-8"))
+    // SPARK_GRAFT_BENCH_CORE_POOLS=0 drops the weighted-pool file (A/B
+    // diagnostics: isolate scheduler effects from host noise)
+    val corePoolsOn =
+      !sys.env.get("SPARK_GRAFT_BENCH_CORE_POOLS").contains("0")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.scheduler.mode", if (concurrent) "FAIR" else "FIFO")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (corePoolsOn) builder.config("spark.scheduler.allocation.file",
+      allocFile.toString)
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def loadavg(): Double = try {
       scala.io.Source.fromFile("/proc/loadavg").mkString

@@ -34,22 +34,41 @@ import scala.jdk.CollectionConverters._
   */
 object Shared {
 
+  /** FAIR-scheduler pool names core builds run under. In a concurrent
+    * batch every query owns a pool, so N queries blocked on one core
+    * would otherwise watch its build crawl at 1/(N+1) of the task
+    * slots — a core build is on the batch's critical path and must
+    * run near cluster width. Bench's allocation file gives these
+    * pools a large weight; several pools (FIFO inside, hashed by core
+    * name) let independent cores build in parallel without one pool's
+    * FIFO order serializing them. Outside FAIR mode the property is
+    * ignored. */
+  val CorePoolCount = 4
+  def corePool(key: String): String =
+    s"graft-core-${math.floorMod(key.hashCode, CorePoolCount)}"
+
   /** One cached core: the build (plus its checkpoint) runs inside the
     * cell's `lazy val` monitor, so concurrent consumers of the SAME
     * core block until it exists while different cores build in
     * parallel; the ConcurrentHashMap only ever allocates cells (never
     * runs Spark work under a bin lock, so nested memo calls — a
     * component core building its pair core — cannot deadlock). */
-  private final class Cell(spark: SparkSession, build: () => DataFrame) {
+  private final class Cell(spark: SparkSession, key: String,
+                           build: () => DataFrame) {
     @volatile private var ids: Set[Int] = Set.empty
     lazy val df: DataFrame = {
-      val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
-      val out = build().localCheckpoint()
+      val sc = spark.sparkContext
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val prevPool = sc.getLocalProperty("spark.scheduler.pool")
+      sc.setLocalProperty("spark.scheduler.pool", corePool(key))
+      val out =
+        try build().localCheckpoint()
+        finally sc.setLocalProperty("spark.scheduler.pool", prevPool)
       // attribute every storage block the build pinned (its own
       // checkpoint + any nested cores) to this cell: over-claiming a
       // transient intermediate only delays its reclaim to clear();
       // under-claiming would let sweepTransient kill a live core
-      ids = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+      ids = sc.getPersistentRDDs.keySet.toSet -- before
       out
     }
     def rddIds: Set[Int] = ids
@@ -64,7 +83,7 @@ object Shared {
   def memo(spark: SparkSession, name: String)(build: => DataFrame): DataFrame =
     cells.computeIfAbsent(
       spark.sparkContext.applicationId + ":" + name,
-      _ => new Cell(spark, () => build)).df
+      _ => new Cell(spark, name, () => build)).df
 
   /** Storage-block RDD ids backing live cells — the set a per-query
     * sweep must leave alone. */

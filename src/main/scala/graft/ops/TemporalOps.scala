@@ -312,7 +312,12 @@ object TemporalOps extends QueryModule {
     * the numPartitions-row per-partition counts, broadcast them back
     * as rank offsets, and row_number WITHIN partitions only. The only
     * global coordination left is the 1-row corpus-day max and the
-    * partition-count-sized offset tables.
+    * partition-count-sized offset tables. The three metric rankings
+    * share nothing past the checkpointed per-user base, so they build
+    * CONCURRENTLY (driver-side futures — each is its own
+    * exchange/collect chain) and join back on user_id; sequential
+    * chaining would triple the latency of an already
+    * round-trip-bounded op.
     */
   def rfm(events: DataFrame, partitions: Int = 32): DataFrame = {
     val perUser = events.groupBy(col("user_id"))
@@ -325,13 +330,28 @@ object TemporalOps extends QueryModule {
         datediff(col("corpus_day"), col("last_day")).cast("long"))
       .select(col("user_id"), col("r_days"), col("n_events"),
         col("monetary"))
-    base
-      .transform(addQuartileScore("r_score", partitions,
-        col("r_days").desc, col("user_id").asc))
-      .transform(addQuartileScore("f_score", partitions,
-        col("n_events").asc, col("user_id").asc))
-      .transform(addQuartileScore("m_score", partitions,
-        col("monetary").asc, col("user_id").asc))
+      .localCheckpoint() // one materialization feeds all three rankings
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    // keep each future's jobs in the caller's scheduler pool (the
+    // property is thread-local; a fresh executor thread would silently
+    // fall back to the default pool mid-query)
+    val sc = base.sparkSession.sparkContext
+    val pool = sc.getLocalProperty("spark.scheduler.pool")
+    val specs = Seq[(String, Seq[Column])](
+      ("r_score", Seq(col("r_days").desc, col("user_id").asc)),
+      ("f_score", Seq(col("n_events").asc, col("user_id").asc)),
+      ("m_score", Seq(col("monetary").asc, col("user_id").asc)))
+    val scored = Await.result(Future.sequence(specs.map { case (n, ord) =>
+      Future {
+        sc.setLocalProperty("spark.scheduler.pool", pool)
+        try addQuartileScore(n, partitions, ord: _*)(base)
+          .select(col("user_id"), col(n))
+        finally sc.setLocalProperty("spark.scheduler.pool", null)
+      }
+    }), Duration.Inf)
+    scored.foldLeft(base)((acc, s) => acc.join(s, Seq("user_id")))
       .withColumn("segment",
         concat(lit("R"), col("r_score"), lit("F"), col("f_score"),
           lit("M"), col("m_score")))
