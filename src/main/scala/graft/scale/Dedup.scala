@@ -602,10 +602,14 @@ object Dedup extends QueryModule {
     * that pair is boilerplate, which is what near-dup detection exists
     * to ignore. The hot set is a tiny aggregate (same shape as the q76
     * hot-survivor set) anti-joined back, so Spark broadcasts it. */
-  def ngramJaccard(docs: DataFrame, maxDf: Long = MaxShingleDf): DataFrame = {
+  def ngramJaccard(docs: DataFrame, maxDf: Long = MaxShingleDf): DataFrame =
     // one tokenize pass: df aggregate + anti-join + pair join all read
     // this materialized table (ContextCleaner reclaims the blocks)
-    val sh0 = shingleTable(docs).localCheckpoint()
+    ngramJaccardFrom(shingleTable(docs).localCheckpoint(), maxDf)
+
+  /** [[ngramJaccard]] from the checkpointed shingle core. */
+  private[scale] def ngramJaccardFrom(sh0: DataFrame,
+                                      maxDf: Long = MaxShingleDf): DataFrame = {
     val hot = sh0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select(col("sh"))
     val sh = sh0.join(broadcast(hot), Seq("sh"), "left_anti")
@@ -812,8 +816,14 @@ object Dedup extends QueryModule {
     * a doc_id equi-join and the rollup is a tiny group-by-source with
     * map-side partials. */
   def contaminationBySource(docs: DataFrame,
-                            evalMaxId: Long = 25L): DataFrame = {
-    val per = decontaminate(docs, evalMaxId)
+                            evalMaxId: Long = 25L): DataFrame =
+    contaminationBySourceFrom(docs,
+      shingleTable(docs).localCheckpoint(), evalMaxId)
+
+  /** [[contaminationBySource]] from the checkpointed shingle core. */
+  private[scale] def contaminationBySourceFrom(docs: DataFrame, sh: DataFrame,
+                                               evalMaxId: Long): DataFrame = {
+    val per = decontaminateFrom(sh, evalMaxId)
     docs.select(col("doc_id"), col("source"))
       .join(per, Seq("doc_id"))
       .groupBy(col("source"))
@@ -844,8 +854,13 @@ object Dedup extends QueryModule {
     * partials; zero-hit suites re-enter via the left join from the
     * suite-catalog side, so a clean suite reports 0 instead of
     * vanishing. */
-  def decontaminateBySuite(docs: DataFrame, evalMaxId: Long = 25L): DataFrame = {
-    val sh = shingleTable(docs).localCheckpoint()
+  def decontaminateBySuite(docs: DataFrame, evalMaxId: Long = 25L): DataFrame =
+    decontaminateBySuiteFrom(docs, shingleTable(docs).localCheckpoint(),
+      evalMaxId)
+
+  /** [[decontaminateBySuite]] from the checkpointed shingle core. */
+  private[scale] def decontaminateBySuiteFrom(docs: DataFrame, sh: DataFrame,
+                                              evalMaxId: Long): DataFrame = {
     val suites = docs.filter(col("doc_id") < evalMaxId)
       .select(col("doc_id"), col("source").as("suite"))
     val ev = sh.filter(col("doc_id") < evalMaxId)
@@ -888,8 +903,13 @@ object Dedup extends QueryModule {
     * rollup; the corpus source attaches by doc_id equi-join and the
     * final aggregate is keyed by (suite, source) — both map-side
     * partial. */
-  def contaminationMatrix(docs: DataFrame, evalMaxId: Long = 25L): DataFrame = {
-    val sh = shingleTable(docs).localCheckpoint()
+  def contaminationMatrix(docs: DataFrame, evalMaxId: Long = 25L): DataFrame =
+    contaminationMatrixFrom(docs, shingleTable(docs).localCheckpoint(),
+      evalMaxId)
+
+  /** [[contaminationMatrix]] from the checkpointed shingle core. */
+  private[scale] def contaminationMatrixFrom(docs: DataFrame, sh: DataFrame,
+                                             evalMaxId: Long): DataFrame = {
     val suites = docs.filter(col("doc_id") < evalMaxId)
       .select(col("doc_id"), col("source").as("suite"))
     val ev = sh.filter(col("doc_id") < evalMaxId)
@@ -921,8 +941,12 @@ object Dedup extends QueryModule {
     * tokenize chain — the dominant cost — would run twice). At 100 TB
     * the eval shingle set is still only benchmark-sized (millions of
     * rows, megabytes hashed) — the broadcast holds. */
-  def decontaminate(docs: DataFrame, evalMaxId: Long = 25L): DataFrame = {
-    val sh = shingleTable(docs).localCheckpoint()
+  def decontaminate(docs: DataFrame, evalMaxId: Long = 25L): DataFrame =
+    decontaminateFrom(shingleTable(docs).localCheckpoint(), evalMaxId)
+
+  /** [[decontaminate]] from the checkpointed shingle core. */
+  private[scale] def decontaminateFrom(sh: DataFrame,
+                                       evalMaxId: Long): DataFrame = {
     val ev = sh.filter(col("doc_id") < evalMaxId)
       .select(col("sh")).distinct()
       .withColumn("_hit", lit(1))
@@ -953,8 +977,13 @@ object Dedup extends QueryModule {
     * corpus side — so the result is IDENTICAL to [[decontaminate]],
     * which is exactly what the oracle asserts (same SQL as q71). */
   def decontaminateBloom(docs: DataFrame, evalMaxId: Long = 25L,
-                         fpp: Double = 0.01): DataFrame = {
-    val sh = shingleTable(docs).localCheckpoint()
+                         fpp: Double = 0.01): DataFrame =
+    decontaminateBloomFrom(shingleTable(docs).localCheckpoint(),
+      evalMaxId, fpp)
+
+  /** [[decontaminateBloom]] from the checkpointed shingle core. */
+  private[scale] def decontaminateBloomFrom(sh: DataFrame, evalMaxId: Long,
+                                            fpp: Double): DataFrame = {
     val ev = sh.filter(col("doc_id") < evalMaxId)
       .select(col("sh")).distinct()
     val bloom = Sketches.keyBloom(ev, "sh", math.max(ev.count(), 1L), fpp)
@@ -999,8 +1028,13 @@ object Dedup extends QueryModule {
     * computed in ONE tokenize pass (checkpointed) and sliced — the
     * general form would run the dominant minhash/tokenize chain once
     * per side. Results are identical (spec-checked). */
-  def incrementalDedupAt(docs: DataFrame, boundary: Long): DataFrame = {
-    val bands = minhashBands(docs).localCheckpoint()
+  def incrementalDedupAt(docs: DataFrame, boundary: Long): DataFrame =
+    incrementalDedupAtFrom(docs, minhashBands(docs).localCheckpoint(),
+      boundary)
+
+  /** [[incrementalDedupAt]] from the checkpointed band core. */
+  private[scale] def incrementalDedupAtFrom(docs: DataFrame, bands: DataFrame,
+                                            boundary: Long): DataFrame = {
     val dupIds = bands.filter(col("doc_id") >= boundary)
       .join(bands.filter(col("doc_id") < boundary), Seq("b", "bv"), "left_semi")
       .select(col("doc_id")).distinct()
@@ -1023,8 +1057,12 @@ object Dedup extends QueryModule {
     * survive — boilerplate vocabulary, not corpus volume), so the
     * join-back broadcasts. The checkpoint stops the tokenize chain
     * re-running for the two consumers. */
-  def repeatedNgrams(docs: DataFrame, threshold: Long = 3L): DataFrame = {
-    val sh = shingleTable(docs).localCheckpoint()
+  def repeatedNgrams(docs: DataFrame, threshold: Long = 3L): DataFrame =
+    repeatedNgramsFrom(shingleTable(docs).localCheckpoint(), threshold)
+
+  /** [[repeatedNgrams]] from the checkpointed shingle core. */
+  private[scale] def repeatedNgramsFrom(sh: DataFrame,
+                                        threshold: Long): DataFrame = {
     // shingleTable emits DISTINCT (doc, shingle): count = containing docs
     val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("c"))
       .filter(col("c") > threshold)
@@ -1188,9 +1226,20 @@ object Dedup extends QueryModule {
     // inner join (not semi) so each position carries its window's df —
     // dup has exactly ONE row per h, so this cannot fan out, and the
     // per-span MAX(df) below is the attribution signal
-    val dup = win.groupBy(col("h"))
+    val dfAll = win.groupBy(col("h"))
       .agg(count_distinct(col("doc_id")).as("df"))
-      .filter(col("df") >= minDocs)
+    dupSpansFrom(win, dfAll, n, minDocs, charCoords)
+  }
+
+  /** [[dupSpans]] from a precomputed window table (char coords
+    * included) and its unfiltered per-fingerprint df table — the
+    * shared-core form: all four span boards (q87/q90/q91/q92) read
+    * ONE tokenize pass and ONE df aggregate; the word-coordinate
+    * variants simply never project the char columns. */
+  private[scale] def dupSpansFrom(win: DataFrame, dfAll: DataFrame, n: Int,
+                                  minDocs: Long,
+                                  charCoords: Boolean): DataFrame = {
+    val dup = dfAll.filter(col("df") >= minDocs)
     val hitCols = Seq(col("doc_id"), col("pos"), col("df")) ++
       (if (charCoords) Seq(col("cs"), col("ce")) else Nil)
     val hits = win.join(dup, Seq("h")).select(hitCols: _*)
@@ -1344,9 +1393,17 @@ object Dedup extends QueryModule {
     require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
     require(dfCap >= minDocs, s"dfCap $dfCap < minDocs $minDocs")
     val win = if (charCoords) windowTableChar(docs, n) else windowTable(docs, n)
-    val dup = win.groupBy(col("h"))
+    val dfAll = win.groupBy(col("h"))
       .agg(count_distinct(col("doc_id")).as("df"))
-      .filter(col("df") >= minDocs && col("df") <= dfCap)
+    spanPairsFrom(win, dfAll, n, minDocs, dfCap, charCoords)
+  }
+
+  /** [[spanPairs]] from the shared window + df cores (see
+    * [[dupSpansFrom]]). */
+  private[scale] def spanPairsFrom(win: DataFrame, dfAll: DataFrame, n: Int,
+                                   minDocs: Long, dfCap: Long,
+                                   charCoords: Boolean): DataFrame = {
+    val dup = dfAll.filter(col("df") >= minDocs && col("df") <= dfCap)
     // first occurrence per (doc, fingerprint); df rides along (one df
     // row per h, so max() is just a carrier, not a choice). cs/ce are
     // strictly increasing in pos, so min() selects the SAME window the
@@ -1437,11 +1494,25 @@ object Dedup extends QueryModule {
     graft.Shared.memo(s, s"dedup:kept5:$d")(
       dedupCorpusFrom(T.documents(s, d), gateComps(s, d)))
 
+  /** Shared shingle core: ONE tokenize + distinct-shingle pass feeds
+    * the whole n-gram family (q25 Jaccard, q71/q93 decontamination,
+    * q76 repeated n-grams, q101/q102/q111 contamination rollups). */
+  private def gateShingles(s: SparkSession, d: String): DataFrame =
+    graft.Shared.memo(s, s"dedup:shingles4:$d")(
+      shingleTable(T.documents(s, d)))
+
+  /** Shared MinHash band core: one tokenize + kernel pass feeds the
+    * band board (q26) and the incremental-dedup gate (q77). */
+  private def gateBands(s: SparkSession, d: String): DataFrame =
+    graft.Shared.memo(s, s"dedup:bands:$d")(
+      minhashBands(T.documents(s, d)))
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q120_cluster_sizes" -> ((s, d) => clusterSizesFrom(gateComps(s, d))),
     "q24_dedup_exact" -> ((s, d) => exactDedup(T.documents(s, d))),
-    "q25_ngram_jaccard" -> ((s, d) => ngramJaccard(T.documents(s, d))),
-    "q26_minhash_bands" -> ((s, d) => minhashBands(T.documents(s, d))),
+    "q25_ngram_jaccard" -> ((s, d) =>
+      ngramJaccardFrom(gateShingles(s, d))),
+    "q26_minhash_bands" -> ((s, d) => gateBands(s, d)),
     "q27_simhash" -> ((s, d) => simhash(T.documents(s, d))),
     // pigeonhole-blocked pair generation (6 chunks ⇒ complete for
     // dist ≤ 5); the oracle states the same result as an exact O(n²)
@@ -1479,40 +1550,67 @@ object Dedup extends QueryModule {
     // representative (lowest vec_id) per within-cluster component
     "q95_semdedup" -> ((s, d) => semDedup(T.embeddings(s, d))),
     // eval-set n-gram decontamination over the documents corpus
-    "q71_decontaminate" -> ((s, d) => decontaminate(T.documents(s, d))),
+    "q71_decontaminate" -> ((s, d) =>
+      decontaminateFrom(gateShingles(s, d), evalMaxId = 25L)),
     // benchmark-suite decontamination: Bloom prefilter + exact shuffle
     // confirm; result asserted identical to the exact q71 form
-    "q93_decontaminate_bloom" -> ((s, d) => decontaminateBloom(T.documents(s, d))),
+    "q93_decontaminate_bloom" -> ((s, d) =>
+      decontaminateBloomFrom(gateShingles(s, d), evalMaxId = 25L, fpp = 0.01)),
     // which ingest source leaks eval data: q71 rolled up by source
     "q101_contamination_by_source" -> ((s, d) =>
-      contaminationBySource(T.documents(s, d))),
+      contaminationBySourceFrom(T.documents(s, d), gateShingles(s, d),
+        evalMaxId = 25L)),
     // which eval suite leaked: per-suite contamination breakdown
     "q102_decontaminate_by_suite" -> ((s, d) =>
-      decontaminateBySuite(T.documents(s, d))),
+      decontaminateBySuiteFrom(T.documents(s, d), gateShingles(s, d),
+        evalMaxId = 25L)),
     // the sparse (suite × source) leak matrix — the actionable pair
     "q111_contamination_matrix" -> ((s, d) =>
-      contaminationMatrix(T.documents(s, d))),
+      contaminationMatrixFrom(T.documents(s, d), gateShingles(s, d),
+        evalMaxId = 25L)),
     // certify-the-sketch for MinHash: signature-agreement estimate vs
     // exact Jaccard on every LSH candidate pair, error gated
     "q103_minhash_audit" -> ((s, d) => minhashAudit(T.documents(s, d))),
     // memorization risk: shingles shared across >3 documents
-    "q76_repeated_ngrams" -> ((s, d) => repeatedNgrams(T.documents(s, d))),
+    "q76_repeated_ngrams" -> ((s, d) =>
+      repeatedNgramsFrom(gateShingles(s, d), threshold = 3L)),
     // incremental ingest: batch (id >= 400) deduped against corpus (< 400)
     "q77_incremental_dedup" -> ((s, d) =>
-      incrementalDedupAt(T.documents(s, d), boundary = 400L)
+      incrementalDedupAtFrom(T.documents(s, d), gateBands(s, d),
+        boundary = 400L)
         .select(col("doc_id"), col("lang"))),
-    // substring-level dedup: maximal duplicated word-spans per document
-    "q87_dup_spans" -> ((s, d) => dupSpans(T.documents(s, d))),
+    // substring-level dedup: maximal duplicated word-spans per
+    // document. All four span boards read the SAME shared window +
+    // df cores (one tokenize pass, one df aggregate per batch); the
+    // word-coordinate forms just never project the char columns
+    "q87_dup_spans" -> ((s, d) =>
+      dupSpansFrom(gateSpanWin(s, d), gateSpanDf(s, d), ShingleSize,
+        minDocs = 2L, charCoords = false)),
     // span provenance: which document PAIRS share each maximal span
-    "q90_span_pairs" -> ((s, d) => spanPairs(T.documents(s, d))),
+    "q90_span_pairs" -> ((s, d) =>
+      spanPairsFrom(gateSpanWin(s, d), gateSpanDf(s, d), ShingleSize,
+        minDocs = 2L, dfCap = SpanPairDfCap, charCoords = false)),
     // q87/q90 with CHARACTER coordinates: spans additionally report
     // (char_start, char_len) — 0-based codepoint offsets into
     // lower(text) — from the same tokenize pass (no new shuffle)
     "q91_char_spans" -> ((s, d) =>
-      dupSpans(T.documents(s, d), charCoords = true)),
+      dupSpansFrom(gateSpanWin(s, d), gateSpanDf(s, d), ShingleSize,
+        minDocs = 2L, charCoords = true)),
     "q92_char_span_pairs" -> ((s, d) =>
-      spanPairs(T.documents(s, d), charCoords = true))
+      spanPairsFrom(gateSpanWin(s, d), gateSpanDf(s, d), ShingleSize,
+        minDocs = 2L, dfCap = SpanPairDfCap, charCoords = true))
   )
+
+  /** Shared span cores: the char-coordinate window table (a superset
+    * of the word one) and its unfiltered per-fingerprint df counts. */
+  private def gateSpanWin(s: SparkSession, d: String): DataFrame =
+    graft.Shared.memo(s, s"dedup:span-win4:$d")(
+      windowTableChar(T.documents(s, d), ShingleSize))
+
+  private def gateSpanDf(s: SparkSession, d: String): DataFrame =
+    graft.Shared.memo(s, s"dedup:span-df4:$d")(
+      gateSpanWin(s, d).groupBy(col("h"))
+        .agg(count_distinct(col("doc_id")).as("df")))
 
   private val normSql =
     "list_filter(string_split_regex(trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')), ' +'), w -> w <> '')"
