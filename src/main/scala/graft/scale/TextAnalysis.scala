@@ -137,6 +137,26 @@ object TextAnalysis extends QueryModule {
   private[scale] def gateScored(s: SparkSession, d: String): DataFrame =
     graft.Shared.memo(s, s"text:quality-scan:$d")(scoredDocs(T.documents(s, d)))
 
+  /** (doc_id, source, ws) — ONE tokenize pass over the corpus, the
+    * input every token-level board derives from. The words() regex
+    * chain is the dominant per-document cost of the whole text suite;
+    * the gate registry memoizes this table ([[gateTokens]]) so a batch
+    * run pays it once for q60/q66/q67/q75/q94/q96/q97/q104 instead of
+    * eight times. Storage is one projected token pass — the bill the
+    * cheapest single consumer already paid. */
+  private[scale] def tokenCore(docs0: DataFrame): DataFrame = {
+    val base = widen(docs0)
+    // source rides along when the input carries it (the gate corpus
+    // does; spec fixtures and doc-only callers need not)
+    val cols = Seq(col("doc_id")) ++
+      (if (base.columns.contains("source")) Seq(col("source")) else Nil) ++
+      Seq(words(col("text")).as("ws"))
+    base.select(cols: _*)
+  }
+
+  private[scale] def gateTokens(s: SparkSession, d: String): DataFrame =
+    graft.Shared.memo(s, s"text:tokens:$d")(tokenCore(T.documents(s, d)))
+
   /** q125: per-source quality rollup — the which-crawl-is-garbage
     * dashboard a curation owner reads before touching mixture weights:
     * per ingest source, the mean q34 composite quality (exactSum
@@ -231,9 +251,13 @@ object TextAnalysis extends QueryModule {
     * only float op is one final division per row (IEEE-exact both
     * engines). Log-prob scoring would need `ln`, whose libm results
     * differ across engines by ulps — deliberately avoided. */
-  def commonness(docs0: DataFrame): DataFrame = {
-    val docs = widen(docs0)
-    val w = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+  def commonness(docs0: DataFrame): DataFrame =
+    commonnessFrom(widen(docs0)
+      .select(col("doc_id"), explode(words(col("text"))).as("w")))
+
+  /** [[commonness]] from a (doc_id, token) stream — shared-core form
+    * (the gate registry feeds the memoized token table). */
+  private[scale] def commonnessFrom(w: DataFrame): DataFrame = {
     val freq = w.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
     w.join(freq, "w")
       .groupBy(col("doc_id"))
@@ -487,10 +511,14 @@ object TextAnalysis extends QueryModule {
     * rather than a logarithm: same ranking, but exact one-operation
     * IEEE arithmetic that reproduces bit-for-bit in any engine (libm
     * `ln` does not). Ties rank deterministically by term. */
-  def tfidfTop(docs0: DataFrame, k: Int = 5): DataFrame = {
+  def tfidfTop(docs0: DataFrame, k: Int = 5): DataFrame =
+    tfidfTopFrom(tokenCore(docs0), k)
+
+  /** [[tfidfTop]] from the (doc_id, source, ws) token core. */
+  private[scale] def tfidfTopFrom(core: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = widen(docs0)
-    val w = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
+    val docs = core
+    val w = core.select(col("doc_id"), explode(col("ws")).as("term"))
     // materialize tf ONCE: it feeds both the df aggregate and the
     // join-back, and without a barrier Spark recomputes the whole
     // explode+tokenize chain (the dominant cost) for each consumer —
@@ -528,17 +556,21 @@ object TextAnalysis extends QueryModule {
     * per-document score sums its term contributions in fixed written
     * order — no cross-row float accumulation anywhere. */
   def bm25(docs0: DataFrame, terms: Seq[String] = Seq("spark", "join", "query"),
-           k: Int = 10): DataFrame = {
+           k: Int = 10): DataFrame =
+    bm25From(tokenCore(docs0), terms, k)
+
+  /** [[bm25]] from the (doc_id, source, ws) token core. */
+  private[scale] def bm25From(core: DataFrame, terms: Seq[String],
+                              k: Int): DataFrame = {
     require(terms.nonEmpty && terms.size <= 8, s"1-8 query terms: $terms")
-    val docs = widen(docs0)
-    val ws = words(col("text"))
+    val ws = col("ws")
     // materialize the tokenized per-doc stats ONCE: m feeds both the
     // 1-row corpus aggregate and the scoring join, and `g` is an
     // aggregate OF m — without a barrier the corpus is scanned and the
     // words() tokenize chain (the dominant cost) runs twice. m is
     // narrow (doc_id, dl, one small int per query term), so the
     // checkpoint is cheap against a second full tokenize pass.
-    val m = docs.select(
+    val m = core.select(
       (Seq(col("doc_id"), size(ws).as("dl")) ++
         terms.map(t => size(filter(ws, w => w === t)).as(s"tf_$t"))): _*)
       .localCheckpoint()
@@ -630,13 +662,18 @@ object TextAnalysis extends QueryModule {
     * break by word ASC in UTF8 binary order = DuckDB's default
     * varchar collation; counts are exact in the double score up to
     * 2⁵³ tokens. */
-  def vocabCoverage(docs0: DataFrame, topK: Int = 200): DataFrame = {
+  def vocabCoverage(docs0: DataFrame, topK: Int = 200): DataFrame =
+    vocabCoverageFrom(widen(docs0)
+      .select(explode(words(col("text"))).as("w")), topK)
+
+  /** [[vocabCoverage]] from a bare token stream — shared-core form. */
+  private[scale] def vocabCoverageFrom(toks: DataFrame,
+                                       topK: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = widen(docs0)
     // materialize the frequency table ONCE: it feeds both the total
     // aggregate and the ranking, and without a barrier the
     // tokenize+explode chain reruns per consumer (same fix as tfidf)
-    val freq = docs.select(explode(words(col("text"))).as("w"))
+    val freq = toks
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
     val total = freq.agg(coalesce(sum(col("cnt")), lit(0L)).as("total"))
@@ -683,12 +720,14 @@ object TextAnalysis extends QueryModule {
     * vocabulary. Source totals and the corpus total are tiny
     * (n_sources rows / 1 row): broadcast join + the documented 1-row
     * cross-join shape. */
-  def tokenDrift(docs0: DataFrame, k: Int = 10, minCount: Long = 3L): DataFrame = {
-    val docs = widen(docs0)
-    overRepTokens(
-      docs.select(col("source"), explode(words(col("text"))).as("w")),
-      "source", k, minCount)
-  }
+  def tokenDrift(docs0: DataFrame, k: Int = 10, minCount: Long = 3L): DataFrame =
+    tokenDriftFrom(widen(docs0)
+      .select(col("source"), explode(words(col("text"))).as("w")), k, minCount)
+
+  /** [[tokenDrift]] from a (source, token) stream — shared-core form. */
+  private[scale] def tokenDriftFrom(tagged: DataFrame, k: Int,
+                                    minCount: Long): DataFrame =
+    overRepTokens(tagged, "source", k, minCount)
 
   /** The drift/topic scoring core shared by [[tokenDrift]] (label =
     * ingest source) and [[clusterTopics]] (label = embedding cell):
@@ -741,14 +780,20 @@ object TextAnalysis extends QueryModule {
     * bounded top-k per cell. */
   def clusterTopics(docs0: DataFrame, emb: DataFrame,
                     nCells: Int = Similarity.IvfCells, k: Int = 10,
-                    minCount: Long = 3L): DataFrame = {
+                    minCount: Long = 3L): DataFrame =
+    clusterTopicsFrom(tokenCore(docs0), emb, nCells, k, minCount)
+
+  /** [[clusterTopics]] from the (doc_id, source, ws) token core. */
+  private[scale] def clusterTopicsFrom(core: DataFrame, emb: DataFrame,
+                                       nCells: Int, k: Int,
+                                       minCount: Long): DataFrame = {
     val cents = Similarity.seedCentroidList(emb, nCells)
     val cells = widen(emb).select(col("vec_id").as("doc_id"),
       graft.functions.VectorExpressions.argMaxCosine(
         toDoubleArray(col("embedding")), cents).as("cell_id"))
-    val tagged = widen(docs0).select(col("doc_id"), col("text"))
+    val tagged = core.select(col("doc_id"), col("ws"))
       .join(cells, Seq("doc_id"))
-      .select(col("cell_id"), explode(words(col("text"))).as("w"))
+      .select(col("cell_id"), explode(col("ws")).as("w"))
     overRepTokens(tagged, "cell_id", k, minCount)
   }
 
@@ -780,13 +825,19 @@ object TextAnalysis extends QueryModule {
     * counts come from the confirm pass, ordering is (cnt DESC, token
     * ASC UTF8) = DuckDB's varchar collation. */
   def heavyHitters(docs0: DataFrame, k: Int = 20,
-                   capacity: Int = 256): DataFrame = {
-    require(k <= capacity, s"top-k ($k) cannot exceed capacity ($capacity)")
-    val docs = widen(docs0)
+                   capacity: Int = 256): DataFrame =
     // the token stream feeds the sketch AND the confirm pass — one
     // tokenize, barriered (same fix as tfidf/vocabCoverage)
-    val toks = docs.select(explode(words(col("text"))).as("w"))
-      .localCheckpoint()
+    heavyHittersFrom(widen(docs0)
+      .select(explode(words(col("text"))).as("w")).localCheckpoint(),
+      k, capacity)
+
+  /** [[heavyHitters]] from a materialized token stream — shared-core
+    * form (the caller guarantees `toks` is already a barrier: the
+    * sketch and the confirm pass both re-read it). */
+  private[scale] def heavyHittersFrom(toks: DataFrame, k: Int,
+                                      capacity: Int): DataFrame = {
+    require(k <= capacity, s"top-k ($k) cannot exceed capacity ($capacity)")
     // one aggregation yields the candidate list and N together
     val sk = toks.agg(
         graft.functions.FreqSketch.misraGries(col("w"), capacity).as("cand"),
@@ -852,9 +903,14 @@ object TextAnalysis extends QueryModule {
     * exchange, not the bigram vocabulary); count re-attachment is the
     * tokenDrift broadcast-back of the k winners. */
   def collocations(docs0: DataFrame, k: Int = 25,
-                   minCount: Long = 5L): DataFrame = {
-    val docs = widen(docs0)
-    val ws = docs.select(words(col("text")).as("ws")).localCheckpoint()
+                   minCount: Long = 5L): DataFrame =
+    collocationsFrom(widen(docs0)
+      .select(words(col("text")).as("ws")).localCheckpoint(), k, minCount)
+
+  /** [[collocations]] from a materialized words-array table —
+    * shared-core form (unigram and bigram passes both re-read it). */
+  private[scale] def collocationsFrom(ws: DataFrame, k: Int,
+                                      minCount: Long): DataFrame = {
     val uni = ws.select(explode(col("ws")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .localCheckpoint()
@@ -941,29 +997,38 @@ object TextAnalysis extends QueryModule {
     "q36_fingerprint" -> ((s, d) => fingerprint(T.documents(s, d))),
     "q37_corpus_stats" -> ((s, d) => corpusStats(T.documents(s, d))),
     "q46_lang_ngram" -> ((s, d) => langNgramConfusion(T.documents(s, d))),
-    "q60_commonness" -> ((s, d) => commonness(T.documents(s, d))),
+    "q60_commonness" -> ((s, d) => commonnessFrom(gateTokens(s, d)
+      .select(col("doc_id"), explode(col("ws")).as("w")))),
     "q64_gopher_rules" -> ((s, d) => gopherRules(T.documents(s, d))),
     "q65_repetition" -> ((s, d) => repetition(T.documents(s, d))),
-    "q66_tfidf" -> ((s, d) => tfidfTop(T.documents(s, d))),
-    "q67_bm25" -> ((s, d) => bm25(T.documents(s, d))),
+    "q66_tfidf" -> ((s, d) => tfidfTopFrom(gateTokens(s, d), k = 5)),
+    "q67_bm25" -> ((s, d) => bm25From(gateTokens(s, d),
+      terms = Seq("spark", "join", "query"), k = 10)),
     "q70_curation_gate" -> ((s, d) => curationGate(T.documents(s, d))),
     "q72_pii_scan" -> ((s, d) => piiScan(T.documents(s, d))),
     "q74_classifier_score" -> ((s, d) => classifierScore(T.documents(s, d))),
-    "q75_vocab_coverage" -> ((s, d) => vocabCoverage(T.documents(s, d))),
+    "q75_vocab_coverage" -> ((s, d) => vocabCoverageFrom(gateTokens(s, d)
+      .select(explode(col("ws")).as("w")), topK = 200)),
     "q78_corpus_report" -> ((s, d) => corpusReport(T.documents(s, d))),
     // maximal repeated word-run per doc (suffix automaton, scan-side)
     "q89_longest_dup" -> ((s, d) => longestRepetition(T.documents(s, d))),
     // per-source over-represented tokens (mixture drift QA)
-    "q94_token_drift" -> ((s, d) => tokenDrift(T.documents(s, d))),
+    "q94_token_drift" -> ((s, d) => tokenDriftFrom(gateTokens(s, d)
+      .select(col("source"), explode(col("ws")).as("w")),
+      k = 10, minCount = 3L)),
     // topic labels for embedding clusters: scan-side cell assignment
     // × per-cell over-represented tokens
     "q104_cluster_topics" -> ((s, d) =>
-      clusterTopics(T.documents(s, d), T.embeddings(s, d))),
+      clusterTopicsFrom(gateTokens(s, d), T.embeddings(s, d),
+        nCells = Similarity.IvfCells, k = 10, minCount = 3L)),
     // exact top-k tokens via the capacity-bounded Misra–Gries sketch +
     // exact confirm; guarded identical to the plain exact form
-    "q96_heavy_hitters" -> ((s, d) => heavyHitters(T.documents(s, d))),
+    "q96_heavy_hitters" -> ((s, d) => heavyHittersFrom(gateTokens(s, d)
+      .select(explode(col("ws")).as("w")), k = 20, capacity = 256)),
     // cross-corpus phrase mining: top bigrams by lift (log-free PMI)
-    "q97_collocations" -> ((s, d) => collocations(T.documents(s, d)))
+    "q97_collocations" -> ((s, d) =>
+      collocationsFrom(gateTokens(s, d).select(col("ws")),
+        k = 25, minCount = 5L))
   )
 
   private val normSql =
