@@ -987,7 +987,8 @@ object Similarity extends QueryModule {
       ("ivf", annIvf(emb, nQueries, k), IvfMinRecall),
       ("pq", annPq(emb, nQueries, k), PqMinRecall),
       ("ivfpq", annIvfPq(emb, nQueries, k), IvfPqMinRecall),
-      ("jl", annJl(emb, nQueries, k), JlMinRecall)))
+      ("jl", annJl(emb, nQueries, k), JlMinRecall),
+      ("ivf_jl", annIvfJl(emb, nQueries, k), IvfJlMinRecall)))
 
   /** [[annRecall]] from precomputed truth and arm result tables — the
     * shared-core form the gate registry feeds: q88's truth IS q30's
@@ -1222,6 +1223,91 @@ object Similarity extends QueryModule {
       .select(col("q_id"), col("c_id"), round(col("cos"), 4).as("cos"), col("rank"))
   }
 
+  /** Probe width for [[annIvfJl]] — twice plain IVF's [[IvfProbes]]:
+    * the projected-space cell ranking is noisier (an m=8 projection
+    * separates near-orthogonal centroids only weakly — the same
+    * near-uniform-corpus math that makes [[JlRefine]] wide), so the
+    * composed index buys its recall back with extra probed cells
+    * instead of extra assignment arithmetic. Swept 1/2/3/4 at all
+    * three SFs: recall@5 ladders 0.15→0.35 (sf0.001), 0.25→0.50
+    * (sf0.01), 0.30→0.525 (sf0.1); 4 of 16 cells still prunes 75% of
+    * the candidate scan. */
+  val IvfJlProbes = 4
+
+  /** q88 gate floor for the ivf_jl arm — margin discipline: 0.2 under
+    * the worst measured recall (0.35 at sf0.001; 0.50/0.525 above). */
+  val IvfJlMinRecall = 0.15
+
+  /** q128: IVF whose COARSE QUANTIZER lives in JL-projected space —
+    * the composition of the q38 cell machinery with the q115
+    * projection, and the index-build cost reducer of the family: cell
+    * assignment per corpus row costs O(m·D) sign-dots + O(cells·m)
+    * argmax instead of q38's O(cells·D) — at production cell counts
+    * (√N ≈ 3×10⁴ cells for 10⁹ vectors) that is a ~D/m = 8× cut of
+    * the dominant index-build term, and re-assignment after a
+    * centroid refresh streams 8-double projections instead of
+    * 64-float raws. Candidate scoring inside probed cells stays
+    * full-fidelity exact (the q38 contract), so only WHICH cells are
+    * probed is approximate — certified by the q88 `ivf_jl` arm.
+    *
+    * Scale shape: projected centroids are a bounded driver list
+    * (nCells × [[JlDims]] doubles) computed with the SAME scan-side
+    * kernel as the corpus projection (bit-identical by construction);
+    * assignment is the scan-side `argmax_cosine` plan constant (zero
+    * joins to build the index); the candidate pass is the annIvf
+    * broadcast-probes × cell-join + bounded top-k aggregate. */
+  def annIvfJl(emb: DataFrame, nQueries: Long = 8L, k: Int = TopK,
+               nCells: Int = IvfCells, nProbes: Int = IvfJlProbes): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    def proj(c: Column): Column =
+      array((0 until JlDims).map(kk => dotProduct(c, jlSignLit(kk))): _*)
+    // bounded driver data: nCells × JlDims doubles at ANY corpus size,
+    // numbered by the rows' own vec_ids (hole-for-hole the oracle's)
+    val projCents: Seq[(Long, Seq[Double])] =
+      emb.filter(col("vec_id") < nCells)
+        .select(col("vec_id"), proj(toDoubleArray(col("embedding"))).as("cy"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .sortBy(_._1).toSeq
+    val centsDf = projCents.toDF("cell_id", "centy")
+    // ONE widened scan: raw vector + norm for exact scoring, projected
+    // cell assignment as a scan-side plan constant (the explode(array)
+    // generator barrier keeps the double cast from re-inlining into
+    // the three consumers — quantizeStats discipline)
+    val corpus = Layout.widen(emb)
+      .select(col("vec_id").as("c_id"),
+        explode(array(toDoubleArray(col("embedding")))).as("cv"))
+      .select(col("c_id"),
+        graft.functions.VectorExpressions.argMaxCosine(proj(col("cv")), projCents)
+          .as("cell_id"),
+        col("cv"), l2Norm(col("cv")).as("cn"))
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"),
+        explode(array(toDoubleArray(col("embedding")))).as("qv"))
+      .select(col("q_id"), col("qv"), l2Norm(col("qv")).as("qn"),
+        proj(col("qv")).as("qy"))
+      .withColumn("qyn", l2Norm(col("qy")))
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("cell_id").asc)
+    // probe selection window input: nCells rows per query, constant
+    val probes = q.join(broadcast(centsDf))
+      .select(col("q_id"), col("qv"), col("qn"), col("cell_id"),
+        (dotProduct(col("qy"), col("centy")) /
+          (col("qyn") * l2Norm(col("centy")))).as("cos"))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nProbes)
+      .select(col("q_id"), col("qv"), col("qn"), col("cell_id"))
+    corpus.join(broadcast(probes), Seq("cell_id"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        (dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+      .groupBy(col("q_id"))
+      .agg(TopKAgg.topK(col("cos"), col("c_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col.id").as("c_id"),
+        round(col("col.score"), 4).as("cos"), (col("pos") + 1).as("rank"))
+  }
+
   // ---- driver-gate query registry ----
 
   /** Shared ANN gate cores ([[graft.Shared]]): q88's truth table IS
@@ -1241,6 +1327,8 @@ object Similarity extends QueryModule {
     graft.Shared.memo(s, s"sim:ivfpq-8x5:$d")(annIvfPq(T.embeddings(s, d)))
   private def gateJl(s: SparkSession, d: String): DataFrame =
     graft.Shared.memo(s, s"sim:jl-8x5:$d")(annJl(T.embeddings(s, d)))
+  private def gateIvfJl(s: SparkSession, d: String): DataFrame =
+    graft.Shared.memo(s, s"sim:ivfjl-8x5:$d")(annIvfJl(T.embeddings(s, d)))
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_knn_brute" -> ((s, d) => gateBrute(s, d)),
@@ -1253,15 +1341,16 @@ object Similarity extends QueryModule {
     "q47_quantize_err" -> ((s, d) => quantizeStats(T.embeddings(s, d))),
     "q51_pq_codes" -> ((s, d) => pqCodes(T.embeddings(s, d))),
     "q61_ann_pq" -> ((s, d) => gatePq(s, d)),
-    // recall@k certification of all five ANN paths vs brute truth —
-    // truth and four arms come from the shared cores above
+    // recall@k certification of all six ANN paths vs brute truth —
+    // truth and five arms come from the shared cores above
     "q88_ann_recall" -> ((s, d) => annRecallFrom(gateBrute(s, d), Seq(
       ("lsh_mp", annLsh(T.embeddings(s, d), 8L, TopK, LshProbeFlips),
         LshMinRecall),
       ("ivf", gateIvf(s, d), IvfMinRecall),
       ("pq", gatePq(s, d), PqMinRecall),
       ("ivfpq", gateIvfPq(s, d), IvfPqMinRecall),
-      ("jl", gateJl(s, d), JlMinRecall)))),
+      ("jl", gateJl(s, d), JlMinRecall),
+      ("ivf_jl", gateIvfJl(s, d), IvfJlMinRecall)))),
     // the composed production index: IVF cells × residual PQ (IVFADC)
     "q100_ann_ivfpq" -> ((s, d) => gateIvfPq(s, d)),
     // per-cell index staleness report (batch twin of maintainIvf)
@@ -1273,7 +1362,9 @@ object Similarity extends QueryModule {
     // distortion gate certifying the projection preserves norms
     "q116_jl_audit" -> ((s, d) => jlAudit(T.embeddings(s, d))),
     // ANN via projected-space shortlist + exact re-rank
-    "q118_ann_jl" -> ((s, d) => gateJl(s, d))
+    "q118_ann_jl" -> ((s, d) => gateJl(s, d)),
+    // IVF with its coarse quantizer in JL-projected space
+    "q128_ann_ivfjl" -> ((s, d) => gateIvfJl(s, d))
   )
 
   /** DuckDB literal list for plane p, identical doubles to the plan. */
@@ -1485,6 +1576,39 @@ object Similarity extends QueryModule {
          |  SELECT q_id, c_id, cos,
          |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS INTEGER) AS rank
          |  FROM ex) WHERE rank <= $TopK""".stripMargin,
+    // q38's cell machinery with assignment/probing restated over the
+    // q118 projection CTEs; exact scoring stays on the raw vectors
+    "q128_ann_ivfjl" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |p AS (SELECT vec_id, ${jlProjListSql("v")} AS y FROM v),
+         |pn AS (SELECT vec_id, y, sqrt(list_dot_product(y, y)) AS yn FROM p),
+         |cents AS (SELECT vec_id AS cell_id, y AS cy, yn AS cn FROM pn WHERE vec_id < $IvfCells),
+         |assign AS (
+         |  SELECT vec_id, cell_id FROM (
+         |    SELECT a.vec_id, c.cell_id,
+         |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |        ORDER BY list_dot_product(a.y, c.cy)/(a.yn*c.cn) DESC, c.cell_id ASC) AS rn
+         |    FROM pn a, cents c) WHERE rn <= 1),
+         |probes AS (
+         |  SELECT q_id, cell_id FROM (
+         |    SELECT q.vec_id AS q_id, c.cell_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_dot_product(q.y, c.cy)/(q.yn*c.cn) DESC, c.cell_id ASC) AS rn
+         |    FROM pn q, cents c WHERE q.vec_id < 8) WHERE rn <= $IvfJlProbes),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
+         |pairs AS (
+         |  SELECT p.q_id, t.vec_id AS c_id,
+         |    list_dot_product(qn.v, t.v) / (qn.nrm * t.nrm) AS cos
+         |  FROM probes p
+         |  JOIN assign a ON a.cell_id = p.cell_id
+         |  JOIN n t ON t.vec_id = a.vec_id
+         |  JOIN n qn ON qn.vec_id = p.q_id
+         |  WHERE t.vec_id <> p.q_id),
+         |ranked AS (SELECT q_id, c_id, cos,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, c_id ASC) AS INTEGER) AS rank FROM pairs)
+         |SELECT q_id, c_id, ROUND(cos, 4) AS cos, rank
+         |FROM ranked WHERE rank <= $TopK""".stripMargin,
     "q115_jl_project" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |s(k, s) AS (VALUES ${(0 until JlDims).map(k => s"($k, ${jlSignSql(k)})").mkString(",\n|  ")})
@@ -1775,6 +1899,29 @@ object Similarity extends QueryModule {
          |jl AS (SELECT q_id, c_id FROM (
          |    SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id
          |      ORDER BY cos DESC, c_id ASC) AS rn FROM jrer)
+         |  WHERE rn <= $TopK),
+         |jcents AS (SELECT vec_id AS cell_id, y AS cy, yn AS cn FROM jpn WHERE vec_id < $IvfCells),
+         |jassign AS (SELECT vec_id, cell_id FROM (
+         |    SELECT a.vec_id, c.cell_id,
+         |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |        ORDER BY list_dot_product(a.y, c.cy)/(a.yn*c.cn) DESC, c.cell_id ASC) AS rn
+         |    FROM jpn a, jcents c) WHERE rn <= 1),
+         |jprobes AS (SELECT q_id, cell_id FROM (
+         |    SELECT q.vec_id AS q_id, c.cell_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_dot_product(q.y, c.cy)/(q.yn*c.cn) DESC, c.cell_id ASC) AS rn
+         |    FROM jpn q, jcents c WHERE q.vec_id < 8) WHERE rn <= $IvfJlProbes),
+         |jipairs AS (
+         |  SELECT p.q_id, t.vec_id AS c_id,
+         |    list_dot_product(qn.v, t.v) / (qn.nrm * t.nrm) AS cos
+         |  FROM jprobes p
+         |  JOIN jassign a ON a.cell_id = p.cell_id
+         |  JOIN n t ON t.vec_id = a.vec_id
+         |  JOIN n qn ON qn.vec_id = p.q_id
+         |  WHERE t.vec_id <> p.q_id),
+         |ivfjl AS (SELECT q_id, c_id FROM (
+         |    SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, c_id ASC) AS rn FROM jipairs)
          |  WHERE rn <= $TopK)
          |SELECT 'lsh_mp' AS method, t.n AS n_truth, h.c AS n_hits,
          |  ROUND(CAST(h.c AS DOUBLE)/t.n, 4) AS recall,
@@ -1804,6 +1951,12 @@ object Similarity extends QueryModule {
          |  ROUND(CAST(h.c AS DOUBLE)/t.n, 4) AS recall,
          |  ROUND(CAST(h.c AS DOUBLE)/t.n, 4) >= $JlMinRecall AS recall_ok
          |FROM tcount t, (SELECT COUNT(*) AS c FROM jl s
+         |  JOIN truth u ON s.q_id = u.q_id AND s.c_id = u.c_id) h
+         |UNION ALL
+         |SELECT 'ivf_jl' AS method, t.n AS n_truth, h.c AS n_hits,
+         |  ROUND(CAST(h.c AS DOUBLE)/t.n, 4) AS recall,
+         |  ROUND(CAST(h.c AS DOUBLE)/t.n, 4) >= $IvfJlMinRecall AS recall_ok
+         |FROM tcount t, (SELECT COUNT(*) AS c FROM ivfjl s
          |  JOIN truth u ON s.q_id = u.q_id AND s.c_id = u.c_id) h""".stripMargin,
     "q32_ann_lsh" ->
       s"""WITH b AS (

@@ -939,6 +939,50 @@ object TextAnalysis extends QueryModule {
         col("lift"))
   }
 
+  /** q129: first-iteration BPE merge candidates — the top adjacent
+    * character pairs across the corpus, weighted by word frequency:
+    * the statistic a byte-pair-encoding tokenizer trainer (Sennrich
+    * et al. 2016) computes to pick each merge, here the first
+    * iteration over the raw character vocabulary.
+    *
+    * Scale design: the trainer trick that makes BPE feasible at
+    * corpus scale is WORD-COUNT PREPROCESSING — pair statistics are
+    * computed over the distinct-word table (Heaps-bounded: ~10⁸ rows
+    * at 100 TB, vs ~10¹² corpus tokens) with each word's pairs
+    * weighted by its count, never over the token stream. Here: one
+    * shared tokenize pass ([[tokenCore]] — a batch run reuses the
+    * memoized table), one vocabulary hash-aggregate, a bounded
+    * explode (avg word length × vocabulary rows), and the top-k as
+    * the capacity-bounded [[graft.functions.TopKAgg]] aggregate —
+    * the exchange carries ≤ k rows per map task, never the pair
+    * vocabulary. Determinism: counts are integers; ties break by
+    * pair ASC in UTF8 binary order (= DuckDB varchar collation —
+    * tokens are [a-z0-9]+ so byte order is unambiguous). */
+  def bpeMerges(docs0: DataFrame, k: Int = 20, minCount: Long = 2L): DataFrame =
+    bpeMergesFrom(widen(docs0)
+      .select(explode(words(col("text"))).as("w")), k, minCount)
+
+  /** [[bpeMerges]] from a bare token stream — shared-core form. */
+  private[scale] def bpeMergesFrom(toks: DataFrame, k: Int,
+                                   minCount: Long): DataFrame = {
+    val freq = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    // pairs within a word keep duplicates (explode), each weighted by
+    // the word's corpus count — `aa` in "aaa" counts twice per use
+    val pairCnt = freq
+      .filter(length(col("w")) >= 2)
+      .select(col("cnt"),
+        explode(transform(sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("cnt")).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    pairCnt.groupBy()
+      .agg(graft.functions.TopKAgg.topKStr(
+        col("cnt").cast("double"), col("pair"), k).as("top"))
+      .select(posexplode(col("top")))
+      .select((col("pos") + 1).as("rank"), col("col.id").as("pair"),
+        col("col.score").cast("long").as("cnt"))
+  }
+
   /** Corpus health report — the one-row dashboard a pipeline operator
     * reads daily, composing the gate battery: corpus size and language
     * spread, Gopher/repetition/joint-keep pass counts, PII incidence,
@@ -1028,7 +1072,10 @@ object TextAnalysis extends QueryModule {
     // cross-corpus phrase mining: top bigrams by lift (log-free PMI)
     "q97_collocations" -> ((s, d) =>
       collocationsFrom(gateTokens(s, d).select(col("ws")),
-        k = 25, minCount = 5L))
+        k = 25, minCount = 5L)),
+    // first-iteration BPE merge table over the word-count vocabulary
+    "q129_bpe_merges" -> ((s, d) => bpeMergesFrom(gateTokens(s, d)
+      .select(explode(col("ws")).as("w")), k = 20, minCount = 2L))
   )
 
   private val normSql =
@@ -1412,6 +1459,21 @@ object TextAnalysis extends QueryModule {
          |  ROW_NUMBER() OVER (ORDER BY lift DESC, bg ASC) AS rank FROM sc)
          |SELECT CAST(rank AS INTEGER) AS rank, bg, c_ab, c_a, c_b, lift
          |FROM r WHERE rank <= 25""".stripMargin,
+    // pair stats over the distinct-word table weighted by word count,
+    // exactly the Spark chain; range(1, length) is end-exclusive =
+    // sequence(1, length-1) inclusive, both 1-based substrings
+    "q129_bpe_merges" ->
+      s"""WITH w AS (SELECT unnest($wsSql) AS w FROM documents),
+         |freq AS (SELECT w, COUNT(*) AS cnt FROM w GROUP BY w),
+         |pairs AS (SELECT substring(w, CAST(i AS INTEGER), 2) AS pair, cnt
+         |  FROM freq, unnest(range(1, length(w))) t(i)
+         |  WHERE length(w) >= 2),
+         |pc AS (SELECT pair, CAST(SUM(cnt) AS BIGINT) AS cnt
+         |  FROM pairs GROUP BY pair HAVING SUM(cnt) >= 2),
+         |r AS (SELECT pair, cnt,
+         |  ROW_NUMBER() OVER (ORDER BY cnt DESC, pair ASC) AS rank FROM pc)
+         |SELECT CAST(rank AS INTEGER) AS rank, pair, cnt
+         |FROM r WHERE rank <= 20""".stripMargin,
     // the guarded MG+confirm result is identical to plain exact top-k
     // by construction — the oracle states the exact form directly
     "q96_heavy_hitters" ->

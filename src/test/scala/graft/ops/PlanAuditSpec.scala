@@ -625,4 +625,31 @@ class PlanAuditSpec extends SparkSpec {
       assert("HashAggregate".r.findAllIn(s).length >= 2, s)
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("q128 ann ivf_jl: projected assignment rides the scan (argmax " +
+    "kernel, no corpus self-join), candidates join by broadcast, final " +
+    "rank is the bounded top-k aggregate") {
+    val s = planOf(graft.scale.Similarity.annIvfJl(
+      graft.Tables.embeddings(spark, sf)))
+    assert(s.contains("argmax_cosine"), s"expected scan-side assignment:\n$s")
+    assert(!s.contains("SortMergeJoin") && !s.contains("max_by"),
+      s"corpus self-join / assignment aggregate regressed:\n$s")
+    assert(s.contains("BroadcastHashJoin"),
+      s"probe candidates must join by broadcast:\n$s")
+    assert(s.contains("partial_top_k"),
+      s"final rank must be the bounded top-k aggregate:\n$s")
+  }
+
+  test("q129 bpe merges: pair stats run over the distinct-word table, " +
+    "the top-k is a bounded aggregate — no pair-vocabulary window sort, " +
+    "no joins") {
+    val s = planOf(graft.scale.TextAnalysis.bpeMerges(
+      graft.Tables.documents(spark, sf)))
+    assert(!s.contains("Window"),
+      s"pair-vocabulary window sort leaked into the plan:\n$s")
+    assert(s.contains("TopKStrAggregate") || s.contains("ObjectHashAggregate"),
+      s"expected the bounded top-k aggregate:\n$s")
+    assert(!s.contains("Join") && !s.contains("CartesianProduct"),
+      s"unexpected join:\n$s")
+  }
 }

@@ -195,7 +195,7 @@ class SimilaritySpec extends SparkSpec {
     val out = Similarity.annRecall(emb).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
         r.getDouble(3), r.getBoolean(4))).toMap
-    assert(out.keySet === Set("lsh_mp", "ivf", "pq", "ivfpq", "jl"))
+    assert(out.keySet === Set("lsh_mp", "ivf", "pq", "ivfpq", "jl", "ivf_jl"))
     out.values.foreach { case (nTruth, nHits, recall, _) =>
       assert(nTruth === 40L) // 8 queries × top-5
       assert(nHits >= 0L && nHits <= nTruth)
@@ -411,5 +411,74 @@ class SimilaritySpec extends SparkSpec {
     // k larger than the corpus: every candidate ranked, none invented
     assert(agg32(Similarity.knnBrute(emb, nQueries = 2, k = 100)) ===
       windowRef(emb, 2, 100))
+  }
+
+  test("annIvfJl: well-formed boards, candidates only from cells probed " +
+    "in PROJECTED space (independent driver reimplementation), strong " +
+    "recall on clustered data, deterministic rerun") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(17)
+    val anchors = Array.fill(10)(Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    val vecs: Seq[(Long, Array[Float])] = (0 until 60).map { i =>
+      val a = anchors(i % 10)
+      (i.toLong, a.map(x => x + rnd.nextFloat() * 0.1f))
+    }
+    val emb = vecs.toDF("vec_id", "embedding").repartition(8)
+    val out = Similarity.annIvfJl(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val byQ = out.groupBy(_._1)
+    assert(byQ.keySet === (0L until 8L).toSet)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length <= Similarity.TopK)
+      assert(rows.map(_._4).sorted.toSeq === (1 to rows.length))
+      assert(!rows.exists(_._2 == q))
+    }
+    // independent reimplementation of the projected-space geometry:
+    // project driver-side with the published sign matrix (same
+    // left-to-right double fold as the codegen'd kernel), assign by
+    // argmax cosine (lowest-cell ties), probe top-IvfJlProbes cells
+    def proj(v: Array[Float]): Array[Double] =
+      Similarity.jlSigns.map { s =>
+        var acc = 0.0; var i = 0
+        while (i < 64) { acc += v(i).toDouble * s(i); i += 1 }
+        acc
+      }.toArray
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      def d(x: Array[Double], y: Array[Double]) = {
+        var acc = 0.0; var i = 0
+        while (i < x.length) { acc += x(i) * y(i); i += 1 }
+        acc
+      }
+      d(a, b) / (math.sqrt(d(a, a)) * math.sqrt(d(b, b)))
+    }
+    val ys = vecs.map { case (id, v) => id -> proj(v) }.toMap
+    val cents = (0L until Similarity.IvfCells.toLong).map(i => i -> ys(i))
+    def cellOf(y: Array[Double]): Long =
+      cents.map { case (cid, cy) => (cid, cosine(y, cy)) }
+        .minBy { case (cid, c) => (-c, cid) }._1
+    val cellMap = ys.map { case (id, y) => id -> cellOf(y) }
+    val probeMap = (0L until 8L).map { q =>
+      q -> cents.map { case (cid, cy) => (cid, cosine(ys(q), cy)) }
+        .sortBy { case (cid, c) => (-c, cid) }
+        .take(Similarity.IvfJlProbes).map(_._1).toSet
+    }.toMap
+    out.foreach { case (q, c, _, _) =>
+      assert(probeMap(q).contains(cellMap(c)),
+        s"query $q neighbor $c from unprobed projected cell ${cellMap(c)}")
+    }
+    // clustered corpus: JL preserves the anchor geometry, so the
+    // composed index must keep most true neighbors
+    val truth = Similarity.knnBrute(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val hits = out.map { case (q, c, _, _) =>
+      if (truth(q).contains(c)) 1 else 0 }.sum
+    val recall = hits.toDouble / truth.values.map(_.size).sum
+    assert(recall >= 0.5, s"ivf_jl recall@5 $recall below floor")
+    // deterministic rerun (plan-constant signs/centroids, total ties)
+    val again = Similarity.annIvfJl(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(again.toSet === out.toSet)
   }
 }

@@ -436,4 +436,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("b") === ((1L, perDoc(3L), if (perDoc(3L) >= 0.5) 1L else 0L,
       if (perDoc(3L) >= 0.5) 1.0 else 0.0)))
   }
+
+  test("bpeMerges counts word-weighted adjacent pairs, keeps in-word " +
+    "duplicates, and ranks (cnt DESC, pair ASC)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      // "aaa" → pairs aa,aa (duplicate kept) per occurrence; ×3 docs
+      (1L, "aaa bc", "en"),
+      (2L, "aaa bc", "en"),
+      (3L, "aaa cb", "en"),
+      (4L, "x", "en")        // 1-char word contributes no pair
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.bpeMerges(df, k = 10, minCount = 1L).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[String]("pair"),
+        r.getAs[Long]("cnt")))
+    // aa: 2 per "aaa" × 3 = 6; bc ×2; cb ×1
+    assert(out === Seq((1, "aa", 6L), (2, "bc", 2L), (3, "cb", 1L)))
+    // minCount floor drops the singleton pair
+    val floored = TextAnalysis.bpeMerges(df, k = 10, minCount = 2L).collect()
+      .map(_.getAs[String]("pair"))
+    assert(floored === Seq("aa", "bc"))
+  }
 }
