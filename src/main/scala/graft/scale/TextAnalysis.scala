@@ -426,6 +426,34 @@ object TextAnalysis extends QueryModule {
         redacted.as("redacted"))): _*)
   }
 
+  /** q130: per-source PII incidence — the compliance dashboard a
+    * pipeline owner reads to decide which ingest source needs the
+    * redaction pass (and to catch a crawl that suddenly starts leaking
+    * emails): per source, the scanned/dirty doc counts, total match
+    * count per PII pattern, and the dirty-doc rate.
+    *
+    * Scale design: the per-row flags are [[piiScan]]'s codegen'd
+    * regexp projections (zero shuffles, scan speed); the rollup is one
+    * hash-aggregate keyed by the handful of sources with map-side
+    * partials. All counts are integers; the rate is one division of
+    * exact integers rounded identically in both engines. */
+  def sourcePii(docs0: DataFrame): DataFrame = {
+    val docs = widen(docs0)
+    val counts = piiPatterns.map { case (name, pat) =>
+      name -> regexp_count(col("text"), lit(pat))
+    }
+    val scored = docs.select(
+      (Seq(col("source")) ++ counts.map { case (n, e) => e.as(s"n_$n") } ++
+        Seq(counts.map(_._2 > 0).reduce(_ || _).as("any_pii"))): _*)
+    val aggs = Seq(count(lit(1)).as("n_docs"),
+      count(when(col("any_pii"), 1)).as("n_pii_docs")) ++
+      piiPatterns.map { case (n, _) => sum(col(s"n_$n")).as(s"tot_$n") }
+    scored.groupBy(col("source"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("pii_rate",
+        round(col("n_pii_docs").cast("double") / col("n_docs"), 4))
+  }
+
   /** The combined curation gate the Gopher/C4 pipelines actually run:
     * word-level quality rules ([[gopherRules]]) AND repetition
     * thresholds ([[repetition]]) evaluated together as ONE per-row
@@ -1075,7 +1103,9 @@ object TextAnalysis extends QueryModule {
         k = 25, minCount = 5L)),
     // first-iteration BPE merge table over the word-count vocabulary
     "q129_bpe_merges" -> ((s, d) => bpeMergesFrom(gateTokens(s, d)
-      .select(explode(col("ws")).as("w")), k = 20, minCount = 2L))
+      .select(explode(col("ws")).as("w")), k = 20, minCount = 2L)),
+    // per-source PII incidence: which crawl needs the redaction pass
+    "q130_source_pii" -> ((s, d) => sourcePii(T.documents(s, d)))
   )
 
   private val normSql =
@@ -1512,6 +1542,26 @@ object TextAnalysis extends QueryModule {
     "q70_curation_gate" ->
       s"""WITH $curationCtes
          |$curationSelect""".stripMargin,
+    // q72's per-row flags rolled up by source; SUM(int) cast off
+    // DuckDB's HUGEINT, the rate divides the same exact integers
+    "q130_source_pii" -> {
+      val countSel = piiPatterns.map { case (n, p) =>
+        s"CAST(len(regexp_extract_all(text, '$p')) AS INTEGER) AS n_$n"
+      }.mkString(",\n  ")
+      val totSel = piiPatterns.map { case (n, _) =>
+        s"CAST(SUM(n_$n) AS BIGINT) AS tot_$n"
+      }.mkString(",\n  ")
+      s"""WITH s AS (SELECT source,
+         |  $countSel,
+         |  ($piiAnySql) AS any_pii
+         |FROM documents)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  COUNT(CASE WHEN any_pii THEN 1 END) AS n_pii_docs,
+         |  $totSel,
+         |  ROUND(CAST(COUNT(CASE WHEN any_pii THEN 1 END) AS DOUBLE)
+         |    / COUNT(*), 4) AS pii_rate
+         |FROM s GROUP BY source""".stripMargin
+    },
     "q78_corpus_report" ->
       s"""WITH $curationCtes,
          |gate AS ($curationSelect),

@@ -403,6 +403,34 @@ object EventStreams {
     * (lock) with no activity for `gap` closes (resets) when the
     * watermark passes. Emits closed sessions (Append mode).
     */
+  /** The gap fold shared by [[sessionize]] and [[sessionStatsMonitor]]:
+    * ts-sorted events folded into the user's open-session state —
+    * closed sessions in event order plus the new open state. A late
+    * event older than the open session's end merges into it (the gap
+    * test `t - end <= gapMs` holds for any negative delta; `end` stays
+    * the max, `start` is not moved backward) — it never reopens an
+    * already-closed session. */
+  private def foldGapSessions(sorted: Seq[Event], open: Option[SessionState],
+                              gapMs: Long):
+      (List[SessionState], Option[SessionState]) = {
+    var closed = List.empty[SessionState]
+    var cur = open
+    sorted.foreach { e =>
+      val t = e.ts.getTime
+      cur match {
+        case Some(s) if t - s.end <= gapMs =>
+          cur = Some(s.copy(end = math.max(s.end, t), n = s.n + 1,
+            total = s.total + e.value))
+        case Some(s) =>
+          closed ::= s
+          cur = Some(SessionState(t, t, 1, e.value))
+        case None =>
+          cur = Some(SessionState(t, t, 1, e.value))
+      }
+    }
+    (closed.reverse, cur)
+  }
+
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60 * 1000L
@@ -421,28 +449,91 @@ object EventStreams {
               new Timestamp(s.end), s.n, s.total))
           } else {
             val sorted = rows.toSeq.sortBy(_.ts.getTime)
-            var closed = List.empty[Session]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                case Some(s) if t - s.end <= gapMs =>
-                  cur = Some(s.copy(end = math.max(s.end, t), n = s.n + 1,
-                    total = s.total + e.value))
-                case Some(s) =>
-                  closed ::= Session(userId, new Timestamp(s.start),
-                    new Timestamp(s.end), s.n, s.total)
-                  cur = Some(SessionState(t, t, 1, e.value))
-                case None =>
-                  cur = Some(SessionState(t, t, 1, e.value))
-              }
-            }
+            val (closed, cur) = foldGapSessions(sorted, state.getOption, gapMs)
             cur.foreach { s =>
               state.update(s)
               // close when no event arrives within gap of session end
               state.setTimeoutTimestamp(s.end + gapMs)
             }
-            closed.reverseIterator
+            closed.iterator.map(s => Session(userId, new Timestamp(s.start),
+              new Timestamp(s.end), s.n, s.total))
+          }
+      }
+  }
+
+  /** Per-user running session statistics — the streaming form of batch
+    * q124 ([[graft.ops.TemporalOps.sessionStats]]) folded onto the
+    * [[sessionize]] gap machinery in ONE stateful operator: every time
+    * a session closes (an in-batch gap or the event-time timeout), the
+    * user's updated lifetime rollup (session count, event count, mean
+    * and max session seconds) is emitted exactly once — the
+    * continuously-current engagement profile a batch recount can only
+    * produce after the fact.
+    *
+    * State per user: the open session (4 longs) plus 4 running
+    * counters — O(1), hash-partitioned; like [[funnelGate]]'s terminal
+    * marker, the counters persist for the stream's lifetime (bounded
+    * by distinct users — the same bound any per-user profile carries).
+    * Emission is Append-legal: each row is the immutable fact "after
+    * session k closed"; n_sessions strictly increases per user, so
+    * replays cannot double-count a close.
+    *
+    * Order contract: on in-order streams every emitted row equals the
+    * batch q124 rollup over the same prefix of closed sessions
+    * (spec-pinned, ms precision). Late events follow
+    * [[foldGapSessions]]'s published rule: an event older than the
+    * open session merges into it (never moving `start` backward —
+    * duration may read short vs a batch recount); an event arriving
+    * after its session already closed by timeout joins the CURRENT
+    * session instead of reopening the closed one — the same
+    * streaming-greedy caveat family as [[funnelGate]]. */
+  def sessionStatsMonitor(events: Dataset[Event],
+                          gapMinutes: Int = 30): Dataset[SessionStatsUpdate] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60 * 1000L
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionStatsState, SessionStatsUpdate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event],
+         state: GroupState[SessionStatsState]) =>
+          def close(st: SessionStatsState,
+                    s: SessionState): (SessionStatsState, SessionStatsUpdate) = {
+            val dur = s.end - s.start
+            val ns = SessionStatsState(None, st.nSessions + 1,
+              st.nEvents + s.n, st.totalDurMs + dur,
+              math.max(st.maxDurMs, dur))
+            // round-half-up to 2 decimals = batch q124's round(x, 2)
+            // for the non-negative durations in play
+            val mean = math.floor(ns.totalDurMs.toDouble / 10.0 /
+              ns.nSessions + 0.5) / 100.0
+            (ns, SessionStatsUpdate(userId, ns.nSessions, ns.nEvents,
+              mean, ns.maxDurMs / 1000L, new Timestamp(s.end)))
+          }
+          if (state.hasTimedOut) {
+            val st = state.get
+            st.open match {
+              case Some(s) =>
+                val (ns, upd) = close(st, s)
+                state.update(ns) // counters persist; no timeout while idle
+                Iterator.single(upd)
+              case None => Iterator.empty
+            }
+          } else {
+            val st0 = state.getOption
+              .getOrElse(SessionStatsState(None, 0L, 0L, 0L, 0L))
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            val (closed, cur) = foldGapSessions(sorted, st0.open, gapMs)
+            var st = st0
+            val updates = closed.map { s =>
+              val (ns, upd) = close(st, s); st = ns; upd
+            }
+            st = st.copy(open = cur)
+            state.update(st)
+            cur.foreach(s => state.setTimeoutTimestamp(s.end + gapMs))
+            updates.iterator
           }
       }
   }
@@ -815,6 +906,18 @@ case class DedupVerdict(doc_id: Long, ts: Timestamp, sig: Long,
 
 /** Open-session accumulator for [[EventStreams.sessionize]]. */
 case class SessionState(start: Long, end: Long, n: Long, total: Double)
+
+/** [[EventStreams.sessionStatsMonitor]] state: the open session plus
+  * the user's lifetime closed-session counters (durations in ms). */
+case class SessionStatsState(open: Option[SessionState], nSessions: Long,
+                             nEvents: Long, totalDurMs: Long, maxDurMs: Long)
+
+/** The user's running q124 row, emitted once per session close:
+  * lifetime session/event counts, mean and max session seconds, and
+  * the closing session's end time. */
+case class SessionStatsUpdate(user_id: Long, n_sessions: Long,
+                              n_events: Long, mean_session_sec: Double,
+                              max_session_sec: Long, last_end: Timestamp)
 
 /** Funnel progression state for [[EventStreams.funnelGate]]: highest
   * stage reached (1-based; 0 = none) and its completion epoch-millis. */

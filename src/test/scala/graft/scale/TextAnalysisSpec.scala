@@ -437,6 +437,31 @@ class TextAnalysisSpec extends SparkSpec {
       if (perDoc(3L) >= 0.5) 1.0 else 0.0)))
   }
 
+  test("sourcePii reconciles with per-doc piiScan and rates divide " +
+    "exactly") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      (1L, "reach me at bob@example.com or 555-123-4567", "en", "a"),
+      (2L, "clean text with no identifiers at all", "en", "a"),
+      (3L, "server 10.0.0.1 and card 4111111111111111", "en", "b"),
+      (4L, "also clean", "en", "b"),
+      (5L, "two mails x@y.io z@w.co", "en", "b")
+    ).toDF("doc_id", "text", "lang", "source")
+    val perDoc = TextAnalysis.piiScan(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_emails"), r.getAs[Boolean]("any_pii"))).toMap
+    val out = TextAnalysis.sourcePii(df).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_pii_docs"),
+          r.getAs[Long]("tot_emails"), r.getAs[Double]("pii_rate"))).toMap
+    assert(out("a") === ((2L, 1L, 1L, 0.5)))
+    assert(out("b") === ((3L, 2L, 2L, 0.6667)))
+    // totals are the sum of the per-doc scan's counts
+    assert(out("a")._3 === perDoc(1L)._1 + perDoc(2L)._1)
+    assert(out("b")._3 === Seq(3L, 4L, 5L).map(perDoc(_)._1).sum)
+  }
+
   test("bpeMerges counts word-weighted adjacent pairs, keeps in-word " +
     "duplicates, and ranks (cnt DESC, pair ASC)") {
     val spark2 = spark

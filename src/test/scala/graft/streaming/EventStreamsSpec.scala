@@ -283,6 +283,55 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionStatsMonitor: one update per session close, running " +
+    "rollup equals batch q124 on the in-order stream, late events " +
+    "merge into the open session (pinned)") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = EventStreams.sessionStatsMonitor(src.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sstats")
+      .outputMode("append").start()
+    try {
+      // user 1: session A (10:00-10:05, 2 events), 40-min gap, session
+      // B opens at 10:45; a LATE event (10:02 < open B's start, and
+      // pre-watermark) arrives in the same batch as B — the fold sorts
+      // the batch by ts, so it lands in A before the gap break
+      src.addData(
+        Event(1, ts(0), 1, "view", 1.0),
+        Event(2, ts(5), 1, "view", 2.0),
+        Event(3, ts(45), 1, "view", 3.0),
+        Event(4, ts(2), 1, "click", 0.5))
+      q.processAllAvailable()
+      val first = spark.table("sstats").as[SessionStatsUpdate].collect()
+      // exactly one close so far (session A, now 3 events, 5 min)
+      assert(first.toSeq === Seq(SessionStatsUpdate(1L, 1L, 3L, 300.0,
+        300L, ts(5))))
+      // user 1 session B closes via event-time timeout once another
+      // user's events push the watermark (1h) past B.end + gap
+      src.addData(Event(9, Timestamp.valueOf("2026-01-01 14:00:00"), 2, "view", 0.0))
+      q.processAllAvailable()
+      src.addData(Event(10, Timestamp.valueOf("2026-01-01 15:00:00"), 2, "view", 0.0))
+      q.processAllAvailable()
+      val all = spark.table("sstats").as[SessionStatsUpdate].collect()
+      val u1 = all.filter(_.user_id == 1L).sortBy(_.n_sessions)
+      assert(u1.length === 2, s"one update per close: ${u1.toSeq}")
+      // the final row IS batch q124 over user 1's events (ms precision)
+      val batchRow = graft.ops.TemporalOps.sessionStats(
+        Seq((1L, ts(0), 1L), (2L, ts(5), 1L), (4L, ts(2), 1L),
+          (3L, ts(45), 1L))
+          .toDF("event_id", "ts", "user_id")).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_sessions"),
+          r.getAs[Long]("n_events"), r.getAs[Double]("mean_session_sec"),
+          r.getAs[Long]("max_session_sec")))
+        .find(_._1 == 1L).get
+      val last = u1.last
+      assert((last.user_id, last.n_sessions, last.n_events,
+        last.mean_session_sec, last.max_session_sec) === batchRow)
+    } finally q.stop()
+  }
+
   test("parquet sink with checkpoint survives restart without duplicating windows") {
     val spark2 = spark
     import spark2.implicits._
