@@ -292,6 +292,41 @@ object Curation extends QueryModule {
           col("n_dup_doc_ids") === 0 && col("n_dup_vec_ids") === 0)
   }
 
+  /** q132: cluster-balanced selection — cap each embedding cell at the
+    * `k` highest-quality documents: the semantic-diversity step a
+    * mixture owner runs so no embedding region (one crawl's
+    * boilerplate, one dominant topic) floods the training set, while
+    * the kept docs inside every region are its best (DataComp/DoReMi
+    * family cluster balancing, with q34's composite as the judge).
+    *
+    * Scale design: cell assignment is the scan-side `argmax_cosine`
+    * plan constant (q38/q95 contract — zero joins to build it); the
+    * doc↔vector attach is ONE doc_id equi-join of co-keyed tables
+    * (bucketable at 100 TB); and the per-cell selection is the
+    * capacity-bounded [[graft.functions.TopKAgg]] aggregate — with
+    * nCells ≪ corpus a `row_number` window would funnel each cell's
+    * corpus/nCells rows through one task (the q123 anti-pattern),
+    * while the aggregate's exchange carries ≤ k rows per map task per
+    * cell. Ties: quality DESC, doc_id ASC — total and engine-portable
+    * (quality is the q34 ROUND'd double). */
+  def cellBalancedSelect(docs: DataFrame, emb: DataFrame,
+                         nCells: Int = Similarity.IvfCells,
+                         k: Int = 20): DataFrame = {
+    val cents = Similarity.seedCentroidList(emb, nCells)
+    val cells = Layout.widen(emb).select(col("vec_id").as("doc_id"),
+      graft.functions.VectorExpressions.argMaxCosine(
+        toDoubleArray(col("embedding")), cents).as("cell_id"))
+    val scored = Layout.widen(docs).select(col("doc_id"),
+      round(TextAnalysis.qualityExpr(col("text")), 4).as("quality"))
+    scored.join(cells, Seq("doc_id"))
+      .groupBy(col("cell_id"))
+      .agg(graft.functions.TopKAgg.topK(col("quality"), col("doc_id"), k)
+        .as("top"))
+      .select(col("cell_id"), posexplode(col("top")))
+      .select(col("cell_id"), (col("pos") + 1).as("rank"),
+        col("col.id").as("doc_id"), col("col.score").as("quality"))
+  }
+
   // ---- driver-gate queries ----
 
   private val SampleFractions = Map(
@@ -386,7 +421,10 @@ object Curation extends QueryModule {
     "q109_source_diversity" -> ((s, d) => sourceDiversity(T.documents(s, d))),
     // text↔embedding referential integrity (the J5 audit, cross-modal)
     "q110_modality_integrity" -> ((s, d) =>
-      modalityIntegrity(T.documents(s, d), T.embeddings(s, d)))
+      modalityIntegrity(T.documents(s, d), T.embeddings(s, d))),
+    // semantic-diversity cap: best-quality k docs per embedding cell
+    "q132_cell_balanced" -> ((s, d) =>
+      cellBalancedSelect(T.documents(s, d), T.embeddings(s, d)))
   )
 
   // hash := high 60 bits of md5(id) — identical to portableHash60
@@ -422,6 +460,36 @@ object Curation extends QueryModule {
          |SELECT doc_id, quality, toks, cum_toks
          |FROM c WHERE cum_toks <= 20000""".stripMargin
     },
+    // q38's assign CTE names each doc's cell; q34's quality judges
+    // inside the cell; per-cell ROW_NUMBER restates the bounded top-k
+    "q132_cell_balanced" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
+         |cents AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn
+         |          FROM n WHERE vec_id < ${Similarity.IvfCells}),
+         |assign AS (SELECT vec_id AS doc_id, cell_id FROM (
+         |    SELECT a.vec_id, c.cell_id,
+         |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |        ORDER BY list_dot_product(a.v, c.cv)/(a.nrm*c.cn) DESC,
+         |          c.cell_id ASC) AS rn
+         |    FROM n a, cents c) WHERE rn <= 1),
+         |w AS (SELECT doc_id, text, $wsSql AS ws FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(ws) AS INTEGER) AS n_words,
+         |  GREATEST(len(ws), 1) AS nw,
+         |  GREATEST(len(text), 1) AS nc,
+         |  len(list_filter(ws, x -> list_contains(${TextAnalysis.stopListSql}, x))) AS stop_hits,
+         |  len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct
+         |FROM w),
+         |q AS (SELECT doc_id, ${TextAnalysis.qualitySql} AS quality FROM m),
+         |j AS (SELECT a.cell_id, q.doc_id, q.quality
+         |      FROM q JOIN assign a USING (doc_id)),
+         |r AS (SELECT cell_id, doc_id, quality,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY cell_id
+         |    ORDER BY quality DESC, doc_id ASC) AS INTEGER) AS rank
+         |FROM j)
+         |SELECT cell_id, rank, doc_id, quality
+         |FROM r WHERE rank <= 20""".stripMargin,
     "q110_modality_integrity" ->
       """WITH d AS (SELECT doc_id, COUNT(*) AS dn FROM documents GROUP BY 1),
         |v AS (SELECT vec_id AS doc_id, COUNT(*) AS vn

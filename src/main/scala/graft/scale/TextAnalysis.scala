@@ -651,18 +651,25 @@ object TextAnalysis extends QueryModule {
     }
   }
 
+  /** The q74 per-doc weight fold over a words-array column — one
+    * hashed-weight lookup per token, summed left-to-right (shared by
+    * [[classifierScore]] and [[scoreCalibration]]). */
+  private def classifierSumExpr(ws: Column): Column = {
+    val wArr = array(classifierWeights.map(lit): _*)
+    aggregate(
+      transform(ws, w =>
+        element_at(wArr, (pmod(portableHash60(w), lit(ClassifierBuckets.toLong)) + 1L)
+          .cast(IntegerType))),
+      lit(0.0), (acc, x) => acc + x)
+  }
+
   def classifierScore(docs0: DataFrame): DataFrame = {
     val docs = widen(docs0)
-    val wArr = array(classifierWeights.map(lit): _*)
     val withWs = docs
       .select(col("doc_id"), explode(array(struct(words(col("text")).as("ws")))).as("s"))
       .select(col("doc_id"), col("s.ws").as("ws"))
       .filter(size(col("ws")) > 0)
-    val score = aggregate(
-      transform(col("ws"), w =>
-        element_at(wArr, (pmod(portableHash60(w), lit(ClassifierBuckets.toLong)) + 1L)
-          .cast(IntegerType))),
-      lit(0.0), (acc, x) => acc + x)
+    val score = classifierSumExpr(col("ws"))
     // generator barrier: the fold (an md5 per word) feeds both the
     // mean and the flag; inlined twice it would hash every word twice
     // (interpreted HOFs have no CSE)
@@ -672,6 +679,71 @@ object TextAnalysis extends QueryModule {
       .select(col("doc_id"), col("n_words"),
         round(col("s.sum") / col("n_words"), 6).as("score"),
         (col("s.sum") > 0d).as("pred_keep"))
+  }
+
+  /** q131: classifier calibration audit — the q88/q103/q116
+    * certify-the-approximation discipline applied to q74's quality
+    * classifier: scoreable docs bucketed by fixed score intervals over
+    * [-1, 1], each bucket's size, mean score, and mean GOLD quality
+    * (the q34 composite), with a `monotone_ok` flag (bucket mean
+    * quality non-decreasing in score) — a classifier whose higher
+    * scores stop predicting higher gold quality flips the gate before
+    * its threshold ships into a curation pass.
+    *
+    * Scale design: score and gold quality ride ONE widened scan (a
+    * doc_id self-join of the q74 and q34 boards would shuffle the
+    * corpus twice for columns the same row determines); the bucket is
+    * fixed integer arithmetic on the rounded score — no percentile
+    * pass; the rollup is one hash-aggregate over ≤ `nBuckets` keys and
+    * the lag window runs over those ≤ `nBuckets` rows (vocabCoverage's
+    * bounded-window discipline). Determinism: round-then-bucket,
+    * exactSum decimal means, floor of an exact +1.0 shift — identical
+    * expression trees in both engines. The generator barrier keeps the
+    * per-token weight fold from re-running for the bucket and the mean
+    * (interpreted HOFs have no CSE). */
+  def scoreCalibration(docs0: DataFrame, nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2 && nBuckets % 2 == 0, s"even nBuckets: $nBuckets")
+    scoreCalibrationFrom(calibScored(docs0, nBuckets), nBuckets)
+  }
+
+  /** The per-doc (bucket, score, quality) table q131 aggregates. */
+  private[scale] def calibScored(docs0: DataFrame,
+                                 nBuckets: Int = 10): DataFrame = {
+    val docs = widen(docs0)
+    val half = nBuckets / 2.0
+    val withWs = docs
+      // round(…, 4) = the q34 board's own per-doc rounding (qualitySql
+      // twin) — the calibration means aggregate the SAME doubles q34
+      // publishes, not a higher-precision sibling
+      .select(col("doc_id"), round(qualityExpr(col("text")), 4).as("quality"),
+        explode(array(struct(words(col("text")).as("ws")))).as("s"))
+      .select(col("doc_id"), col("quality"), col("s.ws").as("ws"))
+      .filter(size(col("ws")) > 0)
+    withWs
+      .select(col("quality"),
+        explode(array(round(classifierSumExpr(col("ws")) / size(col("ws")), 6)))
+          .as("score"))
+      .select(
+        least(greatest(floor((col("score") + 1.0d) * half), lit(0L)),
+          lit(nBuckets - 1L)).cast("long").as("bucket"),
+        col("score"), col("quality"))
+  }
+
+  private def scoreCalibrationFrom(scored: DataFrame,
+                                   nBuckets: Int): DataFrame = {
+    // round-half-up written floor(x·10⁴+0.5)/10⁴ on BOTH sides — a
+    // mean can land on a half-tie where round() diverges across
+    // engines (hit at sf0.001; the q47 discipline)
+    def r4(c: Column): Column = floor(c * 10000d + 0.5d) / 10000d
+    val buckets = scored.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        r4(exactSum(col("score")) / count(lit(1))).as("mean_score"),
+        r4(exactSum(col("quality")) / count(lit(1))).as("mean_quality"))
+    // ≤ nBuckets rows: the bounded-window discipline
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+    buckets.withColumn("monotone_ok",
+      coalesce(col("mean_quality") >= lag(col("mean_quality"), 1).over(w),
+        lit(true)))
   }
 
   /** Vocabulary coverage profile: corpus word frequencies ranked, with
@@ -1105,13 +1177,26 @@ object TextAnalysis extends QueryModule {
     "q129_bpe_merges" -> ((s, d) => bpeMergesFrom(gateTokens(s, d)
       .select(explode(col("ws")).as("w")), k = 20, minCount = 2L)),
     // per-source PII incidence: which crawl needs the redaction pass
-    "q130_source_pii" -> ((s, d) => sourcePii(T.documents(s, d)))
+    "q130_source_pii" -> ((s, d) => sourcePii(T.documents(s, d))),
+    // classifier calibration: bucket mean gold quality vs score
+    "q131_score_calibration" -> ((s, d) => scoreCalibration(T.documents(s, d)))
   )
 
   private val normSql =
     "trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g'))"
   private val wsSql =
     s"list_filter(string_split_regex($normSql, ' +'), w -> w <> '')"
+
+  /** The q74 weight fold in SQL over a `ws` list column — the oracle
+    * twin of [[classifierSumExpr]], shared by q74 and q131. */
+  private lazy val classifierSumSql: String = {
+    val warr = classifierWeights.mkString("[", ", ", "]")
+    val hashIdx =
+      s"CAST((CAST('0x' || substr(md5(x),1,15) AS BIGINT) % $ClassifierBuckets) + 1 AS INTEGER)"
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(ws, x -> list_extract($warr, $hashIdx))),
+       |    (a, b) -> a + b)""".stripMargin
+  }
 
   /** DuckDB literal list of the en stopwords — shared by every oracle
     * that computes the q34 stopword ratio. */
@@ -1452,21 +1537,37 @@ object TextAnalysis extends QueryModule {
          |SELECT doc_id, term, tf, df, ROUND(score, 4) AS tfidf,
          |  CAST(rk AS INTEGER) AS rk
          |FROM r WHERE rk <= 5""".stripMargin,
-    "q74_classifier_score" -> {
-      val warr = classifierWeights.mkString("[", ", ", "]")
-      val hashIdx =
-        s"CAST((CAST('0x' || substr(md5(x),1,15) AS BIGINT) % $ClassifierBuckets) + 1 AS INTEGER)"
-      val sumSql =
-        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-           |    list_transform(ws, x -> list_extract($warr, $hashIdx))),
-           |    (a, b) -> a + b)""".stripMargin
+    "q74_classifier_score" ->
       s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
          |f AS (SELECT doc_id, ws FROM w WHERE len(ws) > 0)
          |SELECT doc_id, CAST(len(ws) AS INTEGER) AS n_words,
-         |  ROUND($sumSql / len(ws), 6) AS score,
-         |  ($sumSql > 0) AS pred_keep
-         |FROM f""".stripMargin
-    },
+         |  ROUND($classifierSumSql / len(ws), 6) AS score,
+         |  ($classifierSumSql > 0) AS pred_keep
+         |FROM f""".stripMargin,
+    // ONE scan carries score and gold quality (the Spark plan's
+    // shape); round-then-bucket, decimal means, ≤10-row lag window
+    "q131_score_calibration" ->
+      s"""WITH w AS (SELECT doc_id, text, $wsSql AS ws FROM documents),
+         |f AS (SELECT doc_id, text, ws FROM w WHERE len(ws) > 0),
+         |m AS (SELECT doc_id,
+         |  CAST(len(ws) AS INTEGER) AS n_words,
+         |  GREATEST(len(ws), 1) AS nw,
+         |  GREATEST(len(text), 1) AS nc,
+         |  len(list_filter(ws, x -> list_contains($stopListSql, x))) AS stop_hits,
+         |  len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+         |  ROUND($classifierSumSql / len(ws), 6) AS score
+         |FROM f),
+         |s AS (SELECT
+         |  CAST(LEAST(GREATEST(FLOOR((score + 1.0) * 5.0), 0), 9) AS BIGINT) AS bucket,
+         |  score, $qualitySql AS quality FROM m),
+         |b AS (SELECT bucket, COUNT(*) AS n_docs,
+         |  FLOOR(${exactSumSql("score")} / COUNT(*) * 10000 + 0.5) / 10000 AS mean_score,
+         |  FLOOR(${exactSumSql("quality")} / COUNT(*) * 10000 + 0.5) / 10000 AS mean_quality
+         |FROM s GROUP BY bucket)
+         |SELECT bucket, n_docs, mean_score, mean_quality,
+         |  COALESCE(mean_quality >= LAG(mean_quality) OVER (ORDER BY bucket),
+         |    TRUE) AS monotone_ok
+         |FROM b""".stripMargin,
     // same tokenize, same bigram join keys, IDENTICAL lift
     // parenthesization: ((c_ab·N)·N) / ((B·c_a)·c_b)
     "q97_collocations" ->

@@ -640,6 +640,20 @@ class PlanAuditSpec extends SparkSpec {
       s"final rank must be the bounded top-k aggregate:\n$s")
   }
 
+  test("q132 cell-balanced select: scan-side cell assignment, ONE " +
+    "equi-join, per-cell selection is a bounded aggregate (a window " +
+    "would one-task each of the few cells)") {
+    val s = planOf(graft.scale.Curation.cellBalancedSelect(
+      graft.Tables.documents(spark, sf), graft.Tables.embeddings(spark, sf)))
+    assert(s.contains("argmax_cosine"), s"expected scan-side assignment:\n$s")
+    assert(!s.contains("Window"),
+      s"per-cell window sort leaked into the plan:\n$s")
+    assert(s.contains("partial_top_k"),
+      s"expected the bounded top-k aggregate:\n$s")
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
+      .findAllIn(s).length === 1, s"exactly one join:\n$s")
+  }
+
   test("q129 bpe merges: pair stats run over the distinct-word table, " +
     "the top-k is a bounded aggregate — no pair-vocabulary window sort, " +
     "no joins") {

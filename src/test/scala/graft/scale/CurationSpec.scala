@@ -235,4 +235,41 @@ class CurationSpec extends SparkSpec {
       Seq((1L, vec(1)), (2L, vec(2))).toDF("vec_id", "embedding")).head()
     assert(clean.getBoolean(7) && clean.getLong(2) === 2L)
   }
+
+  test("cellBalancedSelect caps each embedding cell at k and keeps its " +
+    "highest-quality docs (quality DESC, doc_id ASC ties)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(13)
+    // two well-separated anchor directions -> 2 occupied cells (cents
+    // are the first nCells=2 vectors, one per anchor)
+    val a0 = Array.fill(64)(rnd.nextFloat() * 2 - 1)
+    val a1 = a0.map(-_)
+    val emb = (0 until 12).map { i =>
+      val a = if (i % 2 == 0) a0 else a1
+      (i.toLong, a.map(x => x + rnd.nextFloat() * 0.05f))
+    }.toDF("vec_id", "embedding")
+    // doc i quality rises with word count (the q34 length term)
+    val docs = (0 until 12).map { i =>
+      (i.toLong, Seq.fill(5 + 8 * i)("the data").mkString(" "), "en", "s")
+    }.toDF("doc_id", "text", "lang", "source")
+    val out = Curation.cellBalancedSelect(docs, emb, nCells = 2, k = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("cell_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Double]("quality")))
+    val byCell = out.groupBy(_._1)
+    assert(byCell.keySet === Set(0L, 1L))
+    val quals = TextAnalysis.qualityScore(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality")).toMap
+    byCell.foreach { case (cell, rows) =>
+      assert(rows.length === 3, s"cap must bind in cell $cell")
+      // the kept docs are the cell's top-quality members in order
+      val members = (0 until 12).map(_.toLong)
+        .filter(i => (i % 2 == 0) == (cell == 0L))
+      val expect = members.sortBy(i => (-quals(i), i)).take(3)
+      assert(rows.sortBy(_._2).map(_._3).toSeq === expect,
+        s"cell $cell selection")
+      rows.foreach { case (_, _, id, q) => assert(q === quals(id)) }
+    }
+  }
 }

@@ -462,6 +462,51 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("b")._3 === Seq(3L, 4L, 5L).map(perDoc(_)._1).sum)
   }
 
+  test("scoreCalibration reconciles with the q74 and q34 boards and " +
+    "flags monotonicity per bucket") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(5)
+    val vocab = Seq("the", "data", "table", "row", "query", "spark",
+      "join", "fast", "slow", "clean")
+    val df = (1L to 40L).map { i =>
+      (i, Seq.fill(5 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "), "en", "a")
+    }.toDF("doc_id", "text", "lang", "source")
+    val out = TextAnalysis.scoreCalibration(df).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("mean_score"),
+          r.getAs[Double]("mean_quality"), r.getAs[Boolean]("monotone_ok")))
+      .toMap
+    // reference: aggregate the q74 scores and q34 qualities directly
+    val scores = TextAnalysis.classifierScore(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    val quals = TextAnalysis.qualityScore(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality")).toMap
+    def bucketOf(s: Double) =
+      math.min(math.max(math.floor((s + 1.0) * 5.0).toLong, 0L), 9L)
+    val ref = scores.groupBy { case (id, s) => bucketOf(s) }
+      .view.mapValues { m =>
+        val ids = m.keys.toSeq
+        def r4(x: Double) = math.floor(x * 10000d + 0.5d) / 10000d
+        (ids.size.toLong,
+          r4(ids.map(scores).map(BigDecimal(_)).sum.toDouble / ids.size),
+          r4(ids.map(quals).map(BigDecimal(_)).sum.toDouble / ids.size))
+      }.toMap
+    assert(out.keySet === ref.keySet)
+    ref.foreach { case (b, (n, ms, mq)) =>
+      assert(out(b)._1 === n, s"bucket $b n")
+      assert(out(b)._2 === ms, s"bucket $b mean_score")
+      assert(out(b)._3 === mq, s"bucket $b mean_quality")
+    }
+    // the flag restates the lag comparison over bucket order
+    val ordered = out.toSeq.sortBy(_._1)
+    ordered.zipWithIndex.foreach { case ((b, (_, _, mq, ok)), i) =>
+      val expected = i == 0 || mq >= ordered(i - 1)._2._3
+      assert(ok === expected, s"bucket $b monotone_ok")
+    }
+  }
+
   test("bpeMerges counts word-weighted adjacent pairs, keeps in-word " +
     "duplicates, and ranks (cnt DESC, pair ASC)") {
     val spark2 = spark
