@@ -311,14 +311,21 @@ object Curation extends QueryModule {
     * (quality is the q34 ROUND'd double). */
   def cellBalancedSelect(docs: DataFrame, emb: DataFrame,
                          nCells: Int = Similarity.IvfCells,
-                         k: Int = 20): DataFrame = {
+                         k: Int = 20): DataFrame =
+    cellBalancedSelectFrom(
+      Layout.widen(docs).select(col("doc_id"),
+        round(TextAnalysis.qualityExpr(col("text")), 4).as("quality")),
+      emb, nCells, k)
+
+  /** [[cellBalancedSelect]] from a (doc_id, quality) table — the batch
+    * form rides the memoized quality core instead of re-scanning. */
+  private[scale] def cellBalancedSelectFrom(scored: DataFrame, emb: DataFrame,
+                                            nCells: Int, k: Int): DataFrame = {
     val cents = Similarity.seedCentroidList(emb, nCells)
     val cells = Layout.widen(emb).select(col("vec_id").as("doc_id"),
       graft.functions.VectorExpressions.argMaxCosine(
         toDoubleArray(col("embedding")), cents).as("cell_id"))
-    val scored = Layout.widen(docs).select(col("doc_id"),
-      round(TextAnalysis.qualityExpr(col("text")), 4).as("quality"))
-    scored.join(cells, Seq("doc_id"))
+    scored.select(col("doc_id"), col("quality")).join(cells, Seq("doc_id"))
       .groupBy(col("cell_id"))
       .agg(graft.functions.TopKAgg.topK(col("quality"), col("doc_id"), k)
         .as("top"))
@@ -422,9 +429,11 @@ object Curation extends QueryModule {
     // text↔embedding referential integrity (the J5 audit, cross-modal)
     "q110_modality_integrity" -> ((s, d) =>
       modalityIntegrity(T.documents(s, d), T.embeddings(s, d))),
-    // semantic-diversity cap: best-quality k docs per embedding cell
+    // semantic-diversity cap: best-quality k docs per embedding cell —
+    // rides the memoized quality core in a batch run
     "q132_cell_balanced" -> ((s, d) =>
-      cellBalancedSelect(T.documents(s, d), T.embeddings(s, d)))
+      cellBalancedSelectFrom(TextAnalysis.gateScored(s, d),
+        T.embeddings(s, d), Similarity.IvfCells, k = 20))
   )
 
   // hash := high 60 bits of md5(id) — identical to portableHash60

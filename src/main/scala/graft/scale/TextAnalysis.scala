@@ -729,8 +729,27 @@ object TextAnalysis extends QueryModule {
         col("score"), col("quality"))
   }
 
-  private def scoreCalibrationFrom(scored: DataFrame,
-                                   nBuckets: Int): DataFrame = {
+  /** [[calibScored]] from the memoized token and quality cores — the
+    * batch form: two narrow checkpointed tables joined by doc_id
+    * replace the standalone form's third full text scan (regex
+    * tokenize + stopword pass) per batch run. */
+  private[scale] def calibScoredFrom(tokens: DataFrame, scored: DataFrame,
+                                     nBuckets: Int): DataFrame = {
+    val half = nBuckets / 2.0
+    tokens.select(col("doc_id"), col("ws"))
+      .filter(size(col("ws")) > 0)
+      .join(scored.select(col("doc_id"), col("quality")), Seq("doc_id"))
+      .select(col("quality"),
+        explode(array(round(classifierSumExpr(col("ws")) / size(col("ws")), 6)))
+          .as("score"))
+      .select(
+        least(greatest(floor((col("score") + 1.0d) * half), lit(0L)),
+          lit(nBuckets - 1L)).cast("long").as("bucket"),
+        col("score"), col("quality"))
+  }
+
+  private[scale] def scoreCalibrationFrom(scored: DataFrame,
+                                          nBuckets: Int): DataFrame = {
     // round-half-up written floor(x·10⁴+0.5)/10⁴ on BOTH sides — a
     // mean can land on a half-tie where round() diverges across
     // engines (hit at sf0.001; the q47 discipline)
@@ -1178,8 +1197,10 @@ object TextAnalysis extends QueryModule {
       .select(explode(col("ws")).as("w")), k = 20, minCount = 2L)),
     // per-source PII incidence: which crawl needs the redaction pass
     "q130_source_pii" -> ((s, d) => sourcePii(T.documents(s, d))),
-    // classifier calibration: bucket mean gold quality vs score
-    "q131_score_calibration" -> ((s, d) => scoreCalibration(T.documents(s, d)))
+    // classifier calibration: bucket mean gold quality vs score —
+    // fed from the memoized token + quality cores in a batch run
+    "q131_score_calibration" -> ((s, d) => scoreCalibrationFrom(
+      calibScoredFrom(gateTokens(s, d), gateScored(s, d), 10), 10))
   )
 
   private val normSql =
