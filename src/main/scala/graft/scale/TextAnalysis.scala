@@ -1083,8 +1083,15 @@ object TextAnalysis extends QueryModule {
 
   /** [[bpeMerges]] from a bare token stream — shared-core form. */
   private[scale] def bpeMergesFrom(toks: DataFrame, k: Int,
-                                   minCount: Long): DataFrame = {
-    val freq = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+                                   minCount: Long): DataFrame =
+    bpeMergesFromFreq(
+      toks.groupBy(col("w")).agg(count(lit(1)).as("cnt")), k, minCount)
+
+  /** [[bpeMerges]] from the (w, cnt) vocabulary table — the form
+    * [[bpeApply]] shares so one vocabulary aggregate feeds both the
+    * merge mining and the application audit. */
+  private[scale] def bpeMergesFromFreq(freq: DataFrame, k: Int,
+                                       minCount: Long): DataFrame = {
     // pairs within a word keep duplicates (explode), each weighted by
     // the word's corpus count — `aa` in "aaa" counts twice per use
     val pairCnt = freq
@@ -1100,6 +1107,52 @@ object TextAnalysis extends QueryModule {
       .select(posexplode(col("top")))
       .select((col("pos") + 1).as("rank"), col("col.id").as("pair"),
         col("col.score").cast("long").as("cnt"))
+  }
+
+  /** q133: BPE merge-application audit — certify-the-estimate for the
+    * q129 merge table (the q103/q116 discipline applied to the
+    * tokenizer trainer): q129's pair counts are the standard ADJACENT
+    * pair statistic, which over-counts what a merge actually achieves
+    * when occurrences overlap (`aaa` counts `aa` twice but one
+    * left-to-right pass applies it once). Per mined pair, the ACTUAL
+    * non-overlapping application count over the weighted vocabulary,
+    * the words touched, and the overlap excess (estimate − actual, ≥ 0
+    * always; > 0 names the run-heavy pairs whose estimate a trainer
+    * should discount).
+    *
+    * Scale design: rides the SAME vocabulary aggregate as q129
+    * (checkpointed — mining and application both read it); the
+    * application pass is vocabulary × k broadcast rows, with actual
+    * counts from one `regexp_replace` length delta per (word, pair) —
+    * the pair is [a-z0-9]{2} so the literal-regex semantics (leftmost,
+    * non-overlapping) are identical in both engines. No corpus-sized
+    * exchange anywhere past the shared vocabulary build. */
+  def bpeApply(docs0: DataFrame, k: Int = 20, minCount: Long = 2L): DataFrame =
+    bpeApplyFrom(widen(docs0)
+      .select(explode(words(col("text"))).as("w")), k, minCount)
+
+  /** [[bpeApply]] from a bare token stream — shared-core form. */
+  private[scale] def bpeApplyFrom(toks: DataFrame, k: Int,
+                                  minCount: Long): DataFrame = {
+    // the vocabulary feeds the merge mining AND the application join —
+    // one aggregate, barriered (tfidf discipline)
+    val freq = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val merges = bpeMergesFromFreq(freq, k, minCount)
+      .select(col("rank"), col("pair"), col("cnt").as("est_cnt"))
+    freq.crossJoin(broadcast(merges))
+      .filter(col("w").contains(col("pair")))
+      .select(col("rank"), col("pair"), col("est_cnt"), col("cnt"),
+        // each non-overlapping application replaces 2 chars with 1 —
+        // the length delta IS the application count
+        (length(col("w")) -
+          length(regexp_replace(col("w"), col("pair"), lit("@")))).as("napp"))
+      .groupBy(col("rank"), col("pair"), col("est_cnt"))
+      .agg(sum(col("cnt") * col("napp")).as("n_applications"),
+        count(lit(1)).as("n_words"))
+      .withColumn("overlap_excess", col("est_cnt") - col("n_applications"))
+      .select(col("rank"), col("pair"), col("est_cnt"),
+        col("n_applications"), col("n_words"), col("overlap_excess"))
   }
 
   /** Corpus health report — the one-row dashboard a pipeline operator
@@ -1200,7 +1253,11 @@ object TextAnalysis extends QueryModule {
     // classifier calibration: bucket mean gold quality vs score —
     // fed from the memoized token + quality cores in a batch run
     "q131_score_calibration" -> ((s, d) => scoreCalibrationFrom(
-      calibScoredFrom(gateTokens(s, d), gateScored(s, d), 10), 10))
+      calibScoredFrom(gateTokens(s, d), gateScored(s, d), 10), 10)),
+    // merge-application audit: q129's estimate vs actual non-
+    // overlapping applications over the weighted vocabulary
+    "q133_bpe_apply" -> ((s, d) => bpeApplyFrom(gateTokens(s, d)
+      .select(explode(col("ws")).as("w")), k = 20, minCount = 2L))
   )
 
   private val normSql =
@@ -1626,6 +1683,32 @@ object TextAnalysis extends QueryModule {
          |  ROW_NUMBER() OVER (ORDER BY cnt DESC, pair ASC) AS rank FROM pc)
          |SELECT CAST(rank AS INTEGER) AS rank, pair, cnt
          |FROM r WHERE rank <= 20""".stripMargin,
+    // q129's mining chain + the application join: strpos finds the
+    // touched words, the replace() length delta counts non-overlapping
+    // applications (leftmost semantics, identical both engines for the
+    // [a-z0-9]{2} literal pair)
+    "q133_bpe_apply" ->
+      s"""WITH w AS (SELECT unnest($wsSql) AS w FROM documents),
+         |freq AS (SELECT w, COUNT(*) AS cnt FROM w GROUP BY w),
+         |pairs AS (SELECT substring(w, CAST(i AS INTEGER), 2) AS pair, cnt
+         |  FROM freq, unnest(range(1, length(w))) t(i)
+         |  WHERE length(w) >= 2),
+         |pc AS (SELECT pair, CAST(SUM(cnt) AS BIGINT) AS cnt
+         |  FROM pairs GROUP BY pair HAVING SUM(cnt) >= 2),
+         |r AS (SELECT pair, cnt AS est_cnt,
+         |  ROW_NUMBER() OVER (ORDER BY cnt DESC, pair ASC) AS rank FROM pc),
+         |top AS (SELECT * FROM r WHERE rank <= 20),
+         |app AS (SELECT t.rank, t.pair, t.est_cnt, f.cnt,
+         |    length(f.w) - length(replace(f.w, t.pair, '@')) AS napp
+         |  FROM top t JOIN freq f ON strpos(f.w, t.pair) > 0),
+         |g AS (SELECT rank, pair, est_cnt,
+         |    CAST(SUM(cnt * napp) AS BIGINT) AS n_applications,
+         |    COUNT(*) AS n_words
+         |  FROM app GROUP BY rank, pair, est_cnt)
+         |SELECT CAST(rank AS INTEGER) AS rank, pair, est_cnt,
+         |  n_applications, n_words,
+         |  est_cnt - n_applications AS overlap_excess
+         |FROM g""".stripMargin,
     // the guarded MG+confirm result is identical to plain exact top-k
     // by construction — the oracle states the exact form directly
     "q96_heavy_hitters" ->

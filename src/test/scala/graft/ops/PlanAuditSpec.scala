@@ -654,6 +654,18 @@ class PlanAuditSpec extends SparkSpec {
       .findAllIn(s).length === 1, s"exactly one join:\n$s")
   }
 
+  test("q131 score calibration (standalone form): score and gold " +
+    "quality ride ONE scan — no corpus self-join; the only window is " +
+    "the bounded ≤nBuckets lag") {
+    val s = planOf(graft.scale.TextAnalysis.scoreCalibration(
+      graft.Tables.documents(spark, sf)))
+    assert(!s.contains("Join"), s"corpus self-join regressed:\n$s")
+    assert("Window".r.findAllIn(s).length === 1,
+      s"expected exactly the bounded bucket-lag window:\n$s")
+    assert("Scan parquet".r.findAllIn(s).length === 1,
+      s"expected ONE corpus scan:\n$s")
+  }
+
   test("q129 bpe merges: pair stats run over the distinct-word table, " +
     "the top-k is a bounded aggregate — no pair-vocabulary window sort, " +
     "no joins") {

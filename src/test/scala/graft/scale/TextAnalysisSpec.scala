@@ -528,4 +528,29 @@ class TextAnalysisSpec extends SparkSpec {
       .map(_.getAs[String]("pair"))
     assert(floored === Seq("aa", "bc"))
   }
+
+  test("bpeApply: actual non-overlapping applications vs the q129 " +
+    "estimate — run-heavy pairs show overlap excess, clean pairs none") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      // "aaaa" estimate counts aa 3×/occurrence; one left-to-right
+      // pass applies it twice ("aaaa" -> "@@")
+      (1L, "aaaa bc", "en"),
+      (2L, "aaaa bc", "en"),
+      (3L, "abca cb", "en")
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.bpeApply(df, k = 10, minCount = 1L).collect()
+      .map(r => r.getAs[String]("pair") ->
+        (r.getAs[Long]("est_cnt"), r.getAs[Long]("n_applications"),
+          r.getAs[Long]("n_words"), r.getAs[Long]("overlap_excess"))).toMap
+    // aa: est = 3×2 = 6, actual = 2×2 = 4, one distinct word touched
+    assert(out("aa") === ((6L, 4L, 1L, 2L)))
+    // bc: est = 2 ("aaaa bc"×2) + 1 ("abca") = 3, actual = 3, no runs
+    assert(out("bc") === ((3L, 3L, 2L, 0L)))
+    // every pair: actual ≤ estimate
+    out.values.foreach { case (est, act, _, excess) =>
+      assert(act <= est && excess === est - act)
+    }
+  }
 }
