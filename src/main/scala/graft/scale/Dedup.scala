@@ -1474,6 +1474,69 @@ object Dedup extends QueryModule {
       .groupBy(col("sz").as("cluster_size"))
       .agg(count(lit(1)).as("n_clusters"))
 
+  /** q134: corpus-level LINE dedup — the C4/RefinedWeb boilerplate
+    * pass: any line occurring at least `minDupCount` times across the
+    * corpus (navigation chrome, cookie banners, boilerplate headers)
+    * is dropped from every document. Per doc: the line count, how many
+    * line occurrences were dropped, and the md5 of the cleaned text
+    * (order-preserving reassembly) — the fingerprint a downstream
+    * exact-dedup pass runs on.
+    *
+    * Scale design: three keyed shuffles, all inherent to the operator
+    * — the line-frequency aggregate (map-side partials over the line
+    * vocabulary), the line↔count attach (shuffle join on the line key;
+    * the line vocabulary is corpus-scale, NOT broadcastable), and the
+    * per-doc regroup. The reassembly sorts WITHIN each doc's collected
+    * lines (array_sort over (pos, line) structs — bounded by the doc's
+    * own line count), never a global order. Determinism: collect_list
+    * order is partition-dependent but array_sort by position
+    * canonicalizes it; md5 over the joined text is exact both engines.
+    */
+  def lineDedup(docs0: DataFrame, minDupCount: Long = 2L): DataFrame = {
+    val docs = Layout.widen(docs0)
+    // the line table feeds the counts AND the reassembly — barriered
+    val lines = docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      .localCheckpoint()
+    val counts = lines.groupBy(col("line")).agg(count(lit(1)).as("cnt"))
+    lines.join(counts, Seq("line"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        count(when(col("cnt") >= minDupCount, 1)).as("n_dropped"),
+        md5(concat_ws("\n",
+          transform(
+            array_sort(collect_list(
+              when(col("cnt") < minDupCount,
+                struct(col("pos"), col("line"))))),
+            x => x.getField("line")))).as("clean_md5"))
+  }
+
+  /** q135: quality-aware dedup representatives — per near-dup cluster
+    * (q59's components), the member the curator SHOULD keep: highest
+    * q34 quality, doc_id ASC ties. The production kept-set
+    * ([[dedupCorpus]]) keeps the min-id member; this board reports
+    * what the quality-aware policy keeps instead and flags every
+    * cluster where the two differ — "how much quality does the cheap
+    * policy leave on the table", the report that decides whether the
+    * extra quality join is worth shipping.
+    *
+    * Scale design: one doc_id equi-join (components × quality, both
+    * corpus-keyed), then ONE hash-aggregate per cluster — the argmax
+    * rides `max(struct(quality, -doc_id))` (field-lexicographic max =
+    * quality DESC, doc_id ASC), so ties are total, partials are
+    * map-side, and no per-cluster window sorts the membership. */
+  def bestRep(comps: DataFrame, scored: DataFrame): DataFrame =
+    comps.join(scored.select(col("doc_id"), col("quality")), Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("doc_id")).as("min_id"),
+        max(struct(col("quality"), (-col("doc_id")).as("negid"))).as("m"))
+      .select(col("cluster_id"), col("n_members"),
+        (-col("m.negid")).cast("long").as("rep_id"),
+        col("m.quality").as("rep_quality"), col("min_id"),
+        ((-col("m.negid")) =!= col("min_id")).as("rep_differs"))
+
   // ---- driver-gate query registry ----
 
   /** Shared gate cores ([[graft.Shared]]): the maxDist=5 simhash pair
@@ -1509,6 +1572,11 @@ object Dedup extends QueryModule {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q120_cluster_sizes" -> ((s, d) => clusterSizesFrom(gateComps(s, d))),
+    // C4-style corpus line dedup: per-doc boilerplate-drop fingerprint
+    "q134_line_dedup" -> ((s, d) => lineDedup(T.documents(s, d))),
+    // quality-aware representative per q59 cluster vs the min-id policy
+    "q135_best_rep" -> ((s, d) =>
+      bestRep(gateComps(s, d), TextAnalysis.gateScored(s, d))),
     "q24_dedup_exact" -> ((s, d) => exactDedup(T.documents(s, d))),
     "q25_ngram_jaccard" -> ((s, d) =>
       ngramJaccardFrom(gateShingles(s, d))),
@@ -1724,6 +1792,48 @@ object Dedup extends QueryModule {
       s"""WITH RECURSIVE $simhashPairCte,
          |$ccClosureCte
          |SELECT doc_id, cluster_id FROM cl""".stripMargin,
+    // line table → corpus line counts → filtered order-preserving
+    // reassembly; the outer COALESCE guards the all-dropped doc
+    // (DuckDB: a FILTER'd list over zero rows is NULL, and
+    // array_to_string of an empty list is ALSO NULL — Spark's
+    // concat_ws over an empty array is '')
+    "q134_line_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+        |l AS (SELECT doc_id, i, ls[i] AS ln
+        |      FROM d, unnest(range(1, len(ls) + 1)) t(i)),
+        |c AS (SELECT ln, COUNT(*) AS cnt FROM l GROUP BY ln),
+        |j AS (SELECT l.doc_id, l.i, l.ln, c.cnt FROM l JOIN c USING (ln))
+        |SELECT doc_id, COUNT(*) AS n_lines,
+        |  COUNT(CASE WHEN cnt >= 2 THEN 1 END) AS n_dropped,
+        |  md5(COALESCE(array_to_string(
+        |    list(ln ORDER BY i) FILTER (WHERE cnt < 2),
+        |    chr(10)), '')) AS clean_md5
+        |FROM j GROUP BY doc_id""".stripMargin,
+    // q59's components × q34's quality; the per-cluster argmax is the
+    // rn=1 row of (quality DESC, doc_id ASC)
+    "q135_best_rep" ->
+      s"""WITH RECURSIVE $simhashPairCte,
+         |$ccClosureCte,
+         |qw AS (SELECT doc_id, text, $normSql AS ws FROM documents),
+         |qm AS (SELECT doc_id,
+         |  CAST(len(ws) AS INTEGER) AS n_words,
+         |  GREATEST(len(ws), 1) AS nw,
+         |  GREATEST(len(text), 1) AS nc,
+         |  len(list_filter(ws, x -> list_contains(${TextAnalysis.stopListSql}, x))) AS stop_hits,
+         |  len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct
+         |FROM qw),
+         |q AS (SELECT doc_id, ${TextAnalysis.qualitySql} AS quality FROM qm),
+         |j AS (SELECT cl.cluster_id, cl.doc_id, q.quality
+         |      FROM cl JOIN q USING (doc_id)),
+         |r AS (SELECT cluster_id, doc_id, quality,
+         |  ROW_NUMBER() OVER (PARTITION BY cluster_id
+         |    ORDER BY quality DESC, doc_id ASC) AS rn FROM j),
+         |g AS (SELECT cluster_id, COUNT(*) AS n_members,
+         |      MIN(doc_id) AS min_id FROM j GROUP BY 1)
+         |SELECT g.cluster_id, g.n_members, r.doc_id AS rep_id,
+         |  r.quality AS rep_quality, g.min_id,
+         |  (r.doc_id <> g.min_id) AS rep_differs
+         |FROM g JOIN r ON r.cluster_id = g.cluster_id AND r.rn = 1""".stripMargin,
     "q120_cluster_sizes" ->
       s"""WITH RECURSIVE $simhashPairCte,
          |$ccClosureCte,

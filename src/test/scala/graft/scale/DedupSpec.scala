@@ -1276,4 +1276,46 @@ class DedupSpec extends SparkSpec {
     // every paired doc is accounted for exactly once
     assert(got.map { case (sz, n) => sz * n }.sum === comps.length)
   }
+
+  test("lineDedup drops corpus-repeated lines, preserves order in the " +
+    "cleaned fingerprint, and hashes the all-dropped doc as empty") {
+    val spark2 = spark
+    import spark2.implicits._
+    def md5s(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val boiler = "accept cookies to continue"
+    val docs = Seq(
+      (1L, s"$boiler\nunique first body\nmore first text"),
+      (2L, s"second doc intro\n$boiler\nsecond doc end"),
+      (3L, boiler) // all boilerplate -> empty after cleaning
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_lines"), r.getAs[Long]("n_dropped"),
+          r.getAs[String]("clean_md5"))).toMap
+    assert(out(1L) === ((3L, 1L,
+      md5s("unique first body\nmore first text"))))
+    assert(out(2L) === ((3L, 1L,
+      md5s("second doc intro\nsecond doc end"))))
+    assert(out(3L) === ((1L, 1L, md5s(""))))
+  }
+
+  test("bestRep picks the highest-quality member per cluster " +
+    "(doc_id ASC ties) and flags divergence from the min-id policy") {
+    val spark2 = spark
+    import spark2.implicits._
+    val comps = Seq((10L, 1L), (11L, 1L), (12L, 1L), (20L, 2L), (21L, 2L))
+      .toDF("doc_id", "cluster_id")
+    val scored = Seq(
+      (10L, 0.4), (11L, 0.9), (12L, 0.9), // tie at 0.9 -> 11 wins
+      (20L, 0.7), (21L, 0.3)              // min id IS the best
+    ).toDF("doc_id", "quality")
+    val out = Dedup.bestRep(comps, scored).collect()
+      .map(r => r.getAs[Long]("cluster_id") ->
+        (r.getAs[Long]("n_members"), r.getAs[Long]("rep_id"),
+          r.getAs[Double]("rep_quality"), r.getAs[Long]("min_id"),
+          r.getAs[Boolean]("rep_differs"))).toMap
+    assert(out(1L) === ((3L, 11L, 0.9, 10L, true)))
+    assert(out(2L) === ((2L, 20L, 0.7, 20L, false)))
+  }
 }
