@@ -140,6 +140,62 @@ object TemporalOps extends QueryModule {
     stageSummary(reached, stages, i => col("reached") >= i + 1)
   }
 
+  /** q136: funnel transition latency — per consecutive stage pair of
+    * the greedy-earliest funnel (the q113 semantics), the exact
+    * p50/p90/p99 of the transition delay over converting users: the
+    * "where does the funnel stall" board a product owner reads next to
+    * the q113 conversion rates.
+    *
+    * Scale design: ONE data shuffle, the q113 per-user sorted fold —
+    * the accumulator additionally carries the completion timestamp of
+    * every reached stage (bounded: ≤ stages entries), so transition
+    * delays fall out of the same pass; percentiles ride
+    * [[graft.ops.CoreQueries.cumDistPercentiles]] (distinct-value
+    * cum-dist — exchange carries distinct delays, percentile picks are
+    * integer-threshold exact, `percentile_disc`-equivalent and bitwise
+    * engine-portable). Delays are integer micros — no float anywhere.
+    */
+  def funnelLatency(events: DataFrame,
+                    stages: Seq[String] = Seq("view", "click", "purchase")):
+      DataFrame = {
+    require(stages.size >= 2 && stages.distinct.size == stages.size,
+      s"need >= 2 distinct stages: $stages")
+    val stageLit = typedLit(stages)
+    val transLit = typedLit(
+      stages.sliding(2).map(p => s"${p.head}->${p(1)}").toSeq)
+    val perUser = events
+      .filter(col("event_type").isin(stages: _*))
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_type"))))
+        .as("evs"))
+    val folded = perUser.select(
+      aggregate(
+        col("evs"),
+        struct(lit(0).as("n"), lit(null).cast("timestamp").as("t"),
+          array().cast("array<timestamp>").as("times")),
+        (acc, e) => {
+          val n = acc.getField("n")
+          val advance = n < stages.size &&
+            e.getField("event_type") === element_at(stageLit, n + 1) &&
+            (n === 0 || e.getField("ts") > acc.getField("t"))
+          when(advance,
+            struct((n + 1).as("n"), e.getField("ts").as("t"),
+              concat(acc.getField("times"), array(e.getField("ts")))
+                .as("times"))).otherwise(acc)
+        }).getField("times").as("times"))
+    val delays = folded
+      .filter(size(col("times")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("times")) - 1),
+        i => struct(
+          element_at(transLit, i).as("transition"),
+          (unix_micros(element_at(col("times"), i + 1)) -
+            unix_micros(element_at(col("times"), i))).as("delay_us")))).as("d"))
+      .select(col("d.transition"), col("d.delay_us"))
+    CoreQueries.cumDistPercentiles(delays, "transition", "delay_us")
+  }
+
   /** Shared funnel epilogue ([[funnel]]/[[funnelWindow]]): one
     * single-row aggregate of stage counts (c0 = base users, cI =
     * users whose stage-i predicate holds) exploded into
@@ -457,6 +513,8 @@ object TemporalOps extends QueryModule {
     "q43_asof_join" -> q43AsofJoin,
     "q45_range_join" -> q45RangeJoin,
     "q113_funnel" -> ((s, d) => funnel(T.events(s, d))),
+    // per-transition funnel stall: exact delay percentiles
+    "q136_funnel_latency" -> ((s, d) => funnelLatency(T.events(s, d))),
     "q114_retention" -> ((s, d) => retention(T.events(s, d))),
     "q119_rate_anomaly" -> ((s, d) => rateAnomaly(T.events(s, d))),
     "q121_funnel_window" -> ((s, d) => funnelWindow(T.events(s, d))),
@@ -492,6 +550,30 @@ object TemporalOps extends QueryModule {
     // stage 1 completes at min(ts), stage i at the min stage-i ts
     // strictly after stage i-1's completion — the two definitions
     // coincide (greedy-earliest maximizes every later stage's chances)
+    // greedy-earliest == the min-ts cascade (q113's identity), so the
+    // transition timestamps are the cascade's own mins; percentiles
+    // are ANSI percentile_disc over the integer micro delays
+    "q136_funnel_latency" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1),
+        |d AS (SELECT 'view->click' AS transition,
+        |    epoch_us(s2.t) - epoch_us(s1.t) AS delay_us
+        |  FROM s1 JOIN s2 USING (user_id)
+        |  UNION ALL
+        |  SELECT 'click->purchase', epoch_us(s3.t) - epoch_us(s2.t)
+        |  FROM s2 JOIN s3 USING (user_id))
+        |SELECT transition,
+        |  percentile_disc(0.5) WITHIN GROUP (ORDER BY delay_us) AS p50,
+        |  percentile_disc(0.9) WITHIN GROUP (ORDER BY delay_us) AS p90,
+        |  percentile_disc(0.99) WITHIN GROUP (ORDER BY delay_us) AS p99,
+        |  COUNT(*) AS n
+        |FROM d GROUP BY transition""".stripMargin,
     "q113_funnel" ->
       """WITH base AS (SELECT DISTINCT user_id FROM events
         |  WHERE event_type IN ('view', 'click', 'purchase')),

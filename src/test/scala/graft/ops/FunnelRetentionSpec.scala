@@ -48,6 +48,33 @@ class FunnelRetentionSpec extends SparkSpec {
     assert(out("purchase")._2 === 0.5) // 1 of 2
   }
 
+  test("funnelLatency: per-transition delays use the greedy-earliest " +
+    "chain timestamps; percentiles are exact discrete picks") {
+    val e = ev(
+      // u1: view 10:00 → click 10:01 (60s) → purchase 10:03 (120s)
+      (1L, "2026-01-01 10:00:00", "view"),
+      (1L, "2026-01-01 10:01:00", "click"),
+      (1L, "2026-01-01 10:03:00", "purchase"),
+      // u2: pre-view click ignored; later click at +300s counts; a
+      // second click is NOT the chain's (earliest qualifying wins)
+      (2L, "2026-01-01 09:00:00", "click"),
+      (2L, "2026-01-01 10:00:00", "view"),
+      (2L, "2026-01-01 10:05:00", "click"),
+      (2L, "2026-01-01 10:06:00", "click"),
+      // u3: view only → contributes no transition
+      (3L, "2026-01-01 10:00:00", "view"))
+    val out = TemporalOps.funnelLatency(e).collect()
+      .map(r => r.getAs[String]("transition") ->
+        (r.getAs[Long]("p50"), r.getAs[Long]("p90"), r.getAs[Long]("p99"),
+          r.getAs[Long]("n"))).toMap
+    // view->click delays: u1 60s, u2 300s → p50 = 60s (disc pick),
+    // p90/p99 = 300s
+    assert(out("view->click") === ((60000000L, 300000000L, 300000000L, 2L)))
+    // click->purchase: u1 only, 120s
+    assert(out("click->purchase") ===
+      ((120000000L, 120000000L, 120000000L, 1L)))
+  }
+
   test("funnel: a stage tie on ts does NOT advance (strictly-after contract)") {
     val e = ev(
       (1L, "2026-01-01 10:00:00", "view"),
