@@ -334,6 +334,40 @@ object Curation extends QueryModule {
         col("col.id").as("doc_id"), col("col.score").as("quality"))
   }
 
+  /** q137: post-selection mixture reconciliation — the language
+    * mixture of the q105 budget-selected set (token-weighted, the unit
+    * mixtures are specified in) against the q79 target weights: the
+    * "did quality selection skew the mixture" QA read a curation owner
+    * checks before shipping a selected set, since quality and language
+    * correlate and a pure-quality cut silently reweights languages.
+    *
+    * Scale design: rides the q105 selection (distributed prefix sum)
+    * plus one doc_id equi-join to attach `lang`, then a languages-keyed
+    * rollup and a 1-row total cross join (the documented safe shape).
+    * The share divides exact integer token sums (floor-rounded 6
+    * decimals — the q47 half-tie discipline); target weights are
+    * plan literals, so `dev` is one subtraction of identical doubles
+    * in both engines. */
+  def selectionMixture(scored: DataFrame, budget: Long = 20000L,
+                       target: Map[String, Double] = TargetMixture): DataFrame = {
+    val sel = budgetSelectFrom(scored, budget)
+    val perLang = sel
+      .join(scored.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("sel_toks"))
+    val total = perLang.agg(sum(col("sel_toks")).as("total_toks"))
+    val targetCol = target.toSeq.sortBy(_._1)
+      .foldLeft(lit(0.0)) { case (acc, (l, v)) =>
+        when(col("lang") === l, lit(v)).otherwise(acc)
+      }
+    perLang.crossJoin(broadcast(total))
+      .select(col("lang"), col("n_docs"), col("sel_toks"),
+        (floor(col("sel_toks").cast("double") / col("total_toks") * 1000000d
+          + 0.5d) / 1000000d).as("share"),
+        targetCol.as("target"))
+      .withColumn("dev", col("share") - col("target"))
+  }
+
   // ---- driver-gate queries ----
 
   private val SampleFractions = Map(
@@ -433,7 +467,10 @@ object Curation extends QueryModule {
     // rides the memoized quality core in a batch run
     "q132_cell_balanced" -> ((s, d) =>
       cellBalancedSelectFrom(TextAnalysis.gateScored(s, d),
-        T.embeddings(s, d), Similarity.IvfCells, k = 20))
+        T.embeddings(s, d), Similarity.IvfCells, k = 20)),
+    // token-weighted language mixture of the selected set vs targets
+    "q137_selection_mixture" -> ((s, d) =>
+      selectionMixture(TextAnalysis.gateScored(s, d)))
   )
 
   // hash := high 60 bits of md5(id) — identical to portableHash60
@@ -445,29 +482,54 @@ object Curation extends QueryModule {
     "list_filter(string_split_regex(trim(regexp_replace(regexp_replace(" +
       "lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')), ' +'), w -> w <> '')"
 
+  // q34's quality expression + q35's chars/4 token estimate, ranked
+  // by (quality DESC, doc_id) with a running-total budget cut; the
+  // distributed offsets reproduce the single global window exactly.
+  // Shared by the q105 board and q137's reconciliation.
+  private lazy val budgetCte =
+    s"""w AS (SELECT doc_id, text, $wsSql AS ws FROM documents),
+       |m AS (SELECT doc_id,
+       |  CAST(len(ws) AS INTEGER) AS n_words,
+       |  GREATEST(len(ws), 1) AS nw,
+       |  GREATEST(len(text), 1) AS nc,
+       |  len(list_filter(ws, x -> list_contains(${TextAnalysis.stopListSql}, x))) AS stop_hits,
+       |  len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+       |  CAST(CEIL(CAST(len(text) AS DOUBLE)/4) AS BIGINT) AS toks
+       |FROM w),
+       |q AS (SELECT doc_id, toks,
+       |  ${TextAnalysis.qualitySql} AS quality
+       |FROM m WHERE toks > 0),
+       |c AS (SELECT doc_id, quality, toks,
+       |  CAST(SUM(toks) OVER (ORDER BY quality DESC, doc_id
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_toks
+       |FROM q)""".stripMargin
+
   override val oracle: Map[String, String] = Map(
-    // q34's quality expression + q35's chars/4 token estimate, ranked
-    // by (quality DESC, doc_id) with a running-total budget cut; the
-    // distributed offsets reproduce the single global window exactly
-    "q105_budget_select" -> {
-      s"""WITH w AS (SELECT doc_id, text, $wsSql AS ws FROM documents),
-         |m AS (SELECT doc_id,
-         |  CAST(len(ws) AS INTEGER) AS n_words,
-         |  GREATEST(len(ws), 1) AS nw,
-         |  GREATEST(len(text), 1) AS nc,
-         |  len(list_filter(ws, x -> list_contains(${TextAnalysis.stopListSql}, x))) AS stop_hits,
-         |  len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
-         |  CAST(CEIL(CAST(len(text) AS DOUBLE)/4) AS BIGINT) AS toks
-         |FROM w),
-         |q AS (SELECT doc_id, toks,
-         |  ${TextAnalysis.qualitySql} AS quality
-         |FROM m WHERE toks > 0),
-         |c AS (SELECT doc_id, quality, toks,
-         |  CAST(SUM(toks) OVER (ORDER BY quality DESC, doc_id
-         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_toks
-         |FROM q)
+    "q105_budget_select" ->
+      s"""WITH $budgetCte
          |SELECT doc_id, quality, toks, cum_toks
-         |FROM c WHERE cum_toks <= 20000""".stripMargin
+         |FROM c WHERE cum_toks <= 20000""".stripMargin,
+    // the q105 selection chain, reconciled against the target mixture:
+    // language shares of the selected tokens vs the q79 targets, the
+    // "did quality selection skew the mixture" QA read
+    "q137_selection_mixture" -> {
+      val targetCase = "CASE lang " + TargetMixture.toSeq.sortBy(_._1)
+        .map { case (l, v) => s"WHEN '$l' THEN $v" }
+        .mkString(" ") + " ELSE 0.0 END"
+      s"""WITH $budgetCte,
+         |sel AS (SELECT doc_id, toks FROM c WHERE cum_toks <= 20000),
+         |lg AS (SELECT s.toks, d.lang FROM sel s JOIN documents d USING (doc_id)),
+         |pl AS (SELECT lang, COUNT(*) AS n_docs,
+         |       CAST(SUM(toks) AS BIGINT) AS sel_toks FROM lg GROUP BY lang),
+         |tt AS (SELECT CAST(SUM(sel_toks) AS BIGINT) AS total_toks FROM pl),
+         |sh AS (SELECT lang, n_docs, sel_toks,
+         |  FLOOR(CAST(sel_toks AS DOUBLE) / total_toks * 1000000 + 0.5)
+         |    / 1000000 AS share,
+         |  $targetCase AS target
+         |FROM pl, tt)
+         |SELECT lang, n_docs, sel_toks, share, target,
+         |  share - target AS dev
+         |FROM sh""".stripMargin
     },
     // q38's assign CTE names each doc's cell; q34's quality judges
     // inside the cell; per-cell ROW_NUMBER restates the bounded top-k

@@ -124,6 +124,7 @@ object TextAnalysis extends QueryModule {
     docs.select(
       col("doc_id"),
       col("source"),
+      col("lang"),
       size(ws).as("n_words"),
       round(avgWlen, 4).as("avg_wlen"),
       round(stopRatio, 4).as("stop_ratio"),

@@ -236,6 +236,31 @@ class CurationSpec extends SparkSpec {
     assert(clean.getBoolean(7) && clean.getLong(2) === 2L)
   }
 
+  test("selectionMixture: token-weighted shares of the selected set " +
+    "reconcile with budgetSelect, targets and devs are exact") {
+    val spark2 = spark
+    import spark2.implicits._
+    // quality descends with doc_id; toks fixed at 10 -> budget 40
+    // keeps docs 1-4 (two en, one de, one fr)
+    val scored = Seq(
+      (1L, 0.9, 10L, "en"), (2L, 0.8, 10L, "en"), (3L, 0.7, 10L, "de"),
+      (4L, 0.6, 10L, "fr"), (5L, 0.5, 10L, "de"), (6L, 0.4, 10L, "zh")
+    ).toDF("doc_id", "quality", "toks", "lang")
+    val out = Curation.selectionMixture(scored, budget = 40L,
+      target = Map("en" -> 0.3, "de" -> 0.2, "fr" -> 0.2, "zh" -> 0.3))
+      .collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("sel_toks"),
+          r.getAs[Double]("share"), r.getAs[Double]("target"),
+          r.getAs[Double]("dev"))).toMap
+    assert(out.keySet === Set("en", "de", "fr"))
+    assert(out("en") === ((2L, 20L, 0.5, 0.3, 0.5 - 0.3)))
+    assert(out("de") === ((1L, 10L, 0.25, 0.2, 0.25 - 0.2)))
+    assert(out("fr") === ((1L, 10L, 0.25, 0.2, 0.25 - 0.2)))
+    // shares of the selected set sum to 1
+    assert(math.abs(out.values.map(_._3).sum - 1.0) < 1e-9)
+  }
+
   test("cellBalancedSelect caps each embedding cell at k and keeps its " +
     "highest-quality docs (quality DESC, doc_id ASC ties)") {
     val spark2 = spark
