@@ -332,6 +332,39 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionStatsMonitor cross-batch late event: older than the open " +
+    "session's end merges into it without moving start (pinned rule)") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = EventStreams.sessionStatsMonitor(src.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sstats_late")
+      .outputMode("append").start()
+    try {
+      // batch 1 opens the session at [10:10, 10:20]
+      src.addData(Event(1, ts(10), 1, "view", 1.0), Event(2, ts(20), 1, "view", 1.0))
+      q.processAllAvailable()
+      // batch 2 delivers a LATE event (10:05, BEFORE the open start and
+      // above the 1h watermark) — the published rule: it merges into
+      // the open session, start stays 10:10, end stays 10:20
+      src.addData(Event(3, ts(5), 1, "click", 1.0))
+      q.processAllAvailable()
+      // timeout the session via another user's watermark advance
+      src.addData(Event(9, Timestamp.valueOf("2026-01-01 13:00:00"), 2, "view", 0.0))
+      q.processAllAvailable()
+      src.addData(Event(10, Timestamp.valueOf("2026-01-01 14:00:00"), 2, "view", 0.0))
+      q.processAllAvailable()
+      val u1 = spark.table("sstats_late").as[SessionStatsUpdate].collect()
+        .filter(_.user_id == 1L)
+      assert(u1.length === 1)
+      // 3 events in ONE session; duration reads 10 min (start unmoved)
+      assert(u1.head.n_events === 3L)
+      assert(u1.head.max_session_sec === 600L)
+      assert(u1.head.last_end === ts(20))
+    } finally q.stop()
+  }
+
   test("parquet sink with checkpoint survives restart without duplicating windows") {
     val spark2 = spark
     import spark2.implicits._
