@@ -368,6 +368,41 @@ object Curation extends QueryModule {
       .withColumn("dev", col("share") - col("target"))
   }
 
+  /** q138: temperature-scaled mixture rebalancing at τ = 0.5 — the
+    * classic multilingual sqrt-sampling (mBERT/XLM family): target
+    * language share ∝ √(raw token share), which lifts low-resource
+    * languages without letting them dominate. Per language: the raw
+    * token share, the rebalanced target share, and the sampling boost
+    * (target/raw — the rate multiplier a sampler applies).
+    *
+    * τ = 0.5 is not just the literature default here — it is the ONE
+    * temperature whose scaling (`sqrt`) is IEEE-exactly-rounded and
+    * therefore bit-identical across engines; a general `pow(p, τ)`
+    * rides libm and drifts by ulps (the same reason this codebase's
+    * scores avoid `ln`). The √ values are floor-rounded to 6 decimals
+    * before the normalizing sum, and that sum rides the exactSum
+    * decimal accumulator, so normalized shares are deterministic.
+    *
+    * Scale design: ONE corpus aggregate keyed by language; everything
+    * after runs on ≤ n_langs rows (the 1-row total is the documented
+    * safe cross join). */
+  def temperatureMixture(docs: DataFrame): DataFrame = {
+    def r6(c: Column): Column = floor(c * 1000000d + 0.5d) / 1000000d
+    val perLang = docs.groupBy(col("lang"))
+      .agg(sum(ceil(length(col("text")).cast("double") / 4d).cast("long"))
+        .as("toks"))
+    val tot = perLang.agg(sum(col("toks")).as("total"))
+    val shared = perLang.crossJoin(broadcast(tot))
+      .withColumn("share", r6(col("toks").cast("double") / col("total")))
+      .withColumn("w", r6(sqrt(col("share"))))
+    val wTot = shared.agg(exactSum(col("w")).as("wtot"))
+    shared.crossJoin(broadcast(wTot))
+      .select(col("lang"), col("toks"), col("share"),
+        r6(col("w") / col("wtot")).as("target_share"))
+      .withColumn("boost",
+        when(col("share") > 0d, r6(col("target_share") / col("share"))))
+  }
+
   // ---- driver-gate queries ----
 
   private val SampleFractions = Map(
@@ -470,7 +505,10 @@ object Curation extends QueryModule {
         T.embeddings(s, d), Similarity.IvfCells, k = 20)),
     // token-weighted language mixture of the selected set vs targets
     "q137_selection_mixture" -> ((s, d) =>
-      selectionMixture(TextAnalysis.gateScored(s, d)))
+      selectionMixture(TextAnalysis.gateScored(s, d))),
+    // sqrt-sampling (τ=0.5) rebalanced language mixture + boosts
+    "q138_temperature_mixture" -> ((s, d) =>
+      temperatureMixture(T.documents(s, d)))
   )
 
   // hash := high 60 bits of md5(id) — identical to portableHash60
