@@ -169,15 +169,18 @@ object Bench {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => recordFailure(name, e) }
       val elapsed = (System.nanoTime() - t0) / 1e9
-      // drop localCheckpoint() storage blocks rep-by-rep (AFTER the
-      // clock stops — cleanup RPCs are not the query's cost): each
-      // rep re-materializes its own checkpoint, so without this the
-      // bench accumulates blocks until ContextCleaner happens to GC.
-      // Shared cores survive the sweep (later queries read them);
-      // sequential timings therefore charge a core's build to its
-      // FIRST consumer — one more reason per-query numbers from the
-      // two modes never compare
-      Shared.sweepTransient(spark)
+      // full cleanup rep-by-rep (AFTER the clock stops — cleanup RPCs
+      // are not the query's cost): drop the Shared core registry and
+      // every storage block, so EVERY sequential pass rebuilds its full
+      // chain, cores included. Without the clear(), cores built during
+      // warm-up survived into every measured pass and the measured
+      // totals silently excluded all core-build cost — incomparable
+      // with pre-Shared sequential records, which paid the full chain
+      // per query. Sequential mode is the per-query diagnostic; the
+      // batch-shared-core economics are concurrent mode's story.
+      Shared.clear()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       elapsed
     }
     // Warm-up: run EVERY query once at the TARGET SF so one-time costs

@@ -569,6 +569,33 @@ object Curation extends QueryModule {
          |  share - target AS dev
          |FROM sh""".stripMargin
     },
+    // √ is IEEE-exactly-rounded so both engines produce bit-identical
+    // w from identical r6 shares; wtot rides the DECIMAL(18,6) exact
+    // sum (the Spark side's exactSum accumulator) so the normalizer is
+    // order-independent on both engines
+    "q138_temperature_mixture" ->
+      """WITH pl AS (SELECT lang,
+        |  CAST(SUM(CAST(CEIL(CAST(len(text) AS DOUBLE) / 4) AS BIGINT))
+        |    AS BIGINT) AS toks
+        |FROM documents GROUP BY lang),
+        |tt AS (SELECT CAST(SUM(toks) AS BIGINT) AS total FROM pl),
+        |sh AS (SELECT lang, toks,
+        |  FLOOR(CAST(toks AS DOUBLE) / total * 1000000 + 0.5) / 1000000
+        |    AS share
+        |FROM pl, tt),
+        |w AS (SELECT lang, toks, share,
+        |  FLOOR(SQRT(share) * 1000000 + 0.5) / 1000000 AS w
+        |FROM sh),
+        |wt AS (SELECT CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE) AS wtot
+        |       FROM w),
+        |ts AS (SELECT lang, toks, share,
+        |  FLOOR(w / wtot * 1000000 + 0.5) / 1000000 AS target_share
+        |FROM w, wt)
+        |SELECT lang, toks, share, target_share,
+        |  CASE WHEN share > 0
+        |    THEN FLOOR(target_share / share * 1000000 + 0.5) / 1000000
+        |  END AS boost
+        |FROM ts""".stripMargin,
     // q38's assign CTE names each doc's cell; q34's quality judges
     // inside the cell; per-cell ROW_NUMBER restates the bounded top-k
     "q132_cell_balanced" ->

@@ -121,17 +121,21 @@ object TextAnalysis extends QueryModule {
     val digitRatio = regexp_count(col("text"), lit("[0-9]")).cast("double") / nChars
     val avgWlen = length(array_join(ws, "")).cast("double") / nWords
     val quality = qualityExpr(col("text"))
+    // source/lang ride along when the input carries them (the gate
+    // corpus does; a doc-only caller like qualityScore's public
+    // contract — (doc_id, text) frames — need not), mirroring
+    // tokenCore's guard
+    val passthrough = Seq("source", "lang")
+      .filter(docs.columns.contains).map(col)
     docs.select(
-      col("doc_id"),
-      col("source"),
-      col("lang"),
+      (Seq(col("doc_id")) ++ passthrough ++ Seq(
       size(ws).as("n_words"),
       round(avgWlen, 4).as("avg_wlen"),
       round(stopRatio, 4).as("stop_ratio"),
       round(punctRatio, 4).as("punct_ratio"),
       round(digitRatio, 4).as("digit_ratio"),
       round(quality, 4).as("quality"),
-      ceil(length(col("text")).cast("double") / 4d).cast("long").as("toks"))
+      ceil(length(col("text")).cast("double") / 4d).cast("long").as("toks"))): _*)
   }
 
   /** The memoized quality-scan core for the gate registry. */

@@ -261,6 +261,41 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(out.values.map(_._3).sum - 1.0) < 1e-9)
   }
 
+  test("temperatureMixture: τ=0.5 sqrt-rebalanced shares, boosts, and " +
+    "a zero-token language") {
+    val spark2 = spark
+    import spark2.implicits._
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    // toks = ceil(len/4): en 360→90, de 40→10, zh ""→0; total 100
+    val docs = Seq(
+      (1L, "a" * 360, "en"), (2L, "b" * 40, "de"), (3L, "", "zh")
+    ).toDF("doc_id", "text", "lang")
+    val rows = Curation.temperatureMixture(docs).collect()
+    val out = rows.map(r => r.getAs[String]("lang") ->
+      (r.getAs[Long]("toks"), r.getAs[Double]("share"),
+        r.getAs[Double]("target_share"),
+        if (r.isNullAt(r.fieldIndex("boost"))) None
+        else Some(r.getAs[Double]("boost")))).toMap
+    assert(out.keySet === Set("en", "de", "zh"))
+    // recompute the exact chain: r6'd sqrt weights, micro-integer sum
+    // (= the decimal exact-sum accumulator), r6'd normalized shares
+    val mEn = math.floor(math.sqrt(0.9) * 1e6 + 0.5)
+    val mDe = math.floor(math.sqrt(0.1) * 1e6 + 0.5)
+    val wtot = (mEn + mDe) / 1e6
+    val tsEn = r6(mEn / 1e6 / wtot)
+    val tsDe = r6(mDe / 1e6 / wtot)
+    assert(out("en") === ((90L, 0.9, tsEn, Some(r6(tsEn / 0.9)))))
+    assert(out("de") === ((10L, 0.1, tsDe, Some(r6(tsDe / 0.1)))))
+    // sqrt-sampling lifts the low-resource language: boost > 1 for de,
+    // < 1 for en
+    assert(out("de")._4.get > 1.0 && out("en")._4.get < 1.0)
+    // zero-token lang: zero share, zero target, no boost (undefined)
+    assert(out("zh") === ((0L, 0.0, 0.0, None)))
+    // rebalanced shares still sum to ~1
+    assert(math.abs(rows.map(_.getAs[Double]("target_share")).sum - 1.0)
+      < 2e-6)
+  }
+
   test("cellBalancedSelect caps each embedding cell at k and keeps its " +
     "highest-quality docs (quality DESC, doc_id ASC ties)") {
     val spark2 = spark
