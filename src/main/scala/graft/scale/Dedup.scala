@@ -1482,25 +1482,57 @@ object Dedup extends QueryModule {
     * (order-preserving reassembly) — the fingerprint a downstream
     * exact-dedup pass runs on.
     *
-    * Scale design: three keyed shuffles, all inherent to the operator
-    * — the line-frequency aggregate (map-side partials over the line
-    * vocabulary), the line↔count attach (shuffle join on the line key;
-    * the line vocabulary is corpus-scale, NOT broadcastable), and the
-    * per-doc regroup. The reassembly sorts WITHIN each doc's collected
-    * lines (array_sort over (pos, line) structs — bounded by the doc's
-    * own line count), never a global order. Determinism: collect_list
-    * order is partition-dependent but array_sort by position
-    * canonicalizes it; md5 over the joined text is exact both engines.
+    * Scale design: the line-frequency aggregate and the per-doc
+    * regroup are inherent keyed shuffles (map-side partials make the
+    * aggregate skew-safe — a hot line collapses to one row per task
+    * before the exchange). The line↔count ATTACH is the skew case:
+    * the line-frequency distribution is exactly Zipfian, and at 100×
+    * the most common boilerplate line (or the empty line) is a single
+    * join key funneling ~n_docs rows into one task if attached with a
+    * plain shuffle join. The bound is code, not AQE luck: a
+    * Misra-Gries sketch (the q96 machinery) nominates every line
+    * whose count COULD exceed n/(capacity+1) — the MG retention
+    * guarantee — their exact counts come from the counts table via a
+    * capacity-bounded broadcast join, and those lines attach their
+    * counts map-side (broadcast hash join, no line-keyed exchange).
+    * Only the residual tail — every key provably ≤ n/(capacity+1)
+    * occurrences — rides the shuffle join, so no single key can
+    * exceed 1/(capacity+1) of the stream in one task. The line
+    * vocabulary itself is corpus-scale and NOT broadcastable; only
+    * the ≤ capacity nominated heavies are.
+    *
+    * The reassembly sorts WITHIN each doc's collected lines
+    * (array_sort over (pos, line) structs — bounded by the doc's own
+    * line count), never a global order. Determinism: the heavy/light
+    * split changes JOIN ROUTING only (each line value takes exactly
+    * one path and gets the same corpus-wide count either way);
+    * collect_list order is partition-dependent but array_sort by
+    * position canonicalizes it; md5 over the joined text is exact in
+    * both engines.
     */
-  def lineDedup(docs0: DataFrame, minDupCount: Long = 2L): DataFrame = {
+  def lineDedup(docs0: DataFrame, minDupCount: Long = 2L,
+                heavyCapacity: Int = 4096): DataFrame = {
     val docs = Layout.widen(docs0)
-    // the line table feeds the counts AND the reassembly — barriered
+    // the line table feeds the sketch, the counts AND the reassembly —
+    // barriered
     val lines = docs
       .select(col("doc_id"),
         posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
       .localCheckpoint()
     val counts = lines.groupBy(col("line")).agg(count(lit(1)).as("cnt"))
-    lines.join(counts, Seq("line"))
+    // every line with count > n/(heavyCapacity+1) is in the sketch
+    // (MG retention); over-nomination of light lines is harmless —
+    // they just ride the broadcast path too
+    val cands = lines
+      .agg(graft.functions.FreqSketch.misraGries(col("line"), heavyCapacity)
+        .as("cand"))
+      .select(explode(col("cand")).as("line"))
+    val heavyCounts = counts.join(broadcast(cands), Seq("line"))
+    val lightCounts = counts.join(broadcast(cands), Seq("line"), "left_anti")
+    val annotated = lines.join(broadcast(cands), Seq("line"), "left_anti")
+      .join(lightCounts, Seq("line"))
+      .unionByName(lines.join(broadcast(heavyCounts), Seq("line")))
+    annotated
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_lines"),
         count(when(col("cnt") >= minDupCount, 1)).as("n_dropped"),

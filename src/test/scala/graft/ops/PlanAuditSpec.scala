@@ -266,6 +266,19 @@ class PlanAuditSpec extends SparkSpec {
       s"ADC shortlist must be the bounded top-k aggregate:\n$s")
   }
 
+  test("lineDedup: heavy lines are MG-nominated in-plan and attach by " +
+    "broadcast — the shuffle join carries only the bounded light tail") {
+    val s = planOf(graft.scale.Dedup.lineDedup(
+      graft.Tables.documents(spark, sf)))
+    // the nomination sketch runs inside the same plan, map-side partial
+    assert(s.contains("partial_misra_gries"),
+      s"expected the capacity-bounded MG nomination:\n$s")
+    // candidate anti-join + heavy-count attach are broadcast joins —
+    // the hot key never rides a line-keyed exchange
+    assert("BroadcastHashJoin".r.findAllIn(s).length >= 2,
+      s"heavy path must route via broadcast joins:\n$s")
+  }
+
   test("LPA rounds run ONE aggregate each: weighted_mode fuses the " +
     "ballot tally and argmax, so the per-round second exchange is gone") {
     val s = planOf(graft.scale.Dedup.labelPropagation(

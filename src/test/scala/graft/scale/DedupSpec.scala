@@ -1300,6 +1300,40 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) === ((1L, 1L, md5s(""))))
   }
 
+  test("lineDedup: results are identical whichever join path a line " +
+    "takes — a planted Zipf-head line, capacity 1 vs default vs a " +
+    "brute per-line-count reference") {
+    val spark2 = spark
+    import spark2.implicits._
+    // a boilerplate line in 80% of docs — the hot key that would
+    // funnel one shuffle-join task without the heavy/light split
+    val hot = "accept cookies to continue"
+    val docs = (1L to 50L).map { i =>
+      if (i <= 40L) (i, s"$hot\nunique body $i")
+      else (i, s"unique body $i")
+    }.toDF("doc_id", "text")
+    def collectOut(cap: Int) = Dedup.lineDedup(docs, heavyCapacity = cap)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_lines"), r.getAs[Long]("n_dropped"),
+          r.getAs[String]("clean_md5"))).toMap
+    val base = collectOut(4096)
+    // capacity 1: at most one candidate can be nominated (the hot
+    // line, by MG retention) — routing must not change any result
+    assert(collectOut(1) === base)
+    // brute reference: per-line corpus counts computed the naive way
+    def md5s(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val cnt = docs.collect().flatMap(_.getString(1).split("\n", -1))
+      .groupBy(identity).map { case (l, o) => l -> o.length }
+    docs.collect().foreach { r =>
+      val ls = r.getString(1).split("\n", -1)
+      val kept = ls.filter(cnt(_) < 2)
+      val exp = (ls.length.toLong, ls.count(cnt(_) >= 2).toLong,
+        md5s(kept.mkString("\n")))
+      assert(base(r.getLong(0)) === exp, s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("bestRep picks the highest-quality member per cluster " +
     "(doc_id ASC ties) and flags divergence from the min-id policy") {
     val spark2 = spark
