@@ -386,11 +386,19 @@ object Curation extends QueryModule {
     * Scale design: ONE corpus aggregate keyed by language; everything
     * after runs on ≤ n_langs rows (the 1-row total is the documented
     * safe cross join). */
-  def temperatureMixture(docs: DataFrame): DataFrame = {
-    def r6(c: Column): Column = floor(c * 1000000d + 0.5d) / 1000000d
-    val perLang = docs.groupBy(col("lang"))
+  def temperatureMixture(docs: DataFrame): DataFrame =
+    temperatureMixtureFrom(docs.groupBy(col("lang"))
       .agg(sum(ceil(length(col("text")).cast("double") / 4d).cast("long"))
-        .as("toks"))
+        .as("toks")))
+
+  /** [[temperatureMixture]] from a pre-aggregated (lang, toks) table —
+    * the normalization chain alone, shared with the streaming
+    * reconciliation: [[graft.streaming.EventStreams.driftMonitor]]'s
+    * per-window (source, n_tokens) emissions fold to exactly such a
+    * table, so the monitor is a sufficient statistic for this board
+    * (EventStreamsSpec pins it on a shared fixture). */
+  private[graft] def temperatureMixtureFrom(perLang: DataFrame): DataFrame = {
+    def r6(c: Column): Column = floor(c * 1000000d + 0.5d) / 1000000d
     val tot = perLang.agg(sum(col("toks")).as("total"))
     val shared = perLang.crossJoin(broadcast(tot))
       .withColumn("share", r6(col("toks").cast("double") / col("total")))

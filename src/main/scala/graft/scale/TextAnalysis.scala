@@ -1160,6 +1160,76 @@ object TextAnalysis extends QueryModule {
         col("n_applications"), col("n_words"), col("overlap_excess"))
   }
 
+  /** q139: the BPE merge LOOP — `iters` mine→apply→re-mine rounds over
+    * the word-count vocabulary, the part a tokenizer trainer actually
+    * runs (q129 is iteration 1's statistic; q133 certifies its overlap
+    * bias; this proves the word-count representation SURVIVES the
+    * loop). Each round mines the argmax adjacent pair, rewrites the
+    * vocabulary by replacing the pair with a fresh single-character
+    * symbol outside the [a-z0-9] token alphabet ('A', 'B', …), and
+    * re-mines over the rewritten vocabulary — exactly how Sennrich et
+    * al. 2016 iterate on the word-count dictionary. Per iteration: the
+    * chosen pair (in symbol space), its fully-expanded base-character
+    * spelling, and its weighted count.
+    *
+    * Scale design: each round is ONE Heaps-bounded-vocabulary
+    * aggregate (pair counts, map-side partials), a TakeOrdered(1)
+    * argmax (1 row crosses the exchange), and a map-side vocabulary
+    * rewrite — fixed rounds with a checkpoint each (the LPA/PageRank
+    * discipline); the corpus token stream is never revisited after the
+    * shared vocabulary build. The 1-row argmax rides to the driver as
+    * a plan constant (the pqTrainedCents discipline). The rewrite
+    * needs NO count re-aggregation: merged symbols are fresh
+    * characters absent from every input word, so the rewrite is
+    * injective on the vocabulary (char-wise expansion inverts it) and
+    * counts carry over unchanged.
+    *
+    * Determinism: counts are integers; the argmax breaks ties pair
+    * ASC in UTF8 binary order (symbols are single-byte ASCII);
+    * `replace` is leftmost-non-overlapping literal replacement in
+    * both engines — which is also the greedy left-to-right order a
+    * BPE encoder applies a single merge in. */
+  def bpeLoop(docs0: DataFrame, iters: Int = 3,
+              minCount: Long = 2L): DataFrame =
+    bpeLoopFrom(widen(docs0)
+      .select(explode(words(col("text"))).as("w")), iters, minCount)
+
+  /** [[bpeLoop]] from a bare token stream — shared-core form. */
+  private[scale] def bpeLoopFrom(toks: DataFrame, iters: Int,
+                                 minCount: Long): DataFrame = {
+    require(iters >= 1 && iters <= 26, s"bpe_loop: iters $iters not in [1,26]")
+    val session = toks.sparkSession
+    var vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    // sym -> fully-expanded base spelling, for the decoded column
+    val expansion = scala.collection.mutable.Map.empty[Char, String]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (i <- 1 to iters) {
+      val sym = ('A' + (i - 1)).toChar
+      val top = vocab.filter(length(col("w")) >= 2)
+        .select(col("cnt"),
+          explode(transform(sequence(lit(1), length(col("w")) - 1),
+            j => col("w").substr(j, lit(2)))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("cnt")).as("cnt"))
+        .filter(col("cnt") >= minCount)
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(1).collect()
+      require(top.nonEmpty,
+        s"bpe_loop: no pair meets minCount=$minCount at iteration $i")
+      val pair = top(0).getAs[String]("pair")
+      val cnt = top(0).getAs[Long]("cnt")
+      val decoded = pair.flatMap(c => expansion.getOrElse(c, c.toString))
+      out += ((i, pair, decoded, cnt))
+      expansion(sym) = decoded
+      if (i < iters)
+        vocab = vocab.select(
+          replace(col("w"), lit(pair), lit(sym.toString)).as("w"),
+          col("cnt")).localCheckpoint()
+    }
+    import session.implicits._
+    out.toSeq.toDF("iter", "pair", "decoded", "cnt")
+  }
+
   /** Corpus health report — the one-row dashboard a pipeline operator
     * reads daily, composing the gate battery: corpus size and language
     * spread, Gopher/repetition/joint-keep pass counts, PII incidence,
@@ -1262,7 +1332,11 @@ object TextAnalysis extends QueryModule {
     // merge-application audit: q129's estimate vs actual non-
     // overlapping applications over the weighted vocabulary
     "q133_bpe_apply" -> ((s, d) => bpeApplyFrom(gateTokens(s, d)
-      .select(explode(col("ws")).as("w")), k = 20, minCount = 2L))
+      .select(explode(col("ws")).as("w")), k = 20, minCount = 2L)),
+    // the merge LOOP: three mine→apply→re-mine rounds over the
+    // word-count vocabulary (rides the memoized token core)
+    "q139_bpe_loop" -> ((s, d) => bpeLoopFrom(gateTokens(s, d)
+      .select(explode(col("ws")).as("w")), iters = 3, minCount = 2L))
   )
 
   private val normSql =
@@ -1714,6 +1788,42 @@ object TextAnalysis extends QueryModule {
          |  n_applications, n_words,
          |  est_cnt - n_applications AS overlap_excess
          |FROM g""".stripMargin,
+    // three chained mine→rewrite rounds; replace() is leftmost-non-
+    // overlapping literal replacement in both engines, merge symbols
+    // 'A'/'B' are outside the token alphabet, decode expands symbols
+    // back to base characters (B's expansion first — it may contain A)
+    "q139_bpe_loop" ->
+      s"""WITH w AS (SELECT unnest($wsSql) AS w FROM documents),
+         |v0 AS (SELECT w, COUNT(*) AS cnt FROM w GROUP BY w),
+         |p1 AS (SELECT substring(w, CAST(i AS INTEGER), 2) AS pair,
+         |    CAST(SUM(cnt) AS BIGINT) AS cnt
+         |  FROM v0, unnest(range(1, length(w))) t(i)
+         |  WHERE length(w) >= 2
+         |  GROUP BY 1 HAVING SUM(cnt) >= 2),
+         |m1 AS (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair ASC LIMIT 1),
+         |v1 AS (SELECT replace(v0.w, m1.pair, 'A') AS w, v0.cnt FROM v0, m1),
+         |p2 AS (SELECT substring(w, CAST(i AS INTEGER), 2) AS pair,
+         |    CAST(SUM(cnt) AS BIGINT) AS cnt
+         |  FROM v1, unnest(range(1, length(w))) t(i)
+         |  WHERE length(w) >= 2
+         |  GROUP BY 1 HAVING SUM(cnt) >= 2),
+         |m2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair ASC LIMIT 1),
+         |v2 AS (SELECT replace(v1.w, m2.pair, 'B') AS w, v1.cnt FROM v1, m2),
+         |p3 AS (SELECT substring(w, CAST(i AS INTEGER), 2) AS pair,
+         |    CAST(SUM(cnt) AS BIGINT) AS cnt
+         |  FROM v2, unnest(range(1, length(w))) t(i)
+         |  WHERE length(w) >= 2
+         |  GROUP BY 1 HAVING SUM(cnt) >= 2),
+         |m3 AS (SELECT pair, cnt FROM p3 ORDER BY cnt DESC, pair ASC LIMIT 1)
+         |SELECT CAST(1 AS INTEGER) AS iter, m1.pair, m1.pair AS decoded,
+         |  m1.cnt FROM m1
+         |UNION ALL
+         |SELECT CAST(2 AS INTEGER), m2.pair,
+         |  replace(m2.pair, 'A', m1.pair), m2.cnt FROM m2, m1
+         |UNION ALL
+         |SELECT CAST(3 AS INTEGER), m3.pair,
+         |  replace(replace(m3.pair, 'B', replace(m2.pair, 'A', m1.pair)),
+         |    'A', m1.pair), m3.cnt FROM m3, m2, m1""".stripMargin,
     // the guarded MG+confirm result is identical to plain exact top-k
     // by construction — the oracle states the exact form directly
     "q96_heavy_hitters" ->

@@ -553,4 +553,31 @@ class TextAnalysisSpec extends SparkSpec {
       assert(act <= est && excess === est - act)
     }
   }
+
+  test("bpeLoop: three mine→apply→re-mine rounds — merged symbols feed " +
+    "later pairs, decoded spellings expand through the chain") {
+    val spark2 = spark
+    import spark2.implicits._
+    // vocab: the×3, then×1, than×1, at×1
+    //   iter 1: th:5 he:4 en:1 ha:1 an:1 at:1       → th (5)
+    //   rewrite A=th: Ae×3, Aen, Aan, at
+    //   iter 2: Ae:4 en:1 Aa:1 an:1 at:1            → Ae (4) = "the"
+    //   rewrite B=Ae: B×3, Bn, Aan, at
+    //   iter 3: Bn:1 Aa:1 an:1 at:1 — tie at 1      → Aa ('A' < 'a')
+    val docs = Seq(
+      (1L, "the the the", "en"), (2L, "then than at", "en")
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.bpeLoop(docs, iters = 3, minCount = 1L).collect()
+      .map(r => (r.getAs[Int]("iter"), r.getAs[String]("pair"),
+        r.getAs[String]("decoded"), r.getAs[Long]("cnt")))
+    assert(out === Seq(
+      (1, "th", "th", 5L),
+      (2, "Ae", "the", 4L),
+      (3, "Aa", "tha", 1L)))
+    // the guard raises when a round has no pair above the floor
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.bpeLoop(docs, iters = 3, minCount = 2L)
+    }
+    assert(e.getMessage.contains("no pair meets minCount"))
+  }
 }

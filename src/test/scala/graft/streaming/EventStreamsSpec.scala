@@ -596,6 +596,64 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("driftMonitor emissions are a sufficient statistic for the " +
+    "temperature-mixture board: per-source token sums over the closed " +
+    "windows, folded through temperatureMixtureFrom, equal the batch " +
+    "board on the same corpus") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // sources ARE languages here; docs span two event-time windows.
+    // NOTE the normalizations differ by design: driftMonitor's
+    // avg_ref_freq is a per-(window, source) mean, the mixture boards
+    // normalize per-lang sums over the whole corpus, and gate q138's
+    // token unit is ceil(chars/4) while the monitor counts words() —
+    // what this pins is that the monitor's (source, n_tokens)
+    // emissions AGGREGATE to exactly the mixture chain's numerators
+    // (exactly-once per window, no loss, no double count), so the
+    // stream is a faithful feed for the rebalancer in its own unit.
+    val docs = Seq(
+      (ts(0), "en", "alpha beta gamma delta"),
+      (ts(5), "en", "alpha beta"),
+      (ts(25), "en", "alpha beta gamma"),
+      (ts(3), "de", "eins zwei"),
+      (ts(26), "de", "drei"))
+    val refDocs = Seq((1L, "alpha")).toDF("doc_id", "text")
+    val src = MemoryStream[(Timestamp, String, String)]
+    val q = EventStreams.driftMonitor(
+        src.toDF().toDF("ts", "source", "text"), refDocs,
+        watermark = "10 minutes", windowLen = "10 minutes")
+      .writeStream.format("memory").queryName("dmx").outputMode("append")
+      .start()
+    try {
+      src.addData(docs: _*)
+      q.processAllAvailable()
+      src.addData((ts(55), "en", "closer")) // closes both content windows
+      q.processAllAvailable()
+      val fromStream = spark.table("dmx")
+        .groupBy(col("source").as("lang"))
+        .agg(sum(col("n_tokens")).as("toks"))
+      val fromBatch = docs.toDF("ts", "lang", "text")
+        .select(col("lang"),
+          size(graft.functions.PortableFuncs.words(col("text")))
+            .cast("long").as("n"))
+        .groupBy(col("lang")).agg(sum(col("n")).as("toks"))
+      def board(perLang: org.apache.spark.sql.DataFrame) =
+        graft.scale.Curation.temperatureMixtureFrom(perLang).collect()
+          .map(r => (r.getAs[String]("lang"), r.getAs[Long]("toks"),
+            r.getAs[Double]("share"), r.getAs[Double]("target_share"),
+            if (r.isNullAt(r.fieldIndex("boost"))) None
+            else Some(r.getAs[Double]("boost")))).toSet
+      val sBoard = board(fromStream)
+      assert(sBoard === board(fromBatch))
+      // and the fixture is non-trivial: en 9 vs de 3 words, with the
+      // sqrt rebalance lifting the low-resource source
+      assert(sBoard.map(t => t._1 -> t._2).toMap === Map("en" -> 9L, "de" -> 3L))
+      val boosts = sBoard.map(t => t._1 -> t._5.get).toMap
+      assert(boosts("de") > 1.0 && boosts("en") < 1.0)
+    } finally q.stop()
+  }
+
   test("topTokenMonitor: estimates obey the published MG bound against " +
     "exact window counts, heavies are never missed, and windows close " +
     "on the watermark") {
