@@ -139,8 +139,19 @@ object Bench {
       val wall = (System.nanoTime() - t0) / 1e9
       // stderr diagnostic (never in the metric line): per-batch walls
       // make a slow SELECTED batch attributable — JIT-cold first batch
-      // vs genuine drift vs one noise hit
-      System.err.println(f"[bench] concurrent batch wall=$wall%.2f s")
+      // vs genuine drift vs one noise hit. GC time, heap occupancy and
+      // block-manager storage at batch end separate heap/eviction churn
+      // from external load (the r12 third-batch 5× anomaly question)
+      val gcMs = scala.jdk.CollectionConverters.ListHasAsScala(
+        java.lang.management.ManagementFactory.getGarbageCollectorMXBeans)
+        .asScala.map(_.getCollectionTime).sum
+      val rt = Runtime.getRuntime
+      val heapMb = (rt.totalMemory - rt.freeMemory) / (1024 * 1024)
+      val storMb = spark.sparkContext.getRDDStorageInfo
+        .map(_.memSize).sum / (1024 * 1024)
+      System.err.println(f"[bench] concurrent batch wall=$wall%.2f s " +
+        f"gc_total=${gcMs / 1000.0}%.1f s heap=$heapMb MB storage=$storMb MB " +
+        f"load=${loadavg()}%.2f")
       pool.shutdown()
       // batch boundary: drop the Shared core registry FIRST so the
       // full sweep below reclaims core blocks too — every measured

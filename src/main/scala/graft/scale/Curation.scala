@@ -411,6 +411,70 @@ object Curation extends QueryModule {
         when(col("share") > 0d, r6(col("target_share") / col("share"))))
   }
 
+  /** q140: deterministic train/val/test split — the assignment every
+    * training-data pipeline makes last and must make REPRODUCIBLY:
+    * re-running the pipeline, adding a shard, or re-ordering input
+    * files must never move a document across the split boundary (a
+    * val→train leak invalidates the eval). Assignment is a pure
+    * function of the document id: `portableHash60(doc_id) / 2^60` in
+    * [0,1) against cumulative fraction thresholds in declaration
+    * order — the [[stratifiedSample]] hash discipline pointed at
+    * partitioning instead of sampling.
+    *
+    * Scale design: scan-side projection — zero shuffles, zero joins;
+    * the split is decided per-row from the hash and plan-literal
+    * thresholds. Adding a split or re-weighting only moves documents
+    * whose hash falls in the moved interval (the minimal-churn
+    * property consistent-hashing gives). */
+  def hashSplit(df: DataFrame, idCol: String = "doc_id",
+                splits: Seq[(String, Double)] =
+                  Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"hashSplit: fractions must sum to 1: $splits")
+    val u = portableHash60(col(idCol).cast("string")).cast("double") /
+      lit((1L << 60).toDouble)
+    // cumulative upper bounds in declaration order; the last split
+    // takes the remainder so fraction rounding can never drop a row
+    val cum = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val assign = splits.init.zip(cum.init).foldRight(
+      lit(splits.last._1): Column) { case (((name, _), ub), rest) =>
+      when(u < lit(ub), lit(name)).otherwise(rest)
+    }
+    df.select(col(idCol), assign.as("split"))
+  }
+
+  /** q141: corpus snapshot diff — the ingest regression audit run
+    * after every pipeline re-run: per document id, whether it was
+    * `added` (new id), `removed` (id gone), `changed` (same id,
+    * different text fingerprint) or `unchanged`, plus the per-status
+    * rollup a release gate reads. Content equality is md5 of the text
+    * — the [[graft.scale.Dedup]] fingerprint discipline — so the diff
+    * never ships full text across the wire twice.
+    *
+    * Scale design: each side collapses to (id, md5) at the scan, then
+    * ONE full-outer equi-join on the id (both sides hash-partitioned
+    * by the same key) and a 4-row rollup. No skew exposure: doc ids
+    * are unique per side by contract, so every join key matches ≤ 1×1
+    * rows. */
+  def snapshotDiff(prev: DataFrame, cur: DataFrame): DataFrame = {
+    def side(df: DataFrame, h: String) =
+      df.select(col("doc_id"), md5(col("text")).as(h))
+    side(prev, "prev_md5").join(side(cur, "cur_md5"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("prev_md5").isNull, lit("added"))
+          .when(col("cur_md5").isNull, lit("removed"))
+          .when(col("prev_md5") === col("cur_md5"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
+  /** [[snapshotDiff]] rolled up per status — the 4-row release-gate
+    * read (statuses with zero documents are absent: the diff is
+    * sparse by nature and the reader checks `changed`/`removed`
+    * presence, not zero-fill). */
+  def snapshotDiffSummary(prev: DataFrame, cur: DataFrame): DataFrame =
+    snapshotDiff(prev, cur)
+      .groupBy(col("status")).agg(count(lit(1)).as("n_docs"))
+
   // ---- driver-gate queries ----
 
   private val SampleFractions = Map(
@@ -516,8 +580,33 @@ object Curation extends QueryModule {
       selectionMixture(TextAnalysis.gateScored(s, d))),
     // sqrt-sampling (τ=0.5) rebalanced language mixture + boosts
     "q138_temperature_mixture" -> ((s, d) =>
-      temperatureMixture(T.documents(s, d)))
+      temperatureMixture(T.documents(s, d))),
+    // deterministic hash split: scan-side, reproducible, minimal-churn
+    "q140_hash_split" -> ((s, d) => hashSplit(T.documents(s, d))),
+    // snapshot diff vs a deterministically-derived previous snapshot
+    // (hash slices simulate adds/removes/edits)
+    "q141_snapshot_diff" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      snapshotDiffSummary(gatePrevSnapshot(docs), docs)
+    })
   )
+
+  /** The synthetic "previous snapshot" the q141 gate diffs against —
+    * hash-sliced from the current corpus so the diff exercises all
+    * four statuses deterministically: ids with u ≥ 0.9 are absent
+    * from prev (→ `added`), ids with u < 0.1 carry edited text
+    * (→ `changed`), a shifted copy of the u < 0.05 slice exists only
+    * in prev (→ `removed`), everything else is `unchanged`. */
+  private def gatePrevSnapshot(docs: DataFrame): DataFrame = {
+    val u = portableHash60(col("doc_id").cast("string")).cast("double") /
+      lit((1L << 60).toDouble)
+    docs.filter(u < 0.9)
+      .select(col("doc_id"),
+        when(u < 0.1, concat(col("text"), lit(" [stale]")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(u < 0.05)
+        .select((col("doc_id") + 1000000000L).as("doc_id"), col("text")))
+  }
 
   // hash := high 60 bits of md5(id) — identical to portableHash60
   private val hashSql =
@@ -550,7 +639,48 @@ object Curation extends QueryModule {
        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_toks
        |FROM q)""".stripMargin
 
+  /** The q140 CASE over cumulative thresholds, rendered from the SAME
+    * Scala scanLeft doubles the Spark plan uses (full-precision
+    * toString, e.g. `0.9000000000000001` — DuckDB parses back the
+    * identical bits, so boundary hashes land identically). */
+  private def splitCaseSql(splits: Seq[(String, Double)]): String = {
+    val cum = splits.scanLeft(0.0) { case (a, (_, f)) => a + f }.tail
+    "CASE " + splits.init.zip(cum.init)
+      .map { case ((n, _), ub) => s"WHEN u < $ub THEN '$n'" }
+      .mkString(" ") + s" ELSE '${splits.last._1}' END"
+  }
+
   override val oracle: Map[String, String] = Map(
+    "q140_hash_split" ->
+      s"""WITH u AS (SELECT doc_id,
+         |  CAST($hashSql AS DOUBLE) / 1152921504606846976.0 AS u
+         |FROM documents)
+         |SELECT doc_id,
+         |  ${splitCaseSql(Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))}
+         |    AS split
+         |FROM u""".stripMargin,
+    // the synthetic prev snapshot restated: u ≥ 0.9 absent (added),
+    // u < 0.1 edited (changed), shifted u < 0.05 copy (removed)
+    "q141_snapshot_diff" ->
+      s"""WITH u AS (SELECT doc_id, text,
+         |  CAST($hashSql AS DOUBLE) / 1152921504606846976.0 AS u
+         |FROM documents),
+         |prev AS (
+         |  SELECT doc_id,
+         |    CASE WHEN u < 0.1 THEN text || ' [stale]' ELSE text END AS text
+         |  FROM u WHERE u < 0.9
+         |  UNION ALL
+         |  SELECT doc_id + 1000000000, text FROM u WHERE u < 0.05),
+         |p AS (SELECT doc_id, md5(text) AS prev_md5 FROM prev),
+         |c AS (SELECT doc_id, md5(text) AS cur_md5 FROM documents),
+         |j AS (SELECT
+         |    CASE WHEN prev_md5 IS NULL THEN 'added'
+         |         WHEN cur_md5 IS NULL THEN 'removed'
+         |         WHEN prev_md5 = cur_md5 THEN 'unchanged'
+         |         ELSE 'changed' END AS status
+         |  FROM p FULL OUTER JOIN c USING (doc_id))
+         |SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |FROM j GROUP BY status""".stripMargin,
     "q105_budget_select" ->
       s"""WITH $budgetCte
          |SELECT doc_id, quality, toks, cum_toks

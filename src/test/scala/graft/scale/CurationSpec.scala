@@ -296,6 +296,48 @@ class CurationSpec extends SparkSpec {
       < 2e-6)
   }
 
+  test("hashSplit: deterministic, exhaustive, roughly proportional — " +
+    "and re-weighting only shrinks/grows split intervals (no churn " +
+    "between untouched boundaries)") {
+    val docs = T.documents(spark, sf)
+    val a = Curation.hashSplit(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Curation.hashSplit(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a === b)                        // rerun-stable
+    assert(a.size === docs.count())        // every doc assigned once
+    val shares = a.values.groupBy(identity).view
+      .mapValues(_.size.toDouble / a.size).toMap
+    assert(shares("train") > 0.7 && shares("train") < 0.9)
+    assert(shares.values.sum === 1.0)
+    // shrinking train 0.8→0.7 may move train docs out, but never moves
+    // a doc INTO train: [0, 0.7) ⊂ [0, 0.8)
+    val c = Curation.hashSplit(docs,
+        splits = Seq("train" -> 0.7, "val" -> 0.2, "test" -> 0.1))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    c.foreach { case (id, s) => if (s == "train") assert(a(id) === "train") }
+    // fractions must sum to 1
+    intercept[IllegalArgumentException] {
+      Curation.hashSplit(docs, splits = Seq("train" -> 0.5, "val" -> 0.1))
+    }
+  }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged and " +
+    "the summary rolls them up") {
+    val spark2 = spark
+    import spark2.implicits._
+    val prev = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val cur = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
+    val statuses = Curation.snapshotDiff(prev, cur).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(statuses === Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+    val summary = Curation.snapshotDiffSummary(prev, cur).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(summary === Map("removed" -> 1L, "unchanged" -> 1L,
+      "changed" -> 1L, "added" -> 1L))
+  }
+
   test("cellBalancedSelect caps each embedding cell at k and keeps its " +
     "highest-quality docs (quality DESC, doc_id ASC ties)") {
     val spark2 = spark
