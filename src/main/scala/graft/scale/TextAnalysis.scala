@@ -1206,28 +1206,90 @@ object TextAnalysis extends QueryModule {
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     for (i <- 1 to iters) {
       val sym = ('A' + (i - 1)).toChar
-      val top = vocab.filter(length(col("w")) >= 2)
-        .select(col("cnt"),
-          explode(transform(sequence(lit(1), length(col("w")) - 1),
-            j => col("w").substr(j, lit(2)))).as("pair"))
-        .groupBy(col("pair")).agg(sum(col("cnt")).as("cnt"))
-        .filter(col("cnt") >= minCount)
-        .orderBy(col("cnt").desc, col("pair").asc)
-        .limit(1).collect()
-      require(top.nonEmpty,
-        s"bpe_loop: no pair meets minCount=$minCount at iteration $i")
-      val pair = top(0).getAs[String]("pair")
-      val cnt = top(0).getAs[Long]("cnt")
+      val (pair, cnt) = minePair(vocab, minCount).getOrElse(
+        throw new IllegalArgumentException(
+          s"bpe_loop: no pair meets minCount=$minCount at iteration $i"))
       val decoded = pair.flatMap(c => expansion.getOrElse(c, c.toString))
       out += ((i, pair, decoded, cnt))
       expansion(sym) = decoded
       if (i < iters)
-        vocab = vocab.select(
-          replace(col("w"), lit(pair), lit(sym.toString)).as("w"),
-          col("cnt")).localCheckpoint()
+        vocab = applyMerge(vocab, pair, sym)
     }
     import session.implicits._
     out.toSeq.toDF("iter", "pair", "decoded", "cnt")
+  }
+
+  /** One BPE mining round: the (cnt DESC, pair ASC) argmax adjacent
+    * pair over a (w, cnt) vocabulary — a vocabulary aggregate plus a
+    * TakeOrdered(1); the 1-row result rides to the driver as a plan
+    * constant. Shared by [[bpeLoop]] and [[bpeCompression]]. */
+  private def minePair(vocab: DataFrame,
+                       minCount: Long): Option[(String, Long)] =
+    vocab.filter(length(col("w")) >= 2)
+      .select(col("cnt"),
+        explode(transform(sequence(lit(1), length(col("w")) - 1),
+          j => col("w").substr(j, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("cnt")).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(1).collect()
+      .headOption.map(r => (r.getAs[String]("pair"), r.getAs[Long]("cnt")))
+
+  /** Rewrite the vocabulary with one merge: leftmost-non-overlapping
+    * literal replacement of `pair` by the fresh symbol — map-side,
+    * checkpointed (fixed-round lineage discipline). */
+  private def applyMerge(vocab: DataFrame, pair: String,
+                         sym: Char): DataFrame =
+    vocab.select(replace(col("w"), lit(pair), lit(sym.toString)).as("w"),
+      col("cnt")).localCheckpoint()
+
+  /** q142: BPE compression trajectory — the metric a tokenizer trainer
+    * actually tracks across the [[bpeLoop]] iterations: after applying
+    * merges 1..i, the corpus size in SYMBOLS (Σ count·len over the
+    * rewritten vocabulary), the symbols saved by iteration i's merge
+    * (= its actual non-overlapping application count, the q133
+    * statistic re-derived by the rewrite itself), and the compression
+    * ratio vs the raw character baseline. Row 0 is the baseline.
+    *
+    * Scale design: the [[bpeLoop]] machinery plus ONE Heaps-bounded
+    * vocabulary aggregate per iteration (Σ cnt·len collapses map-side
+    * to 1 row). Determinism: symbol counts are integers; the ratio is
+    * one IEEE division floor-rounded to 6 decimals (the r6
+    * discipline). */
+  def bpeCompression(docs0: DataFrame, iters: Int = 3,
+                     minCount: Long = 2L): DataFrame =
+    bpeCompressionFrom(widen(docs0)
+      .select(explode(words(col("text"))).as("w")), iters, minCount)
+
+  /** [[bpeCompression]] from a bare token stream — shared-core form. */
+  private[scale] def bpeCompressionFrom(toks: DataFrame, iters: Int,
+                                        minCount: Long): DataFrame = {
+    require(iters >= 1 && iters <= 26,
+      s"bpe_compression: iters $iters not in [1,26]")
+    val session = toks.sparkSession
+    var vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    def symbols(v: DataFrame): Long =
+      v.agg(coalesce(sum(col("cnt") * length(col("w"))), lit(0L)).as("s"))
+        .collect()(0).getAs[Long]("s")
+    val base = symbols(vocab)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Option[String], Long, Long, Double)]
+    out += ((0, None, base, 0L, 1.0))
+    var prev = base
+    for (i <- 1 to iters) {
+      val sym = ('A' + (i - 1)).toChar
+      val (pair, _) = minePair(vocab, minCount).getOrElse(
+        throw new IllegalArgumentException(
+          s"bpe_compression: no pair meets minCount=$minCount at iteration $i"))
+      vocab = applyMerge(vocab, pair, sym)
+      val cur = symbols(vocab)
+      out += ((i, Some(pair), cur, prev - cur,
+        math.floor(cur.toDouble / base * 1e6 + 0.5) / 1e6))
+      prev = cur
+    }
+    import session.implicits._
+    out.toSeq.toDF("iter", "pair", "total_symbols", "saved", "ratio")
   }
 
   /** Corpus health report — the one-row dashboard a pipeline operator
@@ -1336,6 +1398,9 @@ object TextAnalysis extends QueryModule {
     // the merge LOOP: three mine→apply→re-mine rounds over the
     // word-count vocabulary (rides the memoized token core)
     "q139_bpe_loop" -> ((s, d) => bpeLoopFrom(gateTokens(s, d)
+      .select(explode(col("ws")).as("w")), iters = 3, minCount = 2L)),
+    // compression trajectory across the q139 merge rounds
+    "q142_bpe_compression" -> ((s, d) => bpeCompressionFrom(gateTokens(s, d)
       .select(explode(col("ws")).as("w")), iters = 3, minCount = 2L))
   )
 
@@ -1824,6 +1889,52 @@ object TextAnalysis extends QueryModule {
          |SELECT CAST(3 AS INTEGER), m3.pair,
          |  replace(replace(m3.pair, 'B', replace(m2.pair, 'A', m1.pair)),
          |    'A', m1.pair), m3.cnt FROM m3, m2, m1""".stripMargin,
+    // the q139 chain's per-level symbol sums: saved_i is the merge's
+    // actual non-overlapping application count, ratio is one r6'd
+    // IEEE division
+    "q142_bpe_compression" ->
+      s"""WITH w AS (SELECT unnest($wsSql) AS w FROM documents),
+         |v0 AS (SELECT w, COUNT(*) AS cnt FROM w GROUP BY w),
+         |p1 AS (SELECT substring(w, CAST(i AS INTEGER), 2) AS pair,
+         |    CAST(SUM(cnt) AS BIGINT) AS cnt
+         |  FROM v0, unnest(range(1, length(w))) t(i)
+         |  WHERE length(w) >= 2
+         |  GROUP BY 1 HAVING SUM(cnt) >= 2),
+         |m1 AS (SELECT pair FROM p1 ORDER BY cnt DESC, pair ASC LIMIT 1),
+         |v1 AS (SELECT replace(v0.w, m1.pair, 'A') AS w, v0.cnt FROM v0, m1),
+         |p2 AS (SELECT substring(w, CAST(i AS INTEGER), 2) AS pair,
+         |    CAST(SUM(cnt) AS BIGINT) AS cnt
+         |  FROM v1, unnest(range(1, length(w))) t(i)
+         |  WHERE length(w) >= 2
+         |  GROUP BY 1 HAVING SUM(cnt) >= 2),
+         |m2 AS (SELECT pair FROM p2 ORDER BY cnt DESC, pair ASC LIMIT 1),
+         |v2 AS (SELECT replace(v1.w, m2.pair, 'B') AS w, v1.cnt FROM v1, m2),
+         |p3 AS (SELECT substring(w, CAST(i AS INTEGER), 2) AS pair,
+         |    CAST(SUM(cnt) AS BIGINT) AS cnt
+         |  FROM v2, unnest(range(1, length(w))) t(i)
+         |  WHERE length(w) >= 2
+         |  GROUP BY 1 HAVING SUM(cnt) >= 2),
+         |m3 AS (SELECT pair FROM p3 ORDER BY cnt DESC, pair ASC LIMIT 1),
+         |v3 AS (SELECT replace(v2.w, m3.pair, 'C') AS w, v2.cnt FROM v2, m3),
+         |s0 AS (SELECT CAST(SUM(cnt * length(w)) AS BIGINT) AS sym FROM v0),
+         |s1 AS (SELECT CAST(SUM(cnt * length(w)) AS BIGINT) AS sym FROM v1),
+         |s2 AS (SELECT CAST(SUM(cnt * length(w)) AS BIGINT) AS sym FROM v2),
+         |s3 AS (SELECT CAST(SUM(cnt * length(w)) AS BIGINT) AS sym FROM v3)
+         |SELECT CAST(0 AS INTEGER) AS iter, CAST(NULL AS VARCHAR) AS pair,
+         |  s0.sym AS total_symbols, CAST(0 AS BIGINT) AS saved,
+         |  CAST(1.0 AS DOUBLE) AS ratio FROM s0
+         |UNION ALL
+         |SELECT CAST(1 AS INTEGER), m1.pair, s1.sym, s0.sym - s1.sym,
+         |  FLOOR(CAST(s1.sym AS DOUBLE) / s0.sym * 1000000 + 0.5) / 1000000
+         |FROM m1, s0, s1
+         |UNION ALL
+         |SELECT CAST(2 AS INTEGER), m2.pair, s2.sym, s1.sym - s2.sym,
+         |  FLOOR(CAST(s2.sym AS DOUBLE) / s0.sym * 1000000 + 0.5) / 1000000
+         |FROM m2, s0, s1, s2
+         |UNION ALL
+         |SELECT CAST(3 AS INTEGER), m3.pair, s3.sym, s2.sym - s3.sym,
+         |  FLOOR(CAST(s3.sym AS DOUBLE) / s0.sym * 1000000 + 0.5) / 1000000
+         |FROM m3, s0, s2, s3""".stripMargin,
     // the guarded MG+confirm result is identical to plain exact top-k
     // by construction — the oracle states the exact form directly
     "q96_heavy_hitters" ->

@@ -580,4 +580,31 @@ class TextAnalysisSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("no pair meets minCount"))
   }
+
+  test("bpeCompression: per-iteration symbol totals shrink by the " +
+    "merge's actual application count; ratio is the r6'd division") {
+    val spark2 = spark
+    import spark2.implicits._
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    // same corpus as the bpeLoop fixture: the×3, then, than, at
+    //   base: 3·3 + 4 + 4 + 2 = 19 symbols
+    //   merge th→A: Ae×3(6) Aen(3) Aan(3) at(2) = 14, saved 5
+    //   merge Ae→B: B×3(3) Bn(2) Aan(3) at(2) = 10, saved 4
+    //   merge Aa→C: B×3(3) Bn(2) Cn(2) at(2) = 9,  saved 1
+    val docs = Seq(
+      (1L, "the the the", "en"), (2L, "then than at", "en")
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.bpeCompression(docs, iters = 3, minCount = 1L)
+      .collect()
+      .map(r => (r.getAs[Int]("iter"), Option(r.getAs[String]("pair")),
+        r.getAs[Long]("total_symbols"), r.getAs[Long]("saved"),
+        r.getAs[Double]("ratio")))
+    assert(out === Seq(
+      (0, None, 19L, 0L, 1.0),
+      (1, Some("th"), 14L, 5L, r6(14.0 / 19)),
+      (2, Some("Ae"), 10L, 4L, r6(10.0 / 19)),
+      (3, Some("Aa"), 9L, 1L, r6(9.0 / 19))))
+    // totals tile: every saved symbol is accounted for
+    assert(out.map(_._4).sum === 19L - 9L)
+  }
 }
