@@ -626,6 +626,59 @@ object Dedup extends QueryModule {
           (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
   }
 
+  /** q143: cheap-vs-expensive dedup signal calibration — per SimHash
+    * Hamming-distance bucket over the q28 candidate pairs, the exact
+    * shingle-Jaccard distribution (mean/min/max): the table an
+    * operator reads to set `maxDist` — "at distance d, how similar
+    * are the pairs REALLY" — and the cross-signal sibling of the
+    * q103 within-signal sketch audit. Jaccard uses q25's df-capped
+    * shingle universe; a candidate pair sharing no (non-hot) shingle
+    * scores 0 — the disagreement the calibration exists to expose.
+    *
+    * Scale design: the minhashAudit discipline — the exact side
+    * routes shingles THROUGH the candidate list (two equi-joins on
+    * doc ids + one pair-keyed count), never a shingle self-join, so
+    * the exact work is O(candidate pairs × shingles/doc), not
+    * O(corpus²). The rollup is ≤ maxDist+1 rows. Determinism:
+    * per-pair jaccard is q25's rounded value; the bucket mean is the
+    * exactSum decimal accumulator over those 4-decimal values with
+    * one floor-r6'd division (the q131 bucket-mean discipline);
+    * min/max of rounded doubles are order-free. */
+  def signalCalibration(docs: DataFrame, maxDist: Int = 5,
+                        maxDf: Long = MaxShingleDf): DataFrame =
+    signalCalibrationFrom(simhashPairs(docs, maxDist),
+      shingleTable(docs).localCheckpoint(), maxDf)
+
+  /** [[signalCalibration]] from precomputed pairs + the shingle core —
+    * shared-core form for the gate registry. */
+  private[scale] def signalCalibrationFrom(pairs: DataFrame, sh0: DataFrame,
+                                           maxDf: Long = MaxShingleDf): DataFrame = {
+    val hot = sh0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("sh"))
+    val sh = sh0.join(broadcast(hot), Seq("sh"), "left_anti")
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val cand = pairs.select(col("doc_a"), col("doc_b"), col("dist"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    cand
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
+        Seq("doc_a"), "left")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+        Seq("doc_b"), "left")
+      .select(col("dist"),
+        coalesce(round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 4), lit(0.0)).as("j"))
+      .groupBy(col("dist"))
+      .agg(count(lit(1)).as("n_pairs"),
+        (floor(exactSum(col("j")) / count(lit(1)) * 1000000d + 0.5d)
+          / 1000000d).as("mean_jaccard"),
+        min(col("j")).as("min_jaccard"),
+        max(col("j")).as("max_jaccard"))
+  }
+
   /** The end-to-end dedup verb a corpus pipeline actually runs:
     * near-dup pairs → connected components → ONE representative kept
     * per cluster → everything else dropped from the corpus. Composes
@@ -1646,6 +1699,10 @@ object Dedup extends QueryModule {
     "q69_neardup_lsh" -> ((s, d) => embeddingNearDupLsh(T.embeddings(s, d), 0.2)),
     // recall-by-cos-band certification of the q69 gate vs the q29 referee
     "q127_neardup_recall" -> ((s, d) => nearDupRecall(T.embeddings(s, d))),
+    // cheap-vs-expensive signal calibration: exact Jaccard stats per
+    // simhash distance bucket — rides the pair + shingle cores
+    "q143_signal_calibration" -> ((s, d) =>
+      signalCalibrationFrom(gatePairs(s, d), gateShingles(s, d))),
     // SemDeDup: cluster-bounded semantic near-dup pruning, one
     // representative (lowest vec_id) per within-cluster component
     "q95_semdedup" -> ((s, d) => semDedup(T.embeddings(s, d))),
@@ -1824,6 +1881,37 @@ object Dedup extends QueryModule {
       s"""WITH RECURSIVE $simhashPairCte,
          |$ccClosureCte
          |SELECT doc_id, cluster_id FROM cl""".stripMargin,
+    // the q28 pair chain × q25's df-capped shingle universe, exact
+    // Jaccard routed through the candidate pairs; bucket mean on the
+    // DECIMAL(18,6) exact sum with one floor-r6'd division (shingle
+    // CTEs renamed — `sh` is the simhash table in the shared chain)
+    "q143_signal_calibration" ->
+      s"""WITH $simhashPairCte,
+         |wsx AS (SELECT doc_id, $normSql AS ws FROM documents),
+         |sidx AS (SELECT doc_id, ws, unnest(range(1, len(ws)-2)) AS i
+         |         FROM wsx WHERE len(ws) >= 4),
+         |shg AS (SELECT DISTINCT doc_id,
+         |          ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS g
+         |        FROM sidx),
+         |shf AS (SELECT * FROM shg WHERE g NOT IN (
+         |  SELECT g FROM shg GROUP BY g HAVING COUNT(*) > $MaxShingleDf)),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
+         |itr AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS inter
+         |        FROM p JOIN shf a ON a.doc_id = p.doc_a
+         |               JOIN shf b ON b.doc_id = p.doc_b AND b.g = a.g
+         |        GROUP BY 1, 2),
+         |pj AS (SELECT p.dist,
+         |    COALESCE(ROUND(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 4),
+         |      0.0) AS j
+         |  FROM p
+         |  LEFT JOIN itr i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+         |  LEFT JOIN sz sa ON sa.doc_id = p.doc_a
+         |  LEFT JOIN sz sb ON sb.doc_id = p.doc_b)
+         |SELECT CAST(dist AS INTEGER) AS dist, COUNT(*) AS n_pairs,
+         |  FLOOR(CAST(SUM(CAST(j AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+         |    * 1000000 + 0.5) / 1000000 AS mean_jaccard,
+         |  MIN(j) AS min_jaccard, MAX(j) AS max_jaccard
+         |FROM pj GROUP BY dist""".stripMargin,
     // line table → corpus line counts → filtered order-preserving
     // reassembly; the outer COALESCE guards the all-dropped doc
     // (DuckDB: a FILTER'd list over zero rows is NULL, and

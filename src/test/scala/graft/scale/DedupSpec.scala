@@ -1334,6 +1334,41 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("signalCalibration: per-distance bucket stats equal a brute " +
+    "per-pair recomputation from simhashPairs × ngramJaccard") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Dedup.signalCalibration(docs).collect()
+      .map(r => r.getAs[Int]("dist") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Double]("mean_jaccard"),
+          r.getAs[Double]("min_jaccard"), r.getAs[Double]("max_jaccard"))))
+      .toMap
+    val pairs = Dedup.simhashPairs(docs, maxDist = 5).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Int]("dist")).toMap
+    val jac = Dedup.ngramJaccard(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    assert(pairs.nonEmpty, "fixture must produce candidate pairs")
+    val byDist = pairs.toSeq.groupBy(_._2)
+    assert(out.keySet === byDist.keySet)
+    byDist.foreach { case (d, ps) =>
+      val js = ps.map { case (k, _) => jac.getOrElse(k, 0.0) }
+      val (n, mean, mn, mx) = out(d)
+      assert(n === ps.size.toLong, s"dist $d n_pairs")
+      // the operator's exact chain: DECIMAL(18,6) sum → double ÷ n → r6
+      val sumDec = js.map(j => BigDecimal(j)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+      val expMean =
+        math.floor(sumDec.toDouble / js.size * 1e6 + 0.5) / 1e6
+      assert(mean === expMean, s"dist $d mean")
+      assert(mn === js.min && mx === js.max, s"dist $d min/max")
+    }
+    // the calibration is monotone on this corpus in the aggregate:
+    // identical docs (dist 0) must out-score the loosest bucket
+    if (out.contains(0) && out.keySet.max > 0)
+      assert(out(0)._2 >= out(out.keySet.max)._2)
+  }
+
   test("bestRep picks the highest-quality member per cluster " +
     "(doc_id ASC ties) and flags divergence from the min-id policy") {
     val spark2 = spark
