@@ -176,6 +176,38 @@ object Curation extends QueryModule {
       .withColumn("n_chunks", col("chunk_last") - col("chunk_first") + 1)
   }
 
+  /** q144: context-window chunking — the per-document sibling of
+    * [[sequencePack]]: where q73 packs the whole corpus into a global
+    * token stream, this slices EACH document into overlapping
+    * fixed-size windows (`chunkSize` tokens every `stride` tokens,
+    * the RAG / long-context preprocessing shape; overlap =
+    * chunkSize − stride keeps boundary context). Per chunk: its index
+    * and [tok_start, tok_end) word interval; the final chunk is
+    * truncated at the document end, and every token is covered
+    * (stride ≤ chunkSize enforced).
+    *
+    * Scale design: a pure scan-side projection + generate — zero
+    * joins, zero shuffles, no state: each doc emits
+    * ⌊(n−1)/stride⌋ + 1 rows from its own word count. Intervals are
+    * integer arithmetic; both engines derive identical rows. */
+  def chunkSpans(docs: DataFrame, chunkSize: Int = 64,
+                 stride: Int = 48): DataFrame = {
+    require(chunkSize >= 1 && stride >= 1 && stride <= chunkSize,
+      s"chunkSpans: need 1 <= stride <= chunkSize, got $stride/$chunkSize")
+    Layout.widen(docs)
+      .select(col("doc_id"),
+        size(words(col("text"))).as("n"))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("n"),
+        explode(sequence(lit(0), expr(s"(n - 1) div $stride").cast("int")))
+          .as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx").cast("long") * stride).as("tok_start"),
+        least(col("chunk_idx").cast("long") * stride + chunkSize,
+          col("n").cast("long")).as("tok_end"))
+      .withColumn("n_toks", col("tok_end") - col("tok_start"))
+  }
+
   /** Token-budget selection — "give me the best B tokens": rank the
     * corpus by quality (the q34 composite, ties broken doc_id ASC) and
     * keep documents while the cumulative token count stays within the
@@ -583,6 +615,8 @@ object Curation extends QueryModule {
       temperatureMixture(T.documents(s, d))),
     // deterministic hash split: scan-side, reproducible, minimal-churn
     "q140_hash_split" -> ((s, d) => hashSplit(T.documents(s, d))),
+    // overlapping context-window chunking: scan-side generate
+    "q144_chunk_spans" -> ((s, d) => chunkSpans(T.documents(s, d))),
     // snapshot diff vs a deterministically-derived previous snapshot
     // (hash slices simulate adds/removes/edits)
     "q141_snapshot_diff" -> ((s, d) => {
@@ -651,6 +685,14 @@ object Curation extends QueryModule {
   }
 
   override val oracle: Map[String, String] = Map(
+    "q144_chunk_spans" ->
+      s"""WITH w AS (SELECT doc_id, len($wsSql) AS n FROM documents),
+         |f AS (SELECT * FROM w WHERE n > 0)
+         |SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+         |  CAST(i * 48 AS BIGINT) AS tok_start,
+         |  CAST(LEAST(i * 48 + 64, n) AS BIGINT) AS tok_end,
+         |  CAST(LEAST(i * 48 + 64, n) - i * 48 AS BIGINT) AS n_toks
+         |FROM f, unnest(range(0, (n - 1) // 48 + 1)) t(i)""".stripMargin,
     "q140_hash_split" ->
       s"""WITH u AS (SELECT doc_id,
          |  CAST($hashSql AS DOUBLE) / 1152921504606846976.0 AS u

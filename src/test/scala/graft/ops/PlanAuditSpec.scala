@@ -279,6 +279,16 @@ class PlanAuditSpec extends SparkSpec {
       s"heavy path must route via broadcast joins:\n$s")
   }
 
+  test("chunkSpans is a pure scan-side projection + generate: no " +
+    "joins, no shuffles, no windows") {
+    val s = planOf(graft.scale.Curation.chunkSpans(
+      graft.Tables.documents(spark, sf)))
+    assert(!s.contains("Join"), s"chunking must not join:\n$s")
+    assert(!s.contains("hashpartitioning"), s"chunking must not shuffle:\n$s")
+    assert(!s.contains("Window"), s"chunking must not sort-window:\n$s")
+    assert(s.contains("Generate"), s"expected the explode generate:\n$s")
+  }
+
   test("LPA rounds run ONE aggregate each: weighted_mode fuses the " +
     "ballot tally and argmax, so the per-round second exchange is gone") {
     val s = planOf(graft.scale.Dedup.labelPropagation(

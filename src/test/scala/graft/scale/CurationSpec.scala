@@ -322,6 +322,39 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("chunkSpans: overlapping windows tile each document — every " +
+    "token covered, stride spacing, truncated tail, zero-token docs " +
+    "excluded") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 10 words, chunkSize 4, stride 3 → starts 0,3,6,9:
+    //   [0,4) [3,7) [6,10) [9,10)
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")),
+      (2L, "only two"),     // one truncated chunk [0,2)
+      (3L, "")              // zero words → no rows
+    ).toDF("doc_id", "text")
+    val out = Curation.chunkSpans(docs, chunkSize = 4, stride = 3).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_idx"),
+        r.getAs[Long]("tok_start"), r.getAs[Long]("tok_end"),
+        r.getAs[Long]("n_toks"))).sortBy(t => (t._1, t._2))
+    assert(out === Seq(
+      (1L, 0, 0L, 4L, 4L), (1L, 1, 3L, 7L, 4L),
+      (1L, 2, 6L, 10L, 4L), (1L, 3, 9L, 10L, 1L),
+      (2L, 0, 0L, 2L, 2L)))
+    // coverage: chunk unions tile [0, n) for every doc
+    out.groupBy(_._1).foreach { case (_, cs) =>
+      val sorted = cs.sortBy(_._3)
+      assert(sorted.head._3 === 0L)
+      sorted.sliding(2).foreach { w =>
+        if (w.length == 2) assert(w(1)._3 <= w(0)._4, "gap between chunks")
+      }
+    }
+    intercept[IllegalArgumentException] {
+      Curation.chunkSpans(docs, chunkSize = 4, stride = 5)
+    }
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged and " +
     "the summary rolls them up") {
     val spark2 = spark
