@@ -176,6 +176,39 @@ object Curation extends QueryModule {
       .withColumn("n_chunks", col("chunk_last") - col("chunk_first") + 1)
   }
 
+  /** q145: packing-efficiency audit — certify-the-packing for
+    * [[sequencePack]] (q73): the 1-row dashboard an owner reads
+    * after a packing run — documents and tokens packed, chunks
+    * produced, how many documents straddle a chunk boundary (each
+    * split costs an attention-mask seam or a truncation downstream),
+    * the worst per-doc spread, and the fill ratio (tokens ÷ chunk
+    * capacity — the padding waste the packer exists to minimize).
+    *
+    * Scale design: one aggregate over the q73 output (which is itself
+    * the distributed prefix-sum chain) — map-side partials collapse
+    * to a single row; the ratio is one floor-r6'd IEEE division of
+    * exact integers. */
+  def packEfficiency(docs: DataFrame, maxTokens: Int = 2048,
+                     partitions: Int = 32): DataFrame =
+    packEfficiencyFrom(sequencePack(docs, maxTokens, partitions), maxTokens)
+
+  /** [[packEfficiency]] from a packed table — shared-chain form. */
+  private[scale] def packEfficiencyFrom(packed: DataFrame,
+                                        maxTokens: Int): DataFrame =
+    packed.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("toks")).as("total_tokens"),
+      (max(col("chunk_last")) + 1L).as("n_chunks"),
+      count(when(col("chunk_last") > col("chunk_first"), 1))
+        .as("n_split_docs"),
+      max(col("chunk_last") - col("chunk_first") + 1L)
+        .as("max_chunks_per_doc"))
+    .select(col("n_docs"), col("total_tokens"), col("n_chunks"),
+      col("n_split_docs"), col("max_chunks_per_doc"),
+      (floor(col("total_tokens").cast("double") /
+        (col("n_chunks") * maxTokens) * 1000000d + 0.5d) / 1000000d)
+        .as("fill_ratio"))
+
   /** q144: context-window chunking — the per-document sibling of
     * [[sequencePack]]: where q73 packs the whole corpus into a global
     * token stream, this slices EACH document into overlapping
@@ -617,6 +650,9 @@ object Curation extends QueryModule {
     "q140_hash_split" -> ((s, d) => hashSplit(T.documents(s, d))),
     // overlapping context-window chunking: scan-side generate
     "q144_chunk_spans" -> ((s, d) => chunkSpans(T.documents(s, d))),
+    // the 1-row packing dashboard over the q73 chain
+    "q145_pack_efficiency" -> ((s, d) =>
+      packEfficiency(T.documents(s, d))),
     // snapshot diff vs a deterministically-derived previous snapshot
     // (hash slices simulate adds/removes/edits)
     "q141_snapshot_diff" -> ((s, d) => {
@@ -672,6 +708,21 @@ object Curation extends QueryModule {
        |  CAST(SUM(toks) OVER (ORDER BY quality DESC, doc_id
        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_toks
        |FROM q)""".stripMargin
+
+  /** The q73 sequence-packing chain as a shared CTE (`pk`): global
+    * token stream intervals + chunk coordinates. Shared by the q73
+    * board and q145's efficiency rollup so the two cannot drift. */
+  private lazy val seqPackCte =
+    """t AS (SELECT doc_id,
+      |  CAST(CEIL(CAST(len(text) AS DOUBLE) / 4) AS BIGINT) AS toks
+      |  FROM documents),
+      |f AS (SELECT * FROM t WHERE toks > 0),
+      |c AS (SELECT doc_id, toks,
+      |  CAST(SUM(toks) OVER (ORDER BY doc_id) AS BIGINT) AS cum_end FROM f),
+      |pk AS (SELECT doc_id, toks, cum_end - toks AS cum_start, cum_end,
+      |  (cum_end - toks) // 2048 AS chunk_first,
+      |  (cum_end - 1) // 2048 AS chunk_last
+      |FROM c)""".stripMargin
 
   /** The q140 CASE over cumulative thresholds, rendered from the SAME
     * Scala scanLeft doubles the Spark plan uses (full-precision
@@ -864,17 +915,23 @@ object Curation extends QueryModule {
          |WHERE CAST($hashSql AS DOUBLE) / 1152921504606846976.0 < r.rate""".stripMargin
     },
     "q73_seq_pack" ->
-      """WITH t AS (SELECT doc_id,
-        |  CAST(CEIL(CAST(len(text) AS DOUBLE) / 4) AS BIGINT) AS toks
-        |  FROM documents),
-        |f AS (SELECT * FROM t WHERE toks > 0),
-        |c AS (SELECT doc_id, toks,
-        |  CAST(SUM(toks) OVER (ORDER BY doc_id) AS BIGINT) AS cum_end FROM f)
-        |SELECT doc_id, toks, cum_end - toks AS cum_start, cum_end,
-        |  (cum_end - toks) // 2048 AS chunk_first,
-        |  (cum_end - 1) // 2048 AS chunk_last,
-        |  (cum_end - 1) // 2048 - (cum_end - toks) // 2048 + 1 AS n_chunks
-        |FROM c""".stripMargin,
+      s"""WITH $seqPackCte
+         |SELECT doc_id, toks, cum_start, cum_end, chunk_first,
+         |  chunk_last, chunk_last - chunk_first + 1 AS n_chunks
+         |FROM pk""".stripMargin,
+    // the q73 chain aggregated to the 1-row packing dashboard
+    "q145_pack_efficiency" ->
+      s"""WITH $seqPackCte
+         |SELECT COUNT(*) AS n_docs,
+         |  CAST(SUM(toks) AS BIGINT) AS total_tokens,
+         |  CAST(MAX(chunk_last) + 1 AS BIGINT) AS n_chunks,
+         |  COUNT(CASE WHEN chunk_last > chunk_first THEN 1 END)
+         |    AS n_split_docs,
+         |  CAST(MAX(chunk_last - chunk_first + 1) AS BIGINT)
+         |    AS max_chunks_per_doc,
+         |  FLOOR(CAST(SUM(toks) AS DOUBLE) / ((MAX(chunk_last) + 1) * 2048)
+         |    * 1000000 + 0.5) / 1000000 AS fill_ratio
+         |FROM pk""".stripMargin,
     // bucket counts restated as CTEs (the Spark side collects the same
     // bounded table to the driver); ratio parenthesization and the
     // per-doc in-order fold are IDENTICAL expression trees

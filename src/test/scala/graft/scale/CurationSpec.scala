@@ -322,6 +322,26 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("packEfficiency: the 1-row dashboard reconciles with a " +
+    "hand-packed fixture") {
+    val spark2 = spark
+    import spark2.implicits._
+    // toks = ceil(len/4): 3, 2, 25, 0 (excluded), 1; maxTokens 10 →
+    // stream [0,31): doc3 spans chunks 0-2 (split), 4 chunks total
+    val docs = Seq(
+      (1L, "x" * 10), (2L, "y" * 8), (3L, "z" * 99), (4L, ""), (5L, "w" * 4)
+    ).toDF("doc_id", "text")
+    val r = Curation.packEfficiency(docs, maxTokens = 10, partitions = 2)
+      .head()
+    assert(r.getAs[Long]("n_docs") === 4L)
+    assert(r.getAs[Long]("total_tokens") === 31L)
+    assert(r.getAs[Long]("n_chunks") === 4L)
+    assert(r.getAs[Long]("n_split_docs") === 1L)
+    assert(r.getAs[Long]("max_chunks_per_doc") === 3L)
+    assert(r.getAs[Double]("fill_ratio") ===
+      math.floor(31.0 / 40 * 1e6 + 0.5) / 1e6)
+  }
+
   test("chunkSpans: overlapping windows tile each document — every " +
     "token covered, stride spacing, truncated tail, zero-token docs " +
     "excluded") {
