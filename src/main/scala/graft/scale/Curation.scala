@@ -476,6 +476,50 @@ object Curation extends QueryModule {
         when(col("share") > 0d, r6(col("target_share") / col("share"))))
   }
 
+  /** q148: epoch allocation under a token budget — the data-constrained
+    * planning read (Muennighoff et al. 2023, arXiv:2305.16264): given a
+    * training-token budget and the q79 target mixture, each language
+    * needs `target × budget` tokens; dividing by what the corpus
+    * actually holds gives the implied epoch count, capped at
+    * `maxEpochs` (past ~4 repeats, repeated data stops behaving like
+    * fresh tokens), with the unfillable remainder surfaced as the
+    * shortfall the mixture owner must re-weight away.
+    *
+    * Scale design: ONE corpus aggregate keyed by language (map-side
+    * partials collapse to ≤ n_langs rows per task); everything after is
+    * per-row IEEE arithmetic on the bounded table. Portability: `need`
+    * is one double multiply of plan literals; epochs/shortfall
+    * divide/subtract exact BIGINTs from it with identical expression
+    * trees in both engines (the q47 discipline); languages with zero
+    * available tokens yield NULL epochs rather than an engine-specific
+    * division-by-zero artifact. */
+  def epochAllocation(docs: DataFrame, budget: Long = 50000L,
+                      target: Map[String, Double] = TargetMixture,
+                      maxEpochs: Int = 4): DataFrame = {
+    def r6(c: Column): Column = floor(c * 1000000d + 0.5d) / 1000000d
+    val perLang = docs.groupBy(col("lang"))
+      .agg(sum(ceil(length(col("text")).cast("double") / 4d).cast("long"))
+        .as("avail_toks"))
+    val targetCol = target.toSeq.sortBy(_._1)
+      .foldLeft(lit(0.0)) { case (acc, (l, v)) =>
+        when(col("lang") === l, lit(v)).otherwise(acc)
+      }
+    val avail = col("avail_toks").cast("double")
+    perLang
+      .select(col("lang"), col("avail_toks"), targetCol.as("target"))
+      .withColumn("need_toks", col("target") * lit(budget.toDouble))
+      .withColumn("epochs_frac",
+        when(col("avail_toks") > 0L, r6(col("need_toks") / avail)))
+      .withColumn("planned_epochs",
+        when(col("avail_toks") > 0L,
+          least(ceil(col("need_toks") / avail), lit(maxEpochs.toLong))))
+      .withColumn("shortfall_toks",
+        r6(greatest(col("need_toks") -
+          (col("avail_toks") * lit(maxEpochs.toLong)).cast("double"), lit(0d))))
+      .withColumn("oversampled",
+        when(col("avail_toks") > 0L, col("need_toks") > avail))
+  }
+
   /** q140: deterministic train/val/test split — the assignment every
     * training-data pipeline makes last and must make REPRODUCIBLY:
     * re-running the pipeline, adding a shard, or re-ordering input
@@ -492,20 +536,31 @@ object Curation extends QueryModule {
     * whose hash falls in the moved interval (the minimal-churn
     * property consistent-hashing gives). */
   def hashSplit(df: DataFrame, idCol: String = "doc_id",
-                splits: Seq[(String, Double)] =
-                  Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {
+                splits: Seq[(String, Double)] = DefaultSplits): DataFrame =
+    df.select(col(idCol), splitExpr(col(idCol), splits).as("split"))
+
+  /** The q140 fractions shared by the split family (q140 assignment,
+    * q146 leakage audit, q147 cluster-coherent split). */
+  private[scale] val DefaultSplits: Seq[(String, Double)] =
+    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  /** The q140 assignment as a pure column expression over ANY id —
+    * computable scan-side wherever the id appears (a pair list's two
+    * endpoints, a cluster representative) precisely because it is a
+    * function of the id alone. */
+  private[scale] def splitExpr(id: Column,
+      splits: Seq[(String, Double)] = DefaultSplits): Column = {
     require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
-      s"hashSplit: fractions must sum to 1: $splits")
-    val u = portableHash60(col(idCol).cast("string")).cast("double") /
+      s"splitExpr: fractions must sum to 1: $splits")
+    val u = portableHash60(id.cast("string")).cast("double") /
       lit((1L << 60).toDouble)
     // cumulative upper bounds in declaration order; the last split
     // takes the remainder so fraction rounding can never drop a row
     val cum = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
-    val assign = splits.init.zip(cum.init).foldRight(
+    splits.init.zip(cum.init).foldRight(
       lit(splits.last._1): Column) { case (((name, _), ub), rest) =>
       when(u < lit(ub), lit(name)).otherwise(rest)
     }
-    df.select(col(idCol), assign.as("split"))
   }
 
   /** q141: corpus snapshot diff — the ingest regression audit run
@@ -653,6 +708,10 @@ object Curation extends QueryModule {
     // the 1-row packing dashboard over the q73 chain
     "q145_pack_efficiency" -> ((s, d) =>
       packEfficiency(T.documents(s, d))),
+    // data-constrained epoch planning: target mixture × budget vs
+    // available tokens per language
+    "q148_epoch_allocation" -> ((s, d) =>
+      epochAllocation(T.documents(s, d))),
     // snapshot diff vs a deterministically-derived previous snapshot
     // (hash slices simulate adds/removes/edits)
     "q141_snapshot_diff" -> ((s, d) => {
@@ -679,8 +738,13 @@ object Curation extends QueryModule {
   }
 
   // hash := high 60 bits of md5(id) — identical to portableHash60
-  private val hashSql =
-    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)"
+  private[scale] def hashSqlFor(idExpr: String): String =
+    s"CAST('0x' || substr(md5(CAST($idExpr AS VARCHAR)), 1, 15) AS BIGINT)"
+  private val hashSql = hashSqlFor("doc_id")
+
+  /** `portableHash60(id)/2^60` in SQL — the [[splitExpr]] uniform. */
+  private[scale] def splitUSql(idExpr: String): String =
+    s"CAST(${hashSqlFor(idExpr)} AS DOUBLE) / 1152921504606846976.0"
 
   // the project-wide tokenizer contract (see TextAnalysis.wsSql)
   private val wsSql =
@@ -728,10 +792,11 @@ object Curation extends QueryModule {
     * Scala scanLeft doubles the Spark plan uses (full-precision
     * toString, e.g. `0.9000000000000001` — DuckDB parses back the
     * identical bits, so boundary hashes land identically). */
-  private def splitCaseSql(splits: Seq[(String, Double)]): String = {
+  private[scale] def splitCaseSql(uVar: String,
+      splits: Seq[(String, Double)] = DefaultSplits): String = {
     val cum = splits.scanLeft(0.0) { case (a, (_, f)) => a + f }.tail
     "CASE " + splits.init.zip(cum.init)
-      .map { case ((n, _), ub) => s"WHEN u < $ub THEN '$n'" }
+      .map { case ((n, _), ub) => s"WHEN $uVar < $ub THEN '$n'" }
       .mkString(" ") + s" ELSE '${splits.last._1}' END"
   }
 
@@ -749,7 +814,7 @@ object Curation extends QueryModule {
          |  CAST($hashSql AS DOUBLE) / 1152921504606846976.0 AS u
          |FROM documents)
          |SELECT doc_id,
-         |  ${splitCaseSql(Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))}
+         |  ${splitCaseSql("u")}
          |    AS split
          |FROM u""".stripMargin,
     // the synthetic prev snapshot restated: u ≥ 0.9 absent (added),
@@ -799,6 +864,32 @@ object Curation extends QueryModule {
          |SELECT lang, n_docs, sel_toks, share, target,
          |  share - target AS dev
          |FROM sh""".stripMargin
+    },
+    // need = target × budget is one double multiply of the SAME parsed
+    // literals; epochs/shortfall re-derive from it with identical
+    // expression trees (CEIL/LEAST/GREATEST are exact on doubles)
+    "q148_epoch_allocation" -> {
+      val targetCase = "CASE lang " + TargetMixture.toSeq.sortBy(_._1)
+        .map { case (l, v) => s"WHEN '$l' THEN $v" }
+        .mkString(" ") + " ELSE 0.0 END"
+      s"""WITH pl AS (SELECT lang,
+         |  CAST(SUM(CAST(CEIL(CAST(len(text) AS DOUBLE) / 4) AS BIGINT))
+         |    AS BIGINT) AS avail_toks
+         |FROM documents GROUP BY lang),
+         |t AS (SELECT lang, avail_toks, $targetCase AS target,
+         |  ($targetCase) * 50000.0 AS need_toks FROM pl)
+         |SELECT lang, avail_toks, target, need_toks,
+         |  CASE WHEN avail_toks > 0 THEN
+         |    FLOOR(need_toks / CAST(avail_toks AS DOUBLE) * 1000000 + 0.5)
+         |      / 1000000 END AS epochs_frac,
+         |  CASE WHEN avail_toks > 0 THEN
+         |    CAST(LEAST(CEIL(need_toks / CAST(avail_toks AS DOUBLE)), 4)
+         |      AS BIGINT) END AS planned_epochs,
+         |  FLOOR(GREATEST(need_toks - CAST(avail_toks * 4 AS DOUBLE), 0.0)
+         |    * 1000000 + 0.5) / 1000000 AS shortfall_toks,
+         |  CASE WHEN avail_toks > 0 THEN
+         |    need_toks > CAST(avail_toks AS DOUBLE) END AS oversampled
+         |FROM t""".stripMargin
     },
     // √ is IEEE-exactly-rounded so both engines produce bit-identical
     // w from identical r6 shares; wtot rides the DECIMAL(18,6) exact

@@ -1622,6 +1622,54 @@ object Dedup extends QueryModule {
         col("m.quality").as("rep_quality"), col("min_id"),
         ((-col("m.negid")) =!= col("min_id")).as("rep_differs"))
 
+  /** q146: split-leakage audit — near-duplicate pairs whose endpoints
+    * landed in DIFFERENT splits of the q140 assignment: every such
+    * pair is an eval leak (a test document with a near-copy in train
+    * inflates the benchmark — the split-hygiene failure the
+    * contamination family (q71/q93) checks against EXTERNAL eval
+    * suites, here turned on the pipeline's OWN held-out split). Per
+    * unordered split combination: pair count and the closest distance;
+    * the release read is "off-diagonal rows must be empty" — [[clusterSplit]]
+    * (q147) is the assignment that makes them so by construction.
+    *
+    * Scale design: ZERO joins — the q140 assignment is a pure function
+    * of the id (consistent hashing), so both endpoints' splits are
+    * scan-side projections over the shared pair core, followed by one
+    * hash aggregate onto ≤ (k·(k+1)/2) split-combination rows. */
+  def splitLeakage(pairs: DataFrame,
+                   splits: Seq[(String, Double)] = Curation.DefaultSplits): DataFrame = {
+    val sa = Curation.splitExpr(col("doc_a"), splits)
+    val sb = Curation.splitExpr(col("doc_b"), splits)
+    pairs
+      .select(least(sa, sb).as("split_a"), greatest(sa, sb).as("split_b"),
+        col("dist"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"), min(col("dist")).as("min_dist"))
+  }
+
+  /** q147: cluster-coherent split — the q146 fix: a document inherits
+    * the split of its near-dup component's representative (q59's
+    * min-id label) instead of its own hash, so every component lands
+    * WHOLE in one split and cross-split near-dup leakage is zero by
+    * construction (DedupSpec certifies it on the gate fixture).
+    * Singletons — the corpus bulk — have no component row and keep the
+    * plain q140 assignment (rep = self), preserving consistent
+    * hashing's minimal-churn property: re-running with a grown corpus
+    * only moves documents whose component membership changed.
+    *
+    * Scale design: one left equi-join of ids against the component
+    * table (both sides hash-partitioned on doc_id; the component table
+    * holds only docs that appear in some near-dup pair — a small
+    * fraction of the corpus), then a scan-side split projection from
+    * the rep id. No skew: doc_id is unique on both sides. */
+  def clusterSplit(docs: DataFrame, comps: DataFrame,
+                   splits: Seq[(String, Double)] = Curation.DefaultSplits): DataFrame =
+    docs.select(col("doc_id"))
+      .join(comps, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("rep_id"))
+      .withColumn("split", Curation.splitExpr(col("rep_id"), splits))
+
   // ---- driver-gate query registry ----
 
   /** Shared gate cores ([[graft.Shared]]): the maxDist=5 simhash pair
@@ -1662,6 +1710,11 @@ object Dedup extends QueryModule {
     // quality-aware representative per q59 cluster vs the min-id policy
     "q135_best_rep" -> ((s, d) =>
       bestRep(gateComps(s, d), TextAnalysis.gateScored(s, d))),
+    // near-dup pairs crossing the q140 split boundary (eval leakage)
+    "q146_split_leakage" -> ((s, d) => splitLeakage(gatePairs(s, d))),
+    // the fix: components inherit their representative's split
+    "q147_cluster_split" -> ((s, d) =>
+      clusterSplit(T.documents(s, d), gateComps(s, d))),
     "q24_dedup_exact" -> ((s, d) => exactDedup(T.documents(s, d))),
     "q25_ngram_jaccard" -> ((s, d) =>
       ngramJaccardFrom(gateShingles(s, d))),
@@ -1881,6 +1934,31 @@ object Dedup extends QueryModule {
       s"""WITH RECURSIVE $simhashPairCte,
          |$ccClosureCte
          |SELECT doc_id, cluster_id FROM cl""".stripMargin,
+    // both endpoints' splits re-derived scan-side from the pair list
+    // (the same md5-high-60-bits uniform and threshold CASE as q140)
+    "q146_split_leakage" -> {
+      val ca = Curation.splitCaseSql("ua")
+      val cb = Curation.splitCaseSql("ub")
+      s"""WITH $simhashPairCte,
+         |s AS (SELECT ${Curation.splitUSql("doc_a")} AS ua,
+         |             ${Curation.splitUSql("doc_b")} AS ub, dist FROM p),
+         |a AS (SELECT $ca AS sa, $cb AS sb, dist FROM s)
+         |SELECT LEAST(sa, sb) AS split_a, GREATEST(sa, sb) AS split_b,
+         |  COUNT(*) AS n_pairs, CAST(MIN(dist) AS INTEGER) AS min_dist
+         |FROM a GROUP BY 1, 2""".stripMargin
+    },
+    // q59's components; members take the rep's q140 split, singletons
+    // their own (COALESCE to self)
+    "q147_cluster_split" ->
+      s"""WITH RECURSIVE $simhashPairCte,
+         |$ccClosureCte,
+         |r AS (SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS rep_id
+         |      FROM documents d LEFT JOIN cl USING (doc_id)),
+         |uu AS (SELECT doc_id, rep_id,
+         |       ${Curation.splitUSql("rep_id")} AS u FROM r)
+         |SELECT doc_id, CAST(rep_id AS BIGINT) AS rep_id,
+         |  ${Curation.splitCaseSql("u")} AS split
+         |FROM uu""".stripMargin,
     // the q28 pair chain × q25's df-capped shingle universe, exact
     // Jaccard routed through the candidate pairs; bucket mean on the
     // DECIMAL(18,6) exact sum with one floor-r6'd division (shingle

@@ -322,6 +322,37 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("epochAllocation: needs, epoch caps, shortfall and the zero-avail " +
+    "guard on a hand-computed fixture") {
+    val spark2 = spark
+    import spark2.implicits._
+    // toks = ceil(len/4): en 100, de 10, fr 5, zz 0
+    val docs = Seq(
+      (1L, "en", "a" * 400), (2L, "de", "b" * 40),
+      (3L, "fr", "c" * 20), (4L, "zz", "")
+    ).toDF("doc_id", "lang", "text")
+    val out = Curation.epochAllocation(docs, budget = 100L,
+        target = Map("en" -> 0.5, "de" -> 0.5), maxEpochs = 2)
+      .collect().map(r => r.getAs[String]("lang") -> r).toMap
+    def row(l: String) = {
+      val r = out(l)
+      (r.getAs[Long]("avail_toks"), r.getAs[Double]("need_toks"),
+        Option(r.getAs[java.lang.Double]("epochs_frac")).map(_.toDouble),
+        Option(r.getAs[java.lang.Long]("planned_epochs")).map(_.toLong),
+        r.getAs[Double]("shortfall_toks"),
+        Option(r.getAs[java.lang.Boolean]("oversampled")).map(_.booleanValue))
+    }
+    // en: need 50 of 100 avail -> half an epoch, no shortfall
+    assert(row("en") === ((100L, 50.0, Some(0.5), Some(1L), 0.0, Some(false))))
+    // de: need 50 of 10 avail -> frac 5, capped at 2 epochs,
+    // shortfall 50 - 2*10 = 30
+    assert(row("de") === ((10L, 50.0, Some(5.0), Some(2L), 30.0, Some(true))))
+    // fr: not in the target -> zero need, zero epochs
+    assert(row("fr") === ((5L, 0.0, Some(0.0), Some(0L), 0.0, Some(false))))
+    // zz: zero available tokens -> NULL epochs, not a division artifact
+    assert(row("zz") === ((0L, 0.0, None, None, 0.0, None)))
+  }
+
   test("packEfficiency: the 1-row dashboard reconciles with a " +
     "hand-packed fixture") {
     val spark2 = spark

@@ -1387,4 +1387,66 @@ class DedupSpec extends SparkSpec {
     assert(out(1L) === ((3L, 11L, 0.9, 10L, true)))
     assert(out(2L) === ((2L, 20L, 0.7, 20L, false)))
   }
+
+  /** 30 exact-dup pairs with ids far apart, so the q140 hash scatters
+    * endpoints across splits — the leakage fixture q146/q147 share. */
+  private def leakDocs = {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(7)
+    (1 to 30).flatMap { i =>
+      val words = Seq.fill(12)("w" + rnd.nextInt(5000)).mkString(" ")
+      Seq((i.toLong, words), (i + 1000L, words))
+    }.toDF("doc_id", "text")
+  }
+
+  test("splitLeakage equals the brute pairs×hashSplit recomputation and " +
+    "the fixture really crosses splits") {
+    val d = leakDocs
+    val pairs = Dedup.simhashPairs(d, maxDist = 5)
+    val split = Curation.hashSplit(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val expected = pairs.collect()
+      .map { r =>
+        val (sa, sb) = (split(r.getAs[Long]("doc_a")),
+          split(r.getAs[Long]("doc_b")))
+        ((if (sa <= sb) sa else sb, if (sa <= sb) sb else sa),
+          r.getAs[Int]("dist"))
+      }
+      .groupBy(_._1)
+      .map { case (k, vs) => k -> (vs.length.toLong, vs.map(_._2).min) }
+    val out = Dedup.splitLeakage(pairs).collect()
+      .map(r => (r.getAs[String]("split_a"), r.getAs[String]("split_b")) ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Int]("min_dist"))).toMap
+    assert(out === expected)
+    assert(expected.keys.exists { case (a, b) => a != b },
+      "fixture should produce at least one cross-split pair")
+  }
+
+  test("clusterSplit: components land whole in one split, singletons " +
+    "keep the q140 assignment, and leakage is zero by construction") {
+    val d = leakDocs
+    val pairs = Dedup.simhashPairs(d, maxDist = 5)
+    val comps = Dedup.connectedComponents(pairs)
+    val out = Dedup.clusterSplit(d, comps).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("rep_id"), r.getAs[String]("split"))).toMap
+    assert(out.size === 60)
+    // every component member carries its rep's split — so every pair
+    // is split-coherent (zero leakage)
+    pairs.collect().foreach { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      assert(out(a)._2 === out(b)._2, s"pair ($a,$b) crosses splits")
+    }
+    // singletons (docs in no pair) keep rep = self and the plain q140
+    // split; members' rep is their component's min id
+    val inPair = pairs.collect()
+      .flatMap(r => Seq(r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val plain = Curation.hashSplit(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    out.foreach { case (id, (rep, s)) =>
+      if (!inPair(id)) { assert(rep === id); assert(s === plain(id)) }
+      else assert(s === plain(rep), s"member $id must take rep $rep's split")
+    }
+  }
 }
