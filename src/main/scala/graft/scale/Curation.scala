@@ -476,6 +476,53 @@ object Curation extends QueryModule {
         when(col("share") > 0d, r6(col("target_share") / col("share"))))
   }
 
+  /** q149: the portable temperature sweep — the q138 board at every
+    * temperature an engine can certify bit-exactly: τ ∈ {1.0, 0.5,
+    * 0.25}. A mixture owner picking a sampling temperature reads this
+    * side-by-side table (per τ: rebalanced shares and boosts) to see
+    * how hard each setting lifts the low-resource tail; τ = 1 is the
+    * raw mixture (no rebalancing), τ = 0.5 the mBERT/XLM default,
+    * τ = 0.25 the aggressive flattening end.
+    *
+    * Exactly these three temperatures, by design: share^τ at
+    * τ = 1/2^k is a chain of k IEEE-exactly-rounded `sqrt`s (k = 0,
+    * 1, 2), so both engines produce bit-identical weights — a general
+    * `pow(share, τ)` rides libm and drifts by ulps (the q138
+    * docstring's argument, extended from one temperature to the whole
+    * certifiable family).
+    *
+    * Scale design: ONE corpus aggregate keyed by language; the τ
+    * fan-out is a 3-way generator over the ≤ n_langs row table, the
+    * per-τ normalizers are a grouped exactSum on ≤ 3·n_langs rows
+    * joined back broadcast. Nothing after the first aggregate touches
+    * corpus-sized data. */
+  def temperatureSweep(docs: DataFrame): DataFrame =
+    temperatureSweepFrom(docs.groupBy(col("lang"))
+      .agg(sum(ceil(length(col("text")).cast("double") / 4d).cast("long"))
+        .as("toks")))
+
+  /** [[temperatureSweep]] from a pre-aggregated (lang, toks) table —
+    * the same sufficient statistic as [[temperatureMixtureFrom]], so
+    * the streaming reconciliation covers this board too. */
+  private[graft] def temperatureSweepFrom(perLang: DataFrame): DataFrame = {
+    def r6(c: Column): Column = floor(c * 1000000d + 0.5d) / 1000000d
+    val tot = perLang.agg(sum(col("toks")).as("total"))
+    val shared = perLang.crossJoin(broadcast(tot))
+      .withColumn("share", r6(col("toks").cast("double") / col("total")))
+      .select(col("lang"), col("toks"), col("share"),
+        explode(array(lit(1.0d), lit(0.5d), lit(0.25d))).as("tau"))
+      .withColumn("w",
+        when(col("tau") === 1.0d, col("share"))
+          .when(col("tau") === 0.5d, r6(sqrt(col("share"))))
+          .otherwise(r6(sqrt(sqrt(col("share"))))))
+    val wTot = shared.groupBy(col("tau")).agg(exactSum(col("w")).as("wtot"))
+    shared.join(broadcast(wTot), Seq("tau"))
+      .select(col("tau"), col("lang"), col("toks"), col("share"),
+        r6(col("w") / col("wtot")).as("target_share"))
+      .withColumn("boost",
+        when(col("share") > 0d, r6(col("target_share") / col("share"))))
+  }
+
   /** q148: epoch allocation under a token budget — the data-constrained
     * planning read (Muennighoff et al. 2023, arXiv:2305.16264): given a
     * training-token budget and the q79 target mixture, each language
@@ -712,6 +759,9 @@ object Curation extends QueryModule {
     // available tokens per language
     "q148_epoch_allocation" -> ((s, d) =>
       epochAllocation(T.documents(s, d))),
+    // the q138 board at every IEEE-certifiable temperature (1, ½, ¼)
+    "q149_temperature_sweep" -> ((s, d) =>
+      temperatureSweep(T.documents(s, d))),
     // snapshot diff vs a deterministically-derived previous snapshot
     // (hash slices simulate adds/removes/edits)
     "q141_snapshot_diff" -> ((s, d) => {
@@ -891,6 +941,39 @@ object Curation extends QueryModule {
          |    need_toks > CAST(avail_toks AS DOUBLE) END AS oversampled
          |FROM t""".stripMargin
     },
+    // share^τ at τ = 1/2^k is a k-deep chain of IEEE-exactly-rounded
+    // SQRTs (k = 0, 1, 2), so every w is bit-identical to the Spark
+    // side; per-τ wtot rides the DECIMAL(18,6) exact sum
+    "q149_temperature_sweep" ->
+      """WITH pl AS (SELECT lang,
+        |  CAST(SUM(CAST(CEIL(CAST(len(text) AS DOUBLE) / 4) AS BIGINT))
+        |    AS BIGINT) AS toks
+        |FROM documents GROUP BY lang),
+        |tt AS (SELECT CAST(SUM(toks) AS BIGINT) AS total FROM pl),
+        |sh AS (SELECT lang, toks,
+        |  FLOOR(CAST(toks AS DOUBLE) / total * 1000000 + 0.5) / 1000000
+        |    AS share
+        |FROM pl, tt),
+        |x AS (SELECT lang, toks, share, tau
+        |      FROM sh, unnest([CAST(1.0 AS DOUBLE), CAST(0.5 AS DOUBLE),
+        |                       CAST(0.25 AS DOUBLE)]) t(tau)),
+        |w AS (SELECT lang, toks, share, tau,
+        |  CASE WHEN tau = 1.0 THEN share
+        |       WHEN tau = 0.5 THEN FLOOR(SQRT(share) * 1000000 + 0.5) / 1000000
+        |       ELSE FLOOR(SQRT(SQRT(share)) * 1000000 + 0.5) / 1000000
+        |  END AS w
+        |FROM x),
+        |wt AS (SELECT tau, CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE)
+        |         AS wtot
+        |       FROM w GROUP BY tau),
+        |ts AS (SELECT lang, toks, share, tau,
+        |  FLOOR(w / wtot * 1000000 + 0.5) / 1000000 AS target_share
+        |FROM w JOIN wt USING (tau))
+        |SELECT tau, lang, toks, share, target_share,
+        |  CASE WHEN share > 0
+        |    THEN FLOOR(target_share / share * 1000000 + 0.5) / 1000000
+        |  END AS boost
+        |FROM ts""".stripMargin,
     // √ is IEEE-exactly-rounded so both engines produce bit-identical
     // w from identical r6 shares; wtot rides the DECIMAL(18,6) exact
     // sum (the Spark side's exactSum accumulator) so the normalizer is

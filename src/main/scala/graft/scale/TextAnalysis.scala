@@ -531,6 +531,70 @@ object TextAnalysis extends QueryModule {
       (gopherPass && repPass).as("keep"))
   }
 
+  /** q150: the filter funnel — stage-by-stage attrition through the
+    * curation battery in pipeline order (ingested → nonempty → Gopher
+    * → repetition → quality ≥ θ → PII-clean → exact-dedup kept), the
+    * survival table every corpus paper publishes (RefinedWeb/FineWeb
+    * style) and the first thing an operator reads when a pipeline
+    * change moves the kept-token count: per stage, surviving docs and
+    * tokens, survival vs ingested, and the per-step keep rate that
+    * localizes WHICH gate ate the corpus. Where q78 counts each gate
+    * independently, this is the SEQUENTIAL composition — the numbers a
+    * real run ships with.
+    *
+    * Scale design: one scan-side projection carries tokens, quality,
+    * PII flags and the md5 fingerprint; the gate flags ride the q70
+    * projection (zero-shuffle per-row); the only shuffles are the
+    * md5-group rep aggregate and two doc_id equi-joins. The stage
+    * fold collapses to ONE hash-aggregate with map-side partials
+    * (14 conditional sums), and the 7-row board explodes from its
+    * single output row — nothing after the aggregate is corpus-sized. */
+  def filterFunnel(docs0: DataFrame, qualityMin: Double = 0.5): DataFrame = {
+    val docs = widen(docs0)
+    val base = docs.select(
+      col("doc_id"),
+      ceil(length(col("text")).cast("double") / 4d).cast("long").as("toks"),
+      round(qualityExpr(col("text")), 4).as("quality"),
+      piiPatterns.map { case (_, p) => regexp_count(col("text"), lit(p)) > 0 }
+        .reduce(_ || _).as("any_pii"),
+      md5(col("text")).as("fp"))
+    val reps = base.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+    val gate = curationGate(docs)
+      .select(col("doc_id"), col("gopher_pass"), col("rep_pass"))
+    val flags = base.join(reps, Seq("fp")).join(gate, Seq("doc_id"))
+    val stages: Seq[(String, Column)] = Seq(
+      "1_ingested" -> lit(true),
+      "2_nonempty" -> (col("toks") > 0L),
+      "3_gopher" -> col("gopher_pass"),
+      "4_repetition" -> col("rep_pass"),
+      "5_quality" -> (col("quality") >= qualityMin),
+      "6_pii" -> !col("any_pii"),
+      "7_exact_dedup" -> (col("doc_id") === col("keep_id")))
+    // cumulative AND in pipeline order — stage k survives iff every
+    // gate up to k passed
+    val cum = stages.tail.scanLeft(stages.head) {
+      case ((_, acc), (n, c)) => (n, acc && c)
+    }
+    val aggs = cum.zipWithIndex.flatMap { case ((_, c), i) =>
+      Seq(count(when(c, 1)).as(s"d_$i"),
+        coalesce(sum(when(c, col("toks"))), lit(0L)).as(s"t_$i"))
+    }
+    val wide = flags.agg(aggs.head, aggs.tail: _*)
+    val entries = cum.zipWithIndex.map { case ((n, _), i) =>
+      val stepPrev = if (i == 0) col("d_0") else col(s"d_${i - 1}")
+      struct(
+        lit(i + 1).as("stage_idx"), lit(n).as("stage"),
+        col(s"d_$i").as("n_docs"), col(s"t_$i").as("n_toks"),
+        when(col("d_0") > 0L,
+          round(col(s"d_$i").cast("double") / col("d_0"), 4))
+          .as("survival_rate"),
+        when(stepPrev > 0L,
+          round(col(s"d_$i").cast("double") / stepPrev, 4))
+          .as("step_keep_rate"))
+    }
+    wide.select(explode(array(entries: _*)).as("s")).select(col("s.*"))
+  }
+
   /** TF-IDF top-k terms per document — the corpus-relative keyword
     * signal. Two-phase shape: per-(doc, term) frequency aggregate,
     * document-frequency aggregate over it, join back on term, rank
@@ -1401,7 +1465,9 @@ object TextAnalysis extends QueryModule {
       .select(explode(col("ws")).as("w")), iters = 3, minCount = 2L)),
     // compression trajectory across the q139 merge rounds
     "q142_bpe_compression" -> ((s, d) => bpeCompressionFrom(gateTokens(s, d)
-      .select(explode(col("ws")).as("w")), iters = 3, minCount = 2L))
+      .select(explode(col("ws")).as("w")), iters = 3, minCount = 2L)),
+    // the sequential filter-funnel survival board
+    "q150_filter_funnel" -> ((s, d) => filterFunnel(T.documents(s, d)))
   )
 
   private val normSql =
@@ -1506,7 +1572,62 @@ object TextAnalysis extends QueryModule {
     s"CASE $cases ELSE '${langs.last}' END"
   }
 
+  /** The q150 oracle: the q70 gate chain + a quality/PII/md5 scan CTE,
+    * cumulative stage flags, one aggregate, 7-row UNION unpivot. */
+  private lazy val filterFunnelSql: String = {
+    val names = Seq("1_ingested", "2_nonempty", "3_gopher", "4_repetition",
+      "5_quality", "6_pii", "7_exact_dedup")
+    // cumulative conjunctions s1..s6 (s0 ≡ TRUE is the ingested row)
+    val conds = Seq("q.toks > 0", "g.gopher_pass", "g.rep_pass",
+      "q.quality >= 0.5", "NOT q.any_pii", "q.doc_id = rp.keep_id")
+      .scanLeft(Seq.empty[String])(_ :+ _).tail
+      .map(_.mkString("(", " AND ", ")"))
+    val flagCols = conds.zipWithIndex
+      .map { case (c, i) => s"$c AS s${i + 1}" }.mkString(",\n  ")
+    val aggCols = (0 to 6).map { i =>
+      val g = if (i == 0) "" else s"CASE WHEN s$i THEN "
+      val e = if (i == 0) "" else " END"
+      s"CAST(COUNT(${g}1$e) AS BIGINT) AS d_$i, " +
+        s"CAST(COALESCE(SUM($g toks$e), 0) AS BIGINT) AS t_$i"
+    }.mkString(",\n  ")
+    val unions = names.zipWithIndex.map { case (n, i) =>
+      val prev = s"d_${math.max(i - 1, 0)}"
+      s"SELECT ${i + 1} AS stage_idx, '$n' AS stage, d_$i AS n_docs, " +
+        s"t_$i AS n_toks, d_0 AS tot, $prev AS prev FROM a"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $curationCtes,
+       |gate AS (SELECT r.doc_id, gp.gopher_pass,
+       |  (r.dup_frac < 0.2 AND r.top_frac < 0.18) AS rep_pass
+       | FROM r JOIN gp ON gp.doc_id = r.doc_id),
+       |mm AS (SELECT doc_id,
+       |  CAST(len(ws) AS INTEGER) AS n_words,
+       |  GREATEST(len(ws), 1) AS nw,
+       |  GREATEST(len(text), 1) AS nc,
+       |  len(list_filter(ws, x -> list_contains($stopListSql, x))) AS stop_hits,
+       |  len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+       |  CAST(CEIL(CAST(len(text) AS DOUBLE) / 4) AS BIGINT) AS toks,
+       |  ($piiAnySql) AS any_pii,
+       |  md5(text) AS fp
+       | FROM w),
+       |qq AS (SELECT doc_id, toks, any_pii, fp, $qualitySql AS quality FROM mm),
+       |reps AS (SELECT fp, MIN(doc_id) AS keep_id FROM qq GROUP BY fp),
+       |f AS (SELECT q.doc_id, q.toks,
+       |  $flagCols
+       | FROM qq q JOIN gate g USING (doc_id) JOIN reps rp ON q.fp = rp.fp),
+       |a AS (SELECT
+       |  $aggCols
+       | FROM f)
+       |SELECT stage_idx, stage, n_docs, n_toks,
+       |  CASE WHEN tot > 0 THEN ROUND(CAST(n_docs AS DOUBLE) / tot, 4) END
+       |    AS survival_rate,
+       |  CASE WHEN prev > 0 THEN ROUND(CAST(n_docs AS DOUBLE) / prev, 4) END
+       |    AS step_keep_rate
+       |FROM (
+       |  $unions)""".stripMargin
+  }
+
   override val oracle: Map[String, String] = Map(
+    "q150_filter_funnel" -> filterFunnelSql,
     "q33_lang_id" ->
       s"""WITH w AS (SELECT doc_id, lang, $wsSql AS ws FROM documents),
          |scored AS (SELECT doc_id, lang,

@@ -296,6 +296,41 @@ class CurationSpec extends SparkSpec {
       < 2e-6)
   }
 
+  test("temperatureSweep: τ=1 is the raw mixture, τ=0.5 matches the " +
+    "q138 board, τ=0.25 flattens hardest") {
+    val spark2 = spark
+    import spark2.implicits._
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    // toks: en 90, de 10 (total 100) — same fixture as q138's spec
+    val docs = Seq(
+      (1L, "a" * 360, "en"), (2L, "b" * 40, "de")
+    ).toDF("doc_id", "text", "lang")
+    val rows = Curation.temperatureSweep(docs).collect()
+    assert(rows.length === 6) // 2 langs × 3 temperatures
+    val out = rows.map(r => (r.getAs[Double]("tau"),
+      r.getAs[String]("lang")) ->
+      (r.getAs[Double]("share"), r.getAs[Double]("target_share"),
+        r.getAs[Double]("boost"))).toMap
+    // τ=1: target == share, boost == 1 (r6-exactly)
+    assert(out((1.0, "en")) === ((0.9, 0.9, 1.0)))
+    assert(out((1.0, "de")) === ((0.1, 0.1, 1.0)))
+    // τ=0.5: identical numbers to the q138 board on the same input
+    val q138 = Curation.temperatureMixture(docs).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Double]("target_share"), r.getAs[Double]("boost"))).toMap
+    assert(out((0.5, "en")) === ((0.9, q138("en")._1, q138("en")._2)))
+    assert(out((0.5, "de")) === ((0.1, q138("de")._1, q138("de")._2)))
+    // τ=0.25: recompute the double-sqrt chain exactly
+    val mEn = math.floor(math.sqrt(math.sqrt(0.9)) * 1e6 + 0.5)
+    val mDe = math.floor(math.sqrt(math.sqrt(0.1)) * 1e6 + 0.5)
+    val wtot = (mEn + mDe) / 1e6
+    assert(out((0.25, "en"))._2 === r6(mEn / 1e6 / wtot))
+    assert(out((0.25, "de"))._2 === r6(mDe / 1e6 / wtot))
+    // lower τ lifts the low-resource lang monotonically
+    assert(out((0.25, "de"))._3 > out((0.5, "de"))._3)
+    assert(out((0.5, "de"))._3 > out((1.0, "de"))._3)
+  }
+
   test("hashSplit: deterministic, exhaustive, roughly proportional — " +
     "and re-weighting only shrinks/grows split intervals (no churn " +
     "between untouched boundaries)") {

@@ -375,6 +375,51 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.head._6 > 2.0)
   }
 
+  test("filterFunnel: one doc drops at each stage, counts/tokens/rates " +
+    "walk down the board") {
+    val spark2 = spark
+    import spark2.implicits._
+    // a 60-word gate-passing body: distinct bigrams, 30 stopword hits,
+    // avg word length 3.0, zero punctuation
+    val good = (1 to 15)
+      .map(i => f"the w$i%02d and x$i%02d").mkString(" ")
+    val funnel = Seq(
+      1L -> good,                                  // survives everything
+      2L -> "",                                    // out at 2_nonempty
+      3L -> (1 to 60).map(i => f"xq$i%02d").mkString(" "), // no stopwords → gopher
+      4L -> Seq.fill(30)("the cat").mkString(" "), // repetitive → repetition
+      5L -> ("the the " +                          // comma-heavy → quality < 0.5
+        (1 to 58).map(i => f"w$i%02d ,,").mkString(" ")),
+      6L -> (good + " contact me at john@example.com now"), // PII
+      7L -> good                                   // exact dup of 1 → dedup
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.filterFunnel(funnel).collect()
+      .sortBy(_.getAs[Int]("stage_idx"))
+    assert(out.map(_.getAs[String]("stage")).toSeq === Seq("1_ingested",
+      "2_nonempty", "3_gopher", "4_repetition", "5_quality", "6_pii",
+      "7_exact_dedup"))
+    assert(out.map(_.getAs[Long]("n_docs")).toSeq ===
+      Seq(7L, 6L, 5L, 4L, 3L, 2L, 1L))
+    // survival is vs ingested, step is vs the previous stage
+    def r4(x: Double) = math.round(x * 1e4) / 1e4
+    assert(out.map(_.getAs[Double]("survival_rate")).toSeq ===
+      Seq(1.0, r4(6.0 / 7), r4(5.0 / 7), r4(4.0 / 7), r4(3.0 / 7),
+        r4(2.0 / 7), r4(1.0 / 7)))
+    assert(out.map(_.getAs[Double]("step_keep_rate")).toSeq ===
+      Seq(1.0, r4(6.0 / 7), r4(5.0 / 6), r4(4.0 / 5), r4(3.0 / 4),
+        r4(2.0 / 3), r4(1.0 / 2)))
+    // token accounting: stage 1 holds the whole corpus, the final
+    // stage exactly the one surviving doc
+    val toks = funnel.select(sum(ceil(length(col("text")) / 4)))
+      .first().getLong(0)
+    assert(out.head.getAs[Long]("n_toks") === toks)
+    assert(out.last.getAs[Long]("n_toks") ===
+      math.ceil(good.length / 4.0).toLong)
+    // monotone: a funnel can only shrink
+    val docsSeq = out.map(_.getAs[Long]("n_docs")).toSeq
+    assert(docsSeq === docsSeq.sorted.reverse)
+  }
+
   test("curationGate plans zero exchanges — the joint filter runs scan-side") {
     val df = TextAnalysis.curationGate(
       graft.Tables.documents(spark, "/root/testdata/sf0.001"))
