@@ -523,6 +523,71 @@ object Curation extends QueryModule {
         when(col("share") > 0d, r6(col("target_share") / col("share"))))
   }
 
+  /** Global ROW_NUMBER under a total order, distributed: range-partition
+    * by the order columns, per-partition counts → driver prefix-sum
+    * (numPartitions rows), broadcast offsets, window WITHIN partitions
+    * only — the same shape as [[budgetSelectFrom]]'s prefix sum, with
+    * count in place of token sum. Adds `rnk` (1-based). */
+  private def withGlobalRank(t0: DataFrame, order: Seq[Column],
+                             partitions: Int): DataFrame = {
+    val spark = t0.sparkSession
+    val t = t0.repartitionByRange(partitions, order: _*)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint() // pid must not be recomputed under another plan
+    val counts = t.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) =>
+      (pid, acc + c)
+    }.tail.zip(counts).map { case ((pid, cumIncl), (_, c)) =>
+      (pid, cumIncl - c)
+    }
+    val offDf = spark.createDataFrame(offsets.toSeq).toDF("pid", "offset")
+    val w = Window.partitionBy(col("pid")).orderBy(order: _*)
+    t.join(broadcast(offDf), "pid")
+      .withColumn("rnk", row_number().over(w).cast("long") + col("offset"))
+      .drop("pid", "offset")
+  }
+
+  /** q152: batching padding waste — does length-bucketed batching pay?
+    * Padded-batch training (the non-packed regime: one sequence per
+    * slot, batch padded to its longest member) wastes `Σ n_b·max_b −
+    * Σ toks` tokens; forming batches from a length-sorted order
+    * instead of arrival order collapses within-batch spread and
+    * recovers most of it. This board quantifies both strategies on the
+    * actual corpus — the measured read behind "sort by length before
+    * batching", next to q73/q145's packed-regime numbers.
+    *
+    * Scale design: two distributed global-rank chains (range
+    * partition + broadcast prefix offsets — never a single-partition
+    * window), one hash-aggregate per strategy keyed by batch_id, and a
+    * 1-row rollup each. Every quantity is an exact integer except the
+    * final pad_frac division. */
+  def batchPadding(docs0: DataFrame, batchSize: Int = 16,
+                   partitions: Int = 32): DataFrame = {
+    val docs = Layout.widen(docs0)
+    val base = docs.select(col("doc_id"),
+      ceil(length(col("text")).cast("double") / 4d).cast("long").as("toks"))
+      .filter(col("toks") > 0)
+      .localCheckpoint() // feeds both rank chains; scan once
+    def strategy(name: String, order: Seq[Column]): DataFrame =
+      withGlobalRank(base, order, partitions)
+        .withColumn("batch_id", expr(s"(rnk - 1) div $batchSize"))
+        .groupBy(col("batch_id"))
+        .agg(count(lit(1)).as("n"), sum(col("toks")).as("real"),
+          max(col("toks")).as("mx"))
+        .agg(count(lit(1)).as("n_batches"), sum(col("n")).as("n_docs"),
+          sum(col("real")).as("real_toks"),
+          sum(col("n") * col("mx")).as("padded_toks"))
+        .select(lit(name).as("strategy"), col("n_docs"), col("n_batches"),
+          col("real_toks"), col("padded_toks"),
+          (col("padded_toks") - col("real_toks")).as("pad_toks"),
+          when(col("padded_toks") > 0L,
+            round((col("padded_toks") - col("real_toks")).cast("double")
+              / col("padded_toks"), 4)).as("pad_frac"))
+    strategy("1_natural", Seq(col("doc_id")))
+      .unionByName(strategy("2_length_sorted", Seq(col("toks"), col("doc_id"))))
+  }
+
   /** q148: epoch allocation under a token budget — the data-constrained
     * planning read (Muennighoff et al. 2023, arXiv:2305.16264): given a
     * training-token budget and the q79 target mixture, each language
@@ -762,6 +827,8 @@ object Curation extends QueryModule {
     // the q138 board at every IEEE-certifiable temperature (1, ½, ¼)
     "q149_temperature_sweep" -> ((s, d) =>
       temperatureSweep(T.documents(s, d))),
+    // padded-batch waste: natural vs length-sorted batch formation
+    "q152_batch_padding" -> ((s, d) => batchPadding(T.documents(s, d))),
     // snapshot diff vs a deterministically-derived previous snapshot
     // (hash slices simulate adds/removes/edits)
     "q141_snapshot_diff" -> ((s, d) => {
@@ -941,6 +1008,42 @@ object Curation extends QueryModule {
          |    need_toks > CAST(avail_toks AS DOUBLE) END AS oversampled
          |FROM t""".stripMargin
     },
+    // the two ROW_NUMBER orders are total (doc_id unique), so batch
+    // membership is deterministic; every aggregate is exact-integer
+    // (HUGEINT sums cast to BIGINT), only pad_frac divides
+    "q152_batch_padding" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(CEIL(CAST(len(text) AS DOUBLE) / 4) AS BIGINT) AS toks
+        |  FROM documents),
+        |f AS (SELECT * FROM t WHERE toks > 0),
+        |rn AS (SELECT doc_id, toks,
+        |  ROW_NUMBER() OVER (ORDER BY doc_id) AS r1,
+        |  ROW_NUMBER() OVER (ORDER BY toks, doc_id) AS r2 FROM f),
+        |b1 AS (SELECT (r1 - 1) // 16 AS batch_id, COUNT(*) AS n,
+        |  SUM(toks) AS real, MAX(toks) AS mx FROM rn GROUP BY 1),
+        |a1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_batches,
+        |  CAST(SUM(n) AS BIGINT) AS n_docs,
+        |  CAST(SUM(real) AS BIGINT) AS real_toks,
+        |  CAST(SUM(n * mx) AS BIGINT) AS padded_toks FROM b1),
+        |b2 AS (SELECT (r2 - 1) // 16 AS batch_id, COUNT(*) AS n,
+        |  SUM(toks) AS real, MAX(toks) AS mx FROM rn GROUP BY 1),
+        |a2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_batches,
+        |  CAST(SUM(n) AS BIGINT) AS n_docs,
+        |  CAST(SUM(real) AS BIGINT) AS real_toks,
+        |  CAST(SUM(n * mx) AS BIGINT) AS padded_toks FROM b2)
+        |SELECT '1_natural' AS strategy, n_docs, n_batches, real_toks,
+        |  padded_toks, padded_toks - real_toks AS pad_toks,
+        |  CASE WHEN padded_toks > 0 THEN
+        |    ROUND(CAST(padded_toks - real_toks AS DOUBLE) / padded_toks, 4)
+        |  END AS pad_frac
+        |FROM a1
+        |UNION ALL
+        |SELECT '2_length_sorted', n_docs, n_batches, real_toks,
+        |  padded_toks, padded_toks - real_toks,
+        |  CASE WHEN padded_toks > 0 THEN
+        |    ROUND(CAST(padded_toks - real_toks AS DOUBLE) / padded_toks, 4)
+        |  END
+        |FROM a2""".stripMargin,
     // share^τ at τ = 1/2^k is a k-deep chain of IEEE-exactly-rounded
     // SQRTs (k = 0, 1, 2), so every w is bit-identical to the Spark
     // side; per-τ wtot rides the DECIMAL(18,6) exact sum

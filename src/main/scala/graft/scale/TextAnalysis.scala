@@ -595,6 +595,46 @@ object TextAnalysis extends QueryModule {
     wide.select(explode(array(entries: _*)).as("s")).select(col("s.*"))
   }
 
+  /** q151: gate agreement — Cohen's κ between the two cheap quality
+    * signals this pipeline runs (the q70 Gopher+repetition `keep` gate
+    * and the q34 composite-quality threshold): the 2×2 confusion
+    * counts, observed agreement p_obs, chance agreement p_chance, and
+    * κ = (p_obs − p_chance)/(1 − p_chance). The read a curation owner
+    * does before paying for BOTH filters at 100 TB: κ near 1 means the
+    * second gate is redundant, κ near 0 means each adds independent
+    * signal (and the funnel ordering in q150 matters).
+    *
+    * Scale design: both flags are zero-shuffle per-row projections;
+    * one doc_id equi-join, then ONE hash-aggregate of four conditional
+    * counts — everything after runs on a single row. Portability: the
+    * rates divide exact integer counts with identical expression trees
+    * in both engines; κ divides the UNROUNDED rates (then r6), so the
+    * one-ulp hazards of rounding intermediates never arise. */
+  def gateAgreement(docs0: DataFrame, qualityMin: Double = 0.5): DataFrame = {
+    val docs = widen(docs0)
+    val q = docs.select(col("doc_id"),
+      (round(qualityExpr(col("text")), 4) >= qualityMin).as("q_pass"))
+    val g = curationGate(docs).select(col("doc_id"), col("keep").as("g_pass"))
+    val agg = q.join(g, Seq("doc_id")).agg(
+      count(lit(1)).as("n_docs"),
+      count(when(col("g_pass") && col("q_pass"), 1)).as("both_pass"),
+      count(when(col("g_pass") && !col("q_pass"), 1)).as("gate_only"),
+      count(when(!col("g_pass") && col("q_pass"), 1)).as("quality_only"),
+      count(when(!col("g_pass") && !col("q_pass"), 1)).as("neither"))
+    def r6(x: Column) = floor(x * 1000000d + 0.5d) / 1000000d
+    val n = col("n_docs").cast("double")
+    val a = col("both_pass").cast("double")
+    val b = col("gate_only").cast("double")
+    val c = col("quality_only").cast("double")
+    val d = col("neither").cast("double")
+    val po = (a + d) / n
+    val pe = ((a + b) / n) * ((a + c) / n) + ((c + d) / n) * ((b + d) / n)
+    agg.select(col("n_docs"), col("both_pass"), col("gate_only"),
+      col("quality_only"), col("neither"),
+      r6(po).as("p_obs"), r6(pe).as("p_chance"),
+      when(pe < 1.0d, r6((po - pe) / (lit(1.0) - pe))).as("kappa"))
+  }
+
   /** TF-IDF top-k terms per document — the corpus-relative keyword
     * signal. Two-phase shape: per-(doc, term) frequency aggregate,
     * document-frequency aggregate over it, join back on term, rank
@@ -1467,7 +1507,9 @@ object TextAnalysis extends QueryModule {
     "q142_bpe_compression" -> ((s, d) => bpeCompressionFrom(gateTokens(s, d)
       .select(explode(col("ws")).as("w")), iters = 3, minCount = 2L)),
     // the sequential filter-funnel survival board
-    "q150_filter_funnel" -> ((s, d) => filterFunnel(T.documents(s, d)))
+    "q150_filter_funnel" -> ((s, d) => filterFunnel(T.documents(s, d))),
+    // Cohen's κ between the Gopher gate and the quality threshold
+    "q151_gate_agreement" -> ((s, d) => gateAgreement(T.documents(s, d)))
   )
 
   private val normSql =
@@ -1626,8 +1668,56 @@ object TextAnalysis extends QueryModule {
        |  $unions)""".stripMargin
   }
 
+  /** The q151 oracle: gate chain + quality CTE, one 2×2 aggregate,
+    * κ from the UNROUNDED rates with the identical expression tree. */
+  private lazy val gateAgreementSql: String =
+    s"""WITH $curationCtes,
+       |gate AS (SELECT r.doc_id,
+       |  (gp.gopher_pass AND r.dup_frac < 0.2 AND r.top_frac < 0.18)
+       |    AS g_pass
+       | FROM r JOIN gp ON gp.doc_id = r.doc_id),
+       |mm AS (SELECT doc_id,
+       |  CAST(len(ws) AS INTEGER) AS n_words,
+       |  GREATEST(len(ws), 1) AS nw,
+       |  GREATEST(len(text), 1) AS nc,
+       |  len(list_filter(ws, x -> list_contains($stopListSql, x))) AS stop_hits,
+       |  len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct
+       | FROM w),
+       |qq AS (SELECT doc_id, ($qualitySql >= 0.5) AS q_pass FROM mm),
+       |agg AS (SELECT
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(CASE WHEN g_pass AND q_pass THEN 1 END) AS BIGINT)
+       |    AS both_pass,
+       |  CAST(COUNT(CASE WHEN g_pass AND NOT q_pass THEN 1 END) AS BIGINT)
+       |    AS gate_only,
+       |  CAST(COUNT(CASE WHEN NOT g_pass AND q_pass THEN 1 END) AS BIGINT)
+       |    AS quality_only,
+       |  CAST(COUNT(CASE WHEN NOT g_pass AND NOT q_pass THEN 1 END) AS BIGINT)
+       |    AS neither
+       | FROM qq JOIN gate USING (doc_id)),
+       |e AS (SELECT *,
+       |  (CAST(both_pass AS DOUBLE) + CAST(neither AS DOUBLE))
+       |    / CAST(n_docs AS DOUBLE) AS po,
+       |  ((CAST(both_pass AS DOUBLE) + CAST(gate_only AS DOUBLE))
+       |      / CAST(n_docs AS DOUBLE))
+       |    * ((CAST(both_pass AS DOUBLE) + CAST(quality_only AS DOUBLE))
+       |      / CAST(n_docs AS DOUBLE))
+       |  + ((CAST(quality_only AS DOUBLE) + CAST(neither AS DOUBLE))
+       |      / CAST(n_docs AS DOUBLE))
+       |    * ((CAST(gate_only AS DOUBLE) + CAST(neither AS DOUBLE))
+       |      / CAST(n_docs AS DOUBLE)) AS pe
+       | FROM agg)
+       |SELECT n_docs, both_pass, gate_only, quality_only, neither,
+       |  FLOOR(po * 1000000 + 0.5) / 1000000 AS p_obs,
+       |  FLOOR(pe * 1000000 + 0.5) / 1000000 AS p_chance,
+       |  CASE WHEN pe < 1.0
+       |    THEN FLOOR((po - pe) / (1.0 - pe) * 1000000 + 0.5) / 1000000
+       |  END AS kappa
+       |FROM e""".stripMargin
+
   override val oracle: Map[String, String] = Map(
     "q150_filter_funnel" -> filterFunnelSql,
+    "q151_gate_agreement" -> gateAgreementSql,
     "q33_lang_id" ->
       s"""WITH w AS (SELECT doc_id, lang, $wsSql AS ws FROM documents),
          |scored AS (SELECT doc_id, lang,

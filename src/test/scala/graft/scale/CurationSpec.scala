@@ -331,6 +331,28 @@ class CurationSpec extends SparkSpec {
     assert(out((0.5, "de"))._3 > out((1.0, "de"))._3)
   }
 
+  test("batchPadding: exact padded-token accounting, length-sorting " +
+    "recovers the waste, distributed rank matches the global order") {
+    val spark2 = spark
+    import spark2.implicits._
+    // toks alternate 1/100: natural batches pair a short with a long
+    val docs = Seq(
+      (1L, "a" * 4), (2L, "b" * 400), (3L, "a" * 4),
+      (4L, "b" * 400), (5L, "a" * 4)
+    ).toDF("doc_id", "text")
+    val out = Curation.batchPadding(docs, batchSize = 2, partitions = 3)
+      .collect().map(r => r.getAs[String]("strategy") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_batches"),
+          r.getAs[Long]("real_toks"), r.getAs[Long]("padded_toks"),
+          r.getAs[Long]("pad_toks"), r.getAs[Double]("pad_frac"))).toMap
+    // natural (doc_id order): [1,100] [1,100] [1] → padded 200+200+1
+    assert(out("1_natural") ===
+      ((5L, 3L, 203L, 401L, 198L, math.round(198.0 / 401 * 1e4) / 1e4)))
+    // sorted (toks order): [1,1] [1,100] [100] → padded 2+200+100
+    assert(out("2_length_sorted") ===
+      ((5L, 3L, 203L, 302L, 99L, math.round(99.0 / 302 * 1e4) / 1e4)))
+  }
+
   test("hashSplit: deterministic, exhaustive, roughly proportional — " +
     "and re-weighting only shrinks/grows split intervals (no churn " +
     "between untouched boundaries)") {

@@ -420,6 +420,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(docsSeq === docsSeq.sorted.reverse)
   }
 
+  test("gateAgreement: a balanced 2x2 yields kappa 0, identical gates " +
+    "yield kappa 1") {
+    val spark2 = spark
+    import spark2.implicits._
+    val good = (1 to 15)
+      .map(i => f"the w$i%02d and x$i%02d").mkString(" ")  // both pass
+    val gateOnly = "the the " +                 // gopher+rep pass, quality .454
+      (1 to 58).map(i => f"w$i%02d ,,").mkString(" ")
+    val qualityOnly = ((1 to 7)                 // 30 words: quality exactly .5,
+      .map(i => f"the w$i%02d and x$i%02d") :+ "the w08")  // gopher n<50 fails
+      .mkString(" ")
+    val docs = Seq(
+      1L -> good, 2L -> gateOnly, 3L -> qualityOnly, 4L -> ""
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.gateAgreement(docs).collect().head
+    assert((r.getAs[Long]("n_docs"), r.getAs[Long]("both_pass"),
+      r.getAs[Long]("gate_only"), r.getAs[Long]("quality_only"),
+      r.getAs[Long]("neither")) === ((4L, 1L, 1L, 1L, 1L)))
+    // po = 1/2, pe = (1/2)(1/2)+(1/2)(1/2) = 1/2 → zero chance-corrected
+    // agreement despite 50% raw agreement
+    assert(r.getAs[Double]("p_obs") === 0.5)
+    assert(r.getAs[Double]("p_chance") === 0.5)
+    assert(r.getAs[Double]("kappa") === 0.0)
+    // perfectly-aligned gates: κ = 1
+    val aligned = Seq(1L -> good, 2L -> "").toDF("doc_id", "text")
+    val r2 = TextAnalysis.gateAgreement(aligned).collect().head
+    assert(r2.getAs[Double]("p_obs") === 1.0)
+    assert(r2.getAs[Double]("kappa") === 1.0)
+  }
+
   test("curationGate plans zero exchanges — the joint filter runs scan-side") {
     val df = TextAnalysis.curationGate(
       graft.Tables.documents(spark, "/root/testdata/sf0.001"))
