@@ -523,6 +523,85 @@ object Curation extends QueryModule {
         when(col("share") > 0d, r6(col("target_share") / col("share"))))
   }
 
+  /** q153: snapshot quality drift — "is the corpus getting better?":
+    * the q141 diff statuses (added / removed / changed / unchanged)
+    * with the quality and token mass attached, so a refresh review
+    * reads not just HOW MANY docs churned but whether the churn
+    * raised or lowered corpus quality (added mean-quality below
+    * removed mean-quality is the classic regressing-crawl signal).
+    * Changed/unchanged/added docs are scored on their CURRENT text,
+    * removed docs on the only text they have (the previous snapshot's).
+    *
+    * Scale design: per-side (id, md5) collapse + ONE full-outer
+    * equi-join (the q141 shape), then the scan-side quality projection
+    * and a 4-group aggregate. Portability: mean quality rides the
+    * exactSum decimal accumulator (a cross-partition double sum is
+    * order-dependent; the decimal sum is not), and both means divide
+    * exact totals once, r6-rounded. */
+  def snapshotQualityDrift(prev: DataFrame, cur: DataFrame): DataFrame = {
+    def r6(c: Column): Column = floor(c * 1000000d + 0.5d) / 1000000d
+    val p = prev.select(col("doc_id"), col("text").as("prev_text"),
+      md5(col("text")).as("prev_md5"))
+    val c = cur.select(col("doc_id"), col("text").as("cur_text"),
+      md5(col("text")).as("cur_md5"))
+    val classified = p.join(c, Seq("doc_id"), "full_outer")
+      .select(
+        when(col("prev_md5").isNull, "added")
+          .when(col("cur_md5").isNull, "removed")
+          .when(col("prev_md5") === col("cur_md5"), "unchanged")
+          .otherwise("changed").as("status"),
+        coalesce(col("cur_text"), col("prev_text")).as("text"))
+    classified
+      .select(col("status"),
+        ceil(length(col("text")).cast("double") / 4d).cast("long").as("toks"),
+        round(TextAnalysis.qualityExpr(col("text")), 4).as("q"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("sum_toks"),
+        exactSum(col("q")).as("qsum"))
+      .select(col("status"), col("n_docs"), col("sum_toks"),
+        r6(col("qsum") / col("n_docs")).as("mean_quality"),
+        r6(col("sum_toks").cast("double") / col("n_docs")).as("mean_toks"))
+  }
+
+  /** q154: split balance — is each q140 split REPRESENTATIVE? Per
+    * (split, lang): doc/token counts, the language's token share
+    * WITHIN the split, the language's global share, and the deviation.
+    * The q146/q147 siblings audit leakage ACROSS the boundary; this
+    * audits distribution parity INSIDE each side — a val set whose
+    * language mixture drifts from train's invalidates every
+    * per-language eval read off it. Hash-splitting is expected to pass
+    * this board (uniform in expectation); a failure means skewed ids
+    * or a too-small split.
+    *
+    * Scale design: the split label is the q140 scan-side expression
+    * (pure function of the id), so the board is ONE corpus aggregate
+    * keyed by (split, lang); the split/lang/global rollups re-aggregate
+    * the bounded cell table (localCheckpointed — #splits × #langs
+    * rows), and join back broadcast. */
+  def splitBalance(docs: DataFrame): DataFrame = {
+    def r6(c: Column): Column = floor(c * 1000000d + 0.5d) / 1000000d
+    val cell = docs.select(splitExpr(col("doc_id")).as("split"), col("lang"),
+        ceil(length(col("text")).cast("double") / 4d).cast("long").as("toks"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("toks"))
+      .localCheckpoint() // bounded: feeds three rollups + the join
+    val bySplit = cell.groupBy(col("split"))
+      .agg(sum(col("toks")).as("split_toks"))
+    val byLang = cell.groupBy(col("lang"))
+      .agg(sum(col("toks")).as("lang_toks"))
+    val total = cell.agg(sum(col("toks")).as("total_toks"))
+    cell.join(broadcast(bySplit), Seq("split"))
+      .join(broadcast(byLang), Seq("lang"))
+      .crossJoin(broadcast(total))
+      .select(col("split"), col("lang"), col("n_docs"), col("toks"),
+        when(col("split_toks") > 0L,
+          r6(col("toks").cast("double") / col("split_toks"))).as("share"),
+        when(col("total_toks") > 0L,
+          r6(col("lang_toks").cast("double") / col("total_toks")))
+          .as("global_share"))
+      .withColumn("dev", col("share") - col("global_share"))
+  }
+
   /** Global ROW_NUMBER under a total order, distributed: range-partition
     * by the order columns, per-partition counts → driver prefix-sum
     * (numPartitions rows), broadcast offsets, window WITHIN partitions
@@ -829,6 +908,13 @@ object Curation extends QueryModule {
       temperatureSweep(T.documents(s, d))),
     // padded-batch waste: natural vs length-sorted batch formation
     "q152_batch_padding" -> ((s, d) => batchPadding(T.documents(s, d))),
+    // q141's diff statuses with quality/token mass attached
+    "q153_quality_drift" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      snapshotQualityDrift(gatePrevSnapshot(docs), docs)
+    }),
+    // per-(split, lang) token shares vs the global mixture
+    "q154_split_balance" -> ((s, d) => splitBalance(T.documents(s, d))),
     // snapshot diff vs a deterministically-derived previous snapshot
     // (hash slices simulate adds/removes/edits)
     "q141_snapshot_diff" -> ((s, d) => {
@@ -1007,6 +1093,71 @@ object Curation extends QueryModule {
          |  CASE WHEN avail_toks > 0 THEN
          |    need_toks > CAST(avail_toks AS DOUBLE) END AS oversampled
          |FROM t""".stripMargin
+    },
+    // the q141 prev-snapshot CTE restated, statuses from the same
+    // full-outer md5 compare, quality on COALESCE(cur, prev) text;
+    // mean quality rides the DECIMAL(18,6) exact sum
+    "q153_quality_drift" ->
+      s"""WITH u AS (SELECT doc_id, text,
+         |  CAST($hashSql AS DOUBLE) / 1152921504606846976.0 AS u
+         |FROM documents),
+         |prev AS (
+         |  SELECT doc_id,
+         |    CASE WHEN u < 0.1 THEN text || ' [stale]' ELSE text END AS text
+         |  FROM u WHERE u < 0.9
+         |  UNION ALL
+         |  SELECT doc_id + 1000000000, text FROM u WHERE u < 0.05),
+         |p AS (SELECT doc_id, text, md5(text) AS m FROM prev),
+         |c AS (SELECT doc_id, text, md5(text) AS m FROM documents),
+         |j AS (SELECT
+         |    CASE WHEN p.m IS NULL THEN 'added'
+         |         WHEN c.m IS NULL THEN 'removed'
+         |         WHEN p.m = c.m THEN 'unchanged'
+         |         ELSE 'changed' END AS status,
+         |    COALESCE(c.text, p.text) AS text
+         |  FROM p FULL OUTER JOIN c USING (doc_id)),
+         |w2 AS (SELECT status, text, $wsSql AS ws FROM j),
+         |m2 AS (SELECT status,
+         |  CAST(len(ws) AS INTEGER) AS n_words,
+         |  GREATEST(len(ws), 1) AS nw,
+         |  GREATEST(len(text), 1) AS nc,
+         |  len(list_filter(ws, x -> list_contains(${TextAnalysis.stopListSql}, x))) AS stop_hits,
+         |  len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+         |  CAST(CEIL(CAST(len(text) AS DOUBLE) / 4) AS BIGINT) AS toks
+         | FROM w2),
+         |q2 AS (SELECT status, toks, ${TextAnalysis.qualitySql} AS q FROM m2)
+         |SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(toks) AS BIGINT) AS sum_toks,
+         |  FLOOR(${exactSumSql("q")} / COUNT(*) * 1000000 + 0.5) / 1000000
+         |    AS mean_quality,
+         |  FLOOR(CAST(SUM(toks) AS DOUBLE) / COUNT(*) * 1000000 + 0.5)
+         |    / 1000000 AS mean_toks
+         |FROM q2 GROUP BY status""".stripMargin,
+    // split is the q140 CASE over the same scanLeft thresholds; every
+    // rollup re-aggregates the (split, lang) cell table
+    "q154_split_balance" -> {
+      s"""WITH u AS (SELECT lang,
+         |  CAST(CEIL(CAST(len(text) AS DOUBLE) / 4) AS BIGINT) AS toks,
+         |  ${splitUSql("doc_id")} AS uu
+         |FROM documents),
+         |cell AS (SELECT ${splitCaseSql("uu")} AS split, lang,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(toks) AS BIGINT) AS toks FROM u GROUP BY 1, 2),
+         |s AS (SELECT split, CAST(SUM(toks) AS BIGINT) AS split_toks
+         |      FROM cell GROUP BY 1),
+         |l AS (SELECT lang, CAST(SUM(toks) AS BIGINT) AS lang_toks
+         |      FROM cell GROUP BY 1),
+         |t AS (SELECT CAST(SUM(toks) AS BIGINT) AS total_toks FROM cell)
+         |SELECT split, lang, n_docs, toks, share, global_share,
+         |  share - global_share AS dev
+         |FROM (SELECT c.split, c.lang, c.n_docs, c.toks,
+         |  CASE WHEN s.split_toks > 0 THEN
+         |    FLOOR(CAST(c.toks AS DOUBLE) / s.split_toks * 1000000 + 0.5)
+         |      / 1000000 END AS share,
+         |  CASE WHEN t.total_toks > 0 THEN
+         |    FLOOR(CAST(l.lang_toks AS DOUBLE) / t.total_toks * 1000000 + 0.5)
+         |      / 1000000 END AS global_share
+         | FROM cell c JOIN s USING (split) JOIN l USING (lang), t)""".stripMargin
     },
     // the two ROW_NUMBER orders are total (doc_id unique), so batch
     // membership is deterministic; every aggregate is exact-integer

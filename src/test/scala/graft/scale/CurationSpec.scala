@@ -353,6 +353,56 @@ class CurationSpec extends SparkSpec {
       ((5L, 3L, 203L, 302L, 99L, math.round(99.0 / 302 * 1e4) / 1e4)))
   }
 
+  test("snapshotQualityDrift: statuses classify the full-outer compare, " +
+    "removed docs score on their prev text, means are exact") {
+    val spark2 = spark
+    import spark2.implicits._
+    // hand-computable qualities: "" → 0.2, "aaaa" → 0.205,
+    // "the the the the" → 0.52 (all-stopword)
+    val prev = Seq(
+      (1L, "aaaa"), (2L, "the the the the"), (3L, "")
+    ).toDF("doc_id", "text")
+    val cur = Seq(
+      (2L, "the the the the"), (3L, "aaaa"), (4L, "")
+    ).toDF("doc_id", "text")
+    val out = Curation.snapshotQualityDrift(prev, cur).collect()
+      .map(r => r.getAs[String]("status") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_toks"),
+          r.getAs[Double]("mean_quality"), r.getAs[Double]("mean_toks"))).toMap
+    assert(out === Map(
+      "added" -> ((1L, 0L, 0.2, 0.0)),       // doc 4, current text
+      "removed" -> ((1L, 1L, 0.205, 1.0)),   // doc 1, PREV text
+      "changed" -> ((1L, 1L, 0.205, 1.0)),   // doc 3, current text
+      "unchanged" -> ((1L, 4L, 0.52, 4.0)))) // doc 2
+  }
+
+  test("splitBalance: cells reconcile with hashSplit, shares sum to 1 " +
+    "per split, global shares are split-invariant") {
+    val docs = T.documents(spark, sf)
+    val out = Curation.splitBalance(docs).collect()
+    // cell counts reconcile with an independent hashSplit join
+    val expect = Curation.hashSplit(docs).join(docs, "doc_id")
+      .groupBy("split", "lang").count().collect()
+      .map(r => (r.getAs[String]("split"), r.getAs[String]("lang")) ->
+        r.getAs[Long]("count")).toMap
+    assert(out.map(r => (r.getAs[String]("split"), r.getAs[String]("lang")) ->
+      r.getAs[Long]("n_docs")).toMap === expect)
+    // within each split the language shares sum to ~1
+    out.groupBy(_.getAs[String]("split")).foreach { case (_, rows) =>
+      assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0)
+        < rows.length * 1e-6)
+    }
+    // a language's global share is the same number in every split row
+    out.groupBy(_.getAs[String]("lang")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Double]("global_share")).distinct.length === 1)
+    }
+    // dev is exactly share − global_share
+    out.foreach { r =>
+      assert(r.getAs[Double]("dev") ===
+        r.getAs[Double]("share") - r.getAs[Double]("global_share"))
+    }
+  }
+
   test("hashSplit: deterministic, exhaustive, roughly proportional — " +
     "and re-weighting only shrinks/grows split intervals (no churn " +
     "between untouched boundaries)") {
