@@ -793,7 +793,7 @@ object Curation extends QueryModule {
 
   /** The mixture q79 targets: a flatter language distribution than the
     * corpus ships with. */
-  private val TargetMixture = Map(
+  private[graft] val TargetMixture = Map(
     "en" -> 0.3, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.2, "zh" -> 0.1)
 
   /** Importance weights for target-distribution data selection (DSIR,

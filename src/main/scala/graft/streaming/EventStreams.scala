@@ -331,6 +331,41 @@ object EventStreams {
           .as("avg_ref_freq"))
   }
 
+  /** Streaming token-budget burn-down — the ingestion-time counterpart
+    * of batch q148 `epochAllocation`: per language, the cumulative
+    * token count ingested so far against the language's token need
+    * (target share × run budget, the SAME `need = target × budget`
+    * expression as the batch board), the remaining headroom, and the
+    * `filled` flag an ingest controller stops a source on. Batch q148
+    * plans epochs from a finished corpus; this watches the corpus
+    * BEING ingested and says when each language has enough.
+    *
+    * Shape: the token estimate is scan-side; the running aggregate is
+    * ONE unbounded groupBy(lang) — legal in update/complete mode, and
+    * its state is bounded by the language count, not the stream length
+    * (the same bounded-key argument as [[driftMonitor]]'s vocabulary).
+    * Determinism: cumulative sums are integer; need/remaining are the
+    * q148 expression tree on plan literals. */
+  def budgetMonitor(docs: DataFrame, budget: Long = 50000L,
+                    target: Map[String, Double] =
+                      graft.scale.Curation.TargetMixture): DataFrame = {
+    val targetCol = target.toSeq.sortBy(_._1)
+      .foldLeft(lit(0.0)) { case (acc, (l, v)) =>
+        when(col("lang") === l, lit(v)).otherwise(acc)
+      }
+    val need = targetCol * lit(budget.toDouble)
+    docs
+      .select(col("lang"),
+        ceil(length(col("text")).cast("double") / 4d).cast("long").as("toks"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("cum_toks"))
+      .select(col("lang"), col("n_docs"), col("cum_toks"),
+        need.as("need_toks"),
+        greatest(lit(0.0), need - col("cum_toks").cast("double"))
+          .as("remaining_toks"),
+        (col("cum_toks").cast("double") >= need).as("filled"))
+  }
+
   /** The reference vocabulary [[driftMonitor]] broadcasts: the
     * `maxVocab` most frequent tokens (count DESC, token ASC tiebreak)
     * of the reference corpus with their counts. The bound is CODE, not

@@ -563,6 +563,49 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("budgetMonitor: per-language burn-down crosses the need " +
+    "threshold exactly when cumulative tokens do; need matches the " +
+    "batch q148 expression") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // budget 100, en 0.8 / de 0.2 → needs 80 and 20 tokens
+    val target = Map("en" -> 0.8, "de" -> 0.2)
+    val src = MemoryStream[(String, String)]
+    val q = EventStreams.budgetMonitor(
+        src.toDF().toDF("lang", "text"), budget = 100L, target = target)
+      .writeStream.format("memory").queryName("bm").outputMode("complete")
+      .start()
+    try {
+      src.addData(("en", "a" * 160))          // 40 tokens: below need
+      q.processAllAvailable()
+      val r1 = spark.table("bm").collect()
+        .map(r => r.getAs[String]("lang") ->
+          ((r.getAs[Long]("cum_toks"), r.getAs[Double]("need_toks"),
+            r.getAs[Double]("remaining_toks"), r.getAs[Boolean]("filled"))))
+        .toMap
+      assert(r1("en") === ((40L, 80.0, 40.0, false)))
+      src.addData(("en", "b" * 240), ("de", "c" * 32)) // en 100 ≥ 80; de 8
+      q.processAllAvailable()
+      val r2 = spark.table("bm").collect()
+        .map(r => r.getAs[String]("lang") ->
+          ((r.getAs[Long]("cum_toks"), r.getAs[Double]("need_toks"),
+            r.getAs[Double]("remaining_toks"), r.getAs[Boolean]("filled"))))
+        .toMap
+      assert(r2("en") === ((100L, 80.0, 0.0, true)))
+      assert(r2("de") === ((8L, 20.0, 12.0, false)))
+      // the need column IS the batch planner's need: same corpus through
+      // q148 epochAllocation under the same budget/target
+      val batchNeed = graft.scale.Curation.epochAllocation(
+          Seq(("en", "x"), ("de", "y")).toDF("lang", "text"),
+          budget = 100L, target = target)
+        .collect().map(r => r.getAs[String]("lang") ->
+          r.getAs[Double]("need_toks")).toMap
+      assert(batchNeed("en") === r2("en")._2)
+      assert(batchNeed("de") === r2("de")._2)
+    } finally q.stop()
+  }
+
   test("driftMonitor: window means are integer-exact against the " +
     "reference vocabulary; OOV tokens score zero; windows close on the " +
     "watermark") {
