@@ -1015,6 +1015,76 @@ object Similarity extends QueryModule {
     arms.map { case (m, ann, r) => audit(m, ann, r) }.reduce(_ unionByName _)
   }
 
+  /** q155: the IVF nprobe sweep — recall vs scan cost at every probe
+    * fan-out, the tuning curve an ANN operator reads to place the
+    * recall/latency knee before fixing `nProbes` in production: per
+    * probe count (1, 2, 4, 8), recall@k against the exact brute truth
+    * on the same queries, the candidate count the arm actually
+    * exact-ranks, and that count as a fraction of the full corpus
+    * scan a brute query would pay. q88 certifies the CHOSEN setting;
+    * this board shows the whole frontier the choice was made on.
+    *
+    * Scale design: truth is [[knnBrute]] (one corpus pass), built once
+    * and checkpointed; each arm is the production [[annIvf]] chain at
+    * its probe setting. The scan cost is NOT measured by re-running
+    * the join — it is computed from the cell OCCUPANCY table (nCells
+    * rows) joined to the probe ranking (nQueries × maxProbes rows):
+    * candidates = Σ occupancy(probed cells) − 1 per query, exact
+    * because the query's own cell is always probe #1 (assignment and
+    * probe ranking share the same argmax-cosine criterion and
+    * tie-break). Everything after the arms is 1-row aggregates. */
+  def ivfProbeSweep(emb: DataFrame, probesList: Seq[Int] = Seq(1, 2, 4, 8),
+                    nQueries: Long = 8L, k: Int = TopK,
+                    nCells: Int = IvfCells): DataFrame =
+    ivfProbeSweepFrom(knnBrute(emb, nQueries, k), emb, probesList,
+      nQueries, k, nCells)
+
+  /** [[ivfProbeSweep]] from a precomputed brute-truth table — the
+    * shared-core form the gate registry feeds (q155's truth IS q30's
+    * output, same as q88's). */
+  private[graft] def ivfProbeSweepFrom(truthFull: DataFrame, emb: DataFrame,
+                                       probesList: Seq[Int] = Seq(1, 2, 4, 8),
+                                       nQueries: Long = 8L, k: Int = TopK,
+                                       nCells: Int = IvfCells): DataFrame = {
+    val truth = truthFull
+      .select(col("q_id"), col("c_id")).localCheckpoint()
+    val centsDf = seedCents(emb, nCells)
+    val occ = ivfCellsWith(emb, centsDf).groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("occ"))
+    val cents = centsDf.select(col("cell_id"), col("cv").as("centv"))
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("cell_id").asc)
+    val probes = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), toDoubleArray(col("embedding")).as("qv"))
+      .withColumn("qn", l2Norm(col("qv")))
+      .join(broadcast(cents))
+      .select(col("q_id"), col("cell_id"),
+        (dotProduct(col("qv"), col("centv")) /
+          (col("qn") * l2Norm(col("centv")))).as("cos"))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= probesList.max)
+      .join(broadcast(occ), Seq("cell_id"))
+      .localCheckpoint() // nQueries × maxProbes rows
+    val nVecs = emb.agg(count(lit(1)).as("n_vecs"))
+    def armRow(p: Int): DataFrame = {
+      val hits = annIvfWith(emb, centsDf, nQueries, k, p)
+        .select(col("q_id"), col("c_id"))
+        .join(truth, Seq("q_id", "c_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      val tot = truth.agg(count(lit(1)).as("n_truth"))
+      val cost = probes.filter(col("rn") <= p)
+        .agg((sum(col("occ")) - countDistinct(col("q_id"))).as("n_candidates"),
+          countDistinct(col("q_id")).as("n_q"))
+      hits.crossJoin(tot).crossJoin(cost).crossJoin(broadcast(nVecs))
+        .select(lit(p).as("n_probes"), col("n_truth"), col("n_hits"),
+          round(col("n_hits").cast("double") / col("n_truth"), 4).as("recall"),
+          col("n_candidates"),
+          round(col("n_candidates").cast("double") /
+            (col("n_q") * (col("n_vecs") - 1)), 4).as("scan_frac"))
+    }
+    probesList.map(armRow).reduce(_ unionByName _)
+  }
+
   /** IVF index health — the BATCH staleness report whose streaming
     * twin is [[graft.streaming.IndexMaintenance.maintainIvf]]: per
     * cell, the member count and the mean member→centroid cosine, with
@@ -1364,7 +1434,10 @@ object Similarity extends QueryModule {
     // ANN via projected-space shortlist + exact re-rank
     "q118_ann_jl" -> ((s, d) => gateJl(s, d)),
     // IVF with its coarse quantizer in JL-projected space
-    "q128_ann_ivfjl" -> ((s, d) => gateIvfJl(s, d))
+    "q128_ann_ivfjl" -> ((s, d) => gateIvfJl(s, d)),
+    // the recall/cost frontier behind q38's nProbes choice
+    "q155_probe_sweep" -> ((s, d) =>
+      ivfProbeSweepFrom(gateBrute(s, d), T.embeddings(s, d)))
   )
 
   /** DuckDB literal list for plane p, identical doubles to the plan. */
@@ -1384,6 +1457,66 @@ object Similarity extends QueryModule {
   private[scale] val bucketSql: String = (0 until NumPlanes).map { p =>
     s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ${planeSql(p)}) > 0 THEN ${1L << p} ELSE 0 END)"
   }.mkString(" + ")
+
+  /** The q155 oracle: the q38 IVF chain with the probe rank KEPT, one
+    * top-k + hit/candidate block per probe setting, all against the
+    * q30 brute truth — built by the same loop as the Spark arms so the
+    * probe list cannot drift between the two. */
+  private lazy val probeSweepSql: String = {
+    val ps = Seq(1, 2, 4, 8)
+    val blocks = ps.map { p =>
+      s"""top$p AS (SELECT q_id, c_id FROM (
+         |    SELECT p.q_id, t.vec_id AS c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY p.q_id
+         |        ORDER BY list_dot_product(qn.v, t.v) / (qn.nrm * t.nrm) DESC,
+         |          t.vec_id ASC) AS rk
+         |    FROM (SELECT q_id, cell_id FROM probes WHERE rn <= $p) p
+         |    JOIN assign a ON a.cell_id = p.cell_id
+         |    JOIN n t ON t.vec_id = a.vec_id
+         |    JOIN n qn ON qn.vec_id = p.q_id
+         |    WHERE t.vec_id <> p.q_id) WHERE rk <= $TopK),
+         |s$p AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+         |        FROM top$p JOIN bt USING (q_id, c_id)),
+         |c$p AS (SELECT CAST(SUM(o.occ) AS BIGINT)
+         |            - CAST(COUNT(DISTINCT p.q_id) AS BIGINT) AS n_candidates,
+         |          CAST(COUNT(DISTINCT p.q_id) AS BIGINT) AS n_q
+         |        FROM probes p JOIN occ o USING (cell_id) WHERE p.rn <= $p)""".stripMargin
+    }
+    val unions = ps.map { p =>
+      s"""SELECT $p AS n_probes, t.n_truth, s.n_hits,
+         |  ROUND(CAST(s.n_hits AS DOUBLE) / t.n_truth, 4) AS recall,
+         |  c.n_candidates,
+         |  ROUND(CAST(c.n_candidates AS DOUBLE)
+         |    / (c.n_q * (nv.n_vecs - 1)), 4) AS scan_frac
+         |FROM s$p s, tt t, c$p c, nv""".stripMargin
+    }
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
+       |cents AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM n WHERE vec_id < $IvfCells),
+       |assign AS (
+       |  SELECT vec_id, cell_id FROM (
+       |    SELECT a.vec_id, c.cell_id,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |        ORDER BY list_dot_product(a.v, c.cv)/(a.nrm*c.cn) DESC, c.cell_id ASC) AS rn
+       |    FROM n a, cents c) WHERE rn <= 1),
+       |occ AS (SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS occ
+       |        FROM assign GROUP BY 1),
+       |probes AS (
+       |  SELECT q_id, cell_id, rn FROM (
+       |    SELECT q.vec_id AS q_id, c.cell_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_dot_product(q.v, c.cv)/(q.nrm*c.cn) DESC, c.cell_id ASC) AS rn
+       |    FROM n q, cents c WHERE q.vec_id < 8) WHERE rn <= ${ps.max}),
+       |bt AS (SELECT q_id, c_id FROM (
+       |    SELECT q.vec_id AS q_id, t.vec_id AS c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_dot_product(q.v, t.v)/(q.nrm*t.nrm) DESC, t.vec_id ASC) AS rk
+       |    FROM n q JOIN n t ON q.vec_id < 8 AND t.vec_id <> q.vec_id) WHERE rk <= $TopK),
+       |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM bt),
+       |nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs FROM v),
+       |${blocks.mkString(",\n")}
+       |${unions.mkString("\nUNION ALL\n")}""".stripMargin
+  }
 
   /** Shared oracle fragment restating [[pqTrainedCents]]'s k-means:
     * assumes a CTE `v AS (SELECT vec_id, CAST(embedding AS DOUBLE[])
@@ -1487,6 +1620,7 @@ object Similarity extends QueryModule {
          |FROM ranked WHERE rank <= $TopK""".stripMargin,
     "q31_lsh_buckets" ->
       s"SELECT vec_id, CAST($bucketSql AS BIGINT) AS bucket FROM embeddings",
+    "q155_probe_sweep" -> probeSweepSql,
     "q38_ann_ivf" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),

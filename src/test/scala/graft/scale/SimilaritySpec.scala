@@ -413,6 +413,37 @@ class SimilaritySpec extends SparkSpec {
       windowRef(emb, 2, 100))
   }
 
+  test("ivfProbeSweep: recall and cost are monotone in the probe " +
+    "fan-out, and probing every cell IS brute force") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(7)
+    val emb = (0 until 80).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding").repartition(8)
+    val rows = Similarity.ivfProbeSweep(emb).collect()
+      .sortBy(_.getAs[Int]("n_probes"))
+    assert(rows.map(_.getAs[Int]("n_probes")).toSeq === Seq(1, 2, 4, 8))
+    // candidates grow strictly with the fan-out; recall never falls
+    val cands = rows.map(_.getAs[Long]("n_candidates")).toSeq
+    assert(cands === cands.sorted && cands.distinct === cands)
+    val recalls = rows.map(_.getAs[Double]("recall")).toSeq
+    assert(recalls === recalls.sorted)
+    // scan_frac is exactly candidates / (nQueries × (corpus − 1))
+    rows.foreach { r =>
+      assert(r.getAs[Double]("scan_frac") ===
+        math.round(r.getAs[Long]("n_candidates").toDouble
+          / (8 * 79) * 1e4) / 1e4)
+    }
+    // the degenerate end of the frontier: probing all 16 cells scans
+    // everything and must reproduce the brute-force referee exactly
+    val full = Similarity.ivfProbeSweep(emb, probesList = Seq(16))
+      .collect().head
+    assert(full.getAs[Double]("recall") === 1.0)
+    assert(full.getAs[Long]("n_candidates") === 8L * 79)
+    assert(full.getAs[Double]("scan_frac") === 1.0)
+  }
+
   test("annIvfJl: well-formed boards, candidates only from cells probed " +
     "in PROJECTED space (independent driver reimplementation), strong " +
     "recall on clustered data, deterministic rerun") {
