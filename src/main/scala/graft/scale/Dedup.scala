@@ -95,6 +95,80 @@ object Dedup extends QueryModule {
       .agg(count(lit(1)).as("n_bands"))
   }
 
+  /** q156: the LSH band sweep — the S-curve tuning board behind the
+    * q26 banding choice: every (bands × rows-per-band) factorization
+    * of the 16-component signature, with the candidate volume and
+    * candidate quality that configuration would hand the dedup
+    * pipeline. Per config: the theoretical S-curve midpoint
+    * t ≈ (1/b)^(1/r) (the Jaccard at ~50% candidate probability —
+    * the knob's calibrated meaning), the candidate pair count, the
+    * mean signature-estimated Jaccard of those candidates, and the
+    * weak-candidate count (estimate < ½ — the pairs a verifier pays
+    * for and then discards). Wide bands (b=16, r=1) catch everything
+    * and drown the verifier; one band of 16 rows admits only
+    * near-identical signatures. q143 calibrates the SIGNAL; this
+    * board prices the CONFIGURATION.
+    *
+    * Every threshold is IEEE-portable by construction: b and r are
+    * powers of two, so (1/b)^(1/r) is an exact dyadic rational pushed
+    * through a chain of exactly-rounded sqrts (the q149 argument).
+    *
+    * Scale design: ONE tokenize pass (checkpointed words core) feeds
+    * every arm; signatures and band hashes are scan-side kernel
+    * projections; each arm's candidates come from the q26
+    * band-equality self-join (short keys), collapsed to distinct
+    * pairs, matched against the signature table, and reduced to ONE
+    * row — the corpus never moves more than the banding itself
+    * requires. */
+  def bandSweep(docs: DataFrame,
+                bandConfigs: Seq[Int] = Seq(16, 8, 4, 2, 1)): DataFrame = {
+    import graft.functions.MinHashExpression.{minhashBandHashes, minhashSig}
+    def r6d(c: Column): Column = floor(c * 1000000d + 0.5d) / 1000000d
+    val wa = wordArrays(docs).localCheckpoint()
+    val sigs = wa.select(col("doc_id"),
+      minhashSig(col("ws"), ShingleSize, NumMinhashes).as("sig"))
+      .localCheckpoint()
+    def arm(b: Int): DataFrame = {
+      val r = NumMinhashes / b
+      val bands = wa.select(col("doc_id"),
+        posexplode(minhashBandHashes(col("ws"), ShingleSize, NumMinhashes, b))
+          .as(Seq("b", "bv")))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.b") === col("b.b") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val matched = cand
+        .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
+          Seq("doc_a"))
+        .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+          Seq("doc_b"))
+        .withColumn("matches",
+          size(filter(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, lit(1))), c => c.isNotNull)))
+      matched.agg(count(lit(1)).as("n_pairs"),
+          coalesce(sum(col("matches")), lit(0L)).as("sum_matches"),
+          count(when(col("matches") * 2 < NumMinhashes, 1)).as("n_weak"))
+        .select(lit(b).as("n_bands"), lit(r).as("rows_per_band"),
+          lit(bandThreshold(b, r)).as("threshold"),
+          col("n_pairs"),
+          when(col("n_pairs") > 0L,
+            r6d(col("sum_matches").cast("double")
+              / (col("n_pairs") * NumMinhashes))).as("mean_est_jaccard"),
+          col("n_weak"))
+    }
+    bandConfigs.map(arm).reduce(_ unionByName _)
+  }
+
+  /** (1/b)^(1/r) for power-of-two r as an exact chain of sqrts,
+    * r6-rounded — the same double in the plan and the oracle. */
+  private[scale] def bandThreshold(b: Int, r: Int): Double = {
+    var x = 1.0 / b
+    var k = r
+    while (k > 1) { x = math.sqrt(x); k /= 2 }
+    math.floor(x * 1e6 + 0.5) / 1e6
+  }
+
   /** Certify-the-sketch for MinHash — the q81/q99 audit contract
     * applied to the dedup sketch itself: for every LSH candidate pair
     * (band-sharing, the pairs the pipeline would actually act on),
@@ -1719,6 +1793,8 @@ object Dedup extends QueryModule {
     "q25_ngram_jaccard" -> ((s, d) =>
       ngramJaccardFrom(gateShingles(s, d))),
     "q26_minhash_bands" -> ((s, d) => gateBands(s, d)),
+    // the S-curve board behind the q26 banding choice
+    "q156_band_sweep" -> ((s, d) => bandSweep(T.documents(s, d))),
     "q27_simhash" -> ((s, d) => simhash(T.documents(s, d))),
     // pigeonhole-blocked pair generation (6 chunks ⇒ complete for
     // dist ≤ 5); the oracle states the same result as an exact O(n²)
@@ -1878,6 +1954,51 @@ object Dedup extends QueryModule {
     .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END")
     .mkString(" + ")
 
+  /** [[bandCase]] generalized to any band count dividing the
+    * signature — band j hashes components j·r … j·r+r−1. */
+  private def bandCaseFor(nb: Int): String = {
+    val r = NumMinhashes / nb
+    (0 until nb).map { j =>
+      val parts = (0 until r).map(k => s"m${j * r + k}")
+      s"WHEN $j THEN md5(${parts.mkString(" || ")})"
+    }.mkString(" ")
+  }
+
+  /** The q156 oracle: one banding + candidate + match-count block per
+    * configuration, built by the same loop as the Spark arms. */
+  private lazy val bandSweepSql: String = {
+    val configs = Seq(16, 8, 4, 2, 1)
+    val blocks = configs.map { b =>
+      s"""band$b AS (SELECT doc_id, CASE b ${bandCaseFor(b)} END AS bv, b
+         |  FROM sig, range(0, $b) t(b)),
+         |cand$b AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM band$b a JOIN band$b b
+         |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         |m$b AS (SELECT ($matchSum) AS matches
+         |  FROM cand$b c JOIN sig a ON a.doc_id = c.doc_a
+         |  JOIN sig b ON b.doc_id = c.doc_b),
+         |s$b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(COALESCE(SUM(matches), 0) AS BIGINT) AS sum_matches,
+         |  CAST(COUNT(CASE WHEN matches * 2 < $NumMinhashes THEN 1 END)
+         |    AS BIGINT) AS n_weak
+         |  FROM m$b)""".stripMargin
+    }
+    val unions = configs.map { b =>
+      val r = NumMinhashes / b
+      s"""SELECT $b AS n_bands, $r AS rows_per_band,
+         |  CAST(${bandThreshold(b, r)} AS DOUBLE) AS threshold, n_pairs,
+         |  CASE WHEN n_pairs > 0 THEN
+         |    FLOOR(CAST(sum_matches AS DOUBLE) / (n_pairs * $NumMinhashes)
+         |      * 1000000 + 0.5) / 1000000 END AS mean_est_jaccard,
+         |  n_weak
+         |FROM s$b""".stripMargin
+    }
+    s"""WITH $shingleCte,
+       |sig AS (SELECT doc_id, $sigSelect FROM sh GROUP BY doc_id),
+       |${blocks.mkString(",\n")}
+       |${unions.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   override val oracle: Map[String, String] = Map(
     "q24_dedup_exact" ->
       """SELECT md5(text) AS fp, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
@@ -1896,6 +2017,7 @@ object Dedup extends QueryModule {
          |FROM pr
          |JOIN sz sa ON sa.doc_id = doc_a
          |JOIN sz sb ON sb.doc_id = doc_b""".stripMargin,
+    "q156_band_sweep" -> bandSweepSql,
     "q26_minhash_bands" ->
       s"""WITH $shingleCte,
          |sig AS (SELECT doc_id, $sigSelect FROM sh GROUP BY doc_id)

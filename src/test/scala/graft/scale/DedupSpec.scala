@@ -32,6 +32,30 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L }) // no false pair
   }
 
+  test("bandSweep: thresholds are the exact sqrt chains, candidate sets " +
+    "nest as bands widen, the identical pair survives every config") {
+    val out = Dedup.bandSweep(docs).collect()
+      .sortBy(_.getAs[Int]("rows_per_band"))
+    assert(out.map(r => (r.getAs[Int]("n_bands"),
+      r.getAs[Int]("rows_per_band"))).toSeq ===
+      Seq((16, 1), (8, 2), (4, 4), (2, 8), (1, 16)))
+    // the S-curve midpoints: exact dyadic rationals through sqrt chains
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(out.map(_.getAs[Double]("threshold")).toSeq === Seq(
+      0.0625, r6(math.sqrt(0.125)), r6(math.sqrt(math.sqrt(0.25))),
+      r6(math.sqrt(math.sqrt(math.sqrt(0.5)))), 1.0))
+    // a band of 2r is the concatenation of two r-bands, so a candidate
+    // at r=2k is a candidate at r=k: counts are monotone non-increasing
+    val pairs = out.map(_.getAs[Long]("n_pairs")).toSeq
+    assert(pairs === pairs.sorted.reverse)
+    // docs 1/2 are identical → all 16 components match → they band
+    // together in EVERY config, including the strictest
+    assert(pairs.last >= 1L)
+    // and at r=16 every candidate has a fully-matching signature
+    assert(out.last.getAs[Double]("mean_est_jaccard") === 1.0)
+    assert(out.last.getAs[Long]("n_weak") === 0L)
+  }
+
   test("simhash: identical docs collide, near dups closer than strangers") {
     val sig = Dedup.simhash(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
