@@ -1347,6 +1347,61 @@ object TextAnalysis extends QueryModule {
     vocab.select(replace(col("w"), lit(pair), lit(sym.toString)).as("w"),
       col("cnt")).localCheckpoint()
 
+  /** q157: per-language BPE fertility — the tokenizer-equity read a
+    * multilingual mixture owner puts next to the q138/q149 boards:
+    * merges are mined GLOBALLY (the q139 loop — majority languages
+    * dominate the pair statistics, exactly as in a real shared
+    * tokenizer), then applied to each language's own vocabulary, and
+    * the per-language symbols-per-word before/after tells who the
+    * shared vocabulary actually serves. A language whose fertility
+    * barely moves pays more sequence positions per word than the
+    * majority language — the inequity that motivates per-language
+    * boosts in the first place.
+    *
+    * Scale design: the [[bpeLoop]] machinery (Heaps-bounded global
+    * vocabulary, TakeOrdered(1) argmax per round) plus a per-(lang,
+    * word) vocabulary that is rewritten map-side each round and
+    * reduced to ≤ n_langs rows at the end; nothing rescans the corpus
+    * after the two initial aggregates. Determinism: symbol counts are
+    * exact integers, the three fertility columns are single r6'd IEEE
+    * divisions. */
+  def bpeFertility(docs0: DataFrame, iters: Int = 3,
+                   minCount: Long = 2L): DataFrame = {
+    require(iters >= 1 && iters <= 26,
+      s"bpe_fertility: iters $iters not in [1,26]")
+    def r6(c: Column): Column = floor(c * 1000000d + 0.5d) / 1000000d
+    val toks = widen(docs0)
+      .select(col("lang"), explode(words(col("text"))).as("w"))
+    var vocabG = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val l0 = toks.groupBy(col("lang"), col("w"))
+      .agg(count(lit(1)).as("cnt")).localCheckpoint()
+    var vocabL = l0
+    val base = l0.groupBy(col("lang"))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * length(col("w"))).as("raw_chars"))
+    for (i <- 1 to iters) {
+      val sym = ('A' + (i - 1)).toChar
+      val (pair, _) = minePair(vocabG, minCount).getOrElse(
+        throw new IllegalArgumentException(
+          s"bpe_fertility: no pair meets minCount=$minCount at iteration $i"))
+      if (i < iters) vocabG = applyMerge(vocabG, pair, sym)
+      vocabL = vocabL.select(col("lang"),
+        replace(col("w"), lit(pair), lit(sym.toString)).as("w"), col("cnt"))
+        .localCheckpoint()
+    }
+    val merged = vocabL.groupBy(col("lang"))
+      .agg(sum(col("cnt") * length(col("w"))).as("merged_symbols"))
+    base.join(merged, Seq("lang"))
+      .select(col("lang"), col("n_words"), col("raw_chars"),
+        col("merged_symbols"),
+        r6(col("raw_chars").cast("double") / col("n_words")).as("fert_raw"),
+        r6(col("merged_symbols").cast("double") / col("n_words"))
+          .as("fert_merged"),
+        r6((col("raw_chars") - col("merged_symbols")).cast("double")
+          / col("raw_chars")).as("saved_frac"))
+  }
+
   /** q142: BPE compression trajectory — the metric a tokenizer trainer
     * actually tracks across the [[bpeLoop]] iterations: after applying
     * merges 1..i, the corpus size in SYMBOLS (Σ count·len over the
@@ -1509,7 +1564,9 @@ object TextAnalysis extends QueryModule {
     // the sequential filter-funnel survival board
     "q150_filter_funnel" -> ((s, d) => filterFunnel(T.documents(s, d))),
     // Cohen's κ between the Gopher gate and the quality threshold
-    "q151_gate_agreement" -> ((s, d) => gateAgreement(T.documents(s, d)))
+    "q151_gate_agreement" -> ((s, d) => gateAgreement(T.documents(s, d))),
+    // per-language fertility under the globally-mined merge table
+    "q157_bpe_fertility" -> ((s, d) => bpeFertility(T.documents(s, d)))
   )
 
   private val normSql =
@@ -2068,6 +2125,51 @@ object TextAnalysis extends QueryModule {
     // overlapping literal replacement in both engines, merge symbols
     // 'A'/'B' are outside the token alphabet, decode expands symbols
     // back to base characters (B's expansion first — it may contain A)
+    // the q139 mining chain with lang KEPT on the token stream: merges
+    // are global, application and the fertility rollup are per-lang;
+    // the three replaces compose in mining order exactly as the loop
+    "q157_bpe_fertility" ->
+      s"""WITH w AS (SELECT lang, unnest($wsSql) AS w FROM documents),
+         |v0 AS (SELECT w, COUNT(*) AS cnt FROM w GROUP BY w),
+         |p1 AS (SELECT substring(w, CAST(i AS INTEGER), 2) AS pair,
+         |    CAST(SUM(cnt) AS BIGINT) AS cnt
+         |  FROM v0, unnest(range(1, length(w))) t(i)
+         |  WHERE length(w) >= 2
+         |  GROUP BY 1 HAVING SUM(cnt) >= 2),
+         |m1 AS (SELECT pair FROM p1 ORDER BY cnt DESC, pair ASC LIMIT 1),
+         |v1 AS (SELECT replace(v0.w, m1.pair, 'A') AS w, v0.cnt FROM v0, m1),
+         |p2 AS (SELECT substring(w, CAST(i AS INTEGER), 2) AS pair,
+         |    CAST(SUM(cnt) AS BIGINT) AS cnt
+         |  FROM v1, unnest(range(1, length(w))) t(i)
+         |  WHERE length(w) >= 2
+         |  GROUP BY 1 HAVING SUM(cnt) >= 2),
+         |m2 AS (SELECT pair FROM p2 ORDER BY cnt DESC, pair ASC LIMIT 1),
+         |v2 AS (SELECT replace(v1.w, m2.pair, 'B') AS w, v1.cnt FROM v1, m2),
+         |p3 AS (SELECT substring(w, CAST(i AS INTEGER), 2) AS pair,
+         |    CAST(SUM(cnt) AS BIGINT) AS cnt
+         |  FROM v2, unnest(range(1, length(w))) t(i)
+         |  WHERE length(w) >= 2
+         |  GROUP BY 1 HAVING SUM(cnt) >= 2),
+         |m3 AS (SELECT pair FROM p3 ORDER BY cnt DESC, pair ASC LIMIT 1),
+         |l0 AS (SELECT lang, w, COUNT(*) AS cnt FROM w GROUP BY 1, 2),
+         |l3 AS (SELECT lang,
+         |    replace(replace(replace(l0.w, m1.pair, 'A'), m2.pair, 'B'),
+         |      m3.pair, 'C') AS w, cnt
+         |  FROM l0, m1, m2, m3),
+         |base AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n_words,
+         |    CAST(SUM(cnt * length(w)) AS BIGINT) AS raw_chars
+         |  FROM l0 GROUP BY 1),
+         |mg AS (SELECT lang,
+         |    CAST(SUM(cnt * length(w)) AS BIGINT) AS merged_symbols
+         |  FROM l3 GROUP BY 1)
+         |SELECT lang, n_words, raw_chars, merged_symbols,
+         |  FLOOR(CAST(raw_chars AS DOUBLE) / n_words * 1000000 + 0.5)
+         |    / 1000000 AS fert_raw,
+         |  FLOOR(CAST(merged_symbols AS DOUBLE) / n_words * 1000000 + 0.5)
+         |    / 1000000 AS fert_merged,
+         |  FLOOR(CAST(raw_chars - merged_symbols AS DOUBLE) / raw_chars
+         |    * 1000000 + 0.5) / 1000000 AS saved_frac
+         |FROM base JOIN mg USING (lang)""".stripMargin,
     "q139_bpe_loop" ->
       s"""WITH w AS (SELECT unnest($wsSql) AS w FROM documents),
          |v0 AS (SELECT w, COUNT(*) AS cnt FROM w GROUP BY w),

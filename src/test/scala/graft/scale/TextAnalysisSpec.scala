@@ -450,6 +450,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r2.getAs[Double]("kappa") === 1.0)
   }
 
+  test("bpeFertility: global merges, per-language application — the " +
+    "served language compresses, the unserved one keeps fertility 1:1") {
+    val spark2 = spark
+    import spark2.implicits._
+    // en reuses the q139/q142 fixture (merges th→A, Ae→B, Aa→C);
+    // xx is single-char words: no pairs, untouched by every merge
+    val docs = Seq(
+      (1L, "the the the", "en"), (2L, "then than at", "en"),
+      (3L, "z z z z", "xx")
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.bpeFertility(docs, iters = 3, minCount = 1L)
+      .collect().map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("raw_chars"),
+          r.getAs[Long]("merged_symbols"), r.getAs[Double]("fert_raw"),
+          r.getAs[Double]("fert_merged"), r.getAs[Double]("saved_frac"))).toMap
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    // en: the×3→B(1), then→Bn(2), than→Cn(2), at(2) = 9 symbols of 19
+    assert(out("en") === ((6L, 19L, 9L,
+      r6(19.0 / 6), r6(9.0 / 6), r6(10.0 / 19))))
+    // xx: no merge applies — fertility stays exactly 1 char/word
+    assert(out("xx") === ((4L, 4L, 4L, 1.0, 1.0, 0.0)))
+  }
+
   test("curationGate plans zero exchanges — the joint filter runs scan-side") {
     val df = TextAnalysis.curationGate(
       graft.Tables.documents(spark, "/root/testdata/sf0.001"))
