@@ -1015,6 +1015,43 @@ object Similarity extends QueryModule {
     arms.map { case (m, ann, r) => audit(m, ann, r) }.reduce(_ unionByName _)
   }
 
+  /** q158: leave-one-out kNN label accuracy — the embedding-quality
+    * eval a representation owner runs before trusting the space for
+    * anything else: for each query vector, the majority label of its
+    * k exact nearest neighbours (self excluded) against its own label,
+    * rolled up per true label. Uniformly low accuracy means the space
+    * carries no label signal; ONE low label pocket means that class
+    * is entangled — the per-class read that decides where to spend
+    * labeling or re-embedding budget. The vote is deterministic:
+    * (count DESC, label ASC), so ties never flap the board.
+    *
+    * Scale design: neighbours come from [[knnBrute]]'s broadcast-query
+    * corpus pass (nQueries bounded — an eval sample, never corpus²);
+    * everything after runs on nQueries × k rows: one equi-join to
+    * attach neighbour labels, a grouped vote count, a max_by argmax
+    * (map-side partials), one more join for the true label, and a
+    * per-label rollup. */
+  def knnLabelAccuracy(emb: DataFrame, nQueries: Long = 64L,
+                       k: Int = TopK): DataFrame = {
+    val labels = emb.select(col("vec_id"), col("label"))
+    val votes = knnBrute(emb, nQueries, k)
+      .join(labels.select(col("vec_id").as("c_id"),
+        col("label").as("n_label")), Seq("c_id"))
+      .groupBy(col("q_id"), col("n_label")).agg(count(lit(1)).as("cnt"))
+    val pred = votes.groupBy(col("q_id"))
+      .agg(max_by(col("n_label"),
+        struct(col("cnt"), (-col("n_label")).as("tb"))).as("pred_label"))
+    pred
+      .join(labels.select(col("vec_id").as("q_id"),
+        col("label").as("true_label")), Seq("q_id"))
+      .groupBy(col("true_label"))
+      .agg(count(lit(1)).as("n_queries"),
+        count(when(col("pred_label") === col("true_label"), 1))
+          .as("n_correct"))
+      .withColumn("accuracy",
+        round(col("n_correct").cast("double") / col("n_queries"), 4))
+  }
+
   /** q155: the IVF nprobe sweep — recall vs scan cost at every probe
     * fan-out, the tuning curve an ANN operator reads to place the
     * recall/latency knee before fixing `nProbes` in production: per
@@ -1437,7 +1474,9 @@ object Similarity extends QueryModule {
     "q128_ann_ivfjl" -> ((s, d) => gateIvfJl(s, d)),
     // the recall/cost frontier behind q38's nProbes choice
     "q155_probe_sweep" -> ((s, d) =>
-      ivfProbeSweepFrom(gateBrute(s, d), T.embeddings(s, d)))
+      ivfProbeSweepFrom(gateBrute(s, d), T.embeddings(s, d))),
+    // leave-one-out kNN majority-vote label accuracy per class
+    "q158_knn_labels" -> ((s, d) => knnLabelAccuracy(T.embeddings(s, d)))
   )
 
   /** DuckDB literal list for plane p, identical doubles to the plan. */
@@ -1621,6 +1660,37 @@ object Similarity extends QueryModule {
     "q31_lsh_buckets" ->
       s"SELECT vec_id, CAST($bucketSql AS BIGINT) AS bucket FROM embeddings",
     "q155_probe_sweep" -> probeSweepSql,
+    // q30's brute scoring at 64 queries; the majority vote restated as
+    // a (cnt DESC, label ASC) ROW_NUMBER — the same deterministic
+    // tie-break as the Spark max_by struct ordering
+    "q158_knn_labels" ->
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM c),
+         |pairs AS (
+         |  SELECT q.vec_id AS q_id, t.vec_id AS c_id,
+         |    list_dot_product(q.v, t.v) / (q.nrm * t.nrm) AS cos
+         |  FROM n q JOIN n t ON q.vec_id < 64 AND t.vec_id <> q.vec_id),
+         |ranked AS (SELECT q_id, c_id FROM (
+         |    SELECT q_id, c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q_id
+         |        ORDER BY cos DESC, c_id ASC) AS rk
+         |    FROM pairs) WHERE rk <= $TopK),
+         |votes AS (SELECT r.q_id, l.label AS n_label, COUNT(*) AS cnt
+         |  FROM ranked r JOIN embeddings l ON l.vec_id = r.c_id
+         |  GROUP BY 1, 2),
+         |pred AS (SELECT q_id, n_label AS pred_label FROM (
+         |    SELECT q_id, n_label,
+         |      ROW_NUMBER() OVER (PARTITION BY q_id
+         |        ORDER BY cnt DESC, n_label ASC) AS rn
+         |    FROM votes) WHERE rn = 1),
+         |j AS (SELECT p.pred_label, e.label AS true_label
+         |  FROM pred p JOIN embeddings e ON e.vec_id = p.q_id)
+         |SELECT true_label, CAST(COUNT(*) AS BIGINT) AS n_queries,
+         |  CAST(COUNT(CASE WHEN pred_label = true_label THEN 1 END)
+         |    AS BIGINT) AS n_correct,
+         |  ROUND(CAST(COUNT(CASE WHEN pred_label = true_label THEN 1 END)
+         |    AS DOUBLE) / COUNT(*), 4) AS accuracy
+         |FROM j GROUP BY true_label""".stripMargin,
     "q38_ann_ivf" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),

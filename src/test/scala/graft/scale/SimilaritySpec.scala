@@ -413,6 +413,38 @@ class SimilaritySpec extends SparkSpec {
       windowRef(emb, 2, 100))
   }
 
+  test("knnLabelAccuracy: clustered classes score 1.0, vote ties break " +
+    "to the smaller label deterministically") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(11)
+    // three well-separated clusters along orthogonal axes, 8 members
+    // each, labels = cluster → leave-one-out kNN is perfect
+    def member(axis: Int): Array[Float] = {
+      val v = Array.fill(64)(rnd.nextFloat() * 0.02f)
+      v(axis) = 1.0f; v
+    }
+    val emb = (0 until 24).map(i => (i.toLong, member(i % 3), i % 3))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnLabelAccuracy(emb, nQueries = 24L, k = 5)
+      .collect().map(r => r.getAs[Int]("true_label") ->
+        (r.getAs[Long]("n_queries"), r.getAs[Long]("n_correct"),
+          r.getAs[Double]("accuracy"))).toMap
+    assert(out === Map(0 -> ((8L, 8L, 1.0)), 1 -> ((8L, 8L, 1.0)),
+      2 -> ((8L, 8L, 1.0))))
+    // tie battery: query 0's two neighbours carry labels 2 and 1 with
+    // one vote each — the (cnt DESC, label ASC) rule must pick 1
+    val tie = Seq(
+      (0L, Array(1.0f, 0f, 0f, 0f), 9),
+      (1L, Array(0.9f, 0.1f, 0f, 0f), 2),
+      (2L, Array(0.9f, -0.1f, 0f, 0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.knnLabelAccuracy(tie, nQueries = 1L, k = 2)
+      .collect().head
+    assert(r.getAs[Int]("true_label") === 9)
+    assert(r.getAs[Long]("n_correct") === 0L) // predicted 1, not 9
+  }
+
   test("ivfProbeSweep: recall and cost are monotone in the probe " +
     "fan-out, and probing every cell IS brute force") {
     val spark2 = spark
