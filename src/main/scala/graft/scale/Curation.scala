@@ -523,6 +523,37 @@ object Curation extends QueryModule {
         when(col("share") > 0d, r6(col("target_share") / col("share"))))
   }
 
+  /** q159: output shard plan — the write-path layout audit: assign
+    * every document WHOLE to the output shard where its token-stream
+    * position starts (greedy, never splitting a document across
+    * files — the invariant a corpus writer wants, unlike q73's
+    * training-chunk packing which splits by design), and report each
+    * shard's doc count, actual token size, deviation from the target,
+    * fill ratio, and id range. Balanced shards are what make the NEXT
+    * job's `maxPartitionBytes` math work; this board is how the
+    * writer proves balance before shipping, and the id ranges double
+    * as the shard manifest.
+    *
+    * Scale design: rides the [[sequencePack]] distributed prefix-sum
+    * chain (range partition + broadcast offsets — never a global
+    * window) with the shard size as the chunk granularity: a doc's
+    * shard IS its `chunk_first`, so the plan is the q73 plan plus one
+    * hash-aggregate keyed by shard. A doc longer than the shard
+    * target leaves gap shard-ids behind it — visible in the board as
+    * the missing ids, priced in its own shard's `dev_toks`. */
+  def shardPlan(docs: DataFrame, shardTokens: Int = 4096,
+                partitions: Int = 32): DataFrame = {
+    def r6(c: Column): Column = floor(c * 1000000d + 0.5d) / 1000000d
+    sequencePack(docs, shardTokens, partitions)
+      .groupBy(col("chunk_first").as("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("shard_toks"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .select(col("shard_id"), col("n_docs"), col("shard_toks"),
+        (col("shard_toks") - shardTokens.toLong).as("dev_toks"),
+        r6(col("shard_toks").cast("double") / shardTokens).as("fill"),
+        col("first_doc"), col("last_doc"))
+  }
+
   /** q153: snapshot quality drift — "is the corpus getting better?":
     * the q141 diff statuses (added / removed / changed / unchanged)
     * with the quality and token mass attached, so a refresh review
@@ -915,6 +946,8 @@ object Curation extends QueryModule {
     }),
     // per-(split, lang) token shares vs the global mixture
     "q154_split_balance" -> ((s, d) => splitBalance(T.documents(s, d))),
+    // whole-doc greedy output sharding + balance manifest
+    "q159_shard_plan" -> ((s, d) => shardPlan(T.documents(s, d))),
     // snapshot diff vs a deterministically-derived previous snapshot
     // (hash slices simulate adds/removes/edits)
     "q141_snapshot_diff" -> ((s, d) => {
@@ -1094,6 +1127,25 @@ object Curation extends QueryModule {
          |    need_toks > CAST(avail_toks AS DOUBLE) END AS oversampled
          |FROM t""".stripMargin
     },
+    // the q73 prefix-sum chain at shard granularity; every stat is
+    // exact-integer, fill is one floor-r6'd division
+    "q159_shard_plan" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(CEIL(CAST(len(text) AS DOUBLE) / 4) AS BIGINT) AS toks
+        |  FROM documents),
+        |f AS (SELECT * FROM t WHERE toks > 0),
+        |c AS (SELECT doc_id, toks,
+        |  CAST(SUM(toks) OVER (ORDER BY doc_id) AS BIGINT) AS cum_end FROM f),
+        |sh AS (SELECT (cum_end - toks) // 4096 AS shard_id, doc_id, toks
+        |  FROM c)
+        |SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(toks) AS BIGINT) AS shard_toks,
+        |  CAST(SUM(toks) AS BIGINT) - 4096 AS dev_toks,
+        |  FLOOR(CAST(SUM(toks) AS DOUBLE) / 4096 * 1000000 + 0.5) / 1000000
+        |    AS fill,
+        |  CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+        |  CAST(MAX(doc_id) AS BIGINT) AS last_doc
+        |FROM sh GROUP BY shard_id""".stripMargin,
     // the q141 prev-snapshot CTE restated, statuses from the same
     // full-outer md5 compare, quality on COALESCE(cur, prev) text;
     // mean quality rides the DECIMAL(18,6) exact sum

@@ -353,6 +353,28 @@ class CurationSpec extends SparkSpec {
       ((5L, 3L, 203L, 302L, 99L, math.round(99.0 / 302 * 1e4) / 1e4)))
   }
 
+  test("shardPlan: docs land whole in the shard where they start, an " +
+    "oversized doc leaves gap shard-ids, totals account every token") {
+    val spark2 = spark
+    import spark2.implicits._
+    // toks 3, 3, 10, 3 at shard target 4: cum starts 0, 3, 6, 16 →
+    // shards 0, 0, 1, 4 (shards 2 and 3 are the gap the big doc ate)
+    val docs = Seq(
+      (1L, "a" * 12), (2L, "b" * 12), (3L, "c" * 40), (4L, "d" * 12)
+    ).toDF("doc_id", "text")
+    val out = Curation.shardPlan(docs, shardTokens = 4, partitions = 2)
+      .collect().map(r => r.getAs[Long]("shard_id") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("shard_toks"),
+          r.getAs[Long]("dev_toks"), r.getAs[Double]("fill"),
+          r.getAs[Long]("first_doc"), r.getAs[Long]("last_doc"))).toMap
+    assert(out.keySet === Set(0L, 1L, 4L)) // 2 and 3 are gaps
+    assert(out(0L) === ((2L, 6L, 2L, 1.5, 1L, 2L)))
+    assert(out(1L) === ((1L, 10L, 6L, 2.5, 3L, 3L)))
+    assert(out(4L) === ((1L, 3L, -1L, 0.75, 4L, 4L)))
+    // every token lands in exactly one shard
+    assert(out.values.map(_._2).sum === 19L)
+  }
+
   test("snapshotQualityDrift: statuses classify the full-outer compare, " +
     "removed docs score on their prev text, means are exact") {
     val spark2 = spark
