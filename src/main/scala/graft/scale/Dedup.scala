@@ -1721,6 +1721,42 @@ object Dedup extends QueryModule {
       .agg(count(lit(1)).as("n_pairs"), min(col("dist")).as("min_dist"))
   }
 
+  /** q160: cross-source near-dup matrix — who is mirroring whom: the
+    * near-dup pair graph rolled up by (source, source), with the pair
+    * count, closest distance, mean distance and each cell's share of
+    * all near-dup pairs. A heavy OFF-diagonal cell names a pair of
+    * ingest sources republishing each other's content (the crawl-two-
+    * mirrors failure); a heavy diagonal cell names the source that
+    * duplicates itself. This is the table that decides WHERE dedup
+    * budget goes — q112 prices the corpus-wide impact, this localizes
+    * it to source pairs.
+    *
+    * Scale design: rides the shared simhash pair core (never all
+    * pairs); two doc_id equi-joins attach sources (unique keys — no
+    * skew), the matrix aggregate is keyed by at most n_sources² cells
+    * with map-side partials, and the share denominator is the
+    * documented 1-row broadcast cross join. The cell key is
+    * (least, greatest) so the undirected matrix never double-counts. */
+  def sourcePairMatrix(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    def r6(c: Column): Column = floor(c * 1000000d + 0.5d) / 1000000d
+    val src = docs.select(col("doc_id"), col("source"))
+    val cells = pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        Seq("doc_b"))
+      .groupBy(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"), min(col("dist")).as("min_dist"),
+        sum(col("dist")).as("sum_dist"))
+    val total = cells.agg(sum(col("n_pairs")).as("total"))
+    cells.crossJoin(broadcast(total))
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        col("min_dist"),
+        r6(col("sum_dist").cast("double") / col("n_pairs")).as("mean_dist"),
+        r6(col("n_pairs").cast("double") / col("total")).as("share"))
+  }
+
   /** q147: cluster-coherent split — the q146 fix: a document inherits
     * the split of its near-dup component's representative (q59's
     * min-id label) instead of its own hash, so every component lands
@@ -1795,6 +1831,9 @@ object Dedup extends QueryModule {
     "q26_minhash_bands" -> ((s, d) => gateBands(s, d)),
     // the S-curve board behind the q26 banding choice
     "q156_band_sweep" -> ((s, d) => bandSweep(T.documents(s, d))),
+    // who mirrors whom: the pair graph rolled up by source pair
+    "q160_source_matrix" -> ((s, d) =>
+      sourcePairMatrix(gatePairs(s, d), T.documents(s, d))),
     "q27_simhash" -> ((s, d) => simhash(T.documents(s, d))),
     // pigeonhole-blocked pair generation (6 chunks ⇒ complete for
     // dist ≤ 5); the oracle states the same result as an exact O(n²)
@@ -2018,6 +2057,25 @@ object Dedup extends QueryModule {
          |JOIN sz sa ON sa.doc_id = doc_a
          |JOIN sz sb ON sb.doc_id = doc_b""".stripMargin,
     "q156_band_sweep" -> bandSweepSql,
+    // the shared pair CTE with sources attached; (least, greatest)
+    // folds the matrix undirected, share over the 1-row total
+    "q160_source_matrix" ->
+      s"""WITH $simhashPairCte,
+         |j AS (SELECT LEAST(da.source, db.source) AS source_a,
+         |             GREATEST(da.source, db.source) AS source_b, dist
+         |  FROM p JOIN documents da ON da.doc_id = p.doc_a
+         |  JOIN documents db ON db.doc_id = p.doc_b),
+         |g AS (SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(MIN(dist) AS INTEGER) AS min_dist,
+         |  CAST(SUM(dist) AS BIGINT) AS sum_dist
+         |  FROM j GROUP BY 1, 2),
+         |t AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS total FROM g)
+         |SELECT source_a, source_b, n_pairs, min_dist,
+         |  FLOOR(CAST(sum_dist AS DOUBLE) / n_pairs * 1000000 + 0.5)
+         |    / 1000000 AS mean_dist,
+         |  FLOOR(CAST(n_pairs AS DOUBLE) / total * 1000000 + 0.5) / 1000000
+         |    AS share
+         |FROM g, t""".stripMargin,
     "q26_minhash_bands" ->
       s"""WITH $shingleCte,
          |sig AS (SELECT doc_id, $sigSelect FROM sh GROUP BY doc_id)

@@ -32,6 +32,36 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L }) // no false pair
   }
 
+  test("sourcePairMatrix: a planted cross-source mirror lands in the " +
+    "right undirected cell with exact shares") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      (1L, "a", "web"), (2L, "b", "mirror"), (3L, "c", "web"),
+      (4L, "d", "web")
+    ).toDF("doc_id", "text", "source")
+    // explicit pair graph: (1,2) is the cross-source mirror at dist 0,
+    // (1,3)/(2,3) are near dups at dist 4; doc 4 pairs with nothing
+    val pairs = Seq((1L, 2L, 0), (1L, 3L, 4), (2L, 3L, 4))
+      .toDF("doc_a", "doc_b", "dist")
+    val out = Dedup.sourcePairMatrix(pairs, docs).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Int]("min_dist"),
+          r.getAs[Double]("mean_dist"), r.getAs[Double]("share"))).toMap
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    // pairs: (1,2) d=0 mirror↔web, (1,3) d=D web↔web, (2,3) d=D
+    // mirror↔web — the undirected key is (least, greatest)
+    assert(out.keySet === Set(("mirror", "web"), ("web", "web")))
+    val (mwN, mwMin, mwMean, mwShare) = out(("mirror", "web"))
+    val (wwN, _, wwMean, wwShare) = out(("web", "web"))
+    assert((mwN, mwMin) === ((2L, 0)))
+    assert(wwN === 1L)
+    assert(mwShare === r6(2.0 / 3) && wwShare === r6(1.0 / 3))
+    // docs 1 and 2 are identical, so dist(1,3) = dist(2,3) = D:
+    // the mirror cell's mean is exactly D/2, the web cell's is D
+    assert(mwMean === r6(wwMean / 2))
+  }
+
   test("bandSweep: thresholds are the exact sqrt chains, candidate sets " +
     "nest as bands widen, the identical pair survives every config") {
     val out = Dedup.bandSweep(docs).collect()
