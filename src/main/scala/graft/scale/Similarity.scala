@@ -350,10 +350,19 @@ object Similarity extends QueryModule {
       .withColumn("rn", row_number().over(probeW))
       .filter(col("rn") <= nProbes)
       .select(col("q_id"), col("qv"), col("qn"), col("cell_id"))
-    // probed-cell occupancy is ~corpus × probes/cells per query — a
-    // corpus term, so the final rank is the bounded top-k aggregate
-    // (the probe-selection window above is fine: its input is the
-    // constant nCells rows per query)
+    annIvfFromParts(corpus, probes, k)
+  }
+
+  /** The IVF candidate-rank tail from a prebuilt assigned corpus and
+    * probe table — probed-cell occupancy is ~corpus × probes/cells per
+    * query (a corpus term), so the final rank is the bounded top-k
+    * aggregate (a probe-selection window upstream is fine: its input
+    * is the constant nCells rows per query). Factored out so
+    * [[ivfProbeSweepFrom]] can run every probe setting against ONE
+    * checkpointed corpus assignment instead of rebuilding the scan
+    * per arm. */
+  private def annIvfFromParts(corpus: DataFrame, probes: DataFrame,
+                              k: Int): DataFrame =
     corpus.join(broadcast(probes), Seq("cell_id"))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
@@ -363,7 +372,6 @@ object Similarity extends QueryModule {
       .select(col("q_id"), posexplode(col("top")))
       .select(col("q_id"), col("col.id").as("c_id"),
         round(col("col.score"), 4).as("cos"), (col("pos") + 1).as("rank"))
-  }
 
   /** Int8 scalar quantization audit: per vector, the symmetric scale
     * (127/max|x|) and the exact reconstruction SSE after
@@ -1086,8 +1094,19 @@ object Similarity extends QueryModule {
     val truth = truthFull
       .select(col("q_id"), col("c_id")).localCheckpoint()
     val centsDf = seedCents(emb, nCells)
-    val occ = ivfCellsWith(emb, centsDf).groupBy(col("cell_id"))
-      .agg(count(lit(1)).as("occ"))
+    val local = collectCents(centsDf)
+    // ONE assigned-corpus scan shared by every arm — four annIvf arms
+    // each rebuilding the argmax-assignment scan was the whole cost of
+    // this board's first cut
+    val corpus = Layout.widen(emb)
+      .select(col("vec_id").as("c_id"),
+        explode(array(toDoubleArray(col("embedding")))).as("cv"))
+      .select(col("c_id"),
+        graft.functions.VectorExpressions.argMaxCosine(col("cv"), local)
+          .as("cell_id"),
+        col("cv"), l2Norm(col("cv")).as("cn"))
+      .localCheckpoint()
+    val occ = corpus.groupBy(col("cell_id")).agg(count(lit(1)).as("occ"))
     val cents = centsDf.select(col("cell_id"), col("cv").as("centv"))
     val probeW = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("cell_id").asc)
@@ -1095,7 +1114,7 @@ object Similarity extends QueryModule {
       .select(col("vec_id").as("q_id"), toDoubleArray(col("embedding")).as("qv"))
       .withColumn("qn", l2Norm(col("qv")))
       .join(broadcast(cents))
-      .select(col("q_id"), col("cell_id"),
+      .select(col("q_id"), col("qv"), col("qn"), col("cell_id"),
         (dotProduct(col("qv"), col("centv")) /
           (col("qn") * l2Norm(col("centv")))).as("cos"))
       .withColumn("rn", row_number().over(probeW))
@@ -1104,7 +1123,9 @@ object Similarity extends QueryModule {
       .localCheckpoint() // nQueries × maxProbes rows
     val nVecs = emb.agg(count(lit(1)).as("n_vecs"))
     def armRow(p: Int): DataFrame = {
-      val hits = annIvfWith(emb, centsDf, nQueries, k, p)
+      val hits = annIvfFromParts(corpus,
+        probes.filter(col("rn") <= p)
+          .select(col("q_id"), col("qv"), col("qn"), col("cell_id")), k)
         .select(col("q_id"), col("c_id"))
         .join(truth, Seq("q_id", "c_id"), "left_semi")
         .agg(count(lit(1)).as("n_hits"))
