@@ -332,6 +332,35 @@ class PlanAuditSpec extends SparkSpec {
       "TemporalOps must not rank via a global single-partition window")
   }
 
+  test("q152 batch padding: both rank chains are the distributed prefix " +
+    "shape — every window is pid-partitioned, none is global") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = graft.scale.Curation.batchPadding(
+      graft.Tables.documents(spark, sf))
+    // the 1-row strategy rollups legitimately plan Exchange
+    // SinglePartition (every scalar aggregate does); the scale hazard
+    // is a WINDOW with an empty partition spec — the global-order rank
+    // the distributed prefix chain exists to avoid
+    val wins = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty, "expected the in-partition rank windows")
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      s"global (unpartitioned) window leaked into the batch-padding plan")
+    assert(planOf(df).contains("BroadcastHashJoin"),
+      "expected broadcast offset joins")
+  }
+
+  test("q150 filter funnel: flags stay scan-side — no window at all, " +
+    "equi-joins attach rep/gate, one stage-fold aggregate pair") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = graft.scale.TextAnalysis.filterFunnel(
+      graft.Tables.documents(spark, sf))
+    val wins = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(wins.isEmpty, "the funnel needs no window — flags are per-row")
+    val s = planOf(df)
+    assert(s.contains("BroadcastHashJoin") || s.contains("SortMergeJoin"),
+      s"expected equi-joins for rep/gate attachment:\n$s")
+  }
+
   test("q126 stratified knn sample: bucket pick and top-k are both " +
     "bounded aggregates, queries ride broadcasts — no corpus shuffle") {
     val s = planOf(graft.scale.Similarity.knnBruteSampled(
