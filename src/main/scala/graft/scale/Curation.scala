@@ -523,6 +523,55 @@ object Curation extends QueryModule {
         when(col("share") > 0d, r6(col("target_share") / col("share"))))
   }
 
+  /** q161: curriculum phases — the quality-ordered training schedule
+    * read: split the corpus into quality quartiles (the standard
+    * curriculum unit — train on progressively higher-quality data, or
+    * anneal onto the top quartile last) and report each phase's doc
+    * count, token mass and quality range. The board a curriculum
+    * designer reads to see whether the phases are balanced in TOKENS
+    * (they never are — quality correlates with length) before wiring
+    * the schedule.
+    *
+    * Quartile boundaries are `percentile_disc`-equivalent picks from
+    * the cumulative-distribution chain ([[CoreQueries.pickPercentile]]
+    * — the q48 machinery, integer thresholds, bitwise portable). The
+    * distinct-value window is bounded by construction: quality is
+    * rounded to 4 decimals, so at ANY corpus size the sort holds at
+    * most 10⁴ distinct values. Assignment is a scan-side CASE against
+    * the broadcast 1-row break table; the rollup is a 4-group
+    * aggregate. */
+  def curriculumPhases(docs0: DataFrame): DataFrame =
+    curriculumPhasesFrom(Layout.widen(docs0).select(col("doc_id"),
+      round(TextAnalysis.qualityExpr(col("text")), 4).as("quality"),
+      ceil(length(col("text")).cast("double") / 4d).cast("long").as("toks")))
+
+  /** [[curriculumPhases]] from a (doc_id, quality, toks) table — the
+    * gate form rides the memoized quality core. */
+  private[scale] def curriculumPhasesFrom(scored: DataFrame): DataFrame = {
+    import graft.ops.CoreQueries.pickPercentile
+    val base = scored.filter(col("toks") > 0)
+    val counts = base.select(col("quality").as("q"))
+      .groupBy(col("q")).agg(count(lit(1)).as("c"))
+    val tot = counts.agg(sum(col("c")).as("n"))
+    val byVal = Window.orderBy(col("q"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val breaks = counts.crossJoin(broadcast(tot))
+      .withColumn("cum", sum(col("c")).over(byVal))
+      .agg(pickPercentile("q", 25), pickPercentile("q", 50),
+        pickPercentile("q", 75))
+    base.crossJoin(broadcast(breaks))
+      .select(
+        when(col("quality") <= col("p25"), "1_q1")
+          .when(col("quality") <= col("p50"), "2_q2")
+          .when(col("quality") <= col("p75"), "3_q3")
+          .otherwise("4_q4").as("phase"),
+        col("toks"), col("quality"))
+      .groupBy(col("phase"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("phase_toks"),
+        min(col("quality")).as("min_quality"),
+        max(col("quality")).as("max_quality"))
+  }
+
   /** q159: output shard plan — the write-path layout audit: assign
     * every document WHOLE to the output shard where its token-stream
     * position starts (greedy, never splitting a document across
@@ -948,6 +997,9 @@ object Curation extends QueryModule {
     "q154_split_balance" -> ((s, d) => splitBalance(T.documents(s, d))),
     // whole-doc greedy output sharding + balance manifest
     "q159_shard_plan" -> ((s, d) => shardPlan(T.documents(s, d))),
+    // quality-quartile curriculum schedule (rides the quality core)
+    "q161_curriculum" -> ((s, d) =>
+      curriculumPhasesFrom(TextAnalysis.gateScored(s, d))),
     // snapshot diff vs a deterministically-derived previous snapshot
     // (hash slices simulate adds/removes/edits)
     "q141_snapshot_diff" -> ((s, d) => {
@@ -1127,6 +1179,25 @@ object Curation extends QueryModule {
          |    need_toks > CAST(avail_toks AS DOUBLE) END AS oversampled
          |FROM t""".stripMargin
     },
+    // the budget chain's quality CTE + ANSI percentile_disc quartiles
+    // (spec-proven equivalent of the Spark cum-dist picks); phase
+    // assignment is the same CASE against the same boundary values
+    "q161_curriculum" ->
+      s"""WITH $budgetCte,
+         |b AS (SELECT
+         |  percentile_disc(0.25) WITHIN GROUP (ORDER BY quality) AS p25,
+         |  percentile_disc(0.5) WITHIN GROUP (ORDER BY quality) AS p50,
+         |  percentile_disc(0.75) WITHIN GROUP (ORDER BY quality) AS p75
+         | FROM q),
+         |a AS (SELECT CASE WHEN quality <= b.p25 THEN '1_q1'
+         |    WHEN quality <= b.p50 THEN '2_q2'
+         |    WHEN quality <= b.p75 THEN '3_q3'
+         |    ELSE '4_q4' END AS phase, toks, quality
+         |  FROM q, b)
+         |SELECT phase, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(toks) AS BIGINT) AS phase_toks,
+         |  MIN(quality) AS min_quality, MAX(quality) AS max_quality
+         |FROM a GROUP BY phase""".stripMargin,
     // the q73 prefix-sum chain at shard granularity; every stat is
     // exact-integer, fill is one floor-r6'd division
     "q159_shard_plan" ->

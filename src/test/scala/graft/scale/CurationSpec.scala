@@ -353,6 +353,27 @@ class CurationSpec extends SparkSpec {
       ((5L, 3L, 203L, 302L, 99L, math.round(99.0 / 302 * 1e4) / 1e4)))
   }
 
+  test("curriculumPhases: percentile_disc-equivalent quartile breaks, " +
+    "zero-token docs excluded, exact phase accounting") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 8 scored docs, qualities 0.1..0.8 — breaks land at 0.2/0.4/0.6
+    // (smallest value whose cum count reaches ceil(p·8/100))
+    val scored = ((1 to 8).map(i => (i.toLong, i / 10.0, i * 10L)) :+
+      ((9L, 0.05, 0L))) // zero-token: carries no signal, excluded
+      .toDF("doc_id", "quality", "toks")
+    val out = Curation.curriculumPhasesFrom(scored).collect()
+      .map(r => r.getAs[String]("phase") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("phase_toks"),
+          r.getAs[Double]("min_quality"), r.getAs[Double]("max_quality")))
+      .toMap
+    assert(out === Map(
+      "1_q1" -> ((2L, 30L, 0.1, 0.2)),
+      "2_q2" -> ((2L, 70L, 0.3, 0.4)),
+      "3_q3" -> ((2L, 110L, 0.5, 0.6)),
+      "4_q4" -> ((2L, 150L, 0.7, 0.8))))
+  }
+
   test("shardPlan: docs land whole in the shard where they start, an " +
     "oversized doc leaves gap shard-ids, totals account every token") {
     val spark2 = spark
