@@ -89,7 +89,7 @@ object TextAnalysis extends QueryModule {
     * punctuation penalty) as a reusable scan-side expression — shared
     * with [[Curation.budgetSelect]] so "quality" means one thing
     * everywhere it ranks documents. */
-  private[scale] def qualityExpr(text: Column): Column = {
+  private[graft] def qualityExpr(text: Column): Column = {
     val ws = words(text)
     val nWords = greatest(size(ws), lit(1))
     val nChars = greatest(length(text), lit(1))
@@ -484,17 +484,27 @@ object TextAnalysis extends QueryModule {
     *
     * Repetition thresholds are the Gopher-family values: duplicate
     * 2-gram fraction < 0.2, top 2-gram fraction < 0.18. */
-  def curationGate(docs0: DataFrame): DataFrame = {
-    val docs = widen(docs0)
+  def curationGate(docs0: DataFrame): DataFrame =
+    gateFlagsCarry(widen(docs0), Seq("doc_id"))
+
+  /** The q70 flag chain with caller-chosen carried columns instead of
+    * a hard-wired `doc_id` — the streaming funnel monitor needs the
+    * same per-row flags with `ts`/token columns riding along (and no
+    * [[widen]], which a streaming source cannot take). Identical
+    * expressions to the original gate; [[curationGate]] IS this with
+    * carry = doc_id. */
+  private[graft] def gateFlagsCarry(docs: DataFrame,
+                                    carry: Seq[String]): DataFrame = {
+    val cs = carry.map(col)
     val withWs = docs
-      .select(col("doc_id"), col("text"),
-        explode(array(struct(words(col("text")).as("ws")))).as("s"))
-      .select(col("doc_id"), col("text"), col("s.ws").as("ws"))
+      .select(cs ++ Seq(col("text"),
+        explode(array(struct(words(col("text")).as("ws")))).as("s")): _*)
+      .select(cs ++ Seq(col("text"), col("s.ws").as("ws")): _*)
     val withBgs = withWs
-      .select(col("doc_id"), col("text"), col("ws"),
+      .select(cs ++ Seq(col("text"), col("ws"),
         explode(array(struct(
-          sort_array(shinglesFromWords(col("ws"), 2)).as("bgs")))).as("s2"))
-      .select(col("doc_id"), col("text"), col("ws"), col("s2.bgs").as("bgs"))
+          sort_array(shinglesFromWords(col("ws"), 2)).as("bgs")))).as("s2")): _*)
+      .select(cs ++ Seq(col("text"), col("ws"), col("s2.bgs").as("bgs")): _*)
 
     val ws = col("ws"); val bgs = col("bgs")
     val gopherPass = gopherSignals(ws, col("text")).pass
@@ -521,14 +531,13 @@ object TextAnalysis extends QueryModule {
     val topFrac = when(nBg > 0, topCnt.cast("double") / nBg).otherwise(lit(0.0))
     val repPass = dupFrac < 0.2 && topFrac < 0.18
 
-    withBgs.select(
-      col("doc_id"),
+    withBgs.select(cs ++ Seq(
       gopherPass.as("gopher_pass"),
       nBg.cast("long").as("n_bigrams"),
       round(dupFrac, 4).as("dup_bigram_frac"),
       round(topFrac, 4).as("top_bigram_frac"),
       repPass.as("rep_pass"),
-      (gopherPass && repPass).as("keep"))
+      (gopherPass && repPass).as("keep")): _*)
   }
 
   /** q150: the filter funnel — stage-by-stage attrition through the

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import java.sql.Timestamp
@@ -329,6 +329,60 @@ object EventStreams {
         col("n_docs"), col("n_tokens"), col("sum_ref"),
         (col("sum_ref").cast("double") / greatest(col("n_tokens"), lit(1L)))
           .as("avg_ref_freq"))
+  }
+
+  /** Streaming filter-funnel monitor — the ingestion-time counterpart
+    * of batch q150 `filterFunnel`: per event-time window, the
+    * cumulative survival of arriving documents through the per-row
+    * curation battery (nonempty → Gopher → repetition → quality ≥ θ →
+    * PII-clean), docs AND tokens per stage. The operational read: a
+    * crawl change shows up as one stage's survival falling in the
+    * NEXT window, hours before the nightly batch funnel re-runs.
+    * Batch q150's final exact-dedup stage is deliberately absent —
+    * dedup against history is global state, owned by the dedup
+    * monitors ([[dedupe]]/[[dedupeNear]]); this board is the per-row
+    * battery, which is exactly the part that streams scan-side.
+    *
+    * Shape: every flag is the SAME per-row projection the batch gate
+    * compiles ([[graft.scale.TextAnalysis.gateFlagsCarry]] — one
+    * generator-barriered tokenize chain), so the monitor and the
+    * batch board cannot drift (the spec pins window sums == batch
+    * stage counts on a shared fixture); the only stateful operator is
+    * ONE watermarked window aggregate of 12 conditional sums.
+    *
+    * `docs` must carry (ts: timestamp, text: string). */
+  def funnelMonitor(docs: DataFrame, qualityMin: Double = 0.5,
+                    watermark: String = "1 hour",
+                    windowLen: String = "1 hour"): DataFrame = {
+    import graft.scale.TextAnalysis
+    val scored = docs.select(col("ts"), col("text"),
+      ceil(length(col("text")).cast("double") / 4d).cast("long").as("toks"),
+      round(TextAnalysis.qualityExpr(col("text")), 4).as("quality"),
+      TextAnalysis.piiPatterns
+        .map { case (_, p) => regexp_count(col("text"), lit(p)) > 0 }
+        .reduce(_ || _).as("any_pii"))
+    val flags = TextAnalysis.gateFlagsCarry(scored,
+      Seq("ts", "toks", "quality", "any_pii"))
+    val stages: Seq[(String, Column)] = Seq(
+      "ingested" -> lit(true),
+      "nonempty" -> (col("toks") > 0L),
+      "gopher" -> col("gopher_pass"),
+      "repetition" -> col("rep_pass"),
+      "quality" -> (col("quality") >= qualityMin),
+      "pii" -> !col("any_pii"))
+    val cum = stages.tail.scanLeft(stages.head) {
+      case ((_, acc), (n, c)) => (n, acc && c)
+    }
+    val aggs = cum.flatMap { case (n, c) =>
+      Seq(count(when(c, 1)).as(s"d_$n"),
+        coalesce(sum(when(c, col("toks"))), lit(0L)).as(s"t_$n"))
+    }
+    flags
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("window_start", col("window.start"))
+      .drop("window")
   }
 
   /** Streaming token-budget burn-down — the ingestion-time counterpart

@@ -563,6 +563,50 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelMonitor: window sums equal the batch q150 funnel's " +
+    "per-row stages on a shared fixture; windows close on the watermark") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the q150 spec fixture (one doc drops at each per-row stage); the
+    // exact dup of `good` SURVIVES here — dedup is not a per-row gate
+    val good = (1 to 15)
+      .map(i => f"the w$i%02d and x$i%02d").mkString(" ")
+    val fixture = Seq(
+      good, "", (1 to 60).map(i => f"xq$i%02d").mkString(" "),
+      Seq.fill(30)("the cat").mkString(" "),
+      "the the " + (1 to 58).map(i => f"w$i%02d ,,").mkString(" "),
+      good + " contact me at john@example.com now", good)
+    val src = MemoryStream[(Timestamp, String)]
+    val q = EventStreams.funnelMonitor(
+        src.toDF().toDF("ts", "text"),
+        watermark = "10 minutes", windowLen = "10 minutes")
+      .writeStream.format("memory").queryName("fm").outputMode("append")
+      .start()
+    try {
+      src.addData(fixture.zipWithIndex.map { case (t, i) => (ts(i % 9), t) }: _*)
+      q.processAllAvailable()
+      assert(spark.table("fm").count() === 0) // window still open
+      src.addData((ts(30), "closer"))         // watermark passes 10:10
+      q.processAllAvailable()
+      val r = spark.table("fm").collect().head
+      val streamed = Seq("ingested", "nonempty", "gopher", "repetition",
+        "quality", "pii").map(n =>
+        (r.getAs[Long](s"d_$n"), r.getAs[Long](s"t_$n")))
+      // the batch funnel on the same docs: stages 1-6 match exactly
+      // (stage 7, exact dedup, is the one per-corpus gate the
+      // streaming battery deliberately omits)
+      val batch = graft.scale.TextAnalysis.filterFunnel(
+          fixture.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+            .toDF("doc_id", "text"))
+        .collect().sortBy(_.getAs[Int]("stage_idx")).take(6)
+        .map(r2 => (r2.getAs[Long]("n_docs"), r2.getAs[Long]("n_toks")))
+      assert(streamed === batch.toSeq)
+      // and the headline numbers: 7 ingested, 2 survive the battery
+      assert(streamed.head._1 === 7L && streamed.last._1 === 2L)
+    } finally q.stop()
+  }
+
   test("budgetMonitor: per-language burn-down crosses the need " +
     "threshold exactly when cumulative tokens do; need matches the " +
     "batch q148 expression") {
