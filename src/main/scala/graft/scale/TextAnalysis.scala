@@ -1505,6 +1505,108 @@ object TextAnalysis extends QueryModule {
         max(col("n_chars")).as("max_chars"),
         min(col("doc_id")).as("first_doc"))
 
+  /** q162: n-gram LM fluency gate — the CCNet/KenLM-style "does a
+    * reference language model find this text plausible" filter. An
+    * add-one-smoothed BIGRAM model is trained on the q140 TRAIN split
+    * only (val/test are scored by a model that never saw them), the
+    * vocabulary is the top-`vocabSize` train unigrams (everything else
+    * maps to `<unk>`), and the shipped model is the top-`maxBigrams`
+    * bigram table — a BOUNDED artifact, the way a production KenLM
+    * ships as a fixed file, never a corpus-scale side input. Per
+    * document: bigram count, how many bigrams the model has seen
+    * (`n_hits`/`hit_rate`), how many conditioned on an
+    * out-of-vocabulary context, and the mean smoothed bigram
+    * probability `mean_p` — the fluency score (low = the gibberish /
+    * pathological text the filter drops). Beyond-reference scale
+    * operator (the LLM-data-pipeline layer), like the rest of the
+    * curation battery.
+    *
+    * Log-free on purpose: true perplexity exponentiates a mean LOG
+    * probability, but libm `ln` differs across engines by ulps (the
+    * same reason q67 keeps the BM25 odds-ratio un-logged and q74 omits
+    * the sigmoid); the mean probability ranks documents for the same
+    * gate decision from exact-integer inputs. Each probability is ONE
+    * IEEE division of exact integers ((c2+1)/(c1+V+1)) — bit-identical
+    * in any engine — then fixed-point-scaled to a BIGINT so the
+    * per-doc mean is an order-free integer sum, never a float
+    * accumulation.
+    *
+    * Scale design: the model is built with two token-keyed aggregates
+    * (map-side partials collapse the Zipf-hot words/bigrams per task
+    * before the exchange) and two bounded TakeOrderedAndProject
+    * selections; vocab and bigram table are then BROADCAST, so the
+    * scoring pass is scan-side — raw bigrams explode from each doc's
+    * token array (no positional self-join), broadcast hash lookups
+    * attach counts, and the only corpus shuffle is the final
+    * doc_id-keyed aggregate (unique-ish keys, no skew). The `<unk>`
+    * unigram mass is exact: total train tokens minus in-vocab tokens,
+    * two 1-row aggregates cross-joined (the documented 1-row broadcast
+    * shape). */
+  def lmFluency(docs0: DataFrame, vocabSize: Int = 1024,
+                maxBigrams: Int = 1 << 16): DataFrame =
+    lmFluencyFrom(tokenCore(docs0), vocabSize, maxBigrams)
+
+  /** [[lmFluency]] from the (doc_id, ws) token core — shared-core form
+    * for the gate registry. */
+  private[scale] def lmFluencyFrom(core0: DataFrame, vocabSize: Int,
+                                   maxBigrams: Int): DataFrame = {
+    def r6(c: Column): Column = floor(c * 1000000d + 0.5d) / 1000000d
+    val core = core0.select(col("doc_id"), col("ws"))
+    val train = core.filter(Curation.splitExpr(col("doc_id")) === "train")
+    // train unigram counts — a Heaps-bounded vocabulary table; it
+    // feeds the top-V selection AND the exact token totals, so
+    // checkpoint the one aggregate instead of tokenizing train twice
+    val wordCnt = train.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val vocab = wordCnt.orderBy(col("cnt").desc, col("w").asc)
+      .limit(vocabSize).localCheckpoint()
+    val unk = wordCnt.agg(coalesce(sum(col("cnt")), lit(0L)).as("t"))
+      .crossJoin(vocab.agg(coalesce(sum(col("cnt")), lit(0L)).as("v")))
+      .select((col("t") - col("v")).as("unk_cnt"))
+    // raw bigram rows from the token array (scan-side explode), vocab
+    // membership + context count attached by broadcast hash lookups
+    def bigramRows(df: DataFrame): DataFrame =
+      df.filter(size(col("ws")) >= 2)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(0), size(col("ws")) - 2),
+            i => struct(element_at(col("ws"), i + 1).as("w1"),
+              element_at(col("ws"), i + 2).as("w2")))).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .join(broadcast(vocab.select(col("w").as("w1"), col("cnt").as("c1v"))),
+          Seq("w1"), "left")
+        .join(broadcast(vocab.select(col("w").as("w2"), lit(1).as("in2"))),
+          Seq("w2"), "left")
+        .select(col("doc_id"),
+          when(col("c1v").isNotNull, col("w1")).otherwise(lit("<unk>")).as("m1"),
+          when(col("in2").isNotNull, col("w2")).otherwise(lit("<unk>")).as("m2"),
+          col("c1v"))
+        .withColumn("bigram", concat_ws(" ", col("m1"), col("m2")))
+    // the shipped model: top-B train bigrams over the mapped alphabet
+    val bigCnt = bigramRows(train)
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+      .orderBy(col("c2").desc, col("bigram").asc).limit(maxBigrams)
+    val denom = lit((vocabSize + 1).toLong)
+    bigramRows(core)
+      .join(broadcast(bigCnt), Seq("bigram"), "left")
+      .crossJoin(broadcast(unk))
+      .select(col("doc_id"),
+        col("c2").isNotNull.as("hit"),
+        (col("m1") === "<unk>").as("unk_ctx"),
+        floor(((coalesce(col("c2"), lit(0L)) + lit(1L)).cast("double") /
+          (coalesce(col("c1v"), col("unk_cnt")) + denom).cast("double"))
+          * 1000000000d + 0.5d).cast("long").as("p9"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        count(when(col("hit"), 1)).as("n_hits"),
+        count(when(col("unk_ctx"), 1)).as("n_unk_ctx"),
+        sum(col("p9")).as("sp9"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_hits"), col("n_unk_ctx"),
+        r6(col("n_hits").cast("double") / col("n_bigrams")).as("hit_rate"),
+        r6(col("sp9").cast("double") /
+          (col("n_bigrams").cast("double") * 1000000000d)).as("mean_p"))
+  }
+
   // ---- driver-gate query registry ----
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1575,7 +1677,11 @@ object TextAnalysis extends QueryModule {
     // Cohen's κ between the Gopher gate and the quality threshold
     "q151_gate_agreement" -> ((s, d) => gateAgreement(T.documents(s, d))),
     // per-language fertility under the globally-mined merge table
-    "q157_bpe_fertility" -> ((s, d) => bpeFertility(T.documents(s, d)))
+    "q157_bpe_fertility" -> ((s, d) => bpeFertility(T.documents(s, d))),
+    // bigram-LM fluency gate: model trained on the q140 train split,
+    // broadcast as a bounded artifact (rides the memoized token core)
+    "q162_lm_fluency" -> ((s, d) => lmFluencyFrom(gateTokens(s, d),
+      vocabSize = 1024, maxBigrams = 1 << 16))
   )
 
   private val normSql =
@@ -2137,6 +2243,50 @@ object TextAnalysis extends QueryModule {
     // the q139 mining chain with lang KEPT on the token stream: merges
     // are global, application and the fertility rollup are per-lang;
     // the three replaces compose in mining order exactly as the loop
+    // bigram LM over the q140 train split: top-V vocab, top-B bigram
+    // table, add-one smoothing; every probability is one IEEE division
+    // of exact integers, per-doc means are exact BIGINT sums
+    "q162_lm_fluency" ->
+      s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+         |tr AS (SELECT * FROM w WHERE ${Curation.splitUSql("doc_id")} < 0.8),
+         |wc AS (SELECT word, COUNT(*) AS cnt
+         |       FROM (SELECT unnest(ws) AS word FROM tr) GROUP BY 1),
+         |vocab AS (SELECT word, cnt FROM wc ORDER BY cnt DESC, word LIMIT 1024),
+         |unk AS (SELECT CAST((SELECT COALESCE(SUM(cnt), 0) FROM wc)
+         |  - (SELECT COALESCE(SUM(cnt), 0) FROM vocab) AS BIGINT) AS unk_cnt),
+         |tb AS (SELECT ws[i+1] AS w1, ws[i+2] AS w2
+         |       FROM tr, unnest(range(len(ws) - 1)) t(i) WHERE len(ws) >= 2),
+         |tm AS (SELECT COALESCE(v1.word, '<unk>') || ' ' ||
+         |         COALESCE(v2.word, '<unk>') AS bigram
+         |       FROM tb LEFT JOIN vocab v1 ON tb.w1 = v1.word
+         |               LEFT JOIN vocab v2 ON tb.w2 = v2.word),
+         |bc AS (SELECT bigram, COUNT(*) AS c2 FROM tm GROUP BY 1
+         |       ORDER BY c2 DESC, bigram LIMIT 65536),
+         |sb AS (SELECT doc_id, ws[i+1] AS w1, ws[i+2] AS w2
+         |       FROM w, unnest(range(len(ws) - 1)) t(i) WHERE len(ws) >= 2),
+         |sm AS (SELECT doc_id,
+         |         COALESCE(v1.word, '<unk>') AS m1,
+         |         COALESCE(v1.cnt, (SELECT unk_cnt FROM unk)) AS c1,
+         |         COALESCE(v1.word, '<unk>') || ' ' ||
+         |           COALESCE(v2.word, '<unk>') AS bigram
+         |       FROM sb LEFT JOIN vocab v1 ON sb.w1 = v1.word
+         |               LEFT JOIN vocab v2 ON sb.w2 = v2.word),
+         |p AS (SELECT doc_id, (bc.bigram IS NOT NULL) AS hit,
+         |        (m1 = '<unk>') AS unk_ctx,
+         |        CAST(FLOOR((CAST(COALESCE(bc.c2, 0) + 1 AS DOUBLE)
+         |          / CAST(sm.c1 + 1025 AS DOUBLE)) * 1000000000.0 + 0.5)
+         |          AS BIGINT) AS p9
+         |      FROM sm LEFT JOIN bc ON sm.bigram = bc.bigram)
+         |SELECT doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |  CAST(COUNT(CASE WHEN hit THEN 1 END) AS BIGINT) AS n_hits,
+         |  CAST(COUNT(CASE WHEN unk_ctx THEN 1 END) AS BIGINT) AS n_unk_ctx,
+         |  FLOOR(CAST(COUNT(CASE WHEN hit THEN 1 END) AS DOUBLE)
+         |    / COUNT(*) * 1000000.0 + 0.5) / 1000000.0 AS hit_rate,
+         |  FLOOR(CAST(SUM(p9) AS DOUBLE)
+         |    / (CAST(COUNT(*) AS DOUBLE) * 1000000000.0) * 1000000.0 + 0.5)
+         |    / 1000000.0 AS mean_p
+         |FROM p GROUP BY doc_id""".stripMargin,
     "q157_bpe_fertility" ->
       s"""WITH w AS (SELECT lang, unnest($wsSql) AS w FROM documents),
          |v0 AS (SELECT w, COUNT(*) AS cnt FROM w GROUP BY w),

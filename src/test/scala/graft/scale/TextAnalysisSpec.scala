@@ -705,4 +705,41 @@ class TextAnalysisSpec extends SparkSpec {
     // totals tile: every saved symbol is accounted for
     assert(out.map(_._4).sum === 19L - 9L)
   }
+
+  test("lmFluency: bigram LM trained on the train split scores every doc " +
+    "with exact smoothed probabilities; OOV maps to <unk>") {
+    val spark2 = spark
+    import spark2.implicits._
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    // ids 1/2/4 hash to the train split, 3 to test, 5 to val (md5
+    // consistent hashing — the same assignment q140 publishes)
+    val docs = Seq(
+      (1L, "a b a b c"), (2L, "a b a b c"), (4L, "a b a b c"),
+      (3L, "a b a b c"), // test: scored by a model that never saw it
+      (5L, "z b")        // val: OOV context
+    ).toDF("doc_id", "text")
+    // sanity: the fixture's split assumption holds under q140
+    val split = Curation.hashSplit(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(split === Map(1L -> "train", 2L -> "train", 4L -> "train",
+      3L -> "test", 5L -> "val"))
+    // train LM (k=3 train docs, vocabSize=2): unigrams a:6 b:6 c:3 →
+    // vocab {a,b}, unk_cnt=3; bigrams "a b":6 "b a":3 "b <unk>":3
+    val out = TextAnalysis.lmFluency(docs, vocabSize = 2, maxBigrams = 100)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("n_hits"),
+          r.getAs[Long]("n_unk_ctx"), r.getAs[Double]("hit_rate"),
+          r.getAs[Double]("mean_p"))).toMap
+    // "a b a b c": bigrams (a b)(b a)(a b)(b c→b <unk>), all in model;
+    // denominators c1+V+1 = 6+3 = 9
+    val p9 = Seq(7.0 / 9, 4.0 / 9, 7.0 / 9, 4.0 / 9)
+      .map(p => math.floor(p * 1e9 + 0.5))
+    val meanP = r6(p9.sum / (4 * 1e9))
+    for (id <- Seq(1L, 2L, 3L, 4L))
+      assert(out(id) === ((4L, 4L, 0L, 1.0, meanP)), s"doc $id")
+    // "z b": one bigram "<unk> b" — unseen (train had no unk context);
+    // p = (0+1)/(unk_cnt+3) = 1/6
+    assert(out(5L) === ((1L, 0L, 1L, 0.0,
+      r6(math.floor(1.0 / 6 * 1e9 + 0.5) / 1e9))))
+  }
 }
