@@ -1671,6 +1671,66 @@ object Dedup extends QueryModule {
             x => x.getField("line")))).as("clean_md5"))
   }
 
+  /** q163: per-source boilerplate board — the trafilatura-style
+    * line-classification read: a line is BOILERPLATE within its source
+    * when it appears in at least `minShare` of that source's documents
+    * (navigation chrome, cookie banners, footers — the text that
+    * repeats across pages of one site but not across sites) and is at
+    * least `minLen` chars (so empty/trivial lines don't count). Per
+    * source: doc count, line-occurrence volume, how many distinct
+    * lines are boilerplate, their occurrence and character mass, and
+    * the char share a strip pass would remove — the table that decides
+    * WHICH source needs the line-strip before tokens are spent on it
+    * (q134 is the corpus-wide drop pass; this localizes the signal to
+    * the source that generates it).
+    *
+    * Scale design: NO hot-key funnel anywhere — the occurrence count
+    * is a (source, line)-keyed aggregate (map-side partials collapse a
+    * hot line per task before the exchange), the doc-frequency count
+    * dedups (source, line, doc_id) FIRST (exchange keyed by all three
+    * columns, so a line shared by every doc spreads across tasks)
+    * then counts per (source, line) with partials — deliberately NOT
+    * `countDistinct`, whose one-distinct plan exchanges raw rows on
+    * the (source, line) group key alone and would funnel the hot
+    * line's whole occurrence stream into one task. The two
+    * per-(source, line) tables join 1-row-per-key on each side (no
+    * skew by construction), the per-source doc counts are an
+    * n_sources-bounded broadcast, and the rollup is one aggregate
+    * onto ≤ n_sources rows. */
+  def boilerplateBySource(docs0: DataFrame, minShare: Double = 0.3,
+                          minLen: Int = 5): DataFrame = {
+    def r6(c: Column): Column = floor(c * 1000000d + 0.5d) / 1000000d
+    val docs = Layout.widen(docs0)
+    val perSource = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val lines = docs.select(col("source"), col("doc_id"),
+      explode(split(col("text"), "\n")).as("line"))
+    val occ = lines.groupBy(col("source"), col("line"))
+      .agg(count(lit(1)).as("occ"))
+    val df = lines.select(col("source"), col("line"), col("doc_id")).distinct()
+      .groupBy(col("source"), col("line")).agg(count(lit(1)).as("df"))
+    occ.join(df, Seq("source", "line"))
+      .join(broadcast(perSource), Seq("source"))
+      .select(col("source"),
+        (col("df") >= ceil(lit(minShare) * col("n_docs")) &&
+          length(col("line")) >= minLen).as("is_b"),
+        col("occ"),
+        (col("occ") * length(col("line")).cast("long")).as("chars"))
+      .groupBy(col("source"))
+      .agg(sum(col("occ")).as("n_lines"),
+        count(when(col("is_b"), 1)).as("boiler_lines"),
+        coalesce(sum(when(col("is_b"), col("occ"))), lit(0L)).as("boiler_occ"),
+        sum(col("chars")).as("chars_total"),
+        coalesce(sum(when(col("is_b"), col("chars"))), lit(0L))
+          .as("chars_boiler"))
+      .join(broadcast(perSource), Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_lines"),
+        col("boiler_lines"), col("boiler_occ"), col("chars_total"),
+        col("chars_boiler"),
+        when(col("chars_total") > 0,
+          r6(col("chars_boiler").cast("double") / col("chars_total")))
+          .as("boiler_share"))
+  }
+
   /** q135: quality-aware dedup representatives — per near-dup cluster
     * (q59's components), the member the curator SHOULD keep: highest
     * q34 quality, doc_id ASC ties. The production kept-set
@@ -1817,6 +1877,8 @@ object Dedup extends QueryModule {
     "q120_cluster_sizes" -> ((s, d) => clusterSizesFrom(gateComps(s, d))),
     // C4-style corpus line dedup: per-doc boilerplate-drop fingerprint
     "q134_line_dedup" -> ((s, d) => lineDedup(T.documents(s, d))),
+    // per-source boilerplate-line mass (skew-safe dual aggregate)
+    "q163_boilerplate" -> ((s, d) => boilerplateBySource(T.documents(s, d))),
     // quality-aware representative per q59 cluster vs the min-id policy
     "q135_best_rep" -> ((s, d) =>
       bestRep(gateComps(s, d), TextAnalysis.gateScored(s, d))),
@@ -2187,6 +2249,35 @@ object Dedup extends QueryModule {
         |    list(ln ORDER BY i) FILTER (WHERE cnt < 2),
         |    chr(10)), '')) AS clean_md5
         |FROM j GROUP BY doc_id""".stripMargin,
+    // boilerplate = line in ≥ 30% of its source's docs and ≥ 5 chars
+    "q163_boilerplate" ->
+      """WITH l AS (SELECT source, doc_id,
+        |        unnest(string_split(text, chr(10))) AS line FROM documents),
+        |pl AS (SELECT source, line, CAST(COUNT(*) AS BIGINT) AS occ,
+        |         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        |       FROM l GROUP BY 1, 2),
+        |ds AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |       FROM documents GROUP BY 1),
+        |f AS (SELECT pl.source,
+        |        (pl.df >= CEIL(0.3 * ds.n_docs) AND len(pl.line) >= 5) AS is_b,
+        |        pl.occ, CAST(pl.occ * len(pl.line) AS BIGINT) AS chars
+        |      FROM pl JOIN ds USING (source)),
+        |g AS (SELECT source,
+        |        CAST(SUM(occ) AS BIGINT) AS n_lines,
+        |        CAST(COUNT(CASE WHEN is_b THEN 1 END) AS BIGINT)
+        |          AS boiler_lines,
+        |        CAST(COALESCE(SUM(CASE WHEN is_b THEN occ END), 0) AS BIGINT)
+        |          AS boiler_occ,
+        |        CAST(SUM(chars) AS BIGINT) AS chars_total,
+        |        CAST(COALESCE(SUM(CASE WHEN is_b THEN chars END), 0) AS BIGINT)
+        |          AS chars_boiler
+        |      FROM f GROUP BY 1)
+        |SELECT g.source, ds.n_docs, g.n_lines, g.boiler_lines, g.boiler_occ,
+        |  g.chars_total, g.chars_boiler,
+        |  CASE WHEN g.chars_total > 0 THEN
+        |    FLOOR(CAST(g.chars_boiler AS DOUBLE) / g.chars_total
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS boiler_share
+        |FROM g JOIN ds USING (source)""".stripMargin,
     // q59's components × q34's quality; the per-cluster argmax is the
     // rn=1 row of (quality DESC, doc_id ASC)
     "q135_best_rep" ->

@@ -5,7 +5,7 @@ import graft.scale.Layout.widen
 import graft.functions.PortableFuncs._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DecimalType, IntegerType, StringType}
 
 /** Text-analysis operators for LLM training-data pipelines (BASELINE
   * north star): language ID (stopword/n-gram heuristic), quality
@@ -1607,6 +1607,79 @@ object TextAnalysis extends QueryModule {
           (col("n_bigrams").cast("double") * 1000000000d)).as("mean_p"))
   }
 
+  /** q164: quality-signal correlation board — per source, the Pearson
+    * correlation between every pair of the q34 quality sub-signals
+    * (word count, stopword ratio, punctuation ratio, composite
+    * quality). The signals-redundancy read a curation owner does
+    * before adding a new filter: a pair at |r| ≈ 1 means the second
+    * signal adds no information and its gate threshold is a disguised
+    * copy of the first; a near-zero pair justifies keeping both. Run
+    * per source because signal coupling differs by corpus (code vs
+    * prose vs chat).
+    *
+    * Determinism: each signal is an exact integer (the r4-rounded
+    * ratios fixed-point-scaled ×10⁴), every moment (Σx, Σx², Σxy) is
+    * an EXACT decimal sum — associative, partition-order-proof, the
+    * [[graft.functions.PortableFuncs.exactSum]] discipline widened to
+    * DECIMAL(38,0) (DuckDB's HUGEINT twin) so second moments keep
+    * headroom at 10¹¹ documents — and the only floating-point steps
+    * are one cast of each exact integer moment to double, two IEEE
+    * sqrt (exactly rounded by spec), one multiply, one divide, then
+    * r6. `corr` is NULL when either signal is constant within the
+    * source (zero variance). Built-in `corr()` would stream double
+    * accumulations in partition order and could never hash-match.
+    *
+    * Scale design: ONE corpus scan (the signals are scan-side
+    * projections of the memoized quality core), one hash-aggregate
+    * keyed by source computing all 14 moments with map-side partials,
+    * then the pair board explodes from the ≤ n_sources aggregate rows
+    * — never from data. */
+  def signalCorrelation(docs0: DataFrame): DataFrame =
+    signalCorrelationFrom(scoredDocs(docs0))
+
+  /** [[signalCorrelation]] from the pre-scored quality table —
+    * shared-core form for the gate registry. */
+  private[scale] def signalCorrelationFrom(scored: DataFrame): DataFrame = {
+    def r6(c: Column): Column = floor(c * 1000000d + 0.5d) / 1000000d
+    def s4(c: Column): Column = floor(c * 10000d + 0.5d).cast("long")
+    val sigs: Seq[(String, Column)] = Seq(
+      "n_words" -> col("n_words").cast("long"),
+      "stop_ratio" -> s4(col("stop_ratio")),
+      "punct_ratio" -> s4(col("punct_ratio")),
+      "quality" -> s4(col("quality")))
+    val base = scored.select(
+      col("source") +: sigs.map { case (n, c) => c.as(s"s_$n") }: _*)
+    val pairNames =
+      for { i <- sigs.indices; j <- i + 1 until sigs.size }
+        yield (sigs(i)._1, sigs(j)._1)
+    val dec = DecimalType(38, 0)
+    val moments: Seq[Column] =
+      sigs.map { case (n, _) => sum(col(s"s_$n").cast(dec)).as(s"sx_$n") } ++
+      sigs.map { case (n, _) =>
+        sum((col(s"s_$n") * col(s"s_$n")).cast(dec)).as(s"sxx_$n") } ++
+      pairNames.map { case (a, b) =>
+        sum((col(s"s_$a") * col(s"s_$b")).cast(dec)).as(s"sxy_${a}_$b") }
+    val allAggs = count(lit(1)).as("n") +: moments
+    val g = base.groupBy(col("source")).agg(allAggs.head, allAggs.tail: _*)
+    val nD = col("n").cast(dec)
+    def pairStruct(a: String, b: String): Column = {
+      val num = (nD * col(s"sxy_${a}_$b") - col(s"sx_$a") * col(s"sx_$b"))
+        .cast("double")
+      val denx = (nD * col(s"sxx_$a") - col(s"sx_$a") * col(s"sx_$a"))
+        .cast("double")
+      val deny = (nD * col(s"sxx_$b") - col(s"sx_$b") * col(s"sx_$b"))
+        .cast("double")
+      struct(lit(a).as("sig_a"), lit(b).as("sig_b"),
+        when(denx > 0 && deny > 0,
+          r6(num / (sqrt(denx) * sqrt(deny)))).as("corr"))
+    }
+    g.select(col("source"), col("n").as("n_docs"),
+        explode(array(pairNames.map { case (a, b) => pairStruct(a, b) }: _*))
+          .as("p"))
+      .select(col("source"), col("p.sig_a").as("sig_a"),
+        col("p.sig_b").as("sig_b"), col("n_docs"), col("p.corr").as("corr"))
+  }
+
   // ---- driver-gate query registry ----
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1681,7 +1754,10 @@ object TextAnalysis extends QueryModule {
     // bigram-LM fluency gate: model trained on the q140 train split,
     // broadcast as a bounded artifact (rides the memoized token core)
     "q162_lm_fluency" -> ((s, d) => lmFluencyFrom(gateTokens(s, d),
-      vocabSize = 1024, maxBigrams = 1 << 16))
+      vocabSize = 1024, maxBigrams = 1 << 16)),
+    // per-source Pearson matrix over the q34 signals (exact moments;
+    // rides the memoized quality core)
+    "q164_signal_corr" -> ((s, d) => signalCorrelationFrom(gateScored(s, d)))
   )
 
   private val normSql =
@@ -2243,6 +2319,52 @@ object TextAnalysis extends QueryModule {
     // the q139 mining chain with lang KEPT on the token stream: merges
     // are global, application and the fertility rollup are per-lang;
     // the three replaces compose in mining order exactly as the loop
+    // Pearson over exact fixed-point signals: HUGEINT moments mirror
+    // the Spark DECIMAL(38,0) sums; sqrt is IEEE-exact, so both
+    // engines make the identical corr from identical integer moments
+    "q164_signal_corr" -> {
+      val sigNames = Seq("n_words", "stop_ratio", "punct_ratio", "quality")
+      val sigSel = Seq(
+        "CAST(len(ws) AS BIGINT) AS s_n_words",
+        "CAST(FLOOR(ROUND(CAST(stop_hits AS DOUBLE)/nw, 4) * 10000.0 + 0.5) AS BIGINT) AS s_stop_ratio",
+        "CAST(FLOOR(ROUND(CAST(n_punct AS DOUBLE)/nc, 4) * 10000.0 + 0.5) AS BIGINT) AS s_punct_ratio",
+        s"CAST(FLOOR(($qualitySql) * 10000.0 + 0.5) AS BIGINT) AS s_quality"
+      ).mkString(",\n  ")
+      val pairs = for {
+        i <- sigNames.indices; j <- i + 1 until sigNames.size
+      } yield (sigNames(i), sigNames(j))
+      val momentSel = (
+        sigNames.map(n => s"SUM(s_$n) AS sx_$n") ++
+        sigNames.map(n => s"SUM(s_$n * s_$n) AS sxx_$n") ++
+        pairs.map { case (a, b) => s"SUM(s_$a * s_$b) AS sxy_${a}_$b" }
+      ).mkString(",\n  ")
+      val pairSel = pairs.map { case (a, b) =>
+        s"""SELECT source, '$a' AS sig_a, '$b' AS sig_b, n AS n_docs,
+           |  CASE WHEN CAST(n*sxx_$a - sx_$a*sx_$a AS DOUBLE) > 0
+           |        AND CAST(n*sxx_$b - sx_$b*sx_$b AS DOUBLE) > 0 THEN
+           |    FLOOR(CAST(n*sxy_${a}_$b - sx_$a*sx_$b AS DOUBLE)
+           |      / (SQRT(CAST(n*sxx_$a - sx_$a*sx_$a AS DOUBLE))
+           |         * SQRT(CAST(n*sxx_$b - sx_$b*sx_$b AS DOUBLE)))
+           |      * 1000000.0 + 0.5) / 1000000.0 END AS corr
+           |FROM g""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH w AS (SELECT source, text, $wsSql AS ws FROM documents),
+         |m AS (SELECT source,
+         |  CAST(len(ws) AS INTEGER) AS n_words,
+         |  GREATEST(len(ws), 1) AS nw,
+         |  GREATEST(len(text), 1) AS nc,
+         |  len(list_filter(ws, x -> list_contains($stopListSql, x))) AS stop_hits,
+         |  len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+         |  ws
+         |FROM w),
+         |sig AS (SELECT source,
+         |  $sigSel
+         |FROM m),
+         |g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+         |  $momentSel
+         |FROM sig GROUP BY 1)
+         |$pairSel""".stripMargin
+    },
     // bigram LM over the q140 train split: top-V vocab, top-B bigram
     // table, add-one smoothing; every probability is one IEEE division
     // of exact integers, per-doc means are exact BIGINT sums

@@ -1503,4 +1503,31 @@ class DedupSpec extends SparkSpec {
       else assert(s === plain(rep), s"member $id must take rep $rep's split")
     }
   }
+
+  test("boilerplateBySource flags lines repeated across a source's docs, " +
+    "honors minLen, and isolates sources") {
+    val spark2 = spark
+    import spark2.implicits._
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val docs = Seq(
+      // "copyright acme corp" in 2 of 3 docs (df=2 ≥ ceil(0.5·3)=2) →
+      // boilerplate; "short" is 5 chars but df=1; unique lines df=1
+      (1L, "copyright acme corp\nunique one", "A"),
+      (2L, "copyright acme corp\nunique two", "A"),
+      (3L, "short\nunique three", "A"),
+      // source B: its one doc's lines all have df=1 ≥ ceil(0.5·1)=1,
+      // but both are under minLen → nothing flagged
+      (4L, "x\ny", "B")
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.boilerplateBySource(docs, minShare = 0.5, minLen = 5)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_lines"),
+          r.getAs[Long]("boiler_lines"), r.getAs[Long]("boiler_occ"),
+          r.getAs[Long]("chars_total"), r.getAs[Long]("chars_boiler"),
+          r.getAs[Double]("boiler_share"))).toMap
+    // A: 6 line occurrences; boiler = the 19-char copyright line ×2;
+    // chars 19·2 + 10 + 10 + 5 + 12 = 75
+    assert(out("A") === ((3L, 6L, 1L, 2L, 75L, 38L, r6(38.0 / 75))))
+    assert(out("B") === ((1L, 2L, 0L, 0L, 2L, 0L, 0.0)))
+  }
 }

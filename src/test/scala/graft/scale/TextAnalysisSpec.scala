@@ -742,4 +742,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(5L) === ((1L, 0L, 1L, 0.0,
       r6(math.floor(1.0 / 6 * 1e9 + 0.5) / 1e9))))
   }
+
+  test("signalCorrelation: exact moments give r=1 on a linear pair and " +
+    "NULL on zero-variance signals") {
+    val spark2 = spark
+    import spark2.implicits._
+    // no stopwords, punctuation or digits → stop/punct signals are
+    // constant 0 (zero variance → NULL corr) and quality is LINEAR in
+    // n_words: q = 0.005·nw + 0.2 → s_quality = 2050/2100/2150 against
+    // s_n_words = 1/2/3 → Pearson r = 1 exactly
+    val docs = Seq(
+      (1L, "alpha", "P"),
+      (2L, "beta gamma", "P"),
+      (3L, "delta epsilon zeta", "P")
+    ).toDF("doc_id", "text", "source")
+    val rows = TextAnalysis.signalCorrelation(docs).collect()
+    assert(rows.length === 6) // C(4,2) pairs for the one source
+    val m = rows.map(r => (r.getAs[String]("sig_a"), r.getAs[String]("sig_b"))
+      -> Option(r.getAs[java.lang.Double]("corr")).map(_.toDouble)).toMap
+    assert(rows.forall(_.getAs[Long]("n_docs") == 3L))
+    assert(m(("n_words", "quality")) === Some(1.0))
+    // every pair touching a constant signal is NULL, not 0
+    for (p <- Seq(("n_words", "stop_ratio"), ("n_words", "punct_ratio"),
+      ("stop_ratio", "punct_ratio"), ("stop_ratio", "quality"),
+      ("punct_ratio", "quality")))
+      assert(m(p) === None, s"pair $p")
+  }
 }
