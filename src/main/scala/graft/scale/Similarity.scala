@@ -1438,6 +1438,58 @@ object Similarity extends QueryModule {
 
   // ---- driver-gate query registry ----
 
+  /** q165: embedding-table health board — the input-validation pass
+    * that runs BEFORE any ANN index build (q106/q108/q116 audit the
+    * derived indexes; this audits the raw table they're built from).
+    * One row: vector count, duplicate-id count, dimension range and a
+    * consistency flag (a mixed-dim table breaks every codebook), zero
+    * vectors (cosine is undefined on them — the ANN family divides by
+    * the norm), non-finite vectors (one NaN poisons a centroid mean),
+    * and the norm distribution (min/max/mean) that decides whether
+    * vectors need normalizing before an inner-product index.
+    *
+    * Determinism: per-row norm = IEEE sqrt of the sequential-order dot
+    * product (bit-identical to DuckDB `list_dot_product`), r6-rounded
+    * scan-side; the mean rides the exactSum decimal accumulator so
+    * partition order can't change it. Non-finite rows are excluded
+    * from the norm stats (NaN would poison min/max in engine-specific
+    * ways) and counted instead.
+    *
+    * Scale design: ONE scan, all signals scan-side projections, one
+    * 1-row aggregate with map-side partials; the only non-partial
+    * piece is the exact distinct-id count (keyed by the unique id —
+    * no hot key by construction). */
+  def embeddingHealth(emb: DataFrame): DataFrame = {
+    def r6(c: Column): Column = floor(c * 1000000d + 0.5d) / 1000000d
+    val v = toDoubleArray(col("embedding"))
+    val bad = exists(v, x => isnan(x) ||
+      x === Double.PositiveInfinity || x === Double.NegativeInfinity)
+    val m = emb.select(col("vec_id"),
+      size(col("embedding")).as("dims"),
+      bad.as("bad"),
+      (dotProduct(v, v) === 0d).as("is_zero"),
+      when(!bad, r6(l2Norm(v))).as("nrm6"))
+    m.agg(
+        count(lit(1)).as("n_vecs"),
+        countDistinct(col("vec_id")).as("n_ids"),
+        min(col("dims")).as("min_dims"),
+        max(col("dims")).as("max_dims"),
+        count(when(col("is_zero"), 1)).as("n_zero"),
+        count(when(col("bad"), 1)).as("n_nonfinite"),
+        min(col("nrm6")).as("min_norm"),
+        max(col("nrm6")).as("max_norm"),
+        exactSum(col("nrm6")).as("snrm"))
+      .select(col("n_vecs"),
+        (col("n_vecs") - col("n_ids")).as("n_dup_ids"),
+        col("min_dims"), col("max_dims"),
+        (col("min_dims") === col("max_dims")).as("dim_consistent"),
+        col("n_zero"), col("n_nonfinite"),
+        col("min_norm"), col("max_norm"),
+        when(col("n_vecs") > col("n_nonfinite"),
+          r6(col("snrm") / (col("n_vecs") - col("n_nonfinite"))))
+          .as("mean_norm"))
+  }
+
   /** Shared ANN gate cores ([[graft.Shared]]): q88's truth table IS
     * q30's output and four of its five arms ARE q38/q61/q100/q118's
     * outputs (same (nQueries=8, k=5) shape) — a batch run builds each
@@ -1483,6 +1535,8 @@ object Similarity extends QueryModule {
     "q100_ann_ivfpq" -> ((s, d) => gateIvfPq(s, d)),
     // per-cell index staleness report (batch twin of maintainIvf)
     "q106_ivf_health" -> ((s, d) => ivfHealth(T.embeddings(s, d))),
+    // raw-table validation before any index build (1-row board)
+    "q165_embedding_health" -> ((s, d) => embeddingHealth(T.embeddings(s, d))),
     // per-subspace codebook retrain signal (batch twin of maintainPq)
     "q108_pq_health" -> ((s, d) => pqHealth(T.embeddings(s, d))),
     // JL sign projection: the pre-shuffle dimensionality reducer
@@ -1644,6 +1698,30 @@ object Similarity extends QueryModule {
          |  ROUND(${exactSumSql("cos")} / COUNT(*), 4) AS mean_cos,
          |  (${exactSumSql("cos")} / COUNT(*) < 0.25) AS rebuild
          |FROM a GROUP BY cell_id""".stripMargin,
+    // raw-table health: norms via the same list_dot_product/sqrt
+    // pipeline, mean over the DECIMAL(18,6) exact accumulator
+    "q165_embedding_health" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |m AS (SELECT vec_id, CAST(len(v) AS INTEGER) AS dims,
+        |  len(list_filter(v, x -> isnan(x) OR isinf(x))) > 0 AS bad,
+        |  list_dot_product(v, v) = 0.0 AS is_zero,
+        |  CASE WHEN NOT (len(list_filter(v, x -> isnan(x) OR isinf(x))) > 0)
+        |    THEN FLOOR(sqrt(list_dot_product(v, v)) * 1000000.0 + 0.5)
+        |         / 1000000.0 END AS nrm6
+        |FROM e)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  CAST(COUNT(*) - COUNT(DISTINCT vec_id) AS BIGINT) AS n_dup_ids,
+        |  MIN(dims) AS min_dims, MAX(dims) AS max_dims,
+        |  (MIN(dims) = MAX(dims)) AS dim_consistent,
+        |  CAST(COUNT(CASE WHEN is_zero THEN 1 END) AS BIGINT) AS n_zero,
+        |  CAST(COUNT(CASE WHEN bad THEN 1 END) AS BIGINT) AS n_nonfinite,
+        |  MIN(nrm6) AS min_norm, MAX(nrm6) AS max_norm,
+        |  CASE WHEN COUNT(*) > COUNT(CASE WHEN bad THEN 1 END) THEN
+        |    FLOOR(CAST(SUM(CAST(nrm6 AS DECIMAL(18,6))) AS DOUBLE)
+        |      / (COUNT(*) - COUNT(CASE WHEN bad THEN 1 END))
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS mean_norm
+        |FROM m""".stripMargin,
     "q30_knn_brute" ->
       s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM c),

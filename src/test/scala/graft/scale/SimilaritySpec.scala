@@ -544,4 +544,28 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
     assert(again.toSet === out.toSet)
   }
+
+  test("embeddingHealth counts zero/non-finite/duplicate-id rows and " +
+    "excludes non-finite vectors from the norm stats") {
+    val spark2 = spark
+    import spark2.implicits._
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val emb = Seq(
+      (0L, Array(3f, 4f)),              // norm 5
+      (1L, Array(0f, 0f)),              // zero vector (norm 0, counted)
+      (1L, Array(1f, 0f)),              // duplicate id, norm 1
+      (2L, Array(Float.NaN, 1f)),       // non-finite: excluded from norms
+      (3L, Array(Float.PositiveInfinity, 0f)) // non-finite too
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.embeddingHealth(emb).collect().head
+    assert(r.getAs[Long]("n_vecs") === 5L)
+    assert(r.getAs[Long]("n_dup_ids") === 1L)
+    assert(r.getAs[Int]("min_dims") === 2 && r.getAs[Int]("max_dims") === 2)
+    assert(r.getAs[Boolean]("dim_consistent"))
+    assert(r.getAs[Long]("n_zero") === 1L)
+    assert(r.getAs[Long]("n_nonfinite") === 2L)
+    assert(r.getAs[Double]("min_norm") === 0.0)
+    assert(r.getAs[Double]("max_norm") === 5.0)
+    assert(r.getAs[Double]("mean_norm") === r6((5.0 + 0.0 + 1.0) / 3))
+  }
 }
