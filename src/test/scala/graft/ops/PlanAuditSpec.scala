@@ -730,4 +730,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(!s.contains("Join") && !s.contains("CartesianProduct"),
       s"unexpected join:\n$s")
   }
+
+  test("q162 lm fluency: the model attaches by broadcast hash lookups — " +
+    "no sort-merge join anywhere, the unk mass is the 1-row broadcast " +
+    "nested loop") {
+    val s = planOf(graft.scale.TextAnalysis.lmFluency(
+      graft.Tables.documents(spark, sf)))
+    assert(!s.contains("SortMergeJoin"),
+      s"model attach fell out of broadcast:\n$s")
+    assert("BroadcastHashJoin".r.findAllIn(s).length >= 3,
+      s"expected vocab×2 + bigram-table broadcast lookups:\n$s")
+    assert(!s.contains("CartesianProduct"), s"unexpected cartesian:\n$s")
+  }
+
+  test("q163 boilerplate: doc-frequency dedups on (source, line, doc_id) " +
+    "first — no one-distinct Expand plan that would funnel a hot line, " +
+    "and the per-source tables attach by broadcast") {
+    val s = planOf(graft.scale.Dedup.boilerplateBySource(
+      graft.Tables.documents(spark, sf)))
+    assert(!s.contains("Expand"),
+      s"countDistinct-style Expand plan leaked in:\n$s")
+    assert(s.contains("BroadcastHashJoin"),
+      s"expected the broadcast per-source attach:\n$s")
+    assert(!s.contains("Window") && !s.contains("CartesianProduct"))
+  }
+
+  test("q164 signal correlation: one source-keyed aggregate computes all " +
+    "moments map-side; the pair board explodes from aggregate rows — " +
+    "no join, no window") {
+    val s = planOf(graft.scale.TextAnalysis.signalCorrelation(
+      graft.Tables.documents(spark, sf)))
+    assert("HashAggregate".r.findAllIn(s).length >= 2,
+      s"expected partial+final moment aggregate:\n$s")
+    assert(!s.contains("Join") && !s.contains("Window"),
+      s"unexpected join/window:\n$s")
+    // the pair explode (Generate) runs over the ≤ n_sources aggregate
+    // output, above the final aggregate in the plan tree
+    val gen = s.indexOf("Generate"); val agg = s.indexOf("HashAggregate")
+    assert(gen >= 0 && agg > gen,
+      s"explode must consume the aggregate, not the corpus:\n$s")
+  }
 }
