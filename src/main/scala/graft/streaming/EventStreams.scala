@@ -444,6 +444,119 @@ object EventStreams {
       .as[(String, Long)].collect().toMap
   }
 
+  /** The frozen bigram-LM artifact for [[lmMonitor]] — the SAME model
+    * shape batch q162 ([[graft.scale.TextAnalysis.lmFluency]]) trains:
+    * top-`vocabSize` unigrams of the reference slice with their counts,
+    * the exact `<unk>` mass (total minus in-vocab tokens), and the
+    * top-`maxBigrams` bigram table over the unk-mapped alphabet. All
+    * three are BOUNDED by construction (V + 1 + B entries) — the
+    * broadcastable model file, never a corpus-scale side input. The
+    * caller passes the reference slice (q162 passes the q140 train
+    * split); this helper doesn't re-derive it. */
+  private[streaming] def lmArtifact(refDocs: DataFrame, vocabSize: Int,
+      maxBigrams: Int): (Map[String, Long], Long, Map[String, Long]) = {
+    import graft.functions.PortableFuncs.words
+    val spark = refDocs.sparkSession
+    import spark.implicits._
+    val ws = refDocs.select(words(col("text")).as("ws"))
+    val wordCnt = ws.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val vocab = wordCnt.orderBy(col("cnt").desc, col("w").asc)
+      .limit(vocabSize).as[(String, Long)].collect().toMap
+    val total = wordCnt.agg(coalesce(sum(col("cnt")), lit(0L)))
+      .as[Long].collect().head
+    val unkCnt = total - vocab.values.sum
+    val vb = spark.sparkContext.broadcast(vocab)
+    val bigrams = ws.as[Seq[String]]
+      .flatMap(w => if (w.size < 2) Nil
+        else w.sliding(2).map { p =>
+          val a = if (vb.value.contains(p.head)) p.head else "<unk>"
+          val b = if (vb.value.contains(p(1))) p(1) else "<unk>"
+          s"$a $b"
+        })
+      .groupBy(col("value").as("bigram")).agg(count(lit(1)).as("c2"))
+      .orderBy(col("c2").desc, col("bigram").asc)
+      .limit(maxBigrams)
+      .select(col("bigram"), col("c2")).as[(String, Long)].collect().toMap
+    (vocab, unkCnt, bigrams)
+  }
+
+  /** Streaming LM-staleness monitor — the streaming sibling of batch
+    * q162 (`lmFluency`): arriving documents are scored against the
+    * FROZEN bigram-LM artifact ([[lmArtifact]] over the reference
+    * slice — the same bounded model q162 trains on the q140 train
+    * split), broadcast once at query start. Per closed event-time
+    * window: document/bigram volume, model hit count and rate,
+    * OOV-context count and the micro-averaged mean smoothed bigram
+    * probability. The operational read: `mean_p` trending down or
+    * `unk_rate` up window-over-window is THE retrain signal — the
+    * corpus has drifted away from the slice the model was trained on.
+    * [[driftMonitor]] reads the same drift at raw token level; this
+    * reads it at MODEL level, which is what actually invalidates a
+    * shipped perplexity filter.
+    *
+    * Determinism contract shared with q162: each probability is one
+    * IEEE division of exact integers ((c2+1)/(c1+V+1)), fixed-point
+    * scaled to a BIGINT, so window sums are order-free integer sums —
+    * the spec pins the window totals equal to the batch q162 board's
+    * per-doc sums on a shared fixture.
+    *
+    * Shape: scoring is a scan-side map over the broadcast model; the
+    * only stateful operator is ONE watermarked window aggregate of
+    * four longs (append-mode-legal, state bounded by the watermark).
+    * `docs` must carry (ts: timestamp, text: string). */
+  def lmMonitor(docs: DataFrame, refDocs: DataFrame,
+                watermark: String = "1 hour", windowLen: String = "1 hour",
+                vocabSize: Int = 1024, maxBigrams: Int = 1 << 16): DataFrame = {
+    import graft.functions.PortableFuncs.words
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (vocab, unkCnt, bigrams) = lmArtifact(refDocs, vocabSize, maxBigrams)
+    val model = spark.sparkContext.broadcast((vocab, unkCnt, bigrams))
+    val denomAdd = (vocabSize + 1).toLong
+    val scored = docs
+      .select(col("ts"), words(col("text")).as("ws"))
+      .as[(Timestamp, Seq[String])]
+      .map { case (t, w) =>
+        val (v, unk, bg) = model.value
+        var n = 0L; var hits = 0L; var unkCtx = 0L; var sp9 = 0L
+        if (w.size >= 2) w.sliding(2).foreach { p =>
+          val inA = v.contains(p.head)
+          val a = if (inA) p.head else "<unk>"
+          val b = if (v.contains(p(1))) p(1) else "<unk>"
+          val c1 = if (inA) v(p.head) else unk
+          val c2 = bg.getOrElse(s"$a $b", 0L)
+          if (bg.contains(s"$a $b")) hits += 1
+          if (!inA) unkCtx += 1
+          n += 1
+          sp9 += math.floor((c2 + 1L).toDouble / (c1 + denomAdd).toDouble
+            * 1000000000d + 0.5d).toLong
+        }
+        (t, n, hits, unkCtx, sp9)
+      }
+      .toDF("ts", "n_bigrams", "n_hits", "n_unk_ctx", "sp9")
+    def r6(c: Column): Column = floor(c * 1000000d + 0.5d) / 1000000d
+    scored
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("n_bigrams"),
+        sum(col("n_hits")).as("n_hits"),
+        sum(col("n_unk_ctx")).as("n_unk_ctx"),
+        sum(col("sp9")).as("sp9"))
+      .select(col("window.start").as("window_start"), col("n_docs"),
+        col("n_bigrams"), col("n_hits"), col("n_unk_ctx"),
+        when(col("n_bigrams") > 0,
+          r6(col("n_hits").cast("double") / col("n_bigrams"))).as("hit_rate"),
+        when(col("n_bigrams") > 0,
+          r6(col("n_unk_ctx").cast("double") / col("n_bigrams")))
+          .as("unk_rate"),
+        when(col("n_bigrams") > 0,
+          r6(col("sp9").cast("double") /
+            (col("n_bigrams").cast("double") * 1000000000d))).as("mean_p"))
+  }
+
   /** Streaming per-source top-token report — the token-level sibling
     * of [[driftMonitor]] (which emits one scalar per window): for each
     * closed (event-time window, source) group, the most frequent

@@ -948,4 +948,53 @@ class EventStreamsSpec extends SparkSpec {
       assert(spark.table("fs").count() > 0)
     } finally q.stop()
   }
+
+  test("lmMonitor: window totals equal the batch q162 board's per-doc " +
+    "sums on a shared fixture; the model is frozen at query start") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    // the q162 spec fixture: the train slice is passed explicitly here
+    // (batch lmFluency derives it from the q140 split of these same ids)
+    val texts = Seq(1L -> "a b a b c", 2L -> "a b a b c",
+      4L -> "a b a b c", 3L -> "a b a b c", 5L -> "z b")
+    val refDocs = Seq("a b a b c", "a b a b c", "a b a b c").toDF("text")
+    val src = MemoryStream[(Timestamp, String)]
+    val q = EventStreams.lmMonitor(src.toDF().toDF("ts", "text"), refDocs,
+        watermark = "10 minutes", windowLen = "10 minutes",
+        vocabSize = 2, maxBigrams = 100)
+      .writeStream.format("memory").queryName("lm").outputMode("append")
+      .start()
+    try {
+      src.addData(texts.zipWithIndex.map { case ((_, t), i) => (ts(i), t) }: _*)
+      q.processAllAvailable()
+      assert(spark.table("lm").count() === 0) // window still open
+      src.addData((ts(30), "closer x"))       // watermark passes 10:10
+      q.processAllAvailable()
+      val r = spark.table("lm").collect()
+        .filter(_.getAs[Timestamp]("window_start") === ts(0)).head
+      // LM: vocab {a:6, b:6}, unk 3; "a b":6 "b a":3 "b <unk>":3 —
+      // identical to the batch q162 fixture's model
+      val p9 = (c2: Long, c1: Long) =>
+        math.floor((c2 + 1).toDouble / (c1 + 3).toDouble * 1e9 + 0.5).toLong
+      val spDoc = 2 * p9(6, 6) + 2 * p9(3, 6) // per "a b a b c" doc
+      val spUnk = p9(0, 3)                    // "<unk> b" miss
+      assert(r.getAs[Long]("n_docs") === 5L)
+      assert(r.getAs[Long]("n_bigrams") === 17L)
+      assert(r.getAs[Long]("n_hits") === 16L)
+      assert(r.getAs[Long]("n_unk_ctx") === 1L)
+      assert(r.getAs[Double]("hit_rate") === r6(16.0 / 17))
+      assert(r.getAs[Double]("unk_rate") === r6(1.0 / 17))
+      assert(r.getAs[Double]("mean_p") ===
+        r6((4 * spDoc + spUnk).toDouble / (17 * 1e9)))
+      // reconciliation with the batch board: same counts per doc
+      val batch = graft.scale.TextAnalysis.lmFluency(
+          texts.toDF("doc_id", "text"), vocabSize = 2, maxBigrams = 100)
+        .collect()
+      assert(batch.map(_.getAs[Long]("n_bigrams")).sum === 17L)
+      assert(batch.map(_.getAs[Long]("n_hits")).sum === 16L)
+      assert(batch.map(_.getAs[Long]("n_unk_ctx")).sum === 1L)
+    } finally q.stop()
+  }
 }
