@@ -1684,31 +1684,31 @@ object Dedup extends QueryModule {
     * (q134 is the corpus-wide drop pass; this localizes the signal to
     * the source that generates it).
     *
-    * Scale design: NO hot-key funnel anywhere — the occurrence count
-    * is a (source, line)-keyed aggregate (map-side partials collapse a
-    * hot line per task before the exchange), the doc-frequency count
-    * dedups (source, line, doc_id) FIRST (exchange keyed by all three
-    * columns, so a line shared by every doc spreads across tasks)
-    * then counts per (source, line) with partials — deliberately NOT
-    * `countDistinct`, whose one-distinct plan exchanges raw rows on
-    * the (source, line) group key alone and would funnel the hot
-    * line's whole occurrence stream into one task. The two
-    * per-(source, line) tables join 1-row-per-key on each side (no
-    * skew by construction), the per-source doc counts are an
-    * n_sources-bounded broadcast, and the rollup is one aggregate
-    * onto ≤ n_sources rows. */
+    * Scale design: ONE corpus scan and NO hot-key funnel anywhere —
+    * the first aggregate is keyed by (source, line, doc_id) (all
+    * three columns, so a line shared by every doc spreads across
+    * tasks; its per-doc occurrence count collapses map-side), the
+    * second rolls the already-distinct triples to (source, line)
+    * carrying occ = Σk and df = row count with map-side partials.
+    * Deliberately NOT `countDistinct`, whose one-distinct plan
+    * exchanges raw rows on the (source, line) group key alone and
+    * would funnel the hot line's whole occurrence stream into one
+    * task. The per-source doc counts are an n_sources-bounded
+    * broadcast, and the rollup is one aggregate onto ≤ n_sources
+    * rows. */
   def boilerplateBySource(docs0: DataFrame, minShare: Double = 0.3,
                           minLen: Int = 5): DataFrame = {
     def r6(c: Column): Column = floor(c * 1000000d + 0.5d) / 1000000d
     val docs = Layout.widen(docs0)
     val perSource = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
-    val lines = docs.select(col("source"), col("doc_id"),
-      explode(split(col("text"), "\n")).as("line"))
-    val occ = lines.groupBy(col("source"), col("line"))
-      .agg(count(lit(1)).as("occ"))
-    val df = lines.select(col("source"), col("line"), col("doc_id")).distinct()
-      .groupBy(col("source"), col("line")).agg(count(lit(1)).as("df"))
-    occ.join(df, Seq("source", "line"))
+    val perLine = docs
+      .select(col("source"), col("doc_id"),
+        explode(split(col("text"), "\n")).as("line"))
+      .groupBy(col("source"), col("line"), col("doc_id"))
+      .agg(count(lit(1)).as("k"))
+      .groupBy(col("source"), col("line"))
+      .agg(sum(col("k")).as("occ"), count(lit(1)).as("df"))
+    perLine
       .join(broadcast(perSource), Seq("source"))
       .select(col("source"),
         (col("df") >= ceil(lit(minShare) * col("n_docs")) &&

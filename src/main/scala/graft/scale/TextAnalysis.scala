@@ -1559,20 +1559,25 @@ object TextAnalysis extends QueryModule {
     val wordCnt = train.select(explode(col("ws")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
+    // vocab is NOT checkpointed: each of its consumers (four broadcast
+    // exchanges + the total) re-derives the bounded TopK from the
+    // checkpointed wordCnt — cheaper than an extra eager job barrier
+    // when the whole gate board contends for task slots
     val vocab = wordCnt.orderBy(col("cnt").desc, col("w").asc)
-      .limit(vocabSize).localCheckpoint()
+      .limit(vocabSize)
     val unk = wordCnt.agg(coalesce(sum(col("cnt")), lit(0L)).as("t"))
       .crossJoin(vocab.agg(coalesce(sum(col("cnt")), lit(0L)).as("v")))
       .select((col("t") - col("v")).as("unk_cnt"))
-    // raw bigram rows from the token array (scan-side explode), vocab
-    // membership + context count attached by broadcast hash lookups
+    // raw bigram rows from the token array — ONE native shingle-kernel
+    // pass (tokens are space-free by the words() contract, so the
+    // "w1 w2" shingle splits back losslessly); vocab membership +
+    // context count attach by broadcast hash lookups
     def bigramRows(df: DataFrame): DataFrame =
-      df.filter(size(col("ws")) >= 2)
+      df.select(col("doc_id"),
+          explode(shinglesFromWords(col("ws"), 2)).as("raw"))
         .select(col("doc_id"),
-          explode(transform(sequence(lit(0), size(col("ws")) - 2),
-            i => struct(element_at(col("ws"), i + 1).as("w1"),
-              element_at(col("ws"), i + 2).as("w2")))).as("bg"))
-        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+          substring_index(col("raw"), " ", 1).as("w1"),
+          substring_index(col("raw"), " ", -1).as("w2"))
         .join(broadcast(vocab.select(col("w").as("w1"), col("cnt").as("c1v"))),
           Seq("w1"), "left")
         .join(broadcast(vocab.select(col("w").as("w2"), lit(1).as("in2"))),
