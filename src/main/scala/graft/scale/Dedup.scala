@@ -1731,6 +1731,80 @@ object Dedup extends QueryModule {
           .as("boiler_share"))
   }
 
+  /** q166: dedup ROI board — the three dedup methods the engine ships
+    * priced on ONE comparable axis so the curator knows where dedup
+    * budget goes BEFORE running the expensive pass: `exact` (md5
+    * whole-doc groups — q24's policy), `near_dup` (simhash connected
+    * components, min-id representative kept — q68's policy) and `line`
+    * (every occurrence of a corpus-duplicated line drops — q134's
+    * policy). Per method: documents affected, removable token mass
+    * (the q35 `ceil(chars/4)` estimate — doc-level for the whole-doc
+    * methods, line-level for the line method) and the share of corpus
+    * tokens. q112 prices the near-dup method alone in depth; this
+    * board ranks the three against each other.
+    *
+    * Scale design: rides the SHARED simhash component core (the
+    * near-dup chain is paid once per batch); everything else is
+    * corpus-pass aggregates — the exact arm is one md5-keyed hash
+    * aggregate, the near arm is one doc_id equi-join plus a 1-row
+    * aggregate (removed = members whose id ≠ their component label —
+    * the least-id convention makes the representative test scan-side,
+    * no per-cluster window or second join), the line arm reuses
+    * q163's stacked-aggregate shape (no one-distinct funnel) and its
+    * token mass comes from the line-count table ALONE, never a rejoin
+    * to the corpus. The affected-docs join for the line arm is keyed
+    * by line with ≤ n_docs rows per key (distinct pairs); at 100× the
+    * q134 MG heavy-line broadcast is the documented mitigation. */
+  def dedupRoi(docs0: DataFrame, minDupCount: Long = 2L): DataFrame =
+    dedupRoiFrom(docs0,
+      connectedComponents(simhashPairs(Layout.widen(docs0), maxDist = 5)),
+      minDupCount)
+
+  /** [[dedupRoi]] from precomputed near-dup components — shared-core
+    * form for the gate registry (reads the SAME components as
+    * q59/q68/q120/q135). */
+  private[scale] def dedupRoiFrom(docs0: DataFrame, comps: DataFrame,
+                                  minDupCount: Long = 2L): DataFrame = {
+    def r6(c: Column): Column = floor(c * 1000000d + 0.5d) / 1000000d
+    val docs = Layout.widen(docs0)
+    // (doc_id, fp, toks) feeds the total, exact and near arms
+    val base = docs.select(col("doc_id"), md5(col("text")).as("fp"),
+      ceil(length(col("text")).cast("double") / 4d).cast("long").as("toks"))
+      .localCheckpoint()
+    val total = base.agg(sum(col("toks")).as("tot"))
+    val exact = base.groupBy(col("fp"))
+      .agg(count(lit(1)).as("cnt"), min(col("toks")).as("t"))
+      .filter(col("cnt") > 1)
+      .agg(coalesce(sum(col("cnt") - 1), lit(0L)).as("n_docs"),
+        coalesce(sum((col("cnt") - 1) * col("t")), lit(0L)).as("toks_removed"))
+    val near = comps
+      .join(base.select(col("doc_id"), col("toks")), Seq("doc_id"))
+      .agg(count(when(col("doc_id") =!= col("cluster_id"), 1)).as("n_docs"),
+        coalesce(sum(when(col("doc_id") =!= col("cluster_id"), col("toks"))),
+          lit(0L)).as("toks_removed"))
+    val pairs = docs
+      .select(col("doc_id"), explode(split(col("text"), "\n")).as("line"))
+      .groupBy(col("line"), col("doc_id")).agg(count(lit(1)).as("k"))
+    val dupLines = pairs.groupBy(col("line"))
+      .agg(sum(col("k")).as("cnt"))
+      .filter(col("cnt") >= minDupCount)
+      .localCheckpoint() // feeds the token mass AND the affected-doc join
+    val lineToks = dupLines
+      .agg(coalesce(sum(col("cnt") *
+        ceil(length(col("line")).cast("double") / 4d).cast("long")),
+        lit(0L)).as("toks_removed"))
+    val lineDocs = pairs.join(dupLines.select(col("line")), Seq("line"))
+      .select(col("doc_id")).distinct()
+      .agg(count(lit(1)).as("n_docs"))
+    def shape(df: DataFrame, name: String): DataFrame =
+      df.crossJoin(broadcast(total))
+        .select(lit(name).as("method"), col("n_docs"), col("toks_removed"),
+          r6(col("toks_removed").cast("double") / col("tot")).as("share"))
+    shape(exact, "exact")
+      .unionByName(shape(near, "near_dup"))
+      .unionByName(shape(lineDocs.crossJoin(lineToks), "line"))
+  }
+
   /** q135: quality-aware dedup representatives — per near-dup cluster
     * (q59's components), the member the curator SHOULD keep: highest
     * q34 quality, doc_id ASC ties. The production kept-set
@@ -1879,6 +1953,10 @@ object Dedup extends QueryModule {
     "q134_line_dedup" -> ((s, d) => lineDedup(T.documents(s, d))),
     // per-source boilerplate-line mass (skew-safe dual aggregate)
     "q163_boilerplate" -> ((s, d) => boilerplateBySource(T.documents(s, d))),
+    // the three dedup methods priced on removable token mass
+    // (rides the shared component core)
+    "q166_dedup_roi" -> ((s, d) =>
+      dedupRoiFrom(T.documents(s, d), gateComps(s, d))),
     // quality-aware representative per q59 cluster vs the min-id policy
     "q135_best_rep" -> ((s, d) =>
       bestRep(gateComps(s, d), TextAnalysis.gateScored(s, d))),
@@ -2249,6 +2327,44 @@ object Dedup extends QueryModule {
         |    list(ln ORDER BY i) FILTER (WHERE cnt < 2),
         |    chr(10)), '')) AS clean_md5
         |FROM j GROUP BY doc_id""".stripMargin,
+    // three dedup methods on one axis: exact md5 groups, the recursive
+    // CC closure (same cl as q59/q120/q135), line counts; token proxy
+    // = ceil(chars/4) everywhere
+    "q166_dedup_roi" ->
+      s"""WITH RECURSIVE $simhashPairCte,
+         |$ccClosureCte,
+         |tk AS (SELECT doc_id, md5(text) AS fp,
+         |         CAST(CEIL(CAST(len(text) AS DOUBLE) / 4) AS BIGINT) AS toks
+         |       FROM documents),
+         |tot AS (SELECT CAST(SUM(toks) AS BIGINT) AS tot FROM tk),
+         |ex AS (SELECT fp, COUNT(*) AS cnt, MIN(toks) AS t FROM tk
+         |       GROUP BY 1 HAVING COUNT(*) > 1),
+         |exa AS (SELECT CAST(COALESCE(SUM(cnt - 1), 0) AS BIGINT) AS n_docs,
+         |  CAST(COALESCE(SUM((cnt - 1) * t), 0) AS BIGINT) AS toks_removed
+         |  FROM ex),
+         |nra AS (SELECT
+         |  CAST(COUNT(CASE WHEN cl.doc_id <> cl.cluster_id THEN 1 END)
+         |    AS BIGINT) AS n_docs,
+         |  CAST(COALESCE(SUM(CASE WHEN cl.doc_id <> cl.cluster_id
+         |    THEN tk.toks END), 0) AS BIGINT) AS toks_removed
+         |  FROM cl JOIN tk ON cl.doc_id = tk.doc_id),
+         |l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+         |      FROM documents),
+         |t1 AS (SELECT line, doc_id FROM l GROUP BY 1, 2),
+         |t2 AS (SELECT line, COUNT(*) AS cnt FROM l GROUP BY 1
+         |       HAVING COUNT(*) >= 2),
+         |lt AS (SELECT CAST(COALESCE(SUM(cnt *
+         |    CAST(CEIL(CAST(len(line) AS DOUBLE) / 4) AS BIGINT)), 0)
+         |    AS BIGINT) AS toks_removed FROM t2),
+         |ld AS (SELECT CAST(COUNT(DISTINCT t1.doc_id) AS BIGINT) AS n_docs
+         |       FROM t1 JOIN t2 USING (line)),
+         |u AS (SELECT 'exact' AS method, n_docs, toks_removed FROM exa
+         |  UNION ALL SELECT 'near_dup', n_docs, toks_removed FROM nra
+         |  UNION ALL SELECT 'line', ld.n_docs, lt.toks_removed FROM ld, lt)
+         |SELECT method, n_docs, toks_removed,
+         |  FLOOR(CAST(toks_removed AS DOUBLE) / tot * 1000000.0 + 0.5)
+         |    / 1000000.0 AS share
+         |FROM u, tot""".stripMargin,
     // boilerplate = line in ≥ 30% of its source's docs and ≥ 5 chars
     "q163_boilerplate" ->
       """WITH l AS (SELECT source, doc_id,

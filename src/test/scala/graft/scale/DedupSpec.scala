@@ -1530,4 +1530,33 @@ class DedupSpec extends SparkSpec {
     assert(out("A") === ((3L, 6L, 1L, 2L, 75L, 38L, r6(38.0 / 75))))
     assert(out("B") === ((1L, 2L, 0L, 0L, 2L, 0L, 0.0)))
   }
+
+  test("dedupRoi prices exact, near-dup and line dedup on the same " +
+    "token axis with hand-computed masses") {
+    val spark2 = spark
+    import spark2.implicits._
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    // toks = ceil(chars/4): docs 1/2 → 4 each, doc 3 → 6, doc 4 → 4;
+    // corpus total 18. Docs 1/2 are exact copies (and their single
+    // line therefore also duplicates); "shared line" spans docs 3/4.
+    val docs = Seq(
+      (1L, "hello world foo"),
+      (2L, "hello world foo"),
+      (3L, "aaa\nbbb ccc\nshared line"),
+      (4L, "xxx\nshared line")
+    ).toDF("doc_id", "text")
+    // explicit near-dup components (house pattern): docs 1,2 cluster 1
+    val comps = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "cluster_id")
+    val out = Dedup.dedupRoiFrom(docs, comps).collect()
+      .map(r => r.getAs[String]("method") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("toks_removed"),
+          r.getAs[Double]("share")))).toMap
+    // exact: one dup group of 2 → remove 1 doc × 4 toks
+    assert(out("exact") === ((1L, 4L, r6(4.0 / 18))))
+    // near-dup: doc 2 is the non-representative member
+    assert(out("near_dup") === ((1L, 4L, r6(4.0 / 18))))
+    // line: "hello world foo" (cnt 2 × 4 toks) + "shared line"
+    // (cnt 2 × 3 toks) = 14 toks across all four docs
+    assert(out("line") === ((4L, 14L, r6(14.0 / 18))))
+  }
 }
