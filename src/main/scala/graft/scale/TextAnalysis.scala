@@ -1551,7 +1551,28 @@ object TextAnalysis extends QueryModule {
   private[scale] def lmFluencyFrom(core0: DataFrame, vocabSize: Int,
                                    maxBigrams: Int): DataFrame = {
     def r6(c: Column): Column = floor(c * 1000000d + 0.5d) / 1000000d
-    val core = core0.select(col("doc_id"), col("ws"))
+    lmScoredBigrams(core0, vocabSize, maxBigrams)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        count(when(col("hit"), 1)).as("n_hits"),
+        count(when(col("unk_ctx"), 1)).as("n_unk_ctx"),
+        sum(col("p9")).as("sp9"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_hits"), col("n_unk_ctx"),
+        r6(col("n_hits").cast("double") / col("n_bigrams")).as("hit_rate"),
+        r6(col("sp9").cast("double") /
+          (col("n_bigrams").cast("double") * 1000000000d)).as("mean_p"))
+  }
+
+  /** The scored-bigram stream shared by q162 (per-doc rollup) and q167
+    * (per-source rollup): one row per corpus bigram with its model hit
+    * flag, unk-context flag and fixed-point smoothed probability. The
+    * optional `source` column rides along when the core carries it. */
+  private def lmScoredBigrams(core0: DataFrame, vocabSize: Int,
+                              maxBigrams: Int): DataFrame = {
+    val passthrough =
+      if (core0.columns.contains("source")) Seq(col("source")) else Nil
+    val core = core0.select(Seq(col("doc_id")) ++ passthrough ++
+      Seq(col("ws")): _*)
     val train = core.filter(Curation.splitExpr(col("doc_id")) === "train")
     // train unigram counts — a Heaps-bounded vocabulary table; it
     // feeds the top-V selection AND the exact token totals, so
@@ -1573,19 +1594,19 @@ object TextAnalysis extends QueryModule {
     // "w1 w2" shingle splits back losslessly); vocab membership +
     // context count attach by broadcast hash lookups
     def bigramRows(df: DataFrame): DataFrame =
-      df.select(col("doc_id"),
-          explode(shinglesFromWords(col("ws"), 2)).as("raw"))
-        .select(col("doc_id"),
-          substring_index(col("raw"), " ", 1).as("w1"),
-          substring_index(col("raw"), " ", -1).as("w2"))
+      df.select(Seq(col("doc_id")) ++ passthrough ++
+          Seq(explode(shinglesFromWords(col("ws"), 2)).as("raw")): _*)
+        .withColumn("w1", substring_index(col("raw"), " ", 1))
+        .withColumn("w2", substring_index(col("raw"), " ", -1))
+        .drop("raw")
         .join(broadcast(vocab.select(col("w").as("w1"), col("cnt").as("c1v"))),
           Seq("w1"), "left")
         .join(broadcast(vocab.select(col("w").as("w2"), lit(1).as("in2"))),
           Seq("w2"), "left")
-        .select(col("doc_id"),
-          when(col("c1v").isNotNull, col("w1")).otherwise(lit("<unk>")).as("m1"),
-          when(col("in2").isNotNull, col("w2")).otherwise(lit("<unk>")).as("m2"),
-          col("c1v"))
+        .withColumn("m1",
+          when(col("c1v").isNotNull, col("w1")).otherwise(lit("<unk>")))
+        .withColumn("m2",
+          when(col("in2").isNotNull, col("w2")).otherwise(lit("<unk>")))
         .withColumn("bigram", concat_ws(" ", col("m1"), col("m2")))
     // the shipped model: top-B train bigrams over the mapped alphabet
     val bigCnt = bigramRows(train)
@@ -1595,21 +1616,78 @@ object TextAnalysis extends QueryModule {
     bigramRows(core)
       .join(broadcast(bigCnt), Seq("bigram"), "left")
       .crossJoin(broadcast(unk))
-      .select(col("doc_id"),
+      .select(Seq(col("doc_id")) ++ passthrough ++ Seq(
         col("c2").isNotNull.as("hit"),
         (col("m1") === "<unk>").as("unk_ctx"),
         floor(((coalesce(col("c2"), lit(0L)) + lit(1L)).cast("double") /
           (coalesce(col("c1v"), col("unk_cnt")) + denom).cast("double"))
-          * 1000000000d + 0.5d).cast("long").as("p9"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        count(when(col("hit"), 1)).as("n_hits"),
-        count(when(col("unk_ctx"), 1)).as("n_unk_ctx"),
-        sum(col("p9")).as("sp9"))
-      .select(col("doc_id"), col("n_bigrams"), col("n_hits"), col("n_unk_ctx"),
-        r6(col("n_hits").cast("double") / col("n_bigrams")).as("hit_rate"),
-        r6(col("sp9").cast("double") /
-          (col("n_bigrams").cast("double") * 1000000000d)).as("mean_p"))
+          * 1000000000d + 0.5d).cast("long").as("p9")): _*)
+  }
+
+  /** q167: LM-signal domain reweighting — the DoReMi-shaped read: a
+    * source whose text the reference LM finds LESS fluent than the
+    * corpus average carries information the model hasn't absorbed, so
+    * its mixture weight gets a boost proportional to that excess
+    * (DoReMi proper trains a proxy model per round; this board is the
+    * one-shot analogue using the q162 bigram LM as the loss proxy —
+    * `excess = max(0, corpus_mean_p − source_mean_p)`). Per source:
+    * token share, micro-averaged fluency, excess, the boosted raw
+    * weight `share × (1 + α·excess)` and the normalized mixture
+    * weight. q138 reweights by SIZE (temperature); this reweights by
+    * MODEL SIGNAL — the two boards bracket the mixture decision.
+    *
+    * Determinism: per-source fluency means come from exact BIGINT p9
+    * sums (the q162 contract); excess subtracts two r6 values; the
+    * boost and raw weight are a fixed two-op IEEE chain; raw weights
+    * are r6'd BEFORE the normalizer so the weight-sum rides the
+    * DECIMAL(18,6) exact accumulator (the q138 normalization
+    * discipline) — partition order can't move any digit.
+    *
+    * Scale design: rides the q162 scored-bigram stream (the model
+    * build is the same two bounded aggregates); adds one source-keyed
+    * aggregate (map-side partials), a ≤ n_sources corpus rollup and
+    * 1-row broadcast joins. Nothing new touches the corpus. */
+  def domainReweight(docs0: DataFrame, vocabSize: Int = 1024,
+                     maxBigrams: Int = 1 << 16,
+                     alpha: Double = 10d): DataFrame =
+    domainReweightFrom(tokenCore(docs0), vocabSize, maxBigrams, alpha)
+
+  /** [[domainReweight]] from the (doc_id, source, ws) token core —
+    * shared-core form for the gate registry. */
+  private[scale] def domainReweightFrom(core: DataFrame, vocabSize: Int,
+                                        maxBigrams: Int,
+                                        alpha: Double): DataFrame = {
+    def r6(c: Column): Column = floor(c * 1000000d + 0.5d) / 1000000d
+    require(core.columns.contains("source"), "domainReweight needs source")
+    val srcTok = core.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(size(col("ws"))).as("n_toks"))
+    val perSrc = lmScoredBigrams(core, vocabSize, maxBigrams)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p9")).as("sp9"))
+      .localCheckpoint() // ≤ n_sources rows; feeds the corpus rollup too
+    val corpus = perSrc.agg(sum(col("n_bigrams")).as("nbt"),
+      sum(col("sp9")).as("spt"))
+    val tokTot = srcTok.agg(sum(col("n_toks")).as("toks_total"))
+    val meanP = r6(col("sp9").cast("double") /
+      (col("n_bigrams").cast("double") * 1000000000d))
+    val corpusMeanP = r6(col("spt").cast("double") /
+      (col("nbt").cast("double") * 1000000000d))
+    val boosted = srcTok.join(perSrc, Seq("source"))
+      .crossJoin(broadcast(corpus)).crossJoin(broadcast(tokTot))
+      .select(col("source"), col("n_docs"), col("n_toks"), col("n_bigrams"),
+        meanP.as("mean_p"),
+        greatest(lit(0d), corpusMeanP - meanP).as("excess"),
+        (col("n_toks").cast("double") / col("toks_total").cast("double"))
+          .as("share_raw"))
+      .withColumn("w6",
+        r6(col("share_raw") * (lit(1d) + lit(alpha) * col("excess"))))
+      .localCheckpoint() // bounded; feeds the normalizer and the output
+    val wtot = boosted.agg(exactSum(col("w6")).as("wtot"))
+    boosted.crossJoin(broadcast(wtot))
+      .select(col("source"), col("n_docs"), col("n_toks"), col("n_bigrams"),
+        col("mean_p"), r6(col("excess")).as("excess"),
+        r6(col("share_raw")).as("share"), col("w6").as("raw_weight"),
+        r6(col("w6") / col("wtot")).as("weight"))
   }
 
   /** q164: quality-signal correlation board — per source, the Pearson
@@ -1766,7 +1844,11 @@ object TextAnalysis extends QueryModule {
       vocabSize = 16, maxBigrams = 64)),
     // per-source Pearson matrix over the q34 signals (exact moments;
     // rides the memoized quality core)
-    "q164_signal_corr" -> ((s, d) => signalCorrelationFrom(gateScored(s, d)))
+    "q164_signal_corr" -> ((s, d) => signalCorrelationFrom(gateScored(s, d))),
+    // DoReMi-shaped mixture reweighting by LM excess signal (same
+    // small gate model as q162 so the unk paths stay exercised)
+    "q167_domain_reweight" -> ((s, d) => domainReweightFrom(gateTokens(s, d),
+      vocabSize = 16, maxBigrams = 64, alpha = 10d))
   )
 
   private val normSql =
@@ -2374,6 +2456,69 @@ object TextAnalysis extends QueryModule {
          |FROM sig GROUP BY 1)
          |$pairSel""".stripMargin
     },
+    // the q162 LM chain rolled up per source, with the DoReMi-shaped
+    // boost: excess = max(0, corpus mean_p − source mean_p), raw
+    // weight = share × (1 + 10·excess), normalizer via DECIMAL(18,6)
+    "q167_domain_reweight" ->
+      s"""WITH w AS (SELECT doc_id, source, $wsSql AS ws FROM documents),
+         |tr AS (SELECT * FROM w WHERE ${Curation.splitUSql("doc_id")} < 0.8),
+         |wc AS (SELECT word, COUNT(*) AS cnt
+         |       FROM (SELECT unnest(ws) AS word FROM tr) GROUP BY 1),
+         |vocab AS (SELECT word, cnt FROM wc ORDER BY cnt DESC, word LIMIT 16),
+         |unk AS (SELECT CAST((SELECT COALESCE(SUM(cnt), 0) FROM wc)
+         |  - (SELECT COALESCE(SUM(cnt), 0) FROM vocab) AS BIGINT) AS unk_cnt),
+         |tb AS (SELECT ws[i+1] AS w1, ws[i+2] AS w2
+         |       FROM tr, unnest(range(len(ws) - 1)) t(i) WHERE len(ws) >= 2),
+         |tm AS (SELECT COALESCE(v1.word, '<unk>') || ' ' ||
+         |         COALESCE(v2.word, '<unk>') AS bigram
+         |       FROM tb LEFT JOIN vocab v1 ON tb.w1 = v1.word
+         |               LEFT JOIN vocab v2 ON tb.w2 = v2.word),
+         |bc AS (SELECT bigram, COUNT(*) AS c2 FROM tm GROUP BY 1
+         |       ORDER BY c2 DESC, bigram LIMIT 64),
+         |sb AS (SELECT doc_id, source, ws[i+1] AS w1, ws[i+2] AS w2
+         |       FROM w, unnest(range(len(ws) - 1)) t(i) WHERE len(ws) >= 2),
+         |sm AS (SELECT doc_id, source,
+         |         COALESCE(v1.cnt, (SELECT unk_cnt FROM unk)) AS c1,
+         |         COALESCE(v1.word, '<unk>') || ' ' ||
+         |           COALESCE(v2.word, '<unk>') AS bigram
+         |       FROM sb LEFT JOIN vocab v1 ON sb.w1 = v1.word
+         |               LEFT JOIN vocab v2 ON sb.w2 = v2.word),
+         |p AS (SELECT source,
+         |        CAST(FLOOR((CAST(COALESCE(bc.c2, 0) + 1 AS DOUBLE)
+         |          / CAST(sm.c1 + 17 AS DOUBLE)) * 1000000000.0 + 0.5)
+         |          AS BIGINT) AS p9
+         |      FROM sm LEFT JOIN bc ON sm.bigram = bc.bigram),
+         |ps AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |         CAST(SUM(p9) AS BIGINT) AS sp9 FROM p GROUP BY 1),
+         |st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(len(ws)) AS BIGINT) AS n_toks FROM w GROUP BY 1),
+         |ct AS (SELECT CAST(SUM(n_bigrams) AS BIGINT) AS nbt,
+         |         CAST(SUM(sp9) AS BIGINT) AS spt FROM ps),
+         |tt AS (SELECT CAST(SUM(n_toks) AS BIGINT) AS toks_total FROM st),
+         |b AS (SELECT st.source, st.n_docs, st.n_toks, ps.n_bigrams,
+         |  FLOOR(CAST(ps.sp9 AS DOUBLE)
+         |    / (CAST(ps.n_bigrams AS DOUBLE) * 1000000000.0)
+         |    * 1000000.0 + 0.5) / 1000000.0 AS mean_p,
+         |  GREATEST(0.0,
+         |    FLOOR(CAST(ct.spt AS DOUBLE)
+         |      / (CAST(ct.nbt AS DOUBLE) * 1000000000.0)
+         |      * 1000000.0 + 0.5) / 1000000.0
+         |    - FLOOR(CAST(ps.sp9 AS DOUBLE)
+         |      / (CAST(ps.n_bigrams AS DOUBLE) * 1000000000.0)
+         |      * 1000000.0 + 0.5) / 1000000.0) AS excess,
+         |  CAST(st.n_toks AS DOUBLE) / tt.toks_total AS share_raw
+         |  FROM st JOIN ps USING (source), ct, tt),
+         |b2 AS (SELECT *,
+         |  FLOOR(share_raw * (1.0 + 10.0 * excess) * 1000000.0 + 0.5)
+         |    / 1000000.0 AS w6 FROM b),
+         |wt AS (SELECT CAST(SUM(CAST(w6 AS DECIMAL(18,6))) AS DOUBLE)
+         |       AS wtot FROM b2)
+         |SELECT source, n_docs, n_toks, n_bigrams, mean_p,
+         |  FLOOR(excess * 1000000.0 + 0.5) / 1000000.0 AS excess,
+         |  FLOOR(share_raw * 1000000.0 + 0.5) / 1000000.0 AS share,
+         |  w6 AS raw_weight,
+         |  FLOOR(w6 / wtot * 1000000.0 + 0.5) / 1000000.0 AS weight
+         |FROM b2, wt""".stripMargin,
     // bigram LM over the q140 train split: top-V vocab, top-B bigram
     // table, add-one smoothing; every probability is one IEEE division
     // of exact integers, per-doc means are exact BIGINT sums

@@ -743,6 +743,48 @@ class TextAnalysisSpec extends SparkSpec {
       r6(math.floor(1.0 / 6 * 1e9 + 0.5) / 1e9))))
   }
 
+  test("domainReweight boosts the source the LM finds least fluent, " +
+    "with an exactly-normalized weight column") {
+    val spark2 = spark
+    import spark2.implicits._
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    // the lmFluency fixture with sources: S1 = fluent (its docs ARE
+    // the train slice), S2 = one OOV-heavy val doc
+    val docs = Seq(
+      (1L, "a b a b c", "S1"), (2L, "a b a b c", "S1"),
+      (4L, "a b a b c", "S1"), (3L, "a b a b c", "S1"),
+      (5L, "z b", "S2")
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.domainReweight(docs, vocabSize = 2,
+        maxBigrams = 100, alpha = 10d)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    // hand-derived LM (same as the lmFluency spec): per fluent doc
+    // sp9 = 2·p9(7/9) + 2·p9(4/9); the OOV doc scores p9(1/6)
+    def p9(p: Double): Long = math.floor(p * 1e9 + 0.5).toLong
+    val spDoc = 2 * p9(7.0 / 9) + 2 * p9(4.0 / 9)
+    val s1Mean = r6(4.0 * spDoc / (16 * 1e9))
+    val s2Mean = r6(p9(1.0 / 6).toDouble / 1e9)
+    val corpusMean = r6((4.0 * spDoc + p9(1.0 / 6)) / (17 * 1e9))
+    assert(out("S1").getAs[Double]("mean_p") === s1Mean)
+    assert(out("S2").getAs[Double]("mean_p") === s2Mean)
+    // S1 is ABOVE the corpus mean → zero excess, weight ∝ share
+    assert(out("S1").getAs[Double]("excess") === 0.0)
+    val s2Excess = math.max(0.0, corpusMean - s2Mean)
+    assert(out("S2").getAs[Double]("excess") === r6(s2Excess))
+    val w1 = r6(20.0 / 22 * (1.0 + 10.0 * 0.0))
+    val w2 = r6(2.0 / 22 * (1.0 + 10.0 * s2Excess))
+    assert(out("S1").getAs[Double]("raw_weight") === w1)
+    assert(out("S2").getAs[Double]("raw_weight") === w2)
+    // normalized: exact-decimal sum of the r6 raw weights
+    val wtot = (BigDecimal(w1).setScale(6, BigDecimal.RoundingMode.HALF_UP) +
+      BigDecimal(w2).setScale(6, BigDecimal.RoundingMode.HALF_UP)).toDouble
+    assert(out("S1").getAs[Double]("weight") === r6(w1 / wtot))
+    assert(out("S2").getAs[Double]("weight") === r6(w2 / wtot))
+    // the boost is real: S2's weight share exceeds its token share
+    assert(out("S2").getAs[Double]("weight") >
+      out("S2").getAs[Double]("share"))
+  }
+
   test("signalCorrelation: exact moments give r=1 on a linear pair and " +
     "NULL on zero-variance signals") {
     val spark2 = spark
