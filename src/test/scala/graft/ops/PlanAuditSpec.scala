@@ -755,6 +755,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(!s.contains("Window") && !s.contains("CartesianProduct"))
   }
 
+  test("q166 dedup roi: the near arm never groups per cluster — the " +
+    "representative test is scan-side and the only aggregates are " +
+    "1-row or key-bounded") {
+    val docs = graft.Tables.documents(spark, sf)
+    val comps = graft.scale.Dedup.connectedComponents(
+      graft.scale.Dedup.simhashPairs(docs, maxDist = 5))
+    // audit the near arm in isolation (the full board unions three
+    // arms; the scan-side property belongs to this one)
+    val near = comps
+      .join(docs.selectExpr("doc_id",
+        "CAST(CEIL(CAST(length(text) AS DOUBLE)/4) AS LONG) AS toks"),
+        Seq("doc_id"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.col("doc_id") =!=
+            org.apache.spark.sql.functions.col("cluster_id"), 1)).as("n"))
+    val s = planOf(near)
+    assert(!s.contains("Window"), s"no per-cluster window expected:\n$s")
+    // exactly one aggregate pair (partial+final) over the join — no
+    // per-cluster grouping stage
+    assert("HashAggregate".r.findAllIn(s).length <= 2, s"plan:\n$s")
+  }
+
+  test("q167 domain reweight: everything after the scored-bigram " +
+    "stream is bounded — source-keyed aggregate, 1-row broadcasts, " +
+    "no sort-merge join") {
+    val s = planOf(graft.scale.TextAnalysis.domainReweight(
+      graft.Tables.documents(spark, sf), vocabSize = 16, maxBigrams = 64))
+    assert(!s.contains("SortMergeJoin"), s"model attach must broadcast:\n$s")
+    assert(!s.contains("Window") && !s.contains("CartesianProduct"))
+  }
+
   test("q164 signal correlation: one source-keyed aggregate computes all " +
     "moments map-side; the pair board explodes from aggregate rows — " +
     "no join, no window") {
