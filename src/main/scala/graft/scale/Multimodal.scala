@@ -330,6 +330,61 @@ object Multimodal {
         (scale < 1.0).as("needs_resample"))
   }
 
+  /** STUB feature-extraction kernel — the deterministic fake standing
+    * in for a real media encoder (CLIP image tower, an audio
+    * embedder): a splitmix64 stream seeded by the payload's md5
+    * prefix expands to `dim` floats in [-1, 1), L2-normalized.
+    * Identical payloads embed identically on any JVM (the property
+    * the dedup hand-off needs); a real encoder replaces ONLY this
+    * function. */
+  def stubFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(payload)
+    var z = (0 until 8).foldLeft(0L)((a, i) => (a << 8) | (d(i) & 0xffL))
+    val out = new Array[Float](dim)
+    var i = 0
+    var ss = 0.0
+    while (i < dim) {
+      z += 0x9e3779b97f4a7c15L
+      var x = z
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      x = x ^ (x >>> 31)
+      val v = ((x >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+      out(i) = v.toFloat
+      ss += v * v
+      i += 1
+    }
+    val inv = (1.0 / math.sqrt(ss)).toFloat
+    i = 0
+    while (i < dim) { out(i) *= inv; i += 1 }
+    out
+  }
+
+  /** Feature extraction over raw assets — the embedding column a
+    * CLIP-dedup / media-ANN pipeline runs on. Same batched
+    * mapPartitions plumbing as [[decode]] (per-partition encoder init,
+    * rows in, (asset_id, kind, embedding) out); the output schema is
+    * EXACTLY the embeddings-table contract (`vec_id`, `embedding
+    * array<float>`), so the whole Similarity/Dedup ANN battery —
+    * [[Dedup.embeddingNearDup]], the LSH/IVF/PQ index family —
+    * consumes media embeddings unchanged ([[MultimodalSpec]] drives
+    * that hand-off end-to-end: duplicated payloads land as a
+    * cosine-1.0 near-dup pair). */
+  def extractFeatures(spark: SparkSession, assets: DataFrame,
+                      dim: Int = 16): DataFrame = {
+    import spark.implicits._
+    assets.select(col("asset_id"), col("kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { batch =>
+        // a real encoder loads its weights HERE, once per partition
+        batch.map { case (id, kind, payload) =>
+          (id, kind, stubFeatures(payload, dim))
+        }
+      }
+      .toDF("vec_id", "kind", "embedding")
+  }
+
   /** Feature pipeline over decoded metadata: per-kind stats — the
     * aggregation a data-quality dashboard runs over a 100 TB corpus.
     * One hash-aggregate, no payload bytes involved (column pruning

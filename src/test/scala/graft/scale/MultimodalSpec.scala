@@ -235,4 +235,40 @@ class MultimodalSpec extends SparkSpec {
     assert(byKind.keySet === Set("image", "audio", "video"))
     assert(byKind("image").getAs[Long]("n_assets") > 0)
   }
+
+  test("extractFeatures emits the embeddings-table contract and feeds " +
+    "the ANN battery: duplicated payloads become a cosine-1.0 near-dup " +
+    "pair") {
+    val spark2 = spark
+    import spark2.implicits._
+    // two byte-identical image payloads + two distinct ones
+    val dup = "same media payload".getBytes("UTF-8")
+    val a = Seq(
+      (1L, "image", dup), (2L, "image", dup),
+      (3L, "audio", "different audio bytes".getBytes("UTF-8")),
+      (4L, "video", "other video bytes entirely".getBytes("UTF-8"))
+    ).toDF("asset_id", "kind", "payload")
+    val feats = Multimodal.extractFeatures(spark, a, dim = 16)
+    val rows = feats.collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding")).toVector)
+      .toMap
+    // deterministic kernel: identical payloads embed identically,
+    // unit-normalized, fixed width
+    assert(rows(1L) === rows(2L))
+    assert(rows.values.forall(_.length == 16))
+    val n1 = math.sqrt(rows(1L).map(x => x.toDouble * x).sum)
+    assert(math.abs(n1 - 1.0) < 1e-6)
+    // the hand-off: the SAME near-dup operator the text corpus uses
+    // consumes media embeddings unchanged
+    val pairs = Dedup.embeddingNearDup(feats, minCos = 0.99, maxId = 100L)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"),
+        r.getAs[Double]("cos")))
+    assert(pairs.toSeq === Seq((1L, 2L, 1.0)))
+    // re-run determinism (no RNG state leaks across partitions)
+    assert(Multimodal.extractFeatures(spark, a, dim = 16).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding")).toVector)
+      .toMap === rows)
+  }
 }
