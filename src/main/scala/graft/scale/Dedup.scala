@@ -1638,14 +1638,31 @@ object Dedup extends QueryModule {
     * both engines.
     */
   def lineDedup(docs0: DataFrame, minDupCount: Long = 2L,
-                heavyCapacity: Int = 4096): DataFrame = {
-    val docs = Layout.widen(docs0)
+                heavyCapacity: Int = 4096): DataFrame =
     // the line table feeds the sketch, the counts AND the reassembly —
-    // barriered
-    val lines = docs
-      .select(col("doc_id"),
-        posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
-      .localCheckpoint()
+    // barriered (the gate registry passes the memoized shared core
+    // instead, already checkpointed)
+    lineDedupFrom(lineTable(docs0).localCheckpoint(), minDupCount,
+      heavyCapacity)
+
+  /** The exploded (source, doc_id, pos, line) table — the shared input
+    * of the line family (q134 drop pass, q163 boilerplate board,
+    * q166's line arm); memoized once per batch as `gateLines`. */
+  private[scale] def lineTable(docs0: DataFrame): DataFrame = {
+    val docs = Layout.widen(docs0)
+    // source rides along when the input carries it (the gate corpus
+    // does); doc-only callers get a constant — the q134 consumer
+    // never reads it
+    val src = if (docs.columns.contains("source")) col("source")
+              else lit("").as("source")
+    docs.select(src.as("source"), col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+  }
+
+  /** [[lineDedup]] from a (pre-checkpointed) line table. */
+  private[scale] def lineDedupFrom(lines0: DataFrame, minDupCount: Long = 2L,
+                                   heavyCapacity: Int = 4096): DataFrame = {
+    val lines = lines0.select(col("doc_id"), col("pos"), col("line"))
     val counts = lines.groupBy(col("line")).agg(count(lit(1)).as("cnt"))
     // every line with count > n/(heavyCapacity+1) is in the sketch
     // (MG retention); over-nomination of light lines is harmless —
@@ -1698,12 +1715,20 @@ object Dedup extends QueryModule {
     * rows. */
   def boilerplateBySource(docs0: DataFrame, minShare: Double = 0.3,
                           minLen: Int = 5): DataFrame = {
-    def r6(c: Column): Column = floor(c * 1000000d + 0.5d) / 1000000d
     val docs = Layout.widen(docs0)
-    val perSource = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
-    val perLine = docs
-      .select(col("source"), col("doc_id"),
-        explode(split(col("text"), "\n")).as("line"))
+    boilerplateFrom(lineTable(docs),
+      docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs")),
+      minShare, minLen)
+  }
+
+  /** [[boilerplateBySource]] from the shared line table + per-source
+    * doc counts — shared-core form for the gate registry. */
+  private[scale] def boilerplateFrom(lines: DataFrame, perSource: DataFrame,
+                                     minShare: Double,
+                                     minLen: Int): DataFrame = {
+    def r6(c: Column): Column = floor(c * 1000000d + 0.5d) / 1000000d
+    val perLine = lines
+      .select(col("source"), col("doc_id"), col("line"))
       .groupBy(col("source"), col("line"), col("doc_id"))
       .agg(count(lit(1)).as("k"))
       .groupBy(col("source"), col("line"))
@@ -1755,15 +1780,19 @@ object Dedup extends QueryModule {
     * to the corpus. The affected-docs join for the line arm is keyed
     * by line with ≤ n_docs rows per key (distinct pairs); at 100× the
     * q134 MG heavy-line broadcast is the documented mitigation. */
-  def dedupRoi(docs0: DataFrame, minDupCount: Long = 2L): DataFrame =
-    dedupRoiFrom(docs0,
-      connectedComponents(simhashPairs(Layout.widen(docs0), maxDist = 5)),
-      minDupCount)
+  def dedupRoi(docs0: DataFrame, minDupCount: Long = 2L): DataFrame = {
+    val docs = Layout.widen(docs0)
+    dedupRoiFrom(docs,
+      connectedComponents(simhashPairs(docs, maxDist = 5)),
+      lineTable(docs), minDupCount)
+  }
 
-  /** [[dedupRoi]] from precomputed near-dup components — shared-core
-    * form for the gate registry (reads the SAME components as
-    * q59/q68/q120/q135). */
+  /** [[dedupRoi]] from precomputed near-dup components and the shared
+    * line table — shared-core form for the gate registry (reads the
+    * SAME components as q59/q68/q120/q135 and the SAME line table as
+    * q134/q163). */
   private[scale] def dedupRoiFrom(docs0: DataFrame, comps: DataFrame,
+                                  lineTab: DataFrame,
                                   minDupCount: Long = 2L): DataFrame = {
     def r6(c: Column): Column = floor(c * 1000000d + 0.5d) / 1000000d
     val docs = Layout.widen(docs0)
@@ -1782,8 +1811,8 @@ object Dedup extends QueryModule {
       .agg(count(when(col("doc_id") =!= col("cluster_id"), 1)).as("n_docs"),
         coalesce(sum(when(col("doc_id") =!= col("cluster_id"), col("toks"))),
           lit(0L)).as("toks_removed"))
-    val pairs = docs
-      .select(col("doc_id"), explode(split(col("text"), "\n")).as("line"))
+    val pairs = lineTab
+      .select(col("doc_id"), col("line"))
       .groupBy(col("line"), col("doc_id")).agg(count(lit(1)).as("k"))
     val dupLines = pairs.groupBy(col("line"))
       .agg(sum(col("k")).as("cnt"))
@@ -1934,6 +1963,11 @@ object Dedup extends QueryModule {
     graft.Shared.memo(s, s"dedup:kept5:$d")(
       dedupCorpusFrom(T.documents(s, d), gateComps(s, d)))
 
+  /** The memoized exploded-line table (source, doc_id, pos, line) —
+    * one corpus text-split pass per batch for the whole line family. */
+  private def gateLines(s: SparkSession, d: String): DataFrame =
+    graft.Shared.memo(s, s"dedup:lines:$d")(lineTable(T.documents(s, d)))
+
   /** Shared shingle core: ONE tokenize + distinct-shingle pass feeds
     * the whole n-gram family (q25 Jaccard, q71/q93 decontamination,
     * q76 repeated n-grams, q101/q102/q111 contamination rollups). */
@@ -1950,13 +1984,17 @@ object Dedup extends QueryModule {
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q120_cluster_sizes" -> ((s, d) => clusterSizesFrom(gateComps(s, d))),
     // C4-style corpus line dedup: per-doc boilerplate-drop fingerprint
-    "q134_line_dedup" -> ((s, d) => lineDedup(T.documents(s, d))),
+    // the line family (q134/q163/q166's line arm) reads ONE memoized
+    // exploded-line table per batch
+    "q134_line_dedup" -> ((s, d) => lineDedupFrom(gateLines(s, d))),
     // per-source boilerplate-line mass (skew-safe dual aggregate)
-    "q163_boilerplate" -> ((s, d) => boilerplateBySource(T.documents(s, d))),
+    "q163_boilerplate" -> ((s, d) => boilerplateFrom(gateLines(s, d),
+      T.documents(s, d).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs")), minShare = 0.3, minLen = 5)),
     // the three dedup methods priced on removable token mass
-    // (rides the shared component core)
+    // (rides the shared component core + the shared line table)
     "q166_dedup_roi" -> ((s, d) =>
-      dedupRoiFrom(T.documents(s, d), gateComps(s, d))),
+      dedupRoiFrom(T.documents(s, d), gateComps(s, d), gateLines(s, d))),
     // quality-aware representative per q59 cluster vs the min-id policy
     "q135_best_rep" -> ((s, d) =>
       bestRep(gateComps(s, d), TextAnalysis.gateScored(s, d))),

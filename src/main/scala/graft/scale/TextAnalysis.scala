@@ -1549,9 +1549,16 @@ object TextAnalysis extends QueryModule {
   /** [[lmFluency]] from the (doc_id, ws) token core — shared-core form
     * for the gate registry. */
   private[scale] def lmFluencyFrom(core0: DataFrame, vocabSize: Int,
-                                   maxBigrams: Int): DataFrame = {
+                                   maxBigrams: Int): DataFrame =
+    lmFluencyFromScored(lmScoredBigrams(core0, vocabSize, maxBigrams))
+
+  /** The q162 per-doc rollup over a scored-bigram stream — split out
+    * so the gate registry can feed q162 and q167 from ONE memoized
+    * stream (the LM build + corpus scoring pass is the dominant cost
+    * of both boards; a batch run pays it once). */
+  private[scale] def lmFluencyFromScored(scored: DataFrame): DataFrame = {
     def r6(c: Column): Column = floor(c * 1000000d + 0.5d) / 1000000d
-    lmScoredBigrams(core0, vocabSize, maxBigrams)
+    scored
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         count(when(col("hit"), 1)).as("n_hits"),
@@ -1656,12 +1663,20 @@ object TextAnalysis extends QueryModule {
     * shared-core form for the gate registry. */
   private[scale] def domainReweightFrom(core: DataFrame, vocabSize: Int,
                                         maxBigrams: Int,
-                                        alpha: Double): DataFrame = {
+                                        alpha: Double): DataFrame =
+    domainReweightFromScored(core,
+      lmScoredBigrams(core, vocabSize, maxBigrams), alpha)
+
+  /** The q167 rollup over a pre-scored bigram stream (plus the token
+    * core for per-source doc/token counts) — shared-stream form. */
+  private[scale] def domainReweightFromScored(core: DataFrame,
+                                              scoredBigrams: DataFrame,
+                                              alpha: Double): DataFrame = {
     def r6(c: Column): Column = floor(c * 1000000d + 0.5d) / 1000000d
     require(core.columns.contains("source"), "domainReweight needs source")
     val srcTok = core.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(size(col("ws"))).as("n_toks"))
-    val perSrc = lmScoredBigrams(core, vocabSize, maxBigrams)
+    val perSrc = scoredBigrams
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("p9")).as("sp9"))
       .localCheckpoint() // ≤ n_sources rows; feeds the corpus rollup too
@@ -1839,17 +1854,25 @@ object TextAnalysis extends QueryModule {
     // The gate model is deliberately SMALL (V=16, B=64) so the test
     // corpus (31 distinct words) exercises the <unk> mapping, the
     // unk-context denominator and the bigram-miss smoothing paths
-    // cross-engine — a V≥31 model would score every bigram as a hit
-    "q162_lm_fluency" -> ((s, d) => lmFluencyFrom(gateTokens(s, d),
-      vocabSize = 16, maxBigrams = 64)),
+    // cross-engine — a V≥31 model would score every bigram as a hit.
+    // q162 and q167 read ONE memoized scored-bigram stream
+    "q162_lm_fluency" -> ((s, d) => lmFluencyFromScored(gateLmScored(s, d))),
     // per-source Pearson matrix over the q34 signals (exact moments;
     // rides the memoized quality core)
     "q164_signal_corr" -> ((s, d) => signalCorrelationFrom(gateScored(s, d))),
     // DoReMi-shaped mixture reweighting by LM excess signal (same
-    // small gate model as q162 so the unk paths stay exercised)
-    "q167_domain_reweight" -> ((s, d) => domainReweightFrom(gateTokens(s, d),
-      vocabSize = 16, maxBigrams = 64, alpha = 10d))
+    // small gate model as q162; reads the SAME memoized stream)
+    "q167_domain_reweight" -> ((s, d) => domainReweightFromScored(
+      gateTokens(s, d), gateLmScored(s, d), alpha = 10d))
   )
+
+  /** The memoized q162/q167 scored-bigram stream: the LM build (two
+    * bounded aggregates over the train split) plus the corpus scoring
+    * pass run ONCE per batch; both boards roll up from the same
+    * checkpointed stream (≈ one narrow row per corpus bigram). */
+  private def gateLmScored(s: SparkSession, d: String): DataFrame =
+    graft.Shared.memo(s, s"text:lm-scored-16-64:$d")(
+      lmScoredBigrams(gateTokens(s, d), vocabSize = 16, maxBigrams = 64))
 
   private val normSql =
     "trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g'))"

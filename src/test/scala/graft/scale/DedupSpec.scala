@@ -1547,7 +1547,7 @@ class DedupSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     // explicit near-dup components (house pattern): docs 1,2 cluster 1
     val comps = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "cluster_id")
-    val out = Dedup.dedupRoiFrom(docs, comps).collect()
+    val out = Dedup.dedupRoiFrom(docs, comps, Dedup.lineTable(docs)).collect()
       .map(r => r.getAs[String]("method") ->
         ((r.getAs[Long]("n_docs"), r.getAs[Long]("toks_removed"),
           r.getAs[Double]("share")))).toMap
