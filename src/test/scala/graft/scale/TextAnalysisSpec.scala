@@ -743,6 +743,64 @@ class TextAnalysisSpec extends SparkSpec {
       r6(math.floor(1.0 / 6 * 1e9 + 0.5) / 1e9))))
   }
 
+  test("lmFluency property: 40 random docs match an independent Scala " +
+    "reference (split, vocab/bigram cutoffs, smoothing, rounding)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(42)
+    val alphabet = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val docs = (1L to 40L).map { id =>
+      (id, Seq.fill(rnd.nextInt(7))(alphabet(rnd.nextInt(alphabet.size)))
+        .mkString(" "))
+    }
+    val V = 3; val B = 5
+    // ---- independent reference ----
+    def u(id: Long): Double = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15), 16) / math.pow(2, 60)
+    val toks = docs.map { case (id, t) =>
+      id -> t.split(" ").filter(_.nonEmpty).toSeq }.toMap
+    val train = docs.map(_._1).filter(id => u(id) < 0.8)
+    val wordCnt = train.flatMap(toks).groupBy(identity)
+      .map { case (w, ws) => w -> ws.size.toLong }
+    val vocab = wordCnt.toSeq.sortBy { case (w, c) => (-c, w) }.take(V).toMap
+    val unkCnt = wordCnt.values.sum - vocab.values.sum
+    def m(w: String) = if (vocab.contains(w)) w else "<unk>"
+    val bigCnt = train.flatMap(id => toks(id).sliding(2).filter(_.size == 2)
+        .map(p => s"${m(p.head)} ${m(p(1))}"))
+      .groupBy(identity).map { case (b, bs) => b -> bs.size.toLong }
+      .toSeq.sortBy { case (b, c) => (-c, b) }.take(B).toMap
+    def p9(c2: Long, c1: Long): Long =
+      math.floor((c2 + 1).toDouble / (c1 + V + 1).toDouble * 1e9 + 0.5).toLong
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val expected = docs.flatMap { case (id, _) =>
+      val ws = toks(id)
+      if (ws.size < 2) None else {
+        val bgs = ws.sliding(2).toSeq.map(p => (m(p.head), m(p(1)),
+          vocab.getOrElse(p.head, unkCnt)))
+        val n = bgs.size.toLong
+        val hits = bgs.count { case (a, b, _) => bigCnt.contains(s"$a $b") }
+        val unk = bgs.count(_._1 == "<unk>")
+        val sp9 = bgs.map { case (a, b, c1) =>
+          p9(bigCnt.getOrElse(s"$a $b", 0L), c1) }.sum
+        Some(id -> ((n, hits.toLong, unk.toLong,
+          r6(hits.toDouble / n), r6(sp9.toDouble / (n.toDouble * 1e9)))))
+      }
+    }.toMap
+    // ---- engine ----
+    val out = TextAnalysis.lmFluency(docs.toDF("doc_id", "text"),
+        vocabSize = V, maxBigrams = B)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("n_hits"),
+          r.getAs[Long]("n_unk_ctx"), r.getAs[Double]("hit_rate"),
+          r.getAs[Double]("mean_p")))).toMap
+    assert(out === expected)
+    // the random corpus actually exercises the interesting paths
+    assert(expected.values.exists(_._3 > 0), "no unk contexts generated")
+    assert(expected.values.exists(v => v._2 < v._1), "no bigram misses")
+  }
+
   test("domainReweight boosts the source the LM finds least fluent, " +
     "with an exactly-normalized weight column") {
     val spark2 = spark
