@@ -995,6 +995,19 @@ class EventStreamsSpec extends SparkSpec {
       assert(batch.map(_.getAs[Long]("n_bigrams")).sum === 17L)
       assert(batch.map(_.getAs[Long]("n_hits")).sum === 16L)
       assert(batch.map(_.getAs[Long]("n_unk_ctx")).sum === 1L)
+      // the model is FROZEN at query start: a later batch of entirely
+      // novel vocabulary scores as all-unk misses — it must NOT
+      // retrain the model mid-stream (unk_rate spiking is exactly the
+      // retrain SIGNAL the monitor exists to emit)
+      src.addData((ts(35), "qq rr qq rr"), (ts(36), "qq rr"))
+      q.processAllAvailable()
+      src.addData((ts(60), "closer y")) // close the 10:30 window
+      q.processAllAvailable()
+      val r2 = spark.table("lm").collect()
+        .filter(_.getAs[Timestamp]("window_start") === ts(30)).head
+      assert(r2.getAs[Long]("n_bigrams") === 5L) // closer(1) + 3 + 1
+      assert(r2.getAs[Long]("n_hits") === 0L)
+      assert(r2.getAs[Double]("unk_rate") === 1.0)
     } finally q.stop()
   }
 }
