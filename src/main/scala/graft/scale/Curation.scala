@@ -603,6 +603,46 @@ object Curation extends QueryModule {
         col("first_doc"), col("last_doc"))
   }
 
+  /** q168: shard mixing audit — per output shard of the q159 plan, how
+    * well-mixed the sources are: a shard filled by one source feeds
+    * the trainer a correlated run of near-identical distribution (the
+    * within-shard analogue of q154's split balance; q109 reads source
+    * diversity corpus-wide, this reads it at the granularity the
+    * loader actually streams). Per shard: doc count, distinct
+    * sources, the dominant source and its share, and the Simpson
+    * concentration Σshare² (1 = single-source shard, 1/n_sources =
+    * perfectly mixed).
+    *
+    * Determinism: Simpson's numerator is the exact integer Σcnt²; the
+    * dominant source is the field-lexicographic `max(struct(cnt,
+    * source))` (count DESC, ties to the lexicographically LAST source
+    * — total order, no window). Both output ratios are single IEEE
+    * divisions of exact integers, r6.
+    *
+    * Scale design: rides the q73/q159 prefix-sum packing chain; adds
+    * one doc_id equi-join (unique keys) and two stacked aggregates —
+    * (shard, source) with map-side partials, then ≤ n_sources rows
+    * per shard down to one. */
+  def shardMixing(docs: DataFrame, shardTokens: Int = 4096,
+                  partitions: Int = 32): DataFrame = {
+    def r6(c: Column): Column = floor(c * 1000000d + 0.5d) / 1000000d
+    val packed = sequencePack(docs, shardTokens, partitions)
+      .select(col("doc_id"), col("chunk_first").as("shard_id"))
+    val bySrc = packed
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("shard_id"), col("source")).agg(count(lit(1)).as("cnt"))
+    bySrc.groupBy(col("shard_id"))
+      .agg(sum(col("cnt")).as("n_docs"),
+        count(lit(1)).as("n_sources"),
+        max(struct(col("cnt"), col("source"))).as("m"),
+        sum(col("cnt") * col("cnt")).as("sq"))
+      .select(col("shard_id"), col("n_docs"), col("n_sources"),
+        col("m.source").as("top_source"),
+        r6(col("m.cnt").cast("double") / col("n_docs")).as("top_share"),
+        r6(col("sq").cast("double") /
+          (col("n_docs") * col("n_docs")).cast("double")).as("simpson"))
+  }
+
   /** q153: snapshot quality drift — "is the corpus getting better?":
     * the q141 diff statuses (added / removed / changed / unchanged)
     * with the quality and token mass attached, so a refresh review
@@ -997,6 +1037,8 @@ object Curation extends QueryModule {
     "q154_split_balance" -> ((s, d) => splitBalance(T.documents(s, d))),
     // whole-doc greedy output sharding + balance manifest
     "q159_shard_plan" -> ((s, d) => shardPlan(T.documents(s, d))),
+    // per-shard source concentration over the same packing chain
+    "q168_shard_mixing" -> ((s, d) => shardMixing(T.documents(s, d))),
     // quality-quartile curriculum schedule (rides the quality core)
     "q161_curriculum" -> ((s, d) =>
       curriculumPhasesFrom(TextAnalysis.gateScored(s, d))),
@@ -1200,6 +1242,35 @@ object Curation extends QueryModule {
          |FROM a GROUP BY phase""".stripMargin,
     // the q73 prefix-sum chain at shard granularity; every stat is
     // exact-integer, fill is one floor-r6'd division
+    // the q159 shard assignment joined back to sources; Simpson's
+    // numerator is the exact integer sum of squared counts, the
+    // dominant source restates max(struct(cnt, source)) as the rn=1
+    // row of (cnt DESC, source DESC)
+    "q168_shard_mixing" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(CEIL(CAST(len(text) AS DOUBLE) / 4) AS BIGINT) AS toks
+        |  FROM documents),
+        |f AS (SELECT * FROM t WHERE toks > 0),
+        |c AS (SELECT doc_id, toks,
+        |  CAST(SUM(toks) OVER (ORDER BY doc_id) AS BIGINT) AS cum_end FROM f),
+        |sh AS (SELECT (cum_end - toks) // 4096 AS shard_id, doc_id FROM c),
+        |j AS (SELECT sh.shard_id, d.source FROM sh
+        |      JOIN documents d USING (doc_id)),
+        |g AS (SELECT shard_id, source, CAST(COUNT(*) AS BIGINT) AS cnt
+        |      FROM j GROUP BY 1, 2),
+        |a AS (SELECT shard_id, CAST(SUM(cnt) AS BIGINT) AS n_docs,
+        |        CAST(COUNT(*) AS BIGINT) AS n_sources,
+        |        CAST(SUM(cnt * cnt) AS BIGINT) AS sq
+        |      FROM g GROUP BY 1),
+        |top AS (SELECT shard_id, source AS top_source, cnt FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY shard_id
+        |      ORDER BY cnt DESC, source DESC) AS rn FROM g) WHERE rn = 1)
+        |SELECT a.shard_id, a.n_docs, a.n_sources, top.top_source,
+        |  FLOOR(CAST(top.cnt AS DOUBLE) / a.n_docs * 1000000 + 0.5)
+        |    / 1000000 AS top_share,
+        |  FLOOR(CAST(a.sq AS DOUBLE) / (a.n_docs * a.n_docs)
+        |    * 1000000 + 0.5) / 1000000 AS simpson
+        |FROM a JOIN top USING (shard_id)""".stripMargin,
     "q159_shard_plan" ->
       """WITH t AS (SELECT doc_id,
         |  CAST(CEIL(CAST(len(text) AS DOUBLE) / 4) AS BIGINT) AS toks

@@ -608,4 +608,28 @@ class CurationSpec extends SparkSpec {
       rows.foreach { case (_, _, id, q) => assert(q === quals(id)) }
     }
   }
+
+  test("shardMixing: per-shard source concentration with hand-computed " +
+    "Simpson index and deterministic dominant-source tie-break") {
+    val spark2 = spark
+    import spark2.implicits._
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    // every text is 13 chars → 4 toks; shardTokens = 8 → cum ends
+    // 4/8/12/16 → docs 1,2 land in shard 0 and docs 3,4 in shard 1
+    def t13(i: Int) = f"aaaa bbb cc$i%02d"
+    val docs = Seq(
+      (1L, t13(1), "A"), (2L, t13(2), "B"),
+      (3L, t13(3), "A"), (4L, t13(4), "A")
+    ).toDF("doc_id", "text", "source")
+    val out = Curation.shardMixing(docs, shardTokens = 8, partitions = 2)
+      .collect().map(r => r.getAs[Long]("shard_id") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_sources"),
+          r.getAs[String]("top_source"), r.getAs[Double]("top_share"),
+          r.getAs[Double]("simpson")))).toMap
+    // shard 0: A and B tied at 1 — tie breaks to the lexicographically
+    // LAST source; Simpson (1² + 1²)/2² = 0.5
+    assert(out(0L) === ((2L, 2L, "B", 0.5, 0.5)))
+    // shard 1: pure-A shard reads as maximum concentration
+    assert(out(1L) === ((2L, 1L, "A", 1.0, 1.0)))
+  }
 }
