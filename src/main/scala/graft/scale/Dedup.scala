@@ -1760,9 +1760,12 @@ object Dedup extends QueryModule {
     * priced on ONE comparable axis so the curator knows where dedup
     * budget goes BEFORE running the expensive pass: `exact` (md5
     * whole-doc groups — q24's policy), `near_dup` (simhash connected
-    * components, min-id representative kept — q68's policy) and `line`
-    * (every occurrence of a corpus-duplicated line drops — q134's
-    * policy). Per method: documents affected, removable token mass
+    * components, least-ID representative kept — the component-label
+    * convention q59/q120 publish; q68's production kept-set picks the
+    * min-HASH member instead, so the two kept SETS differ on ties of
+    * policy, while the REMOVED COUNTS here are identical — one doc
+    * survives per component either way) and `line` (every occurrence
+    * of a corpus-duplicated line drops — q134's policy). Per method: documents affected, removable token mass
     * (the q35 `ceil(chars/4)` estimate — doc-level for the whole-doc
     * methods, line-level for the line method) and the share of corpus
     * tokens. q112 prices the near-dup method alone in depth; this
@@ -1832,6 +1835,53 @@ object Dedup extends QueryModule {
     shape(exact, "exact")
       .unionByName(shape(near, "near_dup"))
       .unionByName(shape(lineDocs.crossJoin(lineToks), "line"))
+  }
+
+  /** q169: per-source survival ledger — the end-of-pipeline table a
+    * curation owner sends to the mixture meeting: for every ingest
+    * source, how many documents and tokens enter, how many the
+    * per-row curation battery drops (q70's keep flag), how many the
+    * near-dup kept-set drops among gate survivors (q68's production
+    * policy — the min-hash representative survives), and what
+    * actually remains to train on, with the kept-token share. q150
+    * reads stage-by-stage survival corpus-wide; this attributes the
+    * final outcome per source, which is what moves mixture weights.
+    *
+    * Attribution is sequential: a doc failing the gate counts as
+    * `gate` even when it is also a near-duplicate (the cheap per-row
+    * battery runs first in a real pipeline; dedup never sees the doc).
+    *
+    * Scale design: two doc_id equi-joins (unique keys) over scan-side
+    * projections, one source-keyed aggregate with map-side partials —
+    * the expensive inputs (the gate's tokenize chain, the component
+    * kept-set) are the SAME shared cores the q70/q68 boards publish. */
+  def survivalLedger(docs0: DataFrame, gate: DataFrame,
+                     kept: DataFrame): DataFrame = {
+    def r6(c: Column): Column = floor(c * 1000000d + 0.5d) / 1000000d
+    val base = Layout.widen(docs0).select(col("doc_id"), col("source"),
+      ceil(length(col("text")).cast("double") / 4d).cast("long").as("toks"))
+    base
+      .join(gate.select(col("doc_id"), col("keep")), Seq("doc_id"))
+      .join(kept.select(col("doc_id"), lit(1).as("in_kept")),
+        Seq("doc_id"), "left")
+      .select(col("source"), col("toks"),
+        when(!col("keep"), lit("gate"))
+          .when(col("in_kept").isNull, lit("dup"))
+          .otherwise(lit("kept")).as("status"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_toks"),
+        count(when(col("status") === "gate", 1)).as("gate_docs"),
+        coalesce(sum(when(col("status") === "gate", col("toks"))), lit(0L))
+          .as("gate_toks"),
+        count(when(col("status") === "dup", 1)).as("dup_docs"),
+        coalesce(sum(when(col("status") === "dup", col("toks"))), lit(0L))
+          .as("dup_toks"),
+        count(when(col("status") === "kept", 1)).as("kept_docs"),
+        coalesce(sum(when(col("status") === "kept", col("toks"))), lit(0L))
+          .as("kept_toks"))
+      .withColumn("kept_share",
+        when(col("n_toks") > 0,
+          r6(col("kept_toks").cast("double") / col("n_toks"))))
   }
 
   /** q135: quality-aware dedup representatives — per near-dup cluster
@@ -1995,6 +2045,10 @@ object Dedup extends QueryModule {
     // (rides the shared component core + the shared line table)
     "q166_dedup_roi" -> ((s, d) =>
       dedupRoiFrom(T.documents(s, d), gateComps(s, d), gateLines(s, d))),
+    // the per-source gate/dup/kept attribution ledger (q70's flags ×
+    // q68's kept set, both from shared cores)
+    "q169_survival_ledger" -> ((s, d) => survivalLedger(T.documents(s, d),
+      TextAnalysis.curationGate(T.documents(s, d)), gateKept(s, d))),
     // quality-aware representative per q59 cluster vs the min-id policy
     "q135_best_rep" -> ((s, d) =>
       bestRep(gateComps(s, d), TextAnalysis.gateScored(s, d))),
@@ -2142,11 +2196,11 @@ object Dedup extends QueryModule {
       |cl AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
       |       FROM reach GROUP BY a)""".stripMargin
 
-  private val simhashPairCte =
-    """w AS (
+  private[scale] val simhashPairCte =
+    """sw AS (
       |  SELECT doc_id, unnest(list_filter(string_split_regex(trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')), ' +'), x -> x <> '')) AS w
       |  FROM documents),
-      |h AS (SELECT doc_id, CAST('0x' || substr(md5(w),1,15) AS BIGINT) AS h FROM w),
+      |h AS (SELECT doc_id, CAST('0x' || substr(md5(w),1,15) AS BIGINT) AS h FROM sw),
       |bits AS (
       |  SELECT doc_id, b,
       |    SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
@@ -2365,6 +2419,55 @@ object Dedup extends QueryModule {
         |    list(ln ORDER BY i) FILTER (WHERE cnt < 2),
         |    chr(10)), '')) AS clean_md5
         |FROM j GROUP BY doc_id""".stripMargin,
+    // q70's keep (the shared curation CTEs) × q68's min-hash kept set
+    // (the same reps/losers fragment), attributed sequentially and
+    // rolled up per source
+    "q169_survival_ledger" ->
+      s"""WITH RECURSIVE $simhashPairCte,
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM p
+         |      UNION SELECT doc_b, doc_a FROM p),
+         |reach(a, b) AS (SELECT a, b FROM e
+         |  UNION SELECT rr.a, e2.b FROM reach rr JOIN e e2 ON rr.b = e2.a),
+         |lab AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+         |        FROM reach GROUP BY a),
+         |reps AS (SELECT doc_id FROM (
+         |    SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY cluster_id
+         |      ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15) AS BIGINT) ASC,
+         |        doc_id ASC) AS rn
+         |    FROM lab) WHERE rn = 1),
+         |losers AS (SELECT doc_id FROM lab
+         |           WHERE doc_id NOT IN (SELECT doc_id FROM reps)),
+         |${TextAnalysis.curationCtes},
+         |gate AS (${TextAnalysis.curationSelect}),
+         |base AS (SELECT d.doc_id, d.source,
+         |    CAST(CEIL(CAST(len(d.text) AS DOUBLE) / 4) AS BIGINT) AS toks,
+         |    ga.keep,
+         |    d.doc_id IN (SELECT doc_id FROM losers) AS is_loser
+         |  FROM documents d JOIN gate ga ON d.doc_id = ga.doc_id),
+         |lst AS (SELECT source, toks,
+         |    CASE WHEN NOT keep THEN 'gate'
+         |         WHEN is_loser THEN 'dup' ELSE 'kept' END AS status
+         |  FROM base)
+         |SELECT source,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(toks) AS BIGINT) AS n_toks,
+         |  CAST(COUNT(CASE WHEN status = 'gate' THEN 1 END) AS BIGINT)
+         |    AS gate_docs,
+         |  CAST(COALESCE(SUM(CASE WHEN status = 'gate' THEN toks END), 0)
+         |    AS BIGINT) AS gate_toks,
+         |  CAST(COUNT(CASE WHEN status = 'dup' THEN 1 END) AS BIGINT)
+         |    AS dup_docs,
+         |  CAST(COALESCE(SUM(CASE WHEN status = 'dup' THEN toks END), 0)
+         |    AS BIGINT) AS dup_toks,
+         |  CAST(COUNT(CASE WHEN status = 'kept' THEN 1 END) AS BIGINT)
+         |    AS kept_docs,
+         |  CAST(COALESCE(SUM(CASE WHEN status = 'kept' THEN toks END), 0)
+         |    AS BIGINT) AS kept_toks,
+         |  CASE WHEN SUM(toks) > 0 THEN
+         |    FLOOR(CAST(COALESCE(SUM(CASE WHEN status = 'kept' THEN toks END),
+         |      0) AS DOUBLE) / SUM(toks) * 1000000.0 + 0.5) / 1000000.0
+         |  END AS kept_share
+         |FROM lst GROUP BY source""".stripMargin,
     // three dedup methods on one axis: exact md5 groups, the recursive
     // CC closure (same cl as q59/q120/q135), line counts; token proxy
     // = ceil(chars/4) everywhere

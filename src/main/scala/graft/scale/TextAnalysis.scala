@@ -1908,7 +1908,7 @@ object TextAnalysis extends QueryModule {
   /** CTE chain shared by the q70 gate oracle and the q78 report oracle:
     * defines `r` (per-doc repetition fractions) and `gp` (per-doc
     * gopher pass flag) over `documents`. */
-  private lazy val curationCtes: String =
+  private[scale] lazy val curationCtes: String =
     s"""w AS (SELECT doc_id, text, $wsSql AS ws,
        |  list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS ls
        |FROM documents),
@@ -1951,7 +1951,7 @@ object TextAnalysis extends QueryModule {
 
   /** Final select of the q70 gate over [[curationCtes]] — also reused
     * as the `gate` CTE body in the q78 report oracle. */
-  private lazy val curationSelect: String =
+  private[scale] lazy val curationSelect: String =
     """SELECT r.doc_id, gp.gopher_pass, r.n_bigrams,
       |  ROUND(r.dup_frac, 4) AS dup_bigram_frac,
       |  ROUND(r.top_frac, 4) AS top_bigram_frac,

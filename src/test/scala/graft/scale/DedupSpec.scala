@@ -1559,4 +1559,31 @@ class DedupSpec extends SparkSpec {
     // (cnt 2 × 3 toks) = 14 toks across all four docs
     assert(out("line") === ((4L, 14L, r6(14.0 / 18))))
   }
+
+  test("survivalLedger attributes sequentially (gate before dup) and " +
+    "rolls the kept-token share per source") {
+    val spark2 = spark
+    import spark2.implicits._
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    // toks = ceil(chars/4): 2 / 1 / 4 (13 chars) / 5 (18 chars)
+    val docs = Seq(
+      (1L, "aaaa bbb", "A"), (2L, "cccc", "A"),
+      (3L, "dddd eee ffff", "B"), (4L, "gggg hhh iii jjjjj", "B")
+    ).toDF("doc_id", "text", "source")
+    // explicit gate flags and kept set (house pattern): doc 2 fails
+    // the gate AND is absent from the kept set — it must count as
+    // `gate`, not `dup` (the battery runs first; dedup never sees it)
+    val gate = Seq((1L, true), (2L, false), (3L, true), (4L, true))
+      .toDF("doc_id", "keep")
+    val kept = Seq(Tuple1(1L), Tuple1(4L)).toDF("doc_id")
+    val out = Dedup.survivalLedger(docs, gate, kept).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_toks"),
+          r.getAs[Long]("gate_docs"), r.getAs[Long]("gate_toks"),
+          r.getAs[Long]("dup_docs"), r.getAs[Long]("dup_toks"),
+          r.getAs[Long]("kept_docs"), r.getAs[Long]("kept_toks"),
+          r.getAs[Double]("kept_share")))).toMap
+    assert(out("A") === ((2L, 3L, 1L, 1L, 0L, 0L, 1L, 2L, r6(2.0 / 3))))
+    assert(out("B") === ((2L, 9L, 0L, 0L, 1L, 4L, 1L, 5L, r6(5.0 / 9))))
+  }
 }
