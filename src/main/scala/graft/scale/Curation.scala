@@ -591,9 +591,14 @@ object Curation extends QueryModule {
     * target leaves gap shard-ids behind it — visible in the board as
     * the missing ids, priced in its own shard's `dev_toks`. */
   def shardPlan(docs: DataFrame, shardTokens: Int = 4096,
-                partitions: Int = 32): DataFrame = {
+                partitions: Int = 32): DataFrame =
+    shardPlanFrom(sequencePack(docs, shardTokens, partitions), shardTokens)
+
+  /** [[shardPlan]] from a packed table — shared-chain form. */
+  private[scale] def shardPlanFrom(packed: DataFrame,
+                                   shardTokens: Int): DataFrame = {
     def r6(c: Column): Column = floor(c * 1000000d + 0.5d) / 1000000d
-    sequencePack(docs, shardTokens, partitions)
+    packed
       .groupBy(col("chunk_first").as("shard_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("shard_toks"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
@@ -624,9 +629,14 @@ object Curation extends QueryModule {
     * (shard, source) with map-side partials, then ≤ n_sources rows
     * per shard down to one. */
   def shardMixing(docs: DataFrame, shardTokens: Int = 4096,
-                  partitions: Int = 32): DataFrame = {
+                  partitions: Int = 32): DataFrame =
+    shardMixingFrom(sequencePack(docs, shardTokens, partitions), docs)
+
+  /** [[shardMixing]] from a packed table — shared-chain form. */
+  private[scale] def shardMixingFrom(packed0: DataFrame,
+                                     docs: DataFrame): DataFrame = {
     def r6(c: Column): Column = floor(c * 1000000d + 0.5d) / 1000000d
-    val packed = sequencePack(docs, shardTokens, partitions)
+    val packed = packed0
       .select(col("doc_id"), col("chunk_first").as("shard_id"))
     val bySrc = packed
       .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
@@ -980,6 +990,14 @@ object Curation extends QueryModule {
       (col("sum_ratio") / greatest(col("n_features"), lit(1)) > 1.0).as("keep"))
   }
 
+  /** Memoized q73-chain packings, one per chunk size — sequencePack
+    * eagerly checkpoints its partition table and collects offsets, so
+    * a batch must not pay that per consumer. */
+  private def gatePacked(s: SparkSession, d: String,
+                         maxTokens: Int): DataFrame =
+    graft.Shared.memo(s, s"cur:packed:$maxTokens:$d")(
+      sequencePack(T.documents(s, d), maxTokens, 32))
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_stratified_sample" -> ((s, d) =>
       stratifiedSample(T.documents(s, d), "doc_id", SampleFractions, "lang")
@@ -987,7 +1005,9 @@ object Curation extends QueryModule {
     "q58_group_cap" -> ((s, d) =>
       perGroupCap(T.documents(s, d), "lang", "doc_id", k = 15)
         .select(col("doc_id"), col("lang"))),
-    "q73_seq_pack" -> ((s, d) => sequencePack(T.documents(s, d))),
+    // the packing chains are memoized per (maxTokens): q73/q145 read
+    // the 2048 table, q159/q168 the 4096 one — each built once a batch
+    "q73_seq_pack" -> ((s, d) => gatePacked(s, d, 2048)),
     "q79_mixture_sample" -> ((s, d) =>
       mixtureSample(T.documents(s, d), TargetMixture, "lang", "doc_id")
         .select(col("doc_id"), col("lang"), round(col("rate"), 6).as("rate"))),
@@ -1018,7 +1038,7 @@ object Curation extends QueryModule {
     "q144_chunk_spans" -> ((s, d) => chunkSpans(T.documents(s, d))),
     // the 1-row packing dashboard over the q73 chain
     "q145_pack_efficiency" -> ((s, d) =>
-      packEfficiency(T.documents(s, d))),
+      packEfficiencyFrom(gatePacked(s, d, 2048), 2048)),
     // data-constrained epoch planning: target mixture × budget vs
     // available tokens per language
     "q148_epoch_allocation" -> ((s, d) =>
@@ -1036,9 +1056,11 @@ object Curation extends QueryModule {
     // per-(split, lang) token shares vs the global mixture
     "q154_split_balance" -> ((s, d) => splitBalance(T.documents(s, d))),
     // whole-doc greedy output sharding + balance manifest
-    "q159_shard_plan" -> ((s, d) => shardPlan(T.documents(s, d))),
+    "q159_shard_plan" -> ((s, d) =>
+      shardPlanFrom(gatePacked(s, d, 4096), 4096)),
     // per-shard source concentration over the same packing chain
-    "q168_shard_mixing" -> ((s, d) => shardMixing(T.documents(s, d))),
+    "q168_shard_mixing" -> ((s, d) =>
+      shardMixingFrom(gatePacked(s, d, 4096), T.documents(s, d))),
     // quality-quartile curriculum schedule (rides the quality core)
     "q161_curriculum" -> ((s, d) =>
       curriculumPhasesFrom(TextAnalysis.gateScored(s, d))),

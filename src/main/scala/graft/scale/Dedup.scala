@@ -2048,7 +2048,7 @@ object Dedup extends QueryModule {
     // the per-source gate/dup/kept attribution ledger (q70's flags ×
     // q68's kept set, both from shared cores)
     "q169_survival_ledger" -> ((s, d) => survivalLedger(T.documents(s, d),
-      TextAnalysis.curationGate(T.documents(s, d)), gateKept(s, d))),
+      TextAnalysis.gateCuration(s, d), gateKept(s, d))),
     // quality-aware representative per q59 cluster vs the min-id policy
     "q135_best_rep" -> ((s, d) =>
       bestRep(gateComps(s, d), TextAnalysis.gateScored(s, d))),

@@ -1798,7 +1798,9 @@ object TextAnalysis extends QueryModule {
     "q66_tfidf" -> ((s, d) => tfidfTopFrom(gateTokens(s, d), k = 5)),
     "q67_bm25" -> ((s, d) => bm25From(gateTokens(s, d),
       terms = Seq("spark", "join", "query"), k = 10)),
-    "q70_curation_gate" -> ((s, d) => curationGate(T.documents(s, d))),
+    // the compiled gate-flag chain is memoized: q70 publishes it and
+    // q169's ledger reads the same table
+    "q70_curation_gate" -> ((s, d) => gateCuration(s, d)),
     "q72_pii_scan" -> ((s, d) => piiScan(T.documents(s, d))),
     "q74_classifier_score" -> ((s, d) => classifierScore(T.documents(s, d))),
     "q75_vocab_coverage" -> ((s, d) => vocabCoverageFrom(gateTokens(s, d)
@@ -1865,6 +1867,12 @@ object TextAnalysis extends QueryModule {
     "q167_domain_reweight" -> ((s, d) => domainReweightFromScored(
       gateTokens(s, d), gateLmScored(s, d), alpha = 10d))
   )
+
+  /** The memoized q70 gate-flag table — q70's own board plus q169's
+    * survival ledger read one build per batch. */
+  private[scale] def gateCuration(s: SparkSession, d: String): DataFrame =
+    graft.Shared.memo(s, s"text:curation-gate:$d")(
+      curationGate(T.documents(s, d)))
 
   /** The memoized q162/q167 scored-bigram stream: the LM build (two
     * bounded aggregates over the train split) plus the corpus scoring
