@@ -787,6 +787,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(!s.contains("Window") && !s.contains("CartesianProduct"))
   }
 
+  test("q168 shard mixing: the dominant source is the struct-max " +
+    "aggregate, never a per-shard ranking window (the only Window in " +
+    "the chain is the packing prefix sum, partitioned by pid)") {
+    val s = planOf(graft.scale.Curation.shardMixing(
+      graft.Tables.documents(spark, sf), shardTokens = 512, partitions = 4))
+    assert(s.contains("max(struct(cnt"),
+      s"expected the struct-max dominant-source aggregate:\n$s")
+    // any Window must be the packing chain's per-partition prefix sum,
+    // never one partitioned by shard or source
+    assert(!s.contains("windowspecdefinition(shard_id") &&
+      !s.contains("windowspecdefinition(source"),
+      s"per-shard/source window leaked into the plan:\n$s")
+    assert(!s.contains("CartesianProduct"))
+  }
+
+  test("q169 survival ledger: attribution is scan-side over two " +
+    "unique-key joins — one source-keyed aggregate, no window") {
+    val docs = graft.Tables.documents(spark, sf)
+    val s = planOf(graft.scale.Dedup.survivalLedger(docs,
+      graft.scale.TextAnalysis.curationGate(docs)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("keep")),
+      graft.scale.Dedup.dedupCorpus(docs, maxDist = 5)))
+    // the ledger itself adds no window; the kept-set input builds with
+    // its own bounded per-cluster pick upstream
+    val ledgerAgg = "HashAggregate".r.findAllIn(s).length
+    assert(ledgerAgg >= 2, s"expected partial+final ledger aggregate:\n$s")
+    assert(!s.contains("CartesianProduct"))
+  }
+
   test("q164 signal correlation: one source-keyed aggregate computes all " +
     "moments map-side; the pair board explodes from aggregate rows — " +
     "no join, no window") {
