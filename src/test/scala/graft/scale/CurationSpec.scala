@@ -631,5 +631,11 @@ class CurationSpec extends SparkSpec {
     assert(out(0L) === ((2L, 2L, "B", 0.5, 0.5)))
     // shard 1: pure-A shard reads as maximum concentration
     assert(out(1L) === ((2L, 1L, "A", 1.0, 1.0)))
+    // reconciliation: q168 reads the SAME shards q159 publishes —
+    // identical shard ids and per-shard doc counts
+    val plan = Curation.shardPlan(docs, shardTokens = 8, partitions = 2)
+      .collect().map(r => r.getAs[Long]("shard_id") ->
+        r.getAs[Long]("n_docs")).toMap
+    assert(plan === out.map { case (k, v) => k -> v._1 })
   }
 }

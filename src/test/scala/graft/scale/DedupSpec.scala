@@ -1531,6 +1531,50 @@ class DedupSpec extends SparkSpec {
     assert(out("B") === ((1L, 2L, 0L, 0L, 2L, 0L, 0.0)))
   }
 
+  test("boilerplateBySource property: 30 random multi-line docs match " +
+    "an independent per-source reference") {
+    val spark2 = spark
+    import spark2.implicits._
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val rnd = new scala.util.Random(7)
+    val lineAlphabet = Vector("copyright acme corp", "nav home about",
+      "x", "hello world", "unique", "abcd efgh")
+    val docs = (1L to 30L).map { id =>
+      (id, Seq.fill(rnd.nextInt(4) + 1)(
+        lineAlphabet(rnd.nextInt(lineAlphabet.size))).mkString("\n"),
+        if (rnd.nextBoolean()) "A" else "B")
+    }
+    val minShare = 0.4; val minLen = 4
+    val expected = docs.groupBy(_._3).map { case (src, ds) =>
+      val nDocs = ds.size.toLong
+      val lines = ds.flatMap { case (id, t, _) =>
+        t.split("\n", -1).map(l => (id, l)) }
+      val occ = lines.groupBy(_._2).map { case (l, xs) => l -> xs.size.toLong }
+      val df = lines.distinct.groupBy(_._2)
+        .map { case (l, xs) => l -> xs.size.toLong }
+      def isB(l: String) =
+        df(l) >= math.ceil(minShare * nDocs) && l.length >= minLen
+      val chars = occ.map { case (l, c) => l -> c * l.length }
+      val chTot = chars.values.sum
+      val chB = chars.collect { case (l, c) if isB(l) => c }.sum
+      src -> ((nDocs, occ.values.sum, occ.keys.count(isB).toLong,
+        occ.collect { case (l, c) if isB(l) => c }.sum,
+        chTot, chB,
+        if (chTot > 0) r6(chB.toDouble / chTot) else null))
+    }
+    val out = Dedup.boilerplateBySource(docs.toDF("doc_id", "text", "source"),
+        minShare, minLen)
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_lines"),
+          r.getAs[Long]("boiler_lines"), r.getAs[Long]("boiler_occ"),
+          r.getAs[Long]("chars_total"), r.getAs[Long]("chars_boiler"),
+          r.getAs[Any]("boiler_share")))).toMap
+    assert(out === expected)
+    // the random corpus exercises both flag outcomes
+    assert(expected.values.exists(_._3 > 0), "no boilerplate generated")
+    assert(expected.values.exists(v => v._3 < 6), "everything flagged")
+  }
+
   test("dedupRoi prices exact, near-dup and line dedup on the same " +
     "token axis with hand-computed masses") {
     val spark2 = spark
@@ -1585,5 +1629,29 @@ class DedupSpec extends SparkSpec {
           r.getAs[Double]("kept_share")))).toMap
     assert(out("A") === ((2L, 3L, 1L, 1L, 0L, 0L, 1L, 2L, r6(2.0 / 3))))
     assert(out("B") === ((2L, 9L, 0L, 0L, 1L, 4L, 1L, 5L, r6(5.0 / 9))))
+  }
+
+  test("dedupRoi's near arm and q112's impact report agree on REMOVED " +
+    "DOC COUNTS across representative policies (one survivor per " +
+    "component either way); removed token mass may differ") {
+    val spark2 = spark
+    import spark2.implicits._
+    // two near-dup components over six docs with unequal member sizes
+    // so a different representative changes the removed TOKEN mass
+    val docs = Seq(
+      (1L, "a" * 4, "S"), (2L, "b" * 8, "S"), (3L, "c" * 12, "S"),
+      (4L, "d" * 16, "S"), (5L, "e" * 20, "S"), (6L, "f" * 24, "S")
+    ).toDF("doc_id", "text", "source").withColumn("lang", lit("en"))
+    val comps = Seq((1L, 1L), (2L, 1L), (4L, 4L), (5L, 4L), (6L, 4L))
+      .toDF("doc_id", "cluster_id")
+    val roiNear = Dedup.dedupRoiFrom(docs, comps, Dedup.lineTable(docs))
+      .collect().find(_.getAs[String]("method") == "near_dup").get
+    // q112 path: q68's kept set from the SAME components (min-hash rep)
+    val impact = Dedup.dedupImpactFrom(docs,
+      Dedup.dedupCorpusFrom(docs, comps)).collect()
+      .map(r => r.getAs[Long]("n_removed")).sum
+    // policy-independent: members minus one survivor per component
+    assert(roiNear.getAs[Long]("n_docs") === 3L)
+    assert(impact === 3L)
   }
 }
