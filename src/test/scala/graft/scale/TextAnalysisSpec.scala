@@ -843,6 +843,50 @@ class TextAnalysisSpec extends SparkSpec {
       out("S2").getAs[Double]("share"))
   }
 
+  test("signalCorrelation property: random scored frames match an " +
+    "independent BigInt moment reference") {
+    val spark2 = spark
+    import spark2.implicits._
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    def s4(x: Double): Long = math.floor(x * 10000d + 0.5d).toLong
+    val rnd = new scala.util.Random(11)
+    def r4(): Double = rnd.nextInt(10000) / 10000.0
+    val rows = (1 to 50).map { i =>
+      (i.toLong, if (i % 2 == 0) "A" else "B",
+        rnd.nextInt(200), r4(), r4(), r4())
+    }
+    val scored = rows
+      .toDF("doc_id", "source", "n_words", "stop_ratio", "punct_ratio",
+        "quality")
+    val sigNames = Seq("n_words", "stop_ratio", "punct_ratio", "quality")
+    // independent reference: BigInt moments, double cast, sqrt, r6
+    val expected = rows.groupBy(_._2).flatMap { case (src, rs) =>
+      val vecs = rs.map(r =>
+        Seq(r._3.toLong, s4(r._4), s4(r._5), s4(r._6)))
+      val n = BigInt(vecs.size)
+      for {
+        i <- sigNames.indices; j <- i + 1 until sigNames.size
+      } yield {
+        val xs = vecs.map(v => BigInt(v(i))); val ys = vecs.map(v => BigInt(v(j)))
+        val sx = xs.sum; val sy = ys.sum
+        val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+        val sxx = xs.map(a => a * a).sum; val syy = ys.map(b => b * b).sum
+        val num = (n * sxy - sx * sy).toDouble
+        val denx = (n * sxx - sx * sx).toDouble
+        val deny = (n * syy - sy * sy).toDouble
+        val corr = if (denx > 0 && deny > 0)
+          Some(r6(num / (math.sqrt(denx) * math.sqrt(deny)))) else None
+        (src, sigNames(i), sigNames(j)) -> corr
+      }
+    }
+    val out = TextAnalysis.signalCorrelationFrom(scored).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("sig_a"),
+        r.getAs[String]("sig_b")) ->
+        Option(r.getAs[java.lang.Double]("corr")).map(_.toDouble)).toMap
+    assert(out === expected.toMap)
+    assert(out.size === 12) // 2 sources x C(4,2)
+  }
+
   test("signalCorrelation: exact moments give r=1 on a linear pair and " +
     "NULL on zero-variance signals") {
     val spark2 = spark
