@@ -545,6 +545,48 @@ class SimilaritySpec extends SparkSpec {
     assert(again.toSet === out.toSet)
   }
 
+  test("embeddingHealth property: random vectors (with planted NaN/Inf/" +
+    "zero/dup rows) match an independent reference") {
+    val spark2 = spark
+    import spark2.implicits._
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val rnd = new scala.util.Random(23)
+    val rows: Seq[(Long, Array[Float])] = (1 to 40).map { i =>
+      val v = Array.fill(8)((rnd.nextDouble() * 2 - 1).toFloat)
+      if (i % 11 == 0) v(rnd.nextInt(8)) = Float.NaN
+      if (i % 13 == 0) v(rnd.nextInt(8)) = Float.PositiveInfinity
+      if (i % 7 == 0) java.util.Arrays.fill(v, 0f)
+      // duplicate ids every 17th row
+      ((if (i % 17 == 0) i - 1 else i).toLong, v)
+    }
+    val out = Similarity.embeddingHealth(rows.toDF("vec_id", "embedding"))
+      .collect().head
+    // independent reference (scalar fold in array order = the engine's
+    // sequential dot-product contract)
+    def bad(v: Array[Float]) =
+      v.exists(x => x.isNaN || x.isInfinite)
+    def norm(v: Array[Float]) =
+      math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+    val fin = rows.filter(r => !bad(r._2))
+    val norms = fin.map(r => r6(norm(r._2)))
+    assert(out.getAs[Long]("n_vecs") === 40L)
+    assert(out.getAs[Long]("n_dup_ids") ===
+      (40L - rows.map(_._1).distinct.size))
+    assert(out.getAs[Boolean]("dim_consistent"))
+    assert(out.getAs[Long]("n_nonfinite") === rows.count(r => bad(r._2)).toLong)
+    assert(out.getAs[Long]("n_zero") ===
+      rows.count(r => !bad(r._2) && r._2.forall(_ == 0f)).toLong)
+    assert(out.getAs[Double]("min_norm") === norms.min)
+    assert(out.getAs[Double]("max_norm") === norms.max)
+    val mean = r6(norms.map(BigDecimal(_).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / norms.size)
+    assert(out.getAs[Double]("mean_norm") === mean)
+    // sanity: all three planted pathologies occurred
+    assert(rows.count(r => bad(r._2)) > 0)
+    assert(rows.count(r => !bad(r._2) && r._2.forall(_ == 0f)) > 0)
+    assert(rows.map(_._1).distinct.size < 40)
+  }
+
   test("embeddingHealth counts zero/non-finite/duplicate-id rows and " +
     "excludes non-finite vectors from the norm stats") {
     val spark2 = spark
