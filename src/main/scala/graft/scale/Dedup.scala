@@ -1641,9 +1641,11 @@ object Dedup extends QueryModule {
                 heavyCapacity: Int = 4096): DataFrame =
     // the line table feeds the sketch, the counts AND the reassembly —
     // barriered (the gate registry passes the memoized shared core
-    // instead, already checkpointed)
-    lineDedupFrom(lineTable(docs0).localCheckpoint(), minDupCount,
-      heavyCapacity)
+    // instead, already checkpointed). Standalone callers don't read
+    // the line table's `source` column, so project it away BEFORE the
+    // checkpoint — no dead data in the materialized blocks.
+    lineDedupFrom(lineTable(docs0).select(col("doc_id"), col("pos"),
+      col("line")).localCheckpoint(), minDupCount, heavyCapacity)
 
   /** The exploded (source, doc_id, pos, line) table — the shared input
     * of the line family (q134 drop pass, q163 boilerplate board,

@@ -1687,11 +1687,18 @@ object TextAnalysis extends QueryModule {
       (col("n_bigrams").cast("double") * 1000000000d))
     val corpusMeanP = r6(col("spt").cast("double") /
       (col("nbt").cast("double") * 1000000000d))
-    val boosted = srcTok.join(perSrc, Seq("source"))
+    // LEFT join: a source whose docs all have < 2 tokens has no
+    // bigram rows, but it still holds token share — dropping it would
+    // publish weights that don't sum to 1 (its tokens stay in
+    // toks_total). It gets n_bigrams = 0, NULL mean_p (no evidence),
+    // excess = 0 (no boost), and rides the share-only weight.
+    val boosted = srcTok.join(perSrc, Seq("source"), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
       .crossJoin(broadcast(corpus)).crossJoin(broadcast(tokTot))
       .select(col("source"), col("n_docs"), col("n_toks"), col("n_bigrams"),
-        meanP.as("mean_p"),
-        greatest(lit(0d), corpusMeanP - meanP).as("excess"),
+        when(col("n_bigrams") > 0L, meanP).as("mean_p"),
+        when(col("n_bigrams") > 0L, greatest(lit(0d), corpusMeanP - meanP))
+          .otherwise(lit(0d)).as("excess"),
         (col("n_toks").cast("double") / col("toks_total").cast("double"))
           .as("share_raw"))
       .withColumn("w6",
@@ -1874,13 +1881,23 @@ object TextAnalysis extends QueryModule {
     graft.Shared.memo(s, s"text:curation-gate:$d")(
       curationGate(T.documents(s, d)))
 
+  /** Gate-board LM geometry (q162/q167/q170 and their oracles): a
+    * deliberately tiny top-V vocab + top-B bigram table so the sf0.01
+    * model exercises the <unk>/miss paths. ONE definition feeds BOTH
+    * the Scala gate calls and the interpolated DuckDB SQL — a future
+    * change moves every consumer at once instead of silently diverging
+    * from the oracle (the API defaults stay 1024 / 65536). */
+  private[scale] val GateLmVocab = 16
+  private[scale] val GateLmBigrams = 64
+
   /** The memoized q162/q167 scored-bigram stream: the LM build (two
     * bounded aggregates over the train split) plus the corpus scoring
     * pass run ONCE per batch; both boards roll up from the same
     * checkpointed stream (≈ one narrow row per corpus bigram). */
   private def gateLmScored(s: SparkSession, d: String): DataFrame =
-    graft.Shared.memo(s, s"text:lm-scored-16-64:$d")(
-      lmScoredBigrams(gateTokens(s, d), vocabSize = 16, maxBigrams = 64))
+    graft.Shared.memo(s, s"text:lm-scored-$GateLmVocab-$GateLmBigrams:$d")(
+      lmScoredBigrams(gateTokens(s, d), vocabSize = GateLmVocab,
+        maxBigrams = GateLmBigrams))
 
   private val normSql =
     "trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g'))"
@@ -2495,7 +2512,8 @@ object TextAnalysis extends QueryModule {
          |tr AS (SELECT * FROM w WHERE ${Curation.splitUSql("doc_id")} < 0.8),
          |wc AS (SELECT word, COUNT(*) AS cnt
          |       FROM (SELECT unnest(ws) AS word FROM tr) GROUP BY 1),
-         |vocab AS (SELECT word, cnt FROM wc ORDER BY cnt DESC, word LIMIT 16),
+         |vocab AS (SELECT word, cnt FROM wc ORDER BY cnt DESC, word
+         |         LIMIT $GateLmVocab),
          |unk AS (SELECT CAST((SELECT COALESCE(SUM(cnt), 0) FROM wc)
          |  - (SELECT COALESCE(SUM(cnt), 0) FROM vocab) AS BIGINT) AS unk_cnt),
          |tb AS (SELECT ws[i+1] AS w1, ws[i+2] AS w2
@@ -2505,7 +2523,7 @@ object TextAnalysis extends QueryModule {
          |       FROM tb LEFT JOIN vocab v1 ON tb.w1 = v1.word
          |               LEFT JOIN vocab v2 ON tb.w2 = v2.word),
          |bc AS (SELECT bigram, COUNT(*) AS c2 FROM tm GROUP BY 1
-         |       ORDER BY c2 DESC, bigram LIMIT 64),
+         |       ORDER BY c2 DESC, bigram LIMIT $GateLmBigrams),
          |sb AS (SELECT doc_id, source, ws[i+1] AS w1, ws[i+2] AS w2
          |       FROM w, unnest(range(len(ws) - 1)) t(i) WHERE len(ws) >= 2),
          |sm AS (SELECT doc_id, source,
@@ -2516,7 +2534,7 @@ object TextAnalysis extends QueryModule {
          |               LEFT JOIN vocab v2 ON sb.w2 = v2.word),
          |p AS (SELECT source,
          |        CAST(FLOOR((CAST(COALESCE(bc.c2, 0) + 1 AS DOUBLE)
-         |          / CAST(sm.c1 + 17 AS DOUBLE)) * 1000000000.0 + 0.5)
+         |          / CAST(sm.c1 + ${GateLmVocab + 1} AS DOUBLE)) * 1000000000.0 + 0.5)
          |          AS BIGINT) AS p9
          |      FROM sm LEFT JOIN bc ON sm.bigram = bc.bigram),
          |ps AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
@@ -2526,19 +2544,21 @@ object TextAnalysis extends QueryModule {
          |ct AS (SELECT CAST(SUM(n_bigrams) AS BIGINT) AS nbt,
          |         CAST(SUM(sp9) AS BIGINT) AS spt FROM ps),
          |tt AS (SELECT CAST(SUM(n_toks) AS BIGINT) AS toks_total FROM st),
-         |b AS (SELECT st.source, st.n_docs, st.n_toks, ps.n_bigrams,
-         |  FLOOR(CAST(ps.sp9 AS DOUBLE)
-         |    / (CAST(ps.n_bigrams AS DOUBLE) * 1000000000.0)
-         |    * 1000000.0 + 0.5) / 1000000.0 AS mean_p,
-         |  GREATEST(0.0,
+         |b AS (SELECT st.source, st.n_docs, st.n_toks,
+         |  CAST(COALESCE(ps.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |  CASE WHEN ps.n_bigrams > 0 THEN
+         |    FLOOR(CAST(ps.sp9 AS DOUBLE)
+         |      / (CAST(ps.n_bigrams AS DOUBLE) * 1000000000.0)
+         |      * 1000000.0 + 0.5) / 1000000.0 END AS mean_p,
+         |  CASE WHEN ps.n_bigrams > 0 THEN GREATEST(0.0,
          |    FLOOR(CAST(ct.spt AS DOUBLE)
          |      / (CAST(ct.nbt AS DOUBLE) * 1000000000.0)
          |      * 1000000.0 + 0.5) / 1000000.0
          |    - FLOOR(CAST(ps.sp9 AS DOUBLE)
          |      / (CAST(ps.n_bigrams AS DOUBLE) * 1000000000.0)
-         |      * 1000000.0 + 0.5) / 1000000.0) AS excess,
+         |      * 1000000.0 + 0.5) / 1000000.0) ELSE 0.0 END AS excess,
          |  CAST(st.n_toks AS DOUBLE) / tt.toks_total AS share_raw
-         |  FROM st JOIN ps USING (source), ct, tt),
+         |  FROM st LEFT JOIN ps USING (source), ct, tt),
          |b2 AS (SELECT *,
          |  FLOOR(share_raw * (1.0 + 10.0 * excess) * 1000000.0 + 0.5)
          |    / 1000000.0 AS w6 FROM b),
@@ -2558,7 +2578,8 @@ object TextAnalysis extends QueryModule {
          |tr AS (SELECT * FROM w WHERE ${Curation.splitUSql("doc_id")} < 0.8),
          |wc AS (SELECT word, COUNT(*) AS cnt
          |       FROM (SELECT unnest(ws) AS word FROM tr) GROUP BY 1),
-         |vocab AS (SELECT word, cnt FROM wc ORDER BY cnt DESC, word LIMIT 16),
+         |vocab AS (SELECT word, cnt FROM wc ORDER BY cnt DESC, word
+         |         LIMIT $GateLmVocab),
          |unk AS (SELECT CAST((SELECT COALESCE(SUM(cnt), 0) FROM wc)
          |  - (SELECT COALESCE(SUM(cnt), 0) FROM vocab) AS BIGINT) AS unk_cnt),
          |tb AS (SELECT ws[i+1] AS w1, ws[i+2] AS w2
@@ -2568,7 +2589,7 @@ object TextAnalysis extends QueryModule {
          |       FROM tb LEFT JOIN vocab v1 ON tb.w1 = v1.word
          |               LEFT JOIN vocab v2 ON tb.w2 = v2.word),
          |bc AS (SELECT bigram, COUNT(*) AS c2 FROM tm GROUP BY 1
-         |       ORDER BY c2 DESC, bigram LIMIT 64),
+         |       ORDER BY c2 DESC, bigram LIMIT $GateLmBigrams),
          |sb AS (SELECT doc_id, ws[i+1] AS w1, ws[i+2] AS w2
          |       FROM w, unnest(range(len(ws) - 1)) t(i) WHERE len(ws) >= 2),
          |sm AS (SELECT doc_id,
@@ -2581,7 +2602,7 @@ object TextAnalysis extends QueryModule {
          |p AS (SELECT doc_id, (bc.bigram IS NOT NULL) AS hit,
          |        (m1 = '<unk>') AS unk_ctx,
          |        CAST(FLOOR((CAST(COALESCE(bc.c2, 0) + 1 AS DOUBLE)
-         |          / CAST(sm.c1 + 17 AS DOUBLE)) * 1000000000.0 + 0.5)
+         |          / CAST(sm.c1 + ${GateLmVocab + 1} AS DOUBLE)) * 1000000000.0 + 0.5)
          |          AS BIGINT) AS p9
          |      FROM sm LEFT JOIN bc ON sm.bigram = bc.bigram)
          |SELECT doc_id,

@@ -843,6 +843,38 @@ class TextAnalysisSpec extends SparkSpec {
       out("S2").getAs[Double]("share"))
   }
 
+  test("domainReweight keeps a bigram-less source on the board: " +
+    "NULL mean_p, zero excess, share-only weight, weights sum to 1") {
+    val spark2 = spark
+    import spark2.implicits._
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    // S3's docs all have < 2 tokens → zero bigram rows; before the
+    // left-join fix it vanished from the output while its tokens
+    // still inflated toks_total, so published weights summed < 1
+    val docs = Seq(
+      (1L, "a b a b c", "S1"), (2L, "a b a b c", "S1"),
+      (4L, "a b a b c", "S1"), (3L, "a b a b c", "S1"),
+      (5L, "z b", "S2"),
+      (6L, "q", "S3"), (7L, "r", "S3")
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.domainReweight(docs, vocabSize = 2,
+        maxBigrams = 100, alpha = 10d)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(out.keySet === Set("S1", "S2", "S3"))
+    val s3 = out("S3")
+    assert(s3.getAs[Long]("n_bigrams") === 0L)
+    assert(s3.isNullAt(s3.fieldIndex("mean_p")))
+    assert(s3.getAs[Double]("excess") === 0.0)
+    // share-only weight: 2 tokens of 24 total, no boost
+    assert(s3.getAs[Double]("share") === r6(2.0 / 24))
+    assert(s3.getAs[Double]("raw_weight") === r6(2.0 / 24))
+    // the published mixture is a distribution again
+    val wsum = out.values.map(r =>
+      BigDecimal(r.getAs[Double]("weight"))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+    assert(math.abs(wsum - 1.0) <= 3e-6)
+  }
+
   test("signalCorrelation property: random scored frames match an " +
     "independent BigInt moment reference") {
     val spark2 = spark
