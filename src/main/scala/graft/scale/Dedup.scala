@@ -84,14 +84,18 @@ object Dedup extends QueryModule {
       .select(col("doc_id"), col("b"), col("bv"))
   }
 
-  /** Near-duplicate candidate pairs via MinHash-LSH bucket self-join. */
+  /** Near-duplicate candidate pairs via MinHash-LSH bucket self-join.
+    * A band bucket is hot precisely when a large near-identical
+    * template family shares its signature slice — the thing near-dup
+    * dedup exists to find — so the d²/2 candidate pairs are the
+    * operator's OWN output; [[Skew.boundedSelfPairs]] spreads their
+    * generation across grid regions instead of funneling the family
+    * into one task (identical result set by that operator's
+    * contract). */
   def minhashPairs(docs: DataFrame): DataFrame = {
     val bands = minhashBands(docs)
-    val a = bands.as("a")
-    val b = bands.as("b")
-    a.join(b, col("a.b") === col("b.b") && col("a.bv") === col("b.bv") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    Skew.boundedSelfPairs(bands, Seq("b", "bv"), "doc_id")
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_bands"))
   }
 
@@ -133,10 +137,9 @@ object Dedup extends QueryModule {
       val bands = wa.select(col("doc_id"),
         posexplode(minhashBandHashes(col("ws"), ShingleSize, NumMinhashes, b))
           .as(Seq("b", "bv")))
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.b") === col("b.b") && col("a.bv") === col("b.bv") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      // the b=16/r=1 arm is the family's sharpest hot-bucket surface
+      // (single-component bands catch everything) — same bounded join
+      val cand = Skew.boundedSelfPairs(bands, Seq("b", "bv"), "doc_id")
         .distinct()
       val matched = cand
         .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
@@ -203,10 +206,7 @@ object Dedup extends QueryModule {
     val bands = wa.select(col("doc_id"),
       posexplode(minhashBandHashes(col("ws"), ShingleSize, NumMinhashes,
         NumBands)).as(Seq("b", "bv")))
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.b") === col("b.b") && col("a.bv") === col("b.bv") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val cand = Skew.boundedSelfPairs(bands, Seq("b", "bv"), "doc_id")
       .distinct()
     val sh = wa.select(col("doc_id"),
       explode(distinctShingles(col("ws"), ShingleSize)).as("sh"))
@@ -252,36 +252,66 @@ object Dedup extends QueryModule {
       .select(col("doc_id"), simhash60(col("ws")).as("simhash"))
   }
 
-  /** SimHash near-dup pairs within Hamming distance `maxDist`. Candidate
-    * generation splits the 60-bit signature into `maxDist + 1` chunks —
-    * by pigeonhole, ≤ maxDist differing bits cannot touch every chunk,
-    * so every qualifying pair shares at least one equal chunk: the
-    * blocking is COMPLETE for any maxDist in [1, 59], and candidates
-    * come from an equality self-join, never the n² cross join. The
-    * default (3 ⇒ four 15-bit chunks) is the classic Manku et al.
-    * parameterization; large maxDist values shrink chunks and degrade
-    * blocking selectivity, so they are legal but increasingly costly. */
-  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+  /** SimHash near-dup pairs within Hamming distance `maxDist`.
+    * Candidate generation splits the 60-bit signature into `numChunks`
+    * disjoint chunks and blocks on every (numChunks − maxDist)-chunk
+    * combination: ≤ maxDist differing bits touch at most maxDist
+    * chunks, so at least numChunks − maxDist chunks agree — one of the
+    * C(numChunks, maxDist) combination tables holds the pair with its
+    * FULL key equal. The blocking is COMPLETE for any
+    * numChunks ≥ maxDist + 1 (Manku et al.'s multi-table scheme), and
+    * candidates come from an equality self-join, never the n² cross
+    * join.
+    *
+    * The default numChunks = maxDist + 1 is the classic single-chunk
+    * parameterization (C(m+1, 1) = m+1 tables keyed on ~60/(m+1)
+    * bits). Scale knob: simhash bits are corpus-biased (common words
+    * push the same bits corpus-wide), so single-chunk bucket occupancy
+    * grows LINEARLY with corpus size — at sf0.1 the hottest 10-bit
+    * chunk bucket already holds 11% of the corpus. Raising numChunks
+    * widens each table key (numChunks = maxDist + 2 ⇒ 2-chunk keys,
+    * squaring per-bucket selectivity) at the cost of C(c, m) tables —
+    * the occupancy/table-count trade a 100 TB run tunes. Whatever the
+    * residual occupancy, the self-join runs through
+    * [[Skew.boundedSelfPairs]], so a hot bucket (templated-page family
+    * or low-entropy chunk) spreads across grid regions instead of
+    * funneling d²/2 pairs into one task; results are identical to the
+    * plain join by that operator's contract. */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3,
+                   numChunks: Int = 0): DataFrame = {
     require(maxDist >= 1 && maxDist < 60,
       s"maxDist must be in [1, 59] for 60-bit signatures: $maxDist")
-    val numChunks = maxDist + 1
-    val baseW = 60 / numChunks
-    val rem = 60 % numChunks
-    val sh = simhash(docs)
-    val chunks = (0 until numChunks).map { c =>
-      val start = c * baseW + math.min(c, rem)
-      val width = baseW + (if (c < rem) 1 else 0)
-      struct(lit(c).as("c"),
-        shiftright(col("simhash"), start).bitwiseAND((1L << width) - 1L).as("cv"))
+    val c = if (numChunks <= 0) maxDist + 1 else numChunks
+    require(c >= maxDist + 1 && c <= 60,
+      s"numChunks must be in [maxDist+1, 60]: $c")
+    val baseW = 60 / c
+    val rem = 60 % c
+    def bounds(ci: Int): (Int, Int) = {
+      val start = ci * baseW + math.min(ci, rem)
+      val width = baseW + (if (ci < rem) 1 else 0)
+      (start, width)
     }
+    val sh = simhash(docs)
+    // one struct per table: id + the subset's chunk values packed into
+    // a single long (disjoint chunks total 60 bits, so any subset
+    // packs losslessly)
+    val tables = (0 until c).combinations(c - maxDist).toSeq.zipWithIndex
+      .map { case (ss, t) =>
+        val kv = ss.foldLeft(lit(0L)) { (acc, ci) =>
+          val (start, width) = bounds(ci)
+          shiftleft(acc, width).bitwiseOR(
+            shiftright(col("simhash"), start).bitwiseAND((1L << width) - 1L))
+        }
+        struct(lit(t).as("t"), kv.as("kv"))
+      }
     val blocked = sh.select(col("doc_id"), col("simhash"),
-      explode(array(chunks: _*)).as("ch"))
-      .select(col("doc_id"), col("simhash"), col("ch.c").as("c"), col("ch.cv").as("cv"))
-    val a = blocked.as("a"); val b = blocked.as("b")
-    a.join(b, col("a.c") === col("b.c") && col("a.cv") === col("b.cv") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("dist"))
+      explode(array(tables: _*)).as("tb"))
+      .select(col("doc_id"), col("simhash"),
+        col("tb.t").as("t"), col("tb.kv").as("kv"))
+    Skew.boundedSelfPairs(blocked, Seq("t", "kv"), "doc_id",
+        payload = Seq("simhash"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("simhash_a").bitwiseXOR(col("simhash_b"))).as("dist"))
       .distinct()
       .filter(col("dist") <= maxDist)
   }

@@ -2,7 +2,7 @@ package graft.scale
 
 import graft.{QueryModule, Tables => T}
 import graft.functions.PortableFuncs.{exactSum, exactSumSql}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Skew mitigation for shuffle joins (north star; no reference
@@ -56,6 +56,115 @@ object Skew extends QueryModule {
       explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
     l.join(r, l(leftKey) === r(rightKey) && l("__salt") === r("__salt"), joinType)
       .drop("__salt")
+  }
+
+  /** All within-key unordered pairs of a row set in which `id` is
+    * unique per key — the self-join at the heart of every
+    * bucket-blocked candidate generator (MinHash band join, SimHash
+    * chunk join, LSH cell join) — with per-task pair emission BOUNDED
+    * on hot keys. Output is EXACTLY the plain self-join's
+    * (`a.key = b.key AND a.id < b.id`): the split changes join
+    * ROUTING only, never the match set, so every downstream oracle
+    * states the plain join.
+    *
+    * Why: a bucket shared by d rows emits d·(d−1)/2 pairs, and a
+    * plain shuffled self-join funnels ALL of them into the one task
+    * that owns the key — at 100 TB the templated-page family (or a
+    * low-entropy signature chunk) is exactly that key, and the task
+    * OOMs or straggles the job. That total volume is inherent to the
+    * operator's contract (those pairs ARE the answer); what is not
+    * inherent is computing them in one task.
+    *
+    * The split, in three [[graft.scale.Dedup.lineDedup]]-pattern
+    * steps:
+    *  1. exact per-key sizes from one map-side-combining aggregate
+    *     (a hot key collapses to one row per task before the
+    *     exchange);
+    *  2. a Misra-Gries sketch nominates every key that COULD exceed
+    *     n/(sketchCapacity+1) rows (the MG retention guarantee —
+    *     [[graft.functions.FreqSketch]]); the nominated keys' exact
+    *     stats are a ≤ capacity broadcast, so hot rows learn their df
+    *     map-side while the residual shuffle attach carries only keys
+    *     provably under n/(capacity+1) per task;
+    *  3. routing by exact df: keys with df ≤ hotDf self-join plainly
+    *     (per-key emission ≤ hotDf²/2); hotter keys take a GRID
+    *     self-join — rows are hashed into g = ⌈df/hotDf⌉ groups, the
+    *     g·(g+1)/2 group-pair regions become extra join-key columns,
+    *     and each region's task emits ≈ hotDf² pairs regardless of d.
+    *
+    * Exactly-once (grid path): a row in group i replicates to regions
+    * (i, j) for j ≥ i as LEFT and (i', i) for i' ≤ i as RIGHT. An
+    * unordered pair {x, y} with groups gx ≤ gy meets in region
+    * (gx, gy) alone — as (x LEFT, y RIGHT) when gx < gy (y's LEFT
+    * regions start at gy > gx, x's RIGHT regions end at gx < gy, so
+    * the mirrored match cannot exist), and when gx = gy both
+    * orderings land in the diagonal region where `id_l < id_r` keeps
+    * one. Row replication on the grid path is g+1 ≈ df/hotDf copies —
+    * proportional to output/hotDf, i.e. strictly dominated by the
+    * pair volume the contract already owes.
+    *
+    * `payload` columns ride along and come back suffixed `_a`/`_b`
+    * in `id`-order (the SimHash consumer carries the signature so
+    * distance is a projection, not another join). */
+  def boundedSelfPairs(rows0: DataFrame, keys: Seq[String], id: String,
+                       payload: Seq[String] = Nil, hotDf: Long = 64L,
+                       sketchCapacity: Int = 4096): DataFrame = {
+    require(keys.nonEmpty && hotDf >= 1L, "need key columns and hotDf >= 1")
+    val kc = keys.map(col)
+    val rows = rows0.select((kc :+ col(id).as("__id")) ++ payload.map(col): _*)
+    val counts = rows.groupBy(kc: _*).agg(count(lit(1)).as("__df"))
+    // nomination sketches the key HASH: collisions only over-nominate
+    // (routing uses exact df), and any key shape sketches as one item
+    val keyHash = xxhash64(kc: _*)
+    val nom = rows
+      .agg(graft.functions.FreqSketch.misraGries(keyHash.cast("string"),
+        sketchCapacity).as("c"))
+      .select(explode(col("c")).as("__khs"))
+      .select(col("__khs").cast("long").as("__kh"))
+    val withH = counts.withColumn("__kh", keyHash)
+    val nomCounts = withH.join(broadcast(nom), Seq("__kh")).drop("__kh")
+    val restCounts = withH.join(broadcast(nom), Seq("__kh"), "left_anti")
+      .drop("__kh")
+    val annotated = rows.withColumn("__kh", keyHash)
+      .join(broadcast(nom), Seq("__kh"), "left_anti").drop("__kh")
+      .join(restCounts, keys)
+      .unionByName(rows.join(broadcast(nomCounts), keys))
+    def pairOut(l: DataFrame, r: DataFrame, joinKeys: Seq[String],
+                keep: Column): DataFrame = {
+      val aFirst = col("__id_l") < col("__id_r")
+      l.join(r, joinKeys).filter(keep).select(
+        (Seq(when(aFirst, col("__id_l")).otherwise(col("__id_r")).as("doc_a"),
+          when(aFirst, col("__id_r")).otherwise(col("__id_l")).as("doc_b")) ++
+          payload.map(p => when(aFirst, col(s"${p}_l"))
+            .otherwise(col(s"${p}_r")).as(s"${p}_a")) ++
+          payload.map(p => when(aFirst, col(s"${p}_r"))
+            .otherwise(col(s"${p}_l")).as(s"${p}_b"))): _*)
+    }
+    def side(df: DataFrame, suffix: String, extra: Seq[Column]): DataFrame =
+      df.select((kc ++ extra :+ col("__id").as(s"__id$suffix")) ++
+        payload.map(p => col(p).as(s"$p$suffix")): _*)
+    // light path: every key ≤ hotDf rows — the plain join, bounded
+    val plain = annotated.filter(col("__df") <= hotDf).drop("__df")
+    val plainPairs = pairOut(side(plain, "_l", Nil), side(plain, "_r", Nil),
+      keys, keep = col("__id_l") < col("__id_r"))
+    // grid path: g = ceil(df/hotDf) groups; the g·(g+1)/2 group-pair
+    // regions become join-key columns, spreading the key across tasks.
+    // Off-diagonal regions hold each pair exactly once (keep all);
+    // diagonal regions hold both orderings (keep the id-ordered one).
+    val g = ceil(col("__df") / lit(hotDf.toDouble)).cast("long")
+    val hot = annotated.filter(col("__df") > hotDf)
+      .withColumn("__g", pmod(xxhash64(col("__id")), g))
+      .withColumn("__gmax", g - 1L)
+      .drop("__df")
+    val lhs = side(hot, "_l", Seq(col("__g").as("__ri"), col("__gmax")))
+      .withColumn("__rj", explode(sequence(col("__ri"), col("__gmax"))))
+      .drop("__gmax", "__g")
+    val rhs = side(hot, "_r", Seq(col("__g").as("__rj")))
+      .withColumn("__ri", explode(sequence(lit(0L), col("__rj"))))
+      .drop("__g")
+    val gridPairs = pairOut(lhs, rhs, keys ++ Seq("__ri", "__rj"),
+      keep = col("__ri") =!= col("__rj") || col("__id_l") < col("__id_r"))
+    plainPairs.unionByName(gridPairs)
   }
 
   /** q44: revenue by order priority over the lineitem⋈orders join,

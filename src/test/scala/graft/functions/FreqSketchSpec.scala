@@ -32,6 +32,46 @@ class FreqSketchSpec extends SparkSpec {
     }
   }
 
+  test("misra_gries retention property: randomized capacities and " +
+    "ADVERSARIAL interleavings (sorted runs, heavy-last, split-heavy, " +
+    "uniform + spike) never evict a true heavy item") {
+    val spark2 = spark
+    import spark2.implicits._
+    // the q134/boundedSelfPairs routing rests on exactly this bound:
+    // every item with count > N/(cap+1) is in the sketch — pin it
+    // against orderings built to stress eviction and merge, not just
+    // the Zipf fixture above
+    val rnd = new scala.util.Random(101)
+    def heavy(i: Int) = s"H$i"
+    def noise() = s"z${rnd.nextInt(5000)}"
+    val streams: Seq[(String, Seq[String])] = Seq(
+      // heavy items arrive LAST, after noise has filled every buffer
+      "heavy-last" -> ((1 to 6000).map(_ => noise()) ++
+        (0 until 4).flatMap(h => Seq.fill(2500)(heavy(h)))),
+      // heavy occurrences split thin across the whole stream
+      "interleaved" -> (0 until 12000).map(i =>
+        if (i % 4 == 0) heavy(i % 3) else noise()),
+      // sorted runs: each partition sees long same-item runs
+      "sorted-runs" -> ((0 until 3).flatMap(h => Seq.fill(3000)(heavy(h))) ++
+        (1 to 5000).map(_ => noise())).sorted,
+      // near-uniform field with one spike barely above the bound
+      "uniform-spike" -> rnd.shuffle(
+        (1 to 9000).map(i => s"u${i % 1500}") ++ Seq.fill(1200)(heavy(0)))
+    )
+    for ((name, stream) <- streams; cap <- Seq(5, 17, 64);
+         parts <- Seq(1, 7)) {
+      val exact = stream.groupBy(identity).view.mapValues(_.size.toLong)
+      val bound = stream.size.toLong / (cap + 1)
+      val mustHave = exact.filter(_._2 > bound).keys.toSet
+      val got = stream.toDF("w").repartition(parts)
+        .agg(FreqSketch.misraGries(col("w"), cap).as("cand"))
+        .head().getSeq[String](0).toSet
+      assert(got.size <= cap, s"$name cap=$cap parts=$parts overflow")
+      assert(mustHave.subsetOf(got),
+        s"$name cap=$cap parts=$parts evicted ${mustHave -- got}")
+    }
+  }
+
   test("heavyHitters equals the exact top-k with exact counts on a " +
     "skewed corpus, independent of partitioning") {
     val spark2 = spark

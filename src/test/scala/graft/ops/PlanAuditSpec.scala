@@ -279,6 +279,27 @@ class PlanAuditSpec extends SparkSpec {
       s"heavy path must route via broadcast joins:\n$s")
   }
 
+  test("simhashPairs / minhashPairs: hot buckets are MG-nominated " +
+    "in-plan, their stats attach by broadcast, and the grid regions " +
+    "are join-key columns — no unbounded single-bucket pair funnel") {
+    for (plan <- Seq(
+        planOf(graft.scale.Dedup.simhashPairs(
+          graft.Tables.documents(spark, sf), maxDist = 5)),
+        planOf(graft.scale.Dedup.minhashPairs(
+          graft.Tables.documents(spark, sf))))) {
+      // the nomination sketch runs inside the same plan, capacity-bounded
+      assert(plan.contains("partial_misra_gries"),
+        s"expected the MG hot-bucket nomination:\n$plan")
+      // nominated keys and their exact stats ride broadcast exchanges
+      assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+        s"hot-bucket routing must be broadcast joins:\n$plan")
+      // the grid path's region ids are part of the join keys: the hot
+      // bucket's pairs spread across __ri × __rj tasks
+      assert(plan.contains("__ri") && plan.contains("__rj"),
+        s"expected grid region columns in the join keys:\n$plan")
+    }
+  }
+
   test("chunkSpans is a pure scan-side projection + generate: no " +
     "joins, no shuffles, no windows") {
     val s = planOf(graft.scale.Curation.chunkSpans(

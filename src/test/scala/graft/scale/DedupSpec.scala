@@ -1654,4 +1654,89 @@ class DedupSpec extends SparkSpec {
     assert(roiNear.getAs[Long]("n_docs") === 3L)
     assert(impact === 3L)
   }
+
+  /** A planted d-doc near-identical template family — the workload
+    * the round-13 hot-bucket flag is about: every member shares its
+    * SimHash chunk values, so the chunk buckets go hot and the pair
+    * volume is the family's own d²/2. */
+  private def templateFamily = {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(61)
+    val tmpl = (1 to 60).map(i => s"word${i % 23}").mkString(" ")
+    val fam = (1 to 250).map { i =>
+      // one mutated token per doc: signatures differ by a few bits
+      (i.toLong, tmpl + s" extra${i % 7} tail${i % 3}")
+    }
+    val noise = (251 to 280).map { i =>
+      (i.toLong, (1 to 40).map(_ => s"n${rnd.nextInt(9000)}").mkString(" "))
+    }
+    (fam ++ noise).toDF("doc_id", "text")
+  }
+
+  test("simhashPairs: a planted 250-doc template family equals the exact " +
+    "O(n^2) hamming reference while its chunk buckets are far over the " +
+    "hot-bucket bound (the grid path is live, not dormant)") {
+    val docs = templateFamily
+    val maxDist = 3
+    val sh = Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val ref = (for {
+      (a, ha) <- sh; (b, hb) <- sh
+      if a < b
+      d = java.lang.Long.bitCount(ha ^ hb)
+      if d <= maxDist
+    } yield (a, b, d)).toSet
+    assert(ref.size > 5000, s"family must be dense: ${ref.size} pairs")
+    // the planted family actually exercises the grid path: the
+    // hottest 15-bit chunk bucket (maxDist=3 ⇒ 4 chunks) holds the
+    // whole family, 4x past the hotDf=64 routing threshold
+    val hottest = sh.flatMap { case (_, h) =>
+      (0 until 4).map(c => (c, (h >> (c * 15)) & 0x7fff))
+    }.groupBy(identity).values.map(_.size).max
+    assert(hottest > 64, s"hottest chunk bucket only $hottest")
+    val got = Dedup.simhashPairs(docs, maxDist).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === ref)
+  }
+
+  test("simhashPairs: the generalized multi-table blocking " +
+    "(numChunks = 8, 2-chunk keys) is complete — same exact reference") {
+    val docs = templateFamily
+    val maxDist = 3
+    val sh = Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val ref = (for {
+      (a, ha) <- sh; (b, hb) <- sh
+      if a < b
+      d = java.lang.Long.bitCount(ha ^ hb)
+      if d <= maxDist
+    } yield (a, b, d)).toSet
+    val got = Dedup.simhashPairs(docs, maxDist, numChunks = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === ref)
+  }
+
+  test("minhashPairs: a planted identical-signature family rides the hot " +
+    "band buckets and still matches the naive band-join reference") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 120 byte-identical docs (one band bucket per band holds all of
+    // them — 4 buckets of df=120 > 64) + distinct noise
+    val tmpl = (1 to 30).map(i => s"same${i}").mkString(" ")
+    val docs = ((1 to 120).map(i => (i.toLong, tmpl)) ++
+      (121 to 140).map(i =>
+        (i.toLong, (1 to 25).map(j => s"x${i}_$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    val bands = Dedup.minhashBands(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    val ref = bands.groupBy(t => (t._2, t._3)).values.toSeq.flatMap { grp =>
+      for { a <- grp; b <- grp if a._1 < b._1 } yield (a._1, b._1)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(ref.values.max === Dedup.NumBands.toLong)
+    assert(ref.size === 120 * 119 / 2, "the family is all-pairs")
+    val got = Dedup.minhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === ref)
+  }
 }
