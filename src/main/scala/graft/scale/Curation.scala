@@ -1021,6 +1021,10 @@ object Curation extends QueryModule {
     // text↔embedding referential integrity (the J5 audit, cross-modal)
     "q110_modality_integrity" -> ((s, d) =>
       modalityIntegrity(T.documents(s, d), T.embeddings(s, d))),
+    // the certified media-feature kernel over the synthetic asset
+    // table: byte histogram → exact L2 → float32, exploded to scalars
+    "q170_media_features" -> ((s, d) => Multimodal.mediaFeaturesBoard(s,
+      Multimodal.syntheticAssets(T.documents(s, d)))),
     // semantic-diversity cap: best-quality k docs per embedding cell —
     // rides the memoized quality core in a batch run
     "q132_cell_balanced" -> ((s, d) =>
@@ -1518,6 +1522,33 @@ object Curation extends QueryModule {
         |SELECT *, (n_text_only = 0 AND n_vec_only = 0
         |  AND n_dup_doc_ids = 0 AND n_dup_vec_ids = 0) AS consistent
         |FROM s""".stripMargin,
+    // the whole feature map restated: UTF-8 payload bytes via hex
+    // 2-char slices, dim-bin histogram, Σc² exact in HUGEINT with one
+    // cast to double, one sqrt, one division, one float32 cast — the
+    // same single-rounding chain as the Scala kernel
+    "q170_media_features" -> {
+      val dim = Multimodal.MediaFeatureDim
+      s"""WITH a AS (SELECT doc_id AS vec_id,
+         |    (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INTEGER)]
+         |      AS kind,
+         |    hex(encode(text)) AS h FROM documents),
+         |b AS (SELECT vec_id,
+         |    CAST(('0x' || substring(h, CAST(2*i - 1 AS INTEGER), 2))
+         |      AS INTEGER) AS byte
+         |  FROM a, unnest(range(1, 1 + length(h) // 2)) t(i)),
+         |c AS (SELECT vec_id, byte * $dim // 256 AS bin, COUNT(*) AS cnt
+         |      FROM b GROUP BY 1, 2),
+         |n AS (SELECT vec_id,
+         |        CAST(SUM(CAST(cnt AS HUGEINT) * cnt) AS DOUBLE) AS ss
+         |      FROM c GROUP BY 1),
+         |g AS (SELECT vec_id, kind, unnest(range(0, $dim)) AS pos FROM a)
+         |SELECT g.vec_id, g.kind, CAST(g.pos AS INTEGER) AS pos,
+         |  CAST(CASE WHEN COALESCE(n.ss, 0) > 0
+         |    THEN CAST(COALESCE(c.cnt, 0) AS DOUBLE) / sqrt(n.ss)
+         |    ELSE 0.0 END AS FLOAT) AS value
+         |FROM g LEFT JOIN n USING (vec_id)
+         |LEFT JOIN c ON c.vec_id = g.vec_id AND c.bin = g.pos""".stripMargin
+    },
     // Σc² exact in HUGEINT (= the Spark decimal accumulator), one cast
     // to double, identical division trees
     "q109_source_diversity" ->

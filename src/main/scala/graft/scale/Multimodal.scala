@@ -15,13 +15,17 @@ case class MediaMeta(asset_id: Long, kind: String, width: Int, height: Int,
   * `binary` columns plus typed metadata, exactly like any other column
   * — partitioned, predicate-pushed, shuffled by key.
   *
-  * The actual media decode (JPEG headers, audio resampling, video
-  * frame extraction) needs native libraries that are NOT in this
-  * container, so the decode kernel is a clearly-marked deterministic
-  * STUB ([[stubDecode]]); everything around it — the binary schema,
-  * the batched mapPartitions plumbing, partitioning, the feature
-  * pipeline shape — is real and tested, and a real decoder drops in by
-  * replacing one function.
+  * Container HEADERS decode for real (PNG/JPEG/GIF/BMP/WAV/MP4 byte
+  * parses below); full pixel/sample decode needs codec libraries that
+  * are NOT in this container, so the pixel-level decode kernel is a
+  * clearly-marked deterministic STUB ([[stubDecode]]) — the one
+  * remaining environment-bound seam. Feature extraction is NOT
+  * stubbed: [[byteHistogramFeatures]] is a certified deterministic
+  * byte-level encoder with a hash-matching DuckDB oracle (q170).
+  * Everything around the seam — the binary schema, the batched
+  * mapPartitions plumbing, partitioning, the feature pipeline shape —
+  * is real and tested, and a real decoder drops in by replacing one
+  * function.
   *
   * Scale notes:
   *  - assets are processed with `mapPartitions` so a real decoder
@@ -330,34 +334,43 @@ object Multimodal {
         (scale < 1.0).as("needs_resample"))
   }
 
-  /** STUB feature-extraction kernel — the deterministic fake standing
-    * in for a real media encoder (CLIP image tower, an audio
-    * embedder): a splitmix64 stream seeded by the payload's md5
-    * prefix expands to `dim` floats in [-1, 1), L2-normalized.
-    * Identical payloads embed identically on any JVM (the property
-    * the dedup hand-off needs); a real encoder replaces ONLY this
-    * function. */
-  def stubFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val d = md.digest(payload)
-    var z = (0 until 8).foldLeft(0L)((a, i) => (a << 8) | (d(i) & 0xffL))
-    val out = new Array[Float](dim)
+  /** The certified media-feature dimensionality — ONE definition feeds
+    * the Scala kernel default, the q170 gate call and the interpolated
+    * DuckDB oracle (the q162 shared-constant discipline). */
+  val MediaFeatureDim = 16
+
+  /** Deterministic byte-level feature kernel — the certified encoder
+    * that replaced the round-13 stub: a `dim`-bin byte histogram
+    * (bin(b) = b·dim/256 over unsigned byte values) L2-normalized as
+    * v_i = c_i / √(Σ c_j²). Bin counts are exact integers, Σc² is an
+    * exact long, and each component is ONE exactly-rounded IEEE sqrt,
+    * ONE division and ONE float32 cast — bit-identical in any engine,
+    * which is what makes the q170 oracle possible. It is a real (if
+    * simple) content signature: byte-range composition separates
+    * text / UTF-8 / binary / compressed payloads, and identical
+    * payloads embed identically — the property the ANN/dedup hand-off
+    * rides. A production encoder (CLIP tower, audio embedder)
+    * replaces ONLY this function; the mapPartitions seam in
+    * [[extractFeatures]] is unchanged. Empty payloads map to the
+    * zero vector. */
+  def byteHistogramFeatures(payload: Array[Byte],
+                            dim: Int = MediaFeatureDim): Array[Float] = {
+    require(dim >= 1 && dim <= 256, s"dim must be in [1, 256]: $dim")
+    val counts = new Array[Long](dim)
     var i = 0
-    var ss = 0.0
-    while (i < dim) {
-      z += 0x9e3779b97f4a7c15L
-      var x = z
-      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-      x = x ^ (x >>> 31)
-      val v = ((x >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
-      out(i) = v.toFloat
-      ss += v * v
+    while (i < payload.length) {
+      counts((payload(i) & 0xff) * dim / 256) += 1L
       i += 1
     }
-    val inv = (1.0 / math.sqrt(ss)).toFloat
-    i = 0
-    while (i < dim) { out(i) *= inv; i += 1 }
+    var ss = 0L
+    var j = 0
+    while (j < dim) { ss += counts(j) * counts(j); j += 1 }
+    val out = new Array[Float](dim)
+    if (ss > 0L) {
+      val denom = math.sqrt(ss.toDouble)
+      j = 0
+      while (j < dim) { out(j) = (counts(j).toDouble / denom).toFloat; j += 1 }
+    }
     out
   }
 
@@ -372,18 +385,33 @@ object Multimodal {
     * that hand-off end-to-end: duplicated payloads land as a
     * cosine-1.0 near-dup pair). */
   def extractFeatures(spark: SparkSession, assets: DataFrame,
-                      dim: Int = 16): DataFrame = {
+                      dim: Int = MediaFeatureDim): DataFrame = {
     import spark.implicits._
     assets.select(col("asset_id"), col("kind"), col("payload"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { batch =>
         // a real encoder loads its weights HERE, once per partition
         batch.map { case (id, kind, payload) =>
-          (id, kind, stubFeatures(payload, dim))
+          (id, kind, byteHistogramFeatures(payload, dim))
         }
       }
       .toDF("vec_id", "kind", "embedding")
   }
+
+  /** q170: the certified media-feature board — [[extractFeatures]]'s
+    * embedding exploded to scalar (vec_id, kind, pos, value) rows so
+    * the DuckDB oracle can restate the whole feature map (synthetic
+    * assets → byte histogram → exact normalization → float32) and
+    * hash-match it, closing the one operator that had no gate row.
+    *
+    * Scale design: the kernel is one pass over each payload's bytes
+    * inside the mapPartitions seam; the explode is dim rows per
+    * asset; no joins, no shuffle — the board runs at scan speed. */
+  def mediaFeaturesBoard(spark: SparkSession, assets: DataFrame,
+                         dim: Int = MediaFeatureDim): DataFrame =
+    extractFeatures(spark, assets, dim)
+      .select(col("vec_id"), col("kind"),
+        posexplode(col("embedding")).as(Seq("pos", "value")))
 
   /** Feature pipeline over decoded metadata: per-kind stats — the
     * aggregation a data-quality dashboard runs over a 100 TB corpus.

@@ -241,12 +241,15 @@ class MultimodalSpec extends SparkSpec {
     "pair") {
     val spark2 = spark
     import spark2.implicits._
-    // two byte-identical image payloads + two distinct ones
+    // two byte-identical image payloads + two with DISJOINT byte
+    // ranges (the histogram kernel scores byte-range composition, so
+    // same-alphabet text payloads are legitimately similar — the
+    // orthogonality fixture uses genuinely different content classes)
     val dup = "same media payload".getBytes("UTF-8")
     val a = Seq(
       (1L, "image", dup), (2L, "image", dup),
-      (3L, "audio", "different audio bytes".getBytes("UTF-8")),
-      (4L, "video", "other video bytes entirely".getBytes("UTF-8"))
+      (3L, "audio", Array.tabulate(24)(i => (i % 16).toByte)),
+      (4L, "video", Array.tabulate(24)(i => (240 + i % 16).toByte))
     ).toDF("asset_id", "kind", "payload")
     val feats = Multimodal.extractFeatures(spark, a, dim = 16)
     val rows = feats.collect()
@@ -270,5 +273,36 @@ class MultimodalSpec extends SparkSpec {
       .map(r => r.getAs[Long]("vec_id") ->
         r.getSeq[Float](r.fieldIndex("embedding")).toVector)
       .toMap === rows)
+  }
+
+  test("byteHistogramFeatures: hand-computed bins, single-rounding " +
+    "normalization chain, empty payload → zero vector") {
+    // bytes 0, 1 → bin 0; 17 → bin 1; 0xff ×2 → bin 15
+    val p = Array[Byte](0, 1, 17, 0xff.toByte, 0xff.toByte)
+    val f = Multimodal.byteHistogramFeatures(p, 16)
+    val denom = math.sqrt((2L * 2 + 1 + 2L * 2).toDouble)
+    assert(f(0) === (2.0 / denom).toFloat)
+    assert(f(1) === (1.0 / denom).toFloat)
+    assert(f(15) === (2.0 / denom).toFloat)
+    assert((2 until 15).forall(f(_) === 0f))
+    assert(Multimodal.byteHistogramFeatures(Array.emptyByteArray, 16)
+      .forall(_ === 0f))
+    // multi-byte UTF-8: the kernel sees BYTES, not code points — é is
+    // 0xc3 0xa9 (bins 12, 10)
+    val g = Multimodal.byteHistogramFeatures("é".getBytes("UTF-8"), 16)
+    val d2 = math.sqrt(2.0)
+    assert(g(12) === (1.0 / d2).toFloat && g(10) === (1.0 / d2).toFloat)
+  }
+
+  test("mediaFeaturesBoard explodes to the (vec_id, kind, pos, value) " +
+    "certification schema — dim scalar rows per asset") {
+    val out = Multimodal.mediaFeaturesBoard(spark, assets, dim = 16)
+    val rows = out.collect()
+    assert(rows.length === assets.count().toInt * 16)
+    val one = rows.filter(_.getAs[Long]("vec_id") == rows.head.getAs[Long]("vec_id"))
+    assert(one.map(_.getAs[Int]("pos")).sorted.toSeq === (0 until 16))
+    // unit norm survives the explode
+    val norm = math.sqrt(one.map(r => math.pow(r.getAs[Float]("value"), 2)).sum)
+    assert(math.abs(norm - 1.0) < 1e-6)
   }
 }
