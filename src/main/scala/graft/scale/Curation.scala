@@ -608,6 +608,66 @@ object Curation extends QueryModule {
         col("first_doc"), col("last_doc"))
   }
 
+  /** Materialize the q159 shard plan as a physical parquet layout —
+    * one directory (one file) per planned shard, documents whole,
+    * shard membership exactly the plan's greedy `chunk_first`
+    * assignment. The write is `repartition(shard_id)` +
+    * `partitionBy(shard_id)`: every shard's rows land in one task, so
+    * each shard directory holds exactly one file — the property
+    * [[shardAudit]] certifies. (At 100 TB shardTokens is set so one
+    * shard ≈ one healthy parquet file, e.g. 10⁸ tokens — the same
+    * number the q159 board's fill column is tuned against; 4096 here
+    * matches the test-scale packing chain.) */
+  def writeSharded(docs: DataFrame, path: String, shardTokens: Int = 4096,
+                   partitions: Int = 32): Unit = {
+    val assign = sequencePack(docs, shardTokens, partitions)
+      .select(col("doc_id"), col("chunk_first").as("shard_id"))
+    docs.join(assign, Seq("doc_id"))
+      .repartition(col("shard_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("shard_id").parquet(path)
+  }
+
+  /** The write-then-audit reconciliation that closes the q159→disk
+    * loop: re-derive every shard's doc count, token mass and id range
+    * FROM THE FILES ([[writeSharded]]'s output) and line them up
+    * against the published plan (the q159 board, whose id ranges are
+    * the manifest). Full-outer so a shard missing on disk or a stray
+    * extra directory both surface as `ok = false` rows rather than
+    * vanishing from an inner join; `n_files = 1` is asserted per
+    * shard (the one-file-per-shard contract is what makes the NEXT
+    * job's split math predictable).
+    *
+    * Scale design: one scan of the written layout (shard_id is a
+    * partition column — no row data re-shuffled except the per-shard
+    * aggregate), one broadcast-sized join against the plan (shard
+    * count = corpus tokens / shardTokens). Token mass is recomputed
+    * with the SAME ceil(len/4) estimator the packing chain used, so
+    * plan-vs-disk equality is exact, not approximate. */
+  def shardAudit(spark: SparkSession, path: String,
+                 plan: DataFrame): DataFrame = {
+    val disk = spark.read.parquet(path)
+      .select(col("shard_id").cast("long").as("shard_id"), col("doc_id"),
+        ceil(length(col("text")).cast("double") / 4d).cast("long").as("toks"),
+        input_file_name().as("f"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("disk_docs"), sum(col("toks")).as("disk_toks"),
+        count_distinct(col("f")).as("n_files"),
+        min(col("doc_id")).as("disk_first"),
+        max(col("doc_id")).as("disk_last"))
+    plan
+      .select(col("shard_id"), col("n_docs"), col("shard_toks"),
+        col("first_doc"), col("last_doc"))
+      .join(disk, Seq("shard_id"), "full_outer")
+      .select(col("shard_id"), col("n_docs"), col("disk_docs"),
+        col("shard_toks"), col("disk_toks"), col("n_files"),
+        (col("n_docs") <=> col("disk_docs") &&
+          col("shard_toks") <=> col("disk_toks") &&
+          col("first_doc") <=> col("disk_first") &&
+          col("last_doc") <=> col("disk_last") &&
+          col("n_files") <=> lit(1L)).as("ok"))
+  }
+
   /** q168: shard mixing audit — per output shard of the q159 plan, how
     * well-mixed the sources are: a shard filled by one source feeds
     * the trainer a correlated run of near-identical distribution (the

@@ -1712,6 +1712,95 @@ object TextAnalysis extends QueryModule {
         r6(col("w6") / col("wtot")).as("weight"))
   }
 
+  /** q171: stupid-backoff bigram scoring — the Brants et al. 2007
+    * ("Large Language Models in Machine Translation") scheme, the
+    * production alternative to q162's add-one smoothing: a bigram the
+    * shipped model knows scores the exact MLE ratio c2/c1; a bigram
+    * it doesn't BACKS OFF to the context-free unigram share scaled by
+    * the fixed discount α = 2/5 (Brants' 0.4, kept a rational so no
+    * decimal literal is in play). Scores are unnormalized by design
+    * (Brants' S, not P — "stupid" is the published name): they rank
+    * documents for the same gate decision while never paying add-one's
+    * bias toward small vocabularies, and disagreement between the two
+    * boards (high q162 mean_p with low q171 hit share) is the
+    * signature of a document whose apparent fluency is smoothing mass,
+    * not model coverage. "Miss" means not in the TOP-maxBigrams
+    * shipped table — the bounded-artifact contract q162 set.
+    *
+    * Determinism (the q162 discipline): vocabulary, bigram table and
+    * all counts are exact integers; a hit is ONE IEEE division of
+    * exact integers (c2 ≤ c1 by construction); a backoff is
+    * (2·c(w2)) / (5·T) where both sides are exact integer PRODUCTS —
+    * one exactly-rounded division, never a 0.4 multiply after a
+    * divide; fixed-point p9 longs make the per-doc mean an order-free
+    * BIGINT sum.
+    *
+    * Scale design: identical to q162 — two bounded token-keyed
+    * aggregates build the model (map-side partials swallow the Zipf
+    * head), vocab / bigram table / the 1-row totals broadcast, the
+    * scoring pass is scan-side over the shared token core, and the
+    * only corpus shuffle is the final doc-keyed rollup. */
+  def lmBackoff(docs0: DataFrame, vocabSize: Int = 1024,
+                maxBigrams: Int = 1 << 16): DataFrame =
+    lmBackoffFrom(tokenCore(docs0), vocabSize, maxBigrams)
+
+  /** [[lmBackoff]] from the (doc_id, ws) token core — shared-core form
+    * for the gate registry. */
+  private[scale] def lmBackoffFrom(core0: DataFrame, vocabSize: Int,
+                                   maxBigrams: Int): DataFrame = {
+    def r6(c: Column): Column = floor(c * 1000000d + 0.5d) / 1000000d
+    val core = core0.select(col("doc_id"), col("ws"))
+    val train = core.filter(Curation.splitExpr(col("doc_id")) === "train")
+    val wordCnt = train.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val vocab = wordCnt.orderBy(col("cnt").desc, col("w").asc)
+      .limit(vocabSize)
+    // T (total train tokens) and the <unk> unigram mass, one row
+    val tot = wordCnt.agg(coalesce(sum(col("cnt")), lit(0L)).as("t"))
+      .crossJoin(vocab.agg(coalesce(sum(col("cnt")), lit(0L)).as("v")))
+      .select(col("t"), (col("t") - col("v")).as("unk_cnt"))
+    def bigramRows(df: DataFrame): DataFrame =
+      df.select(col("doc_id"),
+          explode(shinglesFromWords(col("ws"), 2)).as("raw"))
+        .withColumn("w1", substring_index(col("raw"), " ", 1))
+        .withColumn("w2", substring_index(col("raw"), " ", -1))
+        .drop("raw")
+        .join(broadcast(vocab.select(col("w").as("w1"), col("cnt").as("c1v"))),
+          Seq("w1"), "left")
+        .join(broadcast(vocab.select(col("w").as("w2"), col("cnt").as("c2v"))),
+          Seq("w2"), "left")
+        .withColumn("m1",
+          when(col("c1v").isNotNull, col("w1")).otherwise(lit("<unk>")))
+        .withColumn("m2",
+          when(col("c2v").isNotNull, col("w2")).otherwise(lit("<unk>")))
+        .withColumn("bigram", concat_ws(" ", col("m1"), col("m2")))
+    val bigCnt = bigramRows(train)
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+      .orderBy(col("c2").desc, col("bigram").asc).limit(maxBigrams)
+    val scored = bigramRows(core)
+      .join(broadcast(bigCnt), Seq("bigram"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        col("c2").isNotNull.as("hit"),
+        floor(when(col("c2").isNotNull,
+            col("c2").cast("double") /
+              coalesce(col("c1v"), col("unk_cnt")).cast("double"))
+          .otherwise(
+            (coalesce(col("c2v"), col("unk_cnt")) * lit(2L)).cast("double") /
+              (col("t") * lit(5L)).cast("double"))
+          * 1000000000d + 0.5d).cast("long").as("s9"))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        count(when(col("hit"), 1)).as("n_hits"),
+        sum(col("s9")).as("ss9"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_hits"),
+        (col("n_bigrams") - col("n_hits")).as("n_backoff"),
+        r6(col("n_hits").cast("double") / col("n_bigrams")).as("hit_rate"),
+        r6(col("ss9").cast("double") /
+          (col("n_bigrams").cast("double") * 1000000000d)).as("mean_s"))
+  }
+
   /** q164: quality-signal correlation board — per source, the Pearson
     * correlation between every pair of the q34 quality sub-signals
     * (word count, stopword ratio, punctuation ratio, composite
@@ -1866,6 +1955,11 @@ object TextAnalysis extends QueryModule {
     // cross-engine — a V≥31 model would score every bigram as a hit.
     // q162 and q167 read ONE memoized scored-bigram stream
     "q162_lm_fluency" -> ((s, d) => lmFluencyFromScored(gateLmScored(s, d))),
+    // stupid-backoff scoring over the same shared token core and the
+    // same gate-model geometry (own model build: MLE + 2/5 backoff,
+    // no smoothing — deliberately NOT the q162 stream)
+    "q171_lm_backoff" -> ((s, d) =>
+      lmBackoffFrom(gateTokens(s, d), GateLmVocab, GateLmBigrams)),
     // per-source Pearson matrix over the q34 signals (exact moments;
     // rides the memoized quality core)
     "q164_signal_corr" -> ((s, d) => signalCorrelationFrom(gateScored(s, d))),
@@ -2570,6 +2664,56 @@ object TextAnalysis extends QueryModule {
          |  w6 AS raw_weight,
          |  FLOOR(w6 / wtot * 1000000.0 + 0.5) / 1000000.0 AS weight
          |FROM b2, wt""".stripMargin,
+    // stupid backoff: hits score the exact MLE ratio c2/c1, misses
+    // back off to (2*c(w2))/(5*T) — integer products, one division;
+    // same interpolated gate-model geometry as q162
+    "q171_lm_backoff" ->
+      s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+         |tr AS (SELECT * FROM w WHERE ${Curation.splitUSql("doc_id")} < 0.8),
+         |wc AS (SELECT word, COUNT(*) AS cnt
+         |       FROM (SELECT unnest(ws) AS word FROM tr) GROUP BY 1),
+         |vocab AS (SELECT word, cnt FROM wc ORDER BY cnt DESC, word
+         |         LIMIT $GateLmVocab),
+         |tot AS (SELECT
+         |  CAST((SELECT COALESCE(SUM(cnt), 0) FROM wc) AS BIGINT) AS t,
+         |  CAST((SELECT COALESCE(SUM(cnt), 0) FROM wc)
+         |    - (SELECT COALESCE(SUM(cnt), 0) FROM vocab) AS BIGINT)
+         |    AS unk_cnt),
+         |tb AS (SELECT ws[i+1] AS w1, ws[i+2] AS w2
+         |       FROM tr, unnest(range(len(ws) - 1)) t(i) WHERE len(ws) >= 2),
+         |tm AS (SELECT COALESCE(v1.word, '<unk>') || ' ' ||
+         |         COALESCE(v2.word, '<unk>') AS bigram
+         |       FROM tb LEFT JOIN vocab v1 ON tb.w1 = v1.word
+         |               LEFT JOIN vocab v2 ON tb.w2 = v2.word),
+         |bc AS (SELECT bigram, COUNT(*) AS c2 FROM tm GROUP BY 1
+         |       ORDER BY c2 DESC, bigram LIMIT $GateLmBigrams),
+         |sb AS (SELECT doc_id, ws[i+1] AS w1, ws[i+2] AS w2
+         |       FROM w, unnest(range(len(ws) - 1)) t(i) WHERE len(ws) >= 2),
+         |sm AS (SELECT doc_id,
+         |         COALESCE(v1.cnt, tot.unk_cnt) AS c1,
+         |         COALESCE(v2.cnt, tot.unk_cnt) AS cw2,
+         |         COALESCE(v1.word, '<unk>') || ' ' ||
+         |           COALESCE(v2.word, '<unk>') AS bigram,
+         |         tot.t AS t
+         |       FROM sb LEFT JOIN vocab v1 ON sb.w1 = v1.word
+         |               LEFT JOIN vocab v2 ON sb.w2 = v2.word, tot),
+         |p AS (SELECT doc_id, (bc.bigram IS NOT NULL) AS hit,
+         |        CAST(FLOOR(CASE WHEN bc.bigram IS NOT NULL
+         |            THEN CAST(bc.c2 AS DOUBLE) / CAST(sm.c1 AS DOUBLE)
+         |            ELSE CAST(2 * sm.cw2 AS DOUBLE)
+         |              / CAST(5 * sm.t AS DOUBLE) END
+         |          * 1000000000.0 + 0.5) AS BIGINT) AS s9
+         |      FROM sm LEFT JOIN bc ON sm.bigram = bc.bigram)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |  CAST(COUNT(CASE WHEN hit THEN 1 END) AS BIGINT) AS n_hits,
+         |  CAST(COUNT(*) - COUNT(CASE WHEN hit THEN 1 END) AS BIGINT)
+         |    AS n_backoff,
+         |  FLOOR(CAST(COUNT(CASE WHEN hit THEN 1 END) AS DOUBLE)
+         |    / COUNT(*) * 1000000.0 + 0.5) / 1000000.0 AS hit_rate,
+         |  FLOOR(CAST(SUM(s9) AS DOUBLE)
+         |    / (CAST(COUNT(*) AS DOUBLE) * 1000000000.0) * 1000000.0 + 0.5)
+         |    / 1000000.0 AS mean_s
+         |FROM p GROUP BY doc_id""".stripMargin,
     // bigram LM over the q140 train split: top-V vocab, top-B bigram
     // table, add-one smoothing; every probability is one IEEE division
     // of exact integers, per-doc means are exact BIGINT sums

@@ -638,4 +638,43 @@ class CurationSpec extends SparkSpec {
         r.getAs[Long]("n_docs")).toMap
     assert(plan === out.map { case (k, v) => k -> v._1 })
   }
+
+  test("writeSharded → shardAudit round-trip: the on-disk layout matches " +
+    "the q159 manifest shard for shard (one file each); a tampered " +
+    "layout — deleted shard, stray extra shard — is flagged, never " +
+    "swallowed") {
+    import java.nio.file.{Files, Path}
+    import scala.jdk.CollectionConverters._
+    val docs = T.documents(spark, sf)
+    val root = Files.createTempDirectory("graft-shards")
+    val dir = root.toString + "/corpus"
+    Curation.writeSharded(docs, dir, shardTokens = 4096)
+    val plan = Curation.shardPlan(docs, shardTokens = 4096)
+      .localCheckpoint() // freeze: the audit reads it twice
+    val audit = Curation.shardAudit(spark, dir, plan).collect()
+    assert(audit.nonEmpty)
+    assert(audit.length === plan.count().toInt,
+      "full outer join must line up 1:1 on an untampered layout")
+    assert(audit.forall(_.getAs[Boolean]("ok")),
+      s"unreconciled shards: ${audit.filterNot(_.getAs[Boolean]("ok")).toSeq}")
+    // every shard is exactly one physical file
+    assert(audit.forall(_.getAs[Long]("n_files") === 1L))
+    // --- tamper 1: delete one shard directory (data loss) ---
+    val victim = audit.map(_.getAs[Long]("shard_id")).min
+    val victimDir = java.nio.file.Paths.get(dir, s"shard_id=$victim")
+    Files.walk(victimDir).iterator().asScala.toSeq.reverse
+      .foreach(p => Files.delete(p))
+    // --- tamper 2: plant a stray shard the plan never published ---
+    val stray = audit.map(_.getAs[Long]("shard_id")).max + 1000L
+    docs.limit(3).withColumn("shard_id", lit(stray))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("shard_id").parquet(dir)
+    val audit2 = Curation.shardAudit(spark, dir, plan).collect()
+    val bad = audit2.filterNot(_.getAs[Boolean]("ok"))
+      .map(_.getAs[Long]("shard_id")).toSet
+    assert(bad === Set(victim, stray),
+      s"expected exactly the tampered shards flagged, got $bad")
+    // untampered shards still reconcile
+    assert(audit2.count(_.getAs[Boolean]("ok")) === audit.length - 1)
+  }
 }

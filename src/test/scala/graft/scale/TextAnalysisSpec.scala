@@ -801,6 +801,72 @@ class TextAnalysisSpec extends SparkSpec {
     assert(expected.values.exists(v => v._2 < v._1), "no bigram misses")
   }
 
+  test("lmBackoff property: 40 random docs match an independent Scala " +
+    "reference (MLE hits with the shipped-table cutoff, exact 2/5 " +
+    "unigram backoff, fixed-point rounding)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(47)
+    val alphabet = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val docs = (1L to 40L).map { id =>
+      (id, Seq.fill(rnd.nextInt(7))(alphabet(rnd.nextInt(alphabet.size)))
+        .mkString(" "))
+    }
+    val V = 3; val B = 5
+    // ---- independent reference (the q162 property-test discipline) ----
+    def u(id: Long): Double = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15), 16) / math.pow(2, 60)
+    val toks = docs.map { case (id, t) =>
+      id -> t.split(" ").filter(_.nonEmpty).toSeq }.toMap
+    val train = docs.map(_._1).filter(id => u(id) < 0.8)
+    val wordCnt = train.flatMap(toks).groupBy(identity)
+      .map { case (w, ws) => w -> ws.size.toLong }
+    val vocab = wordCnt.toSeq.sortBy { case (w, c) => (-c, w) }.take(V).toMap
+    val tTot = wordCnt.values.sum
+    val unkCnt = tTot - vocab.values.sum
+    def m(w: String) = if (vocab.contains(w)) w else "<unk>"
+    def uniCnt(w: String) = vocab.getOrElse(w, unkCnt)
+    val bigCnt = train.flatMap(id => toks(id).sliding(2).filter(_.size == 2)
+        .map(p => s"${m(p.head)} ${m(p(1))}"))
+      .groupBy(identity).map { case (b, bs) => b -> bs.size.toLong }
+      .toSeq.sortBy { case (b, c) => (-c, b) }.take(B).toMap
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    def s9(w1: String, w2: String): (Boolean, Long) =
+      bigCnt.get(s"${m(w1)} ${m(w2)}") match {
+        case Some(c2) => (true, math.floor(
+          c2.toDouble / uniCnt(w1).toDouble * 1e9 + 0.5).toLong)
+        case None => (false, math.floor(
+          (2L * uniCnt(w2)).toDouble / (5L * tTot).toDouble * 1e9 + 0.5)
+          .toLong)
+      }
+    val expected = docs.flatMap { case (id, _) =>
+      val ws = toks(id)
+      if (ws.size < 2) None else {
+        val scs = ws.sliding(2).toSeq.map(p => s9(p.head, p(1)))
+        val n = scs.size.toLong
+        val hits = scs.count(_._1).toLong
+        Some(id -> ((n, hits, n - hits, r6(hits.toDouble / n),
+          r6(scs.map(_._2).sum.toDouble / (n.toDouble * 1e9)))))
+      }
+    }.toMap
+    // ---- engine ----
+    val out = TextAnalysis.lmBackoff(docs.toDF("doc_id", "text"),
+        vocabSize = V, maxBigrams = B)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("n_hits"),
+          r.getAs[Long]("n_backoff"), r.getAs[Double]("hit_rate"),
+          r.getAs[Double]("mean_s")))).toMap
+    assert(out === expected)
+    // the random corpus exercises BOTH scoring paths and the unk bucket
+    assert(expected.values.exists(_._2 > 0), "no model hits generated")
+    assert(expected.values.exists(_._3 > 0), "no backoffs generated")
+    assert(docs.exists { case (_, t) =>
+      t.split(" ").filter(_.nonEmpty).exists(!vocab.contains(_)) },
+      "no out-of-vocab tokens generated")
+  }
+
   test("domainReweight boosts the source the LM finds least fluent, " +
     "with an exactly-normalized weight column") {
     val spark2 = spark
