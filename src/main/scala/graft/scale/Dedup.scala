@@ -75,10 +75,13 @@ object Dedup extends QueryModule {
     * generator evaluates its input once per row, whereas extracting 16
     * signature columns lets the optimizer inline (and re-run) the
     * signature expression per column (observed 16×: 2.7s → 43s). */
-  def minhashBands(docs: DataFrame): DataFrame = {
+  def minhashBands(docs: DataFrame): DataFrame =
+    minhashBandsFrom(wordArrays(docs))
+
+  /** [[minhashBands]] from a words core — shared-core form. */
+  private[scale] def minhashBandsFrom(wa: DataFrame): DataFrame = {
     import graft.functions.MinHashExpression.minhashBandHashes
-    wordArrays(docs)
-      .select(col("doc_id"),
+    wa.select(col("doc_id"),
         posexplode(minhashBandHashes(col("ws"), ShingleSize, NumMinhashes, NumBands))
           .as(Seq("b", "bv")))
       .select(col("doc_id"), col("b"), col("bv"))
@@ -126,12 +129,25 @@ object Dedup extends QueryModule {
     * requires. */
   def bandSweep(docs: DataFrame,
                 bandConfigs: Seq[Int] = Seq(16, 8, 4, 2, 1)): DataFrame = {
-    import graft.functions.MinHashExpression.{minhashBandHashes, minhashSig}
-    def r6d(c: Column): Column = floor(c * 1000000d + 0.5d) / 1000000d
     val wa = wordArrays(docs).localCheckpoint()
-    val sigs = wa.select(col("doc_id"),
+    bandSweepFrom(wa, sigTableFrom(wa).localCheckpoint(), bandConfigs)
+  }
+
+  /** The (doc_id, sig) MinHash signature table from a words core —
+    * the scan-side kernel projection q156 and q103 both read; the
+    * gate registry memoizes it ([[gateSigs]]) so a batch computes
+    * signatures once, not once per consumer. */
+  private[scale] def sigTableFrom(wa: DataFrame): DataFrame = {
+    import graft.functions.MinHashExpression.minhashSig
+    wa.select(col("doc_id"),
       minhashSig(col("ws"), ShingleSize, NumMinhashes).as("sig"))
-      .localCheckpoint()
+  }
+
+  /** [[bandSweep]] from pre-checkpointed words + signature cores. */
+  private[scale] def bandSweepFrom(wa: DataFrame, sigs: DataFrame,
+      bandConfigs: Seq[Int] = Seq(16, 8, 4, 2, 1)): DataFrame = {
+    import graft.functions.MinHashExpression.minhashBandHashes
+    def r6d(c: Column): Column = floor(c * 1000000d + 0.5d) / 1000000d
     def arm(b: Int): DataFrame = {
       val r = NumMinhashes / b
       val bands = wa.select(col("doc_id"),
@@ -199,10 +215,14 @@ object Dedup extends QueryModule {
     * O(shingle-df²). At 100 TB this audit runs on the same plan at
     * whatever candidate rate the banding yields. */
   def minhashAudit(docs: DataFrame, tol: Double = 0.45): DataFrame = {
-    import graft.functions.MinHashExpression.{minhashBandHashes, minhashSig}
     val wa = wordArrays(docs).localCheckpoint()
-    val sigs = wa.select(col("doc_id"),
-      minhashSig(col("ws"), ShingleSize, NumMinhashes).as("sig"))
+    minhashAuditFrom(wa, sigTableFrom(wa), tol)
+  }
+
+  /** [[minhashAudit]] from pre-checkpointed words + signature cores. */
+  private[scale] def minhashAuditFrom(wa: DataFrame, sigs: DataFrame,
+                                      tol: Double): DataFrame = {
+    import graft.functions.MinHashExpression.minhashBandHashes
     val bands = wa.select(col("doc_id"),
       posexplode(minhashBandHashes(col("ws"), ShingleSize, NumMinhashes,
         NumBands)).as(Seq("b", "bv")))
@@ -2057,11 +2077,24 @@ object Dedup extends QueryModule {
     graft.Shared.memo(s, s"dedup:shingles4:$d")(
       shingleTable(T.documents(s, d)))
 
-  /** Shared MinHash band core: one tokenize + kernel pass feeds the
-    * band board (q26) and the incremental-dedup gate (q77). */
+  /** Shared words core: ONE tokenize pass feeds the whole MinHash
+    * family — the band table (q26), the band sweep's five arms (q156)
+    * and the sketch audit (q103) each used to tokenize the corpus for
+    * themselves (the round-13 ANN-clique finding: three of the
+    * batch's slowest boards serialized on redundant core builds). */
+  private def gateWa(s: SparkSession, d: String): DataFrame =
+    graft.Shared.memo(s, s"dedup:words:$d")(
+      wordArrays(T.documents(s, d)))
+
+  /** Shared MinHash signature table (q156 + q103) over [[gateWa]]. */
+  private def gateSigs(s: SparkSession, d: String): DataFrame =
+    graft.Shared.memo(s, s"dedup:sigs:$d")(sigTableFrom(gateWa(s, d)))
+
+  /** Shared MinHash band core: one kernel pass over [[gateWa]] feeds
+    * the band board (q26) and the incremental-dedup gate (q77). */
   private def gateBands(s: SparkSession, d: String): DataFrame =
     graft.Shared.memo(s, s"dedup:bands:$d")(
-      minhashBands(T.documents(s, d)))
+      minhashBandsFrom(gateWa(s, d)))
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q120_cluster_sizes" -> ((s, d) => clusterSizesFrom(gateComps(s, d))),
@@ -2094,7 +2127,8 @@ object Dedup extends QueryModule {
       ngramJaccardFrom(gateShingles(s, d))),
     "q26_minhash_bands" -> ((s, d) => gateBands(s, d)),
     // the S-curve board behind the q26 banding choice
-    "q156_band_sweep" -> ((s, d) => bandSweep(T.documents(s, d))),
+    "q156_band_sweep" -> ((s, d) =>
+      bandSweepFrom(gateWa(s, d), gateSigs(s, d))),
     // who mirrors whom: the pair graph rolled up by source pair
     "q160_source_matrix" -> ((s, d) =>
       sourcePairMatrix(gatePairs(s, d), T.documents(s, d))),
@@ -2159,7 +2193,8 @@ object Dedup extends QueryModule {
         evalMaxId = 25L)),
     // certify-the-sketch for MinHash: signature-agreement estimate vs
     // exact Jaccard on every LSH candidate pair, error gated
-    "q103_minhash_audit" -> ((s, d) => minhashAudit(T.documents(s, d))),
+    "q103_minhash_audit" -> ((s, d) =>
+      minhashAuditFrom(gateWa(s, d), gateSigs(s, d), tol = 0.45)),
     // memorization risk: shingles shared across >3 documents
     "q76_repeated_ngrams" -> ((s, d) =>
       repeatedNgramsFrom(gateShingles(s, d), threshold = 3L)),
