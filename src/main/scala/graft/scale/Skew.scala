@@ -111,16 +111,26 @@ object Skew extends QueryModule {
                        sketchCapacity: Int = 4096): DataFrame = {
     require(keys.nonEmpty && hotDf >= 1L, "need key columns and hotDf >= 1")
     val kc = keys.map(col)
+    // materialize ONCE: five consumers read `rows` (size aggregate, MG
+    // nomination, both attach paths) and four read `annotated` (each
+    // side of the plain and grid joins) — without the barrier every
+    // one of them re-executes the caller's upstream (for simhashPairs
+    // that is the full corpus signature kernel: measured 4× the
+    // operator's whole cost at sf0.1)
     val rows = rows0.select((kc :+ col(id).as("__id")) ++ payload.map(col): _*)
+      .localCheckpoint()
     val counts = rows.groupBy(kc: _*).agg(count(lit(1)).as("__df"))
     // nomination sketches the key HASH: collisions only over-nominate
     // (routing uses exact df), and any key shape sketches as one item
     val keyHash = xxhash64(kc: _*)
+    // ≤ sketchCapacity rows with three consumers — checkpoint so the
+    // sketch pass runs once, not once per attach branch
     val nom = rows
       .agg(graft.functions.FreqSketch.misraGries(keyHash.cast("string"),
         sketchCapacity).as("c"))
       .select(explode(col("c")).as("__khs"))
       .select(col("__khs").cast("long").as("__kh"))
+      .localCheckpoint()
     val withH = counts.withColumn("__kh", keyHash)
     val nomCounts = withH.join(broadcast(nom), Seq("__kh")).drop("__kh")
     val restCounts = withH.join(broadcast(nom), Seq("__kh"), "left_anti")
@@ -129,6 +139,7 @@ object Skew extends QueryModule {
       .join(broadcast(nom), Seq("__kh"), "left_anti").drop("__kh")
       .join(restCounts, keys)
       .unionByName(rows.join(broadcast(nomCounts), keys))
+      .localCheckpoint()
     def pairOut(l: DataFrame, r: DataFrame, joinKeys: Seq[String],
                 keep: Column): DataFrame = {
       val aFirst = col("__id_l") < col("__id_r")
