@@ -108,7 +108,8 @@ object Skew extends QueryModule {
     * distance is a projection, not another join). */
   def boundedSelfPairs(rows0: DataFrame, keys: Seq[String], id: String,
                        payload: Seq[String] = Nil, hotDf: Long = 64L,
-                       sketchCapacity: Int = 4096): DataFrame = {
+                       sketchCapacity: Int = 4096,
+                       materialize: Boolean = true): DataFrame = {
     require(keys.nonEmpty && hotDf >= 1L, "need key columns and hotDf >= 1")
     val kc = keys.map(col)
     // materialize ONCE: five consumers read `rows` (size aggregate, MG
@@ -116,30 +117,32 @@ object Skew extends QueryModule {
     // side of the plain and grid joins) — without the barrier every
     // one of them re-executes the caller's upstream (for simhashPairs
     // that is the full corpus signature kernel: measured 4× the
-    // operator's whole cost at sf0.1)
-    val rows = rows0.select((kc :+ col(id).as("__id")) ++ payload.map(col): _*)
-      .localCheckpoint()
+    // operator's whole cost at sf0.1). materialize=false is for plan
+    // audits only: it keeps the whole routing in ONE inspectable plan
+    // (checkpoints hide upstream stages behind a Scan ExistingRDD).
+    def cp(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint() else df
+    val rows = cp(rows0.select(
+      (kc :+ col(id).as("__id")) ++ payload.map(col): _*))
     val counts = rows.groupBy(kc: _*).agg(count(lit(1)).as("__df"))
     // nomination sketches the key HASH: collisions only over-nominate
     // (routing uses exact df), and any key shape sketches as one item
     val keyHash = xxhash64(kc: _*)
     // ≤ sketchCapacity rows with three consumers — checkpoint so the
     // sketch pass runs once, not once per attach branch
-    val nom = rows
+    val nom = cp(rows
       .agg(graft.functions.FreqSketch.misraGries(keyHash.cast("string"),
         sketchCapacity).as("c"))
       .select(explode(col("c")).as("__khs"))
-      .select(col("__khs").cast("long").as("__kh"))
-      .localCheckpoint()
+      .select(col("__khs").cast("long").as("__kh")))
     val withH = counts.withColumn("__kh", keyHash)
     val nomCounts = withH.join(broadcast(nom), Seq("__kh")).drop("__kh")
     val restCounts = withH.join(broadcast(nom), Seq("__kh"), "left_anti")
       .drop("__kh")
-    val annotated = rows.withColumn("__kh", keyHash)
+    val annotated = cp(rows.withColumn("__kh", keyHash)
       .join(broadcast(nom), Seq("__kh"), "left_anti").drop("__kh")
       .join(restCounts, keys)
-      .unionByName(rows.join(broadcast(nomCounts), keys))
-      .localCheckpoint()
+      .unionByName(rows.join(broadcast(nomCounts), keys)))
     def pairOut(l: DataFrame, r: DataFrame, joinKeys: Seq[String],
                 keep: Column): DataFrame = {
       val aFirst = col("__id_l") < col("__id_r")

@@ -148,8 +148,13 @@ class PlanAuditSpec extends SparkSpec {
     "no cartesian") {
     val s = planOf(graft.scale.Dedup.minhashAudit(
       graft.Tables.documents(spark, sf)))
-    assert(s.contains("minhash_sig") && s.contains("minhash_bands"),
+    // the band-hash kernel now runs ONCE inside boundedSelfPairs'
+    // materialized input (behind a block scan); the signature kernel
+    // still projects in-plan for the estimate columns
+    assert(s.contains("minhash_sig"),
       s"expected one-pass kernel signatures:\n$s")
+    assert(s.contains("Scan ExistingRDD"),
+      s"expected the materialized candidate core:\n$s")
     // the words() regex chain lives BEFORE the checkpoint; seeing it
     // here would mean a branch re-tokenizes per consumer
     assert(!s.contains("regexp_replace"),
@@ -279,25 +284,58 @@ class PlanAuditSpec extends SparkSpec {
       s"heavy path must route via broadcast joins:\n$s")
   }
 
-  test("simhashPairs / minhashPairs: hot buckets are MG-nominated " +
-    "in-plan, their stats attach by broadcast, and the grid regions " +
-    "are join-key columns — no unbounded single-bucket pair funnel") {
+  test("boundedSelfPairs: hot buckets are MG-nominated in-plan, their " +
+    "stats attach by broadcast, and the grid regions are join-key " +
+    "columns — no unbounded single-bucket pair funnel") {
+    // materialize=false keeps the whole routing in ONE inspectable
+    // plan (the production path checkpoints its shared intermediates,
+    // which hides the nomination/attach stages behind block scans)
+    val bands = graft.scale.Dedup.minhashBands(
+      graft.Tables.documents(spark, sf))
+    val plan = planOf(graft.scale.Skew.boundedSelfPairs(bands,
+      Seq("b", "bv"), "doc_id", materialize = false))
+    // the nomination sketch runs inside the same plan, capacity-bounded
+    assert(plan.contains("partial_misra_gries"),
+      s"expected the MG hot-bucket nomination:\n$plan")
+    // nominated keys and their exact stats ride broadcast exchanges
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+      s"hot-bucket routing must be broadcast joins:\n$plan")
+    // the grid path's region ids are part of the join keys: the hot
+    // bucket's pairs spread across __ri × __rj tasks
+    assert(plan.contains("__ri") && plan.contains("__rj"),
+      s"expected grid region columns in the join keys:\n$plan")
+  }
+
+  test("simhashPairs / minhashPairs production path: both routed join " +
+    "branches read the MATERIALIZED df-annotated core (one upstream " +
+    "kernel run), grid regions in the join keys") {
     for (plan <- Seq(
         planOf(graft.scale.Dedup.simhashPairs(
           graft.Tables.documents(spark, sf), maxDist = 5)),
         planOf(graft.scale.Dedup.minhashPairs(
           graft.Tables.documents(spark, sf))))) {
-      // the nomination sketch runs inside the same plan, capacity-bounded
-      assert(plan.contains("partial_misra_gries"),
-        s"expected the MG hot-bucket nomination:\n$plan")
-      // nominated keys and their exact stats ride broadcast exchanges
-      assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
-        s"hot-bucket routing must be broadcast joins:\n$plan")
-      // the grid path's region ids are part of the join keys: the hot
-      // bucket's pairs spread across __ri × __rj tasks
+      // the df-annotated table is checkpointed: every join side scans
+      // blocks, never re-executes the signature kernel
+      assert(plan.contains("Scan ExistingRDD"),
+        s"expected the materialized annotated core:\n$plan")
+      assert(plan.contains("Union"),
+        s"expected the light/grid routed union:\n$plan")
       assert(plan.contains("__ri") && plan.contains("__rj"),
         s"expected grid region columns in the join keys:\n$plan")
+      // routing is by exact df on both branches
+      assert(plan.contains("__df"),
+        s"expected the df routing predicate:\n$plan")
     }
+  }
+
+  test("q170 media features: the certified encoder rides the scan — " +
+    "mapPartitions + generate, no joins, no shuffles") {
+    val s = planOf(graft.scale.Multimodal.mediaFeaturesBoard(spark,
+      graft.scale.Multimodal.syntheticAssets(
+        graft.Tables.documents(spark, sf))))
+    assert(!s.contains("Join"), s"feature extraction must not join:\n$s")
+    assert(!s.contains("Exchange"), s"feature extraction must not shuffle:\n$s")
+    assert(s.contains("Generate"), s"expected the posexplode generate:\n$s")
   }
 
   test("chunkSpans is a pure scan-side projection + generate: no " +

@@ -294,6 +294,26 @@ class MultimodalSpec extends SparkSpec {
     assert(g(12) === (1.0 / d2).toFloat && g(10) === (1.0 / d2).toFloat)
   }
 
+  test("byteHistogramFeatures property: random payloads at several dims " +
+    "match an independent BigInt/IEEE reference") {
+    val rnd = new scala.util.Random(83)
+    for (trial <- 1 to 20; dim <- Seq(4, 16, 64)) {
+      val payload = Array.fill(rnd.nextInt(300))(rnd.nextInt(256).toByte)
+      val got = Multimodal.byteHistogramFeatures(payload, dim)
+      // independent reference: group by bin via a Map, BigInt moments,
+      // the same single-rounding chain stated from scratch
+      val counts = payload.groupBy(b => (b & 0xff) * dim / 256)
+        .view.mapValues(_.length.toLong).toMap
+      val ss = counts.values.map(c => BigInt(c) * c).sum
+      val ref = Array.tabulate(dim) { i =>
+        if (ss == 0) 0f
+        else (counts.getOrElse(i, 0L).toDouble /
+          math.sqrt(ss.toDouble)).toFloat
+      }
+      assert(got.toSeq === ref.toSeq, s"trial=$trial dim=$dim")
+    }
+  }
+
   test("mediaFeaturesBoard explodes to the (vec_id, kind, pos, value) " +
     "certification schema — dim scalar rows per asset") {
     val out = Multimodal.mediaFeaturesBoard(spark, assets, dim = 16)

@@ -37,8 +37,9 @@ class SkewBoundedPairsSpec extends SparkSpec {
       }
       val ref = naive(rows)
       val df = rows.toDF("k", "doc_id", "p")
-      // hotDf below / inside / above every key size: identical output
-      for (hotDf <- Seq(4L, 64L, 1000000L)) {
+      // hotDf below / inside / above every key size — including the
+      // degenerate hotDf=1 (EVERY key rides the grid): identical output
+      for (hotDf <- Seq(1L, 4L, 64L, 1000000L)) {
         val got = Skew.boundedSelfPairs(df, Seq("k"), "doc_id",
             payload = Seq("p"), hotDf = hotDf)
           .collect()

@@ -867,6 +867,29 @@ class TextAnalysisSpec extends SparkSpec {
       "no out-of-vocab tokens generated")
   }
 
+  test("q162 ↔ q171 reconciliation: same gate geometry ⇒ identical " +
+    "per-doc bigram and model-hit counts (only the scores differ)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // both boards ship the top-V vocab + top-B bigram table built the
+    // same way, and 'hit' means the same thing (bigram in the shipped
+    // table) — n_bigrams and n_hits must agree doc for doc, which
+    // pins the two independent model builds against each other
+    val rnd = new scala.util.Random(53)
+    val alphabet = Vector("aa", "bb", "cc", "dd", "ee")
+    val docs = (1L to 30L).map { id =>
+      (id, Seq.fill(2 + rnd.nextInt(8))(alphabet(rnd.nextInt(alphabet.size)))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("n_hits")))).toMap
+    val fl = key(TextAnalysis.lmFluency(docs, vocabSize = 3, maxBigrams = 4))
+    val bo = key(TextAnalysis.lmBackoff(docs, vocabSize = 3, maxBigrams = 4))
+    assert(fl === bo)
+    assert(fl.nonEmpty)
+  }
+
   test("domainReweight boosts the source the LM finds least fluent, " +
     "with an exactly-normalized weight column") {
     val spark2 = spark
