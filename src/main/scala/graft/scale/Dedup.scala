@@ -304,26 +304,43 @@ object Dedup extends QueryModule {
     val c = if (numChunks <= 0) maxDist + 1 else numChunks
     require(c >= maxDist + 1 && c <= 60,
       s"numChunks must be in [maxDist+1, 60]: $c")
+    simhashCandidates(simhash(docs), maxDist, c)
+      .filter(col("dist") <= maxDist)
+  }
+
+  /** Chunk geometry shared by [[simhashPairs]], [[chunkSweep]] and the
+    * generated oracles — ONE definition of the disjoint (start, width)
+    * bit layout and the complete (c − maxDist)-subset table list, so
+    * the Spark plans and the SQL cannot drift. */
+  private[scale] def chunkBounds(c: Int, ci: Int): (Int, Int) = {
     val baseW = 60 / c
     val rem = 60 % c
-    def bounds(ci: Int): (Int, Int) = {
-      val start = ci * baseW + math.min(ci, rem)
-      val width = baseW + (if (ci < rem) 1 else 0)
-      (start, width)
-    }
-    val sh = simhash(docs)
-    // one struct per table: id + the subset's chunk values packed into
-    // a single long (disjoint chunks total 60 bits, so any subset
-    // packs losslessly)
-    val tables = (0 until c).combinations(c - maxDist).toSeq.zipWithIndex
-      .map { case (ss, t) =>
-        val kv = ss.foldLeft(lit(0L)) { (acc, ci) =>
-          val (start, width) = bounds(ci)
-          shiftleft(acc, width).bitwiseOR(
-            shiftright(col("simhash"), start).bitwiseAND((1L << width) - 1L))
-        }
-        struct(lit(t).as("t"), kv.as("kv"))
+    (ci * baseW + math.min(ci, rem), baseW + (if (ci < rem) 1 else 0))
+  }
+
+  private[scale] def chunkSubsets(maxDist: Int, c: Int): Seq[Seq[Int]] =
+    (0 until c).combinations(c - maxDist).map(_.toSeq).toSeq
+
+  /** One struct per table: id + the subset's chunk values packed into
+    * a single long (disjoint chunks total 60 bits, so any subset packs
+    * losslessly). */
+  private def chunkTableStructs(maxDist: Int, c: Int): Seq[Column] =
+    chunkSubsets(maxDist, c).zipWithIndex.map { case (ss, t) =>
+      val kv = ss.foldLeft(lit(0L)) { (acc, ci) =>
+        val (start, width) = chunkBounds(c, ci)
+        shiftleft(acc, width).bitwiseOR(
+          shiftright(col("simhash"), start).bitwiseAND((1L << width) - 1L))
       }
+      struct(lit(t).as("t"), kv.as("kv"))
+    }
+
+  /** The chunk-blocked DISTINCT candidate pairs (with their hamming
+    * distance) of a (doc_id, simhash) table — the shared core of
+    * [[simhashPairs]] (which filters to ≤ maxDist) and [[chunkSweep]]
+    * (which prices the unfiltered candidate volume). */
+  private def simhashCandidates(sh: DataFrame, maxDist: Int,
+                                c: Int): DataFrame = {
+    val tables = chunkTableStructs(maxDist, c)
     val blocked = sh.select(col("doc_id"), col("simhash"),
       explode(array(tables: _*)).as("tb"))
       .select(col("doc_id"), col("simhash"),
@@ -333,7 +350,56 @@ object Dedup extends QueryModule {
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("simhash_a").bitwiseXOR(col("simhash_b"))).as("dist"))
       .distinct()
-      .filter(col("dist") <= maxDist)
+  }
+
+  /** q172: the chunk-count sweep — the tuning frontier behind the
+    * [[simhashPairs]] numChunks knob, the q156 discipline applied to
+    * the OTHER blocking family: for each numChunks ≥ maxDist + 1, the
+    * table count C(c, c−m) (the row-replication bill), the bucket
+    * occupancy the corpus actually produces (bucket count, max df),
+    * the raw within-bucket pair emissions Σ df(df−1)/2 (the join cost
+    * the q28 chain pays), the distinct candidate volume, and how many
+    * candidates verify at ≤ maxDist (`n_true`, with the verify
+    * precision `true_rate`). n_true is CONSTANT across arms — every
+    * arm is a complete blocking, and the board showing that IS the
+    * completeness certificate — while emissions fall as keys widen:
+    * the exact occupancy-vs-tables trade a 100 TB run reads before
+    * setting the knob (sf0.1 measures single-chunk buckets at 11% of
+    * the corpus; two-chunk keys square that selectivity away).
+    *
+    * Scale design: ONE signature kernel pass (checkpointed) feeds all
+    * arms; per arm the occupancy side is two stacked aggregates
+    * (map-side partials swallow the hot bucket) and the candidate
+    * side rides [[Skew.boundedSelfPairs]] — the same bounded routing
+    * the production chain uses, so the sweep survives the exact skew
+    * it exists to measure. */
+  def chunkSweep(docs: DataFrame, maxDist: Int = 5,
+                 configs: Seq[Int] = Seq(6, 7, 8)): DataFrame = {
+    def r6(cc: Column): Column = floor(cc * 1000000d + 0.5d) / 1000000d
+    val sh = simhash(docs).localCheckpoint()
+    configs.map { c =>
+      require(c >= maxDist + 1 && c <= 60,
+        s"numChunks must be in [maxDist+1, 60]: $c")
+      val occ = sh.select(col("doc_id"),
+          explode(array(chunkTableStructs(maxDist, c): _*)).as("tb"))
+        .groupBy(col("tb.t"), col("tb.kv"))
+        .agg(count(lit(1)).as("df"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(col("df")).as("n_rows"),
+          max(col("df")).as("max_df"),
+          sum(expr("(df * (df - 1)) div 2")).as("emissions"))
+      val stats = simhashCandidates(sh, maxDist, c)
+        .agg(count(lit(1)).as("n_candidates"),
+          count(when(col("dist") <= maxDist, 1)).as("n_true"))
+      occ.crossJoin(stats).select(
+        lit(c).as("n_chunks"),
+        lit(chunkSubsets(maxDist, c).size).as("n_tables"),
+        col("n_rows"), col("n_buckets"), col("max_df"), col("emissions"),
+        col("n_candidates"), col("n_true"),
+        when(col("n_candidates") > 0,
+          r6(col("n_true").cast("double") / col("n_candidates")))
+          .as("true_rate"))
+    }.reduce(_ unionByName _)
   }
 
   /** Connected components over a near-dup pair list — the step that
@@ -2129,6 +2195,10 @@ object Dedup extends QueryModule {
     // the S-curve board behind the q26 banding choice
     "q156_band_sweep" -> ((s, d) =>
       bandSweepFrom(gateWa(s, d), gateSigs(s, d))),
+    // the numChunks tuning frontier for the simhash blocking (q156's
+    // sibling board): occupancy, emissions and verify precision per
+    // table-count configuration; n_true constant = completeness
+    "q172_chunk_sweep" -> ((s, d) => chunkSweep(T.documents(s, d))),
     // who mirrors whom: the pair graph rolled up by source pair
     "q160_source_matrix" -> ((s, d) =>
       sourcePairMatrix(gatePairs(s, d), T.documents(s, d))),
@@ -2263,7 +2333,9 @@ object Dedup extends QueryModule {
       |cl AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
       |       FROM reach GROUP BY a)""".stripMargin
 
-  private[scale] val simhashPairCte =
+  /** The tokenize→simhash chain alone (`sh(doc_id, simhash)`) — shared
+    * by [[simhashPairCte]] and the q172 sweep oracle. */
+  private[scale] val simhashCte =
     """sw AS (
       |  SELECT doc_id, unnest(list_filter(string_split_regex(trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')), ' +'), x -> x <> '')) AS w
       |  FROM documents),
@@ -2274,11 +2346,59 @@ object Dedup extends QueryModule {
       |  FROM h, range(0, 60) t(b) GROUP BY doc_id, b),
       |sh AS (SELECT doc_id,
       |  CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
-      |  FROM bits GROUP BY doc_id),
-      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS dist
-      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 5)""".stripMargin
+      |  FROM bits GROUP BY doc_id)""".stripMargin
+
+  private[scale] val simhashPairCte =
+    s"""$simhashCte,
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS dist
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 5)""".stripMargin
+
+  /** The q172 oracle: the same chunk geometry (via [[chunkBounds]] /
+    * [[chunkSubsets]]) restated as packed-key bit arithmetic, one
+    * blocked table + occupancy rollup + distinct-candidate count per
+    * configuration. */
+  private lazy val chunkSweepSql: String = {
+    val maxDist = 5
+    val configs = Seq(6, 7, 8)
+    def kvSql(c: Int, ss: Seq[Int]): String =
+      ss.foldLeft("CAST(0 AS BIGINT)") { (acc, ci) =>
+        val (start, width) = chunkBounds(c, ci)
+        s"((($acc) << $width) | ((simhash >> $start) & ${(1L << width) - 1}))"
+      }
+    val blocks = configs.map { c =>
+      val packs = chunkSubsets(maxDist, c).zipWithIndex.map { case (ss, t) =>
+        s"struct_pack(t := $t, kv := ${kvSql(c, ss)})"
+      }.mkString(",\n|    ")
+      s"""b$c AS (SELECT doc_id, simhash, u.t AS t, u.kv AS kv FROM sh,
+         |  LATERAL unnest([$packs]) AS l$c(u)),
+         |o$c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         |  CAST(SUM(df) AS BIGINT) AS n_rows,
+         |  CAST(MAX(df) AS BIGINT) AS max_df,
+         |  CAST(SUM((df * (df - 1)) // 2) AS BIGINT) AS emissions
+         |  FROM (SELECT t, kv, COUNT(*) AS df FROM b$c GROUP BY 1, 2)),
+         |c$c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         |  CAST(COUNT(CASE WHEN dist <= $maxDist THEN 1 END) AS BIGINT)
+         |    AS n_true
+         |  FROM (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+         |      bit_count(xor(a.simhash, b.simhash)) AS dist
+         |    FROM b$c a JOIN b$c b
+         |      ON a.t = b.t AND a.kv = b.kv AND a.doc_id < b.doc_id))"""
+        .stripMargin
+    }
+    val unions = configs.map { c =>
+      val nt = chunkSubsets(maxDist, c).size
+      s"""SELECT $c AS n_chunks, $nt AS n_tables, n_rows, n_buckets, max_df,
+         |  emissions, n_candidates, n_true,
+         |  CASE WHEN n_candidates > 0 THEN FLOOR(CAST(n_true AS DOUBLE)
+         |    / n_candidates * 1000000 + 0.5) / 1000000 END AS true_rate
+         |FROM o$c, c$c""".stripMargin
+    }
+    s"""WITH $simhashCte,
+       |${blocks.mkString(",\n")}
+       |${unions.mkString("\nUNION ALL\n")}""".stripMargin
+  }
 
   private val sigSelect = (0 until NumMinhashes)
     .map(i => s"MIN(md5('$i|' || sh)) AS m$i").mkString(", ")
@@ -2356,6 +2476,7 @@ object Dedup extends QueryModule {
          |JOIN sz sa ON sa.doc_id = doc_a
          |JOIN sz sb ON sb.doc_id = doc_b""".stripMargin,
     "q156_band_sweep" -> bandSweepSql,
+    "q172_chunk_sweep" -> chunkSweepSql,
     // the shared pair CTE with sources attached; (least, greatest)
     // folds the matrix undirected, share over the 1-row total
     "q160_source_matrix" ->

@@ -1717,6 +1717,35 @@ class DedupSpec extends SparkSpec {
     assert(got === ref)
   }
 
+  test("chunkSweep: n_true is invariant across arms (every arm is a " +
+    "complete blocking) and equals the exact O(n^2) count; emissions " +
+    "fall and diagnostics reconcile as keys widen") {
+    val docs = templateFamily
+    val maxDist = 3
+    val sh = Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val exactTrue = (for {
+      (a, ha) <- sh; (b, hb) <- sh
+      if a < b && java.lang.Long.bitCount(ha ^ hb) <= maxDist
+    } yield 1).size.toLong
+    val rows = Dedup.chunkSweep(docs, maxDist, configs = Seq(4, 5, 6))
+      .collect().map(r => r.getAs[Int]("n_chunks") -> r).toMap
+    assert(rows.keySet === Set(4, 5, 6))
+    for ((c, r) <- rows) {
+      assert(r.getAs[Long]("n_true") === exactTrue, s"arm $c completeness")
+      // C(c, c-m) tables; every doc appears once per table
+      val nt = (0 until c).combinations(c - maxDist).size
+      assert(r.getAs[Int]("n_tables") === nt)
+      assert(r.getAs[Long]("n_rows") === sh.length.toLong * nt)
+      // candidates are deduped emissions; true pairs are a subset
+      assert(r.getAs[Long]("emissions") >= r.getAs[Long]("n_candidates"))
+      assert(r.getAs[Long]("n_candidates") >= r.getAs[Long]("n_true"))
+    }
+    // the knob's reason to exist: the template family's hot bucket
+    // shrinks as keys widen
+    assert(rows(6).getAs[Long]("max_df") <= rows(4).getAs[Long]("max_df"))
+  }
+
   test("minhashPairs: a planted identical-signature family rides the hot " +
     "band buckets and still matches the naive band-join reference") {
     val spark2 = spark
