@@ -802,6 +802,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct"), s"unexpected cartesian:\n$s")
   }
 
+  test("q171 stupid backoff: same broadcast-model discipline as q162 — " +
+    "vocab/bigram-table/totals attach by broadcast, no sort-merge " +
+    "join, no cartesian beyond the 1-row totals") {
+    val s = planOf(graft.scale.TextAnalysis.lmBackoff(
+      graft.Tables.documents(spark, sf)))
+    assert(!s.contains("SortMergeJoin"),
+      s"model attach fell out of broadcast:\n$s")
+    assert("BroadcastHashJoin".r.findAllIn(s).length >= 3,
+      s"expected vocab×2 + bigram-table broadcast lookups:\n$s")
+  }
+
   test("q163 boilerplate: doc-frequency dedups on (source, line, doc_id) " +
     "first — no one-distinct Expand plan that would funnel a hot line, " +
     "and the per-source tables attach by broadcast") {

@@ -1744,6 +1744,11 @@ class DedupSpec extends SparkSpec {
     // the knob's reason to exist: the template family's hot bucket
     // shrinks as keys widen
     assert(rows(6).getAs[Long]("max_df") <= rows(4).getAs[Long]("max_df"))
+    // cross-board reconciliation: the sweep's n_true IS the q28 pair
+    // count at the same maxDist — the sweep and the production chain
+    // cannot drift
+    val q28 = Dedup.simhashPairs(docs, maxDist).count()
+    assert(rows.values.forall(_.getAs[Long]("n_true") === q28))
   }
 
   test("minhashPairs: a planted identical-signature family rides the hot " +
