@@ -364,8 +364,24 @@ object Dedup extends QueryModule {
     * arm is a complete blocking, and the board showing that IS the
     * completeness certificate — while emissions fall as keys widen:
     * the exact occupancy-vs-tables trade a 100 TB run reads before
-    * setting the knob (sf0.1 measures single-chunk buckets at 11% of
-    * the corpus; two-chunk keys square that selectivity away).
+    * setting the knob (single-chunk bucket occupancy grows linearly
+    * with the corpus — sf0.1 measures the hottest maxDist=5 10-bit
+    * bucket at 11% of the corpus; multi-chunk keys square that
+    * selectivity away). The gate board sweeps the DEFAULT maxDist=3
+    * blocking (15-bit chunks, the Manku parameterization) — the same
+    * frontier at a diagnostic price; a production run re-points it at
+    * its own (maxDist, configs).
+    *
+    * `sampleRate < 1` prices the frontier on a deterministic
+    * doc_id-hash sample (the [[Curation]] split uniform, so both
+    * engines draw the SAME sample) — the way an occupancy probe
+    * actually runs at 100 TB: candidate volume is quadratic in bucket
+    * occupancy, so sweeping the full corpus would cost a multiple of
+    * the production run it is meant to tune, while occupancy RATIOS,
+    * the emissions ordering and the completeness certificate are all
+    * scale-free reads off the sample. The gate board samples at
+    * [[ChunkSweepSampleRate]]; [[DedupSpec]] property-tests the
+    * full-corpus form.
     *
     * Scale design: ONE signature kernel pass (checkpointed) feeds all
     * arms; per arm the occupancy side is two stacked aggregates
@@ -373,22 +389,43 @@ object Dedup extends QueryModule {
     * side rides [[Skew.boundedSelfPairs]] — the same bounded routing
     * the production chain uses, so the sweep survives the exact skew
     * it exists to measure. */
-  def chunkSweep(docs: DataFrame, maxDist: Int = 5,
-                 configs: Seq[Int] = Seq(6, 7, 8)): DataFrame = {
+  val ChunkSweepSampleRate = 0.25
+
+  def chunkSweep(docs: DataFrame, maxDist: Int = 3,
+                 configs: Seq[Int] = Seq(4, 5, 6),
+                 sampleRate: Double = 1.0): DataFrame = {
+    require(sampleRate > 0d && sampleRate <= 1d,
+      s"sampleRate must be in (0, 1]: $sampleRate")
     def r6(cc: Column): Column = floor(cc * 1000000d + 0.5d) / 1000000d
-    val sh = simhash(docs).localCheckpoint()
+    val base =
+      if (sampleRate >= 1d) docs
+      else docs.filter(
+        graft.functions.PortableFuncs.portableHash60(
+          col("doc_id").cast("string")).cast("double") /
+          lit((1L << 60).toDouble) < lit(sampleRate))
+    val sh = simhash(base).localCheckpoint()
     configs.map { c =>
       require(c >= maxDist + 1 && c <= 60,
         s"numChunks must be in [maxDist+1, 60]: $c")
-      val occ = sh.select(col("doc_id"),
+      // ONE blocked table per arm feeds both the occupancy rollup and
+      // the candidate join
+      val blocked = sh.select(col("doc_id"), col("simhash"),
           explode(array(chunkTableStructs(maxDist, c): _*)).as("tb"))
-        .groupBy(col("tb.t"), col("tb.kv"))
+        .select(col("doc_id"), col("simhash"),
+          col("tb.t").as("t"), col("tb.kv").as("kv"))
+        .localCheckpoint()
+      val occ = blocked.groupBy(col("t"), col("kv"))
         .agg(count(lit(1)).as("df"))
         .agg(count(lit(1)).as("n_buckets"),
           sum(col("df")).as("n_rows"),
           max(col("df")).as("max_df"),
           sum(expr("(df * (df - 1)) div 2")).as("emissions"))
-      val stats = simhashCandidates(sh, maxDist, c)
+      val stats = Skew.boundedSelfPairs(blocked, Seq("t", "kv"), "doc_id",
+          payload = Seq("simhash"))
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(col("simhash_a").bitwiseXOR(col("simhash_b")))
+            .as("dist"))
+        .distinct()
         .agg(count(lit(1)).as("n_candidates"),
           count(when(col("dist") <= maxDist, 1)).as("n_true"))
       occ.crossJoin(stats).select(
@@ -2198,7 +2235,8 @@ object Dedup extends QueryModule {
     // the numChunks tuning frontier for the simhash blocking (q156's
     // sibling board): occupancy, emissions and verify precision per
     // table-count configuration; n_true constant = completeness
-    "q172_chunk_sweep" -> ((s, d) => chunkSweep(T.documents(s, d))),
+    "q172_chunk_sweep" -> ((s, d) =>
+      chunkSweep(T.documents(s, d), sampleRate = ChunkSweepSampleRate)),
     // who mirrors whom: the pair graph rolled up by source pair
     "q160_source_matrix" -> ((s, d) =>
       sourcePairMatrix(gatePairs(s, d), T.documents(s, d))),
@@ -2333,20 +2371,23 @@ object Dedup extends QueryModule {
       |cl AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
       |       FROM reach GROUP BY a)""".stripMargin
 
-  /** The tokenize→simhash chain alone (`sh(doc_id, simhash)`) — shared
-    * by [[simhashPairCte]] and the q172 sweep oracle. */
-  private[scale] val simhashCte =
-    """sw AS (
-      |  SELECT doc_id, unnest(list_filter(string_split_regex(trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')), ' +'), x -> x <> '')) AS w
-      |  FROM documents),
-      |h AS (SELECT doc_id, CAST('0x' || substr(md5(w),1,15) AS BIGINT) AS h FROM sw),
-      |bits AS (
-      |  SELECT doc_id, b,
-      |    SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-      |  FROM h, range(0, 60) t(b) GROUP BY doc_id, b),
-      |sh AS (SELECT doc_id,
-      |  CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
-      |  FROM bits GROUP BY doc_id)""".stripMargin
+  /** The tokenize→simhash chain (`sh(doc_id, simhash)`) over any
+    * (doc_id, text) relation — shared by [[simhashPairCte]] and the
+    * q172 sweep oracle (which points it at a hash-sampled CTE). */
+  private[scale] def simhashCteOver(table: String): String =
+    s"""sw AS (
+       |  SELECT doc_id, unnest(list_filter(string_split_regex(trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')), ' +'), x -> x <> '')) AS w
+       |  FROM $table),
+       |h AS (SELECT doc_id, CAST('0x' || substr(md5(w),1,15) AS BIGINT) AS h FROM sw),
+       |bits AS (
+       |  SELECT doc_id, b,
+       |    SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM h, range(0, 60) t(b) GROUP BY doc_id, b),
+       |sh AS (SELECT doc_id,
+       |  CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM bits GROUP BY doc_id)""".stripMargin
+
+  private[scale] val simhashCte = simhashCteOver("documents")
 
   private[scale] val simhashPairCte =
     s"""$simhashCte,
@@ -2360,8 +2401,8 @@ object Dedup extends QueryModule {
     * blocked table + occupancy rollup + distinct-candidate count per
     * configuration. */
   private lazy val chunkSweepSql: String = {
-    val maxDist = 5
-    val configs = Seq(6, 7, 8)
+    val maxDist = 3
+    val configs = Seq(4, 5, 6)
     def kvSql(c: Int, ss: Seq[Int]): String =
       ss.foldLeft("CAST(0 AS BIGINT)") { (acc, ci) =>
         val (start, width) = chunkBounds(c, ci)
@@ -2395,7 +2436,9 @@ object Dedup extends QueryModule {
          |    / n_candidates * 1000000 + 0.5) / 1000000 END AS true_rate
          |FROM o$c, c$c""".stripMargin
     }
-    s"""WITH $simhashCte,
+    s"""WITH dsamp AS (SELECT doc_id, text FROM documents
+       |  WHERE ${Curation.splitUSql("doc_id")} < $ChunkSweepSampleRate),
+       |${simhashCteOver("dsamp")},
        |${blocks.mkString(",\n")}
        |${unions.mkString("\nUNION ALL\n")}""".stripMargin
   }
