@@ -978,12 +978,14 @@ object Dedup extends QueryModule {
     * volume of 8-bit keys — the standard contract of every production
     * near-dup gate. */
   def embeddingNearDupLsh(emb: DataFrame, minCos: Double): DataFrame = {
-    val b = Similarity.bucketedVectors(emb)
-    val a = b.as("a"); val c = b.as("c")
-    a.join(c, col("a.bucket") === col("c.bucket") &&
-        col("a.vec_id") < col("c.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("c.vec_id").as("vec_b"),
-        (dotProduct(col("a.v"), col("c.v")) / (col("a.nrm") * col("c.nrm"))).as("cos"))
+    // sign-plane buckets are FEW (2^planes) and corpus-sized — the
+    // sharpest instance of the hot-bucket self-join shape, so route
+    // through the bounded grid (identical output by its contract)
+    Skew.boundedSelfPairs(Similarity.bucketedVectors(emb), Seq("bucket"),
+        "vec_id", payload = Seq("v", "nrm"))
+      .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"),
+        (dotProduct(col("v_a"), col("v_b")) /
+          (col("nrm_a") * col("nrm_b"))).as("cos"))
       .filter(col("cos") >= minCos)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
   }
@@ -1066,12 +1068,13 @@ object Dedup extends QueryModule {
         graft.functions.VectorExpressions.argMaxCosine(col("v"), cents)
           .as("cell_id"),
         col("v"), l2Norm(col("v")).as("nrm"))
-    val a = assigned.as("a"); val b = assigned.as("b")
-    val pairs = a.join(b, col("a.cell_id") === col("b.cell_id") &&
-        col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        (dotProduct(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
-          .as("cos"))
+    // cells are few (nCells) and corpus-sized — the within-cell pair
+    // join takes the bounded grid route (identical output)
+    val pairs = Skew.boundedSelfPairs(assigned, Seq("cell_id"), "vec_id",
+        payload = Seq("v", "nrm"))
+      .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"),
+        (dotProduct(col("v_a"), col("v_b")) /
+          (col("nrm_a") * col("nrm_b"))).as("cos"))
       .filter(col("cos") >= minCos)
     val labels = connectedComponents(pairs, "vec_a", "vec_b")
     assigned.join(labels, assigned("vec_id") === labels("doc_id"), "left")
