@@ -1751,6 +1751,30 @@ class DedupSpec extends SparkSpec {
     assert(rows.values.forall(_.getAs[Long]("n_true") === q28))
   }
 
+  test("embeddingNearDupLsh: a planted 100-identical-vector bucket (hot, " +
+    "array payload through the grid) yields exactly the family's " +
+    "all-pairs at cosine 1.0") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(89)
+    val fam = (1 to 100).map(i =>
+      (i.toLong, Array(0.6f, 0.8f, 0.0f, 0.0f)))
+    val noise = (101 to 120).map { i =>
+      val v = Array.fill(4)(rnd.nextGaussian().toFloat)
+      (i.toLong, v)
+    }
+    val emb = (fam ++ noise).toDF("vec_id", "embedding")
+    val out = Dedup.embeddingNearDupLsh(emb, minCos = 0.999999)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val famPairs = out.filter { case (a, b, _) => a <= 100 && b <= 100 }
+    assert(famPairs.length === 100 * 99 / 2,
+      s"expected the full family clique, got ${famPairs.length}")
+    assert(famPairs.forall(_._3 === 1.0))
+    // no duplicate pair from the grid routing
+    assert(out.map(p => (p._1, p._2)).distinct.length === out.length)
+    assert(out.forall { case (a, b, _) => a < b })
+  }
+
   test("minhashPairs: a planted identical-signature family rides the hot " +
     "band buckets and still matches the naive band-join reference") {
     val spark2 = spark
