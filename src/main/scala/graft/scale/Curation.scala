@@ -611,7 +611,11 @@ object Curation extends QueryModule {
   /** Materialize the q159 shard plan as a physical parquet layout —
     * one directory (one file) per planned shard, documents whole,
     * shard membership exactly the plan's greedy `chunk_first`
-    * assignment. The write is `repartition(shard_id)` +
+    * assignment. Zero-token documents (empty text) are EXCLUDED, the
+    * same exclusion [[sequencePack]] states: they carry no token mass,
+    * so the packing plan never assigns them a shard and the written
+    * corpus (and [[shardAudit]]'s plan-vs-disk reconciliation, which
+    * reads the same plan) is defined over the toks > 0 sub-corpus. The write is `repartition(shard_id)` +
     * `partitionBy(shard_id)`: every shard's rows land in one task, so
     * each shard directory holds exactly one file — the property
     * [[shardAudit]] certifies. (At 100 TB shardTokens is set so one

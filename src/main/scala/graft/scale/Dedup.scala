@@ -352,6 +352,10 @@ object Dedup extends QueryModule {
       .distinct()
   }
 
+  /** Deterministic doc_id-hash sample rate the q172 gate board sweeps
+    * at (see [[chunkSweep]]'s sampleRate paragraph). */
+  val ChunkSweepSampleRate = 0.25
+
   /** q172: the chunk-count sweep — the tuning frontier behind the
     * [[simhashPairs]] numChunks knob, the q156 discipline applied to
     * the OTHER blocking family: for each numChunks ≥ maxDist + 1, the
@@ -389,8 +393,6 @@ object Dedup extends QueryModule {
     * side rides [[Skew.boundedSelfPairs]] — the same bounded routing
     * the production chain uses, so the sweep survives the exact skew
     * it exists to measure. */
-  val ChunkSweepSampleRate = 0.25
-
   def chunkSweep(docs: DataFrame, maxDist: Int = 3,
                  configs: Seq[Int] = Seq(4, 5, 6),
                  sampleRate: Double = 1.0): DataFrame = {

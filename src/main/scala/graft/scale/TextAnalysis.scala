@@ -1786,9 +1786,13 @@ object TextAnalysis extends QueryModule {
         floor(when(col("c2").isNotNull,
             col("c2").cast("double") /
               coalesce(col("c1v"), col("unk_cnt")).cast("double"))
-          .otherwise(
+          // t = 0 (empty train split) would make the backoff division
+          // 0/0 → NaN, which Spark's cast-to-long maps to 0 while
+          // DuckDB's CAST(FLOOR(NaN)) errors — pin the score to 0 in
+          // BOTH engines so the degenerate corpus stays cross-portable
+          .otherwise(when(col("t") > 0,
             (coalesce(col("c2v"), col("unk_cnt")) * lit(2L)).cast("double") /
-              (col("t") * lit(5L)).cast("double"))
+              (col("t") * lit(5L)).cast("double")).otherwise(lit(0d)))
           * 1000000000d + 0.5d).cast("long").as("s9"))
     scored.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
@@ -2700,8 +2704,8 @@ object TextAnalysis extends QueryModule {
          |p AS (SELECT doc_id, (bc.bigram IS NOT NULL) AS hit,
          |        CAST(FLOOR(CASE WHEN bc.bigram IS NOT NULL
          |            THEN CAST(bc.c2 AS DOUBLE) / CAST(sm.c1 AS DOUBLE)
-         |            ELSE CAST(2 * sm.cw2 AS DOUBLE)
-         |              / CAST(5 * sm.t AS DOUBLE) END
+         |            ELSE CASE WHEN sm.t > 0 THEN CAST(2 * sm.cw2 AS DOUBLE)
+         |              / CAST(5 * sm.t AS DOUBLE) ELSE 0.0 END END
          |          * 1000000000.0 + 0.5) AS BIGINT) AS s9
          |      FROM sm LEFT JOIN bc ON sm.bigram = bc.bigram)
          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
