@@ -9,8 +9,10 @@ import scala.jdk.CollectionConverters._
   * connected components four, the q34 quality scan three), and a batch
   * run that rebuilds that core once per consumer pays the dominant
   * cost of the suite several times over. `memo` computes the core ONCE
-  * per (SparkContext, name), `localCheckpoint`s it so every consumer
-  * reads materialized blocks instead of re-running the lineage, and
+  * per (SparkContext, name), materializes it under the [[Materialize]]
+  * policy (localCheckpoint locally; a reliable checkpoint dir on a
+  * cluster where a lost executor must not abort the batch) so every
+  * consumer reads stored rows instead of re-running the lineage, and
   * hands the same DataFrame to all of them — per-query RESULTS are
   * byte-identical (same rows, same order semantics), only the
   * redundant recomputation is gone.
@@ -62,7 +64,7 @@ object Shared {
       val prevPool = sc.getLocalProperty("spark.scheduler.pool")
       sc.setLocalProperty("spark.scheduler.pool", corePool(key))
       val out =
-        try build().localCheckpoint()
+        try Materialize.core(build())
         finally sc.setLocalProperty("spark.scheduler.pool", prevPool)
       // attribute every storage block the build pinned (its own
       // checkpoint + any nested cores) to this cell: over-claiming a

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{QueryModule, Tables => T}
+import graft.Materialize.CoreOps
 import graft.functions.PortableFuncs.{exactSum, exactSumSql}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -414,7 +415,7 @@ object CoreQueries extends QueryModule {
       .groupBy(col(grp), col(v)).agg(count(lit(1)).as("c"))
       .repartitionByRange(partitions, col(grp), col(v))
       .withColumn("pid", spark_partition_id())
-      .localCheckpoint() // pid must not be recomputed under another plan
+      .coreCheckpoint() // pid must not be recomputed under another plan
     // phase 1: per-(partition, group) totals — at most partitions ×
     // groups rows, driver-safe by construction
     val totals = counts.groupBy(col("pid"), col(grp))

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{QueryModule, Tables => T}
+import graft.Materialize.CoreOps
 import graft.functions.PortableFuncs.{exactSum, exactSumSql}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -403,7 +404,7 @@ object TemporalOps extends QueryModule {
         datediff(col("corpus_day"), col("last_day")).cast("long"))
       .select(col("user_id"), col("r_days"), col("n_events"),
         col("monetary"))
-      .localCheckpoint() // one materialization feeds all three rankings
+      .coreCheckpoint() // one materialization feeds all three rankings
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
@@ -444,7 +445,7 @@ object TemporalOps extends QueryModule {
     val spark = df.sparkSession
     val t = df.repartitionByRange(partitions, order: _*)
       .withColumn("_pid", spark_partition_id())
-      .localCheckpoint()
+      .coreCheckpoint()
     val counts = t.groupBy(col("_pid")).agg(count(lit(1)).as("c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val n = counts.map(_._2).sum

@@ -1,6 +1,7 @@
 package graft.scale
 
 import graft.{QueryModule, Tables => T}
+import graft.Materialize.CoreOps
 import graft.functions.PortableFuncs._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -157,7 +158,7 @@ object Curation extends QueryModule {
       .filter(col("toks") > 0)
       .repartitionByRange(partitions, col("doc_id"))
       .withColumn("pid", spark_partition_id())
-      .localCheckpoint() // pid must not be recomputed under a different plan
+      .coreCheckpoint() // pid must not be recomputed under a different plan
     val totals = t.groupBy(col("pid")).agg(sum(col("toks")).as("total"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, tot)) =>
@@ -278,7 +279,7 @@ object Curation extends QueryModule {
       .filter(col("toks") > 0)
       .repartitionByRange(partitions, col("quality").desc, col("doc_id"))
       .withColumn("pid", spark_partition_id())
-      .localCheckpoint() // pid must not be recomputed under a different plan
+      .coreCheckpoint() // pid must not be recomputed under a different plan
     val totals = t.groupBy(col("pid")).agg(sum(col("toks")).as("total"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, tot)) =>
@@ -778,7 +779,7 @@ object Curation extends QueryModule {
         ceil(length(col("text")).cast("double") / 4d).cast("long").as("toks"))
       .groupBy(col("split"), col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("toks"))
-      .localCheckpoint() // bounded: feeds three rollups + the join
+      .coreCheckpoint() // bounded: feeds three rollups + the join
     val bySplit = cell.groupBy(col("split"))
       .agg(sum(col("toks")).as("split_toks"))
     val byLang = cell.groupBy(col("lang"))
@@ -806,7 +807,7 @@ object Curation extends QueryModule {
     val spark = t0.sparkSession
     val t = t0.repartitionByRange(partitions, order: _*)
       .withColumn("pid", spark_partition_id())
-      .localCheckpoint() // pid must not be recomputed under another plan
+      .coreCheckpoint() // pid must not be recomputed under another plan
     val counts = t.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) =>
@@ -841,7 +842,7 @@ object Curation extends QueryModule {
     val base = docs.select(col("doc_id"),
       ceil(length(col("text")).cast("double") / 4d).cast("long").as("toks"))
       .filter(col("toks") > 0)
-      .localCheckpoint() // feeds both rank chains; scan once
+      .coreCheckpoint() // feeds both rank chains; scan once
     def strategy(name: String, order: Seq[Column]): DataFrame =
       withGlobalRank(base, order, partitions)
         .withColumn("batch_id", expr(s"(rnk - 1) div $batchSize"))
@@ -1029,7 +1030,7 @@ object Curation extends QueryModule {
     val bgs = docs.select(col("doc_id"), col("lang"),
         coalesce(shinglesFromWords(words(col("text")), 2),
           typedLit(Seq.empty[String])).as("bgs"))
-      .localCheckpoint()
+      .coreCheckpoint()
     val cnts = bgs.select(col("lang"), explode(col("bgs")).as("g"))
       .select(col("lang"), bucketOf(col("g")).as("b"))
       .groupBy(col("b")).agg(

@@ -1,6 +1,7 @@
 package graft.scale
 
 import graft.{QueryModule, Tables => T}
+import graft.Materialize.CoreOps
 import graft.functions.PortableFuncs._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -129,8 +130,8 @@ object Dedup extends QueryModule {
     * requires. */
   def bandSweep(docs: DataFrame,
                 bandConfigs: Seq[Int] = Seq(16, 8, 4, 2, 1)): DataFrame = {
-    val wa = wordArrays(docs).localCheckpoint()
-    bandSweepFrom(wa, sigTableFrom(wa).localCheckpoint(), bandConfigs)
+    val wa = wordArrays(docs).coreCheckpoint()
+    bandSweepFrom(wa, sigTableFrom(wa).coreCheckpoint(), bandConfigs)
   }
 
   /** The (doc_id, sig) MinHash signature table from a words core —
@@ -215,7 +216,7 @@ object Dedup extends QueryModule {
     * O(shingle-df²). At 100 TB this audit runs on the same plan at
     * whatever candidate rate the banding yields. */
   def minhashAudit(docs: DataFrame, tol: Double = 0.45): DataFrame = {
-    val wa = wordArrays(docs).localCheckpoint()
+    val wa = wordArrays(docs).coreCheckpoint()
     minhashAuditFrom(wa, sigTableFrom(wa), tol)
   }
 
@@ -338,15 +339,21 @@ object Dedup extends QueryModule {
     * distance) of a (doc_id, simhash) table — the shared core of
     * [[simhashPairs]] (which filters to ≤ maxDist) and [[chunkSweep]]
     * (which prices the unfiltered candidate volume). */
-  private def simhashCandidates(sh: DataFrame, maxDist: Int,
+  private def simhashCandidates(sh0: DataFrame, maxDist: Int,
                                 c: Int): DataFrame = {
+    // materialize the (doc_id, simhash) table — n rows, two longs —
+    // NOT the c-times-exploded blocked table: the explode is cheap
+    // bit arithmetic each consumer re-runs from the small checkpoint,
+    // vs a c×n-row checkpoint write the operator would otherwise pay
+    // up front
+    val sh = sh0.coreCheckpoint()
     val tables = chunkTableStructs(maxDist, c)
     val blocked = sh.select(col("doc_id"), col("simhash"),
       explode(array(tables: _*)).as("tb"))
       .select(col("doc_id"), col("simhash"),
         col("tb.t").as("t"), col("tb.kv").as("kv"))
     Skew.boundedSelfPairs(blocked, Seq("t", "kv"), "doc_id",
-        payload = Seq("simhash"))
+        payload = Seq("simhash"), inputMaterialized = true)
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("simhash_a").bitwiseXOR(col("simhash_b"))).as("dist"))
       .distinct()
@@ -405,25 +412,31 @@ object Dedup extends QueryModule {
         graft.functions.PortableFuncs.portableHash60(
           col("doc_id").cast("string")).cast("double") /
           lit((1L << 60).toDouble) < lit(sampleRate))
-    val sh = simhash(base).localCheckpoint()
+    val sh = simhash(base).coreCheckpoint()
     configs.map { c =>
       require(c >= maxDist + 1 && c <= 60,
         s"numChunks must be in [maxDist+1, 60]: $c")
-      // ONE blocked table per arm feeds both the occupancy rollup and
-      // the candidate join
+      // ONE blocked projection per arm feeds both the occupancy rollup
+      // and the candidate join — re-exploded per consumer from the
+      // small signature checkpoint (cheap bit arithmetic) rather than
+      // written out C(c,m)×n rows wide; ONE per-bucket counts table
+      // feeds both the occupancy stats and the bounded join's routing
+      // (the operator would otherwise aggregate the same table twice)
       val blocked = sh.select(col("doc_id"), col("simhash"),
           explode(array(chunkTableStructs(maxDist, c): _*)).as("tb"))
         .select(col("doc_id"), col("simhash"),
           col("tb.t").as("t"), col("tb.kv").as("kv"))
-        .localCheckpoint()
-      val occ = blocked.groupBy(col("t"), col("kv"))
-        .agg(count(lit(1)).as("df"))
+      val cnts = blocked.groupBy(col("t"), col("kv"))
+        .agg(count(lit(1)).as("__df"))
+        .coreCheckpoint()
+      val occ = cnts
         .agg(count(lit(1)).as("n_buckets"),
-          sum(col("df")).as("n_rows"),
-          max(col("df")).as("max_df"),
-          sum(expr("(df * (df - 1)) div 2")).as("emissions"))
+          sum(col("__df")).as("n_rows"),
+          max(col("__df")).as("max_df"),
+          sum(expr("(__df * (__df - 1)) div 2")).as("emissions"))
       val stats = Skew.boundedSelfPairs(blocked, Seq("t", "kv"), "doc_id",
-          payload = Seq("simhash"))
+          payload = Seq("simhash"), counts = Some(cnts),
+          inputMaterialized = true)
         .select(col("doc_a"), col("doc_b"),
           bit_count(col("simhash_a").bitwiseXOR(col("simhash_b")))
             .as("dist"))
@@ -511,13 +524,13 @@ object Dedup extends QueryModule {
                           driverMaxEdges: Long = 1L << 20): DataFrame = {
     val edges = symEdges(pairs, aCol, bCol, "connectedComponents")
       .select(col("a").as("src"), col("b").as("dst"))
-      .localCheckpoint()
+      .coreCheckpoint()
     val nEdges = edges.count()
     if (nEdges <= driverMaxEdges) return driverUnionFind(edges)
     var labels = edges.groupBy(col("src").as("node"))
       .agg(min(col("dst")).as("nbr"))
       .select(col("node"), least(col("node"), col("nbr")).as("label"))
-      .localCheckpoint()
+      .coreCheckpoint()
     var prevSum = Long.MaxValue
     var iter = 0
     var converged = false
@@ -526,7 +539,7 @@ object Dedup extends QueryModule {
         .select(col("dst").as("node"), col("label"))
         .unionByName(labels)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
+        .coreCheckpoint()
       // coalesce: an empty pair list (nothing near-duplicate) must
       // converge to an empty result, not NPE on a null sum
       val s = next.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
@@ -657,7 +670,7 @@ object Dedup extends QueryModule {
     // ONE materialization: edges feed every round's join, and without
     // the checkpoint Spark would re-derive the whole pair-generation
     // subtree once per round (no plan-level CSE across join inputs)
-    val edges = sym.unionByName(selfLoops).localCheckpoint()
+    val edges = sym.unionByName(selfLoops).coreCheckpoint()
     // seed labels from the checkpointed edges' self-loops (every node
     // has one) rather than the nodes subtree — avoids re-running pair
     // generation for the seed
@@ -718,7 +731,7 @@ object Dedup extends QueryModule {
     // feeds all rounds (see labelPropagationWeighted for why the loop
     // itself is checkpoint-free: fixed rounds, single final action)
     val symDeg = sym.join(deg, col("a") === col("node"))
-      .select(col("a"), col("b"), col("deg")).localCheckpoint()
+      .select(col("a"), col("b"), col("deg")).coreCheckpoint()
     var ranks = symDeg.select(col("a").as("node")).distinct()
       .select(col("node"), lit(1000000L).as("rank"))
     for (_ <- 1 to iters) {
@@ -751,7 +764,7 @@ object Dedup extends QueryModule {
     * same result from the simple id-ordered 3-way self-join. */
   def triangleStats(pairs: DataFrame, aCol: String = "doc_a",
                     bCol: String = "doc_b"): DataFrame = {
-    val sym = symEdges(pairs, aCol, bCol, "triangleStats").localCheckpoint()
+    val sym = symEdges(pairs, aCol, bCol, "triangleStats").coreCheckpoint()
     val deg = sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
     // oriented edge u→v iff (deg u, u) < (deg v, v); carry the target's
     // rank pair so the wedge-close side can re-derive the orientation
@@ -762,7 +775,7 @@ object Dedup extends QueryModule {
       .filter(struct(col("adeg"), col("a")) < struct(col("bdeg"), col("b")))
       .select(col("a").as("src"), col("b").as("dst"),
         col("bdeg").as("ddeg"))
-      .localCheckpoint()
+      .coreCheckpoint()
     // wedge at src: two out-edges; close it with the oriented edge
     // between the targets (lo→hi in the same (deg, id) total order)
     val e1 = oriented.select(col("src"), col("dst").as("d1"), col("ddeg").as("g1"))
@@ -834,7 +847,7 @@ object Dedup extends QueryModule {
   def ngramJaccard(docs: DataFrame, maxDf: Long = MaxShingleDf): DataFrame =
     // one tokenize pass: df aggregate + anti-join + pair join all read
     // this materialized table (ContextCleaner reclaims the blocks)
-    ngramJaccardFrom(shingleTable(docs).localCheckpoint(), maxDf)
+    ngramJaccardFrom(shingleTable(docs).coreCheckpoint(), maxDf)
 
   /** [[ngramJaccard]] from the checkpointed shingle core. */
   private[scale] def ngramJaccardFrom(sh0: DataFrame,
@@ -876,7 +889,7 @@ object Dedup extends QueryModule {
   def signalCalibration(docs: DataFrame, maxDist: Int = 5,
                         maxDf: Long = MaxShingleDf): DataFrame =
     signalCalibrationFrom(simhashPairs(docs, maxDist),
-      shingleTable(docs).localCheckpoint(), maxDf)
+      shingleTable(docs).coreCheckpoint(), maxDf)
 
   /** [[signalCalibration]] from precomputed pairs + the shingle core —
     * shared-core form for the gate registry. */
@@ -1103,7 +1116,7 @@ object Dedup extends QueryModule {
   def contaminationBySource(docs: DataFrame,
                             evalMaxId: Long = 25L): DataFrame =
     contaminationBySourceFrom(docs,
-      shingleTable(docs).localCheckpoint(), evalMaxId)
+      shingleTable(docs).coreCheckpoint(), evalMaxId)
 
   /** [[contaminationBySource]] from the checkpointed shingle core. */
   private[scale] def contaminationBySourceFrom(docs: DataFrame, sh: DataFrame,
@@ -1140,7 +1153,7 @@ object Dedup extends QueryModule {
     * suite-catalog side, so a clean suite reports 0 instead of
     * vanishing. */
   def decontaminateBySuite(docs: DataFrame, evalMaxId: Long = 25L): DataFrame =
-    decontaminateBySuiteFrom(docs, shingleTable(docs).localCheckpoint(),
+    decontaminateBySuiteFrom(docs, shingleTable(docs).coreCheckpoint(),
       evalMaxId)
 
   /** [[decontaminateBySuite]] from the checkpointed shingle core. */
@@ -1189,7 +1202,7 @@ object Dedup extends QueryModule {
     * final aggregate is keyed by (suite, source) — both map-side
     * partial. */
   def contaminationMatrix(docs: DataFrame, evalMaxId: Long = 25L): DataFrame =
-    contaminationMatrixFrom(docs, shingleTable(docs).localCheckpoint(),
+    contaminationMatrixFrom(docs, shingleTable(docs).coreCheckpoint(),
       evalMaxId)
 
   /** [[contaminationMatrix]] from the checkpointed shingle core. */
@@ -1227,7 +1240,7 @@ object Dedup extends QueryModule {
     * the eval shingle set is still only benchmark-sized (millions of
     * rows, megabytes hashed) — the broadcast holds. */
   def decontaminate(docs: DataFrame, evalMaxId: Long = 25L): DataFrame =
-    decontaminateFrom(shingleTable(docs).localCheckpoint(), evalMaxId)
+    decontaminateFrom(shingleTable(docs).coreCheckpoint(), evalMaxId)
 
   /** [[decontaminate]] from the checkpointed shingle core. */
   private[scale] def decontaminateFrom(sh: DataFrame,
@@ -1263,7 +1276,7 @@ object Dedup extends QueryModule {
     * which is exactly what the oracle asserts (same SQL as q71). */
   def decontaminateBloom(docs: DataFrame, evalMaxId: Long = 25L,
                          fpp: Double = 0.01): DataFrame =
-    decontaminateBloomFrom(shingleTable(docs).localCheckpoint(),
+    decontaminateBloomFrom(shingleTable(docs).coreCheckpoint(),
       evalMaxId, fpp)
 
   /** [[decontaminateBloom]] from the checkpointed shingle core. */
@@ -1314,7 +1327,7 @@ object Dedup extends QueryModule {
     * general form would run the dominant minhash/tokenize chain once
     * per side. Results are identical (spec-checked). */
   def incrementalDedupAt(docs: DataFrame, boundary: Long): DataFrame =
-    incrementalDedupAtFrom(docs, minhashBands(docs).localCheckpoint(),
+    incrementalDedupAtFrom(docs, minhashBands(docs).coreCheckpoint(),
       boundary)
 
   /** [[incrementalDedupAt]] from the checkpointed band core. */
@@ -1343,7 +1356,7 @@ object Dedup extends QueryModule {
     * join-back broadcasts. The checkpoint stops the tokenize chain
     * re-running for the two consumers. */
   def repeatedNgrams(docs: DataFrame, threshold: Long = 3L): DataFrame =
-    repeatedNgramsFrom(shingleTable(docs).localCheckpoint(), threshold)
+    repeatedNgramsFrom(shingleTable(docs).coreCheckpoint(), threshold)
 
   /** [[repeatedNgrams]] from the checkpointed shingle core. */
   private[scale] def repeatedNgramsFrom(sh: DataFrame,
@@ -1803,7 +1816,7 @@ object Dedup extends QueryModule {
     // the line table's `source` column, so project it away BEFORE the
     // checkpoint — no dead data in the materialized blocks.
     lineDedupFrom(lineTable(docs0).select(col("doc_id"), col("pos"),
-      col("line")).localCheckpoint(), minDupCount, heavyCapacity)
+      col("line")).coreCheckpoint(), minDupCount, heavyCapacity)
 
   /** The exploded (source, doc_id, pos, line) table — the shared input
     * of the line family (q134 drop pass, q163 boilerplate board,
@@ -1962,7 +1975,7 @@ object Dedup extends QueryModule {
     // (doc_id, fp, toks) feeds the total, exact and near arms
     val base = docs.select(col("doc_id"), md5(col("text")).as("fp"),
       ceil(length(col("text")).cast("double") / 4d).cast("long").as("toks"))
-      .localCheckpoint()
+      .coreCheckpoint()
     val total = base.agg(sum(col("toks")).as("tot"))
     val exact = base.groupBy(col("fp"))
       .agg(count(lit(1)).as("cnt"), min(col("toks")).as("t"))
@@ -1980,7 +1993,7 @@ object Dedup extends QueryModule {
     val dupLines = pairs.groupBy(col("line"))
       .agg(sum(col("k")).as("cnt"))
       .filter(col("cnt") >= minDupCount)
-      .localCheckpoint() // feeds the token mass AND the affected-doc join
+      .coreCheckpoint() // feeds the token mass AND the affected-doc join
     val lineToks = dupLines
       .agg(coalesce(sum(col("cnt") *
         ceil(length(col("line")).cast("double") / 4d).cast("long")),

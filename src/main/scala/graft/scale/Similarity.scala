@@ -1,6 +1,7 @@
 package graft.scale
 
 import graft.{QueryModule, Tables => T}
+import graft.Materialize.CoreOps
 import graft.functions.PortableFuncs._
 import graft.functions.TopKAgg
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -1007,7 +1008,7 @@ object Similarity extends QueryModule {
   def annRecallFrom(truthFull: DataFrame,
                     arms: Seq[(String, DataFrame, Double)]): DataFrame = {
     val truth = truthFull
-      .select(col("q_id"), col("c_id")).localCheckpoint()
+      .select(col("q_id"), col("c_id")).coreCheckpoint()
     def audit(method: String, ann: DataFrame, minRecall: Double): DataFrame = {
       val hits = ann.select(col("q_id"), col("c_id"))
         .join(truth, Seq("q_id", "c_id"), "left_semi")
@@ -1092,7 +1093,7 @@ object Similarity extends QueryModule {
                                        nQueries: Long = 8L, k: Int = TopK,
                                        nCells: Int = IvfCells): DataFrame = {
     val truth = truthFull
-      .select(col("q_id"), col("c_id")).localCheckpoint()
+      .select(col("q_id"), col("c_id")).coreCheckpoint()
     val centsDf = seedCents(emb, nCells)
     val local = collectCents(centsDf)
     // ONE assigned-corpus scan shared by every arm — four annIvf arms
@@ -1105,7 +1106,7 @@ object Similarity extends QueryModule {
         graft.functions.VectorExpressions.argMaxCosine(col("cv"), local)
           .as("cell_id"),
         col("cv"), l2Norm(col("cv")).as("cn"))
-      .localCheckpoint()
+      .coreCheckpoint()
     val occ = corpus.groupBy(col("cell_id")).agg(count(lit(1)).as("occ"))
     val cents = centsDf.select(col("cell_id"), col("cv").as("centv"))
     val probeW = Window.partitionBy(col("q_id"))
@@ -1120,7 +1121,7 @@ object Similarity extends QueryModule {
       .withColumn("rn", row_number().over(probeW))
       .filter(col("rn") <= probesList.max)
       .join(broadcast(occ), Seq("cell_id"))
-      .localCheckpoint() // nQueries × maxProbes rows
+      .coreCheckpoint() // nQueries × maxProbes rows
     val nVecs = emb.agg(count(lit(1)).as("n_vecs"))
     def armRow(p: Int): DataFrame = {
       val hits = annIvfFromParts(corpus,

@@ -1,6 +1,7 @@
 package graft.scale
 
 import graft.{QueryModule, Tables => T}
+import graft.Materialize.CoreOps
 import graft.functions.PortableFuncs.{exactSum, exactSumSql}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -92,7 +93,7 @@ object Sketches extends QueryModule {
     val base = counts
       .withColumn("cum", sum(col("c")).over(byVal))
       .withColumn("n", sum(col("c")).over(whole))
-      .localCheckpoint()
+      .coreCheckpoint()
     val exact = base.groupBy(col("lang")).agg(
       graft.ops.CoreQueries.pickPercentile("n_chars", 50),
       graft.ops.CoreQueries.pickPercentile("n_chars", 90),

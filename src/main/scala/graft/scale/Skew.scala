@@ -1,6 +1,7 @@
 package graft.scale
 
 import graft.{QueryModule, Tables => T}
+import graft.Materialize.CoreOps
 import graft.functions.PortableFuncs.{exactSum, exactSumSql}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -75,17 +76,24 @@ object Skew extends QueryModule {
     * operator's contract (those pairs ARE the answer); what is not
     * inherent is computing them in one task.
     *
-    * The split, in three [[graft.scale.Dedup.lineDedup]]-pattern
-    * steps:
+    * The split, in three steps — the key observation (which retired
+    * the round-14 Misra-Gries nomination stage) is that ONLY hot keys
+    * ever need their df on the rows, and hot keys number ≤ n/hotDf by
+    * definition:
     *  1. exact per-key sizes from one map-side-combining aggregate
-    *     (a hot key collapses to one row per task before the
-    *     exchange);
-    *  2. a Misra-Gries sketch nominates every key that COULD exceed
-    *     n/(sketchCapacity+1) rows (the MG retention guarantee —
-    *     [[graft.functions.FreqSketch]]); the nominated keys' exact
-    *     stats are a ≤ capacity broadcast, so hot rows learn their df
-    *     map-side while the residual shuffle attach carries only keys
-    *     provably under n/(capacity+1) per task;
+    *     over the materialized input (a hot key collapses to one row
+    *     per task before the exchange); callers that already hold
+    *     this table pass it via `counts` and the pass is skipped;
+    *  2. TWO plan constants read off that aggregate (one 1-row job):
+    *     max df and the hot-key count. No key over hotDf ⇒ the plain
+    *     self-join IS the bounded plan — return it with no routing
+    *     machinery at all (the common case: a healthy corpus has no
+    *     hot bucket, and it pays only the counts pass as insurance).
+    *     Otherwise the ≤ n/hotDf hot keys broadcast (hash-join attach
+    *     when they exceed [[HotKeyBroadcastLimit]] — still a
+    *     small-table shuffle): plain rows are the broadcast anti-join
+    *     (no df needed — "not hot" suffices), hot rows learn their
+    *     exact df map-side;
     *  3. routing by exact df: keys with df ≤ hotDf self-join plainly
     *     (per-key emission ≤ hotDf²/2); hotter keys take a GRID
     *     self-join — rows are hashed into g = ⌈df/hotDf⌉ groups, the
@@ -105,44 +113,37 @@ object Skew extends QueryModule {
     *
     * `payload` columns ride along and come back suffixed `_a`/`_b`
     * in `id`-order (the SimHash consumer carries the signature so
-    * distance is a projection, not another join). */
+    * distance is a projection, not another join).
+    *
+    * `counts`: an optional precomputed per-key size table (schema:
+    * the key columns + `__df` long, one row per distinct key —
+    * exactly `rows.groupBy(keys).count`). Callers that aggregate the
+    * same table anyway (the q172 occupancy rollup) pass it, already
+    * materialized, and the operator's own counts pass disappears.
+    * `inputMaterialized`: the caller promises `rows0` is already a
+    * cheap re-scan (a checkpoint or a trivial projection of one), so
+    * the operator skips its own input checkpoint. `materialize=false`
+    * is for plan audits only: no jobs run (so the routing cannot read
+    * its plan constants — both branches stay in one inspectable
+    * plan) and nothing is checkpointed. */
   def boundedSelfPairs(rows0: DataFrame, keys: Seq[String], id: String,
                        payload: Seq[String] = Nil, hotDf: Long = 64L,
-                       sketchCapacity: Int = 4096,
-                       materialize: Boolean = true): DataFrame = {
+                       counts: Option[DataFrame] = None,
+                       materialize: Boolean = true,
+                       inputMaterialized: Boolean = false): DataFrame = {
     require(keys.nonEmpty && hotDf >= 1L, "need key columns and hotDf >= 1")
     val kc = keys.map(col)
-    // materialize ONCE: five consumers read `rows` (size aggregate, MG
-    // nomination, both attach paths) and four read `annotated` (each
-    // side of the plain and grid joins) — without the barrier every
-    // one of them re-executes the caller's upstream (for simhashPairs
-    // that is the full corpus signature kernel: measured 4× the
-    // operator's whole cost at sf0.1). materialize=false is for plan
-    // audits only: it keeps the whole routing in ONE inspectable plan
-    // (checkpoints hide upstream stages behind a Scan ExistingRDD).
-    def cp(df: DataFrame): DataFrame =
-      if (materialize) df.localCheckpoint() else df
-    val rows = cp(rows0.select(
-      (kc :+ col(id).as("__id")) ++ payload.map(col): _*))
-    val counts = rows.groupBy(kc: _*).agg(count(lit(1)).as("__df"))
-    // nomination sketches the key HASH: collisions only over-nominate
-    // (routing uses exact df), and any key shape sketches as one item
-    val keyHash = xxhash64(kc: _*)
-    // ≤ sketchCapacity rows with three consumers — checkpoint so the
-    // sketch pass runs once, not once per attach branch
-    val nom = cp(rows
-      .agg(graft.functions.FreqSketch.misraGries(keyHash.cast("string"),
-        sketchCapacity).as("c"))
-      .select(explode(col("c")).as("__khs"))
-      .select(col("__khs").cast("long").as("__kh")))
-    val withH = counts.withColumn("__kh", keyHash)
-    val nomCounts = withH.join(broadcast(nom), Seq("__kh")).drop("__kh")
-    val restCounts = withH.join(broadcast(nom), Seq("__kh"), "left_anti")
-      .drop("__kh")
-    val annotated = cp(rows.withColumn("__kh", keyHash)
-      .join(broadcast(nom), Seq("__kh"), "left_anti").drop("__kh")
-      .join(restCounts, keys)
-      .unionByName(rows.join(broadcast(nomCounts), keys)))
+    // materialize ONCE: the counts pass and each side of the plain and
+    // grid joins all read `rows` — without the barrier every one of
+    // them re-executes the caller's upstream (for simhashPairs that is
+    // the full corpus signature kernel: measured 4× the operator's
+    // whole cost at sf0.1)
+    val proj = rows0.select(
+      (kc :+ col(id).as("__id")) ++ payload.map(col): _*)
+    val rows =
+      if (materialize && !inputMaterialized) proj.coreCheckpoint() else proj
+    val cnts = counts.getOrElse(
+      rows.groupBy(kc: _*).agg(count(lit(1)).as("__df")))
     def pairOut(l: DataFrame, r: DataFrame, joinKeys: Seq[String],
                 keep: Column): DataFrame = {
       val aFirst = col("__id_l") < col("__id_r")
@@ -158,15 +159,65 @@ object Skew extends QueryModule {
       df.select((kc ++ extra :+ col("__id").as(s"__id$suffix")) ++
         payload.map(p => col(p).as(s"$p$suffix")): _*)
     // light path: every key ≤ hotDf rows — the plain join, bounded
-    val plain = annotated.filter(col("__df") <= hotDf).drop("__df")
-    val plainPairs = pairOut(side(plain, "_l", Nil), side(plain, "_r", Nil),
-      keys, keep = col("__id_l") < col("__id_r"))
+    def plainPairs(df: DataFrame): DataFrame =
+      pairOut(side(df, "_l", Nil), side(df, "_r", Nil),
+        keys, keep = col("__id_l") < col("__id_r"))
     // grid path: g = ceil(df/hotDf) groups; the g·(g+1)/2 group-pair
     // regions become join-key columns, spreading the key across tasks.
     // Off-diagonal regions hold each pair exactly once (keep all);
     // diagonal regions hold both orderings (keep the id-ordered one).
+    def gridPairs(hotRows: DataFrame): DataFrame = {
+      val (lhs, rhs) = gridSides(hotRows, keys, payload, hotDf)
+      pairOut(lhs, rhs, keys ++ Seq("__ri", "__rj"),
+        keep = col("__ri") =!= col("__rj") || col("__id_l") < col("__id_r"))
+    }
+    def routed(hotKeys: DataFrame, bcast: Boolean): DataFrame = {
+      val hk = if (bcast) broadcast(hotKeys) else hotKeys
+      // plain rows never need their df: "no hot key matches" is the
+      // whole routing predicate, one broadcast anti-join
+      val plainRows = rows.join(hk.select(kc: _*), keys, "left_anti")
+      val hotRows = rows.join(hk, keys)
+      plainPairs(plainRows).unionByName(gridPairs(hotRows))
+    }
+    if (!materialize) routed(cnts.filter(col("__df") > hotDf), bcast = true)
+    else {
+      // ONE pass computes the counts, keeps only the ≤ n/hotDf hot
+      // keys, and materializes them (skipped when the caller's counts
+      // table is already a cheap re-scan); the routing decision is
+      // then a 1-row job over that tiny table. An AQE-style read: the
+      // result set is identical on every route, only the plan adapts.
+      val hotKeys0 = cnts.filter(col("__df") > hotDf)
+      val hotKeys =
+        if (counts.isDefined) hotKeys0 else hotKeys0.coreCheckpoint()
+      val nHot = hotKeys.count()
+      if (nHot == 0L) plainPairs(rows) // no hot key: the plain join
+      else routed(hotKeys, bcast = nHot <= HotKeyBroadcastLimit)
+    }
+  }
+
+  /** Hot keys above this count attach by shuffle hash-join instead of
+    * broadcast: 2²⁰ (key cols + a long) rows is tens of MB — past the
+    * point where shipping the table to every executor beats one
+    * small-table shuffle. Reached only when > 2²⁰ distinct keys each
+    * exceed hotDf rows, i.e. an input of ≥ 64M rows that is MOSTLY
+    * hot families. */
+  val HotKeyBroadcastLimit: Long = 1L << 20
+
+  /** The grid path's two join sides, from df-annotated hot rows
+    * (columns: keys, `__id`, payload, `__df`) — the region-routing
+    * construction [[boundedSelfPairs]] joins on `keys ++ (__ri, __rj)`.
+    * Package-private so [[SkewBoundedPairsSpec]] can audit the ACTUAL
+    * per-region emission bound (|lhs ∩ region| × |rhs ∩ region| ≈
+    * hotDf², and the regions partition the key's pair volume) rather
+    * than a reconstruction of the routing arithmetic. */
+  private[scale] def gridSides(hotRows: DataFrame, keys: Seq[String],
+      payload: Seq[String], hotDf: Long): (DataFrame, DataFrame) = {
+    val kc = keys.map(col)
+    def side(df: DataFrame, suffix: String, extra: Seq[Column]): DataFrame =
+      df.select((kc ++ extra :+ col("__id").as(s"__id$suffix")) ++
+        payload.map(p => col(p).as(s"$p$suffix")): _*)
     val g = ceil(col("__df") / lit(hotDf.toDouble)).cast("long")
-    val hot = annotated.filter(col("__df") > hotDf)
+    val hot = hotRows
       .withColumn("__g", pmod(xxhash64(col("__id")), g))
       .withColumn("__gmax", g - 1L)
       .drop("__df")
@@ -176,9 +227,7 @@ object Skew extends QueryModule {
     val rhs = side(hot, "_r", Seq(col("__g").as("__rj")))
       .withColumn("__ri", explode(sequence(lit(0L), col("__rj"))))
       .drop("__g")
-    val gridPairs = pairOut(lhs, rhs, keys ++ Seq("__ri", "__rj"),
-      keep = col("__ri") =!= col("__rj") || col("__id_l") < col("__id_r"))
-    plainPairs.unionByName(gridPairs)
+    (lhs, rhs)
   }
 
   /** q44: revenue by order priority over the lineitem⋈orders join,

@@ -1,6 +1,7 @@
 package graft.scale
 
 import graft.{QueryModule, Tables => T}
+import graft.Materialize.CoreOps
 import graft.scale.Layout.widen
 import graft.functions.PortableFuncs._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -671,7 +672,7 @@ object TextAnalysis extends QueryModule {
     // tf is narrow (doc_id, term, tf), so checkpointing it is cheap
     // relative to running the words() regex chain twice per document
     val tf = w.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .coreCheckpoint()
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // n_docs still comes from the raw table, not tf: a doc with zero
     // words has no tf rows but must count toward N. This extra scan is
@@ -719,7 +720,7 @@ object TextAnalysis extends QueryModule {
     val m = core.select(
       (Seq(col("doc_id"), size(ws).as("dl")) ++
         terms.map(t => size(filter(ws, w => w === t)).as(s"tf_$t"))): _*)
-      .localCheckpoint()
+      .coreCheckpoint()
     val aggCols = count(lit(1)).as("n_docs") +: sum(col("dl")).as("sdl") +:
       terms.map(t => count(when(col(s"tf_$t") > 0, lit(1))).as(s"df_$t"))
     val g = m.agg(aggCols.head, aggCols.tail: _*)
@@ -912,7 +913,7 @@ object TextAnalysis extends QueryModule {
     // tokenize+explode chain reruns per consumer (same fix as tfidf)
     val freq = toks
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+      .coreCheckpoint()
     val total = freq.agg(coalesce(sum(col("cnt")), lit(0L)).as("total"))
     val top = freq
       .groupBy()
@@ -975,7 +976,7 @@ object TextAnalysis extends QueryModule {
                             minCount: Long): DataFrame = {
     val tf = tagged
       .groupBy(col(label), col("w")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+      .coreCheckpoint()
     val labTot = tf.groupBy(col(label)).agg(sum(col("cnt")).as("lab_tot"))
     val corpTf = tf.groupBy(col("w")).agg(sum(col("cnt")).as("corp_cnt"))
     val total = tf.agg(coalesce(sum(col("cnt")), lit(0L)).as("total"))
@@ -1066,7 +1067,7 @@ object TextAnalysis extends QueryModule {
     // the token stream feeds the sketch AND the confirm pass — one
     // tokenize, barriered (same fix as tfidf/vocabCoverage)
     heavyHittersFrom(widen(docs0)
-      .select(explode(words(col("text"))).as("w")).localCheckpoint(),
+      .select(explode(words(col("text"))).as("w")).coreCheckpoint(),
       k, capacity)
 
   /** [[heavyHitters]] from a materialized token stream — shared-core
@@ -1079,7 +1080,7 @@ object TextAnalysis extends QueryModule {
     val sk = toks.agg(
         graft.functions.FreqSketch.misraGries(col("w"), capacity).as("cand"),
         count(lit(1)).as("total"))
-      .localCheckpoint()
+      .coreCheckpoint()
     val cands = sk.select(explode(col("cand")).as("w"))
     val exact = toks.join(broadcast(cands), Seq("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
@@ -1142,7 +1143,7 @@ object TextAnalysis extends QueryModule {
   def collocations(docs0: DataFrame, k: Int = 25,
                    minCount: Long = 5L): DataFrame =
     collocationsFrom(widen(docs0)
-      .select(words(col("text")).as("ws")).localCheckpoint(), k, minCount)
+      .select(words(col("text")).as("ws")).coreCheckpoint(), k, minCount)
 
   /** [[collocations]] from a materialized words-array table —
     * shared-core form (unigram and bigram passes both re-read it). */
@@ -1150,12 +1151,12 @@ object TextAnalysis extends QueryModule {
                                       minCount: Long): DataFrame = {
     val uni = ws.select(explode(col("ws")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .coreCheckpoint()
     val nTokens = uni.agg(coalesce(sum(col("c")), lit(0L)).as("n_tokens"))
     val bc = ws.filter(size(col("ws")) >= 2)
       .select(explode(shinglesFromWords(col("ws"), 2)).as("bg"))
       .groupBy(col("bg")).agg(count(lit(1)).as("c_ab"))
-      .localCheckpoint()
+      .coreCheckpoint()
     val nBigrams = bc.agg(coalesce(sum(col("c_ab")), lit(0L)).as("n_bigrams"))
     val scored = bc.filter(col("c_ab") >= minCount)
       .select(col("bg"), col("c_ab"),
@@ -1255,7 +1256,7 @@ object TextAnalysis extends QueryModule {
     // the vocabulary feeds the merge mining AND the application join —
     // one aggregate, barriered (tfidf discipline)
     val freq = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+      .coreCheckpoint()
     val merges = bpeMergesFromFreq(freq, k, minCount)
       .select(col("rank"), col("pair"), col("cnt").as("est_cnt"))
     freq.crossJoin(broadcast(merges))
@@ -1313,7 +1314,7 @@ object TextAnalysis extends QueryModule {
     require(iters >= 1 && iters <= 26, s"bpe_loop: iters $iters not in [1,26]")
     val session = toks.sparkSession
     var vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+      .coreCheckpoint()
     // sym -> fully-expanded base spelling, for the decoded column
     val expansion = scala.collection.mutable.Map.empty[Char, String]
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
@@ -1354,7 +1355,7 @@ object TextAnalysis extends QueryModule {
   private def applyMerge(vocab: DataFrame, pair: String,
                          sym: Char): DataFrame =
     vocab.select(replace(col("w"), lit(pair), lit(sym.toString)).as("w"),
-      col("cnt")).localCheckpoint()
+      col("cnt")).coreCheckpoint()
 
   /** q157: per-language BPE fertility — the tokenizer-equity read a
     * multilingual mixture owner puts next to the q138/q149 boards:
@@ -1382,9 +1383,9 @@ object TextAnalysis extends QueryModule {
     val toks = widen(docs0)
       .select(col("lang"), explode(words(col("text"))).as("w"))
     var vocabG = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+      .coreCheckpoint()
     val l0 = toks.groupBy(col("lang"), col("w"))
-      .agg(count(lit(1)).as("cnt")).localCheckpoint()
+      .agg(count(lit(1)).as("cnt")).coreCheckpoint()
     var vocabL = l0
     val base = l0.groupBy(col("lang"))
       .agg(sum(col("cnt")).as("n_words"),
@@ -1397,7 +1398,7 @@ object TextAnalysis extends QueryModule {
       if (i < iters) vocabG = applyMerge(vocabG, pair, sym)
       vocabL = vocabL.select(col("lang"),
         replace(col("w"), lit(pair), lit(sym.toString)).as("w"), col("cnt"))
-        .localCheckpoint()
+        .coreCheckpoint()
     }
     val merged = vocabL.groupBy(col("lang"))
       .agg(sum(col("cnt") * length(col("w"))).as("merged_symbols"))
@@ -1436,7 +1437,7 @@ object TextAnalysis extends QueryModule {
       s"bpe_compression: iters $iters not in [1,26]")
     val session = toks.sparkSession
     var vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+      .coreCheckpoint()
     def symbols(v: DataFrame): Long =
       v.agg(coalesce(sum(col("cnt") * length(col("w"))), lit(0L)).as("s"))
         .collect()(0).getAs[Long]("s")
@@ -1586,7 +1587,7 @@ object TextAnalysis extends QueryModule {
     // checkpoint the one aggregate instead of tokenizing train twice
     val wordCnt = train.select(explode(col("ws")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+      .coreCheckpoint()
     // vocab is NOT checkpointed: each of its consumers (four broadcast
     // exchanges + the total) re-derives the bounded TopK from the
     // checkpointed wordCnt — cheaper than an extra eager job barrier
@@ -1679,7 +1680,7 @@ object TextAnalysis extends QueryModule {
     val perSrc = scoredBigrams
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("p9")).as("sp9"))
-      .localCheckpoint() // ≤ n_sources rows; feeds the corpus rollup too
+      .coreCheckpoint() // ≤ n_sources rows; feeds the corpus rollup too
     val corpus = perSrc.agg(sum(col("n_bigrams")).as("nbt"),
       sum(col("sp9")).as("spt"))
     val tokTot = srcTok.agg(sum(col("n_toks")).as("toks_total"))
@@ -1703,7 +1704,7 @@ object TextAnalysis extends QueryModule {
           .as("share_raw"))
       .withColumn("w6",
         r6(col("share_raw") * (lit(1d) + lit(alpha) * col("excess"))))
-      .localCheckpoint() // bounded; feeds the normalizer and the output
+      .coreCheckpoint() // bounded; feeds the normalizer and the output
     val wtot = boosted.agg(exactSum(col("w6")).as("wtot"))
     boosted.crossJoin(broadcast(wtot))
       .select(col("source"), col("n_docs"), col("n_toks"), col("n_bigrams"),
@@ -1753,7 +1754,7 @@ object TextAnalysis extends QueryModule {
     val train = core.filter(Curation.splitExpr(col("doc_id")) === "train")
     val wordCnt = train.select(explode(col("ws")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+      .coreCheckpoint()
     val vocab = wordCnt.orderBy(col("cnt").desc, col("w").asc)
       .limit(vocabSize)
     // T (total train tokens) and the <unk> unigram mass, one row

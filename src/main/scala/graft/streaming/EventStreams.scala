@@ -1,5 +1,7 @@
 package graft.streaming
 
+import graft.Materialize.CoreOps
+
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -461,7 +463,7 @@ object EventStreams {
     val ws = refDocs.select(words(col("text")).as("ws"))
     val wordCnt = ws.select(explode(col("ws")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+      .coreCheckpoint()
     val vocab = wordCnt.orderBy(col("cnt").desc, col("w").asc)
       .limit(vocabSize).as[(String, Long)].collect().toMap
     val total = wordCnt.agg(coalesce(sum(col("cnt")), lit(0L)))

@@ -284,47 +284,75 @@ class PlanAuditSpec extends SparkSpec {
       s"heavy path must route via broadcast joins:\n$s")
   }
 
-  test("boundedSelfPairs: hot buckets are MG-nominated in-plan, their " +
-    "stats attach by broadcast, and the grid regions are join-key " +
-    "columns — no unbounded single-bucket pair funnel") {
+  test("boundedSelfPairs: hot keys filter out of the in-plan counts and " +
+    "attach by broadcast, and the grid regions are join-key columns — " +
+    "no unbounded single-bucket pair funnel, no sketch pass") {
     // materialize=false keeps the whole routing in ONE inspectable
     // plan (the production path checkpoints its shared intermediates,
-    // which hides the nomination/attach stages behind block scans)
+    // which hides the counts/attach stages behind block scans)
     val bands = graft.scale.Dedup.minhashBands(
       graft.Tables.documents(spark, sf))
     val plan = planOf(graft.scale.Skew.boundedSelfPairs(bands,
       Seq("b", "bv"), "doc_id", materialize = false))
-    // the nomination sketch runs inside the same plan, capacity-bounded
-    assert(plan.contains("partial_misra_gries"),
-      s"expected the MG hot-bucket nomination:\n$plan")
-    // nominated keys and their exact stats ride broadcast exchanges
+    // the round-14 MG nomination stage is retired: only hot keys ever
+    // need df annotation, and they come straight off the exact counts
+    assert(!plan.contains("misra_gries"),
+      s"the retired MG nomination pass leaked back into the plan:\n$plan")
+    // the hot-key list and its exact stats ride broadcast exchanges
+    // (anti-join for the plain side, inner for the grid side)
     assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
       s"hot-bucket routing must be broadcast joins:\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"plain side must be the broadcast anti-join (df-free):\n$plan")
     // the grid path's region ids are part of the join keys: the hot
     // bucket's pairs spread across __ri × __rj tasks
     assert(plan.contains("__ri") && plan.contains("__rj"),
       s"expected grid region columns in the join keys:\n$plan")
+    assert(plan.contains("__df"),
+      s"expected the df routing predicate:\n$plan")
   }
 
-  test("simhashPairs / minhashPairs production path: both routed join " +
-    "branches read the MATERIALIZED df-annotated core (one upstream " +
-    "kernel run), grid regions in the join keys") {
+  test("boundedSelfPairs production plan ADAPTS: a planted hot key " +
+    "routes through the materialized grid union; a hot-free input " +
+    "folds to the single bounded self-join (no routing machinery)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 300 rows on one key (df > hotDf=64) + background keys
+    val hot = ((1 to 300).map(i => ("H", i.toLong)) ++
+      (1 to 40).map(i => (s"k$i", 100000L + i))).toDF("k", "doc_id")
+    val pHot = planOf(graft.scale.Skew.boundedSelfPairs(
+      hot, Seq("k"), "doc_id", hotDf = 64))
+    assert(pHot.contains("Union") &&
+      pHot.contains("__ri") && pHot.contains("__rj"),
+      s"planted hot key must take the routed union:\n$pHot")
+    assert(pHot.contains("Scan ExistingRDD"),
+      s"expected the materialized input core:\n$pHot")
+    // no key over hotDf: the plan IS the plain bounded join — the
+    // counts pass ran (as an eager plan-constant read) but no union,
+    // no region columns, no hot-key joins survive in the plan
+    val cool = (1 to 200).map(i => (s"k${i % 50}", i.toLong)).toDF("k", "doc_id")
+    val pCool = planOf(graft.scale.Skew.boundedSelfPairs(
+      cool, Seq("k"), "doc_id", hotDf = 64))
+    assert(!pCool.contains("Union") && !pCool.contains("__ri"),
+      s"hot-free input must fold to the plain join:\n$pCool")
+    assert(pCool.contains("Scan ExistingRDD"),
+      s"expected the materialized input core:\n$pCool")
+  }
+
+  test("simhashPairs / minhashPairs production path: every join side " +
+    "reads the MATERIALIZED input core (one upstream kernel run)") {
     for (plan <- Seq(
         planOf(graft.scale.Dedup.simhashPairs(
           graft.Tables.documents(spark, sf), maxDist = 5)),
         planOf(graft.scale.Dedup.minhashPairs(
           graft.Tables.documents(spark, sf))))) {
-      // the df-annotated table is checkpointed: every join side scans
-      // blocks, never re-executes the signature kernel
+      // the projected input is checkpointed: every join side scans
+      // blocks, never re-executes the signature kernel (whether the
+      // routing folded or not is the DATA's call — the adaptive test
+      // above pins both shapes)
       assert(plan.contains("Scan ExistingRDD"),
-        s"expected the materialized annotated core:\n$plan")
-      assert(plan.contains("Union"),
-        s"expected the light/grid routed union:\n$plan")
-      assert(plan.contains("__ri") && plan.contains("__rj"),
-        s"expected grid region columns in the join keys:\n$plan")
-      // routing is by exact df on both branches
-      assert(plan.contains("__df"),
-        s"expected the df routing predicate:\n$plan")
+        s"expected the materialized input core:\n$plan")
+      assert(!plan.contains("CartesianProduct"))
     }
   }
 

@@ -104,4 +104,48 @@ class SkewBoundedPairsSpec extends SparkSpec {
       .agg(count(lit(1))).head().getLong(0)
     assert(got === total)
   }
+
+  test("emission-bound property: the operator's OWN grid sides emit " +
+    "≈ hotDf² rows per region on planted mega-buckets of any size, " +
+    "and the regions partition the key's pair volume exactly") {
+    val spark2 = spark
+    import spark2.implicits._
+    // gridSides is the exact construction boundedSelfPairs joins —
+    // auditing it (not a reconstruction) pins the per-task guarantee:
+    // a region's join task materializes |lhs ∩ region| × |rhs ∩ region|
+    // rows before the diagonal keep-filter, so THAT product is the
+    // per-task emission the scaladoc bounds
+    for ((d, hotDf) <- Seq((200, 16L), (1000, 16L), (5000, 64L))) {
+      val hotRows = (1 to d).map(i => ("K", i.toLong * 13L, d.toLong))
+        .toDF("k", "__id", "__df")
+      val (lhs, rhs) = Skew.gridSides(hotRows, Seq("k"), Nil, hotDf)
+      val lc = lhs.groupBy(col("__ri"), col("__rj"))
+        .agg(count(lit(1)).as("nl"))
+      val rc = rhs.groupBy(col("__ri"), col("__rj"))
+        .agg(count(lit(1)).as("nr"))
+      val regions = lc.join(rc, Seq("__ri", "__rj"), "full_outer")
+        .select(col("__ri"), col("__rj"),
+          coalesce(col("nl"), lit(0L)).as("nl"),
+          coalesce(col("nr"), lit(0L)).as("nr"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val g = math.ceil(d.toDouble / hotDf).toLong
+      // every region is a (i ≤ j) cell of the g×g grid
+      assert(regions.forall { case (i, j, _, _) => i >= 0 && i <= j && j < g })
+      // exactly-once: kept pairs across regions == C(d, 2). Off-diagonal
+      // regions keep the full nl × nr block; the diagonal keeps the
+      // id-ordered half of an n × n block (nl = nr = group size there)
+      val kept = regions.map { case (i, j, nl, nr) =>
+        if (i == j) nl * (nl - 1) / 2 else nl * nr }.sum
+      val total = d.toLong * (d - 1) / 2
+      assert(kept === total, s"d=$d hotDf=$hotDf: regions must partition")
+      // the bound itself: per-task emission ≈ hotDf² with hash-
+      // imbalance slack, and never a funnel of the whole volume
+      val maxEmit = regions.map { case (_, _, nl, nr) => nl * nr }.max
+      assert(maxEmit <= 8 * hotDf * hotDf,
+        s"d=$d hotDf=$hotDf: max region emission $maxEmit breaches the bound")
+      assert(maxEmit * 8 < total,
+        s"d=$d hotDf=$hotDf: max region $maxEmit is not a small fraction")
+    }
+  }
 }
