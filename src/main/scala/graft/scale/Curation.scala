@@ -1090,6 +1090,10 @@ object Curation extends QueryModule {
     // table: byte histogram → exact L2 → float32, exploded to scalars
     "q170_media_features" -> ((s, d) => Multimodal.mediaFeaturesBoard(s,
       Multimodal.syntheticAssets(T.documents(s, d)))),
+    // cross-modal dedup end-to-end: media embeddings (q170's certified
+    // encoder at the ANN dim) through the q69 LSH near-dup chain
+    "q173_media_neardup" -> ((s, d) =>
+      Multimodal.mediaNearDup(s, T.documents(s, d))),
     // semantic-diversity cap: best-quality k docs per embedding cell —
     // rides the memoized quality core in a batch run
     "q132_cell_balanced" -> ((s, d) =>
@@ -1613,6 +1617,44 @@ object Curation extends QueryModule {
          |    ELSE 0.0 END AS FLOAT) AS value
          |FROM g LEFT JOIN n USING (vec_id)
          |LEFT JOIN c ON c.vec_id = g.vec_id AND c.bin = g.pos""".stripMargin
+    },
+    // cross-modal dedup: the q170 feature CTE at the ANN dim assembled
+    // into a DOUBLE[] named `embedding`, then the q69 oracle verbatim
+    // (Similarity.bucketSql composes because the column name matches);
+    // threshold compares the RAW cosine, rounding is display-only
+    "q173_media_neardup" -> {
+      val dim = Multimodal.MediaAnnDim
+      s"""WITH a AS (SELECT doc_id AS vec_id, hex(encode(text)) AS h
+         |           FROM documents),
+         |b AS (SELECT vec_id,
+         |    CAST(('0x' || substring(h, CAST(2*i - 1 AS INTEGER), 2))
+         |      AS INTEGER) AS byte
+         |  FROM a, unnest(range(1, 1 + length(h) // 2)) t(i)),
+         |c AS (SELECT vec_id, byte * $dim // 256 AS bin, COUNT(*) AS cnt
+         |      FROM b GROUP BY 1, 2),
+         |n AS (SELECT vec_id,
+         |        CAST(SUM(CAST(cnt AS HUGEINT) * cnt) AS DOUBLE) AS ss
+         |      FROM c GROUP BY 1),
+         |g AS (SELECT vec_id, unnest(range(0, $dim)) AS pos FROM a),
+         |f AS (SELECT g.vec_id, g.pos,
+         |    CAST(CASE WHEN COALESCE(n.ss, 0) > 0
+         |      THEN CAST(COALESCE(c.cnt, 0) AS DOUBLE) / sqrt(n.ss)
+         |      ELSE 0.0 END AS FLOAT) AS value
+         |  FROM g LEFT JOIN n USING (vec_id)
+         |  LEFT JOIN c ON c.vec_id = g.vec_id AND c.bin = g.pos),
+         |e AS (SELECT vec_id,
+         |        list(CAST(value AS DOUBLE) ORDER BY pos) AS embedding
+         |      FROM f GROUP BY 1),
+         |bk AS (SELECT vec_id,
+         |    CAST(${Similarity.bucketSql} AS BIGINT) AS bucket,
+         |    embedding AS v,
+         |    sqrt(list_dot_product(embedding, embedding)) AS nrm FROM e),
+         |pr AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         |    list_dot_product(x.v, y.v) / (x.nrm * y.nrm) AS cos
+         |  FROM bk x JOIN bk y
+         |    ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+         |SELECT vec_a, vec_b, ROUND(cos, 4) AS cos
+         |FROM pr WHERE cos >= ${Multimodal.MediaNearDupMinCos}""".stripMargin
     },
     // Σc² exact in HUGEINT (= the Spark decimal accumulator), one cast
     // to double, identical division trees

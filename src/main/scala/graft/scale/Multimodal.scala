@@ -398,6 +398,44 @@ object Multimodal {
       .toDF("vec_id", "kind", "embedding")
   }
 
+  /** Feature dimensionality for the media→ANN hand-off: equal to
+    * [[Similarity.Dim]] so media embeddings are a DROP-IN for every
+    * index in the ANN family (the sign-plane literals, the IVF
+    * centroids and the JL projections are all [[Similarity.Dim]]-wide).
+    * [[byteHistogramFeatures]] supports any dim ≤ 256; the q170 gate
+    * certifies the kernel at [[MediaFeatureDim]], this constant feeds
+    * the q173 cross-modal dedup chain. */
+  val MediaAnnDim: Int = Similarity.Dim
+
+  /** q173's cosine gate. Byte histograms of same-language text cluster
+    * tight (measured sf0.01: median pairwise cos 0.986), so the
+    * near-dup read needs a high bar — 0.999 keeps a few hundred pairs
+    * at sf0.01, the near-identical-payload stratum. The comparison
+    * runs on the RAW IEEE cosine (rounding is display-only), the q69
+    * discipline. */
+  val MediaNearDupMinCos: Double = 0.999
+
+  /** q173: cross-modal dedup end-to-end — the [[extractFeatures]]
+    * media embeddings (certified byte-histogram encoder, q170) fed
+    * straight through the PRODUCTION near-dup chain
+    * ([[Dedup.embeddingNearDupLsh]], q69: sign-plane buckets, bounded
+    * bucket self-join, cosine gate). This is the loop a CLIP-dedup
+    * pipeline runs at 100 TB: encode assets once, bucket, pair within
+    * buckets, keep near-identical payloads.
+    *
+    * Scale note: text-byte payloads are the adversarial case for the
+    * bucketing — same-language assets agree with most sign planes, so
+    * ONE bucket holds ~the whole corpus (measured sf0.01: 494 of 500).
+    * That is exactly the hot-bucket shape
+    * [[Skew.boundedSelfPairs]] exists for, and this board rides it by
+    * construction (the q69 chain routes every bucket self-join through
+    * the grid). */
+  def mediaNearDup(spark: SparkSession, docs: DataFrame): DataFrame =
+    Dedup.embeddingNearDupLsh(
+      extractFeatures(spark, syntheticAssets(docs), dim = MediaAnnDim)
+        .select(col("vec_id"), col("embedding")),
+      MediaNearDupMinCos)
+
   /** q170: the certified media-feature board — [[extractFeatures]]'s
     * embedding exploded to scalar (vec_id, kind, pos, value) rows so
     * the DuckDB oracle can restate the whole feature map (synthetic

@@ -325,4 +325,33 @@ class MultimodalSpec extends SparkSpec {
     val norm = math.sqrt(one.map(r => math.pow(r.getAs[Float]("value"), 2)).sum)
     assert(math.abs(norm - 1.0) < 1e-6)
   }
+
+  test("mediaNearDup (q173): the PRODUCTION LSH chain over media " +
+    "embeddings keeps a planted duplicate payload at cos 1.0 and the " +
+    "pair list is a subset of the exact referee's") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dup = "the very same payload bytes".getBytes("UTF-8")
+    val docs = ((1 to 40).map(i => (i.toLong, s"background document " +
+        s"number $i with ordinary text ${"filler " * (i % 5)}")) ++
+      Seq((41L, new String(dup, "UTF-8")), (42L, new String(dup, "UTF-8"))))
+      .toDF("doc_id", "text")
+    val got = Multimodal.mediaNearDup(spark, docs)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"),
+        r.getAs[Double]("cos"))).toSet
+    // identical payloads embed identically → cosine exactly 1.0, and
+    // identical embeddings share every sign-plane bucket, so the LSH
+    // chain CANNOT miss the pair (the property that makes bucketed
+    // near-dup sound for exact duplicates)
+    assert(got.contains((41L, 42L, 1.0)), s"planted dup missing: $got")
+    // soundness: everything the production chain reports clears the
+    // gate against the exact brute referee on the same features
+    val feats = Multimodal.extractFeatures(spark,
+      Multimodal.syntheticAssets(docs), dim = Multimodal.MediaAnnDim)
+    val exact = graft.scale.Dedup.embeddingNearDup(feats,
+        Multimodal.MediaNearDupMinCos, maxId = 1000L)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"),
+        r.getAs[Double]("cos"))).toSet
+    assert(got.subsetOf(exact), s"LSH reported a pair the referee rejects")
+  }
 }
