@@ -1340,6 +1340,64 @@ object Dedup extends QueryModule {
       .join(dupIds, Seq("doc_id"), "left_anti")
   }
 
+  /** The id boundary the incremental boards split at: docs below it
+    * are the FROZEN corpus/index, docs at or above are the new batch.
+    * ONE definition feeds the q77 and q174 Spark plans and their
+    * oracles (the shared-constant discipline). */
+  val IncrementalBoundary = 400L
+
+  /** q174: incremental NEAR-dup maintenance — the board a nightly
+    * ingest reads before merging a new batch into a deduped corpus:
+    * for every NEW document (id ≥ boundary), does it near-duplicate
+    * the FROZEN corpus (id < boundary), how many frozen docs it hits,
+    * and which frozen CLUSTER it joins (the min-id label of the
+    * matched docs' components over frozen-frozen pairs only — the
+    * clusters the frozen index actually published; `n_clusters > 1`
+    * flags a bridge doc that would merge existing clusters). q77 is
+    * this board's EXACT-dedup sibling; this one closes the near-dup
+    * gap: new docs against a frozen simhash index.
+    *
+    * The frozen-artifact contract: `pairs` is the full-corpus
+    * [[simhashPairs]] list (the q28 chain — in the gate registry, the
+    * memoized pair core). Because a simhash is per-document, the
+    * frozen side's pairs and the cross-boundary matches are exact
+    * row subsets of that list — so the board reconciles against the
+    * published q28 chain BY CONSTRUCTION, and a batch run reuses the
+    * core instead of re-running the kernel ([[DedupSpec]] reconciles
+    * the subset claim independently with a spec-local union-find).
+    *
+    * Scale design: two scan-side filters of the pair core, one
+    * bounded component pass over the frozen half (near-dup components
+    * are shallow; [[connectedComponents]]' round budget), one
+    * broadcast-sized label attach, one doc-keyed rollup. The
+    * expensive kernel/join work is the pair core's, paid once per
+    * batch and shared with ten other boards. */
+  def incrementalNearDup(docs: DataFrame, pairs: DataFrame,
+                         boundary: Long = IncrementalBoundary): DataFrame = {
+    // pairs carry doc_a < doc_b, and the boundary splits ids, so a
+    // cross pair is ALWAYS (frozen doc_a, new doc_b)
+    val cross = pairs.filter(col("doc_a") < boundary && col("doc_b") >= boundary)
+    val frozenPairs = pairs.filter(col("doc_b") < boundary)
+    val comps = connectedComponents(frozenPairs)
+    val m = cross
+      .join(comps.select(col("doc_id").as("doc_a"), col("cluster_id")),
+        Seq("doc_a"), "left")
+      // a frozen doc in no frozen-frozen pair is its own singleton
+      // cluster — same labeling q59 publishes for isolated nodes
+      .select(col("doc_b").as("doc_id"),
+        coalesce(col("cluster_id"), col("doc_a")).as("cl"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nm"),
+        countDistinct(col("cl")).as("nc"),
+        min(col("cl")).as("cluster"))
+    docs.filter(col("doc_id") >= boundary).select(col("doc_id"))
+      .join(m, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("nm").isNotNull.as("matched"),
+        coalesce(col("nm"), lit(0L)).as("n_matches"),
+        coalesce(col("nc"), lit(0L)).as("n_clusters"),
+        col("cluster"))
+  }
+
   /** Globally-repeated n-gram exposure — the memorization-risk signal
     * (the "dedup repeated substrings" concern of Lee et al. 2022 at
     * shingle granularity): per document, how many of its distinct
@@ -2327,8 +2385,12 @@ object Dedup extends QueryModule {
     // incremental ingest: batch (id >= 400) deduped against corpus (< 400)
     "q77_incremental_dedup" -> ((s, d) =>
       incrementalDedupAtFrom(T.documents(s, d), gateBands(s, d),
-        boundary = 400L)
+        boundary = IncrementalBoundary)
         .select(col("doc_id"), col("lang"))),
+    // incremental NEAR-dup: new batch vs the frozen simhash index,
+    // riding the memoized full-corpus pair core
+    "q174_incremental_neardup" -> ((s, d) =>
+      incrementalNearDup(T.documents(s, d), gatePairs(s, d))),
     // substring-level dedup: maximal duplicated word-spans per
     // document. All four span boards read the SAME shared window +
     // df cores (one tokenize pass, one df aggregate per batch); the
@@ -2952,10 +3014,38 @@ object Dedup extends QueryModule {
          |  FROM sig, range(0, $NumBands) t(b)),
          |dup AS (SELECT DISTINCT n.doc_id FROM bands n JOIN bands c
          |        ON n.b = c.b AND n.bv = c.bv
-         |        AND n.doc_id >= 400 AND c.doc_id < 400)
+         |        AND n.doc_id >= $IncrementalBoundary
+         |        AND c.doc_id < $IncrementalBoundary)
          |SELECT doc_id, lang FROM documents
-         |WHERE doc_id >= 400
+         |WHERE doc_id >= $IncrementalBoundary
          |  AND doc_id NOT IN (SELECT doc_id FROM dup)""".stripMargin,
+    // incremental near-dup: frozen-frozen pairs close into the q59
+    // clustering, cross-boundary pairs attach the frozen labels, all
+    // from the SAME shared pair CTE as the other graph oracles
+    "q174_incremental_neardup" ->
+      s"""WITH RECURSIVE $simhashPairCte,
+         |fp AS (SELECT doc_a, doc_b FROM p
+         |       WHERE doc_b < $IncrementalBoundary),
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM fp
+         |      UNION SELECT doc_b, doc_a FROM fp),
+         |reach(a, b) AS (SELECT a, b FROM e
+         |  UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+         |cl AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+         |       FROM reach GROUP BY a),
+         |cm AS (SELECT doc_a, doc_b FROM p
+         |       WHERE doc_a < $IncrementalBoundary
+         |         AND doc_b >= $IncrementalBoundary),
+         |m AS (SELECT cm.doc_b AS doc_id,
+         |        CAST(COUNT(*) AS BIGINT) AS n_matches,
+         |        CAST(COUNT(DISTINCT COALESCE(cl.cluster_id, cm.doc_a))
+         |          AS BIGINT) AS n_clusters,
+         |        MIN(COALESCE(cl.cluster_id, cm.doc_a)) AS cluster
+         |      FROM cm LEFT JOIN cl ON cl.doc_id = cm.doc_a GROUP BY 1)
+         |SELECT d.doc_id, m.doc_id IS NOT NULL AS matched,
+         |  COALESCE(m.n_matches, 0) AS n_matches,
+         |  COALESCE(m.n_clusters, 0) AS n_clusters, m.cluster
+         |FROM documents d LEFT JOIN m USING (doc_id)
+         |WHERE d.doc_id >= $IncrementalBoundary""".stripMargin,
     "q76_repeated_ngrams" ->
       s"""WITH $shingleCte,
          |cnt AS (SELECT sh AS g, COUNT(*) AS c FROM sh GROUP BY sh),

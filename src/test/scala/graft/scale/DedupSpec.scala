@@ -1797,4 +1797,62 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(got === ref)
   }
+
+  test("incrementalNearDup reconciles against the full-corpus q28 " +
+    "chain: matches are exactly the cross-boundary pair subset and " +
+    "cluster labels agree with an independent union-find over the " +
+    "frozen half") {
+    val spark2 = spark
+    import spark2.implicits._
+    // planted structure across a boundary at 200: a frozen template
+    // family (forming one frozen cluster), frozen noise, new docs that
+    // copy the template (must match into the family's cluster), and
+    // new-only noise (must report matched = false)
+    val tmpl = (1 to 50).map(i => s"w${i % 19}").mkString(" ")
+    val rnd = new scala.util.Random(97)
+    val docs = (
+      (1 to 60).map(i => (i.toLong, tmpl + s" v${i % 5}")) ++
+      (61 to 199).map(i =>
+        (i.toLong, (1 to 40).map(_ => s"z${rnd.nextInt(8000)}").mkString(" "))) ++
+      (200 to 230).map(i => (i.toLong, tmpl + s" v${i % 5}")) ++
+      (231 to 260).map(i =>
+        (i.toLong, (1 to 40).map(_ => s"q${rnd.nextInt(8000)}").mkString(" "))))
+      .toDF("doc_id", "text")
+    val boundary = 200L
+    val pairs = Dedup.simhashPairs(docs, maxDist = 5).localCheckpoint()
+    val board = Dedup.incrementalNearDup(docs, pairs, boundary)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("matched"), r.getAs[Long]("n_matches"),
+          r.getAs[Long]("n_clusters"),
+          Option(r.getAs[java.lang.Long]("cluster")).map(_.toLong)))).toMap
+    assert(board.keySet === (200L to 260L).toSet)
+    // independent reference: collect the full pair list once, split it
+    // in plain Scala, union-find the frozen half
+    val allPairs = pairs.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- allPairs if b < boundary) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val cross = allPairs.filter { case (a, b) => a < boundary && b >= boundary }
+    val byNew = cross.groupBy(_._2)
+    for (id <- 200L to 260L) {
+      val ms = byNew.getOrElse(id, Array.empty).map(_._1)
+      val labels = ms.map(find).toSet
+      val expect = (ms.nonEmpty, ms.length.toLong, labels.size.toLong,
+        if (ms.isEmpty) None else Some(labels.min))
+      assert(board(id) === expect, s"doc $id")
+    }
+    // the planted semantics hold: every new template copy joins the
+    // frozen family's single cluster; new-only noise stays unmatched
+    assert((200L to 230L).forall(board(_)._1), "template copies must match")
+    assert((200L to 230L).map(board(_)._4).toSet.size === 1,
+      "all template copies join the SAME frozen cluster")
+    assert((231L to 260L).forall(!board(_)._1), "noise must not match")
+  }
 }
