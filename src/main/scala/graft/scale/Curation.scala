@@ -1151,16 +1151,37 @@ object Curation extends QueryModule {
     * from prev (→ `added`), ids with u < 0.1 carry edited text
     * (→ `changed`), a shifted copy of the u < 0.05 slice exists only
     * in prev (→ `removed`), everything else is `unchanged`. */
+  private[scale] val SnapshotAddedSlice = 0.9
+  private[scale] val SnapshotChangedSlice = 0.1
+  private[scale] val SnapshotRemovedSlice = 0.05
+
   private def gatePrevSnapshot(docs: DataFrame): DataFrame = {
     val u = portableHash60(col("doc_id").cast("string")).cast("double") /
       lit((1L << 60).toDouble)
-    docs.filter(u < 0.9)
+    docs.filter(u < SnapshotAddedSlice)
       .select(col("doc_id"),
-        when(u < 0.1, concat(col("text"), lit(" [stale]")))
+        when(u < SnapshotChangedSlice, concat(col("text"), lit(" [stale]")))
           .otherwise(col("text")).as("text"))
-      .unionByName(docs.filter(u < 0.05)
+      .unionByName(docs.filter(u < SnapshotRemovedSlice)
         .select((col("doc_id") + 1000000000L).as("doc_id"), col("text")))
   }
+
+  /** The synthetic prev-snapshot CTEs (`u`, `prev`) shared by the q141
+    * and q153 oracles — ONE definition, slices interpolated from the
+    * same constants as [[gatePrevSnapshot]], so the two drift boards
+    * and the Spark fixture can never disagree about the snapshot. */
+  private lazy val prevSnapshotCteSql: String =
+    s"""u AS (SELECT doc_id, text,
+       |  CAST($hashSql AS DOUBLE) / 1152921504606846976.0 AS u
+       |FROM documents),
+       |prev AS (
+       |  SELECT doc_id,
+       |    CASE WHEN u < $SnapshotChangedSlice THEN text || ' [stale]'
+       |         ELSE text END AS text
+       |  FROM u WHERE u < $SnapshotAddedSlice
+       |  UNION ALL
+       |  SELECT doc_id + 1000000000, text FROM u
+       |  WHERE u < $SnapshotRemovedSlice)""".stripMargin
 
   // hash := high 60 bits of md5(id) — identical to portableHash60
   private[scale] def hashSqlFor(idExpr: String): String =
@@ -1245,15 +1266,7 @@ object Curation extends QueryModule {
     // the synthetic prev snapshot restated: u ≥ 0.9 absent (added),
     // u < 0.1 edited (changed), shifted u < 0.05 copy (removed)
     "q141_snapshot_diff" ->
-      s"""WITH u AS (SELECT doc_id, text,
-         |  CAST($hashSql AS DOUBLE) / 1152921504606846976.0 AS u
-         |FROM documents),
-         |prev AS (
-         |  SELECT doc_id,
-         |    CASE WHEN u < 0.1 THEN text || ' [stale]' ELSE text END AS text
-         |  FROM u WHERE u < 0.9
-         |  UNION ALL
-         |  SELECT doc_id + 1000000000, text FROM u WHERE u < 0.05),
+      s"""WITH $prevSnapshotCteSql,
          |p AS (SELECT doc_id, md5(text) AS prev_md5 FROM prev),
          |c AS (SELECT doc_id, md5(text) AS cur_md5 FROM documents),
          |j AS (SELECT
@@ -1387,15 +1400,7 @@ object Curation extends QueryModule {
     // full-outer md5 compare, quality on COALESCE(cur, prev) text;
     // mean quality rides the DECIMAL(18,6) exact sum
     "q153_quality_drift" ->
-      s"""WITH u AS (SELECT doc_id, text,
-         |  CAST($hashSql AS DOUBLE) / 1152921504606846976.0 AS u
-         |FROM documents),
-         |prev AS (
-         |  SELECT doc_id,
-         |    CASE WHEN u < 0.1 THEN text || ' [stale]' ELSE text END AS text
-         |  FROM u WHERE u < 0.9
-         |  UNION ALL
-         |  SELECT doc_id + 1000000000, text FROM u WHERE u < 0.05),
+      s"""WITH $prevSnapshotCteSql,
          |p AS (SELECT doc_id, text, md5(text) AS m FROM prev),
          |c AS (SELECT doc_id, text, md5(text) AS m FROM documents),
          |j AS (SELECT

@@ -27,6 +27,21 @@ object Dedup extends QueryModule {
   val NumBands = 4
   val ShingleSize = 4
 
+  /** Shared gate knobs — ONE definition each, interpolated into BOTH
+    * the Spark registrations and the oracle SQL (the GateLmVocab
+    * discipline): a knob edited in one place cannot drift between
+    * engines, or between the queries that share it (q29/q95/q127 all
+    * ride the same cosine gate; five contamination boards share the
+    * eval-slice bound). */
+  val EmbedNearDupMinCos = 0.3
+  val EmbedNearDupMaxId = 300L
+  val LshNearDupMinCos = 0.2
+  val EvalMaxId = 25L
+  val MinhashAuditTol = 0.45
+  val RepeatedNgramsMinDf = 3L
+  val BoilerplateMinShare = 0.3
+  val BoilerplateMinLen = 5
+
   /** Exact dedup: group identical normalized content, keep lowest id.
     * At scale: shuffle on md5 (short key), never on the text itself. */
   def exactDedup(docs: DataFrame): DataFrame =
@@ -215,7 +230,7 @@ object Dedup extends QueryModule {
     * is O(candidates × shingles/doc), bounded by the LSH output, not
     * O(shingle-df²). At 100 TB this audit runs on the same plan at
     * whatever candidate rate the banding yields. */
-  def minhashAudit(docs: DataFrame, tol: Double = 0.45): DataFrame = {
+  def minhashAudit(docs: DataFrame, tol: Double = MinhashAuditTol): DataFrame = {
     val wa = wordArrays(docs).coreCheckpoint()
     minhashAuditFrom(wa, sigTableFrom(wa), tol)
   }
@@ -1028,8 +1043,8 @@ object Dedup extends QueryModule {
     * candidate passes the same exact-cosine filter as truth, so
     * candidates ⊆ truth and precision is 1 by construction — recall
     * is the only free number, which is why it's the one reported. */
-  def nearDupRecall(emb: DataFrame, minCos: Double = 0.3,
-                    maxId: Long = 300L): DataFrame = {
+  def nearDupRecall(emb: DataFrame, minCos: Double = EmbedNearDupMinCos,
+                    maxId: Long = EmbedNearDupMaxId): DataFrame = {
     val truth = embeddingNearDup(emb, minCos, maxId)
     val cand = embeddingNearDupLsh(emb.filter(col("vec_id") < maxId), minCos)
       .select(col("vec_a"), col("vec_b"), lit(1).as("_hit"))
@@ -1071,7 +1086,7 @@ object Dedup extends QueryModule {
     * accepts this; their fig. 2 measures the loss as negligible at
     * their cluster counts). The referee for that trade on a bounded
     * sample is [[embeddingNearDup]] (q29), same as the ANN family. */
-  def semDedup(emb: DataFrame, minCos: Double = 0.3,
+  def semDedup(emb: DataFrame, minCos: Double = EmbedNearDupMinCos,
                nCells: Int = Similarity.IvfCells): DataFrame = {
     val cents = Similarity.seedCentroidList(emb, nCells)
     // one scan yields id, cell, double vector and norm; the
@@ -1413,7 +1428,7 @@ object Dedup extends QueryModule {
     * survive — boilerplate vocabulary, not corpus volume), so the
     * join-back broadcasts. The checkpoint stops the tokenize chain
     * re-running for the two consumers. */
-  def repeatedNgrams(docs: DataFrame, threshold: Long = 3L): DataFrame =
+  def repeatedNgrams(docs: DataFrame, threshold: Long = RepeatedNgramsMinDf): DataFrame =
     repeatedNgramsFrom(shingleTable(docs).coreCheckpoint(), threshold)
 
   /** [[repeatedNgrams]] from the checkpointed shingle core. */
@@ -1944,8 +1959,8 @@ object Dedup extends QueryModule {
     * task. The per-source doc counts are an n_sources-bounded
     * broadcast, and the rollup is one aggregate onto ≤ n_sources
     * rows. */
-  def boilerplateBySource(docs0: DataFrame, minShare: Double = 0.3,
-                          minLen: Int = 5): DataFrame = {
+  def boilerplateBySource(docs0: DataFrame, minShare: Double = BoilerplateMinShare,
+                          minLen: Int = BoilerplateMinLen): DataFrame = {
     val docs = Layout.widen(docs0)
     boilerplateFrom(lineTable(docs),
       docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs")),
@@ -2284,7 +2299,7 @@ object Dedup extends QueryModule {
     // per-source boilerplate-line mass (skew-safe dual aggregate)
     "q163_boilerplate" -> ((s, d) => boilerplateFrom(gateLines(s, d),
       T.documents(s, d).groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs")), minShare = 0.3, minLen = 5)),
+        .agg(count(lit(1)).as("n_docs")), minShare = BoilerplateMinShare, minLen = BoilerplateMinLen)),
     // the three dedup methods priced on removable token mass
     // (rides the shared component core + the shared line table)
     "q166_dedup_roi" -> ((s, d) =>
@@ -2339,14 +2354,14 @@ object Dedup extends QueryModule {
         gatePairs(s, d).withColumn("w", lit(6) - col("dist")), "w")),
     // one-row dup-graph health dashboard (graph twin of q78)
     "q86_graph_summary" -> ((s, d) => graphSummaryFrom(gatePairs(s, d))),
-    "q29_embed_neardup" -> ((s, d) => embeddingNearDup(T.embeddings(s, d), 0.3, 300L)),
+    "q29_embed_neardup" -> ((s, d) => embeddingNearDup(T.embeddings(s, d), EmbedNearDupMinCos, EmbedNearDupMaxId)),
     // the composed end-to-end verb: pairs → clusters → keep one → drop
     "q68_dedup_corpus" -> ((s, d) => gateKept(s, d)),
     // what dedup removed, per source (docs + estimated tokens + rate)
     "q112_dedup_impact" -> ((s, d) =>
       dedupImpactFrom(T.documents(s, d), gateKept(s, d))),
     // full-range LSH near-dup gate (no id cap): the scale path q29 demos
-    "q69_neardup_lsh" -> ((s, d) => embeddingNearDupLsh(T.embeddings(s, d), 0.2)),
+    "q69_neardup_lsh" -> ((s, d) => embeddingNearDupLsh(T.embeddings(s, d), LshNearDupMinCos)),
     // recall-by-cos-band certification of the q69 gate vs the q29 referee
     "q127_neardup_recall" -> ((s, d) => nearDupRecall(T.embeddings(s, d))),
     // cheap-vs-expensive signal calibration: exact Jaccard stats per
@@ -2358,30 +2373,30 @@ object Dedup extends QueryModule {
     "q95_semdedup" -> ((s, d) => semDedup(T.embeddings(s, d))),
     // eval-set n-gram decontamination over the documents corpus
     "q71_decontaminate" -> ((s, d) =>
-      decontaminateFrom(gateShingles(s, d), evalMaxId = 25L)),
+      decontaminateFrom(gateShingles(s, d), evalMaxId = EvalMaxId)),
     // benchmark-suite decontamination: Bloom prefilter + exact shuffle
     // confirm; result asserted identical to the exact q71 form
     "q93_decontaminate_bloom" -> ((s, d) =>
-      decontaminateBloomFrom(gateShingles(s, d), evalMaxId = 25L, fpp = 0.01)),
+      decontaminateBloomFrom(gateShingles(s, d), evalMaxId = EvalMaxId, fpp = 0.01)),
     // which ingest source leaks eval data: q71 rolled up by source
     "q101_contamination_by_source" -> ((s, d) =>
       contaminationBySourceFrom(T.documents(s, d), gateShingles(s, d),
-        evalMaxId = 25L)),
+        evalMaxId = EvalMaxId)),
     // which eval suite leaked: per-suite contamination breakdown
     "q102_decontaminate_by_suite" -> ((s, d) =>
       decontaminateBySuiteFrom(T.documents(s, d), gateShingles(s, d),
-        evalMaxId = 25L)),
+        evalMaxId = EvalMaxId)),
     // the sparse (suite × source) leak matrix — the actionable pair
     "q111_contamination_matrix" -> ((s, d) =>
       contaminationMatrixFrom(T.documents(s, d), gateShingles(s, d),
-        evalMaxId = 25L)),
+        evalMaxId = EvalMaxId)),
     // certify-the-sketch for MinHash: signature-agreement estimate vs
     // exact Jaccard on every LSH candidate pair, error gated
     "q103_minhash_audit" -> ((s, d) =>
-      minhashAuditFrom(gateWa(s, d), gateSigs(s, d), tol = 0.45)),
+      minhashAuditFrom(gateWa(s, d), gateSigs(s, d), tol = MinhashAuditTol)),
     // memorization risk: shingles shared across >3 documents
     "q76_repeated_ngrams" -> ((s, d) =>
-      repeatedNgramsFrom(gateShingles(s, d), threshold = 3L)),
+      repeatedNgramsFrom(gateShingles(s, d), threshold = RepeatedNgramsMinDf)),
     // incremental ingest: batch (id >= 400) deduped against corpus (< 400)
     "q77_incremental_dedup" -> ((s, d) =>
       incrementalDedupAtFrom(T.documents(s, d), gateBands(s, d),
@@ -2817,9 +2832,9 @@ object Dedup extends QueryModule {
          |  FLOOR(CAST(toks_removed AS DOUBLE) / tot * 1000000.0 + 0.5)
          |    / 1000000.0 AS share
          |FROM u, tot""".stripMargin,
-    // boilerplate = line in ≥ 30% of its source's docs and ≥ 5 chars
+    // boilerplate thresholds interpolated from the shared knobs
     "q163_boilerplate" ->
-      """WITH l AS (SELECT source, doc_id,
+      s"""WITH l AS (SELECT source, doc_id,
         |        unnest(string_split(text, chr(10))) AS line FROM documents),
         |pl AS (SELECT source, line, CAST(COUNT(*) AS BIGINT) AS occ,
         |         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
@@ -2827,7 +2842,7 @@ object Dedup extends QueryModule {
         |ds AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
         |       FROM documents GROUP BY 1),
         |f AS (SELECT pl.source,
-        |        (pl.df >= CEIL(0.3 * ds.n_docs) AND len(pl.line) >= 5) AS is_b,
+        |        (pl.df >= CEIL($BoilerplateMinShare * ds.n_docs) AND len(pl.line) >= $BoilerplateMinLen) AS is_b,
         |        pl.occ, CAST(pl.occ * len(pl.line) AS BIGINT) AS chars
         |      FROM pl JOIN ds USING (source)),
         |g AS (SELECT source,
@@ -3049,7 +3064,7 @@ object Dedup extends QueryModule {
     "q76_repeated_ngrams" ->
       s"""WITH $shingleCte,
          |cnt AS (SELECT sh AS g, COUNT(*) AS c FROM sh GROUP BY sh),
-         |hot AS (SELECT g FROM cnt WHERE c > 3),
+         |hot AS (SELECT g FROM cnt WHERE c > $RepeatedNgramsMinDf),
          |st AS (SELECT s.doc_id, COUNT(*) AS n_shingles, COUNT(h.g) AS n_hot
          |       FROM sh s LEFT JOIN hot h ON h.g = s.sh
          |       GROUP BY s.doc_id)
@@ -3060,7 +3075,7 @@ object Dedup extends QueryModule {
     // q71's CTEs verbatim, rolled up by the corpus doc's source
     "q101_contamination_by_source" ->
       s"""WITH $shingleCte,
-         |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 25),
+         |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id < $EvalMaxId),
          |corpus AS (SELECT doc_id, sh FROM sh WHERE doc_id >= 25),
          |st AS (SELECT c.doc_id, COUNT(*) AS n_shingles,
          |         COUNT(e.sh) AS n_overlap
@@ -3101,7 +3116,7 @@ object Dedup extends QueryModule {
          |  ROUND(ABS(CAST(matches AS DOUBLE) / 16
          |        - CAST(inter AS DOUBLE) / (na + nb - inter)), 4) AS err,
          |  (ABS(CAST(matches AS DOUBLE) / 16
-         |       - CAST(inter AS DOUBLE) / (na + nb - inter)) <= 0.45)
+         |       - CAST(inter AS DOUBLE) / (na + nb - inter)) <= $MinhashAuditTol)
          |    AS within_tol
          |FROM m""".stripMargin,
     // q102's CTEs up to the per-(suite, doc) rollup, then the corpus
@@ -3109,7 +3124,7 @@ object Dedup extends QueryModule {
     "q111_contamination_matrix" ->
       s"""WITH $shingleCte,
          |suites AS (SELECT doc_id, source AS suite FROM documents
-         |           WHERE doc_id < 25),
+         |           WHERE doc_id < $EvalMaxId),
          |ev AS (SELECT DISTINCT u.suite, s.sh
          |       FROM sh s JOIN suites u USING (doc_id)),
          |corpus AS (SELECT doc_id, sh FROM sh WHERE doc_id >= 25),
@@ -3125,7 +3140,7 @@ object Dedup extends QueryModule {
     "q102_decontaminate_by_suite" ->
       s"""WITH $shingleCte,
          |suites AS (SELECT doc_id, source AS suite FROM documents
-         |           WHERE doc_id < 25),
+         |           WHERE doc_id < $EvalMaxId),
          |ev AS (SELECT DISTINCT u.suite, s.sh
          |       FROM sh s JOIN suites u USING (doc_id)),
          |sst AS (SELECT u.suite, COUNT(*) AS n_eval_docs FROM suites u
@@ -3150,7 +3165,7 @@ object Dedup extends QueryModule {
          |LEFT JOIN per USING (suite), uni""".stripMargin,
     "q71_decontaminate" ->
       s"""WITH $shingleCte,
-         |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 25),
+         |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id < $EvalMaxId),
          |corpus AS (SELECT doc_id, sh FROM sh WHERE doc_id >= 25),
          |st AS (SELECT c.doc_id, COUNT(*) AS n_shingles,
          |         COUNT(e.sh) AS n_overlap
@@ -3165,7 +3180,7 @@ object Dedup extends QueryModule {
     // them, so the oracle restates q71 verbatim
     "q93_decontaminate_bloom" ->
       s"""WITH $shingleCte,
-         |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 25),
+         |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id < $EvalMaxId),
          |corpus AS (SELECT doc_id, sh FROM sh WHERE doc_id >= 25),
          |st AS (SELECT c.doc_id, COUNT(*) AS n_shingles,
          |         COUNT(e.sh) AS n_overlap
@@ -3226,16 +3241,16 @@ object Dedup extends QueryModule {
     "q127_neardup_recall" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          |    CAST(${Similarity.bucketSql} AS BIGINT) AS bucket
-         |  FROM embeddings WHERE vec_id < 300),
+         |  FROM embeddings WHERE vec_id < $EmbedNearDupMaxId),
          |n AS (SELECT vec_id, v, bucket,
          |    sqrt(list_dot_product(v, v)) AS nrm FROM e),
          |truth AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |    ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos
          |  FROM n a JOIN n b ON a.vec_id < b.vec_id
-         |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.3),
+         |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $EmbedNearDupMinCos),
          |cand AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
          |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.3),
+         |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $EmbedNearDupMinCos),
          |j AS (SELECT t.cos, (c.vec_a IS NOT NULL) AS hit
          |  FROM truth t LEFT JOIN cand c
          |    ON t.vec_a = c.vec_a AND t.vec_b = c.vec_b)
@@ -3256,7 +3271,7 @@ object Dedup extends QueryModule {
          |    list_dot_product(a.v, c.v) / (a.nrm * c.nrm) AS cos
          |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
          |SELECT vec_a, vec_b, ROUND(cos, 4) AS cos
-         |FROM pr WHERE cos >= 0.2""".stripMargin,
+         |FROM pr WHERE cos >= $LshNearDupMinCos""".stripMargin,
     // SemDeDup restated: q38's argmax-cosine cell assignment, q69's
     // within-key pair join, q59's recursive min-label closure, then
     // keep = (component min == own id), TRUE off the pair graph
@@ -3277,7 +3292,7 @@ object Dedup extends QueryModule {
          |    ON ax.cell_id = ay.cell_id AND ax.vec_id < ay.vec_id
          |  JOIN n x ON x.vec_id = ax.vec_id
          |  JOIN n y ON y.vec_id = ay.vec_id
-         |  WHERE list_dot_product(x.v, y.v)/(x.nrm*y.nrm) >= 0.3),
+         |  WHERE list_dot_product(x.v, y.v)/(x.nrm*y.nrm) >= $EmbedNearDupMinCos),
          |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
          |reach(a, b) AS (SELECT a, b FROM e
          |  UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
@@ -3447,14 +3462,15 @@ object Dedup extends QueryModule {
          |  MIN(cs) AS char_start, MAX(ce) - MIN(cs) AS char_len
          |FROM grp GROUP BY doc_a, doc_b, g""".stripMargin,
     "q29_embed_neardup" ->
-      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
         |    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
         |     * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4) AS cos
         |FROM embeddings a JOIN embeddings b
-        |  ON a.vec_id < b.vec_id AND a.vec_id < 300 AND b.vec_id < 300
+        |  ON a.vec_id < b.vec_id AND a.vec_id < $EmbedNearDupMaxId
+        |  AND b.vec_id < $EmbedNearDupMaxId
         |WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
         |    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-        |     * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.3""".stripMargin
+        |     * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= $EmbedNearDupMinCos""".stripMargin
   )
 }

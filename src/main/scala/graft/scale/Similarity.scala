@@ -31,6 +31,13 @@ object Similarity extends QueryModule {
   val NumPlanes = 8
   val TopK = 5
 
+  /** The gate boards' query-slice bound (vec_id < GateQueries) — ONE
+    * definition for every brute/ANN arm's Scala default and the seven
+    * oracle restatements (the shared-constant discipline): the
+    * audit-cost dial cannot drift between engines or between the arms
+    * whose recall is compared against the same truth. */
+  val GateQueries = 8L
+
   /** Deterministic pseudo-random hyperplanes: component (p,d) is
     * hash60("p_d") - 2^59 (zero-mean uniform), exactly reproducible
     * from md5 in any engine; embedded below as literals in both the
@@ -95,7 +102,7 @@ object Similarity extends QueryModule {
     * per task per query, so shuffle volume is independent of corpus
     * size. Ordering (cos DESC, c_id ASC tiebreak, ranked before the
     * display rounding) is pinned equal to the window form by spec. */
-  def knnBrute(emb: DataFrame, nQueries: Long = 8L, k: Int = TopK): DataFrame = {
+  def knnBrute(emb: DataFrame, nQueries: Long = GateQueries, k: Int = TopK): DataFrame = {
     val corpus = Layout.widen(emb).select(col("vec_id").as("c_id"),
       toDoubleArray(col("embedding")).as("cv"))
       .withColumn("cn", l2Norm(col("cv")))
@@ -316,12 +323,12 @@ object Similarity extends QueryModule {
 
   /** ANN via IVF: per query, probe the `nProbes` closest cells and
     * exact-rank the candidates. */
-  def annIvf(emb: DataFrame, nQueries: Long = 8L, k: Int = TopK,
+  def annIvf(emb: DataFrame, nQueries: Long = GateQueries, k: Int = TopK,
              nCells: Int = IvfCells, nProbes: Int = IvfProbes): DataFrame =
     annIvfWith(emb, seedCents(emb, nCells), nQueries, k, nProbes)
 
   private[graft] def annIvfWith(emb: DataFrame, centsDf: DataFrame,
-                                nQueries: Long = 8L, k: Int = TopK,
+                                nQueries: Long = GateQueries, k: Int = TopK,
                                 nProbes: Int = IvfProbes): DataFrame = {
     val local = collectCents(centsDf)
     val vecs = emb.select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
@@ -680,7 +687,7 @@ object Similarity extends QueryModule {
     * Determinism: the per-subspace ADC terms are summed by an
     * ascending-m lookup fold (fixed addition order); both rankings
     * tie-break by c_id. */
-  def annPq(emb: DataFrame, nQueries: Long = 8L, k: Int = TopK,
+  def annPq(emb: DataFrame, nQueries: Long = GateQueries, k: Int = TopK,
             refine: Int = PqRefine): DataFrame = {
     // ONE driver-trained book feeds both sides as plan constants —
     // the corpus code assignment and the per-query distance LUTs
@@ -768,7 +775,7 @@ object Similarity extends QueryModule {
     * NEAR-UNIFORM corpus — ANN's worst case, see [[annLsh]]'s
     * recall-by-math note). The spec floors recall at ≥ 0.5 on a
     * clustered corpus with real neighbor structure. */
-  def annIvfPq(emb: DataFrame, nQueries: Long = 8L, k: Int = TopK,
+  def annIvfPq(emb: DataFrame, nQueries: Long = GateQueries, k: Int = TopK,
                nCells: Int = IvfCells, nProbes: Int = IvfProbes,
                refine: Int = IvfPqRefine): DataFrame = {
     val cents = seedCentroidList(emb, nCells)
@@ -903,7 +910,7 @@ object Similarity extends QueryModule {
     * same (cos DESC, cell ASC) tie-break, so pruning can never drop a
     * cell the plan-side probes would pick. */
   def annIvfPqFromIndex(spark: SparkSession, dir: String, emb: DataFrame,
-                        nQueries: Long = 8L, k: Int = TopK,
+                        nQueries: Long = GateQueries, k: Int = TopK,
                         nProbes: Int = IvfProbes,
                         refine: Int = IvfPqRefine): DataFrame = {
     val cents = spark.read.parquet(s"$dir/cents").collect()
@@ -990,7 +997,7 @@ object Similarity extends QueryModule {
     * their production shapes; truth is checkpointed so the corpus
     * scan behind it runs once, and each hit count is a broadcast-size
     * semi-join (nQueries × k rows) against an ANN result. */
-  def annRecall(emb: DataFrame, nQueries: Long = 8L, k: Int = TopK): DataFrame =
+  def annRecall(emb: DataFrame, nQueries: Long = GateQueries, k: Int = TopK): DataFrame =
     annRecallFrom(knnBrute(emb, nQueries, k), Seq(
       ("lsh_mp", annLsh(emb, nQueries, k, LshProbeFlips), LshMinRecall),
       ("ivf", annIvf(emb, nQueries, k), IvfMinRecall),
@@ -1080,7 +1087,7 @@ object Similarity extends QueryModule {
     * probe ranking share the same argmax-cosine criterion and
     * tie-break). Everything after the arms is 1-row aggregates. */
   def ivfProbeSweep(emb: DataFrame, probesList: Seq[Int] = Seq(1, 2, 4, 8),
-                    nQueries: Long = 8L, k: Int = TopK,
+                    nQueries: Long = GateQueries, k: Int = TopK,
                     nCells: Int = IvfCells): DataFrame =
     ivfProbeSweepFrom(knnBrute(emb, nQueries, k), emb, probesList,
       nQueries, k, nCells)
@@ -1090,7 +1097,7 @@ object Similarity extends QueryModule {
     * output, same as q88's). */
   private[graft] def ivfProbeSweepFrom(truthFull: DataFrame, emb: DataFrame,
                                        probesList: Seq[Int] = Seq(1, 2, 4, 8),
-                                       nQueries: Long = 8L, k: Int = TopK,
+                                       nQueries: Long = GateQueries, k: Int = TopK,
                                        nCells: Int = IvfCells): DataFrame = {
     val truth = truthFull
       .select(col("q_id"), col("c_id")).coreCheckpoint()
@@ -1318,7 +1325,7 @@ object Similarity extends QueryModule {
     * aggregate as [[knnBrute]], at 1/8 the arithmetic and exchange
     * width; the exact pass touches refine·k·nQueries raw vectors.
     */
-  def annJl(emb: DataFrame, nQueries: Long = 8L, k: Int = TopK,
+  def annJl(emb: DataFrame, nQueries: Long = GateQueries, k: Int = TopK,
             refine: Int = JlRefine): DataFrame = {
     def proj(c: Column): Column =
       array((0 until JlDims).map(kk => dotProduct(c, jlSignLit(kk))): _*)
@@ -1385,7 +1392,7 @@ object Similarity extends QueryModule {
     * assignment is the scan-side `argmax_cosine` plan constant (zero
     * joins to build the index); the candidate pass is the annIvf
     * broadcast-probes × cell-join + bounded top-k aggregate. */
-  def annIvfJl(emb: DataFrame, nQueries: Long = 8L, k: Int = TopK,
+  def annIvfJl(emb: DataFrame, nQueries: Long = GateQueries, k: Int = TopK,
                nCells: Int = IvfCells, nProbes: Int = IvfJlProbes): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
@@ -1525,7 +1532,7 @@ object Similarity extends QueryModule {
     // recall@k certification of all six ANN paths vs brute truth —
     // truth and five arms come from the shared cores above
     "q88_ann_recall" -> ((s, d) => annRecallFrom(gateBrute(s, d), Seq(
-      ("lsh_mp", annLsh(T.embeddings(s, d), 8L, TopK, LshProbeFlips),
+      ("lsh_mp", annLsh(T.embeddings(s, d), GateQueries, TopK, LshProbeFlips),
         LshMinRecall),
       ("ivf", gateIvf(s, d), IvfMinRecall),
       ("pq", gatePq(s, d), PqMinRecall),
@@ -1621,12 +1628,12 @@ object Similarity extends QueryModule {
        |    SELECT q.vec_id AS q_id, c.cell_id,
        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
        |        ORDER BY list_dot_product(q.v, c.cv)/(q.nrm*c.cn) DESC, c.cell_id ASC) AS rn
-       |    FROM n q, cents c WHERE q.vec_id < 8) WHERE rn <= ${ps.max}),
+       |    FROM n q, cents c WHERE q.vec_id < $GateQueries) WHERE rn <= ${ps.max}),
        |bt AS (SELECT q_id, c_id FROM (
        |    SELECT q.vec_id AS q_id, t.vec_id AS c_id,
        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
        |        ORDER BY list_dot_product(q.v, t.v)/(q.nrm*t.nrm) DESC, t.vec_id ASC) AS rk
-       |    FROM n q JOIN n t ON q.vec_id < 8 AND t.vec_id <> q.vec_id) WHERE rk <= $TopK),
+       |    FROM n q JOIN n t ON q.vec_id < $GateQueries AND t.vec_id <> q.vec_id) WHERE rk <= $TopK),
        |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM bt),
        |nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs FROM v),
        |${blocks.mkString(",\n")}
@@ -1729,7 +1736,7 @@ object Similarity extends QueryModule {
          |pairs AS (
          |  SELECT q.vec_id AS q_id, t.vec_id AS c_id,
          |    list_dot_product(q.v, t.v) / (q.nrm * t.nrm) AS cos
-         |  FROM n q JOIN n t ON q.vec_id < 8 AND t.vec_id <> q.vec_id),
+         |  FROM n q JOIN n t ON q.vec_id < $GateQueries AND t.vec_id <> q.vec_id),
          |ranked AS (
          |  SELECT q_id, c_id, cos,
          |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS INTEGER) AS rank
@@ -1806,7 +1813,7 @@ object Similarity extends QueryModule {
          |    SELECT q.vec_id AS q_id, c.cell_id,
          |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
          |        ORDER BY list_dot_product(q.v, c.cv)/(q.nrm*c.cn) DESC, c.cell_id ASC) AS rn
-         |    FROM n q, cents c WHERE q.vec_id < 8) WHERE rn <= $IvfProbes),
+         |    FROM n q, cents c WHERE q.vec_id < $GateQueries) WHERE rn <= $IvfProbes),
          |pairs AS (
          |  SELECT p.q_id, t.vec_id AS c_id,
          |    list_dot_product(qn.v, t.v) / (qn.nrm * t.nrm) AS cos
@@ -1837,7 +1844,7 @@ object Similarity extends QueryModule {
          |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d ASC, k ASC) AS rn
          |    FROM d) WHERE rn = 1),
          |lut AS (SELECT vec_id AS q_id, m, k AS code, d AS qd
-         |  FROM d WHERE vec_id < 8),
+         |  FROM d WHERE vec_id < $GateQueries),
          |approx AS (
          |  SELECT a.c_id, l.q_id,
          |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(l.qd ORDER BY l.m)),
@@ -1867,7 +1874,7 @@ object Similarity extends QueryModule {
          |pn AS (SELECT vec_id, y, sqrt(list_dot_product(y, y)) AS yn FROM p),
          |ap AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
          |    list_dot_product(q.y, c.y) / (q.yn * c.yn) AS pcos
-         |  FROM pn q JOIN pn c ON q.vec_id < 8 AND c.vec_id <> q.vec_id),
+         |  FROM pn q JOIN pn c ON q.vec_id < $GateQueries AND c.vec_id <> q.vec_id),
          |sl AS (SELECT q_id, c_id FROM (
          |    SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id
          |      ORDER BY pcos DESC, c_id ASC) AS rn FROM ap)
@@ -1898,7 +1905,7 @@ object Similarity extends QueryModule {
          |    SELECT q.vec_id AS q_id, c.cell_id,
          |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
          |        ORDER BY list_dot_product(q.y, c.cy)/(q.yn*c.cn) DESC, c.cell_id ASC) AS rn
-         |    FROM pn q, cents c WHERE q.vec_id < 8) WHERE rn <= $IvfJlProbes),
+         |    FROM pn q, cents c WHERE q.vec_id < $GateQueries) WHERE rn <= $IvfJlProbes),
          |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
          |pairs AS (
          |  SELECT p.q_id, t.vec_id AS c_id,
@@ -2023,7 +2030,7 @@ object Similarity extends QueryModule {
          |    SELECT q.vec_id AS q_id, c.cell_id,
          |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
          |        ORDER BY list_dot_product(q.v, c.cv)/(q.nrm*c.cn) DESC, c.cell_id ASC) AS rn
-         |    FROM n q, cents c WHERE q.vec_id < 8) WHERE rn <= $IvfProbes),
+         |    FROM n q, cents c WHERE q.vec_id < $GateQueries) WHERE rn <= $IvfProbes),
          |qres AS (SELECT p.q_id, p.cell_id,
          |    list_transform(range(1, ${Dim + 1}), i -> q.v[i] - c.cv[i]) AS v
          |  FROM probes p JOIN n q ON q.vec_id = p.q_id
@@ -2066,7 +2073,7 @@ object Similarity extends QueryModule {
          |tpairs AS (
          |  SELECT q.vec_id AS q_id, t.vec_id AS c_id,
          |    list_dot_product(q.v, t.v) / (q.nrm * t.nrm) AS cos
-         |  FROM n q JOIN n t ON q.vec_id < 8 AND t.vec_id <> q.vec_id),
+         |  FROM n q JOIN n t ON q.vec_id < $GateQueries AND t.vec_id <> q.vec_id),
          |truth AS (SELECT q_id, c_id FROM (
          |    SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id
          |      ORDER BY cos DESC, c_id ASC) AS rn FROM tpairs)
@@ -2080,7 +2087,7 @@ object Similarity extends QueryModule {
          |    ON bit_count(xor(q.bucket, t.bucket)) <= $LshProbeFlips
          |  JOIN n qn ON qn.vec_id = q.vec_id
          |  JOIN n cn ON cn.vec_id = t.vec_id
-         |  WHERE q.vec_id < 8 AND t.vec_id <> q.vec_id),
+         |  WHERE q.vec_id < $GateQueries AND t.vec_id <> q.vec_id),
          |lsh AS (SELECT q_id, c_id FROM (
          |    SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id
          |      ORDER BY cos DESC, c_id ASC) AS rn FROM lpairs)
@@ -2095,7 +2102,7 @@ object Similarity extends QueryModule {
          |    SELECT q.vec_id AS q_id, c.cell_id,
          |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
          |        ORDER BY list_dot_product(q.v, c.cv)/(q.nrm*c.cn) DESC, c.cell_id ASC) AS rn
-         |    FROM n q, cents c WHERE q.vec_id < 8) WHERE rn <= $IvfProbes),
+         |    FROM n q, cents c WHERE q.vec_id < $GateQueries) WHERE rn <= $IvfProbes),
          |ipairs AS (
          |  SELECT p.q_id, t.vec_id AS c_id,
          |    list_dot_product(qn.v, t.v) / (qn.nrm * t.nrm) AS cos
@@ -2123,7 +2130,7 @@ object Similarity extends QueryModule {
          |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d ASC, k ASC) AS rn
          |    FROM d) WHERE rn = 1),
          |lut AS (SELECT vec_id AS q_id, m, k AS code, d AS qd
-         |  FROM d WHERE vec_id < 8),
+         |  FROM d WHERE vec_id < $GateQueries),
          |approx AS (
          |  SELECT a.c_id, l.q_id,
          |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(l.qd ORDER BY l.m)),
@@ -2192,7 +2199,7 @@ object Similarity extends QueryModule {
          |jpn AS (SELECT vec_id, y, sqrt(list_dot_product(y, y)) AS yn FROM jp),
          |jap AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
          |    list_dot_product(q.y, c.y) / (q.yn * c.yn) AS pcos
-         |  FROM jpn q JOIN jpn c ON q.vec_id < 8 AND c.vec_id <> q.vec_id),
+         |  FROM jpn q JOIN jpn c ON q.vec_id < $GateQueries AND c.vec_id <> q.vec_id),
          |jsl AS (SELECT q_id, c_id FROM (
          |    SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id
          |      ORDER BY pcos DESC, c_id ASC) AS rn FROM jap)
@@ -2214,7 +2221,7 @@ object Similarity extends QueryModule {
          |    SELECT q.vec_id AS q_id, c.cell_id,
          |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
          |        ORDER BY list_dot_product(q.y, c.cy)/(q.yn*c.cn) DESC, c.cell_id ASC) AS rn
-         |    FROM jpn q, jcents c WHERE q.vec_id < 8) WHERE rn <= $IvfJlProbes),
+         |    FROM jpn q, jcents c WHERE q.vec_id < $GateQueries) WHERE rn <= $IvfJlProbes),
          |jipairs AS (
          |  SELECT p.q_id, t.vec_id AS c_id,
          |    list_dot_product(qn.v, t.v) / (qn.nrm * t.nrm) AS cos

@@ -140,6 +140,12 @@ object TextAnalysis extends QueryModule {
   }
 
   /** The memoized quality-scan core for the gate registry. */
+  /** The corpus-wide quality gate threshold — ONE definition for every
+    * Scala default (sourceQuality, filterFunnel, gateAgreement) and
+    * the three oracle restatements: the curation pipeline's most
+    * shared knob must not drift between engines or boards. */
+  val QualityMin = 0.5
+
   private[scale] def gateScored(s: SparkSession, d: String): DataFrame =
     graft.Shared.memo(s, s"text:quality-scan:$d")(scoredDocs(T.documents(s, d)))
 
@@ -172,14 +178,14 @@ object TextAnalysis extends QueryModule {
     * aggregate the same 4-decimal numbers. One scan + one aggregate
     * keyed by source.
     */
-  def sourceQuality(docs0: DataFrame, minQuality: Double = 0.5): DataFrame =
+  def sourceQuality(docs0: DataFrame, minQuality: Double = QualityMin): DataFrame =
     sourceQualityFrom(scoredDocs(docs0), minQuality)
 
   /** [[sourceQuality]] from the pre-scored quality table —
     * shared-core form for the gate registry (unused score columns
     * prune at the projection). */
   private[scale] def sourceQualityFrom(scored: DataFrame,
-                                       minQuality: Double = 0.5): DataFrame =
+                                       minQuality: Double = QualityMin): DataFrame =
     scored
       .select(col("source"), col("quality").as("q"))
       .groupBy(col("source"))
@@ -559,7 +565,7 @@ object TextAnalysis extends QueryModule {
     * fold collapses to ONE hash-aggregate with map-side partials
     * (14 conditional sums), and the 7-row board explodes from its
     * single output row — nothing after the aggregate is corpus-sized. */
-  def filterFunnel(docs0: DataFrame, qualityMin: Double = 0.5): DataFrame = {
+  def filterFunnel(docs0: DataFrame, qualityMin: Double = QualityMin): DataFrame = {
     val docs = widen(docs0)
     val base = docs.select(
       col("doc_id"),
@@ -620,7 +626,7 @@ object TextAnalysis extends QueryModule {
     * rates divide exact integer counts with identical expression trees
     * in both engines; κ divides the UNROUNDED rates (then r6), so the
     * one-ulp hazards of rounding intermediates never arise. */
-  def gateAgreement(docs0: DataFrame, qualityMin: Double = 0.5): DataFrame = {
+  def gateAgreement(docs0: DataFrame, qualityMin: Double = QualityMin): DataFrame = {
     val docs = widen(docs0)
     val q = docs.select(col("doc_id"),
       (round(qualityExpr(col("text")), 4) >= qualityMin).as("q_pass"))
@@ -2107,7 +2113,7 @@ object TextAnalysis extends QueryModule {
       "5_quality", "6_pii", "7_exact_dedup")
     // cumulative conjunctions s1..s6 (s0 ≡ TRUE is the ingested row)
     val conds = Seq("q.toks > 0", "g.gopher_pass", "g.rep_pass",
-      "q.quality >= 0.5", "NOT q.any_pii", "q.doc_id = rp.keep_id")
+      s"q.quality >= $QualityMin", "NOT q.any_pii", "q.doc_id = rp.keep_id")
       .scanLeft(Seq.empty[String])(_ :+ _).tail
       .map(_.mkString("(", " AND ", ")"))
     val flagCols = conds.zipWithIndex
@@ -2169,7 +2175,7 @@ object TextAnalysis extends QueryModule {
        |  len(list_filter(ws, x -> list_contains($stopListSql, x))) AS stop_hits,
        |  len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct
        | FROM w),
-       |qq AS (SELECT doc_id, ($qualitySql >= 0.5) AS q_pass FROM mm),
+       |qq AS (SELECT doc_id, ($qualitySql >= $QualityMin) AS q_pass FROM mm),
        |agg AS (SELECT
        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
        |  CAST(COUNT(CASE WHEN g_pass AND q_pass THEN 1 END) AS BIGINT)
@@ -2248,7 +2254,7 @@ object TextAnalysis extends QueryModule {
          |q AS (SELECT source, $qualitySql AS q FROM m),
          |g AS (SELECT source, COUNT(*) AS n_docs,
          |  ROUND(${exactSumSql("q")} / COUNT(*), 4) AS mean_quality,
-         |  CAST(SUM(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_good
+         |  CAST(SUM(CASE WHEN q >= $QualityMin THEN 1 ELSE 0 END) AS BIGINT) AS n_good
          |FROM q GROUP BY 1)
          |SELECT source, n_docs, mean_quality, n_good,
          |  CAST(n_good AS DOUBLE) / n_docs AS good_share
