@@ -126,6 +126,21 @@ object Bench {
       val pool = Executors.newFixedThreadPool(math.min(benched.size, cpus.toInt))
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       val t0 = System.nanoTime()
+      // De-clique the critical path: submit the shared-core builds
+      // FIRST (heavy-first), so they grab pool threads and start at
+      // t=0 at cluster width — in plain fan-out order the core chain
+      // starts whenever its first consumer gets a thread, which puts
+      // truth/words/pairs builds on the batch's TAIL. Warmups are
+      // timed inside the batch wall (the honest cost of a fresh run)
+      // and skipped under a query filter (a filtered bench must not
+      // build cores its selection never reads).
+      val warmFuts =
+        if (only.isEmpty) SparkEntry.coreWarmups(spark, sfDir).map {
+          case (name, thunk) => Future {
+            try thunk()
+            catch { case e: Throwable => recordFailure(s"core:$name", e) }
+          }
+        } else Nil
       val futs = benched.toSeq.map { case (name, fn) =>
         Future {
           spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
@@ -135,6 +150,7 @@ object Bench {
           name -> (System.nanoTime() - q0) / 1e9
         }
       }
+      Await.result(Future.sequence(warmFuts), Duration.Inf)
       val perQuery = Await.result(Future.sequence(futs), Duration.Inf).toMap
       val wall = (System.nanoTime() - t0) / 1e9
       // stderr diagnostic (never in the metric line): per-batch walls

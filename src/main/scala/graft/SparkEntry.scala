@@ -34,4 +34,19 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     modules.flatMap(_.oracle).toMap
+
+  /** Batch-start warmups for the [[Shared]] gate cores, heavy-first:
+    * a concurrent batch submits these BEFORE the query fan-out so the
+    * expensive shared builds (the simhash pair graph, the brute ANN
+    * truth, the token/quality scans) start at t=0 at cluster width —
+    * instead of whenever their first consumer query happens to get a
+    * pool thread, which puts the whole core chain on the batch's tail.
+    * Forcing a memo cell is idempotent and result-neutral: it is the
+    * exact build the first consumer would otherwise trigger. */
+  def coreWarmups(spark: SparkSession,
+                  sfDir: String): Seq[(String, () => Unit)] =
+    graft.scale.Dedup.coreWarmups(spark, sfDir) ++
+      graft.scale.Similarity.coreWarmups(spark, sfDir) ++
+      graft.scale.TextAnalysis.coreWarmups(spark, sfDir) ++
+      graft.scale.Curation.coreWarmups(spark, sfDir)
 }

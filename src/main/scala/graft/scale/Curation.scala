@@ -1063,6 +1063,13 @@ object Curation extends QueryModule {
     graft.Shared.memo(s, s"cur:packed:$maxTokens:$d")(
       sequencePack(T.documents(s, d), maxTokens, 32))
 
+  /** Batch-start core warmups (the [[graft.scale.Dedup.coreWarmups]]
+    * contract) — both packing geometries the gate boards read. */
+  private[graft] def coreWarmups(s: SparkSession,
+                                 d: String): Seq[(String, () => Unit)] = Seq(
+    "cur:packed2048" -> (() => { gatePacked(s, d, 2048); () }),
+    "cur:packed4096" -> (() => { gatePacked(s, d, 4096); () }))
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_stratified_sample" -> ((s, d) =>
       stratifiedSample(T.documents(s, d), "doc_id", SampleFractions, "lang")

@@ -2241,6 +2241,23 @@ object Dedup extends QueryModule {
 
   // ---- driver-gate query registry ----
 
+  /** Batch-start core warmups ([[graft.SparkEntry.coreWarmups]]):
+    * heavy-first thunks a concurrent batch front-loads so these
+    * builds start at t=0 at cluster width instead of whenever the
+    * first consumer query gets a thread. Forcing a memo cell is
+    * idempotent and result-neutral — it is the exact build the first
+    * consumer would trigger anyway. */
+  private[graft] def coreWarmups(s: SparkSession,
+                                 d: String): Seq[(String, () => Unit)] = Seq(
+    "dedup:pairs" -> (() => { gatePairs(s, d); () }),
+    "dedup:comps" -> (() => { gateComps(s, d); () }),
+    "dedup:sigs" -> (() => { gateSigs(s, d); () }),
+    "dedup:bands" -> (() => { gateBands(s, d); () }),
+    "dedup:shingles" -> (() => { gateShingles(s, d); () }),
+    "dedup:span-df" -> (() => { gateSpanDf(s, d); () }),
+    "dedup:lines" -> (() => { gateLines(s, d); () }),
+    "dedup:kept" -> (() => { gateKept(s, d); () }))
+
   /** Shared gate cores ([[graft.Shared]]): the maxDist=5 simhash pair
     * graph feeds TEN boards (q28/q59/q80/q82–q86/q68/q112/q120), its
     * connected components four of them, and the kept-set two — a

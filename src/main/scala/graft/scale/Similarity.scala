@@ -1518,6 +1518,18 @@ object Similarity extends QueryModule {
   private def gateIvfJl(s: SparkSession, d: String): DataFrame =
     graft.Shared.memo(s, s"sim:ivfjl-8x5:$d")(annIvfJl(T.embeddings(s, d)))
 
+  /** Batch-start core warmups (the [[graft.scale.Dedup.coreWarmups]]
+    * contract) — the brute truth is q88's critical path and goes
+    * first. */
+  private[graft] def coreWarmups(s: SparkSession,
+                                 d: String): Seq[(String, () => Unit)] = Seq(
+    "sim:brute" -> (() => { gateBrute(s, d); () }),
+    "sim:ivf" -> (() => { gateIvf(s, d); () }),
+    "sim:pq" -> (() => { gatePq(s, d); () }),
+    "sim:ivfpq" -> (() => { gateIvfPq(s, d); () }),
+    "sim:jl" -> (() => { gateJl(s, d); () }),
+    "sim:ivfjl" -> (() => { gateIvfJl(s, d); () }))
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_knn_brute" -> ((s, d) => gateBrute(s, d)),
     // the stratified-sample form of the q30 audit: one query per

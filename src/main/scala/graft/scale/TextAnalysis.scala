@@ -2004,6 +2004,15 @@ object TextAnalysis extends QueryModule {
       lmScoredBigrams(gateTokens(s, d), vocabSize = GateLmVocab,
         maxBigrams = GateLmBigrams))
 
+  /** Batch-start core warmups (the [[graft.scale.Dedup.coreWarmups]]
+    * contract). */
+  private[graft] def coreWarmups(s: SparkSession,
+                                 d: String): Seq[(String, () => Unit)] = Seq(
+    "text:tokens" -> (() => { gateTokens(s, d); () }),
+    "text:scored" -> (() => { gateScored(s, d); () }),
+    "text:lm-scored" -> (() => { gateLmScored(s, d); () }),
+    "text:curation" -> (() => { gateCuration(s, d); () }))
+
   private val normSql =
     "trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g'))"
   private val wsSql =
