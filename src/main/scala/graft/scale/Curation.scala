@@ -1637,7 +1637,8 @@ object Curation extends QueryModule {
     "q173_media_neardup" -> {
       val dim = Multimodal.MediaAnnDim
       s"""WITH a AS (SELECT doc_id AS vec_id, hex(encode(text)) AS h
-         |           FROM documents),
+         |           FROM documents
+         |           WHERE doc_id < ${Multimodal.MediaNearDupMaxId}),
          |b AS (SELECT vec_id,
          |    CAST(('0x' || substring(h, CAST(2*i - 1 AS INTEGER), 2))
          |      AS INTEGER) AS byte

@@ -415,24 +415,40 @@ object Multimodal {
     * discipline. */
   val MediaNearDupMinCos: Double = 0.999
 
+  /** q173's audit-slice bound (asset_id < bound), the q29/q88
+    * discipline: the gate board certifies the chain, it is not the
+    * corpus pass. Byte-histogram text embeddings are maximally
+    * concentrated — ~the whole corpus lands in ONE sign-plane bucket
+    * (measured sf0.01: 494 of 500) — so the chain's inherent pair
+    * volume is quadratic in corpus size; the bounded grid keeps every
+    * TASK at ~hotDf² but the total is the contract's. A production
+    * run over embeddings this concentrated partitions the space first
+    * (the q95 SemDeDup cell pass) or re-points the planes; the gate
+    * prices the chain on a fixed slice so its cost does not grow
+    * quadratically with SF. */
+  val MediaNearDupMaxId: Long = 1000L
+
   /** q173: cross-modal dedup end-to-end — the [[extractFeatures]]
     * media embeddings (certified byte-histogram encoder, q170) fed
     * straight through the PRODUCTION near-dup chain
     * ([[Dedup.embeddingNearDupLsh]], q69: sign-plane buckets, bounded
-    * bucket self-join, cosine gate). This is the loop a CLIP-dedup
-    * pipeline runs at 100 TB: encode assets once, bucket, pair within
-    * buckets, keep near-identical payloads.
+    * bucket self-join, cosine gate), over the
+    * [[MediaNearDupMaxId]]-bounded audit slice. This is the loop a
+    * CLIP-dedup pipeline runs at 100 TB: encode assets once, bucket,
+    * pair within buckets, keep near-identical payloads.
     *
     * Scale note: text-byte payloads are the adversarial case for the
     * bucketing — same-language assets agree with most sign planes, so
-    * ONE bucket holds ~the whole corpus (measured sf0.01: 494 of 500).
+    * ONE bucket holds ~the whole slice (measured sf0.01: 494 of 500).
     * That is exactly the hot-bucket shape
     * [[Skew.boundedSelfPairs]] exists for, and this board rides it by
     * construction (the q69 chain routes every bucket self-join through
     * the grid). */
   def mediaNearDup(spark: SparkSession, docs: DataFrame): DataFrame =
     Dedup.embeddingNearDupLsh(
-      extractFeatures(spark, syntheticAssets(docs), dim = MediaAnnDim)
+      extractFeatures(spark,
+        syntheticAssets(docs.filter(col("doc_id") < MediaNearDupMaxId)),
+        dim = MediaAnnDim)
         .select(col("vec_id"), col("embedding")),
       MediaNearDupMinCos)
 
