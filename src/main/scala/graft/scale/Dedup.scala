@@ -1388,12 +1388,13 @@ object Dedup extends QueryModule {
     * expensive kernel/join work is the pair core's, paid once per
     * batch and shared with ten other boards. */
   def incrementalNearDup(docs: DataFrame, pairs: DataFrame,
-                         boundary: Long = IncrementalBoundary): DataFrame = {
+                         boundary: Long = IncrementalBoundary,
+                         frozenComps: Option[DataFrame] = None): DataFrame = {
     // pairs carry doc_a < doc_b, and the boundary splits ids, so a
     // cross pair is ALWAYS (frozen doc_a, new doc_b)
     val cross = pairs.filter(col("doc_a") < boundary && col("doc_b") >= boundary)
     val frozenPairs = pairs.filter(col("doc_b") < boundary)
-    val comps = connectedComponents(frozenPairs)
+    val comps = frozenComps.getOrElse(connectedComponents(frozenPairs))
     val m = cross
       .join(comps.select(col("doc_id").as("doc_a"), col("cluster_id")),
         Seq("doc_a"), "left")
@@ -1411,6 +1412,57 @@ object Dedup extends QueryModule {
         coalesce(col("nm"), lit(0L)).as("n_matches"),
         coalesce(col("nc"), lit(0L)).as("n_clusters"),
         col("cluster"))
+  }
+
+  /** q175: the cluster-registry update — what the batch DID to the
+    * dedup registry, per document: the label the frozen index
+    * published (`old_cluster`, null for new docs), the label a full
+    * recompute assigns (`new_cluster`), and the classification a
+    * maintenance job acts on:
+    *  - `stable`    — frozen doc, label unchanged;
+    *  - `relabeled` — frozen doc whose cluster a bridge doc MERGED
+    *    with a lower-min cluster (labels are component min-ids, and
+    *    new ids sit above the boundary, so a frozen label can only
+    *    ever change to another frozen doc's id — the board proves the
+    *    merge direction by construction);
+    *  - `joined`        — new doc matching the frozen corpus (q174's
+    *    matched set, same pair subset);
+    *  - `new_cluster`   — new doc pairing only with other new docs;
+    *  - `new_singleton` — new doc in no pair at all.
+    * q174 answers "what does this new doc hit"; THIS board answers
+    * the registry owner's follow-up — "which labels must I rewrite
+    * after the merge" — and reconciles the incremental view against
+    * the full recompute in one artifact (every `relabeled` row is
+    * exactly the cost of not having run the full recompute).
+    *
+    * Scale design: both component tables are memoized cores (the full
+    * one is q59's), the cross-match set is a scan-side filter of the
+    * pair core, and the board itself is three left joins from the
+    * id spine — no new heavy work beyond what the registry already
+    * paid. */
+  def registryUpdate(docs: DataFrame, pairs: DataFrame,
+                     fullComps: DataFrame, frozenComps: DataFrame,
+                     boundary: Long = IncrementalBoundary): DataFrame = {
+    val joinedIds = pairs
+      .filter(col("doc_a") < boundary && col("doc_b") >= boundary)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("__joined", lit(true))
+    val frozen = col("doc_id") < boundary
+    val oldLbl = coalesce(col("old0"), col("doc_id"))
+    val newLbl = coalesce(col("new0"), col("doc_id"))
+    docs.select(col("doc_id"))
+      .join(frozenComps.select(col("doc_id"), col("cluster_id").as("old0")),
+        Seq("doc_id"), "left")
+      .join(fullComps.select(col("doc_id"), col("cluster_id").as("new0")),
+        Seq("doc_id"), "left")
+      .join(joinedIds, Seq("doc_id"), "left")
+      .select(col("doc_id"), (!frozen).as("is_new"),
+        when(frozen, oldLbl).as("old_cluster"),
+        newLbl.as("new_cluster"),
+        when(frozen, when(oldLbl === newLbl, "stable").otherwise("relabeled"))
+          .otherwise(when(col("__joined"), "joined")
+            .when(col("new0").isNull, "new_singleton")
+            .otherwise("new_cluster")).as("status"))
   }
 
   /** Globally-repeated n-gram exposure — the memorization-risk signal
@@ -2272,6 +2324,13 @@ object Dedup extends QueryModule {
     graft.Shared.memo(s, s"dedup:simhash-comps5:$d")(
       connectedComponents(gatePairs(s, d)))
 
+  /** Components over the FROZEN half of the pair graph (the labels the
+    * frozen index published) — shared by q174 and q175. */
+  private def gateFrozenComps(s: SparkSession, d: String): DataFrame =
+    graft.Shared.memo(s, s"dedup:frozen-comps5:$IncrementalBoundary:$d")(
+      connectedComponents(
+        gatePairs(s, d).filter(col("doc_b") < IncrementalBoundary)))
+
   private def gateKept(s: SparkSession, d: String): DataFrame =
     graft.Shared.memo(s, s"dedup:kept5:$d")(
       dedupCorpusFrom(T.documents(s, d), gateComps(s, d)))
@@ -2422,7 +2481,13 @@ object Dedup extends QueryModule {
     // incremental NEAR-dup: new batch vs the frozen simhash index,
     // riding the memoized full-corpus pair core
     "q174_incremental_neardup" -> ((s, d) =>
-      incrementalNearDup(T.documents(s, d), gatePairs(s, d))),
+      incrementalNearDup(T.documents(s, d), gatePairs(s, d),
+        frozenComps = Some(gateFrozenComps(s, d)))),
+    // the registry-update classification: frozen labels vs the full
+    // recompute, all from memoized cores
+    "q175_registry_update" -> ((s, d) =>
+      registryUpdate(T.documents(s, d), gatePairs(s, d),
+        gateComps(s, d), gateFrozenComps(s, d))),
     // substring-level dedup: maximal duplicated word-spans per
     // document. All four span boards read the SAME shared window +
     // df cores (one tokenize pass, one df aggregate per batch); the
@@ -3078,6 +3143,43 @@ object Dedup extends QueryModule {
          |  COALESCE(m.n_clusters, 0) AS n_clusters, m.cluster
          |FROM documents d LEFT JOIN m USING (doc_id)
          |WHERE d.doc_id >= $IncrementalBoundary""".stripMargin,
+    // registry update: BOTH closures (frozen-only and full) from the
+    // shared pair CTE, then the per-doc classification
+    "q175_registry_update" ->
+      s"""WITH RECURSIVE $simhashPairCte,
+         |fp AS (SELECT doc_a, doc_b FROM p
+         |       WHERE doc_b < $IncrementalBoundary),
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM fp
+         |      UNION SELECT doc_b, doc_a FROM fp),
+         |reach(a, b) AS (SELECT a, b FROM e
+         |  UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+         |cl AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+         |       FROM reach GROUP BY a),
+         |ef AS (SELECT doc_a AS a, doc_b AS b FROM p
+         |       UNION SELECT doc_b, doc_a FROM p),
+         |reachf(a, b) AS (SELECT a, b FROM ef
+         |  UNION SELECT r.a, x.b FROM reachf r JOIN ef x ON r.b = x.a),
+         |clf AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+         |        FROM reachf GROUP BY a),
+         |cn AS (SELECT DISTINCT doc_b AS doc_id FROM p
+         |       WHERE doc_a < $IncrementalBoundary
+         |         AND doc_b >= $IncrementalBoundary)
+         |SELECT d.doc_id,
+         |  d.doc_id >= $IncrementalBoundary AS is_new,
+         |  CASE WHEN d.doc_id < $IncrementalBoundary
+         |       THEN COALESCE(cl.cluster_id, d.doc_id) END AS old_cluster,
+         |  COALESCE(clf.cluster_id, d.doc_id) AS new_cluster,
+         |  CASE WHEN d.doc_id < $IncrementalBoundary THEN
+         |    CASE WHEN COALESCE(cl.cluster_id, d.doc_id)
+         |              = COALESCE(clf.cluster_id, d.doc_id)
+         |         THEN 'stable' ELSE 'relabeled' END
+         |  ELSE CASE WHEN cn.doc_id IS NOT NULL THEN 'joined'
+         |            WHEN clf.cluster_id IS NULL THEN 'new_singleton'
+         |            ELSE 'new_cluster' END END AS status
+         |FROM documents d
+         |LEFT JOIN cl ON cl.doc_id = d.doc_id
+         |LEFT JOIN clf ON clf.doc_id = d.doc_id
+         |LEFT JOIN cn ON cn.doc_id = d.doc_id""".stripMargin,
     "q76_repeated_ngrams" ->
       s"""WITH $shingleCte,
          |cnt AS (SELECT sh AS g, COUNT(*) AS c FROM sh GROUP BY sh),

@@ -1855,4 +1855,44 @@ class DedupSpec extends SparkSpec {
       "all template copies join the SAME frozen cluster")
     assert((231L to 260L).forall(!board(_)._1), "noise must not match")
   }
+
+  test("registryUpdate classifies a hand-built merge topology: bridge " +
+    "doc merges two frozen clusters (relabeled), plus joined / " +
+    "new_cluster / new_singleton / stable rows — all exact") {
+    val spark2 = spark
+    import spark2.implicits._
+    // explicit pair list (registryUpdate is topology-in, verdict-out):
+    // frozen cluster A {1,2,3}, frozen cluster B {10,11}, frozen
+    // singleton 20; new bridge 100 linking A and B (merges them), new
+    // pair {101,102}, new singleton 103, new doc 104 joining 20
+    val boundary = 100L
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L),
+      (3L, 100L), (10L, 100L), (20L, 104L), (101L, 102L))
+      .toDF("doc_a", "doc_b")
+    val ids = Seq(1L, 2L, 3L, 10L, 11L, 20L, 100L, 101L, 102L, 103L, 104L)
+    val docs = ids.toDF("doc_id")
+    val full = Dedup.connectedComponents(pairs)
+    val frozen = Dedup.connectedComponents(
+      pairs.filter(col("doc_b") < boundary))
+    val got = Dedup.registryUpdate(docs, pairs, full, frozen, boundary)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("is_new"),
+          Option(r.getAs[java.lang.Long]("old_cluster")).map(_.toLong),
+          r.getAs[Long]("new_cluster"),
+          r.getAs[String]("status")))).toMap
+    val expect = Map(
+      1L -> ((false, Some(1L), 1L, "stable")),
+      2L -> ((false, Some(1L), 1L, "stable")),
+      3L -> ((false, Some(1L), 1L, "stable")),
+      // the bridge merged B into A: labels rewrite 10 → 1
+      10L -> ((false, Some(10L), 1L, "relabeled")),
+      11L -> ((false, Some(10L), 1L, "relabeled")),
+      20L -> ((false, Some(20L), 20L, "stable")),
+      100L -> ((true, None, 1L, "joined")),
+      101L -> ((true, None, 101L, "new_cluster")),
+      102L -> ((true, None, 101L, "new_cluster")),
+      103L -> ((true, None, 103L, "new_singleton")),
+      104L -> ((true, None, 20L, "joined")))
+    assert(got === expect)
+  }
 }
