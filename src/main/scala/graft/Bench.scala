@@ -134,8 +134,12 @@ object Bench {
       // timed inside the batch wall (the honest cost of a fresh run)
       // and skipped under a query filter (a filtered bench must not
       // build cores its selection never reads).
+      // SPARK_GRAFT_BENCH_PREWARM=0 drops the warmups (A/B diagnostics:
+      // isolate the front-loading effect from host noise)
+      val prewarmOn =
+        !sys.env.get("SPARK_GRAFT_BENCH_PREWARM").contains("0")
       val warmFuts =
-        if (only.isEmpty) SparkEntry.coreWarmups(spark, sfDir).map {
+        if (only.isEmpty && prewarmOn) SparkEntry.coreWarmups(spark, sfDir).map {
           case (name, thunk) => Future {
             try thunk()
             catch { case e: Throwable => recordFailure(s"core:$name", e) }
