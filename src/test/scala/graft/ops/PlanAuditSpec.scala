@@ -339,6 +339,52 @@ class PlanAuditSpec extends SparkSpec {
       s"expected the materialized input core:\n$pCool")
   }
 
+  test("q173 media near-dup: the audit-slice bound reaches the parquet " +
+    "scan (pruned read, not a post-scan filter) and the chain never " +
+    "goes cartesian") {
+    import org.apache.spark.sql.functions.col
+    // the scan lives in the feature stage (the full chain checkpoints
+    // it away behind a Scan ExistingRDD) — audit the pushdown there
+    val feats = graft.scale.Multimodal.extractFeatures(spark,
+      graft.scale.Multimodal.syntheticAssets(
+        graft.Tables.documents(spark, sf)
+          .filter(col("doc_id") < graft.scale.Multimodal.MediaNearDupMaxId)),
+      dim = graft.scale.Multimodal.MediaAnnDim)
+    val s = formatted(feats)
+    assert(s.contains("LessThan(doc_id,1000)"),
+      s"the MediaNearDupMaxId bound must push to the scan:\n$s")
+    val full = planOf(graft.scale.Multimodal.mediaNearDup(spark,
+      graft.Tables.documents(spark, sf)))
+    assert(!full.contains("CartesianProduct"))
+  }
+
+  test("q174/q175 incremental boards: scan-side filters of checkpointed " +
+    "pair/component cores, hash joins only — no cartesian, no kernel " +
+    "re-run") {
+    val spark2 = spark
+    import spark2.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 450L), (401L, 460L))
+      .toDF("doc_a", "doc_b").localCheckpoint()
+    val docs = (1L to 500L).toDF("doc_id")
+    val comps = graft.scale.Dedup.connectedComponents(pairs).localCheckpoint()
+    val frozen = graft.scale.Dedup.connectedComponents(
+      pairs.filter(org.apache.spark.sql.functions.col("doc_b") < 400L))
+      .localCheckpoint()
+    for (plan <- Seq(
+        planOf(graft.scale.Dedup.incrementalNearDup(docs, pairs, 400L,
+          frozenComps = Some(frozen))),
+        planOf(graft.scale.Dedup.registryUpdate(docs, pairs, comps,
+          frozen, 400L)))) {
+      assert(plan.contains("Scan ExistingRDD"),
+        s"boards must read the materialized cores:\n$plan")
+      assert(!plan.contains("CartesianProduct"))
+      // the word/simhash kernels must never appear: the boards are
+      // pure consumers of the published pair graph
+      assert(!plan.contains("simhash") && !plan.contains("regexp_replace"),
+        s"a board re-ran the kernel chain:\n$plan")
+    }
+  }
+
   test("simhashPairs / minhashPairs production path: every join side " +
     "reads the MATERIALIZED input core (one upstream kernel run)") {
     for (plan <- Seq(
