@@ -350,6 +350,20 @@ object Dedup extends QueryModule {
       struct(lit(t).as("t"), kv.as("kv"))
     }
 
+  /** The Manku multi-table blocking of a table carrying a 60-bit
+    * `simhash` column: one (t, kv) row per complete
+    * (c − maxDist)-chunk combination, all other columns passed
+    * through. Shared by [[simhashCandidates]], [[chunkSweep]] and the
+    * streaming [[graft.streaming.NearDupMaintenance]] (which blocks a
+    * frozen index statically and the arrival stream scan-side — the
+    * SAME geometry on both sides is what makes the stream-static join
+    * complete). */
+  private[graft] def blockedSignatures(sh: DataFrame, maxDist: Int,
+                                       c: Int): DataFrame =
+    sh.withColumn("tb", explode(array(chunkTableStructs(maxDist, c): _*)))
+      .withColumn("t", col("tb.t")).withColumn("kv", col("tb.kv"))
+      .drop("tb")
+
   /** The chunk-blocked DISTINCT candidate pairs (with their hamming
     * distance) of a (doc_id, simhash) table — the shared core of
     * [[simhashPairs]] (which filters to ≤ maxDist) and [[chunkSweep]]
@@ -362,11 +376,7 @@ object Dedup extends QueryModule {
     // vs a c×n-row checkpoint write the operator would otherwise pay
     // up front
     val sh = sh0.coreCheckpoint()
-    val tables = chunkTableStructs(maxDist, c)
-    val blocked = sh.select(col("doc_id"), col("simhash"),
-      explode(array(tables: _*)).as("tb"))
-      .select(col("doc_id"), col("simhash"),
-        col("tb.t").as("t"), col("tb.kv").as("kv"))
+    val blocked = blockedSignatures(sh, maxDist, c)
     Skew.boundedSelfPairs(blocked, Seq("t", "kv"), "doc_id",
         payload = Seq("simhash"), inputMaterialized = true)
       .select(col("doc_a"), col("doc_b"),
@@ -437,10 +447,7 @@ object Dedup extends QueryModule {
       // written out C(c,m)×n rows wide; ONE per-bucket counts table
       // feeds both the occupancy stats and the bounded join's routing
       // (the operator would otherwise aggregate the same table twice)
-      val blocked = sh.select(col("doc_id"), col("simhash"),
-          explode(array(chunkTableStructs(maxDist, c): _*)).as("tb"))
-        .select(col("doc_id"), col("simhash"),
-          col("tb.t").as("t"), col("tb.kv").as("kv"))
+      val blocked = blockedSignatures(sh, maxDist, c)
       val cnts = blocked.groupBy(col("t"), col("kv"))
         .agg(count(lit(1)).as("__df"))
         .coreCheckpoint()
