@@ -82,6 +82,23 @@ class MaterializeSpec extends SparkSpec {
     assert(local.nonEmpty)
   }
 
+  test("a full production chain (simhash near-dup pairs) is " +
+    "byte-identical under reliable materialization") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt4").toString
+    val tmpl = (1 to 40).map(i => s"t${i % 13}").mkString(" ")
+    val docs = ((1 to 80).map(i => (i.toLong, tmpl + s" m${i % 3}")) ++
+      (81 to 120).map(i => (i.toLong, (1 to 30).map(j => s"u${i}_$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    def run() = graft.scale.Dedup.simhashPairs(docs, maxDist = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val local = run()
+    val reliable = withMode("reliable", Some(dir)) { run() }
+    assert(local === reliable)
+    assert(local.nonEmpty)
+  }
+
   test("an unknown mode fails loudly and names the conf key") {
     val spark2 = spark
     import spark2.implicits._
