@@ -84,16 +84,17 @@ object Skew extends QueryModule {
     *     over the materialized input (a hot key collapses to one row
     *     per task before the exchange); callers that already hold
     *     this table pass it via `counts` and the pass is skipped;
-    *  2. TWO plan constants read off that aggregate (one 1-row job):
-    *     max df and the hot-key count. No key over hotDf ⇒ the plain
-    *     self-join IS the bounded plan — return it with no routing
-    *     machinery at all (the common case: a healthy corpus has no
-    *     hot bucket, and it pays only the counts pass as insurance).
-    *     Otherwise the ≤ n/hotDf hot keys broadcast (hash-join attach
-    *     when they exceed [[HotKeyBroadcastLimit]] — still a
-    *     small-table shuffle): plain rows are the broadcast anti-join
-    *     (no df needed — "not hot" suffices), hot rows learn their
-    *     exact df map-side;
+    *  2. ONE plan constant read off that aggregate: the hot keys are
+    *     filtered out of the counts and materialized in the same
+    *     pass, then a 1-row job counts them. Zero hot keys ⇒ the
+    *     plain self-join IS the bounded plan — return it with no
+    *     routing machinery at all (the common case: a healthy corpus
+    *     has no hot bucket, and it pays only the counts pass as
+    *     insurance). Otherwise the ≤ n/hotDf hot keys broadcast
+    *     (hash-join attach when they exceed [[HotKeyBroadcastLimit]]
+    *     — still a small-table shuffle): plain rows are the broadcast
+    *     anti-join (no df needed — "not hot" suffices), hot rows
+    *     learn their exact df map-side;
     *  3. routing by exact df: keys with df ≤ hotDf self-join plainly
     *     (per-key emission ≤ hotDf²/2); hotter keys take a GRID
     *     self-join — rows are hashed into g = ⌈df/hotDf⌉ groups, the
