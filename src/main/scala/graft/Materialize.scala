@@ -36,6 +36,11 @@ object Materialize {
     * the mode is `reliable` and no checkpoint dir is set yet). */
   val DirKey = "spark.graft.materialize.dir"
 
+  /** The DirKey value most recently applied via setCheckpointDir —
+    * lets a changed DirKey take effect mid-session without re-setting
+    * (and re-UUID-ing) the dir on every call. */
+  @volatile private var appliedDir: Option[String] = None
+
   /** Materialize `df` under the session's policy. Eager in both modes
     * (the barrier is the point: consumers must read stored rows, not
     * re-run the lineage). */
@@ -45,13 +50,31 @@ object Materialize {
       case "local" => df.localCheckpoint()
       case "reliable" =>
         val sc = spark.sparkContext
-        if (sc.getCheckpointDir.isEmpty) {
-          val dir = spark.conf.getOption(DirKey).getOrElse(sys.error(
+        spark.conf.getOption(DirKey) match {
+          case Some(dir) =>
+            // re-assert whenever DirKey CHANGES: once a checkpoint dir
+            // exists (set by an earlier call or user code), a changed
+            // DirKey must win, not be silently ignored for the rest of
+            // the session. getCheckpointDir returns a fully-qualified
+            // path with a per-set UUID subdir, so "same dir?" is
+            // tracked by the raw conf value we last applied.
+            if (sc.getCheckpointDir.isEmpty || !appliedDir.contains(dir)) {
+              sc.setCheckpointDir(dir)
+              appliedDir = Some(dir)
+            }
+          case None if sc.getCheckpointDir.isEmpty => sys.error(
             s"$ModeKey=reliable requires $DirKey (a fault-tolerant " +
-              "checkpoint directory) or a SparkContext checkpoint dir"))
-          sc.setCheckpointDir(dir)
+              "checkpoint directory) or a SparkContext checkpoint dir")
+          case None => () // user-set checkpoint dir stands
         }
-        df.checkpoint()
+        // persist first: checkpoint() on bare lineage computes it
+        // TWICE (the eager action + the checkpoint-write job) — the
+        // standard RDD.checkpoint caveat, and these cores are exactly
+        // the expensive lineages the reliable policy targets
+        df.persist()
+        val out = df.checkpoint()
+        df.unpersist(blocking = false)
+        out
       case other => sys.error(s"$ModeKey must be local|reliable: $other")
     }
   }

@@ -1136,7 +1136,7 @@ object Dedup extends QueryModule {
     * a doc_id equi-join and the rollup is a tiny group-by-source with
     * map-side partials. */
   def contaminationBySource(docs: DataFrame,
-                            evalMaxId: Long = 25L): DataFrame =
+                            evalMaxId: Long = EvalMaxId): DataFrame =
     contaminationBySourceFrom(docs,
       shingleTable(docs).coreCheckpoint(), evalMaxId)
 
@@ -1174,7 +1174,7 @@ object Dedup extends QueryModule {
     * partials; zero-hit suites re-enter via the left join from the
     * suite-catalog side, so a clean suite reports 0 instead of
     * vanishing. */
-  def decontaminateBySuite(docs: DataFrame, evalMaxId: Long = 25L): DataFrame =
+  def decontaminateBySuite(docs: DataFrame, evalMaxId: Long = EvalMaxId): DataFrame =
     decontaminateBySuiteFrom(docs, shingleTable(docs).coreCheckpoint(),
       evalMaxId)
 
@@ -1223,7 +1223,7 @@ object Dedup extends QueryModule {
     * rollup; the corpus source attaches by doc_id equi-join and the
     * final aggregate is keyed by (suite, source) — both map-side
     * partial. */
-  def contaminationMatrix(docs: DataFrame, evalMaxId: Long = 25L): DataFrame =
+  def contaminationMatrix(docs: DataFrame, evalMaxId: Long = EvalMaxId): DataFrame =
     contaminationMatrixFrom(docs, shingleTable(docs).coreCheckpoint(),
       evalMaxId)
 
@@ -1261,7 +1261,7 @@ object Dedup extends QueryModule {
     * tokenize chain — the dominant cost — would run twice). At 100 TB
     * the eval shingle set is still only benchmark-sized (millions of
     * rows, megabytes hashed) — the broadcast holds. */
-  def decontaminate(docs: DataFrame, evalMaxId: Long = 25L): DataFrame =
+  def decontaminate(docs: DataFrame, evalMaxId: Long = EvalMaxId): DataFrame =
     decontaminateFrom(shingleTable(docs).coreCheckpoint(), evalMaxId)
 
   /** [[decontaminate]] from the checkpointed shingle core. */
@@ -1296,7 +1296,7 @@ object Dedup extends QueryModule {
     * removes them; per-doc shingle totals come from the unfiltered
     * corpus side — so the result is IDENTICAL to [[decontaminate]],
     * which is exactly what the oracle asserts (same SQL as q71). */
-  def decontaminateBloom(docs: DataFrame, evalMaxId: Long = 25L,
+  def decontaminateBloom(docs: DataFrame, evalMaxId: Long = EvalMaxId,
                          fpp: Double = 0.01): DataFrame =
     decontaminateBloomFrom(shingleTable(docs).coreCheckpoint(),
       evalMaxId, fpp)
@@ -3202,7 +3202,7 @@ object Dedup extends QueryModule {
     "q101_contamination_by_source" ->
       s"""WITH $shingleCte,
          |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id < $EvalMaxId),
-         |corpus AS (SELECT doc_id, sh FROM sh WHERE doc_id >= 25),
+         |corpus AS (SELECT doc_id, sh FROM sh WHERE doc_id >= $EvalMaxId),
          |st AS (SELECT c.doc_id, COUNT(*) AS n_shingles,
          |         COUNT(e.sh) AS n_overlap
          |       FROM corpus c LEFT JOIN ev e ON e.sh = c.sh
@@ -3253,7 +3253,7 @@ object Dedup extends QueryModule {
          |           WHERE doc_id < $EvalMaxId),
          |ev AS (SELECT DISTINCT u.suite, s.sh
          |       FROM sh s JOIN suites u USING (doc_id)),
-         |corpus AS (SELECT doc_id, sh FROM sh WHERE doc_id >= 25),
+         |corpus AS (SELECT doc_id, sh FROM sh WHERE doc_id >= $EvalMaxId),
          |hits AS (SELECT suite, doc_id, COUNT(*) AS n_overlap
          |         FROM corpus c JOIN ev e ON e.sh = c.sh
          |         GROUP BY suite, doc_id)
@@ -3273,7 +3273,7 @@ object Dedup extends QueryModule {
          |        GROUP BY u.suite),
          |est AS (SELECT suite, COUNT(*) AS n_eval_shingles FROM ev
          |        GROUP BY suite),
-         |corpus AS (SELECT doc_id, sh FROM sh WHERE doc_id >= 25),
+         |corpus AS (SELECT doc_id, sh FROM sh WHERE doc_id >= $EvalMaxId),
          |uni AS (SELECT COUNT(DISTINCT doc_id) AS n_corpus_docs FROM corpus),
          |hits AS (SELECT suite, doc_id, COUNT(*) AS n_overlap
          |         FROM corpus c JOIN ev e ON e.sh = c.sh
@@ -3292,7 +3292,7 @@ object Dedup extends QueryModule {
     "q71_decontaminate" ->
       s"""WITH $shingleCte,
          |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id < $EvalMaxId),
-         |corpus AS (SELECT doc_id, sh FROM sh WHERE doc_id >= 25),
+         |corpus AS (SELECT doc_id, sh FROM sh WHERE doc_id >= $EvalMaxId),
          |st AS (SELECT c.doc_id, COUNT(*) AS n_shingles,
          |         COUNT(e.sh) AS n_overlap
          |       FROM corpus c LEFT JOIN ev e ON e.sh = c.sh
@@ -3307,7 +3307,7 @@ object Dedup extends QueryModule {
     "q93_decontaminate_bloom" ->
       s"""WITH $shingleCte,
          |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id < $EvalMaxId),
-         |corpus AS (SELECT doc_id, sh FROM sh WHERE doc_id >= 25),
+         |corpus AS (SELECT doc_id, sh FROM sh WHERE doc_id >= $EvalMaxId),
          |st AS (SELECT c.doc_id, COUNT(*) AS n_shingles,
          |         COUNT(e.sh) AS n_overlap
          |       FROM corpus c LEFT JOIN ev e ON e.sh = c.sh

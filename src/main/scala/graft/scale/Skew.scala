@@ -85,8 +85,8 @@ object Skew extends QueryModule {
     *     per task before the exchange); callers that already hold
     *     this table pass it via `counts` and the pass is skipped;
     *  2. ONE plan constant read off that aggregate: the hot keys are
-    *     filtered out of the counts and materialized in the same
-    *     pass, then a 1-row job counts them. Zero hot keys ⇒ the
+    *     filtered out of the counts, and the SAME action that
+    *     materializes them returns their count. Zero hot keys ⇒ the
     *     plain self-join IS the bounded plan — return it with no
     *     routing machinery at all (the common case: a healthy corpus
     *     has no hot bucket, and it pays only the counts pass as
@@ -182,15 +182,26 @@ object Skew extends QueryModule {
     }
     if (!materialize) routed(cnts.filter(col("__df") > hotDf), bcast = true)
     else {
-      // ONE pass computes the counts, keeps only the ≤ n/hotDf hot
-      // keys, and materializes them (skipped when the caller's counts
-      // table is already a cheap re-scan); the routing decision is
-      // then a 1-row job over that tiny table. An AQE-style read: the
-      // result set is identical on every route, only the plan adapts.
+      // ONE action computes the counts, keeps only the ≤ n/hotDf hot
+      // keys, materializes them AND reads their count: the tiny table
+      // rides an RDD-level persist (ContextCleaner-managed, the same
+      // GC lifecycle as localCheckpoint — a Dataset-level cache would
+      // pin the plan in the CacheManager for the whole session) and
+      // `count()` is the action that populates it. The round-15 flow
+      // paid a checkpoint job AND a count job here — per consumer,
+      // that extra job was the q28 sequential floor. An AQE-style
+      // read either way: the result set is identical on every route,
+      // only the plan adapts. Callers passing `counts` promise a
+      // cheap re-scan, so their count() is one small job unpersisted.
       val hotKeys0 = cnts.filter(col("__df") > hotDf)
-      val hotKeys =
-        if (counts.isDefined) hotKeys0 else hotKeys0.coreCheckpoint()
-      val nHot = hotKeys.count()
+      val (hotKeys, nHot) =
+        if (counts.isDefined) (hotKeys0, hotKeys0.count())
+        else {
+          val rdd = hotKeys0.rdd
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          (rows0.sparkSession.createDataFrame(rdd, hotKeys0.schema),
+            rdd.count())
+        }
       if (nHot == 0L) plainPairs(rows) // no hot key: the plain join
       else routed(hotKeys, bcast = nHot <= HotKeyBroadcastLimit)
     }
