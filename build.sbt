@@ -33,3 +33,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // checkpointed core + transient comfortably
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
+// Materialization-policy switch for the forked mains (Verify/Bench):
+// SPARK_GRAFT_MATERIALIZE=reliable + SPARK_GRAFT_MATERIALIZE_DIR=<dir>
+// route every shared-core barrier through reliable checkpoints —
+// the cluster-durability mode (see graft.Materialize).
+javaOptions ++= sys.env.get("SPARK_GRAFT_MATERIALIZE")
+  .map(m => s"-Dspark.graft.materialize=$m").toSeq
+javaOptions ++= sys.env.get("SPARK_GRAFT_MATERIALIZE_DIR")
+  .map(d => s"-Dspark.graft.materialize.dir=$d").toSeq

@@ -1063,12 +1063,25 @@ object Curation extends QueryModule {
     graft.Shared.memo(s, s"cur:packed:$maxTokens:$d")(
       sequencePack(T.documents(s, d), maxTokens, 32))
 
+  /** The celled media chain's keyed projection (vec_id, cell_id,
+    * dbucket, bucket, v, nrm) — one feature-kernel pass + three
+    * scan-side key projections, memoized so q176's pair join and
+    * q177's occupancy rollups read ONE table (the feature encode is
+    * the dominant cost; a batch must not pay it per consumer). */
+  private def gateMediaKeyed(s: SparkSession, d: String): DataFrame =
+    graft.Shared.memo(s, s"mm:keyed:$d") {
+      val docs = T.documents(s, d)
+      Dedup.celledKeyedVectors(Multimodal.mediaEmbeddings(s, docs),
+        Multimodal.mediaSeeds(s, docs))
+    }
+
   /** Batch-start core warmups (the [[graft.scale.Dedup.coreWarmups]]
     * contract) — both packing geometries the gate boards read. */
   private[graft] def coreWarmups(s: SparkSession,
                                  d: String): Seq[(String, () => Unit)] = Seq(
     "cur:packed2048" -> (() => { gatePacked(s, d, 2048); () }),
-    "cur:packed4096" -> (() => { gatePacked(s, d, 4096); () }))
+    "cur:packed4096" -> (() => { gatePacked(s, d, 4096); () }),
+    "mm:keyed" -> (() => { gateMediaKeyed(s, d); () }))
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_stratified_sample" -> ((s, d) =>
@@ -1101,6 +1114,14 @@ object Curation extends QueryModule {
     // encoder at the ANN dim) through the q69 LSH near-dup chain
     "q173_media_neardup" -> ((s, d) =>
       Multimodal.mediaNearDup(s, T.documents(s, d))),
+    // the FULL-corpus cross-modal near-dup: data-dependent cell +
+    // diff-plane blocking (q176) and its volume pricing board (q177)
+    // share ONE memoized keyed projection
+    "q176_media_neardup_celled" -> ((s, d) =>
+      Dedup.embeddingNearDupCelledFrom(gateMediaKeyed(s, d),
+        Multimodal.MediaNearDupMinCos, inputMaterialized = true)),
+    "q177_media_blocking" -> ((s, d) =>
+      Multimodal.mediaBlockingBoard(gateMediaKeyed(s, d))),
     // semantic-diversity cap: best-quality k docs per embedding cell —
     // rides the memoized quality core in a batch run
     "q132_cell_balanced" -> ((s, d) =>
@@ -1251,6 +1272,67 @@ object Curation extends QueryModule {
     "CASE " + splits.init.zip(cum.init)
       .map { case ((n, _), ub) => s"WHEN $uVar < $ub THEN '$n'" }
       .mkString(" ") + s" ELSE '${splits.last._1}' END"
+  }
+
+  /** The q176/q177 shared oracle fragment: the q173 feature chain
+    * UNBOUNDED (whole documents table → byte-histogram embeddings at
+    * the ANN dim), then the celled chain's three blocking keys —
+    * fixed sign-plane bucket ([[Similarity.bucketSql]] verbatim),
+    * argmax-cosine cell over the first-[[Similarity.IvfCells]] seed
+    * rows (the q95 CTE shape), and the diff-plane bucket whose planes
+    * are component-wise differences of seed pairs (2p, 2p+1) — exact
+    * double subtractions of float32-cast values, dotted with
+    * `list_dot_product` (the same sequential fold as the Scala
+    * kernel). Ends with the `keyed` CTE both consumers read. */
+  private lazy val mediaKeyedCteSql: String = {
+    val dim = Multimodal.MediaAnnDim
+    val nP = Similarity.NumPlanes
+    s"""a AS (SELECT doc_id AS vec_id, hex(encode(text)) AS h
+       |           FROM documents),
+       |b AS (SELECT vec_id,
+       |    CAST(('0x' || substring(h, CAST(2*i - 1 AS INTEGER), 2))
+       |      AS INTEGER) AS byte
+       |  FROM a, unnest(range(1, 1 + length(h) // 2)) t(i)),
+       |c AS (SELECT vec_id, byte * $dim // 256 AS bin, COUNT(*) AS cnt
+       |      FROM b GROUP BY 1, 2),
+       |n AS (SELECT vec_id,
+       |        CAST(SUM(CAST(cnt AS HUGEINT) * cnt) AS DOUBLE) AS ss
+       |      FROM c GROUP BY 1),
+       |g AS (SELECT vec_id, unnest(range(0, $dim)) AS pos FROM a),
+       |f AS (SELECT g.vec_id, g.pos,
+       |    CAST(CASE WHEN COALESCE(n.ss, 0) > 0
+       |      THEN CAST(COALESCE(c.cnt, 0) AS DOUBLE) / sqrt(n.ss)
+       |      ELSE 0.0 END AS FLOAT) AS value
+       |  FROM g LEFT JOIN n USING (vec_id)
+       |  LEFT JOIN c ON c.vec_id = g.vec_id AND c.bin = g.pos),
+       |e AS (SELECT vec_id,
+       |        list(CAST(value AS DOUBLE) ORDER BY pos) AS embedding
+       |      FROM f GROUP BY 1),
+       |bk AS (SELECT vec_id,
+       |    CAST(${Similarity.bucketSql} AS BIGINT) AS bucket,
+       |    embedding AS v,
+       |    sqrt(list_dot_product(embedding, embedding)) AS nrm FROM e),
+       |cents AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM bk
+       |          WHERE vec_id < ${Similarity.IvfCells}),
+       |asg AS (SELECT vec_id, cell_id FROM (
+       |    SELECT x.vec_id, c.cell_id,
+       |      ROW_NUMBER() OVER (PARTITION BY x.vec_id
+       |        ORDER BY list_dot_product(x.v, c.cv)/(x.nrm*c.cn) DESC,
+       |          c.cell_id ASC) AS rn
+       |    FROM bk x, cents c) WHERE rn <= 1),
+       |pld AS (SELECT pp.p, u.i, ca.cv[i] - cb.cv[i] AS dv
+       |  FROM (SELECT unnest(range(0, $nP)) AS p) pp
+       |  JOIN cents ca ON ca.cell_id = 2*pp.p
+       |  JOIN cents cb ON cb.cell_id = 2*pp.p + 1,
+       |  unnest(range(1, $dim + 1)) u(i)),
+       |plv AS (SELECT p, list(dv ORDER BY i) AS pv FROM pld GROUP BY p),
+       |db AS (SELECT x.vec_id,
+       |    CAST(SUM(CASE WHEN list_dot_product(x.v, pl.pv) > 0
+       |             THEN 1 << p ELSE 0 END) AS BIGINT) AS dbucket
+       |  FROM bk x, plv pl GROUP BY 1),
+       |keyed AS (SELECT bk.vec_id, asg.cell_id, db.dbucket, bk.bucket,
+       |    bk.v, bk.nrm
+       |  FROM bk JOIN asg USING (vec_id) JOIN db USING (vec_id)),""".stripMargin
   }
 
   override val oracle: Map[String, String] = Map(
@@ -1669,6 +1751,52 @@ object Curation extends QueryModule {
          |SELECT vec_a, vec_b, ROUND(cos, 4) AS cos
          |FROM pr WHERE cos >= ${Multimodal.MediaNearDupMinCos}""".stripMargin
     },
+    // full-corpus celled chain: the q173 feature CTE unbounded, then
+    // the three blocking keys restated — fixed bucket (bucketSql),
+    // argmax-cosine cell over the first-IvfCells seeds (q95's CTE),
+    // and the diff-plane bucket with planes DERIVED from the same
+    // seeds (exact double subtractions of float32-cast components;
+    // list_dot_product = the kernel's sequential fold)
+    "q176_media_neardup_celled" ->
+      s"""WITH $mediaKeyedCteSql
+         |k2 AS (SELECT vec_id, cell_id, bucket, dbucket & 15 AS db0,
+         |    dbucket >> 4 AS db1, v, nrm FROM keyed),
+         |pr AS (
+         |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         |    list_dot_product(x.v, y.v) / (x.nrm * y.nrm) AS cos
+         |  FROM k2 x JOIN k2 y
+         |    ON x.cell_id = y.cell_id AND x.bucket = y.bucket
+         |    AND x.db0 = y.db0 AND x.vec_id < y.vec_id
+         |  UNION ALL
+         |  SELECT x.vec_id, y.vec_id,
+         |    list_dot_product(x.v, y.v) / (x.nrm * y.nrm)
+         |  FROM k2 x JOIN k2 y
+         |    ON x.cell_id = y.cell_id AND x.bucket = y.bucket
+         |    AND x.db1 = y.db1 AND x.db0 <> y.db0 AND x.vec_id < y.vec_id)
+         |SELECT vec_a, vec_b, ROUND(cos, 4) AS cos
+         |FROM pr WHERE cos >= ${Multimodal.MediaNearDupMinCos}""".stripMargin,
+    // the blocking-volume pricing board: exact integer counts off the
+    // same keyed CTE — sub-quadraticity is the two band rows' summed
+    // cand_pairs sitting orders of magnitude under quad_pairs
+    "q177_media_blocking" ->
+      s"""WITH $mediaKeyedCteSql
+         |one AS (SELECT bucket, COUNT(*) AS d FROM keyed GROUP BY 1),
+         |c0 AS (SELECT cell_id, bucket, dbucket & 15 AS k, COUNT(*) AS d
+         |       FROM keyed GROUP BY 1, 2, 3),
+         |c1 AS (SELECT cell_id, bucket, dbucket >> 4 AS k, COUNT(*) AS d
+         |       FROM keyed GROUP BY 1, 2, 3),
+         |tot AS (SELECT COUNT(*) AS n FROM keyed)
+         |SELECT 'lsh_bucket' AS scheme, COUNT(*) AS n_groups,
+         |  MAX(d) AS max_group, CAST(SUM(d*(d-1)//2) AS BIGINT) AS cand_pairs,
+         |  (SELECT n*(n-1)//2 FROM tot) AS quad_pairs FROM one
+         |UNION ALL
+         |SELECT 'celled_band0', COUNT(*), MAX(d),
+         |  CAST(SUM(d*(d-1)//2) AS BIGINT), (SELECT n*(n-1)//2 FROM tot)
+         |FROM c0
+         |UNION ALL
+         |SELECT 'celled_band1', COUNT(*), MAX(d),
+         |  CAST(SUM(d*(d-1)//2) AS BIGINT), (SELECT n*(n-1)//2 FROM tot)
+         |FROM c1""".stripMargin,
     // Σc² exact in HUGEINT (= the Spark decimal accumulator), one cast
     // to double, identical division trees
     "q109_source_diversity" ->

@@ -1027,6 +1027,110 @@ object Dedup extends QueryModule {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
   }
 
+  /** CELL-COMPOSED near-dup gate for CONCENTRATED embedding corpora —
+    * the production answer where [[embeddingNearDupLsh]]'s fixed
+    * sign-plane bucketing degenerates: when every vector sits in one
+    * narrow cone (byte-histogram text embeddings: measured 494/500 of
+    * the q173 slice in ONE bucket), the fixed-plane chain owes
+    * corpus²/2 cosines — the bounded grid caps every TASK but the
+    * total volume is the blocking's. This operator partitions the
+    * space DATA-DEPENDENTLY first and buckets within partitions, the
+    * SemDeDup/q95 composition the q173 scaladoc previously described
+    * in prose:
+    *  - `cell_id`: argmax-cosine over the first-[[Similarity.IvfCells]]
+    *    seed centroids (q95's machinery — scan-side plan-constant
+    *    kernel, zero joins);
+    *  - `dbucket`: [[Similarity.diffPlaneBucket]] — sign planes
+    *    pointed along seed DIFFERENCES, which keep splitting near the
+    *    median inside an arbitrarily narrow cone;
+    *  - `bucket`: the fixed sign-plane word, KEPT in the key — on
+    *    spread corpora it still does the splitting, and it makes this
+    *    chain's candidates a strict SUBSET of [[embeddingNearDupLsh]]'s
+    *    (same fixed bucket ∧ more keys), the property the q173
+    *    reconciliation spec pins.
+    * The 8 diff planes are consumed as TWO BANDS of 4 (the MinHash-LSH
+    * OR-construction, q26's discipline): a candidate pair must share
+    * (cell, fixed bucket, EITHER band's 4-bit sign word). Banding is
+    * what makes the recall usable on the near-identical stratum —
+    * requiring all 8 data-dependent signs to agree kept only 26% of
+    * the q173 referee's pairs (each plane splits near the MEDIAN of
+    * the cone, so even a cos-0.999 pair straddles one with ~11%
+    * probability); either-of-two-bands keeps 54-59% at ~6× the
+    * candidate volume, still 19.8× under quadratic at sf0.1
+    * (measured: 12.50M → 0.63M candidates, the q177 board prices it
+    * in-gate). Exactly-once across bands: band 1 emits only pairs
+    * whose band-0 words DIFFER.
+    *
+    * The exact cosine filter is unchanged, so reported pairs are true
+    * near-dups by construction and blocking only costs recall. The
+    * residual loss decomposes (measured, sf0.001): cross-CELL pairs
+    * 34% (the SemDeDup contract's documented trade — the q95 referee
+    * story) and cross-band pairs ~11% of the rest; the spec pins the
+    * measured recall against the exhaustive q173 board on its audit
+    * slice. At 100 TB the dials are nCells, nPlanes and the band
+    * count (occupancy per group ~n/(cells·2^planes_per_band)); all
+    * are scan-side plan constants, so raising them never changes the
+    * plan shape.
+    *
+    * `seeds0`: callers whose embedding table is an expensive kernel
+    * (the media chain: features are a mapPartitions pass over payload
+    * bytes — a filter cannot push through it) pass seeds computed from
+    * a SOURCE-bounded scan so the seed read never pays a full feature
+    * pass. */
+  def embeddingNearDupCelled(emb: DataFrame, minCos: Double,
+      seeds0: Option[Seq[(Long, Seq[Double])]] = None): DataFrame = {
+    val seeds = seeds0.getOrElse(
+      Similarity.seedCentroidList(emb, Similarity.IvfCells))
+    // checkpoint ONCE here: both band joins (and their counts passes)
+    // read the keyed table
+    embeddingNearDupCelledFrom(
+      celledKeyedVectors(emb, seeds).coreCheckpoint(),
+      minCos, inputMaterialized = true)
+  }
+
+  /** The celled chain's keyed projection — ONE scan yields id, the
+    * three blocking keys and the vector/norm payload (the gate
+    * registry memoizes exactly this table so q176 and q177 share it). */
+  private[graft] def celledKeyedVectors(emb: DataFrame,
+      seeds: Seq[(Long, Seq[Double])]): DataFrame =
+    Similarity.bucketedVectors(emb).select(col("vec_id"),
+      graft.functions.VectorExpressions.argMaxCosine(col("v"), seeds)
+        .as("cell_id"),
+      Similarity.diffPlaneBucket(col("v"), seeds).as("dbucket"),
+      col("bucket"), col("v"), col("nrm"))
+
+  /** The celled chain's two 4-plane band words, derived from the
+    * 8-bit diff-plane bucket — scan-side bit arithmetic shared by the
+    * pair chain and the q177 pricing board. */
+  private[graft] def celledBands(keyed: DataFrame): DataFrame =
+    keyed.withColumn("db0", col("dbucket").bitwiseAND(lit(15L)))
+      .withColumn("db1", shiftrightunsigned(col("dbucket"), 4))
+
+  /** [[embeddingNearDupCelled]] from the keyed projection.
+    * `inputMaterialized`: the caller's table is already a checkpoint
+    * (the memoized gate core; the band words are trivial projections
+    * of it) — skips the band joins' own barriers. */
+  private[graft] def embeddingNearDupCelledFrom(keyed: DataFrame,
+      minCos: Double, inputMaterialized: Boolean = false): DataFrame = {
+    val banded = celledBands(keyed)
+    def arm(pairs: DataFrame): DataFrame = pairs
+      .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"),
+        (dotProduct(col("v_a"), col("v_b")) /
+          (col("nrm_a") * col("nrm_b"))).as("cos"))
+      .filter(col("cos") >= minCos)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
+    val b0 = arm(Skew.boundedSelfPairs(banded,
+      Seq("cell_id", "bucket", "db0"), "vec_id",
+      payload = Seq("v", "nrm"), inputMaterialized = inputMaterialized))
+    // exactly-once: a pair agreeing on BOTH bands was emitted by b0
+    val b1 = arm(Skew.boundedSelfPairs(banded,
+        Seq("cell_id", "bucket", "db1"), "vec_id",
+        payload = Seq("v", "nrm", "db0"),
+        inputMaterialized = inputMaterialized)
+      .filter(col("db0_a") =!= col("db0_b")))
+    b0.unionByName(b1)
+  }
+
   /** Recall certification of the [[embeddingNearDupLsh]] gate against
     * the exact [[embeddingNearDup]] referee on the same bounded
     * sample — the audit those two docstrings promise, landed as a gate

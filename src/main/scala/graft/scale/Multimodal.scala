@@ -419,13 +419,14 @@ object Multimodal {
     * discipline: the gate board certifies the chain, it is not the
     * corpus pass. Byte-histogram text embeddings are maximally
     * concentrated — ~the whole corpus lands in ONE sign-plane bucket
-    * (measured sf0.01: 494 of 500) — so the chain's inherent pair
-    * volume is quadratic in corpus size; the bounded grid keeps every
-    * TASK at ~hotDf² but the total is the contract's. A production
-    * run over embeddings this concentrated partitions the space first
-    * (the q95 SemDeDup cell pass) or re-points the planes; the gate
-    * prices the chain on a fixed slice so its cost does not grow
-    * quadratically with SF. */
+    * (measured sf0.01: 494 of 500) — so the FIXED-plane chain's
+    * inherent pair volume is quadratic in corpus size; the bounded
+    * grid keeps every TASK at ~hotDf² but the total is the
+    * contract's. The production corpus pass is [[mediaNearDupCelled]]
+    * (q176): data-dependent cell + diff-plane blocking makes the
+    * candidate volume sub-quadratic WITHOUT this bound — q173 stays
+    * on the board as the exhaustive-within-bucket referee the celled
+    * chain reconciles against on this slice. */
   val MediaNearDupMaxId: Long = 1000L
 
   /** q173: cross-modal dedup end-to-end — the [[extractFeatures]]
@@ -451,6 +452,70 @@ object Multimodal {
         dim = MediaAnnDim)
         .select(col("vec_id"), col("embedding")),
       MediaNearDupMinCos)
+
+  /** The media embedding table at the ANN dim — the (vec_id, embedding)
+    * contract every Similarity/Dedup consumer reads. */
+  private[graft] def mediaEmbeddings(spark: SparkSession,
+                                     docs: DataFrame): DataFrame =
+    extractFeatures(spark, syntheticAssets(docs), dim = MediaAnnDim)
+      .select(col("vec_id"), col("embedding"))
+
+  /** The celled chain's seed-centroid list, computed from a
+    * SOURCE-bounded scan: the feature kernel is an opaque
+    * mapPartitions pass, so a `vec_id < k` filter on its OUTPUT would
+    * still encode every payload — bound the documents read instead
+    * (the predicate reaches the parquet scan) and encode only the k
+    * seed assets. */
+  private[graft] def mediaSeeds(spark: SparkSession,
+      docs: DataFrame): Seq[(Long, Seq[Double])] =
+    Similarity.seedCentroidList(
+      mediaEmbeddings(spark,
+        docs.filter(col("doc_id") < Similarity.IvfCells)),
+      Similarity.IvfCells)
+
+  /** q176: the FULL-CORPUS cross-modal near-dup — [[mediaNearDup]]'s
+    * chain with [[Dedup.embeddingNearDupCelled]]'s data-dependent
+    * blocking in place of the fixed planes alone, which is what lets
+    * the audit-slice bound go: candidate volume on the concentrated
+    * media corpus drops 12.50M → 0.63M at sf0.1 (priced in-gate by
+    * q177), while every reported pair still passes the exact cosine
+    * gate. The q173 board is the exhaustive referee on its slice:
+    * this chain's candidates there are a strict subset (the fixed
+    * bucket stays in every band key), and [[MultimodalSpec]] pins the
+    * exact reconciliation — measured recall 0.585/0.543 of the
+    * referee's pairs at sf0.001/sf0.1, the certified price of
+    * sub-quadratic blocking (loss decomposition in the operator's
+    * scaladoc). */
+  def mediaNearDupCelled(spark: SparkSession, docs: DataFrame): DataFrame =
+    Dedup.embeddingNearDupCelled(mediaEmbeddings(spark, docs),
+      MediaNearDupMinCos, Some(mediaSeeds(spark, docs)))
+
+  /** q177: the blocking-volume board that PRICES q176's composition
+    * (the q172 discipline — certify the knob inside the gate): per
+    * blocking scheme, group count, max group size and the candidate
+    * pair volume Σ d(d−1)/2 a group-equality self-join owes —
+    * `lsh_bucket` is q173's fixed-plane key (concentration pins it
+    * near the n(n−1)/2 worst case: measured 98.4% of quad_pairs at
+    * sf0.1), `celled_band0`/`celled_band1` are q176's two band keys
+    * (cell, bucket, 4-bit diff-plane word); the chain's total
+    * candidate volume is ≤ their sum (band 1 subtracts the
+    * both-bands-agree overlap). Sub-quadratic blocking = the band
+    * rows' sum sitting orders of magnitude under quad_pairs
+    * (measured sf0.1: 0.63M vs 12.50M). All exact integers — counts
+    * and integer division only. */
+  def mediaBlockingBoard(keyed: DataFrame): DataFrame = {
+    val banded = Dedup.celledBands(keyed)
+    def arm(scheme: String, keys: Seq[String]): DataFrame =
+      banded.groupBy(keys.map(col): _*).agg(count(lit(1)).as("d"))
+        .agg(count(lit(1)).as("n_groups"), max(col("d")).as("max_group"),
+          sum(expr("d * (d - 1) DIV 2")).as("cand_pairs"),
+          sum(col("d")).as("n"))
+        .select(lit(scheme).as("scheme"), col("n_groups"), col("max_group"),
+          col("cand_pairs"), expr("n * (n - 1) DIV 2").as("quad_pairs"))
+    arm("lsh_bucket", Seq("bucket"))
+      .unionByName(arm("celled_band0", Seq("cell_id", "bucket", "db0")))
+      .unionByName(arm("celled_band1", Seq("cell_id", "bucket", "db1")))
+  }
 
   /** q170: the certified media-feature board — [[extractFeatures]]'s
     * embedding exploded to scalar (vec_id, kind, pos, value) rows so

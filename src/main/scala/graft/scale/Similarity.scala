@@ -81,6 +81,39 @@ object Similarity extends QueryModule {
       .withColumn("nrm", l2Norm(col("v")))
   }
 
+  /** DATA-DEPENDENT sign planes for concentrated corpora: plane `p`
+    * points along the DIFFERENCE of seed vectors 2p and 2p+1 (the same
+    * first-k seed list the IVF/SemDeDup cells run on), and the bucket
+    * is the usual sign word. Why this repairs the one-bucket collapse:
+    * byte-histogram-style embeddings all sit in one narrow cone, so
+    * every FIXED pseudo-random plane sees the whole corpus on one side
+    * ([[planes]] measured 494/500 of the media slice in ONE bucket) —
+    * but for L2-normalized vectors sign(v·(c_a − c_b)) is EXACTLY
+    * "closer to c_a than to c_b", a comparison between two in-cone
+    * anchors, so each plane splits the cone itself near its median
+    * regardless of how narrow it is. Deterministic and
+    * oracle-restatable: the seeds are rows of the table (the
+    * [[seedCents]] contract), the differences are exact double
+    * subtractions of float32-cast values, and the dot is the same
+    * sequential fold as `list_dot_product`.
+    *
+    * Scale: the seed list is bounded driver data (2·nPlanes × [[Dim]]
+    * doubles at ANY corpus size) and the bucket is a scan-side
+    * projection — zero joins, zero shuffles, exactly like the fixed
+    * [[bucketedVectors]] word. nPlanes is the occupancy dial: each
+    * extra plane halves the expected group size on concentrated data. */
+  private[graft] def diffPlaneBucket(v: Column,
+      seeds: Seq[(Long, Seq[Double])], nPlanes: Int = NumPlanes): Column = {
+    val m = seeds.toMap
+    require((0 until 2 * nPlanes).forall(i => m.contains(i.toLong)),
+      s"diffPlaneBucket needs contiguous seed vectors 0..${2 * nPlanes - 1}")
+    (0 until nPlanes).map { p =>
+      val diff = m(2L * p).zip(m(2L * p + 1)).map { case (a, b) => a - b }
+      when(dotProduct(v, array(diff.map(lit): _*)) > 0d, lit(1L << p))
+        .otherwise(0L)
+    }.reduce(_ + _)
+  }
+
   /** Exact brute-force cosine top-k: queries (vec_id < nQueries) against
     * the whole corpus. The query side is broadcast; corpus scanned once.
     *

@@ -49,9 +49,12 @@ case class NearDupState(matches: Seq[(Long, Long)])
   *    combinations fully equal, so the equality join cannot miss a
   *    true match (the reconciliation spec pins stream == q174);
   *  - state is per MATCHED arrival only (its distinct match set,
-  *    bounded by the doc's own match count); re-delivered rows fold
-  *    into the same set, so duplicate delivery re-emits the SAME
-  *    verdict instead of double-counting. Eviction is the index
+  *    bounded by the doc's own match count); unmatched arrivals emit
+  *    their spine row statelessly — the verdict is a deterministic
+  *    recompute of the arrival's text, so re-delivery re-derives it.
+  *    Re-delivered rows fold into the same set, so duplicate delivery
+  *    re-emits the SAME verdict instead of double-counting. Eviction
+  *    is the index
   *    lifecycle itself: the nightly batch that republishes the frozen
   *    index ([[buildFrozenIndex]]) restarts the stream against it
   *    with a fresh checkpoint, so state never outlives an index
@@ -61,11 +64,14 @@ case class NearDupState(matches: Seq[(Long, Long)])
   *    cluster between arrivals; the generation restart is the
   *    cheaper, simpler bound.)
   *
-  * Contract notes: arrivals with no words (empty text after
-  * normalization) carry no signature and emit no verdict — the same
-  * exclusion [[graft.scale.Dedup.simhash]] states; absence of a
-  * verdict after an arrival's batch = unmatched (the batch board is
-  * the spine-complete form). Emits in Update mode.
+  * Contract notes: every SIGNATURE-BEARING arrival emits a verdict —
+  * matched rows with their match/cluster stats, unmatched rows with
+  * `matched = false` — so the stream alone answers the complete q174
+  * board (the reconciliation spec pins equality INCLUDING unmatched
+  * rows, under duplicate delivery). Arrivals with no words (empty
+  * text after normalization) carry no signature and emit no verdict —
+  * the same exclusion [[graft.scale.Dedup.simhash]] states. Emits in
+  * Update mode.
   */
 object NearDupMaintenance {
 
@@ -111,27 +117,45 @@ object NearDupMaintenance {
         .filter(size(col("ws")) > 0)
         .select(col("doc_id"), simhash60(col("ws")).as("simhash")),
       maxDist, c)
+    // LEFT join + validity PROJECTION (not a filter): an arrival whose
+    // chunks hit nothing — or only above-maxDist signatures — must
+    // still reach the fold and emit its matched=false verdict, so the
+    // stream ALONE answers the full q174 board (round-15 flag: the
+    // old inner join made "absence of a verdict" a contract the
+    // consumer had to remember)
+    val valid = col("f_id").isNotNull &&
+      bit_count(col("simhash").bitwiseXOR(col("f_sim"))) <= maxDist
     streamBlocked
-      .join(staticBlocked, Seq("t", "kv"))
-      .filter(bit_count(col("simhash").bitwiseXOR(col("f_sim"))) <= maxDist)
-      .select(col("doc_id"), col("f_id"), col("f_cluster"))
-      .as[(Long, Long, Long)]
+      .join(staticBlocked, Seq("t", "kv"), "left")
+      .select(col("doc_id"),
+        when(valid, col("f_id")).as("f_id"),
+        when(valid, col("f_cluster")).as("f_cluster"))
+      .as[(Long, Option[Long], Option[Long])]
       .groupByKey(_._1)
       .flatMapGroupsWithState[NearDupState, NearDupVerdict](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (id: Long, rows: Iterator[(Long, Long, Long)],
+        (id: Long, rows: Iterator[(Long, Option[Long], Option[Long])],
          state: GroupState[NearDupState]) =>
           // fold new rows into the distinct match set: idempotent
           // under re-delivery, bounded by the doc's own match count
           val prev = state.getOption.map(_.matches.toSet)
             .getOrElse(Set.empty[(Long, Long)])
-          val now = prev ++ rows.map(r => (r._2, r._3))
-          state.update(NearDupState(now.toSeq.sorted))
-          val clusters = now.map(_._2)
-          Iterator.single(NearDupVerdict(id, matched = true,
-            n_matches = now.size.toLong,
-            n_clusters = clusters.size.toLong,
-            cluster = Some(clusters.min)))
+          val now = prev ++ rows.flatMap(r => r._2.zip(r._3))
+          if (now.isEmpty)
+            // unmatched: emit the spine row but store NOTHING — the
+            // verdict is a deterministic recompute of the arrival's
+            // text, so re-delivery re-derives it and state stays
+            // bounded by MATCHED arrivals only
+            Iterator.single(NearDupVerdict(id, matched = false,
+              n_matches = 0L, n_clusters = 0L, cluster = None))
+          else {
+            state.update(NearDupState(now.toSeq.sorted))
+            val clusters = now.map(_._2)
+            Iterator.single(NearDupVerdict(id, matched = true,
+              n_matches = now.size.toLong,
+              n_clusters = clusters.size.toLong,
+              cluster = Some(clusters.min)))
+          }
       }
   }
 }

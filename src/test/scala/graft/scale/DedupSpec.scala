@@ -1895,4 +1895,70 @@ class DedupSpec extends SparkSpec {
       104L -> ((true, None, 20L, "joined")))
     assert(got === expect)
   }
+
+  test("registryUpdate property: on random pair graphs across a " +
+    "boundary, every doc's labels and classification equal an " +
+    "independent from-scratch union-find reference (3 seeds)") {
+    val spark2 = spark
+    import spark2.implicits._
+    def unionFind(pairs: Seq[(Long, Long)]): Long => Long = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      for ((a, b) <- pairs) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      find
+    }
+    for (seed <- Seq(7, 131, 4099)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 60L
+      val boundary = 30L
+      // ~70 ordered pairs drawn uniformly — dense enough that merges,
+      // bridges and multi-component families all occur; boundary draws
+      // (a = boundary-1, b = boundary) are likely at this density
+      val pairSet = Iterator.continually {
+        val a = rnd.nextInt(n.toInt).toLong; val b = rnd.nextInt(n.toInt).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).take(70).toSet.toSeq.sorted
+      val docs = (0L until n).toDF("doc_id")
+      val pairsDf = pairSet.toDF("doc_a", "doc_b").localCheckpoint()
+      val got = Dedup.registryUpdate(docs, pairsDf,
+          Dedup.connectedComponents(pairsDf),
+          Dedup.connectedComponents(
+            pairsDf.filter(col("doc_b") < boundary)),
+          boundary)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Boolean]("is_new"),
+            Option(r.getAs[java.lang.Long]("old_cluster")).map(_.toLong),
+            r.getAs[Long]("new_cluster"),
+            r.getAs[String]("status")))).toMap
+      // independent reference: label EVERY doc from scratch — full
+      // graph and frozen half each get their own union-find; the
+      // classification re-derives from those labels alone
+      val findFull = unionFind(pairSet)
+      val findFrozen = unionFind(pairSet.filter(_._2 < boundary))
+      val inAnyPair = pairSet.flatMap(p => Seq(p._1, p._2)).toSet
+      val joined = pairSet.collect {
+        case (a, b) if a < boundary && b >= boundary => b }.toSet
+      val expect = (0L until n).map { id =>
+        val newLbl = findFull(id)
+        if (id < boundary) {
+          val oldLbl = findFrozen(id)
+          id -> ((false, Some(oldLbl), newLbl,
+            if (oldLbl == newLbl) "stable" else "relabeled"))
+        } else id -> ((true, None: Option[Long], newLbl,
+          if (joined(id)) "joined"
+          else if (!inAnyPair(id)) "new_singleton"
+          else "new_cluster"))
+      }.toMap
+      assert(got === expect, s"seed $seed")
+      // the draw really exercised the interesting strata
+      assert(expect.values.exists(_._4 == "relabeled"), s"seed $seed: no merge drawn")
+      assert(expect.values.exists(_._4 == "joined"), s"seed $seed: no join drawn")
+    }
+  }
 }

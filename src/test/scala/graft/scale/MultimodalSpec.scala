@@ -354,4 +354,62 @@ class MultimodalSpec extends SparkSpec {
         r.getAs[Double]("cos"))).toSet
     assert(got.subsetOf(exact), s"LSH reported a pair the referee rejects")
   }
+
+  test("mediaNearDupCelled (q176): exact reconciliation against the " +
+    "exhaustive q173 referee — the celled board IS the referee's pairs " +
+    "whose endpoints share a cell and a diff-plane band, emitted " +
+    "exactly once, with a planted duplicate always found and measured " +
+    "recall above the certified floor") {
+    val docs = T.documents(spark, "/root/testdata/sf0.001")
+    // sf0.001 ids (0..499) sit entirely inside the q173 audit slice,
+    // so q173 here is the EXHAUSTIVE within-fixed-bucket referee
+    val referee = Multimodal.mediaNearDup(spark, docs)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"),
+        r.getAs[Double]("cos"))).toSet
+    val celled = Multimodal.mediaNearDupCelled(spark, docs).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"),
+        r.getAs[Double]("cos")))
+    // exactly-once across the two band joins
+    assert(celled.length === celled.toSet.size,
+      "a pair was emitted by both bands")
+    val got = celled.toSet
+    // soundness: the fixed bucket stays in every band key, so celled
+    // candidates are a subset of the referee's — same cosines included
+    assert(got.subsetOf(referee),
+      s"celled chain reported a pair the referee rejects: ${got -- referee}")
+    // completeness relative to the blocking: the celled board is
+    // EXACTLY the referee pairs whose endpoints share (cell, band)
+    val keyed = Dedup.celledBands(Dedup.celledKeyedVectors(
+        Multimodal.mediaEmbeddings(spark, docs),
+        Multimodal.mediaSeeds(spark, docs)))
+      .select(col("vec_id"), col("cell_id"), col("db0"), col("db1"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    val expected = referee.filter { case (a, b, _) =>
+      val (ca, a0, a1) = keyed(a); val (cb, b0, b1) = keyed(b)
+      ca == cb && (a0 == b0 || a1 == b1)
+    }
+    assert(got === expected,
+      s"celled board != blocked referee: missing ${expected -- got}, " +
+        s"extra ${got -- expected}")
+    // the certified price of sub-quadratic blocking: measured recall
+    // 0.585 here (0.543 at sf0.1) — floor with the q88 margin habit
+    val recall = got.size.toDouble / referee.size
+    assert(recall >= 0.5, f"recall $recall%.3f under the 0.5 floor")
+    // a planted exact duplicate shares EVERY key (identical embeddings
+    // agree with every plane and centroid), so the celled chain cannot
+    // miss it — the property that keeps banding sound for true dups
+    val spark2 = spark
+    import spark2.implicits._
+    val dup = "the very same payload bytes"
+    // ids start at 0: the seed list (and so the diff planes) needs the
+    // contiguous 0..15 prefix the production tables have
+    val planted = ((0 to 40).map(i => (i.toLong, s"background doc $i " +
+        ("filler " * (i % 5)))) ++ Seq((41L, dup), (42L, dup)))
+      .toDF("doc_id", "text")
+    val p = Multimodal.mediaNearDupCelled(spark, planted)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"),
+        r.getAs[Double]("cos"))).toSet
+    assert(p.contains((41L, 42L, 1.0)), s"planted dup missing: $p")
+  }
 }

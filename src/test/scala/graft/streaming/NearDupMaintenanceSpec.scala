@@ -31,8 +31,8 @@ class NearDupMaintenanceSpec extends SparkSpec {
         (i.toLong, (1 to 40).map(_ => s"q${rnd.nextInt(8000)}").mkString(" ")))
   }
 
-  test("stream verdicts reconcile with the q174 batch board, and " +
-    "unmatched arrivals stay silent") {
+  test("stream verdicts reconcile with the FULL q174 batch board — " +
+    "matched stats AND the matched=false spine rows") {
     val spark2 = spark
     import spark2.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -58,13 +58,22 @@ class NearDupMaintenanceSpec extends SparkSpec {
           ((r.getAs[Boolean]("matched"), r.getAs[Long]("n_matches"),
             r.getAs[Long]("n_clusters"),
             Option(r.getAs[java.lang.Long]("cluster")).map(_.toLong)))).toMap
+      // the stream ALONE answers the whole board: every board row has
+      // a verdict, matched or not, with identical stats — and no
+      // verdict exists outside the board (same signature universe)
+      assert(got.keySet === board.keySet,
+        s"verdict spine != board spine: missing ${board.keySet -- got.keySet}," +
+          s" extra ${got.keySet -- board.keySet}")
       for ((id, (matched, nm, nc, cl)) <- board) {
-        if (matched) {
-          val v = got.getOrElse(id, fail(s"doc $id: board matched but no verdict"))
-          assert((v.n_matches, v.n_clusters, v.cluster) === ((nm, nc, cl)),
-            s"doc $id")
-        } else assert(!got.contains(id), s"doc $id: verdict for an unmatched doc")
+        val v = got(id)
+        assert((v.matched, v.n_matches, v.n_clusters, v.cluster) ===
+          ((matched, nm, nc, cl)), s"doc $id")
       }
+      // the unmatched stratum really exercised: the new-noise docs
+      // must all carry explicit matched=false rows
+      val noiseIds = (216L to 230L)
+      assert(noiseIds.forall(id => got.contains(id) && !got(id).matched),
+        "new noise docs must emit matched=false spine rows")
       // the planted structure really fired: every new template copy
       // got a verdict, all joining the same frozen cluster
       val tmplIds = (200L to 215L)
@@ -88,13 +97,19 @@ class NearDupMaintenanceSpec extends SparkSpec {
       .outputMode("update").start()
     try {
       val a = DocArrival(201L, ts(1), all.find(_._1 == 201L).get._2)
-      src.addData(a); q.processAllAvailable()
+      // an UNMATCHED arrival rides the same contract: its spine row is
+      // a stateless deterministic recompute, so re-delivery re-derives
+      // the identical matched=false verdict
+      val u = DocArrival(216L, ts(2), all.find(_._1 == 216L).get._2)
+      src.addData(a, u); q.processAllAvailable()
       val first = spark.table("ndm2").as[NearDupVerdict].collect().toSeq
-      src.addData(a); q.processAllAvailable() // second batch, same doc
+      src.addData(a, u); q.processAllAvailable() // second batch, same docs
       val after = spark.table("ndm2").as[NearDupVerdict].collect().toSeq
-      assert(first.size === 1)
-      assert(after.size === 2, "update mode re-emits the verdict")
-      assert(after.toSet.size === 1, "re-delivery must not change it")
+      assert(first.size === 2)
+      assert(after.size === 4, "update mode re-emits the verdicts")
+      assert(after.toSet.size === 2, "re-delivery must not change them")
+      assert(after.toSet.map((v: NearDupVerdict) => (v.doc_id, v.matched)) ===
+        Set((201L, true), (216L, false)))
     } finally q.stop()
   }
 }
