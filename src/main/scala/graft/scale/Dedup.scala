@@ -33,6 +33,13 @@ object Dedup extends QueryModule {
     * engines, or between the queries that share it (q29/q95/q127 all
     * ride the same cosine gate; five contamination boards share the
     * eval-slice bound). */
+  /** The gate boards' simhash near-dup radius (hamming bits) — ONE
+    * definition for the Scala gate call sites (the shared pair core,
+    * dedupRoi, dedupImpact's default) and [[simhashPairCte]]'s `<=`
+    * bound, so the knob cannot drift between engines (the q162
+    * shared-constant discipline). */
+  val GateMaxDist = 5
+
   val EmbedNearDupMinCos = 0.3
   val EmbedNearDupMaxId = 300L
   val LshNearDupMinCos = 0.2
@@ -388,6 +395,13 @@ object Dedup extends QueryModule {
     * at (see [[chunkSweep]]'s sampleRate paragraph). */
   val ChunkSweepSampleRate = 0.25
 
+  /** The sweep's geometry knobs — ONE definition for the Scala
+    * defaults and the oracle's packed-key SQL generator (the q162
+    * shared-constant discipline): editing either in one place keeps
+    * the two engines sweeping the same frontier. */
+  val ChunkSweepMaxDist = 3
+  val ChunkSweepConfigs: Seq[Int] = Seq(4, 5, 6)
+
   /** q172: the chunk-count sweep — the tuning frontier behind the
     * [[simhashPairs]] numChunks knob, the q156 discipline applied to
     * the OTHER blocking family: for each numChunks ≥ maxDist + 1, the
@@ -425,8 +439,8 @@ object Dedup extends QueryModule {
     * side rides [[Skew.boundedSelfPairs]] — the same bounded routing
     * the production chain uses, so the sweep survives the exact skew
     * it exists to measure. */
-  def chunkSweep(docs: DataFrame, maxDist: Int = 3,
-                 configs: Seq[Int] = Seq(4, 5, 6),
+  def chunkSweep(docs: DataFrame, maxDist: Int = ChunkSweepMaxDist,
+                 configs: Seq[Int] = ChunkSweepConfigs,
                  sampleRate: Double = 1.0): DataFrame = {
     require(sampleRate > 0d && sampleRate <= 1d,
       s"sampleRate must be in (0, 1]: $sampleRate")
@@ -986,7 +1000,7 @@ object Dedup extends QueryModule {
     * ids (broadcast when dups are few — the common case) and one
     * group-by-source with map-side partials on top of [[dedupCorpus]]'s
     * existing pair→component→representative chain. */
-  def dedupImpact(docs: DataFrame, maxDist: Int = 5): DataFrame =
+  def dedupImpact(docs: DataFrame, maxDist: Int = GateMaxDist): DataFrame =
     dedupImpactFrom(docs, dedupCorpus(docs, maxDist))
 
   /** [[dedupImpact]] from a precomputed kept-set ([[dedupCorpus]]
@@ -2195,7 +2209,7 @@ object Dedup extends QueryModule {
   def dedupRoi(docs0: DataFrame, minDupCount: Long = 2L): DataFrame = {
     val docs = Layout.widen(docs0)
     dedupRoiFrom(docs,
-      connectedComponents(simhashPairs(docs, maxDist = 5)),
+      connectedComponents(simhashPairs(docs, maxDist = GateMaxDist)),
       lineTable(docs), minDupCount)
   }
 
@@ -2429,7 +2443,7 @@ object Dedup extends QueryModule {
     * per-consumer rebuild of the dominant chain is gone. */
   private def gatePairs(s: SparkSession, d: String): DataFrame =
     graft.Shared.memo(s, s"dedup:simhash-pairs5:$d")(
-      simhashPairs(T.documents(s, d), maxDist = 5))
+      simhashPairs(T.documents(s, d), maxDist = GateMaxDist))
 
   private def gateComps(s: SparkSession, d: String): DataFrame =
     graft.Shared.memo(s, s"dedup:simhash-comps5:$d")(
@@ -2682,15 +2696,15 @@ object Dedup extends QueryModule {
        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS dist
        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 5)""".stripMargin
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $GateMaxDist)""".stripMargin
 
   /** The q172 oracle: the same chunk geometry (via [[chunkBounds]] /
     * [[chunkSubsets]]) restated as packed-key bit arithmetic, one
     * blocked table + occupancy rollup + distinct-candidate count per
     * configuration. */
   private lazy val chunkSweepSql: String = {
-    val maxDist = 3
-    val configs = Seq(4, 5, 6)
+    val maxDist = ChunkSweepMaxDist
+    val configs = ChunkSweepConfigs
     def kvSql(c: Int, ss: Seq[Int]): String =
       ss.foldLeft("CAST(0 AS BIGINT)") { (acc, ci) =>
         val (start, width) = chunkBounds(c, ci)
