@@ -339,6 +339,28 @@ class PlanAuditSpec extends SparkSpec {
       s"expected the materialized input core:\n$pCool")
   }
 
+  test("q176 celled media near-dup: both band joins are equality " +
+    "joins off the materialized keyed core — no cartesian, no " +
+    "corpus-side broadcast, band words in the join keys") {
+    val docs = graft.Tables.documents(spark, sf)
+    val keyed = graft.scale.Dedup.celledKeyedVectors(
+        graft.scale.Multimodal.mediaEmbeddings(spark, docs),
+        graft.scale.Multimodal.mediaSeeds(spark, docs))
+      .localCheckpoint()
+    val plan = planOf(graft.scale.Dedup.embeddingNearDupCelledFrom(
+      keyed, graft.scale.Multimodal.MediaNearDupMinCos,
+      inputMaterialized = true))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"celled chain went cartesian:\n$plan")
+    // the two bands union, each blocking on its own 4-bit word
+    assert(plan.contains("Union") && plan.contains("db0") &&
+      plan.contains("db1"), s"expected the two band arms:\n$plan")
+    // consumers read the checkpointed core, not a re-derived kernel
+    assert(plan.contains("Scan ExistingRDD"),
+      s"expected the materialized keyed core:\n$plan")
+  }
+
   test("q173 media near-dup: the audit-slice bound reaches the parquet " +
     "scan (pruned read, not a post-scan filter) and the chain never " +
     "goes cartesian") {
