@@ -47,6 +47,14 @@ object VectorExpressions {
   def argMaxCosine(v: Column, cells: Seq[(Long, Seq[Double])]): Column =
     ColumnBridge.column(ArgMaxCosineExpression(ColumnBridge.expression(v), cells))
 
+  /** Scan-side SECOND-best cell: id of the cosine rank-2 centroid
+    * (ties resolve to the lower cell id, matching
+    * `ROW_NUMBER() OVER (ORDER BY cos DESC, cell_id ASC) = 2`) — the
+    * multi-probe companion of [[argMaxCosine]]; see
+    * [[ArgMax2CosineExpression]]. */
+  def argMax2Cosine(v: Column, cells: Seq[(Long, Seq[Double])]): Column =
+    ColumnBridge.column(ArgMax2CosineExpression(ColumnBridge.expression(v), cells))
+
   private[functions] def checkDoubleArrays(
       name: String, left: Expression, right: Expression): TypeCheckResult = {
     // compare element types only: containsNull varies by producer
@@ -389,5 +397,110 @@ case class ArgMaxCosineExpression(child: Expression, cells: Seq[(Long, Seq[Doubl
     })
 
   override protected def withNewChildInternal(newChild: Expression): ArgMaxCosineExpression =
+    copy(child = newChild)
+}
+
+/** Cell id of the SECOND-highest-cosine centroid — the multi-probe
+  * companion of [[ArgMaxCosineExpression]] (same single-pass scan-side
+  * shape: plan-constant centroid matrix, zero joins). Iterating cells
+  * in ascending id with strict `>` updates reproduces
+  * `ROW_NUMBER() OVER (ORDER BY cos DESC, cell_id ASC) = 2` exactly:
+  * a tie never displaces an earlier (lower-id) holder. NaN cosines
+  * (zero-norm vectors) never pass `>`; if fewer than two finite
+  * cosines exist the expression falls back to the lowest-id cells so
+  * the output is always a valid cell id (unreachable under the corpus
+  * contract — nonzero vectors, ≥ 2 cells). */
+case class ArgMax2CosineExpression(child: Expression, cells: Seq[(Long, Seq[Double])])
+    extends UnaryExpression {
+
+  require(cells.size >= 2, "argmax2_cosine needs at least two cells")
+
+  @transient private lazy val sorted = cells.sortBy(_._1)
+  @transient private lazy val ids: Array[Long] = sorted.map(_._1).toArray
+  @transient private lazy val vecs: Array[Array[Double]] =
+    sorted.map(_._2.toArray).toArray
+  @transient private lazy val norms: Array[Double] = vecs.map { c =>
+    var acc = 0.0; var i = 0
+    while (i < c.length) { acc += c(i) * c(i); i += 1 }
+    math.sqrt(acc)
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<double> argument, got ${t.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "argmax2_cosine"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val vn = v.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < vn) { val x = v.getDouble(i); acc += x * x; i += 1 }
+    val nv = math.sqrt(acc)
+    var bestK = -1; var bestC = Double.NegativeInfinity
+    var secK = -1; var secC = Double.NegativeInfinity
+    var k = 0
+    while (k < vecs.length) {
+      val c = vecs(k)
+      val n = math.min(vn, c.length)
+      var dot = 0.0
+      i = 0
+      while (i < n) { dot += v.getDouble(i) * c(i); i += 1 }
+      val cos = dot / (nv * norms(k))
+      if (cos > bestC) { secC = bestC; secK = bestK; bestC = cos; bestK = k }
+      else if (cos > secC) { secC = cos; secK = k }
+      k += 1
+    }
+    if (secK < 0) secK = if (bestK == 0 || bestK < 0) 1 else 0
+    ids(secK)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val idsRef = ctx.addReferenceObj("cellIds", ids, "long[]")
+      val vecsRef = ctx.addReferenceObj("cellVecs", vecs, "double[][]")
+      val normsRef = ctx.addReferenceObj("cellNorms", norms, "double[]")
+      val vn = ctx.freshName("vn")
+      val nv = ctx.freshName("nv")
+      val acc = ctx.freshName("acc")
+      val bestK = ctx.freshName("bestK")
+      val bestC = ctx.freshName("bestC")
+      val secK = ctx.freshName("secK")
+      val secC = ctx.freshName("secC")
+      val kk = ctx.freshName("k")
+      val c = ctx.freshName("c")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val cos = ctx.freshName("cos")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      s"""
+         |int $vn = $a.numElements();
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $vn; $i++) {
+         |  double $x = $a.getDouble($i); $acc += $x * $x;
+         |}
+         |double $nv = java.lang.Math.sqrt($acc);
+         |int $bestK = -1; double $bestC = Double.NEGATIVE_INFINITY;
+         |int $secK = -1; double $secC = Double.NEGATIVE_INFINITY;
+         |for (int $kk = 0; $kk < $vecsRef.length; $kk++) {
+         |  double[] $c = $vecsRef[$kk];
+         |  int $n = java.lang.Math.min($vn, $c.length);
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) { $dot += $a.getDouble($i) * $c[$i]; }
+         |  double $cos = $dot / ($nv * $normsRef[$kk]);
+         |  if ($cos > $bestC) {
+         |    $secC = $bestC; $secK = $bestK; $bestC = $cos; $bestK = $kk;
+         |  } else if ($cos > $secC) { $secC = $cos; $secK = $kk; }
+         |}
+         |if ($secK < 0) { $secK = ($bestK == 0 || $bestK < 0) ? 1 : 0; }
+         |${ev.value} = $idsRef[$secK];
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ArgMax2CosineExpression =
     copy(child = newChild)
 }

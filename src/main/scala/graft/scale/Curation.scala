@@ -1064,10 +1064,11 @@ object Curation extends QueryModule {
       sequencePack(T.documents(s, d), maxTokens, 32))
 
   /** The celled media chain's keyed projection (vec_id, cell_id,
-    * dbucket, bucket, v, nrm) — one feature-kernel pass + three
-    * scan-side key projections, memoized so q176's pair join and
-    * q177's occupancy rollups read ONE table (the feature encode is
-    * the dominant cost; a batch must not pay it per consumer). */
+    * cell2, dbucket, bucket, v, nrm) — one feature-kernel pass +
+    * scan-side key projections, memoized so q176's pair join, q177's
+    * occupancy rollups and q178's multi-probe join read ONE table
+    * (the feature encode is the dominant cost; a batch must not pay
+    * it per consumer). */
   private def gateMediaKeyed(s: SparkSession, d: String): DataFrame =
     graft.Shared.memo(s, s"mm:keyed:$d") {
       val docs = T.documents(s, d)
@@ -1122,6 +1123,11 @@ object Curation extends QueryModule {
         Multimodal.MediaNearDupMinCos, inputMaterialized = true)),
     "q177_media_blocking" -> ((s, d) =>
       Multimodal.mediaBlockingBoard(gateMediaKeyed(s, d))),
+    // the multi-probe recall dial: top-2 cells, same bands — q176's
+    // candidates are a strict subset; rides the same memoized core
+    "q178_media_neardup_probe2" -> ((s, d) =>
+      Dedup.embeddingNearDupCelled2From(gateMediaKeyed(s, d),
+        Multimodal.MediaNearDupMinCos, inputMaterialized = true)),
     // semantic-diversity cap: best-quality k docs per embedding cell —
     // rides the memoized quality core in a batch run
     "q132_cell_balanced" -> ((s, d) =>
@@ -1278,8 +1284,9 @@ object Curation extends QueryModule {
     * UNBOUNDED (whole documents table → byte-histogram embeddings at
     * the ANN dim), then the celled chain's three blocking keys —
     * fixed sign-plane bucket ([[Similarity.bucketSql]] verbatim),
-    * argmax-cosine cell over the first-[[Similarity.IvfCells]] seed
-    * rows (the q95 CTE shape), and the diff-plane bucket whose planes
+    * TOP-2 argmax-cosine cells over the first-[[Similarity.IvfCells]]
+    * seed rows (the q95 CTE shape, rn ≤ 2 pivoted to cell_id/cell2 —
+    * q178's probe set), and the diff-plane bucket whose planes
     * are component-wise differences of seed pairs (2p, 2p+1) — exact
     * double subtractions of float32-cast values, dotted with
     * `list_dot_product` (the same sequential fold as the Scala
@@ -1314,12 +1321,15 @@ object Curation extends QueryModule {
        |    sqrt(list_dot_product(embedding, embedding)) AS nrm FROM e),
        |cents AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM bk
        |          WHERE vec_id < ${Similarity.IvfCells}),
-       |asg AS (SELECT vec_id, cell_id FROM (
+       |asg AS (SELECT vec_id,
+       |    MAX(CASE WHEN rn = 1 THEN cell_id END) AS cell_id,
+       |    MAX(CASE WHEN rn = 2 THEN cell_id END) AS cell2
+       |  FROM (
        |    SELECT x.vec_id, c.cell_id,
        |      ROW_NUMBER() OVER (PARTITION BY x.vec_id
        |        ORDER BY list_dot_product(x.v, c.cv)/(x.nrm*c.cn) DESC,
        |          c.cell_id ASC) AS rn
-       |    FROM bk x, cents c) WHERE rn <= 1),
+       |    FROM bk x, cents c) WHERE rn <= 2 GROUP BY vec_id),
        |pld AS (SELECT pp.p, u.i, ca.cv[i] - cb.cv[i] AS dv
        |  FROM (SELECT unnest(range(0, $nP)) AS p) pp
        |  JOIN cents ca ON ca.cell_id = 2*pp.p
@@ -1330,8 +1340,8 @@ object Curation extends QueryModule {
        |    CAST(SUM(CASE WHEN list_dot_product(x.v, pl.pv) > 0
        |             THEN 1 << p ELSE 0 END) AS BIGINT) AS dbucket
        |  FROM bk x, plv pl GROUP BY 1),
-       |keyed AS (SELECT bk.vec_id, asg.cell_id, db.dbucket, bk.bucket,
-       |    bk.v, bk.nrm
+       |keyed AS (SELECT bk.vec_id, asg.cell_id, asg.cell2, db.dbucket,
+       |    bk.bucket, bk.v, bk.nrm
        |  FROM bk JOIN asg USING (vec_id) JOIN db USING (vec_id)),""".stripMargin
   }
 
@@ -1785,6 +1795,12 @@ object Curation extends QueryModule {
          |       FROM keyed GROUP BY 1, 2, 3),
          |c1 AS (SELECT cell_id, bucket, dbucket >> 4 AS k, COUNT(*) AS d
          |       FROM keyed GROUP BY 1, 2, 3),
+         |px AS (SELECT cell_id AS pcell, bucket, dbucket FROM keyed
+         |       UNION ALL SELECT cell2, bucket, dbucket FROM keyed),
+         |p0 AS (SELECT pcell, bucket, dbucket & 15 AS k, COUNT(*) AS d
+         |       FROM px GROUP BY 1, 2, 3),
+         |p1 AS (SELECT pcell, bucket, dbucket >> 4 AS k, COUNT(*) AS d
+         |       FROM px GROUP BY 1, 2, 3),
          |tot AS (SELECT COUNT(*) AS n FROM keyed)
          |SELECT 'lsh_bucket' AS scheme, COUNT(*) AS n_groups,
          |  MAX(d) AS max_group, CAST(SUM(d*(d-1)//2) AS BIGINT) AS cand_pairs,
@@ -1796,7 +1812,35 @@ object Curation extends QueryModule {
          |UNION ALL
          |SELECT 'celled_band1', COUNT(*), MAX(d),
          |  CAST(SUM(d*(d-1)//2) AS BIGINT), (SELECT n*(n-1)//2 FROM tot)
-         |FROM c1""".stripMargin,
+         |FROM c1
+         |UNION ALL
+         |SELECT 'probe2_band0', COUNT(*), MAX(d),
+         |  CAST(SUM(d*(d-1)//2) AS BIGINT), (SELECT n*(n-1)//2 FROM tot)
+         |FROM p0
+         |UNION ALL
+         |SELECT 'probe2_band1', COUNT(*), MAX(d),
+         |  CAST(SUM(d*(d-1)//2) AS BIGINT), (SELECT n*(n-1)//2 FROM tot)
+         |FROM p1""".stripMargin,
+    // the multi-probe pair board: DISTINCT over shared probe cells
+    // restates the Scala side's min-shared-cell exactly-once emission
+    "q178_media_neardup_probe2" ->
+      s"""WITH $mediaKeyedCteSql
+         |k2 AS (SELECT vec_id, cell_id, cell2, bucket, dbucket & 15 AS db0,
+         |    dbucket >> 4 AS db1, v, nrm FROM keyed),
+         |px AS (SELECT vec_id, cell_id AS pcell FROM k2
+         |       UNION ALL SELECT vec_id, cell2 FROM k2),
+         |pr AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |  FROM px pa JOIN px pb ON pa.pcell = pb.pcell
+         |  JOIN k2 x ON x.vec_id = pa.vec_id
+         |  JOIN k2 y ON y.vec_id = pb.vec_id
+         |  WHERE x.vec_id < y.vec_id AND x.bucket = y.bucket
+         |    AND (x.db0 = y.db0 OR x.db1 = y.db1)),
+         |sc AS (SELECT pr.vec_a, pr.vec_b,
+         |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+         |  FROM pr JOIN k2 a ON a.vec_id = pr.vec_a
+         |  JOIN k2 b ON b.vec_id = pr.vec_b)
+         |SELECT vec_a, vec_b, ROUND(cos, 4) AS cos
+         |FROM sc WHERE cos >= ${Multimodal.MediaNearDupMinCos}""".stripMargin,
     // Σc² exact in HUGEINT (= the Spark decimal accumulator), one cast
     // to double, identical division trees
     "q109_source_diversity" ->

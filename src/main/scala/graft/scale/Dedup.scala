@@ -1081,10 +1081,13 @@ object Dedup extends QueryModule {
     * 34% (the SemDeDup contract's documented trade — the q95 referee
     * story) and cross-band pairs ~11% of the rest; the spec pins the
     * measured recall against the exhaustive q173 board on its audit
-    * slice. At 100 TB the dials are nCells, nPlanes and the band
-    * count (occupancy per group ~n/(cells·2^planes_per_band)); all
-    * are scan-side plan constants, so raising them never changes the
-    * plan shape.
+    * slice. At 100 TB the dials are nCells, nPlanes, the band count
+    * (occupancy per group ~n/(cells·2^planes_per_band)) and the probe
+    * count — [[embeddingNearDupCelled2From]] implements the top-2
+    * probe (measured: recall 0.585 → 0.852 at sf0.001, 0.543 → 0.834
+    * at sf0.1, at ~3.5× the candidate volume, still 5.6× under
+    * quadratic); all are scan-side plan constants, so raising them
+    * never changes the plan shape.
     *
     * `seeds0`: callers whose embedding table is an expensive kernel
     * (the media chain: features are a mapPartitions pass over payload
@@ -1103,13 +1106,19 @@ object Dedup extends QueryModule {
   }
 
   /** The celled chain's keyed projection — ONE scan yields id, the
-    * three blocking keys and the vector/norm payload (the gate
-    * registry memoizes exactly this table so q176 and q177 share it). */
+    * blocking keys and the vector/norm payload (the gate registry
+    * memoizes exactly this table so q176/q177/q178 share it).
+    * `cell2` (the SECOND-nearest seed, rank-2 of the same argmax
+    * ordering) rides along for the multi-probe chain — one more
+    * plan-constant kernel eval per row, negligible next to the
+    * feature encode this scan already pays. */
   private[graft] def celledKeyedVectors(emb: DataFrame,
       seeds: Seq[(Long, Seq[Double])]): DataFrame =
     Similarity.bucketedVectors(emb).select(col("vec_id"),
       graft.functions.VectorExpressions.argMaxCosine(col("v"), seeds)
         .as("cell_id"),
+      graft.functions.VectorExpressions.argMax2Cosine(col("v"), seeds)
+        .as("cell2"),
       Similarity.diffPlaneBucket(col("v"), seeds).as("dbucket"),
       col("bucket"), col("v"), col("nrm"))
 
@@ -1140,6 +1149,67 @@ object Dedup extends QueryModule {
     val b1 = arm(Skew.boundedSelfPairs(banded,
         Seq("cell_id", "bucket", "db1"), "vec_id",
         payload = Seq("v", "nrm", "db0"),
+        inputMaterialized = inputMaterialized)
+      .filter(col("db0_a") =!= col("db0_b")))
+    b0.unionByName(b1)
+  }
+
+  /** MULTI-PROBE variant of [[embeddingNearDupCelledFrom]] — the
+    * recall dial the single-probe scaladoc names: each vector probes
+    * its TOP-2 cells (`cell_id`, `cell2` — both scan-side plan-constant
+    * kernels off the shared keyed projection), and a pair is a
+    * candidate when the probe sets INTERSECT (∧ fixed bucket ∧ either
+    * diff-plane band, unchanged). Single-probe candidates are a strict
+    * subset (`cell_id` is always probed), so recall can only rise —
+    * the spec pins the superset; measured it recovers most of the
+    * cross-cell loss (the dominant term of the single-probe
+    * decomposition): referee recall 0.585 → 0.852 at sf0.001,
+    * 0.543 → 0.834 at sf0.1, at ~3.5× the candidate volume (2.24M vs
+    * 0.63M at sf0.1), still 5.6× under quadratic — the q177 probe2
+    * rows price it in-gate.
+    *
+    * Exactly-once without a distinct: the probe explode lands a pair
+    * in every shared cell × matching band, so each arm keeps only
+    *  - pairs whose join cell is the MINIMUM shared probe cell
+    *    (computable row-side from the four carried probe columns —
+    *    `least` over the matching combinations), and
+    *  - band 1 only when the band-0 words differ (the single-probe
+    *    rule).
+    * Every qualifying pair therefore survives exactly one (cell, band)
+    * region. The explode doubles the rows entering
+    * [[Skew.boundedSelfPairs]]; hot-key routing and the emission grid
+    * are per (cell, bucket, band-word) key, so the task bound is
+    * unchanged. */
+  private[graft] def embeddingNearDupCelled2From(keyed: DataFrame,
+      minCos: Double, inputMaterialized: Boolean = false): DataFrame = {
+    val probed = celledBands(keyed)
+      .withColumn("pcell", explode(array(col("cell_id"), col("cell2"))))
+      // a payload copy of the join cell: boundedSelfPairs would see a
+      // duplicate name if the key column itself rode as payload
+      .withColumn("pc", col("pcell"))
+    // min shared probe cell of the pair: `least` skips the nulls the
+    // non-matching `when`s leave, so this is min over the shared set
+    val sharedMin = least(
+      when(col("cell_id_a") === col("cell_id_b"), col("cell_id_a")),
+      when(col("cell_id_a") === col("cell2_b"), col("cell_id_a")),
+      when(col("cell2_a") === col("cell_id_b"), col("cell2_a")),
+      when(col("cell2_a") === col("cell2_b"), col("cell2_a")))
+    def arm(pairs: DataFrame): DataFrame = pairs
+      .filter(col("pc_a") === sharedMin)
+      .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"),
+        (dotProduct(col("v_a"), col("v_b")) /
+          (col("nrm_a") * col("nrm_b"))).as("cos"))
+      .filter(col("cos") >= minCos)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
+    // `pc` rides as payload: boundedSelfPairs emits only id + payload
+    // columns, and both sides' values equal the join cell
+    val payload = Seq("v", "nrm", "cell_id", "cell2", "pc")
+    val b0 = arm(Skew.boundedSelfPairs(probed,
+      Seq("pcell", "bucket", "db0"), "vec_id",
+      payload = payload, inputMaterialized = inputMaterialized))
+    val b1 = arm(Skew.boundedSelfPairs(probed,
+        Seq("pcell", "bucket", "db1"), "vec_id",
+        payload = payload :+ "db0",
         inputMaterialized = inputMaterialized)
       .filter(col("db0_a") =!= col("db0_b")))
     b0.unionByName(b1)

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.Materialize.CoreOps
+
 /** A decoded media asset's typed metadata (the schema a real decoder
   * would fill; the decode itself is stubbed — see [[Multimodal]]). */
 case class MediaMeta(asset_id: Long, kind: String, width: Int, height: Int,
@@ -485,10 +487,28 @@ object Multimodal {
     * exact reconciliation — measured recall 0.585/0.543 of the
     * referee's pairs at sf0.001/sf0.1, the certified price of
     * sub-quadratic blocking (loss decomposition in the operator's
-    * scaladoc). */
+    * scaladoc; [[mediaNearDupCelled2]] is the multi-probe dial that
+    * buys the cross-cell loss back). */
   def mediaNearDupCelled(spark: SparkSession, docs: DataFrame): DataFrame =
     Dedup.embeddingNearDupCelled(mediaEmbeddings(spark, docs),
       MediaNearDupMinCos, Some(mediaSeeds(spark, docs)))
+
+  /** q178: the MULTI-PROBE cross-modal near-dup — [[mediaNearDupCelled]]
+    * with each vector probing its top-2 cells
+    * ([[Dedup.embeddingNearDupCelled2From]]). The recall dial the q176
+    * scaladoc names: q176's loss is ~2/3 cross-CELL pairs, and probing
+    * the runner-up cell recovers exactly the pairs whose endpoints
+    * straddle one cell boundary. q176's candidates are a strict subset
+    * (the primary cell is always probed), so this board ⊇ q176's and
+    * recall vs the q173 referee can only rise — both pinned by
+    * [[MultimodalSpec]]; the q177 `probe2_*` rows price the extra
+    * volume in-gate. */
+  def mediaNearDupCelled2(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val keyed = Dedup.celledKeyedVectors(mediaEmbeddings(spark, docs),
+      mediaSeeds(spark, docs)).coreCheckpoint()
+    Dedup.embeddingNearDupCelled2From(keyed, MediaNearDupMinCos,
+      inputMaterialized = true)
+  }
 
   /** q177: the blocking-volume board that PRICES q176's composition
     * (the q172 discipline — certify the knob inside the gate): per
@@ -505,16 +525,26 @@ object Multimodal {
     * and integer division only. */
   def mediaBlockingBoard(keyed: DataFrame): DataFrame = {
     val banded = Dedup.celledBands(keyed)
-    def arm(scheme: String, keys: Seq[String]): DataFrame =
-      banded.groupBy(keys.map(col): _*).agg(count(lit(1)).as("d"))
+    // q178's probe explode: each vector appears under BOTH its probed
+    // cells, so the probe2 rows price the multi-probe join volume
+    // (cand_pairs counts a pair once per shared (cell, band) region —
+    // exactly what the join owes before the exactly-once filter)
+    val probed = banded.withColumn("pcell",
+      explode(array(col("cell_id"), col("cell2"))))
+    def armFrom(src: DataFrame)(scheme: String, keys: Seq[String]): DataFrame =
+      src.groupBy(keys.map(col): _*).agg(count(lit(1)).as("d"))
         .agg(count(lit(1)).as("n_groups"), max(col("d")).as("max_group"),
-          sum(expr("d * (d - 1) DIV 2")).as("cand_pairs"),
-          sum(col("d")).as("n"))
+          sum(expr("d * (d - 1) DIV 2")).as("cand_pairs"))
+        .crossJoin(banded.agg(count(lit(1)).as("n"))) // 1-row scalar attach
         .select(lit(scheme).as("scheme"), col("n_groups"), col("max_group"),
           col("cand_pairs"), expr("n * (n - 1) DIV 2").as("quad_pairs"))
+    val arm = armFrom(banded) _
+    val parm = armFrom(probed) _
     arm("lsh_bucket", Seq("bucket"))
       .unionByName(arm("celled_band0", Seq("cell_id", "bucket", "db0")))
       .unionByName(arm("celled_band1", Seq("cell_id", "bucket", "db1")))
+      .unionByName(parm("probe2_band0", Seq("pcell", "bucket", "db0")))
+      .unionByName(parm("probe2_band1", Seq("pcell", "bucket", "db1")))
   }
 
   /** q170: the certified media-feature board — [[extractFeatures]]'s

@@ -361,6 +361,29 @@ class PlanAuditSpec extends SparkSpec {
       s"expected the materialized keyed core:\n$plan")
   }
 
+  test("q178 multi-probe media near-dup: the probe explode stays an " +
+    "equality join off the materialized keyed core — no cartesian, " +
+    "both band arms present") {
+    val docs = graft.Tables.documents(spark, sf)
+    val keyed = graft.scale.Dedup.celledKeyedVectors(
+        graft.scale.Multimodal.mediaEmbeddings(spark, docs),
+        graft.scale.Multimodal.mediaSeeds(spark, docs))
+      .localCheckpoint()
+    val plan = planOf(graft.scale.Dedup.embeddingNearDupCelled2From(
+      keyed, graft.scale.Multimodal.MediaNearDupMinCos,
+      inputMaterialized = true))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"probe2 chain went cartesian:\n$plan")
+    // the probe explode (Generate) feeds both band arms' joins
+    assert(plan.contains("Generate") && plan.contains("pcell"),
+      s"expected the probe-cell explode:\n$plan")
+    assert(plan.contains("Union") && plan.contains("db0") &&
+      plan.contains("db1"), s"expected the two band arms:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"expected the materialized keyed core:\n$plan")
+  }
+
   test("q173 media near-dup: the audit-slice bound reaches the parquet " +
     "scan (pruned read, not a post-scan filter) and the chain never " +
     "goes cartesian") {

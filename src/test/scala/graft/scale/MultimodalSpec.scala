@@ -412,4 +412,53 @@ class MultimodalSpec extends SparkSpec {
         r.getAs[Double]("cos"))).toSet
     assert(p.contains((41L, 42L, 1.0)), s"planted dup missing: $p")
   }
+
+  test("mediaNearDupCelled2 (q178): multi-probe reconciliation — the " +
+    "board is EXACTLY the referee pairs sharing any probed cell and a " +
+    "band, emitted exactly once, a strict superset of the single-probe " +
+    "q176 board, with measured recall above it") {
+    val docs = T.documents(spark, "/root/testdata/sf0.001")
+    val referee = Multimodal.mediaNearDup(spark, docs)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"),
+        r.getAs[Double]("cos"))).toSet
+    val single = Multimodal.mediaNearDupCelled(spark, docs)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"),
+        r.getAs[Double]("cos"))).toSet
+    val probed = Multimodal.mediaNearDupCelled2(spark, docs).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"),
+        r.getAs[Double]("cos")))
+    // exactly-once across the (probe cell × band) regions: the
+    // min-shared-cell filter is what this asserts
+    assert(probed.length === probed.toSet.size,
+      "a pair was emitted by more than one (cell, band) region")
+    val got = probed.toSet
+    // soundness: the fixed bucket stays in every key — candidates are
+    // still a subset of the exhaustive referee's
+    assert(got.subsetOf(referee),
+      s"probe2 chain reported a pair the referee rejects: ${got -- referee}")
+    // the dial's contract: the primary cell is always probed, so the
+    // single-probe board is a subset and recall can only rise
+    assert(single.subsetOf(got),
+      s"q176 pairs missing from the probe2 board: ${single -- got}")
+    // completeness relative to the blocking: EXACTLY the referee pairs
+    // whose endpoints share ANY probed cell and a diff-plane band
+    val keyed = Dedup.celledBands(Dedup.celledKeyedVectors(
+        Multimodal.mediaEmbeddings(spark, docs),
+        Multimodal.mediaSeeds(spark, docs)))
+      .select(col("vec_id"), col("cell_id"), col("cell2"), col("db0"),
+        col("db1"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    val expected = referee.filter { case (a, b, _) =>
+      val (ca, ca2, a0, a1) = keyed(a); val (cb, cb2, b0, b1) = keyed(b)
+      (Set(ca, ca2) & Set(cb, cb2)).nonEmpty && (a0 == b0 || a1 == b1)
+    }
+    assert(got === expected,
+      s"probe2 board != blocked referee: missing ${expected -- got}, " +
+        s"extra ${got -- expected}")
+    // measured: 0.852 here (0.834 at sf0.1) vs single-probe 0.585 —
+    // floored with the q88 margin habit
+    val recall = got.size.toDouble / referee.size
+    assert(recall >= 0.75, f"probe2 recall $recall%.3f under the 0.75 floor")
+  }
 }
