@@ -204,6 +204,48 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(t === 5L)
   }
 
+  test("argMax2Cosine returns the rank-2 cell under the ROW_NUMBER " +
+    "(cos DESC, cell_id ASC) order, including both tie positions") {
+    val spark2 = spark
+    import spark2.implicits._
+    def second(v: Array[Double], cells: Seq[(Long, Seq[Double])]): Long =
+      Seq((0L, v)).toDF("vec_id", "v")
+        .select(VectorExpressions.argMax2Cosine(col("v"), cells))
+        .head().getLong(0)
+    // plain ranking: v = (1, 0); cos to c0 = 1, c1 = .707, c2 = 0
+    val plain: Seq[(Long, Seq[Double])] = Seq(
+      0L -> Seq(2.0, 0.0), 1L -> Seq(1.0, 1.0), 2L -> Seq(0.0, 3.0))
+    assert(second(Array(1.0, 0.0), plain) === 1L)
+    // tie AT RANK 1 (two best cells equal): rank 1 = lower id, rank 2
+    // = the higher-id twin — the rn = 2 row of the oracle's ordering
+    val tieTop: Seq[(Long, Seq[Double])] = Seq(
+      3L -> Seq(1.0, 1.0), 8L -> Seq(2.0, 2.0), 9L -> Seq(1.0, 0.0))
+    assert(second(Array(1.0, 1.0), tieTop) === 8L)
+    // tie AT RANK 2 (two runner-up cells equal): lower id wins rank 2
+    val tieSecond: Seq[(Long, Seq[Double])] = Seq(
+      1L -> Seq(1.0, 0.0), 4L -> Seq(1.0, 1.0), 6L -> Seq(2.0, 2.0))
+    assert(second(Array(1.0, 0.0), tieSecond) === 4L)
+    // unsorted constructor input ranks identically (internal sort)
+    assert(second(Array(1.0, 0.0),
+      Seq(plain(2), plain(0), plain(1))) === 1L)
+    // agreement with an independent composed ranking on random draws
+    val rnd = new scala.util.Random(7)
+    val cells: Seq[(Long, Seq[Double])] = Seq(0L, 2L, 5L, 11L).map(id =>
+      id -> Seq.fill(6)(rnd.nextDouble() * 2 - 1))
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    for (_ <- 0 until 40) {
+      val v = Array.fill(6)(rnd.nextDouble() * 2 - 1)
+      val want = cells.map { case (id, cv) => (id, cos(v.toSeq, cv)) }
+        .sortBy { case (id, c) => (-c, id) }(
+          Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
+        .apply(1)._1
+      assert(second(v, cells) === want)
+    }
+  }
+
   test("null inputs yield null, and the expression participates in codegen") {
     val spark2 = spark
     import spark2.implicits._

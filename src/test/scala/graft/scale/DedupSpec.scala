@@ -1961,4 +1961,83 @@ class DedupSpec extends SparkSpec {
       assert(expect.values.exists(_._4 == "joined"), s"seed $seed: no join drawn")
     }
   }
+
+  test("embeddingNearDupCelled2From property: on random clustered " +
+    "embeddings the board equals a brute-force blocked reference " +
+    "(probe-set intersection AND bucket AND either band AND cosine " +
+    "gate), emitted exactly once, with the kernel's top-2 cells " +
+    "matching an independent ranking (3 seeds)") {
+    val spark2 = spark
+    import spark2.implicits._
+    def cosine(a: Seq[Double], b: Seq[Double]): Double = {
+      val n = math.min(a.length, b.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) { dot += a(i) * b(i); i += 1 }
+      i = 0; while (i < a.length) { na += a(i) * a(i); i += 1 }
+      i = 0; while (i < b.length) { nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (seed <- Seq(11, 257, 9001)) {
+      val rnd = new scala.util.Random(seed)
+      val dim = 12
+      // clustered draw: near-dup pairs exist (same base, small noise)
+      // and cluster members straddle cell boundaries — the stratum the
+      // multi-probe exists for
+      val bases = Array.fill(10)(Array.fill(dim)(rnd.nextGaussian()))
+      val emb = (0 until 120).map { i =>
+        val b = bases(rnd.nextInt(bases.length))
+        (i.toLong, b.map(_ + 0.15 * rnd.nextGaussian()).toSeq)
+      }.toDF("vec_id", "embedding").localCheckpoint()
+      val seeds = Similarity.seedCentroidList(emb, Similarity.IvfCells)
+      val keyed = Dedup.celledKeyedVectors(emb, seeds).localCheckpoint()
+      val minCos = 0.9
+      val got0 = Dedup.embeddingNearDupCelled2From(keyed, minCos,
+          inputMaterialized = true)
+        .collect().map(r => (r.getAs[Long]("vec_a"),
+          r.getAs[Long]("vec_b"), r.getAs[Double]("cos")))
+      assert(got0.length === got0.toSet.size,
+        s"seed $seed: a pair was emitted more than once")
+      val rows = keyed.collect().map { r =>
+        r.getAs[Long]("vec_id") -> ((r.getAs[Long]("cell_id"),
+          r.getAs[Long]("cell2"), r.getAs[Long]("dbucket"),
+          r.getAs[Long]("bucket"),
+          r.getAs[scala.collection.Seq[Double]]("v").toSeq))
+      }.toMap
+      // the kernel's top-2 vs an independent full ranking (ties have
+      // probability zero under the Gaussian draw; the deterministic
+      // tie order is pinned by the VectorExpressionsSpec fixtures)
+      for ((id, (c1, c2, _, _, v)) <- rows) {
+        val ranked = seeds.map { case (cid, cv) => (cid, cosine(v, cv)) }
+          .sortBy { case (cid, c) => (-c, cid) }.map(_._1)
+        assert((c1, c2) === ((ranked(0), ranked(1))),
+          s"seed $seed: kernel top-2 diverged for vec $id")
+      }
+      // brute-force blocked reference over the collected table
+      val ids = rows.keys.toSeq.sorted
+      val expected = (for {
+        ai <- ids.indices.iterator
+        bi <- (ai + 1) until ids.length
+        a = ids(ai); b = ids(bi)
+        (c1a, c2a, dba, bka, va) = rows(a)
+        (c1b, c2b, dbb, bkb, vb) = rows(b)
+        if (Set(c1a, c2a) & Set(c1b, c2b)).nonEmpty
+        if bka == bkb
+        if (dba & 15L) == (dbb & 15L) || (dba >> 4) == (dbb >> 4)
+        c = cosine(va, vb)
+        if c >= minCos
+      } yield (a, b, r4(c))).toSet
+      assert(got0.toSet === expected,
+        s"seed $seed: board != blocked reference — missing " +
+          s"${expected -- got0.toSet}, extra ${got0.toSet -- expected}")
+      // the draw really exercised the multi-probe stratum: some
+      // expected pair's endpoints sit in DIFFERENT primary cells
+      assert(expected.exists { case (a, b, _) =>
+        rows(a)._1 != rows(b)._1 },
+        s"seed $seed: no cross-primary-cell pair drawn")
+      assert(expected.nonEmpty, s"seed $seed: empty board proves nothing")
+    }
+  }
 }
