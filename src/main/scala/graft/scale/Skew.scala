@@ -183,24 +183,34 @@ object Skew extends QueryModule {
     if (!materialize) routed(cnts.filter(col("__df") > hotDf), bcast = true)
     else {
       // ONE action computes the counts, keeps only the ≤ n/hotDf hot
-      // keys, materializes them AND reads their count: the tiny table
-      // rides an RDD-level persist (ContextCleaner-managed, the same
-      // GC lifecycle as localCheckpoint — a Dataset-level cache would
-      // pin the plan in the CacheManager for the whole session) and
-      // `count()` is the action that populates it. The round-15 flow
+      // keys, materializes them AND reads their count: a long
+      // accumulator fires inside the checkpoint action's own pass, so
+      // the routing read costs zero extra jobs. The round-15 flow
       // paid a checkpoint job AND a count job here — per consumer,
-      // that extra job was the q28 sequential floor. An AQE-style
-      // read either way: the result set is identical on every route,
-      // only the plan adapts. Callers passing `counts` promise a
-      // cheap re-scan, so their count() is one small job unpersisted.
+      // that extra job was the q28 sequential floor. (A first cut
+      // rode an RDD-level persist + rdd.count() instead; measured, the
+      // per-call Dataset→RDD bridge degraded the whole PROCESS
+      // progressively — a 178-query sequential board saw late heavy
+      // queries inflate 4-6×, flat again the moment the bridge was
+      // removed. The accumulator keeps the one-action economy inside
+      // the Dataset layer.) Accumulator caveat, acceptable here: a
+      // retried/recomputed task double-counts — zero-detection stays
+      // exact (a no-row task adds nothing), and an overcount can only
+      // flip the broadcast/shuffle attach choice, both of which are
+      // correct routes. An AQE-style read either way: the result set
+      // is identical on every route, only the plan adapts. Callers
+      // passing `counts` promise a cheap re-scan, so their count() is
+      // one small job unpersisted.
       val hotKeys0 = cnts.filter(col("__df") > hotDf)
       val (hotKeys, nHot) =
         if (counts.isDefined) (hotKeys0, hotKeys0.count())
         else {
-          val rdd = hotKeys0.rdd
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          (rows0.sparkSession.createDataFrame(rdd, hotKeys0.schema),
-            rdd.count())
+          val acc = rows0.sparkSession.sparkContext.longAccumulator
+          val hk = hotKeys0.mapPartitions { it =>
+            it.map { r => acc.add(1L); r }
+          }(org.apache.spark.sql.Encoders.row(hotKeys0.schema))
+            .toDF().coreCheckpoint() // eager: populates the accumulator
+          (hk, acc.value.longValue)
         }
       if (nHot == 0L) plainPairs(rows) // no hot key: the plain join
       else routed(hotKeys, bcast = nHot <= HotKeyBroadcastLimit)
