@@ -1166,7 +1166,11 @@ object Dedup extends QueryModule {
     * decomposition): referee recall 0.585 → 0.852 at sf0.001,
     * 0.543 → 0.834 at sf0.1, at ~3.5× the candidate volume (2.24M vs
     * 0.63M at sf0.1), still 5.6× under quadratic — the q177 probe2
-    * rows price it in-gate.
+    * rows price it in-gate. The residual loss INVERTS the single-probe
+    * decomposition (measured sf0.001: of 35 missed referee pairs, 29
+    * are cross-BAND and only 6 cross-cell beyond top-2) — so the next
+    * dial on this chain is band width/count (more, narrower bands of
+    * the diff planes), not a third probe.
     *
     * Exactly-once without a distinct: the probe explode lands a pair
     * in every shared cell × matching band, so each arm keeps only
