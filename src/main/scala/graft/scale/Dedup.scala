@@ -1170,7 +1170,15 @@ object Dedup extends QueryModule {
     * decomposition (measured sf0.001: of 35 missed referee pairs, 29
     * are cross-BAND and only 6 cross-cell beyond top-2) — so the next
     * dial on this chain is band width/count (more, narrower bands of
-    * the diff planes), not a third probe.
+    * the diff planes), not a third probe. That dial's frontier is
+    * priced (sf0.1, oracle-side sweep over the same keyed table):
+    * two 4-bit bands 0.834 recall @ 2.24M candidates, two 3-bit
+    * 0.890 @ 3.08M, four 2-bit 0.962 @ 8.37M, eight 1-bit 0.963 @
+    * 22.95M vs 12.50M quadratic — on a corpus THIS concentrated the
+    * band dial saturates near-quadratic past ~0.9 recall, which is
+    * the honest ceiling of any sign-plane OR-construction here; a
+    * 100 TB operator picks the recall/volume point, the geometry is
+    * a plan constant either way.
     *
     * Exactly-once without a distinct: the probe explode lands a pair
     * in every shared cell × matching band, so each arm keeps only
