@@ -141,6 +141,86 @@ object BuildContext {
   def deleteRecursive(p: Path): Unit = TableIO.deleteRecursive(p)
 }
 
+/** One CPython interpreter running the reference's ACTUAL V2 check —
+  * `ast.parse` + `compile` + an `ast.walk` collecting `test_`
+  * FunctionDefs (`validators.py:194-219`, messages mirrored verbatim
+  * incl. the `line {lineno}: {msg}\n{text}` syntax-error shape and the
+  * walk finding NESTED test functions the top-level regex cannot).
+  *
+  * Protocol: lockstep base64 lines over stdin/stdout — one request,
+  * one `<0|1>\t<b64 message>\t<comma-joined names>` response, flushed
+  * per row, so a long-lived process serves a whole partition with no
+  * temp files and bounded memory. This is the executor-side shape of
+  * every "call a local model/tool per row" pipeline stage: ONE
+  * interpreter per partition, rows streamed through it, never a
+  * process per row (fork cost) and never a file handoff (IO + cleanup).
+  *
+  * Needs a CPython on the executor image (`python3` by default) — the
+  * same class of dependency as the docker CLI for V1/V4, and the
+  * reason the zero-dependency lexical kernel
+  * ([[graft.functions.PySyntaxKernel]]) stays the scan-side gate. */
+final class PyGrammarChecker(python: String = "python3") {
+  import java.nio.charset.StandardCharsets.UTF_8
+
+  private val script =
+    """import sys, ast, base64
+      |for line in sys.stdin:
+      |    s = line.strip()
+      |    code = base64.b64decode(s).decode("utf-8") if s else ""
+      |    try:
+      |        tree = ast.parse(code, filename="test_functions")
+      |        compile(tree, "test_functions", "exec")
+      |        ns = [n.name for n in ast.walk(tree)
+      |              if isinstance(n, ast.FunctionDef) and n.name.startswith("test_")]
+      |        if not ns:
+      |            ok, msg = False, "No test functions found (functions should start with 'test_')"
+      |        else:
+      |            ok, msg = True, "Found %d test functions" % len(ns)
+      |    except SyntaxError as e:
+      |        ok, msg, ns = False, "Python syntax error at line %s: %s\n%s" % (e.lineno, e.msg, e.text), []
+      |    except Exception as e:
+      |        ok, msg, ns = False, "Python compilation error: %s" % str(e), []
+      |    sys.stdout.write(("1" if ok else "0") + "\t" +
+      |        base64.b64encode(msg.encode("utf-8")).decode("ascii") + "\t" +
+      |        ",".join(ns) + "\n")
+      |    sys.stdout.flush()
+      |""".stripMargin
+
+  private lazy val proc = {
+    val pb = new ProcessBuilder(python, "-c", script)
+    pb.redirectErrorStream(false)
+    pb.start()
+  }
+  private lazy val writer = new java.io.BufferedWriter(
+    new java.io.OutputStreamWriter(proc.getOutputStream, UTF_8))
+  private lazy val reader = new java.io.BufferedReader(
+    new java.io.InputStreamReader(proc.getInputStream, UTF_8))
+
+  /** (valid, message, test function names) for one source blob. */
+  def check(code: String): (Boolean, String, Seq[String]) = {
+    writer.write(java.util.Base64.getEncoder.encodeToString(
+      Option(code).getOrElse("").getBytes(UTF_8)))
+    writer.newLine(); writer.flush()
+    val line = reader.readLine()
+    if (line == null) sys.error(
+      s"$python grammar checker exited (code ${proc.exitValue()})")
+    val parts = line.split("\t", -1)
+    val msg = new String(java.util.Base64.getDecoder.decode(parts(1)), UTF_8)
+    val names =
+      if (parts(2).isEmpty) Seq.empty[String]
+      else parts(2).split(",").toSeq
+    (parts(0) == "1", msg, names)
+  }
+
+  def close(): Unit = {
+    try writer.close() catch { case _: Exception => () }
+    try {
+      if (!proc.waitFor(10, java.util.concurrent.TimeUnit.SECONDS))
+        proc.destroyForcibly()
+    } catch { case _: Exception => proc.destroyForcibly() }
+  }
+}
+
 /** Real subprocess runner with per-task timeout (P5;
   * `validate_all_prod_dps.py:34,57-85` — 10 min default). */
 class SubprocessRunner extends ProcessRunner {
@@ -213,6 +293,41 @@ object Validators {
           array(problematic.map(lit): _*))))
   }
 
+  /** GRAMMAR-level V2 over a table — the reference's actual
+    * `_validate_python_syntax` (`validators.py:194-219`) run
+    * distributedly: appends `py_valid`, `py_message` and
+    * `py_test_names` (the ast-walk names, nested test functions
+    * included) to every row. ONE CPython per partition, rows streamed
+    * through it lockstep ([[PyGrammarChecker]]); cleanup rides the
+    * task-completion listener so a failed task never leaks the
+    * interpreter. Strictly stronger than the scan-side lexical kernel
+    * (everything [[graft.functions.PySyntaxExpression]] rejects fails
+    * `ast.parse` too — spec-pinned), which remains the
+    * zero-dependency gate for environments without a python on the
+    * executor image. */
+  def pyCompileCheck(df: DataFrame, codeCol: String = "test_functions",
+                     python: String = "python3"): DataFrame = {
+    import org.apache.spark.sql.types._
+    val outSchema = df.schema
+      .add("py_valid", BooleanType)
+      .add("py_message", StringType)
+      .add("py_test_names", ArrayType(StringType, containsNull = false))
+    val idx = df.schema.fieldIndex(codeCol)
+    val ds = df.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val checker = new PyGrammarChecker(python)
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => checker.close()))
+        it.map { row =>
+          val (ok, msg, names) = checker.check(row.getString(idx))
+          org.apache.spark.sql.Row.fromSeq(row.toSeq ++ Seq(ok, msg, names))
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    ds.toDF()
+  }
+
   // ---- pytest output parsing (A6/C9) ----
 
   private val collectedRe: Regex = """collected (\d+) items?""".r
@@ -258,7 +373,8 @@ object Validators {
     */
   def validateAll(spark: SparkSession, dps: DataFrame, runner: ProcessRunner,
                   workers: Int = 4, execTimeoutSec: Int = 600,
-                  runDocker: Boolean = true): Dataset[ValidationReport] = {
+                  runDocker: Boolean = true,
+                  pythonGrammar: Option[String] = None): Dataset[ValidationReport] = {
     import spark.implicits._
     val afCol =
       if (dps.columns.contains("additional_files")) col("additional_files")
@@ -270,18 +386,32 @@ object Validators {
       col("weights_valid"), col("w_sum"),
       col("missing_weights"), col("extra_weights"))
     pure.repartition(workers).mapPartitions { rows =>
+      // grammar-level V2 when an interpreter is available: the
+      // reference's ast.parse + compile verdict replaces the
+      // lexical-only one; one interpreter per partition, closed with
+      // the task (the [[pyCompileCheck]] shape inlined into the chain)
+      val grammar = pythonGrammar.map { py =>
+        val c = new PyGrammarChecker(py)
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => c.close()))
+        c
+      }
       rows.map { r =>
         val taskId = r.getAs[String]("task_id")
         val v1lint = StageResult("dockerfile_lint", r.getAs[Boolean]("dockerfile_ok"),
           if (r.getAs[Boolean]("dockerfile_ok")) "dependency lint ok"
           else "missing FROM or tmux/asciinema deps")
-        val v2 = {
-          val lexErr = r.getAs[String]("syntax_err")
-          StageResult("test_syntax", r.getAs[Boolean]("syntax_ok"),
-            if (lexErr != null) lexErr
-            else s"${r.getAs[Int]("n_tests")} test function(s) found " +
-              "(lexically clean; grammar-level validity is confirmed by " +
-              "the container run, SURVEY §7.4.5)")
+        val v2 = grammar match {
+          case Some(c) =>
+            val (ok, msg, _) = c.check(r.getAs[String]("test_functions"))
+            StageResult("test_syntax", ok, msg)
+          case None =>
+            val lexErr = r.getAs[String]("syntax_err")
+            StageResult("test_syntax", r.getAs[Boolean]("syntax_ok"),
+              if (lexErr != null) lexErr
+              else s"${r.getAs[Int]("n_tests")} test function(s) found " +
+                "(lexically clean; grammar-level validity is confirmed by " +
+                "the container run, SURVEY §7.4.5)")
         }
         val v3 = StageResult("test_weights", r.getAs[Boolean]("weights_valid"),
           if (r.getAs[Boolean]("weights_valid")) "weights valid"

@@ -287,6 +287,104 @@ class ValidatorsSpec extends SparkSpec {
     assert(errs.isEmpty, s"false positives: ${errs.mkString("; ")}")
   }
 
+  private def pythonAvailable: Boolean =
+    try new ProcessBuilder("python3", "--version").start()
+      .waitFor(10, java.util.concurrent.TimeUnit.SECONDS)
+    catch { case _: Exception => false }
+
+  test("V2 grammar gate (pyCompileCheck): catches lexically-clean " +
+    "grammatical errors with the reference's exact messages, finds " +
+    "test names by ast walk, and never false-positives on the tricky " +
+    "valid battery") {
+    assume(pythonAvailable, "no python3 on PATH — grammar gate untestable")
+    import spark.implicits._
+    val rows = Seq(
+      // lexically clean (balanced, terminated, consistent indent) but
+      // grammatically invalid — the exact SURVEY §7.4.5 stratum the
+      // lexical kernel documents as out of reach
+      ("doubleeq", "def test_a():\n    x = = 1\n"),
+      ("retmod", "def test_b():\n    pass\nreturn 1\n"),
+      ("nonlocal", "def test_c():\n    nonlocal missing\n"),
+      // grammatical and carrying test functions -> valid
+      ("good", "def test_d():\n    assert True\n\ndef test_e():\n    pass\n"),
+      // grammatical but no test_ functions -> the reference's no-test message
+      ("notests", "def helper():\n    pass\n"),
+      // null code cell: treated as empty source
+      ("nullcode", null: String)
+    ).toDF("task_id", "test_functions")
+    val got = Validators.pyCompileCheck(rows)
+      .select("task_id", "py_valid", "py_message", "py_test_names")
+      .collect().map(r => r.getString(0) ->
+        ((r.getBoolean(1), r.getString(2), r.getSeq[String](3)))).toMap
+    for (k <- Seq("doubleeq", "retmod", "nonlocal")) {
+      assert(!got(k)._1, s"$k should fail the grammar gate")
+      assert(got(k)._2.startsWith("Python syntax error at line "),
+        s"$k message diverged: ${got(k)._2}")
+    }
+    // and the lexical kernel passes all three (the documented gap,
+    // now closed by the grammar gate)
+    val lex = pureChecks(rows.limit(3)
+        .withColumn("dockerfile", lit("FROM x\nRUN tmux asciinema"))
+        .withColumn("test_weights", lit("{}")))
+      .select("task_id", "syntax_err").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    for (k <- Seq("doubleeq", "retmod", "nonlocal"))
+      assert(lex(k).isEmpty, s"$k unexpectedly caught lexically: ${lex(k)}")
+    assert(got("good")._1 && got("good")._2 == "Found 2 test functions" &&
+      got("good")._3.toSet == Set("test_d", "test_e"))
+    assert(!got("notests")._1 && got("notests")._2 ==
+      "No test functions found (functions should start with 'test_')")
+    assert(!got("nullcode")._1)
+    // containment: everything the lexical battery rejects fails
+    // ast.parse too (lexical ⊆ grammar, the soundness direction)
+    val lexBad = Seq(
+      "def test_a(:\n  assert ((1 == 1\n",
+      "def test_b():\n  \"\"\"doc never ends\n  assert True\n",
+      "def test_c():\n\tx = 1\n        y = 2\n",
+      "def test_f():\n    if True:\n        x = 1\n      y = 2\n",
+      "def test_d():\n  s = 'broken\n  assert True\n")
+      .zipWithIndex.map { case (s, i) => (s"bad$i", s) }
+      .toDF("task_id", "test_functions")
+    val badGot = Validators.pyCompileCheck(lexBad)
+      .select("py_valid").collect().map(_.getBoolean(0))
+    assert(badGot.forall(!_), "a lexically-rejected snippet passed ast.parse")
+    // completeness direction: the tricky VALID battery stays valid
+    val tricky = Seq(
+      "def test_a():\n  s = \")]}\"\n  t = '([{'\n  assert s + t\n",
+      "def test_c():\n  s = 'don\\'t'\n  # comment with ( unbalanced\n  assert s\n",
+      "def test_d():\n  x = 1 + \\\n \t2\n  assert x == 3\n",
+      "def test_g():\n \tassert True\n",
+      "def test_foo(\n        a):\n    assert a\n",
+      "def test_crlf():\r\n    if True:\r\n  \r\n        assert True\r\n",
+      "def test_k():\r    assert True\r")
+      .zipWithIndex.map { case (s, i) => (s"ok$i", s) }
+      .toDF("task_id", "test_functions")
+    val okGot = Validators.pyCompileCheck(tricky)
+      .select("task_id", "py_valid", "py_message").collect()
+      .filter(!_.getBoolean(1)).map(r => r.getString(0) + ": " + r.getString(2))
+    assert(okGot.isEmpty, s"grammar-gate false positives: ${okGot.mkString("; ")}")
+  }
+
+  test("validateAll with pythonGrammar: the V2 stage is the reference's " +
+    "ast verdict — a lexically-clean malformed statement now fails in " +
+    "V2, not only in V4's container run") {
+    assume(pythonAvailable, "no python3 on PATH — grammar gate untestable")
+    import spark.implicits._
+    val dps = Seq(
+      ("sick", "FROM x\nRUN tmux asciinema",
+        "def test_a():\n    x = = 1\n", """{"test_a":1.0}"""),
+      ("well", "FROM x\nRUN tmux asciinema",
+        "def test_b():\n    assert True\n", """{"test_b":1.0}"""))
+      .toDF("task_id", "dockerfile", "test_functions", "test_weights")
+    val v2 = validateAll(spark, dps, new FakeRunner(Map.empty),
+        runDocker = false, pythonGrammar = Some("python3"))
+      .collect().map(r => r.task_id ->
+        r.stages.find(_.stage == "test_syntax").get).toMap
+    assert(!v2("sick").valid &&
+      v2("sick").message.startsWith("Python syntax error at line "))
+    assert(v2("well").valid && v2("well").message == "Found 1 test functions")
+  }
+
   test("real docker integration (opt-in: set GRAFT_DOCKER=1 where a " +
     "daemon exists; sandbox has none)") {
     assume(sys.env.get("GRAFT_DOCKER").contains("1"),
