@@ -1128,6 +1128,10 @@ object Curation extends QueryModule {
     "q178_media_neardup_probe2" -> ((s, d) =>
       Dedup.embeddingNearDupCelled2From(gateMediaKeyed(s, d),
         Multimodal.MediaNearDupMinCos, inputMaterialized = true)),
+    // real-codec pixel round-trip: bytes -> true PNG -> javax.imageio
+    // decode -> exact pixel stats, hash-certified against byte math
+    "q179_pixel_decode" -> ((s, d) =>
+      Multimodal.pixelDecodeBoard(s, T.documents(s, d))),
     // semantic-diversity cap: best-quality k docs per embedding cell —
     // rides the memoized quality core in a batch run
     "q132_cell_balanced" -> ((s, d) =>
@@ -1821,6 +1825,38 @@ object Curation extends QueryModule {
          |SELECT 'probe2_band1', COUNT(*), MAX(d),
          |  CAST(SUM(d*(d-1)//2) AS BIGINT), (SELECT n*(n-1)//2 FROM tot)
          |FROM p1""".stripMargin,
+    // the real-codec pixel board: the oracle recomputes the decoded
+    // stats from the SOURCE bytes (hex-slice CTE) — the hash match IS
+    // the certification that the PNG encode/decode round-trip was
+    // bit-exact (gray pixels: sum_r = sum_g = sum_b = Σ bytes;
+    // padding pixels are 0, so min collapses to 0 whenever w·h > n)
+    "q179_pixel_decode" -> {
+      val w = Multimodal.PixelWidth
+      s"""WITH a AS (SELECT doc_id AS asset_id, hex(encode(text)) AS h
+         |           FROM documents),
+         |b AS (SELECT asset_id,
+         |    CAST(('0x' || substring(h, CAST(2*i - 1 AS INTEGER), 2))
+         |      AS INTEGER) AS byte
+         |  FROM a, unnest(range(1, 1 + length(h) // 2)) t(i)),
+         |s AS (SELECT asset_id, COUNT(*) AS n, SUM(byte) AS sumb,
+         |        MIN(byte) AS minb, MAX(byte) AS maxb
+         |      FROM b GROUP BY 1),
+         |d AS (SELECT a.asset_id, COALESCE(s.n, 0) AS n,
+         |        COALESCE(s.sumb, 0) AS sumb, s.minb, s.maxb
+         |      FROM a LEFT JOIN s USING (asset_id)),
+         |f AS (SELECT asset_id, $w AS width,
+         |        GREATEST(1, (n + $w - 1) // $w) AS height, n, sumb,
+         |        minb, maxb
+         |      FROM d)
+         |SELECT asset_id, CAST(width AS INTEGER) AS width,
+         |  CAST(height AS INTEGER) AS height,
+         |  CAST(sumb AS BIGINT) AS sum_r, CAST(sumb AS BIGINT) AS sum_g,
+         |  CAST(sumb AS BIGINT) AS sum_b,
+         |  CAST(CASE WHEN width * height > n THEN 0 ELSE minb END
+         |    AS INTEGER) AS min_c,
+         |  CAST(COALESCE(maxb, 0) AS INTEGER) AS max_c
+         |FROM f""".stripMargin
+    },
     // the multi-probe pair board: DISTINCT over shared probe cells
     // restates the Scala side's min-shared-cell exactly-once emission
     "q178_media_neardup_probe2" ->

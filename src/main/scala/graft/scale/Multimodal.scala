@@ -18,16 +18,20 @@ case class MediaMeta(asset_id: Long, kind: String, width: Int, height: Int,
   * — partitioned, predicate-pushed, shuffled by key.
   *
   * Container HEADERS decode for real (PNG/JPEG/GIF/BMP/WAV/MP4 byte
-  * parses below); full pixel/sample decode needs codec libraries that
-  * are NOT in this container, so the pixel-level decode kernel is a
-  * clearly-marked deterministic STUB ([[stubDecode]]) — the one
-  * remaining environment-bound seam. Feature extraction is NOT
+  * parses below), and IMAGE PIXEL decode is real too — the JDK
+  * bundles `javax.imageio` readers for PNG/JPEG/GIF/BMP, so
+  * [[decodePixelStats]] walks true decoded pixels and the q179 gate
+  * hash-certifies a full encode→decode round-trip against pure byte
+  * math. What remains environment-bound is AUDIO/VIDEO sample decode
+  * (codec libraries the JVM does not bundle): for those, and for any
+  * payload no bundled reader accepts, [[stubDecode]] is the
+  * clearly-marked deterministic fallback. Feature extraction is NOT
   * stubbed: [[byteHistogramFeatures]] is a certified deterministic
   * byte-level encoder with a hash-matching DuckDB oracle (q170).
   * Everything around the seam — the binary schema, the batched
   * mapPartitions plumbing, partitioning, the feature pipeline shape —
-  * is real and tested, and a real decoder drops in by replacing one
-  * function.
+  * is real and tested, and an audio/video decoder drops in by
+  * replacing one function.
   *
   * Scale notes:
   *  - assets are processed with `mapPartitions` so a real decoder
@@ -58,6 +62,103 @@ object Multimodal {
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (col("doc_id") % 3 + 1).cast(IntegerType)).as("kind"),
       encode(col("text"), "UTF-8").as("payload"))
+
+  /** Render raw bytes as a REAL 24-bit PNG through the JDK's own
+    * codec ([[javax.imageio.ImageIO]], headless-safe): pixel i of a
+    * `width`-wide image carries byte i as a gray value (R=G=B=byte),
+    * tail pixels pad with 0; at least one row, so empty payloads still
+    * render. PNG is lossless, so the pixels survive the encode/decode
+    * round-trip bit-exactly — the property the q179 gate hash-certifies
+    * end-to-end (encode HERE, decode in [[decodePixelStats]], stats
+    * reproduced by the oracle from the source bytes alone). */
+  private[graft] def renderPng(bytes: Array[Byte], width: Int = PixelWidth): Array[Byte] = {
+    val n = bytes.length
+    val h = math.max(1, (n + width - 1) / width)
+    val img = new java.awt.image.BufferedImage(
+      width, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var i = 0
+    while (i < width * h) {
+      val v = if (i < n) bytes(i) & 0xff else 0
+      img.setRGB(i % width, i / width, (v << 16) | (v << 8) | v)
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL pixel-level decode — the seam [[stubDecode]]'s scaladoc
+    * called environment-bound, closed for images with the JDK's
+    * bundled readers (PNG/JPEG/GIF/BMP via `javax.imageio`, no native
+    * libraries, headless-safe): decode the payload, walk every pixel
+    * once, return exact integer statistics
+    * (width, height, per-channel sums, min/max over all channels).
+    * None when no bundled reader accepts the payload (the synthetic
+    * text-byte assets, truncated files) — callers fall back to the
+    * header parse / [[stubDecode]], which keeps the chain total. */
+  def decodePixelStats(payload: Array[Byte])
+      : Option[(Int, Int, Long, Long, Long, Int, Int)] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      val (w, h) = (img.getWidth, img.getHeight)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var mn = 255; var mx = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+          sr += r; sg += g; sb += b
+          val lo = math.min(r, math.min(g, b)); val hi = math.max(r, math.max(g, b))
+          if (lo < mn) mn = lo
+          if (hi > mx) mx = hi
+          x += 1
+        }
+        y += 1
+      }
+      Some((w, h, sr, sg, sb, mn, mx))
+    }
+  }
+
+  /** q179's image geometry: bytes per pixel row. */
+  val PixelWidth: Int = 64
+
+  /** q179: the certified real-codec pixel board — every document's
+    * bytes rendered as a true PNG ([[renderPng]]) and decoded back
+    * through `javax.imageio` ([[decodePixelStats]]), one row of exact
+    * pixel statistics per asset. The DuckDB oracle recomputes the
+    * stats from the SOURCE bytes (hex-slice CTE, the q170 machinery)
+    * — a hash match certifies the whole codec round-trip: encoder,
+    * decoder, padding semantics and channel order all agree
+    * bit-exactly. This closes the "pixel decode is environment-bound"
+    * carryover for images: the decode is the JDK's real PNG codec,
+    * not a stub; what remains environment-bound is only audio/video
+    * sample decode (codec libraries the JVM does not bundle).
+    *
+    * Scale shape: one mapPartitions pass, codec context per executor,
+    * no joins, no shuffle — the board runs at scan speed, and the
+    * PNG blobs live only inside the partition iterator (never
+    * materialized to a column), so memory is one image at a time. */
+  def pixelDecodeBoard(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val bytes = Option(text).getOrElse("")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val (w, h, sr, sg, sb, mn, mx) =
+            decodePixelStats(renderPng(bytes)).getOrElse(
+              sys.error(s"JDK PNG round-trip failed for asset $id"))
+          (id, w, h, sr, sg, sb, mn, mx)
+        }
+      }
+      .toDF("asset_id", "width", "height", "sum_r", "sum_g", "sum_b",
+        "min_c", "max_c")
+  }
 
   /** Columnar (codegen'd) metadata that needs no decoder: size, hash,
     * magic-byte sniff. This is the fast path — runs at scan speed and

@@ -413,6 +413,56 @@ class MultimodalSpec extends SparkSpec {
     assert(p.contains((41L, 42L, 1.0)), s"planted dup missing: $p")
   }
 
+  test("pixelDecodeBoard (q179): the JDK PNG round-trip is bit-exact — " +
+    "decoded pixel stats equal byte math on crafted patterns, padding " +
+    "collapses min to zero, channel order is certified on a non-gray " +
+    "image, and corrupt payloads decode to None") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    // exact-fit payload (64 bytes = one full row, no padding): min is
+    // the true byte min, sums are Σ bytes on every channel
+    val exact = Array.tabulate(64)(i => (i * 4 + 1).toByte) // 1..253, no 0
+    val Some((w1, h1, sr1, sg1, sb1, mn1, mx1)) =
+      Multimodal.decodePixelStats(Multimodal.renderPng(exact))
+    val sum = exact.map(_ & 0xff).map(_.toLong).sum
+    assert((w1, h1) === ((64, 1)))
+    assert(sr1 === sum && sg1 === sum && sb1 === sum)
+    assert(mn1 === 1 && mx1 === 253)
+    // padded payload (65 bytes -> 2 rows, 63 zero pixels): min drops
+    // to 0, sums unchanged by the zero padding
+    val padded = exact :+ 0xff.toByte
+    val Some((w2, h2, sr2, _, _, mn2, mx2)) =
+      Multimodal.decodePixelStats(Multimodal.renderPng(padded))
+    assert((w2, h2) === ((64, 2)))
+    assert(sr2 === sum + 255 && mn2 === 0 && mx2 === 255)
+    // empty payload renders a single all-zero row
+    assert(Multimodal.decodePixelStats(Multimodal.renderPng(Array.empty))
+      === Some((64, 1, 0L, 0L, 0L, 0, 0)))
+    // multi-byte UTF-8 text: stats equal byte math on the encoded form
+    val txt = "héllo 🎉".getBytes(UTF_8)
+    val Some((_, _, sr3, _, _, _, _)) =
+      Multimodal.decodePixelStats(Multimodal.renderPng(txt))
+    assert(sr3 === txt.map(_ & 0xff).map(_.toLong).sum)
+    // channel order: a non-gray 2×1 image written by ImageIO itself —
+    // red (255,0,0) then blue-ish (0,0,7); sums must land per channel
+    val img = new java.awt.image.BufferedImage(2, 1,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    img.setRGB(0, 0, 0xff0000); img.setRGB(1, 0, 0x000007)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    assert(Multimodal.decodePixelStats(bos.toByteArray)
+      === Some((2, 1, 255L, 0L, 7L, 0, 255)))
+    // corrupt payload: no bundled reader accepts it
+    assert(Multimodal.decodePixelStats("not an image".getBytes(UTF_8)).isEmpty)
+    // the board reproduces the per-asset stats over a real table
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq((7L, "abc"), (8L, "")).toDF("doc_id", "text")
+    val rows = Multimodal.pixelDecodeBoard(spark, docs).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(rows(7L) === Seq(64, 1, 294L, 294L, 294L, 0, 99)) // a+b+c, pad->0
+    assert(rows(8L) === Seq(64, 1, 0L, 0L, 0L, 0, 0))
+  }
+
   test("mediaNearDupCelled2 (q178): multi-probe reconciliation — the " +
     "board is EXACTLY the referee pairs sharing any probed cell and a " +
     "band, emitted exactly once, a strict superset of the single-probe " +
