@@ -1132,6 +1132,10 @@ object Curation extends QueryModule {
     // decode -> exact pixel stats, hash-certified against byte math
     "q179_pixel_decode" -> ((s, d) =>
       Multimodal.pixelDecodeBoard(s, T.documents(s, d))),
+    // real-PCM audio round-trip: bytes -> true 16-bit mono WAV ->
+    // sample decode -> exact sample stats, same certification shape
+    "q180_audio_decode" -> ((s, d) =>
+      Multimodal.audioDecodeBoard(s, T.documents(s, d))),
     // semantic-diversity cap: best-quality k docs per embedding cell —
     // rides the memoized quality core in a batch run
     "q132_cell_balanced" -> ((s, d) =>
@@ -1856,6 +1860,40 @@ object Curation extends QueryModule {
          |    AS INTEGER) AS min_c,
          |  CAST(COALESCE(maxb, 0) AS INTEGER) AS max_c
          |FROM f""".stripMargin
+    },
+    // the real-PCM audio board: byte PAIRS become signed 16-bit LE
+    // samples (odd tail pads a zero high byte); the oracle recomputes
+    // every statistic from the source bytes — the hash match certifies
+    // the RIFF writer, chunk walker, signed sample decode and padding
+    "q180_audio_decode" -> {
+      val rate = Multimodal.WavSampleRate
+      s"""WITH a AS (SELECT doc_id AS asset_id, hex(encode(text)) AS h
+         |           FROM documents),
+         |b AS (SELECT asset_id, i,
+         |    CAST(('0x' || substring(h, CAST(2*i - 1 AS INTEGER), 2))
+         |      AS INTEGER) AS byte
+         |  FROM a, unnest(range(1, 1 + length(h) // 2)) t(i)),
+         |lo AS (SELECT asset_id, (i - 1) // 2 AS k, byte FROM b
+         |       WHERE i % 2 = 1),
+         |hi AS (SELECT asset_id, (i - 2) // 2 AS k, byte FROM b
+         |       WHERE i % 2 = 0),
+         |sg AS (SELECT lo.asset_id, lo.k,
+         |    CASE WHEN lo.byte + 256 * COALESCE(hi.byte, 0) >= 32768
+         |      THEN lo.byte + 256 * COALESCE(hi.byte, 0) - 65536
+         |      ELSE lo.byte + 256 * COALESCE(hi.byte, 0) END AS s
+         |  FROM lo LEFT JOIN hi
+         |    ON hi.asset_id = lo.asset_id AND hi.k = lo.k),
+         |st AS (SELECT asset_id, COUNT(*) AS n, SUM(s) AS sum_s,
+         |        MIN(s) AS mn, MAX(s) AS mx,
+         |        SUM(CAST(s AS HUGEINT) * s) AS ss
+         |      FROM sg GROUP BY 1)
+         |SELECT a.asset_id, $rate AS rate,
+         |  CAST(COALESCE(st.n, 0) AS BIGINT) AS n_samples,
+         |  CAST(COALESCE(st.sum_s, 0) AS BIGINT) AS sum_s,
+         |  CAST(COALESCE(st.mn, 0) AS INTEGER) AS min_s,
+         |  CAST(COALESCE(st.mx, 0) AS INTEGER) AS max_s,
+         |  CAST(COALESCE(st.ss, 0) AS BIGINT) AS sum_sq
+         |FROM a LEFT JOIN st USING (asset_id)""".stripMargin
     },
     // the multi-probe pair board: DISTINCT over shared probe cells
     // restates the Scala side's min-shared-cell exactly-once emission

@@ -228,7 +228,15 @@ object Multimodal {
     * from which duration follows exactly. Returns None for non-RIFF
     * payloads — those fall back to [[stubDecode]]'s synthetic values.
     */
-  def decodeWavHeader(p: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+  def decodeWavHeader(p: Array[Byte]): Option[(Int, Int, Int, Long)] =
+    wavFmtData(p).map { case ((ch, rate, bits), (_, dl)) => (rate, ch, bits, dl) }
+
+  /** The RIFF chunk walk behind [[decodeWavHeader]] and
+    * [[decodeWavSamples]]: fmt (channels, rate, bits) plus the data
+    * chunk's OFFSET and length. Same malformed-container discipline
+    * (Long-math advance, in-bounds data length, word alignment). */
+  private def wavFmtData(p: Array[Byte])
+      : Option[((Int, Int, Int), (Int, Long))] = {
     def u32le(i: Int): Long = (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8) |
       ((p(i + 2) & 0xffL) << 16) | ((p(i + 3) & 0xffL) << 24)
     def u16le(i: Int): Int = (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
@@ -237,9 +245,9 @@ object Multimodal {
           p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E')) return None
     var i = 12
     var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
-    var dataLen: Option[Long] = None
+    var data: Option[(Int, Long)] = None    // (offset, length)
     var corrupt = false
-    while (!corrupt && i + 8 <= p.length && (fmt.isEmpty || dataLen.isEmpty)) {
+    while (!corrupt && i + 8 <= p.length && (fmt.isEmpty || data.isEmpty)) {
       val id = new String(p, i, 4, "US-ASCII")
       val len = u32le(i + 4)
       // fmt chunk: format(2) channels(2) rate(4) byterate(4) align(2) bits(2)
@@ -248,7 +256,7 @@ object Multimodal {
       // only trust a data length the payload can actually hold — a
       // corrupt 32-bit length would otherwise yield a days-long
       // duration for a tiny file
-      else if (id == "data" && len <= p.length - (i + 8)) dataLen = Some(len)
+      else if (id == "data" && len <= p.length - (i + 8)) data = Some((i + 8, len))
       // advance in Long math: a corrupt 32-bit length must not wrap to
       // a negative/zero step (infinite loop) or overflow the index —
       // treat it as a malformed container and stop walking
@@ -256,9 +264,98 @@ object Multimodal {
       if (next <= i || next > Int.MaxValue) corrupt = true
       else i = next.toInt
     }
-    if (corrupt && (fmt.isEmpty || dataLen.isEmpty)) return None
-    for { (ch, rate, bits) <- fmt; dl <- dataLen if rate > 0 && ch > 0 && bits > 0 }
-      yield (rate, ch, bits, dl)
+    if (corrupt && (fmt.isEmpty || data.isEmpty)) return None
+    for { f @ (ch, rate, bits) <- fmt; d <- data if rate > 0 && ch > 0 && bits > 0 }
+      yield (f, d)
+  }
+
+  /** q180's audio geometry: sample rate of the rendered PCM. */
+  val WavSampleRate: Int = 16000
+
+  /** Render raw bytes as a REAL 16-bit PCM mono WAV: consecutive byte
+    * PAIRS become little-endian signed samples (an odd tail byte gets
+    * a zero high byte), under a standard 44-byte RIFF/fmt/data header
+    * at [[WavSampleRate]]. PCM is uncompressed, so the samples survive
+    * the render→decode round-trip bit-exactly — the property the q180
+    * gate hash-certifies (render HERE, decode in
+    * [[decodeWavSamples]], stats reproduced by the oracle from the
+    * source bytes alone). */
+  private[graft] def renderWav(bytes: Array[Byte],
+                               rate: Int = WavSampleRate): Array[Byte] = {
+    val n = bytes.length
+    val dataLen = n + (n & 1)
+    val out = new Array[Byte](44 + dataLen)
+    def tag(i: Int, s: String): Unit = {
+      var k = 0; while (k < s.length) { out(i + k) = s.charAt(k).toByte; k += 1 }
+    }
+    def u32(i: Int, v: Long): Unit = { var k = 0
+      while (k < 4) { out(i + k) = ((v >> (8 * k)) & 0xff).toByte; k += 1 } }
+    def u16(i: Int, v: Int): Unit = {
+      out(i) = (v & 0xff).toByte; out(i + 1) = ((v >> 8) & 0xff).toByte }
+    tag(0, "RIFF"); u32(4, 36L + dataLen); tag(8, "WAVE")
+    tag(12, "fmt "); u32(16, 16L); u16(20, 1); u16(22, 1) // PCM, mono
+    u32(24, rate.toLong); u32(28, rate.toLong * 2)        // byte rate
+    u16(32, 2); u16(34, 16)                               // align, bits
+    tag(36, "data"); u32(40, dataLen.toLong)
+    System.arraycopy(bytes, 0, out, 44, n)
+    out
+  }
+
+  /** REAL PCM sample decode — closes the audio half of the decode
+    * seam for UNCOMPRESSED audio, no codec library required: walk the
+    * RIFF container ([[wavFmtData]]), read every 16-bit little-endian
+    * signed sample, return exact integer statistics (rate, sample
+    * count, sum, min, max, Σ s² — the RMS numerator, exact in a
+    * Long). Mono 16-bit only (the rendered contract); multi-channel
+    * or other bit depths return None and ride the header-only path —
+    * as do non-RIFF payloads. Compressed audio (MP3/AAC) remains the
+    * genuinely environment-bound seam. */
+  def decodeWavSamples(p: Array[Byte])
+      : Option[(Int, Long, Long, Int, Int, Long)] =
+    wavFmtData(p).flatMap { case ((ch, rate, bits), (off, dl)) =>
+      if (ch != 1 || bits != 16) None
+      else {
+        val n = (dl / 2L).toInt // a malformed odd data length floors
+        var sum = 0L; var ss = 0L
+        var mn = Int.MaxValue; var mx = Int.MinValue
+        var i = 0
+        while (i < n) {
+          // high byte is SIGNED: Byte→Int sign-extension << 8 gives
+          // the two's-complement 16-bit value directly
+          val s = (p(off + 2 * i + 1).toInt << 8) | (p(off + 2 * i) & 0xff)
+          sum += s; ss += s.toLong * s
+          if (s < mn) mn = s
+          if (s > mx) mx = s
+          i += 1
+        }
+        if (n == 0) Some((rate, 0L, 0L, 0, 0, 0L))
+        else Some((rate, n.toLong, sum, mn, mx, ss))
+      }
+    }
+
+  /** q180: the certified real-PCM audio board — every document's bytes
+    * rendered as a true 16-bit mono WAV ([[renderWav]]) and decoded
+    * back sample-by-sample ([[decodeWavSamples]]); the DuckDB oracle
+    * recomputes the statistics from the SOURCE byte pairs alone, so a
+    * hash match certifies the container writer, the chunk walker, the
+    * signed little-endian sample decode and the odd-tail padding all
+    * agree bit-exactly. Same scale shape as q179: one mapPartitions
+    * pass, no joins, no shuffle; WAV blobs never leave the iterator. */
+  def audioDecodeBoard(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val bytes = Option(text).getOrElse("")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val (rate, n, sum, mn, mx, ss) =
+            decodeWavSamples(renderWav(bytes)).getOrElse(
+              sys.error(s"PCM round-trip failed for asset $id"))
+          (id, rate, n, sum, mn, mx, ss)
+        }
+      }
+      .toDF("asset_id", "rate", "n_samples", "sum_s", "min_s", "max_s",
+        "sum_sq")
   }
 
   /** REAL video-header decode for MP4 / ISO-BMFF containers — pure

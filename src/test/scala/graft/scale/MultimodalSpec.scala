@@ -463,6 +463,47 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(8L) === Seq(64, 1, 0L, 0L, 0L, 0, 0))
   }
 
+  test("audioDecodeBoard (q180): the PCM round-trip is bit-exact — " +
+    "signed 16-bit LE samples decode to byte math, odd tails pad a " +
+    "zero high byte, the header parses back, and non-mono-16-bit " +
+    "payloads fall back to None") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    // two full samples: (0x01, 0x02) -> 0x0201 = 513; (0xff, 0xff) -> -1
+    val b = Array[Byte](0x01, 0x02, 0xff.toByte, 0xff.toByte)
+    val wav = Multimodal.renderWav(b)
+    assert(Multimodal.decodeWavSamples(wav)
+      === Some((16000, 2L, 512L, -1, 513, 513L * 513 + 1)))
+    // the rendered container parses through the existing header path
+    assert(Multimodal.decodeWavHeader(wav) === Some((16000, 1, 16, 4L)))
+    // odd tail: 0x80 alone pads a zero high byte -> sample 128
+    assert(Multimodal.decodeWavSamples(
+        Multimodal.renderWav(Array(0x80.toByte)))
+      === Some((16000, 1L, 128L, 128, 128, 128L * 128)))
+    // a high byte >= 0x80 makes the sample negative: (0x00, 0x80) -> -32768
+    assert(Multimodal.decodeWavSamples(
+        Multimodal.renderWav(Array(0x00, 0x80.toByte)))
+      === Some((16000, 1L, -32768L, -32768, -32768, 32768L * 32768)))
+    // empty payload: zero samples, all-zero stats
+    assert(Multimodal.decodeWavSamples(Multimodal.renderWav(Array.empty))
+      === Some((16000, 0L, 0L, 0, 0, 0L)))
+    // a non-16-bit fmt falls back to the header-only path (byte 34 is
+    // the bits/sample field of the rendered header)
+    val eightBit = wav.clone(); eightBit(34) = 8
+    assert(Multimodal.decodeWavSamples(eightBit).isEmpty)
+    assert(Multimodal.decodeWavHeader(eightBit).isDefined)
+    // non-RIFF payloads decode to None
+    assert(Multimodal.decodeWavSamples("not audio".getBytes(UTF_8)).isEmpty)
+    // the board reproduces per-asset stats over a real table: "ab" ->
+    // one sample 0x6261 = 25185; "" -> zero samples
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq((1L, "ab"), (2L, "")).toDF("doc_id", "text")
+    val rows = Multimodal.audioDecodeBoard(spark, docs).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(rows(1L) === Seq(16000, 1L, 25185L, 25185, 25185, 25185L * 25185))
+    assert(rows(2L) === Seq(16000, 0L, 0L, 0, 0, 0L))
+  }
+
   test("mediaNearDupCelled2 (q178): multi-probe reconciliation — the " +
     "board is EXACTLY the referee pairs sharing any probed cell and a " +
     "band, emitted exactly once, a strict superset of the single-probe " +
