@@ -384,6 +384,21 @@ class PlanAuditSpec extends SparkSpec {
       s"expected the materialized keyed core:\n$plan")
   }
 
+  test("q179/q180 codec round-trip boards run at scan speed: one " +
+    "mapPartitions pass, zero exchanges, zero joins") {
+    val docs = graft.Tables.documents(spark, sf)
+    for (board <- Seq(
+        graft.scale.Multimodal.pixelDecodeBoard(spark, docs),
+        graft.scale.Multimodal.audioDecodeBoard(spark, docs))) {
+      val plan = planOf(board)
+      assert(!plan.contains("Exchange"),
+        s"codec board shuffled:\n$plan")
+      assert(!plan.contains("Join"), s"codec board joined:\n$plan")
+      assert(plan.contains("MapPartitions"),
+        s"expected the per-partition codec pass:\n$plan")
+    }
+  }
+
   test("q173 media near-dup: the audit-slice bound reaches the parquet " +
     "scan (pruned read, not a post-scan filter) and the chain never " +
     "goes cartesian") {
