@@ -1299,15 +1299,24 @@ object Curation extends QueryModule {
     * double subtractions of float32-cast values, dotted with
     * `list_dot_product` (the same sequential fold as the Scala
     * kernel). Ends with the `keyed` CTE both consumers read. */
+  /** The documents→bytes oracle fragment shared by the media family
+    * (q176/q177/q178's keyed chain and the q179/q180 codec boards):
+    * CTE `a` = (id, hex payload), CTE `b` = one (id, i, byte) row per
+    * payload byte — THE byte-extraction expression, written once so
+    * the five consumers cannot drift. `idAlias` names the id column
+    * (`vec_id` for the ANN chain, `asset_id` for the codec boards). */
+  private def docBytesCteSql(idAlias: String): String =
+    s"""a AS (SELECT doc_id AS $idAlias, hex(encode(text)) AS h
+       |           FROM documents),
+       |b AS (SELECT $idAlias, i,
+       |    CAST(('0x' || substring(h, CAST(2*i - 1 AS INTEGER), 2))
+       |      AS INTEGER) AS byte
+       |  FROM a, unnest(range(1, 1 + length(h) // 2)) t(i))""".stripMargin
+
   private lazy val mediaKeyedCteSql: String = {
     val dim = Multimodal.MediaAnnDim
     val nP = Similarity.NumPlanes
-    s"""a AS (SELECT doc_id AS vec_id, hex(encode(text)) AS h
-       |           FROM documents),
-       |b AS (SELECT vec_id,
-       |    CAST(('0x' || substring(h, CAST(2*i - 1 AS INTEGER), 2))
-       |      AS INTEGER) AS byte
-       |  FROM a, unnest(range(1, 1 + length(h) // 2)) t(i)),
+    s"""${docBytesCteSql("vec_id")},
        |c AS (SELECT vec_id, byte * $dim // 256 AS bin, COUNT(*) AS cnt
        |      FROM b GROUP BY 1, 2),
        |n AS (SELECT vec_id,
@@ -1836,12 +1845,7 @@ object Curation extends QueryModule {
     // padding pixels are 0, so min collapses to 0 whenever w·h > n)
     "q179_pixel_decode" -> {
       val w = Multimodal.PixelWidth
-      s"""WITH a AS (SELECT doc_id AS asset_id, hex(encode(text)) AS h
-         |           FROM documents),
-         |b AS (SELECT asset_id,
-         |    CAST(('0x' || substring(h, CAST(2*i - 1 AS INTEGER), 2))
-         |      AS INTEGER) AS byte
-         |  FROM a, unnest(range(1, 1 + length(h) // 2)) t(i)),
+      s"""WITH ${docBytesCteSql("asset_id")},
          |s AS (SELECT asset_id, COUNT(*) AS n, SUM(byte) AS sumb,
          |        MIN(byte) AS minb, MAX(byte) AS maxb
          |      FROM b GROUP BY 1),
@@ -1867,12 +1871,7 @@ object Curation extends QueryModule {
     // the RIFF writer, chunk walker, signed sample decode and padding
     "q180_audio_decode" -> {
       val rate = Multimodal.WavSampleRate
-      s"""WITH a AS (SELECT doc_id AS asset_id, hex(encode(text)) AS h
-         |           FROM documents),
-         |b AS (SELECT asset_id, i,
-         |    CAST(('0x' || substring(h, CAST(2*i - 1 AS INTEGER), 2))
-         |      AS INTEGER) AS byte
-         |  FROM a, unnest(range(1, 1 + length(h) // 2)) t(i)),
+      s"""WITH ${docBytesCteSql("asset_id")},
          |lo AS (SELECT asset_id, (i - 1) // 2 AS k, byte FROM b
          |       WHERE i % 2 = 1),
          |hi AS (SELECT asset_id, (i - 2) // 2 AS k, byte FROM b
