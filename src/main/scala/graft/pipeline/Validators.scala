@@ -148,7 +148,9 @@ object BuildContext {
   * walk finding NESTED test functions the top-level regex cannot).
   *
   * Protocol: lockstep base64 lines over stdin/stdout — one request,
-  * one `<0|1>\t<b64 message>\t<comma-joined names>` response, flushed
+  * one `<0|1>\t<b64 message>\t<b64 comma-joined names>` response
+  * (names base64'd too: PEP-3131 identifiers may be non-ASCII and a
+  * non-UTF-8 child locale would otherwise die encoding them), flushed
   * per row, so a long-lived process serves a whole partition with no
   * temp files and bounded memory. This is the executor-side shape of
   * every "call a local model/tool per row" pipeline stage: ONE
@@ -182,13 +184,25 @@ final class PyGrammarChecker(python: String = "python3") {
       |        ok, msg, ns = False, "Python compilation error: %s" % str(e), []
       |    sys.stdout.write(("1" if ok else "0") + "\t" +
       |        base64.b64encode(msg.encode("utf-8")).decode("ascii") + "\t" +
-      |        ",".join(ns) + "\n")
+      |        base64.b64encode(",".join(ns).encode("utf-8")).decode("ascii") +
+      |        "\n")
       |    sys.stdout.flush()
       |""".stripMargin
 
+  // set inside the lazy initializer so close() can stay a no-op when
+  // no row ever needed the interpreter (an empty partition's
+  // task-completion listener must not START python just to stop it)
+  @volatile private var started = false
+
   private lazy val proc = {
     val pb = new ProcessBuilder(python, "-c", script)
-    pb.redirectErrorStream(false)
+    // DISCARD stderr rather than leave the pipe undrained: compile()
+    // emits SyntaxWarnings for common patterns in arbitrary code
+    // (invalid escape sequences, assert-on-tuple), and a partition
+    // heavy in them would fill the 64 KB pipe and deadlock the child
+    // mid-row while the parent blocks in readLine()
+    pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+    started = true
     pb.start()
   }
   private lazy val writer = new java.io.BufferedWriter(
@@ -205,14 +219,19 @@ final class PyGrammarChecker(python: String = "python3") {
     if (line == null) sys.error(
       s"$python grammar checker exited (code ${proc.exitValue()})")
     val parts = line.split("\t", -1)
+    // a child dying mid-write can hand back a truncated line: fail
+    // with the diagnostic, not an index error
+    if (parts.length < 3) sys.error(
+      s"$python grammar checker emitted a truncated response: '$line'")
     val msg = new String(java.util.Base64.getDecoder.decode(parts(1)), UTF_8)
+    val namesCsv =
+      new String(java.util.Base64.getDecoder.decode(parts(2)), UTF_8)
     val names =
-      if (parts(2).isEmpty) Seq.empty[String]
-      else parts(2).split(",").toSeq
+      if (namesCsv.isEmpty) Seq.empty[String] else namesCsv.split(",").toSeq
     (parts(0) == "1", msg, names)
   }
 
-  def close(): Unit = {
+  def close(): Unit = if (started) {
     try writer.close() catch { case _: Exception => () }
     try {
       if (!proc.waitFor(10, java.util.concurrent.TimeUnit.SECONDS))
@@ -509,9 +528,11 @@ object Validators {
     * `validate_all_prod_dps.py` + `create_verified_csv.py`): run the
     * chain, keep rows whose report is clean (J1 semi-join). */
   def verifiedDataset(spark: SparkSession, dps: DataFrame, runner: ProcessRunner,
-                      workers: Int = 4, runDocker: Boolean = true): DataFrame = {
+                      workers: Int = 4, runDocker: Boolean = true,
+                      pythonGrammar: Option[String] = None): DataFrame = {
     import spark.implicits._
-    val reports = validateAll(spark, dps, runner, workers, runDocker = runDocker)
+    val reports = validateAll(spark, dps, runner, workers,
+        runDocker = runDocker, pythonGrammar = pythonGrammar)
       .filter(_.overall).map(_.task_id).toDF("task_id")
       // docker side effects must not re-execute on recompute (§7.4.3)
       .localCheckpoint()

@@ -72,6 +72,11 @@ object Multimodal {
     * end-to-end (encode HERE, decode in [[decodePixelStats]], stats
     * reproduced by the oracle from the source bytes alone). */
   private[graft] def renderPng(bytes: Array[Byte], width: Int = PixelWidth): Array[Byte] = {
+    // ImageIO defaults to DISK-backed cache streams (a temp file
+    // created and deleted per call — two filesystem round-trips per
+    // row in the q179 hot loop, and a hard failure on an unwritable
+    // tmpdir); these blobs are small, keep the cache in memory
+    javax.imageio.ImageIO.setUseCache(false)
     val n = bytes.length
     val h = math.max(1, (n + width - 1) / width)
     val img = new java.awt.image.BufferedImage(
@@ -98,6 +103,7 @@ object Multimodal {
     * header parse / [[stubDecode]], which keeps the chain total. */
   def decodePixelStats(payload: Array[Byte])
       : Option[(Int, Int, Long, Long, Long, Int, Int)] = {
+    javax.imageio.ImageIO.setUseCache(false) // see renderPng
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       catch { case _: Exception => null }
@@ -729,15 +735,22 @@ object Multimodal {
     // exactly what the join owes before the exactly-once filter)
     val probed = banded.withColumn("pcell",
       explode(array(col("cell_id"), col("cell2"))))
-    def armFrom(src: DataFrame)(scheme: String, keys: Seq[String]): DataFrame =
+    // every arm derives the corpus size n from its OWN group sums —
+    // no extra count scan of the keyed core per arm (a first cut
+    // crossJoined a per-arm count aggregate: five redundant scans).
+    // Un-exploded arms: Σd = n. Probe arms: every vector contributes
+    // exactly two probe rows, so Σd = 2n and n = Σd DIV 2.
+    def armFrom(src: DataFrame, nFromSum: String)(
+        scheme: String, keys: Seq[String]): DataFrame =
       src.groupBy(keys.map(col): _*).agg(count(lit(1)).as("d"))
         .agg(count(lit(1)).as("n_groups"), max(col("d")).as("max_group"),
-          sum(expr("d * (d - 1) DIV 2")).as("cand_pairs"))
-        .crossJoin(banded.agg(count(lit(1)).as("n"))) // 1-row scalar attach
+          sum(expr("d * (d - 1) DIV 2")).as("cand_pairs"),
+          sum(col("d")).as("sd"))
         .select(lit(scheme).as("scheme"), col("n_groups"), col("max_group"),
-          col("cand_pairs"), expr("n * (n - 1) DIV 2").as("quad_pairs"))
-    val arm = armFrom(banded) _
-    val parm = armFrom(probed) _
+          col("cand_pairs"),
+          expr(s"($nFromSum) * (($nFromSum) - 1) DIV 2").as("quad_pairs"))
+    val arm = armFrom(banded, "sd") _
+    val parm = armFrom(probed, "sd DIV 2") _
     arm("lsh_bucket", Seq("bucket"))
       .unionByName(arm("celled_band0", Seq("cell_id", "bucket", "db0")))
       .unionByName(arm("celled_band1", Seq("cell_id", "bucket", "db1")))

@@ -536,13 +536,15 @@ class MultimodalSpec extends SparkSpec {
     val keyed = Dedup.celledBands(Dedup.celledKeyedVectors(
         Multimodal.mediaEmbeddings(spark, docs),
         Multimodal.mediaSeeds(spark, docs)))
-      .select(col("vec_id"), col("cell_id"), col("cell2"), col("db0"),
-        col("db1"))
+      .select(col("vec_id"), col("cell_id"), col("cell2"), col("bucket"),
+        col("db0"), col("db1"))
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getLong(4)))).toMap
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
     val expected = referee.filter { case (a, b, _) =>
-      val (ca, ca2, a0, a1) = keyed(a); val (cb, cb2, b0, b1) = keyed(b)
-      (Set(ca, ca2) & Set(cb, cb2)).nonEmpty && (a0 == b0 || a1 == b1)
+      val (ca, ca2, bka, a0, a1) = keyed(a)
+      val (cb, cb2, bkb, b0, b1) = keyed(b)
+      (Set(ca, ca2) & Set(cb, cb2)).nonEmpty && bka == bkb &&
+        (a0 == b0 || a1 == b1)
     }
     assert(got === expected,
       s"probe2 board != blocked referee: missing ${expected -- got}, " +
