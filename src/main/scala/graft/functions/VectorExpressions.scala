@@ -406,14 +406,22 @@ case class ArgMaxCosineExpression(child: Expression, cells: Seq[(Long, Seq[Doubl
   * in ascending id with strict `>` updates reproduces
   * `ROW_NUMBER() OVER (ORDER BY cos DESC, cell_id ASC) = 2` exactly:
   * a tie never displaces an earlier (lower-id) holder. NaN cosines
-  * (zero-norm vectors) never pass `>`; if fewer than two finite
-  * cosines exist the expression falls back to the lowest-id cells so
-  * the output is always a valid cell id (unreachable under the corpus
-  * contract — nonzero vectors, ≥ 2 cells). */
+  * never pass `>`; the constructor REQUIRES nonzero-norm centroids, so
+  * the only way fewer than two finite cosines can exist is a zero-norm
+  * INPUT vector — then every cosine is NaN and the lowest-id fallback
+  * reproduces the oracle's `ROW_NUMBER() OVER (ORDER BY cos DESC,
+  * cell_id ASC) = 2` order exactly (DuckDB sorts all-NaN ties by the
+  * cell_id tiebreak). With the norm requirement enforced here rather
+  * than assumed of the corpus, no input can reach a state where the
+  * fallback and the oracle rank-2 disagree. */
 case class ArgMax2CosineExpression(child: Expression, cells: Seq[(Long, Seq[Double])])
     extends UnaryExpression {
 
   require(cells.size >= 2, "argmax2_cosine needs at least two cells")
+  require(cells.forall(_._2.exists(_ != 0.0)),
+    "argmax2_cosine needs nonzero-norm centroids: a zero-norm centroid " +
+      "yields a NaN cosine for every input, and the degenerate " +
+      "fallback would diverge from the SQL rank-2 order")
 
   @transient private lazy val sorted = cells.sortBy(_._1)
   @transient private lazy val ids: Array[Long] = sorted.map(_._1).toArray

@@ -157,12 +157,24 @@ object BuildContext {
   * interpreter per partition, rows streamed through it, never a
   * process per row (fork cost) and never a file handoff (IO + cleanup).
   *
+  * The P5 timeout discipline (the reference's 10-min subprocess bound,
+  * `validate_all_prod_dps.py:34`) reaches this seam too: each row's
+  * response wait is bounded by `rowTimeoutSec`. A wedged child fails
+  * the ROW, not the task — the child is killed on the spot and the
+  * next row starts a fresh interpreter, so one pathological source
+  * blob costs one timeout, never the partition. Responses are read by
+  * a daemon pump thread into a queue (a blocked `readLine` cannot be
+  * interrupted; a poll on the queue can time out), one thread per
+  * live interpreter, dying with it.
+  *
   * Needs a CPython on the executor image (`python3` by default) — the
   * same class of dependency as the docker CLI for V1/V4, and the
   * reason the zero-dependency lexical kernel
   * ([[graft.functions.PySyntaxKernel]]) stays the scan-side gate. */
-final class PyGrammarChecker(python: String = "python3") {
+final class PyGrammarChecker(python: String = "python3",
+    rowTimeoutSec: Int = PyGrammarChecker.RowTimeoutSec) {
   import java.nio.charset.StandardCharsets.UTF_8
+  import java.util.concurrent.{LinkedBlockingQueue, TimeUnit}
 
   private val script =
     """import sys, ast, base64
@@ -189,55 +201,103 @@ final class PyGrammarChecker(python: String = "python3") {
       |    sys.stdout.flush()
       |""".stripMargin
 
-  // set inside the lazy initializer so close() can stay a no-op when
-  // no row ever needed the interpreter (an empty partition's
-  // task-completion listener must not START python just to stop it)
-  @volatile private var started = false
+  // the live child and its plumbing, null until the first row needs an
+  // interpreter (an empty partition's task-completion listener must not
+  // START python just to stop it) and again after a timeout kill. A
+  // tracked FIELD, never a lazy val: close() must operate on the
+  // process that actually started — re-forcing a failed lazy
+  // initializer from the completion listener would rethrow out of
+  // close() and mask the original task failure.
+  @volatile private var proc: Process = _
+  @volatile private var writer: java.io.BufferedWriter = _
+  @volatile private var lines: LinkedBlockingQueue[AnyRef] = _
 
-  private lazy val proc = {
+  /** Queue sentinel: the child's stdout reached EOF (it exited). */
+  private object Eof
+
+  private def startChild(): Unit = {
     val pb = new ProcessBuilder(python, "-c", script)
     // DISCARD stderr rather than leave the pipe undrained: compile()
     // emits SyntaxWarnings for common patterns in arbitrary code
     // (invalid escape sequences, assert-on-tuple), and a partition
     // heavy in them would fill the 64 KB pipe and deadlock the child
-    // mid-row while the parent blocks in readLine()
+    // mid-row while the parent blocks on the response
     pb.redirectError(ProcessBuilder.Redirect.DISCARD)
-    started = true
-    pb.start()
+    val p = pb.start()
+    proc = p
+    writer = new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(p.getOutputStream, UTF_8))
+    val q = new LinkedBlockingQueue[AnyRef]()
+    lines = q
+    val rd = new java.io.BufferedReader(
+      new java.io.InputStreamReader(p.getInputStream, UTF_8))
+    val pump = new Thread(() => {
+      try {
+        var l = rd.readLine()
+        while (l != null) { q.put(l); l = rd.readLine() }
+      } catch { case _: Exception => () }
+      finally q.put(Eof)
+    }, "py-grammar-pump")
+    pump.setDaemon(true)
+    pump.start()
   }
-  private lazy val writer = new java.io.BufferedWriter(
-    new java.io.OutputStreamWriter(proc.getOutputStream, UTF_8))
-  private lazy val reader = new java.io.BufferedReader(
-    new java.io.InputStreamReader(proc.getInputStream, UTF_8))
 
-  /** (valid, message, test function names) for one source blob. */
+  private def killChild(): Unit = {
+    val p = proc
+    proc = null; writer = null; lines = null
+    if (p != null) try p.destroyForcibly() catch { case _: Exception => () }
+  }
+
+  /** (valid, message, test function names) for one source blob. A
+    * response not arriving within `rowTimeoutSec` fails THIS row with
+    * a timeout verdict (and kills the wedged child; the next row gets
+    * a fresh one) — the task never hangs on one pathological input. */
   def check(code: String): (Boolean, String, Seq[String]) = {
+    if (proc == null || !proc.isAlive) { killChild(); startChild() }
     writer.write(java.util.Base64.getEncoder.encodeToString(
       Option(code).getOrElse("").getBytes(UTF_8)))
     writer.newLine(); writer.flush()
-    val line = reader.readLine()
-    if (line == null) sys.error(
-      s"$python grammar checker exited (code ${proc.exitValue()})")
-    val parts = line.split("\t", -1)
-    // a child dying mid-write can hand back a truncated line: fail
-    // with the diagnostic, not an index error
-    if (parts.length < 3) sys.error(
-      s"$python grammar checker emitted a truncated response: '$line'")
-    val msg = new String(java.util.Base64.getDecoder.decode(parts(1)), UTF_8)
-    val namesCsv =
-      new String(java.util.Base64.getDecoder.decode(parts(2)), UTF_8)
-    val names =
-      if (namesCsv.isEmpty) Seq.empty[String] else namesCsv.split(",").toSeq
-    (parts(0) == "1", msg, names)
+    lines.poll(rowTimeoutSec.toLong, TimeUnit.SECONDS) match {
+      case null =>
+        killChild()
+        (false, s"Python grammar check timed out after ${rowTimeoutSec}s",
+          Seq.empty)
+      case Eof => sys.error(s"$python grammar checker exited mid-row")
+      case line: String =>
+        val parts = line.split("\t", -1)
+        // a child dying mid-write can hand back a truncated line: fail
+        // with the diagnostic, not an index error
+        if (parts.length < 3) sys.error(
+          s"$python grammar checker emitted a truncated response: '$line'")
+        val msg =
+          new String(java.util.Base64.getDecoder.decode(parts(1)), UTF_8)
+        val namesCsv =
+          new String(java.util.Base64.getDecoder.decode(parts(2)), UTF_8)
+        val names =
+          if (namesCsv.isEmpty) Seq.empty[String] else namesCsv.split(",").toSeq
+        (parts(0) == "1", msg, names)
+    }
   }
 
-  def close(): Unit = if (started) {
-    try writer.close() catch { case _: Exception => () }
-    try {
-      if (!proc.waitFor(10, java.util.concurrent.TimeUnit.SECONDS))
-        proc.destroyForcibly()
-    } catch { case _: Exception => proc.destroyForcibly() }
+  def close(): Unit = {
+    val p = proc
+    if (p != null) {
+      try writer.close() catch { case _: Exception => () }
+      try {
+        if (!p.waitFor(10, TimeUnit.SECONDS)) p.destroyForcibly()
+      } catch { case _: Exception => p.destroyForcibly() }
+    }
   }
+}
+
+object PyGrammarChecker {
+  /** Default per-row response bound — the P5 subprocess discipline
+    * (reference `validate_all_prod_dps.py:34`, 10 minutes) applied to
+    * the grammar seam. Generous on purpose: CPython raises
+    * RecursionError/MemoryError (caught child-side) long before this
+    * on real pathological sources, so the bound only ever fires on a
+    * genuinely wedged interpreter. */
+  val RowTimeoutSec: Int = 600
 }
 
 /** Real subprocess runner with per-task timeout (P5;
@@ -420,17 +480,24 @@ object Validators {
         val v1lint = StageResult("dockerfile_lint", r.getAs[Boolean]("dockerfile_ok"),
           if (r.getAs[Boolean]("dockerfile_ok")) "dependency lint ok"
           else "missing FROM or tmux/asciinema deps")
-        val v2 = grammar match {
+        // when the grammar gate is active, V4's expected count comes
+        // from the SAME ast walk as the V2 verdict (the reference
+        // derives expected_tests from len(test_names) of that walk,
+        // `validators.py:215-219`) — nested test_ functions the
+        // top-level lexical regex cannot see are counted, so V2 and V4
+        // can never disagree on what "all tests fail" means
+        val (v2, expectedTests) = grammar match {
           case Some(c) =>
-            val (ok, msg, _) = c.check(r.getAs[String]("test_functions"))
-            StageResult("test_syntax", ok, msg)
+            val (ok, msg, names) = c.check(r.getAs[String]("test_functions"))
+            (StageResult("test_syntax", ok, msg), names.length)
           case None =>
             val lexErr = r.getAs[String]("syntax_err")
-            StageResult("test_syntax", r.getAs[Boolean]("syntax_ok"),
+            (StageResult("test_syntax", r.getAs[Boolean]("syntax_ok"),
               if (lexErr != null) lexErr
               else s"${r.getAs[Int]("n_tests")} test function(s) found " +
                 "(lexically clean; grammar-level validity is confirmed by " +
-                "the container run, SURVEY §7.4.5)")
+                "the container run, SURVEY §7.4.5)"),
+              r.getAs[Int]("n_tests"))
         }
         val v3 = StageResult("test_weights", r.getAs[Boolean]("weights_valid"),
           if (r.getAs[Boolean]("weights_valid")) "weights valid"
@@ -441,7 +508,7 @@ object Validators {
             dockerfile = r.getAs[String]("dockerfile"),
             additionalFilesJson = r.getAs[String]("additional_files"),
             testFunctions = r.getAs[String]("test_functions"),
-            expectedTests = r.getAs[Int]("n_tests"),
+            expectedTests = expectedTests,
             execTimeoutSec = execTimeoutSec)
         val stages = Seq(v1lint, v2, v3) ++ effectful
         ValidationReport(taskId, stages.forall(_.valid), stages)

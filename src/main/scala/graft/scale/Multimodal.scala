@@ -72,11 +72,6 @@ object Multimodal {
     * end-to-end (encode HERE, decode in [[decodePixelStats]], stats
     * reproduced by the oracle from the source bytes alone). */
   private[graft] def renderPng(bytes: Array[Byte], width: Int = PixelWidth): Array[Byte] = {
-    // ImageIO defaults to DISK-backed cache streams (a temp file
-    // created and deleted per call — two filesystem round-trips per
-    // row in the q179 hot loop, and a hard failure on an unwritable
-    // tmpdir); these blobs are small, keep the cache in memory
-    javax.imageio.ImageIO.setUseCache(false)
     val n = bytes.length
     val h = math.max(1, (n + width - 1) / width)
     val img = new java.awt.image.BufferedImage(
@@ -88,7 +83,16 @@ object Multimodal {
       i += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    // an EXPLICIT in-memory image stream: ImageIO's convenience
+    // overloads consult the global useCache flag and default to a
+    // DISK-backed cache (a temp file created and deleted per call —
+    // two filesystem round-trips per row in the q179 hot loop, and a
+    // hard failure on an unwritable tmpdir). Passing the stream
+    // directly sidesteps the flag entirely — no mutation of global
+    // JVM state from executor task threads, no effect on other
+    // ImageIO users in the same JVM.
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try javax.imageio.ImageIO.write(img, "png", ios) finally ios.close()
     bos.toByteArray
   }
 
@@ -103,9 +107,11 @@ object Multimodal {
     * header parse / [[stubDecode]], which keeps the chain total. */
   def decodePixelStats(payload: Array[Byte])
       : Option[(Int, Int, Long, Long, Long, Int, Int)] = {
-    javax.imageio.ImageIO.setUseCache(false) // see renderPng
+    // explicit in-memory image stream — see the [[renderPng]] note
     val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      try javax.imageio.ImageIO.read(
+        new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(payload)))
       catch { case _: Exception => null }
     if (img == null) None
     else {

@@ -228,6 +228,14 @@ class VectorExpressionsSpec extends SparkSpec {
     // unsorted constructor input ranks identically (internal sort)
     assert(second(Array(1.0, 0.0),
       Seq(plain(2), plain(0), plain(1))) === 1L)
+    // a zero-norm centroid is rejected at CONSTRUCTION — the one input
+    // class whose NaN cosines could diverge from the SQL rank-2 order
+    // can never reach evaluation
+    val zeroCent = intercept[IllegalArgumentException] {
+      second(Array(1.0, 0.0),
+        Seq(0L -> Seq(1.0, 0.0), 1L -> Seq(0.0, 0.0)))
+    }
+    assert(zeroCent.getMessage.contains("nonzero-norm centroids"))
     // agreement with an independent composed ranking on random draws
     val rnd = new scala.util.Random(7)
     val cells: Seq[(Long, Seq[Double])] = Seq(0L, 2L, 5L, 11L).map(id =>

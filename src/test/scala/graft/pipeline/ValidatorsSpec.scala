@@ -385,6 +385,82 @@ class ValidatorsSpec extends SparkSpec {
     assert(v2("well").valid && v2("well").message == "Found 1 test functions")
   }
 
+  test("grammar-seam P5 timeout: a wedged interpreter fails the ROW " +
+    "with a timeout verdict, is killed on the spot, and the next row " +
+    "is served by a fresh child — the task never hangs") {
+    assume(pythonAvailable, "no python3 on PATH — recovery half untestable")
+    val dir = java.nio.file.Files.createTempDirectory("graft-wedge-")
+    try {
+      // a scripted wedge: the FIRST interpreter this fake starts sleeps
+      // forever (never answers); every later start execs the real
+      // python3 — so row 1 must time out and row 2 must succeed on the
+      // restarted child
+      val state = dir.resolve("wedged-once")
+      val starts = dir.resolve("starts")
+      val fake = dir.resolve("fakepython")
+      java.nio.file.Files.writeString(fake,
+        s"""#!/bin/sh
+           |echo started >> "$starts"
+           |if [ ! -e "$state" ]; then
+           |  touch "$state"
+           |  exec sleep 600
+           |fi
+           |exec python3 "$$@"
+           |""".stripMargin)
+      fake.toFile.setExecutable(true)
+      val checker = new PyGrammarChecker(fake.toString, rowTimeoutSec = 2)
+      try {
+        val t0 = System.nanoTime()
+        val (ok, msg, names) = checker.check("def test_a():\n    assert True\n")
+        val waited = (System.nanoTime() - t0) / 1e9
+        assert(!ok && msg.contains("timed out") && names.isEmpty,
+          s"wedged row should fail with the timeout verdict, got ($ok, $msg)")
+        assert(waited < 30, s"timeout verdict took ${waited}s — bound not applied")
+        // the row failed but the TASK goes on: a fresh interpreter
+        // (the real python3 now) serves the next row
+        val (ok2, msg2, names2) = checker.check("def test_a():\n    assert True\n")
+        assert(ok2 && msg2 == "Found 1 test functions" && names2 == Seq("test_a"))
+      } finally checker.close()
+      // exactly two interpreter starts: the wedge and its replacement
+      val nStarts = java.nio.file.Files.readAllLines(starts).size
+      assert(nStarts === 2, s"expected wedge + restart, saw $nStarts starts")
+      // close() on a never-used checker must not launch a child just
+      // to stop it (the empty-partition completion-listener contract)
+      new PyGrammarChecker(fake.toString).close()
+      assert(java.nio.file.Files.readAllLines(starts).size === 2)
+    } finally TableIO.deleteRecursive(dir)
+  }
+
+  test("grammar gate threads the ast walk's names into V4's expected " +
+    "count: a def inside a string literal inflates the lexical count " +
+    "but not the grammar one, and the two stages agree like the " +
+    "reference") {
+    assume(pythonAvailable, "no python3 on PATH — grammar gate untestable")
+    import spark.implicits._
+    // lexical n_tests = 2 (the regex sees the def inside the string);
+    // the ast walk (reference `validators.py:215-219`) sees 1
+    val code = "def test_a():\n    s = '''\ndef test_fake():\n    pass\n'''\n    assert s\n"
+    val dps = Seq(
+      ("strdef", "FROM x\nRUN tmux asciinema", code, """{"test_a":1.0}"""))
+      .toDF("task_id", "dockerfile", "test_functions", "test_weights")
+    val runner = new FakeRunner(Map(
+      "build" -> ((0, "built")),
+      "run" -> ((0, "containerid")),
+      "which" -> ((0, "/usr/bin/tmux")),
+      "/tests/run-tests.sh" -> ((1, "collected 1 items\n1 failed"))))
+    def v4(pythonGrammar: Option[String]) =
+      validateAll(spark, dps, runner, workers = 1,
+        pythonGrammar = pythonGrammar)
+        .collect().head.stages.find(_.stage == "container_execution").get
+    // grammar gate active: expected = len(ast names) = 1 = failed -> pass
+    val withGrammar = v4(Some("python3"))
+    assert(withGrammar.valid, s"grammar-threaded V4 diverged: $withGrammar")
+    // lexical fallback: expected = 2 != 1 failed -> the count mismatch
+    // message (the documented regex-vs-ast gap, SURVEY §7.4.5)
+    val lexOnly = v4(None)
+    assert(!lexOnly.valid && lexOnly.message.contains("!= expected 2"))
+  }
+
   test("real docker integration (opt-in: set GRAFT_DOCKER=1 where a " +
     "daemon exists; sandbox has none)") {
     assume(sys.env.get("GRAFT_DOCKER").contains("1"),
