@@ -1122,36 +1122,76 @@ object Dedup extends QueryModule {
       Similarity.diffPlaneBucket(col("v"), seeds).as("dbucket"),
       col("bucket"), col("v"), col("nrm"))
 
-  /** The celled chain's two 4-plane band words, derived from the
-    * 8-bit diff-plane bucket — scan-side bit arithmetic shared by the
-    * pair chain and the q177 pricing board. */
-  private[graft] def celledBands(keyed: DataFrame): DataFrame =
-    keyed.withColumn("db0", col("dbucket").bitwiseAND(lit(15L)))
-      .withColumn("db1", shiftrightunsigned(col("dbucket"), 4))
+  /** The celled chain's band GEOMETRY — first-class plan constants,
+    * ONE definition feeding the Spark kernels, the oracle SQL and the
+    * q177/q182 pricing boards (the GateMaxDist discipline). The
+    * diff-plane word's [[Similarity.NumPlanes]] bits are consumed as
+    * `CelledBands` bands of `CelledBandBits` bits each (band j = bits
+    * [j·bits, (j+1)·bits)); a candidate pair must agree on at least
+    * one whole band (the MinHash-LSH OR-construction). The dial's
+    * trade at the shipped point and its measured frontier live in the
+    * [[embeddingNearDupCelled2From]] scaladoc; the frontier itself is
+    * priced IN-GATE by [[celledBlockingBoard]]'s [[CelledGeometries]]
+    * rows, so re-dialing is a constants change whose cost is already
+    * a green gate row. */
+  val CelledBands: Int = 2
+  val CelledBandBits: Int = 4
+
+  /** The band-geometry pricing sweep [[celledBlockingBoard]] carries:
+    * every (nBands × bandBits) point whose blocking volume the dial's
+    * owner reads before moving it. Shipped first; the widest point
+    * (8×1-bit) shows where the OR-construction saturates
+    * near-quadratic on a concentrated corpus. */
+  val CelledGeometries: Seq[(Int, Int)] =
+    Seq((CelledBands, CelledBandBits), (2, 3), (4, 2), (8, 1))
+
+  /** The celled chain's band words, derived from the diff-plane
+    * bucket — scan-side bit arithmetic shared by the pair chain and
+    * the pricing boards. Band j of the (nBands, bandBits) geometry is
+    * `(dbucket >>> j·bandBits) & (2^bandBits − 1)`, column `db{j}`. */
+  private[graft] def celledBands(keyed: DataFrame,
+      nBands: Int = CelledBands, bandBits: Int = CelledBandBits): DataFrame = {
+    require(nBands >= 1 && bandBits >= 1 &&
+      nBands * bandBits <= Similarity.NumPlanes,
+      s"band geometry ${nBands}x$bandBits exceeds ${Similarity.NumPlanes} planes")
+    val mask = (1L << bandBits) - 1
+    (0 until nBands).foldLeft(keyed) { (df, j) =>
+      df.withColumn(s"db$j",
+        shiftrightunsigned(col("dbucket"), j * bandBits)
+          .bitwiseAND(lit(mask)))
+    }
+  }
 
   /** [[embeddingNearDupCelled]] from the keyed projection.
     * `inputMaterialized`: the caller's table is already a checkpoint
     * (the memoized gate core; the band words are trivial projections
-    * of it) — skips the band joins' own barriers. */
+    * of it) — skips the band joins' own barriers. `(nBands, bandBits)`
+    * is the recall/volume dial ([[CelledBands]]/[[CelledBandBits]]
+    * shipped): more, narrower bands raise recall toward the
+    * OR-construction's ceiling at the candidate volumes the
+    * [[celledBlockingBoard]] geometry rows price. */
   private[graft] def embeddingNearDupCelledFrom(keyed: DataFrame,
-      minCos: Double, inputMaterialized: Boolean = false): DataFrame = {
-    val banded = celledBands(keyed)
+      minCos: Double, inputMaterialized: Boolean = false,
+      nBands: Int = CelledBands, bandBits: Int = CelledBandBits): DataFrame = {
+    val banded = celledBands(keyed, nBands, bandBits)
     def arm(pairs: DataFrame): DataFrame = pairs
       .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"),
         (dotProduct(col("v_a"), col("v_b")) /
           (col("nrm_a") * col("nrm_b"))).as("cos"))
       .filter(col("cos") >= minCos)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
-    val b0 = arm(Skew.boundedSelfPairs(banded,
-      Seq("cell_id", "bucket", "db0"), "vec_id",
-      payload = Seq("v", "nrm"), inputMaterialized = inputMaterialized))
-    // exactly-once: a pair agreeing on BOTH bands was emitted by b0
-    val b1 = arm(Skew.boundedSelfPairs(banded,
-        Seq("cell_id", "bucket", "db1"), "vec_id",
-        payload = Seq("v", "nrm", "db0"),
+    // exactly-once across bands: band j emits only pairs whose EARLIER
+    // band words all differ — a pair agreeing on band i < j was
+    // emitted there (the 2-band special case: band 1 keeps db0-differs)
+    (0 until nBands).map { j =>
+      val earlier = (0 until j).map(i => s"db$i")
+      val pairs = Skew.boundedSelfPairs(banded,
+        Seq("cell_id", "bucket", s"db$j"), "vec_id",
+        payload = Seq("v", "nrm") ++ earlier,
         inputMaterialized = inputMaterialized)
-      .filter(col("db0_a") =!= col("db0_b")))
-    b0.unionByName(b1)
+      arm(earlier.foldLeft(pairs) { (df, c) =>
+        df.filter(col(s"${c}_a") =!= col(s"${c}_b")) })
+    }.reduce(_.unionByName(_))
   }
 
   /** MULTI-PROBE variant of [[embeddingNearDupCelledFrom]] — the
@@ -1193,8 +1233,9 @@ object Dedup extends QueryModule {
     * are per (cell, bucket, band-word) key, so the task bound is
     * unchanged. */
   private[graft] def embeddingNearDupCelled2From(keyed: DataFrame,
-      minCos: Double, inputMaterialized: Boolean = false): DataFrame = {
-    val probed = celledBands(keyed)
+      minCos: Double, inputMaterialized: Boolean = false,
+      nBands: Int = CelledBands, bandBits: Int = CelledBandBits): DataFrame = {
+    val probed = celledBands(keyed, nBands, bandBits)
       .withColumn("pcell", explode(array(col("cell_id"), col("cell2"))))
       // a payload copy of the join cell: boundedSelfPairs would see a
       // duplicate name if the key column itself rode as payload
@@ -1216,15 +1257,94 @@ object Dedup extends QueryModule {
     // `pc` rides as payload: boundedSelfPairs emits only id + payload
     // columns, and both sides' values equal the join cell
     val payload = Seq("v", "nrm", "cell_id", "cell2", "pc")
-    val b0 = arm(Skew.boundedSelfPairs(probed,
-      Seq("pcell", "bucket", "db0"), "vec_id",
-      payload = payload, inputMaterialized = inputMaterialized))
-    val b1 = arm(Skew.boundedSelfPairs(probed,
-        Seq("pcell", "bucket", "db1"), "vec_id",
-        payload = payload :+ "db0",
+    // exactly-once across bands: the earlier-bands-differ rule, same
+    // as the single-probe chain (min-shared-cell handles the probe axis)
+    (0 until nBands).map { j =>
+      val earlier = (0 until j).map(i => s"db$i")
+      val pairs = Skew.boundedSelfPairs(probed,
+        Seq("pcell", "bucket", s"db$j"), "vec_id",
+        payload = payload ++ earlier,
         inputMaterialized = inputMaterialized)
-      .filter(col("db0_a") =!= col("db0_b")))
-    b0.unionByName(b1)
+      arm(earlier.foldLeft(pairs) { (df, c) =>
+        df.filter(col(s"${c}_a") =!= col(s"${c}_b")) })
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Blocking-volume pricing board for a celled keyed projection —
+    * the q172 discipline (certify the knob inside the gate), shared by
+    * the media (q177) and primary-embeddings (q182) corpora. Per
+    * blocking scheme: group count, max group size, the candidate pair
+    * volume Σ d(d−1)/2 a group-equality self-join owes, and the
+    * quadratic worst case. Rows:
+    *  - `lsh_bucket` — the fixed-plane key alone (what
+    *    [[embeddingNearDupLsh]] pays);
+    *  - `celled_band{j}` — the shipped geometry's per-band keys
+    *    (cell, bucket, band word); the chain's total candidate volume
+    *    is ≤ their sum (later bands subtract the all-agree overlap);
+    *  - `probe2_band{j}` — the multi-probe explode's per-band volume
+    *    (a pair counts once per shared (cell, band) region — exactly
+    *    what the join owes before the exactly-once filter);
+    *  - `bands_{n}x{b}bit` — the [[CelledGeometries]] sweep: ALL bands
+    *    of each alternative geometry summed, the dial's in-gate price
+    *    list (the recall side of each point is the referee specs'
+    *    concern; volume is what this board certifies).
+    * All exact integers — counts and integer division only.
+    *
+    * Scale design: every arm derives the corpus size n from its OWN
+    * group sums — no extra count scan of the keyed core per arm. The
+    * geometry sweep is ONE pass: a plan-constant explode tags each row
+    * with (scheme, shift, mask, nBands) and a single two-level
+    * aggregate prices every geometry — Σ|geometries| band words per
+    * row beats |geometries| separate scans of a corpus-sized table. */
+  def celledBlockingBoard(keyed: DataFrame): DataFrame = {
+    val banded = celledBands(keyed)
+    // q178's probe explode: each vector appears under BOTH its probed
+    // cells, so the probe2 rows price the multi-probe join volume
+    val probed = banded.withColumn("pcell",
+      explode(array(col("cell_id"), col("cell2"))))
+    // Un-exploded arms: Σd = n. Probe arms: every vector contributes
+    // exactly two probe rows, so Σd = 2n and n = Σd DIV 2.
+    def armFrom(src: DataFrame, nFromSum: String)(
+        scheme: String, keys: Seq[String]): DataFrame =
+      src.groupBy(keys.map(col): _*).agg(count(lit(1)).as("d"))
+        .agg(count(lit(1)).as("n_groups"), max(col("d")).as("max_group"),
+          sum(expr("d * (d - 1) DIV 2")).as("cand_pairs"),
+          sum(col("d")).as("sd"))
+        .select(lit(scheme).as("scheme"), col("n_groups"), col("max_group"),
+          col("cand_pairs"),
+          expr(s"($nFromSum) * (($nFromSum) - 1) DIV 2").as("quad_pairs"))
+    val arm = armFrom(banded, "sd") _
+    val parm = armFrom(probed, "sd DIV 2") _
+    // the geometry sweep: (scheme, shift, mask, nBands) rides as a
+    // plan-constant struct array; one explode + one aggregate price
+    // every geometry's every band. Σd per scheme = nBands · n.
+    val geoms = CelledGeometries.flatMap { case (nb, bb) =>
+      (0 until nb).map(j =>
+        (s"bands_${nb}x${bb}bit", j * bb, (1L << bb) - 1, nb))
+    }
+    val geo = keyed
+      .select(col("cell_id"), col("bucket"), col("dbucket"),
+        explode(typedLit(geoms)).as("g"))
+      .select(col("g._1").as("scheme"), col("g._4").as("nb"),
+        col("g._2").as("sh"), col("cell_id"), col("bucket"),
+        expr("shiftrightunsigned(dbucket, g._2)")
+          .bitwiseAND(col("g._3")).as("w"))
+      .groupBy(col("scheme"), col("nb"), col("sh"),
+        col("cell_id"), col("bucket"), col("w"))
+      .agg(count(lit(1)).as("d"))
+      .groupBy(col("scheme"), col("nb"))
+      .agg(count(lit(1)).as("n_groups"), max(col("d")).as("max_group"),
+        sum(expr("d * (d - 1) DIV 2")).as("cand_pairs"),
+        sum(col("d")).as("sd"))
+      .select(col("scheme"), col("n_groups"), col("max_group"),
+        col("cand_pairs"),
+        expr("(sd DIV nb) * ((sd DIV nb) - 1) DIV 2").as("quad_pairs"))
+    val bandArms = (0 until CelledBands).map(j =>
+      arm(s"celled_band$j", Seq("cell_id", "bucket", s"db$j")))
+    val probeArms = (0 until CelledBands).map(j =>
+      parm(s"probe2_band$j", Seq("pcell", "bucket", s"db$j")))
+    (Seq(arm("lsh_bucket", Seq("bucket"))) ++ bandArms ++ probeArms :+ geo)
+      .reduce(_.unionByName(_))
   }
 
   /** Recall certification of the [[embeddingNearDupLsh]] gate against

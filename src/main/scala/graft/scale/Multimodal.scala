@@ -733,36 +733,11 @@ object Multimodal {
     * rows' sum sitting orders of magnitude under quad_pairs
     * (measured sf0.1: 0.63M vs 12.50M). All exact integers — counts
     * and integer division only. */
-  def mediaBlockingBoard(keyed: DataFrame): DataFrame = {
-    val banded = Dedup.celledBands(keyed)
-    // q178's probe explode: each vector appears under BOTH its probed
-    // cells, so the probe2 rows price the multi-probe join volume
-    // (cand_pairs counts a pair once per shared (cell, band) region —
-    // exactly what the join owes before the exactly-once filter)
-    val probed = banded.withColumn("pcell",
-      explode(array(col("cell_id"), col("cell2"))))
-    // every arm derives the corpus size n from its OWN group sums —
-    // no extra count scan of the keyed core per arm (a first cut
-    // crossJoined a per-arm count aggregate: five redundant scans).
-    // Un-exploded arms: Σd = n. Probe arms: every vector contributes
-    // exactly two probe rows, so Σd = 2n and n = Σd DIV 2.
-    def armFrom(src: DataFrame, nFromSum: String)(
-        scheme: String, keys: Seq[String]): DataFrame =
-      src.groupBy(keys.map(col): _*).agg(count(lit(1)).as("d"))
-        .agg(count(lit(1)).as("n_groups"), max(col("d")).as("max_group"),
-          sum(expr("d * (d - 1) DIV 2")).as("cand_pairs"),
-          sum(col("d")).as("sd"))
-        .select(lit(scheme).as("scheme"), col("n_groups"), col("max_group"),
-          col("cand_pairs"),
-          expr(s"($nFromSum) * (($nFromSum) - 1) DIV 2").as("quad_pairs"))
-    val arm = armFrom(banded, "sd") _
-    val parm = armFrom(probed, "sd DIV 2") _
-    arm("lsh_bucket", Seq("bucket"))
-      .unionByName(arm("celled_band0", Seq("cell_id", "bucket", "db0")))
-      .unionByName(arm("celled_band1", Seq("cell_id", "bucket", "db1")))
-      .unionByName(parm("probe2_band0", Seq("pcell", "bucket", "db0")))
-      .unionByName(parm("probe2_band1", Seq("pcell", "bucket", "db1")))
-  }
+  def mediaBlockingBoard(keyed: DataFrame): DataFrame =
+    // the board itself is corpus-agnostic and shared with the primary
+    // embeddings table (q182) — [[Dedup.celledBlockingBoard]]; this
+    // alias keeps the media chain's entry point and its scaladoc
+    Dedup.celledBlockingBoard(keyed)
 
   /** q170: the certified media-feature board — [[extractFeatures]]'s
     * embedding exploded to scalar (vec_id, kind, pos, value) rows so
