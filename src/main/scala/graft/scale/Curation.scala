@@ -1362,95 +1362,6 @@ object Curation extends QueryModule {
        |  FROM bk JOIN asg USING (vec_id) JOIN db USING (vec_id)),""".stripMargin
   }
 
-  /** The shipped band geometry's word definitions, derived in SQL from
-    * the SAME constants as the Spark kernel
-    * ([[Dedup.CelledBands]]/[[Dedup.CelledBandBits]]) — band j is
-    * `(dbucket >> j·bits) & (2^bits − 1) AS db{j}`. */
-  private def celledBandDefsSql: String =
-    (0 until Dedup.CelledBands).map { j =>
-      s"(dbucket >> ${j * Dedup.CelledBandBits}) & " +
-        s"${(1L << Dedup.CelledBandBits) - 1} AS db$j"
-    }.mkString(",\n    ")
-
-  /** The celled pair chain's band arms as a UNION ALL — band j joins
-    * on its word with every EARLIER band differing (the Spark side's
-    * exactly-once rule restated). */
-  private def celledPairArmsSql: String =
-    (0 until Dedup.CelledBands).map { j =>
-      val earlier = (0 until j)
-        .map(i => s"AND x.db$i <> y.db$i").mkString(" ")
-      s"""SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
-         |    list_dot_product(x.v, y.v) / (x.nrm * y.nrm) AS cos
-         |  FROM k2 x JOIN k2 y
-         |    ON x.cell_id = y.cell_id AND x.bucket = y.bucket
-         |    AND x.db$j = y.db$j $earlier AND x.vec_id < y.vec_id""".stripMargin
-    }.mkString("\n  UNION ALL\n  ")
-
-  /** `(x.db0 = y.db0 OR … )` — any-band agreement, for the probe-2
-    * DISTINCT restatement. */
-  private def anyBandEqSql: String =
-    (0 until Dedup.CelledBands).map(j => s"x.db$j = y.db$j")
-      .mkString("(", " OR ", ")")
-
-  /** The [[Dedup.CelledGeometries]] sweep as a VALUES list —
-    * (scheme, shift, mask, nBands) per band per geometry, the same
-    * tuples the Spark board explodes. */
-  private def celledGeomValuesSql: String =
-    Dedup.CelledGeometries.flatMap { case (nb, bb) =>
-      (0 until nb).map(j =>
-        s"('bands_${nb}x${bb}bit', ${j * bb}, ${(1L << bb) - 1}, $nb)")
-    }.mkString(", ")
-
-  /** [[Dedup.celledBlockingBoard]] restated over a `keyed` CTE (the
-    * caller's prefix supplies it): the fixed-bucket row, the shipped
-    * geometry's per-band and probe-exploded rows, and the
-    * [[Dedup.CelledGeometries]] sweep — every scheme name, shift and
-    * mask interpolated from the same constants as the Spark board. */
-  private[scale] def celledBlockingBoardSql: String = {
-    val bits = Dedup.CelledBandBits
-    val bandIdx = 0 until Dedup.CelledBands
-    def wordSql(j: Int): String =
-      s"(dbucket >> ${j * bits}) & ${(1L << bits) - 1}"
-    val cCtes = bandIdx.map(j =>
-      s"""c$j AS (SELECT cell_id, bucket, ${wordSql(j)} AS k, COUNT(*) AS d
-         |       FROM keyed GROUP BY 1, 2, 3)""".stripMargin).mkString(",\n")
-    val pCtes = bandIdx.map(j =>
-      s"""p$j AS (SELECT pcell, bucket, ${wordSql(j)} AS k, COUNT(*) AS d
-         |       FROM px GROUP BY 1, 2, 3)""".stripMargin).mkString(",\n")
-    val armSelects = (bandIdx.map(j => s"c$j" -> s"celled_band$j") ++
-        bandIdx.map(j => s"p$j" -> s"probe2_band$j"))
-      .map { case (cte, scheme) =>
-        s"""SELECT '$scheme', COUNT(*), MAX(d),
-           |  CAST(SUM(d*(d-1)//2) AS BIGINT), (SELECT n*(n-1)//2 FROM tot)
-           |FROM $cte""".stripMargin
-      }
-    s"""one AS (SELECT bucket, COUNT(*) AS d FROM keyed GROUP BY 1),
-       |$cCtes,
-       |px AS (SELECT cell_id AS pcell, bucket, dbucket FROM keyed
-       |       UNION ALL SELECT cell2, bucket, dbucket FROM keyed),
-       |$pCtes,
-       |geo AS (SELECT * FROM (VALUES $celledGeomValuesSql)
-       |        g(scheme, sh, mask, nb)),
-       |gg AS (SELECT g.scheme, g.nb, g.sh, k.cell_id, k.bucket,
-       |    (k.dbucket >> g.sh) & g.mask AS w, COUNT(*) AS d
-       |  FROM keyed k CROSS JOIN geo g GROUP BY 1, 2, 3, 4, 5, 6),
-       |gb AS (SELECT scheme, CAST(COUNT(*) AS BIGINT) AS n_groups,
-       |    MAX(d) AS max_group,
-       |    CAST(SUM(d*(d-1)//2) AS BIGINT) AS cand_pairs,
-       |    CAST((SUM(d)//nb) * ((SUM(d)//nb) - 1) // 2 AS BIGINT)
-       |      AS quad_pairs
-       |  FROM gg GROUP BY scheme, nb),
-       |tot AS (SELECT COUNT(*) AS n FROM keyed)
-       |SELECT 'lsh_bucket' AS scheme, COUNT(*) AS n_groups,
-       |  MAX(d) AS max_group, CAST(SUM(d*(d-1)//2) AS BIGINT) AS cand_pairs,
-       |  (SELECT n*(n-1)//2 FROM tot) AS quad_pairs FROM one
-       |UNION ALL
-       |${armSelects.mkString("\nUNION ALL\n")}
-       |UNION ALL
-       |SELECT scheme, n_groups, max_group, cand_pairs, quad_pairs
-       |FROM gb""".stripMargin
-  }
-
   override val oracle: Map[String, String] = Map(
     "q144_chunk_spans" ->
       s"""WITH w AS (SELECT doc_id, len($wsSql) AS n FROM documents),
@@ -1876,16 +1787,16 @@ object Curation extends QueryModule {
     "q176_media_neardup_celled" ->
       s"""WITH $mediaKeyedCteSql
          |k2 AS (SELECT vec_id, cell_id, bucket,
-         |    $celledBandDefsSql, v, nrm FROM keyed),
+         |    ${Dedup.celledBandDefsSql}, v, nrm FROM keyed),
          |pr AS (
-         |  $celledPairArmsSql)
+         |  ${Dedup.celledPairArmsSql})
          |SELECT vec_a, vec_b, ROUND(cos, 4) AS cos
          |FROM pr WHERE cos >= ${Multimodal.MediaNearDupMinCos}""".stripMargin,
     // the blocking-volume pricing board: exact integer counts off the
     // same keyed CTE — sub-quadraticity is the two band rows' summed
     // cand_pairs sitting orders of magnitude under quad_pairs
     "q177_media_blocking" -> (s"WITH $mediaKeyedCteSql\n" +
-      celledBlockingBoardSql),
+      Dedup.celledBlockingBoardSql),
     // the real-codec pixel board: the oracle recomputes the decoded
     // stats from the SOURCE bytes (hex-slice CTE) — the hash match IS
     // the certification that the PNG encode/decode round-trip was
@@ -1947,7 +1858,7 @@ object Curation extends QueryModule {
     "q178_media_neardup_probe2" ->
       s"""WITH $mediaKeyedCteSql
          |k2 AS (SELECT vec_id, cell_id, cell2, bucket,
-         |    $celledBandDefsSql, v, nrm FROM keyed),
+         |    ${Dedup.celledBandDefsSql}, v, nrm FROM keyed),
          |px AS (SELECT vec_id, cell_id AS pcell FROM k2
          |       UNION ALL SELECT vec_id, cell2 FROM k2),
          |pr AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
@@ -1955,7 +1866,7 @@ object Curation extends QueryModule {
          |  JOIN k2 x ON x.vec_id = pa.vec_id
          |  JOIN k2 y ON y.vec_id = pb.vec_id
          |  WHERE x.vec_id < y.vec_id AND x.bucket = y.bucket
-         |    AND $anyBandEqSql),
+         |    AND ${Dedup.anyBandEqSql}),
          |sc AS (SELECT pr.vec_a, pr.vec_b,
          |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
          |  FROM pr JOIN k2 a ON a.vec_id = pr.vec_a

@@ -1347,6 +1347,143 @@ object Dedup extends QueryModule {
       .reduce(_.unionByName(_))
   }
 
+  /** The shipped band geometry's word definitions, derived in SQL from
+    * the SAME constants as the Spark kernel
+    * ([[CelledBands]]/[[CelledBandBits]]) — band j is
+    * `(dbucket >> j·bits) & (2^bits − 1) AS db{j}`. */
+  private[scale] def celledBandDefsSql: String =
+    (0 until CelledBands).map { j =>
+      s"(dbucket >> ${j * CelledBandBits}) & " +
+        s"${(1L << CelledBandBits) - 1} AS db$j"
+    }.mkString(",\n    ")
+
+  /** The celled pair chain's band arms as a UNION ALL — band j joins
+    * on its word with every EARLIER band differing (the Spark side's
+    * exactly-once rule restated). Reads a `k2` CTE carrying
+    * (vec_id, cell_id, bucket, db0…, v, nrm). */
+  private[scale] def celledPairArmsSql: String =
+    (0 until CelledBands).map { j =>
+      val earlier = (0 until j)
+        .map(i => s"AND x.db$i <> y.db$i").mkString(" ")
+      s"""SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         |    list_dot_product(x.v, y.v) / (x.nrm * y.nrm) AS cos
+         |  FROM k2 x JOIN k2 y
+         |    ON x.cell_id = y.cell_id AND x.bucket = y.bucket
+         |    AND x.db$j = y.db$j $earlier AND x.vec_id < y.vec_id""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+
+  /** `(x.db0 = y.db0 OR … )` — any-band agreement, for the probe-2
+    * DISTINCT restatement. */
+  private[scale] def anyBandEqSql: String =
+    (0 until CelledBands).map(j => s"x.db$j = y.db$j")
+      .mkString("(", " OR ", ")")
+
+  /** The [[CelledGeometries]] sweep as a VALUES list —
+    * (scheme, shift, mask, nBands) per band per geometry, the same
+    * tuples the Spark board explodes. */
+  private def celledGeomValuesSql: String =
+    CelledGeometries.flatMap { case (nb, bb) =>
+      (0 until nb).map(j =>
+        s"('bands_${nb}x${bb}bit', ${j * bb}, ${(1L << bb) - 1}, $nb)")
+    }.mkString(", ")
+
+  /** [[celledBlockingBoard]] restated over a `keyed` CTE (the caller's
+    * prefix supplies it): the fixed-bucket row, the shipped geometry's
+    * per-band and probe-exploded rows, and the [[CelledGeometries]]
+    * sweep — every scheme name, shift and mask interpolated from the
+    * same constants as the Spark board. */
+  private[scale] def celledBlockingBoardSql: String = {
+    val bits = CelledBandBits
+    val bandIdx = 0 until CelledBands
+    def wordSql(j: Int): String =
+      s"(dbucket >> ${j * bits}) & ${(1L << bits) - 1}"
+    val cCtes = bandIdx.map(j =>
+      s"""c$j AS (SELECT cell_id, bucket, ${wordSql(j)} AS k, COUNT(*) AS d
+         |       FROM keyed GROUP BY 1, 2, 3)""".stripMargin).mkString(",\n")
+    val pCtes = bandIdx.map(j =>
+      s"""p$j AS (SELECT pcell, bucket, ${wordSql(j)} AS k, COUNT(*) AS d
+         |       FROM px GROUP BY 1, 2, 3)""".stripMargin).mkString(",\n")
+    val armSelects = (bandIdx.map(j => s"c$j" -> s"celled_band$j") ++
+        bandIdx.map(j => s"p$j" -> s"probe2_band$j"))
+      .map { case (cte, scheme) =>
+        s"""SELECT '$scheme', COUNT(*), MAX(d),
+           |  CAST(SUM(d*(d-1)//2) AS BIGINT), (SELECT n*(n-1)//2 FROM tot)
+           |FROM $cte""".stripMargin
+      }
+    s"""one AS (SELECT bucket, COUNT(*) AS d FROM keyed GROUP BY 1),
+       |$cCtes,
+       |px AS (SELECT cell_id AS pcell, bucket, dbucket FROM keyed
+       |       UNION ALL SELECT cell2, bucket, dbucket FROM keyed),
+       |$pCtes,
+       |geo AS (SELECT * FROM (VALUES $celledGeomValuesSql)
+       |        g(scheme, sh, mask, nb)),
+       |gg AS (SELECT g.scheme, g.nb, g.sh, k.cell_id, k.bucket,
+       |    (k.dbucket >> g.sh) & g.mask AS w, COUNT(*) AS d
+       |  FROM keyed k CROSS JOIN geo g GROUP BY 1, 2, 3, 4, 5, 6),
+       |gb AS (SELECT scheme, CAST(COUNT(*) AS BIGINT) AS n_groups,
+       |    MAX(d) AS max_group,
+       |    CAST(SUM(d*(d-1)//2) AS BIGINT) AS cand_pairs,
+       |    CAST((SUM(d)//nb) * ((SUM(d)//nb) - 1) // 2 AS BIGINT)
+       |      AS quad_pairs
+       |  FROM gg GROUP BY scheme, nb),
+       |tot AS (SELECT COUNT(*) AS n FROM keyed)
+       |SELECT 'lsh_bucket' AS scheme, COUNT(*) AS n_groups,
+       |  MAX(d) AS max_group, CAST(SUM(d*(d-1)//2) AS BIGINT) AS cand_pairs,
+       |  (SELECT n*(n-1)//2 FROM tot) AS quad_pairs FROM one
+       |UNION ALL
+       |${armSelects.mkString("\nUNION ALL\n")}
+       |UNION ALL
+       |SELECT scheme, n_groups, max_group, cand_pairs, quad_pairs
+       |FROM gb""".stripMargin
+  }
+
+  /** The primary embeddings table's celled keyed CTE — the
+    * spread-corpus twin of the media chain's keyed fragment
+    * ([[Curation]]'s `mediaKeyedCteSql`), minus the byte-histogram
+    * feature chain (the embeddings are read directly): fixed
+    * sign-plane bucket from [[Similarity.bucketSql]], TOP-2
+    * argmax-cosine cells over the first-[[Similarity.IvfCells]] seed
+    * rows (rn ≤ 2 pivoted to cell_id/cell2), and the diff-plane bucket
+    * whose planes are component-wise differences of seed pairs
+    * (2p, 2p+1) — exact double subtractions of float32-cast values.
+    * `where` bounds the scan (the q183 audit slice); seeds stay the
+    * first IvfCells rows under any bound ≥ cells. Ends with the
+    * `keyed` CTE (and leaves `bk` visible for referee arms). */
+  private def embedKeyedCteSql(where: String = ""): String = {
+    val nP = Similarity.NumPlanes
+    val dim = Similarity.Dim
+    s"""bk AS (SELECT vec_id,
+       |    CAST(${Similarity.bucketSql} AS BIGINT) AS bucket,
+       |    CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |      CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings $where),
+       |cents AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM bk
+       |          WHERE vec_id < ${Similarity.IvfCells}),
+       |asg AS (SELECT vec_id,
+       |    MAX(CASE WHEN rn = 1 THEN cell_id END) AS cell_id,
+       |    MAX(CASE WHEN rn = 2 THEN cell_id END) AS cell2
+       |  FROM (
+       |    SELECT x.vec_id, c.cell_id,
+       |      ROW_NUMBER() OVER (PARTITION BY x.vec_id
+       |        ORDER BY list_dot_product(x.v, c.cv)/(x.nrm*c.cn) DESC,
+       |          c.cell_id ASC) AS rn
+       |    FROM bk x, cents c) WHERE rn <= 2 GROUP BY vec_id),
+       |pld AS (SELECT pp.p, u.i, ca.cv[i] - cb.cv[i] AS dv
+       |  FROM (SELECT unnest(range(0, $nP)) AS p) pp
+       |  JOIN cents ca ON ca.cell_id = 2*pp.p
+       |  JOIN cents cb ON cb.cell_id = 2*pp.p + 1,
+       |  unnest(range(1, $dim + 1)) u(i)),
+       |plv AS (SELECT p, list(dv ORDER BY i) AS pv FROM pld GROUP BY p),
+       |db AS (SELECT x.vec_id,
+       |    CAST(SUM(CASE WHEN list_dot_product(x.v, pl.pv) > 0
+       |             THEN 1 << p ELSE 0 END) AS BIGINT) AS dbucket
+       |  FROM bk x, plv pl GROUP BY 1),
+       |keyed AS (SELECT bk.vec_id, asg.cell_id, asg.cell2, db.dbucket,
+       |    bk.bucket, bk.v, bk.nrm
+       |  FROM bk JOIN asg USING (vec_id) JOIN db USING (vec_id))""".stripMargin
+  }
+
   /** Recall certification of the [[embeddingNearDupLsh]] gate against
     * the exact [[embeddingNearDup]] referee on the same bounded
     * sample — the audit those two docstrings promise, landed as a gate
@@ -1371,15 +1508,64 @@ object Dedup extends QueryModule {
     * candidates ⊆ truth and precision is 1 by construction — recall
     * is the only free number, which is why it's the one reported. */
   def nearDupRecall(emb: DataFrame, minCos: Double = EmbedNearDupMinCos,
-                    maxId: Long = EmbedNearDupMaxId): DataFrame = {
-    val truth = embeddingNearDup(emb, minCos, maxId)
-    val cand = embeddingNearDupLsh(emb.filter(col("vec_id") < maxId), minCos)
-      .select(col("vec_a"), col("vec_b"), lit(1).as("_hit"))
-    truth.join(cand, Seq("vec_a", "vec_b"), "left")
+                    maxId: Long = EmbedNearDupMaxId): DataFrame =
+    recallBoardFrom(embeddingNearDup(emb, minCos, maxId),
+      embeddingNearDupLsh(emb.filter(col("vec_id") < maxId), minCos))
+
+  /** The recall rollup shared by the LSH (q127) and celled (q183)
+    * certifications: true pairs left-joined to the gate's candidates,
+    * banded by floor(cos·5) — candidates pass the same exact-cosine
+    * filter as truth, so precision is 1 by construction and recall is
+    * the only free number. */
+  private def recallBoardFrom(truth: DataFrame, cand: DataFrame): DataFrame =
+    truth.join(
+        cand.select(col("vec_a"), col("vec_b"), lit(1).as("_hit")),
+        Seq("vec_a", "vec_b"), "left")
       .groupBy(floor(col("cos") * 5).cast("int").as("cos_band"))
       .agg(count(lit(1)).as("n_true"), count(col("_hit")).as("n_cand"))
       .withColumn("recall",
         round(col("n_cand").cast("double") / col("n_true"), 4))
+
+  /** q183: recall certification of the CELLED chain on the SPREAD
+    * corpus — [[embeddingNearDupCelled]]'s blocking over the primary
+    * `embeddings` table against the exact [[embeddingNearDup]] referee
+    * on the same bounded audit sample (the q127 discipline applied to
+    * the q181 production path). The celled chain was built for
+    * CONCENTRATED corpora (q176's media slice); THIS board certifies
+    * the scaladoc's other claim — on a spread corpus the fixed bucket
+    * still does the splitting and the data-dependent keys only narrow
+    * it, so celled recall sits at or below the q127 LSH profile
+    * (candidates here are a strict subset of the LSH gate's: same
+    * fixed bucket ∧ more keys) while the q182 board prices how much
+    * cheaper the blocking is.
+    *
+    * EXPECTED profile on this corpus (measured sf0.01, pinned by the
+    * gate hash): near-ZERO at every band — the spread corpus's true
+    * pairs all sit at low cosine (q29's max is ≈0.46; random
+    * [[Similarity.Dim]]-d vectors have no near-identical stratum), and
+    * at θ near 60-70° the 8-plane S-curve already reads ~1-2% for the
+    * plain LSH gate (q127: 0.0096 at band 1), of which the celled keys
+    * keep a subset (0 here). That is the method's honest contract, not
+    * a defect: every sign-plane OR-construction serves the
+    * NEAR-IDENTICAL stratum, where the S-curve is steep — the celled
+    * chain's positive-recall certification lives on the media corpus
+    * (q176/q178 vs the exhaustive q173 referee, 0.54-0.85 at
+    * cos ≥ 0.999). A q183 board suddenly reading 0.5 at band 1 would
+    * mean the geometry or the bucketing broke, exactly like q127.
+    *
+    * Scale shape: both sides run on the maxId-bounded audit sample;
+    * the celled side keys a bounded keyed projection (seeds = the
+    * first [[Similarity.IvfCells]] rows, inside every bound ≥ cells)
+    * and joins through the bounded grid even here. */
+  def celledNearDupRecall(emb: DataFrame,
+                          minCos: Double = EmbedNearDupMinCos,
+                          maxId: Long = EmbedNearDupMaxId): DataFrame = {
+    val bounded = emb.filter(col("vec_id") < maxId)
+    val keyed = celledKeyedVectors(bounded,
+      Similarity.seedCentroidList(bounded, Similarity.IvfCells))
+      .coreCheckpoint()
+    recallBoardFrom(embeddingNearDup(emb, minCos, maxId),
+      embeddingNearDupCelledFrom(keyed, minCos, inputMaterialized = true))
   }
 
   /** Semantic deduplication (SemDeDup, Abbas et al. 2023,
@@ -2635,7 +2821,8 @@ object Dedup extends QueryModule {
     "dedup:shingles" -> (() => { gateShingles(s, d); () }),
     "dedup:span-df" -> (() => { gateSpanDf(s, d); () }),
     "dedup:lines" -> (() => { gateLines(s, d); () }),
-    "dedup:kept" -> (() => { gateKept(s, d); () }))
+    "dedup:kept" -> (() => { gateKept(s, d); () }),
+    "dedup:keyed" -> (() => { gateEmbedKeyed(s, d); () }))
 
   /** Shared gate cores ([[graft.Shared]]): the maxDist=5 simhash pair
     * graph feeds TEN boards (q28/q59/q80/q82–q86/q68/q112/q120), its
@@ -2650,6 +2837,17 @@ object Dedup extends QueryModule {
   private def gateComps(s: SparkSession, d: String): DataFrame =
     graft.Shared.memo(s, s"dedup:simhash-comps5:$d")(
       connectedComponents(gatePairs(s, d)))
+
+  /** The primary embeddings table's celled keyed projection — the
+    * spread-corpus twin of the media chain's `mm:keyed` core, read by
+    * q181's pair join and q182's pricing rollups (one scan + plan-
+    * constant key kernels, checkpointed once a batch). */
+  private def gateEmbedKeyed(s: SparkSession, d: String): DataFrame =
+    graft.Shared.memo(s, s"dedup:embed-keyed:$d") {
+      val emb = T.embeddings(s, d)
+      celledKeyedVectors(emb,
+        Similarity.seedCentroidList(emb, Similarity.IvfCells))
+    }
 
   /** Components over the FROZEN half of the pair graph (the labels the
     * frozen index published) — shared by q174 and q175. */
@@ -2767,6 +2965,18 @@ object Dedup extends QueryModule {
     "q69_neardup_lsh" -> ((s, d) => embeddingNearDupLsh(T.embeddings(s, d), LshNearDupMinCos)),
     // recall-by-cos-band certification of the q69 gate vs the q29 referee
     "q127_neardup_recall" -> ((s, d) => nearDupRecall(T.embeddings(s, d))),
+    // the celled chain on the SPREAD corpus (q176's operator over the
+    // primary embeddings table): candidates a strict subset of q69's
+    // — the scaladoc's "the fixed bucket still splits" claim certified
+    // where it was only prose before; q182 prices the blocking and
+    // q183 certifies the recall point vs the exact q29 referee
+    "q181_embed_neardup_celled" -> ((s, d) =>
+      embeddingNearDupCelledFrom(gateEmbedKeyed(s, d), LshNearDupMinCos,
+        inputMaterialized = true)),
+    "q182_embed_celled_blocking" -> ((s, d) =>
+      celledBlockingBoard(gateEmbedKeyed(s, d))),
+    "q183_embed_celled_recall" -> ((s, d) =>
+      celledNearDupRecall(T.embeddings(s, d))),
     // cheap-vs-expensive signal calibration: exact Jaccard stats per
     // simhash distance bucket — rides the pair + shingle cores
     "q143_signal_calibration" -> ((s, d) =>
@@ -3718,6 +3928,43 @@ object Dedup extends QueryModule {
          |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
          |SELECT vec_a, vec_b, ROUND(cos, 4) AS cos
          |FROM pr WHERE cos >= $LshNearDupMinCos""".stripMargin,
+    // the celled chain on the spread corpus: the embeddings keyed CTE
+    // + the same generated band arms as the q176 oracle
+    "q181_embed_neardup_celled" ->
+      s"""WITH ${embedKeyedCteSql()},
+         |k2 AS (SELECT vec_id, cell_id, bucket,
+         |    $celledBandDefsSql, v, nrm FROM keyed),
+         |pr AS (
+         |  $celledPairArmsSql)
+         |SELECT vec_a, vec_b, ROUND(cos, 4) AS cos
+         |FROM pr WHERE cos >= $LshNearDupMinCos""".stripMargin,
+    // the blocking-volume board over the same keyed CTE — the shared
+    // generated body (schemes, shifts, masks all from the constants)
+    "q182_embed_celled_blocking" ->
+      (s"WITH ${embedKeyedCteSql()},\n" + celledBlockingBoardSql),
+    // celled-vs-exact recall on the bounded audit slice: the q127
+    // rollup with the candidate CTE swapped for the celled band arms
+    "q183_embed_celled_recall" ->
+      s"""WITH ${embedKeyedCteSql(s"WHERE vec_id < $EmbedNearDupMaxId")},
+         |k2 AS (SELECT vec_id, cell_id, bucket,
+         |    $celledBandDefsSql, v, nrm FROM keyed),
+         |cand0 AS (
+         |  $celledPairArmsSql),
+         |cand AS (SELECT vec_a, vec_b FROM cand0
+         |         WHERE cos >= $EmbedNearDupMinCos),
+         |truth AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos
+         |  FROM bk a JOIN bk b ON a.vec_id < b.vec_id
+         |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $EmbedNearDupMinCos),
+         |j AS (SELECT t.cos, (c.vec_a IS NOT NULL) AS hit
+         |  FROM truth t LEFT JOIN cand c
+         |    ON t.vec_a = c.vec_a AND t.vec_b = c.vec_b)
+         |SELECT CAST(FLOOR(cos * 5) AS INTEGER) AS cos_band,
+         |  COUNT(*) AS n_true,
+         |  COUNT(CASE WHEN hit THEN 1 END) AS n_cand,
+         |  ROUND(CAST(COUNT(CASE WHEN hit THEN 1 END) AS DOUBLE)
+         |    / COUNT(*), 4) AS recall
+         |FROM j GROUP BY 1""".stripMargin,
     // SemDeDup restated: q38's argmax-cosine cell assignment, q69's
     // within-key pair join, q59's recursive min-label closure, then
     // keep = (component min == own id), TRUE off the pair graph

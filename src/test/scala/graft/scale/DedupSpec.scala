@@ -1963,10 +1963,12 @@ class DedupSpec extends SparkSpec {
   }
 
   test("embeddingNearDupCelled2From property: on random clustered " +
-    "embeddings the board equals a brute-force blocked reference " +
-    "(probe-set intersection AND bucket AND either band AND cosine " +
-    "gate), emitted exactly once, with the kernel's top-2 cells " +
-    "matching an independent ranking (3 seeds)") {
+    "embeddings of randomized size — with PLANTED argmax2 ties " +
+    "(identical seed centroids) and an exact duplicate pair — the " +
+    "board equals a brute-force blocked reference (probe-set " +
+    "intersection AND bucket AND either band AND cosine gate), " +
+    "emitted exactly once, with the kernel's top-2 cells matching an " +
+    "independent ranking (3 seeds)") {
     val spark2 = spark
     import spark2.implicits._
     def cosine(a: Seq[Double], b: Seq[Double]): Double = {
@@ -1983,14 +1985,24 @@ class DedupSpec extends SparkSpec {
     for (seed <- Seq(11, 257, 9001)) {
       val rnd = new scala.util.Random(seed)
       val dim = 12
+      // randomized corpus size so the probe/band occupancy varies
+      val n = 90 + rnd.nextInt(60)
       // clustered draw: near-dup pairs exist (same base, small noise)
       // and cluster members straddle cell boundaries — the stratum the
       // multi-probe exists for
       val bases = Array.fill(10)(Array.fill(dim)(rnd.nextGaussian()))
-      val emb = (0 until 120).map { i =>
+      val raw = (0 until n).map { i =>
         val b = bases(rnd.nextInt(bases.length))
         (i.toLong, b.map(_ + 0.15 * rnd.nextGaussian()).toSeq)
-      }.toDF("vec_id", "embedding").localCheckpoint()
+      }.toArray
+      // ADVERSARIAL TIES: seed rows 3 and 7 are made IDENTICAL, so for
+      // every vector cos(v, c3) == cos(v, c7) exactly (same doubles) —
+      // the argmax/argmax2 id tiebreak decides the probe set
+      // corpus-wide; and one exact duplicate pair among the corpus
+      // rows ties at cosine 1.0
+      raw(7) = (7L, raw(3)._2)
+      raw(n - 1) = ((n - 1).toLong, raw(20)._2)
+      val emb = raw.toSeq.toDF("vec_id", "embedding").localCheckpoint()
       val seeds = Similarity.seedCentroidList(emb, Similarity.IvfCells)
       val keyed = Dedup.celledKeyedVectors(emb, seeds).localCheckpoint()
       val minCos = 0.9
@@ -2038,6 +2050,59 @@ class DedupSpec extends SparkSpec {
         rows(a)._1 != rows(b)._1 },
         s"seed $seed: no cross-primary-cell pair drawn")
       assert(expected.nonEmpty, s"seed $seed: empty board proves nothing")
+    }
+  }
+
+  test("celled chain on the spread corpus (q181-q183): the pair board " +
+    "is a strict subset of the q69 LSH gate's, the blocking board's " +
+    "geometry sweep reconciles with the shipped per-band rows, and " +
+    "the celled recall never exceeds the q127 LSH profile") {
+    val d = "/root/testdata/sf0.001"
+    val emb = graft.Tables.embeddings(spark, d)
+    val seeds = Similarity.seedCentroidList(emb, Similarity.IvfCells)
+    val keyed = Dedup.celledKeyedVectors(emb, seeds).localCheckpoint()
+    // subset: same fixed bucket stays in every celled key, so the
+    // celled pairs can only be LSH pairs (the q176-vs-q173 discipline
+    // transplanted to the spread corpus)
+    val celled = Dedup.embeddingNearDupCelledFrom(keyed,
+        Dedup.LshNearDupMinCos, inputMaterialized = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingNearDupLsh(emb, Dedup.LshNearDupMinCos)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(celled.subsetOf(lsh),
+      s"celled pairs not a subset of LSH: ${celled -- lsh}")
+    assert(celled.size < lsh.size,
+      "celled blocking pruned nothing — the spread claim is untested")
+    // blocking board: the shipped-geometry sweep row aggregates the
+    // SAME groupings as the per-band rows, so its volumes are their sum
+    val board = Dedup.celledBlockingBoard(keyed).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    val shipped =
+      board(s"bands_${Dedup.CelledBands}x${Dedup.CelledBandBits}bit")
+    val perBand = (0 until Dedup.CelledBands).map(j => board(s"celled_band$j"))
+    assert(shipped._1 === perBand.map(_._1).sum, "n_groups sum diverged")
+    assert(shipped._2 === perBand.map(_._2).max, "max_group diverged")
+    assert(shipped._3 === perBand.map(_._3).sum, "cand_pairs sum diverged")
+    assert(shipped._4 === perBand.head._4, "quad_pairs diverged")
+    // every geometry's volume sits under the quadratic worst case and
+    // under (or at) the single fixed-bucket scheme's
+    for ((nb, bb) <- Dedup.CelledGeometries) {
+      val g = board(s"bands_${nb}x${bb}bit")
+      assert(g._3 <= board("lsh_bucket")._3 && g._3 < g._4,
+        s"geometry ${nb}x$bb prices above the LSH bucket or quadratic")
+    }
+    // recall: celled candidates ⊆ LSH candidates ⇒ per-band n_cand ≤
+    // q127's, n_true identical (same referee)
+    val celledRec = Dedup.celledNearDupRecall(emb).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val lshRec = Dedup.nearDupRecall(emb).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(celledRec.keySet === lshRec.keySet)
+    for ((band, (nTrue, nCand)) <- celledRec) {
+      assert(nTrue === lshRec(band)._1, s"band $band: truth diverged")
+      assert(nCand <= lshRec(band)._2, s"band $band: celled recall " +
+        "exceeds the LSH gate it is a subset of")
     }
   }
 }
