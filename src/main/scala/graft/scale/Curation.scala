@@ -1076,6 +1076,16 @@ object Curation extends QueryModule {
         Multimodal.mediaSeeds(s, docs))
     }
 
+  /** The published celled pair board off the keyed core — q176 IS this
+    * table, and q184's incremental arm derives its cross and
+    * frozen-frozen subsets from the same rows (the frozen-artifact
+    * contract: the incremental board reconciles against the published
+    * chain by construction). */
+  private def gateMediaPairs(s: SparkSession, d: String): DataFrame =
+    graft.Shared.memo(s, s"mm:cpairs:$d")(
+      Dedup.embeddingNearDupCelledFrom(gateMediaKeyed(s, d),
+        Multimodal.MediaNearDupMinCos, inputMaterialized = true))
+
   /** Batch-start core warmups (the [[graft.scale.Dedup.coreWarmups]]
     * contract) — both packing geometries the gate boards read. */
   private[graft] def coreWarmups(s: SparkSession,
@@ -1118,11 +1128,15 @@ object Curation extends QueryModule {
     // the FULL-corpus cross-modal near-dup: data-dependent cell +
     // diff-plane blocking (q176) and its volume pricing board (q177)
     // share ONE memoized keyed projection
-    "q176_media_neardup_celled" -> ((s, d) =>
-      Dedup.embeddingNearDupCelledFrom(gateMediaKeyed(s, d),
-        Multimodal.MediaNearDupMinCos, inputMaterialized = true)),
+    "q176_media_neardup_celled" -> ((s, d) => gateMediaPairs(s, d)),
     "q177_media_blocking" -> ((s, d) =>
       Multimodal.mediaBlockingBoard(gateMediaKeyed(s, d))),
+    // the incremental arm: new arrivals vs the frozen celled index,
+    // frozen-cluster labels from frozen-frozen pairs only — rides the
+    // SAME published pair core as q176 (the q174 discipline)
+    "q184_media_neardup_incr" -> ((s, d) =>
+      Dedup.incrementalNearDupCelled(gateMediaKeyed(s, d),
+        gateMediaPairs(s, d))),
     // the multi-probe recall dial: top-2 cells, same bands — q176's
     // candidates are a strict subset; rides the same memoized core
     "q178_media_neardup_probe2" -> ((s, d) =>
@@ -1797,6 +1811,39 @@ object Curation extends QueryModule {
     // cand_pairs sitting orders of magnitude under quad_pairs
     "q177_media_blocking" -> (s"WITH $mediaKeyedCteSql\n" +
       Dedup.celledBlockingBoardSql),
+    // incremental celled near-dup: the q176 pair arms feed the q174
+    // shape verbatim — frozen-frozen pairs close into min-id clusters,
+    // cross-boundary pairs attach the frozen labels, spine = arrivals
+    "q184_media_neardup_incr" ->
+      s"""WITH RECURSIVE $mediaKeyedCteSql
+         |k2 AS (SELECT vec_id, cell_id, bucket,
+         |    ${Dedup.celledBandDefsSql}, v, nrm FROM keyed),
+         |pr0 AS (
+         |  ${Dedup.celledPairArmsSql}),
+         |p AS (SELECT vec_a, vec_b FROM pr0
+         |      WHERE cos >= ${Multimodal.MediaNearDupMinCos}),
+         |fp AS (SELECT vec_a, vec_b FROM p
+         |       WHERE vec_b < ${Dedup.IncrementalBoundary}),
+         |eg AS (SELECT vec_a AS a, vec_b AS b FROM fp
+         |      UNION SELECT vec_b, vec_a FROM fp),
+         |reach(a, b) AS (SELECT a, b FROM eg
+         |  UNION SELECT r.a, e2.b FROM reach r JOIN eg e2 ON r.b = e2.a),
+         |cl AS (SELECT a AS vec_id, LEAST(a, MIN(b)) AS cluster_id
+         |       FROM reach GROUP BY a),
+         |cm AS (SELECT vec_a, vec_b FROM p
+         |       WHERE vec_a < ${Dedup.IncrementalBoundary}
+         |         AND vec_b >= ${Dedup.IncrementalBoundary}),
+         |m AS (SELECT cm.vec_b AS vec_id,
+         |        CAST(COUNT(*) AS BIGINT) AS n_matches,
+         |        CAST(COUNT(DISTINCT COALESCE(cl.cluster_id, cm.vec_a))
+         |          AS BIGINT) AS n_clusters,
+         |        MIN(COALESCE(cl.cluster_id, cm.vec_a)) AS cluster
+         |      FROM cm LEFT JOIN cl ON cl.vec_id = cm.vec_a GROUP BY 1)
+         |SELECT k.vec_id, m.vec_id IS NOT NULL AS matched,
+         |  COALESCE(m.n_matches, 0) AS n_matches,
+         |  COALESCE(m.n_clusters, 0) AS n_clusters, m.cluster
+         |FROM keyed k LEFT JOIN m USING (vec_id)
+         |WHERE k.vec_id >= ${Dedup.IncrementalBoundary}""".stripMargin,
     // the real-codec pixel board: the oracle recomputes the decoded
     // stats from the SOURCE bytes (hex-slice CTE) — the hash match IS
     // the certification that the PNG encode/decode round-trip was

@@ -1927,6 +1927,40 @@ object Dedup extends QueryModule {
         col("cluster"))
   }
 
+  /** q184: incremental near-dup maintenance for the CELLED embedding
+    * chain — [[incrementalNearDup]]'s contract (q174) transplanted
+    * from the simhash index to the index a 100 TB CLIP-dedup pipeline
+    * would actually freeze: for every NEW vector (id ≥ boundary), does
+    * it near-duplicate the FROZEN corpus under the celled blocking,
+    * how many frozen vectors it hits, and which frozen CLUSTER it
+    * joins (min-id labels over frozen-frozen pairs ONLY — the clusters
+    * the frozen index published; a new vector must not see clusters
+    * merged by other arrivals).
+    *
+    * The frozen-artifact contract: `pairs` is the PUBLISHED
+    * full-corpus celled board ([[embeddingNearDupCelledFrom]] — the
+    * q176 memoized core). The celled keys are per-row scan-side
+    * projections against plan-constant seeds (the first
+    * [[Similarity.IvfCells]] rows, all below any boundary ≥ cells), so
+    * the frozen side's keys cannot shift as arrivals land, and the
+    * cross and frozen-frozen pair sets are exact ROW SUBSETS of that
+    * list — the board reconciles against the published chain by
+    * construction ([[DedupSpec]] re-proves it with an independent
+    * union-find, the q174 discipline).
+    *
+    * Scale design: identical to q174 — two scan-side filters of the
+    * pair core, one bounded component pass over the frozen half, one
+    * broadcast-sized label attach, one vec-keyed rollup; the
+    * expensive key/join work is the pair core's, paid once per batch
+    * and shared with the q176/q177/q178 consumers. */
+  def incrementalNearDupCelled(keyed: DataFrame, pairs: DataFrame,
+      boundary: Long = IncrementalBoundary): DataFrame =
+    incrementalNearDup(
+      keyed.select(col("vec_id").as("doc_id")),
+      pairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")),
+      boundary)
+      .withColumnRenamed("doc_id", "vec_id")
+
   /** q175: the cluster-registry update — what the batch DID to the
     * dedup registry, per document: the label the frozen index
     * published (`old_cluster`, null for new docs), the label a full

@@ -2053,6 +2053,71 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incrementalNearDupCelled reconciles against the published " +
+    "celled board: frozen-frozen labels only (via an independent " +
+    "union-find), cross pairs are row subsets of the q176 chain, and " +
+    "matched/unmatched/bridge strata are all exercised") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(43)
+    val dim = 12
+    val boundary = 60L
+    // clustered draw + planted structure: new id 100 duplicates frozen
+    // id 20 (a guaranteed cross match); frozen ids 30 and 31 duplicate
+    // each other (a frozen cluster) and new id 101 duplicates id 30
+    // (joins that cluster); the noise draw supplies unmatched arrivals
+    val bases = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian()))
+    val raw = (0 until 110).map { i =>
+      val b = bases(rnd.nextInt(bases.length))
+      (i.toLong, b.map(_ + 0.15 * rnd.nextGaussian()).toSeq)
+    }.toArray
+    raw(100) = (100L, raw(20)._2)
+    raw(31) = (31L, raw(30)._2)
+    raw(101) = (101L, raw(30)._2)
+    val emb = raw.toSeq.toDF("vec_id", "embedding").localCheckpoint()
+    val keyed = Dedup.celledKeyedVectors(emb,
+      Similarity.seedCentroidList(emb, Similarity.IvfCells)).localCheckpoint()
+    val minCos = 0.9
+    val pairs = Dedup.embeddingNearDupCelledFrom(keyed, minCos,
+      inputMaterialized = true).localCheckpoint()
+    val got = Dedup.incrementalNearDupCelled(keyed, pairs, boundary)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Boolean]("matched"), r.getAs[Long]("n_matches"),
+          r.getAs[Long]("n_clusters"),
+          Option(r.getAs[java.lang.Long]("cluster")).map(_.toLong)))).toMap
+    // independent reference off the SAME published pair list — the
+    // frozen-artifact contract: everything derives from q176's rows
+    val plist = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val frozenPairs = plist.filter(_._2 < boundary)
+    val cross = plist.filter(p => p._1 < boundary && p._2 >= boundary)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      r
+    }
+    frozenPairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = (boundary until 110L).map { id =>
+      val hits = cross.filter(_._2 == id).map(c => find(c._1))
+      id -> ((hits.nonEmpty, hits.length.toLong,
+        hits.distinct.length.toLong,
+        if (hits.isEmpty) None else Some(hits.min)))
+    }.toMap
+    assert(got === expect)
+    // the planted strata all materialized
+    assert(got(100L)._1 && got(100L)._4.isDefined, "planted cross match lost")
+    // 101 joins whatever frozen cluster 30 belongs to (the noise draw
+    // may have linked 30 into a larger component — the label is that
+    // component's min id, not necessarily 30 itself)
+    assert(got(101L)._4 === Some(find(30L)), "planted cluster join mislabeled")
+    assert(got.values.exists(!_._1), "no unmatched arrival drawn")
+    // new-new duplicates must NOT create matches: only cross pairs count
+    assert(cross.forall(_._1 < boundary))
+  }
+
   test("celled chain on the spread corpus (q181-q183): the pair board " +
     "is a strict subset of the q69 LSH gate's, the blocking board's " +
     "geometry sweep reconciles with the shipped per-band rows, and " +
