@@ -57,14 +57,20 @@ object Similarity extends QueryModule {
   private def planeLit(p: Int): Column =
     array(planes(p).map(lit): _*)
 
-  /** vec_id + 8-bit LSH bucket: bit p = sign(v · plane_p). */
-  def lshBuckets(emb: DataFrame): DataFrame = {
-    val v = toDoubleArray(col("embedding"))
-    val bucket = (0 until NumPlanes).map { p =>
+  /** The fixed sign-plane word of double-vector column `v` — the
+    * scan-side expression [[lshBuckets]]/[[bucketedVectors]] inline;
+    * also exposed for streaming arrivals, whose keyed projection must
+    * be built without the widen/repartition step (a streaming source
+    * has no scan estimate and `.rdd` is illegal on it). */
+  private[graft] def fixedPlaneBucket(v: Column): Column =
+    (0 until NumPlanes).map { p =>
       when(dotProduct(v, planeLit(p)) > 0d, lit(1L << p)).otherwise(0L)
     }.reduce(_ + _)
-    emb.select(col("vec_id"), bucket.as("bucket"))
-  }
+
+  /** vec_id + 8-bit LSH bucket: bit p = sign(v · plane_p). */
+  def lshBuckets(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      fixedPlaneBucket(toDoubleArray(col("embedding"))).as("bucket"))
 
   /** (vec_id, bucket, double vector, norm) in ONE scan — bucket, cast
     * and norm are all projections of the same embedding read, so no
@@ -73,11 +79,8 @@ object Similarity extends QueryModule {
     * twice and paid a self-join shuffle for the privilege). */
   def bucketedVectors(emb: DataFrame): DataFrame = {
     val v = toDoubleArray(col("embedding"))
-    val bucket = (0 until NumPlanes).map { p =>
-      when(dotProduct(v, planeLit(p)) > 0d, lit(1L << p)).otherwise(0L)
-    }.reduce(_ + _)
     Layout.widen(emb)
-      .select(col("vec_id"), bucket.as("bucket"), v.as("v"))
+      .select(col("vec_id"), fixedPlaneBucket(v).as("bucket"), v.as("v"))
       .withColumn("nrm", l2Norm(col("v")))
   }
 

@@ -125,27 +125,35 @@ object NearDupMaintenance {
     // consumer had to remember)
     val valid = col("f_id").isNotNull &&
       bit_count(col("simhash").bitwiseXOR(col("f_sim"))) <= maxDist
-    streamBlocked
-      .join(staticBlocked, Seq("t", "kv"), "left")
-      .select(col("doc_id"),
-        when(valid, col("f_id")).as("f_id"),
-        when(valid, col("f_cluster")).as("f_cluster"))
-      .as[(Long, Option[Long], Option[Long])]
-      .groupByKey(_._1)
+    verdictFold(
+      streamBlocked
+        .join(staticBlocked, Seq("t", "kv"), "left")
+        .select(col("doc_id"),
+          when(valid, col("f_id")).as("f_id"),
+          when(valid, col("f_cluster")).as("f_cluster"))
+        .as[(Long, Option[Long], Option[Long])])
+  }
+
+  /** The shared verdict fold: distinct (frozen id, frozen cluster)
+    * matches per arrival, idempotent under re-delivery; unmatched
+    * arrivals emit their spine row STATELESSLY (the verdict is a
+    * deterministic recompute of the arrival itself, so state stays
+    * bounded by matched arrivals only). Extracted so the simhash and
+    * celled twins fold identically. */
+  private[streaming] def verdictFold(
+      arrivals: Dataset[(Long, Option[Long], Option[Long])])
+      : Dataset[NearDupVerdict] = {
+    val spark = arrivals.sparkSession
+    import spark.implicits._
+    arrivals.groupByKey(_._1)
       .flatMapGroupsWithState[NearDupState, NearDupVerdict](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (id: Long, rows: Iterator[(Long, Option[Long], Option[Long])],
          state: GroupState[NearDupState]) =>
-          // fold new rows into the distinct match set: idempotent
-          // under re-delivery, bounded by the doc's own match count
           val prev = state.getOption.map(_.matches.toSet)
             .getOrElse(Set.empty[(Long, Long)])
           val now = prev ++ rows.flatMap(r => r._2.zip(r._3))
           if (now.isEmpty)
-            // unmatched: emit the spine row but store NOTHING — the
-            // verdict is a deterministic recompute of the arrival's
-            // text, so re-delivery re-derives it and state stays
-            // bounded by MATCHED arrivals only
             Iterator.single(NearDupVerdict(id, matched = false,
               n_matches = 0L, n_clusters = 0L, cluster = None))
           else {
@@ -157,5 +165,129 @@ object NearDupMaintenance {
               cluster = Some(clusters.min)))
           }
       }
+  }
+}
+
+/** Streaming near-dup maintenance against a FROZEN CELLED embedding
+  * index — the streaming twin of the q184 batch board
+  * ([[graft.scale.Dedup.incrementalNearDupCelled]]), completing the
+  * symmetry the simhash chain already has ([[NearDupMaintenance]] ↔
+  * q174): a nightly batch publishes the celled keyed index with its
+  * cluster labels ([[buildFrozenIndex]]); the ingest stream then
+  * answers "does this embedding near-duplicate the corpus" AT ARRIVAL
+  * TIME — the gate a CLIP-dedup pipeline puts in front of expensive
+  * downstream work.
+  *
+  * Scale design:
+  *  - the arrival side is scan-side kernel work (double cast →
+  *    argmax-cosine cell → fixed + diff-plane sign words → band
+  *    explode): plan-constant seeds, no shuffle before the join, and
+  *    NO widen/repartition step (illegal on a streaming source) —
+  *    the keyed projection is built inline from the same kernels as
+  *    the batch [[graft.scale.Dedup.celledKeyedVectors]], so every
+  *    key is the bit-identical value the frozen index was built with;
+  *  - the frozen index is corpus-sized → stream-static JOIN on the
+  *    short (band, cell, bucket, word) keys, never a broadcast; the
+  *    banded index is materialized ONCE under the [[Materialize]]
+  *    policy;
+  *  - a frozen match agreeing on BOTH bands arrives twice; the
+  *    verdict fold's distinct set makes the verdict exactly-once
+  *    (the same mechanism that absorbs duplicate chunk hits in the
+  *    simhash twin);
+  *  - the exact cosine gate runs INSIDE the validity projection (raw
+  *    IEEE cosine, the batch chain's own filter), so blocking only
+  *    costs recall, never precision — and the recall price is exactly
+  *    q176's, priced by the q177/q182 boards;
+  *  - state per MATCHED arrival only; unmatched arrivals emit
+  *    `matched=false` statelessly; eviction is the index lifecycle
+  *    (the republishing batch restarts the stream — see the simhash
+  *    twin's timeout note).
+  *
+  * The reconciliation spec pins stream ≡ the FULL q184 board,
+  * including unmatched spine rows, under duplicate delivery. */
+object CelledNearDupMaintenance {
+  import graft.functions.PortableFuncs.{dotProduct, l2Norm, toDoubleArray}
+  import graft.functions.VectorExpressions
+  import graft.scale.Similarity
+
+  /** The one-time batch step: the frozen corpus's celled keyed
+    * projection plus the cluster labels its own celled pairs publish
+    * (min-id components; singletons label themselves) — exactly the
+    * registry q184 reads. Seeds default to the frozen corpus's first
+    * [[Similarity.IvfCells]] rows (the same plan-constant list every
+    * batch consumer keys on); `seeds0` for expensive-kernel callers
+    * (the media chain's source-bounded seed scan). */
+  def buildFrozenIndex(frozenEmb: DataFrame, minCos: Double,
+      seeds0: Option[Seq[(Long, Seq[Double])]] = None): DataFrame = {
+    val seeds = seeds0.getOrElse(
+      Similarity.seedCentroidList(frozenEmb, Similarity.IvfCells))
+    val keyed = Materialize.core(
+      Dedup.celledKeyedVectors(frozenEmb, seeds))
+    val comps = Dedup.connectedComponents(
+      Dedup.embeddingNearDupCelledFrom(keyed, minCos,
+        inputMaterialized = true),
+      aCol = "vec_a", bCol = "vec_b")
+    keyed.join(
+        comps.select(col("doc_id").as("vec_id"), col("cluster_id")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell_id"), col("bucket"),
+        col("dbucket"), col("v"), col("nrm"),
+        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+  }
+
+  /** A keyed table exploded to its per-band join keys
+    * (band, cell_id, bucket, w) + the caller's payload columns —
+    * scan-side bit arithmetic + one generate, stream-safe. */
+  private def bandKeys(keyed: DataFrame, payload: Seq[String]): DataFrame = {
+    val banded = Dedup.celledBands(keyed)
+    val entries = (0 until Dedup.CelledBands).map(j =>
+      struct(lit(j).as("band"), col(s"db$j").as("w")))
+    banded.select(
+      (Seq(col("cell_id"), col("bucket"),
+        explode(array(entries: _*)).as("bw")) ++ payload.map(col)): _*)
+      .select((Seq(col("bw.band").as("band"), col("cell_id"),
+        col("bucket"), col("bw.w").as("w")) ++ payload.map(col)): _*)
+  }
+
+  /** Per-arrival verdicts against `frozenIndex` (the
+    * [[buildFrozenIndex]] schema). `seeds` must be the list the index
+    * was built with — the plan-constant geometry contract. Arrivals
+    * carry the [[VecArrival]] schema ([[IndexMaintenance]]'s arrival
+    * type): the embedding as doubles — callers streaming float32
+    * vectors cast them exactly as the batch tables do. */
+  def matches(arrivals: Dataset[VecArrival], frozenIndex: DataFrame,
+              seeds: Seq[(Long, Seq[Double])], minCos: Double)
+      : Dataset[NearDupVerdict] = {
+    val spark = arrivals.sparkSession
+    import spark.implicits._
+    // static side, banded + materialized once
+    val staticBlocked = Materialize.core(bandKeys(
+      frozenIndex.select(col("vec_id").as("f_id"), col("cell_id"),
+        col("bucket"), col("dbucket"), col("v").as("f_v"),
+        col("nrm").as("f_nrm"), col("cluster_id").as("f_cluster")),
+      payload = Seq("f_id", "f_v", "f_nrm", "f_cluster")))
+    // arrival side: the batch keyed projection's EXPRESSIONS inline
+    // (same kernels, same seeds → bit-identical keys), minus widen
+    val v = toDoubleArray(col("embedding"))
+    val streamKeyed = arrivals.toDF()
+      .select(col("vec_id"), v.as("v"))
+      .select(col("vec_id"),
+        VectorExpressions.argMaxCosine(col("v"), seeds).as("cell_id"),
+        Similarity.diffPlaneBucket(col("v"), seeds).as("dbucket"),
+        Similarity.fixedPlaneBucket(col("v")).as("bucket"),
+        col("v"), l2Norm(col("v")).as("nrm"))
+    val streamBlocked = bandKeys(streamKeyed, payload = Seq("vec_id", "v", "nrm"))
+    // LEFT join + validity projection: the exact cosine gate (raw
+    // IEEE, the batch chain's own filter); unmatched arrivals keep
+    // their spine row for the stateless matched=false verdict
+    val valid = col("f_id").isNotNull &&
+      dotProduct(col("v"), col("f_v")) / (col("nrm") * col("f_nrm")) >= minCos
+    NearDupMaintenance.verdictFold(
+      streamBlocked
+        .join(staticBlocked, Seq("band", "cell_id", "bucket", "w"), "left")
+        .select(col("vec_id"),
+          when(valid, col("f_id")).as("f_id"),
+          when(valid, col("f_cluster")).as("f_cluster"))
+        .as[(Long, Option[Long], Option[Long])])
   }
 }

@@ -112,4 +112,81 @@ class NearDupMaintenanceSpec extends SparkSpec {
         Set((201L, true), (216L, false)))
     } finally q.stop()
   }
+
+  test("CELLED stream verdicts reconcile with the FULL q184 batch " +
+    "board — matched stats AND matched=false spine rows — and " +
+    "duplicate delivery re-emits the same verdicts") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.scale.Similarity
+    val rnd = new scala.util.Random(97)
+    val dim = 12
+    val boundary = 60L
+    // clustered draw + planted structure (the q184 spec's fixture):
+    // new 100 duplicates frozen 20; frozen 30/31 duplicate each other
+    // and new 101 joins that cluster; noise supplies unmatched arrivals
+    val bases = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian()))
+    val raw = (0 until 110).map { i =>
+      val b = bases(rnd.nextInt(bases.length))
+      (i.toLong, b.map(x => (x + 0.15 * rnd.nextGaussian()).toFloat).toSeq)
+    }.toArray
+    raw(100) = (100L, raw(20)._2)
+    raw(31) = (31L, raw(30)._2)
+    raw(101) = (101L, raw(30)._2)
+    val emb = raw.toSeq.toDF("vec_id", "embedding").localCheckpoint()
+    val minCos = 0.9
+    val frozen = emb.filter(col("vec_id") < boundary)
+    // seeds = first IvfCells rows, all frozen — the SAME plan-constant
+    // list the batch chain keys the full corpus on
+    val seeds = Similarity.seedCentroidList(frozen, Similarity.IvfCells)
+    val idx = CelledNearDupMaintenance.buildFrozenIndex(frozen, minCos)
+      .localCheckpoint()
+    val src = MemoryStream[VecArrival]
+    val q = CelledNearDupMaintenance.matches(src.toDS(), idx, seeds, minCos)
+      .writeStream.format("memory").queryName("cndm")
+      .outputMode("update").start()
+    try {
+      val arrivals = raw.filter(_._1 >= boundary).map { case (id, v) =>
+        // the stream carries doubles; cast EXACTLY like the batch
+        // tables do (float32 → double, the toDoubleArray contract)
+        VecArrival(id, ts((id % 60).toInt), v.map(_.toDouble).toArray) }
+      src.addData(arrivals.toIndexedSeq: _*)
+      q.processAllAvailable()
+      // duplicate delivery: one matched and one unmatched arrival again
+      src.addData(arrivals.find(_.vec_id == 100L).get,
+        arrivals.find(a => a.vec_id != 100L && a.vec_id != 101L).get)
+      q.processAllAvailable()
+      val got = spark.table("cndm").as[NearDupVerdict].collect()
+        .groupBy(_.doc_id).map { case (k, vs) => k -> vs.last }
+      // re-delivered rows must all agree with the final verdict
+      assert(spark.table("cndm").as[NearDupVerdict].collect()
+        .groupBy(_.doc_id).forall(_._2.toSet.size == 1),
+        "re-delivery changed a verdict")
+      // batch reference: the q184 board over the same corpus
+      val keyed = graft.scale.Dedup.celledKeyedVectors(emb, seeds)
+        .localCheckpoint()
+      val pairs = graft.scale.Dedup.embeddingNearDupCelledFrom(keyed,
+        minCos, inputMaterialized = true)
+      val board = graft.scale.Dedup
+        .incrementalNearDupCelled(keyed, pairs, boundary)
+        .collect().map(r => r.getAs[Long]("vec_id") ->
+          ((r.getAs[Boolean]("matched"), r.getAs[Long]("n_matches"),
+            r.getAs[Long]("n_clusters"),
+            Option(r.getAs[java.lang.Long]("cluster")).map(_.toLong)))).toMap
+      assert(got.keySet === board.keySet,
+        s"verdict spine != board spine: missing ${board.keySet -- got.keySet}," +
+          s" extra ${got.keySet -- board.keySet}")
+      for ((id, (matched, nm, nc, cl)) <- board) {
+        val v = got(id)
+        assert((v.matched, v.n_matches, v.n_clusters, v.cluster) ===
+          ((matched, nm, nc, cl)), s"vec $id")
+      }
+      // planted strata fired: the exact duplicate matched, the cluster
+      // join matched, and some arrivals are explicit matched=false
+      assert(got(100L).matched && got(101L).matched)
+      assert(got.values.exists(!_.matched),
+        "no unmatched arrival — the spine contract is untested")
+    } finally q.stop()
+  }
 }
