@@ -384,6 +384,49 @@ class PlanAuditSpec extends SparkSpec {
       s"expected the materialized keyed core:\n$plan")
   }
 
+  test("q182 blocking board: the geometry sweep is ONE explode + " +
+    "aggregate pass — the Generate count stays at probeArms + 1 no " +
+    "matter how many geometries are priced, and nothing goes cartesian") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val keyed = graft.scale.Dedup.celledKeyedVectors(emb,
+        graft.scale.Similarity.seedCentroidList(emb,
+          graft.scale.Similarity.IvfCells))
+      .localCheckpoint()
+    val plan = planOf(graft.scale.Dedup.celledBlockingBoard(keyed))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"blocking board went cartesian:\n$plan")
+    // one Generate per probe arm (the pcell explode re-inlines into
+    // each) + exactly ONE for the whole geometry sweep: pricing
+    // |CelledGeometries| geometries costs one pass, not |geometries|
+    assert("Generate".r.findAllIn(plan).length ===
+      graft.scale.Dedup.CelledBands + 1,
+      s"geometry sweep is not a single explode pass:\n$plan")
+    // the sweep aggregates partial (map-side) then final
+    assert("HashAggregate".r.findAllIn(plan).length >= 4,
+      s"expected partial+final aggregates per arm:\n$plan")
+  }
+
+  test("q184 incremental celled: the board is filters + rollups off " +
+    "the published pair core with broadcast label attaches — no " +
+    "cartesian, no corpus-side shuffle join") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val keyed = graft.scale.Dedup.celledKeyedVectors(emb,
+        graft.scale.Similarity.seedCentroidList(emb,
+          graft.scale.Similarity.IvfCells))
+      .localCheckpoint()
+    val pairs = graft.scale.Dedup.embeddingNearDupCelledFrom(keyed,
+      graft.scale.Dedup.LshNearDupMinCos, inputMaterialized = true)
+      .localCheckpoint()
+    val plan = planOf(graft.scale.Dedup.incrementalNearDupCelled(
+      keyed, pairs, boundary = 300L))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"incremental celled went cartesian:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast label/rollup attaches:\n$plan")
+  }
+
   test("q179/q180 codec round-trip boards run at scan speed: one " +
     "mapPartitions pass, zero exchanges, zero joins") {
     val docs = graft.Tables.documents(spark, sf)
