@@ -511,8 +511,14 @@ object TemporalOps extends QueryModule {
         col("ts_r").as("click_ts"), col("value_r").as("click_value"))
   }
 
+  /** q45's "following N seconds" window — ONE definition for the
+    * Scala [[rangeJoin]] call and the oracle's `INTERVAL` bound (the
+    * GateMaxDist shared-constant discipline). */
+  val RangeJoinWindowSec = 300L
+
   /** q45: per purchase, how many error events the same user hit within
-    * the following 5 minutes (zero-count purchases included). */
+    * the following [[RangeJoinWindowSec]] seconds (zero-count
+    * purchases included). */
   def q45RangeJoin(s: SparkSession, d: String): DataFrame = {
     val e = T.events(s, d)
     val purchases = e.filter(col("event_type") === "purchase")
@@ -520,7 +526,7 @@ object TemporalOps extends QueryModule {
     val errors = e.filter(col("event_type") === "error")
       .select(col("user_id"), col("ts"))
     val pairs = rangeJoin(purchases, errors, Seq("user_id"), "ts", "ts",
-      windowSec = 300L, rightPayload = Seq("ts"))
+      windowSec = RangeJoinWindowSec, rightPayload = Seq("ts"))
     val counts = pairs.groupBy(col("event_id")).agg(count(lit(1)).as("n"))
     purchases.join(counts, Seq("event_id"), "left")
       .select(col("event_id"), col("user_id"),
@@ -565,14 +571,14 @@ object TemporalOps extends QueryModule {
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
     "q45_range_join" ->
-      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+      s"""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
         |    event_type FROM events),
         |p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase'),
         |x AS (SELECT user_id, ts FROM e WHERE event_type = 'error')
         |SELECT p.event_id, p.user_id, COUNT(x.ts) AS n_errors
         |FROM p LEFT JOIN x
         |  ON p.user_id = x.user_id AND x.ts >= p.ts
-        | AND x.ts <= p.ts + INTERVAL 300 SECOND
+        | AND x.ts <= p.ts + INTERVAL $RangeJoinWindowSec SECOND
         |GROUP BY 1, 2""".stripMargin,
     // the naive min-cascade restatement of the greedy-earliest fold:
     // stage 1 completes at min(ts), stage i at the min stage-i ts

@@ -509,7 +509,15 @@ object Validators {
             additionalFilesJson = r.getAs[String]("additional_files"),
             testFunctions = r.getAs[String]("test_functions"),
             expectedTests = expectedTests,
-            execTimeoutSec = execTimeoutSec)
+            execTimeoutSec = execTimeoutSec,
+            // the reference only puts test_names into the pipeline
+            // context when the syntax verdict is valid
+            // (`validators.py:171-174`), so a failed V2 — or a clean
+            // parse that found zero test functions — means V4 never
+            // starts a container (`validators.py:347-352`); the build
+            // itself still runs (DockerfileValidator precedes the
+            // syntax check unconditionally, `validate_datapoint.py:48-53`)
+            execReady = v2.valid && expectedTests > 0)
         val stages = Seq(v1lint, v2, v3) ++ effectful
         ValidationReport(taskId, stages.forall(_.valid), stages)
       }
@@ -531,7 +539,8 @@ object Validators {
     */
   def runDockerStages(runner: ProcessRunner, taskId: String, dockerfile: String,
                       additionalFilesJson: String, testFunctions: String,
-                      expectedTests: Int, execTimeoutSec: Int): Seq[StageResult] = {
+                      expectedTests: Int, execTimeoutSec: Int,
+                      execReady: Boolean = true): Seq[StageResult] = {
     val tag = s"graft-validate-$taskId".toLowerCase
     val ctx = java.nio.file.Files.createTempDirectory("graft-validate-")
     try {
@@ -548,6 +557,12 @@ object Validators {
           val v4 =
             if (buildCode != 0)
               StageResult("container_execution", valid = false, "skipped: build failed")
+            else if (!execReady)
+              // V4's own prerequisite check: no valid test names in
+              // context → fail WITHOUT starting a container, with the
+              // reference's user-facing message (`validators.py:347-352`)
+              StageResult("container_execution", valid = false,
+                "Cannot execute tests - no test content available")
             else runContainerTests(runner, taskId, tag, ctx, expectedTests, execTimeoutSec)
           // V5: image cleanup always runs (`validators.py:735-741`)
           runner.run(Seq("docker", "rmi", "-f", tag), 60)

@@ -1139,11 +1139,19 @@ object Dedup extends QueryModule {
 
   /** The band-geometry pricing sweep [[celledBlockingBoard]] carries:
     * every (nBands × bandBits) point whose blocking volume the dial's
-    * owner reads before moving it. Shipped first; the widest point
-    * (8×1-bit) shows where the OR-construction saturates
+    * owner reads before moving it. Every point consumes the FULL
+    * [[Similarity.NumPlanes]]-bit plane budget (nBands · bandBits =
+    * NumPlanes) so the priced volumes are like-for-like — a
+    * fewer-planes point would look cheaper only because it ignores
+    * bits. Shipped first; (1×8-bit) is the AND-construction extreme
+    * (one whole-word band — lowest volume, lowest recall); the widest
+    * point (8×1-bit) shows where the OR-construction saturates
     * near-quadratic on a concentrated corpus. */
   val CelledGeometries: Seq[(Int, Int)] =
-    Seq((CelledBands, CelledBandBits), (2, 3), (4, 2), (8, 1))
+    Seq((CelledBands, CelledBandBits), (1, 8), (4, 2), (8, 1))
+  require(CelledGeometries.forall { case (nb, bb) =>
+    nb * bb == graft.scale.Similarity.NumPlanes },
+    "geometry sweep points must price the full plane budget")
 
   /** The celled chain's band words, derived from the diff-plane
     * bucket — scan-side bit arithmetic shared by the pair chain and
@@ -3065,20 +3073,20 @@ object Dedup extends QueryModule {
     // word-coordinate forms just never project the char columns
     "q87_dup_spans" -> ((s, d) =>
       dupSpansFrom(gateSpanWin(s, d), gateSpanDf(s, d), ShingleSize,
-        minDocs = 2L, charCoords = false)),
+        minDocs = SpanMinDocs, charCoords = false)),
     // span provenance: which document PAIRS share each maximal span
     "q90_span_pairs" -> ((s, d) =>
       spanPairsFrom(gateSpanWin(s, d), gateSpanDf(s, d), ShingleSize,
-        minDocs = 2L, dfCap = SpanPairDfCap, charCoords = false)),
+        minDocs = SpanMinDocs, dfCap = SpanPairDfCap, charCoords = false)),
     // q87/q90 with CHARACTER coordinates: spans additionally report
     // (char_start, char_len) — 0-based codepoint offsets into
     // lower(text) — from the same tokenize pass (no new shuffle)
     "q91_char_spans" -> ((s, d) =>
       dupSpansFrom(gateSpanWin(s, d), gateSpanDf(s, d), ShingleSize,
-        minDocs = 2L, charCoords = true)),
+        minDocs = SpanMinDocs, charCoords = true)),
     "q92_char_span_pairs" -> ((s, d) =>
       spanPairsFrom(gateSpanWin(s, d), gateSpanDf(s, d), ShingleSize,
-        minDocs = 2L, dfCap = SpanPairDfCap, charCoords = true))
+        minDocs = SpanMinDocs, dfCap = SpanPairDfCap, charCoords = true))
   )
 
   /** Shared span cores: the char-coordinate window table (a superset
@@ -3095,12 +3103,31 @@ object Dedup extends QueryModule {
   private val normSql =
     "list_filter(string_split_regex(trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g')), ' +'), w -> w <> '')"
 
+  /** The span/shingle families' oracle-side window geometry — GENERATED
+    * from [[ShingleSize]] (the GateMaxDist shared-constant discipline):
+    * the [[ShingleSize]]-word concat, the 1-indexed window-start range
+    * bound (len − (n−2) exclusive ⇒ len − n + 1 windows), and the
+    * min-length guard. A literal `4` here and a [[ShingleSize]] there
+    * is exactly the drift the discipline exists to prevent. */
+  private val spanConcatSql: String =
+    (0 until ShingleSize)
+      .map(k => if (k == 0) "ws[i]" else s"ws[i+$k]")
+      .mkString(" || ' ' || ")
+  private val spanIdxRangeSql: String =
+    s"unnest(range(1, len(ws)-${ShingleSize - 2}))"
+  private val spanLenGuardSql: String = s"len(ws) >= $ShingleSize"
+
+  /** Minimum containing-doc count for a window to be a duplicated
+    * span — ONE definition for the four span registrations'
+    * `minDocs` argument and the oracle `HAVING` bounds. */
+  val SpanMinDocs = 2L
+
   private val shingleCte =
     s"""ws AS (SELECT doc_id, $normSql AS ws FROM documents),
-       |idx AS (SELECT doc_id, ws, unnest(range(1, len(ws)-2)) AS i
-       |        FROM ws WHERE len(ws) >= 4),
+       |idx AS (SELECT doc_id, ws, $spanIdxRangeSql AS i
+       |        FROM ws WHERE $spanLenGuardSql),
        |sh AS (SELECT DISTINCT doc_id,
-       |         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS sh
+       |         $spanConcatSql AS sh
        |       FROM idx)""".stripMargin
 
   /** Shared tokenize→simhash→blocked-pair CTE chain (Hamming ≤ 5) for
@@ -3357,10 +3384,10 @@ object Dedup extends QueryModule {
     "q143_signal_calibration" ->
       s"""WITH $simhashPairCte,
          |wsx AS (SELECT doc_id, $normSql AS ws FROM documents),
-         |sidx AS (SELECT doc_id, ws, unnest(range(1, len(ws)-2)) AS i
-         |         FROM wsx WHERE len(ws) >= 4),
+         |sidx AS (SELECT doc_id, ws, $spanIdxRangeSql AS i
+         |         FROM wsx WHERE $spanLenGuardSql),
          |shg AS (SELECT DISTINCT doc_id,
-         |          ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS g
+         |          $spanConcatSql AS g
          |        FROM sidx),
          |shf AS (SELECT * FROM shg WHERE g NOT IN (
          |  SELECT g FROM shg GROUP BY g HAVING COUNT(*) > $MaxShingleDf)),
@@ -4031,25 +4058,25 @@ object Dedup extends QueryModule {
     // HAVING >= 2 distinct docs, LAG/SUM gaps-and-islands merge
     "q87_dup_spans" ->
       s"""WITH ws AS (SELECT doc_id, $normSql AS ws FROM documents),
-         |idx AS (SELECT doc_id, ws, unnest(range(1, len(ws)-2)) AS i
-         |        FROM ws WHERE len(ws) >= 4),
+         |idx AS (SELECT doc_id, ws, $spanIdxRangeSql AS i
+         |        FROM ws WHERE $spanLenGuardSql),
          |win AS (SELECT doc_id, i - 1 AS pos,
-         |    md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) AS h
+         |    md5($spanConcatSql) AS h
          |  FROM idx),
          |dup AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM win
-         |        GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+         |        GROUP BY h HAVING COUNT(DISTINCT doc_id) >= $SpanMinDocs),
          |hits AS (SELECT w.doc_id, w.pos, d.df FROM win w
          |         JOIN dup d ON d.h = w.h),
          |brk AS (SELECT doc_id, pos, df,
          |    CASE WHEN LAG(pos) OVER w IS NULL
-         |           OR pos > LAG(pos) OVER w + 4 THEN 1 ELSE 0 END AS b
+         |           OR pos > LAG(pos) OVER w + $ShingleSize THEN 1 ELSE 0 END AS b
          |  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
          |grp AS (SELECT doc_id, pos, df,
          |    SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
          |                 ROWS UNBOUNDED PRECEDING) AS g
          |  FROM brk)
          |SELECT doc_id, MIN(pos) AS span_start,
-         |  MAX(pos) - MIN(pos) + 4 AS span_len,
+         |  MAX(pos) - MIN(pos) + $ShingleSize AS span_len,
          |  COUNT(*) AS n_windows,
          |  MAX(df) AS max_df
          |FROM grp GROUP BY doc_id, g""".stripMargin,
@@ -4058,13 +4085,13 @@ object Dedup extends QueryModule {
     // LAG/SUM islands merge per (doc_a, doc_b) in doc_a coordinates
     "q90_span_pairs" ->
       s"""WITH ws AS (SELECT doc_id, $normSql AS ws FROM documents),
-         |idx AS (SELECT doc_id, ws, unnest(range(1, len(ws)-2)) AS i
-         |        FROM ws WHERE len(ws) >= 4),
+         |idx AS (SELECT doc_id, ws, $spanIdxRangeSql AS i
+         |        FROM ws WHERE $spanLenGuardSql),
          |win AS (SELECT doc_id, i - 1 AS pos,
-         |    md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) AS h
+         |    md5($spanConcatSql) AS h
          |  FROM idx),
          |dup AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM win
-         |        GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+         |        GROUP BY h HAVING COUNT(DISTINCT doc_id) >= $SpanMinDocs
          |                      AND COUNT(DISTINCT doc_id) <= $SpanPairDfCap),
          |occ AS (SELECT w.doc_id, w.h, MIN(w.pos) AS pos, MAX(d.df) AS df
          |        FROM win w JOIN dup d ON d.h = w.h GROUP BY w.doc_id, w.h),
@@ -4073,14 +4100,14 @@ object Dedup extends QueryModule {
          |  FROM occ a JOIN occ b ON a.h = b.h AND a.doc_id < b.doc_id),
          |brk AS (SELECT doc_a, doc_b, pos_a, df,
          |    CASE WHEN LAG(pos_a) OVER w IS NULL
-         |           OR pos_a > LAG(pos_a) OVER w + 4 THEN 1 ELSE 0 END AS b
+         |           OR pos_a > LAG(pos_a) OVER w + $ShingleSize THEN 1 ELSE 0 END AS b
          |  FROM pr WINDOW w AS (PARTITION BY doc_a, doc_b ORDER BY pos_a)),
          |grp AS (SELECT doc_a, doc_b, pos_a, df,
          |    SUM(b) OVER (PARTITION BY doc_a, doc_b ORDER BY pos_a
          |                 ROWS UNBOUNDED PRECEDING) AS g
          |  FROM brk)
          |SELECT doc_a, doc_b, MIN(pos_a) AS span_start,
-         |  MAX(pos_a) - MIN(pos_a) + 4 AS span_len,
+         |  MAX(pos_a) - MIN(pos_a) + $ShingleSize AS span_len,
          |  COUNT(*) AS n_windows, MAX(df) AS max_df
          |FROM grp GROUP BY doc_a, doc_b, g""".stripMargin,
     // q87 plus character coordinates. The offsets CTE restates the
@@ -4108,10 +4135,10 @@ object Dedup extends QueryModule {
          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
          |      AS BIGINT) AS cs
          |  FROM lens),
-         |idx AS (SELECT doc_id, ws, unnest(range(1, len(ws)-2)) AS i
-         |        FROM ws WHERE len(ws) >= 4),
+         |idx AS (SELECT doc_id, ws, $spanIdxRangeSql AS i
+         |        FROM ws WHERE $spanLenGuardSql),
          |win AS (SELECT doc_id, i - 1 AS pos,
-         |    md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) AS h
+         |    md5($spanConcatSql) AS h
          |  FROM idx),
          |winc AS (SELECT w.doc_id, w.pos, w.h, o1.cs AS cs,
          |    o2.cs + o2.wlen AS ce
@@ -4119,19 +4146,19 @@ object Dedup extends QueryModule {
          |  JOIN offs o1 ON o1.doc_id = w.doc_id AND o1.widx = w.pos
          |  JOIN offs o2 ON o2.doc_id = w.doc_id AND o2.widx = w.pos + 3),
          |dup AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM win
-         |        GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+         |        GROUP BY h HAVING COUNT(DISTINCT doc_id) >= $SpanMinDocs),
          |hits AS (SELECT w.doc_id, w.pos, w.cs, w.ce, d.df FROM winc w
          |         JOIN dup d ON d.h = w.h),
          |brk AS (SELECT doc_id, pos, cs, ce, df,
          |    CASE WHEN LAG(pos) OVER w IS NULL
-         |           OR pos > LAG(pos) OVER w + 4 THEN 1 ELSE 0 END AS b
+         |           OR pos > LAG(pos) OVER w + $ShingleSize THEN 1 ELSE 0 END AS b
          |  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
          |grp AS (SELECT doc_id, pos, cs, ce, df,
          |    SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
          |                 ROWS UNBOUNDED PRECEDING) AS g
          |  FROM brk)
          |SELECT doc_id, MIN(pos) AS span_start,
-         |  MAX(pos) - MIN(pos) + 4 AS span_len,
+         |  MAX(pos) - MIN(pos) + $ShingleSize AS span_len,
          |  COUNT(*) AS n_windows, MAX(df) AS max_df,
          |  MIN(cs) AS char_start, MAX(ce) - MIN(cs) AS char_len
          |FROM grp GROUP BY doc_id, g""".stripMargin,
@@ -4156,10 +4183,10 @@ object Dedup extends QueryModule {
          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
          |      AS BIGINT) AS cs
          |  FROM lens),
-         |idx AS (SELECT doc_id, ws, unnest(range(1, len(ws)-2)) AS i
-         |        FROM ws WHERE len(ws) >= 4),
+         |idx AS (SELECT doc_id, ws, $spanIdxRangeSql AS i
+         |        FROM ws WHERE $spanLenGuardSql),
          |win AS (SELECT doc_id, i - 1 AS pos,
-         |    md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) AS h
+         |    md5($spanConcatSql) AS h
          |  FROM idx),
          |winc AS (SELECT w.doc_id, w.pos, w.h, o1.cs AS cs,
          |    o2.cs + o2.wlen AS ce
@@ -4167,7 +4194,7 @@ object Dedup extends QueryModule {
          |  JOIN offs o1 ON o1.doc_id = w.doc_id AND o1.widx = w.pos
          |  JOIN offs o2 ON o2.doc_id = w.doc_id AND o2.widx = w.pos + 3),
          |dup AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM win
-         |        GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+         |        GROUP BY h HAVING COUNT(DISTINCT doc_id) >= $SpanMinDocs
          |                      AND COUNT(DISTINCT doc_id) <= $SpanPairDfCap),
          |occ AS (SELECT w.doc_id, w.h, MIN(w.pos) AS pos, MAX(d.df) AS df,
          |          MIN(w.cs) AS cs, MIN(w.ce) AS ce
@@ -4177,14 +4204,14 @@ object Dedup extends QueryModule {
          |  FROM occ a JOIN occ b ON a.h = b.h AND a.doc_id < b.doc_id),
          |brk AS (SELECT doc_a, doc_b, pos_a, df, cs, ce,
          |    CASE WHEN LAG(pos_a) OVER w IS NULL
-         |           OR pos_a > LAG(pos_a) OVER w + 4 THEN 1 ELSE 0 END AS b
+         |           OR pos_a > LAG(pos_a) OVER w + $ShingleSize THEN 1 ELSE 0 END AS b
          |  FROM pr WINDOW w AS (PARTITION BY doc_a, doc_b ORDER BY pos_a)),
          |grp AS (SELECT doc_a, doc_b, pos_a, df, cs, ce,
          |    SUM(b) OVER (PARTITION BY doc_a, doc_b ORDER BY pos_a
          |                 ROWS UNBOUNDED PRECEDING) AS g
          |  FROM brk)
          |SELECT doc_a, doc_b, MIN(pos_a) AS span_start,
-         |  MAX(pos_a) - MIN(pos_a) + 4 AS span_len,
+         |  MAX(pos_a) - MIN(pos_a) + $ShingleSize AS span_len,
          |  COUNT(*) AS n_windows, MAX(df) AS max_df,
          |  MIN(cs) AS char_start, MAX(ce) - MIN(cs) AS char_len
          |FROM grp GROUP BY doc_a, doc_b, g""".stripMargin,

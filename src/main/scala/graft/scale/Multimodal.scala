@@ -107,12 +107,18 @@ object Multimodal {
     * header parse / [[stubDecode]], which keeps the chain total. */
   def decodePixelStats(payload: Array[Byte])
       : Option[(Int, Int, Long, Long, Long, Int, Int)] = {
-    // explicit in-memory image stream — see the [[renderPng]] note
+    // explicit in-memory image stream — see the [[renderPng]] note.
+    // ImageIO.read(ImageInputStream)'s javadoc says the caller owns
+    // closing the stream, but this JDK's implementation closes it in
+    // its own finally after a successful read — so close defensively
+    // (covers the reader-rejected/exception paths, where the JDK does
+    // NOT close) and swallow the double-close's IOException("closed").
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
     val img =
-      try javax.imageio.ImageIO.read(
-        new javax.imageio.stream.MemoryCacheImageInputStream(
-          new java.io.ByteArrayInputStream(payload)))
+      try javax.imageio.ImageIO.read(iis)
       catch { case _: Exception => null }
+      finally { try iis.close() catch { case _: Exception => () } }
     if (img == null) None
     else {
       val (w, h) = (img.getWidth, img.getHeight)

@@ -218,14 +218,16 @@ object CelledNearDupMaintenance {
     * batch consumer keys on); `seeds0` for expensive-kernel callers
     * (the media chain's source-bounded seed scan). */
   def buildFrozenIndex(frozenEmb: DataFrame, minCos: Double,
-      seeds0: Option[Seq[(Long, Seq[Double])]] = None): DataFrame = {
+      seeds0: Option[Seq[(Long, Seq[Double])]] = None,
+      nBands: Int = Dedup.CelledBands,
+      bandBits: Int = Dedup.CelledBandBits): DataFrame = {
     val seeds = seeds0.getOrElse(
       Similarity.seedCentroidList(frozenEmb, Similarity.IvfCells))
     val keyed = Materialize.core(
       Dedup.celledKeyedVectors(frozenEmb, seeds))
     val comps = Dedup.connectedComponents(
       Dedup.embeddingNearDupCelledFrom(keyed, minCos,
-        inputMaterialized = true),
+        inputMaterialized = true, nBands = nBands, bandBits = bandBits),
       aCol = "vec_a", bCol = "vec_b")
     keyed.join(
         comps.select(col("doc_id").as("vec_id"), col("cluster_id")),
@@ -238,9 +240,10 @@ object CelledNearDupMaintenance {
   /** A keyed table exploded to its per-band join keys
     * (band, cell_id, bucket, w) + the caller's payload columns —
     * scan-side bit arithmetic + one generate, stream-safe. */
-  private def bandKeys(keyed: DataFrame, payload: Seq[String]): DataFrame = {
-    val banded = Dedup.celledBands(keyed)
-    val entries = (0 until Dedup.CelledBands).map(j =>
+  private def bandKeys(keyed: DataFrame, payload: Seq[String],
+      nBands: Int, bandBits: Int): DataFrame = {
+    val banded = Dedup.celledBands(keyed, nBands, bandBits)
+    val entries = (0 until nBands).map(j =>
       struct(lit(j).as("band"), col(s"db$j").as("w")))
     banded.select(
       (Seq(col("cell_id"), col("bucket"),
@@ -250,13 +253,19 @@ object CelledNearDupMaintenance {
   }
 
   /** Per-arrival verdicts against `frozenIndex` (the
-    * [[buildFrozenIndex]] schema). `seeds` must be the list the index
-    * was built with — the plan-constant geometry contract. Arrivals
+    * [[buildFrozenIndex]] schema). `seeds` and `(nBands, bandBits)`
+    * must be the list and band geometry the index was built with —
+    * the plan-constant geometry contract: the stream derives its keys
+    * from the same kernels and the same dial, so moving the dial
+    * moves BOTH sides together (the reconciliation spec proves it at
+    * two geometries). Arrivals
     * carry the [[VecArrival]] schema ([[IndexMaintenance]]'s arrival
     * type): the embedding as doubles — callers streaming float32
     * vectors cast them exactly as the batch tables do. */
   def matches(arrivals: Dataset[VecArrival], frozenIndex: DataFrame,
-              seeds: Seq[(Long, Seq[Double])], minCos: Double)
+              seeds: Seq[(Long, Seq[Double])], minCos: Double,
+              nBands: Int = Dedup.CelledBands,
+              bandBits: Int = Dedup.CelledBandBits)
       : Dataset[NearDupVerdict] = {
     val spark = arrivals.sparkSession
     import spark.implicits._
@@ -265,7 +274,8 @@ object CelledNearDupMaintenance {
       frozenIndex.select(col("vec_id").as("f_id"), col("cell_id"),
         col("bucket"), col("dbucket"), col("v").as("f_v"),
         col("nrm").as("f_nrm"), col("cluster_id").as("f_cluster")),
-      payload = Seq("f_id", "f_v", "f_nrm", "f_cluster")))
+      payload = Seq("f_id", "f_v", "f_nrm", "f_cluster"),
+      nBands, bandBits))
     // arrival side: the batch keyed projection's EXPRESSIONS inline
     // (same kernels, same seeds → bit-identical keys), minus widen
     val v = toDoubleArray(col("embedding"))
@@ -276,7 +286,8 @@ object CelledNearDupMaintenance {
         Similarity.diffPlaneBucket(col("v"), seeds).as("dbucket"),
         Similarity.fixedPlaneBucket(col("v")).as("bucket"),
         col("v"), l2Norm(col("v")).as("nrm"))
-    val streamBlocked = bandKeys(streamKeyed, payload = Seq("vec_id", "v", "nrm"))
+    val streamBlocked = bandKeys(streamKeyed,
+      payload = Seq("vec_id", "v", "nrm"), nBands, bandBits)
     // LEFT join + validity projection: the exact cosine gate (raw
     // IEEE, the batch chain's own filter); unmatched arrivals keep
     // their spine row for the stateless matched=false verdict

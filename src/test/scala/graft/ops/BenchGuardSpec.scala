@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.tools.BenchGuard
+
+/** The capture-protocol guard: a deliberately-empty artifact must
+  * FAIL the check (the round-17 failure mode — a 0-byte
+  * BENCH_SEQ_r17.json committed as if it were a record), and a real
+  * capture line must pass. */
+class BenchGuardSpec extends AnyFunSuite {
+  test("a deliberately-empty artifact fails the guard") {
+    assert(BenchGuard.validate("").isDefined)
+    assert(BenchGuard.validate("   \n\n  ").isDefined)
+  }
+
+  test("a zero-byte FILE fails, a populated capture file passes") {
+    val dir = java.nio.file.Files.createTempDirectory("benchguard")
+    val empty = dir.resolve("BENCH_SEQ_rX.json")
+    java.nio.file.Files.write(empty, Array.emptyByteArray)
+    assert(BenchGuard.validateFile(empty).isDefined,
+      "a zero-byte capture file must be rejected")
+    assert(BenchGuard.validateFile(dir.resolve("missing.json")).isDefined)
+    val good = dir.resolve("BENCH_good.json")
+    java.nio.file.Files.write(good,
+      ("""{"metric":"total","value":12.3,"unit":"sec","queries":{"q1":0.5}}"""
+        + "\n").getBytes("UTF-8"))
+    assert(BenchGuard.validateFile(good).isEmpty)
+  }
+
+  test("junk, non-object, metric-less and value-less lines all fail; " +
+    "one valid line among noise passes") {
+    assert(BenchGuard.validate("not json at all").isDefined)
+    assert(BenchGuard.validate("[1,2,3]").isDefined)
+    assert(BenchGuard.validate("""{"value":1.0}""").isDefined)
+    assert(BenchGuard.validate("""{"metric":"total"}""").isDefined)
+    assert(BenchGuard.validate("""{"metric":"total","value":"fast"}""").isDefined)
+    // a real capture is 1+ lines; stderr noise around the metric line
+    // must not fail a genuine record
+    assert(BenchGuard.validate(
+      "some log line\n" +
+        """{"metric":"total","value":42.0,"unit":"sec"}""" + "\n").isEmpty)
+  }
+}

@@ -130,6 +130,40 @@ class ValidatorsSpec extends SparkSpec {
     assert(FakeRunner.calls.count(_.contains("stop")) === 2)
   }
 
+  test("invalid test syntax short-circuits V4: the image still builds " +
+    "(DockerfileValidator precedes the syntax check) but no container " +
+    "ever starts, with the reference's prerequisite message") {
+    import spark.implicits._
+    val dps = Seq(
+      // bad grammar: the lexical gate flags the unterminated def
+      ("badsyntax", "FROM x\nRUN tmux asciinema",
+        "def test_a(:\n  pass", """{"test_a":1.0}"""),
+      // clean parse, zero test functions: also not executable
+      ("notests", "FROM x\nRUN tmux asciinema",
+        "def helper():\n  pass", """{}""")
+    ).toDF("task_id", "dockerfile", "test_functions", "test_weights")
+    FakeRunner.reset()
+    val runner = new FakeRunner(Map(
+      "build" -> ((0, "built")),
+      "run" -> ((0, "containerid")),
+      "which" -> ((0, "/usr/bin/tmux")),
+      "/tests/run-tests.sh" -> ((1, "collected 1 items\n1 failed"))))
+    val reports = validateAll(spark, dps, runner, workers = 1)
+      .collect().map(r => r.task_id -> r).toMap
+    for (id <- Seq("badsyntax", "notests")) {
+      val v4 = reports(id).stages.find(_.stage == "container_execution").get
+      assert(!v4.valid)
+      assert(v4.message === "Cannot execute tests - no test content available",
+        s"$id: expected the reference's validators.py:347-352 message")
+      assert(!reports(id).overall)
+    }
+    // the build ran per datapoint, cleanup ran, but docker run never did
+    assert(FakeRunner.calls.count(_.contains("build")) === 2)
+    assert(FakeRunner.calls.count(_.contains("rmi")) === 2)
+    assert(!FakeRunner.calls.exists(_.contains("run")),
+      "a container started for a row V4 cannot execute")
+  }
+
   test("docker build receives a real build context: dockerfile, additional " +
     "files, and the pytest harness all materialized before the build") {
     import spark.implicits._

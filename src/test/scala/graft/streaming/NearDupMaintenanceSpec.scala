@@ -113,9 +113,15 @@ class NearDupMaintenanceSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("CELLED stream verdicts reconcile with the FULL q184 batch " +
-    "board — matched stats AND matched=false spine rows — and " +
-    "duplicate delivery re-emits the same verdicts") {
+  /** The celled reconciliation contract at one band geometry: stream
+    * verdicts ≡ the FULL q184 batch board (matched stats AND
+    * matched=false spine rows) under duplicate delivery. Run at the
+    * shipped dial and at a moved one — the stream and the batch derive
+    * their band words from the same kernels and the same (nBands,
+    * bandBits) constants, so the keys must stay bit-identical when the
+    * dial moves, not just at the value it shipped with. */
+  private def celledReconcileAt(nBands: Int, bandBits: Int,
+      queryName: String): Unit = {
     val spark2 = spark
     import spark2.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -140,11 +146,13 @@ class NearDupMaintenanceSpec extends SparkSpec {
     // seeds = first IvfCells rows, all frozen — the SAME plan-constant
     // list the batch chain keys the full corpus on
     val seeds = Similarity.seedCentroidList(frozen, Similarity.IvfCells)
-    val idx = CelledNearDupMaintenance.buildFrozenIndex(frozen, minCos)
+    val idx = CelledNearDupMaintenance.buildFrozenIndex(frozen, minCos,
+        nBands = nBands, bandBits = bandBits)
       .localCheckpoint()
     val src = MemoryStream[VecArrival]
-    val q = CelledNearDupMaintenance.matches(src.toDS(), idx, seeds, minCos)
-      .writeStream.format("memory").queryName("cndm")
+    val q = CelledNearDupMaintenance.matches(src.toDS(), idx, seeds, minCos,
+        nBands = nBands, bandBits = bandBits)
+      .writeStream.format("memory").queryName(queryName)
       .outputMode("update").start()
     try {
       val arrivals = raw.filter(_._1 >= boundary).map { case (id, v) =>
@@ -157,17 +165,19 @@ class NearDupMaintenanceSpec extends SparkSpec {
       src.addData(arrivals.find(_.vec_id == 100L).get,
         arrivals.find(a => a.vec_id != 100L && a.vec_id != 101L).get)
       q.processAllAvailable()
-      val got = spark.table("cndm").as[NearDupVerdict].collect()
+      val got = spark.table(queryName).as[NearDupVerdict].collect()
         .groupBy(_.doc_id).map { case (k, vs) => k -> vs.last }
       // re-delivered rows must all agree with the final verdict
-      assert(spark.table("cndm").as[NearDupVerdict].collect()
+      assert(spark.table(queryName).as[NearDupVerdict].collect()
         .groupBy(_.doc_id).forall(_._2.toSet.size == 1),
         "re-delivery changed a verdict")
-      // batch reference: the q184 board over the same corpus
+      // batch reference: the q184 board over the same corpus, at the
+      // SAME geometry
       val keyed = graft.scale.Dedup.celledKeyedVectors(emb, seeds)
         .localCheckpoint()
       val pairs = graft.scale.Dedup.embeddingNearDupCelledFrom(keyed,
-        minCos, inputMaterialized = true)
+        minCos, inputMaterialized = true,
+        nBands = nBands, bandBits = bandBits)
       val board = graft.scale.Dedup
         .incrementalNearDupCelled(keyed, pairs, boundary)
         .collect().map(r => r.getAs[Long]("vec_id") ->
@@ -188,5 +198,20 @@ class NearDupMaintenanceSpec extends SparkSpec {
       assert(got.values.exists(!_.matched),
         "no unmatched arrival — the spine contract is untested")
     } finally q.stop()
+  }
+
+  test("CELLED stream verdicts reconcile with the FULL q184 batch " +
+    "board — matched stats AND matched=false spine rows — and " +
+    "duplicate delivery re-emits the same verdicts") {
+    celledReconcileAt(graft.scale.Dedup.CelledBands,
+      graft.scale.Dedup.CelledBandBits, "cndm")
+  }
+
+  test("CELLED stream ≡ batch holds when the band-geometry dial " +
+    "moves: a 4x2-bit index and stream agree bit-for-bit too") {
+    assert((4, 2) !=
+      ((graft.scale.Dedup.CelledBands, graft.scale.Dedup.CelledBandBits)),
+      "pick a NON-shipped geometry or the test is the one above")
+    celledReconcileAt(nBands = 4, bandBits = 2, "cndm4x2")
   }
 }
