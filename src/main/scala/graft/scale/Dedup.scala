@@ -558,11 +558,17 @@ object Dedup extends QueryModule {
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
                           bCol: String = "doc_b", maxIter: Int = 25,
                           driverMaxEdges: Long = 1L << 20): DataFrame = {
-    val edges = symEdges(pairs, aCol, bCol, "connectedComponents")
+    // the checkpoint is load-bearing ONLY on the iterative path (edges
+    // re-read every min-label round); the union-find path reads the
+    // plan exactly twice (count + one collect) — deferring the
+    // materialization barrier past the size probe saves a full
+    // checkpoint write for every small graph (the incremental boards'
+    // frozen halves, the gate-sized component calls)
+    val edgesPlan = symEdges(pairs, aCol, bCol, "connectedComponents")
       .select(col("a").as("src"), col("b").as("dst"))
-      .coreCheckpoint()
-    val nEdges = edges.count()
-    if (nEdges <= driverMaxEdges) return driverUnionFind(edges)
+    val nEdges = edgesPlan.count()
+    if (nEdges <= driverMaxEdges) return driverUnionFind(edgesPlan)
+    val edges = edgesPlan.coreCheckpoint()
     var labels = edges.groupBy(col("src").as("node"))
       .agg(min(col("dst")).as("nbr"))
       .select(col("node"), least(col("node"), col("nbr")).as("label"))
