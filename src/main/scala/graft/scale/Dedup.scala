@@ -558,17 +558,19 @@ object Dedup extends QueryModule {
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
                           bCol: String = "doc_b", maxIter: Int = 25,
                           driverMaxEdges: Long = 1L << 20): DataFrame = {
-    // the checkpoint is load-bearing ONLY on the iterative path (edges
-    // re-read every min-label round); the union-find path reads the
-    // plan exactly twice (count + one collect) — deferring the
-    // materialization barrier past the size probe saves a full
-    // checkpoint write for every small graph (the incremental boards'
-    // frozen halves, the gate-sized component calls)
-    val edgesPlan = symEdges(pairs, aCol, bCol, "connectedComponents")
+    // checkpoint BEFORE the size probe: the count and every later read
+    // (the union-find collect, or the per-round joins) then hit the
+    // materialized table. Deferring the checkpoint past the probe was
+    // TRIED (round 18) and reverted — it saves one write on the
+    // union-find path but adds a full extra scan of the edge plan on
+    // the iterative path (count on the unmaterialized plan, THEN the
+    // checkpoint's own pass), and the sequential capture showed the
+    // comps-heavy boards (q59/q95/q173) paying 2-3× for it.
+    val edges = symEdges(pairs, aCol, bCol, "connectedComponents")
       .select(col("a").as("src"), col("b").as("dst"))
-    val nEdges = edgesPlan.count()
-    if (nEdges <= driverMaxEdges) return driverUnionFind(edgesPlan)
-    val edges = edgesPlan.coreCheckpoint()
+      .coreCheckpoint()
+    val nEdges = edges.count()
+    if (nEdges <= driverMaxEdges) return driverUnionFind(edges)
     var labels = edges.groupBy(col("src").as("node"))
       .agg(min(col("dst")).as("nbr"))
       .select(col("node"), least(col("node"), col("nbr")).as("label"))
