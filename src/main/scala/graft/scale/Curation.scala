@@ -1092,7 +1092,11 @@ object Curation extends QueryModule {
                                  d: String): Seq[(String, () => Unit)] = Seq(
     "cur:packed2048" -> (() => { gatePacked(s, d, 2048); () }),
     "cur:packed4096" -> (() => { gatePacked(s, d, 4096); () }),
-    "mm:keyed" -> (() => { gateMediaKeyed(s, d); () }))
+    "mm:keyed" -> (() => { gateMediaKeyed(s, d); () }),
+    // the published pair board too: q176 IS this table and q184's
+    // incremental board filters it — without the warmup both block on
+    // its build mid-batch instead of overlapping it from t=0
+    "mm:cpairs" -> (() => { gateMediaPairs(s, d); () }))
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_stratified_sample" -> ((s, d) =>

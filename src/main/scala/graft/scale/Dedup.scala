@@ -2872,7 +2872,11 @@ object Dedup extends QueryModule {
     "dedup:span-df" -> (() => { gateSpanDf(s, d); () }),
     "dedup:lines" -> (() => { gateLines(s, d); () }),
     "dedup:kept" -> (() => { gateKept(s, d); () }),
-    "dedup:keyed" -> (() => { gateEmbedKeyed(s, d); () }))
+    "dedup:keyed" -> (() => { gateEmbedKeyed(s, d); () }),
+    // the frozen-half component labels q174 and q175 both read —
+    // built off the pair core, so it chains behind dedup:pairs and
+    // otherwise lands on the batch tail
+    "dedup:fcomps" -> (() => { gateFrozenComps(s, d); () }))
 
   /** Shared gate cores ([[graft.Shared]]): the maxDist=5 simhash pair
     * graph feeds TEN boards (q28/q59/q80/q82–q86/q68/q112/q120), its
