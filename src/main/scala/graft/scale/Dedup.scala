@@ -2196,7 +2196,7 @@ object Dedup extends QueryModule {
             .cast(LongType)).as("ce"))
 
   def dupSpans(docs: DataFrame, n: Int = ShingleSize,
-               minDocs: Long = 2L, charCoords: Boolean = false): DataFrame = {
+               minDocs: Long = SpanMinDocs, charCoords: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(n >= 1, s"window size must be >= 1: $n")
     require(minDocs >= 2, s"minDocs must be >= 2 (a span duplicated in " +
@@ -2312,7 +2312,7 @@ object Dedup extends QueryModule {
     * batch documents. */
   def incrementalDupSpans(batch: DataFrame, index: DataFrame,
                           n: Int = ShingleSize,
-                          minDocs: Long = 2L,
+                          minDocs: Long = SpanMinDocs,
                           charCoords: Boolean = false): DataFrame = {
     require(n >= 1, s"window size must be >= 1: $n")
     require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
@@ -2373,7 +2373,7 @@ object Dedup extends QueryModule {
     * a df aggregate by fingerprint with map-side partials, a
     * first-occurrence aggregate on the same key. */
   def spanPairs(docs: DataFrame, n: Int = ShingleSize,
-                minDocs: Long = 2L, dfCap: Long = SpanPairDfCap,
+                minDocs: Long = SpanMinDocs, dfCap: Long = SpanPairDfCap,
                 charCoords: Boolean = false): DataFrame = {
     require(n >= 1, s"window size must be >= 1: $n")
     require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
@@ -4156,7 +4156,7 @@ object Dedup extends QueryModule {
          |    o2.cs + o2.wlen AS ce
          |  FROM win w
          |  JOIN offs o1 ON o1.doc_id = w.doc_id AND o1.widx = w.pos
-         |  JOIN offs o2 ON o2.doc_id = w.doc_id AND o2.widx = w.pos + 3),
+         |  JOIN offs o2 ON o2.doc_id = w.doc_id AND o2.widx = w.pos + ${ShingleSize - 1}),
          |dup AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM win
          |        GROUP BY h HAVING COUNT(DISTINCT doc_id) >= $SpanMinDocs),
          |hits AS (SELECT w.doc_id, w.pos, w.cs, w.ce, d.df FROM winc w
@@ -4204,7 +4204,7 @@ object Dedup extends QueryModule {
          |    o2.cs + o2.wlen AS ce
          |  FROM win w
          |  JOIN offs o1 ON o1.doc_id = w.doc_id AND o1.widx = w.pos
-         |  JOIN offs o2 ON o2.doc_id = w.doc_id AND o2.widx = w.pos + 3),
+         |  JOIN offs o2 ON o2.doc_id = w.doc_id AND o2.widx = w.pos + ${ShingleSize - 1}),
          |dup AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM win
          |        GROUP BY h HAVING COUNT(DISTINCT doc_id) >= $SpanMinDocs
          |                      AND COUNT(DISTINCT doc_id) <= $SpanPairDfCap),
