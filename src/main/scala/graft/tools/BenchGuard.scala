@@ -13,28 +13,53 @@ package graft.tools
 object BenchGuard {
   import com.fasterxml.jackson.databind.ObjectMapper
 
-  /** None if `content` contains a valid metric line; Some(reason)
-    * otherwise. */
+  private def metricObject(node: com.fasterxml.jackson.databind.JsonNode): Boolean =
+    node != null && node.isObject && node.has("metric") &&
+      node.has("value") && node.get("value").isNumber
+
+  /** A `{"metric":...}` line embedded in a captured-log string (the
+    * driver's wrapper format carries the bench's stdout in a `tail`
+    * field). */
+  private def embeddedMetricLine(s: String, mapper: ObjectMapper): Boolean = {
+    val i = s.indexOf("{\"metric\"")
+    i >= 0 && {
+      val line = s.substring(i).takeWhile(_ != '\n')
+      try metricObject(mapper.readTree(line))
+      catch { case _: Exception => false }
+    }
+  }
+
+  /** None if `content` holds a capture record; Some(reason) otherwise.
+    * Accepted shapes (every one must resolve to an object with
+    * `"metric"` + numeric `"value"`):
+    *  - a metric line among the lines (the Bench main's own output);
+    *  - a pretty-printed/whole-document object that IS one, NESTS one
+    *    one level down (the r9 composite: `{"concurrent": {...},
+    *    "sequential": {...}}`), or embeds one inside a captured-log
+    *    string field (the driver's `tail` wrapper). */
   def validate(content: String): Option[String] = {
     if (content.trim.isEmpty)
       return Some("empty: no metric line (zero-byte or whitespace-only)")
     val mapper = new ObjectMapper
-    val lines = content.linesIterator.map(_.trim).filter(_.nonEmpty)
-    val problems = scala.collection.mutable.ListBuffer.empty[String]
-    val ok = lines.exists { l =>
-      try {
-        val node = mapper.readTree(l)
-        if (!node.isObject) { problems += "line is not a JSON object"; false }
-        else if (!node.has("metric")) { problems += "no \"metric\" field"; false }
-        else if (!node.has("value") || !node.get("value").isNumber) {
-          problems += "no numeric \"value\" field"; false
-        } else true
-      } catch {
-        case e: Exception => problems += s"unparseable JSON: $e"; false
-      }
+    val lineOk = content.linesIterator.map(_.trim).filter(_.nonEmpty).exists {
+      l => try metricObject(mapper.readTree(l)) catch { case _: Exception => false }
     }
-    if (ok) None
-    else Some(s"no valid metric line: ${problems.distinct.mkString("; ")}")
+    val docOk = lineOk || {
+      try {
+        val root = mapper.readTree(content.trim)
+        metricObject(root) || (root != null && root.isObject && {
+          import scala.jdk.CollectionConverters._
+          root.properties().asScala.exists { e =>
+            metricObject(e.getValue) ||
+              (e.getValue.isTextual &&
+                embeddedMetricLine(e.getValue.asText, mapper))
+          }
+        })
+      } catch { case _: Exception => false }
+    }
+    if (docOk) None
+    else Some("no parseable {\"metric\":...,\"value\":N} record " +
+      "(as a line, a document, a nested field, or an embedded log line)")
   }
 
   def validateFile(path: java.nio.file.Path): Option[String] =

@@ -40,4 +40,20 @@ class BenchGuardSpec extends AnyFunSuite {
       "some log line\n" +
         """{"metric":"total","value":42.0,"unit":"sec"}""" + "\n").isEmpty)
   }
+
+  test("the repo's two historical record shapes pass: nested composite " +
+    "records and the driver wrapper with the metric line in a log field") {
+    // the r9-style composite: metric records one level down
+    assert(BenchGuard.validate(
+      """{"note":"x","concurrent":{"metric":"total","value":13.9,"unit":"sec"},""" +
+        """"sequential":{"metric":"total","value":48.9}}""").isEmpty)
+    // the driver's pretty-printed wrapper: the bench's own stdout line
+    // rides ESCAPED inside a captured-log string field
+    assert(BenchGuard.validate(
+      "{\n  \"n\": 1,\n  \"tail\": \"noise\\n{\\\"metric\\\":\\\"total\\\"," +
+        "\\\"value\\\":56.3,\\\"unit\\\":\\\"sec\\\"}\\nmore\",\n" +
+        "  \"parsed\": null\n}").isEmpty)
+    // a pretty-printed document with NO metric anywhere still fails
+    assert(BenchGuard.validate("{\n  \"n\": 1,\n  \"tail\": \"noise\"\n}").isDefined)
+  }
 }
