@@ -323,11 +323,28 @@ object Bench {
       else batchWalls.mkString("\"batch_walls\":[", ",", "],")
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec",$modeField$noisyField$errorsField"load":$load,"load_ambient":$loadAmbient,$wallsField"spread":$spreadFull,"queries":$qsFull,"sf":"$sfDir"}"""
-    try {
-      val p = java.nio.file.Paths.get("target", "bench.json")
-      java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.write(p, fullJson.getBytes("UTF-8"))
-    } catch { case _: Throwable => () }
+    // Records are committed through BenchGuard.commitRecord —
+    // temp+validate+rename, same discipline as TableIO's table writes —
+    // so an interrupted or metric-less run can never leave a
+    // committable artifact at a record path (round-18 prescription:
+    // the guard used to be a manual step a crashed capture could skip).
+    try tools.BenchGuard.commitRecord(
+      java.nio.file.Paths.get("target", "bench.json"), fullJson)
+      .foreach(r => System.err.println(s"[bench] record rejected: $r"))
+    catch { case _: Throwable => () }
+    // Optional first-class capture path (SPARK_GRAFT_BENCH_OUT=<file>):
+    // the builder's BENCH_SEQ_*/BENCH_QUIET_* artifacts should be
+    // written HERE, not by shell redirection — a guard rejection fails
+    // the run loudly instead of leaving a half-written record.
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { out =>
+      tools.BenchGuard.commitRecord(
+        java.nio.file.Paths.get(out), fullJson + "\n").foreach { r =>
+        System.err.println(s"[bench] CAPTURE REJECTED ($out): $r")
+        spark.stop()
+        sys.exit(1)
+      }
+      System.err.println(s"[bench] capture committed: $out")
+    }
     println(fullJson)
     // Compact final line: 2-decimal (centisecond) per-query values with
     // trailing zeros trimmed — full precision lives one line up

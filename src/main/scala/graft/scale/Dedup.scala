@@ -27,6 +27,14 @@ object Dedup extends QueryModule {
   val NumBands = 4
   val ShingleSize = 4
 
+  /** Minimum containing-doc count for a window to be a duplicated
+    * span — ONE definition for the four span registrations'
+    * `minDocs` argument and the oracle `HAVING` bounds. Lives here
+    * with the other shared constants (not at its mid-file first-use
+    * site) so an init-time reference can never observe the
+    * pre-initialization 0L. */
+  val SpanMinDocs = 2L
+
   /** Shared gate knobs — ONE definition each, interpolated into BOTH
     * the Spark registrations and the oracle SQL (the GateLmVocab
     * discipline): a knob edited in one place cannot drift between
@@ -3128,11 +3136,6 @@ object Dedup extends QueryModule {
   private val spanIdxRangeSql: String =
     s"unnest(range(1, len(ws)-${ShingleSize - 2}))"
   private val spanLenGuardSql: String = s"len(ws) >= $ShingleSize"
-
-  /** Minimum containing-doc count for a window to be a duplicated
-    * span — ONE definition for the four span registrations'
-    * `minDocs` argument and the oracle `HAVING` bounds. */
-  val SpanMinDocs = 2L
 
   private val shingleCte =
     s"""ws AS (SELECT doc_id, $normSql AS ws FROM documents),

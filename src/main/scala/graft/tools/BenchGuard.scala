@@ -19,14 +19,20 @@ object BenchGuard {
 
   /** A `{"metric":...}` line embedded in a captured-log string (the
     * driver's wrapper format carries the bench's stdout in a `tail`
-    * field). */
+    * field). Scans EVERY `{"metric"` occurrence, not just the first:
+    * a truncated/invalid metric-like fragment earlier in the log tail
+    * (e.g. a cut-off line from a previous rep) must not mask a
+    * genuine record that follows it (round-18 ADVICE). */
   private def embeddedMetricLine(s: String, mapper: ObjectMapper): Boolean = {
-    val i = s.indexOf("{\"metric\"")
-    i >= 0 && {
+    var i = s.indexOf("{\"metric\"")
+    while (i >= 0) {
       val line = s.substring(i).takeWhile(_ != '\n')
-      try metricObject(mapper.readTree(line))
-      catch { case _: Exception => false }
+      val ok = try metricObject(mapper.readTree(line))
+               catch { case _: Exception => false }
+      if (ok) return true
+      i = s.indexOf("{\"metric\"", i + 1)
     }
+    false
   }
 
   /** None if `content` holds a capture record; Some(reason) otherwise.
@@ -65,6 +71,30 @@ object BenchGuard {
   def validateFile(path: java.nio.file.Path): Option[String] =
     if (!java.nio.file.Files.exists(path)) Some("file does not exist")
     else validate(new String(java.nio.file.Files.readAllBytes(path), "UTF-8"))
+
+  /** Guarded record commit — the temp+validate+rename discipline
+    * `TableIO` uses for tables, applied to capture artifacts: write
+    * `content` to `<path>.tmp`, [[validate]] what actually landed on
+    * disk, and rename onto `path` only on pass. An interrupted or
+    * metric-less capture therefore NEVER leaves a committable file at
+    * the final path — the round-17 zero-byte-artifact failure mode is
+    * structurally impossible, not just detectable after the fact.
+    * Returns None on success, Some(reason) on rejection (the `.tmp`
+    * is removed; whatever was previously at `path` is untouched). */
+  def commitRecord(path: java.nio.file.Path, content: String): Option[String] = {
+    import java.nio.file.{Files, StandardCopyOption}
+    if (path.getParent != null) Files.createDirectories(path.getParent)
+    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+    Files.write(tmp, content.getBytes("UTF-8"))
+    validate(new String(Files.readAllBytes(tmp), "UTF-8")) match {
+      case Some(reason) =>
+        Files.deleteIfExists(tmp)
+        Some(reason)
+      case None =>
+        Files.move(tmp, path, StandardCopyOption.REPLACE_EXISTING)
+        None
+    }
+  }
 
   /** `runMain graft.tools.BenchGuard FILE...` — prints a verdict per
     * file, exits 1 if any is invalid. */

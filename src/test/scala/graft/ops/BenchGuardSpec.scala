@@ -56,4 +56,39 @@ class BenchGuardSpec extends AnyFunSuite {
     // a pretty-printed document with NO metric anywhere still fails
     assert(BenchGuard.validate("{\n  \"n\": 1,\n  \"tail\": \"noise\"\n}").isDefined)
   }
+
+  test("a truncated metric-like fragment BEFORE the real embedded line " +
+    "does not mask it (all occurrences are scanned)") {
+    // round-18 ADVICE: the old single-indexOf scan would try only the
+    // truncated first fragment and reject a genuine record
+    assert(BenchGuard.validate(
+      "{\n  \"tail\": \"partial {\\\"metric\\\":\\\"tot\\n" +
+        "{\\\"metric\\\":\\\"total\\\",\\\"value\\\":7.5,\\\"unit\\\":\\\"sec\\\"}\\n\"\n}")
+      .isEmpty)
+    // ...but ONLY invalid fragments still fail
+    assert(BenchGuard.validate(
+      "{\n  \"tail\": \"partial {\\\"metric\\\":\\\"tot\\n{\\\"metric\\\": oops\\n\"\n}")
+      .isDefined)
+  }
+
+  test("commitRecord: a metric-less capture leaves NO artifact at the " +
+    "final path; a valid one lands atomically; a prior record survives " +
+    "a rejected overwrite") {
+    val dir = java.nio.file.Files.createTempDirectory("benchcommit")
+    val p = dir.resolve("BENCH_SEQ_rX.json")
+    // invalid content: rejected, nothing at the final path, no .tmp left
+    assert(BenchGuard.commitRecord(p, "").isDefined)
+    assert(!java.nio.file.Files.exists(p),
+      "a rejected commit must leave nothing at the final path")
+    assert(!java.nio.file.Files.exists(dir.resolve("BENCH_SEQ_rX.json.tmp")),
+      "a rejected commit must clean up its temp file")
+    // valid content lands and re-validates from disk
+    val good = """{"metric":"total","value":1.5,"unit":"sec"}""" + "\n"
+    assert(BenchGuard.commitRecord(p, good).isEmpty)
+    assert(BenchGuard.validateFile(p).isEmpty)
+    // a later INVALID capture cannot clobber the committed record
+    assert(BenchGuard.commitRecord(p, "  \n").isDefined)
+    assert(BenchGuard.validateFile(p).isEmpty,
+      "a rejected re-commit must leave the prior record untouched")
+  }
 }
