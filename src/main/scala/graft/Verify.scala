@@ -4,11 +4,11 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
-  def main(args: Array[String]): Unit = {
-    // args: <sfDir> <outDir> [queryName ...] — extra names restrict the
-    // dump to those queries (local iteration; the driver passes two)
-    val sfDir = args(0); val outDir = args(1)
-    val only = args.drop(2).toSet
+  /** The session the correctness dump (and the fuzz runner) drives:
+    * UTC, gate extensions, shuffle partitions = cores — one definition
+    * so a fuzz pass can never diverge from the driver gate on session
+    * config alone. */
+  def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
@@ -19,6 +19,25 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  def main(args: Array[String]): Unit = {
+    // args: <sfDir> <outDir> [queryName ...] — extra names restrict the
+    // dump to those queries (local iteration; the driver passes two)
+    val sfDir = args(0); val outDir = args(1)
+    val only = args.drop(2).toSet
+    val spark = session()
+    run(spark, sfDir, outDir, only)
+    spark.stop()
+  }
+
+  /** One full correctness dump: every (filtered) gate query's result →
+    * `outDir/<name>/` parquet, plus `outDir/oracle_sql.json`. Factored
+    * out of [[main]] so `graft.tools.Fuzz` can run the dump repeatedly
+    * (one corpus per seed) inside a single session. */
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+          only: Set[String]): Unit = {
     // schema-drift preflight: name the table + actual type loudly BEFORE
     // the gate turns a silent testdata regeneration into 15 red queries
     SchemaCanary.drift(spark, sfDir)
@@ -57,6 +76,5 @@ object Verify {
       .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
   }
 }

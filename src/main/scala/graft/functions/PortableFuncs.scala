@@ -29,6 +29,43 @@ object PortableFuncs {
   def exactSumSql(x: String): String =
     s"CAST(SUM(CAST($x AS DECIMAL(18,6))) AS DOUBLE)"
 
+  /** [[exactSum]] rounded to `scale` decimals IN DECIMAL SPACE, then
+    * cast to double. `round(exactSum(x), s)` rounded the DOUBLE cast,
+    * and the engines' round(double) tie-breaks differ: Spark rounds
+    * the shortest decimal repr (BigDecimal HALF_UP), DuckDB rounds the
+    * binary value (multiply-floor), so an exact decimal half-tie like
+    * 571963.825 diverges at the last cent (fuzz seed 202, q01
+    * sum_disc_price). Rounding the exact decimal is HALF_UP /
+    * half-away-from-zero in BOTH engines — no double is ever rounded.
+    */
+  def exactSumRound(c: Column, scale: Int): Column =
+    round(sum(c.cast(org.apache.spark.sql.types.DecimalType(18, 6))), scale)
+      .cast(DoubleType)
+
+  /** SQL form of [[exactSumRound]] (DuckDB ROUND on DECIMAL is exact
+    * half-away-from-zero, matching Spark's Decimal HALF_UP). */
+  def exactSumRoundSql(x: String, scale: Int): String =
+    s"CAST(ROUND(SUM(CAST($x AS DECIMAL(18,6))), $scale) AS DOUBLE)"
+
+  /** Engine-identical round-half-up of a DOUBLE (for ratio columns
+    * like exact-sum / count, where no exact decimal form exists):
+    * floor(x·10^s + 0.5) / 10^s — the q47 convention. Both engines
+    * evaluate the SAME IEEE ops on the same input double, so the
+    * result is bit-identical by construction, immune to the engines'
+    * round(double) tie-break differences. (Ties round toward +inf —
+    * for negative inputs that differs from HALF_UP's away-from-zero,
+    * but identically so in both engines.) */
+  def portableRound(c: Column, scale: Int): Column = {
+    val f = math.pow(10, scale)
+    floor(c * lit(f) + lit(0.5)) / lit(f)
+  }
+
+  /** SQL form of [[portableRound]]. */
+  def portableRoundSql(x: String, scale: Int): String = {
+    val f = BigDecimal(10).pow(scale).toDouble
+    s"FLOOR(($x) * $f + 0.5) / $f"
+  }
+
   /** Deterministic 60-bit non-negative hash of a string, portable across
     * engines: first 15 hex chars of md5, parsed base-16.
     * DuckDB equivalent: `CAST('0x' || substr(md5(x),1,15) AS BIGINT)`.

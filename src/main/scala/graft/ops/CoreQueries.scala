@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.{QueryModule, Tables => T}
 import graft.Materialize.CoreOps
-import graft.functions.PortableFuncs.{exactSum, exactSumSql}
+import graft.functions.PortableFuncs.{exactSum, exactSumSql, exactSumRound, exactSumRoundSql, portableRound, portableRoundSql}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -41,11 +41,11 @@ object CoreQueries extends QueryModule {
         // exactSum: decimal accumulation is associative, so the result
         // is independent of partitioning — a raw double sum is not, and
         // round() can't absorb a cross-engine half-tie
-        round(exactSum(col("l_quantity")), 2).as("sum_qty"),
-        round(exactSum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(exactSum(col("l_quantity")) / count(lit(1)), 4).as("avg_qty"),
-        round(exactSum(col("l_discount")) / count(lit(1)), 4).as("avg_disc"),
+        exactSumRound(col("l_quantity"), 2).as("sum_qty"),
+        exactSumRound(col("l_extendedprice"), 2).as("sum_base_price"),
+        exactSumRound(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2).as("sum_disc_price"),
+        portableRound(exactSum(col("l_quantity")) / count(lit(1)), 4).as("avg_qty"),
+        portableRound(exactSum(col("l_discount")) / count(lit(1)), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
   /** F2: conjunctive filter + projection, pushed to the parquet scan;
@@ -87,7 +87,7 @@ object CoreQueries extends QueryModule {
     T.lineitem(s, d)
       .join(broadcast(T.part(s, d)), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
-      .agg(round(exactSum(col("l_extendedprice")), 2).as("revenue"),
+      .agg(exactSumRound(col("l_extendedprice"), 2).as("revenue"),
         count(lit(1)).as("n_items"))
 
   /** J1: left-semi join (the verified-dataset filter);
@@ -114,7 +114,7 @@ object CoreQueries extends QueryModule {
       .join(broadcast(T.region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(count(lit(1)).as("n_cust"),
-        round(exactSum(col("c_acctbal")), 2).as("sum_bal"))
+        exactSumRound(col("c_acctbal"), 2).as("sum_bal"))
 
   /** A1/A2: count by status/type; reference `task_manager.py:348-376`. */
   def q09StatusCounts(s: SparkSession, d: String): DataFrame =
@@ -178,7 +178,7 @@ object CoreQueries extends QueryModule {
       .groupBy(col("src"))
       .agg(
         count(lit(1)).as("n"),
-        round(exactSum(col("amount")), 2).as("total"),
+        exactSumRound(col("amount"), 2).as("total"),
         sum(when(col("extra").isNull, 1L).otherwise(0L)).as("n_missing"))
   }
 
@@ -219,7 +219,7 @@ object CoreQueries extends QueryModule {
     T.lineitem(s, d)
       .filter(!(col("l_orderkey") % 100 === 0))
       .agg(count(lit(1)).as("n_remaining"),
-        round(exactSum(col("l_quantity")), 2).as("sum_qty"))
+        exactSumRound(col("l_quantity"), 2).as("sum_qty"))
 
   /** M2/S3: row insert as union + aggregate check;
     * reference `create_dp.py:149-214`. */
@@ -274,7 +274,7 @@ object CoreQueries extends QueryModule {
     T.events(s, d)
       .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00").as("hour"),
         col("event_type"))
-      .agg(count(lit(1)).as("n"), round(exactSum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"), exactSumRound(col("value"), 2).as("sum_value"))
 
   /** C9 analog: regex field extraction + grouped tally over semi-
     * structured text (the pytest-output-parse shape, A6). */
@@ -572,9 +572,17 @@ object CoreQueries extends QueryModule {
         exactSum(x).as("sx"),
         exactSum(x * x).as("sxx"))
       .select(col("l_returnflag"), col("n"),
-        (col("sx") / col("n")).as("mean"),
-        ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("var"),
-        sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("std"))
+        (col("sx") / col("n")).as("mean"), {
+          // sample variance of a single row is undefined → NULL, the
+          // value DuckDB's double/0 already yields (ANSI Spark would
+          // throw instead — fuzz tiny profile, groups of n = 1)
+          val varE = when(col("n") > 1,
+            (col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+          varE.as("var")
+        },
+        sqrt(when(col("n") > 1,
+          (col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)))
+          .as("std"))
   }
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -721,11 +729,11 @@ object CoreQueries extends QueryModule {
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
-         |  ROUND(${exactSumSql("l_quantity")},2) AS sum_qty,
-         |  ROUND(${exactSumSql("l_extendedprice")},2) AS sum_base_price,
-         |  ROUND(${exactSumSql("l_extendedprice*(1.0-l_discount)")},2) AS sum_disc_price,
-         |  ROUND(${exactSumSql("l_quantity")}/COUNT(*),4) AS avg_qty,
-         |  ROUND(${exactSumSql("l_discount")}/COUNT(*),4) AS avg_disc,
+         |  ${exactSumRoundSql("l_quantity", 2)} AS sum_qty,
+         |  ${exactSumRoundSql("l_extendedprice", 2)} AS sum_base_price,
+         |  ${exactSumRoundSql("l_extendedprice*(1.0-l_discount)", 2)} AS sum_disc_price,
+         |  ${portableRoundSql(exactSumSql("l_quantity") + "/COUNT(*)", 4)} AS avg_qty,
+         |  ${portableRoundSql(exactSumSql("l_discount") + "/COUNT(*)", 4)} AS avg_disc,
          |  COUNT(*) AS count_order
          |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2024-06-30 00:00:00'
          |GROUP BY l_returnflag, l_linestatus""".stripMargin,
@@ -745,7 +753,7 @@ object CoreQueries extends QueryModule {
         |         COUNT(DISTINCT l_orderkey*8 + l_linenumber) AS n_keys
         |  FROM lineitem)""".stripMargin,
     "q05_broadcast_join" ->
-      s"""SELECT p_brand, ROUND(${exactSumSql("l_extendedprice")},2) AS revenue,
+      s"""SELECT p_brand, ${exactSumRoundSql("l_extendedprice", 2)} AS revenue,
          |  COUNT(*) AS n_items
          |FROM lineitem JOIN part ON l_partkey = p_partkey
          |GROUP BY p_brand""".stripMargin,
@@ -758,7 +766,7 @@ object CoreQueries extends QueryModule {
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
     "q08_hierarchy_join" ->
       s"""SELECT r_name, n_name, COUNT(*) AS n_cust,
-         |  ROUND(${exactSumSql("c_acctbal")},2) AS sum_bal
+         |  ${exactSumRoundSql("c_acctbal", 2)} AS sum_bal
          |FROM customer
          |JOIN nation ON c_nationkey = n_nationkey
          |JOIN region ON n_regionkey = r_regionkey
@@ -795,7 +803,7 @@ object CoreQueries extends QueryModule {
         |      FROM events)
         |GROUP BY event_type""".stripMargin,
     "q14_union_normalize" ->
-      s"""SELECT src, COUNT(*) AS n, ROUND(${exactSumSql("amount")},2) AS total,
+      s"""SELECT src, COUNT(*) AS n, ${exactSumRoundSql("amount", 2)} AS total,
          |  CAST(SUM(CASE WHEN extra IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
          |FROM (
          |  SELECT o_orderkey AS id, 'order' AS src, o_totalprice AS amount,
@@ -820,7 +828,7 @@ object CoreQueries extends QueryModule {
         |  CAST(CASE WHEN o_orderkey % 1000 = 7 THEN 1 ELSE 0 END AS BIGINT) AS patched
         |FROM orders""".stripMargin,
     "q18_delete_rows" ->
-      s"""SELECT COUNT(*) AS n_remaining, ROUND(${exactSumSql("l_quantity")},2) AS sum_qty
+      s"""SELECT COUNT(*) AS n_remaining, ${exactSumRoundSql("l_quantity", 2)} AS sum_qty
          |FROM lineitem WHERE NOT (l_orderkey % 100 = 0)""".stripMargin,
     "q19_insert_row" ->
       """SELECT COUNT(*) AS n, CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
@@ -851,7 +859,7 @@ object CoreQueries extends QueryModule {
         |GROUP BY user_id""".stripMargin,
     "q23_time_window" ->
       s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
-         |  event_type, COUNT(*) AS n, ROUND(${exactSumSql("value")},2) AS sum_value
+         |  event_type, COUNT(*) AS n, ${exactSumRoundSql("value", 2)} AS sum_value
          |FROM events GROUP BY 1, 2""".stripMargin
   )
 }

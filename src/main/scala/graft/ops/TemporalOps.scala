@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.{QueryModule, Tables => T}
 import graft.Materialize.CoreOps
-import graft.functions.PortableFuncs.{exactSum, exactSumSql}
+import graft.functions.PortableFuncs.{exactSumRound, exactSumRoundSql}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -397,7 +397,7 @@ object TemporalOps extends QueryModule {
     val perUser = events.groupBy(col("user_id"))
       .agg(max(to_date(col("ts"))).as("last_day"),
         count(lit(1)).as("n_events"),
-        round(exactSum(col("value")), 2).as("monetary"))
+        exactSumRound(col("value"), 2).as("monetary"))
     val maxDay = perUser.agg(max(col("last_day")).as("corpus_day"))
     val base = perUser.crossJoin(broadcast(maxDay))
       .withColumn("r_days",
@@ -561,11 +561,18 @@ object TemporalOps extends QueryModule {
   // the same precision Tables.events hands Spark, so both engines
   // compare identical instants (NOTES: events is TIMESTAMP(NANOS)).
   override val oracle: Map[String, String] = Map(
+    // clicks pre-aggregated to (user_id, ts, max(value)): several
+    // clicks can share an instant, DuckDB's ASOF picks an arbitrary
+    // tied row, and the Spark asofJoin's carry-forward is defined as
+    // the MAX payload struct at equal ts — the pre-agg makes the right
+    // side tie-free so both engines state the same deterministic
+    // semantic (fuzz seeds 101/202 caught the divergence)
     "q43_asof_join" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
         |    event_type, value FROM events),
         |p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase'),
-        |c AS (SELECT user_id, ts, value FROM e WHERE event_type = 'click')
+        |c AS (SELECT user_id, ts, max(value) AS value FROM e
+        |  WHERE event_type = 'click' GROUP BY 1, 2)
         |SELECT p.event_id, p.user_id, p.ts,
         |  c.ts AS click_ts, c.value AS click_value
         |FROM p ASOF LEFT JOIN c
@@ -699,7 +706,7 @@ object TemporalOps extends QueryModule {
           "COUNT(*) OVER () AS INTEGER)"
       s"""WITH u AS (SELECT user_id, max(CAST(ts AS DATE)) AS last_day,
          |    COUNT(*) AS n_events,
-         |    ROUND(${exactSumSql("value")}, 2) AS monetary
+         |    ${exactSumRoundSql("value", 2)} AS monetary
          |  FROM events GROUP BY 1),
          |m AS (SELECT max(last_day) AS corpus_day FROM u),
          |b AS (SELECT u.user_id,

@@ -1350,10 +1350,11 @@ object Curation extends QueryModule {
        |e AS (SELECT vec_id,
        |        list(CAST(value AS DOUBLE) ORDER BY pos) AS embedding
        |      FROM f GROUP BY 1),
-       |bk AS (SELECT vec_id,
+       |bk0 AS (SELECT vec_id,
        |    CAST(${Similarity.bucketSql} AS BIGINT) AS bucket,
        |    embedding AS v,
        |    sqrt(list_dot_product(embedding, embedding)) AS nrm FROM e),
+       |bk AS (SELECT * FROM bk0 WHERE nrm > 0),
        |cents AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM bk
        |          WHERE vec_id < ${Similarity.IvfCells}),
        |asg AS (SELECT vec_id,

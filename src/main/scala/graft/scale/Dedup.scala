@@ -1113,7 +1113,8 @@ object Dedup extends QueryModule {
   def embeddingNearDupCelled(emb: DataFrame, minCos: Double,
       seeds0: Option[Seq[(Long, Seq[Double])]] = None): DataFrame = {
     val seeds = seeds0.getOrElse(
-      Similarity.seedCentroidList(emb, Similarity.IvfCells))
+      Similarity.seedCentroidList(Similarity.nonZeroNorm(emb),
+        Similarity.IvfCells))
     // checkpoint ONCE here: both band joins (and their counts passes)
     // read the keyed table
     embeddingNearDupCelledFrom(
@@ -1129,14 +1130,36 @@ object Dedup extends QueryModule {
     * plan-constant kernel eval per row, negligible next to the
     * feature encode this scan already pays. */
   private[graft] def celledKeyedVectors(emb: DataFrame,
-      seeds: Seq[(Long, Seq[Double])]): DataFrame =
-    Similarity.bucketedVectors(emb).select(col("vec_id"),
+      seeds: Seq[(Long, Seq[Double])]): DataFrame = {
+    // zero-norm vectors are EXCLUDED from the celled index: cosine is
+    // undefined for them (the pair gate would divide by zero — fuzz
+    // seed 101, an empty document's all-zero media embedding), and the
+    // oracle's keyed CTE carries the same `nrm > 0` bound. Callers
+    // must derive `seeds` from the same filtered set.
+    val base = Similarity.bucketedVectors(emb).filter(col("nrm") > 0d)
+    // Degenerate-corpus contract, mirroring the oracle CTE exactly:
+    // with no formable diff plane the oracle's `db` CTE is empty and
+    // `keyed` (an inner join against it) is EMPTY — every celled board
+    // degenerates to no rows, identically in both engines. With one
+    // usable seed, rank-2 does not exist and `cell2` is NULL (the
+    // oracle's MAX(CASE WHEN rn = 2 ...) over one row).
+    if (seeds.isEmpty ||
+        Similarity.availableDiffPlanes(seeds).isEmpty)
+      return base.filter(lit(false)).select(col("vec_id"),
+        lit(null).cast("long").as("cell_id"),
+        lit(null).cast("long").as("cell2"),
+        lit(null).cast("long").as("dbucket"),
+        col("bucket"), col("v"), col("nrm"))
+    val cell2 =
+      if (seeds.size < 2) lit(null).cast("long")
+      else graft.functions.VectorExpressions.argMax2Cosine(col("v"), seeds)
+    base.select(col("vec_id"),
       graft.functions.VectorExpressions.argMaxCosine(col("v"), seeds)
         .as("cell_id"),
-      graft.functions.VectorExpressions.argMax2Cosine(col("v"), seeds)
-        .as("cell2"),
+      cell2.as("cell2"),
       Similarity.diffPlaneBucket(col("v"), seeds).as("dbucket"),
       col("bucket"), col("v"), col("nrm"))
+  }
 
   /** The celled chain's band GEOMETRY — first-class plan constants,
     * ONE definition feeding the Spark kernels, the oracle SQL and the
@@ -1261,6 +1284,10 @@ object Dedup extends QueryModule {
       nBands: Int = CelledBands, bandBits: Int = CelledBandBits): DataFrame = {
     val probed = celledBands(keyed, nBands, bandBits)
       .withColumn("pcell", explode(array(col("cell_id"), col("cell2"))))
+      // a NULL probe cell (cell2 when rank-2 does not exist) must not
+      // key a group: the oracle's px self-join never matches NULLs,
+      // but boundedSelfPairs' groupBy would unify them
+      .filter(col("pcell").isNotNull)
       // a payload copy of the join cell: boundedSelfPairs would see a
       // duplicate name if the key column itself rode as payload
       .withColumn("pc", col("pcell"))
@@ -1333,7 +1360,10 @@ object Dedup extends QueryModule {
       src.groupBy(keys.map(col): _*).agg(count(lit(1)).as("d"))
         .agg(count(lit(1)).as("n_groups"), max(col("d")).as("max_group"),
           sum(expr("d * (d - 1) DIV 2")).as("cand_pairs"),
-          sum(col("d")).as("sd"))
+          // coalesce: on an EMPTY keyed table (degenerate corpus) the
+          // sum is NULL but n is genuinely 0 — the oracle derives
+          // quad_pairs from COUNT(*), which is 0, never NULL
+          coalesce(sum(col("d")), lit(0L)).as("sd"))
         .select(lit(scheme).as("scheme"), col("n_groups"), col("max_group"),
           col("cand_pairs"),
           expr(s"($nFromSum) * (($nFromSum) - 1) DIV 2").as("quad_pairs"))
@@ -1476,12 +1506,13 @@ object Dedup extends QueryModule {
   private def embedKeyedCteSql(where: String = ""): String = {
     val nP = Similarity.NumPlanes
     val dim = Similarity.Dim
-    s"""bk AS (SELECT vec_id,
+    s"""bk0 AS (SELECT vec_id,
        |    CAST(${Similarity.bucketSql} AS BIGINT) AS bucket,
        |    CAST(embedding AS DOUBLE[]) AS v,
        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
        |      CAST(embedding AS DOUBLE[]))) AS nrm
        |  FROM embeddings $where),
+       |bk AS (SELECT * FROM bk0 WHERE nrm > 0),
        |cents AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM bk
        |          WHERE vec_id < ${Similarity.IvfCells}),
        |asg AS (SELECT vec_id,
@@ -1586,7 +1617,8 @@ object Dedup extends QueryModule {
                           maxId: Long = EmbedNearDupMaxId): DataFrame = {
     val bounded = emb.filter(col("vec_id") < maxId)
     val keyed = celledKeyedVectors(bounded,
-      Similarity.seedCentroidList(bounded, Similarity.IvfCells))
+      Similarity.seedCentroidList(Similarity.nonZeroNorm(bounded),
+        Similarity.IvfCells))
       .coreCheckpoint()
     recallBoardFrom(embeddingNearDup(emb, minCos, maxId),
       embeddingNearDupCelledFrom(keyed, minCos, inputMaterialized = true))
@@ -1736,8 +1768,11 @@ object Dedup extends QueryModule {
         coalesce(col("n_eval_shingles"), lit(0L)).as("n_eval_shingles"),
         coalesce(col("n_docs_hit"), lit(0L)).as("n_docs_hit"),
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
-        round(coalesce(col("n_docs_hit"), lit(0L)).cast("double") /
-          col("n_corpus_docs"), 4).as("hit_rate"))
+        // an empty post-eval corpus (fuzz tiny profile) has no
+        // defined hit rate: NULL, the value DuckDB's double/0 yields
+        when(col("n_corpus_docs") > 0, portableRound(
+          coalesce(col("n_docs_hit"), lit(0L)).cast("double") /
+            col("n_corpus_docs"), 4)).as("hit_rate"))
   }
 
   /** The full contamination MATRIX — (eval suite × ingest source)
@@ -2125,7 +2160,7 @@ object Dedup extends QueryModule {
       expr("sum(deg) div 2").as("n_edges"),
       expr("sum(n_tri) div 3").as("n_triangles"),
       max(col("deg")).as("max_deg"),
-      round(exactSum(col("clustering")) / count(lit(1)), 4)
+      portableRound(exactSum(col("clustering")) / count(lit(1)), 4)
         .as("mean_clustering"))
   }
 
@@ -2907,8 +2942,11 @@ object Dedup extends QueryModule {
   private def gateEmbedKeyed(s: SparkSession, d: String): DataFrame =
     graft.Shared.memo(s, s"dedup:embed-keyed:$d") {
       val emb = T.embeddings(s, d)
+      // seeds from the norm-filtered set — the oracle's `cents` reads
+      // the keyed CTE's `bk`, which carries the same `nrm > 0` bound
       celledKeyedVectors(emb,
-        Similarity.seedCentroidList(emb, Similarity.IvfCells))
+        Similarity.seedCentroidList(Similarity.nonZeroNorm(emb),
+          Similarity.IvfCells))
     }
 
   /** Components over the FROZEN half of the pair graph (the labels the
@@ -3891,8 +3929,9 @@ object Dedup extends QueryModule {
          |  COALESCE(est.n_eval_shingles, 0) AS n_eval_shingles,
          |  COALESCE(per.n_docs_hit, 0) AS n_docs_hit,
          |  COALESCE(per.n_overlap, 0) AS n_overlap,
-         |  ROUND(CAST(COALESCE(per.n_docs_hit, 0) AS DOUBLE)
-         |        / uni.n_corpus_docs, 4) AS hit_rate
+         |  ${portableRoundSql(
+              "CAST(COALESCE(per.n_docs_hit, 0) AS DOUBLE) / uni.n_corpus_docs",
+              4)} AS hit_rate
          |FROM sst LEFT JOIN est USING (suite)
          |LEFT JOIN per USING (suite), uni""".stripMargin,
     "q71_decontaminate" ->

@@ -686,9 +686,12 @@ object Multimodal {
     * seed assets. */
   private[graft] def mediaSeeds(spark: SparkSession,
       docs: DataFrame): Seq[(Long, Seq[Double])] =
+    // norm-filtered like the oracle's `cents FROM bk` (bk bounds
+    // nrm > 0): an empty asset's all-zero embedding must not seed a
+    // cell it could never cosine-match (fuzz round 19)
     Similarity.seedCentroidList(
-      mediaEmbeddings(spark,
-        docs.filter(col("doc_id") < Similarity.IvfCells)),
+      Similarity.nonZeroNorm(mediaEmbeddings(spark,
+        docs.filter(col("doc_id") < Similarity.IvfCells))),
       Similarity.IvfCells)
 
   /** q176: the FULL-CORPUS cross-modal near-dup — [[mediaNearDup]]'s

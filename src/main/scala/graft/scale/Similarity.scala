@@ -105,17 +105,27 @@ object Similarity extends QueryModule {
     * projection — zero joins, zero shuffles, exactly like the fixed
     * [[bucketedVectors]] word. nPlanes is the occupancy dial: each
     * extra plane halves the expected group size on concentrated data. */
-  private[graft] def diffPlaneBucket(v: Column,
-      seeds: Seq[(Long, Seq[Double])], nPlanes: Int = NumPlanes): Column = {
+  /** The diff planes `seeds` can actually form: plane p exists only
+    * when BOTH seed ids 2p and 2p+1 are present — exactly the rows
+    * the oracle's `pld` CTE's inner joins keep. On a degenerate
+    * corpus missing a partner the plane simply contributes no bit,
+    * identically in both engines (fuzz round 19: the old contiguity
+    * require crashed the whole celled chain on the tiny profile). */
+  private[graft] def availableDiffPlanes(seeds: Seq[(Long, Seq[Double])],
+      nPlanes: Int = NumPlanes): Seq[(Int, Seq[Double])] = {
     val m = seeds.toMap
-    require((0 until 2 * nPlanes).forall(i => m.contains(i.toLong)),
-      s"diffPlaneBucket needs contiguous seed vectors 0..${2 * nPlanes - 1}")
-    (0 until nPlanes).map { p =>
-      val diff = m(2L * p).zip(m(2L * p + 1)).map { case (a, b) => a - b }
+    (0 until nPlanes).flatMap { p =>
+      for (a <- m.get(2L * p); b <- m.get(2L * p + 1))
+        yield p -> a.zip(b).map { case (x, y) => x - y }
+    }
+  }
+
+  private[graft] def diffPlaneBucket(v: Column,
+      seeds: Seq[(Long, Seq[Double])], nPlanes: Int = NumPlanes): Column =
+    availableDiffPlanes(seeds, nPlanes).map { case (p, diff) =>
       when(dotProduct(v, array(diff.map(lit): _*)) > 0d, lit(1L << p))
         .otherwise(0L)
-    }.reduce(_ + _)
-  }
+    }.reduceOption(_ + _).getOrElse(lit(0L))
 
   /** Exact brute-force cosine top-k: queries (vec_id < nQueries) against
     * the whole corpus. The query side is broadcast; corpus scanned once.
@@ -509,13 +519,14 @@ object Similarity extends QueryModule {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
 
-  /** The seed-numbering contract both trainers share with the oracle:
-    * the Scala side numbers codes/cells by ARRAY POSITION in the
-    * sorted sample, while the oracle's restatement (`pqTrainSql`)
-    * numbers them by `CAST(vec_id AS INTEGER)` — the two agree only
-    * when the first `k` sampled vec_ids are exactly 0..k-1. A corpus
-    * with a hole in that range would train a silently divergent book
-    * (every downstream code assignment shifts); fail loudly instead. */
+  /** Contiguity guard for the EXPERIMENTAL trained-cents paths
+    * ([[ivfTrainedCents]]), which still number cells by ARRAY POSITION
+    * in the sorted sample with no rank-numbered oracle restatement to
+    * match. The GATE paths no longer need it: the PQ codebook numbers
+    * codes by rank of vec_id on BOTH sides (Scala seed position ==
+    * oracle `ROW_NUMBER() OVER (ORDER BY vec_id) - 1`), and IVF cells
+    * are keyed by the seed rows' raw vec_ids relationally — both are
+    * hole-safe (fuzz round 19). */
   private def requireSeedContiguous(sample: Array[(Long, Array[Double])],
                                     k: Int, what: String): Unit = {
     val ids = sample.take(k).map(_._1)
@@ -543,6 +554,12 @@ object Similarity extends QueryModule {
   /** (cell_id, cv): the first-`nCells` seed centroids the production
     * IVF path runs on (see [[ivfTrainedCents]] for why the seed beats
     * the trained book at the fixed probe budget). */
+  /** `emb` restricted to rows whose embedding has a nonzero L2 norm —
+    * the celled near-dup chain's eligibility bound (a zero-norm vector
+    * has no direction; the oracle keyed CTEs carry `nrm > 0`). */
+  private[graft] def nonZeroNorm(emb: DataFrame): DataFrame =
+    emb.filter(l2Norm(toDoubleArray(col("embedding"))) > lit(0d))
+
   private def seedCents(emb: DataFrame, nCells: Int): DataFrame =
     emb.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cell_id"),
@@ -582,7 +599,9 @@ object Similarity extends QueryModule {
     val spark = emb.sparkSession
     import spark.implicits._
     val book = pqTrainBook(emb)
-    val rows = for { m <- 0 until PqSubspaces; k <- 0 until PqCodebook }
+    // iterate the book's ACTUAL shape: a corpus with holes below
+    // PqCodebook trains fewer than PqCodebook rank-numbered codes
+    val rows = for { m <- book.indices; k <- book(m).indices }
       yield (k, m, book(m)(k).toArray)
     rows.toDF("k", "m", "cv")
   }
@@ -603,8 +622,17 @@ object Similarity extends QueryModule {
   private def residualSample(emb: DataFrame,
                              nCells: Int): Array[(Long, Array[Double])] = {
     val sample = sampleVectors(emb)
-    requireSeedContiguous(sample, nCells, "IVF-PQ coarse centroid")
-    val cents: Array[Array[Double]] = sample.take(nCells).map(_._2)
+    // coarse cents = sampled rows with vec_id < nCells (takeWhile over
+    // the id-sorted sample), the EXACT set the oracle's
+    // `WHERE vec_id < nCells` picks — on a corpus with holes take(n)
+    // would grab ids ≥ nCells the oracle never sees. The positional
+    // ascending scan below tie-breaks by ascending id, same as the
+    // oracle's `ORDER BY ... cell_id ASC`; contiguity is NOT required.
+    require(sample.nonEmpty, "IVF-PQ: empty training sample")
+    val cents: Array[Array[Double]] =
+      sample.takeWhile(_._1 < nCells).map(_._2)
+    require(cents.nonEmpty,
+      s"IVF-PQ coarse seed: no sampled vec_id < $nCells")
     def dot(a: Array[Double], b: Array[Double]): Double = {
       var acc = 0.0; var i = 0
       while (i < a.length) { acc += a(i) * b(i); i += 1 }
@@ -625,7 +653,13 @@ object Similarity extends QueryModule {
 
   private def pqTrainBookFrom(
       sample: Array[(Long, Array[Double])]): Seq[Seq[Seq[Double]]] = {
-    requireSeedContiguous(sample, PqCodebook, "PQ codebook")
+    // seed set = sampled vec_ids < PqCodebook (takeWhile below), codes
+    // numbered by RANK of vec_id within that set — the oracle's cb0
+    // numbers by the same rank (ROW_NUMBER OVER ORDER BY vec_id), so a
+    // corpus with holes below PqCodebook trains the IDENTICAL book on
+    // both sides; contiguity is no longer required (fuzz tiny profile).
+    require(sample.exists(_._1 < PqCodebook),
+      s"PQ codebook: no sampled vec_id < $PqCodebook to seed from")
     def slice(v: Array[Double], m: Int): Array[Double] =
       java.util.Arrays.copyOfRange(v, m * PqSubDim, (m + 1) * PqSubDim)
     def sqL2(a: Array[Double], b: Array[Double]): Double = {
@@ -815,9 +849,10 @@ object Similarity extends QueryModule {
                nCells: Int = IvfCells, nProbes: Int = IvfProbes,
                refine: Int = IvfPqRefine): DataFrame = {
     val cents = seedCentroidList(emb, nCells)
-    require(cents.map(_._1) == (0L until nCells.toLong),
-      s"IVF-PQ needs contiguous seed cells 0..${nCells - 1}, got " +
-        cents.map(_._1).mkString(","))
+    // cells are keyed by the seed rows' vec_ids everywhere downstream
+    // (map-literal centroid lookup, relational probe join) — holes
+    // below nCells are fine; only an EMPTY seed set has no meaning
+    require(cents.nonEmpty, s"IVF-PQ: no seed rows with vec_id < $nCells")
     val book = pqTrainBookFrom(residualSample(emb, nCells))
     ivfPqSearch(ivfPqCodes(emb, cents, book), emb, cents, book,
       nQueries, k, nProbes, refine)
@@ -830,7 +865,11 @@ object Similarity extends QueryModule {
     * generator-barrier discipline). */
   private def ivfPqCodes(emb: DataFrame, cents: Seq[(Long, Seq[Double])],
                          book: Seq[Seq[Seq[Double]]]): DataFrame = {
-    val centArr = typedLit(cents.map(_._2))
+    // centroid lookup keyed by CELL ID (map literal), not array
+    // position: cell ids are the seed rows' vec_ids, and a corpus with
+    // a hole below IvfCells (fuzz tiny profile) makes position ≠ id —
+    // the positional element_at silently subtracted the WRONG centroid
+    val centMap = typedLit(cents.toMap)
     Layout.widen(emb)
       .select(col("vec_id").as("c_id"),
         explode(array(struct(
@@ -840,7 +879,7 @@ object Similarity extends QueryModule {
       .select(col("c_id"), col("s.cell_id").as("cell_id"),
         transform(graft.functions.VectorExpressions.pqAssign(
           zip_with(col("s.v"),
-            element_at(centArr, col("s.cell_id").cast("int") + 1),
+            element_at(centMap, col("s.cell_id")),
             (a, b) => a - b),
           book), x => x.getField("k")).as("cks"))
   }
@@ -917,9 +956,7 @@ object Similarity extends QueryModule {
     val spark = emb.sparkSession
     import spark.implicits._
     val cents = seedCentroidList(emb, nCells)
-    require(cents.map(_._1) == (0L until nCells.toLong),
-      s"IVF-PQ needs contiguous seed cells 0..${nCells - 1}, got " +
-        cents.map(_._1).mkString(","))
+    require(cents.nonEmpty, s"IVF-PQ: no seed rows with vec_id < $nCells")
     val book = pqTrainBookFrom(residualSample(emb, nCells))
     cents.toDF("cell_id", "cv")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/cents")
@@ -1061,7 +1098,12 @@ object Similarity extends QueryModule {
       // so both engines test the same 4-decimal number
       hits.crossJoin(tot)
         .select(lit(method).as("method"), col("n_truth"), col("n_hits"),
-          round(col("n_hits").cast("double") / col("n_truth"), 4).as("recall"))
+          // n_truth = 0 (single-vector corpus: no neighbor pairs) has
+          // no defined recall: NULL, the value DuckDB's double/0
+          // yields; the lazy CaseWhen keeps ANSI division from
+          // throwing. portableRound: engine-identical tie-break.
+          when(col("n_truth") > 0, portableRound(
+            col("n_hits").cast("double") / col("n_truth"), 4)).as("recall"))
         .withColumn("recall_ok", col("recall") >= minRecall)
     }
     arms.map { case (m, ann, r) => audit(m, ann, r) }.reduce(_ unionByName _)
@@ -1179,10 +1221,16 @@ object Similarity extends QueryModule {
           countDistinct(col("q_id")).as("n_q"))
       hits.crossJoin(tot).crossJoin(cost).crossJoin(broadcast(nVecs))
         .select(lit(p).as("n_probes"), col("n_truth"), col("n_hits"),
-          round(col("n_hits").cast("double") / col("n_truth"), 4).as("recall"),
+          // zero denominators (single-vector corpus: no truth pairs,
+          // n_vecs-1 = 0) yield NULL — the value DuckDB's double/0
+          // already produces; the lazy CaseWhen keeps ANSI division
+          // from throwing (fuzz tiny profile)
+          when(col("n_truth") > 0, portableRound(
+            col("n_hits").cast("double") / col("n_truth"), 4)).as("recall"),
           col("n_candidates"),
-          round(col("n_candidates").cast("double") /
-            (col("n_q") * (col("n_vecs") - 1)), 4).as("scan_frac"))
+          when(col("n_q") * (col("n_vecs") - 1) > 0, portableRound(
+            col("n_candidates").cast("double") /
+              (col("n_q") * (col("n_vecs") - 1)), 4)).as("scan_frac"))
     }
     probesList.map(armRow).reduce(_ unionByName _)
   }
@@ -1219,7 +1267,7 @@ object Similarity extends QueryModule {
     val mean = exactSum(col("cos")) / count(lit(1))
     assigned.groupBy(col("cell_id"))
       .agg(count(lit(1)).as("n_members"),
-        round(mean, 4).as("mean_cos"),
+        portableRound(mean, 4).as("mean_cos"),
         (mean < lit(minMeanCos)).as("rebuild"))
   }
 
@@ -1244,7 +1292,7 @@ object Similarity extends QueryModule {
       .select(col("vec_id"), posexplode(pqAssignCol(book)).as(Seq("m", "a")))
       .groupBy(col("m"))
       .agg(count(lit(1)).as("n_vecs"),
-        round(mean, 4).as("mean_err"),
+        portableRound(mean, 4).as("mean_err"),
         (mean > lit(errThreshold)).as("retrain"))
   }
 
@@ -1322,7 +1370,7 @@ object Similarity extends QueryModule {
     perVec
       .agg(
         count(lit(1)).as("n_vecs"),
-        round(exactSum(col("distortion")) / count(lit(1)), 4)
+        portableRound(exactSum(col("distortion")) / count(lit(1)), 4)
           .as("mean_distortion"),
         round(min(col("distortion")), 4).as("min_distortion"),
         round(max(col("distortion")), 4).as("max_distortion"))
@@ -1654,10 +1702,12 @@ object Similarity extends QueryModule {
     }
     val unions = ps.map { p =>
       s"""SELECT $p AS n_probes, t.n_truth, s.n_hits,
-         |  ROUND(CAST(s.n_hits AS DOUBLE) / t.n_truth, 4) AS recall,
+         |  ${portableRoundSql("CAST(s.n_hits AS DOUBLE) / t.n_truth", 4)}
+         |    AS recall,
          |  c.n_candidates,
-         |  ROUND(CAST(c.n_candidates AS DOUBLE)
-         |    / (c.n_q * (nv.n_vecs - 1)), 4) AS scan_frac
+         |  ${portableRoundSql(
+             "CAST(c.n_candidates AS DOUBLE) / (c.n_q * (nv.n_vecs - 1))", 4)}
+         |    AS scan_frac
          |FROM s$p s, tt t, c$p c, nv""".stripMargin
     }
     s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1715,7 +1765,10 @@ object Similarity extends QueryModule {
     val head =
       s"""ts$sfx AS (SELECT vec_id, m, ${pqSliceSql("v")} AS sv
          |  FROM $src, range(0, $PqSubspaces) t(m) WHERE vec_id < $PqTrainSample),
-         |cb0$sfx AS (SELECT CAST(vec_id AS INTEGER) AS k, m, ${pqSliceSql("v")} AS cv
+         |cb0$sfx AS (SELECT
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY m ORDER BY vec_id) - 1
+         |      AS INTEGER) AS k,
+         |    m, ${pqSliceSql("v")} AS cv
          |  FROM $src, range(0, $PqSubspaces) t(m) WHERE vec_id < $PqCodebook),
          |""".stripMargin
     val iters = (1 to PqKmeansIters).map { it =>
@@ -1751,7 +1804,7 @@ object Similarity extends QueryModule {
          |          c.cell_id ASC) AS rn
          |    FROM n a, cents c) WHERE rn <= 1)
          |SELECT cell_id, COUNT(*) AS n_members,
-         |  ROUND(${exactSumSql("cos")} / COUNT(*), 4) AS mean_cos,
+         |  ${portableRoundSql(exactSumSql("cos") + " / COUNT(*)", 4)} AS mean_cos,
          |  (${exactSumSql("cos")} / COUNT(*) < 0.25) AS rebuild
          |FROM a GROUP BY cell_id""".stripMargin,
     // raw-table health: norms via the same list_dot_product/sqrt
@@ -1983,7 +2036,7 @@ object Similarity extends QueryModule {
          |    list_dot_product(ys, ys) / (${JlDims.toDouble} * dv) AS distortion
          |  FROM y),
          |m AS (SELECT COUNT(*) AS n_vecs,
-         |    ROUND(${exactSumSql("distortion")} / COUNT(*), 4) AS mean_distortion,
+         |    ${portableRoundSql(exactSumSql("distortion") + " / COUNT(*)", 4)} AS mean_distortion,
          |    ROUND(MIN(distortion), 4) AS min_distortion,
          |    ROUND(MAX(distortion), 4) AS max_distortion
          |  FROM d)
@@ -2009,7 +2062,7 @@ object Similarity extends QueryModule {
          |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d ASC, k ASC) AS rn
          |    FROM d) WHERE rn = 1)
          |SELECT CAST(m AS INTEGER) AS m, COUNT(*) AS n_vecs,
-         |  ROUND(${exactSumSql("d")} / COUNT(*), 4) AS mean_err,
+         |  ${portableRoundSql(exactSumSql("d") + " / COUNT(*)", 4)} AS mean_err,
          |  (${exactSumSql("d")} / COUNT(*) > 0.015) AS retrain
          |FROM best GROUP BY m""".stripMargin,
     "q51_pq_codes" ->
@@ -2283,38 +2336,38 @@ object Similarity extends QueryModule {
          |      ORDER BY cos DESC, c_id ASC) AS rn FROM jipairs)
          |  WHERE rn <= $TopK)
          |SELECT 'lsh_mp' AS method, t.n AS n_truth, h.c AS n_hits,
-         |  ROUND(CAST(h.c AS DOUBLE)/t.n, 4) AS recall,
-         |  ROUND(CAST(h.c AS DOUBLE)/t.n, 4) >= $LshMinRecall AS recall_ok
+         |  FLOOR((CAST(h.c AS DOUBLE)/t.n) * 10000.0 + 0.5) / 10000.0 AS recall,
+         |  FLOOR((CAST(h.c AS DOUBLE)/t.n) * 10000.0 + 0.5) / 10000.0 >= $LshMinRecall AS recall_ok
          |FROM tcount t, (SELECT COUNT(*) AS c FROM lsh s
          |  JOIN truth u ON s.q_id = u.q_id AND s.c_id = u.c_id) h
          |UNION ALL
          |SELECT 'ivf' AS method, t.n AS n_truth, h.c AS n_hits,
-         |  ROUND(CAST(h.c AS DOUBLE)/t.n, 4) AS recall,
-         |  ROUND(CAST(h.c AS DOUBLE)/t.n, 4) >= $IvfMinRecall AS recall_ok
+         |  FLOOR((CAST(h.c AS DOUBLE)/t.n) * 10000.0 + 0.5) / 10000.0 AS recall,
+         |  FLOOR((CAST(h.c AS DOUBLE)/t.n) * 10000.0 + 0.5) / 10000.0 >= $IvfMinRecall AS recall_ok
          |FROM tcount t, (SELECT COUNT(*) AS c FROM ivf s
          |  JOIN truth u ON s.q_id = u.q_id AND s.c_id = u.c_id) h
          |UNION ALL
          |SELECT 'pq' AS method, t.n AS n_truth, h.c AS n_hits,
-         |  ROUND(CAST(h.c AS DOUBLE)/t.n, 4) AS recall,
-         |  ROUND(CAST(h.c AS DOUBLE)/t.n, 4) >= $PqMinRecall AS recall_ok
+         |  FLOOR((CAST(h.c AS DOUBLE)/t.n) * 10000.0 + 0.5) / 10000.0 AS recall,
+         |  FLOOR((CAST(h.c AS DOUBLE)/t.n) * 10000.0 + 0.5) / 10000.0 >= $PqMinRecall AS recall_ok
          |FROM tcount t, (SELECT COUNT(*) AS c FROM pq s
          |  JOIN truth u ON s.q_id = u.q_id AND s.c_id = u.c_id) h
          |UNION ALL
          |SELECT 'ivfpq' AS method, t.n AS n_truth, h.c AS n_hits,
-         |  ROUND(CAST(h.c AS DOUBLE)/t.n, 4) AS recall,
-         |  ROUND(CAST(h.c AS DOUBLE)/t.n, 4) >= $IvfPqMinRecall AS recall_ok
+         |  FLOOR((CAST(h.c AS DOUBLE)/t.n) * 10000.0 + 0.5) / 10000.0 AS recall,
+         |  FLOOR((CAST(h.c AS DOUBLE)/t.n) * 10000.0 + 0.5) / 10000.0 >= $IvfPqMinRecall AS recall_ok
          |FROM tcount t, (SELECT COUNT(*) AS c FROM ivfpq s
          |  JOIN truth u ON s.q_id = u.q_id AND s.c_id = u.c_id) h
          |UNION ALL
          |SELECT 'jl' AS method, t.n AS n_truth, h.c AS n_hits,
-         |  ROUND(CAST(h.c AS DOUBLE)/t.n, 4) AS recall,
-         |  ROUND(CAST(h.c AS DOUBLE)/t.n, 4) >= $JlMinRecall AS recall_ok
+         |  FLOOR((CAST(h.c AS DOUBLE)/t.n) * 10000.0 + 0.5) / 10000.0 AS recall,
+         |  FLOOR((CAST(h.c AS DOUBLE)/t.n) * 10000.0 + 0.5) / 10000.0 >= $JlMinRecall AS recall_ok
          |FROM tcount t, (SELECT COUNT(*) AS c FROM jl s
          |  JOIN truth u ON s.q_id = u.q_id AND s.c_id = u.c_id) h
          |UNION ALL
          |SELECT 'ivf_jl' AS method, t.n AS n_truth, h.c AS n_hits,
-         |  ROUND(CAST(h.c AS DOUBLE)/t.n, 4) AS recall,
-         |  ROUND(CAST(h.c AS DOUBLE)/t.n, 4) >= $IvfJlMinRecall AS recall_ok
+         |  FLOOR((CAST(h.c AS DOUBLE)/t.n) * 10000.0 + 0.5) / 10000.0 AS recall,
+         |  FLOOR((CAST(h.c AS DOUBLE)/t.n) * 10000.0 + 0.5) / 10000.0 >= $IvfJlMinRecall AS recall_ok
          |FROM tcount t, (SELECT COUNT(*) AS c FROM ivfjl s
          |  JOIN truth u ON s.q_id = u.q_id AND s.c_id = u.c_id) h""".stripMargin,
     "q32_ann_lsh" ->

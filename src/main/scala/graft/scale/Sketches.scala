@@ -2,7 +2,7 @@ package graft.scale
 
 import graft.{QueryModule, Tables => T}
 import graft.Materialize.CoreOps
-import graft.functions.PortableFuncs.{exactSum, exactSumSql}
+import graft.functions.PortableFuncs.{exactSumRound, exactSumRoundSql}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.BloomFilter
@@ -165,7 +165,7 @@ object Sketches extends QueryModule {
       .select(col("l_orderkey"), col("l_extendedprice"))
     bloomPrefilteredJoin(items, urgent, "l_orderkey")
       .agg(count(lit(1)).as("n_items"),
-        round(exactSum(col("l_extendedprice")), 2).as("revenue"))
+        exactSumRound(col("l_extendedprice"), 2).as("revenue"))
   }
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -179,7 +179,7 @@ object Sketches extends QueryModule {
   override val oracle: Map[String, String] = Map(
     "q50_bloom_join" ->
       s"""SELECT COUNT(*) AS n_items,
-         |  ROUND(${exactSumSql("l_extendedprice")}, 2) AS revenue
+         |  ${exactSumRoundSql("l_extendedprice", 2)} AS revenue
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |WHERE o_orderpriority = '1-URGENT'""".stripMargin,
     // the oracle ASSERTS the sketch meets its error bound: the exact

@@ -2,7 +2,7 @@ package graft.scale
 
 import graft.{QueryModule, Tables => T}
 import graft.Materialize.CoreOps
-import graft.functions.PortableFuncs.{exactSum, exactSumSql}
+import graft.functions.PortableFuncs.{exactSumRound, exactSumRoundSql}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -263,7 +263,7 @@ object Skew extends QueryModule {
     saltedJoin(li, ord, "l_orderkey", "o_orderkey", salts = 8)
       .groupBy(col("o_orderpriority"))
       .agg(
-        round(exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        exactSumRound(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2)
           .as("revenue"),
         count(lit(1)).as("n_items"))
   }
@@ -314,7 +314,7 @@ object Skew extends QueryModule {
         |SELECT event_id, z, (z >> 48) & 65535 AS bucket FROM zt""".stripMargin,
     "q44_salted_join" ->
       s"""SELECT o_orderpriority,
-         |  ROUND(${exactSumSql("l_extendedprice*(1.0-l_discount)")}, 2) AS revenue,
+         |  ${exactSumRoundSql("l_extendedprice*(1.0-l_discount)", 2)} AS revenue,
          |  COUNT(*) AS n_items
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY 1""".stripMargin

@@ -190,7 +190,7 @@ object TextAnalysis extends QueryModule {
       .select(col("source"), col("quality").as("q"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
-        round(exactSum(col("q")) / count(lit(1)), 4).as("mean_quality"),
+        portableRound(exactSum(col("q")) / count(lit(1)), 4).as("mean_quality"),
         sum(when(col("q") >= minQuality, 1L).otherwise(0L)).as("n_good"))
       .withColumn("good_share",
         col("n_good").cast("double") / col("n_docs").cast("double"))
@@ -1090,15 +1090,24 @@ object TextAnalysis extends QueryModule {
     val cands = sk.select(explode(col("cand")).as("w"))
     val exact = toks.join(broadcast(cands), Seq("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-    // the board must fill all k slots BEFORE the per-row threshold
-    // check: on adversarial (near-uniform) data the sketch can shed
-    // candidates wholesale — a merge's (cap+1)-th-largest subtraction
-    // zeroes every tied entry — and an empty candidate set would
-    // otherwise publish an empty board with no row to trip the guard
+    // the board must fill min(k, vocabulary) slots BEFORE the per-row
+    // threshold check: on adversarial (near-uniform) data the sketch
+    // can shed candidates wholesale — a merge's (cap+1)-th-largest
+    // subtraction zeroes every tied entry — and an empty candidate set
+    // would otherwise publish an empty board with no row to trip the
+    // guard. The bound is min against the EXACT vocabulary size, not k
+    // alone: a corpus with fewer than k distinct words legitimately
+    // fills fewer slots and its full ranking is exact (the oracle's
+    // `rank <= k` does the same) — fuzz tiny profile. The distinct
+    // count is one extra pass over the memoized token core, paid only
+    // by this certification (vocabulary-sized aggregation state).
+    val vocab = toks.agg(countDistinct(col("w")).as("n_vocab"))
     val top = exact.groupBy()
       .agg(graft.functions.TopKAgg.topKStr(
         col("cnt").cast("double"), col("w"), k).as("top"))
-      .select(when(size(col("top")) === k, col("top"))
+      .crossJoin(vocab)
+      .select(when(size(col("top")) === least(lit(k), col("n_vocab")),
+          col("top"))
         .otherwise(raise_error(concat(
           lit(s"heavy_hitters: capacity $capacity too small — only "),
           size(col("top")).cast("string"),
@@ -2055,7 +2064,7 @@ object TextAnalysis extends QueryModule {
        |  CAST(len(ws) AS INTEGER) AS n_words,
        |  GREATEST(len(ws), 1) AS nw,
        |  GREATEST(len(ls), 1) AS nl,
-       |  len(array_to_string(ws, '')) AS word_chars,
+       |  COALESCE(len(array_to_string(ws, '')), 0) AS word_chars,
        |  len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
        |  CAST((len(text) - len(replace(text, '#', ''))) / 1 AS BIGINT)
        |    + CAST((len(text) - len(replace(text, '...', ''))) / 3 AS BIGINT) AS n_symbols,
@@ -2236,7 +2245,7 @@ object TextAnalysis extends QueryModule {
          |  len(list_filter(ws, x -> list_contains($stopListSql, x))) AS stop_hits,
          |  len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
          |  len(regexp_extract_all(text, '[0-9]')) AS n_digit,
-         |  len(array_to_string(ws, '')) AS word_chars
+         |  COALESCE(len(array_to_string(ws, '')), 0) AS word_chars
          |FROM w)
          |SELECT doc_id, n_words,
          |  ROUND(CAST(word_chars AS DOUBLE)/nw, 4) AS avg_wlen,
@@ -2262,7 +2271,7 @@ object TextAnalysis extends QueryModule {
          |FROM w),
          |q AS (SELECT source, $qualitySql AS q FROM m),
          |g AS (SELECT source, COUNT(*) AS n_docs,
-         |  ROUND(${exactSumSql("q")} / COUNT(*), 4) AS mean_quality,
+         |  ${portableRoundSql(exactSumSql("q") + " / COUNT(*)", 4)} AS mean_quality,
          |  CAST(SUM(CASE WHEN q >= $QualityMin THEN 1 ELSE 0 END) AS BIGINT) AS n_good
          |FROM q GROUP BY 1)
          |SELECT source, n_docs, mean_quality, n_good,
@@ -2331,7 +2340,7 @@ object TextAnalysis extends QueryModule {
          |  CAST(len(ws) AS INTEGER) AS n_words,
          |  GREATEST(len(ws), 1) AS nw,
          |  GREATEST(len(ls), 1) AS nl,
-         |  len(array_to_string(ws, '')) AS word_chars,
+         |  COALESCE(len(array_to_string(ws, '')), 0) AS word_chars,
          |  len(list_distinct(ws)) AS n_distinct,
          |  len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
          |  CAST((len(text) - len(replace(text, '#', ''))) / 1 AS BIGINT)

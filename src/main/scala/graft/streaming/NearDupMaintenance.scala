@@ -222,7 +222,8 @@ object CelledNearDupMaintenance {
       nBands: Int = Dedup.CelledBands,
       bandBits: Int = Dedup.CelledBandBits): DataFrame = {
     val seeds = seeds0.getOrElse(
-      Similarity.seedCentroidList(frozenEmb, Similarity.IvfCells))
+      Similarity.seedCentroidList(Similarity.nonZeroNorm(frozenEmb),
+        Similarity.IvfCells))
     val keyed = Materialize.core(
       Dedup.celledKeyedVectors(frozenEmb, seeds))
     val comps = Dedup.connectedComponents(

@@ -81,21 +81,27 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("trainers fail loudly on non-contiguous seed vec_ids (the oracle " +
-    "numbers seeds by vec_id, so a hole would silently diverge)") {
+  test("a holed seed range trains a rank-numbered PQ book (oracle " +
+    "ROW_NUMBER contract); the position-numbered experimental trainer " +
+    "still refuses loudly") {
     val spark2 = spark
     import spark2.implicits._
     import Similarity.PqCodebook
     val rnd = new scala.util.Random(7)
-    // drop vec_id 3 from the seed range: array-position numbering and
-    // vec_id numbering no longer agree, so training must refuse
+    // drop vec_id 3 from the seed range: the PQ codebook now numbers
+    // codes by RANK of vec_id (the oracle's ROW_NUMBER contract), so a
+    // holed corpus TRAINS fine and keeps the full codebook shape —
+    // while the experimental position-numbered ivfTrainedCents (no
+    // rank-numbered oracle) still refuses loudly
     val holed = ((0 until PqCodebook + 8).map(_.toLong).filter(_ != 3L))
       .map(i => (i, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
       .toDF("vec_id", "embedding")
-    val e1 = intercept[IllegalArgumentException] {
-      Similarity.pqTrainedCents(holed).collect()
-    }
-    assert(e1.getMessage.contains("contiguous vec_ids"))
+    // 15 of the 16 seed ids remain below PqCodebook after the hole —
+    // the book keeps exactly that many rank-numbered codes
+    val trained = Similarity.pqTrainedCents(holed).collect()
+    assert(trained.length === (PqCodebook - 1) * Similarity.PqSubspaces,
+      "a holed seed range must train a rank-numbered book of the " +
+        "remaining seeds")
     val e2 = intercept[IllegalArgumentException] {
       Similarity.ivfTrainedCents(holed).collect()
     }
