@@ -145,7 +145,13 @@ object Sketches extends QueryModule {
     * selectivity. */
   def bloomPrefilteredJoin(big: DataFrame, small: DataFrame,
                            key: String, fpp: Double = 0.01): DataFrame = {
-    val bloom = keyBloom(small, key, math.max(small.count(), 1L), fpp)
+    val n = small.count()
+    // an EMPTY small side joins to nothing, and Spark's bloomFilter
+    // aggregate returns a null sketch buffer on zero rows (NPE when
+    // read — fuzz tiny profile): short-circuit to the exact empty
+    // result the plain join would produce
+    if (n == 0L) return big.filter(lit(false)).join(small, Seq(key))
+    val bloom = keyBloom(small, key, n, fpp)
     val bloomBc = big.sparkSession.sparkContext.broadcast(bloom)
     val filtered = big.filter(r =>
       bloomBc.value.mightContainLong(r.getLong(r.fieldIndex(key))))

@@ -64,14 +64,14 @@ case class NearDupState(matches: Seq[(Long, Long)])
   *    cluster between arrivals; the generation restart is the
   *    cheaper, simpler bound.)
   *
-  * Contract notes: every SIGNATURE-BEARING arrival emits a verdict —
-  * matched rows with their match/cluster stats, unmatched rows with
-  * `matched = false` — so the stream alone answers the complete q174
-  * board (the reconciliation spec pins equality INCLUDING unmatched
-  * rows, under duplicate delivery). Arrivals with no words (empty
-  * text after normalization) carry no signature and emit no verdict —
-  * the same exclusion [[graft.scale.Dedup.simhash]] states. Emits in
-  * Update mode.
+  * Contract notes: EVERY arrival emits a verdict — matched rows with
+  * their match/cluster stats, unmatched rows with `matched = false`,
+  * and wordless arrivals (empty text after normalization, no
+  * signature — [[graft.scale.Dedup.simhash]]'s exclusion) a stateless
+  * matched=false spine row — so the stream alone answers the complete
+  * q174 board, whose spine is ALL new docs (the reconciliation specs,
+  * fixed-fixture and fuzz, pin equality INCLUDING unmatched rows,
+  * under duplicate and out-of-order delivery). Emits in Update mode.
   */
 object NearDupMaintenance {
 
@@ -111,12 +111,21 @@ object NearDupMaintenance {
         maxDist, c)
         .select(col("t"), col("kv"), col("f_id"),
           col("simhash").as("f_sim"), col("f_cluster")))
+    val tok = arrivals.toDF()
+      .select(col("doc_id"), words(col("text")).as("ws"))
     val streamBlocked = Dedup.blockedSignatures(
-      arrivals.toDF()
-        .select(col("doc_id"), words(col("text")).as("ws"))
-        .filter(size(col("ws")) > 0)
+      tok.filter(size(col("ws")) > 0)
         .select(col("doc_id"), simhash60(col("ws")).as("simhash")),
       maxDist, c)
+    // WORDLESS arrivals (empty text after normalization) carry no
+    // signature and can match nothing — but the q174 batch board's
+    // spine is ALL new docs, so they still owe a stateless
+    // matched=false verdict. Routed straight to the fold with no
+    // match columns (fuzz round 19: the old filter dropped them and
+    // the stream no longer answered the full board).
+    val wordless = tok.filter(size(col("ws")) === 0)
+      .select(col("doc_id"), lit(null).cast("long").as("f_id"),
+        lit(null).cast("long").as("f_cluster"))
     // LEFT join + validity PROJECTION (not a filter): an arrival whose
     // chunks hit nothing — or only above-maxDist signatures — must
     // still reach the fold and emit its matched=false verdict, so the
@@ -131,6 +140,7 @@ object NearDupMaintenance {
         .select(col("doc_id"),
           when(valid, col("f_id")).as("f_id"),
           when(valid, col("f_cluster")).as("f_cluster"))
+        .unionByName(wordless)
         .as[(Long, Option[Long], Option[Long])])
   }
 
@@ -287,6 +297,11 @@ object CelledNearDupMaintenance {
         Similarity.diffPlaneBucket(col("v"), seeds).as("dbucket"),
         Similarity.fixedPlaneBucket(col("v")).as("bucket"),
         col("v"), l2Norm(col("v")).as("nrm"))
+      // zero-norm arrivals are OUTSIDE the board universe: the batch
+      // keyed projection excludes them (cosine undefined — see
+      // celledKeyedVectors), so the stream drops them too instead of
+      // dividing by zero in the validity gate (fuzz round 19)
+      .filter(col("nrm") > 0d)
     val streamBlocked = bandKeys(streamKeyed,
       payload = Seq("vec_id", "v", "nrm"), nBands, bandBits)
     // LEFT join + validity projection: the exact cosine gate (raw
