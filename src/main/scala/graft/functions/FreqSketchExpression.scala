@@ -37,6 +37,18 @@ object FreqSketch {
     ColumnBridge.column(MisraGriesAggregate(ColumnBridge.expression(item),
       capacity).toAggregateExpression())
 
+  /** Exactness-certifying variant: `struct<cand: array<string>,
+    * exact: boolean>` — `exact` is true iff NO decrement ever ran in
+    * any partial buffer or merge, i.e. the observed vocabulary never
+    * exceeded `capacity` anywhere: then `cand` IS the exact vocabulary
+    * and every count was exact. The q96 certification reads this flag
+    * instead of re-counting the vocabulary (an exact countDistinct is
+    * a vocabulary-sized exchange — the very cost this sketch exists to
+    * avoid at 100 TB). */
+  def misraGriesExact(item: Column, capacity: Int): Column =
+    ColumnBridge.column(MisraGriesAggregate(ColumnBridge.expression(item),
+      capacity, withExact = true).toAggregateExpression())
+
   /** Estimate-emitting variant: `array<struct<item, est>>` ordered
     * (est DESC, item ASC). For surfaces where no exact confirm pass is
     * possible (a streaming window that has already closed): every
@@ -59,6 +71,11 @@ object FreqSketch {
   * retires cap+1 units of inserted weight). */
 final class MgBuffer(val cap: Int) {
   val counts = new java.util.HashMap[UTF8String, Long](cap * 2)
+  /** True once ANY decrement ran (add's sweep or spill's subtraction)
+    * in this buffer's history — merged buffers OR their flags. While
+    * false, every stored count is exact and the entry set is the
+    * complete observed vocabulary. */
+  var decremented: Boolean = false
 
   def add(item: UTF8String, w: Long): Unit = {
     val cur = counts.get(item)
@@ -68,6 +85,7 @@ final class MgBuffer(val cap: Int) {
       // no slot: decrement all by min(w, smallest count); repeating
       // until either w is exhausted or a slot opens keeps the
       // weighted update exact (w > 1 arrives only via merge())
+      decremented = true
       var rem = w
       while (rem > 0 && counts.size == cap) {
         var minC = Long.MaxValue
@@ -90,6 +108,7 @@ final class MgBuffer(val cap: Int) {
     * largest count from every entry and drop the non-positive. */
   def spill(): Unit = {
     if (counts.size <= cap) return
+    decremented = true
     val vals = new Array[Long](counts.size)
     var i = 0
     val it0 = counts.values().iterator()
@@ -110,6 +129,7 @@ case class MisraGriesAggregate(
     item: Expression,
     capacity: Int,
     withCounts: Boolean = false,
+    withExact: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[MgBuffer] with UnaryLike[Expression] {
@@ -126,7 +146,11 @@ case class MisraGriesAggregate(
         s"${item.dataType.simpleString}, capacity=$capacity")
 
   override def dataType: DataType =
-    if (withCounts) ArrayType(
+    if (withExact) StructType(Seq(
+      StructField("cand", ArrayType(StringType, containsNull = false),
+        nullable = false),
+      StructField("exact", BooleanType, nullable = false)))
+    else if (withCounts) ArrayType(
       StructType(Seq(
         StructField("item", StringType, nullable = false),
         StructField("est", LongType, nullable = false))),
@@ -145,6 +169,7 @@ case class MisraGriesAggregate(
   }
 
   override def merge(buf: MgBuffer, other: MgBuffer): MgBuffer = {
+    buf.decremented ||= other.decremented
     val it = other.counts.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
@@ -177,13 +202,17 @@ case class MisraGriesAggregate(
       java.util.Arrays.sort(items,
         (a: AnyRef, b: AnyRef) =>
           a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String]))
-      new GenericArrayData(items.asInstanceOf[Array[Any]])
+      val arr = new GenericArrayData(items.asInstanceOf[Array[Any]])
+      if (withExact)
+        new GenericInternalRow(Array[Any](arr, !buf.decremented))
+      else arr
     }
   }
 
   override def serialize(buf: MgBuffer): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
+    out.writeBoolean(buf.decremented)
     out.writeInt(buf.counts.size)
     val it = buf.counts.entrySet().iterator()
     while (it.hasNext) {
@@ -200,6 +229,7 @@ case class MisraGriesAggregate(
   override def deserialize(bytes: Array[Byte]): MgBuffer = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val buf = new MgBuffer(capacity)
+    buf.decremented = in.readBoolean()
     val n = in.readInt()
     var i = 0
     while (i < n) {

@@ -1082,32 +1082,39 @@ object TextAnalysis extends QueryModule {
   private[scale] def heavyHittersFrom(toks: DataFrame, k: Int,
                                       capacity: Int): DataFrame = {
     require(k <= capacity, s"top-k ($k) cannot exceed capacity ($capacity)")
-    // one aggregation yields the candidate list and N together
+    // one aggregation yields the candidate list, the exactness flag
+    // and N together
     val sk = toks.agg(
-        graft.functions.FreqSketch.misraGries(col("w"), capacity).as("cand"),
+        graft.functions.FreqSketch.misraGriesExact(col("w"), capacity)
+          .as("skx"),
         count(lit(1)).as("total"))
+      .select(col("skx.cand").as("cand"), col("skx.exact").as("exact"),
+        col("total"))
       .coreCheckpoint()
     val cands = sk.select(explode(col("cand")).as("w"))
     val exact = toks.join(broadcast(cands), Seq("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-    // the board must fill min(k, vocabulary) slots BEFORE the per-row
-    // threshold check: on adversarial (near-uniform) data the sketch
-    // can shed candidates wholesale — a merge's (cap+1)-th-largest
-    // subtraction zeroes every tied entry — and an empty candidate set
-    // would otherwise publish an empty board with no row to trip the
-    // guard. The bound is min against the EXACT vocabulary size, not k
-    // alone: a corpus with fewer than k distinct words legitimately
-    // fills fewer slots and its full ranking is exact (the oracle's
-    // `rank <= k` does the same) — fuzz tiny profile. The distinct
-    // count is one extra pass over the memoized token core, paid only
-    // by this certification (vocabulary-sized aggregation state).
-    val vocab = toks.agg(countDistinct(col("w")).as("n_vocab"))
+    // the board must fill the EXPECTED number of slots BEFORE the
+    // per-row threshold check: on adversarial (near-uniform) data the
+    // sketch can shed candidates wholesale — a merge's
+    // (cap+1)-th-largest subtraction zeroes every tied entry — and an
+    // empty candidate set would otherwise publish an empty board with
+    // no row to trip the guard. Expected slots come from the sketch's
+    // OWN exactness flag (zero extra passes — an exact countDistinct
+    // would be the vocabulary-sized exchange this sketch exists to
+    // avoid at 100 TB): `exact` means no decrement ever ran, so `cand`
+    // IS the whole vocabulary and min(k, |cand|) slots is the full
+    // legitimate board (fuzz tiny profile — the oracle's `rank <= k`
+    // fills the same); any decrement implies the vocabulary exceeded
+    // capacity ≥ k somewhere, so all k slots are owed and a short
+    // board means shedding — raise.
+    val expected = when(col("exact"),
+      least(lit(k), size(col("cand")))).otherwise(lit(k))
     val top = exact.groupBy()
       .agg(graft.functions.TopKAgg.topKStr(
         col("cnt").cast("double"), col("w"), k).as("top"))
-      .crossJoin(vocab)
-      .select(when(size(col("top")) === least(lit(k), col("n_vocab")),
-          col("top"))
+      .crossJoin(sk.select(col("cand"), col("exact")))
+      .select(when(size(col("top")) === expected, col("top"))
         .otherwise(raise_error(concat(
           lit(s"heavy_hitters: capacity $capacity too small — only "),
           size(col("top")).cast("string"),
