@@ -1044,7 +1044,8 @@ object Dedup extends QueryModule {
     * (P(same bucket) = (1 − θ/π)^planes), traded for O(corpus) shuffle
     * volume of 8-bit keys — the standard contract of every production
     * near-dup gate. */
-  def embeddingNearDupLsh(emb: DataFrame, minCos: Double): DataFrame = {
+  def embeddingNearDupLsh(emb0: DataFrame, minCos: Double): DataFrame = {
+    val emb = Similarity.nonZeroNorm(emb0) // cosine-based board: zero-norm vectors are outside its universe (fuzz r19)
     // sign-plane buckets are FEW (2^planes) and corpus-sized — the
     // sharpest instance of the hot-bucket self-join shape, so route
     // through the bounded grid (identical output by its contract)
@@ -1655,8 +1656,9 @@ object Dedup extends QueryModule {
     * accepts this; their fig. 2 measures the loss as negligible at
     * their cluster counts). The referee for that trade on a bounded
     * sample is [[embeddingNearDup]] (q29), same as the ANN family. */
-  def semDedup(emb: DataFrame, minCos: Double = EmbedNearDupMinCos,
+  def semDedup(emb0: DataFrame, minCos: Double = EmbedNearDupMinCos,
                nCells: Int = Similarity.IvfCells): DataFrame = {
+    val emb = Similarity.nonZeroNorm(emb0) // cosine-based board: zero-norm vectors are outside its universe (fuzz r19)
     val cents = Similarity.seedCentroidList(emb, nCells)
     // one scan yields id, cell, double vector and norm; the
     // explode(array(...)) generator barrier keeps the double cast from
@@ -2469,7 +2471,8 @@ object Dedup extends QueryModule {
     * and must stay O(10⁴): the plan contains a genuine pair join on
     * purpose, which is exactly what makes it a trustworthy referee —
     * and the reason the gate role, not the corpus pass, is its job. */
-  def embeddingNearDup(emb: DataFrame, minCos: Double, maxId: Long): DataFrame = {
+  def embeddingNearDup(emb0: DataFrame, minCos: Double, maxId: Long): DataFrame = {
+    val emb = Similarity.nonZeroNorm(emb0) // cosine-based board: zero-norm vectors are outside its universe (fuzz r19)
     val e = emb.filter(col("vec_id") < maxId)
       .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
     val withNorm = e.select(col("vec_id"), col("v"), l2Norm(col("v")).as("nrm"))
@@ -4012,7 +4015,8 @@ object Dedup extends QueryModule {
     "q127_neardup_recall" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          |    CAST(${Similarity.bucketSql} AS BIGINT) AS bucket
-         |  FROM embeddings WHERE vec_id < $EmbedNearDupMaxId),
+         |  FROM embeddings WHERE vec_id < $EmbedNearDupMaxId
+         |    AND list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
          |n AS (SELECT vec_id, v, bucket,
          |    sqrt(list_dot_product(v, v)) AS nrm FROM e),
          |truth AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -4036,7 +4040,8 @@ object Dedup extends QueryModule {
          |  SELECT vec_id, CAST(${Similarity.bucketSql} AS BIGINT) AS bucket,
          |    CAST(embedding AS DOUBLE[]) AS v,
          |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
-         |  FROM embeddings),
+         |  FROM embeddings
+         |  WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
          |pr AS (
          |  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
          |    list_dot_product(a.v, c.v) / (a.nrm * c.nrm) AS cos
@@ -4084,7 +4089,8 @@ object Dedup extends QueryModule {
     // within-key pair join, q59's recursive min-label closure, then
     // keep = (component min == own id), TRUE off the pair graph
     "q95_semdedup" ->
-      s"""WITH RECURSIVE v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s"""WITH RECURSIVE v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |v AS (SELECT * FROM v0 WHERE list_dot_product(v, v) > 0),
          |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
          |cents AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn
          |          FROM n WHERE vec_id < ${Similarity.IvfCells}),
@@ -4277,6 +4283,8 @@ object Dedup extends QueryModule {
         |FROM embeddings a JOIN embeddings b
         |  ON a.vec_id < b.vec_id AND a.vec_id < $EmbedNearDupMaxId
         |  AND b.vec_id < $EmbedNearDupMaxId
+        |  AND list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) > 0
+        |  AND list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) > 0
         |WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
         |    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
         |     * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= $EmbedNearDupMinCos""".stripMargin

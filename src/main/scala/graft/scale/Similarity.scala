@@ -148,7 +148,8 @@ object Similarity extends QueryModule {
     * per task per query, so shuffle volume is independent of corpus
     * size. Ordering (cos DESC, c_id ASC tiebreak, ranked before the
     * display rounding) is pinned equal to the window form by spec. */
-  def knnBrute(emb: DataFrame, nQueries: Long = GateQueries, k: Int = TopK): DataFrame = {
+  def knnBrute(emb0: DataFrame, nQueries: Long = GateQueries, k: Int = TopK): DataFrame = {
+    val emb = nonZeroNorm(emb0) // cosine-based board: zero-norm vectors are outside its universe (fuzz r19)
     val corpus = Layout.widen(emb).select(col("vec_id").as("c_id"),
       toDoubleArray(col("embedding")).as("cv"))
       .withColumn("cn", l2Norm(col("cv")))
@@ -182,8 +183,9 @@ object Similarity extends QueryModule {
     * never a corpus shuffle by bucket), the chosen ids broadcast back
     * as a semi-filter, and the scoring pass is [[knnBrute]]'s: corpus
     * scanned once, queries broadcast, bounded top-k aggregate. */
-  def knnBruteSampled(emb: DataFrame, perBucket: Int = 1,
+  def knnBruteSampled(emb0: DataFrame, perBucket: Int = 1,
                       k: Int = TopK): DataFrame = {
+    val emb = nonZeroNorm(emb0) // cosine-based board: zero-norm vectors are outside its universe (fuzz r19)
     val bv = bucketedVectors(emb)
     val qIds = bv.groupBy(col("bucket"))
       .agg(TopKAgg.topK(negate(col("vec_id").cast("double")),
@@ -228,8 +230,9 @@ object Similarity extends QueryModule {
     * NumPlanes so the probed fraction stays small while per-bucket
     * occupancy stays bounded — the dial is independent of this plan
     * shape. */
-  def annLsh(emb: DataFrame, nQueries: Long = 50L, k: Int = 3,
+  def annLsh(emb0: DataFrame, nQueries: Long = 50L, k: Int = 3,
              maxFlips: Int = 0): DataFrame = {
+    val emb = nonZeroNorm(emb0) // cosine-based board: zero-norm vectors are outside its universe (fuzz r19)
     require(maxFlips >= 0 && maxFlips <= NumPlanes,
       s"maxFlips must be in [0, $NumPlanes]: $maxFlips")
     // masks built as Σ C(planes, ≤maxFlips) combinations directly —
@@ -369,9 +372,11 @@ object Similarity extends QueryModule {
 
   /** ANN via IVF: per query, probe the `nProbes` closest cells and
     * exact-rank the candidates. */
-  def annIvf(emb: DataFrame, nQueries: Long = GateQueries, k: Int = TopK,
-             nCells: Int = IvfCells, nProbes: Int = IvfProbes): DataFrame =
+  def annIvf(emb0: DataFrame, nQueries: Long = GateQueries, k: Int = TopK,
+             nCells: Int = IvfCells, nProbes: Int = IvfProbes): DataFrame = {
+    val emb = nonZeroNorm(emb0) // cosine-based board: zero-norm vectors are outside its universe (fuzz r19)
     annIvfWith(emb, seedCents(emb, nCells), nQueries, k, nProbes)
+  }
 
   private[graft] def annIvfWith(emb: DataFrame, centsDf: DataFrame,
                                 nQueries: Long = GateQueries, k: Int = TopK,
@@ -757,8 +762,9 @@ object Similarity extends QueryModule {
     * Determinism: the per-subspace ADC terms are summed by an
     * ascending-m lookup fold (fixed addition order); both rankings
     * tie-break by c_id. */
-  def annPq(emb: DataFrame, nQueries: Long = GateQueries, k: Int = TopK,
+  def annPq(emb0: DataFrame, nQueries: Long = GateQueries, k: Int = TopK,
             refine: Int = PqRefine): DataFrame = {
+    val emb = nonZeroNorm(emb0) // cosine-based board: zero-norm vectors are outside its universe (fuzz r19)
     // ONE driver-trained book feeds both sides as plan constants —
     // the corpus code assignment and the per-query distance LUTs
     val book = pqTrainBook(emb)
@@ -845,9 +851,10 @@ object Similarity extends QueryModule {
     * NEAR-UNIFORM corpus — ANN's worst case, see [[annLsh]]'s
     * recall-by-math note). The spec floors recall at ≥ 0.5 on a
     * clustered corpus with real neighbor structure. */
-  def annIvfPq(emb: DataFrame, nQueries: Long = GateQueries, k: Int = TopK,
+  def annIvfPq(emb0: DataFrame, nQueries: Long = GateQueries, k: Int = TopK,
                nCells: Int = IvfCells, nProbes: Int = IvfProbes,
                refine: Int = IvfPqRefine): DataFrame = {
+    val emb = nonZeroNorm(emb0) // cosine-based board: zero-norm vectors are outside its universe (fuzz r19)
     val cents = seedCentroidList(emb, nCells)
     // cells are keyed by the seed rows' vec_ids everywhere downstream
     // (map-literal centroid lookup, relational probe join) — holes
@@ -951,8 +958,9 @@ object Similarity extends QueryModule {
     * unprobed corpus is never even listed. Build once, serve many —
     * the lifecycle [[graft.streaming.IndexMaintenance]] monitors
     * (drift → rebuild flag) close over this pair. */
-  def buildIvfPqIndex(emb: DataFrame, dir: String,
+  def buildIvfPqIndex(emb0: DataFrame, dir: String,
                       nCells: Int = IvfCells): Unit = {
+    val emb = nonZeroNorm(emb0) // cosine-based board: zero-norm vectors are outside its universe (fuzz r19)
     val spark = emb.sparkSession
     import spark.implicits._
     val cents = seedCentroidList(emb, nCells)
@@ -982,10 +990,11 @@ object Similarity extends QueryModule {
     * same dot/norm/divide operand order as the probe window and the
     * same (cos DESC, cell ASC) tie-break, so pruning can never drop a
     * cell the plan-side probes would pick. */
-  def annIvfPqFromIndex(spark: SparkSession, dir: String, emb: DataFrame,
+  def annIvfPqFromIndex(spark: SparkSession, dir: String, emb0: DataFrame,
                         nQueries: Long = GateQueries, k: Int = TopK,
                         nProbes: Int = IvfProbes,
                         refine: Int = IvfPqRefine): DataFrame = {
+    val emb = nonZeroNorm(emb0) // cosine-based board: zero-norm vectors are outside its universe (fuzz r19)
     val cents = spark.read.parquet(s"$dir/cents").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
     val bookRows = spark.read.parquet(s"$dir/book").collect()
@@ -1173,10 +1182,11 @@ object Similarity extends QueryModule {
   /** [[ivfProbeSweep]] from a precomputed brute-truth table — the
     * shared-core form the gate registry feeds (q155's truth IS q30's
     * output, same as q88's). */
-  private[graft] def ivfProbeSweepFrom(truthFull: DataFrame, emb: DataFrame,
+  private[graft] def ivfProbeSweepFrom(truthFull: DataFrame, emb0: DataFrame,
                                        probesList: Seq[Int] = Seq(1, 2, 4, 8),
                                        nQueries: Long = GateQueries, k: Int = TopK,
                                        nCells: Int = IvfCells): DataFrame = {
+    val emb = nonZeroNorm(emb0) // cosine-based board: zero-norm vectors are outside its universe (fuzz r19)
     val truth = truthFull
       .select(col("q_id"), col("c_id")).coreCheckpoint()
     val centsDf = seedCents(emb, nCells)
@@ -1251,8 +1261,9 @@ object Similarity extends QueryModule {
     * Determinism: the mean rides [[exactSum]]'s decimal accumulator —
     * a plain double sum would drift with partition order; the rebuild
     * flag is computed from the same exact expression both engines. */
-  def ivfHealth(emb: DataFrame, nCells: Int = IvfCells,
+  def ivfHealth(emb0: DataFrame, nCells: Int = IvfCells,
                 minMeanCos: Double = 0.25): DataFrame = {
+    val emb = nonZeroNorm(emb0) // cosine-based board: zero-norm vectors are outside its universe (fuzz r19)
     val cents = seedCentroidList(emb, nCells)
     val cvs = typedLit(cents.map(_._2))
     val cns = typedLit(cents.map { case (_, c) =>
@@ -1409,8 +1420,9 @@ object Similarity extends QueryModule {
     * aggregate as [[knnBrute]], at 1/8 the arithmetic and exchange
     * width; the exact pass touches refine·k·nQueries raw vectors.
     */
-  def annJl(emb: DataFrame, nQueries: Long = GateQueries, k: Int = TopK,
+  def annJl(emb0: DataFrame, nQueries: Long = GateQueries, k: Int = TopK,
             refine: Int = JlRefine): DataFrame = {
+    val emb = nonZeroNorm(emb0) // cosine-based board: zero-norm vectors are outside its universe (fuzz r19)
     def proj(c: Column): Column =
       array((0 until JlDims).map(kk => dotProduct(c, jlSignLit(kk))): _*)
     val corpus = Layout.widen(emb)
@@ -1476,8 +1488,9 @@ object Similarity extends QueryModule {
     * assignment is the scan-side `argmax_cosine` plan constant (zero
     * joins to build the index); the candidate pass is the annIvf
     * broadcast-probes × cell-join + bounded top-k aggregate. */
-  def annIvfJl(emb: DataFrame, nQueries: Long = GateQueries, k: Int = TopK,
+  def annIvfJl(emb0: DataFrame, nQueries: Long = GateQueries, k: Int = TopK,
                nCells: Int = IvfCells, nProbes: Int = IvfJlProbes): DataFrame = {
+    val emb = nonZeroNorm(emb0) // cosine-based board: zero-norm vectors are outside its universe (fuzz r19)
     val spark = emb.sparkSession
     import spark.implicits._
     def proj(c: Column): Column =
@@ -1710,7 +1723,8 @@ object Similarity extends QueryModule {
          |    AS scan_frac
          |FROM s$p s, tt t, c$p c, nv""".stripMargin
     }
-    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |v AS (SELECT * FROM v0 WHERE list_dot_product(v, v) > 0),
        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
        |cents AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM n WHERE vec_id < $IvfCells),
        |assign AS (
@@ -1793,7 +1807,8 @@ object Similarity extends QueryModule {
     // q38's assign CTE keeping the winning cosine; mean rides the
     // exact decimal accumulator, flag repeats the same expression
     "q106_ivf_health" ->
-      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s"""WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |v AS (SELECT * FROM v0 WHERE list_dot_product(v, v) > 0),
          |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
          |cents AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM n WHERE vec_id < $IvfCells),
          |a AS (SELECT vec_id, cell_id, cos FROM (
@@ -1832,7 +1847,8 @@ object Similarity extends QueryModule {
         |      * 1000000.0 + 0.5) / 1000000.0 END AS mean_norm
         |FROM m""".stripMargin,
     "q30_knn_brute" ->
-      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s"""WITH c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c AS (SELECT * FROM c0 WHERE list_dot_product(v, v) > 0),
          |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM c),
          |pairs AS (
          |  SELECT q.vec_id AS q_id, t.vec_id AS c_id,
@@ -1849,7 +1865,8 @@ object Similarity extends QueryModule {
     // aggregate on the Spark side)
     "q126_knn_sampled" ->
       s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-         |    CAST($bucketSql AS BIGINT) AS bucket FROM embeddings),
+         |    CAST($bucketSql AS BIGINT) AS bucket FROM embeddings
+         |  WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
          |n AS (SELECT vec_id, v, bucket,
          |    sqrt(list_dot_product(v, v)) AS nrm FROM c),
          |q AS (SELECT vec_id, v, nrm FROM (
@@ -1872,7 +1889,8 @@ object Similarity extends QueryModule {
     // a (cnt DESC, label ASC) ROW_NUMBER — the same deterministic
     // tie-break as the Spark max_by struct ordering
     "q158_knn_labels" ->
-      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s"""WITH c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c AS (SELECT * FROM c0 WHERE list_dot_product(v, v) > 0),
          |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM c),
          |pairs AS (
          |  SELECT q.vec_id AS q_id, t.vec_id AS c_id,
@@ -1900,7 +1918,8 @@ object Similarity extends QueryModule {
          |    AS DOUBLE) / COUNT(*), 4) AS accuracy
          |FROM j GROUP BY true_label""".stripMargin,
     "q38_ann_ivf" ->
-      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s"""WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |v AS (SELECT * FROM v0 WHERE list_dot_product(v, v) > 0),
          |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
          |cents AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM n WHERE vec_id < $IvfCells),
          |assign AS (
@@ -1929,7 +1948,8 @@ object Similarity extends QueryModule {
          |SELECT q_id, c_id, ROUND(cos, 4) AS cos, rank
          |FROM ranked WHERE rank <= $TopK""".stripMargin,
     "q61_ann_pq" ->
-      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s"""WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |v AS (SELECT * FROM v0 WHERE list_dot_product(v, v) > 0),
          |sub AS (SELECT vec_id, m, v[m*$PqSubDim+1 : m*$PqSubDim+$PqSubDim] AS sv
          |        FROM v, range(0, $PqSubspaces) t(m)),
          |$pqTrainSql
@@ -1970,7 +1990,8 @@ object Similarity extends QueryModule {
          |SELECT q_id, c_id, ROUND(cos, 4) AS cos, rank
          |FROM ranked WHERE rank <= $TopK""".stripMargin,
     "q118_ann_jl" ->
-      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s"""WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |v AS (SELECT * FROM v0 WHERE list_dot_product(v, v) > 0),
          |p AS (SELECT vec_id, ${jlProjListSql("v")} AS y FROM v),
          |pn AS (SELECT vec_id, y, sqrt(list_dot_product(y, y)) AS yn FROM p),
          |ap AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
@@ -1991,7 +2012,8 @@ object Similarity extends QueryModule {
     // q38's cell machinery with assignment/probing restated over the
     // q118 projection CTEs; exact scoring stays on the raw vectors
     "q128_ann_ivfjl" ->
-      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s"""WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |v AS (SELECT * FROM v0 WHERE list_dot_product(v, v) > 0),
          |p AS (SELECT vec_id, ${jlProjListSql("v")} AS y FROM v),
          |pn AS (SELECT vec_id, y, sqrt(list_dot_product(y, y)) AS yn FROM p),
          |cents AS (SELECT vec_id AS cell_id, y AS cy, yn AS cn FROM pn WHERE vec_id < $IvfCells),
@@ -2103,7 +2125,8 @@ object Similarity extends QueryModule {
     // (pqTrainSqlFrom), q61's code/LUT/ADC machinery with the LUT
     // keyed by (query, probed cell), q61's shortlist + exact re-rank
     "q100_ann_ivfpq" ->
-      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s"""WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |v AS (SELECT * FROM v0 WHERE list_dot_product(v, v) > 0),
          |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
          |cents AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn
          |          FROM n WHERE vec_id < $IvfCells),
@@ -2169,7 +2192,8 @@ object Similarity extends QueryModule {
     // per method with its certification threshold. A hash mismatch
     // here means "index quality moved", not "wrong answer".
     "q88_ann_recall" ->
-      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s"""WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |v AS (SELECT * FROM v0 WHERE list_dot_product(v, v) > 0),
          |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
          |tpairs AS (
          |  SELECT q.vec_id AS q_id, t.vec_id AS c_id,
@@ -2180,7 +2204,8 @@ object Similarity extends QueryModule {
          |      ORDER BY cos DESC, c_id ASC) AS rn FROM tpairs)
          |  WHERE rn <= $TopK),
          |tcount AS (SELECT COUNT(*) AS n FROM truth),
-         |bk AS (SELECT vec_id, CAST($bucketSql AS BIGINT) AS bucket FROM embeddings),
+         |bk AS (SELECT vec_id, CAST($bucketSql AS BIGINT) AS bucket FROM embeddings
+         |  WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
          |lpairs AS (
          |  SELECT q.vec_id AS q_id, t.vec_id AS c_id,
          |    list_dot_product(qn.v, cn.v) / (qn.nrm * cn.nrm) AS cos
@@ -2375,7 +2400,8 @@ object Similarity extends QueryModule {
          |  SELECT vec_id, CAST($bucketSql AS BIGINT) AS bucket,
          |    CAST(embedding AS DOUBLE[]) AS v,
          |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
-         |  FROM embeddings),
+         |  FROM embeddings
+         |  WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
          |pairs AS (
          |  SELECT q.vec_id AS q_id, t.vec_id AS c_id,
          |    list_dot_product(q.v, t.v) / (q.nrm * t.nrm) AS cos

@@ -241,7 +241,9 @@ object FuzzGen {
         if (!tiny && i < 20) anchor.clone() // ALL-IDENTICAL block
         else if (!tiny && i < 30) { // epsilon near-copies of the anchor
           val c = anchor.clone(); c(i % dim) = c(i % dim) + 1e-6f; c
-        } else randVec()
+        } else if (!tiny && (i == 150 || i == 300)) // failed-encode zeros
+          Array.fill(dim)(0.0f)
+        else randVec()
       Row(i.toLong, v.toSeq, rnd.nextInt(10))
     }, StructType(Seq(StructField("vec_id", LongType, nullable = false),
       StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = false),

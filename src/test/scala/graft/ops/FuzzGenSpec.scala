@@ -66,5 +66,10 @@ class FuzzGenSpec extends AnyFunSuite with SparkSpec {
     val ev = spark.read.parquet(s"$base/c/events.parquet")
     assert(ev.filter(col("props") === lit("""{"k": 0}""")).count() > 0,
       "zero-weight props must exist")
+    // failed-encode zeros: the draw that forced the engine-wide
+    // "cosine boards exclude zero-norm vectors" contract
+    val zeros = emb.filter(aggregate(col("embedding"), lit(0.0d),
+      (a, x) => a + x * x) === 0.0d)
+    assert(zeros.count() === 2L, "two all-zero embeddings must exist")
   }
 }

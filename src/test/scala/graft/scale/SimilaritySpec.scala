@@ -81,6 +81,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("zero-norm vectors are outside every cosine board's universe: " +
+    "excluded as query AND candidate, with no ANSI division error") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(23)
+    val emb = ((0 until 40).map { i =>
+      val v = if (i == 2 || i == 25) Array.fill(16)(0.0f)
+              else Array.fill(16)((rnd.nextGaussian() * 0.3).toFloat)
+      (i.toLong, v)
+    }).toDF("vec_id", "embedding")
+    // brute-force: the zero vectors appear on NEITHER side (a zero
+    // query would otherwise divide by zero under ANSI; a zero
+    // candidate has no direction to rank by)
+    val rows = Similarity.knnBrute(emb, nQueries = 8L, k = 3).collect()
+    assert(rows.nonEmpty)
+    assert(!rows.exists(r => r.getLong(0) == 2L || r.getLong(1) == 2L ||
+      r.getLong(1) == 25L), "zero-norm vectors must not appear")
+    // the IVF family survives a zero vector in the SEED range too
+    // (seeds are drawn from the filtered universe)
+    assert(Similarity.annIvf(emb, nQueries = 8L, k = 3).collect().nonEmpty)
+    assert(graft.scale.Dedup.semDedup(emb, minCos = 0.99).collect()
+      .forall(r => r.getLong(0) != 2L && r.getLong(0) != 25L),
+      "semdedup keep/drop verdicts exclude zero-norm vectors")
+  }
+
   test("a holed seed range trains a rank-numbered PQ book (oracle " +
     "ROW_NUMBER contract); the position-numbered experimental trainer " +
     "still refuses loudly") {
