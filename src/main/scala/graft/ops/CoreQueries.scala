@@ -56,8 +56,9 @@ object CoreQueries extends QueryModule {
       .select(
         col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         // raw IEEE product (no round): the identical expression tree in
-        // DuckDB yields bit-identical doubles; round(x,2) does not (the
-        // two engines break half-cent ties differently).
+        // DuckDB yields bit-identical doubles — no rounding needed at all
+        // (engine-native round(x,2) would break half-cent ties
+        // differently; portableRound exists for columns that must round).
         (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net_price"),
         date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
 
@@ -67,7 +68,7 @@ object CoreQueries extends QueryModule {
       .filter(col("o_orderkey") === 42L)
       .select(
         col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-        round(col("o_totalprice"), 2).as("total"),
+        portableRound(col("o_totalprice"), 2).as("total"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
         col("o_orderpriority"))
 
@@ -130,7 +131,7 @@ object CoreQueries extends QueryModule {
         count(lit(1)).as("total"))
       .select(
         col("event_type"), col("completed"), col("total"),
-        round(col("completed").cast("double") / col("total"), 4).as("rate"),
+        portableRound(col("completed").cast("double") / col("total"), 4).as("rate"),
         concat(col("completed").cast("string"), lit("/"), col("total").cast("string")).as("display"))
 
   /** A5: error grouping with capped example list (sorted for determinism);
@@ -190,7 +191,7 @@ object CoreQueries extends QueryModule {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("o_custkey"), col("o_orderkey"),
-        round(col("o_totalprice"), 2).as("total"), col("rn"))
+        portableRound(col("o_totalprice"), 2).as("total"), col("rn"))
   }
 
   /** A1+A2 jointly: rollup counts; reference single-pass status+type
@@ -230,7 +231,7 @@ object CoreQueries extends QueryModule {
       .unionByName(extra)
       .agg(count(lit(1)).as("n"),
         max(col("o_orderkey")).as("max_key"),
-        round(min(col("o_totalprice")), 2).as("min_price"))
+        portableRound(min(col("o_totalprice")), 2).as("min_price"))
   }
 
   /** M9/M10: deterministic id generation + prefix strip;
@@ -744,7 +745,7 @@ object CoreQueries extends QueryModule {
         |FROM lineitem WHERE l_quantity > 45 AND l_discount >= 0.05""".stripMargin,
     "q03_point_lookup" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
-        |  ROUND(o_totalprice,2) AS total,
+        |  FLOOR((o_totalprice) * 100.0 + 0.5) / 100.0 AS total,
         |  strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_orderpriority
         |FROM orders WHERE o_orderkey = 42""".stripMargin,
     "q04_dup_check" ->
@@ -775,7 +776,7 @@ object CoreQueries extends QueryModule {
       "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
     "q10_completion_rate" ->
       """SELECT event_type, completed, total,
-        |  ROUND(CAST(completed AS DOUBLE)/total, 4) AS rate,
+        |  FLOOR((CAST(completed AS DOUBLE)/total) * 10000.0 + 0.5) / 10000.0 AS rate,
         |  CAST(completed AS VARCHAR) || '/' || CAST(total AS VARCHAR) AS display
         |FROM (
         |  SELECT event_type,
@@ -812,7 +813,7 @@ object CoreQueries extends QueryModule {
          |  SELECT l_orderkey, 'line', l_extendedprice, NULL FROM lineitem)
          |GROUP BY src""".stripMargin,
     "q15_window_topk" ->
-      """SELECT o_custkey, o_orderkey, ROUND(o_totalprice,2) AS total, rn FROM (
+      """SELECT o_custkey, o_orderkey, FLOOR((o_totalprice) * 100.0 + 0.5) / 100.0 AS total, rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
         |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn
@@ -832,7 +833,7 @@ object CoreQueries extends QueryModule {
          |FROM lineitem WHERE NOT (l_orderkey % 100 = 0)""".stripMargin,
     "q19_insert_row" ->
       """SELECT COUNT(*) AS n, CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
-        |  ROUND(MIN(o_totalprice),2) AS min_price
+        |  FLOOR((MIN(o_totalprice)) * 100.0 + 0.5) / 100.0 AS min_price
         |FROM (SELECT o_orderkey, o_totalprice FROM orders
         |      UNION ALL SELECT 99999999, 123.45)""".stripMargin,
     "q20_idgen_strip" ->

@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.{QueryModule, Tables => T}
 import graft.Materialize.CoreOps
-import graft.functions.PortableFuncs.{exactSumRound, exactSumRoundSql}
+import graft.functions.PortableFuncs.{exactSumRound, exactSumRoundSql, portableRound}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -490,7 +490,7 @@ object TemporalOps extends QueryModule {
     sessions.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_sessions"),
         sum(col("n")).as("n_events"),
-        round(sum(col("dur_us")).cast("double") /
+        portableRound(sum(col("dur_us")).cast("double") /
           (count(lit(1)) * 1000000L).cast("double"), 2)
           .as("mean_session_sec"),
         (max(col("dur_us")) / 1000000L).cast("long").as("max_session_sec"))
@@ -743,8 +743,8 @@ object TemporalOps extends QueryModule {
         |  FROM s GROUP BY 1, 2)
         |SELECT user_id, COUNT(*) AS n_sessions,
         |  CAST(SUM(n) AS BIGINT) AS n_events,
-        |  ROUND(CAST(SUM(dur_us) AS DOUBLE) /
-        |    CAST(COUNT(*) * 1000000 AS DOUBLE), 2) AS mean_session_sec,
+        |  FLOOR((CAST(SUM(dur_us) AS DOUBLE) /
+        |    CAST(COUNT(*) * 1000000 AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS mean_session_sec,
         |  CAST(max(dur_us) // 1000000 AS BIGINT) AS max_session_sec
         |FROM g GROUP BY 1""".stripMargin
   )

@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.PortableFuncs.portableRound
 
 /** The reference's write-side "query language" and pure validation
   * logic, as declarative column programs (SURVEY §2.2–§2.6).
@@ -192,7 +193,7 @@ object DatapointOps {
       .agg(
         sum(when(col("status") === "completed", 1L).otherwise(0L)).as("completed"),
         count(lit(1)).as("total"))
-      .withColumn("rate", round(col("completed") / col("total") * 100, 1))
+      .withColumn("rate", portableRound(col("completed") / col("total") * 100, 1))
       .withColumn("display", concat(
         col("completed"), lit("/"), col("total"),
         lit(" ("), col("rate"), lit("%)")))

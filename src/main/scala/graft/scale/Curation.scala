@@ -262,7 +262,7 @@ object Curation extends QueryModule {
                    partitions: Int = 32): DataFrame = {
     val docs = Layout.widen(docs0)
     budgetSelectFrom(docs.select(col("doc_id"),
-      round(TextAnalysis.qualityExpr(col("text")), 4).as("quality"),
+      portableRound(TextAnalysis.qualityExpr(col("text")), 4).as("quality"),
       ceil(length(col("text")).cast("double") / 4d).cast("long").as("toks")),
       budget, partitions)
   }
@@ -322,8 +322,8 @@ object Curation extends QueryModule {
         sum(col("c").cast(org.apache.spark.sql.types.DecimalType(38, 0))
           * col("c")).as("sum_sq"))
       .select(col("source"), col("n_docs"), col("n_langs"),
-        round(lit(1.0) - sq / (nd * nd), 4).as("gini"),
-        round((nd * nd) / sq, 4).as("eff_langs"))
+        portableRound(lit(1.0) - sq / (nd * nd), 4).as("gini"),
+        portableRound((nd * nd) / sq, 4).as("eff_langs"))
   }
 
   /** Cross-modality referential integrity — the J5 weights↔tests
@@ -380,7 +380,7 @@ object Curation extends QueryModule {
                          k: Int = 20): DataFrame =
     cellBalancedSelectFrom(
       Layout.widen(docs).select(col("doc_id"),
-        round(TextAnalysis.qualityExpr(col("text")), 4).as("quality")),
+        portableRound(TextAnalysis.qualityExpr(col("text")), 4).as("quality")),
       emb, nCells, k)
 
   /** [[cellBalancedSelect]] from a (doc_id, quality) table — the batch
@@ -543,7 +543,7 @@ object Curation extends QueryModule {
     * aggregate. */
   def curriculumPhases(docs0: DataFrame): DataFrame =
     curriculumPhasesFrom(Layout.widen(docs0).select(col("doc_id"),
-      round(TextAnalysis.qualityExpr(col("text")), 4).as("quality"),
+      portableRound(TextAnalysis.qualityExpr(col("text")), 4).as("quality"),
       ceil(length(col("text")).cast("double") / 4d).cast("long").as("toks")))
 
   /** [[curriculumPhases]] from a (doc_id, quality, toks) table — the
@@ -749,7 +749,7 @@ object Curation extends QueryModule {
     classified
       .select(col("status"),
         ceil(length(col("text")).cast("double") / 4d).cast("long").as("toks"),
-        round(TextAnalysis.qualityExpr(col("text")), 4).as("q"))
+        portableRound(TextAnalysis.qualityExpr(col("text")), 4).as("q"))
       .groupBy(col("status"))
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("sum_toks"),
         exactSum(col("q")).as("qsum"))
@@ -856,7 +856,7 @@ object Curation extends QueryModule {
           col("real_toks"), col("padded_toks"),
           (col("padded_toks") - col("real_toks")).as("pad_toks"),
           when(col("padded_toks") > 0L,
-            round((col("padded_toks") - col("real_toks")).cast("double")
+            portableRound((col("padded_toks") - col("real_toks")).cast("double")
               / col("padded_toks"), 4)).as("pad_frac"))
     strategy("1_natural", Seq(col("doc_id")))
       .unionByName(strategy("2_length_sorted", Seq(col("toks"), col("doc_id"))))
@@ -1110,7 +1110,7 @@ object Curation extends QueryModule {
     "q73_seq_pack" -> ((s, d) => gatePacked(s, d, 2048)),
     "q79_mixture_sample" -> ((s, d) =>
       mixtureSample(T.documents(s, d), TargetMixture, "lang", "doc_id")
-        .select(col("doc_id"), col("lang"), round(col("rate"), 6).as("rate"))),
+        .select(col("doc_id"), col("lang"), portableRound(col("rate"), 6).as("rate"))),
     // DSIR-style importance weights toward the target-language slice
     "q98_dsir_weights" -> ((s, d) => dsirWeights(T.documents(s, d))),
     // best-B-tokens selection: quality-ordered distributed prefix sum
@@ -1614,14 +1614,14 @@ object Curation extends QueryModule {
         |SELECT '1_natural' AS strategy, n_docs, n_batches, real_toks,
         |  padded_toks, padded_toks - real_toks AS pad_toks,
         |  CASE WHEN padded_toks > 0 THEN
-        |    ROUND(CAST(padded_toks - real_toks AS DOUBLE) / padded_toks, 4)
+        |    FLOOR((CAST(padded_toks - real_toks AS DOUBLE) / padded_toks) * 10000.0 + 0.5) / 10000.0
         |  END AS pad_frac
         |FROM a1
         |UNION ALL
         |SELECT '2_length_sorted', n_docs, n_batches, real_toks,
         |  padded_toks, padded_toks - real_toks,
         |  CASE WHEN padded_toks > 0 THEN
-        |    ROUND(CAST(padded_toks - real_toks AS DOUBLE) / padded_toks, 4)
+        |    FLOOR((CAST(padded_toks - real_toks AS DOUBLE) / padded_toks) * 10000.0 + 0.5) / 10000.0
         |  END
         |FROM a2""".stripMargin,
     // share^τ at τ = 1/2^k is a k-deep chain of IEEE-exactly-rounded
@@ -1794,7 +1794,7 @@ object Curation extends QueryModule {
          |    list_dot_product(x.v, y.v) / (x.nrm * y.nrm) AS cos
          |  FROM bk x JOIN bk y
          |    ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
-         |SELECT vec_a, vec_b, ROUND(cos, 4) AS cos
+         |SELECT vec_a, vec_b, FLOOR((cos) * 10000.0 + 0.5) / 10000.0 AS cos
          |FROM pr WHERE cos >= ${Multimodal.MediaNearDupMinCos}""".stripMargin
     },
     // full-corpus celled chain: the q173 feature CTE unbounded, then
@@ -1809,7 +1809,7 @@ object Curation extends QueryModule {
          |    ${Dedup.celledBandDefsSql}, v, nrm FROM keyed),
          |pr AS (
          |  ${Dedup.celledPairArmsSql})
-         |SELECT vec_a, vec_b, ROUND(cos, 4) AS cos
+         |SELECT vec_a, vec_b, FLOOR((cos) * 10000.0 + 0.5) / 10000.0 AS cos
          |FROM pr WHERE cos >= ${Multimodal.MediaNearDupMinCos}""".stripMargin,
     // the blocking-volume pricing board: exact integer counts off the
     // same keyed CTE — sub-quadraticity is the two band rows' summed
@@ -1923,7 +1923,7 @@ object Curation extends QueryModule {
          |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
          |  FROM pr JOIN k2 a ON a.vec_id = pr.vec_a
          |  JOIN k2 b ON b.vec_id = pr.vec_b)
-         |SELECT vec_a, vec_b, ROUND(cos, 4) AS cos
+         |SELECT vec_a, vec_b, FLOOR((cos) * 10000.0 + 0.5) / 10000.0 AS cos
          |FROM sc WHERE cos >= ${Multimodal.MediaNearDupMinCos}""".stripMargin,
     // Σc² exact in HUGEINT (= the Spark decimal accumulator), one cast
     // to double, identical division trees
@@ -1935,9 +1935,9 @@ object Curation extends QueryModule {
         |        CAST(SUM(CAST(c AS HUGEINT) * c) AS DOUBLE) AS sq
         |      FROM c GROUP BY source)
         |SELECT source, n_docs, n_langs,
-        |  ROUND(1.0 - sq / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)), 4)
+        |  FLOOR((1.0 - sq / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))) * 10000.0 + 0.5) / 10000.0
         |    AS gini,
-        |  ROUND((CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)) / sq, 4)
+        |  FLOOR(((CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)) / sq) * 10000.0 + 0.5) / 10000.0
         |    AS eff_langs
         |FROM s""".stripMargin,
     "q57_stratified_sample" -> {
@@ -1961,7 +1961,7 @@ object Curation extends QueryModule {
          |r AS (SELECT lang,
          |  LEAST(1.0, CAST(CASE lang $cases ELSE 0.0 END AS DOUBLE) * n_total / n_s) AS rate
          |FROM c, t)
-         |SELECT d.doc_id, d.lang, ROUND(r.rate, 6) AS rate
+         |SELECT d.doc_id, d.lang, FLOOR((r.rate) * 1000000.0 + 0.5) / 1000000.0 AS rate
          |FROM documents d JOIN r USING (lang)
          |WHERE CAST($hashSql AS DOUBLE) / 1152921504606846976.0 < r.rate""".stripMargin
     },

@@ -282,8 +282,8 @@ object Dedup extends QueryModule {
           (x, y) => when(x === y, lit(1))), c => c.isNotNull)))
       .select(col("doc_a"), col("doc_b"), col("inter"),
         est.as("est"),
-        round(exact, 4).as("jaccard"),
-        round(abs(est - exact), 4).as("err"),
+        portableRound(exact, 4).as("jaccard"),
+        portableRound(abs(est - exact), 4).as("err"),
         (abs(est - exact) <= lit(tol)).as("within_tol"))
   }
 
@@ -844,7 +844,7 @@ object Dedup extends QueryModule {
       .select(col("node").as("doc_id"), col("deg"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"),
         when(col("deg") >= 2,
-          round(lit(2.0) * coalesce(col("n_tri"), lit(0L)) /
+          portableRound(lit(2.0) * coalesce(col("n_tri"), lit(0L)) /
             (col("deg") * (col("deg") - 1)), 4))
           .otherwise(lit(0.0)).as("clustering"))
   }
@@ -916,7 +916,7 @@ object Dedup extends QueryModule {
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("inter"),
-        round(col("inter").cast("double") /
+        portableRound(col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
   }
 
@@ -963,7 +963,7 @@ object Dedup extends QueryModule {
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
         Seq("doc_b"), "left")
       .select(col("dist"),
-        coalesce(round(col("inter").cast("double") /
+        coalesce(portableRound(col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")), 4), lit(0.0)).as("j"))
       .groupBy(col("dist"))
       .agg(count(lit(1)).as("n_pairs"),
@@ -1032,7 +1032,7 @@ object Dedup extends QueryModule {
         sum(col("toks")).as("toks_total"),
         coalesce(sum(when(col("_k").isNull, col("toks"))), lit(0L))
           .as("toks_removed"),
-        round(count(when(col("_k").isNull, 1)).cast("double") /
+        portableRound(count(when(col("_k").isNull, 1)).cast("double") /
           count(lit(1)), 4).as("removal_rate"))
   }
 
@@ -1055,7 +1055,7 @@ object Dedup extends QueryModule {
         (dotProduct(col("v_a"), col("v_b")) /
           (col("nrm_a") * col("nrm_b"))).as("cos"))
       .filter(col("cos") >= minCos)
-      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
+      .select(col("vec_a"), col("vec_b"), portableRound(col("cos"), 4).as("cos"))
   }
 
   /** CELL-COMPOSED near-dup gate for CONCENTRATED embedding corpora —
@@ -1227,7 +1227,7 @@ object Dedup extends QueryModule {
         (dotProduct(col("v_a"), col("v_b")) /
           (col("nrm_a") * col("nrm_b"))).as("cos"))
       .filter(col("cos") >= minCos)
-      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
+      .select(col("vec_a"), col("vec_b"), portableRound(col("cos"), 4).as("cos"))
     // exactly-once across bands: band j emits only pairs whose EARLIER
     // band words all differ — a pair agreeing on band i < j was
     // emitted there (the 2-band special case: band 1 keeps db0-differs)
@@ -1305,7 +1305,7 @@ object Dedup extends QueryModule {
         (dotProduct(col("v_a"), col("v_b")) /
           (col("nrm_a") * col("nrm_b"))).as("cos"))
       .filter(col("cos") >= minCos)
-      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
+      .select(col("vec_a"), col("vec_b"), portableRound(col("cos"), 4).as("cos"))
     // `pc` rides as payload: boundedSelfPairs emits only id + payload
     // columns, and both sides' values equal the join cell
     val payload = Seq("v", "nrm", "cell_id", "cell2", "pc")
@@ -1580,7 +1580,7 @@ object Dedup extends QueryModule {
       .groupBy(floor(col("cos") * 5).cast("int").as("cos_band"))
       .agg(count(lit(1)).as("n_true"), count(col("_hit")).as("n_cand"))
       .withColumn("recall",
-        round(col("n_cand").cast("double") / col("n_true"), 4))
+        portableRound(col("n_cand").cast("double") / col("n_true"), 4))
 
   /** q183: recall certification of the CELLED chain on the SPREAD
     * corpus — [[embeddingNearDupCelled]]'s blocking over the primary
@@ -1714,7 +1714,7 @@ object Dedup extends QueryModule {
       .agg(count(lit(1)).as("n_docs"),
         count(when(col("contaminated"), 1)).as("n_contaminated"),
         coalesce(sum(col("n_overlap")), lit(0L)).as("n_overlap"),
-        round(count(when(col("contaminated"), 1)).cast("double") /
+        portableRound(count(when(col("contaminated"), 1)).cast("double") /
           count(lit(1)), 4).as("contamination_rate"))
   }
 
@@ -1842,7 +1842,7 @@ object Dedup extends QueryModule {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"), count(col("_hit")).as("n_overlap"))
       .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
-        round(col("n_overlap").cast("double") / col("n_shingles"), 4)
+        portableRound(col("n_overlap").cast("double") / col("n_shingles"), 4)
           .as("overlap_frac"),
         (col("n_overlap") >= 1).as("contaminated"))
   }
@@ -1885,7 +1885,7 @@ object Dedup extends QueryModule {
       .select(col("doc_id"), col("n_shingles"),
         coalesce(col("n_overlap0"), lit(0L)).as("n_overlap"))
       .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
-        round(col("n_overlap").cast("double") / col("n_shingles"), 4)
+        portableRound(col("n_overlap").cast("double") / col("n_shingles"), 4)
           .as("overlap_frac"),
         (col("n_overlap") >= 1).as("contaminated"))
   }
@@ -2102,7 +2102,7 @@ object Dedup extends QueryModule {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"), count(col("_hot")).as("n_hot"))
       .select(col("doc_id"), col("n_shingles"), col("n_hot"),
-        round(col("n_hot").cast("double") / col("n_shingles"), 4).as("hot_frac"),
+        portableRound(col("n_hot").cast("double") / col("n_shingles"), 4).as("hot_frac"),
         (col("n_hot") > 0).as("flagged"))
   }
 
@@ -2481,7 +2481,7 @@ object Dedup extends QueryModule {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         (dotProduct(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
       .filter(col("cos") >= minCos)
-      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
+      .select(col("vec_a"), col("vec_b"), portableRound(col("cos"), 4).as("cos"))
   }
 
   /** q120: duplicate-cluster size histogram — how big the mirrors are.
@@ -3345,7 +3345,7 @@ object Dedup extends QueryModule {
          |       FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
          |       GROUP BY 1, 2)
          |SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
-         |  ROUND(CAST(inter AS DOUBLE)/(sa.n + sb.n - inter), 4) AS jaccard
+         |  FLOOR((CAST(inter AS DOUBLE)/(sa.n + sb.n - inter)) * 10000.0 + 0.5) / 10000.0 AS jaccard
          |FROM pr
          |JOIN sz sa ON sa.doc_id = doc_a
          |JOIN sz sb ON sb.doc_id = doc_b""".stripMargin,
@@ -3453,7 +3453,7 @@ object Dedup extends QueryModule {
          |               JOIN shf b ON b.doc_id = p.doc_b AND b.g = a.g
          |        GROUP BY 1, 2),
          |pj AS (SELECT p.dist,
-         |    COALESCE(ROUND(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 4),
+         |    COALESCE(FLOOR((CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter)) * 10000.0 + 0.5) / 10000.0,
          |      0.0) AS j
          |  FROM p
          |  LEFT JOIN itr i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
@@ -3668,16 +3668,16 @@ object Dedup extends QueryModule {
         |  GROUP BY node),
         |st AS (SELECT d.node, d.deg, COALESCE(t.n_tri, 0) AS n_tri,
         |    CASE WHEN d.deg >= 2
-        |      THEN ROUND(CAST(2 AS DOUBLE) * COALESCE(t.n_tri, 0)
-        |                 / (d.deg * (d.deg - 1)), 4)
+        |      THEN FLOOR((CAST(2 AS DOUBLE) * COALESCE(t.n_tri, 0)
+        |                 / (d.deg * (d.deg - 1))) * 10000.0 + 0.5) / 10000.0
         |      ELSE CAST(0 AS DOUBLE) END AS clustering
         |  FROM deg d LEFT JOIN tn t ON t.node = d.node)
         |SELECT COUNT(*) AS n_nodes,
         |  CAST(SUM(deg) // 2 AS BIGINT) AS n_edges,
         |  CAST(SUM(n_tri) // 3 AS BIGINT) AS n_triangles,
         |  MAX(deg) AS max_deg,
-        |  ROUND(CAST(SUM(CAST(clustering AS DECIMAL(18,6))) AS DOUBLE)
-        |        / COUNT(*), 4) AS mean_clustering
+        |  FLOOR((CAST(SUM(CAST(clustering AS DECIMAL(18,6))) AS DOUBLE)
+        |        / COUNT(*)) * 10000.0 + 0.5) / 10000.0 AS mean_clustering
         |FROM st""".stripMargin,
     // same recurrence as q80 with SUM(weight) ballots, weight = 6−dist
     "q85_weighted_lp" ->
@@ -3753,8 +3753,8 @@ object Dedup extends QueryModule {
         |SELECT d.node AS doc_id, d.deg AS deg,
         |  CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_tri,
         |  CASE WHEN d.deg >= 2
-        |    THEN ROUND(CAST(2 AS DOUBLE) * COALESCE(t.n_tri, 0)
-        |               / (d.deg * (d.deg - 1)), 4)
+        |    THEN FLOOR((CAST(2 AS DOUBLE) * COALESCE(t.n_tri, 0)
+        |               / (d.deg * (d.deg - 1))) * 10000.0 + 0.5) / 10000.0
         |    ELSE CAST(0 AS DOUBLE) END AS clustering
         |FROM deg d LEFT JOIN tn t ON t.node = d.node""".stripMargin,
     "q77_incremental_dedup" ->
@@ -3842,7 +3842,7 @@ object Dedup extends QueryModule {
          |       FROM sh s LEFT JOIN hot h ON h.g = s.sh
          |       GROUP BY s.doc_id)
          |SELECT doc_id, n_shingles, n_hot,
-         |  ROUND(CAST(n_hot AS DOUBLE) / n_shingles, 4) AS hot_frac,
+         |  FLOOR((CAST(n_hot AS DOUBLE) / n_shingles) * 10000.0 + 0.5) / 10000.0 AS hot_frac,
          |  (n_hot > 0) AS flagged
          |FROM st""".stripMargin,
     // q71's CTEs verbatim, rolled up by the corpus doc's source
@@ -3857,8 +3857,8 @@ object Dedup extends QueryModule {
          |SELECT d.source, COUNT(*) AS n_docs,
          |  COUNT(CASE WHEN st.n_overlap >= 1 THEN 1 END) AS n_contaminated,
          |  CAST(SUM(st.n_overlap) AS BIGINT) AS n_overlap,
-         |  ROUND(CAST(COUNT(CASE WHEN st.n_overlap >= 1 THEN 1 END) AS DOUBLE)
-         |        / COUNT(*), 4) AS contamination_rate
+         |  FLOOR((CAST(COUNT(CASE WHEN st.n_overlap >= 1 THEN 1 END) AS DOUBLE)
+         |        / COUNT(*)) * 10000.0 + 0.5) / 10000.0 AS contamination_rate
          |FROM st JOIN documents d USING (doc_id)
          |GROUP BY d.source""".stripMargin,
     // MinHash audit: q26's sig/band CTEs + candidate pair join; est is
@@ -3885,9 +3885,9 @@ object Dedup extends QueryModule {
          |      JOIN sig b ON b.doc_id = i.doc_b)
          |SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
          |  CAST(matches AS DOUBLE) / 16 AS est,
-         |  ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard,
-         |  ROUND(ABS(CAST(matches AS DOUBLE) / 16
-         |        - CAST(inter AS DOUBLE) / (na + nb - inter)), 4) AS err,
+         |  FLOOR((CAST(inter AS DOUBLE) / (na + nb - inter)) * 10000.0 + 0.5) / 10000.0 AS jaccard,
+         |  FLOOR((ABS(CAST(matches AS DOUBLE) / 16
+         |        - CAST(inter AS DOUBLE) / (na + nb - inter))) * 10000.0 + 0.5) / 10000.0 AS err,
          |  (ABS(CAST(matches AS DOUBLE) / 16
          |       - CAST(inter AS DOUBLE) / (na + nb - inter)) <= $MinhashAuditTol)
          |    AS within_tol
@@ -3946,7 +3946,7 @@ object Dedup extends QueryModule {
          |       FROM corpus c LEFT JOIN ev e ON e.sh = c.sh
          |       GROUP BY c.doc_id)
          |SELECT doc_id, n_shingles, n_overlap,
-         |  ROUND(CAST(n_overlap AS DOUBLE) / n_shingles, 4) AS overlap_frac,
+         |  FLOOR((CAST(n_overlap AS DOUBLE) / n_shingles) * 10000.0 + 0.5) / 10000.0 AS overlap_frac,
          |  (n_overlap >= 1) AS contaminated
          |FROM st""".stripMargin,
     // the Bloom path's contract IS equality with the exact form: the
@@ -3961,7 +3961,7 @@ object Dedup extends QueryModule {
          |       FROM corpus c LEFT JOIN ev e ON e.sh = c.sh
          |       GROUP BY c.doc_id)
          |SELECT doc_id, n_shingles, n_overlap,
-         |  ROUND(CAST(n_overlap AS DOUBLE) / n_shingles, 4) AS overlap_frac,
+         |  FLOOR((CAST(n_overlap AS DOUBLE) / n_shingles) * 10000.0 + 0.5) / 10000.0 AS overlap_frac,
          |  (n_overlap >= 1) AS contaminated
          |FROM st""".stripMargin,
     "q68_dedup_corpus" ->
@@ -4006,8 +4006,8 @@ object Dedup extends QueryModule {
         |  CAST(SUM(toks) AS BIGINT) AS toks_total,
         |  CAST(COALESCE(SUM(CASE WHEN removed THEN toks END), 0) AS BIGINT)
         |    AS toks_removed,
-        |  ROUND(CAST(COUNT(CASE WHEN removed THEN 1 END) AS DOUBLE)
-        |    / COUNT(*), 4) AS removal_rate
+        |  FLOOR((CAST(COUNT(CASE WHEN removed THEN 1 END) AS DOUBLE)
+        |    / COUNT(*)) * 10000.0 + 0.5) / 10000.0 AS removal_rate
         |FROM t GROUP BY source""".stripMargin,
     // q29's exact truth and q69's bucket-candidate join, both cut to
     // the same id-bounded sample, banded by floor(cos·5) — identical
@@ -4020,7 +4020,7 @@ object Dedup extends QueryModule {
          |n AS (SELECT vec_id, v, bucket,
          |    sqrt(list_dot_product(v, v)) AS nrm FROM e),
          |truth AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |    ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos
+         |    FLOOR((list_dot_product(a.v, b.v) / (a.nrm * b.nrm)) * 10000.0 + 0.5) / 10000.0 AS cos
          |  FROM n a JOIN n b ON a.vec_id < b.vec_id
          |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $EmbedNearDupMinCos),
          |cand AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -4032,8 +4032,8 @@ object Dedup extends QueryModule {
          |SELECT CAST(FLOOR(cos * 5) AS INTEGER) AS cos_band,
          |  COUNT(*) AS n_true,
          |  COUNT(CASE WHEN hit THEN 1 END) AS n_cand,
-         |  ROUND(CAST(COUNT(CASE WHEN hit THEN 1 END) AS DOUBLE)
-         |    / COUNT(*), 4) AS recall
+         |  FLOOR((CAST(COUNT(CASE WHEN hit THEN 1 END) AS DOUBLE)
+         |    / COUNT(*)) * 10000.0 + 0.5) / 10000.0 AS recall
          |FROM j GROUP BY 1""".stripMargin,
     "q69_neardup_lsh" ->
       s"""WITH b AS (
@@ -4046,7 +4046,7 @@ object Dedup extends QueryModule {
          |  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
          |    list_dot_product(a.v, c.v) / (a.nrm * c.nrm) AS cos
          |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
-         |SELECT vec_a, vec_b, ROUND(cos, 4) AS cos
+         |SELECT vec_a, vec_b, FLOOR((cos) * 10000.0 + 0.5) / 10000.0 AS cos
          |FROM pr WHERE cos >= $LshNearDupMinCos""".stripMargin,
     // the celled chain on the spread corpus: the embeddings keyed CTE
     // + the same generated band arms as the q176 oracle
@@ -4056,7 +4056,7 @@ object Dedup extends QueryModule {
          |    $celledBandDefsSql, v, nrm FROM keyed),
          |pr AS (
          |  $celledPairArmsSql)
-         |SELECT vec_a, vec_b, ROUND(cos, 4) AS cos
+         |SELECT vec_a, vec_b, FLOOR((cos) * 10000.0 + 0.5) / 10000.0 AS cos
          |FROM pr WHERE cos >= $LshNearDupMinCos""".stripMargin,
     // the blocking-volume board over the same keyed CTE — the shared
     // generated body (schemes, shifts, masks all from the constants)
@@ -4073,7 +4073,7 @@ object Dedup extends QueryModule {
          |cand AS (SELECT vec_a, vec_b FROM cand0
          |         WHERE cos >= $EmbedNearDupMinCos),
          |truth AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |    ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos
+         |    FLOOR((list_dot_product(a.v, b.v) / (a.nrm * b.nrm)) * 10000.0 + 0.5) / 10000.0 AS cos
          |  FROM bk a JOIN bk b ON a.vec_id < b.vec_id
          |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $EmbedNearDupMinCos),
          |j AS (SELECT t.cos, (c.vec_a IS NOT NULL) AS hit
@@ -4082,8 +4082,8 @@ object Dedup extends QueryModule {
          |SELECT CAST(FLOOR(cos * 5) AS INTEGER) AS cos_band,
          |  COUNT(*) AS n_true,
          |  COUNT(CASE WHEN hit THEN 1 END) AS n_cand,
-         |  ROUND(CAST(COUNT(CASE WHEN hit THEN 1 END) AS DOUBLE)
-         |    / COUNT(*), 4) AS recall
+         |  FLOOR((CAST(COUNT(CASE WHEN hit THEN 1 END) AS DOUBLE)
+         |    / COUNT(*)) * 10000.0 + 0.5) / 10000.0 AS recall
          |FROM j GROUP BY 1""".stripMargin,
     // SemDeDup restated: q38's argmax-cosine cell assignment, q69's
     // within-key pair join, q59's recursive min-label closure, then
@@ -4277,9 +4277,9 @@ object Dedup extends QueryModule {
          |FROM grp GROUP BY doc_a, doc_b, g""".stripMargin,
     "q29_embed_neardup" ->
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |  ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        |  FLOOR((list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
         |    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-        |     * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4) AS cos
+        |     * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))) * 10000.0 + 0.5) / 10000.0 AS cos
         |FROM embeddings a JOIN embeddings b
         |  ON a.vec_id < b.vec_id AND a.vec_id < $EmbedNearDupMaxId
         |  AND b.vec_id < $EmbedNearDupMaxId

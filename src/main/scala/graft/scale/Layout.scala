@@ -2,6 +2,7 @@ package graft.scale
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
+import graft.functions.PortableFuncs.portableRound
 
 /** Physical-layout and skew tooling for 100 TB operation — the pieces
   * that decide whether a plan that works at sf0.1 still works at
@@ -188,6 +189,6 @@ object Layout {
     val counts = df.groupBy(key.as("k")).agg(count(lit(1)).as("n"))
     val total = counts.agg(sum("n")).head().getLong(0).toDouble
     counts.orderBy(col("n").desc).limit(topK)
-      .withColumn("share", round(col("n") / total, 4))
+      .withColumn("share", portableRound(col("n") / total, 4))
   }
 }

@@ -2,6 +2,7 @@ package graft.scale
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.PortableFuncs.portableRound
 import org.apache.spark.sql.types._
 
 import graft.Materialize.CoreOps
@@ -546,7 +547,7 @@ object Multimodal {
     meta.toDF()
       .filter(col("kind") === "image" && col("width") > 0 && col("height") > 0)
       .select(col("asset_id"), col("width"), col("height"),
-        round(scale, 6).as("scale"),
+        portableRound(scale, 6).as("scale"),
         greatest(floor(col("width") * scale + 0.5), lit(1L)).cast(IntegerType).as("out_w"),
         greatest(floor(col("height") * scale + 0.5), lit(1L)).cast(IntegerType).as("out_h"),
         (scale < 1.0).as("needs_resample"))

@@ -163,7 +163,7 @@ object Similarity extends QueryModule {
       .agg(TopKAgg.topK(col("cos"), col("c_id"), k).as("top"))
       .select(col("q_id"), posexplode(col("top")))
       .select(col("q_id"), col("col.id").as("c_id"),
-        round(col("col.score"), 4).as("cos"),
+        portableRound(col("col.score"), 4).as("cos"),
         (col("pos") + 1).as("rank"))
   }
 
@@ -202,7 +202,7 @@ object Similarity extends QueryModule {
       .agg(TopKAgg.topK(col("cos"), col("c_id"), k).as("top"))
       .select(col("q_id"), posexplode(col("top")))
       .select(col("q_id"), col("col.id").as("c_id"),
-        round(col("col.score"), 4).as("cos"),
+        portableRound(col("col.score"), 4).as("cos"),
         (col("pos") + 1).as("rank"))
   }
 
@@ -263,7 +263,7 @@ object Similarity extends QueryModule {
       .agg(TopKAgg.topK(col("cos"), col("c_id"), k).as("top"))
       .select(col("q_id"), posexplode(col("top")))
       .select(col("q_id"), col("col.id").as("c_id"),
-        round(col("col.score"), 4).as("cos"), (col("pos") + 1).as("rank"))
+        portableRound(col("col.score"), 4).as("cos"), (col("pos") + 1).as("rank"))
   }
 
   val IvfCells = 16
@@ -430,7 +430,7 @@ object Similarity extends QueryModule {
       .agg(TopKAgg.topK(col("cos"), col("c_id"), k).as("top"))
       .select(col("q_id"), posexplode(col("top")))
       .select(col("q_id"), col("col.id").as("c_id"),
-        round(col("col.score"), 4).as("cos"), (col("pos") + 1).as("rank"))
+        portableRound(col("col.score"), 4).as("cos"), (col("pos") + 1).as("rank"))
 
   /** Int8 scalar quantization audit: per vector, the symmetric scale
     * (127/max|x|) and the exact reconstruction SSE after
@@ -814,7 +814,7 @@ object Similarity extends QueryModule {
         (dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
       .withColumn("rank", row_number().over(rw))
       .filter(col("rank") <= k)
-      .select(col("q_id"), col("c_id"), round(col("cos"), 4).as("cos"), col("rank"))
+      .select(col("q_id"), col("c_id"), portableRound(col("cos"), 4).as("cos"), col("rank"))
   }
 
   /** IVF-PQ: the composed production index (FAISS IVFADC, Jégou et
@@ -948,7 +948,7 @@ object Similarity extends QueryModule {
         (dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
       .withColumn("rank", row_number().over(rw))
       .filter(col("rank") <= k)
-      .select(col("q_id"), col("c_id"), round(col("cos"), 4).as("cos"), col("rank"))
+      .select(col("q_id"), col("c_id"), portableRound(col("cos"), 4).as("cos"), col("rank"))
   }
 
   /** Persist the composed index: `dir/cents` + `dir/book` (the bounded
@@ -1152,7 +1152,7 @@ object Similarity extends QueryModule {
         count(when(col("pred_label") === col("true_label"), 1))
           .as("n_correct"))
       .withColumn("accuracy",
-        round(col("n_correct").cast("double") / col("n_queries"), 4))
+        portableRound(col("n_correct").cast("double") / col("n_queries"), 4))
   }
 
   /** q155: the IVF nprobe sweep — recall vs scan cost at every probe
@@ -1383,8 +1383,8 @@ object Similarity extends QueryModule {
         count(lit(1)).as("n_vecs"),
         portableRound(exactSum(col("distortion")) / count(lit(1)), 4)
           .as("mean_distortion"),
-        round(min(col("distortion")), 4).as("min_distortion"),
-        round(max(col("distortion")), 4).as("max_distortion"))
+        portableRound(min(col("distortion")), 4).as("min_distortion"),
+        portableRound(max(col("distortion")), 4).as("max_distortion"))
       .withColumn("ok",
         col("mean_distortion") >= lo && col("mean_distortion") <= hi)
   }
@@ -1452,7 +1452,7 @@ object Similarity extends QueryModule {
         (dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
       .withColumn("rank", row_number().over(rw))
       .filter(col("rank") <= k)
-      .select(col("q_id"), col("c_id"), round(col("cos"), 4).as("cos"), col("rank"))
+      .select(col("q_id"), col("c_id"), portableRound(col("cos"), 4).as("cos"), col("rank"))
   }
 
   /** Probe width for [[annIvfJl]] — twice plain IVF's [[IvfProbes]]:
@@ -1538,7 +1538,7 @@ object Similarity extends QueryModule {
       .agg(TopKAgg.topK(col("cos"), col("c_id"), k).as("top"))
       .select(col("q_id"), posexplode(col("top")))
       .select(col("q_id"), col("col.id").as("c_id"),
-        round(col("col.score"), 4).as("cos"), (col("pos") + 1).as("rank"))
+        portableRound(col("col.score"), 4).as("cos"), (col("pos") + 1).as("rank"))
   }
 
   // ---- driver-gate query registry ----
@@ -1858,7 +1858,7 @@ object Similarity extends QueryModule {
          |  SELECT q_id, c_id, cos,
          |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS INTEGER) AS rank
          |  FROM pairs)
-         |SELECT q_id, c_id, ROUND(cos, 4) AS cos, rank
+         |SELECT q_id, c_id, FLOOR((cos) * 10000.0 + 0.5) / 10000.0 AS cos, rank
          |FROM ranked WHERE rank <= $TopK""".stripMargin,
     // q30's brute scoring, with the query set restated as the
     // per-bucket min-id pick (ROW_NUMBER rn=1 ↔ the bounded top-k
@@ -1880,7 +1880,7 @@ object Similarity extends QueryModule {
          |  SELECT q_id, c_id, cos,
          |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS INTEGER) AS rank
          |  FROM pairs)
-         |SELECT q_id, c_id, ROUND(cos, 4) AS cos, rank
+         |SELECT q_id, c_id, FLOOR((cos) * 10000.0 + 0.5) / 10000.0 AS cos, rank
          |FROM ranked WHERE rank <= $TopK""".stripMargin,
     "q31_lsh_buckets" ->
       s"SELECT vec_id, CAST($bucketSql AS BIGINT) AS bucket FROM embeddings",
@@ -1914,8 +1914,8 @@ object Similarity extends QueryModule {
          |SELECT true_label, CAST(COUNT(*) AS BIGINT) AS n_queries,
          |  CAST(COUNT(CASE WHEN pred_label = true_label THEN 1 END)
          |    AS BIGINT) AS n_correct,
-         |  ROUND(CAST(COUNT(CASE WHEN pred_label = true_label THEN 1 END)
-         |    AS DOUBLE) / COUNT(*), 4) AS accuracy
+         |  FLOOR((CAST(COUNT(CASE WHEN pred_label = true_label THEN 1 END)
+         |    AS DOUBLE) / COUNT(*)) * 10000.0 + 0.5) / 10000.0 AS accuracy
          |FROM j GROUP BY true_label""".stripMargin,
     "q38_ann_ivf" ->
       s"""WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1945,7 +1945,7 @@ object Similarity extends QueryModule {
          |ranked AS (SELECT q_id, c_id, cos,
          |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id
          |    ORDER BY cos DESC, c_id ASC) AS INTEGER) AS rank FROM pairs)
-         |SELECT q_id, c_id, ROUND(cos, 4) AS cos, rank
+         |SELECT q_id, c_id, FLOOR((cos) * 10000.0 + 0.5) / 10000.0 AS cos, rank
          |FROM ranked WHERE rank <= $TopK""".stripMargin,
     "q61_ann_pq" ->
       s"""WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1987,7 +1987,7 @@ object Similarity extends QueryModule {
          |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id
          |    ORDER BY cos DESC, c_id ASC) AS INTEGER) AS rank
          |  FROM rer)
-         |SELECT q_id, c_id, ROUND(cos, 4) AS cos, rank
+         |SELECT q_id, c_id, FLOOR((cos) * 10000.0 + 0.5) / 10000.0 AS cos, rank
          |FROM ranked WHERE rank <= $TopK""".stripMargin,
     "q118_ann_jl" ->
       s"""WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -2005,7 +2005,7 @@ object Similarity extends QueryModule {
          |ex AS (SELECT s.q_id, s.c_id,
          |    list_dot_product(q.v, t.v) / (q.nrm * t.nrm) AS cos
          |  FROM sl s JOIN n q ON q.vec_id = s.q_id JOIN n t ON t.vec_id = s.c_id)
-         |SELECT q_id, c_id, ROUND(cos, 4) AS cos, rank FROM (
+         |SELECT q_id, c_id, FLOOR((cos) * 10000.0 + 0.5) / 10000.0 AS cos, rank FROM (
          |  SELECT q_id, c_id, cos,
          |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS INTEGER) AS rank
          |  FROM ex) WHERE rank <= $TopK""".stripMargin,
@@ -2041,7 +2041,7 @@ object Similarity extends QueryModule {
          |ranked AS (SELECT q_id, c_id, cos,
          |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id
          |    ORDER BY cos DESC, c_id ASC) AS INTEGER) AS rank FROM pairs)
-         |SELECT q_id, c_id, ROUND(cos, 4) AS cos, rank
+         |SELECT q_id, c_id, FLOOR((cos) * 10000.0 + 0.5) / 10000.0 AS cos, rank
          |FROM ranked WHERE rank <= $TopK""".stripMargin,
     "q115_jl_project" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -2059,8 +2059,8 @@ object Similarity extends QueryModule {
          |  FROM y),
          |m AS (SELECT COUNT(*) AS n_vecs,
          |    ${portableRoundSql(exactSumSql("distortion") + " / COUNT(*)", 4)} AS mean_distortion,
-         |    ROUND(MIN(distortion), 4) AS min_distortion,
-         |    ROUND(MAX(distortion), 4) AS max_distortion
+         |    FLOOR((MIN(distortion)) * 10000.0 + 0.5) / 10000.0 AS min_distortion,
+         |    FLOOR((MAX(distortion)) * 10000.0 + 0.5) / 10000.0 AS max_distortion
          |  FROM d)
          |SELECT n_vecs, mean_distortion, min_distortion, max_distortion,
          |  (mean_distortion >= $JlAuditLo AND mean_distortion <= $JlAuditHi) AS ok
@@ -2185,7 +2185,7 @@ object Similarity extends QueryModule {
          |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id
          |    ORDER BY cos DESC, c_id ASC) AS INTEGER) AS rank
          |  FROM rer)
-         |SELECT q_id, c_id, ROUND(cos, 4) AS cos, rank
+         |SELECT q_id, c_id, FLOOR((cos) * 10000.0 + 0.5) / 10000.0 AS cos, rank
          |FROM ranked WHERE rank <= $TopK""".stripMargin,
     // the four ANN chains above composed into one audit: brute truth,
     // each method's top-k at the same (nQueries=8, k=5) shape, recall
@@ -2411,7 +2411,7 @@ object Similarity extends QueryModule {
          |  SELECT q_id, c_id, cos,
          |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS INTEGER) AS rank
          |  FROM pairs)
-         |SELECT q_id, c_id, ROUND(cos, 4) AS cos, rank
+         |SELECT q_id, c_id, FLOOR((cos) * 10000.0 + 0.5) / 10000.0 AS cos, rank
          |FROM ranked WHERE rank <= 3""".stripMargin
   )
 }

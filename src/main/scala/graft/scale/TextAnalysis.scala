@@ -131,11 +131,11 @@ object TextAnalysis extends QueryModule {
     docs.select(
       (Seq(col("doc_id")) ++ passthrough ++ Seq(
       size(ws).as("n_words"),
-      round(avgWlen, 4).as("avg_wlen"),
-      round(stopRatio, 4).as("stop_ratio"),
-      round(punctRatio, 4).as("punct_ratio"),
-      round(digitRatio, 4).as("digit_ratio"),
-      round(quality, 4).as("quality"),
+      portableRound(avgWlen, 4).as("avg_wlen"),
+      portableRound(stopRatio, 4).as("stop_ratio"),
+      portableRound(punctRatio, 4).as("punct_ratio"),
+      portableRound(digitRatio, 4).as("digit_ratio"),
+      portableRound(quality, 4).as("quality"),
       ceil(length(col("text")).cast("double") / 4d).cast("long").as("toks"))): _*)
   }
 
@@ -332,12 +332,12 @@ object TextAnalysis extends QueryModule {
     docs.select(
       col("doc_id"),
       g.nWords.as("n_words"),
-      round(g.meanWlen, 4).as("mean_wlen"),
-      round(g.distinctFrac, 4).as("distinct_frac"),
-      round(g.alphaFrac, 4).as("alpha_frac"),
-      round(g.symbolRatio, 4).as("symbol_ratio"),
-      round(g.bulletFrac, 4).as("bullet_frac"),
-      round(g.ellipsisFrac, 4).as("ellipsis_frac"),
+      portableRound(g.meanWlen, 4).as("mean_wlen"),
+      portableRound(g.distinctFrac, 4).as("distinct_frac"),
+      portableRound(g.alphaFrac, 4).as("alpha_frac"),
+      portableRound(g.symbolRatio, 4).as("symbol_ratio"),
+      portableRound(g.bulletFrac, 4).as("bullet_frac"),
+      portableRound(g.ellipsisFrac, 4).as("ellipsis_frac"),
       g.stopHits.as("stop_hits"),
       g.pass.as("gopher_pass"))
   }
@@ -370,10 +370,10 @@ object TextAnalysis extends QueryModule {
         col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
-        round(when(col("n_bigrams").isNotNull,
+        portableRound(when(col("n_bigrams").isNotNull,
           col("dup_cnt").cast("double") / col("n_bigrams")).otherwise(lit(0.0)), 4)
           .as("dup_bigram_frac"),
-        round(when(col("n_bigrams").isNotNull,
+        portableRound(when(col("n_bigrams").isNotNull,
           col("top_cnt").cast("double") / col("n_bigrams")).otherwise(lit(0.0)), 4)
           .as("top_bigram_frac"))
   }
@@ -398,7 +398,7 @@ object TextAnalysis extends QueryModule {
       .select(col("doc_id"), size(col("ws")).as("n_words"),
         longestDupRun(col("ws")).as("max_rep"))
       .select(col("doc_id"), col("n_words"), col("max_rep"),
-        round(when(col("n_words") > 0,
+        portableRound(when(col("n_words") > 0,
           col("max_rep").cast("double") / col("n_words")).otherwise(lit(0.0)), 4)
           .as("rep_frac"))
   }
@@ -463,7 +463,7 @@ object TextAnalysis extends QueryModule {
     scored.groupBy(col("source"))
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("pii_rate",
-        round(col("n_pii_docs").cast("double") / col("n_docs"), 4))
+        portableRound(col("n_pii_docs").cast("double") / col("n_docs"), 4))
   }
 
   /** The combined curation gate the Gopher/C4 pipelines actually run:
@@ -541,8 +541,8 @@ object TextAnalysis extends QueryModule {
     withBgs.select(cs ++ Seq(
       gopherPass.as("gopher_pass"),
       nBg.cast("long").as("n_bigrams"),
-      round(dupFrac, 4).as("dup_bigram_frac"),
-      round(topFrac, 4).as("top_bigram_frac"),
+      portableRound(dupFrac, 4).as("dup_bigram_frac"),
+      portableRound(topFrac, 4).as("top_bigram_frac"),
       repPass.as("rep_pass"),
       (gopherPass && repPass).as("keep")): _*)
   }
@@ -570,7 +570,7 @@ object TextAnalysis extends QueryModule {
     val base = docs.select(
       col("doc_id"),
       ceil(length(col("text")).cast("double") / 4d).cast("long").as("toks"),
-      round(qualityExpr(col("text")), 4).as("quality"),
+      portableRound(qualityExpr(col("text")), 4).as("quality"),
       piiPatterns.map { case (_, p) => regexp_count(col("text"), lit(p)) > 0 }
         .reduce(_ || _).as("any_pii"),
       md5(col("text")).as("fp"))
@@ -602,10 +602,10 @@ object TextAnalysis extends QueryModule {
         lit(i + 1).as("stage_idx"), lit(n).as("stage"),
         col(s"d_$i").as("n_docs"), col(s"t_$i").as("n_toks"),
         when(col("d_0") > 0L,
-          round(col(s"d_$i").cast("double") / col("d_0"), 4))
+          portableRound(col(s"d_$i").cast("double") / col("d_0"), 4))
           .as("survival_rate"),
         when(stepPrev > 0L,
-          round(col(s"d_$i").cast("double") / stepPrev, 4))
+          portableRound(col(s"d_$i").cast("double") / stepPrev, 4))
           .as("step_keep_rate"))
     }
     wide.select(explode(array(entries: _*)).as("s")).select(col("s.*"))
@@ -629,7 +629,7 @@ object TextAnalysis extends QueryModule {
   def gateAgreement(docs0: DataFrame, qualityMin: Double = QualityMin): DataFrame = {
     val docs = widen(docs0)
     val q = docs.select(col("doc_id"),
-      (round(qualityExpr(col("text")), 4) >= qualityMin).as("q_pass"))
+      (portableRound(qualityExpr(col("text")), 4) >= qualityMin).as("q_pass"))
     val g = curationGate(docs).select(col("doc_id"), col("keep").as("g_pass"))
     val agg = q.join(g, Seq("doc_id")).agg(
       count(lit(1)).as("n_docs"),
@@ -692,7 +692,7 @@ object TextAnalysis extends QueryModule {
     scored.withColumn("rk", row_number().over(win))
       .filter(col("rk") <= k)
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
-        round(col("score"), 4).as("tfidf"), col("rk"))
+        portableRound(col("score"), 4).as("tfidf"), col("rk"))
   }
 
   /** BM25 retrieval over the corpus for a fixed term query — the
@@ -742,7 +742,7 @@ object TextAnalysis extends QueryModule {
       .filter(col("bm25_raw") > 0)
       .select(
         (Seq(col("doc_id"), col("dl")) ++ terms.map(t => col(s"tf_$t")) ++
-          Seq(round(col("bm25_raw"), 6).as("bm25"), col("bm25_raw"))): _*)
+          Seq(portableRound(col("bm25_raw"), 6).as("bm25"), col("bm25_raw"))): _*)
       .orderBy(col("bm25_raw").desc, col("doc_id"))
       .limit(k)
       .drop("bm25_raw")
@@ -802,7 +802,7 @@ object TextAnalysis extends QueryModule {
       .select(col("doc_id"), size(col("ws")).as("n_words"),
         explode(array(struct(score.as("sum")))).as("s"))
       .select(col("doc_id"), col("n_words"),
-        round(col("s.sum") / col("n_words"), 6).as("score"),
+        portableRound(col("s.sum") / col("n_words"), 6).as("score"),
         (col("s.sum") > 0d).as("pred_keep"))
   }
 
@@ -837,16 +837,16 @@ object TextAnalysis extends QueryModule {
     val docs = widen(docs0)
     val half = nBuckets / 2.0
     val withWs = docs
-      // round(…, 4) = the q34 board's own per-doc rounding (qualitySql
+      // portableRound(…, 4) = the q34 board's own per-doc rounding (qualitySql
       // twin) — the calibration means aggregate the SAME doubles q34
       // publishes, not a higher-precision sibling
-      .select(col("doc_id"), round(qualityExpr(col("text")), 4).as("quality"),
+      .select(col("doc_id"), portableRound(qualityExpr(col("text")), 4).as("quality"),
         explode(array(struct(words(col("text")).as("ws")))).as("s"))
       .select(col("doc_id"), col("quality"), col("s.ws").as("ws"))
       .filter(size(col("ws")) > 0)
     withWs
       .select(col("quality"),
-        explode(array(round(classifierSumExpr(col("ws")) / size(col("ws")), 6)))
+        explode(array(portableRound(classifierSumExpr(col("ws")) / size(col("ws")), 6)))
           .as("score"))
       .select(
         least(greatest(floor((col("score") + 1.0d) * half), lit(0L)),
@@ -865,7 +865,7 @@ object TextAnalysis extends QueryModule {
       .filter(size(col("ws")) > 0)
       .join(scored.select(col("doc_id"), col("quality")), Seq("doc_id"))
       .select(col("quality"),
-        explode(array(round(classifierSumExpr(col("ws")) / size(col("ws")), 6)))
+        explode(array(portableRound(classifierSumExpr(col("ws")) / size(col("ws")), 6)))
           .as("score"))
       .select(
         least(greatest(floor((col("score") + 1.0d) * half), lit(0L)),
@@ -935,7 +935,7 @@ object TextAnalysis extends QueryModule {
     top.withColumn("cum_cnt", sum(col("cnt")).over(w))
       .crossJoin(total)
       .select(col("rank"), col("w"), col("cnt"),
-        round(col("cum_cnt").cast("double") / col("total"), 6).as("cum_frac"))
+        portableRound(col("cum_cnt").cast("double") / col("total"), 6).as("cum_frac"))
   }
 
   /** Per-source token-distribution drift: for each source, the tokens
@@ -1513,8 +1513,8 @@ object TextAnalysis extends QueryModule {
       .select(col("n_docs"), col("n_langs"),
         col("n_gopher_pass"), col("n_rep_pass"), col("n_keep"), col("n_pii"),
         col("n_dup_groups"), col("n_excess_copies"),
-        round(col("n_keep").cast("double") / col("n_docs"), 4).as("keep_rate"),
-        round(col("n_pii").cast("double") / col("n_docs"), 4).as("pii_rate"))
+        portableRound(col("n_keep").cast("double") / col("n_docs"), 4).as("keep_rate"),
+        portableRound(col("n_pii").cast("double") / col("n_docs"), 4).as("pii_rate"))
   }
 
   /** Corpus stats rollup per (lang, source): doc counts + char-length
@@ -1523,7 +1523,7 @@ object TextAnalysis extends QueryModule {
     docs.groupBy(col("lang"), col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
-        round(avg(col("n_chars")), 2).as("avg_chars"),
+        portableRound(avg(col("n_chars")), 2).as("avg_chars"),
         min(col("n_chars")).as("min_chars"),
         max(col("n_chars")).as("max_chars"),
         min(col("doc_id")).as("first_doc"))
@@ -2056,9 +2056,9 @@ object TextAnalysis extends QueryModule {
     * the conventional CTE aliases: n_words (word count), nw / nc
     * (clamped word/char denominators), stop_hits, n_punct. */
   private[scale] val qualitySql: String =
-    "ROUND(LEAST(CAST(n_words AS DOUBLE)/100, 1.0)*0.5" +
+    "FLOOR((LEAST(CAST(n_words AS DOUBLE)/100, 1.0)*0.5" +
       " + (CAST(stop_hits AS DOUBLE)/nw)*0.3" +
-      " + (1.0 - CAST(n_punct AS DOUBLE)/nc)*0.2, 4)"
+      " + (1.0 - CAST(n_punct AS DOUBLE)/nc)*0.2) * 10000.0 + 0.5) / 10000.0"
 
   /** CTE chain shared by the q70 gate oracle and the q78 report oracle:
     * defines `r` (per-doc repetition fractions) and `gp` (per-doc
@@ -2108,8 +2108,8 @@ object TextAnalysis extends QueryModule {
     * as the `gate` CTE body in the q78 report oracle. */
   private[scale] lazy val curationSelect: String =
     """SELECT r.doc_id, gp.gopher_pass, r.n_bigrams,
-      |  ROUND(r.dup_frac, 4) AS dup_bigram_frac,
-      |  ROUND(r.top_frac, 4) AS top_bigram_frac,
+      |  FLOOR((r.dup_frac) * 10000.0 + 0.5) / 10000.0 AS dup_bigram_frac,
+      |  FLOOR((r.top_frac) * 10000.0 + 0.5) / 10000.0 AS top_bigram_frac,
       |  (r.dup_frac < 0.2 AND r.top_frac < 0.18) AS rep_pass,
       |  (gp.gopher_pass AND r.dup_frac < 0.2 AND r.top_frac < 0.18) AS keep
       |FROM r JOIN gp ON gp.doc_id = r.doc_id""".stripMargin
@@ -2177,9 +2177,9 @@ object TextAnalysis extends QueryModule {
        |  $aggCols
        | FROM f)
        |SELECT stage_idx, stage, n_docs, n_toks,
-       |  CASE WHEN tot > 0 THEN ROUND(CAST(n_docs AS DOUBLE) / tot, 4) END
+       |  CASE WHEN tot > 0 THEN FLOOR((CAST(n_docs AS DOUBLE) / tot) * 10000.0 + 0.5) / 10000.0 END
        |    AS survival_rate,
-       |  CASE WHEN prev > 0 THEN ROUND(CAST(n_docs AS DOUBLE) / prev, 4) END
+       |  CASE WHEN prev > 0 THEN FLOOR((CAST(n_docs AS DOUBLE) / prev) * 10000.0 + 0.5) / 10000.0 END
        |    AS step_keep_rate
        |FROM (
        |  $unions)""".stripMargin
@@ -2255,10 +2255,10 @@ object TextAnalysis extends QueryModule {
          |  COALESCE(len(array_to_string(ws, '')), 0) AS word_chars
          |FROM w)
          |SELECT doc_id, n_words,
-         |  ROUND(CAST(word_chars AS DOUBLE)/nw, 4) AS avg_wlen,
-         |  ROUND(CAST(stop_hits AS DOUBLE)/nw, 4) AS stop_ratio,
-         |  ROUND(CAST(n_punct AS DOUBLE)/nc, 4) AS punct_ratio,
-         |  ROUND(CAST(n_digit AS DOUBLE)/nc, 4) AS digit_ratio,
+         |  FLOOR((CAST(word_chars AS DOUBLE)/nw) * 10000.0 + 0.5) / 10000.0 AS avg_wlen,
+         |  FLOOR((CAST(stop_hits AS DOUBLE)/nw) * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
+         |  FLOOR((CAST(n_punct AS DOUBLE)/nc) * 10000.0 + 0.5) / 10000.0 AS punct_ratio,
+         |  FLOOR((CAST(n_digit AS DOUBLE)/nc) * 10000.0 + 0.5) / 10000.0 AS digit_ratio,
          |  $qualitySql AS quality
          |FROM m""".stripMargin,
     "q35_token_count" ->
@@ -2334,7 +2334,7 @@ object TextAnalysis extends QueryModule {
          |GROUP BY doc_id""".stripMargin,
     "q37_corpus_stats" ->
       """SELECT lang, source, COUNT(*) AS n_docs,
-        |  ROUND(AVG(n_chars), 2) AS avg_chars,
+        |  FLOOR((AVG(n_chars)) * 100.0 + 0.5) / 100.0 AS avg_chars,
         |  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
         |  CAST(MAX(n_chars) AS BIGINT) AS max_chars,
         |  CAST(MIN(doc_id) AS BIGINT) AS first_doc
@@ -2357,12 +2357,12 @@ object TextAnalysis extends QueryModule {
          |  ${stopHitsSql(stopwords.head._2)} AS stop_hits
          |FROM w)
          |SELECT doc_id, n_words,
-         |  ROUND(CAST(word_chars AS DOUBLE) / nw, 4) AS mean_wlen,
-         |  ROUND(CAST(n_distinct AS DOUBLE) / nw, 4) AS distinct_frac,
-         |  ROUND(CAST(n_alpha AS DOUBLE) / nw, 4) AS alpha_frac,
-         |  ROUND(CAST(n_symbols AS DOUBLE) / nw, 4) AS symbol_ratio,
-         |  ROUND(CAST(n_bullet AS DOUBLE) / nl, 4) AS bullet_frac,
-         |  ROUND(CAST(n_ellipsis AS DOUBLE) / nl, 4) AS ellipsis_frac,
+         |  FLOOR((CAST(word_chars AS DOUBLE) / nw) * 10000.0 + 0.5) / 10000.0 AS mean_wlen,
+         |  FLOOR((CAST(n_distinct AS DOUBLE) / nw) * 10000.0 + 0.5) / 10000.0 AS distinct_frac,
+         |  FLOOR((CAST(n_alpha AS DOUBLE) / nw) * 10000.0 + 0.5) / 10000.0 AS alpha_frac,
+         |  FLOOR((CAST(n_symbols AS DOUBLE) / nw) * 10000.0 + 0.5) / 10000.0 AS symbol_ratio,
+         |  FLOOR((CAST(n_bullet AS DOUBLE) / nl) * 10000.0 + 0.5) / 10000.0 AS bullet_frac,
+         |  FLOOR((CAST(n_ellipsis AS DOUBLE) / nl) * 10000.0 + 0.5) / 10000.0 AS ellipsis_frac,
          |  stop_hits,
          |  (n_words BETWEEN 50 AND 100000
          |    AND CAST(word_chars AS DOUBLE) / nw BETWEEN 3.0 AND 10.0
@@ -2385,10 +2385,10 @@ object TextAnalysis extends QueryModule {
          |SELECT doc_id,
          |  COALESCE(n_bigrams, 0) AS n_bigrams,
          |  COALESCE(n_distinct, 0) AS n_distinct,
-         |  ROUND(CASE WHEN n_bigrams IS NOT NULL
-         |    THEN CAST(dup_cnt AS DOUBLE) / n_bigrams ELSE 0.0 END, 4) AS dup_bigram_frac,
-         |  ROUND(CASE WHEN n_bigrams IS NOT NULL
-         |    THEN CAST(top_cnt AS DOUBLE) / n_bigrams ELSE 0.0 END, 4) AS top_bigram_frac
+         |  FLOOR((CASE WHEN n_bigrams IS NOT NULL
+         |    THEN CAST(dup_cnt AS DOUBLE) / n_bigrams ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS dup_bigram_frac,
+         |  FLOOR((CASE WHEN n_bigrams IS NOT NULL
+         |    THEN CAST(top_cnt AS DOUBLE) / n_bigrams ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS top_bigram_frac
          |FROM documents LEFT JOIN st USING (doc_id)""".stripMargin,
     // independent algorithm as the oracle: longest repeated substring
     // length == max LCP of lexicographically ADJACENT suffixes (the
@@ -2412,9 +2412,9 @@ object TextAnalysis extends QueryModule {
          |mx AS (SELECT doc_id, MAX(l) AS max_rep FROM lcp GROUP BY doc_id)
          |SELECT w.doc_id, CAST(len(w.ws) AS INTEGER) AS n_words,
          |  CAST(COALESCE(m.max_rep, 0) AS INTEGER) AS max_rep,
-         |  ROUND(CASE WHEN len(w.ws) > 0
+         |  FLOOR((CASE WHEN len(w.ws) > 0
          |    THEN CAST(COALESCE(m.max_rep, 0) AS DOUBLE) / len(w.ws)
-         |    ELSE 0.0 END, 4) AS rep_frac
+         |    ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS rep_frac
          |FROM w LEFT JOIN mx m ON m.doc_id = w.doc_id""".stripMargin,
     // ratio = (tf_src/total_src)/(tf_corp/total_corp) cross-multiplied
     // into ONE division of integer-derived doubles — identical tree to
@@ -2484,14 +2484,14 @@ object TextAnalysis extends QueryModule {
          |r AS (SELECT *, ROW_NUMBER() OVER
          |        (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
          |      FROM s)
-         |SELECT doc_id, term, tf, df, ROUND(score, 4) AS tfidf,
+         |SELECT doc_id, term, tf, df, FLOOR((score) * 10000.0 + 0.5) / 10000.0 AS tfidf,
          |  CAST(rk AS INTEGER) AS rk
          |FROM r WHERE rk <= 5""".stripMargin,
     "q74_classifier_score" ->
       s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
          |f AS (SELECT doc_id, ws FROM w WHERE len(ws) > 0)
          |SELECT doc_id, CAST(len(ws) AS INTEGER) AS n_words,
-         |  ROUND($classifierSumSql / len(ws), 6) AS score,
+         |  FLOOR(($classifierSumSql / len(ws)) * 1000000.0 + 0.5) / 1000000.0 AS score,
          |  ($classifierSumSql > 0) AS pred_keep
          |FROM f""".stripMargin,
     // ONE scan carries score and gold quality (the Spark plan's
@@ -2505,7 +2505,7 @@ object TextAnalysis extends QueryModule {
          |  GREATEST(len(text), 1) AS nc,
          |  len(list_filter(ws, x -> list_contains($stopListSql, x))) AS stop_hits,
          |  len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
-         |  ROUND($classifierSumSql / len(ws), 6) AS score
+         |  FLOOR(($classifierSumSql / len(ws)) * 1000000.0 + 0.5) / 1000000.0 AS score
          |FROM f),
          |s AS (SELECT
          |  CAST(LEAST(GREATEST(FLOOR((score + 1.0) * 5.0), 0), 9) AS BIGINT) AS bucket,
@@ -2595,8 +2595,8 @@ object TextAnalysis extends QueryModule {
       val sigNames = Seq("n_words", "stop_ratio", "punct_ratio", "quality")
       val sigSel = Seq(
         "CAST(len(ws) AS BIGINT) AS s_n_words",
-        "CAST(FLOOR(ROUND(CAST(stop_hits AS DOUBLE)/nw, 4) * 10000.0 + 0.5) AS BIGINT) AS s_stop_ratio",
-        "CAST(FLOOR(ROUND(CAST(n_punct AS DOUBLE)/nc, 4) * 10000.0 + 0.5) AS BIGINT) AS s_punct_ratio",
+        "CAST(FLOOR(FLOOR((CAST(stop_hits AS DOUBLE)/nw) * 10000.0 + 0.5) / 10000.0 * 10000.0 + 0.5) AS BIGINT) AS s_stop_ratio",
+        "CAST(FLOOR(FLOOR((CAST(n_punct AS DOUBLE)/nc) * 10000.0 + 0.5) / 10000.0 * 10000.0 + 0.5) AS BIGINT) AS s_punct_ratio",
         s"CAST(FLOOR(($qualitySql) * 10000.0 + 0.5) AS BIGINT) AS s_quality"
       ).mkString(",\n  ")
       val pairs = for {
@@ -2934,7 +2934,7 @@ object TextAnalysis extends QueryModule {
          |    ROWS UNBOUNDED PRECEDING) AS cum_cnt
          |  FROM freq)
          |SELECT CAST(rank AS INTEGER) AS rank, w, cnt,
-         |  ROUND(CAST(cum_cnt AS DOUBLE) / total, 6) AS cum_frac
+         |  FLOOR((CAST(cum_cnt AS DOUBLE) / total) * 1000000.0 + 0.5) / 1000000.0 AS cum_frac
          |FROM r, tot WHERE rank <= 200""".stripMargin,
     "q72_pii_scan" -> {
       val countSel = piiPatterns.map { case (n, p) =>
@@ -2969,8 +2969,8 @@ object TextAnalysis extends QueryModule {
          |SELECT source, COUNT(*) AS n_docs,
          |  COUNT(CASE WHEN any_pii THEN 1 END) AS n_pii_docs,
          |  $totSel,
-         |  ROUND(CAST(COUNT(CASE WHEN any_pii THEN 1 END) AS DOUBLE)
-         |    / COUNT(*), 4) AS pii_rate
+         |  FLOOR((CAST(COUNT(CASE WHEN any_pii THEN 1 END) AS DOUBLE)
+         |    / COUNT(*)) * 10000.0 + 0.5) / 10000.0 AS pii_rate
          |FROM s GROUP BY source""".stripMargin
     },
     "q78_corpus_report" ->
@@ -2992,8 +2992,8 @@ object TextAnalysis extends QueryModule {
          |    AS n_excess_copies FROM dup)
          |SELECT n_docs, n_langs, n_gopher_pass, n_rep_pass, n_keep, n_pii,
          |  n_dup_groups, n_excess_copies,
-         |  ROUND(CAST(n_keep AS DOUBLE) / n_docs, 4) AS keep_rate,
-         |  ROUND(CAST(n_pii AS DOUBLE) / n_docs, 4) AS pii_rate
+         |  FLOOR((CAST(n_keep AS DOUBLE) / n_docs) * 10000.0 + 0.5) / 10000.0 AS keep_rate,
+         |  FLOOR((CAST(n_pii AS DOUBLE) / n_docs) * 10000.0 + 0.5) / 10000.0 AS pii_rate
          |FROM base, gateagg, piiagg, dupagg""".stripMargin,
     "q67_bm25" -> {
       val terms = Seq("spark", "join", "query")
@@ -3016,7 +3016,7 @@ object TextAnalysis extends QueryModule {
          |  $scoreSql AS raw
          |FROM m CROSS JOIN g)
          |SELECT doc_id, dl, ${terms.map("tf_" + _).mkString(", ")},
-         |  ROUND(raw, 6) AS bm25
+         |  FLOOR((raw) * 1000000.0 + 0.5) / 1000000.0 AS bm25
          |FROM s WHERE raw > 0 ORDER BY raw DESC, doc_id LIMIT 10""".stripMargin
     }
   )

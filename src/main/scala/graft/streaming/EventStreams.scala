@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.Materialize.CoreOps
+import graft.functions.PortableFuncs.portableRound
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -169,7 +170,7 @@ object EventStreams {
   def decontaminateGate(docs: Dataset[Doc], evalDocs: DataFrame,
                         fpp: Double = 0.01): Dataset[ContamVerdict] = {
     import docs.sparkSession.implicits._
-    import graft.functions.PortableFuncs.{distinctShingles, words}
+    import graft.functions.PortableFuncs.{distinctShingles, words, portableRound}
     val n = graft.scale.Dedup.ShingleSize
     // eval side is batch + bounded (a benchmark suite, not a corpus):
     // one collect at stream start, same driver-bounded discipline as
@@ -359,7 +360,7 @@ object EventStreams {
     import graft.scale.TextAnalysis
     val scored = docs.select(col("ts"), col("text"),
       ceil(length(col("text")).cast("double") / 4d).cast("long").as("toks"),
-      round(TextAnalysis.qualityExpr(col("text")), 4).as("quality"),
+      portableRound(TextAnalysis.qualityExpr(col("text")), 4).as("quality"),
       TextAnalysis.piiPatterns
         .map { case (_, p) => regexp_count(col("text"), lit(p)) > 0 }
         .reduce(_ || _).as("any_pii"))
@@ -709,7 +710,7 @@ object EventStreams {
             val ns = SessionStatsState(None, st.nSessions + 1,
               st.nEvents + s.n, st.totalDurMs + dur,
               math.max(st.maxDurMs, dur))
-            // round-half-up to 2 decimals = batch q124's round(x, 2)
+            // round-half-up to 2 decimals = batch q124's portableRound(x, 2) semantics
             // for the non-negative durations in play
             val mean = math.floor(ns.totalDurMs.toDouble / 10.0 /
               ns.nSessions + 0.5) / 100.0
