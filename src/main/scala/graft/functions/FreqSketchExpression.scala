@@ -209,9 +209,19 @@ case class MisraGriesAggregate(
     }
   }
 
+  /** Buffer wire-format version. v2 added the `decremented` exactness
+    * flag in front of the entry count; the leading version byte makes
+    * a stale streaming-state checkpoint (e.g. one written by the
+    * pre-flag format, whose first byte is a count/boolean 0x00/0x01)
+    * fail LOUDLY on restore instead of silently misparsing — an
+    * MG-bearing streaming checkpoint from an older build must be
+    * discarded, not resumed. */
+  private val MgWireVersion: Byte = 2
+
   override def serialize(buf: MgBuffer): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
+    out.writeByte(MgWireVersion)
     out.writeBoolean(buf.decremented)
     out.writeInt(buf.counts.size)
     val it = buf.counts.entrySet().iterator()
@@ -228,6 +238,11 @@ case class MisraGriesAggregate(
 
   override def deserialize(bytes: Array[Byte]): MgBuffer = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val ver = in.readByte()
+    require(ver == MgWireVersion,
+      s"Misra-Gries buffer wire-format $ver != $MgWireVersion: this is " +
+        "a checkpoint from an incompatible build - discard and rebuild " +
+        "the streaming state")
     val buf = new MgBuffer(capacity)
     buf.decremented = in.readBoolean()
     val n = in.readInt()

@@ -216,9 +216,14 @@ object TemporalOps extends QueryModule {
     * null-guarded against an empty previous stage. */
   private def stageSummary(perUser: DataFrame, stages: Seq[String],
                            reachedStage: Int => Column): DataFrame = {
+    // coalesce: over an EMPTY per-user table (no event matches any
+    // tracked stage — fuzz seed 711's single-event corpus) sum() is
+    // NULL but the oracle's COUNT(*) subqueries are 0 — the board must
+    // read "0 users reached", not NULL, on both engines
     val countCols = count(lit(1)).as("c0") +:
       stages.indices.map(i =>
-        sum(when(reachedStage(i), 1L).otherwise(0L)).as(s"c${i + 1}"))
+        coalesce(sum(when(reachedStage(i), 1L).otherwise(0L)), lit(0L))
+          .as(s"c${i + 1}"))
     val counts = perUser.agg(countCols.head, countCols.tail: _*)
     val stageRows = stages.indices.map { i =>
       val prev = col(s"c$i")

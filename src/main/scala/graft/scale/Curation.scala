@@ -387,7 +387,13 @@ object Curation extends QueryModule {
     * form rides the memoized quality core instead of re-scanning. */
   private[scale] def cellBalancedSelectFrom(scored: DataFrame, emb: DataFrame,
                                             nCells: Int, k: Int): DataFrame = {
-    val cents = Similarity.seedCentroidList(emb, nCells)
+    // seeds drawn from the nonzero-norm universe ONLY (the oracle's
+    // cents CTE bounds nrm > 0): a zero-norm seed would poison the
+    // argmax scan with NaN at k==0 and swallow every row, while the
+    // oracle's NULL cosine sorts last — silent divergence (fuzz r20).
+    // Rows keep the full universe: a zero-norm DOC still lands in the
+    // first real cell, identically on both engines.
+    val cents = Similarity.seedCentroidList(Similarity.nonZeroNorm(emb), nCells)
     val cells = Layout.widen(emb).select(col("vec_id").as("doc_id"),
       graft.functions.VectorExpressions.argMaxCosine(
         toDoubleArray(col("embedding")), cents).as("cell_id"))
@@ -1690,7 +1696,7 @@ object Curation extends QueryModule {
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
          |cents AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn
-         |          FROM n WHERE vec_id < ${Similarity.IvfCells}),
+         |          FROM n WHERE vec_id < ${Similarity.IvfCells} AND nrm > 0),
          |assign AS (SELECT vec_id AS doc_id, cell_id FROM (
          |    SELECT a.vec_id, c.cell_id,
          |      ROW_NUMBER() OVER (PARTITION BY a.vec_id

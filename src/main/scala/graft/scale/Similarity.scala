@@ -336,7 +336,10 @@ object Similarity extends QueryModule {
   }
 
   def ivfCells(emb: DataFrame, nCells: Int = IvfCells): DataFrame =
-    ivfCellsWith(emb, seedCents(emb, nCells))
+    // seeds from the nonzero-norm universe only (every sibling path's
+    // contract — a zero-norm seed poisons the argmax scan with NaN);
+    // assignment keeps the full universe the caller passed
+    ivfCellsWith(emb, seedCents(nonZeroNorm(emb), nCells))
 
   /** The bounded (cell_id, centroid) list collected to the driver —
     * nCells × [[Dim]] doubles (~8 KB at the default 16) at ANY corpus

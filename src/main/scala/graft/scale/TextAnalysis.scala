@@ -1031,7 +1031,11 @@ object TextAnalysis extends QueryModule {
   private[scale] def clusterTopicsFrom(core: DataFrame, emb: DataFrame,
                                        nCells: Int, k: Int,
                                        minCount: Long): DataFrame = {
-    val cents = Similarity.seedCentroidList(emb, nCells)
+    // seeds from the nonzero-norm universe only (oracle cents bounds
+    // nrm > 0) — a zero-norm seed poisons the argmax scan with NaN
+    // and swallows every row while the oracle's NULL cosine sorts
+    // last (fuzz r20). Rows keep the full universe.
+    val cents = Similarity.seedCentroidList(Similarity.nonZeroNorm(emb), nCells)
     val cells = widen(emb).select(col("vec_id").as("doc_id"),
       graft.functions.VectorExpressions.argMaxCosine(
         toDoubleArray(col("embedding")), cents).as("cell_id"))
@@ -2446,7 +2450,7 @@ object TextAnalysis extends QueryModule {
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
          |cents AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM n
-         |          WHERE vec_id < ${Similarity.IvfCells}),
+         |          WHERE vec_id < ${Similarity.IvfCells} AND nrm > 0),
          |assign AS (
          |  SELECT vec_id, cell_id FROM (
          |    SELECT a.vec_id, c.cell_id,

@@ -221,10 +221,20 @@ object EventStreams {
       Dataset[SemDupVerdict] = {
     import vecs.sparkSession.implicits._
     import graft.functions.PortableFuncs.toDoubleArray
+    // seeds and reference both live in the nonzero-norm universe —
+    // batch semDedup's eligibility bound: a zero-norm seed would
+    // poison every ascending argmax scan with NaN at k==0 (fuzz r20),
+    // and a zero-norm reference member can never be a near-dup edge.
+    val refNz = graft.scale.Similarity.nonZeroNorm(refEmb)
     val cents: Seq[(Long, Seq[Double])] =
-      graft.scale.Similarity.seedCentroidList(refEmb, nCells)
-    require(cents.map(_._1) == (0L until nCells.toLong),
-      s"semDedupGate needs contiguous seed cells 0..${nCells - 1}")
+      graft.scale.Similarity.seedCentroidList(refNz, nCells)
+    require(cents.nonEmpty,
+      s"semDedupGate needs at least one nonzero-norm seed below $nCells")
+    // id-sorted, id-CARRYING seed list: the ascending strict-> scan
+    // over it is argMaxCosine's lowest-cell tie-break, and carrying
+    // ids keeps a holed seed set (a zero-norm vec_id < nCells)
+    // hole-for-hole identical to the batch boards.
+    val centIds: Array[Long] = cents.map(_._1).toArray
     val centArr: Array[Array[Double]] = cents.map(_._2.toArray).toArray
     def dot(a: Array[Double], b: Array[Double]): Double = {
       var acc = 0.0; var i = 0
@@ -244,13 +254,14 @@ object EventStreams {
     }
     // the reference, cell-partitioned — one bounded collect at stream
     // start, the decontaminateGate eval-set discipline
-    val refByCell: Map[Int, Array[(Long, Array[Double])]] = refEmb
+    val refByCell: Map[Int, Array[(Long, Array[Double])]] = refNz
       .select(col("vec_id"), toDoubleArray(col("embedding"))).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .groupBy { case (_, v) => cellOf(v) }
       .map { case (c, ms) => c -> ms.sortBy(_._1) }
     val refBc = vecs.sparkSession.sparkContext.broadcast(refByCell)
     val centBc = vecs.sparkSession.sparkContext.broadcast(centArr)
+    val centIdBc = vecs.sparkSession.sparkContext.broadcast(centIds)
     vecs
       .select(col("vec_id"), col("ts"), toDoubleArray(col("embedding")).as("v"))
       .as[(Long, Timestamp, Seq[Double])]
@@ -274,7 +285,7 @@ object EventStreams {
           if (c > maxCos) { maxCos = c; bestRef = rid }
         }
         val dup = maxCos >= minCos
-        SemDupVerdict(id, t, bestK.toLong,
+        SemDupVerdict(id, t, centIdBc.value(bestK),
           if (bestRef >= 0) maxCos else 0.0,
           if (dup) Some(bestRef) else None, dup)
       }

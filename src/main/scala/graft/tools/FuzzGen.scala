@@ -238,12 +238,16 @@ object FuzzGen {
     val anchor = randVec()
     save("embeddings", (0 until nVec).map { i =>
       val v: Array[Float] =
-        if (!tiny && i < 20) anchor.clone() // ALL-IDENTICAL block
+        // failed-encode zeros: i==7 sits BELOW IvfCells=16, so every
+        // seed-centroid draw faces a zero-norm SEED candidate (the
+        // r19 ADVICE gap: FuzzGen's zeros at 150/300 could never
+        // reach the cents CTE) — both engines must exclude it
+        if (!tiny && (i == 7 || i == 150 || i == 300))
+          Array.fill(dim)(0.0f)
+        else if (!tiny && i < 20) anchor.clone() // ALL-IDENTICAL block
         else if (!tiny && i < 30) { // epsilon near-copies of the anchor
           val c = anchor.clone(); c(i % dim) = c(i % dim) + 1e-6f; c
-        } else if (!tiny && (i == 150 || i == 300)) // failed-encode zeros
-          Array.fill(dim)(0.0f)
-        else randVec()
+        } else randVec()
       Row(i.toLong, v.toSeq, rnd.nextInt(10))
     }, StructType(Seq(StructField("vec_id", LongType, nullable = false),
       StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = false),

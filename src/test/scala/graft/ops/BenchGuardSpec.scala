@@ -91,4 +91,44 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(BenchGuard.validateFile(p).isEmpty,
       "a rejected re-commit must leave the prior record untouched")
   }
+
+  test("ambient gate: a contaminated SEQUENTIAL record (the r19 class, " +
+    "ambient 0.94) cannot land at a BENCH_SEQ path ungated; the " +
+    "override demands a noisy_host flag; concurrent and clean records " +
+    "are untouched") {
+    def seqRec(ambient: Double, noisy: Boolean = false): String = {
+      val nf = if (noisy) "\"noisy_host\":true," else ""
+      s"""{"metric":"total","value":163.4,"unit":"sec","mode":"sequential",""" +
+        s"""$nf"load":13.41,"load_ambient":$ambient,"queries":{"q1":0.5}}""" + "\n"
+    }
+    // the exact r19 failure: ambient 0.94, committed as an era baseline
+    val dir = java.nio.file.Files.createTempDirectory("benchambient")
+    val p = dir.resolve("BENCH_SEQ_r20.json")
+    val reason = BenchGuard.commitRecord(p, seqRec(0.94))
+    assert(reason.isDefined, "an ambient-0.94 sequential record must be refused")
+    assert(reason.get.contains("0.94") && reason.get.contains("contaminated"))
+    assert(!java.nio.file.Files.exists(p),
+      "the contaminated record must not land at the record path")
+    // a clean-protocol capture (r18's 0.16, and the boundary side 0.3) lands
+    assert(BenchGuard.validate(seqRec(0.16)).isEmpty)
+    assert(BenchGuard.validate(seqRec(0.3)).isEmpty)
+    // the override alone is NOT enough: a deliberate noisy diagnostic
+    // must also carry the record-level noisy_host flag
+    assert(BenchGuard.validate(seqRec(0.94), allowNoisyAmbient = true).isDefined)
+    assert(BenchGuard.validate(seqRec(0.94, noisy = true),
+      allowNoisyAmbient = true).isEmpty)
+    // ...and without the override the flag alone does not admit it
+    assert(BenchGuard.validate(seqRec(0.94, noisy = true)).isDefined)
+    // concurrent-mode records are not gated on ambient here (their
+    // protocol tolerates load; the 2.0 noisy_host flag marks them)
+    assert(BenchGuard.validate(
+      """{"metric":"total","value":26.3,"unit":"sec","mode":"concurrent",""" +
+        """"load":5.0,"load_ambient":1.37,"queries":{"q1":0.5}}""" + "\n").isEmpty)
+    // the nested composite shape is gated too: a contaminated
+    // sequential half cannot hide one level down
+    assert(BenchGuard.validate(
+      """{"concurrent":{"metric":"total","value":13.9,"mode":"concurrent"},""" +
+        """"sequential":{"metric":"total","value":163.4,"mode":"sequential",""" +
+        """"load_ambient":0.94}}""").isDefined)
+  }
 }

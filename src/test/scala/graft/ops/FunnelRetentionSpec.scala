@@ -113,6 +113,25 @@ class FunnelRetentionSpec extends SparkSpec {
     assert(rows("purchase")._2 === None)
   }
 
+  test("funnel: a corpus with NO tracked event at all reads 0 users per " +
+    "stage, never NULL (fuzz seed 711 — the oracle's COUNT(*) is 0)") {
+    // the single event matches no funnel stage → the per-user table is
+    // EMPTY and every stage sum aggregates zero rows; pre-r20 the
+    // sums surfaced as NULL users while DuckDB's COUNT subqueries
+    // read 0 — a silent cross-engine divergence on degenerate corpora
+    val e = ev((1L, "2026-01-01 10:00:00", "signup"))
+    for (out <- Seq(TemporalOps.funnel(e), TemporalOps.funnelWindow(e))) {
+      val rows = out.collect()
+        .map(r => r.getAs[String]("stage") ->
+          (r.getAs[Any]("users"), Option(r.getAs[Any]("conv_rate")))).toMap
+      assert(rows.size === 3)
+      rows.foreach { case (stage, (users, conv)) =>
+        assert(users === 0L, s"stage $stage users must be 0, not $users")
+        assert(conv === None, s"stage $stage conv_rate over a 0 base is null")
+      }
+    }
+  }
+
   test("funnel plans exactly ONE data-sized shuffle (the per-user groupBy)") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val df = TemporalOps.funnel(graft.Tables.events(spark, "/root/testdata/sf0.001"))

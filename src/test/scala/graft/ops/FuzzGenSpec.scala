@@ -67,9 +67,14 @@ class FuzzGenSpec extends AnyFunSuite with SparkSpec {
     assert(ev.filter(col("props") === lit("""{"k": 0}""")).count() > 0,
       "zero-weight props must exist")
     // failed-encode zeros: the draw that forced the engine-wide
-    // "cosine boards exclude zero-norm vectors" contract
+    // "cosine boards exclude zero-norm vectors" contract — and (r20)
+    // one of them BELOW IvfCells, so every seed-centroid selection
+    // faces a zero-norm SEED candidate (the r19 ADVICE gap)
     val zeros = emb.filter(aggregate(col("embedding"), lit(0.0d),
       (a, x) => a + x * x) === 0.0d)
-    assert(zeros.count() === 2L, "two all-zero embeddings must exist")
+    assert(zeros.count() === 3L, "three all-zero embeddings must exist")
+    assert(zeros.filter(col("vec_id") < graft.scale.Similarity.IvfCells)
+      .count() === 1L, "one zero-norm vector must sit below IvfCells " +
+      "(a zero-norm SEED candidate)")
   }
 }

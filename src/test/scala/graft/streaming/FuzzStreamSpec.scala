@@ -124,7 +124,7 @@ class FuzzStreamSpec extends SparkSpec {
             Option(r.getAs[java.lang.Long]("cluster")).map(_.toLong)))).toMap
       assert(got.keySet === board.keySet,
         s"spine mismatch: missing ${board.keySet -- got.keySet}, " +
-          s"extra ${got.keySet -- got.keySet}")
+          s"extra ${got.keySet -- board.keySet}")
       for ((id, (matched, nm, nc, cl)) <- board)
         assert((got(id).matched, got(id).n_matches, got(id).n_clusters,
           got(id).cluster) === ((matched, nm, nc, cl)), s"vec $id")
