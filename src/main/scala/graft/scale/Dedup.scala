@@ -1045,11 +1045,12 @@ object Dedup extends QueryModule {
     * volume of 8-bit keys — the standard contract of every production
     * near-dup gate. */
   def embeddingNearDupLsh(emb0: DataFrame, minCos: Double): DataFrame = {
-    val emb = Similarity.nonZeroNorm(emb0) // cosine-based board: zero-norm vectors are outside its universe (fuzz r19)
     // sign-plane buckets are FEW (2^planes) and corpus-sized — the
     // sharpest instance of the hot-bucket self-join shape, so route
-    // through the bounded grid (identical output by its contract)
-    Skew.boundedSelfPairs(Similarity.bucketedVectors(emb), Seq("bucket"),
+    // through the bounded grid (identical output by its contract);
+    // zero-norm exclusion rides the keyed projection itself (one cast
+    // per row — Similarity.bucketedVectorsNz)
+    Skew.boundedSelfPairs(Similarity.bucketedVectorsNz(emb0), Seq("bucket"),
         "vec_id", payload = Seq("v", "nrm"))
       .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"),
         (dotProduct(col("v_a"), col("v_b")) /
@@ -1137,7 +1138,10 @@ object Dedup extends QueryModule {
     // seed 101, an empty document's all-zero media embedding), and the
     // oracle's keyed CTE carries the same `nrm > 0` bound. Callers
     // must derive `seeds` from the same filtered set.
-    val base = Similarity.bucketedVectors(emb).filter(col("nrm") > 0d)
+    // bucketedVectorsNz: the nrm > 0 bound rides behind the generator
+    // barrier, so the filter cannot push below the projection and
+    // re-inline a second float→double cast per row (r20 A/B)
+    val base = Similarity.bucketedVectorsNz(emb)
     // Degenerate-corpus contract, mirroring the oracle CTE exactly:
     // with no formable diff plane the oracle's `db` CTE is empty and
     // `keyed` (an inner join against it) is EMPTY — every celled board

@@ -84,6 +84,25 @@ object Similarity extends QueryModule {
       .withColumn("nrm", l2Norm(col("v")))
   }
 
+  /** [[bucketedVectors]] restricted to the nonzero-norm universe, with
+    * the cast paid ONCE: `nonZeroNorm(emb)` ahead of a projection puts
+    * the norm predicate in a separate Filter operator below it, and
+    * codegen's subexpression elimination does not span operators — the
+    * 64-wide float→double array cast (the allocation-heavy step) runs
+    * twice per row, once for the filter's norm and once for the
+    * projection. Here the cast rides behind the `explode(array(...))`
+    * generator barrier (the annIvf pattern): the `nrm > 0` filter
+    * cannot push below a Generate, so each row pays one cast, one
+    * bucket kernel and the norm — measured r20 on q88's timed path
+    * (the lsh_mp arm is the one ANN build inside the rep loop). */
+  private[graft] def bucketedVectorsNz(emb: DataFrame): DataFrame =
+    Layout.widen(emb)
+      .select(col("vec_id"),
+        explode(array(toDoubleArray(col("embedding")))).as("v"))
+      .select(col("vec_id"), fixedPlaneBucket(col("v")).as("bucket"),
+        col("v"), l2Norm(col("v")).as("nrm"))
+      .filter(col("nrm") > 0d)
+
   /** DATA-DEPENDENT sign planes for concentrated corpora: plane `p`
     * points along the DIFFERENCE of seed vectors 2p and 2p+1 (the same
     * first-k seed list the IVF/SemDeDup cells run on), and the bucket
@@ -185,8 +204,9 @@ object Similarity extends QueryModule {
     * scanned once, queries broadcast, bounded top-k aggregate. */
   def knnBruteSampled(emb0: DataFrame, perBucket: Int = 1,
                       k: Int = TopK): DataFrame = {
-    val emb = nonZeroNorm(emb0) // cosine-based board: zero-norm vectors are outside its universe (fuzz r19)
-    val bv = bucketedVectors(emb)
+    // zero-norm exclusion rides the keyed projection (one cast per
+    // scan — bucketedVectorsNz); bv is read three times below
+    val bv = bucketedVectorsNz(emb0)
     val qIds = bv.groupBy(col("bucket"))
       .agg(TopKAgg.topK(negate(col("vec_id").cast("double")),
         col("vec_id"), perBucket).as("qs"))
@@ -232,7 +252,6 @@ object Similarity extends QueryModule {
     * shape. */
   def annLsh(emb0: DataFrame, nQueries: Long = 50L, k: Int = 3,
              maxFlips: Int = 0): DataFrame = {
-    val emb = nonZeroNorm(emb0) // cosine-based board: zero-norm vectors are outside its universe (fuzz r19)
     require(maxFlips >= 0 && maxFlips <= NumPlanes,
       s"maxFlips must be in [0, $NumPlanes]: $maxFlips")
     // masks built as Σ C(planes, ≤maxFlips) combinations directly —
@@ -243,7 +262,9 @@ object Similarity extends QueryModule {
     val masks: Seq[Long] = (0 to maxFlips).flatMap(k =>
       (0 until NumPlanes).combinations(k)
         .map(_.foldLeft(0L)((m, b) => m | (1L << b))))
-    val withBucket = bucketedVectors(emb)
+    // zero-norm exclusion rides the keyed projection itself (one cast
+    // per row — see bucketedVectorsNz; was nonZeroNorm + a second cast)
+    val withBucket = bucketedVectorsNz(emb0)
     val q = withBucket.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("bucket"),
         col("v").as("qv"), col("nrm").as("qn"))
