@@ -179,35 +179,55 @@ object Dedup extends QueryModule {
       bandConfigs: Seq[Int] = Seq(16, 8, 4, 2, 1)): DataFrame = {
     import graft.functions.MinHashExpression.minhashBandHashes
     def r6d(c: Column): Column = floor(c * 1000000d + 0.5d) / 1000000d
-    def arm(b: Int): DataFrame = {
-      val r = NumMinhashes / b
-      val bands = wa.select(col("doc_id"),
-        posexplode(minhashBandHashes(col("ws"), ShingleSize, NumMinhashes, b))
-          .as(Seq("b", "bv")))
-      // the b=16/r=1 arm is the family's sharpest hot-bucket surface
-      // (single-component bands catch everything) — same bounded join
-      val cand = Skew.boundedSelfPairs(bands, Seq("b", "bv"), "doc_id")
-        .distinct()
-      val matched = cand
-        .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
-          Seq("doc_a"))
-        .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
-          Seq("doc_b"))
-        .withColumn("matches",
-          size(filter(zip_with(col("sig_a"), col("sig_b"),
-            (x, y) => when(x === y, lit(1))), c => c.isNotNull)))
-      matched.agg(count(lit(1)).as("n_pairs"),
-          coalesce(sum(col("matches")), lit(0L)).as("sum_matches"),
-          count(when(col("matches") * 2 < NumMinhashes, 1)).as("n_weak"))
-        .select(lit(b).as("n_bands"), lit(r).as("rows_per_band"),
-          lit(bandThreshold(b, r)).as("threshold"),
-          col("n_pairs"),
-          when(col("n_pairs") > 0L,
-            r6d(col("sum_matches").cast("double")
-              / (col("n_pairs") * NumMinhashes))).as("mean_est_jaccard"),
-          col("n_weak"))
-    }
-    bandConfigs.map(arm).reduce(_ unionByName _)
+    val spark = wa.sparkSession
+    // ONE config-tagged union through ONE bounded self-join replaces
+    // the former five per-arm chains (r20): each arm paid its own
+    // boundedSelfPairs — an input checkpoint, a per-key counts pass
+    // and the join — plus two signature joins and an aggregate, ~7
+    // driver-visible stage jobs per arm at sf0.1 where per-row work
+    // is trivial. Keys are namespaced by the config (cfg, b, bv), so
+    // the hot-key routing makes the IDENTICAL per-key decisions and
+    // the per-config pair sets are unchanged; `cfgp` rides as payload
+    // because the pair output drops its join keys. The literal meta
+    // table (n_bands, rows_per_band, threshold) left-joins the
+    // grouped counts so a config with ZERO candidate pairs — the
+    // single-row fuzz profile — still publishes its n_pairs = 0 row
+    // exactly as the former per-arm global aggregate did.
+    // the b=16/r=1 arm is the family's sharpest hot-bucket surface
+    // (single-component bands catch everything) — same bounded join
+    val bandsAll = bandConfigs.map { b =>
+      wa.select(col("doc_id"),
+          posexplode(minhashBandHashes(col("ws"), ShingleSize, NumMinhashes, b))
+            .as(Seq("b", "bv")))
+        .select(lit(b).as("cfg"), lit(b).as("cfgp"), col("b"), col("bv"),
+          col("doc_id"))
+    }.reduce(_ unionByName _)
+    val cand = Skew.boundedSelfPairs(bandsAll, Seq("cfg", "b", "bv"),
+        "doc_id", payload = Seq("cfgp"))
+      .select(col("cfgp_a").as("cfg"), col("doc_a"), col("doc_b"))
+      .distinct()
+    val matched = cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
+        Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+        Seq("doc_b"))
+      .withColumn("matches",
+        size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, lit(1))), c => c.isNotNull)))
+    val grouped = matched.groupBy(col("cfg"))
+      .agg(count(lit(1)).as("pairs"),
+        coalesce(sum(col("matches")), lit(0L)).as("sum_matches"),
+        count(when(col("matches") * 2 < NumMinhashes, 1)).as("weak"))
+    val meta = spark.createDataFrame(bandConfigs.map { b =>
+      (b, NumMinhashes / b, bandThreshold(b, NumMinhashes / b))
+    }).toDF("n_bands", "rows_per_band", "threshold")
+    meta.join(broadcast(grouped), meta("n_bands") === grouped("cfg"), "left")
+      .select(col("n_bands"), col("rows_per_band"), col("threshold"),
+        coalesce(col("pairs"), lit(0L)).as("n_pairs"),
+        when(coalesce(col("pairs"), lit(0L)) > 0L,
+          r6d(col("sum_matches").cast("double")
+            / (col("pairs") * NumMinhashes))).as("mean_est_jaccard"),
+        coalesce(col("weak"), lit(0L)).as("n_weak"))
   }
 
   /** (1/b)^(1/r) for power-of-two r as an exact chain of sqrts,
@@ -460,42 +480,61 @@ object Dedup extends QueryModule {
           col("doc_id").cast("string")).cast("double") /
           lit((1L << 60).toDouble) < lit(sampleRate))
     val sh = simhash(base).coreCheckpoint()
-    configs.map { c =>
-      require(c >= maxDist + 1 && c <= 60,
-        s"numChunks must be in [maxDist+1, 60]: $c")
-      // ONE blocked projection per arm feeds both the occupancy rollup
-      // and the candidate join — re-exploded per consumer from the
-      // small signature checkpoint (cheap bit arithmetic) rather than
-      // written out C(c,m)×n rows wide; ONE per-bucket counts table
-      // feeds both the occupancy stats and the bounded join's routing
-      // (the operator would otherwise aggregate the same table twice)
-      val blocked = blockedSignatures(sh, maxDist, c)
-      val cnts = blocked.groupBy(col("t"), col("kv"))
-        .agg(count(lit(1)).as("__df"))
-        .coreCheckpoint()
-      val occ = cnts
-        .agg(count(lit(1)).as("n_buckets"),
-          sum(col("__df")).as("n_rows"),
-          max(col("__df")).as("max_df"),
-          sum(expr("(__df * (__df - 1)) div 2")).as("emissions"))
-      val stats = Skew.boundedSelfPairs(blocked, Seq("t", "kv"), "doc_id",
-          payload = Seq("simhash"), counts = Some(cnts),
-          inputMaterialized = true)
-        .select(col("doc_a"), col("doc_b"),
-          bit_count(col("simhash_a").bitwiseXOR(col("simhash_b")))
-            .as("dist"))
-        .distinct()
-        .agg(count(lit(1)).as("n_candidates"),
-          count(when(col("dist") <= maxDist, 1)).as("n_true"))
-      occ.crossJoin(stats).select(
-        lit(c).as("n_chunks"),
-        lit(chunkSubsets(maxDist, c).size).as("n_tables"),
-        col("n_rows"), col("n_buckets"), col("max_df"), col("emissions"),
-        col("n_candidates"), col("n_true"),
-        when(col("n_candidates") > 0,
+    val spark = docs.sparkSession
+    configs.foreach(c => require(c >= maxDist + 1 && c <= 60,
+      s"numChunks must be in [maxDist+1, 60]: $c"))
+    // ONE config-tagged blocked projection feeds ONE counts pass, ONE
+    // occupancy rollup and ONE bounded self-join for ALL arms (r20):
+    // each arm used to pay its own counts checkpoint, occupancy
+    // aggregate, bounded join, distinct and candidate aggregate —
+    // ~10 driver-visible stage jobs per arm at sf0.1 where per-row
+    // work is trivial. Keys are namespaced by the config (cfg, t,
+    // kv), so the hot-key routing makes the IDENTICAL per-key
+    // decisions and per-config candidate sets are unchanged; the
+    // blocked union is still re-exploded from the small signature
+    // checkpoint (cheap bit arithmetic), never written out wide. The
+    // literal meta table left-joins both rollups so a config with an
+    // EMPTY sampled corpus still publishes its row with the former
+    // global-aggregate edge values (n_buckets/n_candidates/n_true 0,
+    // sums null).
+    val blockedAll = configs.map { c =>
+      blockedSignatures(sh, maxDist, c)
+        .select(lit(c).as("cfg"), lit(c).as("cfgp"), col("t"), col("kv"),
+          col("doc_id"), col("simhash"))
+    }.reduce(_ unionByName _)
+    val cnts = blockedAll.groupBy(col("cfg"), col("t"), col("kv"))
+      .agg(count(lit(1)).as("__df"))
+      .coreCheckpoint()
+    val occ = cnts.groupBy(col("cfg"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("__df")).as("n_rows"),
+        max(col("__df")).as("max_df"),
+        sum(expr("(__df * (__df - 1)) div 2")).as("emissions"))
+    val stats = Skew.boundedSelfPairs(blockedAll, Seq("cfg", "t", "kv"),
+        "doc_id", payload = Seq("simhash", "cfgp"), counts = Some(cnts),
+        inputMaterialized = true)
+      .select(col("cfgp_a").as("cfg"), col("doc_a"), col("doc_b"),
+        bit_count(col("simhash_a").bitwiseXOR(col("simhash_b")))
+          .as("dist"))
+      .distinct()
+      .groupBy(col("cfg"))
+      .agg(count(lit(1)).as("n_candidates"),
+        count(when(col("dist") <= maxDist, 1)).as("n_true"))
+    val meta = spark.createDataFrame(configs.map(c =>
+      (c, chunkSubsets(maxDist, c).size))).toDF("n_chunks", "n_tables")
+    meta
+      .join(broadcast(occ), meta("n_chunks") === occ("cfg"), "left")
+      .drop("cfg")
+      .join(broadcast(stats), meta("n_chunks") === stats("cfg"), "left")
+      .drop("cfg")
+      .select(col("n_chunks"), col("n_tables"),
+        col("n_rows"), coalesce(col("n_buckets"), lit(0L)).as("n_buckets"),
+        col("max_df"), col("emissions"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        when(coalesce(col("n_candidates"), lit(0L)) > 0,
           r6(col("n_true").cast("double") / col("n_candidates")))
           .as("true_rate"))
-    }.reduce(_ unionByName _)
   }
 
   /** Connected components over a near-dup pair list — the step that

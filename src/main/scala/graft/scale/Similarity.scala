@@ -1120,26 +1120,44 @@ object Similarity extends QueryModule {
     * Each `arms` entry is (method, top-k table, min-recall gate). */
   def annRecallFrom(truthFull: DataFrame,
                     arms: Seq[(String, DataFrame, Double)]): DataFrame = {
+    val spark = truthFull.sparkSession
     val truth = truthFull
       .select(col("q_id"), col("c_id")).coreCheckpoint()
-    def audit(method: String, ann: DataFrame, minRecall: Double): DataFrame = {
-      val hits = ann.select(col("q_id"), col("c_id"))
-        .join(truth, Seq("q_id", "c_id"), "left_semi")
-        .agg(count(lit(1)).as("n_hits"))
-      val tot = truth.agg(count(lit(1)).as("n_truth"))
-      // 1-row × 1-row cross join; recall_ok compares the ROUNDED value
-      // so both engines test the same 4-decimal number
-      hits.crossJoin(tot)
-        .select(lit(method).as("method"), col("n_truth"), col("n_hits"),
-          // n_truth = 0 (single-vector corpus: no neighbor pairs) has
-          // no defined recall: NULL, the value DuckDB's double/0
-          // yields; the lazy CaseWhen keeps ANSI division from
-          // throwing. portableRound: engine-identical tie-break.
-          when(col("n_truth") > 0, portableRound(
-            col("n_hits").cast("double") / col("n_truth"), 4)).as("recall"))
-        .withColumn("recall_ok", col("recall") >= minRecall)
-    }
-    arms.map { case (m, ann, r) => audit(m, ann, r) }.reduce(_ unionByName _)
+    // ONE tagged union + ONE semi-join + ONE grouped count replace the
+    // former per-arm join→agg→crossJoin chain (r20): six arms cost six
+    // broadcast semi-joins and twelve 1-row aggregates as separate AQE
+    // stage jobs on q88's tail — at sf0.1 a query's wall is dominated
+    // by its driver-visible stage count, not per-row work — where the
+    // fused shape pays one join and one aggregate regardless of arm
+    // count. Per-arm rows, values and types are unchanged (check.py
+    // sorts rows, so row order is free); the literal arm table anchors
+    // the board so an arm with ZERO hits — or zero result rows on a
+    // degenerate corpus — still publishes its n_hits = 0 row exactly
+    // as the per-arm count() did.
+    val tagged = arms.map { case (m, ann, _) =>
+      ann.select(lit(m).as("method"), col("q_id"), col("c_id"))
+    }.reduce(_ unionByName _)
+    val hitCounts = tagged
+      .join(truth, Seq("q_id", "c_id"), "left_semi")
+      .groupBy(col("method")).agg(count(lit(1)).as("hits"))
+    val armMeta = spark.createDataFrame(
+      arms.map { case (m, _, r) => (m, r) }).toDF("method", "min_recall")
+    armMeta.join(broadcast(hitCounts), Seq("method"), "left")
+      .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+      .select(col("method"), col("n_truth"),
+        coalesce(col("hits"), lit(0L)).as("n_hits"),
+        // n_truth = 0 (single-vector corpus: no neighbor pairs) has
+        // no defined recall: NULL, the value DuckDB's double/0
+        // yields; the lazy CaseWhen keeps ANSI division from
+        // throwing. portableRound: engine-identical tie-break.
+        // recall_ok compares the ROUNDED value so both engines test
+        // the same 4-decimal number.
+        when(col("n_truth") > 0, portableRound(
+          coalesce(col("hits"), lit(0L)).cast("double") / col("n_truth"), 4))
+          .as("recall"),
+        col("min_recall"))
+      .withColumn("recall_ok", col("recall") >= col("min_recall"))
+      .drop("min_recall")
   }
 
   /** q158: leave-one-out kNN label accuracy — the embedding-quality
@@ -1242,31 +1260,62 @@ object Similarity extends QueryModule {
       .join(broadcast(occ), Seq("cell_id"))
       .coreCheckpoint() // nQueries × maxProbes rows
     val nVecs = emb.agg(count(lit(1)).as("n_vecs"))
-    def armRow(p: Int): DataFrame = {
-      val hits = annIvfFromParts(corpus,
-        probes.filter(col("rn") <= p)
-          .select(col("q_id"), col("qv"), col("qn"), col("cell_id")), k)
-        .select(col("q_id"), col("c_id"))
-        .join(truth, Seq("q_id", "c_id"), "left_semi")
-        .agg(count(lit(1)).as("n_hits"))
-      val tot = truth.agg(count(lit(1)).as("n_truth"))
-      val cost = probes.filter(col("rn") <= p)
-        .agg((sum(col("occ")) - countDistinct(col("q_id"))).as("n_candidates"),
-          countDistinct(col("q_id")).as("n_q"))
-      hits.crossJoin(tot).crossJoin(cost).crossJoin(broadcast(nVecs))
-        .select(lit(p).as("n_probes"), col("n_truth"), col("n_hits"),
-          // zero denominators (single-vector corpus: no truth pairs,
-          // n_vecs-1 = 0) yield NULL — the value DuckDB's double/0
-          // already produces; the lazy CaseWhen keeps ANSI division
-          // from throwing (fuzz tiny profile)
-          when(col("n_truth") > 0, portableRound(
-            col("n_hits").cast("double") / col("n_truth"), 4)).as("recall"),
-          col("n_candidates"),
-          when(col("n_q") * (col("n_vecs") - 1) > 0, portableRound(
-            col("n_candidates").cast("double") /
-              (col("n_q") * (col("n_vecs") - 1)), 4)).as("scan_frac"))
-    }
-    probesList.map(armRow).reduce(_ unionByName _)
+    val spark = emb.sparkSession
+    // ONE scored candidate pass + ONE per-(arm, query) top-k + ONE
+    // truth semi-join + ONE occupancy rollup replace the former four
+    // per-arm chains (r20): each arm re-joined the checkpointed corpus
+    // against its probe slice, re-ranked, re-counted hits and re-read
+    // the occupancy — ~10 driver-visible stage jobs per arm at sf0.1
+    // where per-row work is trivial (q155 profiled at 45 jobs). A
+    // candidate's probe rank `rn` decides which arms see it (rn ≤ p —
+    // candidate sets nest), so exploding each scored row to its
+    // eligible arms and grouping by (arm, query) computes the SAME
+    // per-arm top-k (same scores, same c_id tie-break) in one
+    // aggregate; the literal arm table anchors arms with zero rows on
+    // degenerate corpora, and the null/zero edge behavior matches the
+    // former global aggregates (nulls on empty probe/truth sides,
+    // null scan_frac when the denominator is 0).
+    val armsLit = typedLit(probesList)
+    val scored = corpus.join(broadcast(probes), Seq("cell_id"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), col("rn"),
+        (dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+      .select(col("q_id"), col("c_id"), col("cos"),
+        explode(filter(armsLit, p => p >= col("rn"))).as("p"))
+    val hitsByArm = scored
+      .groupBy(col("p"), col("q_id"))
+      .agg(TopKAgg.topK(col("cos"), col("c_id"), k).as("top"))
+      .select(col("p"), col("q_id"), explode(col("top.id")).as("c_id"))
+      .join(truth, Seq("q_id", "c_id"), "left_semi")
+      .groupBy(col("p")).agg(count(lit(1)).as("hits"))
+    val costByArm = probes
+      .select(col("q_id"), col("occ"),
+        explode(filter(armsLit, p => p >= col("rn"))).as("p"))
+      .groupBy(col("p"))
+      .agg((sum(col("occ")) - countDistinct(col("q_id"))).as("n_candidates"),
+        countDistinct(col("q_id")).as("n_q"))
+    val meta = spark.createDataFrame(probesList.map(Tuple1(_)))
+      .toDF("n_probes")
+    meta
+      .join(broadcast(hitsByArm), meta("n_probes") === hitsByArm("p"), "left")
+      .drop("p")
+      .join(broadcast(costByArm), meta("n_probes") === costByArm("p"), "left")
+      .drop("p")
+      .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+      .crossJoin(broadcast(nVecs))
+      .select(col("n_probes"), col("n_truth"),
+        coalesce(col("hits"), lit(0L)).as("n_hits"),
+        // zero denominators (single-vector corpus: no truth pairs,
+        // n_vecs-1 = 0) yield NULL — the value DuckDB's double/0
+        // already produces; the lazy CaseWhen keeps ANSI division
+        // from throwing (fuzz tiny profile)
+        when(col("n_truth") > 0, portableRound(
+          coalesce(col("hits"), lit(0L)).cast("double") / col("n_truth"), 4))
+          .as("recall"),
+        col("n_candidates"),
+        when(coalesce(col("n_q"), lit(0L)) * (col("n_vecs") - 1) > 0,
+          portableRound(col("n_candidates").cast("double") /
+            (col("n_q") * (col("n_vecs") - 1)), 4)).as("scan_frac"))
   }
 
   /** IVF index health — the BATCH staleness report whose streaming
