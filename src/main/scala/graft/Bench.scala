@@ -1,6 +1,22 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** The FINAL stdout line: a summary record with NO per-query map.
+    * Twenty rounds of driver records (`BENCH_r01..r20.json`) have
+    * `parsed: null` because the driver keeps only a ~2000-char tail of
+    * the run's output and every line carrying the 184-query map is
+    * ~5 KB — the tail holds the line's rump, which is not JSON. This
+    * line is complete well inside that window (< 1 KB), so a
+    * tail-window parse finds a whole `{"metric":...,"value":N}`
+    * object; the full-precision per-query record still lands at
+    * `target/bench.json` (and `$SPARK_GRAFT_BENCH_OUT`), named here in
+    * `record` so a reader of the summary can find it. Additions-only:
+    * the two preceding lines (full record, per-query compact line) are
+    * unchanged for BenchGuard/record compatibility. */
+  def summaryJson(total: String, sfName: String, modeField: String,
+                  noisyField: String, errorsField: String, load: Double,
+                  loadAmbient: Double, nQueries: Int): String =
+    s"""{"metric":"total","value":$total,"unit":"sec",$modeField$noisyField$errorsField"n_queries":$nQueries,"load":$load,"load_ambient":$loadAmbient,"record":"target/bench.json","sf":"$sfName"}"""
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to every core on the host: the driver's bench harness sets
@@ -364,6 +380,9 @@ object Bench {
       .mkString("{", ",", "}")
     val sfName = new java.io.File(sfDir).getName
     println(s"""{"queries":$qs,"sf":"$sfName","unit":"sec",$modeField$noisyField$errorsField"load":$load,"load_ambient":$loadAmbient,"metric":"total","value":${fmt(total)}}""")
+    // LAST line — see summaryJson: complete inside a 2000-char tail
+    println(summaryJson(fmt(total), sfName, modeField, noisyField,
+      errorsField, load, loadAmbient, results.size))
     spark.stop()
     if (!failed.isEmpty) {
       System.err.println(s"[bench] ${failed.size} quer${
