@@ -57,20 +57,49 @@ object VectorExpressions {
 
   private[functions] def checkDoubleArrays(
       name: String, left: Expression, right: Expression): TypeCheckResult = {
-    // compare element types only: containsNull varies by producer
-    def ok(t: DataType): Boolean = t match {
-      case ArrayType(DoubleType, _) => true
-      case _ => false
-    }
-    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    if (isVecArray(left) && isVecArray(right)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$name requires two array<double> arguments, got " +
+      s"$name requires two array<double|float> arguments, got " +
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
+
+  /** These kernels accept `array<double>` OR `array<float>` per side
+    * (element types only — containsNull varies by producer): a float
+    * element is widened IN-REGISTER exactly where the former plan cast
+    * the whole array up front, and float→double widening is EXACT
+    * (every float32 is representable), so results are bit-identical to
+    * the cast-then-compute plan. What changes is the physical cost:
+    * no per-row 64-element double-array allocation at the scan, and
+    * every checkpoint/exchange that carries the vector payload moves
+    * 4 bytes per element instead of 8 — the guide's "narrower types /
+    * shuffle fewer bytes" lever applied to the ANN/dedup hot path. */
+  private[functions] def isVecArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  private[functions] def isFloatArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  /** Interpreted-path element read, widened to double. */
+  @inline private[functions] def elem(a: ArrayData, i: Int,
+                                      float: Boolean): Double =
+    if (float) a.getFloat(i).toDouble else a.getDouble(i)
+
+  /** Codegen element read, widened to double. */
+  private[functions] def elemCode(arr: String, i: String,
+                                  float: Boolean): String =
+    if (float) s"((double) $arr.getFloat($i))" else s"$arr.getDouble($i)"
 }
 
 case class ArrayDot(left: Expression, right: Expression)
     extends BinaryExpression {
+  import VectorExpressions.{elem, elemCode, isFloatArray}
+
+  @transient private lazy val lF = isFloatArray(left)
+  @transient private lazy val rF = isFloatArray(right)
 
   override def checkInputDataTypes(): TypeCheckResult =
     VectorExpressions.checkDoubleArrays(prettyName, left, right)
@@ -83,7 +112,7 @@ case class ArrayDot(left: Expression, right: Expression)
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0
     var i = 0
-    while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) { dot += elem(x, i, lF) * elem(y, i, rF); i += 1 }
     dot
   }
 
@@ -95,7 +124,7 @@ case class ArrayDot(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |${ev.value} = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  ${ev.value} += $a.getDouble($i) * $b.getDouble($i);
+         |  ${ev.value} += ${elemCode(a, i, lF)} * ${elemCode(b, i, rF)};
          |}
        """.stripMargin
     })
@@ -107,6 +136,10 @@ case class ArrayDot(left: Expression, right: Expression)
 
 case class ArraySquaredL2(left: Expression, right: Expression)
     extends BinaryExpression {
+  import VectorExpressions.{elem, elemCode, isFloatArray}
+
+  @transient private lazy val lF = isFloatArray(left)
+  @transient private lazy val rF = isFloatArray(right)
 
   override def checkInputDataTypes(): TypeCheckResult =
     VectorExpressions.checkDoubleArrays(prettyName, left, right)
@@ -121,7 +154,7 @@ case class ArraySquaredL2(left: Expression, right: Expression)
     var i = 0
     // same sequential fold as aggregate(zip_with(a,b,(p,q)=>(p-q)*(p-q)))
     // — bit-identical doubles, no per-row intermediate array
-    while (i < n) { val d = x.getDouble(i) - y.getDouble(i); acc += d * d; i += 1 }
+    while (i < n) { val d = elem(x, i, lF) - elem(y, i, rF); acc += d * d; i += 1 }
     acc
   }
 
@@ -134,7 +167,7 @@ case class ArraySquaredL2(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |${ev.value} = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  double $d = ${elemCode(a, i, lF)} - ${elemCode(b, i, rF)};
          |  ${ev.value} += $d * $d;
          |}
        """.stripMargin
@@ -147,6 +180,10 @@ case class ArraySquaredL2(left: Expression, right: Expression)
 
 case class ArrayCosine(left: Expression, right: Expression)
     extends BinaryExpression {
+  import VectorExpressions.{elem, elemCode, isFloatArray}
+
+  @transient private lazy val lF = isFloatArray(left)
+  @transient private lazy val rF = isFloatArray(right)
 
   override def checkInputDataTypes(): TypeCheckResult =
     VectorExpressions.checkDoubleArrays(prettyName, left, right)
@@ -160,7 +197,7 @@ case class ArrayCosine(left: Expression, right: Expression)
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
-      val xv = x.getDouble(i); val yv = y.getDouble(i)
+      val xv = elem(x, i, lF); val yv = elem(y, i, rF)
       dot += xv * yv; nx += xv * xv; ny += yv * yv
       i += 1
     }
@@ -180,8 +217,8 @@ case class ArrayCosine(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $xv = $a.getDouble($i);
-         |  double $yv = $b.getDouble($i);
+         |  double $xv = ${elemCode(a, i, lF)};
+         |  double $yv = ${elemCode(b, i, rF)};
          |  $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
          |}
          |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
@@ -317,7 +354,9 @@ case class PqAssignExpression(child: Expression, book: Seq[Seq[Seq[Double]]])
   * the corpus contract (nonzero vectors) makes this unreachable. */
 case class ArgMaxCosineExpression(child: Expression, cells: Seq[(Long, Seq[Double])])
     extends UnaryExpression {
+  import VectorExpressions.{elem, elemCode, isFloatArray}
 
+  @transient private lazy val cF = isFloatArray(child)
   @transient private lazy val sorted = cells.sortBy(_._1)
   @transient private lazy val ids: Array[Long] = sorted.map(_._1).toArray
   @transient private lazy val vecs: Array[Array[Double]] =
@@ -329,9 +368,10 @@ case class ArgMaxCosineExpression(child: Expression, cells: Seq[(Long, Seq[Doubl
   }
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(DoubleType, _) | ArrayType(FloatType, _) =>
+      TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires an array<double> argument, got ${t.simpleString}")
+      s"$prettyName requires an array<double|float> argument, got ${t.simpleString}")
   }
   override def dataType: DataType = LongType
   override def prettyName: String = "argmax_cosine"
@@ -341,7 +381,7 @@ case class ArgMaxCosineExpression(child: Expression, cells: Seq[(Long, Seq[Doubl
     val vn = v.numElements()
     var acc = 0.0
     var i = 0
-    while (i < vn) { val x = v.getDouble(i); acc += x * x; i += 1 }
+    while (i < vn) { val x = elem(v, i, cF); acc += x * x; i += 1 }
     val nv = math.sqrt(acc)
     var bestK = 0
     var bestC = 0.0
@@ -351,7 +391,7 @@ case class ArgMaxCosineExpression(child: Expression, cells: Seq[(Long, Seq[Doubl
       val n = math.min(vn, c.length)
       var dot = 0.0
       i = 0
-      while (i < n) { dot += v.getDouble(i) * c(i); i += 1 }
+      while (i < n) { dot += elem(v, i, cF) * c(i); i += 1 }
       val cos = dot / (nv * norms(k))
       if (k == 0 || cos > bestC) { bestC = cos; bestK = k }
       k += 1
@@ -380,7 +420,7 @@ case class ArgMaxCosineExpression(child: Expression, cells: Seq[(Long, Seq[Doubl
          |int $vn = $a.numElements();
          |double $acc = 0.0;
          |for (int $i = 0; $i < $vn; $i++) {
-         |  double $x = $a.getDouble($i); $acc += $x * $x;
+         |  double $x = ${elemCode(a, i, cF)}; $acc += $x * $x;
          |}
          |double $nv = java.lang.Math.sqrt($acc);
          |int $bestK = 0; double $bestC = 0.0;
@@ -388,7 +428,7 @@ case class ArgMaxCosineExpression(child: Expression, cells: Seq[(Long, Seq[Doubl
          |  double[] $c = $vecsRef[$kk];
          |  int $n = java.lang.Math.min($vn, $c.length);
          |  double $dot = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) { $dot += $a.getDouble($i) * $c[$i]; }
+         |  for (int $i = 0; $i < $n; $i++) { $dot += ${elemCode(a, i, cF)} * $c[$i]; }
          |  double $cos = $dot / ($nv * $normsRef[$kk]);
          |  if ($kk == 0 || $cos > $bestC) { $bestC = $cos; $bestK = $kk; }
          |}
@@ -423,6 +463,9 @@ case class ArgMax2CosineExpression(child: Expression, cells: Seq[(Long, Seq[Doub
       "yields a NaN cosine for every input, and the degenerate " +
       "fallback would diverge from the SQL rank-2 order")
 
+  import VectorExpressions.{elem, elemCode, isFloatArray}
+
+  @transient private lazy val cF = isFloatArray(child)
   @transient private lazy val sorted = cells.sortBy(_._1)
   @transient private lazy val ids: Array[Long] = sorted.map(_._1).toArray
   @transient private lazy val vecs: Array[Array[Double]] =
@@ -434,9 +477,10 @@ case class ArgMax2CosineExpression(child: Expression, cells: Seq[(Long, Seq[Doub
   }
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(DoubleType, _) | ArrayType(FloatType, _) =>
+      TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires an array<double> argument, got ${t.simpleString}")
+      s"$prettyName requires an array<double|float> argument, got ${t.simpleString}")
   }
   override def dataType: DataType = LongType
   override def prettyName: String = "argmax2_cosine"
@@ -446,7 +490,7 @@ case class ArgMax2CosineExpression(child: Expression, cells: Seq[(Long, Seq[Doub
     val vn = v.numElements()
     var acc = 0.0
     var i = 0
-    while (i < vn) { val x = v.getDouble(i); acc += x * x; i += 1 }
+    while (i < vn) { val x = elem(v, i, cF); acc += x * x; i += 1 }
     val nv = math.sqrt(acc)
     var bestK = -1; var bestC = Double.NegativeInfinity
     var secK = -1; var secC = Double.NegativeInfinity
@@ -456,7 +500,7 @@ case class ArgMax2CosineExpression(child: Expression, cells: Seq[(Long, Seq[Doub
       val n = math.min(vn, c.length)
       var dot = 0.0
       i = 0
-      while (i < n) { dot += v.getDouble(i) * c(i); i += 1 }
+      while (i < n) { dot += elem(v, i, cF) * c(i); i += 1 }
       val cos = dot / (nv * norms(k))
       if (cos > bestC) { secC = bestC; secK = bestK; bestC = cos; bestK = k }
       else if (cos > secC) { secC = cos; secK = k }
@@ -489,7 +533,7 @@ case class ArgMax2CosineExpression(child: Expression, cells: Seq[(Long, Seq[Doub
          |int $vn = $a.numElements();
          |double $acc = 0.0;
          |for (int $i = 0; $i < $vn; $i++) {
-         |  double $x = $a.getDouble($i); $acc += $x * $x;
+         |  double $x = ${elemCode(a, i, cF)}; $acc += $x * $x;
          |}
          |double $nv = java.lang.Math.sqrt($acc);
          |int $bestK = -1; double $bestC = Double.NEGATIVE_INFINITY;
@@ -498,7 +542,7 @@ case class ArgMax2CosineExpression(child: Expression, cells: Seq[(Long, Seq[Doub
          |  double[] $c = $vecsRef[$kk];
          |  int $n = java.lang.Math.min($vn, $c.length);
          |  double $dot = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) { $dot += $a.getDouble($i) * $c[$i]; }
+         |  for (int $i = 0; $i < $n; $i++) { $dot += ${elemCode(a, i, cF)} * $c[$i]; }
          |  double $cos = $dot / ($nv * $normsRef[$kk]);
          |  if ($cos > $bestC) {
          |    $secC = $bestC; $secK = $bestK; $bestC = $cos; $bestK = $kk;

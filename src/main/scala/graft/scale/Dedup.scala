@@ -1703,11 +1703,12 @@ object Dedup extends QueryModule {
                nCells: Int = Similarity.IvfCells): DataFrame = {
     val emb = Similarity.nonZeroNorm(emb0) // cosine-based board: zero-norm vectors are outside its universe (fuzz r19)
     val cents = Similarity.seedCentroidList(emb, nCells)
-    // one scan yields id, cell, double vector and norm; the
-    // explode(array(...)) generator barrier keeps the double cast from
-    // being re-inlined into each consumer (the annIvf pattern)
+    // one scan yields id, cell, RAW FLOAT vector and norm (r21): the
+    // kernels widen in-register — same doubles, half the pair-join
+    // payload bytes, and no per-row cast allocation (the former
+    // explode(array(cast)) barrier existed only for the cast)
     val assigned = Layout.widen(emb)
-      .select(col("vec_id"), explode(array(toDoubleArray(col("embedding")))).as("v"))
+      .select(col("vec_id"), col("embedding").as("v"))
       .select(col("vec_id"),
         graft.functions.VectorExpressions.argMaxCosine(col("v"), cents)
           .as("cell_id"),
@@ -2516,8 +2517,9 @@ object Dedup extends QueryModule {
     * and the reason the gate role, not the corpus pass, is its job. */
   def embeddingNearDup(emb0: DataFrame, minCos: Double, maxId: Long): DataFrame = {
     val emb = Similarity.nonZeroNorm(emb0) // cosine-based board: zero-norm vectors are outside its universe (fuzz r19)
+    // raw float32 pair scoring (r21): kernels widen in-register
     val e = emb.filter(col("vec_id") < maxId)
-      .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+      .select(col("vec_id"), col("embedding").as("v"))
     val withNorm = e.select(col("vec_id"), col("v"), l2Norm(col("v")).as("nrm"))
     val a = withNorm.as("a"); val b = withNorm.as("b")
     a.join(b, col("a.vec_id") < col("b.vec_id"))

@@ -72,35 +72,35 @@ object Similarity extends QueryModule {
     emb.select(col("vec_id"),
       fixedPlaneBucket(toDoubleArray(col("embedding"))).as("bucket"))
 
-  /** (vec_id, bucket, double vector, norm) in ONE scan — bucket, cast
-    * and norm are all projections of the same embedding read, so no
-    * join-back to the source is ever needed (the former
+  /** (vec_id, bucket, FLOAT vector, norm) in ONE scan — bucket and
+    * norm are projections of the same embedding read, so no join-back
+    * to the source is ever needed (the former
     * `lshBuckets(emb).join(emb, "vec_id")` shape scanned the table
-    * twice and paid a self-join shuffle for the privilege). */
-  def bucketedVectors(emb: DataFrame): DataFrame = {
-    val v = toDoubleArray(col("embedding"))
+    * twice and paid a self-join shuffle for the privilege).
+    *
+    * `v` carries the RAW float32 column (r21): every downstream dot /
+    * norm / argmax kernel widens float elements in-register
+    * (bit-identical to the former cast-then-compute plan, float→double
+    * widening being exact), so the per-row 64-element double-array
+    * allocation is gone and every exchange / checkpoint that ships the
+    * payload moves half the bytes — the guide's narrower-types lever
+    * on the ANN/dedup hot path. */
+  def bucketedVectors(emb: DataFrame): DataFrame =
     Layout.widen(emb)
-      .select(col("vec_id"), fixedPlaneBucket(v).as("bucket"), v.as("v"))
+      .select(col("vec_id"), fixedPlaneBucket(col("embedding")).as("bucket"),
+        col("embedding").as("v"))
       .withColumn("nrm", l2Norm(col("v")))
-  }
 
-  /** [[bucketedVectors]] restricted to the nonzero-norm universe, with
-    * the cast paid ONCE: `nonZeroNorm(emb)` ahead of a projection puts
-    * the norm predicate in a separate Filter operator below it, and
-    * codegen's subexpression elimination does not span operators — the
-    * 64-wide float→double array cast (the allocation-heavy step) runs
-    * twice per row, once for the filter's norm and once for the
-    * projection. Here the cast rides behind the `explode(array(...))`
-    * generator barrier (the annIvf pattern): the `nrm > 0` filter
-    * cannot push below a Generate, so each row pays one cast, one
-    * bucket kernel and the norm — measured r20 on q88's timed path
-    * (the lsh_mp arm is the one ANN build inside the rep loop). */
+  /** [[bucketedVectors]] restricted to the nonzero-norm universe. The
+    * r19/r20 explode(array(cast)) generator barrier is GONE with the
+    * cast itself (r21 float-reading kernels): there is no per-row
+    * array allocation left to protect, and the worst the pushed
+    * `nrm > 0` filter can now do is re-run the 64-fma norm loop below
+    * the projection — arithmetic, not allocation. */
   private[graft] def bucketedVectorsNz(emb: DataFrame): DataFrame =
     Layout.widen(emb)
-      .select(col("vec_id"),
-        explode(array(toDoubleArray(col("embedding")))).as("v"))
-      .select(col("vec_id"), fixedPlaneBucket(col("v")).as("bucket"),
-        col("v"), l2Norm(col("v")).as("nrm"))
+      .select(col("vec_id"), fixedPlaneBucket(col("embedding")).as("bucket"),
+        col("embedding").as("v"), l2Norm(col("embedding")).as("nrm"))
       .filter(col("nrm") > 0d)
 
   /** DATA-DEPENDENT sign planes for concentrated corpora: plane `p`
@@ -169,11 +169,13 @@ object Similarity extends QueryModule {
     * display rounding) is pinned equal to the window form by spec. */
   def knnBrute(emb0: DataFrame, nQueries: Long = GateQueries, k: Int = TopK): DataFrame = {
     val emb = nonZeroNorm(emb0) // cosine-based board: zero-norm vectors are outside its universe (fuzz r19)
+    // raw float32 vectors end-to-end (r21): the pair-scoring loop
+    // widens in-register — same doubles, half the broadcast bytes
     val corpus = Layout.widen(emb).select(col("vec_id").as("c_id"),
-      toDoubleArray(col("embedding")).as("cv"))
+      col("embedding").as("cv"))
       .withColumn("cn", l2Norm(col("cv")))
     val queries = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), toDoubleArray(col("embedding")).as("qv"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
       .withColumn("qn", l2Norm(col("qv")))
     corpus.join(broadcast(queries), col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
@@ -392,7 +394,7 @@ object Similarity extends QueryModule {
     Layout.widen(emb)
       .select(col("vec_id"),
         graft.functions.VectorExpressions.argMaxCosine(
-          toDoubleArray(col("embedding")), collectCents(cents)).as("cell_id"))
+          col("embedding"), collectCents(cents)).as("cell_id"))
 
   /** ANN via IVF: per query, probe the `nProbes` closest cells and
     * exact-rank the candidates. */
@@ -406,17 +408,17 @@ object Similarity extends QueryModule {
                                 nQueries: Long = GateQueries, k: Int = TopK,
                                 nProbes: Int = IvfProbes): DataFrame = {
     val local = collectCents(centsDf)
-    val vecs = emb.select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+    // raw float32 vectors (r21): the kernels widen in-register, so the
+    // former explode(array(cast)) barrier — which existed only to pay
+    // the double cast once — is gone along with the cast
+    val vecs = emb.select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", l2Norm(col("v")))
     // ONE scan produces id, cell assignment, vector and norm — the
     // former shape joined the corpus BACK onto its own cell assignment
     // by vec_id: two full-corpus exchanges (the assignment aggregate +
-    // the self-join) to attach a column the row itself determines. The
-    // explode(array(...)) generator barrier keeps the double cast from
-    // being re-inlined into each consumer (see quantizeStats).
+    // the self-join) to attach a column the row itself determines.
     val corpus = Layout.widen(emb)
-      .select(col("vec_id").as("c_id"),
-        explode(array(toDoubleArray(col("embedding")))).as("cv"))
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
       .select(col("c_id"),
         graft.functions.VectorExpressions.argMaxCosine(col("cv"), local)
           .as("cell_id"),
@@ -587,7 +589,8 @@ object Similarity extends QueryModule {
     * the celled near-dup chain's eligibility bound (a zero-norm vector
     * has no direction; the oracle keyed CTEs carry `nrm > 0`). */
   private[graft] def nonZeroNorm(emb: DataFrame): DataFrame =
-    emb.filter(l2Norm(toDoubleArray(col("embedding"))) > lit(0d))
+    // float-reading norm (r21): same IEEE value, no cast allocation
+    emb.filter(l2Norm(col("embedding")) > lit(0d))
 
   private def seedCents(emb: DataFrame, nCells: Int): DataFrame =
     emb.filter(col("vec_id") < nCells)
@@ -825,7 +828,8 @@ object Similarity extends QueryModule {
       .agg(TopKAgg.topK(-col("adist"), col("c_id"), k * refine).as("top"))
       .select(col("q_id"), explode(col("top.id")).as("c_id"))
     // exact re-rank: only shortlist vectors are read at full fidelity
-    val vecs = emb.select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+    // (raw float32 — the dot kernel widens in-register, r21)
+    val vecs = emb.select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", l2Norm(col("v")))
     val qv = vecs.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
@@ -1236,9 +1240,10 @@ object Similarity extends QueryModule {
     // ONE assigned-corpus scan shared by every arm — four annIvf arms
     // each rebuilding the argmax-assignment scan was the whole cost of
     // this board's first cut
+    // raw float32 corpus payload (r21): halves the checkpointed bytes
+    // every arm re-reads; kernels widen in-register (same doubles)
     val corpus = Layout.widen(emb)
-      .select(col("vec_id").as("c_id"),
-        explode(array(toDoubleArray(col("embedding")))).as("cv"))
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
       .select(col("c_id"),
         graft.functions.VectorExpressions.argMaxCosine(col("cv"), local)
           .as("cell_id"),
@@ -1249,7 +1254,7 @@ object Similarity extends QueryModule {
     val probeW = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("cell_id").asc)
     val probes = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), toDoubleArray(col("embedding")).as("qv"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
       .withColumn("qn", l2Norm(col("qv")))
       .join(broadcast(cents))
       .select(col("q_id"), col("qv"), col("qn"), col("cell_id"),
@@ -1343,7 +1348,7 @@ object Similarity extends QueryModule {
       math.sqrt(c.map(x => x * x).sum) })
     val idx = (col("cell_id") + 1).cast("int")
     val assigned = Layout.widen(emb)
-      .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+      .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("cell_id",
         graft.functions.VectorExpressions.argMaxCosine(col("v"), cents))
       .withColumn("cos", dotProduct(col("v"), element_at(cvs, idx)) /
@@ -1419,7 +1424,8 @@ object Similarity extends QueryModule {
     */
   def jlProject(emb: DataFrame, dims: Int = JlDims): DataFrame = {
     require(dims >= 1 && dims <= JlDims, s"dims must be in [1, $JlDims]: $dims")
-    val v = toDoubleArray(col("embedding"))
+    // float-reading sign dots (r21): same doubles, no cast allocation
+    val v = col("embedding")
     val ys = array((0 until dims).map(k => dotProduct(v, jlSignLit(k))): _*)
     Layout.widen(emb)
       .select(col("vec_id"), posexplode(ys).as(Seq("k", "y")))
@@ -1442,7 +1448,8 @@ object Similarity extends QueryModule {
 
   def jlAudit(emb: DataFrame, dims: Int = JlDims,
               lo: Double = JlAuditLo, hi: Double = JlAuditHi): DataFrame = {
-    val v = toDoubleArray(col("embedding"))
+    // float-reading dots (r21): same doubles, no cast allocation
+    val v = col("embedding")
     val perVec = Layout.widen(emb)
       .select(col("vec_id"), v.as("v"))
       .withColumn("dv", dotProduct(col("v"), col("v")))
@@ -1500,11 +1507,11 @@ object Similarity extends QueryModule {
       array((0 until JlDims).map(kk => dotProduct(c, jlSignLit(kk))): _*)
     val corpus = Layout.widen(emb)
       .select(col("vec_id").as("c_id"),
-        proj(toDoubleArray(col("embedding"))).as("cy"))
+        proj(col("embedding")).as("cy"))
       .withColumn("cn", l2Norm(col("cy")))
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"),
-        proj(toDoubleArray(col("embedding"))).as("qy"))
+        proj(col("embedding")).as("qy"))
       .withColumn("qn", l2Norm(col("qy")))
     val shortlist = corpus.join(broadcast(queries), col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
@@ -1512,7 +1519,8 @@ object Similarity extends QueryModule {
       .groupBy(col("q_id"))
       .agg(TopKAgg.topK(col("pcos"), col("c_id"), k * refine).as("top"))
       .select(col("q_id"), explode(col("top.id")).as("c_id"))
-    val vecs = emb.select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+    // raw float32 exact re-rank (r21): dot kernel widens in-register
+    val vecs = emb.select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", l2Norm(col("v")))
     val qv = vecs.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
@@ -1572,24 +1580,22 @@ object Similarity extends QueryModule {
     // numbered by the rows' own vec_ids (hole-for-hole the oracle's)
     val projCents: Seq[(Long, Seq[Double])] =
       emb.filter(col("vec_id") < nCells)
-        .select(col("vec_id"), proj(toDoubleArray(col("embedding"))).as("cy"))
+        .select(col("vec_id"), proj(col("embedding")).as("cy"))
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
         .sortBy(_._1).toSeq
     val centsDf = projCents.toDF("cell_id", "centy")
-    // ONE widened scan: raw vector + norm for exact scoring, projected
-    // cell assignment as a scan-side plan constant (the explode(array)
-    // generator barrier keeps the double cast from re-inlining into
-    // the three consumers — quantizeStats discipline)
+    // ONE widened scan: raw float32 vector + norm for exact scoring,
+    // projected cell assignment as a scan-side plan constant (the
+    // former explode(array(cast)) barrier went with the cast — r21
+    // float-reading kernels)
     val corpus = Layout.widen(emb)
-      .select(col("vec_id").as("c_id"),
-        explode(array(toDoubleArray(col("embedding")))).as("cv"))
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
       .select(col("c_id"),
         graft.functions.VectorExpressions.argMaxCosine(proj(col("cv")), projCents)
           .as("cell_id"),
         col("cv"), l2Norm(col("cv")).as("cn"))
     val q = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"),
-        explode(array(toDoubleArray(col("embedding")))).as("qv"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
       .select(col("q_id"), col("qv"), l2Norm(col("qv")).as("qn"),
         proj(col("qv")).as("qy"))
       .withColumn("qyn", l2Norm(col("qy")))

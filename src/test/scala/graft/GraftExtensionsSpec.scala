@@ -65,6 +65,6 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val e = intercept[Exception] {
       spark.sql("SELECT array_dot(array('x'), array(1.0d))").head()
     }
-    assert(e.getMessage.contains("array_dot requires two array<double>"))
+    assert(e.getMessage.contains("array_dot requires two array<double|float>"))
   }
 }

@@ -52,6 +52,44 @@ class VectorExpressionsSpec extends SparkSpec {
     got.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
   }
 
+  // r21 float-reading kernels: a float32 element widened in-register
+  // must produce the BIT-IDENTICAL double the former cast-the-array
+  // plan produced, for every kernel and every float/double side mix
+  test("float-reading kernels are bit-identical to the cast-array plan") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(43)
+    val rows = (0 until 64).map { i =>
+      val a = Array.fill(16)((rnd.nextDouble() * 4 - 2).toFloat)
+      val b = Array.fill(16)((rnd.nextDouble() * 4 - 2).toFloat)
+      (i.toLong, a, b)
+    }.toDF("id", "fa", "fb")
+    import graft.functions.PortableFuncs.toDoubleArray
+    val cells = (0 until 4).map(k =>
+      k.toLong -> Seq.fill(16)(rnd.nextDouble() * 2 - 1)).toSeq
+    val got = rows.select(
+      VectorExpressions.dot(col("fa"), col("fb")).as("dot_ff"),
+      VectorExpressions.dot(toDoubleArray(col("fa")), toDoubleArray(col("fb"))).as("dot_dd"),
+      VectorExpressions.dot(col("fa"), toDoubleArray(col("fb"))).as("dot_fd"),
+      VectorExpressions.cosineFused(col("fa"), col("fb")).as("cos_ff"),
+      VectorExpressions.cosineFused(toDoubleArray(col("fa")), toDoubleArray(col("fb"))).as("cos_dd"),
+      VectorExpressions.squaredL2(col("fa"), col("fb")).as("l2_ff"),
+      VectorExpressions.squaredL2(toDoubleArray(col("fa")), toDoubleArray(col("fb"))).as("l2_dd"),
+      VectorExpressions.argMaxCosine(col("fa"), cells).as("am_f"),
+      VectorExpressions.argMaxCosine(toDoubleArray(col("fa")), cells).as("am_d"),
+      VectorExpressions.argMax2Cosine(col("fa"), cells).as("am2_f"),
+      VectorExpressions.argMax2Cosine(toDoubleArray(col("fa")), cells).as("am2_d")
+    ).collect()
+    got.foreach { r =>
+      assert(r.getDouble(0) === r.getDouble(1))
+      assert(r.getDouble(0) === r.getDouble(2))
+      assert(r.getDouble(3) === r.getDouble(4))
+      assert(r.getDouble(5) === r.getDouble(6))
+      assert(r.getLong(7) === r.getLong(8))
+      assert(r.getLong(9) === r.getLong(10))
+    }
+  }
+
   test("SimHash60 kernel matches the md5-derived composed form") {
     val spark2 = spark
     import spark2.implicits._
